@@ -1,0 +1,261 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Melt
+import graft.model.Fidelity
+import graft.ops.Rollup
+import graft.query.{Histogram, RangeQuery, Search}
+import graft.store.{CommentStore, Tables}
+
+/**
+ * Core-engine operator queries for the driver contract (SparkEntry).
+ *
+ * Conventions shared by every query and its DuckDB oracle so the
+ * driver's sorted-column value-hash compare matches bit-for-bit:
+ *  - timestamps as BIGINT epoch (µs raw, s for bucket starts), pure
+ *    integer arithmetic (`div` here == `//` in DuckDB for positives);
+ *  - float aggregates rounded to 6 decimals on BOTH sides, applied only
+ *    at the output projection (never inside the monoid);
+ *  - a deterministic ORDER BY on both sides.
+ */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** The raw events table with a normalized `ts_us` BIGINT column. */
+  def rawEvents(s: SparkSession, dir: String): DataFrame = {
+    val df = Melt.readTsParquet(s, s"$dir/events.parquet")
+    df.withColumn("ts_us", Melt.tsUs(df, "ts"))
+  }
+
+  /** Canonical long view of the driver's events table (S8 bridge). */
+  def ev(s: SparkSession, dir: String): DataFrame =
+    Melt.events(Melt.readTsParquet(s, s"$dir/events.parquet"))
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  // Fixed query window: 2024-01-05T00:00:00Z .. 2024-01-06T00:00:00Z
+  // (events span 2024-01-01..01-30 at every sf).
+  private val Day5S = 1704412800L
+  private val Day6S = 1704499200L
+  private val Day5Us = Day5S * 1000000L
+  private val Day6Us = Day6S * 1000000L
+
+  private def rollupQ(d: Long): Q = (s, dir) =>
+    Rollup.aggregate(ev(s, dir), d)
+      .select(
+        col("dataset_id"), col("bucket_s"),
+        col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+      .orderBy("dataset_id", "bucket_s")
+
+  private def rollupSql(d: Long): String =
+    s"""SELECT event_type AS dataset_id,
+       |  (epoch_us(ts) // ${d * 1000000L}) * $d AS bucket_s,
+       |  min(value) AS min_v, max(value) AS max_v,
+       |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+       |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  val queries: Map[String, Q] = Map(
+    // ---- S8/P3/P4: melt loaders -------------------------------------
+    "melt_events" -> ((s, dir) =>
+      ev(s, dir).orderBy("dataset_id", "ts_us", "value")),
+    "melt_lineitem" -> ((s, dir) =>
+      Melt.wide(
+        s.read.parquet(s"$dir/lineitem.parquet"), "l_shipdate",
+        Seq("l_quantity", "l_extendedprice", "l_discount"), "li.")
+        .orderBy("dataset_id", "ts_us", "value")),
+
+    // ---- A1/A4/F3: the rollup pyramid -------------------------------
+    "rollup_1s" -> rollupQ(1),
+    "rollup_10s" -> rollupQ(10),
+    "rollup_100s" -> rollupQ(100),
+    "rollup_1000s" -> rollupQ(1000),
+    "rollup_10000s" -> rollupQ(10000),
+    "rollup_100000s" -> rollupQ(100000),
+
+    // ---- A2: cascade correctness (10s built FROM the 1s level) ------
+    "rollup_cascade_10s" -> ((s, dir) =>
+      Rollup.cascade(Rollup.aggregate(ev(s, dir), 1), 10)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")),
+
+    // ---- §3.1 flagship: range query at FULL and agg fidelity --------
+    "range_full" -> ((s, dir) =>
+      RangeQuery.full(ev(s, dir), "purchase", Day5Us, Day6Us)
+        .orderBy("ts_us", "value")),
+    "range_agg_10s" -> ((s, dir) =>
+      RangeQuery.agg(Rollup.aggregate(ev(s, dir), 10), "purchase", Day5S, Day6S)
+        .select(col("bucket_s"), col("min_v"), r6(col("mean_v")).as("mean_v"), col("max_v"))
+        .orderBy("bucket_s")),
+
+    // ---- A5: resolution routing over real spans ---------------------
+    "fidelity_route" -> ((s, dir) =>
+      ev(s, dir).groupBy("dataset_id")
+        .agg(((max(col("ts_us")) - min(col("ts_us"))) / lit(1e6)).as("span_s"))
+        .select(
+          col("dataset_id"), r6(col("span_s")).as("span_s"),
+          RangeQuery.recommendedCol(col("span_s")).as("fidelity"))
+        .orderBy("dataset_id")),
+
+    // ---- S7/P6: catalog search --------------------------------------
+    "search_datasets" -> ((s, dir) => Search.datasets(ev(s, dir), "e")),
+
+    // ---- A9: count metrics ------------------------------------------
+    "count_metrics" -> ((s, dir) =>
+      ev(s, dir).groupBy("dataset_id")
+        .agg(count(lit(1)).as("n_points"), r6(sum(col("value"))).as("sum_value"))
+        .orderBy("dataset_id")),
+
+    // ---- A6: visible-range min/max ----------------------------------
+    "minmax_range" -> ((s, dir) =>
+      Histogram.minMax(
+        ev(s, dir).where(
+          col("dataset_id") === "view" && col("ts_us").between(Day5Us, Day6Us)))),
+
+    // ---- A7: equal-width histogram (≤30 buckets) --------------------
+    "histogram" -> ((s, dir) =>
+      Histogram.histogram(
+        ev(s, dir).where(col("dataset_id") === "click"), "value", 30)
+        .select(col("bucket"), r6(col("lo")).as("lo"), r6(col("hi")).as("hi"), col("cnt"))
+        .orderBy("bucket")),
+
+    // ---- F1/F2: ISO-8601 codecs -------------------------------------
+    "iso_roundtrip" -> ((s, dir) =>
+      rawEvents(s, dir)
+        .where(col("event_type") === "signup")
+        .select(
+          col("ts_us"),
+          date_format(timestamp_micros(col("ts_us")), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").as("iso"))
+        .withColumn(
+          "ts_us2",
+          unix_micros(to_timestamp(col("iso"), "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")))
+        .orderBy("ts_us")),
+
+    // ---- S12/P5/F7: comments range + tag-subset query ---------------
+    "comments_range_tags" -> ((s, dir) => {
+      val comments = rawEvents(s, dir).select(
+        col("event_id").as("id"),
+        col("ts_us").as("date_us"),
+        col("props").as("text"),
+        array(col("event_type"), concat(lit("u"), col("user_id") % 5)).as("tags"))
+      CommentStore.query(comments, Day5Us, Day6Us * 5, Seq("purchase", "u3"), 20)
+        .select("id", "date_us", "text")
+    }),
+
+    // ---- S2/S3/ST: incremental ingest — 3 batches through the store,
+    // merged state must equal the one-shot rollup (A2 across batches) --
+    "ingest_incremental_1s" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ingest").toString
+      val long = ev(s, dir)
+      for (i <- 0 until 3)
+        Tables.ingestBatch(
+          s, root,
+          long.where(pmod(crc32(concat_ws("|", col("dataset_id"), col("ts_us"))), lit(3)) === i))
+      Tables.readRollup(s, root, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "melt_events" ->
+      """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |ORDER BY dataset_id, ts_us, value""".stripMargin,
+    "melt_lineitem" ->
+      """SELECT dataset_id, ts_us, value FROM (
+        |  SELECT 'li.l_quantity' AS dataset_id, epoch_us(l_shipdate) AS ts_us,
+        |         CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+        |  UNION ALL SELECT 'li.l_extendedprice', epoch_us(l_shipdate),
+        |         l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'li.l_discount', epoch_us(l_shipdate),
+        |         l_discount FROM lineitem)
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |ORDER BY dataset_id, ts_us, value""".stripMargin,
+    "rollup_1s" -> rollupSql(1),
+    "rollup_10s" -> rollupSql(10),
+    "rollup_100s" -> rollupSql(100),
+    "rollup_1000s" -> rollupSql(1000),
+    "rollup_10000s" -> rollupSql(10000),
+    "rollup_100000s" -> rollupSql(100000),
+    "rollup_cascade_10s" -> rollupSql(10),
+    "ingest_incremental_1s" -> rollupSql(1),
+    "range_full" ->
+      s"""SELECT epoch_us(ts) AS ts_us, value FROM events
+         |WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)
+         |  AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us
+         |ORDER BY ts_us, value""".stripMargin,
+    "range_agg_10s" ->
+      s"""SELECT bucket_s, min_v, round(sum_v / cnt, 6) AS mean_v, max_v FROM (
+         |  SELECT (epoch_us(ts) // 10000000) * 10 AS bucket_s,
+         |         min(value) AS min_v, max(value) AS max_v,
+         |         sum(value) AS sum_v, count(*) AS cnt
+         |  FROM events
+         |  WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)
+         |  GROUP BY 1)
+         |WHERE bucket_s BETWEEN $Day5S AND $Day6S ORDER BY bucket_s""".stripMargin,
+    "fidelity_route" ->
+      """SELECT dataset_id, round(span_s, 6) AS span_s,
+        |  CASE WHEN span_s < 500 THEN 'full'
+        |       WHEN span_s < 5000 THEN '1'
+        |       WHEN span_s < 50000 THEN '10'
+        |       WHEN span_s < 500000 THEN '100'
+        |       WHEN span_s < 5000000 THEN '1000'
+        |       WHEN span_s < 50000000 THEN '10000'
+        |       ELSE '100000' END AS fidelity
+        |FROM (
+        |  SELECT event_type AS dataset_id,
+        |         (max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 AS span_s
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1)
+        |ORDER BY dataset_id""".stripMargin,
+    "search_datasets" ->
+      """SELECT DISTINCT event_type AS dataset_id FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND contains(event_type, 'e')
+        |ORDER BY dataset_id LIMIT 300""".stripMargin,
+    "count_metrics" ->
+      """SELECT event_type AS dataset_id, count(*) AS n_points,
+        |  round(sum(value), 6) AS sum_value
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "minmax_range" ->
+      s"""SELECT min(value) AS min_v, max(value) AS max_v FROM events
+         |WHERE event_type = 'view' AND value IS NOT NULL AND NOT isnan(value)
+         |  AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us""".stripMargin,
+    "histogram" ->
+      """WITH pts AS (
+        |  SELECT value AS v FROM events
+        |  WHERE event_type = 'click' AND value IS NOT NULL AND NOT isnan(value)),
+        |st AS (SELECT min(v) AS mn, max(v) AS mx, count(DISTINCT v) AS nd FROM pts),
+        |bk AS (
+        |  SELECT CASE WHEN st.nd <= 1 THEN 0
+        |              ELSE least(CAST(floor((p.v - st.mn) /
+        |                     ((st.mx - st.mn) / least(st.nd, 30))) AS BIGINT),
+        |                   least(st.nd, 30) - 1) END AS bucket,
+        |         st.mn AS mn, st.mx AS mx, least(st.nd, 30) AS n
+        |  FROM pts p, st)
+        |SELECT bucket,
+        |  round(mn + bucket * (mx - mn) / n, 6) AS lo,
+        |  round(mn + (bucket + 1) * (mx - mn) / n, 6) AS hi,
+        |  count(*) AS cnt
+        |FROM bk GROUP BY bucket, mn, mx, n ORDER BY bucket""".stripMargin,
+    "iso_roundtrip" ->
+      """SELECT epoch_us(ts) AS ts_us,
+        |  strftime(ts, '%Y-%m-%dT%H:%M:%S.%f') AS iso,
+        |  epoch_us(strptime(strftime(ts, '%Y-%m-%dT%H:%M:%S.%f'),
+        |                    '%Y-%m-%dT%H:%M:%S.%f')) AS ts_us2
+        |FROM events WHERE event_type = 'signup' ORDER BY ts_us""".stripMargin,
+    "comments_range_tags" ->
+      s"""SELECT event_id AS id, epoch_us(ts) AS date_us, props AS text
+         |FROM events
+         |WHERE epoch_us(ts) BETWEEN $Day5Us AND ${Day6Us * 5}
+         |  AND event_type = 'purchase' AND user_id % 5 = 3
+         |ORDER BY date_us, id LIMIT 20""".stripMargin)
+}

@@ -1,7 +1,5 @@
 package graft.model
 
-import java.sql.Timestamp
-
 /**
  * Canonical data model of the engine (SURVEY.md §1.5).
  *
@@ -37,6 +35,7 @@ final case class AggPoint(
     max: Double,
     sum: Double,
     count: Long) {
+  require(count > 0, "zero-count AggPoints are illegal (the reference never stores empty buckets)")
   def mean: Double = sum / count
 }
 
@@ -77,7 +76,7 @@ object Fidelity {
   def fromName(s: String): Fidelity =
     all.find(_.name == s).getOrElse(throw new IllegalArgumentException(s"no fidelity '$s'"))
 
-  /** Coarsest level whose file-span covers the query span — keeps any
+  /** Finest level whose ~5000-point file span still covers the query span — keeps any
    *  result bounded at ~5000 points (reference `_recommended_fidelity`,
    *  src/index.py:252-275).
    */

@@ -1,0 +1,135 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Fidelity
+import graft.ops.Rollup
+
+/**
+ * Physical table layout — the Spark re-expression of the reference's
+ * `data/<fidelity>/<dataset_id>/<a>/<b>/<c>/<bucket>` path scheme
+ * (reference: src/index.py:22-29, 460-505).
+ *
+ * One parquet table per fidelity level:
+ *   raw:     partitioned by (dataset_id, day_s)   — append-only
+ *            (the reference appends raw files, src/index.py:517)
+ *   rollup d: partitioned by (dataset_id, part_s) — read-merge-rewrite
+ *            scoped to AFFECTED partitions only via dynamic partition
+ *            overwrite (the reference rewrites one agg file at a time,
+ *            src/index.py:521-550; a full-table rewrite per batch would
+ *            be a scale-killer at 100 TB).
+ *
+ * `part_s = bucket_s div (5000 * d) * (5000 * d)` mirrors the
+ * reference's DATAPOINT_GROUP_SIZE=5000-row file windows
+ * (src/index.py:45-57): one partition holds ~5000 buckets. Catalyst
+ * partition pruning on (dataset_id, part_s) replaces the reference's
+ * `_subpaths` arithmetic (src/index.py:408-458).
+ */
+object Tables {
+
+  val rawSchema: StructType = StructType(Seq(
+    StructField("dataset_id", StringType),
+    StructField("ts_us", LongType),
+    StructField("value", DoubleType)))
+
+  val rollupSchema: StructType = StructType(Seq(
+    StructField("dataset_id", StringType),
+    StructField("bucket_s", LongType),
+    StructField("min_v", DoubleType),
+    StructField("max_v", DoubleType),
+    StructField("sum_v", DoubleType),
+    StructField("cnt", LongType)))
+
+  def rawPath(root: String): String = s"$root/raw"
+  def rollupPath(root: String, f: Fidelity): String = s"$root/rollup_${f.name}"
+
+  /** Partition window: ~5000 buckets per partition (src/index.py:46). */
+  def partitionWindowS(f: Fidelity): Long =
+    if (f.isFull) 86400L else Fidelity.GroupSize * f.seconds
+
+  /** S2 — append a sanitized long batch to the raw table. */
+  def appendRaw(long: DataFrame, root: String): Unit =
+    long
+      .withColumn("day_s", expr("ts_us div 86400000000") * 86400L)
+      .repartition(col("dataset_id"), col("day_s"))
+      .write
+      .mode("append")
+      .partitionBy("dataset_id", "day_s")
+      .parquet(rawPath(root))
+
+  /** Read a table back; a never-written table reads as empty (the
+   *  reference treats missing files as empty results, src/index.py:556-558).
+   */
+  private def readOrEmpty(
+      spark: SparkSession, path: String, schema: StructType, partCols: Seq[String]): DataFrame =
+    if (new java.io.File(path).exists())
+      spark.read.parquet(path)
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+        .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  def readRaw(spark: SparkSession, root: String): DataFrame =
+    readOrEmpty(spark, rawPath(root), rawSchema, Seq("dataset_id", "day_s"))
+
+  def readRollup(spark: SparkSession, root: String, f: Fidelity): DataFrame =
+    readOrEmpty(spark, rollupPath(root, f), rollupSchema, Seq("dataset_id", "part_s"))
+
+  /**
+   * S3 — merge-upsert partial aggregates into one rollup table with
+   * UNBOUNDED lateness (src/index.py:521-550, 328-374): read only the
+   * affected (dataset_id, part_s) partitions (left-semi join against the
+   * batch's distinct partition keys — broadcast, since a batch touches
+   * few partitions), fold with the A2 monoid, and dynamically overwrite
+   * just those partitions.
+   */
+  def mergeRollup(
+      spark: SparkSession, root: String, f: Fidelity, partials: DataFrame): Unit = {
+    val w = partitionWindowS(f)
+    def withPart(df: DataFrame): DataFrame =
+      df.withColumn("part_s", expr(s"bucket_s div $w") * w)
+
+    val newPart = withPart(partials)
+    val affected = newPart.select("dataset_id", "part_s").distinct()
+    val existing = withPart(readRollup(spark, root, f))
+      .join(broadcast(affected), Seq("dataset_id", "part_s"), "left_semi")
+
+    val merged = Rollup
+      .mergePartials(existing.drop("part_s").unionByName(newPart.drop("part_s")))
+
+    // Rewrite only the affected partitions (partitionOverwriteMode=dynamic)
+    withPart(merged)
+      .repartition(col("dataset_id"), col("part_s"))
+      .write
+      .mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("dataset_id", "part_s")
+      .parquet(rollupPath(root, f))
+  }
+
+  /**
+   * §3.2 `Index.put` — one ingest batch: sanitize → append raw →
+   * cascade all 6 rollup levels → merge each into its table
+   * (reference: src/index.py:124-177). Used by both the batch bootstrap
+   * path and the Structured Streaming `foreachBatch` sink.
+   */
+  def ingestBatch(spark: SparkSession, root: String, batchLong: DataFrame): Unit = {
+    val batch = graft.ingest.Melt.sanitize(batchLong).persist()
+    try {
+      appendRaw(batch, root)
+      // Cascade: level k is computed from level k-1's partials (10× less
+      // input per level than the reference's recompute-from-raw).
+      var finer = Rollup.aggregate(batch, Fidelity.aggLevels.head.seconds).persist()
+      mergeRollup(spark, root, Fidelity.aggLevels.head, finer)
+      for (f <- Fidelity.aggLevels.tail) {
+        val next = Rollup.cascade(finer, f.seconds).persist()
+        mergeRollup(spark, root, f, next)
+        finer.unpersist()
+        finer = next
+      }
+      finer.unpersist()
+    } finally batch.unpersist()
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.store.Tables
+
+/**
+ * ST / S1 / §2.8 — Structured Streaming ingest with UNBOUNDED lateness.
+ *
+ * The reference's clients buffer and POST JSON micro-batches every ~10 s
+ * (src/metrics/loop.py:59-61); any batch with any timestamp merges
+ * correctly into existing buckets via read-merge-write
+ * (src/index.py:536-538, 328-374). A watermarked streaming aggregation
+ * would DROP late data, so we deliberately use `foreachBatch` +
+ * partition-scoped merge-upsert: all state lives in the rollup tables,
+ * not the Spark state store — restart-safe by construction and
+ * arbitrarily late batches fold in exactly like fresh ones.
+ */
+object StreamIngest {
+
+  /** JSON wire shape of the reference's POST /api/data body, flattened
+   *  one series per line: {"dataset_id": ..., "points": [{"date": ISO,
+   *  "value": v}, ...]} (reference: src/server.py:76-103).
+   */
+  val wireSchema: StructType = StructType(Seq(
+    StructField("dataset_id", StringType),
+    StructField("points", ArrayType(StructType(Seq(
+      StructField("date", StringType),
+      StructField("value", DoubleType)))))))
+
+  /** S1 — decode the JSON wire format to canonical long form:
+   *  from_json → explode(points) → ISO parse (F1).
+   */
+  def decodeWire(jsonLines: DataFrame): DataFrame =
+    jsonLines
+      .select(from_json(col("value").cast("string"), wireSchema).as("m"))
+      .select(col("m.dataset_id").as("dataset_id"), explode(col("m.points")).as("p"))
+      .select(
+        col("dataset_id"),
+        unix_micros(to_timestamp(col("p.date"))).as("ts_us"),
+        col("p.value").as("value"))
+
+  /** Run a canonical-long streaming source into the store. Each
+   *  micro-batch goes through the same `Tables.ingestBatch` as the batch
+   *  bootstrap path — one code path for both (SURVEY §3.2).
+   */
+  def start(
+      longStream: DataFrame,
+      root: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds")): StreamingQuery =
+    longStream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Tables.ingestBatch(batch.sparkSession, root, batch)
+      }
+      .start()
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Fidelity
+import graft.query.RangeQuery
+import graft.store.Tables
+
+/**
+ * Port of the reference's `test_agg_combine` (test/test_index.py:137-189)
+ * plus the late-data variant (FIXTURES.md §3): three successive 4-point
+ * batches of contiguous 10 Hz data must fold into exact merged rollups
+ * (A2 across write batches), and a batch with timestamps EARLIER than
+ * already-merged buckets must still update them (unbounded lateness,
+ * src/index.py:328-374, 536-538).
+ */
+class IngestMergeSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def batch(startTenths: Int): Seq[(String, String, Double)] =
+    (0 until 4).map { i =>
+      val t = startTenths + i
+      val iso = f"2024-01-01T03:00:0${t / 10}%d.${t % 10}%d00"
+      ("test_agg_combine", iso, Seq(10.0, 9.0, 8.0, 7.0)(i % 4))
+    }
+
+  test("three batches merge to the reference's golden 1 s buckets (test_index.py:137-189)") {
+    val root = TestSpark.tmpDir("graft_combine")
+    for (b <- Seq(0, 4, 8))
+      Tables.ingestBatch(spark, root, TestSpark.longDF(batch(b)))
+
+    val full = Tables.readRaw(spark, root)
+    assert(full.count() == 12)
+
+    val r1 = Tables.readRollup(spark, root, Fidelity.S1)
+      .orderBy("bucket_s").collect()
+    assert(r1.length == 2)
+    val Row(_, b0, mn0: Double, mx0: Double, sm0: Double, c0: Long) = r1(0): @unchecked
+    assert(b0 == TestSpark.isoUs("2024-01-01T03:00:00") / 1000000L)
+    assert(mn0 == 7.0 && mx0 == 10.0 && c0 == 10 && sm0 / c0 == 8.7)
+    val Row(_, b1, mn1: Double, mx1: Double, sm1: Double, c1: Long) = r1(1): @unchecked
+    assert(b1 == TestSpark.isoUs("2024-01-01T03:00:01") / 1000000L)
+    assert(mn1 == 7.0 && mx1 == 8.0 && c1 == 2 && sm1 / c1 == 7.5)
+  }
+
+  test("a LATE batch folds into already-merged buckets (unbounded lateness, §2.8)") {
+    val root = TestSpark.tmpDir("graft_late")
+    for (b <- Seq(0, 4, 8))
+      Tables.ingestBatch(spark, root, TestSpark.longDF(batch(b)))
+    // late batch: one point inside the first (already merged) bucket,
+    // with a new global minimum
+    Tables.ingestBatch(spark, root,
+      TestSpark.longDF(Seq(("test_agg_combine", "2024-01-01T03:00:00.050", 1.5))))
+
+    val r1 = Tables.readRollup(spark, root, Fidelity.S1)
+      .orderBy("bucket_s").collect()
+    assert(r1.length == 2)
+    val Row(_, _, mn0: Double, mx0: Double, sm0: Double, c0: Long) = r1(0): @unchecked
+    assert(mn0 == 1.5 && mx0 == 10.0 && c0 == 11 && sm0 == 88.5)
+    // coarser levels got the same late fold via the cascade
+    val r10k = Tables.readRollup(spark, root, Fidelity.S10000).collect()
+    assert(r10k.map(_.getLong(5)).sum == 13)
+    assert(r10k.map(_.getDouble(2)).min == 1.5)
+  }
+
+  test("misses return empty, not errors (test_index.py:192-228)") {
+    val root = TestSpark.tmpDir("graft_empty")
+    Tables.ingestBatch(spark, root,
+      TestSpark.longDF(Seq(("test_empty", "2024-01-01T02:00:00.800", 10.0))))
+
+    val raw = Tables.readRaw(spark, root)
+    // unknown dataset
+    assert(RangeQuery.full(raw, "nope",
+      TestSpark.isoUs("2024-01-01T00:00:00"), TestSpark.isoUs("2024-01-02T00:00:00")).count() == 0)
+    // disjoint range
+    assert(RangeQuery.full(raw, "test_empty",
+      TestSpark.isoUs("2024-02-01T00:00:00"), TestSpark.isoUs("2024-02-02T00:00:00")).count() == 0)
+    // agg-level miss
+    assert(RangeQuery.agg(Tables.readRollup(spark, root, Fidelity.S10), "test_empty",
+      TestSpark.isoUs("2024-02-01T00:00:00") / 1000000L,
+      TestSpark.isoUs("2024-02-02T00:00:00") / 1000000L).count() == 0)
+    // positive control
+    assert(RangeQuery.full(raw, "test_empty",
+      TestSpark.isoUs("2024-01-01T00:00:00"), TestSpark.isoUs("2024-01-02T00:00:00")).count() == 1)
+    // a never-written store reads as empty
+    assert(Tables.readRaw(spark, TestSpark.tmpDir("graft_void")).count() == 0)
+  }
+
+  test("large put: 2 batches x 5000 points at 10 Hz read back complete (test_index.py:264-300)") {
+    val s = spark
+    import s.implicits._
+    val root = TestSpark.tmpDir("graft_large")
+    val t0 = TestSpark.isoUs("2024-01-01T02:00:00")
+    for (b <- 0 until 2) {
+      val df = spark.range(5000)
+        .select(
+          org.apache.spark.sql.functions.lit("large.ds").as("dataset_id"),
+          (org.apache.spark.sql.functions.lit(t0 + b * 500000000L) +
+            $"id" * 100000L).as("ts_us"),
+          ($"id" % 100).cast("double").as("value"))
+      Tables.ingestBatch(spark, root, df)
+    }
+    assert(RangeQuery.full(Tables.readRaw(spark, root), "large.ds",
+      t0, t0 + 1000000000L).count() == 10000)
+    // rollup pyramid is consistent: counts sum to 10000 at every level
+    for (f <- Fidelity.aggLevels) {
+      val total = Tables.readRollup(spark, root, f)
+        .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+      assert(total == 10000, s"level ${f.name}")
+    }
+  }
+}

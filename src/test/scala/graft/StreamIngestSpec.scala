@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Fidelity
+import graft.store.Tables
+import graft.streaming.StreamIngest
+
+/**
+ * §2.8 ST — Structured Streaming ingest through `foreachBatch` must
+ * produce byte-identical rollup state to the batch path, including a
+ * late batch (unbounded lateness — a watermarked agg would drop it).
+ * Replays the `test_agg_combine` batches (FIXTURES.md §3) through a
+ * file source, one file per micro-batch.
+ */
+class StreamIngestSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def batch(startTenths: Int): Seq[(String, String, Double)] =
+    (0 until 4).map { i =>
+      val t = startTenths + i
+      val iso = f"2024-01-01T03:00:0${t / 10}%d.${t % 10}%d00"
+      ("test_agg_combine", iso, Seq(10.0, 9.0, 8.0, 7.0)(i % 4))
+    }
+
+  test("streaming replay of three batches + a late one equals the batch path") {
+    val srcDir = TestSpark.tmpDir("graft_stream_src")
+    val root = TestSpark.tmpDir("graft_stream_store")
+    val ckpt = TestSpark.tmpDir("graft_stream_ckpt")
+
+    val stream = spark.readStream
+      .schema(Tables.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = StreamIngest.start(stream, root, ckpt, Trigger.ProcessingTime("0 seconds"))
+    try {
+      var i = 0
+      for (b <- Seq(batch(0), batch(4), batch(8),
+          Seq(("test_agg_combine", "2024-01-01T03:00:00.050", 1.5)))) {
+        // the file source only sees top-level files: write, then move the
+        // part file up as one batch file
+        val staging = TestSpark.tmpDir(s"graft_stage$i")
+        TestSpark.longDF(b).coalesce(1).write.mode("overwrite").parquet(staging)
+        val part = new java.io.File(staging).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        java.nio.file.Files.move(
+          part.toPath, java.nio.file.Paths.get(s"$srcDir/b$i.parquet"))
+        i += 1
+      }
+      // the source reads new files as separate micro-batches
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(Tables.readRaw(spark, root).count() == 13)
+    val r1 = Tables.readRollup(spark, root, Fidelity.S1)
+      .orderBy("bucket_s").collect()
+    assert(r1.length == 2)
+    val Row(_, _, mn0: Double, mx0: Double, sm0: Double, c0: Long) = r1(0): @unchecked
+    assert(mn0 == 1.5 && mx0 == 10.0 && c0 == 11 && sm0 == 88.5)
+    val Row(_, _, mn1: Double, _, sm1: Double, c1: Long) = r1(1): @unchecked
+    assert(mn1 == 7.0 && c1 == 2 && sm1 / c1 == 7.5)
+  }
+
+  test("S1: JSON wire format decodes to canonical long form (server.py:76-103)") {
+    val s = spark
+    import s.implicits._
+    val wire = Seq(
+      """{"dataset_id":"w.a","points":[{"date":"2024-01-01T03:00:00.100","value":1.5},{"date":"2024-01-01T03:00:01","value":2.5}]}""",
+      """{"dataset_id":"w.b","points":[{"date":"2024-01-02T00:00:00","value":-1.0}]}""")
+      .toDF("value")
+    val got = StreamIngest.decodeWire(wire).orderBy("dataset_id", "ts_us").collect()
+    assert(got.length == 3)
+    assert(got(0).getString(0) == "w.a")
+    assert(got(0).getLong(1) == TestSpark.isoUs("2024-01-01T03:00:00.100"))
+    assert(got(0).getDouble(2) == 1.5)
+    assert(got(2).getString(0) == "w.b" && got(2).getDouble(2) == -1.0)
+  }
+}
