@@ -1,0 +1,277 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/**
+ * LLM-training-data pipeline operators over the `documents` and
+ * `embeddings` tables: dedup (exact / MinHash-LSH / SimHash / exact
+ * n-gram Jaccard / embedding cosine), similarity search (brute-force
+ * exact + LSH-bucketed), text analysis, and multimodal-column plumbing.
+ *
+ * The synthetic corpus has no natural duplicates, so the dedup queries
+ * operate on deterministically CONSTRUCTED corpora (originals ∪ marked
+ * near-duplicate copies) — the identical construction is inlined in the
+ * oracle SQL, so engine and oracle see the same input.
+ */
+object PipelineQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private def embBase(s: SparkSession, dir: String): DataFrame =
+    Similarity.asDouble(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+
+  /** documents ∪ exact copies of every 10th doc (ids offset by 100000). */
+  private def exactCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+  }
+
+  /** documents ∪ near-duplicate copies (3 appended tokens) of every 7th. */
+  private def nearDupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.where(col("doc_id") % 7 === 0)
+        .select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+  }
+
+  /** embeddings ∪ deterministically perturbed copies of every 5th vector
+   *  (cosine to the original ≈ 0.99, far above the 0.9 threshold; random
+   *  pairs stay below 0.51).
+   */
+  private def embCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = embBase(s, dir)
+    base.unionByName(
+      base.where(col("vec_id") % 5 === 0)
+        // perturb BEFORE re-aliasing vec_id: a lateral column alias in
+        // the same select would otherwise capture the shifted id
+        .withColumn("v",
+          transform(col("v"),
+            (x, i) => x + lit(0.01) * (((col("vec_id") + i) % 7) - 3)))
+        .select((col("vec_id") + 100000L).as("vec_id"), col("v")))
+  }
+
+  private val JaccardThreshold = 0.6
+  private val CosineThreshold = 0.9
+
+  val queries: Map[String, Q] = Map(
+    // ---- dedup tier -------------------------------------------------
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDups(exactCorpus(s, dir), "doc_id", "text")
+        .select(col("h"), col("keep_id"), col("n_docs"))
+        .orderBy("h")),
+    "jaccard_pairs" -> ((s, dir) =>
+      Dedup.exactJaccardPairs(
+        Dedup.shingleSet(nearDupCorpus(s, dir), "doc_id", "text"), JaccardThreshold)
+        .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("a_id", "b_id")),
+    "dedup_minhash" -> ((s, dir) =>
+      Dedup.minhashDedup(nearDupCorpus(s, dir), "doc_id", "text", JaccardThreshold)
+        .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("a_id", "b_id")),
+    "dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(
+        Dedup.simhashSignature(nearDupCorpus(s, dir), "doc_id", "text"), maxDist = 8)
+        .orderBy("a_id", "b_id")),
+    "dedup_embedding" -> ((s, dir) =>
+      Similarity.nearDupPairs(embCorpus(s, dir), CosineThreshold, nBits = 128, bands = 16)
+        .select(col("a_id"), col("b_id"), r6(col("cos")).as("cos"))
+        .orderBy("a_id", "b_id")),
+
+    // ---- similarity search ------------------------------------------
+    "embedding_norms" -> ((s, dir) =>
+      embBase(s, dir)
+        .select(col("vec_id"), r6(sqrt(Similarity.norm2(col("v")))).as("l2"))
+        .orderBy("vec_id")),
+    "ann_cosine_topk" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      Similarity.bruteTopK(base, base.where(col("vec_id") < 5), 10)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+    "ann_lsh" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      Similarity.annTopK(base, base.where(col("vec_id") < 5), 10, nBits = 128, bands = 16)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // ---- text analysis ----------------------------------------------
+    "text_stats" -> ((s, dir) =>
+      TextOps.stats(docs(s, dir), "doc_id", "text")
+        .select(
+          col("doc_id"), col("n_chars"), col("n_words"),
+          r6(col("avg_word_len")).as("avg_word_len"), col("n_stopwords"),
+          r6(col("stop_ratio")).as("stop_ratio"), r6(col("quality")).as("quality"))
+        .orderBy("doc_id")),
+    "lang_id" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "token_count" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "doc_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "doc_winnow" -> ((s, dir) =>
+      TextOps.winnow(docs(s, dir), "doc_id", "text", w = 4).orderBy("doc_id")),
+
+    // ---- multimodal columns -----------------------------------------
+    "multimodal_meta" -> ((s, dir) =>
+      Multimodal.meta(Multimodal.toBlob(docs(s, dir), "doc_id", "text"))
+        .orderBy("media_id")),
+    "multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        s, Multimodal.toBlob(docs(s, dir), "doc_id", "text")).toDF()
+        .select(
+          col("media_id"), col("n_bytes"), col("width"), col("height"),
+          r6(col("mean_byte")).as("mean_byte"))
+        .orderBy("media_id")))
+
+  private val jaccardOracle: String =
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+       |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, len(tokens) - 2),
+       |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+       |shf AS (SELECT * FROM sh0 WHERE sh IN (
+       |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT a_id, b_id,
+       |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON sa.doc_id = a_id
+       |JOIN sizes sb ON sb.doc_id = b_id
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+       |ORDER BY a_id, b_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "jaccard_pairs" -> jaccardOracle,
+    // the MinHash-LSH path must converge to the exact-Jaccard answer:
+    // candidates ⊇ all pairs ≥ threshold (miss prob ≤ 1e-8 at J ≥ 0.9),
+    // and verification is exact
+    "dedup_minhash" -> jaccardOracle,
+    "dedup_embedding" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pert AS (
+         |  SELECT b.vec_id + 100000 AS vec_id,
+         |    list_transform(generate_series(1, 64),
+         |      i -> b.v[i] + 0.01 * (((b.vec_id + i - 1) % 7) - 3)) AS v
+         |  FROM base b WHERE b.vec_id % 5 = 0),
+         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+         |p AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |    list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+         |      (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(b.v, x -> x * x)))) AS cos
+         |  FROM corpus a, corpus b WHERE a.vec_id < b.vec_id)
+         |SELECT a_id, b_id, round(cos, 6) AS cos FROM p
+         |WHERE cos >= $CosineThreshold ORDER BY a_id, b_id""".stripMargin,
+    "embedding_norms" ->
+      """SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(
+        |    CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "ann_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT * FROM e WHERE vec_id < 5),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * e.v[i])) /
+        |      (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+        |  FROM q, e WHERE q.vec_id <> e.vec_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    "text_stats" ->
+      """SELECT doc_id, n_chars, n_words,
+        |  round(avg_word_len, 6) AS avg_word_len, n_stopwords,
+        |  round(stop_ratio, 6) AS stop_ratio,
+        |  round(least(1.0, n_words / 100.0) * (1 - stop_ratio), 6) AS quality
+        |FROM (
+        |  SELECT doc_id, length(text) AS n_chars,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS avg_word_len,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'data', 'key'))) AS n_stopwords,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'data', 'key'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop_ratio
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id, en_n, de_n, fr_n, es_n,
+        |  CASE WHEN en_n = 0 AND de_n = 0 AND fr_n = 0 AND es_n = 0 THEN 'unknown'
+        |       WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        |       WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+        |       WHEN fr_n >= es_n THEN 'fr'
+        |       ELSE 'es' END AS lang_pred
+        |FROM (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and'))) AS en_n,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der', 'die', 'und', 'das'))) AS de_n,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('le', 'la', 'et', 'les'))) AS fr_n,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el', 'los', 'y', 'las'))) AS es_n
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "token_count" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+        |  CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    "doc_winnow" ->
+      """SELECT doc_id, count(DISTINCT w) AS n_fp FROM (
+        |  SELECT doc_id, min(md5(sh)) OVER (
+        |    PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS w
+        |  FROM (
+        |    SELECT doc_id, i AS pos,
+        |      tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] AS sh
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) d,
+        |         unnest(generate_series(1, len(tokens) - 2)) t(i)))
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "multimodal_meta" ->
+      """SELECT media_id, n_bytes,
+        |  64 + (n_bytes % 512) AS width,
+        |  64 + ((n_bytes * 7) % 512) AS height,
+        |  1 + (n_bytes % 30) AS n_frames
+        |FROM (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+        |      FROM documents)
+        |ORDER BY media_id""".stripMargin)
+}

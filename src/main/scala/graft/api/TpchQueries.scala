@@ -1,0 +1,146 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Melt
+
+/**
+ * General analytics over the TPC-H-ish star schema: demonstrates the
+ * engine's join/aggregate/window surface beyond the reference's own
+ * operator set (the reference has NO joins or analytic windows at all,
+ * SURVEY §2.4/§2.5).
+ *
+ * Scale notes baked into the plans:
+ *  - q3 joins fact lineitem to orders on the join key and BROADCASTs
+ *    the filtered customer dimension — the big side never shuffles for
+ *    the dimension join;
+ *  - q1/q6 are pure scan+aggregate: predicate pushdown to parquet and
+ *    map-side partial aggregation leave one tiny shuffle;
+ *  - sessionization is one window + one aggregate, partitioned by
+ *    user_id (no skew: synthetic users are uniform).
+ */
+object TpchQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def r6(c: Column): Column = round(c, 6)
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val ShipCutoffUs = 915148800000000L // 1999-01-01T00:00:00Z
+  private val SessionGapUs = 1800000000L // 30 min
+
+  val queries: Map[String, Q] = Map(
+    "q1_agg" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.withColumn("ship_us", Melt.tsUs(li, "l_shipdate"))
+        .where(col("ship_us") <= ShipCutoffUs)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          r6(sum(col("l_quantity"))).as("sum_qty"),
+          r6(sum(col("l_extendedprice"))).as("sum_base_price"),
+          r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+          r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))
+            * (lit(1) + col("l_tax")))).as("sum_charge"),
+          r6(avg(col("l_quantity"))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "q3_join" -> ((s, dir) => {
+      val cutUs = ShipCutoffUs
+      val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val ordUs = ord.withColumn("order_us", Melt.tsUs(ord, "o_orderdate"))
+        .where(col("order_us") < cutUs)
+      val li = t(s, dir, "lineitem")
+      val liUs = li.withColumn("ship_us", Melt.tsUs(li, "l_shipdate"))
+        .where(col("ship_us") > cutUs)
+      liUs
+        .join(ordUs, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("order_us"), col("o_orderpriority"))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q6_filter" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.withColumn("ship_us", Melt.tsUs(li, "l_shipdate"))
+        .where(
+          col("ship_us") >= 820454400000000L && // 1996-01-01
+            col("ship_us") < 852076800000000L && // 1997-01-01
+            col("l_discount").between(0.05, 0.07) &&
+            col("l_quantity") < 24)
+        .agg(
+          r6(sum(col("l_extendedprice") * col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // gap-based sessionization: a window-function op (lag + running sum)
+    "user_sessions" -> ((s, dir) => {
+      val ev = CoreQueries.rawEvents(s, dir)
+        .select(col("user_id"), col("ts_us"))
+      val byUser = Window.partitionBy("user_id").orderBy("ts_us")
+      ev.withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            col("ts_us") - col("prev_us") > SessionGapUs, 1L).otherwise(0L))
+        .withColumn("session_id",
+          sum(col("new_s")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          min(col("ts_us")).as("start_us"),
+          max(col("ts_us")).as("end_us"))
+        .orderBy("user_id", "session_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  round(sum(l_quantity), 6) AS sum_qty,
+         |  round(sum(l_extendedprice), 6) AS sum_base_price,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS sum_disc_price,
+         |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6) AS sum_charge,
+         |  round(avg(l_quantity), 6) AS avg_qty,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE epoch_us(l_shipdate) <= $ShipCutoffUs
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q3_join" ->
+      s"""SELECT o_orderkey, epoch_us(o_orderdate) AS order_us, o_orderpriority,
+         |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND epoch_us(o_orderdate) < $ShipCutoffUs
+         |  AND epoch_us(l_shipdate) > $ShipCutoffUs
+         |GROUP BY 1, 2, 3 ORDER BY o_orderkey""".stripMargin,
+    "q6_filter" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |WHERE epoch_us(l_shipdate) >= 820454400000000
+        |  AND epoch_us(l_shipdate) < 852076800000000
+        |  AND l_discount BETWEEN 0.05 AND 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "user_sessions" ->
+      s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+         |d AS (
+         |  SELECT user_id, ts_us,
+         |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+         |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+         |              > $SessionGapUs
+         |         THEN 1 ELSE 0 END AS new_s
+         |  FROM e),
+         |s AS (
+         |  SELECT user_id, ts_us,
+         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+         |                     ROWS UNBOUNDED PRECEDING) AS session_id
+         |  FROM d)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |  min(ts_us) AS start_us, max(ts_us) AS end_us
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+}

@@ -1,0 +1,159 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.text.TextOps
+
+/**
+ * Deduplication tier for training-data pipelines: exact (hash-groupBy),
+ * exact n-gram Jaccard (shingle join), MinHash+LSH banding, and SimHash
+ * banding.
+ *
+ * Scale design: nothing here is all-pairs. Exact dedup is one groupBy.
+ * Jaccard joins on the shingle key with a document-frequency cap (hot
+ * shingles contribute quadratic pairs and near-zero signal). MinHash
+ * candidates come from banded signature buckets (`groupBy(band,
+ * bucket)`-style self-join), and verification work is proportional to
+ * CANDIDATES, not n² — the LSH s-curve (b=16, r=4 ⇒ threshold ≈ 0.5)
+ * makes misses of true near-dups (J ≥ 0.8) negligible.
+ */
+object Dedup {
+
+  /** Exact duplicate groups by content hash: (h, keep_id, n_dups). */
+  def exactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .groupBy(md5(col(textCol)).as("h"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+      .where(col("n_docs") > 1)
+
+  /** Distinct (doc_id, sh) shingle set, with a doc-frequency cap:
+   *  shingles present in more than `maxDf` docs carry no dedup signal
+   *  and would blow up the join quadratically.
+   */
+  def shingleSet(
+      docs: DataFrame, idCol: String, textCol: String, maxDf: Long = 200L): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), 3)).as("sh"))
+      .distinct()
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select("sh")
+    sh.join(rare, Seq("sh"), "left_semi")
+  }
+
+  private def jaccardOf(pairsWithInter: DataFrame, sizes: DataFrame): DataFrame =
+    pairsWithInter
+      .join(sizes.withColumnRenamed("doc_id", "a_id").withColumnRenamed("n", "na"), Seq("a_id"))
+      .join(sizes.withColumnRenamed("doc_id", "b_id").withColumnRenamed("n", "nb"), Seq("b_id"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("na") + col("nb") - col("i")))
+
+  private def sizesOf(shingles: DataFrame): DataFrame =
+    shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+
+  /** Exact n-gram Jaccard pairs ≥ threshold via a shingle-key join —
+   *  the correctness baseline for the MinHash path.
+   */
+  def exactJaccardPairs(shingles: DataFrame, threshold: Double): DataFrame = {
+    val a = shingles.select(col("doc_id").as("a_id"), col("sh"))
+    val b = shingles.select(col("doc_id").as("b_id"), col("sh"))
+    val inter = a.join(b, Seq("sh")).where(col("a_id") < col("b_id"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    jaccardOf(inter, sizesOf(shingles))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** k independent MinHash values per doc (one groupBy; hash seeds are
+   *  folded in as literals so everything is codegen'd).
+   */
+  def minhashSignature(shingles: DataFrame, k: Int = 64): DataFrame =
+    shingles.groupBy("doc_id").agg(
+      min(xxhash64(lit(0), col("sh"))).as("mh0"),
+      (1 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i")): _*)
+
+  /** Banded LSH candidate pairs: docs sharing any (band, bucket). */
+  def lshCandidates(signature: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash((0 until r).map(j => col(s"mh${b * r + j}")): _*).as("bucket"))
+    }
+    val buckets = signature
+      .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+      .distinct()
+  }
+
+  /** Candidate-driven exact verification: intersection counts are
+   *  computed only for candidate pairs (work ∝ candidates, not n²).
+   */
+  def verifyJaccard(
+      candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
+    val inter = candidates
+      .join(shingles.select(col("doc_id").as("a_id"), col("sh")), Seq("a_id"))
+      .join(shingles.select(col("doc_id").as("b_id"), col("sh")), Seq("b_id", "sh"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+    jaccardOf(inter, sizesOf(shingles))
+      .where(col("jaccard") >= threshold)
+      .select(col("a_id"), col("b_id"), col("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → sign → band → verify. */
+  def minhashDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol)
+    verifyJaccard(lshCandidates(minhashSignature(sh, k), k, bands), sh, threshold)
+  }
+
+  /**
+   * 64-bit SimHash: per token-bit weighted vote (weight = token
+   * multiplicity), bit set iff the vote is positive. Near-dups have
+   * small Hamming distance; candidates come from 8×8-bit band buckets
+   * (a signature within distance d ≤ 7 shares at least one exact band —
+   * beyond that it is probabilistic, the standard trade).
+   */
+  def simhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(
+      col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tk"))
+      .groupBy("doc_id", "tk").agg(count(lit(1)).cast("long").as("w"))
+      .withColumn("h", xxhash64(col("tk")))
+    val bitSums = tok.groupBy("doc_id").agg(
+      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as("b0"),
+      (1 until 64).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
+          .otherwise(-col("w"))).as(s"b$b")): _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+      .reduce(_.bitwiseOR(_))
+    bitSums.select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. 8 bands of
+   *  8 bits: by pigeonhole any pair within distance 7 shares at least
+   *  one exact band, so detection is deterministic up to 7 and
+   *  probabilistic only at 8.
+   */
+  def simhashPairs(signature: DataFrame, maxDist: Int = 8): DataFrame = {
+    val bandCols = (0 until 8).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("sig"), 8 * b).bitwiseAND(0xFFL).as("bucket"))
+    }
+    val buckets = signature
+      .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(
+        col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,124 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Similarity search over an embedding column (`Array[Float]` cast to
+ * double for exact, engine-portable math).
+ *
+ * Two paths, as a 100 TB pipeline needs:
+ *  - brute-force exact top-k (the correctness baseline): broadcast the
+ *    (small) query set against the corpus — one scan, no shuffle of the
+ *    big side;
+ *  - random-hyperplane LSH: deterministic seeded hyperplanes → sign
+ *    bits → banded buckets; candidate generation is a bucket-key join
+ *    so the work is ∝ bucket collisions, never an n² cross join.
+ *
+ * All dot products are sequential `aggregate(zip_with(...))` folds —
+ * codegen'd, and bit-identical to a sequential `list_sum` fold in the
+ * oracle engine.
+ */
+object Similarity {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm (sequential fold). */
+  def norm2(a: Column): Column =
+    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Normalize an embeddings table to (vec_id, v: array<double>). */
+  def asDouble(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
+    emb.select(col(idCol).as("vec_id"), col(vecCol).cast("array<double>").as("v"))
+
+  /**
+   * Exact top-k cosine neighbors for a query subset: broadcast the
+   * queries, rank with a window per query. Output
+   * (q_id, n_id, cos, rank), rank 1..k by (cos desc, n_id).
+   */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv")))
+    val scored = corpus.select(col("vec_id").as("n_id"), col("v"))
+      .crossJoin(q)
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
+  /** Deterministic random hyperplanes: nBits × dim coefficients from a
+   *  seeded PRNG (no ambient randomness — stable across runs/executors).
+   */
+  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature: array<boolean> of `v · plane > 0`. */
+  def signBits(v: Column, planes: Seq[Seq[Double]]): Column =
+    transform(typedLit(planes), p => dot(v, p) > 0)
+
+  /** Banded bucket rows (vec_id, band, bucket) for the LSH join. */
+  def lshBuckets(
+      emb: DataFrame, planes: Seq[Seq[Double]], bands: Int): DataFrame = {
+    val r = planes.size / bands
+    val bits = emb.withColumn("bits", signBits(col("v"), planes))
+    val bandCols = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        hash(slice(col("bits"), b * r + 1, r).cast("array<int>")).as("bucket"))
+    }
+    bits.select(col("vec_id"), col("v"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("vec_id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Near-duplicate pairs with cosine ≥ threshold via LSH candidates +
+   *  exact verification (work ∝ candidates).
+   */
+  def nearDupPairs(
+      emb: DataFrame, threshold: Double,
+      nBits: Int = 96, bands: Int = 12, seed: Long = 42L): DataFrame = {
+    val dim = 64
+    val buckets = lshBuckets(emb, hyperplanes(nBits, dim, seed), bands)
+    val cand = buckets.as("x").join(buckets.as("y"),
+        col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(
+        col("x.vec_id").as("a_id"), col("x.v").as("va"),
+        col("y.vec_id").as("b_id"), col("y.v").as("vb"))
+      .dropDuplicates("a_id", "b_id")
+    cand.withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"), col("cos"))
+  }
+
+  /** LSH-accelerated approximate top-k: exact ranking restricted to
+   *  bucket-sharing candidates (the IVF-style scale path; recall < 1 by
+   *  construction, bounded by the band parameters).
+   */
+  def annTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      nBits: Int = 96, bands: Int = 12, seed: Long = 42L): DataFrame = {
+    val planes = hyperplanes(nBits, 64, seed)
+    val cb = lshBuckets(corpus, planes, bands)
+    val qb = lshBuckets(queries, planes, bands)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("bucket"))
+    val cand = cb.join(broadcast(qb), Seq("band", "bucket"))
+      .where(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("v"))
+      .dropDuplicates("q_id", "n_id")
+    cand.withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+}

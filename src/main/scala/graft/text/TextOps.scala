@@ -1,0 +1,114 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines:
+ * tokenization, quality stats, language-ID heuristics, document
+ * fingerprinting, and winnowing. All pure column expressions (codegen'd,
+ * no UDFs) so they stay inside whole-stage codegen and scale linearly
+ * with input splits — no shuffle anywhere except explicit groupBys.
+ */
+object TextOps {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** k-word shingles as 1 array per doc (empty when the doc is shorter
+   *  than k tokens). Token indices are 1-based via `element_at` so the
+   *  shingle set matches a 1-based SQL formulation exactly.
+   */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(0), size(toks) - k),
+        i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private val StopWords = Seq("the", "a", "data", "key")
+
+  /** Quality-scoring stats: word/char counts, average word length,
+   *  stopword ratio, and a simple composite score.
+   */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val stopN = size(filter(toks, w => w.isInCollection(StopWords))).cast("long")
+    val stopRatio = stopN.cast("double") / nWords.cast("double")
+    docs.select(
+      col(idCol),
+      length(t).cast("long").as("n_chars"),
+      nWords.as("n_words"),
+      (length(regexp_replace(t, " ", "")).cast("double") / nWords.cast("double"))
+        .as("avg_word_len"),
+      stopN.as("n_stopwords"),
+      stopRatio.as("stop_ratio"),
+      (least(lit(1.0), nWords.cast("double") / 100.0) * (lit(1.0) - stopRatio))
+        .as("quality"))
+  }
+
+  private val Markers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and"),
+    "de" -> Seq("der", "die", "und", "das"),
+    "fr" -> Seq("le", "la", "et", "les"),
+    "es" -> Seq("el", "los", "y", "las"))
+
+  /** Marker-word language-ID heuristic: count stopword hits per
+   *  language, argmax with a deterministic priority order, 'unknown'
+   *  when nothing matches.
+   */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val scored = docs.select(
+      col(idCol) +:
+        Markers.map { case (lang, ws) =>
+          size(filter(toks, w => w.isInCollection(ws))).cast("long").as(s"${lang}_n")
+        }: _*)
+    val Seq(en, de, fr, es) = Markers.map { case (l, _) => col(s"${l}_n") }
+    scored.withColumn(
+      "lang_pred",
+      when(en === 0 && de === 0 && fr === 0 && es === 0, "unknown")
+        .when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"))
+  }
+
+  /** Whitespace + regex token counts and a chars/4 BPE-count estimate. */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    docs.select(
+      col(idCol),
+      size(tokens(t)).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(t, lit("[a-z0-9]+"), lit(0))).cast("long").as("n_re_tokens"),
+      ceil(length(t) / 4.0).cast("long").as("n_bpe_est"))
+  }
+
+  /** Whole-document fingerprint: md5 of the normalized text. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol),
+      md5(lower(trim(col(textCol)))).as("fp"))
+
+  /**
+   * Winnowing fingerprint (local minima of rolling shingle hashes —
+   * the standard robust near-dup fingerprint): for each position keep
+   * min(md5(shingle)) over a trailing window of `w` shingles, count the
+   * distinct selected hashes per doc. One window function + one
+   * aggregation; both partition by doc so they scale with docs, not
+   * corpus size.
+   */
+  def winnow(docs: DataFrame, idCol: String, textCol: String, w: Int = 4): DataFrame = {
+    val sh = docs.select(
+      col(idCol), posexplode(shingles(col(textCol), 3)).as(Seq("pos", "sh")))
+    val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    sh.withColumn("wmin", min(md5(col("sh"))).over(win))
+      .groupBy(col(idCol))
+      .agg(count_distinct(col("wmin")).as("n_fp"))
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.text.TextOps
+
+/**
+ * LLM-pipeline operator semantics on small constructed corpora: exact
+ * dedup, MinHash-LSH vs exact Jaccard, SimHash Hamming separation,
+ * embedding near-dup via hyperplane LSH, brute/ANN top-k, text ops and
+ * the multimodal decode plumbing.
+ */
+class PipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val doc =
+    "the quick brown fox jumps over the lazy dog again and again today"
+  private lazy val corpus = Seq(
+    (0L, doc),
+    (1L, doc + " extra"), // near-dup of 0
+    (2L, doc), // exact dup of 0
+    (3L, "completely different words about spark catalyst tungsten shuffles"),
+    (4L, "another unrelated text mentioning parquet files and column pruning"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups identical texts, keeps the min id") {
+    val got = Dedup.exactDups(corpus, "doc_id", "text").collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 0L && got.head.getLong(2) == 2L)
+  }
+
+  test("exact n-gram Jaccard finds the near-dup pair and nothing else") {
+    val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+    val pairs = Dedup.exactJaccardPairs(sh, 0.6)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // (0,1) near-dup, (0,2) exact (J=1), (1,2) near-dup
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(pairs.find(p => p._1 == 0L && p._2 == 2L).get._3 == 1.0)
+  }
+
+  test("MinHash-LSH candidates cover every true near-dup; verification matches exact") {
+    val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+    val exact = Dedup.exactJaccardPairs(sh, 0.6)
+      .select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id").collect().toSeq
+    val lsh = Dedup.minhashDedup(corpus, "doc_id", "text", 0.6)
+      .select("a_id", "b_id", "jaccard").orderBy("a_id", "b_id").collect().toSeq
+    assert(lsh == exact)
+  }
+
+  test("SimHash: near-dups land close in Hamming space, unrelated docs far") {
+    val sig = Dedup.simhashSignature(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(2L)) == 0) // identical
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(1L)) <= 8) // near-dup
+    assert(java.lang.Long.bitCount(sig(0L) ^ sig(3L)) > 8) // unrelated
+    val pairs = Dedup.simhashPairs(sig.toSeq.toDF("doc_id", "sig"), 8)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 2L)) && pairs.contains((0L, 1L)))
+    assert(!pairs.contains((0L, 3L)))
+  }
+
+  private lazy val vecs = {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 20L).map(i => (i, Seq.fill(64)(rnd.nextGaussian())))
+    // 100: near-dup of 0; 101: near-dup of 1
+    val dups = Seq(
+      (100L, base(0)._2.map(_ + 0.01)),
+      (101L, base(1)._2.map(_ * 1.001)))
+    (base ++ dups).toDF("vec_id", "v")
+      .select(col("vec_id"), col("v").cast("array<double>").as("v"))
+  }
+
+  test("embedding near-dup pairs via hyperplane LSH find the planted pairs") {
+    val got = Similarity.nearDupPairs(vecs, 0.95, nBits = 128, bands = 16)
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.contains((0L, 100L)) && got.contains((1L, 101L)))
+    assert(got.size == 2) // no random pair reaches 0.95
+  }
+
+  test("brute-force top-k ranks the planted near-dup first") {
+    val got = Similarity
+      .bruteTopK(vecs, vecs.where(col("vec_id") === 0L), 3)
+      .orderBy("rank").collect()
+    assert(got.head.getLong(1) == 100L && got.head.getInt(3) == 1)
+    assert(got.head.getDouble(2) > 0.99)
+  }
+
+  test("LSH ANN finds the planted neighbor as rank 1 (recall on easy pairs)") {
+    val got = Similarity
+      .annTopK(vecs, vecs.where(col("vec_id") === 0L), 3, nBits = 128, bands = 16)
+      .orderBy("rank").collect()
+    assert(got.nonEmpty && got.head.getLong(1) == 100L)
+  }
+
+  test("text stats, token counts, fingerprint, winnow, lang-id on known input") {
+    val d = Seq((1L, "the a data key word")).toDF("doc_id", "text")
+    val st = TextOps.stats(d, "doc_id", "text").head()
+    assert(st.getLong(1) == 19 && st.getLong(2) == 5) // chars, words
+    assert(st.getLong(4) == 4) // stopwords: the a data key
+    assert(st.getDouble(5) == 0.8)
+
+    val tc = TextOps.tokenCounts(d, "doc_id", "text").head()
+    assert(tc.getLong(1) == 5 && tc.getLong(2) == 5 && tc.getLong(3) == 5)
+
+    assert(TextOps.fingerprint(d, "doc_id", "text").head().getString(1).length == 32)
+
+    val fr = Seq((2L, "le chat et la maison les arbres")).toDF("doc_id", "text")
+    assert(TextOps.langId(fr, "doc_id", "text").head().getAs[String]("lang_pred") == "fr")
+    val unk = Seq((3L, "xyz qrs")).toDF("doc_id", "text")
+    assert(TextOps.langId(unk, "doc_id", "text").head().getAs[String]("lang_pred") == "unknown")
+
+    // winnow: identical docs share the fingerprint count; distinct differ
+    val w = TextOps.winnow(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(0L) == w(2L))
+    assert(w(0L) > 0)
+  }
+
+  test("multimodal: blob meta is a pure projection; batched decode stub is deterministic") {
+    val blobs = Multimodal.toBlob(corpus, "doc_id", "text")
+    val m = Multimodal.meta(blobs).where(col("media_id") === 0L).head()
+    val n = doc.getBytes("UTF-8").length.toLong
+    assert(m.getLong(1) == n && m.getLong(2) == 64 + n % 512)
+
+    val f1 = Multimodal.decodeFeatures(spark, blobs).collect().sortBy(_.media_id)
+    val f2 = Multimodal.decodeFeatures(spark, blobs).collect().sortBy(_.media_id)
+    assert(f1.toSeq == f2.toSeq)
+    assert(f1.head.n_bytes == n && f1.head.mean_byte > 0)
+  }
+}
