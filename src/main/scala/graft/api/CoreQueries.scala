@@ -84,9 +84,22 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")),
 
     // ---- §3.1 flagship: range query at FULL and agg fidelity --------
-    "range_full" -> ((s, dir) =>
-      RangeQuery.full(ev(s, dir), "purchase", Day5Us, Day6Us)
-        .orderBy("ts_us", "value")),
+    // extra pre-filter on the PHYSICAL columns (raw ns timestamp +
+    // event_type) so the predicate reaches the parquet scan
+    // (PushedFilters); the exact ts_us filter on the derived column
+    // cannot push down through the `div` expression
+    "range_full" -> ((s, dir) => {
+      val raw = Melt.readTsParquet(s, s"$dir/events.parquet")
+      val pushable = raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.where(
+            col("event_type") === "purchase" &&
+              col("ts").between(Day5Us * 1000L, Day6Us * 1000L + 999L))
+        case _ => raw.where(col("event_type") === "purchase")
+      }
+      RangeQuery.full(Melt.events(pushable), "purchase", Day5Us, Day6Us)
+        .orderBy("ts_us", "value")
+    }),
     "range_agg_10s" -> ((s, dir) =>
       RangeQuery.agg(Rollup.aggregate(ev(s, dir), 10), "purchase", Day5S, Day6S)
         .select(col("bucket_s"), col("min_v"), r6(col("mean_v")).as("mean_v"), col("max_v"))

@@ -1,0 +1,91 @@
+package graft.api
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ingest.Melt
+import graft.model.Fidelity
+import graft.query.{RangeQuery, Search}
+import graft.store.{CommentStore, Tables}
+
+/**
+ * Thin engine façade mirroring the reference's HTTP surface
+ * (src/server.py:47-175): data get/put, dataset search, comment CRUD,
+ * and the self-metrics feedback loop. All heavy lifting happens in the
+ * operator modules; this layer does exactly what the Flask layer does —
+ * validation, routing, id assignment, and counters.
+ */
+final class GraftApi(
+    spark: SparkSession, root: String, commentsPath: String) {
+
+  // A9 — engine counters, fed back as series by flushSelfMetrics
+  // (reference: src/index.py:97-98, 110, 198; src/metrics/loop.py:52-78)
+  private val numPuts = new AtomicLong(0L)
+  private val numGets = new AtomicLong(0L)
+
+  private def tableFor(f: Fidelity): DataFrame =
+    if (f.isFull) Tables.readRaw(spark, root)
+    else Tables.readRollup(spark, root, f)
+
+  /** GET /api/data/<dataset_id>?start&end[&fidelity] (server.py:63-73). */
+  def getData(
+      datasetId: String, startUs: Long, endUs: Long,
+      fidelity: Option[Fidelity] = None): DataFrame = {
+    Melt.requireLegalId(datasetId)
+    numGets.incrementAndGet()
+    RangeQuery.get(tableFor, datasetId, startUs, endUs, fidelity)
+  }
+
+  /** POST /api/data — one canonical-long batch (server.py:76-103).
+   *  Validation and NaN drop happen in `Melt.sanitize` inside the store
+   *  path; the counter mirrors `Index.put`'s per-call bump.
+   */
+  def putData(batchLong: DataFrame): Unit = {
+    numPuts.incrementAndGet()
+    Tables.ingestBatch(spark, root, batchLong)
+  }
+
+  /** GET /api/datasets?text=q (server.py:57-60, index.py:219-239). */
+  def datasets(query: String, maxCount: Int = 300): DataFrame =
+    Search.datasets(
+      Tables.readRaw(spark, root), query, maxCount)
+
+  /** POST /api/comment/new — ns-clock id assigned HERE, never inside a
+   *  distributed job (marks.py:82; SURVEY §7.4.5).
+   */
+  def createComment(dateUs: Long, text: String, tags: Seq[String]): Long = {
+    val id = System.nanoTime()
+    CommentStore.create(spark, commentsPath, id, dateUs, text, tags)
+    id
+  }
+
+  /** PUT /api/comment/edit (server.py:124-141). */
+  def updateComment(id: Long, dateUs: Long, text: String, tags: Seq[String]): Unit =
+    CommentStore.update(spark, commentsPath, id, dateUs, text, tags)
+
+  /** DELETE /api/comment/delete/<id> (server.py:160-175). */
+  def deleteComment(id: Long): Unit =
+    CommentStore.delete(spark, commentsPath, id)
+
+  /** GET /api/comment?start&end&tags (server.py:144-157). */
+  def comments(startUs: Long, endUs: Long, tags: Seq[String] = Seq.empty): DataFrame =
+    CommentStore.query(
+      CommentStore.load(spark, commentsPath), startUs, endUs, tags)
+
+  def counters: (Long, Long) = (numPuts.get(), numGets.get())
+
+  /** S11 — the metrics loop's flush: ingest the engine's own counters
+   *  as `index.num_puts` / `index.num_gets` series (loop.py:52-78).
+   *  The timestamp is a parameter so tests stay deterministic.
+   */
+  def flushSelfMetrics(tsUs: Long): Unit = {
+    import spark.implicits._
+    val rows = Seq(
+      ("index.num_puts", tsUs, numPuts.get().toDouble),
+      ("index.num_gets", tsUs, numGets.get().toDouble))
+      .toDF("dataset_id", "ts_us", "value")
+    Tables.ingestBatch(spark, root, rows)
+  }
+}

@@ -75,7 +75,9 @@ object PipelineQueries {
         .orderBy("h")),
     "jaccard_pairs" -> ((s, dir) =>
       Dedup.exactJaccardPairs(
-        Dedup.shingleSet(nearDupCorpus(s, dir), "doc_id", "text"), JaccardThreshold)
+        Dedup.shingleSet(nearDupCorpus(s, dir), "doc_id", "text")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+        JaccardThreshold)
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
         .orderBy("a_id", "b_id")),
     "dedup_minhash" -> ((s, dir) =>

@@ -1,10 +1,10 @@
 package graft.api
-
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.ingest.Melt
+
 
 /**
  * General analytics over the TPC-H-ish star schema: demonstrates the
@@ -34,8 +34,9 @@ object TpchQueries {
   val queries: Map[String, Q] = Map(
     "q1_agg" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.withColumn("ship_us", Melt.tsUs(li, "l_shipdate"))
-        .where(col("ship_us") <= ShipCutoffUs)
+      // filter on the NATIVE timestamp column (pushed to the parquet
+      // scan); a predicate on the derived epoch cast would not push
+      li.where(col("l_shipdate") <= lit(java.time.LocalDateTime.parse("1999-01-01T00:00:00")))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
           r6(sum(col("l_quantity"))).as("sum_qty"),
@@ -52,11 +53,12 @@ object TpchQueries {
       val cutUs = ShipCutoffUs
       val cust = t(s, dir, "customer").where(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
-      val ordUs = ord.withColumn("order_us", Melt.tsUs(ord, "o_orderdate"))
-        .where(col("order_us") < cutUs)
+      val cutLdt = lit(java.time.LocalDateTime.parse("1999-01-01T00:00:00"))
+      val ordUs = ord.where(col("o_orderdate") < cutLdt)
+        .withColumn("order_us", Melt.tsUs(ord, "o_orderdate"))
       val li = t(s, dir, "lineitem")
-      val liUs = li.withColumn("ship_us", Melt.tsUs(li, "l_shipdate"))
-        .where(col("ship_us") > cutUs)
+      val liUs = li.where(col("l_shipdate") > cutLdt)
+        .withColumn("ship_us", Melt.tsUs(li, "l_shipdate"))
       liUs
         .join(ordUs, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
@@ -67,10 +69,9 @@ object TpchQueries {
 
     "q6_filter" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
-      li.withColumn("ship_us", Melt.tsUs(li, "l_shipdate"))
-        .where(
-          col("ship_us") >= 820454400000000L && // 1996-01-01
-            col("ship_us") < 852076800000000L && // 1997-01-01
+      li.where(
+          col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+            col("l_shipdate") < lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00")) &&
             col("l_discount").between(0.05, 0.07) &&
             col("l_quantity") < 24)
         .agg(

@@ -103,11 +103,16 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash+LSH near-dup pipeline: shingle → sign → band → verify. */
+  /** MinHash+LSH near-dup pipeline: shingle → sign → band → verify.
+   *  The shingle set feeds the signature AND both sides of the
+   *  verification join — persist it once instead of recomputing the
+   *  explode+distinct+df-cap chain four times.
+   */
   def minhashDedup(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     verifyJaccard(lshCandidates(minhashSignature(sh, k), k, bands), sh, threshold)
   }
 

@@ -45,9 +45,17 @@ object Tables {
   def rawPath(root: String): String = s"$root/raw"
   def rollupPath(root: String, f: Fidelity): String = s"$root/rollup_${f.name}"
 
-  /** Partition window: ~5000 buckets per partition (src/index.py:46). */
+  /** Partition window per level: at least one DAY, else ~5000 buckets
+   *  (src/index.py:46). The reference's fixed 5000-bucket file windows
+   *  assume dense 10 Hz series; for sparse series they explode into
+   *  thousands of near-empty partition directories (a filesystem-
+   *  metadata scale-killer), so fine levels partition by day — the
+   *  idiomatic Spark layout (SURVEY §1.5) — and coarse levels keep the
+   *  5000-bucket window.
+   */
   def partitionWindowS(f: Fidelity): Long =
-    if (f.isFull) 86400L else Fidelity.GroupSize * f.seconds
+    if (f.isFull) 86400L
+    else math.max(86400L, Fidelity.GroupSize * f.seconds)
 
   /** S2 — append a sanitized long batch to the raw table. */
   def appendRaw(long: DataFrame, root: String): Unit =
@@ -92,8 +100,18 @@ object Tables {
       df.withColumn("part_s", expr(s"bucket_s div $w") * w)
 
     val newPart = withPart(partials)
+    // Restrict the existing-table read to the batch's time range with
+    // TWO literal bounds (static partition pruning — a per-key OR chain
+    // would blow up Catalyst planning), then exact-match the affected
+    // (dataset_id, part_s) partitions with a broadcast semi-join. The
+    // affected set is bounded by (#series × #file-windows) in the batch,
+    // the same bound as the reference's per-put file list
+    // (src/index.py:408-458).
     val affected = newPart.select("dataset_id", "part_s").distinct()
+    val bounds = newPart.agg(min("part_s"), max("part_s")).head()
+    if (bounds.isNullAt(0)) return // empty batch: nothing to merge
     val existing = withPart(readRollup(spark, root, f))
+      .where(col("part_s").between(bounds.getLong(0), bounds.getLong(1)))
       .join(broadcast(affected), Seq("dataset_id", "part_s"), "left_semi")
 
     val merged = Rollup
@@ -116,20 +134,37 @@ object Tables {
    * path and the Structured Streaming `foreachBatch` sink.
    */
   def ingestBatch(spark: SparkSession, root: String, batchLong: DataFrame): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+
     val batch = graft.ingest.Melt.sanitize(batchLong).persist()
+    val partials = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      appendRaw(batch, root)
-      // Cascade: level k is computed from level k-1's partials (10× less
-      // input per level than the reference's recompute-from-raw).
+      // Cascade: level k's partials come from level k-1's (10× less
+      // input per level than the reference's recompute-from-raw,
+      // src/index.py:137-177). Partials are tiny; persist each so the
+      // concurrent writers below share them instead of recomputing.
       var finer = Rollup.aggregate(batch, Fidelity.aggLevels.head.seconds).persist()
-      mergeRollup(spark, root, Fidelity.aggLevels.head, finer)
+      partials += finer
+      var levelDfs = Map(Fidelity.aggLevels.head -> finer)
       for (f <- Fidelity.aggLevels.tail) {
         val next = Rollup.cascade(finer, f.seconds).persist()
-        mergeRollup(spark, root, f, next)
-        finer.unpersist()
+        partials += next
+        levelDfs += f -> next
         finer = next
       }
-      finer.unpersist()
-    } finally batch.unpersist()
+      // The raw append and the 6 per-level merges write to DISJOINT
+      // tables — run them as concurrent Spark jobs so the batch pays
+      // max(level latencies), not their sum (the reference writes its 7
+      // levels sequentially, src/index.py:124-177).
+      val writes =
+        Future(appendRaw(batch, root)) +:
+          Fidelity.aggLevels.map(f => Future(mergeRollup(spark, root, f, levelDfs(f))))
+      Await.result(Future.sequence(writes), Duration.Inf)
+    } finally {
+      partials.foreach(_.unpersist())
+      batch.unpersist()
+    }
   }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.GraftApi
+import graft.model.Fidelity
+
+/**
+ * End-to-end API façade flow mirroring the reference's HTTP lifecycle
+ * (server.py:47-175): put → routed get at full/agg fidelity → catalog
+ * search → comments CRUD → self-metrics feedback.
+ */
+class ApiSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("put/get/search/comments/self-metrics round-trip") {
+    val root = TestSpark.tmpDir("graft_api")
+    val api = new GraftApi(spark, root, root + "/all_comments")
+
+    api.putData(TestSpark.longDF(Seq(
+      ("api.series.a", "2024-01-01T01:00:00", 1.0),
+      ("api.series.a", "2024-01-01T01:00:30", 3.0),
+      ("api.series.b", "2024-01-01T01:00:00", -1.0))))
+
+    // routed get: 2-minute span → FULL fidelity
+    val t0 = TestSpark.isoUs("2024-01-01T01:00:00")
+    val full = api.getData("api.series.a", t0, t0 + 120000000L).collect()
+    assert(full.length == 2 && full.map(_.getDouble(1)).sorted.toSeq == Seq(1.0, 3.0))
+
+    // forced aggregate fidelity: one 100s bucket with mean 2.0
+    val agg = api
+      .getData("api.series.a", t0, t0 + 120000000L, Some(Fidelity.S100))
+      .collect()
+    assert(agg.length == 1 && agg.head.getDouble(2) == 2.0)
+
+    // illegal id rejected (index.py:112-115)
+    assertThrows[IllegalArgumentException] {
+      api.getData("bad id", t0, t0 + 1000000L)
+    }
+
+    // catalog search (index.py:219-239)
+    assert(api.datasets("series").count() == 2)
+    assert(api.datasets("series.b").count() == 1)
+
+    // comments CRUD with API-assigned ns ids (marks.py:82)
+    val id = api.createComment(t0, "note", Seq("tag1"))
+    assert(api.comments(t0 - 1, t0 + 1, Seq("tag1")).count() == 1)
+    api.updateComment(id, t0, "edited", Seq("tag1", "tag2"))
+    assert(api.comments(t0 - 1, t0 + 1, Seq("tag2")).head().getString(2) == "edited")
+    api.deleteComment(id)
+    assert(api.comments(t0 - 1, t0 + 1).count() == 0)
+
+    // self-metrics loop (loop.py:52-78): counters become series
+    val (puts, gets) = api.counters
+    assert(puts == 1 && gets >= 2)
+    api.flushSelfMetrics(t0)
+    assert(api.getData("index.num_puts", t0 - 1, t0 + 1).count() == 1)
+  }
+}
