@@ -57,13 +57,22 @@ object Tables {
     if (f.isFull) 86400L
     else math.max(86400L, Fidelity.GroupSize * f.seconds)
 
-  /** S2 — append a sanitized long batch to the raw table. */
+  /** S2 — append a sanitized long batch to the raw table. The
+   *  within-partition ts sort is the reference's ingest sort (O1,
+   *  src/index.py:117-122) re-purposed: hash aggregation doesn't need
+   *  sorted input, but time-clustered files get tight parquet min/max
+   *  row-group stats, which is what makes range scans skip IO. File
+   *  size caps at the reference's 5000-point group (A3,
+   *  src/index.py:46).
+   */
   def appendRaw(long: DataFrame, root: String): Unit =
     long
       .withColumn("day_s", expr("ts_us div 86400000000") * 86400L)
       .repartition(col("dataset_id"), col("day_s"))
+      .sortWithinPartitions(col("dataset_id"), col("day_s"), col("ts_us"))
       .write
       .mode("append")
+      .option("maxRecordsPerFile", Fidelity.GroupSize)
       .partitionBy("dataset_id", "day_s")
       .parquet(rawPath(root))
 
@@ -120,9 +129,11 @@ object Tables {
     // Rewrite only the affected partitions (partitionOverwriteMode=dynamic)
     withPart(merged)
       .repartition(col("dataset_id"), col("part_s"))
+      .sortWithinPartitions(col("dataset_id"), col("part_s"), col("bucket_s"))
       .write
       .mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
+      .option("maxRecordsPerFile", Fidelity.GroupSize)
       .partitionBy("dataset_id", "part_s")
       .parquet(rollupPath(root, f))
   }
