@@ -22,16 +22,29 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** Sequential-fold dot product of two array<double> columns. */
+  import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+  /** Native codegen'd dot product (graft.functions.DotProduct). */
   def dot(a: Column, b: Column): Column =
+    toCol(graft.functions.DotProduct(toExpr(a), toExpr(b)))
+
+  /** Squared L2 norm = dot(a, a). */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** Native single-pass cosine (graft.functions.CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column =
+    toCol(graft.functions.CosineSimilarity(toExpr(a), toExpr(b)))
+
+  /** Higher-order-function formulation of dot — kept as the reference
+   *  semantics the native expression must match bit-for-bit (tested).
+   */
+  def dotFold(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  /** Squared L2 norm (sequential fold). */
-  def norm2(a: Column): Column =
-    aggregate(transform(a, x => x * x), lit(0.0), (acc, x) => acc + x)
-
-  def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+  def cosineFold(a: Column, b: Column): Column = {
+    def n2(c: Column) = aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x)
+    dotFold(a, b) / (sqrt(n2(a)) * sqrt(n2(b)))
+  }
 
   /** Normalize an embeddings table to (vec_id, v: array<double>). */
   def asDouble(emb: DataFrame, idCol: String, vecCol: String): DataFrame =
