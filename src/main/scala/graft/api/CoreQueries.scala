@@ -159,6 +159,46 @@ object CoreQueries {
         .select("id", "date_us", "text")
     }),
 
+    // ---- dedup-on-ingest: ingest the SAME data twice with dedup on;
+    // the store must equal a single clean ingest (fixes the reference's
+    // double-count gap, src/index.py:39-40) ------------------------------
+    "ingest_dedup_1s" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_dedup_ingest").toString
+      val long = ev(s, dir)
+      Tables.ingestBatch(s, root, long, dedup = true)
+      Tables.ingestBatch(s, root, long, dedup = true) // full replay: all dups
+      Tables.readRollup(s, root, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
+    // ---- multi-series wide read (§2.5: pivot in place of joins) -----
+    "multi_series_wide" -> ((s, dir) => {
+      val buck = (expr("ts_us div 1000000000") * 1000L).as("bucket_s")
+      val means = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        r6(avg(when(col("dataset_id") === t, col("value")))).as(s"${t}_mean"))
+      ev(s, dir).groupBy(buck)
+        .agg(means.head, means.tail: _*)
+        .orderBy("bucket_s")
+    }),
+
+    // ---- distinct aggregation ---------------------------------------
+    "distinct_users" -> ((s, dir) =>
+      rawEvents(s, dir).groupBy(col("event_type").as("dataset_id"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy("dataset_id")),
+
+    // ---- JSON property extraction (pipeline metadata parsing) -------
+    "props_parse" -> ((s, dir) =>
+      rawEvents(s, dir).groupBy(col("event_type").as("dataset_id"))
+        .agg(
+          r6(avg(get_json_object(col("props"), "$.k").cast("double"))).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy("dataset_id")),
+
     // ---- S2/S3/ST: incremental ingest — 3 batches through the store,
     // merged state must equal the one-shot rollup (A2 across batches) --
     "ingest_incremental_1s" -> ((s, dir) => {
@@ -199,6 +239,31 @@ object CoreQueries {
     "rollup_100000s" -> rollupSql(100000),
     "rollup_cascade_10s" -> rollupSql(10),
     "ingest_incremental_1s" -> rollupSql(1),
+    "ingest_dedup_1s" ->
+      """SELECT dataset_id, ts_us // 1000000 AS bucket_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+        |FROM (
+        |  SELECT DISTINCT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "multi_series_wide" ->
+      """SELECT (epoch_us(ts) // 1000000000) * 1000 AS bucket_s,
+        |  round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS click_mean,
+        |  round(avg(CASE WHEN event_type = 'error' THEN value END), 6) AS error_mean,
+        |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_mean,
+        |  round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup_mean,
+        |  round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view_mean
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "distinct_users" ->
+      """SELECT event_type AS dataset_id, count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "props_parse" ->
+      """SELECT event_type AS dataset_id,
+        |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
+        |  count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "range_full" ->
       s"""SELECT epoch_us(ts) AS ts_us, value FROM events
          |WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)

@@ -91,6 +91,20 @@ object Tables {
   def readRaw(spark: SparkSession, root: String): DataFrame =
     readOrEmpty(spark, rawPath(root), rawSchema, Seq("dataset_id", "day_s"))
 
+  /** Raw read restricted to a day_s partition range — the filter lands
+   *  on the partition column BEFORE projection, so it prunes statically.
+   */
+  private def readRawDays(
+      spark: SparkSession, root: String, dayLo: Long, dayHi: Long): DataFrame = {
+    val path = rawPath(root)
+    if (!new java.io.File(path).exists())
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawSchema)
+    else
+      spark.read.parquet(path)
+        .where(col("day_s").between(dayLo, dayHi))
+        .select(rawSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+  }
+
   def readRollup(spark: SparkSession, root: String, f: Fidelity): DataFrame =
     readOrEmpty(spark, rollupPath(root, f), rollupSchema, Seq("dataset_id", "part_s"))
 
@@ -144,12 +158,43 @@ object Tables {
    * (reference: src/index.py:124-177). Used by both the batch bootstrap
    * path and the Structured Streaming `foreachBatch` sink.
    */
-  def ingestBatch(spark: SparkSession, root: String, batchLong: DataFrame): Unit = {
+  def ingestBatch(
+      spark: SparkSession, root: String, batchLong: DataFrame,
+      dedup: Boolean = false): Unit = {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
 
-    val batch = graft.ingest.Melt.sanitize(batchLong).persist()
+    // The reference double-counts re-POSTed points (acknowledged TODO,
+    // src/index.py:39-40): append + merge have no dedup. Default
+    // replicates that for parity; `dedup = true` fixes it — exact-dup
+    // drop within the batch, then a left-anti join against ONLY the
+    // raw partitions the batch touches (day-range pruned, so the check
+    // scales with the batch, not the table).
+    val sanitized = graft.ingest.Melt.sanitize(batchLong)
+    val deduped =
+      if (!dedup) sanitized
+      else {
+        val inBatch = sanitized.dropDuplicates("dataset_id", "ts_us", "value")
+        val bounds = inBatch.agg(min("ts_us"), max("ts_us")).head()
+        if (bounds.isNullAt(0)) inBatch
+        else {
+          val dayLo = bounds.getLong(0) / 86400000000L * 86400L
+          val dayHi = bounds.getLong(1) / 86400000000L * 86400L
+          val existing = readRawDays(spark, root, dayLo, dayHi)
+            .where(col("ts_us").between(bounds.getLong(0), bounds.getLong(1)))
+          inBatch.join(
+            existing.select("dataset_id", "ts_us", "value"),
+            Seq("dataset_id", "ts_us", "value"), "left_anti")
+        }
+      }
+    // dedup's anti-join lineage READS the raw table this very ingest is
+    // about to append to — a lazy recompute racing the append would see
+    // the batch's own rows and drop them. localCheckpoint materializes
+    // the deduped batch eagerly and severs that lineage.
+    val batch =
+      if (dedup) deduped.localCheckpoint(true)
+      else deduped.persist()
     val partials = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
       // Cascade: level k's partials come from level k-1's (10× less

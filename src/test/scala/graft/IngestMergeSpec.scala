@@ -64,6 +64,26 @@ class IngestMergeSpec extends AnyFunSuite {
     assert(r10k.map(_.getDouble(2)).min == 1.5)
   }
 
+  test("dedup-on-ingest drops replayed and in-batch duplicate points (fixes index.py:39-40)") {
+    val root = TestSpark.tmpDir("graft_dedup")
+    val pts = batch(0)
+    Tables.ingestBatch(spark, root, TestSpark.longDF(pts), dedup = true)
+    // replay the identical batch + one genuinely new point + an in-batch dup
+    Tables.ingestBatch(spark, root,
+      TestSpark.longDF(pts ++ Seq(
+        ("test_agg_combine", "2024-01-01T03:00:02.000", 5.0),
+        ("test_agg_combine", "2024-01-01T03:00:02.000", 5.0))), dedup = true)
+    assert(Tables.readRaw(spark, root).count() == 5)
+    val total = Tables.readRollup(spark, root, graft.model.Fidelity.S1)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    assert(total == 5)
+    // default path replicates the reference's double-count
+    val root2 = TestSpark.tmpDir("graft_dedup_off")
+    Tables.ingestBatch(spark, root2, TestSpark.longDF(pts))
+    Tables.ingestBatch(spark, root2, TestSpark.longDF(pts))
+    assert(Tables.readRaw(spark, root2).count() == 8)
+  }
+
   test("misses return empty, not errors (test_index.py:192-228)") {
     val root = TestSpark.tmpDir("graft_empty")
     Tables.ingestBatch(spark, root,
