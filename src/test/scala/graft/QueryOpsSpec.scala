@@ -98,6 +98,22 @@ class QueryOpsSpec extends AnyFunSuite {
     assert(mm.getDouble(0) == -3.5 && mm.getDouble(1) == 9.25)
   }
 
+  test("wide melt: one series per column, NaN rows dropped, prefixed names (upload_data.py:58-85)") {
+    val s = spark
+    import s.implicits._
+    val wide = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, Double.NaN),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:01"), Double.NaN, 4.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:02"), 3.0, 6.0))
+      .toDF("t", "cpu", "mem")
+    val long = graft.ingest.Melt.wide(wide, "t", Seq("cpu", "mem"), "sys.")
+      .orderBy("dataset_id", "ts_us").collect()
+    // 6 cells - 2 NaNs = 4 points across 2 prefixed series
+    assert(long.length == 4)
+    assert(long.map(_.getString(0)).distinct.toSeq == Seq("sys.cpu", "sys.mem"))
+    assert(long.map(_.getDouble(2)).toSeq == Seq(1.0, 3.0, 4.0, 6.0))
+  }
+
   test("dataset id validation (src/index.py:112-115)") {
     assert(Fidelity.isLegalDatasetId("system.cpu.percent"))
     assert(Fidelity.isLegalDatasetId("a-b_c.9"))
