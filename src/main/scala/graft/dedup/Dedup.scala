@@ -64,13 +64,27 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** k independent MinHash values per doc (one groupBy; hash seeds are
-   *  folded in as literals so everything is codegen'd).
+  /** k MinHash values per doc from TWO base hashes per shingle,
+   *  hash_i = h1 XOR rotl(h2, i) — one groupBy, and the string is
+   *  hashed twice instead of k times (hashing the shingle k times
+   *  dominated the signature cost). XOR-rotate mixing is overflow-free
+   *  under ANSI mode; it is not strictly min-wise independent, but LSH
+   *  only needs bucket diversity here — final answers come from the
+   *  EXACT verification pass.
    */
-  def minhashSignature(shingles: DataFrame, k: Int = 64): DataFrame =
-    shingles.groupBy("doc_id").agg(
-      min(xxhash64(lit(0), col("sh"))).as("mh0"),
-      (1 until k).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh$i")): _*)
+  def minhashSignature(shingles: DataFrame, k: Int = 64): DataFrame = {
+    require(k <= 64, "rotation family supports k <= 64")
+    val hashed = shingles
+      .withColumn("h1", xxhash64(col("sh")))
+      .withColumn("h2", xxhash64(lit("graft-mh2"), col("sh")))
+    def rotl(c: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) c
+      else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+    hashed.groupBy("doc_id").agg(
+      min(col("h1").bitwiseXOR(col("h2"))).as("mh0"),
+      (1 until k).map(i =>
+        min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"mh$i")): _*)
+  }
 
   /** Banded LSH candidate pairs: docs sharing any (band, bucket). */
   def lshCandidates(signature: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
@@ -103,8 +117,30 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** MinHash+LSH near-dup pipeline: shingle → sign → band → verify.
-   *  The shingle set feeds the signature AND both sides of the
+  /** Signature-estimated Jaccard prune: the fraction of equal minhash
+   *  components estimates J with σ = sqrt(J(1-J)/k) ≈ 0.06 at k=64, so
+   *  a cut ~5σ below the real threshold discards the (numerous)
+   *  low-similarity band collisions while keeping every true pair with
+   *  overwhelming probability — the exact verify still decides.
+   */
+  def estimatePrune(
+      candidates: DataFrame, signature: DataFrame, k: Int, minEst: Double): DataFrame = {
+    def sigAs(side: String) = signature.select(
+      col("doc_id").as(s"${side}_id") +:
+        (0 until k).map(i => col(s"mh$i").as(s"${side}_mh$i")): _*)
+    val eq = (0 until k)
+      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    candidates
+      .join(sigAs("a"), Seq("a_id"))
+      .join(sigAs("b"), Seq("b_id"))
+      .withColumn("est", eq.cast("double") / k)
+      .where(col("est") >= minEst)
+      .select("a_id", "b_id")
+  }
+
+  /** MinHash+LSH near-dup pipeline: shingle → sign → band → estimate →
+   *  verify. The shingle set feeds the signature AND both sides of the
    *  verification join — persist it once instead of recomputing the
    *  explode+distinct+df-cap chain four times.
    */
@@ -113,7 +149,11 @@ object Dedup {
       threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    verifyJaccard(lshCandidates(minhashSignature(sh, k), k, bands), sh, threshold)
+    val sig = minhashSignature(sh, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = estimatePrune(
+      lshCandidates(sig, k, bands), sig, k, minEst = threshold / 2)
+    verifyJaccard(pruned, sh, threshold)
   }
 
   /**
