@@ -87,6 +87,7 @@ object PipelineQueries {
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhashSignature(nearDupCorpus(s, dir), "doc_id", "text"), maxDist = 8)
+        .select(col("a_id"), col("b_id"), col("hamming").cast("long").as("hamming"))
         .orderBy("a_id", "b_id")),
     "dedup_embedding" -> ((s, dir) =>
       Similarity.nearDupPairs(embCorpus(s, dir), CosineThreshold, nBits = 128, bands = 16)
@@ -164,7 +165,34 @@ object PipelineQueries {
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
        |ORDER BY a_id, b_id""".stripMargin
 
+  /** All-pairs SQL mirror of the banded SimHash pipeline — equivalent
+   *  because 10×6-bit banding is deterministic for Hamming ≤ 9.
+   */
+  private val simhashOracle: String = {
+    val bitSums = (0 until Dedup.SimhashBits).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN w ELSE -w END) AS b$b").mkString(", ")
+    val sigExpr = (0 until Dedup.SimhashBits).map(b =>
+      s"CASE WHEN b$b > 0 THEN (1::BIGINT << $b) ELSE 0::BIGINT END").mkString(" + ")
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |tok AS (
+       |  SELECT doc_id, tk, count(*) AS w FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM corpus)
+       |  GROUP BY 1, 2),
+       |hs AS (SELECT doc_id, w, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+       |bits AS (SELECT doc_id, $bitSums FROM hs GROUP BY 1),
+       |sig AS (SELECT doc_id, $sigExpr AS sig FROM bits)
+       |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+       |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -268,6 +296,22 @@ object PipelineQueries {
         |    FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents) d,
         |         unnest(generate_series(1, len(tokens) - 2)) t(i)))
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the stub decoder's fake stats are byte arithmetic over ASCII text,
+    // so even the mapPartitions decode path gets a full oracle
+    "multimodal_decode" ->
+      """SELECT m.media_id, m.n_bytes,
+        |  64 + (m.n_bytes % 512) AS width,
+        |  64 + ((m.n_bytes * 7) % 512) AS height,
+        |  round(mb.mean_byte, 6) AS mean_byte
+        |FROM (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+        |      FROM documents) m
+        |JOIN (
+        |  SELECT doc_id AS media_id,
+        |    avg(CAST(ascii(substr(text, i, 1)) AS DOUBLE)) AS mean_byte
+        |  FROM documents,
+        |       unnest(generate_series(1, least(64, length(text)))) t(i)
+        |  GROUP BY 1) mb USING (media_id)
+        |ORDER BY media_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT media_id, n_bytes,
         |  64 + (n_bytes % 512) AS width,

@@ -156,38 +156,40 @@ object Dedup {
     verifyJaccard(pruned, sh, threshold)
   }
 
+  val SimhashBits = 60
+
   /**
-   * 64-bit SimHash: per token-bit weighted vote (weight = token
-   * multiplicity), bit set iff the vote is positive. Near-dups have
-   * small Hamming distance; candidates come from 8×8-bit band buckets
-   * (a signature within distance d ≤ 7 shares at least one exact band —
-   * beyond that it is probabilistic, the standard trade).
+   * 60-bit SimHash: per token-bit weighted vote (weight = token
+   * multiplicity), bit set iff the vote is positive. The token hash is
+   * the first 15 hex chars of md5 — an engine-portable 60-bit value, so
+   * the whole pipeline is SQL-expressible and oracle-checkable.
    */
   def simhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(
       col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tk"))
       .groupBy("doc_id", "tk").agg(count(lit(1)).cast("long").as("w"))
-      .withColumn("h", xxhash64(col("tk")))
+      .withColumn("h", conv(substring(md5(col("tk")), 1, 15), 16, 10).cast("long"))
     val bitSums = tok.groupBy("doc_id").agg(
       sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as("b0"),
-      (1 until 64).map(b =>
+      (1 until SimhashBits).map(b =>
         sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
           .otherwise(-col("w"))).as(s"b$b")): _*)
-    val sig = (0 until 64)
-      .map(b => when(col(s"b$b") > 0, shiftleft(lit(1L), b)).otherwise(0L))
+    val sig = (0 until SimhashBits)
+      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
       .reduce(_.bitwiseOR(_))
     bitSums.select(col("doc_id"), sig.as("sig"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. 8 bands of
-   *  8 bits: by pigeonhole any pair within distance 7 shares at least
-   *  one exact band, so detection is deterministic up to 7 and
-   *  probabilistic only at 8.
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDist. 10 bands
+   *  of 6 bits: by pigeonhole any pair within distance 9 shares at
+   *  least one exact band, so detection is DETERMINISTIC for the whole
+   *  default range (≤ 8) — the banded join is then exactly equivalent
+   *  to the all-pairs filter, just without the n² work.
    */
   def simhashPairs(signature: DataFrame, maxDist: Int = 8): DataFrame = {
-    val bandCols = (0 until 8).map { b =>
+    val bandCols = (0 until 10).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("sig"), 8 * b).bitwiseAND(0xFFL).as("bucket"))
+        shiftright(col("sig"), 6 * b).bitwiseAND(0x3FL).as("bucket"))
     }
     val buckets = signature
       .select(col("doc_id"), col("sig"), explode(array(bandCols: _*)).as("bb"))
