@@ -185,6 +185,17 @@ object CoreQueries {
         .orderBy("bucket_s")
     }),
 
+    // ---- distribution stats (stretch ops per SURVEY §2.3: stddev +
+    // exact percentiles; at 100 TB the scale path is approx_percentile,
+    // exact kept here for oracle parity) ------------------------------
+    "value_stats" -> ((s, dir) =>
+      ev(s, dir).groupBy("dataset_id")
+        .agg(
+          r6(stddev_samp(col("value"))).as("sd"),
+          r6(expr("percentile(value, 0.5)")).as("p50"),
+          r6(expr("percentile(value, 0.95)")).as("p95"))
+        .orderBy("dataset_id")),
+
     // ---- distinct aggregation ---------------------------------------
     "distinct_users" -> ((s, dir) =>
       rawEvents(s, dir).groupBy(col("event_type").as("dataset_id"))
@@ -254,6 +265,13 @@ object CoreQueries {
         |  round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase_mean,
         |  round(avg(CASE WHEN event_type = 'signup' THEN value END), 6) AS signup_mean,
         |  round(avg(CASE WHEN event_type = 'view' THEN value END), 6) AS view_mean
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "value_stats" ->
+      """SELECT event_type AS dataset_id,
+        |  round(stddev_samp(value), 6) AS sd,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "distinct_users" ->
