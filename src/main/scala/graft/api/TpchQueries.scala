@@ -141,7 +141,7 @@ object TpchQueries {
          |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
          |                     ROWS UNBOUNDED PRECEDING) AS session_id
          |  FROM d)
-         |SELECT user_id, session_id, count(*) AS n_events,
+         |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events,
          |  min(ts_us) AS start_us, max(ts_us) AS end_us
          |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
