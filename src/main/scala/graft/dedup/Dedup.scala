@@ -27,18 +27,33 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
       .where(col("n_docs") > 1)
 
-  /** Distinct (doc_id, sh) shingle set, with a doc-frequency cap:
-   *  shingles present in more than `maxDf` docs carry no dedup signal
-   *  and would blow up the join quadratically.
+  /** Distinct hashed shingle set `(doc_id, sh, h2)` with a doc-frequency
+   *  cap: shingles present in more than `maxDf` docs carry no dedup
+   *  signal and would blow up the join quadratically.
+   *
+   *  The shingle string is hashed to TWO independent 64-bit values
+   *  (`sh` = identity for joins/dedup, `h2` = second minhash base)
+   *  immediately after the explode and then dropped — every downstream
+   *  shuffle (distinct, df-cap, intersection joins) moves 8-byte longs
+   *  instead of multi-word strings, and set semantics are unchanged up
+   *  to 64-bit collisions (P[any] ~ n²/2⁶⁴, negligible). The df-cap is
+   *  a window count over the shingle key rather than a groupBy +
+   *  semi-join — one shuffle instead of two.
    */
   def shingleSet(
       docs: DataFrame, idCol: String, textCol: String, maxDf: Long = 200L): DataFrame = {
     val sh = docs
-      .select(col(idCol).as("doc_id"), explode(TextOps.shingles(col(textCol), 3)).as("sh"))
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), 3)).as("s"))
+      .select(
+        col("doc_id"),
+        xxhash64(col("s")).as("sh"),
+        xxhash64(lit("graft-mh2"), col("s")).as("h2"))
       .distinct()
-    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select("sh")
-    sh.join(rare, Seq("sh"), "left_semi")
+    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("sh")
+    sh.withColumn("df", count(lit(1)).over(byShingle))
+      .where(col("df") <= maxDf)
+      .select("doc_id", "sh", "h2")
   }
 
   private def jaccardOf(pairsWithInter: DataFrame, sizes: DataFrame): DataFrame =
@@ -64,26 +79,23 @@ object Dedup {
       .select(col("a_id"), col("b_id"), col("jaccard"))
   }
 
-  /** k MinHash values per doc from TWO base hashes per shingle,
-   *  hash_i = h1 XOR rotl(h2, i) — one groupBy, and the string is
-   *  hashed twice instead of k times (hashing the shingle k times
-   *  dominated the signature cost). XOR-rotate mixing is overflow-free
-   *  under ANSI mode; it is not strictly min-wise independent, but LSH
-   *  only needs bucket diversity here — final answers come from the
-   *  EXACT verification pass.
+  /** k MinHash values per doc from the TWO base hashes carried on the
+   *  shingle set (`sh`, `h2`), hash_i = sh XOR rotl(h2, i) — one
+   *  groupBy, and the string was hashed only twice at shingle time
+   *  (hashing it k times dominated the signature cost). XOR-rotate
+   *  mixing is overflow-free under ANSI mode; it is not strictly
+   *  min-wise independent, but LSH only needs bucket diversity here —
+   *  final answers come from the EXACT verification pass.
    */
   def minhashSignature(shingles: DataFrame, k: Int = 64): DataFrame = {
     require(k <= 64, "rotation family supports k <= 64")
-    val hashed = shingles
-      .withColumn("h1", xxhash64(col("sh")))
-      .withColumn("h2", xxhash64(lit("graft-mh2"), col("sh")))
     def rotl(c: org.apache.spark.sql.Column, i: Int) =
       if (i == 0) c
       else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
-    hashed.groupBy("doc_id").agg(
-      min(col("h1").bitwiseXOR(col("h2"))).as("mh0"),
+    shingles.groupBy("doc_id").agg(
+      min(col("sh").bitwiseXOR(col("h2"))).as("mh0"),
       (1 until k).map(i =>
-        min(col("h1").bitwiseXOR(rotl(col("h2"), i))).as(s"mh$i")): _*)
+        min(col("sh").bitwiseXOR(rotl(col("h2"), i))).as(s"mh$i")): _*)
   }
 
   /** Banded LSH candidate pairs: docs sharing any (band, bucket). */

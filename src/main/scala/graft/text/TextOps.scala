@@ -16,17 +16,28 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** k-word shingles as 1 array per doc (empty when the doc is shorter
-   *  than k tokens). Token indices are 1-based via `element_at` so the
-   *  shingle set matches a 1-based SQL formulation exactly.
+  /** k-word shingles from a PRE-TOKENIZED array column (empty when the
+   *  doc is shorter than k tokens). Token indices are 1-based via
+   *  `element_at` so the shingle set matches a 1-based SQL formulation
+   *  exactly.
+   *
+   *  Callers must bind `toks` to a materialized column (project
+   *  `tokens(text)` in its own select first): higher-order functions
+   *  evaluate interpreted, so an inlined `split` here would re-split
+   *  the whole document for every element_at — measured 15× slower on
+   *  the shingle explode.
    */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokens(text)
+  def shinglesOf(toks: Column, k: Int = 3): Column =
     when(size(toks) >= k,
       transform(sequence(lit(0), size(toks) - k),
         i => concat_ws(" ", (1 to k).map(j => element_at(toks, i + j)): _*)))
       .otherwise(array().cast("array<string>"))
-  }
+
+  /** k-word shingles of a text column. Prefer tokenizing into a real
+   *  column and calling `shinglesOf` when the expression feeds an
+   *  explode (see scaladoc there).
+   */
+  def shingles(text: Column, k: Int = 3): Column = shinglesOf(tokens(text), k)
 
   private val StopWords = Seq("the", "a", "data", "key")
 
@@ -103,8 +114,9 @@ object TextOps {
    * corpus size.
    */
   def winnow(docs: DataFrame, idCol: String, textCol: String, w: Int = 4): DataFrame = {
-    val sh = docs.select(
-      col(idCol), posexplode(shingles(col(textCol), 3)).as(Seq("pos", "sh")))
+    val sh = docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), posexplode(shinglesOf(col("toks"), 3)).as(Seq("pos", "sh")))
     val win = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
     sh.withColumn("wmin", min(md5(col("sh"))).over(win))
