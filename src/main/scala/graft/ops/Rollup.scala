@@ -3,8 +3,6 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.model.Fidelity
-
 /**
  * A1 / A2 / A4 — the multi-resolution rollup pyramid, the heart of the
  * reference engine.
@@ -82,20 +80,6 @@ object Rollup {
         max("max_v").as("max_v"),
         sum("sum_v").as("sum_v"),
         sum("cnt").as("cnt"))
-
-  /** A4 — materialize all 6 levels from one batch as a cascade
-   *  (finest from raw, each coarser level from the previous).
-   */
-  def allLevels(long: DataFrame): Map[Fidelity, DataFrame] = {
-    val first = Fidelity.aggLevels.head
-    Fidelity.aggLevels.tail.foldLeft(
-      Map[Fidelity, DataFrame](first -> aggregate(long, first.seconds))) {
-      case (acc, level) =>
-        // each level divides the previous (1,10,...,100000 s)
-        val finer = acc(Fidelity.aggLevels(Fidelity.aggLevels.indexOf(level) - 1))
-        acc + (level -> cascade(finer, level.seconds))
-    }
-  }
 
   /** Projected mean for API reads (S5 / A8 / P8). */
   def withMean(rollup: DataFrame): DataFrame =

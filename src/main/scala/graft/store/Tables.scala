@@ -5,21 +5,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.model.Fidelity
-import graft.ops.Rollup
 
 /**
  * Physical table layout — the Spark re-expression of the reference's
  * `data/<fidelity>/<dataset_id>/<a>/<b>/<c>/<bucket>` path scheme
  * (reference: src/index.py:22-29, 460-505).
  *
- * One parquet table per fidelity level:
- *   raw:     partitioned by (dataset_id, day_s)   — append-only
- *            (the reference appends raw files, src/index.py:517)
- *   rollup d: partitioned by (dataset_id, part_s) — read-merge-rewrite
- *            scoped to AFFECTED partitions only via dynamic partition
- *            overwrite (the reference rewrites one agg file at a time,
- *            src/index.py:521-550; a full-table rewrite per batch would
- *            be a scale-killer at 100 TB).
+ * Two parquet tables:
+ *   raw:    partitioned by (dataset_id, day_s)   — append-only
+ *           (the reference appends raw files, src/index.py:517)
+ *   rollup: ONE table for all 6 aggregate levels, partitioned by
+ *           (fidelity, dataset_id, part_s) — read-merge-rewrite scoped
+ *           to AFFECTED partitions only via dynamic partition overwrite
+ *           (the reference rewrites one agg file at a time,
+ *           src/index.py:521-550; a full-table rewrite per batch would
+ *           be a scale-killer at 100 TB). A single table means one
+ *           merge-write job per ingest batch instead of six — level
+ *           reads still prune on the leading `fidelity` partition
+ *           column, so query IO is identical to per-level tables.
  *
  * `part_s = bucket_s div (5000 * d) * (5000 * d)` mirrors the
  * reference's DATAPOINT_GROUP_SIZE=5000-row file windows
@@ -43,19 +46,29 @@ object Tables {
     StructField("cnt", LongType)))
 
   def rawPath(root: String): String = s"$root/raw"
-  def rollupPath(root: String, f: Fidelity): String = s"$root/rollup_${f.name}"
+  def rollupPath(root: String): String = s"$root/rollup"
 
-  /** Partition window per level: at least one DAY, else ~5000 buckets
-   *  (src/index.py:46). The reference's fixed 5000-bucket file windows
-   *  assume dense 10 Hz series; for sparse series they explode into
-   *  thousands of near-empty partition directories (a filesystem-
-   *  metadata scale-killer), so fine levels partition by day — the
-   *  idiomatic Spark layout (SURVEY §1.5) — and coarse levels keep the
-   *  5000-bucket window.
+  /** Partition-directory value for a level ("d10"): prefixed so parquet
+   *  partition inference keeps the column a STRING (bare "10" would
+   *  infer INTEGER and break pruning-friendly equality on the name).
+   */
+  def fidelityPart(f: Fidelity): String = s"d${f.name}"
+
+  /** Partition window per level. The reference's fixed 5000-bucket file
+   *  windows (src/index.py:46) assume dense 10 Hz series; for sparse
+   *  series they explode into thousands of near-empty partition
+   *  directories (a filesystem-metadata scale-killer). Raw partitions
+   *  by DAY (dense 10 Hz raw is ~864k rows/series-day — day dirs keep
+   *  full-fidelity scans narrow); aggregate levels partition by at
+   *  least a WEEK: even the densest 1 s level is only ~605k buckets per
+   *  series-week, and a coarser window means ~5× fewer partition-dir
+   *  moves per merge-upsert (dynamic partition overwrite relocates each
+   *  affected dir one by one on the driver — partition count, not data
+   *  volume, was the measured merge bottleneck).
    */
   def partitionWindowS(f: Fidelity): Long =
     if (f.isFull) 86400L
-    else math.max(86400L, Fidelity.GroupSize * f.seconds)
+    else math.max(7L * 86400L, Fidelity.GroupSize * f.seconds)
 
   /** S2 — append a sanitized long batch to the raw table. The
    *  within-partition ts sort is the reference's ingest sort (O1,
@@ -105,51 +118,118 @@ object Tables {
         .select(rawSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
   }
 
-  def readRollup(spark: SparkSession, root: String, f: Fidelity): DataFrame =
-    readOrEmpty(spark, rollupPath(root, f), rollupSchema, Seq("dataset_id", "part_s"))
+  /** Read one level back out of the combined rollup table; the
+   *  `fidelity` equality prunes to that level's partition subtree.
+   */
+  def readRollup(spark: SparkSession, root: String, f: Fidelity): DataFrame = {
+    val path = rollupPath(root)
+    if (new java.io.File(path).exists())
+      spark.read.parquet(path)
+        .where(col("fidelity") === fidelityPart(f))
+        .select(rollupSchema.fields.map(fl => col(fl.name).cast(fl.dataType)).toIndexedSeq: _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rollupSchema)
+  }
+
+  /** A1+A4 in ONE aggregation: explode every point into its 6
+   *  (fidelity, bucket) keys and hash-aggregate once. Map-side partial
+   *  aggregation collapses the 6× row expansion before the shuffle, so
+   *  shuffle volume equals the sum of all level partials (~1.1× the
+   *  finest level) — the same bytes a 6-stage cascade moves, in ONE
+   *  stage instead of six.
+   */
+  def allLevelPartials(long: DataFrame): DataFrame = {
+    val keys = Fidelity.aggLevels.map { f =>
+      val d = f.seconds
+      val w = partitionWindowS(f)
+      val b = s"(ts_us div ${d * 1000000L}) * $d" // F3 bucket truncation
+      struct(
+        lit(fidelityPart(f)).as("fidelity"),
+        expr(b).as("bucket_s"),
+        expr(s"(($b) div $w) * $w").as("part_s"))
+    }
+    long
+      .select(col("dataset_id"), col("value"), explode(array(keys: _*)).as("k"))
+      .groupBy(
+        col("k.fidelity").as("fidelity"), col("dataset_id"),
+        col("k.part_s").as("part_s"), col("k.bucket_s").as("bucket_s"))
+      .agg(
+        min("value").as("min_v"),
+        max("value").as("max_v"),
+        sum("value").as("sum_v"),
+        count(lit(1)).as("cnt"))
+  }
 
   /**
-   * S3 — merge-upsert partial aggregates into one rollup table with
-   * UNBOUNDED lateness (src/index.py:521-550, 328-374): read only the
-   * affected (dataset_id, part_s) partitions (left-semi join against the
-   * batch's distinct partition keys — broadcast, since a batch touches
-   * few partitions), fold with the A2 monoid, and dynamically overwrite
-   * just those partitions.
+   * S3 — merge-upsert one batch's partial aggregates for ALL levels into
+   * the rollup table with UNBOUNDED lateness (src/index.py:521-550,
+   * 328-374) in a single write job: read only the affected
+   * (fidelity, dataset_id, part_s) partitions (left-semi join against
+   * the batch's distinct partition keys — broadcast, since a batch
+   * touches few partitions), fold with the A2 monoid, and dynamically
+   * overwrite just those partitions.
    */
-  def mergeRollup(
-      spark: SparkSession, root: String, f: Fidelity, partials: DataFrame): Unit = {
-    val w = partitionWindowS(f)
-    def withPart(df: DataFrame): DataFrame =
-      df.withColumn("part_s", expr(s"bucket_s div $w") * w)
+  def mergeRollups(
+      spark: SparkSession, root: String, partials: DataFrame): Unit = {
+    // Persist the tagged partials: the lineage behind them would
+    // otherwise be recomputed by BOTH the affected-partition job and
+    // the write job.
+    val newPart = partials
+      .select("fidelity", "dataset_id", "part_s", "bucket_s",
+        "min_v", "max_v", "sum_v", "cnt")
+      .persist()
 
-    val newPart = withPart(partials)
-    // Restrict the existing-table read to the batch's time range with
-    // TWO literal bounds (static partition pruning — a per-key OR chain
-    // would blow up Catalyst planning), then exact-match the affected
-    // (dataset_id, part_s) partitions with a broadcast semi-join. The
-    // affected set is bounded by (#series × #file-windows) in the batch,
-    // the same bound as the reference's per-put file list
-    // (src/index.py:408-458).
-    val affected = newPart.select("dataset_id", "part_s").distinct()
-    val bounds = newPart.agg(min("part_s"), max("part_s")).head()
-    if (bounds.isNullAt(0)) return // empty batch: nothing to merge
-    val existing = withPart(readRollup(spark, root, f))
-      .where(col("part_s").between(bounds.getLong(0), bounds.getLong(1)))
-      .join(broadcast(affected), Seq("dataset_id", "part_s"), "left_semi")
+    // The affected partition set is bounded by (#levels × #series ×
+    // #file-windows) in the batch, the same bound as the reference's
+    // per-put file list (src/index.py:408-458). Restrict the
+    // existing-table read to the batch's part_s range with TWO literal
+    // bounds (static partition pruning — a per-key OR chain would blow
+    // up Catalyst planning), then exact-match the affected partitions
+    // with a broadcast semi-join.
+    val affected = newPart.select("fidelity", "dataset_id", "part_s")
+      .distinct().persist()
+    def prof[T](l: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      if (sys.env.contains("GRAFT_PROF"))
+        println(f"[mprof] $l%-20s ${(System.nanoTime()-t0)/1e9}%7.2f s")
+      r
+    }
+    try {
+      val bounds = prof("affected+bounds")(affected.agg(min("part_s"), max("part_s")).head())
+      if (bounds.isNullAt(0)) return // empty batch: nothing to merge
+      val path = rollupPath(root)
+      val existing =
+        if (!new java.io.File(path).exists()) None
+        else Some(
+          spark.read.parquet(path)
+            .where(col("part_s").between(bounds.getLong(0), bounds.getLong(1)))
+            .join(broadcast(affected), Seq("fidelity", "dataset_id", "part_s"), "left_semi")
+            .select(newPart.columns.map(col).toIndexedSeq: _*))
 
-    val merged = Rollup
-      .mergePartials(existing.drop("part_s").unionByName(newPart.drop("part_s")))
+      val unioned = existing.fold(newPart)(_ unionByName newPart)
+      val merged = unioned
+        .groupBy("fidelity", "dataset_id", "part_s", "bucket_s")
+        .agg(
+          min("min_v").as("min_v"),
+          max("max_v").as("max_v"),
+          sum("sum_v").as("sum_v"),
+          sum("cnt").as("cnt"))
 
-    // Rewrite only the affected partitions (partitionOverwriteMode=dynamic)
-    withPart(merged)
-      .repartition(col("dataset_id"), col("part_s"))
-      .sortWithinPartitions(col("dataset_id"), col("part_s"), col("bucket_s"))
-      .write
-      .mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .option("maxRecordsPerFile", Fidelity.GroupSize)
-      .partitionBy("dataset_id", "part_s")
-      .parquet(rollupPath(root, f))
+      // Rewrite only the affected partitions (partitionOverwriteMode=dynamic)
+      prof("write")(merged
+        .repartition(col("fidelity"), col("dataset_id"), col("part_s"))
+        .sortWithinPartitions(
+          col("fidelity"), col("dataset_id"), col("part_s"), col("bucket_s"))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", Fidelity.GroupSize)
+        .partitionBy("fidelity", "dataset_id", "part_s")
+        .parquet(path))
+    } finally {
+      affected.unpersist()
+      newPart.unpersist()
+    }
   }
 
   /**
@@ -195,32 +275,17 @@ object Tables {
     val batch =
       if (dedup) deduped.localCheckpoint(true)
       else deduped.persist()
-    val partials = scala.collection.mutable.ListBuffer.empty[DataFrame]
     try {
-      // Cascade: level k's partials come from level k-1's (10× less
-      // input per level than the reference's recompute-from-raw,
-      // src/index.py:137-177). Partials are tiny; persist each so the
-      // concurrent writers below share them instead of recomputing.
-      var finer = Rollup.aggregate(batch, Fidelity.aggLevels.head.seconds).persist()
-      partials += finer
-      var levelDfs = Map(Fidelity.aggLevels.head -> finer)
-      for (f <- Fidelity.aggLevels.tail) {
-        val next = Rollup.cascade(finer, f.seconds).persist()
-        partials += next
-        levelDfs += f -> next
-        finer = next
-      }
-      // The raw append and the 6 per-level merges write to DISJOINT
-      // tables — run them as concurrent Spark jobs so the batch pays
-      // max(level latencies), not their sum (the reference writes its 7
-      // levels sequentially, src/index.py:124-177).
-      val writes =
-        Future(appendRaw(batch, root)) +:
-          Fidelity.aggLevels.map(f => Future(mergeRollup(spark, root, f, levelDfs(f))))
+      // All 6 levels in one aggregation (allLevelPartials) instead of
+      // the reference's per-level recompute-from-raw
+      // (src/index.py:137-177). The raw append and the rollup merge
+      // write to DISJOINT tables — run them as concurrent Spark jobs so
+      // the batch pays max(raw, rollup) latency, not their sum (the
+      // reference writes its 7 levels sequentially, src/index.py:124-177).
+      val writes = Seq(
+        Future(appendRaw(batch, root)),
+        Future(mergeRollups(spark, root, allLevelPartials(batch))))
       Await.result(Future.sequence(writes), Duration.Inf)
-    } finally {
-      partials.foreach(_.unpersist())
-      batch.unpersist()
-    }
+    } finally batch.unpersist()
   }
 }

@@ -36,9 +36,11 @@ class RollupRewriteSpec extends AnyFunSuite {
       val q = Rollup.aggregate(Tables.readRaw(spark, root), 10L)
       val optimized = q.queryExecution.optimizedPlan.toString
       assert(!optimized.contains("Aggregate"), s"aggregate survived in:\n$optimized")
-      // the physical scan location names the rollup table, not raw
+      // the physical scan reads the combined rollup table pruned to the
+      // requested level's fidelity partition, not raw
       val physical = q.queryExecution.executedPlan.toString
-      assert(physical.contains("rollup_10"), s"no rollup scan in:\n$physical")
+      assert(physical.contains("/rollup"), s"no rollup scan in:\n$physical")
+      assert(physical.contains("= d10"), s"no fidelity partition filter in:\n$physical")
       assert(!physical.contains("/raw"), s"raw scan survived in:\n$physical")
 
       // identical results to the direct rollup table read
