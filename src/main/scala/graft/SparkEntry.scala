@@ -22,8 +22,10 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (those
-    * get the driver's weaker rows-only check: dedup_simhash, ann_lsh,
-    * multimodal_decode — hash seeds / LSH recall aren't SQL-portable).
+    * get the driver's weaker rows-only check) — the only one left is
+    * ann_lsh, whose random-hyperplane recall isn't SQL-portable; its
+    * recall is characterized by AnnRecallSpec instead, and the
+    * deterministic IVF path (ann_ivf) carries the full ANN oracle.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ PipelineQueries.oracle ++ TpchQueries.oracle

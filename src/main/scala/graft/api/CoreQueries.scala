@@ -210,6 +210,76 @@ object CoreQueries {
           count(lit(1)).as("n"))
         .orderBy("dataset_id")),
 
+    // ---- ST/S1: TRUE Structured Streaming ingest — readStream over the
+    // events parquet, foreachBatch merge into the store, then read the
+    // 1 s level back; must equal the one-shot rollup oracle ------------
+    "stream_ingest_1s" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_ingest").toString
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = Melt.readTsParquet(s, s"$dir/events.parquet").schema
+      // the file source wants a directory: stage a symlink to the table
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_src")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val q = graft.streaming.StreamIngest.start(
+        Melt.events(stream), root, s"$root/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      Tables.readRollup(s, root, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
+    // ---- S12/O3/F14: comment CRUD round-trip — create 6, update every
+    // id%3==0 (text prefixed, date shifted +1s), delete every id%5==0,
+    // read back date-sorted (the reference's sorted-rewrite write path,
+    // marks.py:84-91, 163-181) ----------------------------------------
+    "comments_crud" -> ((s, dir) => {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_comments").toString + "/comments"
+      val base = rawEvents(s, dir)
+        .where(col("event_type") === "signup")
+        .select(col("event_id").cast("long"), col("ts_us"), col("props"))
+        .orderBy("event_id").limit(6).collect()
+      base.foreach { r =>
+        CommentStore.create(s, path, r.getLong(0), r.getLong(1),
+          r.getString(2), Seq("signup"))
+      }
+      base.filter(_.getLong(0) % 3 == 0).foreach { r =>
+        CommentStore.update(s, path, r.getLong(0), r.getLong(1) + 1000000L,
+          "upd:" + r.getString(2), Seq("signup", "edited"))
+      }
+      base.filter(_.getLong(0) % 5 == 0).foreach { r =>
+        CommentStore.delete(s, path, r.getLong(0))
+      }
+      CommentStore.load(s, path)
+        .select("id", "date_us", "text")
+        .orderBy("date_us", "id")
+    }),
+
+    // ---- S11/A9: self-metrics feedback loop — the engine ingests its
+    // own counters as series (loop.py:52-78): 3 puts + 2 gets, flush at
+    // a fixed timestamp, read the counter series back ------------------
+    "self_metrics" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_selfmetrics").toString
+      val api = new GraftApi(s, s"$tmp/store", s"$tmp/comments")
+      val one = ev(s, dir).orderBy("dataset_id", "ts_us", "value").limit(1)
+      for (_ <- 0 until 3) api.putData(one)
+      api.getData("view", Day5Us, Day6Us)
+      api.getData("click", Day5Us, Day6Us)
+      api.flushSelfMetrics(Day6Us)
+      Tables.readRaw(s, s"$tmp/store")
+        .where(col("dataset_id").startsWith("index."))
+        .select("dataset_id", "ts_us", "value")
+        .orderBy("dataset_id")
+    }),
+
     // ---- S2/S3/ST: incremental ingest — 3 batches through the store,
     // merged state must equal the one-shot rollup (A2 across batches) --
     "ingest_incremental_1s" -> ((s, dir) => {
@@ -250,6 +320,24 @@ object CoreQueries {
     "rollup_100000s" -> rollupSql(100000),
     "rollup_cascade_10s" -> rollupSql(10),
     "ingest_incremental_1s" -> rollupSql(1),
+    "stream_ingest_1s" -> rollupSql(1),
+    "comments_crud" ->
+      """WITH base AS (
+        |  SELECT event_id AS id, epoch_us(ts) AS date_us, props AS text
+        |  FROM events WHERE event_type = 'signup'
+        |  ORDER BY event_id LIMIT 6),
+        |mut AS (
+        |  SELECT id,
+        |    CASE WHEN id % 3 = 0 THEN date_us + 1000000 ELSE date_us END AS date_us,
+        |    CASE WHEN id % 3 = 0 THEN 'upd:' || text ELSE text END AS text
+        |  FROM base WHERE id % 5 <> 0)
+        |SELECT id, date_us, text FROM mut ORDER BY date_us, id""".stripMargin,
+    "self_metrics" ->
+      s"""SELECT dataset_id, ts_us, value FROM (
+         |  SELECT 'index.num_gets' AS dataset_id, $Day6Us AS ts_us, 2.0 AS value
+         |  UNION ALL
+         |  SELECT 'index.num_puts', $Day6Us, 3.0)
+         |ORDER BY dataset_id""".stripMargin,
     "ingest_dedup_1s" ->
       """SELECT dataset_id, ts_us // 1000000 AS bucket_s,
         |  min(value) AS min_v, max(value) AS max_v,

@@ -111,6 +111,13 @@ object PipelineQueries {
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
     }),
+    "ann_ivf" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      Similarity.ivfTopK(base, base.where(col("vec_id") < 5), 10,
+          centroidStep = 7L, nProbe = 3)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
 
     // ---- text analysis ----------------------------------------------
     "text_stats" -> ((s, dir) =>
@@ -227,6 +234,35 @@ object PipelineQueries {
         |  round(sqrt(list_sum(list_transform(
         |    CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // IVF is deterministic end-to-end (fixed centroid choice + exact
+    // in-cell ranking), so unlike the random-hyperplane LSH path it
+    // gets a FULL value oracle replicating the same index in SQL
+    "ann_ivf" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 7 = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |ar AS (SELECT vec_id, v, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
+        |           FROM ar WHERE vec_id < 5 AND rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 5),

@@ -113,6 +113,56 @@ object Similarity {
       .select(col("a_id"), col("b_id"), col("cos"))
   }
 
+  /**
+   * IVF (inverted-file) approximate top-k: a deterministic, fully
+   * oracle-checkable ANN scale path.
+   *
+   *  - centroids = every `centroidStep`-th corpus vector (deterministic
+   *    — no k-means randomness, so an external engine reproduces the
+   *    index exactly);
+   *  - every corpus vector is assigned to its nearest centroid by
+   *    cosine (tie → lowest centroid id) — a broadcast scan + one
+   *    aggregation, no shuffle of pairwise scores;
+   *  - a query probes its `nProbe` nearest centroids and ranks exactly
+   *    within those cells, so scanned fraction ≈ nProbe/#centroids.
+   *
+   * At 100 TB the assignment is a write-once index column on the
+   * embeddings table (partition/bucket by `cell`), and the probe reads
+   * only those partitions.
+   */
+  def ivfTopK(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidStep: Long = 7L, nProbe: Int = 3): DataFrame = {
+    val cents = broadcast(
+      corpus.where(col("vec_id") % centroidStep === 0)
+        .select(col("vec_id").as("c_id"), col("v").as("cv")))
+    // nearest centroid per corpus vector: max_by over (cos, -c_id) —
+    // a hash aggregation (no per-vector sort), deterministic under ties
+    val assigned = corpus
+      .crossJoin(cents)
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .groupBy(col("vec_id").as("n_id"))
+      .agg(
+        first(col("v")).as("v"), // constant within the group
+        max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell"))
+    val probes = queries
+      .crossJoin(cents)
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .withColumn("crank",
+        row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
+      .where(col("crank") <= nProbe)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id").as("cell"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", cosine(col("qv"), col("v")))
+      .withColumn("rank",
+        row_number().over(
+          Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
   /** LSH-accelerated approximate top-k: exact ranking restricted to
    *  bucket-sharing candidates (the IVF-style scale path; recall < 1 by
    *  construction, bounded by the band parameters).
