@@ -43,4 +43,32 @@ class AnnRecallSpec extends AnyFunSuite {
     // candidate generation beats the ~4.6%% random-pair collision rate
     assert(mean > 0.1)
   }
+
+  test("IVF ANN recall@10 vs brute force on sf0.001 embeddings") {
+    val emb = Similarity.asDouble(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      "vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 10)
+
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+    val brute = topSet(Similarity.bruteTopK(emb, queries, 10))
+    val ivf = topSet(
+      Similarity.ivfTopK(emb, queries, 10, centroidStep = 7L, nProbe = 3))
+
+    val recalls = brute.map { case (q, want) =>
+      val got = ivf.getOrElse(q, Set.empty)
+      got.intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"mean IVF recall@10 = $mean%.2f over ${recalls.size} queries")
+    assert(recalls.size == 10, "every query produced results")
+    // 3 probes over ~1/7 stride centroids scan a ~few-% fraction of the
+    // corpus; uniform random embeddings are the worst case, so the bound
+    // is loose — the self-pair cell plus nearby cells must beat chance
+    assert(mean > 0.1, f"IVF recall collapsed: $mean%.2f")
+  }
 }
