@@ -269,7 +269,12 @@ object CoreQueries {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_selfmetrics").toString
       val api = new GraftApi(s, s"$tmp/store", s"$tmp/comments")
-      val one = ev(s, dir).orderBy("dataset_id", "ts_us", "value").limit(1)
+      // seed row collected once — re-evaluating the sort per put would
+      // re-scan events three times for a one-row batch
+      val r = ev(s, dir).orderBy("dataset_id", "ts_us", "value").limit(1).collect().head
+      import s.implicits._
+      val one = Seq((r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toDF("dataset_id", "ts_us", "value")
       for (_ <- 0 until 3) api.putData(one)
       api.getData("view", Day5Us, Day6Us)
       api.getData("click", Day5Us, Day6Us)
