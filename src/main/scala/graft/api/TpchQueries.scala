@@ -79,6 +79,44 @@ object TpchQueries {
           count(lit(1)).as("n_rows"))
     }),
 
+    // backward as-of join: each purchase attributed to the user's
+    // latest prior view (union+running-window plan — one shuffle by
+    // user_id, no range explosion; graft.ops.Temporal)
+    "asof_attribution" -> ((s, dir) => {
+      val e = CoreQueries.rawEvents(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_us"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      graft.ops.Temporal
+        .asofBackward(p, v, Seq("user_id"), "p_us", "ts_us", Seq("event_id"))
+        .select(
+          col("p_id"), col("user_id"), col("p_us"),
+          col("asof.event_id").as("v_id"), col("asof.ts_us").as("v_us"),
+          (col("p_us") - col("asof.ts_us")).as("gap_us"))
+        .orderBy("p_id")
+    }),
+
+    // sliding-window aggregate (60 s window, 15 s slide) — the
+    // streaming-rate view the reference's tumbling-only pyramid lacks
+    "sliding_60s_15s" -> ((s, dir) =>
+      graft.ops.Temporal.slidingAgg(CoreQueries.ev(s, dir), 60, 15)
+        .select(
+          col("dataset_id"), col("win_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "win_s")),
+
+    // top-3 events per user by value — rank window over a key whose
+    // cardinality grows with the data (no 5-partition skew)
+    "topk_per_user" -> ((s, dir) =>
+      graft.ops.Temporal.topKPerKey(
+        CoreQueries.rawEvents(s, dir)
+          .where(col("value").isNotNull && !isnan(col("value")))
+          .select(col("user_id"), col("event_id"), col("value")),
+        Seq("user_id"), Seq(col("value").desc, col("event_id")), 3)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("user_id", "rank")),
+
     // gap-based sessionization: a window-function op (lag + running sum)
     "user_sessions" -> ((s, dir) => {
       val ev = CoreQueries.rawEvents(s, dir)
@@ -127,6 +165,32 @@ object TpchQueries {
         |  AND epoch_us(l_shipdate) < 852076800000000
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "asof_attribution" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.p_id, p.user_id, p.p_us,
+        |  arg_max(v.event_id, v.ts_us) AS v_id,
+        |  max(v.ts_us) AS v_us,
+        |  p.p_us - max(v.ts_us) AS gap_us
+        |FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts_us <= p.p_us
+        |GROUP BY 1, 2, 3 ORDER BY p_id""".stripMargin,
+    "sliding_60s_15s" ->
+      """SELECT event_type AS dataset_id,
+        |  (epoch_us(ts) // 15000000 - t.j) * 15 AS win_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+        |FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) t
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "topk_per_user" ->
+      """SELECT user_id, event_id, value, rank FROM (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
     "user_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
          |d AS (

@@ -1,0 +1,97 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Temporal operators beyond the reference's tumbling windows: backward
+ * as-of join, sliding-window aggregation, and per-key top-k. The
+ * reference has no joins at all (SURVEY §2.5) — these are the
+ * temporal-analytics extensions a training-data/metrics pipeline needs
+ * (event attribution, smoothed rates, per-entity extremes).
+ *
+ * Scale design notes:
+ *  - The as-of join is the union+running-window formulation: both sides
+ *    shuffle ONCE by the equi-key, sort by (ts, side), and a running
+ *    `max(struct(ts, payload))` carries the latest right row forward.
+ *    No range-explosion, no per-row right-side probe, no cross join —
+ *    cost is one shuffle + one sort of |L|+|R|, the same plan shape at
+ *    100 TB as at 1 MB (this is how production as-of joins over large
+ *    fact tables are built; a broadcast right side is only valid when
+ *    the right side is small, which attribution sources are not).
+ *  - Sliding windows use Spark's native `window(ts, size, slide)`
+ *    generator: each row expands to size/slide window copies BEFORE the
+ *    hash aggregation, and map-side partial agg absorbs the expansion.
+ *  - Top-k per key is a rank-window over keys whose cardinality grows
+ *    with the data (users), so partitions stay balanced at any scale.
+ */
+object Temporal {
+
+  /**
+   * Backward as-of join: for every left row, attach the LATEST right
+   * row with `right.tsCol <= left.tsCol`, equi-matched on `keys`
+   * (left-outer semantics: unmatched left rows keep a null struct).
+   *
+   * The carried right row is `struct(rightTs, rightCarry*)`; ties on
+   * rightTs are broken by the remaining struct fields (lexicographic
+   * struct max), so the result is deterministic when the first carry
+   * column is a tiebreaker (e.g. a unique id).
+   *
+   * Output = all left columns + `asof` struct column.
+   */
+  def asofBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCarry: Seq[String]): DataFrame = {
+    val payload = struct((rightTs +: rightCarry).map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).cast("long").as("__ts"), lit(0).as("__side"),
+        payload.as("asof")): _*)
+    val rType = r.schema("asof").dataType
+    val l = left
+      .withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__side", lit(1))
+      .withColumn("asof", lit(null).cast(rType))
+    // right rows (side 0) sort before left rows at equal ts → the
+    // match predicate is inclusive (rightTs <= leftTs)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l, allowMissingColumns = true)
+      .withColumn("asof", max(col("asof")).over(w))
+      .where(col("__side") === 1)
+      .drop("__ts", "__side")
+  }
+
+  /**
+   * Sliding-window aggregate over the canonical long form
+   * (dataset_id, ts_us, value): min/max/sum/count per (dataset_id,
+   * window) for a `sizeS`-second window sliding every `slideS` seconds
+   * (epoch-aligned starts, size % slide == 0 → each point lands in
+   * exactly size/slide windows).
+   */
+  def slidingAgg(long: DataFrame, sizeS: Long, slideS: Long): DataFrame = {
+    require(sizeS % slideS == 0, "window size must be a multiple of slide")
+    long
+      .groupBy(
+        col("dataset_id"),
+        window(timestamp_micros(col("ts_us")), s"$sizeS seconds", s"$slideS seconds").as("w"))
+      .agg(
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+        sum(col("value")).as("sum_v"), count(lit(1)).as("cnt"))
+      .select(
+        col("dataset_id"), col("w.start").cast("long").as("win_s"),
+        col("min_v"), col("max_v"), col("sum_v"), col("cnt"))
+  }
+
+  /** Top-k rows per key by `ordering` (descending value first, then a
+   *  unique tiebreaker ascending — pass explicit Columns), rank 1..k.
+   */
+  def topKPerKey(
+      df: DataFrame, keys: Seq[String],
+      ordering: Seq[org.apache.spark.sql.Column], k: Int): DataFrame =
+    df.withColumn("rank",
+        row_number().over(Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
+      .where(col("rank") <= k)
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Temporal
+
+class TemporalSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  import s.implicits._
+
+  test("asofBackward: latest prior right row per key, inclusive at equal ts, " +
+      "null when no prior, deterministic on right-ts ties") {
+    val left = Seq(
+      (1L, 10L, 100L), // u1 @100 → right @90 (id 12, latest ≤ 100)
+      (2L, 10L, 90L),  // u1 @90  → right @90 (inclusive)
+      (3L, 10L, 40L),  // u1 @40  → no right ≤ 40 → null
+      (4L, 20L, 500L), // u2 @500 → tie at ts 70: id 23 wins (max tiebreak)
+      (5L, 30L, 10L)   // u3: key has no right rows at all → null
+    ).toDF("p_id", "user_id", "p_us")
+    val right = Seq(
+      (10L, 50L, 11L), (10L, 90L, 12L),
+      (20L, 70L, 22L), (20L, 70L, 23L)
+    ).toDF("user_id", "ts_us", "event_id")
+
+    val out = Temporal
+      .asofBackward(left, right, Seq("user_id"), "p_us", "ts_us", Seq("event_id"))
+      .select(col("p_id"), col("asof.ts_us").as("v_us"), col("asof.event_id").as("v_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, 90L, 12L), (2L, 90L, 12L), (3L, -1L, -1L),
+      (4L, 70L, 23L), (5L, -1L, -1L)))
+  }
+
+  test("slidingAgg: every point lands in exactly size/slide epoch-aligned windows") {
+    // one point at t=100s: windows starting 45,60,75,90 (size 60, slide 15)
+    val one = TestSpark.longDF(Seq(("a", "1970-01-01T00:01:40", 2.0)))
+    val wins = Temporal.slidingAgg(one, 60, 15)
+      .select("win_s", "cnt").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(wins === Set((45L, 1L), (60L, 1L), (75L, 1L), (90L, 1L)))
+
+    // two points 20s apart aggregate in their shared windows
+    val two = TestSpark.longDF(Seq(
+      ("a", "1970-01-01T00:01:40", 2.0), ("a", "1970-01-01T00:02:00", 5.0)))
+    val byWin = Temporal.slidingAgg(two, 60, 15)
+      .collect().map(r => r.getLong(1) -> (r.getLong(5), r.getDouble(4))).toMap
+    assert(byWin(90L) === ((2L, 7.0)))  // covers 90..150: both
+    assert(byWin(45L) === ((1L, 2.0)))  // covers 45..105: first only
+    assert(byWin(105L) === ((1L, 5.0))) // covers 105..165: second only
+  }
+
+  test("topKPerKey: rank by value desc with unique tiebreaker") {
+    val df = Seq(
+      (1L, 100L, 5.0), (1L, 101L, 9.0), (1L, 102L, 9.0), (1L, 103L, 1.0),
+      (2L, 200L, 3.0)
+    ).toDF("user_id", "event_id", "value")
+    val out = Temporal.topKPerKey(
+        df, Seq("user_id"), Seq(col("value").desc, col("event_id")), 2)
+      .select("user_id", "event_id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // value tie 9.0 broken by event_id asc: 101 before 102; 5.0 is cut at k=2
+    assert(out === Set((1L, 101L, 1), (1L, 102L, 2), (2L, 200L, 1)))
+  }
+}
