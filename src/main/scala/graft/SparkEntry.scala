@@ -21,11 +21,11 @@ object SparkEntry {
     CoreQueries.queries ++ PipelineQueries.queries ++ TpchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops (those
-    * get the driver's weaker rows-only check) — the only one left is
-    * ann_lsh, whose random-hyperplane recall isn't SQL-portable; its
-    * recall is characterized by AnnRecallSpec instead, and the
-    * deterministic IVF path (ann_ivf) carries the full ANN oracle.
+    * the same parquet tables. EVERY query has a full value oracle —
+    * including both approximate-ANN paths (ann_lsh's md5-derived planes
+    * and bit-sum buckets are engine-portable; ann_ivf's centroid choice
+    * is deterministic), whose recall AnnRecallSpec characterizes
+    * separately against the brute-force baseline.
     */
   def oracleSql: Map[String, String] =
     CoreQueries.oracle ++ PipelineQueries.oracle ++ TpchQueries.oracle

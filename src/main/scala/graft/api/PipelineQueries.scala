@@ -234,9 +234,44 @@ object PipelineQueries {
         |  round(sqrt(list_sum(list_transform(
         |    CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    // the LSH planes are md5-derived and the band bucket is a plain
+    // bit-sum (Similarity.hyperplanes/lshBuckets), so the whole
+    // candidate-generation + exact-rank pipeline is replicated in SQL:
+    // a FULL value oracle for the approximate path
+    "ann_lsh" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pl AS (
+        |  SELECT p.g AS p,
+        |    list(('0x' || substr(md5(p.g || '_' || d.g), 1, 15))::BIGINT
+        |         / 576460752303423488.0 - 1.0 ORDER BY d.g) AS u
+        |  FROM generate_series(0, 127) p(g), generate_series(0, 63) d(g)
+        |  GROUP BY p.g),
+        |vb AS (
+        |  SELECT e.vec_id, pl.p,
+        |    CASE WHEN list_sum(list_transform(generate_series(1, 64),
+        |           i -> e.v[i] * pl.u[i])) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM e, pl),
+        |bk AS (
+        |  SELECT vec_id, p // 8 AS band, sum(bit << (p % 8)) AS bucket
+        |  FROM vb GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+        |  FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id),
+        |p2 AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qe.v[i] * ne.v[i])) /
+        |      (sqrt(list_sum(list_transform(qe.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(ne.v, x -> x * x)))) AS cos
+        |  FROM cand JOIN e qe ON qe.vec_id = cand.q_id
+        |            JOIN e ne ON ne.vec_id = cand.n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p2)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // IVF is deterministic end-to-end (fixed centroid choice + exact
-    // in-cell ranking), so unlike the random-hyperplane LSH path it
-    // gets a FULL value oracle replicating the same index in SQL
+    // in-cell ranking) and gets the same full-value treatment
     "ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 7 = 0),

@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
  *  - brute-force exact top-k (the correctness baseline): broadcast the
  *    (small) query set against the corpus — one scan, no shuffle of the
  *    big side;
- *  - random-hyperplane LSH: deterministic seeded hyperplanes → sign
- *    bits → banded buckets; candidate generation is a bucket-key join
- *    so the work is ∝ bucket collisions, never an n² cross join.
+ *  - sign-LSH: deterministic md5-derived hyperplanes → sign bits →
+ *    banded bit-sum buckets; candidate generation is a bucket-key join
+ *    so the work is ∝ bucket collisions, never an n² cross join — and
+ *    every ingredient is reproducible in plain SQL (full oracle).
  *
  * All dot products are sequential `aggregate(zip_with(...))` folds —
  * codegen'd, and bit-identical to a sequential `list_sum` fold in the
@@ -68,26 +69,44 @@ object Similarity {
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
   }
 
-  /** Deterministic random hyperplanes: nBits × dim coefficients from a
-   *  seeded PRNG (no ambient randomness — stable across runs/executors).
+  /** Deterministic ENGINE-PORTABLE hyperplanes: coefficient (p, d) is
+   *  the first 15 hex chars of md5("p_d") scaled to [-1, 1). Any SQL
+   *  engine with md5 reproduces the planes exactly (the int→double
+   *  conversion rounds identically and the 2^59 divide is an exact
+   *  exponent shift), which is what makes the LSH path fully
+   *  oracle-checkable. Uniform-cube (not gaussian) plane directions
+   *  lose exact rotation invariance, but sign-LSH only needs a
+   *  symmetric direction family — collision probability stays
+   *  monotone in the pair angle, and final answers always come from
+   *  the exact cosine pass.
    */
-  def hyperplanes(nBits: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nBits)(Seq.fill(dim)(rnd.nextGaussian()))
+  def hyperplanes(nBits: Int, dim: Int): Seq[Seq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u(p: Int, d: Int): Double = {
+      val hex = md.digest(s"${p}_${d}".getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 576460752303423488.0 - 1.0
+    }
+    Seq.tabulate(nBits)(p => Seq.tabulate(dim)(d => u(p, d)))
   }
 
-  /** Sign-bit signature: array<boolean> of `v · plane > 0`. */
+  /** Sign-bit signature: array<int> of `v · plane > 0` (0/1). */
   def signBits(v: Column, planes: Seq[Seq[Double]]): Column =
-    transform(typedLit(planes), p => dot(v, p) > 0)
+    transform(typedLit(planes), p => (dot(v, p) > 0).cast("int"))
 
-  /** Banded bucket rows (vec_id, band, bucket) for the LSH join. */
+  /** Banded bucket rows (vec_id, band, bucket) for the LSH join. The
+   *  bucket is the bit-sum Σ bit_j << j within the band — a plain
+   *  integer any engine computes the same way (no engine-private hash).
+   */
   def lshBuckets(
       emb: DataFrame, planes: Seq[Seq[Double]], bands: Int): DataFrame = {
     val r = planes.size / bands
     val bits = emb.withColumn("bits", signBits(col("v"), planes))
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash(slice(col("bits"), b * r + 1, r).cast("array<int>")).as("bucket"))
+        (0 until r)
+          .map(j => element_at(col("bits"), b * r + j + 1).cast("long") * lit(1L << j))
+          .reduce(_ + _).as("bucket"))
     }
     bits.select(col("vec_id"), col("v"), explode(array(bandCols: _*)).as("bb"))
       .select(col("vec_id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
@@ -98,9 +117,9 @@ object Similarity {
    */
   def nearDupPairs(
       emb: DataFrame, threshold: Double,
-      nBits: Int = 96, bands: Int = 12, seed: Long = 42L): DataFrame = {
+      nBits: Int = 96, bands: Int = 12): DataFrame = {
     val dim = 64
-    val buckets = lshBuckets(emb, hyperplanes(nBits, dim, seed), bands)
+    val buckets = lshBuckets(emb, hyperplanes(nBits, dim), bands)
     val cand = buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -169,8 +188,8 @@ object Similarity {
    */
   def annTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 96, bands: Int = 12, seed: Long = 42L): DataFrame = {
-    val planes = hyperplanes(nBits, 64, seed)
+      nBits: Int = 96, bands: Int = 12): DataFrame = {
+    val planes = hyperplanes(nBits, 64)
     val cb = lshBuckets(corpus, planes, bands)
     val qb = lshBuckets(queries, planes, bands)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("band"), col("bucket"))
