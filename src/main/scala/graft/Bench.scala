@@ -49,6 +49,12 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     spark.range(1000000L).selectExpr("sum(id)").collect()
+    // first parquet-backed job in a fresh JVM pays multi-second reader
+    // + codegen initialization (measured ~4 s) — touch each input table
+    // once so per-query numbers reflect the long-running steady state
+    for (tbl <- Seq("lineitem", "events", "documents", "embeddings"))
+      try spark.read.parquet(s"$sfDir/$tbl.parquet").limit(100).collect()
+      catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - warm0) / 1e9
 
     // optional comma-separated subset for local profiling; driver leaves unset

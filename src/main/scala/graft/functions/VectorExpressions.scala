@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /**
  * Native Catalyst expressions for the embedding hot path.
@@ -119,4 +119,211 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 
   override def prettyName: String = "vec_cosine"
+}
+
+/**
+ * Top-n nearest centroids by cosine for one vector, over a DRIVER-SIDE
+ * centroid table baked into the expression (ids + row-major flattened
+ * vectors): the IVF assignment/probe primitive. Returns array<long> of
+ * centroid ids ordered by (cos desc, id asc).
+ *
+ * This is the narrow-map formulation of IVF cell assignment: the
+ * centroid set is index metadata (bounded small — stride sample or
+ * k-means output), so scoring it per row inside whole-stage codegen
+ * beats both a crossJoin+groupBy (shuffles the corpus × centroids
+ * expansion) and a higher-order `transform` lambda (interpreted
+ * per element). Cosine accumulation order matches CosineSimilarity
+ * and the oracle's sequential `list_sum` fold bit-for-bit.
+ */
+case class TopCentroids(
+    child: Expression, ids: Array[Long], vecs: Array[Double], n: Int)
+    extends UnaryExpression {
+  require(ids.nonEmpty && vecs.length % ids.length == 0,
+    "flattened centroid matrix must be |ids| × dim")
+  require(n >= 1 && n <= ids.length, s"n must be in [1, ${ids.length}]")
+
+  private val dim = vecs.length / ids.length
+
+  /** sqrt of Σx² per centroid, accumulated in array order (same fold
+   *  as the oracle's norm) — computed once, shipped with the expr.
+   */
+  lazy val norms: Array[Double] = Array.tabulate(ids.length) { c =>
+    var s = 0.0
+    var i = 0
+    while (i < dim) { val x = vecs(c * dim + i); s += x * x; i += 1 }
+    math.sqrt(s)
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = math.min(dim, v.numElements())
+    var vn = 0.0
+    var i = 0
+    while (i < m) { val x = v.getDouble(i); vn += x * x; i += 1 }
+    val vnorm = math.sqrt(vn)
+    val bestCos = new Array[Double](n)
+    val bestId = new Array[Long](n)
+    var filled = 0
+    var c = 0
+    while (c < ids.length) {
+      var dot = 0.0
+      var j = 0
+      while (j < m) { dot += v.getDouble(j) * vecs(c * dim + j); j += 1 }
+      val cos = dot / (vnorm * norms(c))
+      val id = ids(c)
+      // insertion position: strictly-better cos, or equal cos + lower id
+      var p = filled
+      while (p > 0 && (cos > bestCos(p - 1) ||
+        (cos == bestCos(p - 1) && id < bestId(p - 1)))) p -= 1
+      if (p < n) {
+        val last = math.min(filled, n - 1)
+        var q = last
+        while (q > p) { bestCos(q) = bestCos(q - 1); bestId(q) = bestId(q - 1); q -= 1 }
+        bestCos(p) = cos
+        bestId(p) = id
+        if (filled < n) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(bestId.take(filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centIds", ids, "long[]")
+    val vecsRef = ctx.addReferenceObj("centVecs", vecs, "double[]")
+    val normsRef = ctx.addReferenceObj("centNorms", norms, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val vn = ctx.freshName("vn")
+      val vnorm = ctx.freshName("vnorm")
+      val bestCos = ctx.freshName("bestCos")
+      val bestId = ctx.freshName("bestId")
+      val filled = ctx.freshName("filled")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val cos = ctx.freshName("cos")
+      val id = ctx.freshName("id")
+      val p = ctx.freshName("p")
+      val q = ctx.freshName("q")
+      val last = ctx.freshName("last")
+      s"""
+         |int $m = java.lang.Math.min($dim, $a.numElements());
+         |double $vn = 0.0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  double x = $a.getDouble($i); $vn += x * x;
+         |}
+         |double $vnorm = java.lang.Math.sqrt($vn);
+         |double[] $bestCos = new double[$n];
+         |long[] $bestId = new long[$n];
+         |int $filled = 0;
+         |for (int $c = 0; $c < ${ids.length}; $c++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $dot += $a.getDouble($i) * $vecsRef[$c * $dim + $i];
+         |  }
+         |  double $cos = $dot / ($vnorm * $normsRef[$c]);
+         |  long $id = $idsRef[$c];
+         |  int $p = $filled;
+         |  while ($p > 0 && ($cos > $bestCos[$p - 1] ||
+         |      ($cos == $bestCos[$p - 1] && $id < $bestId[$p - 1]))) $p--;
+         |  if ($p < $n) {
+         |    int $last = java.lang.Math.min($filled, $n - 1);
+         |    for (int $q = $last; $q > $p; $q--) {
+         |      $bestCos[$q] = $bestCos[$q - 1]; $bestId[$q] = $bestId[$q - 1];
+         |    }
+         |    $bestCos[$p] = $cos;
+         |    $bestId[$p] = $id;
+         |    if ($filled < $n) $filled++;
+         |  }
+         |}
+         |long[] ${ev.value}Arr = new long[$filled];
+         |System.arraycopy($bestId, 0, ${ev.value}Arr, 0, $filled);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}Arr);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_top_centroids"
+}
+
+/**
+ * All LSH band buckets for one vector in a single pass: plane p's sign
+ * bit is `v · plane_p > 0`, and band b's bucket is the bit-sum
+ * Σ_j bit_{b·r+j} << j (r = nBits / bands). Returns array<long> of
+ * `bands` buckets — the codegen'd replacement for a higher-order
+ * `transform` over a plane literal (interpreted per element) followed
+ * by per-band slice arithmetic. Matches Similarity.hyperplanes /
+ * lshBuckets semantics and the ann_lsh SQL oracle bit-for-bit (same
+ * sequential dot fold, same bit weights).
+ */
+case class LshBandBuckets(
+    child: Expression, planes: Array[Double], nBits: Int, bands: Int)
+    extends UnaryExpression {
+  require(nBits > 0 && planes.length % nBits == 0,
+    "flattened plane matrix must be nBits × dim")
+  require(bands > 0 && nBits % bands == 0, "bands must divide nBits")
+
+  private val dim = planes.length / nBits
+  private val r = nBits / bands
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val m = math.min(dim, v.numElements())
+    val buckets = new Array[Long](bands)
+    var p = 0
+    while (p < nBits) {
+      var dot = 0.0
+      var i = 0
+      while (i < m) { dot += v.getDouble(i) * planes(p * dim + i); i += 1 }
+      if (dot > 0) buckets(p / r) |= 1L << (p % r)
+      p += 1
+    }
+    new GenericArrayData(buckets)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.freshName("m")
+      val buckets = ctx.freshName("buckets")
+      val p = ctx.freshName("p")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      s"""
+         |int $m = java.lang.Math.min($dim, $a.numElements());
+         |long[] $buckets = new long[$bands];
+         |for (int $p = 0; $p < $nBits; $p++) {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $m; $i++) {
+         |    $dot += $a.getDouble($i) * $planesRef[$p * $dim + $i];
+         |  }
+         |  if ($dot > 0) $buckets[$p / $r] |= 1L << ($p % $r);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($buckets);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "vec_lsh_buckets"
 }

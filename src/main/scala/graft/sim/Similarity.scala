@@ -96,21 +96,17 @@ object Similarity {
 
   /** Banded bucket rows (vec_id, band, bucket) for the LSH join. The
    *  bucket is the bit-sum Σ bit_j << j within the band — a plain
-   *  integer any engine computes the same way (no engine-private hash).
+   *  integer any engine computes the same way (no engine-private hash),
+   *  produced for all bands in one native pass (LshBandBuckets).
    */
   def lshBuckets(
-      emb: DataFrame, planes: Seq[Seq[Double]], bands: Int): DataFrame = {
-    val r = planes.size / bands
-    val bits = emb.withColumn("bits", signBits(col("v"), planes))
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        (0 until r)
-          .map(j => element_at(col("bits"), b * r + j + 1).cast("long") * lit(1L << j))
-          .reduce(_ + _).as("bucket"))
-    }
-    bits.select(col("vec_id"), col("v"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("vec_id"), col("v"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
-  }
+      emb: DataFrame, planes: Seq[Seq[Double]], bands: Int): DataFrame =
+    emb.select(
+      col("vec_id"), col("v"),
+      posexplode(toCol(graft.functions.LshBandBuckets(
+        toExpr(col("v")), planes.flatten.toArray, planes.size, bands))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "bucket")
 
   /** Near-duplicate pairs with cosine ≥ threshold via LSH candidates +
    *  exact verification (work ∝ candidates).
@@ -152,26 +148,30 @@ object Similarity {
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       centroidStep: Long = 7L, nProbe: Int = 3): DataFrame = {
-    val cents = broadcast(
-      corpus.where(col("vec_id") % centroidStep === 0)
-        .select(col("vec_id").as("c_id"), col("v").as("cv")))
-    // nearest centroid per corpus vector: max_by over (cos, -c_id) —
-    // a hash aggregation (no per-vector sort), deterministic under ties
-    val assigned = corpus
-      .crossJoin(cents)
-      .withColumn("ccos", cosine(col("v"), col("cv")))
-      .groupBy(col("vec_id").as("n_id"))
-      .agg(
-        first(col("v")).as("v"), // constant within the group
-        max_by(col("c_id"), struct(col("ccos"), (-col("c_id")).as("nc"))).as("cell"))
-    val probes = queries
-      .crossJoin(cents)
-      .withColumn("ccos", cosine(col("v"), col("cv")))
-      .withColumn("crank",
-        row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("ccos").desc, col("c_id"))))
-      .where(col("crank") <= nProbe)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("c_id").as("cell"))
+    // Centroids ARE the index metadata: a bounded small set (stride
+    // sample here; k-means in a real build), materialized once on the
+    // driver and shipped as a literal — the corpus-side assignment is
+    // then a NARROW map (argmax over the centroid array per row), no
+    // crossJoin row expansion and no shuffle of the wide vector column.
+    // (The earlier crossJoin+groupBy plan moved |corpus| × |centroids|
+    // rows carrying the 64-dim vector through a hash agg — a multi-GB
+    // shuffle at sf0.1 that would be ruinous at 100 TB.)
+    val cents: Array[(Long, Seq[Double])] = corpus
+      .where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id"), col("v"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val centIds = cents.map(_._1)
+    val centVecs = cents.flatMap(_._2.toArray)
+    def topCells(v: Column, n: Int): Column =
+      toCol(graft.functions.TopCentroids(toExpr(v), centIds, centVecs, n))
+    val assigned = corpus.select(
+      col("vec_id").as("n_id"), col("v"),
+      element_at(topCells(col("v"), 1), 1).as("cell"))
+    val probes = queries.select(
+      col("vec_id").as("q_id"), col("v").as("qv"),
+      explode(topCells(col("v"), nProbe)).as("cell"))
     assigned.join(broadcast(probes), Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))

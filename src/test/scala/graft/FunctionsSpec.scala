@@ -41,6 +41,59 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("TopCentroids matches a reference argmax/top-n over the same cosines") {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val cents = vecs.where(col("vec_id") % 5 === 0).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).sortBy(_._1)
+    val ids = cents.map(_._1)
+    val flat = cents.flatMap(_._2.toArray)
+    // reference: per (vec, centroid) cosine ranked by (cos desc, id)
+    val centDf = vecs.where(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    val want = vecs.crossJoin(centDf)
+      .select(col("vec_id"), col("c_id"),
+        Similarity.cosine(col("v"), col("cv")).as("cos"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos").desc, col("c_id"))))
+      .where(col("rk") <= 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (v, rows) => v -> rows.sortBy(_.getInt(3)).map(_.getLong(1)).toSeq }
+    val got = vecs.select(col("vec_id"),
+        toCol(graft.functions.TopCentroids(toExpr(col("v")), ids, flat, 3)).as("top"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(got === want)
+    // interpreted eval agrees with the codegen'd path
+    val expr = graft.functions.TopCentroids(toExpr(col("v")), ids, flat, 3)
+    val one = vecs.where(col("vec_id") === 7L).head.getSeq[Double](1)
+    val interp = expr.nullSafeEval(
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(one.toArray))
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray.toSeq
+    assert(interp === got(7L))
+  }
+
+  test("LshBandBuckets matches the per-plane sign-bit formulation") {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val planes = Similarity.hyperplanes(32, 64)
+    val bands = 4
+    val r = 32 / bands
+    // reference: explicit sign bits + bit-sum per band via signBits
+    val want = vecs
+      .withColumn("bits", Similarity.signBits(col("v"), planes))
+      .select(col("vec_id"),
+        array((0 until bands).map { b =>
+          (0 until r)
+            .map(j => element_at(col("bits"), b * r + j + 1).cast("long") * lit(1L << j))
+            .reduce(_ + _)
+        }: _*).as("bk"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1).toSeq).toMap
+    val got = vecs.select(col("vec_id"),
+        toCol(graft.functions.LshBandBuckets(
+          toExpr(col("v")), planes.flatten.toArray, 32, bands)).as("bk"))
+      .collect().map(row => row.getLong(0) -> row.getSeq[Long](1).toSeq).toMap
+    assert(got === want)
+  }
+
   test("SQL registration via GraftExtensions function builders") {
     // same injection the extension performs, applied to the live session
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
