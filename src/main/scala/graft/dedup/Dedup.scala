@@ -50,6 +50,11 @@ object Dedup {
         xxhash64(col("s")).as("sh"),
         xxhash64(lit("graft-mh2"), col("s")).as("h2"))
       .distinct()
+    // df-cap as a count-over-window: ONE extra shuffle over the
+    // distinct set. (A hot-set broadcast anti-join was tried and lost —
+    // without an internal persist it re-runs the explode+distinct
+    // lineage for the count pass, and persisting here would double-
+    // cache with the callers, who persist the returned set.)
     val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("sh")
     sh.withColumn("df", count(lit(1)).over(byShingle))
       .where(col("df") <= maxDf)
@@ -80,22 +85,20 @@ object Dedup {
   }
 
   /** k MinHash values per doc from the TWO base hashes carried on the
-   *  shingle set (`sh`, `h2`), hash_i = sh XOR rotl(h2, i) — one
-   *  groupBy, and the string was hashed only twice at shingle time
-   *  (hashing it k times dominated the signature cost). XOR-rotate
-   *  mixing is overflow-free under ANSI mode; it is not strictly
-   *  min-wise independent, but LSH only needs bucket diversity here —
-   *  final answers come from the EXACT verification pass.
+   *  shingle set (`sh`, `h2`), hash_i = sh XOR rotl(h2, i) — ONE typed
+   *  aggregate with a long[k] buffer (MinhashSignatureAgg) emitting the
+   *  signature as a single array<long> column `mh`, so every downstream
+   *  shuffle moves one narrow column instead of k. The string was
+   *  hashed only twice at shingle time (hashing it k times dominated
+   *  the signature cost). XOR-rotate mixing is not strictly min-wise
+   *  independent, but LSH only needs bucket diversity here — final
+   *  answers come from the EXACT verification pass.
    */
   def minhashSignature(shingles: DataFrame, k: Int = 64): DataFrame = {
-    require(k <= 64, "rotation family supports k <= 64")
-    def rotl(c: org.apache.spark.sql.Column, i: Int) =
-      if (i == 0) c
-      else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
     shingles.groupBy("doc_id").agg(
-      min(col("sh").bitwiseXOR(col("h2"))).as("mh0"),
-      (1 until k).map(i =>
-        min(col("sh").bitwiseXOR(rotl(col("h2"), i))).as(s"mh$i")): _*)
+      toCol(graft.functions.MinhashSignatureAgg(
+        toExpr(col("sh")), toExpr(col("h2")), k).toAggregateExpression()).as("mh"))
   }
 
   /** Banded LSH candidate pairs: docs sharing any (band, bucket). */
@@ -103,7 +106,7 @@ object Dedup {
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
-        hash((0 until r).map(j => col(s"mh${b * r + j}")): _*).as("bucket"))
+        hash(slice(col("mh"), b * r + 1, r)).as("bucket"))
     }
     val buckets = signature
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
@@ -117,6 +120,11 @@ object Dedup {
 
   /** Candidate-driven exact verification: intersection counts are
    *  computed only for candidate pairs (work ∝ candidates, not n²).
+   *  (Measured note: pre-restricting the shingle set to candidate docs
+   *  via a broadcast semi-join was tried and LOST at bench scale — the
+   *  extra scan passes cost more than the small shuffles they avoid;
+   *  at much larger corpus-to-candidate ratios it becomes the right
+   *  plan and the join keys here already make Catalyst prune columns.)
    */
   def verifyJaccard(
       candidates: DataFrame, shingles: DataFrame, threshold: Double): DataFrame = {
@@ -138,11 +146,10 @@ object Dedup {
   def estimatePrune(
       candidates: DataFrame, signature: DataFrame, k: Int, minEst: Double): DataFrame = {
     def sigAs(side: String) = signature.select(
-      col("doc_id").as(s"${side}_id") +:
-        (0 until k).map(i => col(s"mh$i").as(s"${side}_mh$i")): _*)
-    val eq = (0 until k)
-      .map(i => when(col(s"a_mh$i") === col(s"b_mh$i"), 1).otherwise(0))
-      .reduce(_ + _)
+      col("doc_id").as(s"${side}_id"), col("mh").as(s"${side}_mh"))
+    val eq = aggregate(
+      zip_with(col("a_mh"), col("b_mh"), (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, x) => acc + x)
     candidates
       .join(sigAs("a"), Seq("a_id"))
       .join(sigAs("b"), Seq("b_id"))

@@ -44,10 +44,15 @@ object CommentStore {
     f.delete(): Unit
   }
 
-  /** O3 — full sorted rewrite, the reference's write path (marks.py:163-181). */
+  /** O3 — full sorted rewrite, the reference's write path (marks.py:163-181).
+   *  coalesce-then-sortWithinPartitions: a single-partition local sort is
+   *  the same global order as `orderBy` without the range-partitioner
+   *  SAMPLING job a global sort schedules first — one job per mutation,
+   *  not two (the store is broadcast-small by construction).
+   */
   private def rewrite(df: DataFrame, path: String): Unit = {
     val tmp = path + ".tmp"
-    df.orderBy(col("date_us"), col("id")).coalesce(1)
+    df.coalesce(1).sortWithinPartitions(col("date_us"), col("id"))
       .write.mode("overwrite").parquet(tmp)
     val target = new java.io.File(path)
     if (target.exists()) deleteRecursively(target)
