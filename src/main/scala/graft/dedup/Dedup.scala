@@ -184,19 +184,16 @@ object Dedup {
    * the whole pipeline is SQL-expressible and oracle-checkable.
    */
   def simhashSignature(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
     val tok = docs.select(
       col(idCol).as("doc_id"), explode(TextOps.tokens(col(textCol))).as("tk"))
       .groupBy("doc_id", "tk").agg(count(lit(1)).cast("long").as("w"))
       .withColumn("h", conv(substring(md5(col("tk")), 1, 15), 16, 10).cast("long"))
-    val bitSums = tok.groupBy("doc_id").agg(
-      sum(when(shiftright(col("h"), 0).bitwiseAND(1) === 1, col("w")).otherwise(-col("w"))).as("b0"),
-      (1 until SimhashBits).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("w"))
-          .otherwise(-col("w"))).as(s"b$b")): _*)
-    val sig = (0 until SimhashBits)
-      .map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(0L))
-      .reduce(_.bitwiseOR(_))
-    bitSums.select(col("doc_id"), sig.as("sig"))
+    // one typed aggregate (long[bits] vote buffer) instead of 60
+    // conditional-sum aggregate columns — same integer vote arithmetic
+    tok.groupBy("doc_id").agg(
+      toCol(graft.functions.SimhashSignatureAgg(
+        toExpr(col("h")), toExpr(col("w")), SimhashBits).toAggregateExpression()).as("sig"))
   }
 
   /** SimHash near-dup pairs with Hamming distance ≤ maxDist. 10 bands
@@ -219,7 +216,11 @@ object Dedup {
       .select(
         col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"),
         bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).as("hamming"))
-      .distinct()
+      // filter BEFORE distinct: the Hamming cut is a cheap codegen'd
+      // bit_count on each candidate occurrence, while distinct is a
+      // shuffle — dedup only the surviving pairs, not every band
+      // collision (6-bit bands collide often on a big corpus)
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 }

@@ -79,3 +79,74 @@ case class MinhashSignatureAgg(
 
   override def prettyName: String = "minhash_signature"
 }
+
+/**
+ * SimHash signature as ONE typed aggregate: buffer is a long[bits] of
+ * weighted bit votes (+w if the token hash has the bit set, −w
+ * otherwise); eval packs `vote > 0` bits into a single long. Replaces
+ * `bits` separate conditional-sum aggregate columns with one buffer,
+ * exactly preserving the per-bit integer vote arithmetic of the
+ * expression formulation (and of the SQL oracle).
+ */
+case class SimhashSignatureAgg(
+    h: Expression, w: Expression, bits: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+  require(bits >= 1 && bits <= 63, "bit votes pack into one signed long")
+
+  override def children: Seq[Expression] = Seq(h, w)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](bits)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val hv = h.eval(input)
+    val wv = w.eval(input)
+    if (hv != null && wv != null) {
+      val hl = hv.asInstanceOf[Long]
+      val wl = wv.asInstanceOf[Long]
+      var b = 0
+      while (b < bits) {
+        if (((hl >> b) & 1L) == 1L) buf(b) += wl else buf(b) -= wl
+        b += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var b = 0
+    while (b < bits) { buf(b) += other(b); b += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = {
+    var sig = 0L
+    var b = 0
+    while (b < bits) { if (buf(b) > 0) sig |= 1L << b; b += 1 }
+    sig
+  }
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(8 * bits)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bits)
+    ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): SimhashSignatureAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): SimhashSignatureAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression =
+    copy(h = newChildren(0), w = newChildren(1))
+
+  override def prettyName: String = "simhash_signature"
+}
