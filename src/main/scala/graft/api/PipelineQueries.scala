@@ -136,6 +136,28 @@ object PipelineQueries {
     "doc_winnow" -> ((s, dir) =>
       TextOps.winnow(docs(s, dir), "doc_id", "text", w = 4).orderBy("doc_id")),
 
+    // ---- corpus curation: the composed training-data pipeline -------
+    // exact-dedup (keep min doc_id) → quality cut → per-language corpus
+    // stats; every stage is one of the operators above, chained
+    "pipeline_clean" -> ((s, dir) => {
+      val corpus = exactCorpus(s, dir)
+      val kept = corpus
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .join(corpus, Seq("doc_id")) // doc_id is unique: reattach text
+      val st = TextOps.stats(kept, "doc_id", "text")
+        .select("doc_id", "n_words", "quality")
+      val lg = TextOps.langId(kept, "doc_id", "text").select("doc_id", "lang_pred")
+      st.join(lg, Seq("doc_id"))
+        .where(col("quality") >= 0.3)
+        .groupBy("lang_pred")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("sum_words"),
+          r6(avg(col("quality"))).as("avg_quality"))
+        .orderBy("lang_pred")
+    }),
+
     // ---- multimodal columns -----------------------------------------
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.meta(Multimodal.toBlob(docs(s, dir), "doc_id", "text"))
@@ -199,6 +221,43 @@ object PipelineQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    "pipeline_clean" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |kept AS (
+        |  SELECT c.doc_id, c.text FROM corpus c
+        |  JOIN (SELECT md5(text) AS h, min(doc_id) AS doc_id
+        |        FROM corpus GROUP BY 1) k ON k.doc_id = c.doc_id),
+        |st AS (
+        |  SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    least(1.0, len(string_split(text, ' ')) / 100.0) *
+        |      (1 - CAST(len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a', 'data', 'key'))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) AS quality,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('the', 'a', 'of', 'and'))) AS en_n,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('der', 'die', 'und', 'das'))) AS de_n,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('le', 'la', 'et', 'les'))) AS fr_n,
+        |    len(list_filter(string_split(text, ' '),
+        |        t -> t IN ('el', 'los', 'y', 'las'))) AS es_n
+        |  FROM kept),
+        |lg AS (
+        |  SELECT doc_id, n_words, quality,
+        |    CASE WHEN en_n = 0 AND de_n = 0 AND fr_n = 0 AND es_n = 0 THEN 'unknown'
+        |         WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        |         WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+        |         WHEN fr_n >= es_n THEN 'fr'
+        |         ELSE 'es' END AS lang_pred
+        |  FROM st)
+        |SELECT lang_pred, count(*) AS n_docs, sum(n_words) AS sum_words,
+        |  round(avg(quality), 6) AS avg_quality
+        |FROM lg WHERE quality >= 0.3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->
       """WITH corpus AS (
