@@ -67,8 +67,17 @@ object Tables {
    *  volume, was the measured merge bottleneck).
    */
   def partitionWindowS(f: Fidelity): Long =
-    if (f.isFull) 86400L
-    else math.max(7L * 86400L, Fidelity.GroupSize * f.seconds)
+    if (f.isFull) RawWindowS
+    else math.max(28L * 86400L, Fidelity.GroupSize * f.seconds)
+
+  /** Raw partition window (seconds). One week: dense 10 Hz raw is ~6M
+   *  rows/series-week (tens of parquet files at the 5000-row cap —
+   *  healthy sizes), while per-batch APPEND commit cost and per-merge
+   *  dynamic-overwrite cost both scale with the number of partition
+   *  dirs a batch touches, measured to dominate merge latency well
+   *  before data volume does.
+   */
+  val RawWindowS: Long = 7L * 86400L
 
   /** S2 — append a sanitized long batch to the raw table. The
    *  within-partition ts sort is the reference's ingest sort (O1,
@@ -80,7 +89,7 @@ object Tables {
    */
   def appendRaw(long: DataFrame, root: String): Unit =
     long
-      .withColumn("day_s", expr("ts_us div 86400000000") * 86400L)
+      .withColumn("day_s", expr(s"ts_us div ${RawWindowS * 1000000L}") * RawWindowS)
       .repartition(col("dataset_id"), col("day_s"))
       .sortWithinPartitions(col("dataset_id"), col("day_s"), col("ts_us"))
       .write
@@ -259,8 +268,8 @@ object Tables {
         val bounds = inBatch.agg(min("ts_us"), max("ts_us")).head()
         if (bounds.isNullAt(0)) inBatch
         else {
-          val dayLo = bounds.getLong(0) / 86400000000L * 86400L
-          val dayHi = bounds.getLong(1) / 86400000000L * 86400L
+          val dayLo = bounds.getLong(0) / (RawWindowS * 1000000L) * RawWindowS
+          val dayHi = bounds.getLong(1) / (RawWindowS * 1000000L) * RawWindowS
           val existing = readRawDays(spark, root, dayLo, dayHi)
             .where(col("ts_us").between(bounds.getLong(0), bounds.getLong(1)))
           inBatch.join(
