@@ -196,6 +196,61 @@ object CoreQueries {
           r6(expr("percentile(value, 0.95)")).as("p95"))
         .orderBy("dataset_id")),
 
+    // ---- per-series rate of change: lag over rollup bucket means ----
+    // (the derivative view a telemetry chart user asks for next; one
+    // window per series over the ALREADY-reduced 10 s level, never raw)
+    "series_rate_10s" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("bucket_s")
+      // mean rounded to 6dp BEFORE the lag-difference: the raw means
+      // differ between engines at the last ulp (sum order), and the
+      // difference amplifies that to the rate's 6th decimal; rounded
+      // means are bit-identical inputs on both sides
+      Rollup.aggregate(ev(s, dir), 10)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          r6(col("sum_v") / col("cnt")).as("mean_v"))
+        .withColumn("prev_b", lag(col("bucket_s"), 1).over(w))
+        .withColumn("prev_m", lag(col("mean_v"), 1).over(w))
+        .where(col("prev_b").isNotNull)
+        // exact-arithmetic output: the 6dp means are identical doubles
+        // on both sides, so their ppm-scaled difference rounds to the
+        // SAME integer everywhere (integer-valued, no .5 ties), and an
+        // integer÷integer double division is bit-deterministic — a
+        // final round6 of the raw quotient is NOT (measured: a rate of
+        // exactly -0.7406875 rounded differently per engine)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          (round((col("mean_v") - col("prev_m")) * 1e6).cast("long").cast("double") /
+            (col("bucket_s") - col("prev_b"))).as("rate_ppm_per_s"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
+    // ---- cross-series correlation on shared rollup buckets ----------
+    // Pearson r assembled from the six raw sums so the oracle runs the
+    // IDENTICAL arithmetic (engine-native corr() implementations differ
+    // in accumulation scheme); input is the 100 s level, not raw points
+    "series_corr_100s" -> ((s, dir) => {
+      val m = Rollup.aggregate(
+          ev(s, dir).where(col("dataset_id").isin("view", "click")), 100)
+        .select(col("dataset_id"), col("bucket_s"),
+          (col("sum_v") / col("cnt")).as("m"))
+      val x = m.where(col("dataset_id") === "view").select(col("bucket_s"), col("m").as("x"))
+      val y = m.where(col("dataset_id") === "click").select(col("bucket_s"), col("m").as("y"))
+      val sums = x.join(y, Seq("bucket_s"))
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+      sums.select(
+        col("n").cast("long").as("n_buckets"),
+        r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
+    }),
+
     // ---- distinct aggregation ---------------------------------------
     "distinct_users" -> ((s, dir) =>
       rawEvents(s, dir).groupBy(col("event_type").as("dataset_id"))
@@ -367,6 +422,45 @@ object CoreQueries {
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "series_rate_10s" ->
+      """WITH r AS (
+        |  SELECT event_type AS dataset_id,
+        |    (epoch_us(ts) // 10000000) * 10 AS bucket_s,
+        |    round(sum(value) / count(*), 6) AS mean_v
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1, 2),
+        |d AS (
+        |  SELECT dataset_id, bucket_s, mean_v,
+        |    lag(bucket_s) OVER (PARTITION BY dataset_id ORDER BY bucket_s) AS pb,
+        |    lag(mean_v) OVER (PARTITION BY dataset_id ORDER BY bucket_s) AS pm
+        |  FROM r)
+        |SELECT dataset_id, bucket_s,
+        |  CAST(round((mean_v - pm) * 1e6) AS BIGINT)::DOUBLE
+        |    / (bucket_s - pb) AS rate_ppm_per_s
+        |FROM d WHERE pb IS NOT NULL ORDER BY 1, 2""".stripMargin,
+    "series_corr_100s" ->
+      """WITH r AS (
+        |  SELECT event_type AS dataset_id,
+        |    (epoch_us(ts) // 100000000) * 100 AS bucket_s,
+        |    sum(value) / count(*) AS m
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |    AND event_type IN ('view', 'click')
+        |  GROUP BY 1, 2),
+        |j AS (
+        |  SELECT x.m AS x, y.m AS y
+        |  FROM (SELECT bucket_s, m FROM r WHERE dataset_id = 'view') x
+        |  JOIN (SELECT bucket_s, m FROM r WHERE dataset_id = 'click') y
+        |    USING (bucket_s)),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM j)
+        |SELECT CAST(n AS BIGINT) AS n_buckets,
+        |  round((n * sxy - sx * sy) /
+        |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
+        |FROM s""".stripMargin,
     "distinct_users" ->
       """SELECT event_type AS dataset_id, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
