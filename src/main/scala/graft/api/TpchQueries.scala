@@ -117,6 +117,30 @@ object TpchQueries {
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("user_id", "rank")),
 
+    // bucketed tolerance (range) join: views within ±30 s of each
+    // purchase across ALL users — no range cross join (Temporal
+    // .toleranceJoin); zero-match purchases kept via a left join to
+    // the aggregated pair counts
+    "range_join_30s" -> ((s, dir) => {
+      val e = CoreQueries.rawEvents(s, dir)
+      val tol = 30000000L
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts_us").as("p_us"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("ts_us").as("v_us"))
+      val pairs = graft.ops.Temporal.toleranceJoin(p, v, "p_us", "v_us", tol)
+      val counts = pairs.groupBy("p_id")
+        .agg(
+          count(lit(1)).as("n_views_30s"),
+          min(abs(col("p_us") - col("v_us"))).as("min_gap_us"))
+      p.join(counts, Seq("p_id"), "left_outer")
+        .select(
+          col("p_id"), col("p_us"),
+          coalesce(col("n_views_30s"), lit(0L)).as("n_views_30s"),
+          col("min_gap_us"))
+        .orderBy("p_id")
+    }),
+
     // gap-based sessionization: a window-function op (lag + running sum)
     "user_sessions" -> ((s, dir) => {
       val ev = CoreQueries.rawEvents(s, dir)
@@ -191,6 +215,18 @@ object TpchQueries {
         |                       ORDER BY value DESC, event_id) AS rank
         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
         |WHERE rank <= 3 ORDER BY user_id, rank""".stripMargin,
+    "range_join_30s" ->
+      """WITH p AS (SELECT event_id AS p_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT epoch_us(ts) AS v_us FROM events WHERE event_type = 'view'),
+        |c AS (
+        |  SELECT p.p_id, count(*) AS n_views_30s,
+        |    min(abs(p.p_us - v.v_us)) AS min_gap_us
+        |  FROM p JOIN v ON abs(p.p_us - v.v_us) <= 30000000
+        |  GROUP BY 1)
+        |SELECT p.p_id, p.p_us,
+        |  coalesce(c.n_views_30s, 0) AS n_views_30s, c.min_gap_us
+        |FROM p LEFT JOIN c USING (p_id) ORDER BY p_id""".stripMargin,
     "user_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
          |d AS (

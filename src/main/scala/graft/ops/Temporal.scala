@@ -85,6 +85,31 @@ object Temporal {
         col("min_v"), col("max_v"), col("sum_v"), col("cnt"))
   }
 
+  /**
+   * Tolerance (range) join: all (left, right) pairs with
+   * |leftTs − rightTs| ≤ tolUs, WITHOUT a range cross join. Both sides
+   * are bucketed by a window of width 2·tolUs; a left row's ±tol span
+   * covers at most two consecutive buckets, so the left side explodes
+   * into ≤2 bucket keys, the join is a plain equi-join on the bucket,
+   * and the exact predicate filters inside the joined bucket. Each
+   * qualifying pair matches in EXACTLY one bucket (the right row's),
+   * so no dedup pass is needed. Cost: one equi-shuffle of |L|·≤2 + |R|
+   * rows + per-bucket products — the bucketing bounds the blow-up to
+   * genuinely nearby rows at any scale.
+   */
+  def toleranceJoin(
+      left: DataFrame, right: DataFrame,
+      leftTs: String, rightTs: String, tolUs: Long): DataFrame = {
+    require(tolUs > 0, "tolerance must be positive")
+    val w = 2L * tolUs
+    val lb = left.withColumn("__b", explode(array_distinct(array(
+      expr(s"($leftTs - $tolUs) div $w"), expr(s"($leftTs + $tolUs) div $w")))))
+    val rb = right.withColumn("__b", expr(s"$rightTs div $w"))
+    lb.join(rb, Seq("__b"))
+      .where(abs(col(leftTs) - col(rightTs)) <= tolUs)
+      .drop("__b")
+  }
+
   /** Top-k rows per key by `ordering` (descending value first, then a
    *  unique tiebreaker ascending — pass explicit Columns), rank 1..k.
    */

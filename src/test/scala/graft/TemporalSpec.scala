@@ -51,6 +51,22 @@ class TemporalSpec extends AnyFunSuite {
     assert(byWin(105L) === ((1L, 5.0))) // covers 105..165: second only
   }
 
+  test("toleranceJoin: exactly the pairs within ±tol, once each, across " +
+      "bucket boundaries") {
+    // tol = 10 → bucket width 20; pairs straddling bucket edges must
+    // match exactly once (the explode covers both candidate buckets)
+    val left = Seq((1L, 100L), (2L, 119L), (3L, 200L)).toDF("l_id", "l_ts")
+    val right = Seq((10L, 91L), (11L, 109L), (12L, 121L), (13L, 140L))
+      .toDF("r_id", "r_ts")
+    val got = Temporal.toleranceJoin(left, right, "l_ts", "r_ts", 10L)
+      .select("l_id", "r_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toList
+    // l=100 matches 91,109 (not 121: |Δ|=21); l=119 matches 109 (|Δ|=10,
+    // inclusive), 121; l=200 matches nothing
+    assert(got.sorted === List((1L, 10L), (1L, 11L), (2L, 11L), (2L, 12L)))
+    assert(got.size === got.distinct.size, "each pair matches exactly once")
+  }
+
   test("topKPerKey: rank by value desc with unique tiebreaker") {
     val df = Seq(
       (1L, 100L, 5.0), (1L, 101L, 9.0), (1L, 102L, 9.0), (1L, 103L, 1.0),
