@@ -159,9 +159,15 @@ object Similarity {
     val cents: Array[(Long, Seq[Double])] = corpus
       .where(col("vec_id") % centroidStep === 0)
       .select(col("vec_id"), col("v"))
+      .limit(65537) // guard materialization before the size check below
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
+    // the driver-side collect is only legal because the index is small;
+    // a stride that no longer bounds it must fail loudly, not OOM
+    require(cents.nonEmpty && cents.length <= 65536,
+      s"IVF centroid set must be 1..65536 rows (got ${cents.length}); " +
+        "raise centroidStep (or build centroids with k-means) for this corpus")
     val centIds = cents.map(_._1)
     val centVecs = cents.flatMap(_._2.toArray)
     def topCells(v: Column, n: Int): Column =
