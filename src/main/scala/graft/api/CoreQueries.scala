@@ -226,6 +226,24 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- reporting-gap detection: 1000 s buckets whose predecessor is
+    // more than one bucket behind — "the series went quiet" alerting
+    // over the already-reduced rollup level, never raw points ----------
+    "series_gaps_1000s" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("bucket_s")
+      Rollup.aggregate(ev(s, dir), 1000)
+        .select(col("dataset_id"), col("bucket_s"))
+        .withColumn("prev_b", lag(col("bucket_s"), 1).over(w))
+        .where(col("prev_b").isNotNull && col("bucket_s") - col("prev_b") > 1000)
+        .select(
+          col("dataset_id"),
+          col("prev_b").as("gap_start_s"),
+          col("bucket_s").as("gap_end_s"),
+          expr("(bucket_s - prev_b) div 1000 - 1").as("n_missing"))
+        .orderBy("dataset_id", "gap_start_s")
+    }),
+
     // ---- cross-series correlation on shared rollup buckets ----------
     // Pearson r assembled from the six raw sums so the oracle runs the
     // IDENTICAL arithmetic (engine-native corr() implementations differ
@@ -438,6 +456,19 @@ object CoreQueries {
         |  CAST(round((mean_v - pm) * 1e6) AS BIGINT)::DOUBLE
         |    / (bucket_s - pb) AS rate_ppm_per_s
         |FROM d WHERE pb IS NOT NULL ORDER BY 1, 2""".stripMargin,
+    "series_gaps_1000s" ->
+      """WITH r AS (
+        |  SELECT DISTINCT event_type AS dataset_id,
+        |    (epoch_us(ts) // 1000000000) * 1000 AS bucket_s
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |d AS (
+        |  SELECT dataset_id, bucket_s,
+        |    lag(bucket_s) OVER (PARTITION BY dataset_id ORDER BY bucket_s) AS pb
+        |  FROM r)
+        |SELECT dataset_id, pb AS gap_start_s, bucket_s AS gap_end_s,
+        |  (bucket_s - pb) // 1000 - 1 AS n_missing
+        |FROM d WHERE pb IS NOT NULL AND bucket_s - pb > 1000
+        |ORDER BY 1, 2""".stripMargin,
     "series_corr_100s" ->
       """WITH r AS (
         |  SELECT event_type AS dataset_id,
