@@ -215,14 +215,19 @@ object Tables {
             .join(broadcast(affected), Seq("fidelity", "dataset_id", "part_s"), "left_semi")
             .select(newPart.columns.map(col).toIndexedSeq: _*))
 
-      val unioned = existing.fold(newPart)(_ unionByName newPart)
-      val merged = unioned
-        .groupBy("fidelity", "dataset_id", "part_s", "bucket_s")
-        .agg(
-          min("min_v").as("min_v"),
-          max("max_v").as("max_v"),
-          sum("sum_v").as("sum_v"),
-          sum("cnt").as("cnt"))
+      // first write into a fresh table: the batch partials are already
+      // unique per (fidelity, dataset_id, part_s, bucket_s) — the merge
+      // re-aggregation would be an identity, so skip its shuffle
+      val merged = existing match {
+        case None => newPart
+        case Some(ex) => ex.unionByName(newPart)
+          .groupBy("fidelity", "dataset_id", "part_s", "bucket_s")
+          .agg(
+            min("min_v").as("min_v"),
+            max("max_v").as("max_v"),
+            sum("sum_v").as("sum_v"),
+            sum("cnt").as("cnt"))
+      }
 
       // Rewrite only the affected partitions (partitionOverwriteMode=dynamic)
       prof("write")(merged
