@@ -168,6 +168,18 @@ object PipelineQueries {
         .select(
           col("media_id"), col("n_bytes"), col("width"), col("height"),
           r6(col("mean_byte")).as("mean_byte"))
+        .orderBy("media_id")),
+    "multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(
+        Multimodal.toBlob(docs(s, dir), "doc_id", "text"), stepK = 7)
+        .orderBy("media_id", "frame_idx")),
+    "multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizePlan(
+        Multimodal.toBlob(docs(s, dir), "doc_id", "text"), 224L, 224L)
+        .select(
+          col("media_id"), col("out_w"), col("out_h"),
+          r6(col("scale_x")).as("scale_x"), r6(col("scale_y")).as("scale_y"),
+          col("out_bytes"))
         .orderBy("media_id")))
 
   private val jaccardOracle: String =
@@ -442,6 +454,23 @@ object PipelineQueries {
         |       unnest(generate_series(1, least(64, length(text)))) t(i)
         |  GROUP BY 1) mb USING (media_id)
         |ORDER BY media_id""".stripMargin,
+    "multimodal_frames" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    1 + (octet_length(encode(text)) % 30) AS n_frames
+        |  FROM documents)
+        |SELECT media_id, t.f AS frame_idx,
+        |  (n_bytes * 131 + t.f * 31) % 997 AS frame_score
+        |FROM m, unnest(generate_series(0, n_frames - 1, 7)) t(f)
+        |ORDER BY media_id, frame_idx""".stripMargin,
+    "multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+        |  224 AS out_w, 224 AS out_h,
+        |  round(224.0 / (64 + (octet_length(encode(text)) % 512)), 6) AS scale_x,
+        |  round(224.0 / (64 + ((octet_length(encode(text)) * 7) % 512)), 6) AS scale_y,
+        |  224 * 224 * 3 AS out_bytes
+        |FROM documents ORDER BY media_id""".stripMargin,
     "multimodal_meta" ->
       """SELECT media_id, n_bytes,
         |  64 + (n_bytes % 512) AS width,

@@ -43,6 +43,38 @@ object Multimodal {
       .withColumn("height", lit(64L) + pmod(col("n_bytes") * 7L, lit(512L)))
       .withColumn("n_frames", lit(1L) + pmod(col("n_bytes"), lit(30L)))
 
+  /** Frame sampling: every `stepK`-th frame index per media item,
+   *  exploded to one row per sampled frame. Frame count comes from the
+   *  metadata projection; the per-frame score is a deterministic stand-
+   *  in for a decoded-frame statistic (the decode itself is the stub in
+   *  decodeFeatures). The explode is the real plumbing: a video
+   *  pipeline's per-frame fan-out happens BEFORE any shuffle, and
+   *  downstream work scales with sampled frames, not source bytes.
+   */
+  def frameSample(blobs: DataFrame, stepK: Int): DataFrame =
+    meta(blobs)
+      .select(
+        col("media_id"), col("n_bytes"),
+        explode(sequence(lit(0L), col("n_frames") - 1L, lit(stepK.toLong)))
+          .as("frame_idx"))
+      .select(
+        col("media_id"), col("frame_idx"),
+        pmod(col("n_bytes") * 131L + col("frame_idx") * 31L, lit(997L))
+          .as("frame_score"))
+
+  /** Resize plan: target dims + per-axis scale factors and the output
+   *  payload size a real resampler would produce. Pure typed projection
+   *  — the payload itself never moves or shuffles for planning.
+   */
+  def resizePlan(blobs: DataFrame, outW: Long, outH: Long): DataFrame =
+    meta(blobs).select(
+      col("media_id"),
+      lit(outW).as("out_w"),
+      lit(outH).as("out_h"),
+      (lit(outW.toDouble) / col("width")).as("scale_x"),
+      (lit(outH.toDouble) / col("height")).as("scale_y"),
+      lit(outW * outH * 3L).as("out_bytes"))
+
   /**
    * Batched "decode" over partitions. A real implementation would hand
    * each partition's payloads to a codec in batches; the stub derives
