@@ -226,6 +226,33 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- rolling z-score anomaly flags over 100 s rollup means ------
+    // frame = the 12 buckets before the current one (needs ≥6); mean
+    // and std assembled from explicit frame sums over 6dp-ROUNDED
+    // bucket means, so both engines aggregate identical doubles; the
+    // variance term is clamped at 0 before sqrt (an all-equal frame can
+    // go 1 ulp negative)
+    "series_anomaly_100s" -> ((s, dir) => {
+      val fr = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("bucket_s").rowsBetween(-12, -1)
+      val mu = col("s1") / col("n")
+      val sd = sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), lit(0.0)))
+      Rollup.aggregate(ev(s, dir), 100)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          r6(col("sum_v") / col("cnt")).as("m"))
+        .withColumn("n", count(col("m")).over(fr).cast("double"))
+        .withColumn("s1", sum(col("m")).over(fr))
+        .withColumn("s2", sum(col("m") * col("m")).over(fr))
+        .where(col("n") >= 6)
+        .where(sd > 0 && abs(col("m") - mu) > lit(3.0) * sd)
+        .select(
+          col("dataset_id"), col("bucket_s"), col("m"),
+          r6((col("m") - mu) / sd).as("z"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- reporting-gap detection: 1000 s buckets whose predecessor is
     // more than one bucket behind — "the series went quiet" alerting
     // over the already-reduced rollup level, never raw points ----------
@@ -456,6 +483,28 @@ object CoreQueries {
         |  CAST(round((mean_v - pm) * 1e6) AS BIGINT)::DOUBLE
         |    / (bucket_s - pb) AS rate_ppm_per_s
         |FROM d WHERE pb IS NOT NULL ORDER BY 1, 2""".stripMargin,
+    "series_anomaly_100s" ->
+      """WITH r AS (
+        |  SELECT event_type AS dataset_id,
+        |    (epoch_us(ts) // 100000000) * 100 AS bucket_s,
+        |    round(sum(value) / count(*), 6) AS m
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1, 2),
+        |w AS (
+        |  SELECT dataset_id, bucket_s, m,
+        |    CAST(count(m) OVER fr AS DOUBLE) AS n,
+        |    sum(m) OVER fr AS s1,
+        |    sum(m * m) OVER fr AS s2
+        |  FROM r
+        |  WINDOW fr AS (PARTITION BY dataset_id ORDER BY bucket_s
+        |                ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+        |z AS (
+        |  SELECT dataset_id, bucket_s, m, n, s1 / n AS mu,
+        |    sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+        |  FROM w WHERE n >= 6)
+        |SELECT dataset_id, bucket_s, m, round((m - mu) / sd, 6) AS z
+        |FROM z WHERE sd > 0 AND abs(m - mu) > 3 * sd
+        |ORDER BY 1, 2""".stripMargin,
     "series_gaps_1000s" ->
       """WITH r AS (
         |  SELECT DISTINCT event_type AS dataset_id,
