@@ -136,6 +136,21 @@ object CoreQueries {
         .select(col("bucket"), r6(col("lo")).as("lo"), r6(col("hi")).as("hi"), col("cnt"))
         .orderBy("bucket")),
 
+    // ---- F4: CSV line codec round-trip (the reference's storage wire
+    // format, kept as a codec even though storage is parquet —
+    // deliberate divergence §7.5): serialize each point to
+    // "ts,value", parse it back, emit the line + parsed columns -------
+    "csv_roundtrip" -> ((s, dir) =>
+      ev(s, dir)
+        .withColumn("line", concat_ws(",", col("ts_us"), col("value")))
+        .withColumn("parts", split(col("line"), ","))
+        .select(
+          col("dataset_id"),
+          col("line"),
+          element_at(col("parts"), 1).cast("long").as("ts_us"),
+          element_at(col("parts"), 2).cast("double").as("value"))
+        .orderBy("dataset_id", "ts_us", "value")),
+
     // ---- F1/F2: ISO-8601 codecs -------------------------------------
     "iso_roundtrip" -> ((s, dir) =>
       rawEvents(s, dir)
@@ -483,6 +498,15 @@ object CoreQueries {
         |  CAST(round((mean_v - pm) * 1e6) AS BIGINT)::DOUBLE
         |    / (bucket_s - pb) AS rate_ppm_per_s
         |FROM d WHERE pb IS NOT NULL ORDER BY 1, 2""".stripMargin,
+    "csv_roundtrip" ->
+      """WITH l AS (
+        |  SELECT event_type AS dataset_id,
+        |    epoch_us(ts)::VARCHAR || ',' || value::VARCHAR AS line
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        |SELECT dataset_id, line,
+        |  string_split(line, ',')[1]::BIGINT AS ts_us,
+        |  string_split(line, ',')[2]::DOUBLE AS value
+        |FROM l ORDER BY dataset_id, ts_us, value""".stripMargin,
     "series_anomaly_100s" ->
       """WITH r AS (
         |  SELECT event_type AS dataset_id,

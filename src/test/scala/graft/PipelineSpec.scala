@@ -133,4 +133,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1.toSeq == f2.toSeq)
     assert(f1.head.n_bytes == n && f1.head.mean_byte > 0)
   }
+
+  test("multimodal: frame sampling steps through n_frames; resize plan scales") {
+    val blobs = Multimodal.toBlob(corpus, "doc_id", "text")
+    val nFrames = Multimodal.meta(blobs).where(col("media_id") === 0L)
+      .head().getLong(4)
+    val frames = Multimodal.frameSample(blobs, stepK = 3)
+      .where(col("media_id") === 0L)
+      .collect().map(_.getLong(1)).sorted
+    assert(frames.toSeq == (0L until nFrames by 3).toSeq)
+
+    val r = Multimodal.resizePlan(blobs, 224L, 224L)
+      .where(col("media_id") === 0L).head()
+    val n = doc.getBytes("UTF-8").length.toLong
+    assert(r.getLong(1) == 224 && r.getLong(2) == 224)
+    assert(math.abs(r.getDouble(3) - 224.0 / (64 + n % 512)) < 1e-12)
+    assert(r.getLong(5) == 224 * 224 * 3)
+  }
 }
