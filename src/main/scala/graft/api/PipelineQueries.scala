@@ -139,16 +139,15 @@ object PipelineQueries {
     // ---- corpus curation: the composed training-data pipeline -------
     // exact-dedup (keep min doc_id) → quality cut → per-language corpus
     // stats; every stage is one of the operators above, chained
+    // two shuffles total: min_by carries the kept row through the
+    // dedup aggregate (no reattach join), and TextOps.profile computes
+    // stats + language in one narrow projection (no stats⨝lang join)
     "pipeline_clean" -> ((s, dir) => {
-      val corpus = exactCorpus(s, dir)
-      val kept = corpus
+      val kept = exactCorpus(s, dir)
         .groupBy(md5(col("text")).as("h"))
-        .agg(min(col("doc_id")).as("doc_id"))
-        .join(corpus, Seq("doc_id")) // doc_id is unique: reattach text
-      val st = TextOps.stats(kept, "doc_id", "text")
-        .select("doc_id", "n_words", "quality")
-      val lg = TextOps.langId(kept, "doc_id", "text").select("doc_id", "lang_pred")
-      st.join(lg, Seq("doc_id"))
+        .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      TextOps.profile(kept, "doc_id", "text")
         .where(col("quality") >= 0.3)
         .groupBy("lang_pred")
         .agg(

@@ -89,6 +89,42 @@ object TextOps {
         .otherwise("es"))
   }
 
+  /** Full per-document profile — the `stats` columns AND the language
+   *  prediction in one two-step narrow projection (marker counts
+   *  materialize first so the argmax when-chain evaluates each count
+   *  once). Use this instead of `stats(...).join(langId(...))`, which
+   *  shuffles both projections just to re-align rows that never moved.
+   */
+  def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nWords = size(toks).cast("long")
+    val stopN = size(filter(toks, w => w.isInCollection(StopWords))).cast("long")
+    val stopRatio = stopN.cast("double") / nWords.cast("double")
+    val scored = docs.select(
+      Seq(
+        col(idCol),
+        length(t).cast("long").as("n_chars"),
+        nWords.as("n_words"),
+        (length(regexp_replace(t, " ", "")).cast("double") / nWords.cast("double"))
+          .as("avg_word_len"),
+        stopN.as("n_stopwords"),
+        stopRatio.as("stop_ratio"),
+        (least(lit(1.0), nWords.cast("double") / 100.0) * (lit(1.0) - stopRatio))
+          .as("quality")) ++
+        Markers.map { case (lang, ws) =>
+          size(filter(toks, w => w.isInCollection(ws))).cast("long").as(s"${lang}_n")
+        }: _*)
+    val Seq(en, de, fr, es) = Markers.map { case (l, _) => col(s"${l}_n") }
+    scored.withColumn(
+      "lang_pred",
+      when(en === 0 && de === 0 && fr === 0 && es === 0, "unknown")
+        .when(en >= de && en >= fr && en >= es, "en")
+        .when(de >= fr && de >= es, "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"))
+  }
+
   /** Whitespace + regex token counts and a chars/4 BPE-count estimate. */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
