@@ -67,6 +67,26 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.size === got.distinct.size, "each pair matches exactly once")
   }
 
+  test("toleranceJoin equals the brute-force cross-join filter on random data") {
+    for (seed <- Seq(7, 23, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val l = Seq.tabulate(60)(i => (i.toLong, rnd.nextInt(2000).toLong))
+        .toDF("l_id", "l_ts")
+      val r = Seq.tabulate(60)(i => (1000L + i, rnd.nextInt(2000).toLong))
+        .toDF("r_id", "r_ts")
+      val tol = 25L + rnd.nextInt(100)
+      val got = Temporal.toleranceJoin(l, r, "l_ts", "r_ts", tol)
+        .select("l_id", "r_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      val want = l.crossJoin(r)
+        .where(abs(col("l_ts") - col("r_ts")) <= tol)
+        .select("l_id", "r_id")
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSeq
+      assert(got.sorted === want.sorted, s"seed=$seed tol=$tol")
+      assert(got.size === got.distinct.size, s"dup pairs at seed=$seed")
+    }
+  }
+
   test("topKPerKey: rank by value desc with unique tiebreaker") {
     val df = Seq(
       (1L, 100L, 5.0), (1L, 101L, 9.0), (1L, 102L, 9.0), (1L, 103L, 1.0),
