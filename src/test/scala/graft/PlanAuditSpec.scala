@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Plan-shape regression guards for the scale-critical claims in
+ * SCALE.md: predicate pushdown to the parquet scan, and the shuffle
+ * budget of the flagship paths. A refactor that silently un-pushes a
+ * filter or adds an exchange fails HERE, not in a 100× slower bench.
+ * AQE is disabled per-assertion so the inspected plan is the real one
+ * (AdaptiveSparkPlanExec hides exchanges from a naive collect).
+ */
+class PlanAuditSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def withPlainPlans[A](f: => A): A = {
+    val old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", old)
+  }
+
+  private def shuffleCount(df: DataFrame): Int =
+    df.queryExecution.executedPlan
+      .collectWithSubqueries { case s: ShuffleExchangeExec => s }.size
+
+  test("range_full pushes dataset and time predicates into the parquet scan") {
+    withPlainPlans {
+      val df = SparkEntry.queries("range_full")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters:"), "no pushdown section in scan")
+      // the physical-column pre-filter must reach the scan
+      assert(
+        plan.contains("IsNotNull(event_type)") || plan.contains("EqualTo(event_type"),
+        s"event_type predicate not pushed:\n${plan.take(2000)}")
+      // the flagship range read itself computes with ZERO shuffles
+      // (scan + filter + project; the output orderBy is the only sort)
+      assert(shuffleCount(df) <= 1, "range_full grew an unexpected exchange")
+    }
+  }
+
+  test("rollup_1s is one partial-agg shuffle plus the output sort") {
+    withPlainPlans {
+      val df = SparkEntry.queries("rollup_1s")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // map-side partial aggregation present (two HashAggregate tiers)
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+      assert(shuffleCount(df) <= 2, "rollup gained an extra shuffle")
+    }
+  }
+
+  test("asof_attribution computes with ONE data shuffle plus the output sort") {
+    withPlainPlans {
+      val df = SparkEntry.queries("asof_attribution")(spark, sf)
+      // union + window = one exchange on user_id; the deterministic
+      // output orderBy is the second — anything more is a regression
+      assert(shuffleCount(df) <= 2, "as-of join no longer single-shuffle")
+    }
+  }
+
+  test("q3_join broadcasts the customer dimension") {
+    withPlainPlans {
+      val df = SparkEntry.queries("q3_join")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+        "dimension join is not broadcast")
+    }
+  }
+}
