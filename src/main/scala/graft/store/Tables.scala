@@ -178,8 +178,28 @@ object Tables {
    * touches few partitions), fold with the A2 monoid, and dynamically
    * overwrite just those partitions.
    */
+  /** The (fidelity, dataset_id, part_s) partitions a batch with the
+   *  given ts bounds and dataset set can touch — pure arithmetic on
+   *  the same bucket/part derivation `allLevelPartials` uses, so it is
+   *  a (possibly strict) superset of the partitions that actually
+   *  receive rows: reading an extra in-range partition is only wasted
+   *  IO, never wrong.
+   */
+  def affectedPartitions(
+      tsLoUs: Long, tsHiUs: Long, datasets: Seq[String]): Seq[(String, String, Long)] =
+    for {
+      f <- Fidelity.aggLevels
+      w = partitionWindowS(f)
+      d = f.seconds
+      partLo = tsLoUs / (d * 1000000L) * d / w * w
+      partHi = tsHiUs / (d * 1000000L) * d / w * w
+      part <- partLo to partHi by w
+      ds <- datasets
+    } yield (fidelityPart(f), ds, part)
+
   def mergeRollups(
-      spark: SparkSession, root: String, partials: DataFrame): Unit = {
+      spark: SparkSession, root: String, partials: DataFrame,
+      affectedHint: Option[Seq[(String, String, Long)]] = None): Unit = {
     // Persist the tagged partials: the lineage behind them would
     // otherwise be recomputed by BOTH the affected-partition job and
     // the write job.
@@ -194,9 +214,16 @@ object Tables {
     // existing-table read to the batch's part_s range with TWO literal
     // bounds (static partition pruning — a per-key OR chain would blow
     // up Catalyst planning), then exact-match the affected partitions
-    // with a broadcast semi-join.
-    val affected = newPart.select("fidelity", "dataset_id", "part_s")
-      .distinct().persist()
+    // with a broadcast semi-join. When the caller already knows the
+    // batch's ts bounds and datasets (ingestBatch does), the set comes
+    // in as a LOCAL hint — computing it from `newPart` would run the
+    // whole partials lineage once more just to enumerate keys.
+    import spark.implicits._
+    val affected = affectedHint
+      .filter(_.size <= 20000) // degenerate spans fall back to the exact job
+      .map(_.toDF("fidelity", "dataset_id", "part_s"))
+      .getOrElse(newPart.select("fidelity", "dataset_id", "part_s").distinct())
+      .persist()
     def prof[T](l: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
       if (sys.env.contains("GRAFT_PROF"))
@@ -290,16 +317,27 @@ object Tables {
       if (dedup) deduped.localCheckpoint(true)
       else deduped.persist()
     try {
-      // All 6 levels in one aggregation (allLevelPartials) instead of
-      // the reference's per-level recompute-from-raw
-      // (src/index.py:137-177). The raw append and the rollup merge
-      // write to DISJOINT tables — run them as concurrent Spark jobs so
-      // the batch pays max(raw, rollup) latency, not their sum (the
-      // reference writes its 7 levels sequentially, src/index.py:124-177).
-      val writes = Seq(
-        Future(appendRaw(batch, root)),
-        Future(mergeRollups(spark, root, allLevelPartials(batch))))
-      Await.result(Future.sequence(writes), Duration.Inf)
+      // One light agg over the persisted batch gives the ts bounds and
+      // dataset set — from which the affected rollup partitions follow
+      // arithmetically (affectedPartitions). Passing them as a hint
+      // spares mergeRollups a distinct job over the full partials
+      // lineage just to enumerate keys.
+      val stats = batch
+        .agg(min("ts_us"), max("ts_us"), collect_set("dataset_id")).head()
+      if (!stats.isNullAt(0)) {
+        val hint = affectedPartitions(
+          stats.getLong(0), stats.getLong(1), stats.getSeq[String](2))
+        // All 6 levels in one aggregation (allLevelPartials) instead of
+        // the reference's per-level recompute-from-raw
+        // (src/index.py:137-177). The raw append and the rollup merge
+        // write to DISJOINT tables — run them as concurrent Spark jobs so
+        // the batch pays max(raw, rollup) latency, not their sum (the
+        // reference writes its 7 levels sequentially, src/index.py:124-177).
+        val writes = Seq(
+          Future(appendRaw(batch, root)),
+          Future(mergeRollups(spark, root, allLevelPartials(batch), Some(hint))))
+        Await.result(Future.sequence(writes), Duration.Inf)
+      }
     } finally batch.unpersist()
   }
 }
