@@ -250,9 +250,13 @@ object CoreQueries {
     "series_anomaly_100s" -> ((s, dir) => {
       val fr = org.apache.spark.sql.expressions.Window
         .partitionBy("dataset_id").orderBy("bucket_s").rowsBetween(-12, -1)
-      val mu = col("s1") / col("n")
-      val sd = sqrt(greatest(
-        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), lit(0.0)))
+      // mu/sd are rounded to 6dp BEFORE the threshold test: engines sum
+      // the (identical) frame values in different orders (sequential vs
+      // pairwise), so the raw aggregates differ at the last ulp — row
+      // MEMBERSHIP must depend only on values both engines agree on
+      val mu = r6(col("s1") / col("n"))
+      val sd = r6(sqrt(greatest(
+        (col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1), lit(0.0))))
       Rollup.aggregate(ev(s, dir), 100)
         .select(
           col("dataset_id"), col("bucket_s"),
@@ -291,10 +295,15 @@ object CoreQueries {
     // IDENTICAL arithmetic (engine-native corr() implementations differ
     // in accumulation scheme); input is the 100 s level, not raw points
     "series_corr_100s" -> ((s, dir) => {
+      // bucket means rounded to 6dp first: the Pearson numerator
+      // subtracts two large nearly-equal sums, which amplifies
+      // engine-ulp differences in the raw means — rounded means are
+      // identical doubles on both sides (same discipline as
+      // series_rate_10s)
       val m = Rollup.aggregate(
           ev(s, dir).where(col("dataset_id").isin("view", "click")), 100)
         .select(col("dataset_id"), col("bucket_s"),
-          (col("sum_v") / col("cnt")).as("m"))
+          r6(col("sum_v") / col("cnt")).as("m"))
       val x = m.where(col("dataset_id") === "view").select(col("bucket_s"), col("m").as("x"))
       val y = m.where(col("dataset_id") === "click").select(col("bucket_s"), col("m").as("y"))
       val sums = x.join(y, Seq("bucket_s"))
@@ -523,8 +532,8 @@ object CoreQueries {
         |  WINDOW fr AS (PARTITION BY dataset_id ORDER BY bucket_s
         |                ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
         |z AS (
-        |  SELECT dataset_id, bucket_s, m, n, s1 / n AS mu,
-        |    sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)) AS sd
+        |  SELECT dataset_id, bucket_s, m, n, round(s1 / n, 6) AS mu,
+        |    round(sqrt(greatest((s2 - s1 * s1 / n) / (n - 1), 0.0)), 6) AS sd
         |  FROM w WHERE n >= 6)
         |SELECT dataset_id, bucket_s, m, round((m - mu) / sd, 6) AS z
         |FROM z WHERE sd > 0 AND abs(m - mu) > 3 * sd
@@ -546,7 +555,7 @@ object CoreQueries {
       """WITH r AS (
         |  SELECT event_type AS dataset_id,
         |    (epoch_us(ts) // 100000000) * 100 AS bucket_s,
-        |    sum(value) / count(*) AS m
+        |    round(sum(value) / count(*), 6) AS m
         |  FROM events
         |  WHERE value IS NOT NULL AND NOT isnan(value)
         |    AND event_type IN ('view', 'click')

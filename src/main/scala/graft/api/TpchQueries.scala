@@ -189,17 +189,22 @@ object TpchQueries {
         |  AND epoch_us(l_shipdate) < 852076800000000
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    // tie-break mirrors asofBackward's running max(struct(ts, id)):
+    // latest ts first, then MAX event_id among equal-ts views — a
+    // two-step max avoids arg_max, whose tie choice is unspecified
     "asof_attribution" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
         |           FROM events WHERE event_type = 'purchase'),
         |v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
-        |      FROM events WHERE event_type = 'view')
-        |SELECT p.p_id, p.user_id, p.p_us,
-        |  arg_max(v.event_id, v.ts_us) AS v_id,
-        |  max(v.ts_us) AS v_us,
-        |  p.p_us - max(v.ts_us) AS gap_us
-        |FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts_us <= p.p_us
-        |GROUP BY 1, 2, 3 ORDER BY p_id""".stripMargin,
+        |      FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.p_id, p.user_id, p.p_us, max(v.ts_us) AS v_us
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts_us <= p.p_us
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.p_id, m.user_id, m.p_us,
+        |  max(v.event_id) AS v_id, m.v_us, m.p_us - m.v_us AS gap_us
+        |FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.ts_us = m.v_us
+        |GROUP BY 1, 2, 3, 5, 6 ORDER BY p_id""".stripMargin,
     "sliding_60s_15s" ->
       """SELECT event_type AS dataset_id,
         |  (epoch_us(ts) // 15000000 - t.j) * 15 AS win_s,

@@ -163,7 +163,10 @@ case class TopCentroids(
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    val m = math.min(dim, v.numElements())
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: input vector has ${v.numElements()} components, index dim is $dim")
+    val m = dim
     var vn = 0.0
     var i = 0
     while (i < m) { val x = v.getDouble(i); vn += x * x; i += 1 }
@@ -215,7 +218,12 @@ case class TopCentroids(
       val q = ctx.freshName("q")
       val last = ctx.freshName("last")
       s"""
-         |int $m = java.lang.Math.min($dim, $a.numElements());
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "vec_top_centroids: input vector has " + $a.numElements() +
+         |    " components, index dim is " + $dim);
+         |}
+         |int $m = $dim;
          |double $vn = 0.0;
          |for (int $i = 0; $i < $m; $i++) {
          |  double x = $a.getDouble($i); $vn += x * x;
@@ -286,7 +294,10 @@ case class LshBandBuckets(
 
   override def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    val m = math.min(dim, v.numElements())
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"$prettyName: input vector has ${v.numElements()} components, plane dim is $dim")
+    val m = dim
     val buckets = new Array[Long](bands)
     var p = 0
     while (p < nBits) {
@@ -308,7 +319,12 @@ case class LshBandBuckets(
       val i = ctx.freshName("i")
       val dot = ctx.freshName("dot")
       s"""
-         |int $m = java.lang.Math.min($dim, $a.numElements());
+         |if ($a.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "vec_lsh_buckets: input vector has " + $a.numElements() +
+         |    " components, plane dim is " + $dim);
+         |}
+         |int $m = $dim;
          |long[] $buckets = new long[$bands];
          |for (int $p = 0; $p < $nBits; $p++) {
          |  double $dot = 0.0;

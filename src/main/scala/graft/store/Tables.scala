@@ -183,19 +183,30 @@ object Tables {
    *  the same bucket/part derivation `allLevelPartials` uses, so it is
    *  a (possibly strict) superset of the partitions that actually
    *  receive rows: reading an extra in-range partition is only wasted
-   *  IO, never wrong.
+   *  IO, never wrong. Returns None when the set would exceed `cap`
+   *  (e.g. one corrupt epoch-0 timestamp stretching the span to
+   *  decades) — the size check runs on COUNTS before anything
+   *  materializes, and callers then fall back to the exact
+   *  distinct-over-partials job.
    */
   def affectedPartitions(
-      tsLoUs: Long, tsHiUs: Long, datasets: Seq[String]): Seq[(String, String, Long)] =
-    for {
-      f <- Fidelity.aggLevels
-      w = partitionWindowS(f)
-      d = f.seconds
-      partLo = tsLoUs / (d * 1000000L) * d / w * w
-      partHi = tsHiUs / (d * 1000000L) * d / w * w
+      tsLoUs: Long, tsHiUs: Long, datasets: Seq[String],
+      cap: Long = 20000L): Option[Seq[(String, String, Long)]] = {
+    val perLevel = Fidelity.aggLevels.map { f =>
+      val w = partitionWindowS(f)
+      val d = f.seconds
+      val partLo = tsLoUs / (d * 1000000L) * d / w * w
+      val partHi = tsHiUs / (d * 1000000L) * d / w * w
+      (f, w, partLo, partHi, (partHi - partLo) / w + 1)
+    }
+    val total = perLevel.map(_._5).sum * datasets.size
+    if (total > cap || total <= 0) None
+    else Some(for {
+      (f, w, partLo, partHi, _) <- perLevel
       part <- partLo to partHi by w
       ds <- datasets
-    } yield (fidelityPart(f), ds, part)
+    } yield (fidelityPart(f), ds, part))
+  }
 
   def mergeRollups(
       spark: SparkSession, root: String, partials: DataFrame,
@@ -325,7 +336,8 @@ object Tables {
       val stats = batch
         .agg(min("ts_us"), max("ts_us"), collect_set("dataset_id")).head()
       if (!stats.isNullAt(0)) {
-        val hint = affectedPartitions(
+        // None (over-cap span) → mergeRollups runs its exact fallback
+        val hint: Option[Seq[(String, String, Long)]] = affectedPartitions(
           stats.getLong(0), stats.getLong(1), stats.getSeq[String](2))
         // All 6 levels in one aggregation (allLevelPartials) instead of
         // the reference's per-level recompute-from-raw
@@ -335,7 +347,7 @@ object Tables {
         // reference writes its 7 levels sequentially, src/index.py:124-177).
         val writes = Seq(
           Future(appendRaw(batch, root)),
-          Future(mergeRollups(spark, root, allLevelPartials(batch), Some(hint))))
+          Future(mergeRollups(spark, root, allLevelPartials(batch), hint)))
         Await.result(Future.sequence(writes), Duration.Inf)
       }
     } finally batch.unpersist()

@@ -41,17 +41,15 @@ object TextOps {
 
   private val StopWords = Seq("the", "a", "data", "key")
 
-  /** Quality-scoring stats: word/char counts, average word length,
-   *  stopword ratio, and a simple composite score.
+  /** The quality-stat columns (single source of truth — `stats` and
+   *  `profile` must never diverge).
    */
-  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = col(textCol)
+  private def statCols(t: Column): Seq[Column] = {
     val toks = tokens(t)
     val nWords = size(toks).cast("long")
     val stopN = size(filter(toks, w => w.isInCollection(StopWords))).cast("long")
     val stopRatio = stopN.cast("double") / nWords.cast("double")
-    docs.select(
-      col(idCol),
+    Seq(
       length(t).cast("long").as("n_chars"),
       nWords.as("n_words"),
       (length(regexp_replace(t, " ", "")).cast("double") / nWords.cast("double"))
@@ -68,61 +66,50 @@ object TextOps {
     "fr" -> Seq("le", "la", "et", "les"),
     "es" -> Seq("el", "los", "y", "las"))
 
+  /** Per-language marker-hit counts (`en_n` … `es_n`). */
+  private def markerCols(t: Column): Seq[Column] = {
+    val toks = tokens(t)
+    Markers.map { case (lang, ws) =>
+      size(filter(toks, w => w.isInCollection(ws))).cast("long").as(s"${lang}_n")
+    }
+  }
+
+  /** Argmax when-chain over MATERIALIZED marker-count columns (each
+   *  count column is referenced more than once — inlining the count
+   *  expressions would re-split the text per reference).
+   */
+  private def langPredCol: Column = {
+    val Seq(en, de, fr, es) = Markers.map { case (l, _) => col(s"${l}_n") }
+    when(en === 0 && de === 0 && fr === 0 && es === 0, "unknown")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Quality-scoring stats: word/char counts, average word length,
+   *  stopword ratio, and a simple composite score.
+   */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +: statCols(col(textCol)): _*)
+
   /** Marker-word language-ID heuristic: count stopword hits per
    *  language, argmax with a deterministic priority order, 'unknown'
    *  when nothing matches.
    */
-  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
-    val scored = docs.select(
-      col(idCol) +:
-        Markers.map { case (lang, ws) =>
-          size(filter(toks, w => w.isInCollection(ws))).cast("long").as(s"${lang}_n")
-        }: _*)
-    val Seq(en, de, fr, es) = Markers.map { case (l, _) => col(s"${l}_n") }
-    scored.withColumn(
-      "lang_pred",
-      when(en === 0 && de === 0 && fr === 0 && es === 0, "unknown")
-        .when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es"))
-  }
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol) +: markerCols(col(textCol)): _*)
+      .withColumn("lang_pred", langPredCol)
 
   /** Full per-document profile — the `stats` columns AND the language
-   *  prediction in one two-step narrow projection (marker counts
-   *  materialize first so the argmax when-chain evaluates each count
-   *  once). Use this instead of `stats(...).join(langId(...))`, which
-   *  shuffles both projections just to re-align rows that never moved.
+   *  prediction in one two-step narrow projection. Use this instead of
+   *  `stats(...).join(langId(...))`, which shuffles both projections
+   *  just to re-align rows that never moved.
    */
   def profile(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
-    val nWords = size(toks).cast("long")
-    val stopN = size(filter(toks, w => w.isInCollection(StopWords))).cast("long")
-    val stopRatio = stopN.cast("double") / nWords.cast("double")
-    val scored = docs.select(
-      Seq(
-        col(idCol),
-        length(t).cast("long").as("n_chars"),
-        nWords.as("n_words"),
-        (length(regexp_replace(t, " ", "")).cast("double") / nWords.cast("double"))
-          .as("avg_word_len"),
-        stopN.as("n_stopwords"),
-        stopRatio.as("stop_ratio"),
-        (least(lit(1.0), nWords.cast("double") / 100.0) * (lit(1.0) - stopRatio))
-          .as("quality")) ++
-        Markers.map { case (lang, ws) =>
-          size(filter(toks, w => w.isInCollection(ws))).cast("long").as(s"${lang}_n")
-        }: _*)
-    val Seq(en, de, fr, es) = Markers.map { case (l, _) => col(s"${l}_n") }
-    scored.withColumn(
-      "lang_pred",
-      when(en === 0 && de === 0 && fr === 0 && es === 0, "unknown")
-        .when(en >= de && en >= fr && en >= es, "en")
-        .when(de >= fr && de >= es, "de")
-        .when(fr >= es, "fr")
-        .otherwise("es"))
+    docs.select(col(idCol) +: (statCols(t) ++ markerCols(t)): _*)
+      .withColumn("lang_pred", langPredCol)
   }
 
   /** Whitespace + regex token counts and a chars/4 BPE-count estimate. */
