@@ -73,13 +73,18 @@ object PipelineQueries {
       Dedup.exactDups(exactCorpus(s, dir), "doc_id", "text")
         .select(col("h"), col("keep_id"), col("n_docs"))
         .orderBy("h")),
-    "jaccard_pairs" -> ((s, dir) =>
-      Dedup.exactJaccardPairs(
-        Dedup.shingleSet(nearDupCorpus(s, dir), "doc_id", "text")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
-        JaccardThreshold)
+    "jaccard_pairs" -> ((s, dir) => {
+      // scope the shingle cache to this query: materialize the (small)
+      // pair set eagerly, then release the cached shingle partitions
+      val sh = Dedup.shingleSet(nearDupCorpus(s, dir), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pairs =
+        try Dedup.exactJaccardPairs(sh, JaccardThreshold).localCheckpoint(true)
+        finally sh.unpersist(false)
+      pairs
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
-        .orderBy("a_id", "b_id")),
+        .orderBy("a_id", "b_id")
+    }),
     "dedup_minhash" -> ((s, dir) =>
       Dedup.minhashDedup(nearDupCorpus(s, dir), "doc_id", "text", JaccardThreshold)
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
@@ -147,13 +152,18 @@ object PipelineQueries {
         .groupBy(md5(col("text")).as("h"))
         .agg(min_by(struct(col("doc_id"), col("text")), col("doc_id")).as("r"))
         .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+      // float parity: per-doc quality is bit-identical across engines
+      // (same narrow arithmetic), but avg() accumulates in engine-specific
+      // order. Convert to exact ppm integers (order-independent sum),
+      // then divide identical operands — no final round needed.
       TextOps.profile(kept, "doc_id", "text")
-        .where(col("quality") >= 0.3)
+        .withColumn("qppm", round(col("quality") * 1e6).cast("long"))
+        .where(col("qppm") >= 300000L)
         .groupBy("lang_pred")
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_words")).as("sum_words"),
-          r6(avg(col("quality"))).as("avg_quality"))
+          (sum(col("qppm")).cast("double") / count(lit(1)) / 1e6).as("avg_quality"))
         .orderBy("lang_pred")
     }),
 
@@ -258,7 +268,8 @@ object PipelineQueries {
         |        t -> t IN ('el', 'los', 'y', 'las'))) AS es_n
         |  FROM kept),
         |lg AS (
-        |  SELECT doc_id, n_words, quality,
+        |  SELECT doc_id, n_words,
+        |    CAST(round(quality * 1000000) AS BIGINT) AS qppm,
         |    CASE WHEN en_n = 0 AND de_n = 0 AND fr_n = 0 AND es_n = 0 THEN 'unknown'
         |         WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
         |         WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
@@ -266,8 +277,8 @@ object PipelineQueries {
         |         ELSE 'es' END AS lang_pred
         |  FROM st)
         |SELECT lang_pred, count(*) AS n_docs, sum(n_words) AS sum_words,
-        |  round(avg(quality), 6) AS avg_quality
-        |FROM lg WHERE quality >= 0.3
+        |  CAST(sum(qppm) AS DOUBLE) / count(*) / 1000000.0 AS avg_quality
+        |FROM lg WHERE qppm >= 300000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_simhash" -> simhashOracle,
     "dedup_exact" ->

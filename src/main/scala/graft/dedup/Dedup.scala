@@ -162,6 +162,12 @@ object Dedup {
    *  verify. The shingle set feeds the signature AND both sides of the
    *  verification join — persist it once instead of recomputing the
    *  explode+distinct+df-cap chain four times.
+   *
+   *  The persists are SCOPED to this call: the verified pair set (tiny
+   *  relative to the shingle set) is materialized eagerly via
+   *  localCheckpoint while the intermediates are cached, and the
+   *  intermediates are unpersisted before returning — a long-lived
+   *  engine must not accumulate multi-GB shingle caches across queries.
    */
   def minhashDedup(
       docs: DataFrame, idCol: String, textCol: String,
@@ -170,9 +176,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignature(sh, k)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pruned = estimatePrune(
-      lshCandidates(sig, k, bands), sig, k, minEst = threshold / 2)
-    verifyJaccard(pruned, sh, threshold)
+    try {
+      val pruned = estimatePrune(
+        lshCandidates(sig, k, bands), sig, k, minEst = threshold / 2)
+      verifyJaccard(pruned, sh, threshold).localCheckpoint(true)
+    } finally {
+      sig.unpersist(false)
+      sh.unpersist(false)
+    }
   }
 
   val SimhashBits = 60
