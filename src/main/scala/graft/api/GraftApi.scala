@@ -52,11 +52,16 @@ final class GraftApi(
     Search.datasets(
       Tables.readRaw(spark, root), query, maxCount)
 
-  /** POST /api/comment/new — ns-clock id assigned HERE, never inside a
-   *  distributed job (marks.py:82; SURVEY §7.4.5).
+  /** POST /api/comment/new — EPOCH-nanosecond id assigned HERE, never
+   *  inside a distributed job (marks.py:82 uses `time.time_ns()`:
+   *  ids are time-ordered and meaningful across process restarts —
+   *  `System.nanoTime()` is an arbitrary-origin monotonic clock and
+   *  would be neither; SURVEY §7.4.5). The atomic max guards the
+   *  sub-µs-resolution clock: two creates in the same tick still get
+   *  strictly increasing ids.
    */
   def createComment(dateUs: Long, text: String, tags: Seq[String]): Long = {
-    val id = System.nanoTime()
+    val id = GraftApi.nextEpochNsId()
     CommentStore.create(spark, commentsPath, id, dateUs, text, tags)
     id
   }
@@ -87,5 +92,19 @@ final class GraftApi(
       ("index.num_gets", tsUs, numGets.get().toDouble))
       .toDF("dataset_id", "ts_us", "value")
     Tables.ingestBatch(spark, root, rows)
+  }
+}
+
+object GraftApi {
+  private val lastId = new AtomicLong(0L)
+
+  /** Current epoch time in ns (µs clock resolution × 1000, like the
+   *  reference's time_ns granularity on most platforms), made strictly
+   *  monotonic per JVM via an atomic max-then-increment.
+   */
+  private def nextEpochNsId(): Long = {
+    val now = java.time.Instant.now()
+    val epochNs = now.getEpochSecond * 1000000000L + now.getNano
+    lastId.updateAndGet(prev => math.max(prev + 1, epochNs))
   }
 }

@@ -31,7 +31,7 @@ object CommentStore {
     require(!(text +: tags).exists(_.contains(";")), "fields may not contain ';'")
 
   def load(spark: SparkSession, path: String): DataFrame =
-    if (new java.io.File(path).exists())
+    if (StoreFs.exists(spark, path))
       spark.read.parquet(path).select(
         col("id").cast(LongType), col("date_us").cast(LongType),
         col("text"), col("tags"))
@@ -39,24 +39,19 @@ object CommentStore {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete(): Unit
-  }
-
   /** O3 — full sorted rewrite, the reference's write path (marks.py:163-181).
    *  coalesce-then-sortWithinPartitions: a single-partition local sort is
    *  the same global order as `orderBy` without the range-partitioner
    *  SAMPLING job a global sort schedules first — one job per mutation,
-   *  not two (the store is broadcast-small by construction).
+   *  not two (the store is broadcast-small by construction). The
+   *  tmp-write + swap goes through the Hadoop FileSystem API so the
+   *  store works on HDFS/S3 paths, not just the local filesystem.
    */
   private def rewrite(df: DataFrame, path: String): Unit = {
     val tmp = path + ".tmp"
     df.coalesce(1).sortWithinPartitions(col("date_us"), col("id"))
       .write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(path)
-    if (target.exists()) deleteRecursively(target)
-    new java.io.File(tmp).renameTo(target): Unit
+    StoreFs.replace(df.sparkSession, tmp, path)
   }
 
   def create(

@@ -79,6 +79,13 @@ object Tables {
    */
   val RawWindowS: Long = 7L * 86400L
 
+  /** Max dataset cardinality for the driver-resident partition hint in
+   *  `ingestBatch` — above this, even a 1-window batch would enumerate
+   *  > 6 × 4000 = 24k partitions, past `affectedPartitions`' cap, so
+   *  collecting the dataset set would be wasted driver memory.
+   */
+  val HintMaxDatasets: Long = 4000L
+
   /** S2 — append a sanitized long batch to the raw table. The
    *  within-partition ts sort is the reference's ingest sort (O1,
    *  src/index.py:117-122) re-purposed: hash aggregation doesn't need
@@ -103,7 +110,7 @@ object Tables {
    */
   private def readOrEmpty(
       spark: SparkSession, path: String, schema: StructType, partCols: Seq[String]): DataFrame =
-    if (new java.io.File(path).exists())
+    if (StoreFs.exists(spark, path))
       spark.read.parquet(path)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
@@ -119,7 +126,7 @@ object Tables {
   private def readRawDays(
       spark: SparkSession, root: String, dayLo: Long, dayHi: Long): DataFrame = {
     val path = rawPath(root)
-    if (!new java.io.File(path).exists())
+    if (!StoreFs.exists(spark, path))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawSchema)
     else
       spark.read.parquet(path)
@@ -132,7 +139,7 @@ object Tables {
    */
   def readRollup(spark: SparkSession, root: String, f: Fidelity): DataFrame = {
     val path = rollupPath(root)
-    if (new java.io.File(path).exists())
+    if (StoreFs.exists(spark, path))
       spark.read.parquet(path)
         .where(col("fidelity") === fidelityPart(f))
         .select(rollupSchema.fields.map(fl => col(fl.name).cast(fl.dataType)).toIndexedSeq: _*)
@@ -246,7 +253,7 @@ object Tables {
       if (bounds.isNullAt(0)) return // empty batch: nothing to merge
       val path = rollupPath(root)
       val existing =
-        if (!new java.io.File(path).exists()) None
+        if (!StoreFs.exists(spark, path)) None
         else Some(
           spark.read.parquet(path)
             .where(col("part_s").between(bounds.getLong(0), bounds.getLong(1)))
@@ -290,6 +297,28 @@ object Tables {
    * (reference: src/index.py:124-177). Used by both the batch bootstrap
    * path and the Structured Streaming `foreachBatch` sink.
    */
+  /** Driver-resident affected-partition hint for a (persisted) batch —
+   *  one light agg gives the ts bounds and APPROXIMATE dataset
+   *  cardinality, from which the affected rollup partitions follow
+   *  arithmetically (`affectedPartitions`). The exact dataset set is
+   *  collected in a second pass ONLY when the approximate count says it
+   *  is driver-safe: a 10⁶-series telemetry batch must never build a
+   *  10⁶-element driver array just for `affectedPartitions` to then
+   *  decline it. HintMaxDatasets × ≥6 level-windows already exceeds the
+   *  20k partition cap, so the ±2% HLL error cannot admit a hint the
+   *  cap would have rejected anyway.
+   */
+  private[graft] def partitionHint(
+      batch: DataFrame): Option[Seq[(String, String, Long)]] = {
+    val stats = batch
+      .agg(min("ts_us"), max("ts_us"),
+        approx_count_distinct("dataset_id").as("nds")).head()
+    if (stats.isNullAt(0) || stats.getLong(2) > HintMaxDatasets) None
+    else affectedPartitions(
+      stats.getLong(0), stats.getLong(1),
+      batch.agg(collect_set("dataset_id")).head().getSeq[String](0))
+  }
+
   def ingestBatch(
       spark: SparkSession, root: String, batchLong: DataFrame,
       dedup: Boolean = false): Unit = {
@@ -328,17 +357,10 @@ object Tables {
       if (dedup) deduped.localCheckpoint(true)
       else deduped.persist()
     try {
-      // One light agg over the persisted batch gives the ts bounds and
-      // dataset set — from which the affected rollup partitions follow
-      // arithmetically (affectedPartitions). Passing them as a hint
-      // spares mergeRollups a distinct job over the full partials
-      // lineage just to enumerate keys.
-      val stats = batch
-        .agg(min("ts_us"), max("ts_us"), collect_set("dataset_id")).head()
-      if (!stats.isNullAt(0)) {
-        // None (over-cap span) → mergeRollups runs its exact fallback
-        val hint: Option[Seq[(String, String, Long)]] = affectedPartitions(
-          stats.getLong(0), stats.getLong(1), stats.getSeq[String](2))
+      if (!batch.isEmpty) {
+        // None (over-cap span or too many series) → mergeRollups runs
+        // its exact distinct-over-partials fallback
+        val hint = partitionHint(batch)
         // All 6 levels in one aggregation (allLevelPartials) instead of
         // the reference's per-level recompute-from-raw
         // (src/index.py:137-177). The raw append and the rollup merge

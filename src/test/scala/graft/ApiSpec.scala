@@ -42,8 +42,15 @@ class ApiSpec extends AnyFunSuite {
     assert(api.datasets("series").count() == 2)
     assert(api.datasets("series.b").count() == 1)
 
-    // comments CRUD with API-assigned ns ids (marks.py:82)
+    // comments CRUD with API-assigned EPOCH-ns ids (marks.py:82
+    // time_ns semantics): strictly increasing across creates and
+    // anchored to wall-clock epoch, not an arbitrary monotonic origin
+    val preNs = java.time.Instant.now().toEpochMilli * 1000000L
     val id = api.createComment(t0, "note", Seq("tag1"))
+    val id2 = api.createComment(t0 + 10, "note2", Seq("tagx"))
+    assert(id >= preNs && id < preNs + 3600L * 1000000000L)
+    assert(id2 > id)
+    api.deleteComment(id2)
     assert(api.comments(t0 - 1, t0 + 1, Seq("tag1")).count() == 1)
     api.updateComment(id, t0, "edited", Seq("tag1", "tag2"))
     assert(api.comments(t0 - 1, t0 + 1, Seq("tag2")).head().getString(2) == "edited")

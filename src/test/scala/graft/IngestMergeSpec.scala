@@ -130,4 +130,28 @@ class IngestMergeSpec extends AnyFunSuite {
       assert(total == 10000, s"level ${f.name}")
     }
   }
+
+  test("partition hint declines a 50k-series batch without a driver collect") {
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    import spark.implicits._
+    val t0 = TestSpark.isoUs("2024-01-01T02:00:00")
+    // 50k distinct series, 1 point each — the hint must bail on the
+    // approximate cardinality alone, never materializing the id set
+    val big = spark.range(50000)
+      .select(
+        concat(lit("series_"), col("id")).as("dataset_id"),
+        (lit(t0) + $"id").as("ts_us"),
+        lit(1.0).as("value"))
+    assert(Tables.partitionHint(big).isEmpty)
+
+    // a small batch still yields the full arithmetic enumeration:
+    // 6 levels × 3 series × 1 window each
+    val small = spark.range(3)
+      .select(
+        concat(lit("s"), col("id")).as("dataset_id"),
+        (lit(t0) + $"id" * 1000000L).as("ts_us"),
+        lit(1.0).as("value"))
+    val hint = Tables.partitionHint(small)
+    assert(hint.nonEmpty && hint.get.size == 18)
+  }
 }
