@@ -140,13 +140,18 @@ object CoreQueries {
     // format, kept as a codec even though storage is parquet —
     // deliberate divergence §7.5): serialize each point to
     // "ts,value", parse it back, emit the line + parsed columns -------
+    // the serialized `line` itself is NOT in the compared output:
+    // engines agree on double→string rendering only in the
+    // plain-decimal range (~[1e-3, 1e7) — "1.0E-4" vs "0.0001"
+    // elsewhere), so each engine round-trips ITS OWN rendering and the
+    // compare runs on the parsed VALUES, which are lossless either way
     "csv_roundtrip" -> ((s, dir) =>
       ev(s, dir)
         .withColumn("line", concat_ws(",", col("ts_us"), col("value")))
         .withColumn("parts", split(col("line"), ","))
         .select(
           col("dataset_id"),
-          col("line"),
+          size(col("parts")).cast("long").as("n_fields"),
           element_at(col("parts"), 1).cast("long").as("ts_us"),
           element_at(col("parts"), 2).cast("double").as("value"))
         .orderBy("dataset_id", "ts_us", "value")),
@@ -512,7 +517,8 @@ object CoreQueries {
         |  SELECT event_type AS dataset_id,
         |    epoch_us(ts)::VARCHAR || ',' || value::VARCHAR AS line
         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
-        |SELECT dataset_id, line,
+        |SELECT dataset_id,
+        |  CAST(len(string_split(line, ',')) AS BIGINT) AS n_fields,
         |  string_split(line, ',')[1]::BIGINT AS ts_us,
         |  string_split(line, ',')[2]::DOUBLE AS value
         |FROM l ORDER BY dataset_id, ts_us, value""".stripMargin,

@@ -40,17 +40,30 @@ object Temporal {
    *
    * Output = all left columns + `asof` struct column.
    */
+  /** Order key for a time column that PRESERVES sub-second precision:
+   *  TimestampType → epoch µs (a bare cast("long") would truncate to
+   *  whole seconds, letting a right row up to 0.999 s AFTER a left row
+   *  in the same second sort before it and get attached); integral
+   *  types pass through as-is.
+   */
+  private def tsOrderKey(df: DataFrame, c: String): org.apache.spark.sql.Column =
+    df.schema(c).dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType => unix_micros(col(c))
+      case _ => col(c).cast("long")
+    }
+
   def asofBackward(
       left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, rightCarry: Seq[String]): DataFrame = {
     val payload = struct((rightTs +: rightCarry).map(col): _*)
     val r = right.select(
       keys.map(col) ++ Seq(
-        col(rightTs).cast("long").as("__ts"), lit(0).as("__side"),
+        tsOrderKey(right, rightTs).as("__ts"), lit(0).as("__side"),
         payload.as("asof")): _*)
     val rType = r.schema("asof").dataType
     val l = left
-      .withColumn("__ts", col(leftTs).cast("long"))
+      .withColumn("__ts", tsOrderKey(left, leftTs))
       .withColumn("__side", lit(1))
       .withColumn("asof", lit(null).cast(rType))
     // right rows (side 0) sort before left rows at equal ts → the

@@ -12,7 +12,7 @@ import graft.model.Fidelity
  * (reference: src/index.py:22-29, 460-505).
  *
  * Two parquet tables:
- *   raw:    partitioned by (dataset_id, day_s)   — append-only
+ *   raw:    partitioned by (dataset_id, win_s)   — append-only
  *           (the reference appends raw files, src/index.py:517)
  *   rollup: ONE table for all 6 aggregate levels, partitioned by
  *           (fidelity, dataset_id, part_s) — read-merge-rewrite scoped
@@ -96,13 +96,13 @@ object Tables {
    */
   def appendRaw(long: DataFrame, root: String): Unit =
     long
-      .withColumn("day_s", expr(s"ts_us div ${RawWindowS * 1000000L}") * RawWindowS)
-      .repartition(col("dataset_id"), col("day_s"))
-      .sortWithinPartitions(col("dataset_id"), col("day_s"), col("ts_us"))
+      .withColumn("win_s", expr(s"ts_us div ${RawWindowS * 1000000L}") * RawWindowS)
+      .repartition(col("dataset_id"), col("win_s"))
+      .sortWithinPartitions(col("dataset_id"), col("win_s"), col("ts_us"))
       .write
       .mode("append")
       .option("maxRecordsPerFile", Fidelity.GroupSize)
-      .partitionBy("dataset_id", "day_s")
+      .partitionBy("dataset_id", "win_s")
       .parquet(rawPath(root))
 
   /** Read a table back; a never-written table reads as empty (the
@@ -118,19 +118,19 @@ object Tables {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   def readRaw(spark: SparkSession, root: String): DataFrame =
-    readOrEmpty(spark, rawPath(root), rawSchema, Seq("dataset_id", "day_s"))
+    readOrEmpty(spark, rawPath(root), rawSchema, Seq("dataset_id", "win_s"))
 
-  /** Raw read restricted to a day_s partition range — the filter lands
+  /** Raw read restricted to a win_s partition range — the filter lands
    *  on the partition column BEFORE projection, so it prunes statically.
    */
-  private def readRawDays(
-      spark: SparkSession, root: String, dayLo: Long, dayHi: Long): DataFrame = {
+  private def readRawWindows(
+      spark: SparkSession, root: String, winLo: Long, winHi: Long): DataFrame = {
     val path = rawPath(root)
     if (!StoreFs.exists(spark, path))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawSchema)
     else
       spark.read.parquet(path)
-        .where(col("day_s").between(dayLo, dayHi))
+        .where(col("win_s").between(winLo, winHi))
         .select(rawSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
   }
 
@@ -215,9 +215,18 @@ object Tables {
     } yield (fidelityPart(f), ds, part))
   }
 
+  /** @param preAggregated caller asserts `partials` is already unique
+   *  per (fidelity, dataset_id, part_s, bucket_s) — `allLevelPartials`
+   *  output qualifies. Only then may the first write into a fresh table
+   *  skip the merging groupBy; defaulting to false keeps the public
+   *  path safe (un-aggregated input would otherwise silently persist
+   *  duplicate bucket rows on the first write only, which readers
+   *  summing min/max/sum/cnt cannot detect).
+   */
   def mergeRollups(
       spark: SparkSession, root: String, partials: DataFrame,
-      affectedHint: Option[Seq[(String, String, Long)]] = None): Unit = {
+      affectedHint: Option[Seq[(String, String, Long)]] = None,
+      preAggregated: Boolean = false): Unit = {
     // Persist the tagged partials: the lineage behind them would
     // otherwise be recomputed by BOTH the affected-partition job and
     // the write job.
@@ -260,12 +269,11 @@ object Tables {
             .join(broadcast(affected), Seq("fidelity", "dataset_id", "part_s"), "left_semi")
             .select(newPart.columns.map(col).toIndexedSeq: _*))
 
-      // first write into a fresh table: the batch partials are already
-      // unique per (fidelity, dataset_id, part_s, bucket_s) — the merge
-      // re-aggregation would be an identity, so skip its shuffle
+      // first write into a fresh table with pre-aggregated partials:
+      // the merge re-aggregation would be an identity, skip its shuffle
       val merged = existing match {
-        case None => newPart
-        case Some(ex) => ex.unionByName(newPart)
+        case None if preAggregated => newPart
+        case ex => ex.map(_.unionByName(newPart)).getOrElse(newPart)
           .groupBy("fidelity", "dataset_id", "part_s", "bucket_s")
           .agg(
             min("min_v").as("min_v"),
@@ -340,9 +348,9 @@ object Tables {
         val bounds = inBatch.agg(min("ts_us"), max("ts_us")).head()
         if (bounds.isNullAt(0)) inBatch
         else {
-          val dayLo = bounds.getLong(0) / (RawWindowS * 1000000L) * RawWindowS
-          val dayHi = bounds.getLong(1) / (RawWindowS * 1000000L) * RawWindowS
-          val existing = readRawDays(spark, root, dayLo, dayHi)
+          val winLo = bounds.getLong(0) / (RawWindowS * 1000000L) * RawWindowS
+          val winHi = bounds.getLong(1) / (RawWindowS * 1000000L) * RawWindowS
+          val existing = readRawWindows(spark, root, winLo, winHi)
             .where(col("ts_us").between(bounds.getLong(0), bounds.getLong(1)))
           inBatch.join(
             existing.select("dataset_id", "ts_us", "value"),
@@ -369,7 +377,8 @@ object Tables {
         // reference writes its 7 levels sequentially, src/index.py:124-177).
         val writes = Seq(
           Future(appendRaw(batch, root)),
-          Future(mergeRollups(spark, root, allLevelPartials(batch), hint)))
+          Future(mergeRollups(spark, root, allLevelPartials(batch), hint,
+            preAggregated = true)))
         Await.result(Future.sequence(writes), Duration.Inf)
       }
     } finally batch.unpersist()

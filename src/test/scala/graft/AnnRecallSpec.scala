@@ -18,8 +18,9 @@ class AnnRecallSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
   test("LSH ANN recall@10 vs brute force on sf0.001 embeddings") {
+    assume(TestSpark.hasData, s"dataset ${TestSpark.dataDir} not present — skipping recall check")
     val emb = Similarity.asDouble(
-      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      spark.read.parquet(s"${TestSpark.dataDir}/embeddings.parquet"),
       "vec_id", "embedding")
     val queries = emb.where(col("vec_id") < 10)
 
@@ -45,8 +46,9 @@ class AnnRecallSpec extends AnyFunSuite {
   }
 
   test("IVF ANN recall@10 vs brute force on sf0.001 embeddings") {
+    assume(TestSpark.hasData, s"dataset ${TestSpark.dataDir} not present — skipping recall check")
     val emb = Similarity.asDouble(
-      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"),
+      spark.read.parquet(s"${TestSpark.dataDir}/embeddings.parquet"),
       "vec_id", "embedding")
     val queries = emb.where(col("vec_id") < 10)
 

@@ -14,9 +14,10 @@ import org.scalatest.funsuite.AnyFunSuite
  */
 class PlanAuditSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
-  private val sf = "/root/testdata/sf0.001"
+  private val sf = TestSpark.dataDir
 
   private def withPlainPlans[A](f: => A): A = {
+    assume(TestSpark.hasData, s"dataset ${TestSpark.dataDir} not present — skipping plan audit")
     val old = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try f finally spark.conf.set("spark.sql.adaptive.enabled", old)

@@ -34,6 +34,22 @@ class TemporalSpec extends AnyFunSuite {
       (4L, 70L, 23L), (5L, -1L, -1L)))
   }
 
+  test("asofBackward: TimestampType keeps sub-second order (no whole-second truncation)") {
+    // right row at 10:00:00.500 is AFTER left row at 10:00:00.200 —
+    // with cast("long") both truncate to the same second and the right
+    // row (side 0) would wrongly sort first and get attached
+    val left = Seq((1L, 1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.2")))
+      .toDF("p_id", "k", "lts")
+    val right = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00.5"), 99L),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 09:59:59.9"), 7L)
+    ).toDF("k", "rts", "event_id")
+    val out = Temporal
+      .asofBackward(left, right, Seq("k"), "lts", "rts", Seq("event_id"))
+      .select(col("asof.event_id")).head()
+    assert(out.getLong(0) == 7L) // the 09:59:59.9 row, not the later .5 one
+  }
+
   test("slidingAgg: every point lands in exactly size/slide epoch-aligned windows") {
     // one point at t=100s: windows starting 45,60,75,90 (size 60, slide 15)
     val one = TestSpark.longDF(Seq(("a", "1970-01-01T00:01:40", 2.0)))

@@ -33,4 +33,15 @@ object TestSpark {
 
   def tmpDir(prefix: String): String =
     java.nio.file.Files.createTempDirectory(prefix).toString
+
+  /** Driver-generated small-SF dataset used by the plan-shape and ANN
+   *  recall characterization specs. Resolved from the environment so
+   *  other checkouts can point elsewhere; specs `assume(hasData)` and
+   *  SKIP (not fail) when the directory is absent.
+   */
+  val dataDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_TESTDATA", "/root/testdata/sf0.001")
+
+  def hasData: Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dataDir))
 }
