@@ -123,6 +123,13 @@ object PipelineQueries {
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
     }),
+    "ann_ivf_kmeans" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      Similarity.ivfTopKKmeans(base, base.where(col("vec_id") < 5), 10,
+          centroidStep = 7L, nProbe = 3, iters = 2)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
 
     // ---- text analysis ----------------------------------------------
     "text_stats" -> ((s, dir) =>
@@ -379,6 +386,63 @@ object PipelineQueries {
         |      FROM p)
         |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // k-means IVF: the 2 Lloyd iterations are replicated in SQL. The
+    // mean update is fixed-point (Σ round(x·10⁶) is a sum of integral
+    // doubles — exact in any order — divided by identical operands), so
+    // the centroids are bit-identical across engines; assignments use
+    // the same fold shapes and tie rules as TopCentroids
+    "ann_ivf_kmeans" -> {
+      def iter(n: Int, prev: String): String =
+        s"""s$n AS (
+           |  SELECT e.vec_id, e.v, c.c_idx,
+           |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+           |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+           |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+           |  FROM e, $prev c),
+           |a$n AS (
+           |  SELECT vec_id, v, c_idx FROM (
+           |    SELECT *, row_number() OVER (
+           |      PARTITION BY vec_id ORDER BY ccos DESC, c_idx) AS rn
+           |    FROM s$n) WHERE rn = 1),
+           |m$n AS (
+           |  SELECT c_idx, d.i AS dim,
+           |    sum(round(v[d.i] * 1000000)) / (1000000.0 * count(*)) AS cd
+           |  FROM a$n, generate_series(1, 64) d(i) GROUP BY 1, 2),
+           |c$n AS (
+           |  SELECT p.c_idx, coalesce(m.cv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN (
+           |    SELECT c_idx, list(cd ORDER BY dim) AS cv FROM m$n GROUP BY 1) m
+           |  USING (c_idx))""".stripMargin
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, v AS cv
+         |  FROM e WHERE vec_id % 7 = 0),
+         |${iter(1, "c0")},
+         |${iter(2, "c1")},
+         |sf AS (
+         |  SELECT e.vec_id, e.v, c.c_idx,
+         |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+         |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+         |  FROM e, c2 c),
+         |ar AS (SELECT vec_id, v, c_idx,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_idx) AS rn
+         |       FROM sf),
+         |assigned AS (SELECT vec_id AS n_id, v, c_idx AS cell FROM ar WHERE rn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, c_idx AS cell
+         |           FROM ar WHERE vec_id < 5 AND rn <= 3),
+         |p AS (
+         |  SELECT q_id, n_id,
+         |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+         |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+         |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+         |r AS (SELECT q_id, n_id, cos,
+         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+         |      FROM p)
+         |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    },
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 5),

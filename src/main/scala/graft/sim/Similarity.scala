@@ -149,27 +149,26 @@ object Similarity {
       corpus: DataFrame, queries: DataFrame, k: Int,
       centroidStep: Long = 7L, nProbe: Int = 3): DataFrame = {
     // Centroids ARE the index metadata: a bounded small set (stride
-    // sample here; k-means in a real build), materialized once on the
-    // driver and shipped as a literal — the corpus-side assignment is
-    // then a NARROW map (argmax over the centroid array per row), no
-    // crossJoin row expansion and no shuffle of the wide vector column.
-    // (The earlier crossJoin+groupBy plan moved |corpus| × |centroids|
-    // rows carrying the 64-dim vector through a hash agg — a multi-GB
-    // shuffle at sf0.1 that would be ruinous at 100 TB.)
-    val cents: Array[(Long, Seq[Double])] = corpus
-      .where(col("vec_id") % centroidStep === 0)
-      .select(col("vec_id"), col("v"))
-      .limit(65537) // guard materialization before the size check below
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1)))
-      .sortBy(_._1)
-    // the driver-side collect is only legal because the index is small;
-    // a stride that no longer bounds it must fail loudly, not OOM
-    require(cents.nonEmpty && cents.length <= 65536,
-      s"IVF centroid set must be 1..65536 rows (got ${cents.length}); " +
-        "raise centroidStep (or build centroids with k-means) for this corpus")
-    val centIds = cents.map(_._1)
-    val centVecs = cents.flatMap(_._2.toArray)
+    // sample here; kmeansCentroids for the refined index), materialized
+    // once on the driver and shipped as a literal — the corpus-side
+    // assignment is then a NARROW map (argmax over the centroid array
+    // per row), no crossJoin row expansion and no shuffle of the wide
+    // vector column. (The earlier crossJoin+groupBy plan moved
+    // |corpus| × |centroids| rows carrying the 64-dim vector through a
+    // hash agg — a multi-GB shuffle at sf0.1, ruinous at 100 TB.)
+    val cents = collectBounded(
+      corpus.where(col("vec_id") % centroidStep === 0),
+      "raise centroidStep (or build centroids with k-means) for this corpus")
+    ivfTopKWith(corpus, queries, k,
+      cents.map(_._1), cents.flatMap(_._2), nProbe)
+  }
+
+  /** IVF probe/rank against an explicit centroid index
+   *  (ids + row-major flattened vectors).
+   */
+  def ivfTopKWith(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      centIds: Array[Long], centVecs: Array[Double], nProbe: Int): DataFrame = {
     def topCells(v: Column, n: Int): Column =
       toCol(graft.functions.TopCentroids(toExpr(v), centIds, centVecs, n))
     val assigned = corpus.select(
@@ -186,6 +185,107 @@ object Similarity {
           Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .where(col("rank") <= k)
       .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+  }
+
+  /** Bounded driver-side collect of (vec_id, v) rows — legal only
+   *  because an IVF index is small by construction; a filter that no
+   *  longer bounds it must fail loudly, not OOM.
+   */
+  private def collectBounded(
+      rows: DataFrame, hint: String): Array[(Long, Array[Double])] = {
+    val out = rows
+      .select(col("vec_id"), col("v"))
+      .limit(65537) // guard materialization before the size check below
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(out.nonEmpty && out.length <= 65536,
+      s"IVF index sample must be 1..65536 rows (got ${out.length}); $hint")
+    out
+  }
+
+  private def dotArr(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** round-half-away-from-zero, matching SQL `round(x)` semantics
+   *  (`math.round` is half-UP — it disagrees on negative ties).
+   */
+  private def roundAway(x: Double): Double =
+    if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)
+
+  /**
+   * Deterministic Lloyd-refined IVF centroids, fully oracle-
+   * reproducible (no RNG, no float-order sensitivity):
+   *
+   *  - sample = every `sampleStep`-th corpus vector (bounded ≤ 65536,
+   *    driver-resident — at 100 TB raise sampleStep; the index build
+   *    reads a sample, never the corpus);
+   *  - seeds = the stride centroids (vec_id % centroidStep == 0) taken
+   *    FROM the sample, re-numbered 0..k-1 in vec_id order;
+   *  - `iters` Lloyd steps. Assignment = argmax cosine with the SAME
+   *    fold order and tie rule (equal cos → lowest centroid index) as
+   *    `TopCentroids` and the SQL oracle. The mean update is computed
+   *    in FIXED POINT: per-dimension Σ round(x·10⁶) is a sum of
+   *    integral doubles — exact in any accumulation order — and the
+   *    final S / (10⁶·n) divides identical operands, so engine and
+   *    oracle produce bit-identical centroids; a straight float mean
+   *    would differ at the last ulp and flip boundary assignments.
+   *    Cells that lose all points keep their previous centroid.
+   *
+   * Returns (centroidIndex 0..k-1, vector) pairs.
+   */
+  def kmeansCentroids(
+      corpus: DataFrame, centroidStep: Long, iters: Int,
+      sampleStep: Long = 1L): Array[(Long, Array[Double])] = {
+    val sample = collectBounded(
+      corpus.where(col("vec_id") % sampleStep === 0),
+      "raise sampleStep for this corpus")
+    val seeds = sample.filter(_._1 % centroidStep == 0)
+    require(seeds.nonEmpty, "no seed centroids: centroidStep too large")
+    var cents: Array[Array[Double]] = seeds.map(_._2)
+    val dim = cents(0).length
+    var it = 0
+    while (it < iters) {
+      val cnorms = cents.map(c => math.sqrt(dotArr(c, c)))
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnt = new Array[Long](cents.length)
+      for ((_, v) <- sample) {
+        val vn = math.sqrt(dotArr(v, v))
+        var best = 0
+        var bestCos = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          // same expression shape as TopCentroids/oracle: dot/(vn*cn);
+          // strict > keeps the lowest index on exact ties
+          val cos = dotArr(v, cents(c)) / (vn * cnorms(c))
+          if (cos > bestCos) { bestCos = cos; best = c }
+          c += 1
+        }
+        cnt(best) += 1
+        var i = 0
+        while (i < dim) { sums(best)(i) += roundAway(v(i) * 1e6); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { c =>
+        if (cnt(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / (1e6 * cnt(c)))
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+  }
+
+  /** IVF top-k over Lloyd-refined centroids (see kmeansCentroids). */
+  def ivfTopKKmeans(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      centroidStep: Long = 7L, nProbe: Int = 3, iters: Int = 2,
+      sampleStep: Long = 1L): DataFrame = {
+    val cents = kmeansCentroids(corpus, centroidStep, iters, sampleStep)
+    ivfTopKWith(corpus, queries, k,
+      cents.map(_._1), cents.flatMap(_._2), nProbe)
   }
 
   /** LSH-accelerated approximate top-k: exact ranking restricted to

@@ -73,4 +73,38 @@ class AnnRecallSpec extends AnyFunSuite {
     // is loose — the self-pair cell plus nearby cells must beat chance
     assert(mean > 0.1, f"IVF recall collapsed: $mean%.2f")
   }
+
+  test("k-means IVF recall@10 vs the stride-centroid baseline") {
+    assume(TestSpark.hasData, s"dataset ${TestSpark.dataDir} not present — skipping recall check")
+    val emb = Similarity.asDouble(
+      spark.read.parquet(s"${TestSpark.dataDir}/embeddings.parquet"),
+      "vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 10)
+
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rows) => q -> rows.map(_.getLong(1)).toSet }
+
+    def meanRecall(got: Map[Long, Set[Long]], want: Map[Long, Set[Long]]): Double = {
+      val rs = want.map { case (q, w) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(w).size.toDouble / w.size
+      }
+      rs.sum / rs.size
+    }
+
+    val brute = topSet(Similarity.bruteTopK(emb, queries, 10))
+    val stride = meanRecall(
+      topSet(Similarity.ivfTopK(emb, queries, 10, centroidStep = 7L, nProbe = 3)), brute)
+    val kmeans = meanRecall(
+      topSet(Similarity.ivfTopKKmeans(
+        emb, queries, 10, centroidStep = 7L, nProbe = 3, iters = 2)), brute)
+    info(f"stride recall@10 = $stride%.2f, k-means recall@10 = $kmeans%.2f")
+    // Lloyd refinement balances the cells, so the same probe budget
+    // covers more of each query's true neighborhood — on the uniform
+    // worst-case corpus the improvement is modest but must not REGRESS
+    assert(kmeans >= stride - 0.02,
+      f"k-means recall regressed: $kmeans%.2f vs stride $stride%.2f")
+    assert(kmeans > 0.1, f"k-means recall collapsed: $kmeans%.2f")
+  }
 }
