@@ -34,31 +34,40 @@ object Dedup {
    *  The shingle string is hashed to TWO independent 64-bit values
    *  (`sh` = identity for joins/dedup, `h2` = second minhash base)
    *  immediately after the explode and then dropped — every downstream
-   *  shuffle (distinct, df-cap, intersection joins) moves 8-byte longs
-   *  instead of multi-word strings, and set semantics are unchanged up
-   *  to 64-bit collisions (P[any] ~ n²/2⁶⁴, negligible). The df-cap is
-   *  a window count over the shingle key rather than a groupBy +
-   *  semi-join — one shuffle instead of two.
+   *  shuffle moves 8-byte longs instead of multi-word strings, and set
+   *  semantics are unchanged up to 64-bit collisions (P[any] ~ n²/2⁶⁴,
+   *  negligible).
+   *
+   *  Dedup + df-cap happen in ONE bounded-buffer aggregation
+   *  (BoundedDistinctLongsAgg): group postings by shingle, keep at most
+   *  maxDf+1 DISTINCT doc ids per group, drop saturated groups. One
+   *  shuffle (the earlier distinct + count-over-window formulation took
+   *  two, plus a sort), and — decisively at 100 TB — map-side partial
+   *  aggregation caps every partial at maxDf+1 longs, so a ubiquitous
+   *  shingle ships one tiny buffer per map partition instead of
+   *  funneling billions of postings into a single window task. (Round-3
+   *  alternatives measured and rejected: hot-set broadcast anti-join
+   *  re-ran the explode lineage twice; count-over-window single-tasks
+   *  the hottest key.)
    */
   def shingleSet(
       docs: DataFrame, idCol: String, textCol: String, maxDf: Long = 200L): DataFrame = {
-    val sh = docs
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+    require(maxDf >= 1 && maxDf < Int.MaxValue, "maxDf must fit an int cap")
+    docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), 3)).as("s"))
       .select(
         col("doc_id"),
         xxhash64(col("s")).as("sh"),
         xxhash64(lit("graft-mh2"), col("s")).as("h2"))
-      .distinct()
-    // df-cap as a count-over-window: ONE extra shuffle over the
-    // distinct set. (A hot-set broadcast anti-join was tried and lost —
-    // without an internal persist it re-runs the explode+distinct
-    // lineage for the count pass, and persisting here would double-
-    // cache with the callers, who persist the returned set.)
-    val byShingle = org.apache.spark.sql.expressions.Window.partitionBy("sh")
-    sh.withColumn("df", count(lit(1)).over(byShingle))
-      .where(col("df") <= maxDf)
-      .select("doc_id", "sh", "h2")
+      .groupBy("sh", "h2")
+      .agg(toCol(graft.functions.BoundedDistinctLongsAgg(
+        toExpr(col("doc_id")), (maxDf + 1).toInt).toAggregateExpression()).as("docs"))
+      // exact groups emit their full distinct set (size = true df);
+      // saturated groups emit maxDf+1 ids and are dropped here
+      .where(size(col("docs")) <= maxDf)
+      .select(explode(col("docs")).as("doc_id"), col("sh"), col("h2"))
   }
 
   private def jaccardOf(pairsWithInter: DataFrame, sizes: DataFrame): DataFrame =

@@ -44,6 +44,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs.find(p => p._1 == 0L && p._2 == 2L).get._3 == 1.0)
   }
 
+  test("shingleSet df-cap: a ubiquitous shingle is dropped via the bounded agg, " +
+      "with partial aggregation and no window sort") {
+    // 30 docs sharing one hot trigram ("zz0 zz1 zz2"); maxDf=5 must
+    // drop exactly that shingle while keeping each doc's unique ones
+    val hot = (0L until 30L)
+      .map(i => (i, s"zz0 zz1 zz2 unique${i}a unique${i}b unique${i}c unique${i}d"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.shingleSet(hot, "doc_id", "text", maxDf = 5L)
+    val hotHash = capped.sparkSession.range(1)
+      .select(xxhash64(lit("zz0 zz1 zz2"))).head().getLong(0)
+    val rows = capped.collect()
+    assert(!rows.map(_.getLong(1)).contains(hotHash), "hot shingle not dropped")
+    // every doc keeps its 4 sub-cap shingles (the 3 unique ones + the
+    // zz2/unique bridge shingles are unique per doc)
+    assert(rows.groupBy(_.getLong(0)).forall(_._2.length >= 3))
+
+    // plan shape: ONE aggregation pair (partial+final ObjectHashAggregate),
+    // no Window/Sort — the skew-safety claim is structural
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"typed agg missing:\n${plan.take(1500)}")
+    assert(!plan.contains("Window"), "df-cap regressed to a window")
+  }
+
   test("MinHash-LSH candidates cover every true near-dup; verification matches exact") {
     val sh = Dedup.shingleSet(corpus, "doc_id", "text")
     val exact = Dedup.exactJaccardPairs(sh, 0.6)
