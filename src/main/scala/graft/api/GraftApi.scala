@@ -25,17 +25,21 @@ final class GraftApi(
   private val numPuts = new AtomicLong(0L)
   private val numGets = new AtomicLong(0L)
 
-  private def tableFor(f: Fidelity): DataFrame =
-    if (f.isFull) Tables.readRaw(spark, root)
-    else Tables.readRollup(spark, root, f)
-
-  /** GET /api/data/<dataset_id>?start&end[&fidelity] (server.py:63-73). */
+  /** GET /api/data/<dataset_id>?start&end[&fidelity] (server.py:63-73).
+   *  The per-series READERS are used (readRawFor/readRollupFor): they
+   *  inject the series' hash-bucket predicate so the scan statically
+   *  prunes to 1/DsBuckets of the partition dirs — a bare dataset_id
+   *  filter above the reader could not imply the bucket.
+   */
   def getData(
       datasetId: String, startUs: Long, endUs: Long,
       fidelity: Option[Fidelity] = None): DataFrame = {
     Melt.requireLegalId(datasetId)
     numGets.incrementAndGet()
-    RangeQuery.get(tableFor, datasetId, startUs, endUs, fidelity)
+    val tables: Fidelity => DataFrame = f =>
+      if (f.isFull) Tables.readRawFor(spark, root, datasetId)
+      else Tables.readRollupFor(spark, root, f, datasetId)
+    RangeQuery.get(tables, datasetId, startUs, endUs, fidelity)
   }
 
   /** POST /api/data — one canonical-long batch (server.py:76-103).

@@ -79,12 +79,27 @@ object Tables {
    */
   val RawWindowS: Long = 7L * 86400L
 
-  /** Max dataset cardinality for the driver-resident partition hint in
-   *  `ingestBatch` — above this, even a 1-window batch would enumerate
-   *  > 6 × 4000 = 24k partitions, past `affectedPartitions`' cap, so
-   *  collecting the dataset set would be wasted driver memory.
+  /** Series are HASH-BUCKETED into this many partition buckets instead
+   *  of one directory per dataset_id. This is the decision that makes
+   *  the store's commit path survive high series cardinality: the
+   *  partition-dir count a batch touches — what append commits and
+   *  dynamic-overwrite merges pay per directory ON THE DRIVER — is
+   *  bounded by `levels × DsBuckets × windows` from the CONFIG, never
+   *  by how many of the 10⁶ series a telemetry batch carries. (A
+   *  per-series layout also melts the filesystem at scale: 10⁶ series
+   *  × 52 weeks = 5·10⁷ dirs/year of metadata.) Within a bucket, files
+   *  are sorted by (dataset_id, ts), so a single-series read still
+   *  prunes: static pruning to its bucket (1/DsBuckets of dirs) +
+   *  parquet min/max row-group skipping on the sorted dataset_id.
    */
-  val HintMaxDatasets: Long = 4000L
+  val DsBuckets: Int = 32
+
+  /** Stable layout hash of a series id to its partition bucket
+   *  (Murmur3 via Spark's `hash`, fixed seed — stable across sessions;
+   *  never oracle-visible, it is physical layout only).
+   */
+  def dsBucket(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(hash(c), lit(DsBuckets))
 
   /** S2 — append a sanitized long batch to the raw table. The
    *  within-partition ts sort is the reference's ingest sort (O1,
@@ -96,13 +111,14 @@ object Tables {
    */
   def appendRaw(long: DataFrame, root: String): Unit =
     long
+      .withColumn("ds_b", dsBucket(col("dataset_id")))
       .withColumn("win_s", expr(s"ts_us div ${RawWindowS * 1000000L}") * RawWindowS)
-      .repartition(col("dataset_id"), col("win_s"))
-      .sortWithinPartitions(col("dataset_id"), col("win_s"), col("ts_us"))
+      .repartition(col("ds_b"), col("win_s"))
+      .sortWithinPartitions(col("ds_b"), col("win_s"), col("dataset_id"), col("ts_us"))
       .write
       .mode("append")
       .option("maxRecordsPerFile", Fidelity.GroupSize)
-      .partitionBy("dataset_id", "win_s")
+      .partitionBy("ds_b", "win_s")
       .parquet(rawPath(root))
 
   /** Read a table back; a never-written table reads as empty (the
@@ -118,7 +134,24 @@ object Tables {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   def readRaw(spark: SparkSession, root: String): DataFrame =
-    readOrEmpty(spark, rawPath(root), rawSchema, Seq("dataset_id", "win_s"))
+    readOrEmpty(spark, rawPath(root), rawSchema, Seq("ds_b", "win_s"))
+
+  /** Raw read pruned to ONE series: static partition pruning to its
+   *  hash bucket, then the dataset_id equality skips row groups via the
+   *  ingest-time (dataset_id, ts) sort's min/max stats. The bucket
+   *  predicate must be injected HERE — a bare dataset_id filter above
+   *  `readRaw` cannot imply which ds_b dirs to prune.
+   */
+  def readRawFor(spark: SparkSession, root: String, datasetId: String): DataFrame = {
+    val path = rawPath(root)
+    if (!StoreFs.exists(spark, path))
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawSchema)
+    else
+      spark.read.parquet(path)
+        .where(col("ds_b") === dsBucket(lit(datasetId)) &&
+          col("dataset_id") === datasetId)
+        .select(rawSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
+  }
 
   /** Raw read restricted to a win_s partition range — the filter lands
    *  on the partition column BEFORE projection, so it prunes statically.
@@ -142,6 +175,22 @@ object Tables {
     if (StoreFs.exists(spark, path))
       spark.read.parquet(path)
         .where(col("fidelity") === fidelityPart(f))
+        .select(rollupSchema.fields.map(fl => col(fl.name).cast(fl.dataType)).toIndexedSeq: _*)
+    else
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rollupSchema)
+  }
+
+  /** Rollup read pruned to one level AND one series' hash bucket (see
+   *  readRawFor for why the bucket predicate lives in the reader).
+   */
+  def readRollupFor(
+      spark: SparkSession, root: String, f: Fidelity, datasetId: String): DataFrame = {
+    val path = rollupPath(root)
+    if (StoreFs.exists(spark, path))
+      spark.read.parquet(path)
+        .where(col("fidelity") === fidelityPart(f) &&
+          col("ds_b") === dsBucket(lit(datasetId)) &&
+          col("dataset_id") === datasetId)
         .select(rollupSchema.fields.map(fl => col(fl.name).cast(fl.dataType)).toIndexedSeq: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rollupSchema)
@@ -180,25 +229,26 @@ object Tables {
    * S3 — merge-upsert one batch's partial aggregates for ALL levels into
    * the rollup table with UNBOUNDED lateness (src/index.py:521-550,
    * 328-374) in a single write job: read only the affected
-   * (fidelity, dataset_id, part_s) partitions (left-semi join against
-   * the batch's distinct partition keys — broadcast, since a batch
-   * touches few partitions), fold with the A2 monoid, and dynamically
-   * overwrite just those partitions.
+   * (fidelity, ds_b, part_s) partitions (left-semi join against the
+   * batch's distinct partition keys — broadcast, since a batch touches
+   * few partitions), fold with the A2 monoid, and dynamically overwrite
+   * just those partitions.
    */
-  /** The (fidelity, dataset_id, part_s) partitions a batch with the
-   *  given ts bounds and dataset set can touch — pure arithmetic on
-   *  the same bucket/part derivation `allLevelPartials` uses, so it is
-   *  a (possibly strict) superset of the partitions that actually
-   *  receive rows: reading an extra in-range partition is only wasted
-   *  IO, never wrong. Returns None when the set would exceed `cap`
-   *  (e.g. one corrupt epoch-0 timestamp stretching the span to
+  /** The (fidelity, ds_b, part_s) partitions a batch with the given ts
+   *  bounds and series-bucket set can touch — pure arithmetic on the
+   *  same bucket/part derivation `allLevelPartials` uses, so it is a
+   *  (possibly strict) superset of the partitions that actually receive
+   *  rows: reading an extra in-range partition is only wasted IO, never
+   *  wrong. Because series are hash-bucketed, `buckets.size ≤ DsBuckets`
+   *  regardless of series cardinality; the cap only trips on degenerate
+   *  SPANS (e.g. one corrupt epoch-0 timestamp stretching the range to
    *  decades) — the size check runs on COUNTS before anything
    *  materializes, and callers then fall back to the exact
    *  distinct-over-partials job.
    */
   def affectedPartitions(
-      tsLoUs: Long, tsHiUs: Long, datasets: Seq[String],
-      cap: Long = 20000L): Option[Seq[(String, String, Long)]] = {
+      tsLoUs: Long, tsHiUs: Long, buckets: Seq[Int],
+      cap: Long = 20000L): Option[Seq[(String, Int, Long)]] = {
     val perLevel = Fidelity.aggLevels.map { f =>
       val w = partitionWindowS(f)
       val d = f.seconds
@@ -206,13 +256,13 @@ object Tables {
       val partHi = tsHiUs / (d * 1000000L) * d / w * w
       (f, w, partLo, partHi, (partHi - partLo) / w + 1)
     }
-    val total = perLevel.map(_._5).sum * datasets.size
+    val total = perLevel.map(_._5).sum * buckets.size
     if (total > cap || total <= 0) None
     else Some(for {
       (f, w, partLo, partHi, _) <- perLevel
       part <- partLo to partHi by w
-      ds <- datasets
-    } yield (fidelityPart(f), ds, part))
+      b <- buckets
+    } yield (fidelityPart(f), b, part))
   }
 
   /** @param preAggregated caller asserts `partials` is already unique
@@ -225,7 +275,7 @@ object Tables {
    */
   def mergeRollups(
       spark: SparkSession, root: String, partials: DataFrame,
-      affectedHint: Option[Seq[(String, String, Long)]] = None,
+      affectedHint: Option[Seq[(String, Int, Long)]] = None,
       preAggregated: Boolean = false): Unit = {
     // Persist the tagged partials: the lineage behind them would
     // otherwise be recomputed by BOTH the affected-partition job and
@@ -235,21 +285,22 @@ object Tables {
         "min_v", "max_v", "sum_v", "cnt")
       .persist()
 
-    // The affected partition set is bounded by (#levels × #series ×
-    // #file-windows) in the batch, the same bound as the reference's
-    // per-put file list (src/index.py:408-458). Restrict the
+    // The affected partition set is bounded by (#levels × #buckets ×
+    // #file-windows) in the batch — `DsBuckets` caps the middle factor
+    // no matter how many series the batch carries. Restrict the
     // existing-table read to the batch's part_s range with TWO literal
     // bounds (static partition pruning — a per-key OR chain would blow
     // up Catalyst planning), then exact-match the affected partitions
     // with a broadcast semi-join. When the caller already knows the
-    // batch's ts bounds and datasets (ingestBatch does), the set comes
+    // batch's ts bounds and buckets (ingestBatch does), the set comes
     // in as a LOCAL hint — computing it from `newPart` would run the
     // whole partials lineage once more just to enumerate keys.
     import spark.implicits._
     val affected = affectedHint
       .filter(_.size <= 20000) // degenerate spans fall back to the exact job
-      .map(_.toDF("fidelity", "dataset_id", "part_s"))
-      .getOrElse(newPart.select("fidelity", "dataset_id", "part_s").distinct())
+      .map(_.toDF("fidelity", "ds_b", "part_s"))
+      .getOrElse(newPart.select(
+        col("fidelity"), dsBucket(col("dataset_id")).as("ds_b"), col("part_s")).distinct())
       .persist()
     def prof[T](l: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -266,7 +317,7 @@ object Tables {
         else Some(
           spark.read.parquet(path)
             .where(col("part_s").between(bounds.getLong(0), bounds.getLong(1)))
-            .join(broadcast(affected), Seq("fidelity", "dataset_id", "part_s"), "left_semi")
+            .join(broadcast(affected), Seq("fidelity", "ds_b", "part_s"), "left_semi")
             .select(newPart.columns.map(col).toIndexedSeq: _*))
 
       // first write into a fresh table with pre-aggregated partials:
@@ -282,16 +333,19 @@ object Tables {
             sum("cnt").as("cnt"))
       }
 
-      // Rewrite only the affected partitions (partitionOverwriteMode=dynamic)
+      // Rewrite only the affected partitions (partitionOverwriteMode=dynamic);
+      // files sort by (dataset_id, bucket_s) inside each bucket dir so
+      // per-series reads skip row groups via min/max stats
       prof("write")(merged
-        .repartition(col("fidelity"), col("dataset_id"), col("part_s"))
+        .withColumn("ds_b", dsBucket(col("dataset_id")))
+        .repartition(col("fidelity"), col("ds_b"), col("part_s"))
         .sortWithinPartitions(
-          col("fidelity"), col("dataset_id"), col("part_s"), col("bucket_s"))
+          col("fidelity"), col("ds_b"), col("part_s"), col("dataset_id"), col("bucket_s"))
         .write
         .mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", Fidelity.GroupSize)
-        .partitionBy("fidelity", "dataset_id", "part_s")
+        .partitionBy("fidelity", "ds_b", "part_s")
         .parquet(path))
     } finally {
       affected.unpersist()
@@ -306,25 +360,21 @@ object Tables {
    * path and the Structured Streaming `foreachBatch` sink.
    */
   /** Driver-resident affected-partition hint for a (persisted) batch —
-   *  one light agg gives the ts bounds and APPROXIMATE dataset
-   *  cardinality, from which the affected rollup partitions follow
-   *  arithmetically (`affectedPartitions`). The exact dataset set is
-   *  collected in a second pass ONLY when the approximate count says it
-   *  is driver-safe: a 10⁶-series telemetry batch must never build a
-   *  10⁶-element driver array just for `affectedPartitions` to then
-   *  decline it. HintMaxDatasets × ≥6 level-windows already exceeds the
-   *  20k partition cap, so the ±2% HLL error cannot admit a hint the
-   *  cap would have rejected anyway.
+   *  ONE light agg gives the ts bounds and the distinct series BUCKETS,
+   *  from which the affected rollup partitions follow arithmetically
+   *  (`affectedPartitions`). Collecting buckets instead of dataset ids
+   *  is what keeps the hint unconditionally driver-safe: the set is
+   *  ≤ DsBuckets elements even for a 10⁶-series batch, so no
+   *  cardinality pre-check is needed at all.
    */
   private[graft] def partitionHint(
-      batch: DataFrame): Option[Seq[(String, String, Long)]] = {
+      batch: DataFrame): Option[Seq[(String, Int, Long)]] = {
     val stats = batch
       .agg(min("ts_us"), max("ts_us"),
-        approx_count_distinct("dataset_id").as("nds")).head()
-    if (stats.isNullAt(0) || stats.getLong(2) > HintMaxDatasets) None
+        collect_set(dsBucket(col("dataset_id"))).as("bs")).head()
+    if (stats.isNullAt(0)) None
     else affectedPartitions(
-      stats.getLong(0), stats.getLong(1),
-      batch.agg(collect_set("dataset_id")).head().getSeq[String](0))
+      stats.getLong(0), stats.getLong(1), stats.getSeq[Int](2))
   }
 
   def ingestBatch(

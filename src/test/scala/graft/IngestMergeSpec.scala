@@ -131,27 +131,32 @@ class IngestMergeSpec extends AnyFunSuite {
     }
   }
 
-  test("partition hint declines a 50k-series batch without a driver collect") {
+  test("partition hint for a 50k-series batch stays bounded by the bucket count") {
     import org.apache.spark.sql.functions.{col, concat, lit}
     import spark.implicits._
     val t0 = TestSpark.isoUs("2024-01-01T02:00:00")
-    // 50k distinct series, 1 point each — the hint must bail on the
-    // approximate cardinality alone, never materializing the id set
+    // 50k distinct series, 1 point each: hash-bucketing means the hint
+    // enumerates (levels × ≤DsBuckets × windows) partitions — never a
+    // 50k-element driver array, and the merge never commits 50k dirs
     val big = spark.range(50000)
       .select(
         concat(lit("series_"), col("id")).as("dataset_id"),
         (lit(t0) + $"id").as("ts_us"),
         lit(1.0).as("value"))
-    assert(Tables.partitionHint(big).isEmpty)
+    val bigHint = Tables.partitionHint(big)
+    assert(bigHint.nonEmpty, "bucketed hint must never decline on cardinality")
+    assert(bigHint.get.size <= 6 * Tables.DsBuckets * 2,
+      s"hint not bounded by buckets: ${bigHint.get.size}")
 
-    // a small batch still yields the full arithmetic enumeration:
-    // 6 levels × 3 series × 1 window each
+    // a small batch enumerates only ITS buckets: 6 levels × (distinct
+    // buckets of 3 series) × 1 window each
     val small = spark.range(3)
       .select(
         concat(lit("s"), col("id")).as("dataset_id"),
         (lit(t0) + $"id" * 1000000L).as("ts_us"),
         lit(1.0).as("value"))
+    val nb = small.select(Tables.dsBucket(col("dataset_id"))).distinct().count()
     val hint = Tables.partitionHint(small)
-    assert(hint.nonEmpty && hint.get.size == 18)
+    assert(hint.nonEmpty && hint.get.size == 6 * nb)
   }
 }
