@@ -89,6 +89,13 @@ object PipelineQueries {
       Dedup.minhashDedup(nearDupCorpus(s, dir), "doc_id", "text", JaccardThreshold)
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
         .orderBy("a_id", "b_id")),
+    // cluster resolution: pairwise near-dup output → one component id
+    // per doc (min reachable doc_id), the "keep one representative per
+    // group" step of a real dedup pipeline
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashDedup(nearDupCorpus(s, dir), "doc_id", "text", JaccardThreshold))
+        .orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhashSignature(nearDupCorpus(s, dir), "doc_id", "text"), maxDist = 8)
@@ -174,6 +181,56 @@ object PipelineQueries {
         .orderBy("lang_pred")
     }),
 
+    // ---- corpus curation: sampling / packing / decontamination ------
+    // deterministic stratified sample: per-language keep rates decided
+    // by an engine-portable md5 hash of the doc id — reproducible
+    // across engines and runs, no RNG state to coordinate at scale
+    "sample_stratified" -> ((s, dir) =>
+      TextOps.langId(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("lang_pred"))
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+        .withColumn("rate",
+          when(col("lang_pred") === "en", lit(2L)).otherwise(lit(5L)))
+        .where(col("h") % 10 < col("rate"))
+        .select(col("doc_id"), col("lang_pred"))
+        .orderBy("doc_id")),
+    // greedy sequence packing into fixed token budgets, per shard:
+    // a running token count within each hash shard assigns every doc a
+    // bin; shard-parallel (the global-order variant would serialize a
+    // 100 TB corpus through one window partition)
+    "pack_sequences" -> ((s, dir) =>
+      TextOps.tokenCounts(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), col("n_bpe_est"))
+        .withColumn("shard", pmod(col("doc_id"), lit(8L)))
+        .withColumn("cum",
+          sum(col("n_bpe_est")).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("shard").orderBy("doc_id")))
+        .withColumn("bin", expr("(cum - n_bpe_est) div 512"))
+        .select(col("doc_id"), col("shard"), col("n_bpe_est"), col("bin"))
+        .orderBy("doc_id")),
+    // benchmark decontamination: flag training docs sharing >= 3 capped
+    // shingles with any holdout doc (holdout = every 50th doc here) —
+    // the distinct holdout shingle set is orders smaller than the
+    // corpus side, so the join broadcasts
+    "decontaminate" -> ((s, dir) => {
+      // scoped persist: the shingle set feeds both the holdout and the
+      // training side of the overlap join
+      val sh = Dedup.shingleSet(docs(s, dir), "doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val flagged =
+        try {
+          val hold = sh.where(col("doc_id") % 50 === 0).select("sh").distinct()
+          sh.where(col("doc_id") % 50 =!= 0)
+            .join(hold, Seq("sh"))
+            .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+            .where(col("n_shared") >= 3)
+            .localCheckpoint(true)
+        } finally sh.unpersist(false)
+      flagged.orderBy("doc_id")
+    }),
+
     // ---- multimodal columns -----------------------------------------
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.meta(Multimodal.toBlob(docs(s, dir), "doc_id", "text"))
@@ -248,7 +305,84 @@ object PipelineQueries {
        |ORDER BY a_id, b_id""".stripMargin
   }
 
+  /** Transitive closure of the exact-Jaccard pair graph → min reachable
+   *  id per node (DuckDB recursive CTE; UNION dedups so it terminates).
+   */
+  private val clustersOracle: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+       |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, len(tokens) - 2),
+       |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+       |shf AS (SELECT * FROM sh0 WHERE sh IN (
+       |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM prs
+       |          UNION SELECT b_id, a_id FROM prs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+       |SELECT id AS doc_id, min(r) AS comp FROM reach
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "dedup_clusters" -> clustersOracle,
+    "sample_stratified" ->
+      """SELECT doc_id, lang_pred FROM (
+        |  SELECT doc_id,
+        |    CASE WHEN en_n = 0 AND de_n = 0 AND fr_n = 0 AND es_n = 0 THEN 'unknown'
+        |         WHEN en_n >= de_n AND en_n >= fr_n AND en_n >= es_n THEN 'en'
+        |         WHEN de_n >= fr_n AND de_n >= es_n THEN 'de'
+        |         WHEN fr_n >= es_n THEN 'fr'
+        |         ELSE 'es' END AS lang_pred
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('the', 'a', 'of', 'and'))) AS en_n,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('der', 'die', 'und', 'das'))) AS de_n,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('le', 'la', 'et', 'les'))) AS fr_n,
+        |      len(list_filter(string_split(text, ' '),
+        |          t -> t IN ('el', 'los', 'y', 'las'))) AS es_n
+        |    FROM documents))
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 10
+        |      < CASE WHEN lang_pred = 'en' THEN 2 ELSE 5 END
+        |ORDER BY doc_id""".stripMargin,
+    "pack_sequences" ->
+      """SELECT doc_id, doc_id % 8 AS shard, n_bpe_est,
+        |  (sum(n_bpe_est) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id)
+        |   - n_bpe_est) // 512 AS bin
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "decontaminate" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+        |shf AS (SELECT * FROM sh0 WHERE sh IN (
+        |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+        |hold AS (SELECT DISTINCT sh FROM shf WHERE doc_id % 50 = 0)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM shf JOIN hold USING (sh)
+        |WHERE doc_id % 50 <> 0
+        |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin,
     "pipeline_clean" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents

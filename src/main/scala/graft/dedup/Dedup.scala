@@ -195,6 +195,57 @@ object Dedup {
     }
   }
 
+  /**
+   * Connected components over an undirected near-dup pair list —
+   * cluster resolution, the step that turns pairwise dedup output into
+   * "keep one representative per group": every node gets
+   * `comp = min(doc_id reachable from it)`.
+   *
+   * Min-label propagation: each iteration every node takes the min of
+   * its own label and its neighbors' labels (join + union + groupBy —
+   * all hash-partitioned by node id, no global structure), until a
+   * driver-checked fixpoint. Iterations = graph diameter; near-dup
+   * clusters are quasi-cliques (diameter ≲ 3), so this converges in a
+   * handful of rounds — `maxIter` guards adversarial chains (for
+   * genuinely high-diameter graphs at scale, switch to the
+   * large-star/small-star contraction, which converges in O(log n)).
+   * Each iteration is localCheckpoint-ed: the lineage would otherwise
+   * double per round and plan times would dominate.
+   *
+   * Input: (a_id, b_id) pairs. Output: (doc_id, comp) for every node
+   * that appears in some pair.
+   */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = edges
+        .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id"), col("comp"))
+        .unionByName(labels)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      converged = next
+        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .where(col("comp") =!= col("prev"))
+        .isEmpty
+      labels.unpersist(false)
+      labels = next
+      it += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter iterations")
+    edges.unpersist(false)
+    labels.select(col("id").as("doc_id"), col("comp"))
+  }
+
   val SimhashBits = 60
 
   /**

@@ -76,6 +76,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("connectedComponents: chains merge to min id, separate components stay apart") {
+    // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
+    // pair {10,11}, pair {20,21} sharing node 20 with {20,22}
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L),
+      (20L, 21L), (20L, 22L)
+    ).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("SimHash: near-dups land close in Hamming space, unrelated docs far") {
     val sig = Dedup.simhashSignature(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
