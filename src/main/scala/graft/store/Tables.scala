@@ -359,23 +359,30 @@ object Tables {
    * (reference: src/index.py:124-177). Used by both the batch bootstrap
    * path and the Structured Streaming `foreachBatch` sink.
    */
-  /** Driver-resident affected-partition hint for a (persisted) batch —
-   *  ONE light agg gives the ts bounds and the distinct series BUCKETS,
-   *  from which the affected rollup partitions follow arithmetically
-   *  (`affectedPartitions`). Collecting buckets instead of dataset ids
-   *  is what keeps the hint unconditionally driver-safe: the set is
-   *  ≤ DsBuckets elements even for a 10⁶-series batch, so no
-   *  cardinality pre-check is needed at all.
+  /** Batch stats in ONE light agg — ts bounds and the distinct series
+   *  BUCKETS, from which the affected rollup partitions follow
+   *  arithmetically (`affectedPartitions`). Collecting buckets instead
+   *  of dataset ids is what keeps this unconditionally driver-safe: the
+   *  set is ≤ DsBuckets elements even for a 10⁶-series batch, so no
+   *  cardinality pre-check is needed. Outer None = EMPTY batch (skip
+   *  all writes); inner None = degenerate span (write with the exact
+   *  merge fallback). The emptiness answer rides the same job as the
+   *  hint — no separate isEmpty scan.
    */
-  private[graft] def partitionHint(
-      batch: DataFrame): Option[Seq[(String, Int, Long)]] = {
+  private[graft] def batchStatsHint(
+      batch: DataFrame): Option[Option[Seq[(String, Int, Long)]]] = {
     val stats = batch
       .agg(min("ts_us"), max("ts_us"),
         collect_set(dsBucket(col("dataset_id"))).as("bs")).head()
     if (stats.isNullAt(0)) None
-    else affectedPartitions(
-      stats.getLong(0), stats.getLong(1), stats.getSeq[Int](2))
+    else Some(affectedPartitions(
+      stats.getLong(0), stats.getLong(1), stats.getSeq[Int](2)))
   }
+
+  /** Affected-partition hint for a non-empty batch (see batchStatsHint). */
+  private[graft] def partitionHint(
+      batch: DataFrame): Option[Seq[(String, Int, Long)]] =
+    batchStatsHint(batch).flatten
 
   def ingestBatch(
       spark: SparkSession, root: String, batchLong: DataFrame,
@@ -415,10 +422,9 @@ object Tables {
       if (dedup) deduped.localCheckpoint(true)
       else deduped.persist()
     try {
-      if (!batch.isEmpty) {
-        // None (over-cap span or too many series) → mergeRollups runs
-        // its exact distinct-over-partials fallback
-        val hint = partitionHint(batch)
+      // one stats job answers BOTH "is the batch empty" and "which
+      // partitions can it touch" (inner None → exact merge fallback)
+      batchStatsHint(batch).foreach { hint =>
         // All 6 levels in one aggregation (allLevelPartials) instead of
         // the reference's per-level recompute-from-raw
         // (src/index.py:137-177). The raw append and the rollup merge
@@ -429,7 +435,7 @@ object Tables {
           Future(appendRaw(batch, root)),
           Future(mergeRollups(spark, root, allLevelPartials(batch), hint,
             preAggregated = true)))
-        Await.result(Future.sequence(writes), Duration.Inf)
+        Await.result(Future.sequence(writes), Duration.Inf): Unit
       }
     } finally batch.unpersist()
   }
