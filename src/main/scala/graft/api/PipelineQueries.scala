@@ -74,14 +74,8 @@ object PipelineQueries {
         .select(col("h"), col("keep_id"), col("n_docs"))
         .orderBy("h")),
     "jaccard_pairs" -> ((s, dir) => {
-      // scope the shingle cache to this query: materialize the (small)
-      // pair set eagerly, then release the cached shingle partitions
       val sh = Dedup.shingleSet(nearDupCorpus(s, dir), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val pairs =
-        try Dedup.exactJaccardPairs(sh, JaccardThreshold).localCheckpoint(true)
-        finally sh.unpersist(false)
-      pairs
+      Dedup.withScopedPersist(sh)(Dedup.exactJaccardPairs(sh, JaccardThreshold))
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
@@ -218,17 +212,13 @@ object PipelineQueries {
       // scoped persist: the shingle set feeds both the holdout and the
       // training side of the overlap join
       val sh = Dedup.shingleSet(docs(s, dir), "doc_id", "text")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val flagged =
-        try {
-          val hold = sh.where(col("doc_id") % 50 === 0).select("sh").distinct()
-          sh.where(col("doc_id") % 50 =!= 0)
-            .join(hold, Seq("sh"))
-            .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-            .where(col("n_shared") >= 3)
-            .localCheckpoint(true)
-        } finally sh.unpersist(false)
-      flagged.orderBy("doc_id")
+      Dedup.withScopedPersist(sh) {
+        val hold = sh.where(col("doc_id") % 50 === 0).select("sh").distinct()
+        sh.where(col("doc_id") % 50 =!= 0)
+          .join(hold, Seq("sh"))
+          .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+          .where(col("n_shared") >= 3)
+      }.orderBy("doc_id")
     }),
 
     // ---- multimodal columns -----------------------------------------

@@ -20,6 +20,21 @@ import graft.text.TextOps
  */
 object Dedup {
 
+  /** Scoped caching for multi-use intermediates: persist `dfs` for the
+   *  duration of `body`, eagerly materialize body's (small) result via
+   *  localCheckpoint while the caches are live, then release them — a
+   *  long-lived engine must not accumulate multi-GB intermediate caches
+   *  across queries. The by-name `body` is planned and executed inside
+   *  the persist scope, so every reference to a persisted frame (or a
+   *  plan containing one) reads the cache.
+   */
+  private[graft] def withScopedPersist(dfs: DataFrame*)(body: => DataFrame): DataFrame = {
+    val cached = dfs.map(
+      _.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    try body.localCheckpoint(true)
+    finally cached.foreach(_.unpersist(false))
+  }
+
   /** Exact duplicate groups by content hash: (h, keep_id, n_dups). */
   def exactDups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
@@ -169,29 +184,19 @@ object Dedup {
 
   /** MinHash+LSH near-dup pipeline: shingle → sign → band → estimate →
    *  verify. The shingle set feeds the signature AND both sides of the
-   *  verification join — persist it once instead of recomputing the
-   *  explode+distinct+df-cap chain four times.
-   *
-   *  The persists are SCOPED to this call: the verified pair set (tiny
-   *  relative to the shingle set) is materialized eagerly via
-   *  localCheckpoint while the intermediates are cached, and the
-   *  intermediates are unpersisted before returning — a long-lived
-   *  engine must not accumulate multi-GB shingle caches across queries.
+   *  verification join — persist it once (scoped, see
+   *  withScopedPersist) instead of recomputing the explode+bounded-agg
+   *  chain four times.
    */
   def minhashDedup(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
     val sh = shingleSet(docs, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sig = minhashSignature(sh, k)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val pruned = estimatePrune(
-        lshCandidates(sig, k, bands), sig, k, minEst = threshold / 2)
-      verifyJaccard(pruned, sh, threshold).localCheckpoint(true)
-    } finally {
-      sig.unpersist(false)
-      sh.unpersist(false)
+    withScopedPersist(sh, sig) {
+      verifyJaccard(
+        estimatePrune(lshCandidates(sig, k, bands), sig, k, minEst = threshold / 2),
+        sh, threshold)
     }
   }
 

@@ -222,8 +222,14 @@ object Similarity {
    * reproducible (no RNG, no float-order sensitivity):
    *
    *  - sample = every `sampleStep`-th corpus vector (bounded ≤ 65536,
-   *    driver-resident — at 100 TB raise sampleStep; the index build
-   *    reads a sample, never the corpus);
+   *    driver-resident). SCALE CONTRACT: callers must choose
+   *    `sampleStep ≥ corpusSize / 65536` — the index build reads a
+   *    SAMPLE, never the corpus, and the `collectBounded` require fails
+   *    loudly (not OOM) if the step no longer bounds it. The registered
+   *    `ann_ivf_kmeans` query pins sampleStep=1 because its SQL oracle
+   *    runs Lloyd over all vectors — valid at oracle scale only; a
+   *    production corpus raises sampleStep and parameterizes the oracle
+   *    the same way (the algorithm is step-agnostic);
    *  - seeds = the stride centroids (vec_id % centroidStep == 0) taken
    *    FROM the sample, re-numbered 0..k-1 in vec_id order;
    *  - `iters` Lloyd steps. Assignment = argmax cosine with the SAME

@@ -11,11 +11,14 @@ import graft.model.Fidelity
  * `data/<fidelity>/<dataset_id>/<a>/<b>/<c>/<bucket>` path scheme
  * (reference: src/index.py:22-29, 460-505).
  *
- * Two parquet tables:
- *   raw:    partitioned by (dataset_id, win_s)   — append-only
+ * Two parquet tables, both partitioned on the series' HASH BUCKET
+ * `ds_b = hash(dataset_id) mod DsBuckets` rather than dataset_id
+ * itself (see DsBuckets for why — commit cost independent of series
+ * cardinality):
+ *   raw:    partitioned by (ds_b, win_s)   — append-only
  *           (the reference appends raw files, src/index.py:517)
  *   rollup: ONE table for all 6 aggregate levels, partitioned by
- *           (fidelity, dataset_id, part_s) — read-merge-rewrite scoped
+ *           (fidelity, ds_b, part_s) — read-merge-rewrite scoped
  *           to AFFECTED partitions only via dynamic partition overwrite
  *           (the reference rewrites one agg file at a time,
  *           src/index.py:521-550; a full-table rewrite per batch would
@@ -27,7 +30,8 @@ import graft.model.Fidelity
  * `part_s = bucket_s div (5000 * d) * (5000 * d)` mirrors the
  * reference's DATAPOINT_GROUP_SIZE=5000-row file windows
  * (src/index.py:45-57): one partition holds ~5000 buckets. Catalyst
- * partition pruning on (dataset_id, part_s) replaces the reference's
+ * partition pruning on (ds_b, part_s) + row-group skipping on the
+ * within-file (dataset_id, ts) sort replace the reference's
  * `_subpaths` arithmetic (src/index.py:408-458).
  */
 object Tables {
@@ -125,7 +129,7 @@ object Tables {
    *  reference treats missing files as empty results, src/index.py:556-558).
    */
   private def readOrEmpty(
-      spark: SparkSession, path: String, schema: StructType, partCols: Seq[String]): DataFrame =
+      spark: SparkSession, path: String, schema: StructType): DataFrame =
     if (StoreFs.exists(spark, path))
       spark.read.parquet(path)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
@@ -134,7 +138,7 @@ object Tables {
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   def readRaw(spark: SparkSession, root: String): DataFrame =
-    readOrEmpty(spark, rawPath(root), rawSchema, Seq("ds_b", "win_s"))
+    readOrEmpty(spark, rawPath(root), rawSchema)
 
   /** Raw read pruned to ONE series: static partition pruning to its
    *  hash bucket, then the dataset_id equality skips row groups via the
