@@ -204,6 +204,47 @@ object PipelineQueries {
         .withColumn("bin", expr("(cum - n_bpe_est) div 512"))
         .select(col("doc_id"), col("shard"), col("n_bpe_est"), col("bin"))
         .orderBy("doc_id")),
+    // repetition signals (Gopher/C4-style quality filters): duplicate
+    // trigram fraction from a narrow projection, dominant-token ratio
+    // from one token aggregation — joined per doc
+    "repetition_stats" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val tri = d.select(
+        col("doc_id"),
+        TextOps.shinglesOf(TextOps.tokens(col("text")), 3).as("tris"))
+        .select(
+          col("doc_id"),
+          size(col("tris")).cast("long").as("n_tri"),
+          size(array_distinct(col("tris"))).cast("long").as("n_tri_uniq"))
+      val tok = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_tok"), max(col("c")).as("top_tok_n"))
+      tri.join(tok, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("n_tok"), col("top_tok_n"),
+          r6(col("top_tok_n").cast("double") / col("n_tok")).as("top_tok_ratio"),
+          col("n_tri"), col("n_tri_uniq"),
+          r6(lit(1.0) - col("n_tri_uniq").cast("double") / col("n_tri")).as("dup_tri_frac"))
+        .orderBy("doc_id")
+    }),
+    // symmetric int8 quantization of the embedding column — the storage
+    // form a 100 TB ANN index actually keeps (4× smaller, SIMD-friendly);
+    // emitted as exact integer summaries (sum, saturation count) plus
+    // the per-vector scale so the oracle compare stays engine-portable
+    "embedding_quantize" -> ((s, dir) =>
+      embBase(s, dir)
+        .withColumn("m",
+          aggregate(transform(col("v"), x => abs(x)), lit(0.0), (a, x) => greatest(a, x)))
+        .where(col("m") > 0)
+        .withColumn("q",
+          transform(col("v"), x => round(x / (col("m") / 127.0)).cast("long")))
+        .select(
+          col("vec_id"),
+          r6(col("m") / 127.0).as("scale"),
+          aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+          size(filter(col("q"), x => abs(x) === 127)).cast("long").as("n_sat"))
+        .orderBy("vec_id")),
     // benchmark decontamination: flag training docs sharing >= 3 capped
     // shingles with any holdout doc (holdout = every 50th doc here) —
     // the distinct holdout shingle set is orders smaller than the
@@ -361,6 +402,39 @@ object PipelineQueries {
         |    CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "repetition_stats" ->
+      """WITH tri AS (
+        |  SELECT doc_id,
+        |    CAST(len(tokens) - 2 AS BIGINT) AS n_tri,
+        |    CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(tokens) - 2),
+        |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS BIGINT)
+        |      AS n_tri_uniq
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+        |tok AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok,
+        |    CAST(max(c) AS BIGINT) AS top_tok_n
+        |  FROM (
+        |    SELECT doc_id, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+        |    GROUP BY doc_id, tk)
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_tok, top_tok_n,
+        |  round(CAST(top_tok_n AS DOUBLE) / n_tok, 6) AS top_tok_ratio,
+        |  n_tri, n_tri_uniq,
+        |  round(1.0 - CAST(n_tri_uniq AS DOUBLE) / n_tri, 6) AS dup_tri_frac
+        |FROM tri JOIN tok USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "embedding_quantize" ->
+      """SELECT vec_id, round(m / 127.0, 6) AS scale,
+        |  CAST(list_sum(list_transform(v,
+        |    x -> CAST(round(x / (m / 127.0)) AS BIGINT))) AS BIGINT) AS sum_q,
+        |  CAST(len(list_filter(v,
+        |    x -> abs(CAST(round(x / (m / 127.0)) AS BIGINT)) = 127)) AS BIGINT) AS n_sat
+        |FROM (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
+        |  FROM embeddings)
+        |WHERE m > 0 ORDER BY vec_id""".stripMargin,
     "decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
