@@ -105,6 +105,46 @@ object CoreQueries {
         .select(col("bucket_s"), col("min_v"), r6(col("mean_v")).as("mean_v"), col("max_v"))
         .orderBy("bucket_s")),
 
+    // ---- quantiles: rank-based per-series percentiles ---------------
+    // element SELECTION (rank = ceil(p·n)), not interpolation — both
+    // engines pick the same VALUE from the sorted multiset, so there is
+    // no interpolation-formula ulp hazard at all. The window partitions
+    // by series (balanced at scale); a single billion-point series
+    // would switch to approx_percentile (documented divergence).
+    "range_quantiles" -> ((s, dir) => {
+      val byDs = org.apache.spark.sql.expressions.Window.partitionBy("dataset_id")
+      ev(s, dir)
+        .withColumn("r", row_number().over(byDs.orderBy("value")))
+        .withColumn("n", count(lit(1)).over(byDs))
+        .withColumn("p", explode(array(lit(0.5), lit(0.9), lit(0.99))))
+        .where(col("r") === greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+        .select(col("dataset_id"), col("p"), r6(col("value")).as("q"))
+        .orderBy("dataset_id", "p")
+    }),
+
+    // ---- counter rate with reset detection (Prometheus-style) -------
+    // per-series lag window: a drop in a cumulative counter means the
+    // process restarted — the post-reset value IS the increase. Bucket
+    // sums are exact ppm integers (order-independent), divided by
+    // identical operands — no float-accumulation hazard.
+    "counter_rate_100s" -> ((s, dir) => {
+      val byDs = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("ts_us", "value")
+      ev(s, dir)
+        .withColumn("prev", lag(col("value"), 1).over(byDs))
+        .withColumn("inc",
+          when(col("prev").isNull, lit(0.0))
+            .when(col("value") >= col("prev"), col("value") - col("prev"))
+            .otherwise(col("value")))
+        .withColumn("inc_ppm", round(col("inc") * 1e6).cast("long"))
+        .groupBy(col("dataset_id"),
+          expr("(ts_us div 100000000) * 100").as("bucket_s"))
+        .agg(
+          (sum(col("inc_ppm")).cast("double") / 1e6).as("sum_inc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- A5: resolution routing over real spans ---------------------
     "fidelity_route" -> ((s, dir) =>
       ev(s, dir).groupBy("dataset_id")
@@ -522,6 +562,31 @@ object CoreQueries {
         |  string_split(line, ',')[1]::BIGINT AS ts_us,
         |  string_split(line, ',')[2]::DOUBLE AS value
         |FROM l ORDER BY dataset_id, ts_us, value""".stripMargin,
+    "range_quantiles" ->
+      """WITH v AS (SELECT event_type AS dataset_id, value FROM events
+        |           WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (SELECT dataset_id, value,
+        |        row_number() OVER (PARTITION BY dataset_id ORDER BY value) AS r,
+        |        count(*) OVER (PARTITION BY dataset_id) AS n FROM v),
+        |p AS (SELECT unnest([0.5::DOUBLE, 0.9::DOUBLE, 0.99::DOUBLE]) AS p)
+        |SELECT dataset_id, p, round(value, 6) AS q FROM r, p
+        |WHERE r = greatest(1, CAST(ceil(p * n) AS BIGINT))
+        |ORDER BY dataset_id, p""".stripMargin,
+    "counter_rate_100s" ->
+      """WITH v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |l AS (SELECT dataset_id, ts_us, value,
+        |        lag(value) OVER (PARTITION BY dataset_id ORDER BY ts_us, value) AS prev
+        |      FROM v),
+        |i AS (SELECT dataset_id, ts_us,
+        |        CASE WHEN prev IS NULL THEN 0.0
+        |             WHEN value >= prev THEN value - prev
+        |             ELSE value END AS inc FROM l)
+        |SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+        |  CAST(sum(CAST(round(inc * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0
+        |    AS sum_inc,
+        |  count(*) AS cnt
+        |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "series_anomaly_100s" ->
       """WITH r AS (
         |  SELECT event_type AS dataset_id,
