@@ -35,8 +35,18 @@ import graft.store.Tables
 object RollupCatalog {
   private val stores = new ConcurrentHashMap[String, String]()
 
-  private def canon(p: String): String =
-    new java.io.File(p).getAbsolutePath
+  /** Key normalization for catalog matching. Relation paths arrive as
+   *  URI paths (`LogicalRelation.location.rootPaths.head.toUri.getPath`);
+   *  registered roots may be relative local paths — Hadoop `Path`
+   *  normalizes separators/trailing slashes, and bare relative paths
+   *  are anchored at the JVM working dir to match the URI form.
+   */
+  private def canon(p: String): String = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    if (hp.isAbsolute) hp.toString
+    else new org.apache.hadoop.fs.Path(
+      new java.io.File(".").getAbsoluteFile.getParent, p).toString
+  }
 
   /** Register a store root so queries over its raw table rewrite. */
   def register(storeRoot: String): Unit =
