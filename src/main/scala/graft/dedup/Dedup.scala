@@ -242,12 +242,13 @@ object Dedup {
         .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .where(col("comp") =!= col("prev"))
         .isEmpty
-      labels.unpersist(false)
+      // superseded label generations are checkpoint RDD blocks, not
+      // CacheManager entries — ContextCleaner reclaims them once the
+      // frames are unreferenced (Dataset.unpersist would be a no-op)
       labels = next
       it += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter iterations")
-    edges.unpersist(false)
     labels.select(col("id").as("doc_id"), col("comp"))
   }
 

@@ -22,9 +22,16 @@ import graft.model.Fidelity
  */
 object Melt {
 
-  /** Validation + NaN-drop applied to every ingest path (P3 + P4). */
+  /** Validation + NaN-drop applied to every ingest path (P3 + P4).
+   *  Null timestamps are dropped HERE, explicitly: a null ts_us row can
+   *  never be range-queried (and would land in a null partition
+   *  window), and the ingest path's emptiness check treats null ts
+   *  bounds as "no ingestable rows" — dropping at sanitize keeps that
+   *  loud and principled instead of silent.
+   */
   def sanitize(long: DataFrame): DataFrame =
     long
+      .where(col("ts_us").isNotNull)
       .where(col("value").isNotNull && !isnan(col("value")))
       .where(
         col("dataset_id").rlike("^[a-zA-Z0-9._\\-]+$") &&

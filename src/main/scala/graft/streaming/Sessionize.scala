@@ -60,11 +60,24 @@ object Sessionize {
         var open = state.getOption
         val closed = Vector.newBuilder[Session]
         for (t <- ts) open match {
-          case Some(s) if t - s.lastUs <= gapUs =>
-            open = Some(s.copy(lastUs = t, nEvents = s.nEvents + 1))
+          case Some(s) if t > s.lastUs =>
+            if (t - s.lastUs <= gapUs)
+              open = Some(s.copy(lastUs = t, nEvents = s.nEvents + 1))
+            else {
+              closed += Session(userId, s.startUs, s.lastUs, s.nEvents)
+              open = Some(OpenSession(t, t, 1))
+            }
           case Some(s) =>
-            closed += Session(userId, s.startUs, s.lastUs, s.nEvents)
-            open = Some(OpenSession(t, t, 1))
+            // out-of-order arrival (possible ACROSS batches within the
+            // watermark delay): never rewind lastUs — that corrupts the
+            // session bounds and re-arms the timeout too early. Inside
+            // [start-gap, last] the event is absorbed (start may move
+            // back); further back it is its own already-closed session.
+            if (t >= s.startUs - gapUs)
+              open = Some(s.copy(
+                startUs = math.min(s.startUs, t), nEvents = s.nEvents + 1))
+            else
+              closed += Session(userId, t, t, 1)
           case None =>
             open = Some(OpenSession(t, t, 1))
         }
