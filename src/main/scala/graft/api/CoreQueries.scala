@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.ingest.Melt
 import graft.model.Fidelity
 import graft.ops.Rollup
-import graft.query.{Histogram, RangeQuery, Search}
+import graft.query.{Downsample, Histogram, RangeQuery, Search}
 import graft.store.{CommentStore, Tables}
 
 /**
@@ -144,6 +144,14 @@ object CoreQueries {
           count(lit(1)).as("cnt"))
         .orderBy("dataset_id", "bucket_s")
     }),
+
+    // ---- M4 downsample: error-free line-chart reduction -------------
+    // one hash agg per (series, pixel column); shuffle carries ≤width
+    // rows per series. Point selection via lexicographic struct min/max
+    // (deterministic under duplicate timestamps, same rule in DuckDB).
+    "m4_downsample" -> ((s, dir) =>
+      Downsample.m4(ev(s, dir), Day5Us, Day6Us, 480)
+        .orderBy("dataset_id", "k")),
 
     // ---- A5: resolution routing over real spans ---------------------
     "fidelity_route" -> ((s, dir) =>
@@ -587,6 +595,19 @@ object CoreQueries {
         |    AS sum_inc,
         |  count(*) AS cnt
         |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "m4_downsample" ->
+      s"""WITH v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |           FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |             AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |b AS (SELECT dataset_id,
+         |        least(((ts_us - $Day5Us) * 480) // ${Day6Us - Day5Us}, 479) AS k,
+         |        ts_us, value FROM v)
+         |SELECT dataset_id, k, min(value) AS min_v, max(value) AS max_v,
+         |  (min(struct_pack(t := ts_us, v := value))).t AS first_ts,
+         |  (min(struct_pack(t := ts_us, v := value))).v AS first_v,
+         |  (max(struct_pack(t := ts_us, v := value))).t AS last_ts,
+         |  (max(struct_pack(t := ts_us, v := value))).v AS last_v
+         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "series_anomaly_100s" ->
       """WITH r AS (
         |  SELECT event_type AS dataset_id,
