@@ -145,6 +145,15 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- gap-fill: align to a regular 100s grid, interpolate --------
+    // output deliberately UNROUNDED: every value is either an exact
+    // fixed-point mean or the same IEEE formula tree over bit-identical
+    // operands in both engines — a final round(,6) would ADD a
+    // 7th-decimal tie hazard across ~130k interpolated values.
+    "series_fill_100s" -> ((s, dir) =>
+      graft.ops.Interpolate.fillLinear(ev(s, dir), 100L)
+        .orderBy("dataset_id", "bucket_s")),
+
     // ---- M4 downsample: error-free line-chart reduction -------------
     // one hash agg per (series, pixel column); shuffle carries ≤width
     // rows per series. Point selection via lexicographic struct min/max
@@ -595,6 +604,35 @@ object CoreQueries {
         |    AS sum_inc,
         |  count(*) AS cnt
         |FROM i GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "series_fill_100s" ->
+      """WITH v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+        |           FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |r AS (SELECT dataset_id, ts_us // 100000000 AS b,
+        |        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+        |          / (CAST(count(*) AS DOUBLE) * 1000000.0) AS v_obs
+        |      FROM v GROUP BY 1, 2),
+        |g AS (SELECT dataset_id, unnest(range(min(b), max(b) + 1)) AS b
+        |      FROM r GROUP BY dataset_id),
+        |j AS (SELECT g.dataset_id, g.b, r.v_obs
+        |      FROM g LEFT JOIN r USING (dataset_id, b)),
+        |w AS (SELECT dataset_id, b, v_obs,
+        |        last_value(v_obs IGNORE NULLS) OVER pw AS pv,
+        |        last_value(CASE WHEN v_obs IS NOT NULL THEN b END IGNORE NULLS)
+        |          OVER pw AS pb,
+        |        first_value(v_obs IGNORE NULLS) OVER nw AS nv,
+        |        first_value(CASE WHEN v_obs IS NOT NULL THEN b END IGNORE NULLS)
+        |          OVER nw AS nb
+        |      FROM j
+        |      WINDOW pw AS (PARTITION BY dataset_id ORDER BY b
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |           nw AS (PARTITION BY dataset_id ORDER BY b
+        |                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT dataset_id, b * 100 AS bucket_s,
+        |  CASE WHEN v_obs IS NOT NULL THEN v_obs
+        |       ELSE pv + (nv - pv) *
+        |            (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END AS v,
+        |  v_obs IS NULL AS filled
+        |FROM w ORDER BY 1, 2""".stripMargin,
     "m4_downsample" ->
       s"""WITH v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
          |           FROM events WHERE value IS NOT NULL AND NOT isnan(value)
