@@ -486,6 +486,27 @@ object CoreQueries {
           col("dataset_id"), col("bucket_s"),
           col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
         .orderBy("dataset_id", "bucket_s")
+    }),
+
+    // ---- S3 via the manifest/merge-on-read commit path: same 3-batch
+    // ingest as ingest_incremental_1s, but each batch APPENDS partials
+    // under an O(1) atomic manifest commit and readers fold the monoid;
+    // maxLiveCommits=2 forces a compact+vacuum cycle inside the gated
+    // run, so the oracle checks the full LSM lifecycle, not just appends
+    "ingest_manifest_1s" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_manifest").toString
+      val long = ev(s, dir)
+      for (i <- 0 until 3)
+        graft.store.ManifestStore.ingestBatch(
+          s, root,
+          long.where(pmod(crc32(concat_ws("|", col("dataset_id"), col("ts_us"))), lit(3)) === i),
+          maxLiveCommits = 2)
+      graft.store.ManifestStore.readLevel(s, root, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -511,6 +532,7 @@ object CoreQueries {
     "rollup_100000s" -> rollupSql(100000),
     "rollup_cascade_10s" -> rollupSql(10),
     "ingest_incremental_1s" -> rollupSql(1),
+    "ingest_manifest_1s" -> rollupSql(1),
     "stream_ingest_1s" -> rollupSql(1),
     "comments_crud" ->
       """WITH base AS (

@@ -1,0 +1,270 @@
+package graft.store
+
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.model.Fidelity
+
+/**
+ * Manifest-committed, merge-on-read variant of the rollup table — the
+ * "beyond dynamic overwrite" commit path SCALE.md promises for
+ * sustained high-cardinality ingest (and the round-3 audit's one
+ * remaining driver-side scale concern with `Tables.mergeRollups`).
+ *
+ * The idea is the Delta/Iceberg commit protocol reduced to what this
+ * table needs (same shape as the reference's one-file-at-a-time agg
+ * rewrite, src/index.py:521-550, lifted to atomic snapshots):
+ *
+ *  - every ingest APPENDS its per-level partial aggregates as new
+ *    parquet files under an immutable commit directory — no read, no
+ *    merge shuffle, no rewrite of existing data on the write path;
+ *  - visibility is ONE atomic manifest rename: `_manifests/v<N>` lists
+ *    the live commit dirs; writers race on rename-if-absent and the
+ *    loser re-reads and retries (optimistic concurrency). Commit cost
+ *    is O(1) in partition count, series cardinality, and table size —
+ *    the property dynamic partition overwrite (driver-serial dir
+ *    moves) fundamentally lacks;
+ *  - readers resolve the latest manifest and fold the rollup monoid
+ *    (min/max/sum/cnt) across live commits at read time — merge-ON-READ;
+ *  - COMPACTION bounds read amplification: fold all live commits into
+ *    one and swap the manifest atomically; `vacuum` deletes unreferenced
+ *    dirs afterwards. LSM semantics: ingest latency trades against a
+ *    bounded number of overlapping commits.
+ *
+ * Physical layout per commit: files partitioned by `fidelity` only
+ * (the leading query predicate → manifest-level pruning); `ds_b` and
+ * `part_s` stay as SORTED data columns, so series/time predicates skip
+ * row groups via parquet min/max stats instead of needing directories.
+ * That keeps a commit at a handful of files — what makes the rename
+ * protocol cheap — while preserving the same pruning the partitioned
+ * table gets from its directory tree.
+ *
+ * Atomicity relies on `FileSystem.rename` refusing an existing target
+ * (HDFS, local). On S3 this maps to a conditional PUT committer —
+ * the same caveat every manifest-based table format carries.
+ */
+object ManifestStore {
+
+  private def tableRoot(root: String) = s"$root/mrollup"
+  private def dataDir(root: String) = s"${tableRoot(root)}/data"
+  private def manifestDir(root: String) = s"${tableRoot(root)}/_manifests"
+
+  /** Physical file schema: fidelity lives in the directory name. */
+  private val physSchema: StructType = StructType(Seq(
+    StructField("dataset_id", StringType),
+    StructField("part_s", LongType),
+    StructField("bucket_s", LongType),
+    StructField("min_v", DoubleType),
+    StructField("max_v", DoubleType),
+    StructField("sum_v", DoubleType),
+    StructField("cnt", LongType),
+    StructField("ds_b", IntegerType)))
+
+  private def fsFor(spark: SparkSession, p: Path): FileSystem =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def versionPath(root: String, v: Long): Path =
+    new Path(manifestDir(root) + f"/v$v%012d")
+
+  /** Latest snapshot: (version, live commit-dir names); (0, Nil) when
+   *  the table has never been written.
+   */
+  def latest(spark: SparkSession, root: String): (Long, Seq[String]) = {
+    val dir = new Path(manifestDir(root))
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) (0L, Seq.empty)
+    else {
+      val versions = fs.listStatus(dir).map(_.getPath.getName)
+        .filter(_.startsWith("v")).map(_.drop(1).toLong)
+      if (versions.isEmpty) (0L, Seq.empty)
+      else {
+        val v = versions.max
+        val in = fs.open(versionPath(root, v))
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        (v, body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+      }
+    }
+  }
+
+  /** Optimistic-concurrency manifest commit: compute the next live set
+   *  from the current one, write it to a temp file, rename to the next
+   *  version. A losing writer (rename refused: target exists) re-reads
+   *  and retries, so concurrent appends serialize without locks.
+   */
+  private def commit(spark: SparkSession, root: String)(
+      next: Seq[String] => Seq[String]): Unit = {
+    val dir = new Path(manifestDir(root))
+    val fs = fsFor(spark, dir)
+    fs.mkdirs(dir)
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      require(attempts <= 50, s"manifest commit contention at $root")
+      val (v, live) = latest(spark, root)
+      val entries = next(live)
+      val tmp = new Path(manifestDir(root) + s"/.tmp-${UUID.randomUUID()}")
+      val out = fs.create(tmp, true)
+      try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+      finally out.close()
+      val target = versionPath(root, v + 1)
+      done = !fs.exists(target) && fs.rename(tmp, target)
+      if (!done) fs.delete(tmp, false): Unit
+    }
+  }
+
+  /** Append one batch's `allLevelPartials` output as a new immutable
+   *  commit. No existing data is read or rewritten; the only
+   *  serialization point is the manifest rename. The repartition on
+   *  `fidelity` bounds the commit to ~one file per level at local
+   *  scale (add `ds_b` to the repartition on a cluster for write
+   *  parallelism — the manifest protocol is indifferent to file count).
+   */
+  def appendPartials(spark: SparkSession, root: String, partials: DataFrame): Unit = {
+    val name = s"c-${UUID.randomUUID().toString.take(12)}"
+    partials
+      .withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
+      .select((col("fidelity") +: physSchema.fieldNames.map(col).toIndexedSeq): _*)
+      .repartition(col("fidelity"))
+      .sortWithinPartitions(
+        col("fidelity"), col("ds_b"), col("part_s"), col("dataset_id"), col("bucket_s"))
+      .write
+      .mode("errorifexists")
+      .option("maxRecordsPerFile", Fidelity.GroupSize)
+      .partitionBy("fidelity")
+      .parquet(s"${dataDir(root)}/$name")
+    commit(spark, root)(live => live :+ name)
+  }
+
+  private def empty(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.rollupSchema)
+
+  /** The rollup monoid folded at read time over the given pre-filtered
+   *  per-commit frames.
+   */
+  private def mergeOnRead(parts: DataFrame): DataFrame =
+    parts
+      .groupBy("dataset_id", "bucket_s")
+      .agg(
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"),
+        sum("sum_v").as("sum_v"),
+        sum("cnt").as("cnt"))
+
+  /** Live `fidelity=<level>` leaf dirs for one level (manifest-level
+   *  pruning: other levels' files are never listed, let alone read).
+   */
+  private def levelDirs(spark: SparkSession, root: String, f: Fidelity): Seq[String] = {
+    val (_, live) = latest(spark, root)
+    live
+      .map(d => s"${dataDir(root)}/$d/fidelity=${Tables.fidelityPart(f)}")
+      .filter(StoreFs.exists(spark, _))
+  }
+
+  /** Read one level, merged across live commits (S5 equivalent). */
+  def readLevel(spark: SparkSession, root: String, f: Fidelity): DataFrame = {
+    val dirs = levelDirs(spark, root, f)
+    if (dirs.isEmpty) empty(spark)
+    else mergeOnRead(spark.read.schema(physSchema).parquet(dirs: _*))
+      .select(Tables.rollupSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Level read pruned to one series BEFORE the merge fold: the ds_b +
+   *  dataset_id equalities ride the within-file sort's row-group stats
+   *  (the manifest analog of `Tables.readRollupFor`).
+   */
+  def readLevelFor(
+      spark: SparkSession, root: String, f: Fidelity, datasetId: String): DataFrame = {
+    val dirs = levelDirs(spark, root, f)
+    if (dirs.isEmpty) empty(spark)
+    else mergeOnRead(
+      spark.read.schema(physSchema).parquet(dirs: _*)
+        .where(col("ds_b") === Tables.dsBucket(lit(datasetId)) &&
+          col("dataset_id") === datasetId))
+      .select(Tables.rollupSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Fold ALL live commits into one and swap the manifest atomically.
+   *  Readers see either the old set or the compacted one, never both.
+   *  Commits that land AFTER this compaction's snapshot was read are
+   *  preserved by the functional manifest update.
+   */
+  def compact(spark: SparkSession, root: String): Unit = {
+    val (_, live) = latest(spark, root)
+    if (live.size <= 1) return
+    val full = StructType(physSchema.fields :+ StructField("fidelity", StringType))
+    val merged = live
+      .map(d => spark.read.schema(full)
+        .option("basePath", s"${dataDir(root)}/$d")
+        .parquet(s"${dataDir(root)}/$d"))
+      .reduce(_.unionByName(_))
+      .groupBy("fidelity", "dataset_id", "part_s", "bucket_s")
+      .agg(
+        min("min_v").as("min_v"),
+        max("max_v").as("max_v"),
+        sum("sum_v").as("sum_v"),
+        sum("cnt").as("cnt"))
+    val name = s"c-${UUID.randomUUID().toString.take(12)}"
+    merged
+      .withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
+      .select((col("fidelity") +: physSchema.fieldNames.map(col).toIndexedSeq): _*)
+      .repartition(col("fidelity"))
+      .sortWithinPartitions(
+        col("fidelity"), col("ds_b"), col("part_s"), col("dataset_id"), col("bucket_s"))
+      .write
+      .mode("errorifexists")
+      .option("maxRecordsPerFile", Fidelity.GroupSize)
+      .partitionBy("fidelity")
+      .parquet(s"${dataDir(root)}/$name")
+    commit(spark, root)(now => now.filterNot(live.contains) :+ name)
+  }
+
+  /** Delete data dirs no manifest-visible snapshot references. Run it
+   *  once in-flight readers of superseded snapshots have drained — this
+   *  minimal protocol has no retention window (a production table
+   *  format would keep K versions and age them out).
+   */
+  def vacuum(spark: SparkSession, root: String): Unit = {
+    val (_, live) = latest(spark, root)
+    val dd = new Path(dataDir(root))
+    val fs = fsFor(spark, dd)
+    if (!fs.exists(dd)) return
+    fs.listStatus(dd)
+      .map(_.getPath)
+      .filterNot(p => live.contains(p.getName))
+      .foreach(p => fs.delete(p, true): Unit)
+  }
+
+  /** §3.2 ingest through the manifest path: sanitize → concurrent raw
+   *  append + rollup partials append (no merge on the write path) →
+   *  compact + vacuum when live commits exceed `maxLiveCommits`.
+   */
+  def ingestBatch(
+      spark: SparkSession, root: String, batchLong: DataFrame,
+      maxLiveCommits: Int = 16): Unit = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+
+    val batch = graft.ingest.Melt.sanitize(batchLong).persist()
+    try {
+      if (!batch.isEmpty) {
+        val writes = Seq(
+          Future(Tables.appendRaw(batch, root)),
+          Future(appendPartials(spark, root, Tables.allLevelPartials(batch))))
+        Await.result(Future.sequence(writes), Duration.Inf): Unit
+        if (latest(spark, root)._2.size > maxLiveCommits) {
+          compact(spark, root)
+          vacuum(spark, root)
+        }
+      }
+    } finally batch.unpersist(): Unit
+  }
+}

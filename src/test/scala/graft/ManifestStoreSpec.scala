@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Fidelity
+import graft.store.{ManifestStore, Tables}
+
+/**
+ * Manifest/merge-on-read store: atomic snapshot commits, monoid fold
+ * at read time, compaction equivalence, vacuum, and version ordering.
+ */
+class ManifestStoreSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def batch(points: (String, String, Double)*): DataFrame =
+    TestSpark.longDF(points)
+
+  private def level1(root: String): Map[(String, Long), (Double, Double, Double, Long)] =
+    ManifestStore.readLevel(spark, root, Fidelity.S1).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+
+  test("appends are snapshot-visible and merge across commits at read time") {
+    val root = TestSpark.tmpDir("mstore")
+    assert(ManifestStore.readLevel(spark, root, Fidelity.S1).isEmpty,
+      "never-written table reads empty")
+
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 1.0), ("a", "2024-01-01T00:00:00.4", 3.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00.8", 5.0), ("b", "2024-01-01T00:00:01", 7.0)))
+
+    assert(ManifestStore.latest(spark, root)._2.size == 2, "two live commits")
+    val m = level1(root)
+    // same-second points from DIFFERENT commits fold via the monoid
+    assert(m(("a", TestSpark.isoUs("2024-01-01T00:00:00") / 1000000L)) ==
+      ((1.0, 5.0, 9.0, 3L)))
+    assert(m(("b", TestSpark.isoUs("2024-01-01T00:00:01") / 1000000L)) ==
+      ((7.0, 7.0, 7.0, 1L)))
+  }
+
+  test("readLevelFor equals the series slice of readLevel") {
+    val root = TestSpark.tmpDir("mstore")
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 1.0), ("b", "2024-01-01T00:00:00", 2.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:02", 4.0)))
+    val direct = ManifestStore.readLevelFor(spark, root, Fidelity.S1, "a")
+      .orderBy("bucket_s").collect().toSeq
+    val sliced = ManifestStore.readLevel(spark, root, Fidelity.S1)
+      .where(col("dataset_id") === "a").orderBy("bucket_s").collect().toSeq
+    assert(direct == sliced && direct.size == 2)
+  }
+
+  test("compact folds commits into one; vacuum deletes the superseded dirs; reads unchanged") {
+    val root = TestSpark.tmpDir("mstore")
+    for (i <- 0 until 3)
+      ManifestStore.ingestBatch(spark, root,
+        batch(("a", s"2024-01-01T00:00:0$i", i + 1.0), ("b", s"2024-01-01T00:00:0$i", 10.0 * (i + 1))))
+    val before = level1(root)
+    val (_, liveBefore) = ManifestStore.latest(spark, root)
+    assert(liveBefore.size == 3)
+
+    ManifestStore.compact(spark, root)
+    val (_, liveAfter) = ManifestStore.latest(spark, root)
+    assert(liveAfter.size == 1 && !liveBefore.contains(liveAfter.head))
+    assert(level1(root) == before, "compaction preserves every level-1 cell")
+
+    ManifestStore.vacuum(spark, root)
+    val dataDirs = new java.io.File(s"$root/mrollup/data").listFiles().map(_.getName).toSet
+    assert(dataDirs == liveAfter.toSet, "vacuum leaves only manifest-referenced dirs")
+    assert(level1(root) == before, "reads survive vacuum")
+
+    // every aggregate level survives the cycle, not just S1
+    for (f <- Fidelity.aggLevels)
+      assert(!ManifestStore.readLevel(spark, root, f).isEmpty, s"level ${f.name} non-empty")
+  }
+
+  test("commits always land above the highest existing manifest version") {
+    val root = TestSpark.tmpDir("mstore")
+    ManifestStore.ingestBatch(spark, root, batch(("a", "2024-01-01T00:00:00", 1.0)))
+    val (v1, live1) = ManifestStore.latest(spark, root)
+    // simulate a concurrent writer publishing a higher version with the
+    // same live set — the next commit must re-read and land above it
+    val fake = new java.io.File(s"$root/mrollup/_manifests/" + f"v${v1 + 5}%012d")
+    java.nio.file.Files.writeString(fake.toPath, live1.mkString("", "\n", "\n"))
+    ManifestStore.ingestBatch(spark, root, batch(("a", "2024-01-01T00:00:01", 2.0)))
+    val (v2, live2) = ManifestStore.latest(spark, root)
+    assert(v2 == v1 + 6, "new commit sequenced after the foreign version")
+    assert(live2.size == 2 && live1.forall(live2.contains))
+    assert(level1(root).keySet.size == 2)
+  }
+
+  test("auto-compaction triggers past maxLiveCommits and equals the one-shot rollup") {
+    val root = TestSpark.tmpDir("mstore")
+    val all = (0 until 6).map(i => ("s", f"2024-01-01T00:00:$i%02d", i * 1.5))
+    for (p <- all.grouped(2).toSeq)
+      ManifestStore.ingestBatch(spark, root, batch(p: _*), maxLiveCommits = 2)
+    assert(ManifestStore.latest(spark, root)._2.size <= 3, "compaction kept live set bounded")
+    val oneShot = graft.ops.Rollup.aggregate(batch(all: _*), 1)
+      .select("dataset_id", "bucket_s", "min_v", "max_v", "sum_v", "cnt")
+      .orderBy("bucket_s").collect().toSeq
+    val stored = ManifestStore.readLevel(spark, root, Fidelity.S1)
+      .orderBy("bucket_s").collect().toSeq
+    assert(stored == oneShot)
+  }
+}
