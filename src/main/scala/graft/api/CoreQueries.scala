@@ -162,6 +162,14 @@ object CoreQueries {
       Downsample.m4(ev(s, dir), Day5Us, Day6Us, 480)
         .orderBy("dataset_id", "k")),
 
+    // ---- LTTB downsample over the routed day window -----------------
+    // sequential per series by definition; one flatMapGroups per series
+    // over the BOUNDED routed range. n<=B series pass through whole
+    // (both branches are exercised across the driver's SFs).
+    "lttb_downsample" -> ((s, dir) =>
+      Downsample.lttb(ev(s, dir), Day5Us, Day6Us, 60)
+        .orderBy("dataset_id", "ts_us", "value")),
+
     // ---- A5: resolution routing over real spans ---------------------
     "fidelity_route" -> ((s, dir) =>
       ev(s, dir).groupBy("dataset_id")
@@ -655,6 +663,52 @@ object CoreQueries {
         |            (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END AS v,
         |  v_obs IS NULL AS filled
         |FROM w ORDER BY 1, 2""".stripMargin,
+    // LTTB: the sequential pick recurses over buckets with a LATERAL
+    // argmax per step; areas are exact HUGEINT (µs × ppm) mirroring the
+    // engine's BigInt, ties broken toward the smallest (ts, value).
+    "lttb_downsample" ->
+      s"""WITH RECURSIVE
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |pts AS (SELECT dataset_id, ts_us, value,
+         |         ts_us - $Day5Us AS x,
+         |         CAST(round(value * 1000000) AS BIGINT) AS y,
+         |         row_number() OVER (PARTITION BY dataset_id
+         |                            ORDER BY ts_us, value) - 1 AS i,
+         |         count(*) OVER (PARTITION BY dataset_id) AS n
+         |       FROM v),
+         |small AS (SELECT dataset_id, ts_us, value FROM pts WHERE n <= 60),
+         |big AS (SELECT * FROM pts WHERE n > 60),
+         |cand AS (SELECT dataset_id, ts_us, value, x, y,
+         |           ((i - 1) * 58) // (n - 2) AS j
+         |         FROM big WHERE i BETWEEN 1 AND n - 2),
+         |cent AS (
+         |  SELECT dataset_id, j - 1 AS j, sum(x) AS sx, sum(y) AS sy,
+         |         count(*) AS nc
+         |  FROM cand WHERE j >= 1 GROUP BY dataset_id, j
+         |  UNION ALL
+         |  SELECT dataset_id, 57 AS j, x AS sx, y AS sy, 1 AS nc
+         |  FROM big WHERE i = n - 1),
+         |sel AS (
+         |  SELECT dataset_id, -1 AS j, ts_us, value, x, y FROM big WHERE i = 0
+         |  UNION ALL
+         |  SELECT s.dataset_id, s.j + 1, c.ts_us, c.value, c.x, c.y
+         |  FROM sel s, LATERAL (
+         |    SELECT p2.ts_us, p2.value, p2.x, p2.y
+         |    FROM cand p2, cent ct
+         |    WHERE p2.dataset_id = s.dataset_id AND p2.j = s.j + 1
+         |      AND ct.dataset_id = s.dataset_id AND ct.j = s.j + 1
+         |    ORDER BY abs((ct.nc * s.x - ct.sx)::HUGEINT * (p2.y - s.y)::HUGEINT
+         |               - (s.x - p2.x)::HUGEINT * (ct.sy - ct.nc * s.y)::HUGEINT)
+         |             DESC, p2.x, p2.value
+         |    LIMIT 1) c
+         |  WHERE s.j + 1 <= 57)
+         |SELECT dataset_id, ts_us, value FROM (
+         |  SELECT dataset_id, ts_us, value FROM small
+         |  UNION ALL SELECT dataset_id, ts_us, value FROM sel
+         |  UNION ALL SELECT dataset_id, ts_us, value FROM big WHERE i = n - 1)
+         |ORDER BY dataset_id, ts_us, value""".stripMargin,
     "m4_downsample" ->
       s"""WITH v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
          |           FROM events WHERE value IS NOT NULL AND NOT isnan(value)

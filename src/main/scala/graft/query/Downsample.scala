@@ -68,4 +68,90 @@ object Downsample {
         col("fp.ts_us").as("first_ts"), col("fp.value").as("first_v"),
         col("lp.ts_us").as("last_ts"), col("lp.value").as("last_v"))
   }
+
+  /** SQL-round-compatible half-away-from-zero ppm fixed-point (Scala's
+   *  `math.round` is half-towards-+∞ and would diverge on negatives).
+   */
+  private def ppm(v: Double): Long = {
+    val s = v * 1e6
+    if (s >= 0) math.floor(s + 0.5).toLong else math.ceil(s - 0.5).toLong
+  }
+
+  /**
+   * LTTB (Steinarsson 2013): keep first and last point; split the
+   * middle points into `nBuckets - 2` equal-COUNT buckets and from each
+   * keep the point forming the largest triangle with the previously
+   * kept point and the NEXT bucket's centroid.
+   *
+   * Sequential by definition (each pick depends on the previous), so it
+   * runs inside one `flatMapGroups` per series — bounded input because
+   * callers route the visible range first (§3.1: ≤ ~5000 points per
+   * series), parallel across series, nothing on the driver.
+   *
+   * Determinism: areas are exact integers — x in µs offset from
+   * `startUs`, y in ppm fixed point, the next-bucket centroid folded in
+   * scaled by its point count (`nc·area` preserves the argmax) — and
+   * BigInt (engine) mirrors HUGEINT (oracle), with ties broken toward
+   * the smallest (ts, value). No float ever enters a comparison.
+   */
+  def lttb(long: DataFrame, startUs: Long, endUs: Long, nBuckets: Int): DataFrame = {
+    require(nBuckets >= 3, "lttb needs at least first/middle/last buckets")
+    val sess = long.sparkSession
+    import sess.implicits._
+    val m = nBuckets - 2
+    long
+      .where(col("ts_us").between(startUs, endUs))
+      .select(col("dataset_id"), col("ts_us"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: String, it: Iterator[(String, Long, Double)]) =>
+        val pts = it.map(p => (p._2, p._3)).toArray
+          .sorted(Ordering.Tuple2(Ordering.Long, Ordering.Double.TotalOrdering))
+        val n = pts.length
+        if (n <= nBuckets) pts.iterator.map(p => (id, p._1, p._2))
+        else {
+          val xs = pts.map(_._1 - startUs)
+          val ys = pts.map(p => ppm(p._2))
+          // index bucket j holds points lo(j)..hi(j): the exact inverse
+          // of `j = ⌊(i-1)·m / (n-2)⌋` (the oracle's assignment), which
+          // makes the bounds CEIL divisions — floor bounds are NOT the
+          // same split when (n-2)/m is fractional
+          def ceilDiv(a: Long, b: Long) = ((a + b - 1) / b).toInt
+          def lo(j: Int) = ceilDiv(j.toLong * (n - 2), m) + 1
+          def hi(j: Int) = ceilDiv((j + 1).toLong * (n - 2), m)
+          val out = new scala.collection.mutable.ArrayBuffer[(String, Long, Double)](nBuckets)
+          out += ((id, pts(0)._1, pts(0)._2))
+          var a = 0 // previously kept point
+          var j = 0
+          while (j < m) {
+            // next anchor: centroid of bucket j+1, scaled by its count;
+            // the final middle bucket anchors on the last point
+            var sx = BigInt(0); var sy = BigInt(0); var nc = 0L
+            if (j == m - 1) { sx = BigInt(xs(n - 1)); sy = BigInt(ys(n - 1)); nc = 1L }
+            else {
+              var i = lo(j + 1); val h = hi(j + 1)
+              while (i <= h) { sx += xs(i); sy += ys(i); nc += 1; i += 1 }
+            }
+            val xa = BigInt(xs(a)); val ya = BigInt(ys(a))
+            val t1 = nc * xa - sx // nc·x_a − Σx
+            val t2 = sy - nc * ya // Σy − nc·y_a
+            var best = -1
+            var bestArea = BigInt(-1)
+            var i = lo(j); val h = hi(j)
+            while (i <= h) {
+              // nc · triangle area(prev, candidate, centroid), exact
+              val area = (t1 * (BigInt(ys(i)) - ya) - (xa - BigInt(xs(i))) * t2).abs
+              if (area > bestArea) { bestArea = area; best = i } // strict: first wins ties
+              i += 1
+            }
+            out += ((id, pts(best)._1, pts(best)._2))
+            a = best
+            j += 1
+          }
+          out += ((id, pts(n - 1)._1, pts(n - 1)._2))
+          out.iterator
+        }
+      }
+      .toDF("dataset_id", "ts_us", "value")
+  }
 }

@@ -61,4 +61,47 @@ class DownsampleSpec extends AnyFunSuite {
     val n = Downsample.m4(series, t0, at(10.0).longValue, 5).count()
     assert(n <= 5, "one row per non-empty bucket")
   }
+
+  // ---- LTTB ----------------------------------------------------------
+
+  private def lttbPts(df: org.apache.spark.sql.DataFrame, b: Int) =
+    Downsample.lttb(df, t0, at(100.0).longValue, b)
+      .orderBy("dataset_id", "ts_us")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+
+  test("lttb passes small series (n <= buckets) through whole") {
+    val sp = spark
+    import sp.implicits._
+    val tiny = Seq(("a", at(1.0).longValue, 1.0), ("a", at(2.0).longValue, 5.0))
+      .toDF("dataset_id", "ts_us", "value")
+    assert(lttbPts(tiny, 3).toSeq ==
+      Seq(("a", at(1.0), 1.0), ("a", at(2.0), 5.0)))
+  }
+
+  test("lttb keeps first/last, one point per bucket, spike survives") {
+    val sp = spark
+    import sp.implicits._
+    // 20 flat points with one large spike at t=13 — any area-maximizing
+    // downsample must keep the spike
+    val df = (0 until 20).map { i =>
+      ("a", at(i.toDouble).longValue, if (i == 13) 100.0 else 1.0)
+    }.toDF("dataset_id", "ts_us", "value")
+    val out = lttbPts(df, 6)
+    assert(out.length == 6, "exactly nBuckets points for n > buckets")
+    assert(out.head._2 == at(0.0) && out.last._2 == at(19.0), "endpoints kept")
+    assert(out.exists(p => p._3 == 100.0), "spike selected")
+    assert(out.map(_._2).toSeq == out.map(_._2).sortBy(identity).toSeq, "time-ordered")
+  }
+
+  test("lttb on collinear points is deterministic: first of each bucket") {
+    val sp = spark
+    import sp.implicits._
+    // all areas are zero → strict-> keeps the earliest candidate
+    val df = (0 until 12).map(i => ("a", at(i.toDouble).longValue, 2.0 * i))
+      .toDF("dataset_id", "ts_us", "value")
+    val a = lttbPts(df, 5).toSeq
+    val b = lttbPts(df, 5).toSeq
+    assert(a == b)
+    assert(a.size == 5 && a.head._2 == at(0.0) && a.last._2 == at(11.0))
+  }
 }
