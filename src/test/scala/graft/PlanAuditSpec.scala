@@ -61,6 +61,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("m4_downsample is one partial-agg shuffle plus the output sort") {
+    withPlainPlans {
+      val df = SparkEntry.queries("m4_downsample")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the struct min/max buffers force a sort/object aggregate rather
+      // than whole-stage hash agg, but the partial/final SPLIT must
+      // stay — that is what bounds the shuffle to ≤ 4·width rows/series
+      assert("(Sort|ObjectHash|Hash)Aggregate".r.findAllIn(plan).size >= 2,
+        s"no partial aggregation:\n${plan.take(1500)}")
+      assert(shuffleCount(df) <= 2, "m4 gained an extra shuffle")
+    }
+  }
+
+  test("manifest readLevel folds the monoid with one shuffle over live commits") {
+    withPlainPlans {
+      val root = TestSpark.tmpDir("mstore_plan")
+      for (i <- 0 until 2)
+        graft.store.ManifestStore.ingestBatch(spark, root, TestSpark.longDF(Seq(
+          ("a", s"2024-01-01T00:00:0$i", 1.0))))
+      val df = graft.store.ManifestStore.readLevel(spark, root, graft.model.Fidelity.S1)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, "merge-on-read lost map-side partials")
+      assert(shuffleCount(df) <= 1, "merge-on-read fold grew extra exchanges")
+    }
+  }
+
   test("q3_join broadcasts the customer dimension") {
     withPlainPlans {
       val df = SparkEntry.queries("q3_join")(spark, sf)
