@@ -154,6 +154,13 @@ object CoreQueries {
       graft.ops.Interpolate.fillLinear(ev(s, dir), 100L)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- EWMA smoothing over the routed day window ------------------
+    // sequential per series (flatMapGroups over ≤864 buckets); output
+    // unrounded — bit-identical recurrence over identical operands
+    "series_ewma_100s" -> ((s, dir) =>
+      graft.ops.Smooth.ewma(ev(s, dir), Day5Us, Day6Us, 100L, 0.25)
+        .orderBy("dataset_id", "bucket_s")),
+
     // ---- M4 downsample: error-free line-chart reduction -------------
     // one hash agg per (series, pixel column); shuffle carries ≤width
     // rows per series. Point selection via lexicographic struct min/max
@@ -663,6 +670,27 @@ object CoreQueries {
         |            (CAST(b - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)) END AS v,
         |  v_obs IS NULL AS filled
         |FROM w ORDER BY 1, 2""".stripMargin,
+    "series_ewma_100s" ->
+      s"""WITH RECURSIVE
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |r AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000.0) AS v
+         |      FROM v GROUP BY 1, 2),
+         |idx AS (SELECT dataset_id, bucket_s, v,
+         |          row_number() OVER (PARTITION BY dataset_id
+         |                             ORDER BY bucket_s) AS i
+         |        FROM r),
+         |e AS (
+         |  SELECT dataset_id, i, bucket_s, v AS s FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.dataset_id, n.i, n.bucket_s, 0.25 * n.v + 0.75 * e.s
+         |  FROM e JOIN idx n
+         |    ON n.dataset_id = e.dataset_id AND n.i = e.i + 1)
+         |SELECT dataset_id, bucket_s, s AS ewma
+         |FROM e ORDER BY 1, 2""".stripMargin,
     // LTTB: the sequential pick recurses over buckets with a LATERAL
     // argmax per step; areas are exact HUGEINT (µs × ppm) mirroring the
     // engine's BigInt, ties broken toward the smallest (ts, value).

@@ -144,6 +144,9 @@ object PipelineQueries {
       TextOps.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    "vocab_topk" -> ((s, dir) =>
+      TextOps.vocabTopK(docs(s, dir), "lang", "text", 20)
+        .orderBy("lang", "rank")),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "doc_winnow" -> ((s, dir) =>
@@ -691,6 +694,17 @@ object PipelineQueries {
         |        t -> t IN ('el', 'los', 'y', 'las'))) AS es_n
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "vocab_topk" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT lang, token, count(*) AS cnt
+        |      FROM t WHERE len(token) > 0 GROUP BY 1, 2),
+        |r AS (SELECT lang, token, cnt,
+        |        row_number() OVER (PARTITION BY lang
+        |                           ORDER BY cnt DESC, token) AS rank
+        |      FROM c)
+        |SELECT lang, token, cnt, rank FROM r WHERE rank <= 20
+        |ORDER BY lang, rank""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_ws_tokens,

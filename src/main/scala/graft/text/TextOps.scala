@@ -146,4 +146,23 @@ object TextOps {
       .groupBy(col(idCol))
       .agg(count_distinct(col("wmin")).as("n_fp"))
   }
+
+  /** Per-language top-k vocabulary (token, count, rank) — the
+   *  tokenizer-training / coverage stat of a data pipeline. One hash
+   *  aggregation collapses the corpus to vocabulary grain with map-side
+   *  combine; the rank window's input is the vocabulary, never the
+   *  corpus, and Spark plans WindowGroupLimit below the exchange so
+   *  each partition ships only its local top-k. Ties rank
+   *  deterministically by token text.
+   */
+  def vocabTopK(docs: DataFrame, langCol: String, textCol: String, k: Int): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("token"))
+    docs
+      .select(col(langCol).as("lang"), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+  }
 }

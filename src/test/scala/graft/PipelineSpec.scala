@@ -161,6 +161,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(w(0L) > 0)
   }
 
+  test("vocab top-k: counts per language, deterministic tie rank, cap respected") {
+    val d = Seq(
+      (1L, "en", "b a a  c b a"), // double space → empty token dropped
+      (2L, "en", "c b"),
+      (3L, "fr", "le le chat")
+    ).toDF("doc_id", "lang", "text")
+    val v = TextOps.vocabTopK(d, "lang", "text", 2).orderBy("lang", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // en: a=3, b=3 (tie → token order), c=2 cut by k=2; fr: le=2, chat=1
+    assert(v.toSeq == Seq(
+      ("en", "a", 3L, 1L), ("en", "b", 3L, 2L),
+      ("fr", "le", 2L, 1L), ("fr", "chat", 1L, 2L)))
+  }
+
   test("multimodal: blob meta is a pure projection; batched decode stub is deterministic") {
     val blobs = Multimodal.toBlob(corpus, "doc_id", "text")
     val m = Multimodal.meta(blobs).where(col("media_id") === 0L).head()
