@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions._
 import graft.ingest.Melt
 import graft.model.Fidelity
 import graft.query.{RangeQuery, Search}
-import graft.store.{CommentStore, Tables}
+import graft.store.{CommentStore, ManifestStore, Tables}
 
 /**
  * Thin engine façade mirroring the reference's HTTP surface
@@ -16,9 +16,16 @@ import graft.store.{CommentStore, Tables}
  * and the self-metrics feedback loop. All heavy lifting happens in the
  * operator modules; this layer does exactly what the Flask layer does —
  * validation, routing, id assignment, and counters.
+ *
+ * `manifestRollups = true` switches the ROLLUP table to the
+ * manifest-committed merge-on-read store (ManifestStore): O(1) commits
+ * for sustained high-cardinality ingest, same query semantics — the
+ * two backends are interchangeable behind this façade (the raw table
+ * and comments are identical in both modes).
  */
 final class GraftApi(
-    spark: SparkSession, root: String, commentsPath: String) {
+    spark: SparkSession, root: String, commentsPath: String,
+    manifestRollups: Boolean = false) {
 
   // A9 — engine counters, fed back as series by flushSelfMetrics
   // (reference: src/index.py:97-98, 110, 198; src/metrics/loop.py:52-78)
@@ -36,10 +43,26 @@ final class GraftApi(
       fidelity: Option[Fidelity] = None): DataFrame = {
     Melt.requireLegalId(datasetId)
     numGets.incrementAndGet()
-    val tables: Fidelity => DataFrame = f =>
-      if (f.isFull) Tables.readRawFor(spark, root, datasetId)
-      else Tables.readRollupFor(spark, root, f, datasetId)
-    RangeQuery.get(tables, datasetId, startUs, endUs, fidelity)
+    if (manifestRollups) {
+      // manifest mode: the series/bucket predicates must reach BELOW
+      // the merge-on-read fold, so the routed level reads through
+      // readLevelRange (RangeQuery.agg then only re-projects)
+      val f = RangeQuery.route(startUs, endUs, fidelity)
+      if (f.isFull)
+        RangeQuery.full(Tables.readRawFor(spark, root, datasetId),
+          datasetId, startUs, endUs)
+      else {
+        val (startS, endS) = (startUs / 1000000L, endUs / 1000000L)
+        RangeQuery.agg(
+          ManifestStore.readLevelRange(spark, root, f, datasetId, startS, endS),
+          datasetId, startS, endS)
+      }
+    } else {
+      val tables: Fidelity => DataFrame = f =>
+        if (f.isFull) Tables.readRawFor(spark, root, datasetId)
+        else Tables.readRollupFor(spark, root, f, datasetId)
+      RangeQuery.get(tables, datasetId, startUs, endUs, fidelity)
+    }
   }
 
   /** POST /api/data — one canonical-long batch (server.py:76-103).
@@ -48,7 +71,8 @@ final class GraftApi(
    */
   def putData(batchLong: DataFrame): Unit = {
     numPuts.incrementAndGet()
-    Tables.ingestBatch(spark, root, batchLong)
+    if (manifestRollups) ManifestStore.ingestBatch(spark, root, batchLong)
+    else Tables.ingestBatch(spark, root, batchLong)
   }
 
   /** GET /api/datasets?text=q (server.py:57-60, index.py:219-239). */
@@ -95,7 +119,8 @@ final class GraftApi(
       ("index.num_puts", tsUs, numPuts.get().toDouble),
       ("index.num_gets", tsUs, numGets.get().toDouble))
       .toDF("dataset_id", "ts_us", "value")
-    Tables.ingestBatch(spark, root, rows)
+    if (manifestRollups) ManifestStore.ingestBatch(spark, root, rows)
+    else Tables.ingestBatch(spark, root, rows)
   }
 }
 

@@ -191,6 +191,30 @@ object ManifestStore {
       .select(Tables.rollupSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Range read for chart queries: series + bucket predicates apply
+   *  BELOW the merge fold (a post-fold filter would aggregate the whole
+   *  table to serve one chart). `part_s` and `bucket_s` ride the
+   *  within-file sort's row-group stats; the fold then touches only the
+   *  surviving buckets. This is the manifest-store leg of
+   *  `RangeQuery.agg`.
+   */
+  def readLevelRange(
+      spark: SparkSession, root: String, f: Fidelity,
+      datasetId: String, startS: Long, endS: Long): DataFrame = {
+    val dirs = levelDirs(spark, root, f)
+    if (dirs.isEmpty) empty(spark)
+    else {
+      val w = Tables.partitionWindowS(f)
+      mergeOnRead(
+        spark.read.schema(physSchema).parquet(dirs: _*)
+          .where(col("ds_b") === Tables.dsBucket(lit(datasetId)) &&
+            col("dataset_id") === datasetId &&
+            col("part_s").between(startS / w * w, endS / w * w) &&
+            col("bucket_s").between(startS, endS)))
+        .select(Tables.rollupSchema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
   /** Fold ALL live commits into one and swap the manifest atomically.
    *  Readers see either the old set or the compacted one, never both.
    *  Commits that land AFTER this compaction's snapshot was read are

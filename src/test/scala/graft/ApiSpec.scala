@@ -13,6 +13,30 @@ import graft.model.Fidelity
 class ApiSpec extends AnyFunSuite {
   private val spark = TestSpark.spark
 
+  test("manifest-backed API returns the same data as the dynamic-overwrite API") {
+    val batches = Seq(
+      Seq(("api.m.a", "2024-01-01T01:00:00", 1.0), ("api.m.a", "2024-01-01T01:00:30", 3.0)),
+      Seq(("api.m.a", "2024-01-01T01:01:10", 5.0), ("api.m.b", "2024-01-01T01:00:00", -1.0)))
+    val t0 = TestSpark.isoUs("2024-01-01T01:00:00")
+
+    def run(manifest: Boolean): (Seq[String], Seq[String]) = {
+      val root = TestSpark.tmpDir("graft_api_cmp")
+      val api = new GraftApi(spark, root, root + "/all_comments", manifestRollups = manifest)
+      batches.foreach(b => api.putData(TestSpark.longDF(b)))
+      def dump(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(_.toString).sorted.toSeq
+      (dump(api.getData("api.m.a", t0, t0 + 120000000L)),
+        dump(api.getData("api.m.a", t0, t0 + 120000000L, Some(Fidelity.S100))))
+    }
+
+    val (fullDyn, aggDyn) = run(manifest = false)
+    val (fullMan, aggMan) = run(manifest = true)
+    assert(fullMan == fullDyn && fullMan.size == 3, "full-fidelity reads agree")
+    // all three points share the 100s bucket: min 1.0, mean 3.0, max 5.0
+    assert(aggMan == aggDyn && aggMan == Seq("[1704070800,1.0,3.0,5.0]"),
+      "routed agg reads agree across backends")
+  }
+
   test("put/get/search/comments/self-metrics round-trip") {
     val root = TestSpark.tmpDir("graft_api")
     val api = new GraftApi(spark, root, root + "/all_comments")

@@ -79,6 +79,23 @@ class ManifestStoreSpec extends AnyFunSuite {
       assert(!ManifestStore.readLevel(spark, root, f).isEmpty, s"level ${f.name} non-empty")
   }
 
+  test("readLevelRange equals the bucket-range slice of readLevel, pre-fold pruned") {
+    val root = TestSpark.tmpDir("mstore")
+    ManifestStore.ingestBatch(spark, root, batch(
+      ("a", "2024-01-01T00:00:00", 1.0), ("a", "2024-01-01T00:00:05", 2.0),
+      ("b", "2024-01-01T00:00:02", 9.0)))
+    ManifestStore.ingestBatch(spark, root, batch(
+      ("a", "2024-01-01T00:00:02", 3.0), ("a", "2024-01-01T00:01:00", 4.0)))
+    val lo = TestSpark.isoUs("2024-01-01T00:00:00") / 1000000L
+    val hi = lo + 10
+    val ranged = ManifestStore.readLevelRange(spark, root, Fidelity.S1, "a", lo, hi)
+      .orderBy("bucket_s").collect().toSeq
+    val sliced = ManifestStore.readLevel(spark, root, Fidelity.S1)
+      .where(col("dataset_id") === "a" && col("bucket_s").between(lo, hi))
+      .orderBy("bucket_s").collect().toSeq
+    assert(ranged == sliced && ranged.size == 3, "t=0,2,5 in range; t=60 and series b out")
+  }
+
   test("commits always land above the highest existing manifest version") {
     val root = TestSpark.tmpDir("mstore")
     ManifestStore.ingestBatch(spark, root, batch(("a", "2024-01-01T00:00:00", 1.0)))
