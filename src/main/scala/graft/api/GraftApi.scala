@@ -43,26 +43,18 @@ final class GraftApi(
       fidelity: Option[Fidelity] = None): DataFrame = {
     Melt.requireLegalId(datasetId)
     numGets.incrementAndGet()
-    if (manifestRollups) {
-      // manifest mode: the series/bucket predicates must reach BELOW
-      // the merge-on-read fold, so the routed level reads through
-      // readLevelRange (RangeQuery.agg then only re-projects)
-      val f = RangeQuery.route(startUs, endUs, fidelity)
-      if (f.isFull)
-        RangeQuery.full(Tables.readRawFor(spark, root, datasetId),
-          datasetId, startUs, endUs)
-      else {
-        val (startS, endS) = (startUs / 1000000L, endUs / 1000000L)
-        RangeQuery.agg(
-          ManifestStore.readLevelRange(spark, root, f, datasetId, startS, endS),
-          datasetId, startS, endS)
-      }
-    } else {
-      val tables: Fidelity => DataFrame = f =>
-        if (f.isFull) Tables.readRawFor(spark, root, datasetId)
-        else Tables.readRollupFor(spark, root, f, datasetId)
-      RangeQuery.get(tables, datasetId, startUs, endUs, fidelity)
-    }
+    // ONE routing dispatch for both backends (RangeQuery.getWith); the
+    // backends differ only in the aggregate-level reader — the manifest
+    // store needs the series/bucket bounds BELOW its merge-on-read fold
+    // (readLevelRange), the partitioned table injects its hash-bucket
+    // predicate (readRollupFor)
+    RangeQuery.getWith(
+      _ => Tables.readRawFor(spark, root, datasetId),
+      (f, startS, endS) =>
+        if (manifestRollups)
+          ManifestStore.readLevelRange(spark, root, f, datasetId, startS, endS)
+        else Tables.readRollupFor(spark, root, f, datasetId),
+      datasetId, startUs, endUs, fidelity)
   }
 
   /** POST /api/data — one canonical-long batch (server.py:76-103).

@@ -76,9 +76,26 @@ object RangeQuery {
       datasetId: String,
       startUs: Long,
       endUs: Long,
+      forced: Option[Fidelity] = None): DataFrame =
+    getWith(tables, (f, _, _) => tables(f), datasetId, startUs, endUs, forced)
+
+  /** Routed get where the AGGREGATE levels come from a range-aware
+   *  reader — the merge-on-read store needs the series/bucket bounds
+   *  BELOW its fold (`ManifestStore.readLevelRange`), which a plain
+   *  per-level table view cannot express. One routing dispatch serves
+   *  both storage backends; `agg` re-applies the filters, which is
+   *  idempotent over an already-pruned read.
+   */
+  def getWith(
+      raw: Fidelity => DataFrame,
+      aggLevel: (Fidelity, Long, Long) => DataFrame,
+      datasetId: String,
+      startUs: Long,
+      endUs: Long,
       forced: Option[Fidelity] = None): DataFrame = {
     val f = route(startUs, endUs, forced)
-    if (f.isFull) full(tables(f), datasetId, startUs, endUs)
-    else agg(tables(f), datasetId, startUs / 1000000L, endUs / 1000000L)
+    val (startS, endS) = (startUs / 1000000L, endUs / 1000000L)
+    if (f.isFull) full(raw(f), datasetId, startUs, endUs)
+    else agg(aggLevel(f, startS, endS), datasetId, startS, endS)
   }
 }

@@ -43,9 +43,12 @@ import graft.model.Fidelity
  * protocol cheap — while preserving the same pruning the partitioned
  * table gets from its directory tree.
  *
- * Atomicity relies on `FileSystem.rename` refusing an existing target
- * (HDFS, local). On S3 this maps to a conditional PUT committer —
- * the same caveat every manifest-based table format carries.
+ * Atomicity relies on create-no-overwrite of the version file: atomic
+ * on HDFS, a conditional PUT on S3 (the same caveat every
+ * manifest-based table format carries), and check-then-create on a
+ * POSIX local FS — not perfectly atomic there, but it FAILS LOUDLY on
+ * a lost race where a rename would silently replace the other
+ * writer's manifest.
  */
 object ManifestStore {
 
@@ -93,40 +96,51 @@ object ManifestStore {
   }
 
   /** Optimistic-concurrency manifest commit: compute the next live set
-   *  from the current one, write it to a temp file, rename to the next
-   *  version. A losing writer (rename refused: target exists) re-reads
-   *  and retries, so concurrent appends serialize without locks.
+   *  from the current one and publish it as the next version with
+   *  create-no-overwrite (atomic fail-if-exists on HDFS; on a POSIX
+   *  local FS Hadoop checks-then-creates, which narrows the race to
+   *  the check/create window — a plain rename would silently REPLACE
+   *  an existing target and lose the other writer's commit outright.
+   *  On S3 this maps to a conditional PUT). A losing writer re-reads
+   *  and retries. `next` returning None ABORTS the commit (used by
+   *  compaction when its input snapshot was invalidated by a
+   *  concurrent compactor — publishing anyway would double-count).
+   *  Returns true iff a version was published.
    */
   private def commit(spark: SparkSession, root: String)(
-      next: Seq[String] => Seq[String]): Unit = {
+      next: Seq[String] => Option[Seq[String]]): Boolean = {
     val dir = new Path(manifestDir(root))
     val fs = fsFor(spark, dir)
     fs.mkdirs(dir)
     var attempts = 0
-    var done = false
-    while (!done) {
+    while (true) {
       attempts += 1
       require(attempts <= 50, s"manifest commit contention at $root")
       val (v, live) = latest(spark, root)
-      val entries = next(live)
-      val tmp = new Path(manifestDir(root) + s"/.tmp-${UUID.randomUUID()}")
-      val out = fs.create(tmp, true)
-      try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
-      finally out.close()
-      val target = versionPath(root, v + 1)
-      done = !fs.exists(target) && fs.rename(tmp, target)
-      if (!done) fs.delete(tmp, false): Unit
+      next(live) match {
+        case None => return false
+        case Some(entries) =>
+          val target = versionPath(root, v + 1)
+          try {
+            val out = fs.create(target, false) // no overwrite: loser throws
+            try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
+            finally out.close()
+            return true
+          } catch {
+            case _: java.io.IOException => () // version taken — re-read, retry
+          }
+      }
     }
+    false
   }
 
-  /** Append one batch's `allLevelPartials` output as a new immutable
-   *  commit. No existing data is read or rewritten; the only
-   *  serialization point is the manifest rename. The repartition on
-   *  `fidelity` bounds the commit to ~one file per level at local
-   *  scale (add `ds_b` to the repartition on a cluster for write
-   *  parallelism — the manifest protocol is indifferent to file count).
+  /** Write a frame as one immutable commit directory (shared by append
+   *  and compaction so the physical layout — ds_b derivation, sort,
+   *  file caps, level partitioning — cannot drift between the two).
+   *  Returns the commit-dir name; the caller still owns the manifest
+   *  update that makes it visible.
    */
-  def appendPartials(spark: SparkSession, root: String, partials: DataFrame): Unit = {
+  private def writeCommitDir(root: String, partials: DataFrame): String = {
     val name = s"c-${UUID.randomUUID().toString.take(12)}"
     partials
       .withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
@@ -139,7 +153,19 @@ object ManifestStore {
       .option("maxRecordsPerFile", Fidelity.GroupSize)
       .partitionBy("fidelity")
       .parquet(s"${dataDir(root)}/$name")
-    commit(spark, root)(live => live :+ name)
+    name
+  }
+
+  /** Append one batch's `allLevelPartials` output as a new immutable
+   *  commit. No existing data is read or rewritten; the only
+   *  serialization point is the manifest rename. The repartition on
+   *  `fidelity` bounds the commit to ~one file per level at local
+   *  scale (add `ds_b` to the repartition on a cluster for write
+   *  parallelism — the manifest protocol is indifferent to file count).
+   */
+  def appendPartials(spark: SparkSession, root: String, partials: DataFrame): Unit = {
+    val name = writeCommitDir(root, partials)
+    commit(spark, root)(live => Some(live :+ name)): Unit
   }
 
   private def empty(spark: SparkSession): DataFrame =
@@ -218,7 +244,12 @@ object ManifestStore {
   /** Fold ALL live commits into one and swap the manifest atomically.
    *  Readers see either the old set or the compacted one, never both.
    *  Commits that land AFTER this compaction's snapshot was read are
-   *  preserved by the functional manifest update.
+   *  preserved by the functional manifest update; if the snapshot
+   *  itself was invalidated (a CONCURRENT compactor already folded —
+   *  and thus duplicated — some of our inputs), the commit ABORTS and
+   *  this compaction's output dir is dropped: publishing both folds
+   *  would double-count every cell they share. Aborting only loses
+   *  optimization work, never data.
    */
   def compact(spark: SparkSession, root: String): Unit = {
     val (_, live) = latest(spark, root)
@@ -235,36 +266,42 @@ object ManifestStore {
         max("max_v").as("max_v"),
         sum("sum_v").as("sum_v"),
         sum("cnt").as("cnt"))
-    val name = s"c-${UUID.randomUUID().toString.take(12)}"
-    merged
-      .withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
-      .select((col("fidelity") +: physSchema.fieldNames.map(col).toIndexedSeq): _*)
-      .repartition(col("fidelity"))
-      .sortWithinPartitions(
-        col("fidelity"), col("ds_b"), col("part_s"), col("dataset_id"), col("bucket_s"))
-      .write
-      .mode("errorifexists")
-      .option("maxRecordsPerFile", Fidelity.GroupSize)
-      .partitionBy("fidelity")
-      .parquet(s"${dataDir(root)}/$name")
-    commit(spark, root)(now => now.filterNot(live.contains) :+ name)
+    val name = writeCommitDir(root, merged)
+    val published = commit(spark, root) { now =>
+      if (live.forall(now.contains)) Some(now.filterNot(live.contains) :+ name)
+      else None // inputs already folded elsewhere — abort, don't double
+    }
+    if (!published) {
+      val p = new Path(s"${dataDir(root)}/$name")
+      fsFor(spark, p).delete(p, true): Unit
+    }
   }
 
-  /** Delete data dirs no manifest-visible snapshot references. Run it
-   *  once in-flight readers of superseded snapshots have drained — this
-   *  minimal protocol has no retention window (a production table
-   *  format would keep K versions and age them out).
+  /** Delete data dirs no manifest-visible snapshot references and older
+   *  than `minAgeMs`. The age floor is what makes GC safe against (a)
+   *  writers that have WRITTEN a commit dir but not yet published its
+   *  manifest entry, and (b) readers still resolving a superseded
+   *  snapshot — both live in a bounded window, so production callers
+   *  keep a retention (the auto-path uses VacuumRetentionMs, the
+   *  Delta/Iceberg pattern); `minAgeMs = 0` is for explicit cleanup
+   *  once a caller knows everything has drained.
    */
-  def vacuum(spark: SparkSession, root: String): Unit = {
+  def vacuum(spark: SparkSession, root: String, minAgeMs: Long = 0L): Unit = {
     val (_, live) = latest(spark, root)
     val dd = new Path(dataDir(root))
     val fs = fsFor(spark, dd)
     if (!fs.exists(dd)) return
+    val cutoff = System.currentTimeMillis() - minAgeMs
     fs.listStatus(dd)
-      .map(_.getPath)
-      .filterNot(p => live.contains(p.getName))
-      .foreach(p => fs.delete(p, true): Unit)
+      .filter(st => !live.contains(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
+      .foreach(st => fs.delete(st.getPath, true): Unit)
   }
+
+  /** Retention the auto compact+vacuum path leaves for in-flight
+   *  writers/readers of superseded snapshots (see `vacuum`).
+   */
+  val VacuumRetentionMs: Long = 15L * 60L * 1000L
 
   /** §3.2 ingest through the manifest path: sanitize → concurrent raw
    *  append + rollup partials append (no merge on the write path) →
@@ -286,7 +323,7 @@ object ManifestStore {
         Await.result(Future.sequence(writes), Duration.Inf): Unit
         if (latest(spark, root)._2.size > maxLiveCommits) {
           compact(spark, root)
-          vacuum(spark, root)
+          vacuum(spark, root, VacuumRetentionMs)
         }
       }
     } finally batch.unpersist(): Unit

@@ -69,6 +69,14 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(liveAfter.size == 1 && !liveBefore.contains(liveAfter.head))
     assert(level1(root) == before, "compaction preserves every level-1 cell")
 
+    // retention guard: young unreferenced dirs survive (in-flight
+    // writers/readers), then age-0 vacuum reclaims them
+    ManifestStore.vacuum(spark, root, minAgeMs = 3600000L)
+    val dirsWithRetention =
+      new java.io.File(s"$root/mrollup/data").listFiles().map(_.getName).toSet
+    assert(liveBefore.toSet.subsetOf(dirsWithRetention),
+      "retention keeps young superseded dirs")
+
     ManifestStore.vacuum(spark, root)
     val dataDirs = new java.io.File(s"$root/mrollup/data").listFiles().map(_.getName).toSet
     assert(dataDirs == liveAfter.toSet, "vacuum leaves only manifest-referenced dirs")
