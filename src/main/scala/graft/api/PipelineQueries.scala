@@ -90,6 +90,17 @@ object PipelineQueries {
       Dedup.connectedComponents(
         Dedup.minhashDedup(nearDupCorpus(s, dir), "doc_id", "text", JaccardThreshold))
         .orderBy("doc_id")),
+    // canonical survivor per cluster: dedup decides WHICH copy to keep —
+    // the highest-quality member (ties to smallest id); quality travels
+    // as an exact ppm integer so the argmax is engine-deterministic
+    "cluster_canonical" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashDedup(corpus, "doc_id", "text", JaccardThreshold))
+      val quality = TextOps.profile(corpus, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality") * 1e6).cast("long").as("qppm"))
+      Dedup.canonicalPerCluster(comps, quality).orderBy("comp")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhashSignature(nearDupCorpus(s, dir), "doc_id", "text"), maxDist = 8)
@@ -147,6 +158,16 @@ object PipelineQueries {
     "vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(docs(s, dir), "lang", "text", 20)
         .orderBy("lang", "rank")),
+    // per-doc keyword extraction; the docs(..).count() is one scalar
+    // job for corpus size N (any engine needs N for idf)
+    "tfidf_topk" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.tfidfTopK(d, "doc_id", "text", 5, d.count())
+        .orderBy("doc_id", "rank")
+    }),
+    "inverted_index" -> ((s, dir) =>
+      TextOps.invertedIndex(docs(s, dir), "doc_id", "text", 10)
+        .orderBy("token")),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "doc_winnow" -> ((s, dir) =>
@@ -372,8 +393,57 @@ object PipelineQueries {
        |SELECT id AS doc_id, min(r) AS comp FROM reach
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Same recursive closure as `clustersOracle`, then the survivor
+   *  selection: max qppm per component, min doc_id among the maxima
+   *  (two-step max — never arg_max, whose tie choice is unspecified).
+   */
+  private val canonicalOracle: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+       |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, len(tokens) - 2),
+       |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+       |shf AS (SELECT * FROM sh0 WHERE sh IN (
+       |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM prs
+       |          UNION SELECT b_id, a_id FROM prs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+       |q AS (
+       |  SELECT doc_id, CAST(round(
+       |    least(1.0, len(string_split(text, ' ')) / 100.0) *
+       |      (1 - CAST(len(list_filter(string_split(text, ' '),
+       |             t -> t IN ('the', 'a', 'data', 'key'))) AS DOUBLE)
+       |           / len(string_split(text, ' '))) * 1000000) AS BIGINT) AS qppm
+       |  FROM corpus),
+       |j AS (SELECT c.comp, c.doc_id, q.qppm FROM comp c JOIN q USING (doc_id)),
+       |mx AS (SELECT comp, count(*) AS n_members, max(qppm) AS best_qppm
+       |       FROM j GROUP BY 1)
+       |SELECT m.comp, min(j.doc_id) AS keep_id, m.n_members,
+       |  CAST(m.best_qppm AS DOUBLE) / 1000000.0 AS best_q
+       |FROM mx m JOIN j ON j.comp = m.comp AND j.qppm = m.best_qppm
+       |GROUP BY m.comp, m.n_members, m.best_qppm
+       |ORDER BY m.comp""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
+    "cluster_canonical" -> canonicalOracle,
     "sample_stratified" ->
       """SELECT doc_id, lang_pred FROM (
         |  SELECT doc_id,
@@ -705,6 +775,39 @@ object PipelineQueries {
         |      FROM c)
         |SELECT lang, token, cnt, rank FROM r WHERE rank <= 20
         |ORDER BY lang, rank""".stripMargin,
+    // idf_ppm = round(ln(N/df)·10⁶) is integer once per TERM (≤ one
+    // rounding-boundary hazard per vocabulary entry, vanishing odds);
+    // the rank key tf·idf_ppm and the emitted score are then exact
+    // integer arithmetic / identical-operand division on both engines
+    "tfidf_topk" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+        |    tf.tf * CAST(round(ln(n.n / df.df) * 1000000) AS BIGINT) AS score_ppm
+        |  FROM tf JOIN df USING (token), n),
+        |r AS (SELECT doc_id, token, tf, df, score_ppm,
+        |        row_number() OVER (PARTITION BY doc_id
+        |                           ORDER BY score_ppm DESC, token) AS rank
+        |      FROM s)
+        |SELECT doc_id, token, tf, df,
+        |  CAST(score_ppm AS DOUBLE) / 1000000.0 AS tfidf,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "inverted_index" ->
+      """WITH t AS (
+        |  SELECT token, doc_id, count(*) AS n_occ FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY 1, 2)
+        |SELECT token, count(*) AS df,
+        |  CAST(sum(n_occ) AS BIGINT) AS n_postings,
+        |  array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 10), ',')
+        |    AS postings_head
+        |FROM t GROUP BY 1 ORDER BY token""".stripMargin,
     "token_count" ->
       """SELECT doc_id,
         |  len(string_split(text, ' ')) AS n_ws_tokens,

@@ -252,6 +252,29 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("comp"))
   }
 
+  /** Canonical-survivor selection — the step AFTER cluster resolution:
+   *  per duplicate cluster keep the highest-quality member, ties to the
+   *  smallest doc_id. One aggregation; the two-criteria argmax rides a
+   *  single struct-max (lexicographic on (qppm, -doc_id)), so no
+   *  members⨝winners re-join. `quality` must carry an exact integer
+   *  `qppm` — a float quality here would let an ulp flip the survivor
+   *  (see the ppm discipline in PipelineQueries).
+   *
+   *  Input: comps (doc_id, comp), quality (doc_id, qppm).
+   *  Output: (comp, keep_id, n_members, best_q).
+   */
+  def canonicalPerCluster(comps: DataFrame, quality: DataFrame): DataFrame =
+    comps.join(quality, Seq("doc_id"))
+      .groupBy("comp")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("qppm").as("q"), (-col("doc_id")).as("nid"))).as("m"))
+      .select(
+        col("comp"),
+        (-col("m.nid")).as("keep_id"),
+        col("n_members"),
+        (col("m.q").cast("double") / 1e6).as("best_q"))
+
   val SimhashBits = 60
 
   /**

@@ -165,4 +165,70 @@ object TextOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)
   }
+
+  /** Per-document top-k terms by TF-IDF — keyword extraction / rare-term
+   *  salience, the relevance primitive of corpus curation.
+   *
+   *  Float discipline (the ppm pattern): idf = ln(N/df) is converted to
+   *  an exact integer `idf_ppm = round(idf·10⁶)` ONCE per vocabulary
+   *  term, so the rank key `tf · idf_ppm` is integer arithmetic — no
+   *  ulp-order hazard can flip two near-equal ranks between engines —
+   *  and the emitted score divides identical integers (bit-deterministic
+   *  IEEE division). Plan shape: corpus → (doc, term, tf) hash agg with
+   *  map-side combine; df is a second agg over VOCABULARY grain (tiny);
+   *  the rank window partitions by doc, so WindowGroupLimit ships only
+   *  local top-k per partition — nothing scales worse than the corpus
+   *  token count.
+   */
+  def tfidfTopK(
+      docs: DataFrame, idCol: String, textCol: String, k: Int, nDocs: Long): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("token"))
+    tf.join(df, Seq("token"))
+      .withColumn("idf_ppm",
+        round(log(lit(nDocs).cast("double") / col("df")) * 1e6).cast("long"))
+      .withColumn("score_ppm", col("tf") * col("idf_ppm"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(
+        col("doc_id"), col("token"), col("tf"), col("df"),
+        (col("score_ppm").cast("double") / 1e6).as("tfidf"), col("rank"))
+  }
+
+  /** Inverted index at vocabulary grain: per token its document
+   *  frequency, total occurrence count, and the first `sampleK` doc ids
+   *  of the posting list (comma-joined — an engine-portable prefix
+   *  sample of the postings).
+   *
+   *  Two shuffles, both skew-proof: the (token, doc) occurrence agg
+   *  distributes a hot token across its doc keys, and the vocabulary
+   *  agg computes df/total with map-side partial combine while
+   *  MinKDistinctLongsAgg bounds every partial's posting buffer at
+   *  `sampleK` longs — a stopword with billions of postings at 100 TB
+   *  never funnels them into one task (the row_number-window
+   *  formulation would).
+   */
+  def invertedIndex(
+      docs: DataFrame, idCol: String, textCol: String, sampleK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+    docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("token", "doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+      .groupBy("token")
+      .agg(
+        count(lit(1)).as("df"),
+        sum(col("n_occ")).as("n_postings"),
+        toCol(graft.functions.MinKDistinctLongsAgg(
+          toExpr(col("doc_id")), sampleK).toAggregateExpression()).as("p"))
+      .select(
+        col("token"), col("df"), col("n_postings"),
+        concat_ws(",", transform(col("p"), x => x.cast("string"))).as("postings_head"))
+  }
 }

@@ -175,6 +175,64 @@ class PipelineSpec extends AnyFunSuite {
       ("fr", "le", 2L, 1L), ("fr", "chat", 1L, 2L)))
   }
 
+  test("tfidf top-k: rare terms outrank ubiquitous ones, exact ppm score") {
+    val d = Seq(
+      (1L, "common common rare1"),
+      (2L, "common shared"),
+      (3L, "common shared rare2 rare2 rare2")
+    ).toDF("doc_id", "text")
+    val got = TextOps.tfidfTopK(d, "doc_id", "text", 2, 3L)
+      .orderBy("doc_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5)))
+    // doc 1: rare1 (tf=1, df=1, idf=ln 3) beats common (tf=2, idf=0)
+    assert(got.filter(_._1 == 1L).map(t => (t._2, t._6)).toSeq ==
+      Seq(("rare1", 1L), ("common", 2L)))
+    // doc 3: rare2 tf=3 → score = 3·round(ln(3)·1e6)/1e6 exactly
+    val rare2 = got.find(t => t._1 == 3L && t._2 == "rare2").get
+    assert(rare2._5 == 3.0 * math.round(math.log(3.0) * 1e6) / 1e6)
+    // ubiquitous term: df=N ⇒ idf=0 ⇒ score 0, still rankable by token
+    assert(got.filter(_._1 == 2L).forall(_._5 >= 0.0))
+  }
+
+  test("inverted index: df / occurrence totals / bounded posting prefix") {
+    val d = Seq(
+      (5L, "x y"),
+      (3L, "x x z"),
+      (9L, "x  y") // double space → empty token dropped
+    ).toDF("doc_id", "text")
+    val idx = TextOps.invertedIndex(d, "doc_id", "text", sampleK = 2).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(idx("x") == ((3L, 4L, "3,5"))) // prefix capped at k=2, sorted
+    assert(idx("y") == ((2L, 2L, "5,9")))
+    assert(idx("z") == ((1L, 1L, "3")))
+  }
+
+  test("min-k distinct agg: k smallest distinct survive partial merges") {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val d = spark.range(0, 1000).repartition(13)
+      .select((col("id") % 7).as("g"), ((col("id") * 37) % 101).as("v"))
+    val got = d.groupBy("g")
+      .agg(toCol(graft.functions.MinKDistinctLongsAgg(
+        toExpr(col("v")), 5).toAggregateExpression()).as("p"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val want = d.collect().groupBy(_.getLong(0))
+      .map { case (g, rows) => g -> rows.map(_.getLong(1)).distinct.sorted.take(5).toSeq }
+    assert(got == want)
+  }
+
+  test("canonical per cluster: max quality wins, ties to the smallest id") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("doc_id", "comp")
+    val quality = Seq(
+      (1L, 500000L), (2L, 900000L), (3L, 900000L), // tie at the top → id 2
+      (10L, 100000L), (11L, 300000L)
+    ).toDF("doc_id", "qppm")
+    val got = Dedup.canonicalPerCluster(comps, quality).orderBy("comp").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((1L, 2L, 3L, 0.9), (10L, 11L, 2L, 0.3)))
+  }
+
   test("multimodal: blob meta is a pure projection; batched decode stub is deterministic") {
     val blobs = Multimodal.toBlob(corpus, "doc_id", "text")
     val m = Multimodal.meta(blobs).where(col("media_id") === 0L).head()
