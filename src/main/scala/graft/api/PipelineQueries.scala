@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.sim.Similarity
+import graft.sketch.Sketches
 import graft.text.TextOps
 
 /**
@@ -168,6 +169,12 @@ object PipelineQueries {
     "inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(docs(s, dir), "doc_id", "text", 10)
         .orderBy("token")),
+    // portable HyperLogLog over a high-cardinality key — registers,
+    // sum, and estimate all reproduced by the SQL oracle (the exact
+    // count rides along so the sketch error is visible)
+    "distinct_sketch" -> ((s, dir) =>
+      Sketches.hllReport(
+        s.read.parquet(s"$dir/orders.parquet"), col("o_custkey"))),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "doc_winnow" -> ((s, dir) =>
@@ -798,6 +805,7 @@ object PipelineQueries {
         |  CAST(score_ppm AS DOUBLE) / 1000000.0 AS tfidf,
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "distinct_sketch" -> Sketches.hllOracleSql("orders", "o_custkey"),
     "inverted_index" ->
       """WITH t AS (
         |  SELECT token, doc_id, count(*) AS n_occ FROM (
