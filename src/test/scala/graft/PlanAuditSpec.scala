@@ -87,6 +87,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("inverted_index is two combine-capable aggregations, no window sort") {
+    withPlainPlans {
+      val df = SparkEntry.queries("inverted_index")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // posting prefix must come from the bounded min-k aggregate, not a
+      // row_number window (which single-tasks a hot token's postings)
+      assert(!plan.contains("Window"), "posting prefix regressed to a window sort")
+      assert(plan.contains("min_k_distinct_longs"), "bounded min-k agg missing")
+      // (token,doc) agg + vocabulary agg + output sort
+      assert(shuffleCount(df) <= 3, "inverted index gained an extra shuffle")
+    }
+  }
+
+  test("distinct_sketch reduces at register grain with map-side partials") {
+    withPlainPlans {
+      val df = SparkEntry.queries("distinct_sketch")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("HashAggregate".r.findAllIn(plan).size >= 2, "no partial aggregation")
+      // register agg + final reduction + exact-count distinct (2) — the
+      // cross join of two 1-row sides must be broadcast, never an exchange
+      assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+        "1-row cross join is not broadcast")
+      assert(shuffleCount(df) <= 4, "sketch gained an extra shuffle")
+    }
+  }
+
   test("q3_join broadcasts the customer dimension") {
     withPlainPlans {
       val df = SparkEntry.queries("q3_join")(spark, sf)
