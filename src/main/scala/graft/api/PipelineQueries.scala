@@ -67,6 +67,26 @@ object PipelineQueries {
 
   private val JaccardThreshold = 0.6
   private val CosineThreshold = 0.9
+  private val BloomK = 3
+  private val BloomBits = 18
+
+  /** documents with deterministically injected PII: every 13th doc gets
+   *  an email, every 11th a phone number (some get both). The identical
+   *  construction is inlined in the oracle SQL.
+   */
+  private def piiCorpus(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit(""))).as("text"))
 
   val queries: Map[String, Q] = Map(
     // ---- dedup tier -------------------------------------------------
@@ -293,6 +313,49 @@ object PipelineQueries {
       }.orderBy("doc_id")
     }),
 
+    // Count-Min heavy hitters: the exact top-20 corpus tokens with the
+    // CMS grid's (one-sided) estimates alongside — the mergeable-sketch
+    // counterpart of vocab_topk, full grid arithmetic oracle-checked
+    "heavy_hitters" -> ((s, dir) =>
+      Sketches.cmsTopK(
+        docs(s, dir)
+          .select(explode(TextOps.tokens(col("text"))).as("token"))
+          .where(length(col("token")) > 0),
+        col("token"), k = 20)
+        .orderBy("rank")),
+    // Bloom-filter decontamination: same flag rule as `decontaminate`
+    // (≥ 3 shared shingles with the holdout) but membership goes through
+    // a constant-size bit array instead of the holdout-set join — the
+    // 100 TB path where the holdout shingle set itself is too big to
+    // join raw. Deterministic false positives ⇒ still fully oracled.
+    "bloom_decontaminate" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), 3)).as("sh"))
+        .distinct()
+      Dedup.withScopedPersist(sh) {
+        Sketches.bloomMember(
+            sh.where(col("doc_id") % 50 === 0).select("sh"), "sh",
+            sh.where(col("doc_id") % 50 =!= 0), "sh",
+            kHash = BloomK, mBits = BloomBits)
+          .groupBy("doc_id").agg(count(lit(1)).as("n_bloom"))
+          .where(col("n_bloom") >= 3)
+      }.orderBy("doc_id")
+    }),
+    // SemDeDup-style semantic dedup: one survivor per k-means cell (the
+    // member nearest its centroid) — embedding-space cluster pruning
+    "semantic_dedup" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      Similarity.semanticDedup(
+          base, Similarity.kmeansCentroids(base, centroidStep = 7L, iters = 2))
+        .orderBy("cell")
+    }),
+    // PII detection + redaction over a corpus with deterministically
+    // injected emails/phones (the synthetic docs carry none); counts,
+    // redacted length, and the md5 of the redacted text all compare
+    "pii_redact" -> ((s, dir) =>
+      TextOps.piiScan(piiCorpus(s, dir), "doc_id", "text").orderBy("doc_id")),
+
     // ---- multimodal columns -----------------------------------------
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.meta(Multimodal.toBlob(docs(s, dir), "doc_id", "text"))
@@ -447,6 +510,68 @@ object PipelineQueries {
        |FROM mx m JOIN j ON j.comp = m.comp AND j.qppm = m.best_qppm
        |GROUP BY m.comp, m.n_members, m.best_qppm
        |ORDER BY m.comp""".stripMargin
+
+  /** Shared k-means SQL: 2 Lloyd iterations (fixed-point mean updates —
+   *  Σ round(x·10⁶) is exact in any order, so centroids are
+   *  bit-identical across engines; see kmeansCentroids) ending in `ar`:
+   *  every vector ranked against the final centroids by (ccos DESC,
+   *  c_idx). `ann_ivf_kmeans` and `semantic_dedup` append their tails.
+   */
+  private val kmeansArPrefix: String = {
+    def iter(n: Int, prev: String): String =
+      s"""s$n AS (
+         |  SELECT e.vec_id, e.v, c.c_idx,
+         |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+         |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+         |  FROM e, $prev c),
+         |a$n AS (
+         |  SELECT vec_id, v, c_idx FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY ccos DESC, c_idx) AS rn
+         |    FROM s$n) WHERE rn = 1),
+         |m$n AS (
+         |  SELECT c_idx, d.i AS dim,
+         |    sum(round(v[d.i] * 1000000)) / (1000000.0 * count(*)) AS cd
+         |  FROM a$n, generate_series(1, 64) d(i) GROUP BY 1, 2),
+         |c$n AS (
+         |  SELECT p.c_idx, coalesce(m.cv, p.cv) AS cv
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT c_idx, list(cd ORDER BY dim) AS cv FROM m$n GROUP BY 1) m
+         |  USING (c_idx))""".stripMargin
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |c0 AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, v AS cv
+       |  FROM e WHERE vec_id % 7 = 0),
+       |${iter(1, "c0")},
+       |${iter(2, "c1")},
+       |sf AS (
+       |  SELECT e.vec_id, e.v, c.c_idx,
+       |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+       |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+       |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+       |  FROM e, c2 c),
+       |ar AS (SELECT vec_id, v, c_idx, ccos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_idx) AS rn
+       |       FROM sf)""".stripMargin
+  }
+
+  private val annIvfKmeansTail: String =
+    """,
+      |assigned AS (SELECT vec_id AS n_id, v, c_idx AS cell FROM ar WHERE rn = 1),
+      |probes AS (SELECT vec_id AS q_id, v AS qv, c_idx AS cell
+      |           FROM ar WHERE vec_id < 5 AND rn <= 3),
+      |p AS (
+      |  SELECT q_id, n_id,
+      |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+      |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+      |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+      |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+      |r AS (SELECT q_id, n_id, cos,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+      |      FROM p)
+      |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+      |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
@@ -669,58 +794,63 @@ object PipelineQueries {
     // doubles — exact in any order — divided by identical operands), so
     // the centroids are bit-identical across engines; assignments use
     // the same fold shapes and tie rules as TopCentroids
-    "ann_ivf_kmeans" -> {
-      def iter(n: Int, prev: String): String =
-        s"""s$n AS (
-           |  SELECT e.vec_id, e.v, c.c_idx,
-           |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
-           |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
-           |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
-           |  FROM e, $prev c),
-           |a$n AS (
-           |  SELECT vec_id, v, c_idx FROM (
-           |    SELECT *, row_number() OVER (
-           |      PARTITION BY vec_id ORDER BY ccos DESC, c_idx) AS rn
-           |    FROM s$n) WHERE rn = 1),
-           |m$n AS (
-           |  SELECT c_idx, d.i AS dim,
-           |    sum(round(v[d.i] * 1000000)) / (1000000.0 * count(*)) AS cd
-           |  FROM a$n, generate_series(1, 64) d(i) GROUP BY 1, 2),
-           |c$n AS (
-           |  SELECT p.c_idx, coalesce(m.cv, p.cv) AS cv
-           |  FROM $prev p LEFT JOIN (
-           |    SELECT c_idx, list(cd ORDER BY dim) AS cv FROM m$n GROUP BY 1) m
-           |  USING (c_idx))""".stripMargin
-      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |c0 AS (
-         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, v AS cv
-         |  FROM e WHERE vec_id % 7 = 0),
-         |${iter(1, "c0")},
-         |${iter(2, "c1")},
-         |sf AS (
-         |  SELECT e.vec_id, e.v, c.c_idx,
-         |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
-         |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
-         |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
-         |  FROM e, c2 c),
-         |ar AS (SELECT vec_id, v, c_idx,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_idx) AS rn
-         |       FROM sf),
-         |assigned AS (SELECT vec_id AS n_id, v, c_idx AS cell FROM ar WHERE rn = 1),
-         |probes AS (SELECT vec_id AS q_id, v AS qv, c_idx AS cell
-         |           FROM ar WHERE vec_id < 5 AND rn <= 3),
-         |p AS (
-         |  SELECT q_id, n_id,
-         |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
-         |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
-         |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
-         |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
-         |r AS (SELECT q_id, n_id, cos,
-         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
-         |      FROM p)
-         |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
-         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin
+    "ann_ivf_kmeans" -> (kmeansArPrefix + annIvfKmeansTail),
+    // shared Lloyd prefix (bit-identical centroids/assignments), then
+    // the per-cell survivor argmax: max ccos, min vec_id among maxima
+    "semantic_dedup" -> (kmeansArPrefix +
+      """,
+        |a AS (SELECT vec_id, c_idx AS cell, ccos FROM ar WHERE rn = 1),
+        |mx AS (SELECT cell, count(*) AS n_members, max(ccos) AS best
+        |       FROM a GROUP BY 1)
+        |SELECT m.cell, min(a.vec_id) AS keep_id, m.n_members,
+        |  round(m.best, 6) AS best_cos
+        |FROM mx m JOIN a ON a.cell = m.cell AND a.ccos = m.best
+        |GROUP BY m.cell, m.n_members, m.best
+        |ORDER BY m.cell""".stripMargin),
+    "heavy_hitters" -> Sketches.cmsOracleSql(
+      """SELECT token AS key, count(*) AS n_exact FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY 1""".stripMargin),
+    "bloom_decontaminate" -> {
+      val mask = (1L << BloomBits) - 1
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |bits AS (
+         |  SELECT DISTINCT j.g AS j, ${Sketches.cellSqlOf("j.g", "sh", mask)} AS pos
+         |  FROM sh0, generate_series(0, ${BloomK - 1}) j(g) WHERE doc_id % 50 = 0),
+         |probe AS (
+         |  SELECT doc_id, sh, j.g AS j, ${Sketches.cellSqlOf("j.g", "sh", mask)} AS pos
+         |  FROM sh0, generate_series(0, ${BloomK - 1}) j(g) WHERE doc_id % 50 <> 0),
+         |pass AS (
+         |  SELECT doc_id, sh FROM probe JOIN bits USING (j, pos)
+         |  GROUP BY 1, 2 HAVING count(*) = $BloomK)
+         |SELECT doc_id, count(*) AS n_bloom FROM pass
+         |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin
     },
+    "pii_redact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id,
+        |    text ||
+        |    CASE WHEN doc_id % 13 = 0
+        |         THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0
+        |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '555-[0-9]{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS BIGINT) AS n_red_chars,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._]+@[a-z0-9.]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '555-[0-9]{4}', '<PHONE>', 'g')) AS red_fp
+        |FROM corpus ORDER BY doc_id""".stripMargin,
     "ann_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT * FROM e WHERE vec_id < 5),

@@ -284,6 +284,51 @@ object Similarity {
     cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }
   }
 
+  /**
+   * Semantic (cluster-level) dedup: assign every vector to its nearest
+   * k-means centroid, then keep ONE representative per cell — the
+   * member closest to the centroid (ties to the smallest vec_id). This
+   * is the embedding-space analogue of `Dedup.canonicalPerCluster`:
+   * SemDeDup-style pruning where a whole cell of semantically-redundant
+   * documents collapses to its most central member.
+   *
+   * Scale shape: centroids are bounded index metadata (broadcast as a
+   * literal array inside TopCentroids AND as a small broadcast dimension
+   * for the centroid-vector lookup); the corpus side is one narrow
+   * argmax projection + one aggregation at CELL grain — no corpus
+   * shuffle wider than (cell, vec_id, cos). The survivor argmax rides a
+   * single struct-max, no members⨝winners re-join.
+   *
+   * Output: (cell, keep_id, n_members, best_cos r6).
+   */
+  def semanticDedup(
+      corpus: DataFrame, cents: Array[(Long, Array[Double])]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centIds = cents.map(_._1)
+    val centVecs = cents.flatMap(_._2)
+    def topCells(v: Column, n: Int): Column =
+      toCol(graft.functions.TopCentroids(toExpr(v), centIds, centVecs, n))
+    val cdf = broadcast(
+      cents.toSeq.map { case (i, v) => (i, v.toSeq) }.toDF("cell", "cv"))
+    corpus
+      .select(col("vec_id"), col("v"),
+        element_at(topCells(col("v"), 1), 1).as("cell"))
+      .join(cdf, Seq("cell"))
+      // same cosine formulation as TopCentroids and the SQL oracle, so
+      // the survivor comparison sees bit-identical values on any engine
+      .withColumn("ccos", cosine(col("v"), col("cv")))
+      .groupBy("cell")
+      .agg(
+        count(lit(1)).as("n_members"),
+        max(struct(col("ccos").as("c"), (-col("vec_id")).as("nid"))).as("m"))
+      .select(
+        col("cell"),
+        (-col("m.nid")).as("keep_id"),
+        col("n_members"),
+        round(col("m.c"), 6).as("best_cos"))
+  }
+
   /** IVF top-k over Lloyd-refined centroids (see kmeansCentroids). */
   def ivfTopKKmeans(
       corpus: DataFrame, queries: DataFrame, k: Int,

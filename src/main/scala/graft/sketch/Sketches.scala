@@ -83,6 +83,130 @@ object Sketches {
         col("est"), col("n_exact"))
   }
 
+  /** Engine-portable cell index for row `j` of a width-2^wBits sketch:
+   *  md5-derived 60-bit hash of "j_key", masked to the row width. The
+   *  same expression is emitted into the SQL oracles below, so the
+   *  sketch layout is identical across engines.
+   */
+  private def cellOf(j: Column, key: Column, wMask: Long): Column =
+    conv(substring(md5(concat_ws("_", j, key)), 1, 15), 16, 10)
+      .cast("long").bitwiseAND(lit(wMask))
+
+  private[graft] def cellSqlOf(j: String, key: String, wMask: Long): String =
+    s"('0x' || substr(md5(CAST($j AS VARCHAR) || '_' || $key), 1, 15))::BIGINT & $wMask"
+
+  /**
+   * Count-Min sketch (Cormode & Muthukrishnan 2005) heavy-hitter report:
+   * estimate the counts of the exact top-`k` keys through a d×2^wBits
+   * counter grid and emit both paths side by side, so the sketch's
+   * one-sided error (est ≥ n_exact always) is visible in the output and
+   * the oracle checks the full grid arithmetic.
+   *
+   * Scale shape: the corpus collapses to KEY grain in one map-side-
+   * combined aggregation; the grid is a second aggregation whose output
+   * is d·2^wBits rows REGARDLESS of corpus size (and is mergeable by
+   * plain `+`, so grids from disjoint corpus shards sum — tested). The
+   * exact top-k side is a TakeOrdered (parallel partial top-k), never a
+   * global sort; the probe⋈grid join broadcasts the k·d probe rows.
+   *
+   * Portability: cell indices are md5-derived (see `cellOf`), counts
+   * are exact longs — nothing in the pipeline is engine-private.
+   */
+  def cmsTopK(
+      df: DataFrame, key: Column, k: Int = 20,
+      d: Int = 4, wBits: Int = 11): DataFrame = {
+    require(d >= 1 && d <= 8 && wBits >= 4 && wBits <= 24, "CMS shape out of range")
+    val wMask = (1L << wBits) - 1
+    val counts = df.select(key.cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n_exact"))
+    // the key-grain counts feed both the grid and the exact top-k
+    graft.dedup.Dedup.withScopedPersist(counts) {
+      val cells = counts
+        .select(col("key"), col("n_exact"),
+          explode(sequence(lit(0), lit(d - 1))).as("j"))
+        .groupBy(col("j"), cellOf(col("j"), col("key"), wMask).as("cell"))
+        .agg(sum("n_exact").as("cnt"))
+      val top = counts.orderBy(col("n_exact").desc, col("key")).limit(k)
+        .withColumn("rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n_exact").desc, col("key"))).cast("long"))
+      val probes = top
+        .select(col("key"), col("n_exact"), col("rank"),
+          explode(sequence(lit(0), lit(d - 1))).as("j"))
+        .withColumn("cell", cellOf(col("j"), col("key"), wMask))
+      broadcast(probes).join(cells, Seq("j", "cell"))
+        .groupBy("key", "n_exact", "rank")
+        .agg(min(col("cnt")).as("est"))
+        .select(col("key"), col("n_exact"), col("est"), col("rank"))
+    }
+  }
+
+  /** The matching DuckDB oracle for `cmsTopK`. `countsSql` must yield
+   *  (key VARCHAR, n_exact BIGINT) — the exact key-grain counts the
+   *  engine side aggregates first.
+   */
+  def cmsOracleSql(countsSql: String, k: Int = 20, d: Int = 4, wBits: Int = 11): String = {
+    val wMask = (1L << wBits) - 1
+    s"""WITH counts AS ($countsSql),
+       |cells AS (
+       |  SELECT j.g AS j, ${cellSqlOf("j.g", "key", wMask)} AS cell,
+       |    CAST(sum(n_exact) AS BIGINT) AS cnt
+       |  FROM counts, generate_series(0, ${d - 1}) j(g)
+       |  GROUP BY 1, 2),
+       |top AS (
+       |  SELECT key, n_exact, rank FROM (
+       |    SELECT key, n_exact,
+       |      row_number() OVER (ORDER BY n_exact DESC, key) AS rank
+       |    FROM counts) WHERE rank <= $k),
+       |probes AS (
+       |  SELECT key, n_exact, rank, j.g AS j,
+       |    ${cellSqlOf("j.g", "key", wMask)} AS cell
+       |  FROM top, generate_series(0, ${d - 1}) j(g))
+       |SELECT p.key, p.n_exact, CAST(min(c.cnt) AS BIGINT) AS est, p.rank
+       |FROM probes p JOIN cells c USING (j, cell)
+       |GROUP BY 1, 2, 4
+       |ORDER BY rank""".stripMargin
+  }
+
+  /**
+   * Bloom-filter membership probe — the constant-size decontamination
+   * scale path. The exact `decontaminate` operator joins the corpus
+   * against the distinct holdout-shingle SET; at 100 TB that set may
+   * itself be billions of rows, while a Bloom filter over it is a fixed
+   * 2^mBits bits (32 KiB at mBits=18) that ships to every executor once.
+   *
+   * `keys` (reference set) becomes a distinct (j, pos) bit table —
+   * ≤ kHash·|keys| rows, deduplicated, broadcast. Each probe key checks
+   * its kHash positions; membership = ALL set (count == kHash after the
+   * inner join). False positives are deterministic (md5-derived
+   * positions), so engine and oracle flag the SAME keys bit-for-bit;
+   * false negatives are impossible — the probe result is a strict
+   * superset of exact membership (tested).
+   *
+   * Output: `probes` rows whose `keyCol` is (apparently) in `keys`.
+   */
+  def bloomMember(
+      keys: DataFrame, keyCol: String, probes: DataFrame, probeKeyCol: String,
+      kHash: Int = 3, mBits: Int = 18): DataFrame = {
+    require(kHash >= 1 && kHash <= 8 && mBits >= 8 && mBits <= 30, "Bloom shape out of range")
+    val wMask = (1L << mBits) - 1
+    val js = explode(sequence(lit(0), lit(kHash - 1))).as("j")
+    val bits = keys
+      .select(col(keyCol).cast("string").as("k"), js)
+      .select(col("j"), cellOf(col("j"), col("k"), wMask).as("pos"))
+      .distinct()
+    val probed = probes
+      .withColumn("j", js)
+      .withColumn("pos", cellOf(col("j"), col(probeKeyCol).cast("string"), wMask))
+    val out = probed.join(broadcast(bits), Seq("j", "pos"))
+      .groupBy(probes.columns.map(col).toSeq: _*)
+      .agg(count(lit(1)).as("n_set"))
+      .where(col("n_set") === kHash)
+      .drop("n_set")
+    out
+  }
+
   /** The matching DuckDB oracle for `hllReport` over `keyExpr` of
    *  `table` — generated from the SAME constants so engine and oracle
    *  cannot drift.

@@ -147,6 +147,31 @@ object TextOps {
       .agg(count_distinct(col("wmin")).as("n_fp"))
   }
 
+  /** PII patterns kept to the Java-regex ∩ RE2 common subset (char
+   *  classes, +, {n} — no lookaround, no backreferences), so the engine
+   *  and a RE2-based oracle match the same spans.
+   */
+  private[graft] val EmailRe = "[a-z0-9._]+@[a-z0-9.]+\\.[a-z]+"
+  private[graft] val PhoneRe = "555-[0-9]{4}"
+
+  /** PII detection + redaction: per-doc email/phone match counts, and
+   *  the redacted text's length and md5 (the fingerprint proves the
+   *  REPLACEMENT itself matches, not just the counts). Pure codegen'd
+   *  column expressions — at 100 TB this is a narrow map over the scan,
+   *  no shuffle at all.
+   */
+  def piiScan(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val red = regexp_replace(
+      regexp_replace(t, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>")
+    docs.select(
+      col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0))).cast("long").as("n_phones"),
+      length(red).cast("long").as("n_red_chars"),
+      md5(red).as("red_fp"))
+  }
+
   /** Per-language top-k vocabulary (token, count, rank) — the
    *  tokenizer-training / coverage stat of a data pipeline. One hash
    *  aggregation collapses the corpus to vocabulary grain with map-side

@@ -261,4 +261,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(3) - 224.0 / (64 + n % 512)) < 1e-12)
     assert(r.getLong(5) == 224 * 224 * 3)
   }
+
+  test("semantic dedup keeps the member nearest its k-means centroid per cell") {
+    // two tight direction clusters in 2-D; seeds (vec_id % 7 == 0) are
+    // vec 0 and vec 7, one in each cluster
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.95, 0.05)),
+      (7L, Seq(0.0, 1.0)), (8L, Seq(0.1, 0.9)))
+      .toDF("vec_id", "v")
+    val cents = Similarity.kmeansCentroids(vecs, centroidStep = 7L, iters = 2)
+    assert(cents.length == 2)
+    val got = Similarity.semanticDedup(vecs, cents)
+      .orderBy("cell").collect()
+    assert(got.length == 2)
+    assert(got.map(_.getLong(2)).sum == 5, "members must partition the corpus")
+    // cluster A's refined centroid is the fixed-point mean (0.95, 0.05);
+    // vec 2 is exactly parallel to it ⇒ cos = 1.0 and it survives
+    val cellA = got.find(_.getLong(2) == 3).get
+    assert(cellA.getLong(1) == 2L, s"wrong survivor: $cellA")
+    assert(cellA.getDouble(3) == 1.0)
+    // cluster B's survivor must be one of its own members
+    val cellB = got.find(_.getLong(2) == 2).get
+    assert(Set(7L, 8L).contains(cellB.getLong(1)))
+  }
+
+  test("piiScan counts and redacts emails/phones; clean text is untouched") {
+    val a = "reach me at alice.w@mail.example.org or bob1@x.io thanks"
+    val b = "call 555-0111 or 555-9999 now"
+    val c = "no personal identifiers here at all"
+    val d = Seq((0L, a), (1L, b), (2L, c)).toDF("doc_id", "text")
+    val got = TextOps.piiScan(d, "doc_id", "text").orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 2 && got(0).getLong(2) == 0)
+    assert(got(1).getLong(1) == 0 && got(1).getLong(2) == 2)
+    assert(got(2).getLong(1) == 0 && got(2).getLong(2) == 0)
+    // redacted length is computable from the matched spans exactly
+    val expRed0 = a.length - "alice.w@mail.example.org".length -
+      "bob1@x.io".length + 2 * "<EMAIL>".length
+    val expRed1 = b.length - 2 * "555-0111".length + 2 * "<PHONE>".length
+    assert(got(0).getLong(3) == expRed0)
+    assert(got(1).getLong(3) == expRed1)
+    assert(got(2).getLong(3) == c.length)
+    // redaction is complete: a second scan over the redacted text is clean
+    val red = d.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("text"),
+        TextOps.EmailRe, "<EMAIL>"), TextOps.PhoneRe, "<PHONE>").as("text"))
+    val rescan = TextOps.piiScan(red, "doc_id", "text").collect()
+    assert(rescan.forall(r => r.getLong(1) == 0 && r.getLong(2) == 0))
+  }
 }

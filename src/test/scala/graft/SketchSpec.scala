@@ -50,4 +50,78 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getDouble(3) == 0.0)
     assert(r.getLong(4) == 0L)
   }
+
+  // ---- Count-Min sketch -------------------------------------------
+
+  test("CMS is exact when the key set is far below the grid width") {
+    // 10 keys in a 4×2048 grid: an all-rows collision is ~(10/2048)^4
+    val df = spark.range(0, 1000).select((col("id") % 10).as("k"))
+    val rows = Sketches.cmsTopK(df, col("k"), k = 5).orderBy("rank").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(1) == 100L, "exact count wrong")
+      assert(r.getLong(2) == 100L, "estimate should equal exact here")
+    }
+    // rank ties broken by key text ascending
+    assert(rows.map(_.getString(0)).toSeq == Seq("0", "1", "2", "3", "4"))
+  }
+
+  test("CMS overestimates but never underestimates under heavy collision load") {
+    // 20k keys into a 2×256 grid: every cell is heavily shared
+    val skew = spark.range(0, 20000)
+      .select(when(col("id") < 5, lit(0L)).otherwise(col("id")).as("k"))
+    val rows = Sketches.cmsTopK(skew, col("k"), k = 10, d = 2, wBits = 8).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(2) >= r.getLong(1), s"CMS underestimated: $r"))
+    assert(rows.exists(r => r.getLong(2) > r.getLong(1)),
+      "expected at least one collision-inflated estimate at this load")
+    // the planted heavy hitter (5 occurrences of key 0) ranks first
+    assert(rows.minBy(_.getLong(3)).getString(0) == "0")
+  }
+
+  test("CMS grids from disjoint shards merge by addition") {
+    // the grid over A∪B must equal grid(A) + grid(B) cell-by-cell —
+    // the mergeability contract that makes the sketch shard-parallel
+    def grid(df: org.apache.spark.sql.DataFrame) = {
+      val counts = df.groupBy(col("k").cast("string").as("key"))
+        .agg(count(lit(1)).as("n_exact"))
+      counts
+        .select(col("key"), col("n_exact"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .groupBy(col("j"),
+          conv(substring(md5(concat_ws("_", col("j"), col("key"))), 1, 15), 16, 10)
+            .cast("long").bitwiseAND(lit(2047L)).as("cell"))
+        .agg(sum("n_exact").as("cnt"))
+    }
+    val a = spark.range(0, 500).select((col("id") % 7).as("k"))
+    val b = spark.range(500, 900).select((col("id") % 13).as("k"))
+    val merged = grid(a).unionByName(grid(b))
+      .groupBy("j", "cell").agg(sum("cnt").as("cnt"))
+    val whole = grid(a.unionByName(b))
+    assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
+  }
+
+  // ---- Bloom membership -------------------------------------------
+
+  test("Bloom membership never false-negatives and keeps probe columns") {
+    val keys = spark.range(0, 100).select(col("id").cast("string").as("k"))
+    val probes = spark.range(0, 2000)
+      .select(col("id").as("pid"), col("id").cast("string").as("pk"))
+    val got = Sketches.bloomMember(keys, "k", probes, "pk").collect()
+    val flagged = got.map(_.getLong(0)).toSet
+    assert((0L until 100L).toSet.subsetOf(flagged), "false negative!")
+    // 1900 negatives × (300/2^18)^3 FP rate ⇒ essentially zero extras
+    assert(flagged.size <= 110, s"implausible FP count: ${flagged.size - 100}")
+    assert(got.head.schema.fieldNames.toSeq == Seq("pid", "pk"))
+  }
+
+  test("Bloom false positives appear at small m and are a strict superset") {
+    val keys = spark.range(0, 200).select(col("id").cast("string").as("k"))
+    val probes = spark.range(0, 3000)
+      .select(col("id").as("pid"), col("id").cast("string").as("pk"))
+    val flagged = Sketches.bloomMember(keys, "k", probes, "pk", kHash = 2, mBits = 9)
+      .collect().map(_.getLong(0)).toSet
+    assert((0L until 200L).toSet.subsetOf(flagged), "false negative!")
+    assert(flagged.size > 200, "a 512-bit filter over 200 keys must collide")
+  }
 }
