@@ -436,6 +436,72 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- watermarked event-time window aggregation: the bounded-
+    // lateness streaming analytics path (the ingest path above stays
+    // watermark-free for unbounded lateness). Append mode emits each
+    // finalized window once; a far-future sentinel file in a LATER
+    // micro-batch advances the watermark past every real window, and the
+    // engine's trailing no-data batch flushes them to the memory sink --
+    "stream_window_10s" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_win")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("a_events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // TWO sentinels, each a day apart past the stream's max event
+      // time, each in its own micro-batch: append-mode emission applies
+      // the watermark computed at the PREVIOUS batch's end, so batch
+      // N+1 flushes what batch N's max event time unlocked — sentinel 1
+      // flushes all but the last real window, sentinel 2 flushes the
+      // rest. The sentinels' own (unflushed) windows are filtered below.
+      val maxTsNs = evb.agg(max("ts")).head().getLong(0)
+      val base = System.currentTimeMillis()
+      java.nio.file.Files.setLastModifiedTime(
+        srcDir.resolve("a_events.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(base - 60000L))
+      for (k <- 1 to 2) {
+        // the file source lists only top-level files: write to scratch,
+        // then move the part file up as a sibling of the events symlink
+        val scratch = srcDir.resolve(s"scratch$k")
+        evb.limit(1)
+          .withColumn("ts", lit(maxTsNs + k * 86400L * 1000000000L))
+          .withColumn("event_type", lit("zzsentinel"))
+          .coalesce(1)
+          .write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"b_sentinel$k.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + k * 2000L))
+        } finally parts.close()
+      }
+      val stream = s.readStream.schema(evb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val qn = "sw10_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = graft.streaming.StreamWindow
+        .windowedRollup(Melt.events(stream), widthS = 10, delayS = 5)
+        .writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", s"$srcDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn)
+        .where(col("dataset_id") =!= "zzsentinel")
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- S12/O3/F14: comment CRUD round-trip — create 6, update every
     // id%3==0 (text prefixed, date shifted +1s), delete every id%5==0,
     // read back date-sorted (the reference's sorted-rewrite write path,
@@ -549,6 +615,9 @@ object CoreQueries {
     "ingest_incremental_1s" -> rollupSql(1),
     "ingest_manifest_1s" -> rollupSql(1),
     "stream_ingest_1s" -> rollupSql(1),
+    // every 10 s window is below the sentinel-advanced watermark, so the
+    // streamed append-mode output must equal the one-shot batch rollup
+    "stream_window_10s" -> rollupSql(10),
     "comments_crud" ->
       """WITH base AS (
         |  SELECT event_id AS id, epoch_us(ts) AS date_us, props AS text
