@@ -121,25 +121,35 @@ object Sketches {
       .groupBy("key").agg(count(lit(1)).as("n_exact"))
     // the key-grain counts feed both the grid and the exact top-k
     graft.dedup.Dedup.withScopedPersist(counts) {
-      val cells = counts
-        .select(col("key"), col("n_exact"),
-          explode(sequence(lit(0), lit(d - 1))).as("j"))
-        .groupBy(col("j"), cellOf(col("j"), col("key"), wMask).as("cell"))
-        .agg(sum("n_exact").as("cnt"))
-      val top = counts.orderBy(col("n_exact").desc, col("key")).limit(k)
-        .withColumn("rank",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("n_exact").desc, col("key"))).cast("long"))
-      val probes = top
-        .select(col("key"), col("n_exact"), col("rank"),
-          explode(sequence(lit(0), lit(d - 1))).as("j"))
-        .withColumn("cell", cellOf(col("j"), col("key"), wMask))
-      broadcast(probes).join(cells, Seq("j", "cell"))
-        .groupBy("key", "n_exact", "rank")
-        .agg(min(col("cnt")).as("est"))
-        .select(col("key"), col("n_exact"), col("est"), col("rank"))
+      cmsTopKFrom(counts, k, d, wBits)
     }
+  }
+
+  /** The CMS dataflow from pre-aggregated (key, n_exact) counts —
+   *  separated so plan guards can inspect it without the scoped
+   *  persist's checkpoint hiding the internals.
+   */
+  private[graft] def cmsTopKFrom(
+      counts: DataFrame, k: Int, d: Int, wBits: Int): DataFrame = {
+    val wMask = (1L << wBits) - 1
+    val cells = counts
+      .select(col("key"), col("n_exact"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .groupBy(col("j"), cellOf(col("j"), col("key"), wMask).as("cell"))
+      .agg(sum("n_exact").as("cnt"))
+    val top = counts.orderBy(col("n_exact").desc, col("key")).limit(k)
+      .withColumn("rank",
+        row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("n_exact").desc, col("key"))).cast("long"))
+    val probes = top
+      .select(col("key"), col("n_exact"), col("rank"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .withColumn("cell", cellOf(col("j"), col("key"), wMask))
+    broadcast(probes).join(cells, Seq("j", "cell"))
+      .groupBy("key", "n_exact", "rank")
+      .agg(min(col("cnt")).as("est"))
+      .select(col("key"), col("n_exact"), col("est"), col("rank"))
   }
 
   /** The matching DuckDB oracle for `cmsTopK`. `countsSql` must yield

@@ -121,4 +121,69 @@ class PlanAuditSpec extends AnyFunSuite {
         "dimension join is not broadcast")
     }
   }
+
+  test("heavy_hitters probes the CMS grid via a broadcast, with map-side partials") {
+    withPlainPlans {
+      // inspect the CMS dataflow directly — the registered query's
+      // scoped persist checkpoints the result, hiding the plan
+      import org.apache.spark.sql.functions._
+      val counts = spark.read.parquet(s"$sf/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("key"))
+        .where(length(col("key")) > 0)
+        .groupBy("key").agg(count(lit(1)).as("n_exact"))
+      val df = graft.sketch.Sketches.cmsTopKFrom(counts, 20, 4, 11)
+      val plan = df.queryExecution.executedPlan.toString
+      // corpus→key counts and counts→grid must both partial-aggregate;
+      // the k·d probe rows must broadcast against the grid, and the
+      // exact top-k must be a TakeOrdered, never a global sort+limit
+      assert("HashAggregate".r.findAllIn(plan).size >= 4, "lost map-side partials")
+      assert(plan.contains("BroadcastHashJoin"), "probe join is not broadcast")
+      assert(plan.contains("TakeOrdered"), "top-k regressed to a global sort")
+    }
+  }
+
+  test("bloom_decontaminate broadcasts the bit table") {
+    withPlainPlans {
+      import org.apache.spark.sql.functions._
+      val sh = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), graft.text.TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(graft.text.TextOps.shinglesOf(col("toks"), 3)).as("sh"))
+        .distinct()
+      val df = graft.sketch.Sketches.bloomMember(
+        sh.where(col("doc_id") % 50 === 0).select("sh"), "sh",
+        sh.where(col("doc_id") % 50 =!= 0), "sh")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        "bit-table membership join is not broadcast")
+    }
+  }
+
+  test("semantic_dedup is a broadcast centroid lookup plus one cell-grain agg") {
+    withPlainPlans {
+      val base = graft.sim.Similarity.asDouble(
+        spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id", "embedding")
+      val df = graft.sim.Similarity.semanticDedup(
+        base, graft.sim.Similarity.kmeansCentroids(base, 7L, iters = 2))
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), "centroid lookup is not broadcast")
+      // assignment is narrow; the ONLY exchange is the cell-grain agg
+      assert(shuffleCount(df) <= 1, "semantic dedup shuffles the corpus more than once")
+      assert("(Sort|Object|Hash)Aggregate".r.findAllIn(plan).size >= 2,
+        "survivor argmax lost its partial aggregation")
+    }
+  }
+
+  test("pii_redact is a pure narrow projection — zero shuffles") {
+    withPlainPlans {
+      // unordered operator output (the registered query only adds the
+      // deterministic output sort)
+      val df = graft.text.TextOps.piiScan(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      assert(shuffleCount(df) == 0, "piiScan must not shuffle")
+      // executedPlan.toString marks codegen stages with a "*(n)" prefix
+      assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
+        "piiScan fell out of whole-stage codegen")
+    }
+  }
 }
