@@ -70,6 +70,20 @@ object PipelineQueries {
   private val BloomK = 3
   private val BloomBits = 18
 
+  /** documents ∪ near-dup copies (3 appended tokens, ids offset by
+   *  100000) of every 50th doc — the holdout (doc_id % 50 == 0, id <
+   *  100000) has planted fuzzy leaks into the training side. The
+   *  identical construction is inlined in the oracle SQL.
+   */
+  private def crossCorpus(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select("doc_id", "text")
+    d.unionByName(
+      d.where(col("doc_id") % 50 === 0)
+        .select(
+          (col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+  }
+
   /** documents with deterministically injected PII: every 13th doc gets
    *  an email, every 11th a phone number (some get both). The identical
    *  construction is inlined in the oracle SQL.
@@ -313,6 +327,43 @@ object PipelineQueries {
       }.orderBy("doc_id")
     }),
 
+    // cross-corpus fuzzy decontamination: MinHash near-dup pairs ACROSS
+    // the train/holdout boundary (exact `decontaminate` catches literal
+    // overlap; this catches paraphrased/appended eval leakage, the
+    // GPT-3/Pile-style fuzzy variant). Composed from the public MinHash
+    // pieces with a cross-side candidate filter — same recall guarantee
+    // as dedup_minhash, verified exactly
+    "cross_decontaminate" -> ((s, dir) => {
+      val corpus = crossCorpus(s, dir)
+      val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+      val sig = Dedup.minhashSignature(sh, 64)
+      def isHold(c: Column): Column = c % 50 === 0 && c < 100000L
+      Dedup.withScopedPersist(sh, sig) {
+        Dedup.verifyJaccard(
+          Dedup.estimatePrune(
+            Dedup.lshCandidates(sig, 64, 16)
+              .where(isHold(col("a_id")) =!= isHold(col("b_id"))),
+            sig, 64, minEst = JaccardThreshold / 2),
+          sh, JaccardThreshold)
+      }
+        .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+    // deterministic fixed-size sample: per language the k docs with the
+    // smallest md5(doc_id) — the hash-ordered reservoir equivalent
+    // (rate sampling can't hit an exact row budget; hash-rank sampling
+    // can, and stays reproducible across engines and reruns)
+    "sample_topk_hash" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("lang"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("lang").orderBy("h", "doc_id")).cast("long"))
+        .where(col("rank") <= 25)
+        .select(col("lang"), col("rank"), col("doc_id"), col("h"))
+        .orderBy("lang", "rank")),
     // Count-Min heavy hitters: the exact top-20 corpus tokens with the
     // CMS grid's (one-sided) estimates alongside — the mergeable-sketch
     // counterpart of vocab_topk, full grid arithmetic oracle-checked
@@ -807,6 +858,40 @@ object PipelineQueries {
         |FROM mx m JOIN a ON a.cell = m.cell AND a.ccos = m.best
         |GROUP BY m.cell, m.n_members, m.best
         |ORDER BY m.cell""".stripMargin),
+    // exact cross-side Jaccard — the MinHash path must converge to it
+    // (candidates ⊇ all pairs ≥ threshold, verification exact)
+    "cross_decontaminate" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+         |  FROM documents WHERE doc_id % 50 = 0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |shf AS (SELECT * FROM sh0 WHERE sh IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |  AND ((a_id % 50 = 0 AND a_id < 100000)
+         |       <> (b_id % 50 = 0 AND b_id < 100000))
+         |ORDER BY a_id, b_id""".stripMargin,
+    "sample_topk_hash" ->
+      """SELECT lang, rank, doc_id, h FROM (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+        |  FROM documents)
+        |WHERE rank <= 25 ORDER BY lang, rank""".stripMargin,
     "heavy_hitters" -> Sketches.cmsOracleSql(
       """SELECT token AS key, count(*) AS n_exact FROM (
         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
