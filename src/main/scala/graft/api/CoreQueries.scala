@@ -484,15 +484,23 @@ object CoreQueries {
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir.toString)
       val qn = "sw10_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = graft.streaming.StreamWindow
-        .windowedRollup(Melt.events(stream), widthS = 10, delayS = 5)
-        .writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(qn)
-        .option("checkpointLocation", s"$srcDir/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      // the state store writes one delta file per shuffle partition per
+      // micro-batch: at this series cardinality 8 partitions bounds that
+      // fixed cost without losing parallelism (pinned at query start;
+      // restored for the batch read below)
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.StreamWindow
+          .windowedRollup(Melt.events(stream), widthS = 10, delayS = 5)
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qn)
+          .option("checkpointLocation", s"$srcDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
       q.awaitTermination()
       s.table(qn)
         .where(col("dataset_id") =!= "zzsentinel")

@@ -896,20 +896,23 @@ object PipelineQueries {
       """SELECT token AS key, count(*) AS n_exact FROM (
         |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |  WHERE len(token) > 0 GROUP BY 1""".stripMargin),
+    // positions are bit-slices of ONE md5-derived 60-bit hash per
+    // shingle (matching Sketches.bloomMember's layout exactly)
     "bloom_decontaminate" -> {
       val mask = (1L << BloomBits) - 1
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
          |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
          |    generate_series(1, len(tokens) - 2),
          |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |hs AS (SELECT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h FROM sh0),
          |bits AS (
-         |  SELECT DISTINCT j.g AS j, ${Sketches.cellSqlOf("j.g", "sh", mask)} AS pos
-         |  FROM sh0, generate_series(0, ${BloomK - 1}) j(g) WHERE doc_id % 50 = 0),
+         |  SELECT DISTINCT j.g AS j, (h >> (j.g * $BloomBits)) & $mask AS pos
+         |  FROM hs, generate_series(0, ${BloomK - 1}) j(g) WHERE doc_id % 50 = 0),
          |probe AS (
-         |  SELECT doc_id, sh, j.g AS j, ${Sketches.cellSqlOf("j.g", "sh", mask)} AS pos
-         |  FROM sh0, generate_series(0, ${BloomK - 1}) j(g) WHERE doc_id % 50 <> 0),
+         |  SELECT doc_id, h, j.g AS j, (h >> (j.g * $BloomBits)) & $mask AS pos
+         |  FROM hs, generate_series(0, ${BloomK - 1}) j(g) WHERE doc_id % 50 <> 0),
          |pass AS (
-         |  SELECT doc_id, sh FROM probe JOIN bits USING (j, pos)
+         |  SELECT doc_id, h FROM probe JOIN bits USING (j, pos)
          |  GROUP BY 1, 2 HAVING count(*) = $BloomK)
          |SELECT doc_id, count(*) AS n_bloom FROM pass
          |GROUP BY 1 HAVING count(*) >= 3 ORDER BY 1""".stripMargin

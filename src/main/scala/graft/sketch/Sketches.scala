@@ -199,16 +199,27 @@ object Sketches {
   def bloomMember(
       keys: DataFrame, keyCol: String, probes: DataFrame, probeKeyCol: String,
       kHash: Int = 3, mBits: Int = 18): DataFrame = {
-    require(kHash >= 1 && kHash <= 8 && mBits >= 8 && mBits <= 30, "Bloom shape out of range")
+    // the kHash positions are disjoint bit-slices of ONE 60-bit
+    // md5-derived hash — one hash evaluation per key (not kHash), and
+    // the per-position work is pure bit arithmetic. Slices of a single
+    // md5 are independent enough for Bloom FP behavior, and the whole
+    // layout stays engine-portable.
+    require(kHash >= 1 && mBits >= 8 && kHash * mBits <= 60,
+      "bloom slices must fit the 60-bit hash")
     val wMask = (1L << mBits) - 1
-    val js = explode(sequence(lit(0), lit(kHash - 1))).as("j")
+    def h60(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    def posArr(h: Column): Column =
+      array((0 until kHash).map(j =>
+        shiftright(h, j * mBits).bitwiseAND(lit(wMask))): _*)
     val bits = keys
-      .select(col(keyCol).cast("string").as("k"), js)
-      .select(col("j"), cellOf(col("j"), col("k"), wMask).as("pos"))
+      .select(h60(col(keyCol)).as("h"))
+      .select(posexplode(posArr(col("h"))).as(Seq("j", "pos")))
       .distinct()
     val probed = probes
-      .withColumn("j", js)
-      .withColumn("pos", cellOf(col("j"), col(probeKeyCol).cast("string"), wMask))
+      .withColumn("h", h60(col(probeKeyCol)))
+      .select(probes.columns.map(col) :+
+        posexplode(posArr(col("h"))).as(Seq("j", "pos")): _*)
     val out = probed.join(broadcast(bits), Seq("j", "pos"))
       .groupBy(probes.columns.map(col).toSeq: _*)
       .agg(count(lit(1)).as("n_set"))
