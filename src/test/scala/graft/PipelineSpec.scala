@@ -285,6 +285,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(Set(7L, 8L).contains(cellB.getLong(1)))
   }
 
+  test("cross-side MinHash decontamination reports only train↔holdout pairs") {
+    // doc 0 (holdout) leaked into train as doc 100: cross pair.
+    // docs 1 and 2 are near-dups INSIDE train: same-side, must not report.
+    val holdoutIds = Set(0L)
+    val c = Seq(
+      (0L, doc),
+      (100L, doc + " leaked"),
+      (1L, "five sorted ducks wander across the wide green field tonight quietly"),
+      (2L, "five sorted ducks wander across the wide green field tonight quietly ok"),
+      (3L, "completely different words about spark catalyst tungsten shuffles"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.shingleSet(c, "doc_id", "text")
+    val sig = Dedup.minhashSignature(sh, 64)
+    def isHold(col0: org.apache.spark.sql.Column) = col0.isInCollection(holdoutIds)
+    val got = Dedup.withScopedPersist(sh, sig) {
+      Dedup.verifyJaccard(
+        Dedup.estimatePrune(
+          Dedup.lshCandidates(sig, 64, 16)
+            .where(isHold(col("a_id")) =!= isHold(col("b_id"))),
+          sig, 64, minEst = 0.3),
+        sh, 0.6)
+    }.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 100L)), s"expected only the cross pair, got $got")
+  }
+
   test("piiScan counts and redacts emails/phones; clean text is untouched") {
     val a = "reach me at alice.w@mail.example.org or bob1@x.io thanks"
     val b = "call 555-0111 or 555-9999 now"
