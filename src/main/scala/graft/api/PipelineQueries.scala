@@ -203,6 +203,9 @@ object PipelineQueries {
     "inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(docs(s, dir), "doc_id", "text", 10)
         .orderBy("token")),
+    // corpus-unigram-LM fluency score per doc (exact ppm integers)
+    "doc_logprob" -> ((s, dir) =>
+      TextOps.docLogProb(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     // portable HyperLogLog over a high-cardinality key — registers,
     // sum, and estimate all reproduced by the SQL oracle (the exact
     // count rides along so the sketch error is visible)
@@ -1024,6 +1027,25 @@ object PipelineQueries {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "distinct_sketch" -> Sketches.hllOracleSql("orders", "o_custkey"),
+    // lp_ppm is integer once per vocabulary term (the idf_ppm pattern):
+    // per-doc sums are order-proof integers, the average divides
+    // identical operands
+    "doc_logprob" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY 1, 2),
+        |cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnt),
+        |lp AS (SELECT token,
+        |         CAST(round(ln(CAST(cnt AS DOUBLE) / t.t) * 1000000) AS BIGINT)
+        |           AS lp_ppm
+        |       FROM cnt, t)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |  CAST(sum(tf * lp_ppm) AS BIGINT) AS sum_lp_ppm,
+        |  CAST(sum(tf * lp_ppm) AS DOUBLE) / (sum(tf) * 1000000.0) AS avg_logp
+        |FROM tf JOIN lp USING (token)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "inverted_index" ->
       """WITH t AS (
         |  SELECT token, doc_id, count(*) AS n_occ FROM (

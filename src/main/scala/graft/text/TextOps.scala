@@ -225,6 +225,40 @@ object TextOps {
         (col("score_ppm").cast("double") / 1e6).as("tfidf"), col("rank"))
   }
 
+  /** Per-document unigram language-model score — the corpus-LM fluency
+   *  signal of a quality pipeline: each token's log-probability under
+   *  the corpus unigram distribution, summed and averaged per doc
+   *  (low avg ⇒ rare-token-heavy / junk docs).
+   *
+   *  Float discipline (ppm): `lp_ppm = round(ln(cnt/T)·10⁶)` is integer
+   *  ONCE per vocabulary term (the tfidf idf_ppm pattern), so per-doc
+   *  sums are exact integer arithmetic in any accumulation order and
+   *  the average divides identical operands. Plan shape: corpus →
+   *  (doc, term, tf) hash agg with map-side combine; the vocabulary is
+   *  small → the lp lookup joins broadcast; per-doc reduction is one
+   *  aggregation at doc grain.
+   */
+  def docLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("token").agg(sum(col("tf")).as("cnt"))
+    val total = cnt.agg(sum(col("cnt")).cast("double").as("t"))
+    val lp = cnt.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("t")) * 1e6).cast("long").as("lp_ppm"))
+    tf.join(broadcast(lp), Seq("token"))
+      .groupBy("doc_id")
+      .agg(
+        sum(col("tf")).as("n_tok"),
+        sum(col("tf") * col("lp_ppm")).as("sum_lp_ppm"))
+      .select(
+        col("doc_id"), col("n_tok"), col("sum_lp_ppm"),
+        (col("sum_lp_ppm").cast("double") / (col("n_tok") * lit(1e6))).as("avg_logp"))
+  }
+
   /** Inverted index at vocabulary grain: per token its document
    *  frequency, total occurrence count, and the first `sampleK` doc ids
    *  of the posting list (comma-joined — an engine-portable prefix

@@ -310,6 +310,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == Set((0L, 100L)), s"expected only the cross pair, got $got")
   }
 
+  test("docLogProb scores docs under the corpus unigram LM with exact ppm sums") {
+    val d = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    // counts: a=2 b=2 c=1, T=5
+    def ppm(p: Double): Long = math.round(math.log(p) * 1e6)
+    val got = graft.text.TextOps.docLogProb(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 3 && got(1).getLong(1) == 2)
+    assert(got(0).getLong(2) == 2 * ppm(0.4) + ppm(0.4))
+    assert(got(1).getLong(2) == ppm(0.4) + ppm(0.2))
+    // the rare-token doc scores lower (more negative average)
+    assert(got(1).getDouble(3) < got(0).getDouble(3))
+  }
+
   test("piiScan counts and redacts emails/phones; clean text is untouched") {
     val a = "reach me at alice.w@mail.example.org or bob1@x.io thanks"
     val b = "call 555-0111 or 555-9999 now"
