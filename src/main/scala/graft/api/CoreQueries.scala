@@ -510,6 +510,50 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- stream-stream interval join: views within ±3000 s of each
+    // purchase by the SAME user, joined live across two event streams
+    // (symmetric hash join state keyed by user, watermark-evicted).
+    // Inner matches emit as both rows arrive — no sentinels needed; the
+    // per-purchase aggregation happens batch-side over the sink --------
+    "stream_join_3000s" -> ((s, dir) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_join")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      def side(tpe: String, idAs: String, tsAs: String) =
+        s.readStream.schema(evb.schema).parquet(srcDir.toString)
+          .where(col("event_type") === tpe)
+          .select(
+            col("event_id").as(idAs), col("user_id"),
+            timestamp_micros(expr("ts div 1000")).as(tsAs))
+      val joined = graft.streaming.StreamJoin.intervalJoin(
+        side("purchase", "p_id", "p_ts"),
+        side("view", "v_id", "v_ts").drop("v_id"),
+        "user_id", "p_ts", "v_ts", tolS = 3000)
+      val qn = "sj30_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        joined.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qn)
+          .option("checkpointLocation", s"$srcDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      q.awaitTermination()
+      s.table(qn)
+        .groupBy("p_id")
+        .agg(
+          count(lit(1)).as("n_views_3000s"),
+          min(abs(unix_micros(col("p_ts")) - unix_micros(col("v_ts"))))
+            .as("min_gap_us"))
+        .orderBy("p_id")
+    }),
+
     // ---- S12/O3/F14: comment CRUD round-trip — create 6, update every
     // id%3==0 (text prefixed, date shifted +1s), delete every id%5==0,
     // read back date-sorted (the reference's sorted-rewrite write path,
@@ -626,6 +670,18 @@ object CoreQueries {
     // every 10 s window is below the sentinel-advanced watermark, so the
     // streamed append-mode output must equal the one-shot batch rollup
     "stream_window_10s" -> rollupSql(10),
+    // a bounded replay through the symmetric hash join must produce
+    // exactly the batch per-user interval join
+    "stream_join_3000s" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS v_us
+        |      FROM events WHERE event_type = 'view')
+        |SELECT p.p_id, count(*) AS n_views_3000s,
+        |  min(abs(p.p_us - v.v_us)) AS min_gap_us
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |             AND abs(p.p_us - v.v_us) <= 3000000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "comments_crud" ->
       """WITH base AS (
         |  SELECT event_id AS id, epoch_us(ts) AS date_us, props AS text
