@@ -640,6 +640,28 @@ object CoreQueries {
           col("dataset_id"), col("bucket_s"),
           col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
         .orderBy("dataset_id", "bucket_s")
+    }),
+
+    // ---- manifest time travel: ingest 3 batches (md5-split so the
+    // oracle reproduces the partition), then read the 1 s level AS OF
+    // version 2 — the snapshot must equal the rollup of batches 0-1
+    // exactly, proving versioned-read isolation from later commits ----
+    "manifest_time_travel" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_timetravel").toString
+      val long = ev(s, dir)
+      val h = pmod(
+        conv(substring(
+          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(3L))
+      for (i <- 0 until 3)
+        graft.store.ManifestStore.ingestBatch(s, root, long.where(h === i))
+      graft.store.ManifestStore.readLevelAsOf(s, root, Fidelity.S1, version = 2L)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -666,6 +688,17 @@ object CoreQueries {
     "rollup_cascade_10s" -> rollupSql(10),
     "ingest_incremental_1s" -> rollupSql(1),
     "ingest_manifest_1s" -> rollupSql(1),
+    // batches are md5-split; as-of version 2 sees batches 0 and 1 only
+    "manifest_time_travel" ->
+      """SELECT event_type AS dataset_id,
+        |  (epoch_us(ts) // 1000000) * 1 AS bucket_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+        |FROM events
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND ('0x' || substr(md5(event_type || '|' ||
+        |        CAST(epoch_us(ts) AS VARCHAR)), 1, 15))::BIGINT % 3 <> 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_ingest_1s" -> rollupSql(1),
     // every 10 s window is below the sentinel-advanced watermark, so the
     // streamed append-mode output must equal the one-shot batch rollup

@@ -73,6 +73,14 @@ object ManifestStore {
   private def versionPath(root: String, v: Long): Path =
     new Path(manifestDir(root) + f"/v$v%012d")
 
+  private def readVersionFile(fs: FileSystem, p: Path): Seq[String] = {
+    val in = fs.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   /** Latest snapshot: (version, live commit-dir names); (0, Nil) when
    *  the table has never been written.
    */
@@ -86,13 +94,21 @@ object ManifestStore {
       if (versions.isEmpty) (0L, Seq.empty)
       else {
         val v = versions.max
-        val in = fs.open(versionPath(root, v))
-        val body =
-          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-          finally in.close()
-        (v, body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq)
+        (v, readVersionFile(fs, versionPath(root, v)))
       }
     }
+  }
+
+  /** The live commit set AS OF a published version — time travel.
+   *  Valid for any version whose commit dirs `vacuum` has not yet
+   *  reclaimed (manifest files themselves are never deleted, so the
+   *  failure mode is a loud missing-data read, not silent corruption).
+   */
+  def liveAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val p = versionPath(root, v)
+    val fs = fsFor(spark, p)
+    require(fs.exists(p), s"manifest version $v was never published at $root")
+    readVersionFile(fs, p)
   }
 
   /** Optimistic-concurrency manifest commit: compute the next live set
@@ -197,6 +213,20 @@ object ManifestStore {
   /** Read one level, merged across live commits (S5 equivalent). */
   def readLevel(spark: SparkSession, root: String, f: Fidelity): DataFrame = {
     val dirs = levelDirs(spark, root, f)
+    if (dirs.isEmpty) empty(spark)
+    else mergeOnRead(spark.read.schema(physSchema).parquet(dirs: _*))
+      .select(Tables.rollupSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Snapshot (time-travel) level read: fold the monoid over the live
+   *  set AS OF `version` — the reader sees exactly the table state the
+   *  version's writer published, regardless of later commits.
+   */
+  def readLevelAsOf(
+      spark: SparkSession, root: String, f: Fidelity, version: Long): DataFrame = {
+    val dirs = liveAt(spark, root, version)
+      .map(d => s"${dataDir(root)}/$d/fidelity=${Tables.fidelityPart(f)}")
+      .filter(StoreFs.exists(spark, _))
     if (dirs.isEmpty) empty(spark)
     else mergeOnRead(spark.read.schema(physSchema).parquet(dirs: _*))
       .select(Tables.rollupSchema.fieldNames.map(col).toIndexedSeq: _*)

@@ -42,6 +42,34 @@ class ManifestStoreSpec extends AnyFunSuite {
       ((7.0, 7.0, 7.0, 1L)))
   }
 
+  test("readLevelAsOf sees exactly the snapshot its version published") {
+    val root = TestSpark.tmpDir("mstore_asof")
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 1.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00.5", 3.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("b", "2024-01-01T00:00:01", 9.0)))
+
+    val sec0 = TestSpark.isoUs("2024-01-01T00:00:00") / 1000000L
+    // version 1: only the first batch exists
+    val v1 = ManifestStore.readLevelAsOf(spark, root, Fidelity.S1, 1L).collect()
+    assert(v1.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", sec0)))
+    assert(v1.head.getLong(5) == 1L)
+    // version 2: the same-second point folded in, "b" not yet visible
+    val v2 = ManifestStore.readLevelAsOf(spark, root, Fidelity.S1, 2L).collect()
+    assert(v2.length == 1 && v2.head.getLong(5) == 2L &&
+      v2.head.getDouble(4) == 4.0)
+    // as-of the latest version ≡ readLevel
+    val (vLatest, _) = ManifestStore.latest(spark, root)
+    val asOfLatest = ManifestStore.readLevelAsOf(spark, root, Fidelity.S1, vLatest)
+    assert(asOfLatest.exceptAll(ManifestStore.readLevel(spark, root, Fidelity.S1)).isEmpty)
+    // a never-published version fails loudly
+    intercept[IllegalArgumentException] {
+      ManifestStore.readLevelAsOf(spark, root, Fidelity.S1, 99L).collect()
+    }
+  }
+
   test("readLevelFor equals the series slice of readLevel") {
     val root = TestSpark.tmpDir("mstore")
     ManifestStore.ingestBatch(spark, root,
