@@ -212,6 +212,13 @@ object PipelineQueries {
     "distinct_sketch" -> ((s, dir) =>
       Sketches.hllReport(
         s.read.parquet(s"$dir/orders.parquet"), col("o_custkey"))),
+    // mergeable fixed-grid quantile sketch over a wide numeric column —
+    // two constant-size aggregations, grid error ≤ (max−min)/1024
+    "quantile_sketch" -> ((s, dir) =>
+      Sketches.quantileSketch(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        col("l_extendedprice"), Seq(0.5, 0.9, 0.99))
+        .orderBy("p")),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "doc_winnow" -> ((s, dir) =>
@@ -1027,6 +1034,8 @@ object PipelineQueries {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "distinct_sketch" -> Sketches.hllOracleSql("orders", "o_custkey"),
+    "quantile_sketch" -> Sketches.quantileOracleSql(
+      "lineitem", "l_extendedprice", Seq(0.5, 0.9, 0.99)),
     // lp_ppm is integer once per vocabulary term (the idf_ppm pattern):
     // per-doc sums are order-proof integers, the average divides
     // identical operands

@@ -228,6 +228,91 @@ object Sketches {
     out
   }
 
+  /**
+   * Fixed-grid quantile sketch — the mergeable-quantile scale path
+   * (the third sketch family beside HLL cardinality and CMS frequency).
+   * Two passes, each collapsing the input to constant size with
+   * map-side combine: (1) min/max/count, (2) counts over B equal-width
+   * buckets (mergeable by plain `+` across shards). The p-quantile
+   * estimate is the lower edge of the first bucket whose cumulative
+   * count reaches ceil(p·n) — grid error ≤ (max−min)/B, and every
+   * ingredient (integer ranks, identical-operand edge arithmetic) is
+   * bit-deterministic across engines, so the approximate path carries a
+   * full value oracle.
+   *
+   * Output per probe p: (p, rank, bucket, est).
+   */
+  def quantileSketch(
+      df: DataFrame, value: Column, probes: Seq[Double],
+      b: Int = 1024): DataFrame = {
+    require(b >= 2 && b <= 65536, "grid width out of range")
+    val v = df.select(value.cast("double").as("v")).where(col("v").isNotNull)
+    graft.dedup.Dedup.withScopedPersist(v) {
+      val mm = v.agg(
+        min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+      val buckets = v.crossJoin(broadcast(mm))
+        .select(
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(
+              lit(b - 1),
+              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * b)
+                .cast("int")))
+            .as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      val cum = buckets
+        .withColumn("cum",
+          sum("cnt").over(org.apache.spark.sql.expressions.Window
+            .orderBy("bucket")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val pr = broadcast(
+        v.sparkSession.createDataFrame(probes.map(Tuple1(_))).toDF("p"))
+      pr.crossJoin(broadcast(mm))
+        .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+        .join(cum, col("cum") >= col("rank"))
+        .groupBy("p", "rank", "lo", "hi")
+        .agg(min("bucket").as("bucket"))
+        .select(
+          col("p"), col("rank"), col("bucket").cast("long").as("bucket"),
+          round(col("lo") + col("bucket") * (col("hi") - col("lo")) / b, 6).as("est"))
+    }
+  }
+
+  /** The matching DuckDB oracle for `quantileSketch` over `valueExpr`
+   *  of `table`.
+   */
+  def quantileOracleSql(
+      table: String, valueExpr: String, probes: Seq[Double],
+      b: Int = 1024): String = {
+    val probeList = probes.mkString(", ")
+    s"""WITH v AS (
+       |  SELECT CAST($valueExpr AS DOUBLE) AS v FROM $table
+       |  WHERE $valueExpr IS NOT NULL),
+       |mm AS (SELECT min(v) AS lo, max(v) AS hi, count(*) AS n FROM v),
+       |bk AS (
+       |  SELECT CASE WHEN mm.hi = mm.lo THEN 0
+       |    ELSE least(${b - 1},
+       |      CAST(floor((v.v - mm.lo) / (mm.hi - mm.lo) * $b) AS INTEGER))
+       |    END AS bucket
+       |  FROM v, mm),
+       |bc AS (SELECT bucket, count(*) AS cnt FROM bk GROUP BY 1),
+       |cum AS (
+       |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM bc),
+       |pr AS (SELECT unnest([$probeList]) AS p),
+       |r AS (
+       |  SELECT pr.p, greatest(1, CAST(ceil(pr.p * mm.n) AS BIGINT)) AS rank,
+       |    mm.lo, mm.hi
+       |  FROM pr, mm),
+       |sel AS (
+       |  SELECT r.p, r.rank, r.lo, r.hi, min(cum.bucket) AS bucket
+       |  FROM r JOIN cum ON cum.cum >= r.rank
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT p, rank, CAST(bucket AS BIGINT) AS bucket,
+       |  round(lo + bucket * (hi - lo) / $b, 6) AS est
+       |FROM sel ORDER BY p""".stripMargin
+  }
+
   /** The matching DuckDB oracle for `hllReport` over `keyExpr` of
    *  `table` — generated from the SAME constants so engine and oracle
    *  cannot drift.

@@ -101,6 +101,30 @@ class SketchSpec extends AnyFunSuite {
     assert(merged.exceptAll(whole).isEmpty && whole.exceptAll(merged).isEmpty)
   }
 
+  // ---- fixed-grid quantile sketch ---------------------------------
+
+  test("quantile estimates land within one grid cell of the exact quantile") {
+    // uniform 0..9999: exact p-quantile ≈ 9999·p, grid error ≤ 10
+    val df = spark.range(0, 10000).toDF("x")
+    val rows = Sketches.quantileSketch(df, col("x"), Seq(0.5, 0.9, 0.99))
+      .orderBy("p").collect()
+    assert(rows.length == 3)
+    for (r <- rows) {
+      val exact = 9999.0 * r.getDouble(0)
+      assert(math.abs(r.getDouble(3) - exact) <= 9999.0 / 1024 + 1.0,
+        s"estimate off-grid: $r vs exact $exact")
+    }
+    // ranks are the exact selection ranks
+    assert(rows.map(_.getLong(1)).toSeq == Seq(5000L, 9000L, 9900L))
+  }
+
+  test("constant column degenerates to bucket 0 with the exact value") {
+    val df = spark.range(0, 100).select(lit(42.5).as("x"))
+    val rows = Sketches.quantileSketch(df, col("x"), Seq(0.5)).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(2) == 0L && rows.head.getDouble(3) == 42.5)
+  }
+
   // ---- Bloom membership -------------------------------------------
 
   test("Bloom membership never false-negatives and keeps probe columns") {
