@@ -206,16 +206,22 @@ object Dedup {
    * "keep one representative per group": every node gets
    * `comp = min(doc_id reachable from it)`.
    *
-   * Min-label propagation: each iteration every node takes the min of
-   * its own label and its neighbors' labels (join + union + groupBy —
-   * all hash-partitioned by node id, no global structure), until a
-   * driver-checked fixpoint. Iterations = graph diameter; near-dup
-   * clusters are quasi-cliques (diameter ≲ 3), so this converges in a
-   * handful of rounds — `maxIter` guards adversarial chains (for
-   * genuinely high-diameter graphs at scale, switch to the
-   * large-star/small-star contraction, which converges in O(log n)).
-   * Each iteration is localCheckpoint-ed: the lineage would otherwise
-   * double per round and plan times would dominate.
+   * Min-label propagation WITH pointer jumping: each iteration every
+   * node takes the min of its own label and its neighbors' labels
+   * (join + union + groupBy — all hash-partitioned by node id, no
+   * global structure), then shortcuts `comp ← comp(comp)` with one
+   * self-join on the label table. A label is always the id of a
+   * reachable node, and that node's label is a min over a further
+   * reachable set, so the shortcut stays within the component while
+   * doubling how far a round reaches: convergence is O(log diameter)
+   * rounds, not O(diameter). Near-dup clusters are quasi-cliques
+   * (diameter ≲ 3) where this costs one extra small join, but chained
+   * corpora (versioned documents A~B~C~…) produce long paths at 100 TB
+   * and the log bound is what keeps the driver-checked fixpoint loop
+   * bounded there — `maxIter = 50` now guards chains of length ~2⁵⁰,
+   * i.e. it cannot trip on any physical corpus. Each iteration is
+   * localCheckpoint-ed: the lineage would otherwise double per round
+   * and plan times would dominate.
    *
    * Input: (a_id, b_id) pairs. Output: (doc_id, comp) for every node
    * that appears in some pair.
@@ -232,11 +238,20 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = edges
+      val prop = edges
         .join(labels.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id"), col("comp"))
         .unionByName(labels)
         .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jumping: comp ← comp(comp). Every label is a node id
+      // present in `prop` (labels start as self-ids and only ever move
+      // to a reachable node's min), so the lookup hits; the left join +
+      // coalesce is belt-and-braces for labels already at their root.
+      val next = prop
+        .join(
+          prop.select(col("id").as("comp"), col("comp").as("cc")),
+          Seq("comp"), "left")
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
         .localCheckpoint(true)
       converged = next
         .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))

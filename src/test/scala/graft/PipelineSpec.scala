@@ -92,6 +92,16 @@ class PipelineSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("connectedComponents: pointer jumping converges in O(log diameter) rounds") {
+    // a 200-link path — plain min-label propagation needs ~200 rounds;
+    // with the comp←comp(comp) shortcut, 12 rounds reach 2^12 hops, so
+    // maxIter = 12 passing is direct evidence of the log bound
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val comp = Dedup.connectedComponents(chain, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp.size == 201 && comp.values.forall(_ == 0L))
+  }
+
   test("SimHash: near-dups land close in Hamming space, unrelated docs far") {
     val sig = Dedup.simhashSignature(corpus, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
