@@ -288,6 +288,31 @@ object CoreQueries {
           r6(expr("percentile(value, 0.95)")).as("p95"))
         .orderBy("dataset_id")),
 
+    // ---- robust per-series outliers: median absolute deviation ------
+    // two exact-median passes (value, then |value − med|) + a counting
+    // pass; the 5-row per-series stats broadcast back, so the raw table
+    // shuffles only for the medians. Float parity: values ride as exact
+    // ppm longs, medians of integers interpolate to .5-step doubles
+    // (bit-identical in both engines), and 3·MAD stays exact, so the
+    // outlier cut is deterministic.
+    "series_mad_outliers" -> ((s, dir) => {
+      val base = ev(s, dir).select(
+        col("dataset_id"), round(col("value") * 1e6).cast("long").as("v_ppm"))
+      val med = base.groupBy("dataset_id")
+        .agg(median(col("v_ppm")).as("med"))
+      val dev = base.join(broadcast(med), "dataset_id")
+        .withColumn("dev", abs(col("v_ppm").cast("double") - col("med")))
+      val mad = dev.groupBy("dataset_id").agg(median(col("dev")).as("mad"))
+      dev.join(broadcast(mad), "dataset_id")
+        .groupBy("dataset_id", "med", "mad")
+        .agg(
+          count(lit(1)).as("n"),
+          count(when(col("dev") > lit(3.0) * col("mad"), 1)).as("n_outliers"),
+          max(col("dev")).as("max_dev"))
+        .select("dataset_id", "n", "med", "mad", "n_outliers", "max_dev")
+        .orderBy("dataset_id")
+    }),
+
     // ---- per-series rate of change: lag over rollup bucket means ----
     // (the derivative view a telemetry chart user asks for next; one
     // window per series over the ALREADY-reduced 10 s level, never raw)
@@ -756,6 +781,23 @@ object CoreQueries {
         |  round(quantile_cont(value, 0.95), 6) AS p95
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "series_mad_outliers" ->
+      """WITH v AS (
+        |  SELECT event_type AS dataset_id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS v_ppm
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |m AS (SELECT dataset_id, CAST(median(v_ppm) AS DOUBLE) AS med
+        |      FROM v GROUP BY 1),
+        |d AS (SELECT v.dataset_id, med,
+        |        abs(CAST(v_ppm AS DOUBLE) - med) AS dev
+        |      FROM v JOIN m USING (dataset_id)),
+        |md AS (SELECT dataset_id, CAST(median(dev) AS DOUBLE) AS mad
+        |       FROM d GROUP BY 1)
+        |SELECT d.dataset_id, count(*) AS n, med, mad,
+        |  CAST(count(*) FILTER (dev > 3.0 * mad) AS BIGINT) AS n_outliers,
+        |  max(dev) AS max_dev
+        |FROM d JOIN md USING (dataset_id)
+        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin,
     "series_rate_10s" ->
       """WITH r AS (
         |  SELECT event_type AS dataset_id,

@@ -223,6 +223,23 @@ object PipelineQueries {
       TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "doc_winnow" -> ((s, dir) =>
       TextOps.winnow(docs(s, dir), "doc_id", "text", w = 4).orderBy("doc_id")),
+    // exact substring-level duplication on the dup-injected corpus:
+    // exact copies share ALL their 50-char windows (dup_ppm = 1e6),
+    // organic cross-doc boilerplate shares a few
+    "substring_dup_spans" -> ((s, dir) =>
+      Dedup.substringDupSpans(exactCorpus(s, dir), "doc_id", "text", k = 50)
+        .orderBy("doc_id")),
+    // mixture planning: integer target weights cycling 1..4 by source
+    // index; output = the sampling plan that realizes the mixture at
+    // the largest no-upsampling token budget
+    "domain_mix" -> ((s, dir) =>
+      graft.curate.Mixing.domainMix(
+        docs(s, dir).select(
+          col("source"),
+          ceil(length(col("text")) / 4.0).cast("long").as("n_bpe_est")),
+        "source", "n_bpe_est",
+        regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 4 + 1)
+        .orderBy("source")),
 
     // ---- corpus curation: the composed training-data pipeline -------
     // exact-dedup (keep min doc_id) → quality cut → per-language corpus
@@ -1073,6 +1090,41 @@ object PipelineQueries {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents ORDER BY doc_id",
+    "substring_dup_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |w0 AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(text) - 48),
+        |      i -> substr(text, CAST(i AS INT), 50))) AS win
+        |  FROM corpus WHERE len(text) >= 50),
+        |w AS (SELECT DISTINCT doc_id, win FROM w0),
+        |hot AS (SELECT win FROM (SELECT win, count(*) AS df FROM w GROUP BY 1)
+        |        WHERE df >= 2 AND df <= 100000),
+        |nw AS (SELECT doc_id, count(*) AS n_windows FROM w GROUP BY 1),
+        |dup AS (SELECT doc_id, count(*) AS dup_windows
+        |        FROM w JOIN hot USING (win) GROUP BY 1)
+        |SELECT doc_id, n_windows, dup_windows,
+        |  CAST(round(CAST(dup_windows AS DOUBLE) / n_windows * 1e6) AS BIGINT)
+        |    AS dup_ppm
+        |FROM nw JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "domain_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS tokens,
+        |    CAST(CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 4 + 1
+        |      AS DOUBLE) AS w_raw
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(w_raw) AS w_sum FROM per),
+        |bud AS (SELECT min(CAST(tokens AS DOUBLE) * w_sum / w_raw) AS t_max
+        |        FROM per, tot)
+        |SELECT source, n_docs, tokens,
+        |  CAST(round(w_raw / w_sum * 1e6) AS BIGINT) AS weight_ppm,
+        |  CAST(round(w_raw / w_sum * t_max / CAST(tokens AS DOUBLE) * 1e6)
+        |    AS BIGINT) AS rate_ppm,
+        |  CAST(round(w_raw / w_sum * t_max) AS BIGINT) AS exp_tokens
+        |FROM per, tot, bud ORDER BY source""".stripMargin,
     "doc_winnow" ->
       """SELECT doc_id, count(DISTINCT w) AS n_fp FROM (
         |  SELECT doc_id, min(md5(sh)) OVER (

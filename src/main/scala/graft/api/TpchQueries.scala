@@ -141,6 +141,36 @@ object TpchQueries {
         .orderBy("p_id")
     }),
 
+    // ordered event funnel: view → click-after-view → purchase-after-
+    // click, each stage a per-user min over the events AFTER the prior
+    // stage's timestamp. Three aggregations + two joins, ALL keyed on
+    // user_id — after the first shuffle every stage is co-partitioned,
+    // so the funnel costs one fact shuffle regardless of stage count.
+    // Output is exact integers (counts + µs lag sums): no float parity
+    // surface at all.
+    "funnel_steps" -> ((s, dir) => {
+      val ev = CoreQueries.rawEvents(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val v = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts_us")).as("t1"))
+      val c = ev.where(col("event_type") === "click")
+        .join(v, "user_id").where(col("ts_us") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t2"), max(col("t1")).as("t1"))
+      val p = ev.where(col("event_type") === "purchase")
+        .join(c, "user_id").where(col("ts_us") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts_us")).as("t3"), max(col("t2")).as("t2"))
+      v.agg(count(lit(1)).as("n_users"), sum(lit(0L)).as("sum_lag_us"))
+        .withColumn("stage", lit("1_view"))
+        .unionByName(
+          c.agg(count(lit(1)).as("n_users"), sum(col("t2") - col("t1")).as("sum_lag_us"))
+            .withColumn("stage", lit("2_click")))
+        .unionByName(
+          p.agg(count(lit(1)).as("n_users"), sum(col("t3") - col("t2")).as("sum_lag_us"))
+            .withColumn("stage", lit("3_purchase")))
+        .select("stage", "n_users", "sum_lag_us")
+        .orderBy("stage")
+    }),
+
     // gap-based sessionization: a window-function op (lag + running sum)
     "user_sessions" -> ((s, dir) => {
       val ev = CoreQueries.rawEvents(s, dir)
@@ -232,6 +262,21 @@ object TpchQueries {
         |SELECT p.p_id, p.p_us,
         |  coalesce(c.n_views_30s, 0) AS n_views_30s, c.min_gap_us
         |FROM p LEFT JOIN c USING (p_id) ORDER BY p_id""".stripMargin,
+    "funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS t1 FROM e
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts_us) AS t2, max(t1) AS t1
+        |      FROM e JOIN v USING (user_id)
+        |      WHERE event_type = 'click' AND ts_us > t1 GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts_us) AS t3, max(t2) AS t2
+        |      FROM e JOIN c USING (user_id)
+        |      WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY 1)
+        |SELECT '1_view' AS stage, count(*) AS n_users,
+        |  CAST(0 AS BIGINT) AS sum_lag_us FROM v
+        |UNION ALL SELECT '2_click', count(*), CAST(sum(t2 - t1) AS BIGINT) FROM c
+        |UNION ALL SELECT '3_purchase', count(*), CAST(sum(t3 - t2) AS BIGINT) FROM p
+        |ORDER BY stage""".stripMargin,
     "user_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
          |d AS (

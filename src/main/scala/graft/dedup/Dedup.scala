@@ -232,9 +232,20 @@ object Dedup {
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Fixpoint detection by label sum: a label only ever DECREASES
+    // (propagation takes a min that includes the old label; the jump
+    // rewrites to comp(comp) ≤ comp), so the exact sum of labels is
+    // strictly decreasing until the fixpoint — "sum unchanged" ⟺
+    // converged. That makes the per-round convergence test one
+    // column-pruned aggregate over the just-checkpointed labels
+    // instead of a next⨝prev join. decimal(38,0): a long sum overflows
+    // at ~10⁹ nodes with 10¹²-range ids, exactly the 100 TB regime.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("comp").cast("decimal(38,0)"))).head().getDecimal(0)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint(true)
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -253,10 +264,9 @@ object Dedup {
           Seq("comp"), "left")
         .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
         .localCheckpoint(true)
-      converged = next
-        .join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
-        .where(col("comp") =!= col("prev"))
-        .isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       // superseded label generations are checkpoint RDD blocks, not
       // CacheManager entries — ContextCleaner reclaims them once the
       // frames are unreferenced (Dataset.unpersist would be a no-op)
@@ -337,5 +347,53 @@ object Dedup {
       // collision (6-bit bands collide often on a big corpus)
       .where(col("hamming") <= maxDist)
       .distinct()
+  }
+
+  /**
+   * Exact substring duplication spans: for every document, how many of
+   * its length-`k` character windows also appear verbatim in at least
+   * one OTHER document. This is the exact-match complement to
+   * `TextOps.winnow`-style fingerprinting — the measurement behind
+   * "deduplicate training data at the substring level": a doc with a
+   * high `dup_ppm` is mostly boilerplate or a partial copy even when no
+   * whole-doc or shingle-set method fires.
+   *
+   * Scale shape: windows are generated per-doc by a codegen'd
+   * `transform(sequence(...))` (no UDF, no shuffle), then ONE distinct
+   * and ONE window-frequency aggregation — both hash-partitioned by the
+   * window string. `maxDf` drops ubiquitous windows (site chrome,
+   * license headers) before the postings join, the same
+   * quadratic-blowup guard as the shingle df-cap; at 100 TB the
+   * stride-1 window set is ~chars-sized, so the production path is
+   * stride > 1 or winnow-selected positions — stride stays a parameter
+   * here and the sf corpora run stride 1 for an exact oracle.
+   *
+   * Output: (doc_id, n_windows, dup_windows, dup_ppm) for docs with at
+   * least one shared window.
+   */
+  def substringDupSpans(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, stride: Int = 1, maxDf: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val starts = sequence(lit(1), length(t) - (k - 1), lit(stride))
+    val wins = docs
+      .where(length(t) >= k)
+      .select(
+        col(idCol).as("doc_id"),
+        explode(transform(starts, i => t.substr(i, lit(k)))).as("win"))
+      .distinct()
+    val hot = wins.groupBy("win")
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") >= 2 && col("df") <= maxDf)
+      .select("win")
+    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+    val dup = wins.join(hot, "win")
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
+    perDoc.join(dup, Seq("doc_id"))
+      .select(
+        col("doc_id"), col("n_windows"), col("dup_windows"),
+        // int÷int double division + one round: bit-identical per engine
+        round(col("dup_windows").cast("double") / col("n_windows") * 1e6)
+          .cast("long").as("dup_ppm"))
   }
 }

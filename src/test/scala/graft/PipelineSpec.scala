@@ -92,6 +92,40 @@ class PipelineSpec extends AnyFunSuite {
       20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("substringDupSpans: exact copies share every window, unrelated docs none") {
+    val base = "a" * 30 + "b" * 30 + "c" * 30 // 90 chars, 41 windows of 50
+    val dup = Seq(
+      (0L, base),
+      (1L, base), // exact copy: every window shared
+      (2L, "z" * 90)) // unrelated: no shared windows → absent from output
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDupSpans(dup, "doc_id", "text", k = 50)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq((0L, 41L, 41L, 1000000L), (1L, 41L, 41L, 1000000L)))
+  }
+
+  test("substringDupSpans: maxDf drops boilerplate windows from the postings join") {
+    // the same 50-char run in 3 docs; maxDf = 2 treats it as boilerplate
+    val bp = Seq((0L, "x" * 50), (1L, "x" * 50), (2L, "x" * 50)).toDF("doc_id", "text")
+    assert(Dedup.substringDupSpans(bp, "doc_id", "text", k = 50, maxDf = 2).isEmpty)
+    assert(Dedup.substringDupSpans(bp, "doc_id", "text", k = 50).count() == 3)
+  }
+
+  test("domainMix: argmin source caps the budget at rate 1, others downsample") {
+    // src a: 100 tokens weight 1; src b: 100 tokens weight 3 →
+    // normalized w = (0.25, 0.75), T = min(100/0.25, 100/0.75) = 133.33…
+    // rates: a = 0.25·T/100 = 1/3, b = 0.75·T/100 = 1 (the cap)
+    val docs = Seq(("a", 60L), ("a", 40L), ("b", 100L)).toDF("source", "tok")
+    val got = graft.curate.Mixing.domainMix(
+        docs, "source", "tok", when(col("source") === "a", 1L).otherwise(3L))
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      ("a", 2L, 100L, 250000L, 333333L, 33L),
+      ("b", 1L, 100L, 750000L, 1000000L, 100L)))
+  }
+
   test("connectedComponents: pointer jumping converges in O(log diameter) rounds") {
     // a 200-link path — plain min-label propagation needs ~200 rounds;
     // with the comp←comp(comp) shortcut, 12 rounds reach 2^12 hops, so
