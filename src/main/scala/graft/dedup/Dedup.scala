@@ -226,12 +226,54 @@ object Dedup {
    * Input: (a_id, b_id) pairs. Output: (doc_id, comp) for every node
    * that appears in some pair.
    */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame, maxIter: Int = 50,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     val edges = pairs
       .select(col("a_id").as("src"), col("b_id").as("dst"))
       .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
       .distinct()
       .localCheckpoint(true)
+    // Adaptive execution: verified near-dup pairs are RARE relative to
+    // the corpus (that's what dedup verification is for), so the edge
+    // list is usually orders of magnitude smaller than the input — and
+    // an iterative Spark loop over a tiny graph is pure fixed job
+    // overhead (2 joins + checkpoint + agg per round). Below the bound
+    // (~16 MB of longs at the default), union-find on the driver
+    // answers in milliseconds with ZERO jobs and bit-identical output
+    // (same min-reachable-id semantics); above it, the distributed
+    // O(log diameter) loop below is the scale path. The count is free:
+    // edges is already checkpoint-materialized.
+    if (edges.count() <= driverEdgeLimit) {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      edges.select("src", "dst").collect().foreach { row =>
+        val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
+        // union by MIN id: the root is always the smallest id seen, so
+        // the final find() IS the min reachable id — no second pass
+        if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        parent.getOrElseUpdate(a min b, a min b)
+      }
+      val out: java.util.List[Row] = new java.util.ArrayList[Row]()
+      parent.keys.toArray.sorted.foreach(id => out.add(Row(id, find(id))))
+      // List-based createDataFrame → LocalRelation: carries EXACT size
+      // statistics, so downstream joins against corpus-wide frames plan
+      // as broadcasts (an RDD-backed frame defaults to "huge" stats and
+      // forces a sort-merge shuffle of the big side)
+      return edges.sparkSession.createDataFrame(
+        out,
+        StructType(Seq(
+          StructField("doc_id", LongType, nullable = false),
+          StructField("comp", LongType, nullable = false))))
+    }
     // Fixpoint detection by label sum: a label only ever DECREASES
     // (propagation takes a min that includes the old label; the jump
     // rewrites to comp(comp) ≤ comp), so the exact sum of labels is

@@ -129,11 +129,28 @@ class PipelineSpec extends AnyFunSuite {
   test("connectedComponents: pointer jumping converges in O(log diameter) rounds") {
     // a 200-link path — plain min-label propagation needs ~200 rounds;
     // with the comp←comp(comp) shortcut, 12 rounds reach 2^12 hops, so
-    // maxIter = 12 passing is direct evidence of the log bound
+    // maxIter = 12 passing is direct evidence of the log bound.
+    // driverEdgeLimit = 0 forces the DISTRIBUTED loop (the default
+    // would route this tiny graph to driver union-find)
     val chain = (0L until 200L).map(i => (i, i + 1)).toDF("a_id", "b_id")
-    val comp = Dedup.connectedComponents(chain, maxIter = 12)
+    val comp = Dedup.connectedComponents(chain, maxIter = 12, driverEdgeLimit = 0L)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(comp.size == 201 && comp.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: driver union-find and distributed loop agree exactly") {
+    // irregular graph: two chains, a clique, a star, an isolated pair
+    val pairs = (
+      (0L until 40L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L)) ++
+      (0L until 5L).map(i => (200L, 210L + i)) ++
+      Seq((300L, 301L))
+    ).toDF("a_id", "b_id")
+    val viaDriver = Dedup.connectedComponents(pairs)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaLoop = Dedup.connectedComponents(pairs, driverEdgeLimit = 0L)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(viaDriver == viaLoop)
   }
 
   test("SimHash: near-dups land close in Hamming space, unrelated docs far") {
