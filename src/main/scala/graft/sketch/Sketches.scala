@@ -186,13 +186,20 @@ object Sketches {
    * itself be billions of rows, while a Bloom filter over it is a fixed
    * 2^mBits bits (32 KiB at mBits=18) that ships to every executor once.
    *
-   * `keys` (reference set) becomes a distinct (j, pos) bit table —
-   * ≤ kHash·|keys| rows, deduplicated, broadcast. Each probe key checks
-   * its kHash positions; membership = ALL set (count == kHash after the
-   * inner join). False positives are deterministic (md5-derived
+   * `keys` (reference set) folds down to the filter itself: per hash
+   * slice j, the set positions OR-aggregate into 64-bit words
+   * DISTRIBUTED (map-side combine collapses each partition to
+   * ≤ 2^mBits/64 words), and only the aggregated words — bounded by the
+   * Bloom's own constant size (4096 longs per slice at mBits=18), never
+   * by |keys| — reach the driver. Membership is then a PURE codegen'd
+   * bit-test against kHash literal word arrays: no per-probe row
+   * explosion, no join, no re-aggregation — the probe side plan is
+   * scan → filter. False positives are deterministic (md5-derived
    * positions), so engine and oracle flag the SAME keys bit-for-bit;
    * false negatives are impossible — the probe result is a strict
-   * superset of exact membership (tested).
+   * superset of exact membership (tested). Building the filter
+   * materializes `keys` eagerly (it IS the filter constant), matching
+   * how a production pipeline builds the Bloom once and reuses it.
    *
    * Output: `probes` rows whose `keyCol` is (apparently) in `keys`.
    */
@@ -207,25 +214,30 @@ object Sketches {
     require(kHash >= 1 && mBits >= 8 && kHash * mBits <= 60,
       "bloom slices must fit the 60-bit hash")
     val wMask = (1L << mBits) - 1
+    val nWords = 1 << (mBits - 6)
     def h60(c: Column): Column =
       conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
-    def posArr(h: Column): Column =
-      array((0 until kHash).map(j =>
-        shiftright(h, j * mBits).bitwiseAND(lit(wMask))): _*)
-    val bits = keys
+    // (j, word-index) → OR of set bits; tiny after map-side combine
+    val wordRows = keys
       .select(h60(col(keyCol)).as("h"))
-      .select(posexplode(posArr(col("h"))).as(Seq("j", "pos")))
-      .distinct()
-    val probed = probes
-      .withColumn("h", h60(col(probeKeyCol)))
-      .select(probes.columns.map(col) :+
-        posexplode(posArr(col("h"))).as(Seq("j", "pos")): _*)
-    val out = probed.join(broadcast(bits), Seq("j", "pos"))
-      .groupBy(probes.columns.map(col).toSeq: _*)
-      .agg(count(lit(1)).as("n_set"))
-      .where(col("n_set") === kHash)
-      .drop("n_set")
-    out
+      .select(posexplode(array((0 until kHash).map(j =>
+        shiftright(col("h"), j * mBits).bitwiseAND(lit(wMask))): _*))
+        .as(Seq("j", "pos")))
+      .groupBy(col("j"), shiftright(col("pos"), 6).as("w"))
+      .agg(expr("bit_or(shiftleft(1L, CAST(pos % 64 AS INT)))").as("bits"))
+      .collect()
+    val words = Array.fill(kHash)(new Array[Long](nWords))
+    wordRows.foreach(r => words(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
+    val probed = probes.withColumn("_h", h60(col(probeKeyCol)))
+    val withPos = (0 until kHash).foldLeft(probed) { (df, j) =>
+      df.withColumn(s"_p$j", shiftright(col("_h"), j * mBits).bitwiseAND(lit(wMask)))
+        .withColumn(s"_w$j",
+          element_at(lit(words(j)), shiftright(col(s"_p$j"), 6).cast("int") + 1))
+    }
+    val member = (0 until kHash)
+      .map(j => expr(s"(shiftright(_w$j, CAST(_p$j % 64 AS INT)) & 1) = 1"))
+      .reduce(_ && _)
+    withPos.where(member).select(probes.columns.map(col): _*)
   }
 
   /**
