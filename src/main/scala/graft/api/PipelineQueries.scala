@@ -136,6 +136,30 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("quality") * 1e6).cast("long").as("qppm"))
       Dedup.canonicalPerCluster(comps, quality).orderBy("comp")
     }),
+    // split-aware dedup check: near-dup clusters whose members straddle
+    // train/val/test — exactly the leakage a split-then-dedup pipeline
+    // must catch (a val doc with a train near-dup inflates eval). The
+    // deterministic md5 split (18/1/1) mirrors sample_stratified's
+    // engine-portable hash discipline; one aggregation over the cluster
+    // labels, the sorted split list travels as a collect_set
+    "split_leakage" -> ((s, dir) => {
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashDedup(nearDupCorpus(s, dir), "doc_id", "text", JaccardThreshold))
+      comps
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long") % 20)
+        .withColumn("split",
+          when(col("h") <= 17, "train")
+            .when(col("h") === 18, "val").otherwise("test"))
+        .groupBy("comp")
+        .agg(
+          count(lit(1)).as("n_members"),
+          countDistinct(col("split")).as("n_splits"),
+          array_join(array_sort(collect_set(col("split"))), "+").as("splits"))
+        .where(col("n_splits") >= 2)
+        .orderBy("comp")
+    }),
     "dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(
         Dedup.simhashSignature(nearDupCorpus(s, dir), "doc_id", "text"), maxDist = 8)
@@ -653,6 +677,46 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
+    "split_leakage" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |shf AS (SELECT * FROM sh0 WHERE sh IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM prs
+         |          UNION SELECT b_id, a_id FROM prs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id)
+         |, comps AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+         |sp AS (
+         |  SELECT comp,
+         |    CASE WHEN h <= 17 THEN 'train' WHEN h = 18 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM (SELECT comp,
+         |          ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 20 AS h
+         |        FROM comps))
+         |SELECT comp, count(*) AS n_members,
+         |  CAST(count(DISTINCT split) AS BIGINT) AS n_splits,
+         |  string_agg(DISTINCT split, '+' ORDER BY split) AS splits
+         |FROM sp GROUP BY 1 HAVING count(DISTINCT split) >= 2
+         |ORDER BY comp""".stripMargin,
     "cluster_canonical" -> canonicalOracle,
     "sample_stratified" ->
       """SELECT doc_id, lang_pred FROM (

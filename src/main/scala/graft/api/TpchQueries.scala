@@ -171,6 +171,22 @@ object TpchQueries {
         .orderBy("stage")
     }),
 
+    // cohort retention: users grouped by first-active day, counted at
+    // each later active-day offset — the (cohort, offset) matrix every
+    // product-analytics engine derives from raw events. One distinct to
+    // (user, day) grain, a per-user min, and one join + aggregation,
+    // all keyed on user_id; output is exact integers.
+    "retention_cohorts" -> ((s, dir) => {
+      val e = CoreQueries.rawEvents(s, dir)
+        .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+        .distinct()
+      val cohort = e.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+      e.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_day", "offset")
+    }),
+
     // gap-based sessionization: a window-function op (lag + running sum)
     "user_sessions" -> ((s, dir) => {
       val ev = CoreQueries.rawEvents(s, dir)
@@ -277,6 +293,13 @@ object TpchQueries {
         |UNION ALL SELECT '2_click', count(*), CAST(sum(t2 - t1) AS BIGINT) FROM c
         |UNION ALL SELECT '3_purchase', count(*), CAST(sum(t3 - t2) AS BIGINT) FROM p
         |ORDER BY stage""".stripMargin,
+    "retention_cohorts" ->
+      """WITH e AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS offset, count(*) AS n_users
+        |FROM e JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "user_sessions" ->
       s"""WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
          |d AS (
