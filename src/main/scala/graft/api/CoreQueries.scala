@@ -646,6 +646,25 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- store compaction: 3 per-batch appends leave interleaved
+    // sliver files; compactRaw rewrites each partition bin-packed and
+    // (dataset_id, ts)-sorted. The oracle proves the rewrite is
+    // LOSSLESS — the compacted raw table still equals the events melt
+    // exactly (file-count reduction is assert-ed in IngestMergeSpec) --
+    "store_compact" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_compact").toString
+      val long = ev(s, dir)
+      for (i <- 0 until 3)
+        Tables.ingestBatch(
+          s, root,
+          long.where(pmod(crc32(concat_ws("|", col("dataset_id"), col("ts_us"))), lit(3)) === i))
+      Tables.compactRaw(s, root)
+      Tables.readRaw(s, root)
+        .select("dataset_id", "ts_us", "value")
+        .orderBy("dataset_id", "ts_us", "value")
+    }),
+
     // ---- S3 via the manifest/merge-on-read commit path: same 3-batch
     // ingest as ingest_incremental_1s, but each batch APPENDS partials
     // under an O(1) atomic manifest commit and readers fold the monoid;
@@ -691,6 +710,11 @@ object CoreQueries {
 
   val oracle: Map[String, String] = Map(
     "melt_events" ->
+      """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |ORDER BY dataset_id, ts_us, value""".stripMargin,
+    // compaction is lossless: the compacted raw table IS the melt
+    "store_compact" ->
       """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |ORDER BY dataset_id, ts_us, value""".stripMargin,

@@ -125,6 +125,39 @@ object Tables {
       .partitionBy("ds_b", "win_s")
       .parquet(rawPath(root))
 
+  /**
+   * Compact the raw table: rewrite each (ds_b, win_s) partition's
+   * accumulation of per-batch append files into GroupSize-capped,
+   * (dataset_id, ts)-sorted files. Every append commits ≥ 1 file per
+   * touched partition, so a partition ingested by thousands of small
+   * batches ends up with thousands of sliver files — the small-files
+   * problem that dominates scan open/seek cost long before data volume
+   * does. Compaction restores the bin-packed layout the one-shot write
+   * would have produced (A3 file binning, reference src/index.py:46),
+   * INCLUDING the cross-file (dataset_id, ts) clustering that row-group
+   * min/max pruning depends on — which per-batch appends interleave.
+   *
+   * The rewrite materializes the table via localCheckpoint before
+   * overwriting its own input (lazy self-overwrite would corrupt). At
+   * 100 TB the same operation runs partition-windowed — compact the
+   * cold win_s ranges one slice at a time behind the manifest store's
+   * versioned commit — rather than whole-table; the per-partition
+   * rewrite here IS that slice operation with an unbounded window.
+   */
+  def compactRaw(spark: SparkSession, root: String): Unit = {
+    val path = rawPath(root)
+    if (!StoreFs.exists(spark, path)) return
+    val snap = spark.read.parquet(path).localCheckpoint(true)
+    snap
+      .repartition(col("ds_b"), col("win_s"))
+      .sortWithinPartitions(col("ds_b"), col("win_s"), col("dataset_id"), col("ts_us"))
+      .write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", Fidelity.GroupSize)
+      .partitionBy("ds_b", "win_s")
+      .parquet(path)
+  }
+
   /** Read a table back; a never-written table reads as empty (the
    *  reference treats missing files as empty results, src/index.py:556-558).
    */

@@ -159,4 +159,30 @@ class IngestMergeSpec extends AnyFunSuite {
     val hint = Tables.partitionHint(small)
     assert(hint.nonEmpty && hint.get.size == 6 * nb)
   }
+
+  test("compactRaw merges per-batch sliver files losslessly") {
+    val root = TestSpark.tmpDir("graft_compact")
+    // 8 single-point batches into ONE partition → 8 sliver files
+    for (b <- 0 until 8)
+      Tables.ingestBatch(spark, root, TestSpark.longDF(batch(b).take(1)))
+    def dataFiles(): Seq[java.nio.file.Path] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      java.nio.file.Files.walk(java.nio.file.Paths.get(Tables.rawPath(root)))
+        .forEach(p => if (p.toString.endsWith(".parquet")) out += p)
+      out.toSeq
+    }
+    val before = Tables.readRaw(spark, root)
+      .orderBy("dataset_id", "ts_us").collect().toSeq
+    val filesBefore = dataFiles().size
+    assert(filesBefore >= 8, s"expected ≥8 sliver files, got $filesBefore")
+
+    Tables.compactRaw(spark, root)
+    val after = Tables.readRaw(spark, root)
+      .orderBy("dataset_id", "ts_us").collect().toSeq
+    assert(after == before, "compaction must be lossless")
+    val filesAfter = dataFiles().size
+    assert(filesAfter < filesBefore,
+      s"compaction should shrink file count: $filesBefore -> $filesAfter")
+    assert(filesAfter <= 2, s"one partition should compact to ~1 file: $filesAfter")
+  }
 }
