@@ -136,6 +136,47 @@ object PipelineQueries {
         .select(col("doc_id"), round(col("quality") * 1e6).cast("long").as("qppm"))
       Dedup.canonicalPerCluster(comps, quality).orderBy("comp")
     }),
+    // STREAMING near-dup detection: docs stream through per-row codegen
+    // signatures (MinhashRowSignature — no stateful agg) into a banded
+    // bucket stream-stream self-join whose state the watermark evicts;
+    // candidates exact-verify batch-side against UNCAPPED shingle sets
+    // (a stream can't know global df, so the parity target is the
+    // uncapped pipeline — see StreamNearDup scaladoc). Synthetic event
+    // times spread docs 1 s apart; tolS covers the +100000 id offset so
+    // the bounded replay must find every pair
+    "stream_neardup" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir)
+        .withColumn("ts_us", lit(1704067200000000L) + col("doc_id") * 1000000L)
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_nd")
+      corpus.write.mode("overwrite").parquet(s"$srcDir/docs")
+      val schema = s.read.parquet(s"$srcDir/docs").schema
+      val sigs = graft.streaming.StreamNearDup.signatures(
+        s.readStream.schema(schema).parquet(s"$srcDir/docs"))
+      val cands = graft.streaming.StreamNearDup.candidatePairs(
+        sigs, minEst = JaccardThreshold / 2, tolS = 200000)
+      val qn = "snd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        cands.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qn)
+          .option("checkpointLocation", s"$srcDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      q.awaitTermination()
+      val sh = Dedup.shingleSet(
+        corpus.select("doc_id", "text"), "doc_id", "text", maxDf = 1000000L)
+      Dedup.withScopedPersist(sh) {
+        Dedup.verifyJaccard(
+          s.table(qn).select("a_id", "b_id").distinct(), sh, JaccardThreshold)
+      }
+        .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+
     // split-aware dedup check: near-dup clusters whose members straddle
     // train/val/test — exactly the leakage a split-then-dedup pipeline
     // must catch (a val doc with a train near-dup inflates eval). The
@@ -841,6 +882,29 @@ object PipelineQueries {
         |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "jaccard_pairs" -> jaccardOracle,
+    // the streamed pipeline signs UNCAPPED shingle sets, so its parity
+    // target is the cap-free exact Jaccard (sh0, not shf)
+    "stream_neardup" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh0 GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sh0 a JOIN sh0 b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
     // the MinHash-LSH path must converge to the exact-Jaccard answer:
     // candidates ⊇ all pairs ≥ threshold (miss prob ≤ 1e-8 at J ≥ 0.9),
     // and verification is exact

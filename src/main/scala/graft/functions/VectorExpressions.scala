@@ -343,3 +343,82 @@ case class LshBandBuckets(
 
   override def prettyName: String = "vec_lsh_buckets"
 }
+
+/**
+ * Per-ROW k-component MinHash signature over a document's shingle-hash
+ * arrays — the streaming counterpart of `MinhashSignatureAgg` (which
+ * needs a groupBy and therefore a shuffle): identical hash family
+ * (component i folds sh XOR rotl64(h2, i) into a running min, Java
+ * shift semantics), identical output for the same shingle multiset, but
+ * computed in one narrow pass inside whole-stage codegen so a STREAM of
+ * documents signs without any stateful aggregation. Empty arrays yield
+ * the neutral all-MaxValue signature (callers filter shingle-less docs,
+ * matching the batch path where they simply produce no rows).
+ */
+case class MinhashRowSignature(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+  require(k >= 1 && k <= 64, "rotation family supports k <= 64")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two array<bigint> arguments, " +
+        s"got ${left.dataType.sql} and ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sh = a.asInstanceOf[ArrayData]
+    val h2 = b.asInstanceOf[ArrayData]
+    val n = math.min(sh.numElements(), h2.numElements())
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val sv = sh.getLong(j)
+      val hv = h2.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = sv ^ ((hv << i) | (hv >>> (64 - i)))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val sig = ctx.freshName("sig")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val sv = ctx.freshName("sv")
+      val hv = ctx.freshName("hv")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $sv = $a.getLong($j);
+         |  long $hv = $b.getLong($j);
+         |  for (int $i = 0; $i < $k; $i++) {
+         |    long $v = $sv ^ (($hv << $i) | ($hv >>> (64 - $i)));
+         |    if ($v < $sig[$i]) $sig[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "minhash_row_signature"
+}
