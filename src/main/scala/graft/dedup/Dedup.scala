@@ -438,14 +438,20 @@ object Dedup {
         col(idCol).as("doc_id"),
         explode(transform(starts, i => t.substr(i, lit(k)))).as("win"))
       .distinct()
-    val hot = wins.groupBy("win")
-      .agg(count(lit(1)).as("df"))
-      .where(col("df") >= 2 && col("df") <= maxDf)
-      .select("win")
-    val perDoc = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
-    val dup = wins.join(hot, "win")
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_windows"))
-    perDoc.join(dup, Seq("doc_id"))
+    // df rides a window over the postings instead of a df-table join:
+    // ONE exchange on win (skew-bounded — a window's postings cap at
+    // its df, and over-maxDf boilerplate is only COUNTED, never
+    // joined), then one doc-grain aggregation decides both counters.
+    // Same plan family as shingleSet's df-cap; two exchanges + a join
+    // cheaper than the materialize-hot-set formulation (measured).
+    val byWin = org.apache.spark.sql.expressions.Window.partitionBy("win")
+    wins
+      .withColumn("df", count(lit(1)).over(byWin))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_windows"),
+        count(when(col("df").between(2, maxDf), 1)).as("dup_windows"))
+      .where(col("dup_windows") > 0)
       .select(
         col("doc_id"), col("n_windows"), col("dup_windows"),
         // int÷int double division + one round: bit-identical per engine
