@@ -138,10 +138,12 @@ object PipelineQueries {
     }),
     // STREAMING near-dup detection: docs stream through per-row codegen
     // signatures (MinhashRowSignature — no stateful agg) into a banded
-    // bucket stream-stream self-join whose state the watermark evicts;
+    // bucket stream-stream self-join whose state the watermark evicts
+    // and which carries only (id, time, band, bucket) — never the
+    // signature (narrow-state discipline, see StreamNearDup scaladoc);
     // candidates exact-verify batch-side against UNCAPPED shingle sets
     // (a stream can't know global df, so the parity target is the
-    // uncapped pipeline — see StreamNearDup scaladoc). Synthetic event
+    // uncapped pipeline). Synthetic event
     // times spread docs 1 s apart; tolS covers the +100000 id offset so
     // the bounded replay must find every pair
     "stream_neardup" -> ((s, dir) => {
@@ -153,7 +155,7 @@ object PipelineQueries {
       val sigs = graft.streaming.StreamNearDup.signatures(
         s.readStream.schema(schema).parquet(s"$srcDir/docs"))
       val cands = graft.streaming.StreamNearDup.candidatePairs(
-        sigs, minEst = JaccardThreshold / 2, tolS = 200000)
+        sigs, tolS = 200000)
       val qn = "snd_" + java.util.UUID.randomUUID().toString.replace("-", "")
       val prevSp = s.conf.get("spark.sql.shuffle.partitions")
       val q = try {

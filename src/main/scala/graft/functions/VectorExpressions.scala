@@ -344,42 +344,37 @@ case class LshBandBuckets(
   override def prettyName: String = "vec_lsh_buckets"
 }
 
-/**
- * Per-ROW k-component MinHash signature over a document's shingle-hash
- * arrays — the streaming counterpart of `MinhashSignatureAgg` (which
- * needs a groupBy and therefore a shuffle): identical hash family
- * (component i folds sh XOR rotl64(h2, i) into a running min, Java
- * shift semantics), identical output for the same shingle multiset, but
- * computed in one narrow pass inside whole-stage codegen so a STREAM of
- * documents signs without any stateful aggregation. Empty arrays yield
- * the neutral all-MaxValue signature (callers filter shingle-less docs,
- * matching the batch path where they simply produce no rows).
+/** Static kernel behind `MinhashRowSignature` — the whole
+ *  tokens→shingles→hashes→component-mins pipeline in one compiled
+ *  loop, invoked as a single static call from both eval and codegen.
  */
-case class MinhashRowSignature(left: Expression, right: Expression, k: Int)
-    extends BinaryExpression {
-  require(k >= 1 && k <= 64, "rotation family supports k <= 64")
+object MinhashRow {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
 
-  override def dataType: DataType = ArrayType(LongType, containsNull = false)
-  override def checkInputDataTypes(): TypeCheckResult = {
-    def ok(t: DataType) = t match {
-      case ArrayType(LongType, _) => true
-      case _ => false
-    }
-    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires two array<bigint> arguments, " +
-        s"got ${left.dataType.sql} and ${right.dataType.sql}")
-  }
+  private val Space = UTF8String.fromString(" ")
+  /** Seed of the second hash family: xxhash64('graft-mh2', s) chains
+   *  the literal's hash (seed 42) into the shingle's — identical to
+   *  Spark's multi-argument xxhash64 evaluation order.
+   */
+  private val Seed2: Long =
+    XxHash64Function.hash(UTF8String.fromString("graft-mh2"), StringType, 42L)
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val sh = a.asInstanceOf[ArrayData]
-    val h2 = b.asInstanceOf[ArrayData]
-    val n = math.min(sh.numElements(), h2.numElements())
+  def sign(toks: ArrayData, k: Int, shingleK: Int): ArrayData = {
+    val n = toks.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var j = 0
-    while (j < n) {
-      val sv = sh.getLong(j)
-      val hv = h2.getLong(j)
+    val last = n - shingleK
+    while (j <= last) {
+      var shingle = toks.getUTF8String(j)
+      var m = 1
+      while (m < shingleK) {
+        shingle = UTF8String.concat(shingle, Space, toks.getUTF8String(j + m))
+        m += 1
+      }
+      val sv = XxHash64Function.hash(shingle, StringType, 42L)
+      val hv = XxHash64Function.hash(shingle, StringType, Seed2)
       var i = 0
       while (i < k) {
         val v = sv ^ ((hv << i) | (hv >>> (64 - i)))
@@ -390,35 +385,122 @@ case class MinhashRowSignature(left: Expression, right: Expression, k: Int)
     }
     new GenericArrayData(sig)
   }
+}
+
+/**
+ * Per-ROW k-component MinHash signature straight from a document's
+ * TOKEN array — the streaming counterpart of `MinhashSignatureAgg`
+ * (which needs a groupBy and therefore a shuffle). Identical hash
+ * family: shingles are the same space-joined k-grams, sh/h2 are the
+ * same xxhash64 calls (the two-argument variant's seed chaining is
+ * replicated via `MinhashRow.Seed2`), and component i folds
+ * sh XOR rotl64(h2, i) into a running min with Java shift semantics —
+ * so the output equals the aggregate's for the same document
+ * (spec-asserted).
+ *
+ * The WHOLE shingle pipeline lives inside this one expression on
+ * purpose: building shingles with `transform`/`element_at` over an
+ * inlined `split` re-splits the document per element (the shinglesOf
+ * scaladoc's 15× warning), and even a materialized shingle array gets
+ * re-built per reference after projection collapse. One child = one
+ * tokenization, one pass, one static-call codegen. Duplicate shingles
+ * need no pre-distinct — a running min is idempotent. Docs shorter
+ * than the shingle width yield the neutral all-MaxValue signature
+ * (callers filter them, matching the batch path where they simply
+ * produce no rows).
+ */
+case class MinhashRowSignature(child: Expression, k: Int, shingleK: Int = 3)
+    extends UnaryExpression {
+  require(k >= 1 && k <= 64, "rotation family supports k <= 64")
+  require(shingleK >= 1, "shingle width must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<string> tokens, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    MinhashRow.sign(a.asInstanceOf[ArrayData], k, shingleK)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val n = ctx.freshName("n")
-      val sig = ctx.freshName("sig")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinhashRow.sign($a, $k, $shingleK);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_row_signature"
+}
+
+/**
+ * All band buckets of a MinHash signature in ONE pass: bucket b mixes
+ * the signature's components [b·r, (b+1)·r) with a 31-multiplier fold.
+ * Exists for expression-DAG hygiene, not speed of the mix itself: a
+ * `array((0 until bands).map(b => hash(slice(mh, ...))))` formulation
+ * references the `mh` EXPRESSION bands times, and after projection
+ * collapse each reference re-computes the entire upstream signature —
+ * measured 16× the per-doc signing cost in the streaming path (batch
+ * paths never hit this: their signature comes out of an aggregation,
+ * which materializes). A single-child expression evaluates `mh` once
+ * and derives every bucket from the VALUE.
+ */
+case class MinhashBandBuckets(child: Expression, bands: Int)
+    extends UnaryExpression {
+  require(bands >= 1, "bands must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val mh = a.asInstanceOf[ArrayData]
+    val k = mh.numElements()
+    val r = k / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 1125899906842597L
+      var j = b * r
+      val end = j + r
+      while (j < end) { h = h * 31L + mh.getLong(j); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val k = ctx.freshName("k")
+      val r = ctx.freshName("r")
+      val out = ctx.freshName("out")
+      val b = ctx.freshName("b")
       val j = ctx.freshName("j")
-      val i = ctx.freshName("i")
-      val sv = ctx.freshName("sv")
-      val hv = ctx.freshName("hv")
-      val v = ctx.freshName("v")
+      val end = ctx.freshName("end")
+      val h = ctx.freshName("h")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long[] $sig = new long[$k];
-         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
-         |for (int $j = 0; $j < $n; $j++) {
-         |  long $sv = $a.getLong($j);
-         |  long $hv = $b.getLong($j);
-         |  for (int $i = 0; $i < $k; $i++) {
-         |    long $v = $sv ^ (($hv << $i) | ($hv >>> (64 - $i)));
-         |    if ($v < $sig[$i]) $sig[$i] = $v;
-         |  }
+         |int $k = $a.numElements();
+         |int $r = $k / $bands;
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = 1125899906842597L;
+         |  int $j = $b * $r;
+         |  int $end = $j + $r;
+         |  for (; $j < $end; $j++) { $h = $h * 31L + $a.getLong($j); }
+         |  $out[$b] = $h;
          |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
 
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): Expression =
-    copy(left = newLeft, right = newRight)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 
-  override def prettyName: String = "minhash_row_signature"
+  override def prettyName: String = "minhash_band_buckets"
 }

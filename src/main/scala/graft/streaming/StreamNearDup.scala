@@ -42,68 +42,71 @@ object StreamNearDup {
    */
   def signatures(docs: DataFrame, k: Int = 64): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
-    val shs = array_distinct(TextOps.shinglesOf(TextOps.tokens(col("text")), 3))
+    // The whole tokens→shingles→hashes→mins pipeline is ONE expression
+    // (MinhashRowSignature): an expression-composition formulation
+    // re-splits the document per shingle element and re-builds the
+    // shingle array per reference after projection collapse — measured
+    // 10×+ the entire signing cost at sf0.1 (see the expression's
+    // scaladoc). The shingle-less-doc filter tests the cheap token
+    // count, the only other tokenization.
     docs
+      .where(size(TextOps.tokens(col("text"))) >= 3)
       .select(
         col("doc_id").cast("long").as("doc_id"),
-        shs.as("shs"),
-        timestamp_micros(col("ts_us").cast("long")).as("ts"))
-      .where(size(col("shs")) > 0)
-      .select(
-        col("doc_id"),
         toCol(graft.functions.MinhashRowSignature(
-          toExpr(transform(col("shs"), s => xxhash64(s))),
-          toExpr(transform(col("shs"), s => xxhash64(lit("graft-mh2"), s))),
-          k)).as("mh"),
-        col("ts"))
+          toExpr(TextOps.tokens(col("text"))), k)).as("mh"),
+        timestamp_micros(col("ts_us").cast("long")).as("ts"))
   }
 
   /** Banded bucket self-join over signed docs: pairs sharing a band
-   *  bucket within `tolS` seconds whose signature-agreement estimate is
-   *  ≥ `minEst`. Output (a_id, b_id, est) — per-band duplicates
-   *  possible (see scaladoc).
+   *  bucket within `tolS` seconds. Output (a_id, b_id) — per-band
+   *  duplicates possible (see scaladoc).
+   *
+   *  The signature itself is NOT carried through the join: a
+   *  stream-stream join stores each side's input rows in the state
+   *  store (snapshot-committed per micro-batch), and a 64-long
+   *  signature is ~500 B/row where the id+time projection is ~25 B —
+   *  measured 25%+ of the whole pipeline's wall time at sf0.1. The
+   *  signature-agreement estimate therefore moves to the verifier
+   *  (which exact-verifies candidates anyway); a variant that prunes
+   *  in-stream would pay the wide state back. This is the same
+   *  narrow-state discipline as StreamJoin: state carries keys and
+   *  event times, nothing payload-sized.
    */
   def candidatePairs(
       sigs: DataFrame, k: Int = 64, bands: Int = 16,
-      minEst: Double = 0.25, tolS: Int = 3000, delayS: Int = 30): DataFrame = {
+      tolS: Int = 3000, delayS: Int = 30): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
     require(k % bands == 0, "bands must divide k")
-    val r = k / bands
-    val bandCols = (0 until bands).map { b =>
-      struct(lit(b).as("band"), hash(slice(col("mh"), b * r + 1, r)).as("bucket"))
-    }
     val wm = s"${tolS + delayS} seconds"
+    // MinhashBandBuckets references the signature ONCE — a per-band
+    // hash(slice(mh, …)) array would inline the whole upstream signing
+    // expression `bands` times after projection collapse (see the
+    // expression's scaladoc; measured 16× per-doc signing cost here)
     val buckets = sigs
       .withWatermark("ts", wm)
-      .select(col("doc_id"), col("mh"), col("ts"), explode(array(bandCols: _*)).as("bb"))
       .select(
-        col("doc_id"), col("mh"), col("ts"),
-        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+        col("doc_id"), col("ts"),
+        posexplode(toCol(graft.functions.MinhashBandBuckets(
+          toExpr(col("mh")), bands))).as(Seq("band", "bucket")))
     val a = buckets.select(
-      col("doc_id").as("a_id"), col("mh").as("a_mh"), col("ts").as("a_ts"),
+      col("doc_id").as("a_id"), col("ts").as("a_ts"),
       col("band"), col("bucket"))
     val b = buckets.select(
-      col("doc_id").as("b_id"), col("mh").as("b_mh"), col("ts").as("b_ts"),
+      col("doc_id").as("b_id"), col("ts").as("b_ts"),
       col("band").as("r_band"), col("bucket").as("r_bucket"))
-    val eq = aggregate(
-      zip_with(col("a_mh"), col("b_mh"), (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, x) => acc + x)
     val joined = a.join(b,
         col("band") === col("r_band") && col("bucket") === col("r_bucket") &&
           col("b_ts") >= col("a_ts") - expr(s"INTERVAL $tolS SECONDS") &&
           col("b_ts") <= col("a_ts") + expr(s"INTERVAL $tolS SECONDS"))
-      .withColumn("est", eq.cast("double") / k)
-      .select(col("a_id"), col("b_id"), col("est"))
+      .select(col("a_id"), col("b_id"))
     // NOTHING beyond (keys ∧ time bounds) may reach the join condition:
     // Catalyst pushes Column predicates into it, and any non-temporal
     // conjunct makes StreamingJoinHelper fail to derive the state value
-    // watermark — leaving join state UNEVICTABLE. So both the pair
-    // ordering (a < b, which also drops the trivial self-collisions)
-    // and the est cut live in a TYPED filter — a deserialization
-    // barrier the optimizer cannot push through. The per-row object
-    // cost applies only to band-collision rows, which the bucket join
-    // already made rare.
-    val cut = minEst
-    joined.filter((r: org.apache.spark.sql.Row) =>
-      r.getLong(0) < r.getLong(1) && r.getDouble(2) >= cut)
+    // watermark — leaving join state UNEVICTABLE. So the pair ordering
+    // (a < b, which also drops the trivial self-collisions) lives in a
+    // TYPED filter — a deserialization barrier the optimizer cannot
+    // push through.
+    joined.filter((r: org.apache.spark.sql.Row) => r.getLong(0) < r.getLong(1))
   }
 }

@@ -46,7 +46,7 @@ class StreamNearDupSpec extends AnyFunSuite {
     val cands = StreamNearDup.candidatePairs(
       StreamNearDup.signatures(
         input.toDF().toDF("doc_id", "text", "ts_us")),
-      minEst = 0.3, tolS = 3600)
+      tolS = 3600)
     val q = cands.writeStream
       .format("memory").queryName("nd_out").outputMode("append").start()
     try {
