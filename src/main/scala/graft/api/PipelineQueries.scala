@@ -286,6 +286,13 @@ object PipelineQueries {
         s.read.parquet(s"$dir/lineitem.parquet"),
         col("l_extendedprice"), Seq(0.5, 0.9, 0.99))
         .orderBy("p")),
+    // per-SERIES grid quantiles — the grouped sketch variant: constant
+    // state per key, every shuffle key-grain, no global sort anywhere
+    "series_quantile_sketch" -> ((s, dir) =>
+      Sketches.groupedQuantileSketch(
+        CoreQueries.ev(s, dir), "dataset_id", col("value"), Seq(0.5, 0.95, 0.99))
+        .withColumnRenamed("k", "dataset_id")
+        .orderBy("dataset_id", "p")),
     "doc_fingerprint" -> ((s, dir) =>
       TextOps.fingerprint(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "doc_winnow" -> ((s, dir) =>
@@ -1183,6 +1190,11 @@ object PipelineQueries {
     "distinct_sketch" -> Sketches.hllOracleSql("orders", "o_custkey"),
     "quantile_sketch" -> Sketches.quantileOracleSql(
       "lineitem", "l_extendedprice", Seq(0.5, 0.9, 0.99)),
+    "series_quantile_sketch" ->
+      Sketches.groupedQuantileOracleSql(
+        "events", "event_type", "value", Seq(0.5, 0.95, 0.99),
+        where = "NOT isnan(value)")
+        .replace("SELECT k, p, rank", "SELECT k AS dataset_id, p, rank"),
     // lp_ppm is integer once per vocabulary term (the idf_ppm pattern):
     // per-doc sums are order-proof integers, the average divides
     // identical operands

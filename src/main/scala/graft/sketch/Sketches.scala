@@ -289,6 +289,58 @@ object Sketches {
     }
   }
 
+  /**
+   * GROUPED fixed-grid quantile sketch — per-key quantiles at constant
+   * state per key (the telemetry "p50/p95/p99 per metric" op). Same
+   * two-pass grid construction as `quantileSketch`, with every stage
+   * keyed: per-key min/max/count (one hash aggregation, keys-sized),
+   * broadcast back for bucket assignment, per-(key, bucket) counts
+   * (mergeable by `+`, ≤ b rows per key), a per-key running sum, and
+   * rank selection. All shuffles are key-grain; the cumulative window
+   * partitions by key so no global sort exists anywhere. Exactness
+   * contract matches the global sketch: integer ranks,
+   * identical-operand edge arithmetic, full value oracle.
+   *
+   * Output per (key, probe): (key, p, rank, bucket, est).
+   */
+  def groupedQuantileSketch(
+      df: DataFrame, keyCol: String, value: Column, probes: Seq[Double],
+      b: Int = 1024): DataFrame = {
+    require(b >= 2 && b <= 65536, "grid width out of range")
+    val v = df.select(col(keyCol).as("k"), value.cast("double").as("v"))
+      .where(col("v").isNotNull)
+    graft.dedup.Dedup.withScopedPersist(v) {
+      val mm = v.groupBy("k").agg(
+        min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+      val cum = v.join(broadcast(mm), "k")
+        .select(
+          col("k"),
+          when(col("hi") === col("lo"), lit(0))
+            .otherwise(least(
+              lit(b - 1),
+              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * b)
+                .cast("int")))
+            .as("bucket"))
+        .groupBy("k", "bucket").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum",
+          sum("cnt").over(org.apache.spark.sql.expressions.Window
+            .partitionBy("k").orderBy("bucket")
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val pr = broadcast(
+        v.sparkSession.createDataFrame(probes.map(Tuple1(_))).toDF("p"))
+      mm.crossJoin(pr)
+        .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+        .join(cum, Seq("k"))
+        .where(col("cum") >= col("rank"))
+        .groupBy("k", "p", "rank", "lo", "hi")
+        .agg(min("bucket").as("bucket"))
+        .select(
+          col("k"), col("p"), col("rank"),
+          col("bucket").cast("long").as("bucket"),
+          round(col("lo") + col("bucket") * (col("hi") - col("lo")) / b, 6).as("est"))
+    }
+  }
+
   /** The matching DuckDB oracle for `quantileSketch` over `valueExpr`
    *  of `table`.
    */
@@ -323,6 +375,43 @@ object Sketches {
        |SELECT p, rank, CAST(bucket AS BIGINT) AS bucket,
        |  round(lo + bucket * (hi - lo) / $b, 6) AS est
        |FROM sel ORDER BY p""".stripMargin
+  }
+
+  /** The matching DuckDB oracle for `groupedQuantileSketch` —
+   *  generated from the same constants as the engine path.
+   */
+  def groupedQuantileOracleSql(
+      table: String, keyExpr: String, valueExpr: String, probes: Seq[Double],
+      b: Int = 1024, where: String = "TRUE"): String = {
+    val probeList = probes.mkString(", ")
+    s"""WITH v AS (
+       |  SELECT $keyExpr AS k, CAST($valueExpr AS DOUBLE) AS v FROM $table
+       |  WHERE $valueExpr IS NOT NULL AND ($where)),
+       |mm AS (SELECT k, min(v) AS lo, max(v) AS hi, count(*) AS n
+       |       FROM v GROUP BY 1),
+       |bk AS (
+       |  SELECT v.k, CASE WHEN mm.hi = mm.lo THEN 0
+       |    ELSE least(${b - 1},
+       |      CAST(floor((v.v - mm.lo) / (mm.hi - mm.lo) * $b) AS INTEGER))
+       |    END AS bucket
+       |  FROM v JOIN mm USING (k)),
+       |bc AS (SELECT k, bucket, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT k, bucket, sum(cnt) OVER (PARTITION BY k ORDER BY bucket
+       |    ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM bc),
+       |pr AS (SELECT unnest([$probeList]) AS p),
+       |r AS (
+       |  SELECT mm.k, pr.p, greatest(1, CAST(ceil(pr.p * mm.n) AS BIGINT)) AS rank,
+       |    mm.lo, mm.hi
+       |  FROM pr, mm),
+       |sel AS (
+       |  SELECT r.k, r.p, r.rank, r.lo, r.hi, min(cum.bucket) AS bucket
+       |  FROM r JOIN cum ON cum.k = r.k AND cum.cum >= r.rank
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT k, p, rank, CAST(bucket AS BIGINT) AS bucket,
+       |  round(lo + bucket * (hi - lo) / $b, 6) AS est
+       |FROM sel ORDER BY k, p""".stripMargin
   }
 
   /** The matching DuckDB oracle for `hllReport` over `keyExpr` of

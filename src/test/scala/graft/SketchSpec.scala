@@ -118,6 +118,25 @@ class SketchSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).toSeq == Seq(5000L, 9000L, 9900L))
   }
 
+  test("grouped quantile sketch: per-key estimates stay within grid error") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // key a: 1..1000 uniform; key b: constant 7.5 (degenerate grid)
+    val df = spark.range(1, 1001)
+      .select(lit("a").as("k"), col("id").cast("double").as("v"))
+      .unionByName(spark.range(0, 50)
+        .select(lit("b").as("k"), lit(7.5).as("v")))
+    val rows = graft.sketch.Sketches
+      .groupedQuantileSketch(df, "k", col("v"), Seq(0.5, 0.95))
+      .orderBy("k", "p").collect()
+    assert(rows.map(r => (r.getString(0), r.getDouble(1))).toSeq ==
+      Seq(("a", 0.5), ("a", 0.95), ("b", 0.5), ("b", 0.95)))
+    val gridErr = (1000.0 - 1.0) / 1024 + 1e-6
+    val Seq(a50, a95, b50, b95) = rows.map(_.getDouble(4)).toSeq
+    assert(math.abs(a50 - 500.0) <= gridErr && math.abs(a95 - 950.0) <= gridErr,
+      s"a: $a50 / $a95")
+    assert(b50 == 7.5 && b95 == 7.5, "constant key must be exact")
+  }
+
   test("constant column degenerates to bucket 0 with the exact value") {
     val df = spark.range(0, 100).select(lit(42.5).as("x"))
     val rows = Sketches.quantileSketch(df, col("x"), Seq(0.5)).collect()
