@@ -306,39 +306,49 @@ object Sketches {
   def groupedQuantileSketch(
       df: DataFrame, keyCol: String, value: Column, probes: Seq[Double],
       b: Int = 1024): DataFrame = {
-    require(b >= 2 && b <= 65536, "grid width out of range")
     val v = df.select(col(keyCol).as("k"), value.cast("double").as("v"))
       .where(col("v").isNotNull)
     graft.dedup.Dedup.withScopedPersist(v) {
-      val mm = v.groupBy("k").agg(
-        min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
-      val cum = v.join(broadcast(mm), "k")
-        .select(
-          col("k"),
-          when(col("hi") === col("lo"), lit(0))
-            .otherwise(least(
-              lit(b - 1),
-              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * b)
-                .cast("int")))
-            .as("bucket"))
-        .groupBy("k", "bucket").agg(count(lit(1)).as("cnt"))
-        .withColumn("cum",
-          sum("cnt").over(org.apache.spark.sql.expressions.Window
-            .partitionBy("k").orderBy("bucket")
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      val pr = broadcast(
-        v.sparkSession.createDataFrame(probes.map(Tuple1(_))).toDF("p"))
-      mm.crossJoin(pr)
-        .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
-        .join(cum, Seq("k"))
-        .where(col("cum") >= col("rank"))
-        .groupBy("k", "p", "rank", "lo", "hi")
-        .agg(min("bucket").as("bucket"))
-        .select(
-          col("k"), col("p"), col("rank"),
-          col("bucket").cast("long").as("bucket"),
-          round(col("lo") + col("bucket") * (col("hi") - col("lo")) / b, 6).as("est"))
+      groupedQuantilePlan(v, probes, b)
     }
+  }
+
+  /** The un-checkpointed grouped-quantile plan over a normalized
+   *  (k, v) frame — split out so plan-shape guards can inspect the
+   *  REAL operator tree (the public method's scoped persist
+   *  checkpoints the result, hiding it).
+   */
+  private[graft] def groupedQuantilePlan(
+      v: DataFrame, probes: Seq[Double], b: Int): DataFrame = {
+    require(b >= 2 && b <= 65536, "grid width out of range")
+    val mm = v.groupBy("k").agg(
+      min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
+    val cum = v.join(broadcast(mm), "k")
+      .select(
+        col("k"),
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            lit(b - 1),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * b)
+              .cast("int")))
+          .as("bucket"))
+      .groupBy("k", "bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("cum",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val pr = broadcast(
+      v.sparkSession.createDataFrame(probes.map(Tuple1(_))).toDF("p"))
+    mm.crossJoin(pr)
+      .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+      .join(cum, Seq("k"))
+      .where(col("cum") >= col("rank"))
+      .groupBy("k", "p", "rank", "lo", "hi")
+      .agg(min("bucket").as("bucket"))
+      .select(
+        col("k"), col("p"), col("rank"),
+        col("bucket").cast("long").as("bucket"),
+        round(col("lo") + col("bucket") * (col("hi") - col("lo")) / b, 6).as("est"))
   }
 
   /** The matching DuckDB oracle for `quantileSketch` over `valueExpr`

@@ -190,4 +190,41 @@ class PlanAuditSpec extends AnyFunSuite {
         "piiScan fell out of whole-stage codegen")
     }
   }
+
+  test("grouped quantile sketch never plans an un-partitioned window") {
+    withPlainPlans {
+      import org.apache.spark.sql.functions.col
+      val v = CoreQueriesEv.ev(spark, sf)
+        .select(col("dataset_id").as("k"), col("value").cast("double").as("v"))
+        .where(col("v").isNotNull)
+      val df = graft.sketch.Sketches.groupedQuantilePlan(v, Seq(0.5, 0.95), 1024)
+      val windows = df.queryExecution.executedPlan
+        .collectWithSubqueries {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      assert(windows.nonEmpty, "expected the per-key cumulative window")
+      assert(windows.forall(_.partitionSpec.nonEmpty),
+        "cumulative window lost its key partitioning (global sort at scale)")
+    }
+  }
+
+  test("funnel stages stay on the user_id partitioning — bounded exchanges") {
+    withPlainPlans {
+      val df = SparkEntry.queries("funnel_steps")(spark, sf)
+      // 3 stage aggregations + the final 3-row union sort: anything
+      // beyond 8 exchanges means a stage fell off the user_id key
+      assert(shuffleCount(df) <= 8,
+        s"funnel exchange budget exceeded: ${shuffleCount(df)}")
+      assert(!df.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+        "funnel planned a cartesian product")
+    }
+  }
+}
+
+/** Small indirection so the plan audit reuses the exact `ev` melt the
+ *  queries run (CoreQueries.ev is the public long view).
+ */
+private object CoreQueriesEv {
+  def ev(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    graft.api.CoreQueries.ev(spark, dir)
 }
