@@ -179,6 +179,43 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // the capstone dedup DECISION: per-document keep/drop verdict with
+    // reason — stage 1 exact (min id per content hash), stage 2 MinHash
+    // clustering among exact survivors, stage 3 canonical selection
+    // (max quality, ties to min id) — over a corpus carrying BOTH
+    // exact copies (+100000) and near copies (+200000). This is the
+    // row a curation pipeline actually emits downstream
+    "dedup_verdict" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d
+        .unionByName(d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"), col("text")))
+        .unionByName(d.where(col("doc_id") % 7 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat(col("text"), lit(" zz0 zz1 zz2")).as("text")))
+      val wh = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val tagged = corpus
+        .withColumn("h", md5(col("text")))
+        .withColumn("keep0", col("doc_id") === min(col("doc_id")).over(wh))
+      val survivors = tagged.where(col("keep0")).select("doc_id", "text")
+      val comps = Dedup.connectedComponents(
+        Dedup.minhashDedup(survivors, "doc_id", "text", JaccardThreshold))
+      val quality = TextOps.profile(survivors, "doc_id", "text")
+        .select(col("doc_id"), round(col("quality") * 1e6).cast("long").as("qppm"))
+      val canon = Dedup.canonicalPerCluster(comps, quality)
+        .select(col("comp"), col("keep_id"))
+      tagged
+        .join(comps, Seq("doc_id"), "left_outer")
+        .join(canon, Seq("comp"), "left_outer")
+        .select(
+          col("doc_id"),
+          when(!col("keep0"), "exact_dup")
+            .when(col("comp").isNotNull && col("doc_id") =!= col("keep_id"),
+              "near_dup")
+            .otherwise("kept").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // split-aware dedup check: near-dup clusters whose members straddle
     // train/val/test — exactly the leakage a split-then-dedup pipeline
     // must catch (a val doc with a train near-dup inflates eval). The
@@ -891,6 +928,62 @@ object PipelineQueries {
         |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "jaccard_pairs" -> jaccardOracle,
+    "dedup_verdict" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text
+         |  FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL SELECT doc_id + 200000, text || ' zz0 zz1 zz2'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |ex AS (
+         |  SELECT doc_id, text,
+         |    doc_id = min(doc_id) OVER (PARTITION BY md5(text)) AS keep0
+         |  FROM corpus),
+         |sv AS (SELECT doc_id, text FROM ex WHERE keep0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM sv),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |shf AS (SELECT * FROM sh0 WHERE sh IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM prs
+         |          UNION SELECT b_id, a_id FROM prs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+         |q AS (
+         |  SELECT doc_id, CAST(round(
+         |    least(1.0, len(string_split(text, ' ')) / 100.0) *
+         |      (1 - CAST(len(list_filter(string_split(text, ' '),
+         |             t -> t IN ('the', 'a', 'data', 'key'))) AS DOUBLE)
+         |           / len(string_split(text, ' '))) * 1000000) AS BIGINT) AS qppm
+         |  FROM sv),
+         |j AS (SELECT c.comp, c.doc_id, q.qppm FROM comp c JOIN q USING (doc_id)),
+         |mx AS (SELECT comp, max(qppm) AS best_qppm FROM j GROUP BY 1),
+         |canon AS (
+         |  SELECT m.comp, min(j.doc_id) AS keep_id
+         |  FROM mx m JOIN j ON j.comp = m.comp AND j.qppm = m.best_qppm
+         |  GROUP BY m.comp)
+         |SELECT e.doc_id,
+         |  CASE WHEN NOT e.keep0 THEN 'exact_dup'
+         |       WHEN c.comp IS NOT NULL AND e.doc_id <> cn.keep_id THEN 'near_dup'
+         |       ELSE 'kept' END AS verdict
+         |FROM ex e
+         |LEFT JOIN comp c ON c.doc_id = e.doc_id
+         |LEFT JOIN canon cn ON cn.comp = c.comp
+         |ORDER BY e.doc_id""".stripMargin,
     // the streamed pipeline signs UNCAPPED shingle sets, so its parity
     // target is the cap-free exact Jaccard (sh0, not shf)
     "stream_neardup" ->
