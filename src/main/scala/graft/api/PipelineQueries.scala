@@ -216,6 +216,46 @@ object PipelineQueries {
         .orderBy("doc_id")
     }),
 
+    // Gopher-style quality gate: per-doc keep/drop with the FIRST
+    // failing rule as the reason — length floor, duplicate-trigram
+    // repetition, dominant-token repetition, unigram-LM fluency. Every
+    // comparison is on exact ppm integers, so rule membership is
+    // engine-deterministic; the signals are the repetition_stats and
+    // doc_logprob lineages composed
+    "quality_verdict" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val lp = TextOps.docLogProb(d, "doc_id", "text")
+        .select(
+          col("doc_id"),
+          round(col("sum_lp_ppm").cast("double") / col("n_tok"))
+            .cast("long").as("avg_lp_ppm"))
+      val tri = d.select(
+          col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
+          TextOps.shinglesOf(TextOps.tokens(col("text")), 3).as("tris"))
+        .select(
+          col("doc_id"), col("n_words"),
+          size(col("tris")).cast("long").as("n_tri"),
+          size(array_distinct(col("tris"))).cast("long").as("n_tri_uniq"))
+        .withColumn("dup_tri_ppm",
+          round((lit(1.0) - col("n_tri_uniq").cast("double") / col("n_tri")) * 1e6)
+            .cast("long"))
+      val tok = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
+        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          round(max(col("c")).cast("double") / sum(col("c")) * 1e6)
+            .cast("long").as("top_tok_ppm"))
+      tri.join(tok, Seq("doc_id")).join(lp, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          when(col("n_words") < 20, "too_short")
+            .when(col("dup_tri_ppm") > 0, "repetitive_ngram")
+            .when(col("top_tok_ppm") > 200000, "repetitive_token")
+            .when(col("avg_lp_ppm") < -3410000L, "low_fluency")
+            .otherwise("kept").as("verdict"))
+        .orderBy("doc_id")
+    }),
+
     // split-aware dedup check: near-dup clusters whose members straddle
     // train/val/test — exactly the leakage a split-then-dedup pipeline
     // must catch (a val doc with a train near-dup inflates eval). The
@@ -928,6 +968,53 @@ object PipelineQueries {
         |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "jaccard_pairs" -> jaccardOracle,
+    "quality_verdict" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY 1, 2),
+        |cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnt),
+        |lpt AS (SELECT token,
+        |          CAST(round(ln(CAST(cnt AS DOUBLE) / t.t) * 1000000) AS BIGINT)
+        |            AS lp_ppm
+        |        FROM cnt, t),
+        |lp AS (
+        |  SELECT doc_id, CAST(round(
+        |      CAST(sum(tf * lp_ppm) AS DOUBLE) / CAST(sum(tf) AS BIGINT))
+        |    AS BIGINT) AS avg_lp_ppm
+        |  FROM tf JOIN lpt USING (token) GROUP BY 1),
+        |tri AS (
+        |  SELECT doc_id,
+        |    CAST(len(tokens) AS BIGINT) AS n_words,
+        |    CAST(len(tokens) - 2 AS BIGINT) AS n_tri,
+        |    CAST(len(list_distinct(list_transform(
+        |      generate_series(1, len(tokens) - 2),
+        |      i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))) AS BIGINT)
+        |      AS n_tri_uniq
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents)),
+        |tr AS (
+        |  SELECT doc_id, n_words,
+        |    CAST(round((1.0 - CAST(n_tri_uniq AS DOUBLE) / n_tri) * 1000000)
+        |      AS BIGINT) AS dup_tri_ppm
+        |  FROM tri),
+        |tok AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(max(c) AS DOUBLE) / sum(c) * 1000000) AS BIGINT)
+        |      AS top_tok_ppm
+        |  FROM (
+        |    SELECT doc_id, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(string_split(text, ' ')) AS tk FROM documents)
+        |    GROUP BY doc_id, tk)
+        |  GROUP BY doc_id)
+        |SELECT tr.doc_id,
+        |  CASE WHEN tr.n_words < 20 THEN 'too_short'
+        |       WHEN tr.dup_tri_ppm > 0 THEN 'repetitive_ngram'
+        |       WHEN tok.top_tok_ppm > 200000 THEN 'repetitive_token'
+        |       WHEN lp.avg_lp_ppm < -3410000 THEN 'low_fluency'
+        |       ELSE 'kept' END AS verdict
+        |FROM tr JOIN tok USING (doc_id) JOIN lp USING (doc_id)
+        |ORDER BY tr.doc_id""".stripMargin,
     "dedup_verdict" ->
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text FROM documents
