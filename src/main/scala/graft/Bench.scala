@@ -61,18 +61,33 @@ object Bench {
       catch { case _: Throwable => () }
     val warmupSec = (System.nanoTime() - warm0) / 1e9
 
+    def gcMillis: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    }
+
     // optional comma-separated subset for local profiling; driver leaves unset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val gc0 = gcMillis
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err: Option[String] =
-        try { fn(spark, sfDir).count(); None }
+        // Time the FULL materialization: executing the already-planned
+        // physical plan via toRdd forces every projection and sort as
+        // written. (df.count() re-plans with a count on top, letting
+        // Catalyst prune projection-heavy work — e.g. pii_redact's
+        // regexes — out of the timed plan entirely.)
+        try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
         catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
+    val gcSec = (gcMillis - gc0) / 1e3
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
 
     val qs = results.map {
       case (k, v, None) => s""""${esc(k)}":$v"""
@@ -83,7 +98,7 @@ object Bench {
     val total = ok.map(_._2).sum
     val nErr = results.size - ok.size
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nErr,"warmup_sec":$warmupSec,"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nErr,"warmup_sec":$warmupSec,"gc_sec":$gcSec,"load_avg":$loadAvg,"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

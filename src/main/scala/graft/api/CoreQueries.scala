@@ -777,9 +777,10 @@ object CoreQueries {
         |SELECT id, date_us, text FROM mut ORDER BY date_us, id""".stripMargin,
     "self_metrics" ->
       s"""SELECT dataset_id, ts_us, value FROM (
-         |  SELECT 'index.num_gets' AS dataset_id, $Day6Us AS ts_us, 2.0 AS value
+         |  SELECT 'index.num_gets' AS dataset_id, $Day6Us AS ts_us,
+         |    CAST(2.0 AS DOUBLE) AS value
          |  UNION ALL
-         |  SELECT 'index.num_puts', $Day6Us, 3.0)
+         |  SELECT 'index.num_puts', $Day6Us, CAST(3.0 AS DOUBLE))
          |ORDER BY dataset_id""".stripMargin,
     "ingest_dedup_1s" ->
       """SELECT dataset_id, ts_us // 1000000 AS bucket_s,

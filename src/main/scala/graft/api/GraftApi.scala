@@ -22,10 +22,34 @@ import graft.store.{CommentStore, ManifestStore, Tables}
  * for sustained high-cardinality ingest, same query semantics — the
  * two backends are interchangeable behind this façade (the raw table
  * and comments are identical in both modes).
+ *
+ * `autoRollupRewrite = true` registers this store with the
+ * materialized-view rewrite (graft.plans.RollupRewriteRule) and
+ * installs the rule on the session, so a USER-written tumbling-window
+ * min/max/sum/count aggregate over the store's raw table — DataFrame
+ * or SQL — is optimizer-rewritten to a scan of the maintained rollup
+ * level (~10^d× less data, no aggregation). `getData` already routes
+ * to rollups explicitly; the flag extends the same guarantee to ad-hoc
+ * aggregates that never went through the façade. Partitioned-table
+ * backend only: the manifest store's merge-on-read fold is not a plain
+ * parquet relation the rule can substitute.
  */
 final class GraftApi(
     spark: SparkSession, root: String, commentsPath: String,
-    manifestRollups: Boolean = false) {
+    manifestRollups: Boolean = false,
+    autoRollupRewrite: Boolean = false) {
+
+  require(!(autoRollupRewrite && manifestRollups),
+    "autoRollupRewrite requires the partitioned-table rollup backend")
+  if (autoRollupRewrite) {
+    graft.plans.RollupCatalog.register(root)
+    // idempotent across instances sharing the session
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[graft.plans.RollupRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.RollupRewriteRule(spark)
+  }
 
   // A9 — engine counters, fed back as series by flushSelfMetrics
   // (reference: src/index.py:97-98, 110, 198; src/metrics/loop.py:52-78)

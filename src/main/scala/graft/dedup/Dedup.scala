@@ -255,7 +255,11 @@ object Dedup {
         while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
         r
       }
-      edges.select("src", "dst").collect().foreach { row =>
+      // cast to long BEFORE collect: int-typed ids coerce fine in the
+      // distributed loop via Spark, but row.getLong on an IntegerType
+      // row throws ClassCastException
+      edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().foreach { row =>
         val (a, b) = (find(row.getLong(0)), find(row.getLong(1)))
         // union by MIN id: the root is always the smallest id seen, so
         // the final find() IS the min reachable id — no second pass
@@ -432,11 +436,17 @@ object Dedup {
       k: Int = 50, stride: Int = 1, maxDf: Long = 100000L): DataFrame = {
     val t = col(textCol)
     val starts = sequence(lit(1), length(t) - (k - 1), lit(stride))
+    // Hash each k-char window to xxhash64 BEFORE the distinct/exchange:
+    // the shuffle keys are 8-byte longs instead of k-char strings (~6×
+    // less shuffle volume at k=50). Window equality becomes hash
+    // equality — deterministic, so both posting sides agree; collisions
+    // at 64 bits are negligible at any df-capped corpus size (same
+    // contract as the Bloom decontamination path).
     val wins = docs
       .where(length(t) >= k)
       .select(
         col(idCol).as("doc_id"),
-        explode(transform(starts, i => t.substr(i, lit(k)))).as("win"))
+        explode(transform(starts, i => xxhash64(t.substr(i, lit(k))))).as("win"))
       .distinct()
     // df rides a window over the postings instead of a df-table join:
     // ONE exchange on win (skew-bounded — a window's postings cap at

@@ -461,6 +461,11 @@ case class MinhashBandBuckets(child: Expression, bands: Int)
   override def nullSafeEval(a: Any): Any = {
     val mh = a.asInstanceOf[ArrayData]
     val k = mh.numElements()
+    // enforce against the ACTUAL width: a declared-k check at the call
+    // site cannot see signatures built with a different k, and silently
+    // dropping trailing components would mis-bucket, not fail
+    if (k % bands != 0) throw new IllegalArgumentException(
+      s"minhash_band_buckets: signature width $k not divisible by $bands bands")
     val r = k / bands
     val out = new Array[Long](bands)
     var b = 0
@@ -486,6 +491,11 @@ case class MinhashBandBuckets(child: Expression, bands: Int)
       val h = ctx.freshName("h")
       s"""
          |int $k = $a.numElements();
+         |if ($k % $bands != 0) {
+         |  throw new IllegalArgumentException(
+         |    "minhash_band_buckets: signature width " + $k +
+         |    " not divisible by $bands bands");
+         |}
          |int $r = $k / $bands;
          |long[] $out = new long[$bands];
          |for (int $b = 0; $b < $bands; $b++) {

@@ -55,10 +55,28 @@ object Similarity {
    * Exact top-k cosine neighbors for a query subset: broadcast the
    * queries, rank with a window per query. Output
    * (q_id, n_id, cos, rank), rank 1..k by (cos desc, n_id).
+   *
+   * This is the EXACT BASELINE, not the scale path: the corpus×queries
+   * crossJoin is deliberate and only legal on a bounded corpus (recall
+   * oracles, re-ranking a candidate set). `maxCorpus` is enforced
+   * INSIDE the plan — a 1-row broadcast count crossed in and
+   * assert_true'd — so an over-cap corpus fails loudly at execution
+   * instead of silently launching a 100 TB cartesian. Production ANN
+   * routes through [[ivfTopK]]/[[ivfTopKWith]] (k-means) or the LSH
+   * bucket path; those scan nProbe/#centroids of the corpus and never
+   * cross-join it.
    */
-  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      maxCorpus: Long = 1L << 20): DataFrame = {
+    val guard = broadcast(corpus.agg(count(lit(1)).as("_corpus_n")))
     val q = broadcast(queries.select(col("vec_id").as("q_id"), col("v").as("qv")))
     val scored = corpus.select(col("vec_id").as("n_id"), col("v"))
+      .crossJoin(guard)
+      .where(assert_true(col("_corpus_n") <= maxCorpus,
+        lit(s"bruteTopK is the exact baseline for bounded corpora " +
+          s"(maxCorpus=$maxCorpus); route large corpora through " +
+          "ivfTopK/lsh instead")).isNull)
+      .drop("_corpus_n")
       .crossJoin(q)
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
@@ -66,7 +84,10 @@ object Similarity {
       .withColumn("rank",
         row_number().over(Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .select(col("q_id"), col("n_id"), col("cos"),
+        // BIGINT rank: row_number() is int-typed in Spark but BIGINT in
+        // SQL engines — emit the portable type
+        col("rank").cast("long").as("rank"))
   }
 
   /** Deterministic ENGINE-PORTABLE hyperplanes: coefficient (p, d) is
@@ -184,7 +205,10 @@ object Similarity {
         row_number().over(
           Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .select(col("q_id"), col("n_id"), col("cos"),
+        // BIGINT rank: row_number() is int-typed in Spark but BIGINT in
+        // SQL engines — emit the portable type
+        col("rank").cast("long").as("rank"))
   }
 
   /** Bounded driver-side collect of (vec_id, v) rows — legal only
@@ -358,6 +382,9 @@ object Similarity {
       .withColumn("rank",
         row_number().over(Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
       .where(col("rank") <= k)
-      .select(col("q_id"), col("n_id"), col("cos"), col("rank"))
+      .select(col("q_id"), col("n_id"), col("cos"),
+        // BIGINT rank: row_number() is int-typed in Spark but BIGINT in
+        // SQL engines — emit the portable type
+        col("rank").cast("long").as("rank"))
   }
 }

@@ -228,14 +228,20 @@ object Sketches {
       .collect()
     val words = Array.fill(kHash)(new Array[Long](nWords))
     wordRows.foreach(r => words(r.getInt(0))(r.getLong(1).toInt) = r.getLong(2))
-    val probed = probes.withColumn("_h", h60(col(probeKeyCol)))
+    // staging-column names must not collide with the probe schema (a
+    // probe column named `_h` would be silently overwritten and then
+    // returned in its place) — pick a prefix no probe column starts with
+    val pre = Iterator.from(0).map(i => s"_bm${i}_")
+      .find(p => !probes.columns.exists(_.startsWith(p))).get
+    val probed = probes.withColumn(s"${pre}h", h60(col(probeKeyCol)))
     val withPos = (0 until kHash).foldLeft(probed) { (df, j) =>
-      df.withColumn(s"_p$j", shiftright(col("_h"), j * mBits).bitwiseAND(lit(wMask)))
-        .withColumn(s"_w$j",
-          element_at(lit(words(j)), shiftright(col(s"_p$j"), 6).cast("int") + 1))
+      df.withColumn(s"${pre}p$j",
+          shiftright(col(s"${pre}h"), j * mBits).bitwiseAND(lit(wMask)))
+        .withColumn(s"${pre}w$j",
+          element_at(lit(words(j)), shiftright(col(s"${pre}p$j"), 6).cast("int") + 1))
     }
     val member = (0 until kHash)
-      .map(j => expr(s"(shiftright(_w$j, CAST(_p$j % 64 AS INT)) & 1) = 1"))
+      .map(j => expr(s"(shiftright(${pre}w$j, CAST(${pre}p$j % 64 AS INT)) & 1) = 1"))
       .reduce(_ && _)
     withPos.where(member).select(probes.columns.map(col): _*)
   }
@@ -373,7 +379,7 @@ object Sketches {
        |  SELECT bucket, sum(cnt) OVER (ORDER BY bucket
        |    ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM bc),
-       |pr AS (SELECT unnest([$probeList]) AS p),
+       |pr AS (SELECT CAST(unnest([$probeList]) AS DOUBLE) AS p),
        |r AS (
        |  SELECT pr.p, greatest(1, CAST(ceil(pr.p * mm.n) AS BIGINT)) AS rank,
        |    mm.lo, mm.hi
@@ -410,7 +416,7 @@ object Sketches {
        |  SELECT k, bucket, sum(cnt) OVER (PARTITION BY k ORDER BY bucket
        |    ROWS UNBOUNDED PRECEDING) AS cum
        |  FROM bc),
-       |pr AS (SELECT unnest([$probeList]) AS p),
+       |pr AS (SELECT CAST(unnest([$probeList]) AS DOUBLE) AS p),
        |r AS (
        |  SELECT mm.k, pr.p, greatest(1, CAST(ceil(pr.p * mm.n) AS BIGINT)) AS rank,
        |    mm.lo, mm.hi
@@ -455,7 +461,7 @@ object Sketches {
        |      * ${m.toDouble}::DOUBLE * ${m.toDouble}::DOUBLE *
        |      ${(1L << 50).toDouble} / t_sum AS raw
        |  FROM s)
-       |SELECT ${m.toLong} AS m, v_zero, t_sum,
+       |SELECT CAST($m AS BIGINT) AS m, v_zero, t_sum,
        |  round(CASE WHEN v_zero > 0 AND raw <= ${2.5 * m}::DOUBLE
        |        THEN ${m.toDouble}::DOUBLE * ln(${m.toDouble}::DOUBLE / v_zero)
        |        ELSE raw END, 6) AS est,

@@ -27,6 +27,10 @@ object StreamJoin {
   def intervalJoin(
       left: DataFrame, right: DataFrame, keyCol: String,
       lTs: String, rTs: String, tolS: Int, delayS: Int = 30): DataFrame = {
+    // only keyCol is de-ambiguated by rename; identically-named ts
+    // columns would make col(lTs)/col(rTs) ambiguous at analysis
+    require(lTs != rTs,
+      s"intervalJoin requires distinct timestamp column names (both '$lTs')")
     val wm = s"${tolS + delayS} seconds"
     val l = left.withWatermark(lTs, wm)
     val r = right

@@ -206,7 +206,23 @@ object TextOps {
    *  token count.
    */
   def tfidfTopK(
-      docs: DataFrame, idCol: String, textCol: String, k: Int, nDocs: Long): DataFrame = {
+      docs: DataFrame, idCol: String, textCol: String, k: Int, nDocs: Long): DataFrame =
+    tfidfTopKPlan(docs, idCol, textCol, k, lit(nDocs).cast("double"))
+
+  /** Like [[tfidfTopK]] but N (corpus doc count) is folded INTO the
+   *  plan as a 1-row broadcast aggregate instead of a separate eager
+   *  `docs.count()` action — one job per invocation, no second corpus
+   *  pass on the driver's dime.
+   */
+  def tfidfTopK(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).cast("double").as("_n_docs"))
+    tfidfTopKPlan(docs, idCol, textCol, k, col("_n_docs"), Some(n))
+  }
+
+  private def tfidfTopKPlan(
+      docs: DataFrame, idCol: String, textCol: String, k: Int,
+      nDocs: Column, nRel: Option[DataFrame] = None): DataFrame = {
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("token"))
       .where(length(col("token")) > 0)
@@ -214,9 +230,11 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id").orderBy(col("score_ppm").desc, col("token"))
-    tf.join(df, Seq("token"))
+    val joined = nRel.foldLeft(tf.join(df, Seq("token")))(
+      (d, n) => d.crossJoin(broadcast(n)))
+    joined
       .withColumn("idf_ppm",
-        round(log(lit(nDocs).cast("double") / col("df")) * 1e6).cast("long"))
+        round(log(nDocs / col("df")) * 1e6).cast("long"))
       .withColumn("score_ppm", col("tf") * col("idf_ppm"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

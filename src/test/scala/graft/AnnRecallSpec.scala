@@ -45,6 +45,21 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(mean > 0.1)
   }
 
+  test("bruteTopK maxCorpus guard fails loudly instead of launching the cartesian") {
+    assume(TestSpark.hasData, s"dataset ${TestSpark.dataDir} not present — skipping guard check")
+    val emb = Similarity.asDouble(
+      spark.read.parquet(s"${TestSpark.dataDir}/embeddings.parquet"),
+      "vec_id", "embedding")
+    val queries = emb.where(col("vec_id") < 2)
+    val ex = intercept[Exception] {
+      Similarity.bruteTopK(emb, queries, 3, maxCorpus = 10L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("ivfTopK")),
+      s"expected the maxCorpus guard message, got: $ex")
+  }
+
   test("IVF ANN recall@10 vs brute force on sf0.001 embeddings") {
     assume(TestSpark.hasData, s"dataset ${TestSpark.dataDir} not present — skipping recall check")
     val emb = Similarity.asDouble(

@@ -37,6 +37,29 @@ class ApiSpec extends AnyFunSuite {
       "routed agg reads agree across backends")
   }
 
+  test("autoRollupRewrite routes ad-hoc window aggregates to the rollup table") {
+    val root = TestSpark.tmpDir("graft_api_rw")
+    val api = new GraftApi(spark, root, root + "/all_comments",
+      autoRollupRewrite = true)
+    try {
+      api.putData(TestSpark.longDF(Seq(
+        ("api.rw.a", "2024-01-01T01:00:00", 1.0),
+        ("api.rw.a", "2024-01-01T01:00:05", 3.0),
+        ("api.rw.a", "2024-01-01T01:00:11", 5.0))))
+      // an AD-HOC aggregate a user writes over the raw table — never
+      // routed through getData — must still hit the rollup store
+      val q = graft.ops.Rollup.aggregate(
+        graft.store.Tables.readRaw(spark, root), 10L)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(!optimized.contains("Aggregate"),
+        s"rewrite did not fire:\n$optimized")
+      val physical = q.queryExecution.executedPlan.toString
+      assert(physical.contains("/rollup") && !physical.contains("/raw"),
+        s"expected a rollup-only scan:\n$physical")
+      assert(q.orderBy("bucket_s").collect().map(_.getLong(5)).sum == 3L)
+    } finally graft.plans.RollupCatalog.clear()
+  }
+
   test("put/get/search/comments/self-metrics round-trip") {
     val root = TestSpark.tmpDir("graft_api")
     val api = new GraftApi(spark, root, root + "/all_comments")

@@ -187,7 +187,7 @@ class PipelineSpec extends AnyFunSuite {
     val got = Similarity
       .bruteTopK(vecs, vecs.where(col("vec_id") === 0L), 3)
       .orderBy("rank").collect()
-    assert(got.head.getLong(1) == 100L && got.head.getInt(3) == 1)
+    assert(got.head.getLong(1) == 100L && got.head.getLong(3) == 1L)
     assert(got.head.getDouble(2) > 0.99)
   }
 

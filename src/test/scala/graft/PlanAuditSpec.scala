@@ -208,6 +208,26 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("substring_dup_spans shuffles hashed 8-byte window keys, never raw strings") {
+    withPlainPlans {
+      val df = SparkEntry.queries("substring_dup_spans")(spark, sf)
+      val exchanges = df.queryExecution.executedPlan
+        .collectWithSubqueries { case s: ShuffleExchangeExec => s }
+      assert(exchanges.nonEmpty, "expected the hashed-window exchange")
+      val stringKeyed = exchanges.filter {
+        _.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.exists(_.dataType ==
+              org.apache.spark.sql.types.StringType)
+          case _ => false
+        }
+      }
+      assert(stringKeyed.isEmpty,
+        "window dedup exchange regressed to k-char string keys " +
+          "(~6x shuffle volume at k=50)")
+    }
+  }
+
   test("funnel stages stay on the user_id partitioning — bounded exchanges") {
     withPlainPlans {
       val df = SparkEntry.queries("funnel_steps")(spark, sf)

@@ -20,12 +20,16 @@ import duckdb
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(rows, cols):
+def canon(rows, cols, types):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in idx))
-    return [cols[i] for i in idx], sorted(out, key=lambda t: tuple(map(lambda v: (v is None, str(type(v)), v), t)))
+    return (
+        [cols[i] for i in idx],
+        [str(types[i]) for i in idx],
+        sorted(out, key=lambda t: tuple(map(lambda v: (v is None, str(type(v)), v), t))),
+    )
 
 
 def eq(a, b):
@@ -53,19 +57,29 @@ def main():
     for name, sql in sorted(oracle.items()):
         try:
             got_rel = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            gcols, grows = got_rel.columns, got_rel.fetchall()
+            gcols, gtypes, grows = got_rel.columns, got_rel.types, got_rel.fetchall()
             want_rel = con.sql(sql)
-            wcols, wrows = want_rel.columns, want_rel.fetchall()
+            wcols, wtypes, wrows = want_rel.columns, want_rel.types, want_rel.fetchall()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             results[name] = "error"
             fails += 1
             continue
-        gc, gr = canon(grows, gcols)
-        wc, wr = canon(wrows, wcols)
+        gc, gt, gr = canon(grows, gcols, gtypes)
+        wc, wt, wr = canon(wrows, wcols, wtypes)
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
             results[name] = "schema"
+            fails += 1
+            continue
+        # Type-strict: the driver's hash is format-sensitive, so an oracle
+        # column whose DuckDB type differs from the Spark result's parquet
+        # type (e.g. HUGEINT from sum(BIGINT), or DECIMAL) reds in the driver
+        # even when every value coerces equal. Fail it here first.
+        if gt != wt:
+            diffs = [f"{c}: spark={a} oracle={b}" for c, a, b in zip(gc, gt, wt) if a != b]
+            print(f"FAIL {name}: types differ — {'; '.join(diffs)}")
+            results[name] = "type"
             fails += 1
             continue
         if len(gr) != len(wr):
