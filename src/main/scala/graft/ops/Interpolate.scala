@@ -14,10 +14,14 @@ import org.apache.spark.sql.functions._
  * neighbors.
  *
  * Scale shape: one hash aggregation (map-side combined) to the bucket
- * grain, then per-series windows. The exploded grid is bounded by
- * span/bucketS per series — a function of TIME, not of raw cardinality
- * — and the windows partition by series, so work distributes across
- * however many series the corpus has. No driver materialization.
+ * grain, then ONE O(n) running `lead` window over the OBSERVED buckets
+ * only, then a per-gap explode of the missing buckets. Work is
+ * proportional to observed rows + emitted rows; nothing touches an
+ * unbounded-FOLLOWING frame (Spark executes those by re-scanning
+ * current→end for every row — O(n²) per series) and the full grid is
+ * never joined, only generated where a gap exists. The window
+ * partitions by series, so work distributes across however many series
+ * the corpus has. No driver materialization.
  *
  * Determinism (oracle parity): bucket means use the fixed-point ppm
  * pattern — sum exact integers, divide identical operands — and the
@@ -40,29 +44,37 @@ object Interpolate {
       .agg((sum(col("ppm")).cast("double") /
         (count(lit(1)).cast("double") * lit(1e6))).as("v_obs"))
 
-    // the regular grid spans first..last observed bucket per series
-    val grid = r.groupBy("dataset_id")
-      .agg(min("b").as("b0"), max("b").as("b1"))
-      .select(col("dataset_id"), explode(sequence(col("b0"), col("b1"))).as("b"))
-
+    // consecutive observed pairs per series: a 1-row lookahead (O(n)
+    // running frame), computed over OBSERVED buckets only — the grid
+    // between them is generated, never joined
     val byDs = Window.partitionBy("dataset_id").orderBy("b")
-    val back = byDs.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val fwd = byDs.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val obsB = when(col("v_obs").isNotNull, col("b"))
+    val seg = r
+      .withColumn("nb", lead(col("b"), 1).over(byDs))
+      .withColumn("nv", lead(col("v_obs"), 1).over(byDs))
 
-    grid.join(r, Seq("dataset_id", "b"), "left")
-      .withColumn("pv", last(col("v_obs"), ignoreNulls = true).over(back))
-      .withColumn("pb", last(obsB, ignoreNulls = true).over(back))
-      .withColumn("nv", first(col("v_obs"), ignoreNulls = true).over(fwd))
-      .withColumn("nb", first(obsB, ignoreNulls = true).over(fwd))
+    val observed = seg.select(
+      col("dataset_id"),
+      (col("b") * lit(bucketS)).as("bucket_s"),
+      col("v_obs").as("v"),
+      lit(false).as("filled"))
+
+    // every missing bucket lies strictly inside exactly one observed
+    // pair (the grid spans first..last observed); interpolate with the
+    // same IEEE tree as before: pv + (nv-pv) * ((b-pb)/(nb-pb))
+    val filled = seg
+      .where(col("nb").isNotNull && col("nb") > col("b") + lit(1L))
+      .select(
+        col("dataset_id"), col("b").as("pb"), col("v_obs").as("pv"),
+        col("nb"), col("nv"),
+        explode(sequence(col("b") + lit(1L), col("nb") - lit(1L))).as("bm"))
       .select(
         col("dataset_id"),
-        (col("b") * lit(bucketS)).as("bucket_s"),
-        when(col("v_obs").isNotNull, col("v_obs"))
-          .otherwise(col("pv") + (col("nv") - col("pv")) *
-            ((col("b") - col("pb")).cast("double") /
-              (col("nb") - col("pb")).cast("double")))
-          .as("v"),
-        col("v_obs").isNull.as("filled"))
+        (col("bm") * lit(bucketS)).as("bucket_s"),
+        (col("pv") + (col("nv") - col("pv")) *
+          ((col("bm") - col("pb")).cast("double") /
+            (col("nb") - col("pb")).cast("double"))).as("v"),
+        lit(true).as("filled"))
+
+    observed.unionByName(filled)
   }
 }
