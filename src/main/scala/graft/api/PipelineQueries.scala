@@ -247,23 +247,14 @@ object PipelineQueries {
           col("doc_id"),
           round(col("sum_lp_ppm").cast("double") / col("n_tok"))
             .cast("long").as("avg_lp_ppm"))
-      val tri = d.select(
-          col("doc_id"),
-          size(TextOps.tokens(col("text"))).cast("long").as("n_words"),
-          TextOps.shinglesOf(TextOps.tokens(col("text")), 3).as("tris"))
+      val sig = TextOps.repetitionSignals(d, "doc_id", "text")
         .select(
-          col("doc_id"), col("n_words"),
-          size(col("tris")).cast("long").as("n_tri"),
-          size(array_distinct(col("tris"))).cast("long").as("n_tri_uniq"))
-        .withColumn("dup_tri_ppm",
+          col("doc_id"), col("n_tok").as("n_words"),
           round((lit(1.0) - col("n_tri_uniq").cast("double") / col("n_tri")) * 1e6)
-            .cast("long"))
-      val tok = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
-        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          round(max(col("c")).cast("double") / sum(col("c")) * 1e6)
+            .cast("long").as("dup_tri_ppm"),
+          round(col("top_tok_n").cast("double") / col("n_tok") * 1e6)
             .cast("long").as("top_tok_ppm"))
-      tri.join(tok, Seq("doc_id")).join(lp, Seq("doc_id"))
+      sig.join(lp, Seq("doc_id"))
         .select(
           col("doc_id"),
           when(col("n_words") < 20, "too_short")
@@ -465,27 +456,14 @@ object PipelineQueries {
     // repetition signals (Gopher/C4-style quality filters): duplicate
     // trigram fraction from a narrow projection, dominant-token ratio
     // from one token aggregation — joined per doc
-    "repetition_stats" -> ((s, dir) => {
-      val d = docs(s, dir)
-      val tri = d.select(
-        col("doc_id"),
-        TextOps.shinglesOf(TextOps.tokens(col("text")), 3).as("tris"))
-        .select(
-          col("doc_id"),
-          size(col("tris")).cast("long").as("n_tri"),
-          size(array_distinct(col("tris"))).cast("long").as("n_tri_uniq"))
-      val tok = d.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tk"))
-        .groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id").agg(
-          sum(col("c")).as("n_tok"), max(col("c")).as("top_tok_n"))
-      tri.join(tok, Seq("doc_id"))
+    "repetition_stats" -> ((s, dir) =>
+      TextOps.repetitionSignals(docs(s, dir), "doc_id", "text")
         .select(
           col("doc_id"), col("n_tok"), col("top_tok_n"),
           r6(col("top_tok_n").cast("double") / col("n_tok")).as("top_tok_ratio"),
           col("n_tri"), col("n_tri_uniq"),
           r6(lit(1.0) - col("n_tri_uniq").cast("double") / col("n_tri")).as("dup_tri_frac"))
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
     // symmetric int8 quantization of the embedding column — the storage
     // form a 100 TB ANN index actually keeps (4× smaller, SIMD-friendly);
     // emitted as exact integer summaries (sum, saturation count) plus

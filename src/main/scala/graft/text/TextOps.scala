@@ -39,6 +39,42 @@ object TextOps {
    */
   def shingles(text: Column, k: Int = 3): Column = shinglesOf(tokens(text), k)
 
+  /** Per-doc repetition signals (Gopher/C4-style quality inputs) in ONE
+   *  narrow projection — no explode, no aggregation, no join. Output:
+   *  `doc_id, n_tok, top_tok_n, n_tri, n_tri_uniq` where `top_tok_n`
+   *  is the dominant token's occurrence count (max run length over the
+   *  sorted in-row token array — one O(n log n) sort + one O(n) fold
+   *  per document) and the trigram columns count total / distinct
+   *  3-shingles. The equivalent explode → groupBy(doc, tok) →
+   *  groupBy(doc) → join formulation shuffles the corpus token stream
+   *  twice and the doc spine once; this shape shuffles NOTHING — at
+   *  100 TB the signals ride the scan.
+   */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    // max run in the sorted array == max per-token count; the initial
+    // prev="" sentinel is safe: a real "" first token just starts its
+    // run at 0+1 like any other first element
+    val topTok = aggregate(
+      array_sort(col("toks")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    toked
+      .withColumn("tris", shinglesOf(col("toks"), 3))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tok"),
+        topTok.as("top_tok_n"),
+        size(col("tris")).cast("long").as("n_tri"),
+        size(array_distinct(col("tris"))).cast("long").as("n_tri_uniq"))
+  }
+
   private val StopWords = Seq("the", "a", "data", "key")
 
   /** The quality-stat columns (single source of truth — `stats` and

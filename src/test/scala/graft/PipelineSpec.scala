@@ -198,6 +198,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.head.getLong(1) == 100L)
   }
 
+  test("repetition signals: dominant-token run, trigram totals, no shuffle") {
+    val d = Seq(
+      (1L, "a b a b a b c"), // 7 toks, 'a'×3 dominant, 5 tris, "a b a"/"b a b" repeat
+      (2L, "x y"),           // under 3 tokens: zero trigrams
+      (3L, "z z z z")        // 4 toks all 'z': 2 tris, 1 distinct
+    ).toDF("doc_id", "text")
+    val got = TextOps.repetitionSignals(d, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).getLong(1) == 7 && got(0).getLong(2) == 3)
+    assert(got(0).getLong(3) == 5 && got(0).getLong(4) == 3)
+    assert(got(1).getLong(1) == 2 && got(1).getLong(2) == 1)
+    assert(got(1).getLong(3) == 0 && got(1).getLong(4) == 0)
+    assert(got(2).getLong(1) == 4 && got(2).getLong(2) == 4)
+    assert(got(2).getLong(3) == 2 && got(2).getLong(4) == 1)
+    // the signals must ride the scan: one narrow projection, no exchange
+    val plan = TextOps.repetitionSignals(d, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected a shuffle-free plan:\n$plan")
+  }
+
   test("text stats, token counts, fingerprint, winnow, lang-id on known input") {
     val d = Seq((1L, "the a data key word")).toDF("doc_id", "text")
     val st = TextOps.stats(d, "doc_id", "text").head()
