@@ -551,15 +551,20 @@ object PipelineQueries {
     // 100 TB path where the holdout shingle set itself is too big to
     // join raw. Deterministic false positives ⇒ still fully oracled.
     "bloom_decontaminate" -> ((s, dir) => {
+      // hash DURING the explode and distinct on (doc_id, 8-byte h)
+      // instead of the raw shingle string — the oracle's `pass` CTE
+      // groups by (doc_id, h) too, so distinct-hash counting is the
+      // EXACT shared semantic, collisions included
       val sh = docs(s, dir)
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
         .select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), 3)).as("sh"))
+        .select(col("doc_id"), Sketches.bloomHash60(col("sh")).as("h"))
         .distinct()
       Dedup.withScopedPersist(sh) {
         Sketches.bloomMember(
-            sh.where(col("doc_id") % 50 === 0).select("sh"), "sh",
-            sh.where(col("doc_id") % 50 =!= 0), "sh",
-            kHash = BloomK, mBits = BloomBits)
+            sh.where(col("doc_id") % 50 === 0).select("h"), "h",
+            sh.where(col("doc_id") % 50 =!= 0), "h",
+            kHash = BloomK, mBits = BloomBits, preHashed = true)
           .groupBy("doc_id").agg(count(lit(1)).as("n_bloom"))
           .where(col("n_bloom") >= 3)
       }.orderBy("doc_id")

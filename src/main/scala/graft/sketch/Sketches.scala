@@ -203,9 +203,18 @@ object Sketches {
    *
    * Output: `probes` rows whose `keyCol` is (apparently) in `keys`.
    */
+  /** The Bloom layout's engine-portable 60-bit key hash (top 15 hex
+   *  chars of md5). Public so callers can pre-hash keys — e.g. hash
+   *  during the shingle explode and `distinct()` on the 8-byte hash
+   *  instead of the raw string, shrinking the dedup shuffle — and pass
+   *  `preHashed = true` to [[bloomMember]].
+   */
+  def bloomHash60(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   def bloomMember(
       keys: DataFrame, keyCol: String, probes: DataFrame, probeKeyCol: String,
-      kHash: Int = 3, mBits: Int = 18): DataFrame = {
+      kHash: Int = 3, mBits: Int = 18, preHashed: Boolean = false): DataFrame = {
     // the kHash positions are disjoint bit-slices of ONE 60-bit
     // md5-derived hash — one hash evaluation per key (not kHash), and
     // the per-position work is pure bit arithmetic. Slices of a single
@@ -215,8 +224,7 @@ object Sketches {
       "bloom slices must fit the 60-bit hash")
     val wMask = (1L << mBits) - 1
     val nWords = 1 << (mBits - 6)
-    def h60(c: Column): Column =
-      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    def h60(c: Column): Column = if (preHashed) c else bloomHash60(c)
     // (j, word-index) → OR of set bits; tiny after map-side combine
     val wordRows = keys
       .select(h60(col(keyCol)).as("h"))
