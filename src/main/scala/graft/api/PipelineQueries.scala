@@ -1,6 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
@@ -128,6 +129,27 @@ object PipelineQueries {
       Dedup.exactDups(exactCorpus(s, dir), "doc_id", "text")
         .select(col("h"), col("keep_id"), col("n_docs"))
         .orderBy("h")),
+    // normalization-aware exact dedup: case/whitespace variants (an
+    // UPPERCASED, space-doubled, padded copy of every 25th doc) hash
+    // apart under raw-text dedup but together after lower + collapse +
+    // trim — the cheap pre-pass every web-scale pipeline runs before
+    // fuzzy matching. One hash-grain aggregation; scales like
+    // dedup_exact.
+    "normalized_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val variants = d.where(col("doc_id") % 25 === 0)
+        .select(
+          (col("doc_id") + 200000).as("doc_id"),
+          concat(lit("  "), upper(regexp_replace(col("text"), " ", "  ")),
+            lit("  ")).as("text"))
+      d.unionByName(variants)
+        .select(col("doc_id"),
+          md5(trim(regexp_replace(lower(col("text")), " +", " "))).as("h"))
+        .groupBy("h")
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_docs"))
+        .where(col("n_docs") > 1)
+        .orderBy("h")
+    }),
     "jaccard_pairs" -> ((s, dir) => {
       val sh = Dedup.shingleSet(nearDupCorpus(s, dir), "doc_id", "text")
       Dedup.withScopedPersist(sh)(Dedup.exactJaccardPairs(sh, JaccardThreshold))
@@ -356,6 +378,67 @@ object PipelineQueries {
     // corpus-unigram-LM fluency score per doc (exact ppm integers)
     "doc_logprob" -> ((s, dir) =>
       TextOps.docLogProb(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // CCNet-style perplexity partition: head/middle/tail thirds by
+    // corpus-LM fluency, with tail dropped. The tercile cutoffs come
+    // from a BOUNDED 1024-cell grid over the integer ppm score — two
+    // constant-size aggregations and a broadcast of two scalars, never
+    // a global sort/ntile over the corpus (the way CCNet derives
+    // thresholds from a sample, re-expressed exactly). All integer
+    // arithmetic, so bucket membership is engine-deterministic.
+    "ccnet_buckets" -> ((s, dir) => {
+      val lp = TextOps.docLogProb(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"),
+          round(col("sum_lp_ppm").cast("double") / col("n_tok"))
+            .cast("long").as("avg_lp_ppm"))
+      Dedup.withScopedPersist(lp) {
+        val bounds = broadcast(lp.agg(
+          min("avg_lp_ppm").as("lo"), max("avg_lp_ppm").as("hi"),
+          count(lit(1)).as("n")))
+        val g = lp.crossJoin(bounds)
+          .withColumn("gb",
+            when(col("hi") === col("lo"), lit(0L))
+              .otherwise(least(lit(1023L),
+                expr("(avg_lp_ppm - lo) * 1024L div (hi - lo)"))))
+        val cum = g.groupBy("gb").agg(count(lit(1)).as("c"))
+          // ≤1024 rows: the unpartitioned window is constant-size
+          .withColumn("cum", sum("c").over(
+            Window.orderBy("gb")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        val cuts = broadcast(cum.crossJoin(bounds.select(col("n")))
+          .agg(
+            min(when(col("cum") * 3 >= col("n"), col("gb"))).as("c33"),
+            min(when(col("cum") * 3 >= col("n") * 2, col("gb"))).as("c67")))
+        g.crossJoin(cuts)
+          .select(
+            col("doc_id"), col("avg_lp_ppm"),
+            when(col("gb") <= col("c33"), "tail")
+              .when(col("gb") <= col("c67"), "middle")
+              .otherwise("head").as("bucket"))
+          .withColumn("kept", col("bucket") =!= "tail")
+      }.orderBy("doc_id")
+    }),
+    // memorization-risk signal: per doc, how much of it is globally
+    // UNIQUE text — the fraction of its 5-gram shingles appearing in no
+    // other document (df = 1). Shingles travel as 60-bit hashes (the
+    // oracle computes the identical md5 slice); df rides ONE window
+    // over the hash-partitioned postings — skew bounded by corpus doc
+    // count per shingle — then one doc-grain aggregation.
+    "memorization_risk" -> ((s, dir) => {
+      val sh = docs(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), 5)).as("sh"))
+        .select(col("doc_id"), Sketches.bloomHash60(col("sh")).as("h"))
+        .distinct()
+      sh.withColumn("df", count(lit(1)).over(Window.partitionBy("h")))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("uniq_ppm",
+          round(col("n_unique").cast("double") * 1e6 / col("n_shingles"))
+            .cast("long"))
+        .orderBy("doc_id")
+    }),
     // portable HyperLogLog over a high-cardinality key — registers,
     // sum, and estimate all reproduced by the SQL oracle (the exact
     // count rides along so the sketch error is visible)
@@ -966,6 +1049,18 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 10 = 0)
         |SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM corpus GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
+    "normalized_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000,
+        |    '  ' || replace(upper(text), ' ', '  ') || '  '
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |n AS (SELECT doc_id,
+        |        md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS h
+        |      FROM corpus)
+        |SELECT h, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM n GROUP BY 1 HAVING count(*) > 1 ORDER BY h""".stripMargin,
     "jaccard_pairs" -> jaccardOracle,
     "quality_verdict" ->
       """WITH tf AS (
@@ -1394,6 +1489,65 @@ object PipelineQueries {
         |  CAST(sum(tf * lp_ppm) AS DOUBLE) / (sum(tf) * 1000000.0) AS avg_logp
         |FROM tf JOIN lp USING (token)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the doc_logprob lineage, then integer tercile cutoffs from the
+    // same 1024-cell grid the engine uses — bucket membership is pure
+    // integer arithmetic on both sides
+    "ccnet_buckets" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0 GROUP BY 1, 2),
+        |cnt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+        |t AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM cnt),
+        |lpt AS (SELECT token,
+        |          CAST(round(ln(CAST(cnt AS DOUBLE) / t.t) * 1000000) AS BIGINT)
+        |            AS lp_ppm
+        |        FROM cnt, t),
+        |lp AS (
+        |  SELECT doc_id, CAST(round(
+        |      CAST(sum(tf * lp_ppm) AS DOUBLE) / CAST(sum(tf) AS BIGINT))
+        |    AS BIGINT) AS avg_lp_ppm
+        |  FROM tf JOIN lpt USING (token) GROUP BY 1),
+        |b AS (SELECT min(avg_lp_ppm) AS lo, max(avg_lp_ppm) AS hi,
+        |        count(*) AS n FROM lp),
+        |g AS (
+        |  SELECT doc_id, avg_lp_ppm,
+        |    CASE WHEN b.hi = b.lo THEN 0
+        |         ELSE least(1023, (avg_lp_ppm - b.lo) * 1024 // (b.hi - b.lo))
+        |    END AS gb
+        |  FROM lp, b),
+        |bc AS (SELECT gb, count(*) AS c FROM g GROUP BY 1),
+        |cum AS (SELECT gb, sum(c) OVER (ORDER BY gb
+        |          ROWS UNBOUNDED PRECEDING) AS cum FROM bc),
+        |cuts AS (
+        |  SELECT min(CASE WHEN cum * 3 >= b.n THEN gb END) AS c33,
+        |         min(CASE WHEN cum * 3 >= b.n * 2 THEN gb END) AS c67
+        |  FROM cum, b)
+        |SELECT doc_id, avg_lp_ppm,
+        |  CASE WHEN gb <= c33 THEN 'tail'
+        |       WHEN gb <= c67 THEN 'middle'
+        |       ELSE 'head' END AS bucket,
+        |  (CASE WHEN gb <= c33 THEN 'tail'
+        |        WHEN gb <= c67 THEN 'middle'
+        |        ELSE 'head' END) <> 'tail' AS kept
+        |FROM g, cuts ORDER BY doc_id""".stripMargin,
+    // 5-gram df over the identical md5-derived 60-bit shingle hash the
+    // engine shuffles (bloomHash60), so df=1 membership — collisions
+    // included — is the shared semantic
+    "memorization_risk" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
+        |sh0 AS (SELECT DISTINCT doc_id, ('0x' || substr(md5(sh), 1, 15))::BIGINT AS h
+        |  FROM (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tokens) - 4),
+        |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2] || ' ' ||
+        |         tokens[i+3] || ' ' || tokens[i+4])) AS sh FROM tok)),
+        |df AS (SELECT h, count(*) AS df FROM sh0 GROUP BY 1)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+        |  CAST(round(CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    * 1000000 / count(*)) AS BIGINT) AS uniq_ppm
+        |FROM sh0 JOIN df USING (h) GROUP BY 1 ORDER BY doc_id""".stripMargin,
     "inverted_index" ->
       """WITH t AS (
         |  SELECT token, doc_id, count(*) AS n_occ FROM (

@@ -208,6 +208,41 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("memorization_risk shuffles 8-byte shingle hashes, never raw 5-grams") {
+    withPlainPlans {
+      val df = SparkEntry.queries("memorization_risk")(spark, sf)
+      val exchanges = df.queryExecution.executedPlan
+        .collectWithSubqueries { case s: ShuffleExchangeExec => s }
+      assert(exchanges.nonEmpty, "expected the hash-partitioned df exchange")
+      val stringKeyed = exchanges.filter {
+        _.outputPartitioning match {
+          case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning =>
+            h.expressions.exists(_.dataType ==
+              org.apache.spark.sql.types.StringType)
+          case _ => false
+        }
+      }
+      assert(stringKeyed.isEmpty,
+        "shingle df exchange regressed to raw 5-gram string keys")
+    }
+  }
+
+  test("ccnet_buckets derives cutoffs from the bounded grid, not a corpus ntile") {
+    withPlainPlans {
+      val df = SparkEntry.queries("ccnet_buckets")(spark, sf)
+      val windows = df.queryExecution.executedPlan
+        .collectWithSubqueries {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }
+      // the only window is the cumulative count over the ≤1024-cell
+      // grid — any window ranking the corpus itself (ntile/row_number
+      // over all docs) would be a global-sort scale hazard
+      assert(windows.forall(w => !w.windowExpression.exists(
+        _.toString.contains("ntile"))),
+        "ccnet_buckets must not rank the corpus with ntile")
+    }
+  }
+
   test("substring_dup_spans shuffles hashed 8-byte window keys, never raw strings") {
     withPlainPlans {
       val df = SparkEntry.queries("substring_dup_spans")(spark, sf)
