@@ -422,6 +422,47 @@ object CoreQueries {
             sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr"))
     }),
 
+    // ---- time-series similarity search: top-k most-correlated series
+    // per series ("which series behave like this one"), exact all-pairs
+    // Pearson over shared 100 s buckets with the series_corr_100s float
+    // discipline (r6 means in, six raw sums, r6 BEFORE ranking so rank
+    // order is engine-deterministic). Exact is the right tool at
+    // catalog scale (pairs are series², NOT points²); the 10⁶-series
+    // path vectorizes each series over the same fixed grid and routes
+    // through the ANN tier (ivfTopK/LSH) instead of the pair join ----
+    "series_similarity_100s" -> ((s, dir) => {
+      val m = Rollup.aggregate(ev(s, dir), 100)
+        .select(col("dataset_id"), col("bucket_s"),
+          r6(col("sum_v") / col("cnt")).as("m"))
+      val a = m.select(col("dataset_id").as("a"), col("bucket_s"), col("m").as("x"))
+      val b = m.select(col("dataset_id").as("b"), col("bucket_s"), col("m").as("y"))
+      a.join(b, Seq("bucket_s")).where(col("a") =!= col("b"))
+        .groupBy("a", "b")
+        .agg(
+          count(lit(1)).cast("double").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        // constant series (zero variance on the shared buckets) carry
+        // no correlation signal — drop the pair, don't divide by zero
+        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+        .where(col("vx") > 0 && col("vy") > 0)
+        .withColumn("r",
+          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(col("vx")) * sqrt(col("vy")))))
+        .withColumn("rank",
+          row_number().over(
+            org.apache.spark.sql.expressions.Window.partitionBy("a")
+              .orderBy(col("r").desc, col("b")))
+            .cast("long"))
+        .where(col("rank") <= 3)
+        .select(col("a").as("dataset_id"), col("b").as("neighbor"),
+          col("r"), col("rank"))
+        .orderBy("dataset_id", "rank")
+    }),
+
     // ---- distinct aggregation ---------------------------------------
     "distinct_users" -> ((s, dir) =>
       rawEvents(s, dir).groupBy(col("event_type").as("dataset_id"))
@@ -1041,6 +1082,33 @@ object CoreQueries {
         |  round((n * sxy - sx * sy) /
         |        (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS corr
         |FROM s""".stripMargin,
+    "series_similarity_100s" ->
+      """WITH r0 AS (
+        |  SELECT event_type AS dataset_id,
+        |    (epoch_us(ts) // 100000000) * 100 AS bucket_s,
+        |    round(sum(value) / count(*), 6) AS m
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT a.dataset_id AS a, b.dataset_id AS b,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    sum(a.m) AS sx, sum(b.m) AS sy, sum(a.m * b.m) AS sxy,
+        |    sum(a.m * a.m) AS sxx, sum(b.m * b.m) AS syy
+        |  FROM r0 a JOIN r0 b USING (bucket_s)
+        |  WHERE a.dataset_id <> b.dataset_id
+        |  GROUP BY 1, 2),
+        |c AS (
+        |  SELECT a, b,
+        |    round((n * sxy - sx * sy) /
+        |          (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6) AS r
+        |  FROM p
+        |  WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0),
+        |k AS (SELECT a, b, r,
+        |        row_number() OVER (PARTITION BY a ORDER BY r DESC, b) AS rank
+        |      FROM c)
+        |SELECT a AS dataset_id, b AS neighbor, r, CAST(rank AS BIGINT) AS rank
+        |FROM k WHERE rank <= 3 ORDER BY dataset_id, rank""".stripMargin,
     "distinct_users" ->
       """SELECT event_type AS dataset_id, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -85,11 +85,17 @@ object PipelineQueries {
    */
   private val minhashPairsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private def minhashPairs(s: SparkSession, dir: String): DataFrame =
+  private def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // bound the memo: a long-lived serving process cycling many scale
+    // dirs must not accumulate checkpointed graphs without limit — the
+    // consumers only ever need the dir they are on, so a full clear on
+    // overflow is simplest and loses at most one warm graph per epoch
+    if (minhashPairsCache.size > 8) minhashPairsCache.clear()
     minhashPairsCache.computeIfAbsent((s, dir), { key =>
       Dedup.minhashDedup(nearDupCorpus(key._1, key._2), "doc_id", "text",
         JaccardThreshold)
     })
+  }
 
   /** documents ∪ near-dup copies (3 appended tokens, ids offset by
    *  100000) of every 50th doc — the holdout (doc_id % 50 == 0, id <
