@@ -384,6 +384,22 @@ object PipelineQueries {
     // corpus-unigram-LM fluency score per doc (exact ppm integers)
     "doc_logprob" -> ((s, dir) =>
       TextOps.docLogProb(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // RAG-style chunking: fixed 200-char windows at stride 160 (40-char
+    // overlap), the indexing-side primitive an embedding pipeline runs
+    // before embed+ANN. Pure narrow explode — chunk count rides the
+    // scan, no shuffle before the output sort; chunks travel as
+    // (idx, length, md5) so the oracle needs no raw-text compare
+    "chunk_documents" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), greatest(length(col("text")), lit(1)), lit(160)),
+            i => col("text").substr(i, lit(200)))).as(Seq("chunk_idx", "chunk")))
+        .select(
+          col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          length(col("chunk")).cast("long").as("n_chars"),
+          md5(col("chunk")).as("h"))
+        .orderBy("doc_id", "chunk_idx")),
     // CCNet-style perplexity partition: head/middle/tail thirds by
     // corpus-LM fluency, with tail dropped. The tercile cutoffs come
     // from a BOUNDED 1024-cell grid over the integer ppm score — two
@@ -1495,6 +1511,17 @@ object PipelineQueries {
         |  CAST(sum(tf * lp_ppm) AS DOUBLE) / (sum(tf) * 1000000.0) AS avg_logp
         |FROM tf JOIN lp USING (token)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "chunk_documents" ->
+      """WITH c AS (
+        |  SELECT doc_id, (i - 1) // 160 AS chunk_idx,
+        |    substr(text, CAST(i AS INTEGER), 200) AS chunk
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(generate_series(1, greatest(len(text), 1), 160)) AS i
+        |    FROM documents))
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(len(chunk) AS BIGINT) AS n_chars, md5(chunk) AS h
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
     // the doc_logprob lineage, then integer tercile cutoffs from the
     // same 1024-cell grid the engine uses — bucket membership is pure
     // integer arithmetic on both sides
