@@ -97,6 +97,23 @@ object PipelineQueries {
     })
   }
 
+  /** Session-scoped memo of the corpus-unigram-LM per-doc scores
+   *  (TextOps.docLogProb) — doc_logprob, ccnet_buckets, and
+   *  quality_verdict all consume the identical tf→vocabulary→join→doc
+   *  lineage; the memo hands each the same eagerly-checkpointed
+   *  doc-grain result (tiny: one row per doc). Same bounding rule as
+   *  [[minhashPairsCache]].
+   */
+  private val docLogProbCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private def docLogProbMemo(s: SparkSession, dir: String): DataFrame = {
+    if (docLogProbCache.size > 8) docLogProbCache.clear()
+    docLogProbCache.computeIfAbsent((s, dir), { key =>
+      TextOps.docLogProb(docs(key._1, key._2), "doc_id", "text")
+        .localCheckpoint(true)
+    })
+  }
+
   /** documents ∪ near-dup copies (3 appended tokens, ids offset by
    *  100000) of every 50th doc — the holdout (doc_id % 50 == 0, id <
    *  100000) has planted fuzzy leaks into the training side. The
@@ -270,7 +287,7 @@ object PipelineQueries {
     // doc_logprob lineages composed
     "quality_verdict" -> ((s, dir) => {
       val d = docs(s, dir)
-      val lp = TextOps.docLogProb(d, "doc_id", "text")
+      val lp = docLogProbMemo(s, dir)
         .select(
           col("doc_id"),
           round(col("sum_lp_ppm").cast("double") / col("n_tok"))
@@ -383,7 +400,7 @@ object PipelineQueries {
         .orderBy("token")),
     // corpus-unigram-LM fluency score per doc (exact ppm integers)
     "doc_logprob" -> ((s, dir) =>
-      TextOps.docLogProb(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+      docLogProbMemo(s, dir).orderBy("doc_id")),
     // RAG-style chunking: fixed 200-char windows at stride 160 (40-char
     // overlap), the indexing-side primitive an embedding pipeline runs
     // before embed+ANN. Pure narrow explode — chunk count rides the
@@ -408,7 +425,7 @@ object PipelineQueries {
     // thresholds from a sample, re-expressed exactly). All integer
     // arithmetic, so bucket membership is engine-deterministic.
     "ccnet_buckets" -> ((s, dir) => {
-      val lp = TextOps.docLogProb(docs(s, dir), "doc_id", "text")
+      val lp = docLogProbMemo(s, dir)
         .select(col("doc_id"),
           round(col("sum_lp_ppm").cast("double") / col("n_tok"))
             .cast("long").as("avg_lp_ppm"))
