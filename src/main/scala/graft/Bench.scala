@@ -52,9 +52,10 @@ object Bench {
     // first parquet-backed job in a fresh JVM pays multi-second reader
     // + codegen initialization (measured ~4 s) — touch each input table
     // once so per-query numbers reflect the long-running steady state.
-    // events.parquet carries TIMESTAMP(NANOS): without nanosAsLong the
-    // plain read throws eagerly and the warmup silently skips the very
-    // table most queries scan first
+    // older testdata generations carry TIMESTAMP(NANOS) in events.parquet
+    // (current ones write TIMESTAMP(MICROS)): without nanosAsLong a NANOS
+    // read throws eagerly and the warmup silently skips the very table
+    // most queries scan first
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     for (tbl <- Seq("lineitem", "events", "documents", "embeddings"))
       try spark.read.parquet(s"$sfDir/$tbl.parquet").limit(100).collect()

@@ -19,15 +19,37 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // A query that crashes must still produce an output directory: a
+    // 1-row marker parquet whose only column is `__graft_error__`. The
+    // downstream compare then records an explicit red entry (schema and
+    // rows can never match an oracle) instead of silently omitting the
+    // query and letting the round's correctness file shrink while
+    // reading as a full pass (round-6 ADVICE item).
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
+    val names = SparkEntry.queries.keySet
+      .filter(name => only.isEmpty || only(name))
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        failures(name) = msg
+        System.err.println(s"[verify] $name failed: $msg")
+        try {
+          import spark.implicits._
+          Seq(s"$name: $msg").toDF("__graft_error__")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
     }
+    // loud coverage self-check: every selected query must have an output
+    val missing = names.filter(n => !Files.exists(Paths.get(s"$outDir/$n")))
+    if (missing.nonEmpty)
+      System.err.println(s"[verify] MISSING OUTPUTS: ${missing.mkString(", ")}")
+    System.err.println(
+      s"[verify] ${names.size} queries, ${failures.size} failed, ${missing.size} missing")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -95,6 +95,12 @@ object CoreQueries {
           raw.where(
             col("event_type") === "purchase" &&
               col("ts").between(Day5Us * 1000L, Day6Us * 1000L + 999L))
+        case ntz @ org.apache.spark.sql.types.TimestampNTZType =>
+          // µs-precision NTZ: the bounds are exact, and the folded NTZ
+          // literals push to the parquet scan just like the long ones
+          raw.where(
+            col("event_type") === "purchase" &&
+              col("ts").between(Melt.tsLit(ntz, Day5Us), Melt.tsLit(ntz, Day6Us)))
         case _ => raw.where(col("event_type") === "purchase")
       }
       RangeQuery.full(Melt.events(pushable), "purchase", Day5Us, Day6Us)
@@ -521,7 +527,11 @@ object CoreQueries {
       // N+1 flushes what batch N's max event time unlocked — sentinel 1
       // flushes all but the last real window, sentinel 2 flushes the
       // rest. The sentinels' own (unflushed) windows are filtered below.
-      val maxTsNs = evb.agg(max("ts")).head().getLong(0)
+      // max event time in epoch-µs, independent of the file's physical
+      // ts encoding (long nanos in older testdata, TIMESTAMP_NTZ µs in
+      // current) — sentinels below are rendered back via Melt.tsLit
+      val maxTsUs = evb.select(Melt.tsUs(evb, "ts").as("us"))
+        .agg(max("us")).head().getLong(0)
       val base = System.currentTimeMillis()
       java.nio.file.Files.setLastModifiedTime(
         srcDir.resolve("a_events.parquet"),
@@ -531,7 +541,8 @@ object CoreQueries {
         // then move the part file up as a sibling of the events symlink
         val scratch = srcDir.resolve(s"scratch$k")
         evb.limit(1)
-          .withColumn("ts", lit(maxTsNs + k * 86400L * 1000000000L))
+          .withColumn("ts",
+            Melt.tsLit(evb.schema("ts").dataType, maxTsUs + k * 86400L * 1000000L))
           .withColumn("event_type", lit("zzsentinel"))
           .coalesce(1)
           .write.parquet(scratch.toString)
@@ -588,12 +599,14 @@ object CoreQueries {
       java.nio.file.Files.createSymbolicLink(
         srcDir.resolve("events.parquet"),
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-      def side(tpe: String, idAs: String, tsAs: String) =
-        s.readStream.schema(evb.schema).parquet(srcDir.toString)
-          .where(col("event_type") === tpe)
+      def side(tpe: String, idAs: String, tsAs: String) = {
+        val st = s.readStream.schema(evb.schema).parquet(srcDir.toString)
+        st.where(col("event_type") === tpe)
           .select(
             col("event_id").as(idAs), col("user_id"),
-            timestamp_micros(expr("ts div 1000")).as(tsAs))
+            // tsUs normalizes either physical ts encoding to epoch-µs
+            timestamp_micros(Melt.tsUs(st, "ts")).as(tsAs))
+      }
       val joined = graft.streaming.StreamJoin.intervalJoin(
         side("purchase", "p_id", "p_ts"),
         side("view", "v_id", "v_ts").drop("v_id"),

@@ -53,13 +53,33 @@ object Melt {
       case _ => unix_micros(col(tsCol))
     }
 
-  /** Read a parquet file that may carry TIMESTAMP(NANOS) columns (the
-   *  driver's events table does); Spark rejects those by default, so we
-   *  opt into the documented legacy nanos-as-long read.
+  /** Read a parquet file that may carry TIMESTAMP(NANOS) columns
+   *  (earlier driver testdata generations did; current ones write
+   *  TIMESTAMP(MICROS), which reads natively as TIMESTAMP_NTZ); Spark
+   *  rejects NANOS by default, so we opt into the documented legacy
+   *  nanos-as-long read. Downstream code must treat the resulting `ts`
+   *  dtype as data-dependent — go through [[tsUs]] / [[tsLit]], never
+   *  assume LongType.
    */
   def readTsParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(path)
+  }
+
+  /** Inverse of [[tsUs]]: render an epoch-µs instant as a literal in the
+   *  given physical ts encoding, so synthesized rows (e.g. streaming
+   *  watermark sentinels) stay schema-compatible with the source files
+   *  whether the driver wrote TIMESTAMP(NANOS) (long nanos) or
+   *  TIMESTAMP(MICROS) (TIMESTAMP_NTZ).
+   */
+  def tsLit(
+      dt: org.apache.spark.sql.types.DataType,
+      us: Long): org.apache.spark.sql.Column = dt match {
+    case org.apache.spark.sql.types.LongType => lit(us * 1000L)
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      // session TZ is pinned to UTC, so the LTZ→NTZ cast is instant-preserving
+      timestamp_micros(lit(us)).cast(org.apache.spark.sql.types.TimestampNTZType)
+    case _ => timestamp_micros(lit(us))
   }
 
   /**
