@@ -440,32 +440,21 @@ object CoreQueries {
       val m = Rollup.aggregate(ev(s, dir), 100)
         .select(col("dataset_id"), col("bucket_s"),
           r6(col("sum_v") / col("cnt")).as("m"))
-      val a = m.select(col("dataset_id").as("a"), col("bucket_s"), col("m").as("x"))
-      val b = m.select(col("dataset_id").as("b"), col("bucket_s"), col("m").as("y"))
-      a.join(b, Seq("bucket_s")).where(col("a") =!= col("b"))
-        .groupBy("a", "b")
-        .agg(
-          count(lit(1)).cast("double").as("n"),
-          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"),
-          sum(col("x") * col("x")).as("sxx"),
-          sum(col("y") * col("y")).as("syy"))
-        // constant series (zero variance on the shared buckets) carry
-        // no correlation signal — drop the pair, don't divide by zero
-        .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
-        .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
-        .where(col("vx") > 0 && col("vy") > 0)
-        .withColumn("r",
-          r6((col("n") * col("sxy") - col("sx") * col("sy")) /
-            (sqrt(col("vx")) * sqrt(col("vy")))))
-        .withColumn("rank",
-          row_number().over(
-            org.apache.spark.sql.expressions.Window.partitionBy("a")
-              .orderBy(col("r").desc, col("b")))
-            .cast("long"))
-        .where(col("rank") <= 3)
-        .select(col("a").as("dataset_id"), col("b").as("neighbor"),
-          col("r"), col("rank"))
+      graft.ops.SeriesSim.exactPairs(m, 3)
+        .orderBy("dataset_id", "rank")
+    }),
+
+    // ---- the 10⁶-series similarity path the scaladoc above promises:
+    // each series → one fixed-grid centered vector (day-5 window, 864
+    // slots of 100 s), neighbors via the IVF ANN tier — probe work is
+    // nProbe/#centroids of the catalog, never an S² pair join ---------
+    "series_similarity_ann" -> ((s, dir) => {
+      val m = Rollup.aggregate(ev(s, dir), 100)
+        .select(col("dataset_id"), col("bucket_s"),
+          r6(col("sum_v") / col("cnt")).as("m"))
+      val vecs = graft.ops.SeriesSim.vectorize(m, Day5S, Day6S, 100)
+      graft.ops.SeriesSim.annTopK(vecs, 3, centroidStep = 2L, nProbe = 2)
+        .withColumn("cos", r6(col("cos")))
         .orderBy("dataset_id", "rank")
     }),
 
@@ -1122,6 +1111,58 @@ object CoreQueries {
         |      FROM c)
         |SELECT a AS dataset_id, b AS neighbor, r, CAST(rank AS BIGINT) AS rank
         |FROM k WHERE rank <= 3 ORDER BY dataset_id, rank""".stripMargin,
+    // full IVF replica over fixed-grid centered series vectors: dense
+    // 864-slot grid, fixed-point series mean (Σ round(m·10⁶) — exact in
+    // any order), index-ordered list folds for every dot product, the
+    // same (cos DESC, id) tie rules as TopCentroids
+    "series_similarity_ann" ->
+      """WITH r0 AS (
+        |  SELECT event_type AS ds,
+        |    (epoch_us(ts) // 100000000) * 100 AS bucket_s,
+        |    round(sum(value) / count(*), 6) AS m
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1, 2),
+        |w AS (SELECT ds, CAST((bucket_s - 1704412800) // 100 AS INT) AS i, m
+        |      FROM r0 WHERE bucket_s >= 1704412800 AND bucket_s < 1704499200),
+        |mu AS (SELECT ds, sum(round(m * 1000000)) / (1000000.0 * count(*)) AS mu
+        |       FROM w GROUP BY 1),
+        |grid AS (SELECT mu.ds, mu.mu, g.i
+        |         FROM mu CROSS JOIN generate_series(0, 863) g(i)),
+        |dense AS (
+        |  SELECT g.ds, g.i, coalesce(w.m - g.mu, 0.0) AS x
+        |  FROM grid g LEFT JOIN w ON w.ds = g.ds AND w.i = g.i),
+        |vec AS (SELECT ds, list(x ORDER BY i) AS v FROM dense GROUP BY ds),
+        |vkeep AS (SELECT ds, v FROM vec
+        |          WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        |ids AS (SELECT ds, row_number() OVER (ORDER BY ds) - 1 AS vid, v
+        |        FROM vkeep),
+        |c AS (SELECT vid AS c_id, v AS cv FROM ids WHERE vid % 2 = 0),
+        |ac AS (
+        |  SELECT e.vid, e.ds, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 864), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM ids e, c),
+        |ar AS (SELECT vid, ds, v, c_id,
+        |         row_number() OVER (PARTITION BY vid ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vid AS n_id, ds AS n_ds, v, c_id AS cell
+        |             FROM ar WHERE rn = 1),
+        |probes AS (SELECT vid AS q_id, ds AS q_ds, v AS qv, c_id AS cell
+        |           FROM ar WHERE rn <= 2),
+        |p AS (
+        |  SELECT q_id, q_ds, n_id, n_ds,
+        |    list_sum(list_transform(generate_series(1, 864), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_ds, n_ds, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_ds AS dataset_id, n_ds AS neighbor, round(cos, 6) AS cos,
+        |  CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY dataset_id, rank""".stripMargin,
     "distinct_users" ->
       """SELECT event_type AS dataset_id, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

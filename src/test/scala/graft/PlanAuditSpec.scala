@@ -263,6 +263,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("series_similarity_100s carries the in-plan series-count guard") {
+    withPlainPlans {
+      val df = SparkEntry.queries("series_similarity_100s")(spark, sf)
+      val plans = df.queryExecution.optimizedPlan.toString +
+        df.queryExecution.executedPlan.toString
+      // assert_true lowers to raise_error(USER_RAISED_EXCEPTION, …) in
+      // the optimized/physical plan text
+      assert(plans.contains("raise_error") && plans.contains("maxSeries"),
+        "the maxSeries assert_true guard fell out of the pair-join plan")
+    }
+  }
+
+  test("series_similarity_ann never plans an all-pairs join of the catalog") {
+    withPlainPlans {
+      val df = SparkEntry.queries("series_similarity_ann")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "series ANN planned a cartesian product")
+    }
+  }
+
   test("funnel stages stay on the user_id partitioning — bounded exchanges") {
     withPlainPlans {
       val df = SparkEntry.queries("funnel_steps")(spark, sf)
