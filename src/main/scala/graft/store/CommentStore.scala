@@ -1,6 +1,9 @@
 package graft.store
 
+import java.util.concurrent.atomic.AtomicLong
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,10 +16,19 @@ import org.apache.spark.sql.types._
  * delimiter, src/marks.py:74-79), and serves range + tag-subset queries
  * capped at 20 (src/marks.py:34-63).
  *
- * Spark shape: a tiny dimension table (Parquet), rewritten sorted on
- * mutation — broadcast-sized by construction, so if it is ever joined to
- * fact data it broadcasts. Ids are assigned at the API layer, never
- * inside a distributed job (SURVEY §7.4.5).
+ * Spark shape: an UPSERT/TOMBSTONE LOG, not a per-mutation rewrite.
+ * Each mutation appends one tiny parquet part carrying `(_seq epoch-ns,
+ * _del)` alongside the row; readers fold latest-`_seq`-per-id, drop
+ * tombstones, and serve date-sorted — the same observable semantics as
+ * the reference's sorted rewrite, at O(1) write cost per mutation
+ * instead of O(table). Once the live part count passes
+ * [[CompactAfterParts]] the folded state is rewritten as one sorted
+ * base file (tmp-write + atomic swap through the Hadoop FileSystem API,
+ * so HDFS/S3 roots work) — the store_compact pattern, which keeps reads
+ * bounded at ≤ CompactAfterParts+1 footers. The table stays
+ * broadcast-small by construction, so if it is ever joined to fact data
+ * it broadcasts. Ids are assigned at the API layer, never inside a
+ * distributed job (SURVEY §7.4.5).
  */
 object CommentStore {
 
@@ -26,54 +38,98 @@ object CommentStore {
     StructField("text", StringType),
     StructField("tags", ArrayType(StringType))))
 
+  /** Mutations between compactions before the log folds to one file. */
+  val CompactAfterParts: Int = 16
+
+  // strictly-increasing epoch-ns mutation sequence (same clock contract
+  // as the reference's time_ns comment ids): total order across a
+  // process restart, monotonic within one under the atomic max
+  private val lastSeq = new AtomicLong(0L)
+  private def nextSeq(): Long = {
+    val now = java.time.Instant.now()
+    lastSeq.updateAndGet(prev =>
+      math.max(prev + 1, now.getEpochSecond * 1000000000L + now.getNano))
+  }
+
   /** Field validation mirroring marks.py:74-79 (no `;` anywhere). */
   def validate(text: String, tags: Seq[String]): Unit =
     require(!(text +: tags).exists(_.contains(";")), "fields may not contain ';'")
 
+  /** Current comments, date-sorted. Plain externally-written tables
+   *  (no `_seq` column) are served as-is; log-shaped tables fold
+   *  latest-per-id and drop tombstones.
+   */
   def load(spark: SparkSession, path: String): DataFrame =
-    if (StoreFs.exists(spark, path))
-      spark.read.parquet(path).select(
-        col("id").cast(LongType), col("date_us").cast(LongType),
-        col("text"), col("tags"))
-    else
+    if (!StoreFs.exists(spark, path))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else {
+      val raw = spark.read.parquet(path)
+      if (!raw.columns.contains("_seq"))
+        raw.select(
+          col("id").cast(LongType), col("date_us").cast(LongType),
+          col("text"), col("tags"))
+      else
+        raw.withColumn("_rn",
+            row_number().over(Window.partitionBy("id").orderBy(col("_seq").desc)))
+          .where(col("_rn") === 1 && !col("_del"))
+          .select(
+            col("id").cast(LongType), col("date_us").cast(LongType),
+            col("text"), col("tags"))
+          .orderBy("date_us", "id")
+    }
 
-  /** O3 — full sorted rewrite, the reference's write path (marks.py:163-181).
-   *  coalesce-then-sortWithinPartitions: a single-partition local sort is
-   *  the same global order as `orderBy` without the range-partitioner
-   *  SAMPLING job a global sort schedules first — one job per mutation,
-   *  not two (the store is broadcast-small by construction). The
-   *  tmp-write + swap goes through the Hadoop FileSystem API so the
-   *  store works on HDFS/S3 paths, not just the local filesystem.
+  /** One-part append of a single log row, then bounded compaction. A
+   *  pre-existing PLAIN table (externally written, no log columns) is
+   *  migrated to log shape first so the directory never mixes schemas.
    */
-  private def rewrite(df: DataFrame, path: String): Unit = {
+  private def append(
+      spark: SparkSession, path: String,
+      id: Long, dateUs: Long, text: String, tags: Seq[String],
+      del: Boolean): Unit = {
+    if (StoreFs.exists(spark, path) &&
+        !spark.read.parquet(path).columns.contains("_seq"))
+      compact(spark, path) // migrates: rewrites the plain table log-shaped
+    import spark.implicits._
+    Seq((id, dateUs, text, tags, nextSeq(), del))
+      .toDF("id", "date_us", "text", "tags", "_seq", "_del")
+      .coalesce(1).write.mode("append").parquet(path)
+    if (StoreFs.parquetPartCount(spark, path) > CompactAfterParts)
+      compact(spark, path)
+  }
+
+  /** O3 — fold the log and rewrite it as ONE date-sorted base file
+   *  (the reference's sorted-file invariant, enforced at compaction
+   *  instead of per mutation). coalesce-then-sortWithinPartitions: a
+   *  single-partition local sort is the same global order as `orderBy`
+   *  without the range-partitioner sampling job a global sort schedules.
+   */
+  def compact(spark: SparkSession, path: String): Unit = {
     val tmp = path + ".tmp"
-    df.coalesce(1).sortWithinPartitions(col("date_us"), col("id"))
+    load(spark, path)
+      .withColumn("_seq", lit(nextSeq()))
+      .withColumn("_del", lit(false))
+      .coalesce(1).sortWithinPartitions(col("date_us"), col("id"))
       .write.mode("overwrite").parquet(tmp)
-    StoreFs.replace(df.sparkSession, tmp, path)
+    StoreFs.replace(spark, tmp, path)
   }
 
   def create(
       spark: SparkSession, path: String,
       id: Long, dateUs: Long, text: String, tags: Seq[String]): Unit = {
     validate(text, tags)
-    import spark.implicits._
-    val row = Seq((id, dateUs, text, tags)).toDF("id", "date_us", "text", "tags")
-    rewrite(load(spark, path).unionByName(row), path)
+    append(spark, path, id, dateUs, text, tags, del = false)
   }
 
   def update(
       spark: SparkSession, path: String,
       id: Long, dateUs: Long, text: String, tags: Seq[String]): Unit = {
     validate(text, tags)
-    import spark.implicits._
-    val row = Seq((id, dateUs, text, tags)).toDF("id", "date_us", "text", "tags")
-    rewrite(load(spark, path).where(col("id") =!= id).unionByName(row), path)
+    append(spark, path, id, dateUs, text, tags, del = false)
   }
 
   def delete(spark: SparkSession, path: String, id: Long): Unit =
-    rewrite(load(spark, path).where(col("id") =!= id), path)
+    append(spark, path, id, 0L, "", Seq.empty, del = true)
 
   /**
    * P5 — comments with start ≤ date ≤ end whose tags are a superset of

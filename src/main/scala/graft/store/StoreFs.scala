@@ -24,6 +24,16 @@ private[store] object StoreFs {
     fsFor(spark, p).exists(p)
   }
 
+  /** Number of `.parquet` part files directly under `path` (0 if the
+   *  path is missing) — the comment log's compaction trigger.
+   */
+  def parquetPartCount(spark: SparkSession, path: String): Int = {
+    val p = new Path(path)
+    val fs = fsFor(spark, p)
+    if (!fs.exists(p)) 0
+    else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Replace `target` with `tmp` (delete-then-rename). Parquet table
    *  swaps in the comment store go through this instead of
    *  `java.io.File.renameTo`, whose failure mode is a silent `false`.

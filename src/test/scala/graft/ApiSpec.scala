@@ -40,7 +40,7 @@ class ApiSpec extends AnyFunSuite {
   test("autoRollupRewrite routes ad-hoc window aggregates to the rollup table") {
     val root = TestSpark.tmpDir("graft_api_rw")
     val api = new GraftApi(spark, root, root + "/all_comments",
-      autoRollupRewrite = true)
+      manifestRollups = false, autoRollupRewrite = true)
     try {
       api.putData(TestSpark.longDF(Seq(
         ("api.rw.a", "2024-01-01T01:00:00", 1.0),

@@ -54,6 +54,26 @@ class CommentStoreSpec extends AnyFunSuite {
     assert(got.count() == 20)
   }
 
+  test("mutation log compacts past CompactAfterParts and folds to the same state") {
+    val path = TestSpark.tmpDir("graft_comments3") + "/all_comments"
+    // 20 creates + 5 updates + 5 deletes = 30 mutations: compaction
+    // must have fired at least once (threshold 16) and reads must see
+    // exactly the folded state, date-sorted
+    (1 to 20).foreach(i =>
+      CommentStore.create(spark, path, i.toLong, i.toLong * 1000000L, s"c$i", Seq("t")))
+    (1 to 5).foreach(i =>
+      CommentStore.update(spark, path, i.toLong, i.toLong * 1000000L, s"u$i", Seq("t", "u")))
+    (16 to 20).foreach(i => CommentStore.delete(spark, path, i.toLong))
+    val parts = new java.io.File(path).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts <= CommentStore.CompactAfterParts + 1,
+      s"log never compacted: $parts parts")
+    val rows = CommentStore.load(spark, path).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 15L))
+    assert(rows.take(5).map(_.getString(2)).toSeq == (1 to 5).map(i => s"u$i"))
+    assert(rows.map(_.getLong(1)).toSeq.sliding(2).forall(p => p.head <= p.last))
+  }
+
   test("fields may not contain ';' (marks.py:74-79)") {
     assertThrows[IllegalArgumentException] {
       CommentStore.validate("bad;text", Seq())
