@@ -26,6 +26,12 @@ object PipelineQueries {
 
   private def r6(c: Column): Column = round(c, 6)
 
+  /** 64-char alphabet for the rag_retrieval histogram embed stub —
+   *  quote-free so it inlines into both engines' SQL literals.
+   */
+  private val RagAlphabet =
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ."
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
@@ -373,6 +379,43 @@ object PipelineQueries {
           centroidStep = 7L, nProbe = 3, iters = 2)
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
+    }),
+
+    // ---- RAG retrieval capstone: chunk → embed → IVF index → top-k.
+    // The full indexing-side pipeline composed end-to-end: the
+    // chunk_documents windows become the corpus, each chunk is embedded
+    // by a deterministic engine-portable stub (64-dim character
+    // histogram — a stand-in with the exact Spark-side shape a model
+    // encoder UDF would have), and two query strings retrieve their
+    // top-5 chunks through the IVF tier — probe work is
+    // nProbe/#centroids of the chunk corpus, never a full scan --------
+    "rag_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      def embed(textCol: String): Column = expr(
+        s"transform(sequence(1, 64), i -> cast(length($textCol) - " +
+          s"length(replace($textCol, substr('$RagAlphabet', i, 1), '')) as double))")
+      val corpus = docs(s, dir)
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(1), greatest(length(col("text")), lit(1)), lit(160)),
+            i => col("text").substr(i, lit(200)))).as(Seq("chunk_idx", "chunk")))
+        .select(
+          (col("doc_id") * 1000 + col("chunk_idx")).cast("long").as("vec_id"),
+          embed("chunk").as("v"))
+        .where(aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x) > 0)
+      val queries = Seq(
+        (-1L, "window aggregation over a sorted stream"),
+        (-2L, "broadcast hash join on the customer table"))
+        .toDF("vec_id", "chunk")
+        .select(col("vec_id"), embed("chunk").as("v"))
+      Similarity.ivfTopK(corpus, queries, 5, centroidStep = 7L, nProbe = 3)
+        .select(
+          col("q_id").as("query_id"),
+          expr("n_id div 1000").as("doc_id"),
+          (col("n_id") % 1000).as("chunk_idx"),
+          r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("query_id", "rank")
     }),
 
     // ---- text analysis ----------------------------------------------
@@ -1324,6 +1367,66 @@ object PipelineQueries {
     // the centroids are bit-identical across engines; assignments use
     // the same fold shapes and tie rules as TopCentroids
     "ann_ivf_kmeans" -> (kmeansArPrefix + annIvfKmeansTail),
+    // chunk → histogram embed → IVF probe/rank, all replicated
+    // relationally: index-ordered list folds, (cos DESC, id) tie rules
+    "rag_retrieval" ->
+      s"""WITH ch AS (
+        |  SELECT doc_id, (i - 1) // 160 AS chunk_idx,
+        |    substr(text, CAST(i AS INTEGER), 200) AS chunk
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      unnest(generate_series(1, greatest(len(text), 1), 160)) AS i
+        |    FROM documents)),
+        |e0 AS (
+        |  SELECT doc_id * 1000 + chunk_idx AS vec_id,
+        |    list_transform(generate_series(1, 64), i -> CAST(len(chunk) -
+        |      len(replace(chunk, substr('$RagAlphabet', CAST(i AS INTEGER), 1), ''))
+        |      AS DOUBLE)) AS v
+        |  FROM ch),
+        |e AS (SELECT vec_id, v FROM e0
+        |      WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        |q AS (
+        |  SELECT CAST(qid AS BIGINT) AS q_id,
+        |    list_transform(generate_series(1, 64), i -> CAST(len(qs) -
+        |      len(replace(qs, substr('$RagAlphabet', CAST(i AS INTEGER), 1), ''))
+        |      AS DOUBLE)) AS qv
+        |  FROM (VALUES (-1, 'window aggregation over a sorted stream'),
+        |               (-2, 'broadcast hash join on the customer table')) t(qid, qs)),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 7 = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |assigned AS (
+        |  SELECT vec_id AS n_id, v, c_id AS cell FROM (
+        |    SELECT vec_id, v, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |    FROM ac) WHERE rn = 1),
+        |aq AS (
+        |  SELECT q.q_id, q.qv, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM q, c),
+        |probes AS (
+        |  SELECT q_id, qv, c_id AS cell FROM (
+        |    SELECT q_id, qv, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_id) AS rn
+        |    FROM aq) WHERE rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_id AS query_id, n_id // 1000 AS doc_id, n_id % 1000 AS chunk_idx,
+        |  round(cos, 6) AS cos, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     // shared Lloyd prefix (bit-identical centroids/assignments), then
     // the per-cell survivor argmax: max ccos, min vec_id among maxima
     "semantic_dedup" -> (kmeansArPrefix +
