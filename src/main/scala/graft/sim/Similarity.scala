@@ -166,6 +166,18 @@ object Similarity {
    * embeddings table (partition/bucket by `cell`), and the probe reads
    * only those partitions.
    */
+  /** Centroid stride that BOUNDS the IVF cell count at ~`targetCells`
+   *  regardless of corpus size. A fixed stride makes #centroids scale
+   *  WITH the corpus, so the assignment argmax degenerates to
+   *  O(|corpus|²/step) — measured 498 s on a 350k-chunk corpus at
+   *  stride 7 vs seconds with a bounded cell count. Every production
+   *  caller should derive its stride from a corpus count (the count is
+   *  an index-build-time cost); the gate-scale registered queries pin
+   *  stride 7 because their SQL oracles replicate it literally.
+   */
+  def boundedStep(corpusRows: Long, targetCells: Int = 256): Long =
+    math.max(7L, math.ceil(corpusRows.toDouble / targetCells).toLong)
+
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
       centroidStep: Long = 7L, nProbe: Int = 3): DataFrame = {

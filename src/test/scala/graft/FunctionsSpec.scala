@@ -108,4 +108,27 @@ class FunctionsSpec extends AnyFunSuite {
       .head()
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
+
+  test("CharHistogram equals the length(replace(...)) SQL formulation") {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val alpha = "abcdefghijklmnopqrstuvwxyz 0."
+    val docs = Seq(
+      "the quick brown fox 99.5",
+      "",
+      "no digits here",
+      "ünïcode high-bytes must not corrupt ascii counts: aaa 000 ...",
+      "a" * 5000)
+      .toDF("s")
+    val cmp = docs.select(
+      toCol(graft.functions.CharHistogram(toExpr(col("s")), alpha)).as("nat"),
+      expr(
+        s"transform(sequence(1, ${alpha.length}), i -> cast(length(s) - " +
+          s"length(replace(s, substr('$alpha', i, 1), '')) as double))").as("sql"))
+    assert(cmp.where(not(col("nat") === col("sql"))).count() == 0)
+    // null propagates
+    val nr = Seq(Option.empty[String]).toDF("s")
+      .select(toCol(graft.functions.CharHistogram(toExpr(col("s")), alpha)))
+      .head()
+    assert(nr.isNullAt(0))
+  }
 }

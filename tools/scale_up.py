@@ -1,0 +1,59 @@
+#!/usr/bin/env python3
+"""Synthesize an N-times scale-up of a testdata dir for scale-honesty
+bench runs (builder-side tooling only — not part of the shipped library).
+
+Usage: python3 tools/scale_up.py <srcDir> <dstDir> [factor=10]
+
+Each copy k offsets the id spaces (event_id, user_id, doc_id, vec_id)
+into disjoint ranges and perturbs text/vectors deterministically so
+dedup-family operators see realistic near-duplicate structure (10-copy
+groups) instead of one degenerate mega-cluster of bit-identical rows.
+Timestamps are left unchanged: series count and time span stay fixed
+while row volume scales, which is the interesting regime for the store
+and window tiers (same key cardinality, 10x data per key).
+"""
+import os
+import sys
+
+import duckdb
+
+def main():
+    src, dst = sys.argv[1], sys.argv[2]
+    k = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    os.makedirs(dst, exist_ok=True)
+
+    def copy(sql, name):
+        duckdb.sql(f"COPY ({sql}) TO '{dst}/{name}.parquet' (FORMAT PARQUET)")
+        n = duckdb.sql(f"SELECT count(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
+        print(f"{name}: {n} rows")
+
+    copy(f"""
+        SELECT event_id + i * 100000000 AS event_id, ts,
+               user_id + i * 10000000 AS user_id, event_type,
+               value + i * 0.000001 AS value, props
+        FROM '{src}/events.parquet' CROSS JOIN range({k}) t(i)
+        """, "events")
+    copy(f"""
+        SELECT doc_id + i * 10000000 AS doc_id,
+               CASE WHEN i = 0 THEN text
+                    ELSE text || ' copytok' || CAST(i AS VARCHAR) END AS text,
+               lang, source, n_chars
+        FROM '{src}/documents.parquet' CROSS JOIN range({k}) t(i)
+        """, "documents")
+    copy(f"""
+        SELECT vec_id + i * 10000000 AS vec_id,
+               list_transform(embedding,
+                 x -> CAST(x + i * 0.001 AS FLOAT)) AS embedding,
+               label
+        FROM '{src}/embeddings.parquet' CROSS JOIN range({k}) t(i)
+        """, "embeddings")
+    # the relational tables pass through unscaled (the heavy tier does
+    # not read them, but Bench's warmup lists the directory)
+    for tbl in ("region", "nation", "customer", "supplier", "part",
+                "orders", "lineitem"):
+        p = f"{src}/{tbl}.parquet"
+        if os.path.exists(p):
+            duckdb.sql(f"COPY (SELECT * FROM '{p}') TO '{dst}/{tbl}.parquet' (FORMAT PARQUET)")
+
+if __name__ == "__main__":
+    main()
