@@ -90,16 +90,20 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
 
+    // millisecond precision keeps the one-line JSON compact enough to
+    // survive the driver's bounded tail capture (round 6's full-precision
+    // line was cut mid-string and recorded as unparseable)
+    def ms(v: Double): String = (math.round(v * 1000) / 1000.0).toString
     val qs = results.map {
-      case (k, v, None) => s""""${esc(k)}":$v"""
+      case (k, v, None) => s""""${esc(k)}":${ms(v)}"""
       case (k, _, Some(e)) =>
-        s""""${esc(k)}":{"err":"${esc(e.take(200))}"}"""
+        s""""${esc(k)}":{"err":"${esc(e.take(160))}"}"""
     }.mkString("{", ",", "}")
     val ok = results.filter(_._3.isEmpty)
     val total = ok.map(_._2).sum
     val nErr = results.size - ok.size
     println(
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nErr,"warmup_sec":$warmupSec,"gc_sec":$gcSec,"load_avg":$loadAvg,"sf":"${esc(sfDir)}"}""")
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_failed":$nErr,"warmup_sec":${ms(warmupSec)},"gc_sec":$gcSec,"load_avg":${ms(loadAvg)},"sf":"${esc(sfDir)}"}""")
     spark.stop()
   }
 }

@@ -366,17 +366,22 @@ object PipelineQueries {
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
     }),
+    // corpus-adaptive centroid stride on every IVF query: a pinned
+    // stride makes the cell count grow WITH the corpus and assignment
+    // quadratic (18.5× growth on the 10× scale-up); boundedStep floors
+    // at 7 so gate-scale results are unchanged, and each oracle derives
+    // the identical stride from the same count via a scalar subquery
     "ann_ivf" -> ((s, dir) => {
       val base = embBase(s, dir)
       Similarity.ivfTopK(base, base.where(col("vec_id") < 5), 10,
-          centroidStep = 7L, nProbe = 3)
+          centroidStep = Similarity.boundedStep(base.count()), nProbe = 3)
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
     }),
     "ann_ivf_kmeans" -> ((s, dir) => {
       val base = embBase(s, dir)
       Similarity.ivfTopKKmeans(base, base.where(col("vec_id") < 5), 10,
-          centroidStep = 7L, nProbe = 3, iters = 2)
+          centroidStep = Similarity.boundedStep(base.count()), nProbe = 3, iters = 2)
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
     }),
@@ -750,7 +755,8 @@ object PipelineQueries {
     "semantic_dedup" -> ((s, dir) => {
       val base = embBase(s, dir)
       Similarity.semanticDedup(
-          base, Similarity.kmeansCentroids(base, centroidStep = 7L, iters = 2))
+          base, Similarity.kmeansCentroids(base,
+            centroidStep = Similarity.boundedStep(base.count()), iters = 2))
         .orderBy("cell")
     }),
     // PII detection + redaction over a corpus with deterministically
@@ -945,7 +951,9 @@ object PipelineQueries {
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, v AS cv
-       |  FROM e WHERE vec_id % 7 = 0),
+       |  FROM e
+       |  WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+       |                  FROM e) = 0),
        |${iter(1, "c0")},
        |${iter(2, "c1")},
        |sf AS (
@@ -1348,7 +1356,9 @@ object PipelineQueries {
     // in-cell ranking) and gets the same full-value treatment
     "ann_ivf" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 7 = 0),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM e) = 0),
         |ac AS (
         |  SELECT e.vec_id, e.v, c.c_id,
         |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
