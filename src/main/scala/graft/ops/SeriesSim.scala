@@ -134,7 +134,10 @@ object SeriesSim {
       centroidStep: Long = 7L, nProbe: Int = 3): DataFrame = {
     val corpus = vecs.select(col("vec_id"), col("v"))
     val names = broadcast(vecs.select(col("vec_id"), col("dataset_id")))
-    Similarity.ivfTopK(corpus, corpus, k, centroidStep, nProbe)
+    // self-similarity: queries == the whole catalog, so the probe side
+    // must NOT broadcast — both sides hash-join on cell instead
+    Similarity.ivfTopK(corpus, corpus, k, centroidStep, nProbe,
+        broadcastProbes = false)
       .join(names.select(col("vec_id").as("q_id"), col("dataset_id")), Seq("q_id"))
       .join(names.select(col("vec_id").as("n_id"), col("dataset_id").as("neighbor")),
         Seq("n_id"))

@@ -180,7 +180,8 @@ object Similarity {
 
   def ivfTopK(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      centroidStep: Long = 7L, nProbe: Int = 3): DataFrame = {
+      centroidStep: Long = 7L, nProbe: Int = 3,
+      broadcastProbes: Boolean = true): DataFrame = {
     // Centroids ARE the index metadata: a bounded small set (stride
     // sample here; kmeansCentroids for the refined index), materialized
     // once on the driver and shipped as a literal — the corpus-side
@@ -193,15 +194,22 @@ object Similarity {
       corpus.where(col("vec_id") % centroidStep === 0),
       "raise centroidStep (or build centroids with k-means) for this corpus")
     ivfTopKWith(corpus, queries, k,
-      cents.map(_._1), cents.flatMap(_._2), nProbe)
+      cents.map(_._1), cents.flatMap(_._2), nProbe, broadcastProbes)
   }
 
   /** IVF probe/rank against an explicit centroid index
    *  (ids + row-major flattened vectors).
+   *
+   *  `broadcastProbes` (default true) fits the retrieval shape — a
+   *  small query set probing a huge corpus. For SELF-similarity over a
+   *  large catalog (queries == corpus) pass false: both sides then
+   *  shuffle on `cell` into a hash join, instead of broadcasting the
+   *  entire catalog × nProbe with its vectors to every task.
    */
   def ivfTopKWith(
       corpus: DataFrame, queries: DataFrame, k: Int,
-      centIds: Array[Long], centVecs: Array[Double], nProbe: Int): DataFrame = {
+      centIds: Array[Long], centVecs: Array[Double], nProbe: Int,
+      broadcastProbes: Boolean = true): DataFrame = {
     def topCells(v: Column, n: Int): Column =
       toCol(graft.functions.TopCentroids(toExpr(v), centIds, centVecs, n))
     val assigned = corpus.select(
@@ -210,7 +218,7 @@ object Similarity {
     val probes = queries.select(
       col("vec_id").as("q_id"), col("v").as("qv"),
       explode(topCells(col("v"), nProbe)).as("cell"))
-    assigned.join(broadcast(probes), Seq("cell"))
+    assigned.join(if (broadcastProbes) broadcast(probes) else probes, Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
       .withColumn("rank",
