@@ -189,6 +189,22 @@ object PipelineQueries {
       minhashPairs(s, dir)
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
         .orderBy("a_id", "b_id")),
+    // incremental ingest decision: a NEW batch (near-dup copies of
+    // every 7th doc + token-reversed novel docs from every 9th) checked
+    // against the EXISTING corpus through cross band-bucket collisions
+    // only — the corpus is never self-joined; its banded signature
+    // index is the write-once state a production pipeline stores
+    "incremental_dedup" -> ((s, dir) => {
+      val corpus = docs(s, dir).select("doc_id", "text")
+      val batch = docs(s, dir).where(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text"))
+        .unionByName(docs(s, dir).where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      Dedup.incrementalDedup(corpus, batch, "doc_id", "text", JaccardThreshold)
+        .orderBy("doc_id")
+    }),
     // cluster resolution: pairwise near-dup output → one component id
     // per doc (min reachable doc_id), the "keep one representative per
     // group" step of a real dedup pipeline
@@ -1294,6 +1310,46 @@ object PipelineQueries {
     // candidates ⊇ all pairs ≥ threshold (miss prob ≤ 1e-8 at J ≥ 0.9),
     // and verification is exact
     "dedup_minhash" -> jaccardOracle,
+    // exact cross-side Jaccard over the union-df-capped shingle sets —
+    // the incremental MinHash path must converge to it (cross
+    // candidates ⊇ all cross pairs ≥ threshold, verification exact)
+    "incremental_dedup" ->
+      s"""WITH corpus AS (SELECT doc_id, text FROM documents),
+         |batch AS (
+         |  SELECT doc_id + 100000 AS doc_id, text || ' zz0 zz1 zz2' AS text
+         |  FROM documents WHERE doc_id % 7 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |    array_to_string(list_reverse(string_split(text, ' ')), ' ')
+         |  FROM documents WHERE doc_id % 9 = 0),
+         |allc AS (SELECT * FROM corpus UNION ALL SELECT * FROM batch),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM allc),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |shf AS (SELECT * FROM sh0 WHERE sh IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh
+         |  WHERE a.doc_id < 100000 AND b.doc_id >= 100000
+         |  GROUP BY 1, 2),
+         |j AS (
+         |  SELECT a_id, b_id,
+         |    round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jac
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+         |best AS (SELECT b_id, a_id, jac,
+         |           row_number() OVER (PARTITION BY b_id ORDER BY jac DESC, a_id) AS rn
+         |         FROM j)
+         |SELECT b.doc_id, m.a_id IS NOT NULL AS is_dup,
+         |  m.a_id AS match_id, m.jac AS jaccard
+         |FROM batch b LEFT JOIN (SELECT * FROM best WHERE rn = 1) m
+         |  ON m.b_id = b.doc_id
+         |ORDER BY doc_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

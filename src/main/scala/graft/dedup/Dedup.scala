@@ -125,16 +125,23 @@ object Dedup {
         toExpr(col("sh")), toExpr(col("h2")), k).toAggregateExpression()).as("mh"))
   }
 
-  /** Banded LSH candidate pairs: docs sharing any (band, bucket). */
-  def lshCandidates(signature: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+  /** (doc_id, band, bucket) rows of a signature table — the banded LSH
+   *  index both the self-join and the cross (incremental) join probe.
+   */
+  def bandBuckets(signature: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
     val r = k / bands
     val bandCols = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         hash(slice(col("mh"), b * r + 1, r)).as("bucket"))
     }
-    val buckets = signature
+    signature
       .select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  /** Banded LSH candidate pairs: docs sharing any (band, bucket). */
+  def lshCandidates(signature: DataFrame, k: Int = 64, bands: Int = 16): DataFrame = {
+    val buckets = bandBuckets(signature, k, bands)
     buckets.as("x").join(buckets.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -197,6 +204,55 @@ object Dedup {
       verifyJaccard(
         estimatePrune(lshCandidates(sig, k, bands), sig, k, minEst = threshold / 2),
         sh, threshold)
+    }
+  }
+
+  /**
+   * INCREMENTAL near-dup check: decide, for each document of a NEW
+   * `batch`, whether it near-duplicates the EXISTING `corpus` — the
+   * production ingest shape, where the corpus's banded signature index
+   * is write-once state and only batch×corpus band collisions are
+   * joined; the corpus is never self-joined and never re-clustered.
+   * Ids of the two sides must be disjoint.
+   *
+   * The shingle df-cap is computed over corpus ∪ batch (one shingle
+   * pass), matching the batch-mode pipelines; candidates are the CROSS
+   * band-bucket collisions only, then the usual estimate-prune and
+   * exact verification. Output, one row per batch doc:
+   * (doc_id, is_dup, match_id, jaccard) with the best corpus match
+   * (max jaccard rounded to 6 before ranking, ties to lowest id) or
+   * nulls when nothing clears `threshold`.
+   */
+  def incrementalDedup(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 64, bands: Int = 16): DataFrame = {
+    val all = corpus.select(col(idCol), col(textCol))
+      .unionByName(batch.select(col(idCol), col(textCol)))
+    val sh = shingleSet(all, idCol, textCol)
+    val sig = minhashSignature(sh, k)
+    val corpusIds = corpus.select(col(idCol).as("doc_id"))
+    val batchIds = batch.select(col(idCol).as("doc_id"))
+    withScopedPersist(sh, sig) {
+      val bb = bandBuckets(sig, k, bands)
+      val cand = bb.join(corpusIds, Seq("doc_id")).as("x")
+        .join(bb.join(batchIds, Seq("doc_id")).as("y"),
+          col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+        .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+        .distinct()
+      val verified = verifyJaccard(
+        estimatePrune(cand, sig, k, minEst = threshold / 2), sh, threshold)
+      val best = verified
+        .withColumn("j", round(col("jaccard"), 6))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("b_id").orderBy(col("j").desc, col("a_id"))))
+        .where(col("rn") === 1)
+        .select(col("b_id").as("doc_id"), col("a_id").as("match_id"),
+          col("j").as("jaccard"))
+      batchIds.join(best, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"), col("match_id").isNotNull.as("is_dup"),
+          col("match_id"), col("jaccard"))
     }
   }
 

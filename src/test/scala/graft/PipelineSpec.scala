@@ -76,6 +76,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(lsh == exact)
   }
 
+  test("incrementalDedup: batch copies match their corpus source, novel docs pass") {
+    val batch = Seq(
+      (100L, doc + " tail"),                               // near-dup of corpus 0
+      (101L, "entirely novel content nothing shared here at all today friends"),
+      (102L, doc))                                         // exact copy of corpus 0
+      .toDF("doc_id", "text")
+    val out = Dedup.incrementalDedup(corpus, batch, "doc_id", "text", 0.6)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(100L, 101L, 102L))
+    assert(out.map(_.getBoolean(1)).toSeq == Seq(true, false, true))
+    // best corpus match is doc 0 (or its exact twin 2 loses the id tie)
+    assert(out(0).getLong(2) == 0L && out(2).getLong(2) == 0L)
+    assert(out(2).getDouble(3) == 1.0) // exact copy: jaccard 1
+    assert(out(1).isNullAt(2) && out(1).isNullAt(3))
+  }
+
   test("connectedComponents: chains merge to min id, separate components stay apart") {
     // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
     // pair {10,11}, pair {20,21} sharing node 20 with {20,22}
