@@ -583,6 +583,13 @@ object PipelineQueries {
     "substring_dup_spans" -> ((s, dir) =>
       Dedup.substringDupSpans(exactCorpus(s, dir), "doc_id", "text", k = 50)
         .orderBy("doc_id")),
+    // winnowed selection of the same windows: only trailing-min md5
+    // fingerprints reach the df exchange (~2/(w+1) of positions), with
+    // the k+w-1 shared-run detection guarantee — the scale default
+    "substring_dup_winnow" -> ((s, dir) =>
+      Dedup.substringDupWinnow(exactCorpus(s, dir), "doc_id", "text",
+          k = 50, w = 8)
+        .orderBy("doc_id")),
     // mixture planning: integer target weights cycling 1..4 by source
     // index; output = the sampling plan that realizes the mixture at
     // the largest no-upsampling token budget
@@ -1816,6 +1823,33 @@ object PipelineQueries {
         |SELECT doc_id, n_windows, dup_windows,
         |  CAST(round(CAST(dup_windows AS DOUBLE) / n_windows * 1e6) AS BIGINT)
         |    AS dup_ppm
+        |FROM nw JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // winnowing selection replicated with the identical window min;
+    // window identity is the raw string (hash-free) as in the
+    // substring_dup_spans oracle
+    "substring_dup_winnow" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |w0 AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT), 50) AS win
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 49)) AS pos
+        |        FROM corpus WHERE len(text) >= 50)),
+        |s0 AS (
+        |  SELECT doc_id, win, md5(win) AS m,
+        |    min(md5(win)) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM w0),
+        |sel AS (SELECT DISTINCT doc_id, win FROM s0 WHERE m = wmin),
+        |hot AS (SELECT win FROM (SELECT win, count(*) AS df FROM sel GROUP BY 1)
+        |        WHERE df >= 2 AND df <= 100000),
+        |nw AS (SELECT doc_id, count(*) AS n_fp FROM sel GROUP BY 1),
+        |dup AS (SELECT doc_id, count(*) AS dup_fp
+        |        FROM sel JOIN hot USING (win) GROUP BY 1)
+        |SELECT doc_id, n_fp, dup_fp,
+        |  CAST(round(CAST(dup_fp AS DOUBLE) / n_fp * 1e6) AS BIGINT) AS dup_ppm
         |FROM nw JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin,
     "domain_mix" ->
       """WITH per AS (

@@ -579,3 +579,96 @@ case class CharHistogram(child: Expression, alphabet: String)
 
   override def prettyName: String = "char_histogram"
 }
+
+/** Static kernel behind `WinnowSelect` — rolling MD5 trailing-min
+ *  winnowing in one pass with a w-slot ring buffer.
+ */
+object WinnowKernel {
+  import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+  import org.apache.spark.sql.types.StringType
+  import org.apache.spark.unsafe.types.UTF8String
+
+  /** Unsigned lexicographic byte compare == hex-string compare (each
+   *  byte maps to two hex chars monotonically), so the selection
+   *  matches SQL `min(md5(win))` ordering exactly.
+   */
+  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    false
+  }
+
+  def select(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val n = s.numChars() - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[Long])
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // ring of the trailing w window digests
+    val ring = new Array[Array[Byte]](w)
+    val out = scala.collection.mutable.ArrayBuffer[Long]()
+    var i = 0
+    while (i < n) {
+      // SQL substr is 1-based chars; substringSQL mirrors it
+      val win = s.substringSQL(i + 1, k)
+      md.reset()
+      val dig = md.digest(win.getBytes)
+      ring(i % w) = dig
+      // min over the trailing window [max(0, i-w+1), i]
+      var min = dig
+      var j = math.max(0, i - w + 1)
+      while (j < i) {
+        val c = ring(j % w)
+        if (less(c, min)) min = c
+        j += 1
+      }
+      if (java.util.Arrays.equals(dig, min))
+        out += XxHash64Function.hash(win, StringType, 42L)
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+}
+
+/**
+ * Winnowing window selection straight from the document string: the
+ * k-char window at position i is SELECTED iff md5(win_i) is the
+ * minimum over the trailing `w` window digests (ties select every
+ * minimal position — identical to the SQL `m = min(m) OVER (ROWS w-1
+ * PRECEDING)` formulation, which any engine replicates literally).
+ * Emits xxhash64 of each selected window (Spark's two-arg seed-42
+ * family) in position order, duplicates included — callers `distinct`.
+ *
+ * One pass, O(w) state, zero shuffle: the per-doc window-function
+ * formulation moves every position through a doc-keyed exchange
+ * carrying 32-char digests; this expression keeps selection inside the
+ * scan so only SELECTED 8-byte fingerprints reach any exchange.
+ */
+case class WinnowSelect(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+  require(k >= 1 && w >= 1, "window width and winnow span must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string argument, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    WinnowKernel.select(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.WinnowKernel.select($a, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_select"
+}

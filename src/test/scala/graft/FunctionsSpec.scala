@@ -109,6 +109,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
   }
 
+  test("WinnowSelect equals the SQL window-min formulation, ties included") {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+    val (k, w) = (10, 4)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"), // all-equal digests: every position ties
+      (3L, "short"),                          // below k: no windows
+      (4L, "exactly10!"))                     // single window
+      .toDF("doc_id", "text")
+    val native = docs
+      .select(col("doc_id"),
+        explode(toCol(graft.functions.WinnowSelect(toExpr(col("text")), k, w))).as("win"))
+      .groupBy("doc_id", "win").count()
+      .orderBy("doc_id", "win").collect().toSeq
+    val sql = docs.where(length(col("text")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(
+          sequence(lit(1), length(col("text")) - (k - 1)),
+          i => struct(md5(col("text").substr(i, lit(k))).as("m"),
+            xxhash64(col("text").substr(i, lit(k))).as("h")))).as(Seq("pos", "mh")))
+      .withColumn("wmin", min(col("mh.m")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy("pos").rowsBetween(-(w - 1), 0)))
+      .where(col("mh.m") === col("wmin"))
+      .select(col("doc_id"), col("mh.h").as("win"))
+      .groupBy("doc_id", "win").count()
+      .orderBy("doc_id", "win").collect().toSeq
+    assert(native == sql)
+    assert(native.map(_.getLong(0)).distinct.toSet == Set(1L, 2L, 4L))
+  }
+
   test("CharHistogram equals the length(replace(...)) SQL formulation") {
     import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
     val alpha = "abcdefghijklmnopqrstuvwxyz 0."
