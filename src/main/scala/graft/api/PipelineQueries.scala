@@ -583,6 +583,12 @@ object PipelineQueries {
     "substring_dup_spans" -> ((s, dir) =>
       Dedup.substringDupSpans(exactCorpus(s, dir), "doc_id", "text", k = 50)
         .orderBy("doc_id")),
+    // the "which characters to cut" step: duplicated windows become
+    // merged maximal character spans per doc — exact substring removal
+    // needs these boundaries, not just counts
+    "substring_dup_extract" -> ((s, dir) =>
+      Dedup.substringDupExtract(exactCorpus(s, dir), "doc_id", "text", k = 50)
+        .orderBy("doc_id", "span_start")),
     // winnowed selection of the same windows: only trailing-min md5
     // fingerprints reach the df exchange (~2/(w+1) of positions), with
     // the k+w-1 shared-run detection guarantee — the scale default
@@ -1824,6 +1830,36 @@ object PipelineQueries {
         |  CAST(round(CAST(dup_windows AS DOUBLE) / n_windows * 1e6) AS BIGINT)
         |    AS dup_ppm
         |FROM nw JOIN dup USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // interval merging replicated with the same running-max/segment-sum
+    // over duplicated positions; window identity is the raw string
+    "substring_dup_extract" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |w0 AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT), 50) AS win
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 49)) AS pos
+        |        FROM corpus WHERE len(text) >= 50)),
+        |dw AS (SELECT DISTINCT doc_id, win FROM w0),
+        |hot AS (SELECT win FROM (SELECT win, count(*) AS df FROM dw GROUP BY 1)
+        |        WHERE df >= 2 AND df <= 100000),
+        |dp AS (SELECT w0.doc_id, w0.pos FROM w0 JOIN hot USING (win)),
+        |m AS (SELECT doc_id, pos,
+        |        max(pos + 49) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+        |      FROM dp),
+        |s AS (SELECT doc_id, pos,
+        |        sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+        |                 THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY doc_id ORDER BY pos) AS seg
+        |      FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS span_start,
+        |  CAST(max(pos) + 49 AS BIGINT) AS span_end,
+        |  CAST(max(pos) + 49 - min(pos) + 1 AS BIGINT) AS span_len,
+        |  count(*) AS n_windows
+        |FROM s GROUP BY doc_id, seg ORDER BY doc_id, span_start""".stripMargin,
     // winnowing selection replicated with the identical window min;
     // window identity is the raw string (hash-free) as in the
     // substring_dup_spans oracle

@@ -529,6 +529,57 @@ object Dedup {
           .cast("long").as("dup_ppm"))
   }
 
+  /**
+   * Duplicated-SPAN extraction — the "which characters to cut" step of
+   * exact substring dedup: every k-char window shared with another doc
+   * (df ∈ [2, maxDf]) marks its character interval [pos, pos+k-1], and
+   * overlapping/contiguous intervals merge into maximal spans. Output
+   * one row per merged span: (doc_id, span_start, span_end, span_len,
+   * n_windows), 1-based inclusive char positions, ordered by position.
+   *
+   * Plan shape: window hashing is the same narrow 8-byte-key explode as
+   * [[substringDupSpans]]; the hot-set membership is one win-keyed
+   * join; interval merging is a running max + segment sum over ONLY the
+   * duplicated positions of each doc — partitioned by doc, so it scales
+   * with docs, never the corpus.
+   */
+  def substringDupExtract(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, maxDf: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val wins = docs
+      .where(length(t) >= k)
+      .select(
+        col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(1), length(t) - (k - 1)),
+          i => xxhash64(t.substr(i, lit(k))))).as(Seq("p0", "win")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("win"))
+    val hot = wins.select("doc_id", "win").distinct()
+      .groupBy("win").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf))
+      .select("win")
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    wins.join(hot, Seq("win"))
+      .select("doc_id", "pos")
+      .withColumn("prev_end",
+        max(col("pos") + (k - 1)).over(
+          byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
+      .withColumn("new_seg",
+        when(col("prev_end").isNull || col("pos") > col("prev_end") + 1, 1)
+          .otherwise(0))
+      .withColumn("seg", sum("new_seg").over(byDoc))
+      .groupBy("doc_id", "seg")
+      .agg(
+        min("pos").cast("long").as("span_start"),
+        (max("pos") + (k - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(
+        col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_len"),
+        col("n_windows"))
+  }
+
   def substringDupSpans(
       docs: DataFrame, idCol: String, textCol: String,
       k: Int = 50, stride: Int = 1, maxDf: Long = 100000L): DataFrame = {
