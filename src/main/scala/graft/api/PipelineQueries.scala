@@ -589,6 +589,13 @@ object PipelineQueries {
     "substring_dup_extract" -> ((s, dir) =>
       Dedup.substringDupExtract(exactCorpus(s, dir), "doc_id", "text", k = 50)
         .orderBy("doc_id", "span_start")),
+    // ...and APPLY it: keep-first substring dedup — duplicated windows
+    // are cut from every doc except their lowest-id holder, cleaned
+    // text stitched from the kept segments in one array fold per doc;
+    // the md5 fingerprint proves the stitched string itself
+    "substring_dup_prune" -> ((s, dir) =>
+      Dedup.substringDupPrune(exactCorpus(s, dir), "doc_id", "text", k = 50)
+        .orderBy("doc_id")),
     // winnowed selection of the same windows: only trailing-min md5
     // fingerprints reach the df exchange (~2/(w+1) of positions), with
     // the k+w-1 shared-run detection guarantee — the scale default
@@ -1860,6 +1867,42 @@ object PipelineQueries {
         |  CAST(max(pos) + 49 - min(pos) + 1 AS BIGINT) AS span_len,
         |  count(*) AS n_windows
         |FROM s GROUP BY doc_id, seg ORDER BY doc_id, span_start""".stripMargin,
+    // keep-first removal replicated at CHARACTER grain: a position is
+    // cut iff covered by a duplicated window whose doc is not the
+    // window's min-id keeper; cleaned text = ordered string_agg of the
+    // surviving characters (oracle-scale formulation — the engine
+    // stitches segments, the fingerprints must agree)
+    "substring_dup_prune" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |w0 AS (
+        |  SELECT doc_id, pos, substr(text, CAST(pos AS INT), 50) AS win
+        |  FROM (SELECT doc_id, text,
+        |          unnest(generate_series(1, len(text) - 49)) AS pos
+        |        FROM corpus WHERE len(text) >= 50)),
+        |dw AS (SELECT DISTINCT doc_id, win FROM w0),
+        |kp AS (SELECT win, min(doc_id) AS keeper FROM dw GROUP BY 1
+        |       HAVING count(*) >= 2 AND count(*) <= 100000),
+        |cut AS (SELECT DISTINCT doc_id, i FROM (
+        |  SELECT w0.doc_id, unnest(generate_series(w0.pos, w0.pos + 49)) AS i
+        |  FROM w0 JOIN kp USING (win) WHERE w0.doc_id <> kp.keeper)),
+        |chars AS (SELECT doc_id, i, substr(text, CAST(i AS INT), 1) AS ch
+        |          FROM (SELECT doc_id, text,
+        |                  unnest(generate_series(1, len(text))) AS i
+        |                FROM corpus)),
+        |clean AS (
+        |  SELECT c.doc_id, string_agg(c.ch, '' ORDER BY c.i) AS clean
+        |  FROM chars c LEFT JOIN cut
+        |    ON c.doc_id = cut.doc_id AND c.i = cut.i
+        |  WHERE cut.doc_id IS NULL
+        |  GROUP BY 1)
+        |SELECT corpus.doc_id, CAST(len(corpus.text) AS BIGINT) AS n_before,
+        |  CAST(len(coalesce(clean.clean, '')) AS BIGINT) AS n_after,
+        |  md5(coalesce(clean.clean, '')) AS clean_fp
+        |FROM corpus LEFT JOIN clean USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // winnowing selection replicated with the identical window min;
     // window identity is the raw string (hash-free) as in the
     // substring_dup_spans oracle

@@ -543,25 +543,27 @@ object Dedup {
    * duplicated positions of each doc — partitioned by doc, so it scales
    * with docs, never the corpus.
    */
-  def substringDupExtract(
-      docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 50, maxDf: Long = 100000L): DataFrame = {
+  /** Per-position k-char window hashes: (doc_id, pos 1-based, win). */
+  private def windowHashes(
+      docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val t = col(textCol)
-    val wins = docs
+    docs
       .where(length(t) >= k)
       .select(
         col(idCol).as("doc_id"),
         posexplode(transform(sequence(lit(1), length(t) - (k - 1)),
           i => xxhash64(t.substr(i, lit(k))))).as(Seq("p0", "win")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("win"))
-    val hot = wins.select("doc_id", "win").distinct()
-      .groupBy("win").agg(count(lit(1)).as("df"))
-      .where(col("df").between(2, maxDf))
-      .select("win")
+  }
+
+  /** Merge the k-wide intervals of marked positions into maximal spans:
+   *  (doc_id, pos) → (doc_id, span_start, span_end, n_windows), via a
+   *  running max + segment sum partitioned BY DOC — scales with docs.
+   */
+  private def mergeWindowSpans(dupPos: DataFrame, k: Int): DataFrame = {
     val byDoc = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
-    wins.join(hot, Seq("win"))
-      .select("doc_id", "pos")
+    dupPos
       .withColumn("prev_end",
         max(col("pos") + (k - 1)).over(
           byDoc.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)))
@@ -574,10 +576,78 @@ object Dedup {
         min("pos").cast("long").as("span_start"),
         (max("pos") + (k - 1)).cast("long").as("span_end"),
         count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_windows"))
+  }
+
+  def substringDupExtract(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, maxDf: Long = 100000L): DataFrame = {
+    val wins = windowHashes(docs, idCol, textCol, k)
+    val hot = wins.select("doc_id", "win").distinct()
+      .groupBy("win").agg(count(lit(1)).as("df"))
+      .where(col("df").between(2, maxDf))
+      .select("win")
+    mergeWindowSpans(wins.join(hot, Seq("win")).select("doc_id", "pos"), k)
       .select(
         col("doc_id"), col("span_start"), col("span_end"),
         (col("span_end") - col("span_start") + 1L).as("span_len"),
         col("n_windows"))
+  }
+
+  /**
+   * APPLY the removal — keep-first exact substring dedup: a duplicated
+   * window is cut from every doc EXCEPT the lowest-doc_id holder (the
+   * "first occurrence" keeper, the Lee-et-al-style policy made
+   * deterministic). Cut positions merge into maximal spans
+   * ([[mergeWindowSpans]]), and each doc's cleaned text is stitched
+   * from the kept complement segments in ONE array fold per doc — no
+   * per-character explode, no string surgery in a shuffle.
+   *
+   * Output per doc: (doc_id, n_before, n_after, clean_fp = md5 of the
+   * cleaned text) — the fingerprint proves the stitched text itself
+   * matches the oracle, not just its length.
+   */
+  def substringDupPrune(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 50, maxDf: Long = 100000L): DataFrame = {
+    val t = col(textCol)
+    val wins = windowHashes(docs, idCol, textCol, k)
+    val keepers = wins.select("doc_id", "win").distinct()
+      .groupBy("win").agg(
+        count(lit(1)).as("df"), min("doc_id").as("keeper"))
+      .where(col("df").between(2, maxDf))
+      .select("win", "keeper")
+    val cutPos = wins.join(keepers, Seq("win"))
+      .where(col("doc_id") =!= col("keeper"))
+      .select("doc_id", "pos")
+    val spanArr = mergeWindowSpans(cutPos, k)
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(
+        struct(col("span_start").cast("int").as("s"),
+          col("span_end").cast("int").as("e")))).as("spans"))
+    // stitch: fold the sorted disjoint cut spans, appending the kept
+    // gap before each span, then the tail after the last (bound to the
+    // joined "text" column, not the caller's column name)
+    val tj = col("text")
+    val stitched = aggregate(
+      col("spans"),
+      struct(lit(1).as("p"), lit("").as("acc")),
+      (acc, sp) => struct(
+        (sp.getField("e") + 1).as("p"),
+        concat(acc.getField("acc"),
+          tj.substr(acc.getField("p"), sp.getField("s") - acc.getField("p")))
+          .as("acc")),
+      acc => concat(acc.getField("acc"),
+        tj.substr(acc.getField("p"),
+          greatest(length(tj) - acc.getField("p") + 1, lit(0)))))
+    docs.select(col(idCol).as("doc_id"), t.as("text"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .withColumn("clean", when(col("spans").isNull, col("text")).otherwise(stitched))
+      .select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_before"),
+        length(col("clean")).cast("long").as("n_after"),
+        md5(col("clean")).as("clean_fp"))
   }
 
   def substringDupSpans(

@@ -92,6 +92,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1).isNullAt(2) && out(1).isNullAt(3))
   }
 
+  test("substringDupPrune: keep-first cuts the copy, not the original; novel text intact") {
+    val base = "x" * 30 + ("the quick brown fox jumps over the lazy dog " * 3)
+    val docs2 = Seq(
+      (0L, base + " original tail here"),
+      (1L, base + " different ending text"),   // shares the long prefix with 0
+      (2L, "wholly unrelated content with no fifty char overlap at all, promise"))
+      .toDF("doc_id", "text")
+    val out = Dedup.substringDupPrune(docs2, "doc_id", "text", k = 50)
+      .orderBy("doc_id").collect()
+    // doc 0 is the keeper of every shared window: untouched
+    assert(out(0).getLong(1) == out(0).getLong(2), "keeper must keep all chars")
+    // doc 1 loses the shared prefix region but keeps its distinct ending
+    assert(out(1).getLong(2) < out(1).getLong(1))
+    assert(out(1).getLong(2) > 0)
+    // doc 2 has no 50-char overlap: untouched
+    assert(out(2).getLong(1) == out(2).getLong(2))
+    // fingerprint of an untouched doc equals md5 of its text
+    val fp2 = docs2.where(col("doc_id") === 2).select(md5(col("text"))).head().getString(0)
+    assert(out(2).getString(3) == fp2)
+  }
+
   test("connectedComponents: chains merge to min id, separate components stay apart") {
     // chain 1-2-3-4 (diameter 3, needs multiple propagation rounds),
     // pair {10,11}, pair {20,21} sharing node 20 with {20,22}
