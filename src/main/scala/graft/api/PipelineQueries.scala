@@ -465,6 +465,24 @@ object PipelineQueries {
     "vocab_topk" -> ((s, dir) =>
       TextOps.vocabTopK(docs(s, dir), "lang", "text", 20)
         .orderBy("lang", "rank")),
+    // BPE-style merge statistics: global top adjacent token-pair counts
+    // — the first step of tokenizer training. One pair-grain hash agg
+    // with map-side combine (state bounded by the pair vocabulary,
+    // never the corpus); the rank window's input is the vocabulary
+    "bpe_pair_topk" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(TextOps.tokens(col("text")).as("t"))
+      toks.select(explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (a, b) => concat(a, lit(" "), b))).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("n").desc, col("pair"))).cast("long"))
+        .where(col("rank") <= 100)
+        .orderBy("rank")
+    }),
     // per-doc keyword extraction; corpus size N for idf is a 1-row
     // broadcast aggregate inside the plan — one job, no eager count
     "tfidf_topk" -> ((s, dir) =>
@@ -1669,6 +1687,16 @@ object PipelineQueries {
         |        t -> t IN ('el', 'los', 'y', 'las'))) AS es_n
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "bpe_pair_topk" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |p AS (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+        |         i -> t[i] || ' ' || t[i+1])) AS pair FROM tok),
+        |c AS (SELECT pair, count(*) AS n FROM p GROUP BY 1),
+        |r AS (SELECT pair, n,
+        |        row_number() OVER (ORDER BY n DESC, pair) AS rank
+        |      FROM c)
+        |SELECT pair, n, CAST(rank AS BIGINT) AS rank FROM r
+        |WHERE rank <= 100 ORDER BY rank""".stripMargin,
     "vocab_topk" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),
