@@ -284,6 +284,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 additions never plan a cartesian; bpe keeps map-side partials") {
+    withPlainPlans {
+      for (q <- Seq("incremental_dedup", "substring_dup_extract",
+          "substring_dup_prune", "substring_dup_winnow", "rag_retrieval")) {
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian")
+      }
+      val bpe = SparkEntry.queries("bpe_pair_topk")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert("HashAggregate".r.findAllIn(bpe).size >= 2,
+        "bpe_pair_topk lost its partial aggregation")
+    }
+  }
+
   test("funnel stages stay on the user_id partitioning — bounded exchanges") {
     withPlainPlans {
       val df = SparkEntry.queries("funnel_steps")(spark, sf)
