@@ -167,6 +167,27 @@ object CoreQueries {
       graft.ops.Smooth.ewma(ev(s, dir), Day5Us, Day6Us, 100L, 0.25)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- seasonal profile: the classic telemetry "daily shape" view —
+    // per-series hour-of-day aggregate over the 100 s bucket means.
+    // One (series × 24)-grain hash agg with map-side combine; output
+    // is catalog-bounded (24 rows per series), never data-bounded ----
+    "series_seasonal_100s" -> ((s, dir) => {
+      val m = Rollup.aggregate(ev(s, dir), 100)
+        .select(col("dataset_id"), col("bucket_s"),
+          r6(col("sum_v") / col("cnt")).as("m"))
+      m.withColumn("hour", expr("(bucket_s % 86400) div 3600"))
+        .groupBy("dataset_id", "hour")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          // fixed-point mean of the r6'd bucket means: Σ round(m·10⁶)
+          // is integral-exact in any order, so engines agree bit-for-bit
+          r6(sum(round(col("m") * 1000000.0)) /
+            (lit(1000000.0) * count(lit(1)))).as("hour_mean"),
+          r6(min(col("m"))).as("hour_min"),
+          r6(max(col("m"))).as("hour_max"))
+        .orderBy("dataset_id", "hour")
+    }),
+
     // ---- M4 downsample: error-free line-chart reduction -------------
     // one hash agg per (series, pixel column); shuffle carries ≤width
     // rows per series. Point selection via lexicographic struct min/max
@@ -1166,6 +1187,21 @@ object CoreQueries {
     "distinct_users" ->
       """SELECT event_type AS dataset_id, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // hour-of-day seasonal profile over the 100 s bucket means, with
+    // the fixed-point hour mean (Σ round(m·10⁶) — order-exact)
+    "series_seasonal_100s" ->
+      """WITH r0 AS (
+        |  SELECT event_type AS dataset_id,
+        |    (epoch_us(ts) // 100000000) * 100 AS bucket_s,
+        |    round(sum(value) / count(*), 6) AS m
+        |  FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1, 2)
+        |SELECT dataset_id, (bucket_s % 86400) // 3600 AS hour,
+        |  count(*) AS n_buckets,
+        |  round(sum(round(m * 1000000)) / (1000000.0 * count(*)), 6) AS hour_mean,
+        |  round(min(m), 6) AS hour_min, round(max(m), 6) AS hour_max
+        |FROM r0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "props_parse" ->
       """SELECT event_type AS dataset_id,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
