@@ -729,6 +729,21 @@ object CoreQueries {
         .orderBy("dataset_id", "ts_us", "value")
     }),
 
+    // ---- partition-grain retention (TTL): ingest, expire every raw
+    // window ending at or before Jan 4 (a 7-day window boundary, so
+    // raw expiry is exact), read back — directory-metadata deletes
+    // only, zero data read; straddling rollup partitions stay whole
+    // (conservative TTL, unit-specced) --------------------------------
+    "store_retention" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_retention").toString
+      Tables.ingestBatch(s, root, ev(s, dir))
+      Tables.expireBefore(s, root, cutoffS = 1704326400L)
+      Tables.readRaw(s, root)
+        .select("dataset_id", "ts_us", "value")
+        .orderBy("dataset_id", "ts_us", "value")
+    }),
+
     // ---- S3 via the manifest/merge-on-read commit path: same 3-batch
     // ingest as ingest_incremental_1s, but each batch APPENDS partials
     // under an O(1) atomic manifest commit and readers fold the monoid;
@@ -776,6 +791,13 @@ object CoreQueries {
     "melt_events" ->
       """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |ORDER BY dataset_id, ts_us, value""".stripMargin,
+    // retention deletes whole weekly windows: everything before the
+    // Jan-4 window boundary is gone, everything at or after survives
+    "store_retention" ->
+      """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND epoch_us(ts) >= 1704326400000000
         |ORDER BY dataset_id, ts_us, value""".stripMargin,
     // compaction is lossless: the compacted raw table IS the melt
     "store_compact" ->

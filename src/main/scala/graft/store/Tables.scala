@@ -144,6 +144,75 @@ object Tables {
    * versioned commit — rather than whole-table; the per-partition
    * rewrite here IS that slice operation with an unbounded window.
    */
+  /**
+   * Partition-grain retention (TTL): delete every store partition whose
+   * TIME WINDOW ends at or before `cutoffS` — raw (ds_b, win_s) dirs
+   * with `win_s + RawWindowS ≤ cutoff`, and rollup (fidelity, ds_b,
+   * part_s) dirs with `part_s + partitionWindowS(f) ≤ cutoff`. Windows
+   * that STRADDLE the cutoff are kept whole (conservative: rows just
+   * older than the cutoff survive until their window ages out — the
+   * standard object-store retention granularity; an exact cutoff would
+   * rewrite data, which TTL must never do). Deletion is directory
+   * metadata only — O(partition dirs), zero data read, exactly the
+   * operation a 100 TB store runs nightly.
+   *
+   * Returns (rawPartitionsDeleted, rollupPartitionsDeleted).
+   */
+  def expireBefore(spark: SparkSession, root: String, cutoffS: Long): (Int, Int) = {
+    def partsDeleted(
+        tablePath: String,
+        levelDepth: Int,
+        windowOf: Array[String] => Option[(Long, Long)]): Int = {
+      val base = new org.apache.hadoop.fs.Path(tablePath)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(base)) return 0
+      var deleted = 0
+      def walk(p: org.apache.hadoop.fs.Path, segs: Array[String]): Unit =
+        if (segs.length == levelDepth) {
+          windowOf(segs).foreach { case (startS, widthS) =>
+            if (startS + widthS <= cutoffS && fs.delete(p, true)) deleted += 1
+          }
+        } else {
+          fs.listStatus(p).filter(_.isDirectory)
+            .foreach(st => walk(st.getPath, segs :+ st.getPath.getName))
+        }
+      walk(base, Array.empty)
+      deleted
+    }
+    def kv(seg: String, key: String): Option[Long] =
+      Option(seg).filter(_.startsWith(key + "="))
+        .flatMap(s => scala.util.Try(s.substring(key.length + 1).toLong).toOption)
+    val nRaw = partsDeleted(rawPath(root), 2,
+      segs => kv(segs(1), "win_s").map(w => (w, RawWindowS)))
+    val nRollup = partsDeleted(rollupPath(root), 3, { segs =>
+      for {
+        fSeg <- Option(segs(0)).filter(_.startsWith("fidelity=d"))
+        f <- scala.util.Try(
+          graft.model.Fidelity.fromName(fSeg.stripPrefix("fidelity=d"))).toOption
+        p <- kv(segs(2), "part_s")
+      } yield (p, partitionWindowS(f))
+    })
+    // prune dirs the expiry emptied, INCLUDING a fully-expired table
+    // root — a dir with zero parquet partitions would otherwise crash
+    // schema inference on the next read; with the root gone, readers
+    // take their empty-table path
+    for (table <- Seq(rawPath(root), rollupPath(root))) {
+      val base = new org.apache.hadoop.fs.Path(table)
+      val fs = base.getFileSystem(spark.sessionState.newHadoopConf())
+      def prune(p: org.apache.hadoop.fs.Path): Boolean = {
+        if (!fs.getFileStatus(p).isDirectory) return false
+        val remaining = fs.listStatus(p).filterNot(st =>
+          st.isDirectory && prune(st.getPath))
+        // _SUCCESS-style markers alone don't make a table readable
+        val onlyMarkers = remaining.forall(st =>
+          !st.isDirectory && st.getPath.getName.startsWith("_"))
+        if (remaining.isEmpty || onlyMarkers) fs.delete(p, true) else false
+      }
+      if (fs.exists(base)) prune(base)
+    }
+    (nRaw, nRollup)
+  }
+
   def compactRaw(spark: SparkSession, root: String): Unit = {
     val path = rawPath(root)
     if (!StoreFs.exists(spark, path)) return

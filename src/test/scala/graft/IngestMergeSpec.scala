@@ -160,6 +160,38 @@ class IngestMergeSpec extends AnyFunSuite {
     assert(hint.nonEmpty && hint.get.size == 6 * nb)
   }
 
+  test("expireBefore deletes whole aged windows, keeps straddlers, is metadata-only") {
+    val root = TestSpark.tmpDir("graft_ttl")
+    // two points 3 weeks apart → two distinct raw win_s partitions
+    val early = TestSpark.isoUs("2024-01-02T00:00:00")
+    val late = TestSpark.isoUs("2024-01-23T00:00:00")
+    Tables.ingestBatch(spark, root, TestSpark.longDF(Seq(
+      ("ttl.a", "2024-01-02T00:00:00", 1.0),
+      ("ttl.a", "2024-01-23T00:00:00", 2.0))))
+    val rollupBefore = Tables.readRollup(spark, root, graft.model.Fidelity.S1).count()
+
+    // cutoff INSIDE the early point's week: straddling window survives
+    val (r0, a0) = Tables.expireBefore(spark, root, early / 1000000L + 3600)
+    assert(r0 == 0 && a0 == 0, s"straddling windows must be kept ($r0, $a0)")
+    assert(Tables.readRaw(spark, root).count() == 2)
+
+    // cutoff past the early window's END, before the late one's: one
+    // raw week dies; the 28-day rollup partitions still straddle → kept
+    val bound = (early / 1000000L / Tables.RawWindowS + 1) * Tables.RawWindowS
+    val (r1, a1) = Tables.expireBefore(spark, root, bound)
+    assert(r1 == 1, s"expected exactly the aged raw window deleted, got $r1")
+    assert(a1 == 0, "28-day rollup partitions straddle this cutoff")
+    val vals = Tables.readRaw(spark, root).select("ts_us").collect().map(_.getLong(0))
+    assert(vals.toSeq == Seq(late))
+    assert(Tables.readRollup(spark, root, graft.model.Fidelity.S1).count() == rollupBefore)
+
+    // cutoff beyond everything: raw AND rollups fully expire
+    val (r2, a2) = Tables.expireBefore(spark, root, 4102444800L) // 2100-01-01
+    assert(r2 >= 1 && a2 >= 1, s"far-future cutoff must clear the store ($r2, $a2)")
+    assert(Tables.readRaw(spark, root).count() == 0)
+    assert(Tables.readRollup(spark, root, graft.model.Fidelity.S1).count() == 0)
+  }
+
   test("compactRaw merges per-batch sliver files losslessly") {
     val root = TestSpark.tmpDir("graft_compact")
     // 8 single-point batches into ONE partition → 8 sliver files
