@@ -167,6 +167,13 @@ object CoreQueries {
       graft.ops.Smooth.ewma(ev(s, dir), Day5Us, Day6Us, 100L, 0.25)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- Holt double-exponential smoothing: level + trend state with
+    // a one-step forecast — the forecasting companion to ewma, same
+    // bounded per-series sequential discipline ------------------------
+    "series_holt_100s" -> ((s, dir) =>
+      graft.ops.Smooth.holt(ev(s, dir), Day5Us, Day6Us, 100L, 0.5, 0.25)
+        .orderBy("dataset_id", "bucket_s")),
+
     // ---- seasonal profile: the classic telemetry "daily shape" view —
     // per-series hour-of-day aggregate over the 100 s bucket means.
     // One (series × 24)-grain hash agg with map-side combine; output
@@ -1009,6 +1016,35 @@ object CoreQueries {
          |  FROM e JOIN idx n
          |    ON n.dataset_id = e.dataset_id AND n.i = e.i + 1)
          |SELECT dataset_id, bucket_s, s AS ewma
+         |FROM e ORDER BY 1, 2""".stripMargin,
+    // Holt: the same recursive-CTE recurrence with TWO state columns;
+    // the trend term re-spells the new level expression inline (same
+    // operands, same IEEE order → bit-identical to the engine's
+    // two-step update)
+    "series_holt_100s" ->
+      s"""WITH RECURSIVE
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |r AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000.0) AS v
+         |      FROM v GROUP BY 1, 2),
+         |idx AS (SELECT dataset_id, bucket_s, v,
+         |          row_number() OVER (PARTITION BY dataset_id
+         |                             ORDER BY bucket_s) AS i
+         |        FROM r),
+         |e AS (
+         |  SELECT dataset_id, i, bucket_s, v AS s, CAST(0.0 AS DOUBLE) AS t
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.dataset_id, n.i, n.bucket_s,
+         |    0.5 * n.v + 0.5 * (e.s + e.t),
+         |    0.25 * ((0.5 * n.v + 0.5 * (e.s + e.t)) - e.s) + 0.75 * e.t
+         |  FROM e JOIN idx n
+         |    ON n.dataset_id = e.dataset_id AND n.i = e.i + 1)
+         |SELECT dataset_id, bucket_s, s AS level, t AS trend,
+         |  s + t AS forecast
          |FROM e ORDER BY 1, 2""".stripMargin,
     // LTTB: the sequential pick recurses over buckets with a LATERAL
     // argmax per step; areas are exact HUGEINT (µs × ppm) mirroring the

@@ -54,4 +54,46 @@ object Smooth {
       }
       .toDF("dataset_id", "bucket_s", "ewma")
   }
+
+  /** Per-series HOLT linear (double-exponential) smoothing: level +
+   *  trend state, one-step-ahead forecast = level + trend. Same
+   *  execution and determinism discipline as [[ewma]]: bounded routed
+   *  range, flatMapGroups per series, fixed-point bucket means,
+   *  binary-exact α/β, and the recurrence evaluated in the exact IEEE
+   *  operation order the oracle's recursive CTE spells out
+   *  (`s' = α·v + (1−α)·(s + t)`, then `t' = β·(s' − s) + (1−β)·t`).
+   *  Init: s₁ = v₁, t₁ = 0. Output: dataset_id, bucket_s, level,
+   *  trend, forecast (unrounded, like ewma).
+   */
+  def holt(
+      long: DataFrame, startUs: Long, endUs: Long,
+      bucketS: Long, alpha: Double, beta: Double): DataFrame = {
+    val sess = long.sparkSession
+    import sess.implicits._
+    val us = bucketS * 1000000L
+    long
+      .where(col("ts_us").between(startUs, endUs))
+      .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+      .groupBy(col("dataset_id"), (expr(s"ts_us div ${us}L") * lit(bucketS)).as("bucket_s"))
+      .agg((sum(col("ppm")).cast("double") /
+        (count(lit(1)).cast("double") * lit(1e6))).as("v"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (id: String, it: Iterator[(String, Long, Double)]) =>
+        val buckets = it.map(p => (p._2, p._3)).toArray.sortBy(_._1)
+        var s = 0.0
+        var t = 0.0
+        var first = true
+        buckets.iterator.map { case (b, v) =>
+          if (first) { first = false; s = v; t = 0.0 }
+          else {
+            val sPrev = s
+            s = alpha * v + (1.0 - alpha) * (s + t)
+            t = beta * (s - sPrev) + (1.0 - beta) * t
+          }
+          (id, b, s, t, s + t)
+        }
+      }
+      .toDF("dataset_id", "bucket_s", "level", "trend", "forecast")
+  }
 }
