@@ -195,6 +195,28 @@ object CoreQueries {
         .orderBy("dataset_id", "hour")
     }),
 
+    // ---- sample autocorrelation: per-series ACF at lags 1..5 over the
+    // routed day's 100 s bucket means — exact BigInt moments per series
+    // (bounded groups), one float division at the end ------------------
+    "series_autocorr_100s" -> ((s, dir) =>
+      graft.ops.SeriesStats.autocorr(ev(s, dir), Day5Us, Day6Us, 100L, 5)
+        .orderBy("dataset_id", "lag")),
+
+    // ---- OLS trend line per series: slope/intercept/r² from exact
+    // integer moments over (bucket rank, ppm mean) — the detrend
+    // companion to the seasonal profile -------------------------------
+    "series_trend_100s" -> ((s, dir) =>
+      graft.ops.SeriesStats.olsTrend(ev(s, dir), Day5Us, Day6Us, 100L)
+        .orderBy("dataset_id")),
+
+    // ---- two-sided CUSUM change detection: pure integer windows via
+    // the running-min reformulation (no recursion, no floats) ---------
+    "series_cusum_100s" -> ((s, dir) =>
+      graft.ops.SeriesStats.cusum(
+        ev(s, dir), Day5Us, Day6Us, 100L,
+        slackPpm = 2000000L, thresholdPpm = 20000000L)
+        .orderBy("dataset_id", "bucket_s")),
+
     // ---- M4 downsample: error-free line-chart reduction -------------
     // one hash agg per (series, pixel column); shuffle carries ≤width
     // rows per series. Point selection via lexicographic struct min/max
@@ -1260,6 +1282,104 @@ object CoreQueries {
         |  round(sum(round(m * 1000000)) / (1000000.0 * count(*)), 6) AS hour_mean,
         |  round(min(m), 6) AS hour_min, round(max(m), 6) AS hour_max
         |FROM r0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ACF / OLS / CUSUM share the ppm-requantized bucket-mean series:
+    // y = round(mean·10⁶) — the round of a bit-identical double, so y is
+    // integral-exact and every downstream moment is HUGEINT-exact,
+    // mirroring the engine's BigInt (SeriesStats.scala).
+    "series_autocorr_100s" ->
+      s"""WITH
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |r AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |        CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS BIGINT) AS y
+         |      FROM v GROUP BY 1, 2),
+         |idx AS (SELECT dataset_id, y,
+         |          row_number() OVER (PARTITION BY dataset_id
+         |                             ORDER BY bucket_s) AS i
+         |        FROM r),
+         |g AS (SELECT dataset_id, count(*) AS n,
+         |        sum(CAST(y AS HUGEINT)) AS sy,
+         |        sum(CAST(y AS HUGEINT) * y) AS syy
+         |      FROM idx GROUP BY 1),
+         |p AS (SELECT a.dataset_id, CAST(b.i - a.i AS BIGINT) AS lag,
+         |        sum(CAST(a.y AS HUGEINT) * b.y) AS sab,
+         |        sum(CAST(a.y AS HUGEINT)) AS sa,
+         |        sum(CAST(b.y AS HUGEINT)) AS sb
+         |      FROM idx a JOIN idx b
+         |        ON b.dataset_id = a.dataset_id AND b.i BETWEEN a.i + 1 AND a.i + 5
+         |      GROUP BY 1, 2)
+         |SELECT p.dataset_id, p.lag, CAST(g.n AS BIGINT) AS n,
+         |  CASE WHEN g.n * (g.n * g.syy - g.sy * g.sy) = 0 THEN 0.0
+         |       ELSE CAST(g.n * g.n * p.sab - g.n * g.sy * (p.sa + p.sb)
+         |                 + (g.n - p.lag) * g.sy * g.sy AS DOUBLE)
+         |            / CAST(g.n * (g.n * g.syy - g.sy * g.sy) AS DOUBLE) END AS acf
+         |FROM p JOIN g ON g.dataset_id = p.dataset_id
+         |ORDER BY 1, 2""".stripMargin,
+    "series_trend_100s" ->
+      s"""WITH
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |r AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |        CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS BIGINT) AS y
+         |      FROM v GROUP BY 1, 2),
+         |idx AS (SELECT dataset_id, y,
+         |          row_number() OVER (PARTITION BY dataset_id
+         |                             ORDER BY bucket_s) AS i
+         |        FROM r),
+         |g AS (SELECT dataset_id, count(*) AS n,
+         |        sum(CAST(i AS HUGEINT)) AS sx,
+         |        sum(CAST(y AS HUGEINT)) AS sy,
+         |        sum(CAST(i AS HUGEINT) * i) AS sxx,
+         |        sum(CAST(i AS HUGEINT) * y) AS sxy,
+         |        sum(CAST(y AS HUGEINT) * y) AS syy
+         |      FROM idx GROUP BY 1)
+         |SELECT dataset_id, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN n * sxx - sx * sx = 0 THEN 0.0
+         |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+         |            / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope_ppm,
+         |  CASE WHEN n = 0 THEN 0.0
+         |       ELSE (CAST(sy AS DOUBLE) - slope_ppm * CAST(sx AS DOUBLE))
+         |            / CAST(n AS DOUBLE) END AS intercept_ppm,
+         |  CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN 0.0
+         |       ELSE CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) AS DOUBLE)
+         |            / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
+         |  END AS r2
+         |FROM g ORDER BY dataset_id""".stripMargin,
+    "series_cusum_100s" ->
+      s"""WITH
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |r AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |        CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS BIGINT) AS y
+         |      FROM v GROUP BY 1, 2),
+         |mu AS (SELECT dataset_id,
+         |         CAST(round(CAST(sum(y) AS DOUBLE) / count(*)) AS BIGINT) AS mu
+         |       FROM r GROUP BY 1),
+         |w AS (SELECT r.dataset_id, r.bucket_s, r.y, m.mu,
+         |        CAST(row_number() OVER ow AS BIGINT) AS i,
+         |        CAST(sum(r.y) OVER (PARTITION BY r.dataset_id ORDER BY r.bucket_s
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+         |      FROM r JOIN mu m ON m.dataset_id = r.dataset_id
+         |      WINDOW ow AS (PARTITION BY r.dataset_id ORDER BY r.bucket_s)),
+         |d AS (SELECT dataset_id, bucket_s, y,
+         |        p - i * (mu + 2000000) AS dpos,
+         |        i * (mu - 2000000) - p AS dneg
+         |      FROM w),
+         |c AS (SELECT dataset_id, bucket_s, y,
+         |        dpos - least(0, min(dpos) OVER pw) AS cusum_pos,
+         |        dneg - least(0, min(dneg) OVER pw) AS cusum_neg
+         |      FROM d
+         |      WINDOW pw AS (PARTITION BY dataset_id ORDER BY bucket_s
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         |SELECT dataset_id, bucket_s, y, cusum_pos, cusum_neg,
+         |  (cusum_pos > 20000000 OR cusum_neg > 20000000) AS alarm
+         |FROM c ORDER BY 1, 2""".stripMargin,
     "props_parse" ->
       """SELECT event_type AS dataset_id,
         |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
