@@ -770,6 +770,105 @@ object PipelineQueries {
         .where(col("rank") <= 25)
         .select(col("lang"), col("rank"), col("doc_id"), col("h"))
         .orderBy("lang", "rank")),
+    // quality-WEIGHTED deterministic sampling: each doc keeps with
+    // probability ∝ its quality score via an engine-portable md5 draw —
+    // the soft middle ground between a hard quality cut and no filter
+    // (the CCNet/FineWeb-style "sample more from better buckets" move).
+    // Pure narrow map + filter: zero shuffle at 100 TB
+    "sample_weighted" -> ((s, dir) =>
+      TextOps.profile(docs(s, dir), "doc_id", "text")
+        .select(col("doc_id"), round(col("quality") * 1e6).cast("long").as("qppm"))
+        .withColumn("weight_ppm",
+          greatest(lit(50000L), least(lit(1000000L), col("qppm"))))
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10).cast("long"))
+        .where(col("h") % 1000000L < col("weight_ppm"))
+        .select(col("doc_id"), col("weight_ppm"))
+        .orderBy("doc_id")),
+    // data-mixture planner: per-source sampling rates from target
+    // domain weights with an epoch cap — the "how many epochs of each
+    // domain fit the token budget" arithmetic a 100 TB mixture ships
+    // with. One source-grain agg (catalog-bounded) + a window total;
+    // every float derives from exact integer sums, so the plan is
+    // engine-deterministic
+    "mixture_plan" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(ceil(length(col("text")) / 4.0).cast("long")).as("n_tokens"))
+        .withColumn("target_frac",
+          when(col("source").isin("src0", "src1", "src2", "src3"), lit(0.15))
+            .otherwise(lit(0.025)))
+        .withColumn("total_tokens",
+          sum(col("n_tokens")).over(Window.partitionBy()))
+        .withColumn("rate",
+          least(lit(3.0), col("target_frac") * col("total_tokens") / col("n_tokens")))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("target_frac"), r6(col("rate")).as("rate"),
+          round(col("rate") * col("n_tokens")).cast("long").as("planned_tokens"))
+        .orderBy("source")),
+    // deterministic epoch shuffle: the training-order operator — every
+    // doc gets a reproducible (shard, position) from an md5 draw keyed
+    // by the epoch string, so any worker materializes its shard
+    // independently and re-keying the seed is a full reshuffle. One
+    // narrow map + a per-shard rank (16 bounded partitions)
+    "epoch_shuffle" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit("epoch1-"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard",
+          pmod(conv(substring(col("h"), 1, 15), 16, 10).cast("long"), lit(16L)))
+        .withColumn("pos",
+          row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+            .cast("long"))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("doc_id")),
+    // asymmetric CONTAINMENT dedup: catches subset duplication (a doc
+    // truncated or quoted inside another — re-crawl fragments) that
+    // symmetric Jaccard misses by construction: the half-truncated
+    // copies here sit at jaccard ≈ 0.5 (below the 0.6 dedup threshold)
+    // but containment ≈ 1. Same capped shingle-key join shape as
+    // jaccard_pairs; containment = |A∩B| / min(|A|, |B|)
+    "containment_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.where(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 300000L).as("doc_id"),
+            concat_ws(" ",
+              slice(split(col("text"), " "), lit(1),
+                greatest(lit(3), expr("size(split(text, ' ')) div 2"))))
+              .as("text")))
+      val sh = Dedup.shingleSet(corpus, "doc_id", "text")
+      Dedup.withScopedPersist(sh) {
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        sh.select(col("doc_id").as("a_id"), col("sh"), col("h2"))
+          .join(sh.select(col("doc_id").as("b_id"), col("sh"), col("h2")),
+            Seq("sh", "h2"))
+          .where(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+          .join(sizes.select(col("doc_id").as("a_id"), col("n").as("na")), Seq("a_id"))
+          .join(sizes.select(col("doc_id").as("b_id"), col("n").as("nb")), Seq("b_id"))
+          .withColumn("containment",
+            col("i").cast("double") / least(col("na"), col("nb")))
+          .where(col("containment") >= 0.9)
+          .select(col("a_id"), col("b_id"), col("i"),
+            r6(col("containment")).as("containment"))
+      }.orderBy("a_id", "b_id")
+    }),
+    // per-label embedding centroids: the class-prototype aggregation
+    // behind clustering QA and nearest-class-mean classification.
+    // Element-wise fixed-point ppm sums per (label, dim) — exact in any
+    // order; state and output bounded by labels × dim, never corpus rows
+    "embedding_centroids" -> ((s, dir) =>
+      s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .withColumn("ppm", round(col("x").cast("double") * lit(1e6)).cast("long"))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          (sum(col("ppm")).cast("double") /
+            (count(lit(1)) * lit(1e6))).as("centroid"))
+        .orderBy("label", "dim")),
     // Count-Min heavy hitters: the exact top-20 corpus tokens with the
     // CMS grid's (one-sided) estimates alongside — the mergeable-sketch
     // counterpart of vocab_topk, full grid arithmetic oracle-checked
@@ -1145,6 +1244,86 @@ object PipelineQueries {
         |    list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS m
         |  FROM embeddings)
         |WHERE m > 0 ORDER BY vec_id""".stripMargin,
+    "sample_weighted" ->
+      """WITH st AS (
+        |  SELECT doc_id,
+        |    CAST(round(least(1.0, len(string_split(text, ' ')) / 100.0) *
+        |      (1 - CAST(len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the', 'a', 'data', 'key'))) AS DOUBLE)
+        |           / len(string_split(text, ' '))) * 1000000) AS BIGINT) AS qppm
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |        greatest(50000, least(1000000, qppm)) AS weight_ppm FROM st)
+        |SELECT doc_id, weight_ppm FROM w
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000000 < weight_ppm
+        |ORDER BY doc_id""".stripMargin,
+    "mixture_plan" ->
+      """WITH g AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT)
+        |      AS n_tokens,
+        |    CASE WHEN source IN ('src0', 'src1', 'src2', 'src3')
+        |         THEN CAST(0.15 AS DOUBLE) ELSE CAST(0.025 AS DOUBLE)
+        |    END AS target_frac
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT *, CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+        |      FROM g),
+        |r AS (SELECT *,
+        |        least(3.0, target_frac * total_tokens / n_tokens) AS rate
+        |      FROM t)
+        |SELECT source, n_docs, n_tokens, target_frac,
+        |  round(rate, 6) AS rate,
+        |  CAST(round(rate * n_tokens) AS BIGINT) AS planned_tokens
+        |FROM r ORDER BY source""".stripMargin,
+    "epoch_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id, md5('epoch1-' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (SELECT doc_id, h,
+        |        ('0x' || substr(h, 1, 15))::BIGINT % 16 AS shard
+        |      FROM h)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+        |       AS BIGINT) AS pos
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "containment_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000,
+        |    array_to_string(list_slice(string_split(text, ' '), 1,
+        |      greatest(3, len(string_split(text, ' ')) // 2)), ' ')
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+        |shf AS (SELECT * FROM sh0 WHERE sh IN (
+        |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+        |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT a_id, b_id, i,
+        |  round(CAST(i AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = a_id
+        |JOIN sizes sb ON sb.doc_id = b_id
+        |WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.9
+        |ORDER BY a_id, b_id""".stripMargin,
+    "embedding_centroids" ->
+      """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT label, d.g AS dim, v[d.g + 1] AS x
+        |      FROM e, generate_series(0, 63) d(g) WHERE d.g < len(v)),
+        |p AS (SELECT label, dim, count(*) AS n,
+        |        CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sppm
+        |      FROM d GROUP BY 1, 2)
+        |SELECT label, dim, n,
+        |  CAST(sppm AS DOUBLE) / (n * 1000000.0) AS centroid
+        |FROM p ORDER BY 1, 2""".stripMargin,
     "decontaminate" ->
       """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM documents),
         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(

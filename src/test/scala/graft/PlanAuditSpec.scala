@@ -299,6 +299,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-8 additions keep their scale shapes") {
+    withPlainPlans {
+      // sample_weighted is a pure narrow map + filter: the only
+      // exchange allowed is the deterministic output sort
+      val sw = SparkEntry.queries("sample_weighted")(spark, sf)
+      assert(shuffleCount(sw) <= 1,
+        s"sample_weighted grew a data shuffle: ${shuffleCount(sw)}")
+      // embedding_centroids must keep map-side partial aggregation —
+      // its shuffle carries (label × dim) partials, never corpus rows
+      val ec = SparkEntry.queries("embedding_centroids")(spark, sf)
+      val ecPlan = ec.queryExecution.executedPlan.toString
+      assert("HashAggregate".r.findAllIn(ecPlan).size >= 2,
+        "embedding_centroids lost its partial aggregation")
+      // cusum: bucket-grain agg + bounded windows; no cartesian anywhere
+      for (q <- Seq("series_cusum_100s", "series_autocorr_100s",
+          "series_trend_100s", "containment_pairs", "mixture_plan",
+          "epoch_shuffle")) {
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian")
+      }
+    }
+  }
+
   test("funnel stages stay on the user_id partitioning — bounded exchanges") {
     withPlainPlans {
       val df = SparkEntry.queries("funnel_steps")(spark, sf)
