@@ -209,6 +209,13 @@ object CoreQueries {
       graft.ops.SeriesStats.olsTrend(ev(s, dir), Day5Us, Day6Us, 100L)
         .orderBy("dataset_id")),
 
+    // ---- lagged cross-correlation click↔view: does one series lead
+    // the other? BigInt moments per lag over the joined bucket grid ---
+    "series_xcorr_100s" -> ((s, dir) =>
+      graft.ops.SeriesStats.xcorr(
+        ev(s, dir), Day5Us, Day6Us, 100L, "click", "view", 3)
+        .orderBy("lag")),
+
     // ---- two-sided CUSUM change detection: pure integer windows via
     // the running-min reformulation (no recursion, no floats) ---------
     "series_cusum_100s" -> ((s, dir) =>
@@ -1349,6 +1356,36 @@ object CoreQueries {
          |            / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
          |  END AS r2
          |FROM g ORDER BY dataset_id""".stripMargin,
+    "series_xcorr_100s" ->
+      s"""WITH
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |r AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |        CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS BIGINT) AS y
+         |      FROM v GROUP BY 1, 2),
+         |x AS (SELECT bucket_s, y AS xv FROM r WHERE dataset_id = 'click'),
+         |y2 AS (SELECT bucket_s, y AS yv FROM r WHERE dataset_id = 'view'),
+         |l AS (SELECT g AS k FROM generate_series(-3, 3) t(g)),
+         |p AS (SELECT l.k, x.xv, b.yv
+         |      FROM x CROSS JOIN l
+         |      JOIN y2 b ON b.bucket_s = x.bucket_s + l.k * 100),
+         |g2 AS (SELECT k, count(*) AS n,
+         |        sum(CAST(xv AS HUGEINT)) AS sx,
+         |        sum(CAST(yv AS HUGEINT)) AS sy,
+         |        sum(CAST(xv AS HUGEINT) * yv) AS sxy,
+         |        sum(CAST(xv AS HUGEINT) * xv) AS sxx,
+         |        sum(CAST(yv AS HUGEINT) * yv) AS syy
+         |      FROM p GROUP BY 1)
+         |SELECT CAST(k AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+         |  CASE WHEN n = 0 OR n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0
+         |       THEN 0.0
+         |       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+         |            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+         |                   * CAST(n * syy - sy * sy AS DOUBLE))
+         |  END AS xcorr
+         |FROM g2 ORDER BY lag""".stripMargin,
     "series_cusum_100s" ->
       s"""WITH
          |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value

@@ -869,6 +869,57 @@ object PipelineQueries {
           (sum(col("ppm")).cast("double") /
             (count(lit(1)) * lit(1e6))).as("centroid"))
         .orderBy("label", "dim")),
+    // nearest-class-mean classification: assign every vector to its
+    // closest label centroid by cosine, emit the confusion matrix — the
+    // standard embedding-space quality check (are labels separable?).
+    // Centroids are the fixed-point prototypes of embedding_centroids;
+    // the scoring join broadcasts them (labels × dim, tiny at any
+    // corpus scale), so the corpus is read once with no self-join
+    "centroid_classify" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label").cast("long").as("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val cents = emb
+        .select(col("label"), posexplode(col("v")).as(Seq("dim", "x")))
+        .withColumn("ppm", round(col("x") * lit(1e6)).cast("long"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum(col("ppm")).as("sppm"))
+        .withColumn("c", col("sppm").cast("double") / (col("n") * lit(1e6)))
+        .groupBy(col("label").as("c_label"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("dim"), col("c")))),
+          e => e("c")).as("cv"))
+      emb.crossJoin(broadcast(cents))
+        .withColumn("cos", Similarity.cosine(col("v"), col("cv")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("vec_id").orderBy(col("cos").desc, col("c_label"))))
+        .where(col("rk") === 1)
+        .groupBy(col("label"), col("c_label").as("pred_label"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("label", "pred_label")
+    }),
+    // vocabulary coverage: what fraction of corpus tokens the top-k
+    // vocabulary explains — the tokenizer-sizing curve (token-weighted,
+    // not type-weighted). One vocab-grain agg; the rank window sorts
+    // only the vocabulary, never corpus rows
+    "vocab_coverage" -> ((s, dir) => {
+      val counts = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("token").agg(count(lit(1)).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("c").desc, col("token"))))
+      counts
+        .withColumn("k", explode(array(lit(10L), lit(100L), lit(1000L))))
+        .groupBy("k")
+        .agg(
+          count(lit(1)).as("n_vocab"),
+          sum(when(col("rk") <= col("k"), col("c")).otherwise(lit(0L))).as("covered"),
+          sum(col("c")).as("total"))
+        .select(col("k"), col("n_vocab"), col("covered"), col("total"),
+          r6(col("covered").cast("double") / col("total")).as("coverage"))
+        .orderBy("k")
+    }),
     // Count-Min heavy hitters: the exact top-20 corpus tokens with the
     // CMS grid's (one-sided) estimates alongside — the mergeable-sketch
     // counterpart of vocab_topk, full grid arithmetic oracle-checked
@@ -1313,6 +1364,45 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
+    "centroid_classify" ->
+      """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |d AS (SELECT label, d.g AS dim, v[d.g + 1] AS x
+        |      FROM e, generate_series(0, 63) d(g) WHERE d.g < len(v)),
+        |p AS (SELECT label, dim, count(*) AS n,
+        |        CAST(sum(CAST(round(x * 1000000) AS BIGINT)) AS BIGINT) AS sppm
+        |      FROM d GROUP BY 1, 2),
+        |c AS (SELECT label AS c_label,
+        |        list(CAST(sppm AS DOUBLE) / (n * 1000000.0) ORDER BY dim) AS cv
+        |      FROM p GROUP BY 1),
+        |s AS (SELECT e.vec_id, e.label, c.c_label,
+        |        list_sum(list_transform(generate_series(1, 64),
+        |          i -> e.v[i] * c.cv[i])) /
+        |          (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |           sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS cos
+        |      FROM e, c),
+        |r AS (SELECT vec_id, label, c_label,
+        |        row_number() OVER (PARTITION BY vec_id
+        |                           ORDER BY cos DESC, c_label) AS rk
+        |      FROM s)
+        |SELECT label, c_label AS pred_label, count(*) AS n
+        |FROM r WHERE rk = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "vocab_coverage" ->
+      """WITH counts AS (
+        |  SELECT token, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE length(token) > 0 GROUP BY 1),
+        |ranked AS (SELECT token, c,
+        |             row_number() OVER (ORDER BY c DESC, token) AS rk
+        |           FROM counts),
+        |x AS (SELECT rk, c, k.k FROM ranked
+        |      CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k) k)
+        |SELECT CAST(k AS BIGINT) AS k, count(*) AS n_vocab,
+        |  CAST(sum(CASE WHEN rk <= k THEN c ELSE 0 END) AS BIGINT) AS covered,
+        |  CAST(sum(c) AS BIGINT) AS total,
+        |  round(CAST(sum(CASE WHEN rk <= k THEN c ELSE 0 END) AS DOUBLE)
+        |        / CAST(sum(c) AS BIGINT), 6) AS coverage
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
     "embedding_centroids" ->
       """WITH e AS (SELECT CAST(label AS BIGINT) AS label,
         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -131,6 +131,50 @@ object SeriesStats {
       .toDF("dataset_id", "n", "slope_ppm", "intercept_ppm", "r2")
   }
 
+  /** Lagged cross-correlation between two named series: Pearson r of
+   *  (x_b, y_{b+k·bucketS}) over the common bucket grid for each lag
+   *  k ∈ [−maxLag, maxLag] — the "does click lead view?" question.
+   *  Same exactness discipline as [[autocorr]]: ppm-integer bucket
+   *  means, BigInt moments per lag group (≤ span/bucketS pairs each),
+   *  one float division + sqrt on bit-identical operands at the end.
+   *  Output: lag, n_pairs, xcorr (unrounded).
+   */
+  def xcorr(
+      long: DataFrame, startUs: Long, endUs: Long, bucketS: Long,
+      aSeries: String, bSeries: String, maxLag: Int): DataFrame = {
+    val sess = long.sparkSession
+    import sess.implicits._
+    val pb = ppmBuckets(long, startUs, endUs, bucketS)
+    val x = pb.where(col("dataset_id") === aSeries)
+      .select(col("bucket_s"), col("y").as("xv"))
+    val yv = pb.where(col("dataset_id") === bSeries)
+      .select(col("bucket_s").as("yb"), col("y").as("yv"))
+    val lags = sess.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").cast("int").as("k"))
+    x.crossJoin(broadcast(lags))
+      .join(yv, col("yb") === col("bucket_s") + col("k") * lit(bucketS))
+      .select(col("k"), col("xv"), col("yv"))
+      .as[(Int, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (k: Int, it: Iterator[(Int, Long, Long)]) =>
+        var n = 0L
+        var sx, sy, sxy, sxx, syy = BigInt(0)
+        it.foreach { case (_, a, b) =>
+          n += 1; sx += a; sy += b
+          sxy += BigInt(a) * b; sxx += BigInt(a) * a; syy += BigInt(b) * b
+        }
+        val nB = BigInt(n)
+        val num = nB * sxy - sx * sy
+        val denx = nB * sxx - sx * sx
+        val deny = nB * syy - sy * sy
+        val r =
+          if (n == 0 || denx == 0 || deny == 0) 0.0
+          else num.toDouble / math.sqrt(denx.toDouble * deny.toDouble)
+        (k.toLong, n, r)
+      }
+      .toDF("lag", "n_pairs", "xcorr")
+  }
+
   /** Two-sided CUSUM change detection over the ppm bucket-mean series —
    *  pure integer arithmetic via the running-min reformulation of
    *    S⁺_i = max(0, S⁺_{i−1} + (y_i − μ − slack))

@@ -53,6 +53,25 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
 
+  test("xcorr peaks at the true lead-lag offset") {
+    val sp = spark
+    import sp.implicits._
+    // series b is a shifted one bucket later: at lag +1 the pairs are
+    // (v, v) → r = 1; at lag 0 the pairs are misaligned noise
+    val va = Seq(1.0, 5.0, 2.0, 8.0, 3.0)
+    val rows =
+      va.zipWithIndex.map { case (v, i) => ("a", t0 + i * 10_000_000L, v) } ++
+      va.zipWithIndex.map { case (v, i) => ("b", t0 + (i + 1) * 10_000_000L, v) }
+    val df = rows.toDF("dataset_id", "ts_us", "value")
+    val out = graft.ops.SeriesStats.xcorr(
+      df, t0, t0 + 80_000_000L, 10L, "a", "b", 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 5L)
+    assert(math.abs(out(1L)._2 - 1.0) < 1e-12, s"lag1 should be perfect: $out")
+    assert(out(0L)._1 == 4L) // overlap shrinks off the true lag
+    assert(out(0L)._2 < 0.9)
+  }
+
   test("cusum accumulates drift above slack and resets at zero") {
     // flat 10.0 then a +4 step; μ(ppm)=12e6, slack=1e6.
     // y−μ−slack per bucket (ppm): pre-step -3e6 (clamps at 0),
