@@ -128,6 +128,35 @@ object CoreQueries {
         .orderBy("dataset_id", "p")
     }),
 
+    // ---- winsorized per-series stats: exact-rank p05/p95 clip — the
+    // robust-mean companion to value_stats (outlier-resistant telemetry
+    // summaries). Quantiles are exact data values (range_quantiles
+    // rank rule), the clip is least/greatest on identical doubles, and
+    // the clipped mean is a fixed-point ppm sum — fully deterministic --
+    "value_winsorize" -> ((s, dir) => {
+      val byDs = org.apache.spark.sql.expressions.Window.partitionBy("dataset_id")
+      val w = ev(s, dir)
+        .withColumn("r", row_number().over(byDs.orderBy("value")))
+        .withColumn("n", count(lit(1)).over(byDs))
+      def at(p: Double, as: String) = w
+        .where(col("r") === greatest(lit(1L), ceil(lit(p) * col("n")).cast("long")))
+        .select(col("dataset_id"), col("value").as(as), col("n"))
+      val q = at(0.05, "p05").join(at(0.95, "p95").drop("n"), Seq("dataset_id"))
+      ev(s, dir)
+        .join(broadcast(q), Seq("dataset_id"))
+        .withColumn("cppm",
+          round(least(greatest(col("value"), col("p05")), col("p95")) * lit(1e6))
+            .cast("long"))
+        .groupBy("dataset_id", "n", "p05", "p95")
+        .agg(
+          sum(when(col("value") < col("p05"), 1L).otherwise(0L)).as("n_below"),
+          sum(when(col("value") > col("p95"), 1L).otherwise(0L)).as("n_above"),
+          r6(sum(col("cppm")).cast("double") / (col("n") * lit(1e6))).as("mean_w"))
+        .select(col("dataset_id"), col("n"), col("p05"), col("p95"),
+          col("n_below"), col("n_above"), col("mean_w"))
+        .orderBy("dataset_id")
+    }),
+
     // ---- counter rate with reset detection (Prometheus-style) -------
     // per-series lag window: a drop in a cumulative counter means the
     // process restarted — the post-reset value IS the increase. Bucket
@@ -1356,6 +1385,29 @@ object CoreQueries {
          |            / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
          |  END AS r2
          |FROM g ORDER BY dataset_id""".stripMargin,
+    "value_winsorize" ->
+      """WITH v AS (SELECT event_type AS dataset_id, value FROM events
+        |           WHERE value IS NOT NULL AND NOT isnan(value)),
+        |w AS (SELECT dataset_id, value,
+        |        row_number() OVER (PARTITION BY dataset_id ORDER BY value) AS r,
+        |        count(*) OVER (PARTITION BY dataset_id) AS n
+        |      FROM v),
+        |q AS (SELECT a.dataset_id, a.value AS p05, b.value AS p95, a.n
+        |      FROM (SELECT * FROM w
+        |            WHERE r = greatest(1, CAST(ceil(0.05 * n) AS BIGINT))) a
+        |      JOIN (SELECT * FROM w
+        |            WHERE r = greatest(1, CAST(ceil(0.95 * n) AS BIGINT))) b
+        |        ON b.dataset_id = a.dataset_id)
+        |SELECT v.dataset_id, q.n, q.p05, q.p95,
+        |  CAST(sum(CASE WHEN v.value < q.p05 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_below,
+        |  CAST(sum(CASE WHEN v.value > q.p95 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_above,
+        |  round(CAST(sum(CAST(round(least(greatest(v.value, q.p05), q.p95)
+        |          * 1000000) AS BIGINT)) AS DOUBLE) / (q.n * 1000000.0), 6)
+        |    AS mean_w
+        |FROM v JOIN q ON q.dataset_id = v.dataset_id
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "series_xcorr_100s" ->
       s"""WITH
          |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
