@@ -128,6 +128,26 @@ object CoreQueries {
         .orderBy("dataset_id", "p")
     }),
 
+    // ---- event-transition matrix: per-user Markov transitions over
+    // the time-ordered event stream (which action follows which) — one
+    // lead window keyed by user (cardinality-balanced) + a pair-grain
+    // agg; the probability normalizer is a 25-row window ---------------
+    "event_transitions" -> ((s, dir) => {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_us", "event_id")
+      rawEvents(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+        .where(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("next_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", r6(col("n").cast("double") /
+          sum(col("n")).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("from_type"))))
+        .orderBy("from_type", "to_type")
+    }),
+
     // ---- winsorized per-series stats: exact-rank p05/p95 clip — the
     // robust-mean companion to value_stats (outlier-resistant telemetry
     // summaries). Quantiles are exact data values (range_quantiles
@@ -1385,6 +1405,19 @@ object CoreQueries {
          |            / CAST((n * sxx - sx * sx) * (n * syy - sy * sy) AS DOUBLE)
          |  END AS r2
          |FROM g ORDER BY dataset_id""".stripMargin,
+    "event_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type
+        |           FROM events),
+        |t AS (SELECT event_type AS from_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts_us, event_id) AS to_type
+        |      FROM e),
+        |c AS (SELECT from_type, to_type, count(*) AS n
+        |      FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(CAST(n AS DOUBLE)
+        |        / CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT), 6) AS p
+        |FROM c ORDER BY 1, 2""".stripMargin,
     "value_winsorize" ->
       """WITH v AS (SELECT event_type AS dataset_id, value FROM events
         |           WHERE value IS NOT NULL AND NOT isnan(value)),

@@ -785,12 +785,13 @@ object PipelineQueries {
         .where(col("h") % 1000000L < col("weight_ppm"))
         .select(col("doc_id"), col("weight_ppm"))
         .orderBy("doc_id")),
-    // data-mixture planner: per-source sampling rates from target
-    // domain weights with an epoch cap — the "how many epochs of each
-    // domain fit the token budget" arithmetic a 100 TB mixture ships
-    // with. One source-grain agg (catalog-bounded) + a window total;
-    // every float derives from exact integer sums, so the plan is
-    // engine-deterministic
+    // data-mixture planner, epoch-capped variant: per-source sampling
+    // rates that hit target domain weights at the FULL corpus token
+    // budget, allowing up to 3 epochs of repetition on under-weight
+    // domains (domain_mix is the dual: the largest budget feasible
+    // WITHOUT upsampling — Mixing.domainMix). One source-grain agg
+    // (catalog-bounded) + a window total; every float derives from
+    // exact integer sums, so the plan is engine-deterministic
     "mixture_plan" -> ((s, dir) =>
       docs(s, dir)
         .groupBy("source")
@@ -869,6 +870,46 @@ object PipelineQueries {
           (sum(col("ppm")).cast("double") /
             (count(lit(1)) * lit(1e6))).as("centroid"))
         .orderBy("label", "dim")),
+    // PageRank over a deterministic doc-link graph (5 power iterations,
+    // damping 0.85) — the link-authority signal web-corpus curation
+    // weighs documents by. PURE INTEGER arithmetic: ranks are ppm
+    // longs, contributions use floor division, so no float-order hazard
+    // exists at any scale; each iteration is one equi-join + one
+    // dst-grain agg (the classic distributed PR shape — state is the
+    // rank vector, never the edge list, and the edge join partitions
+    // by src). The graph is synthesized modularly from doc_ids (ids
+    // are contiguous 0..N−1), identically in the oracle
+    "graph_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id")
+      val nDf = broadcast(d.agg(count(lit(1)).as("nn")))
+      val edges = d.crossJoin(nDf)
+        .withColumn("j",
+          explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L)))))
+        .withColumn("dst",
+          pmod(col("doc_id") * lit(17L) + col("j") * lit(13L), col("nn")))
+        .where(col("dst") =!= col("doc_id"))
+        .select(col("doc_id").as("src"), col("dst"))
+      Dedup.withScopedPersist(edges) {
+        val outd = edges.groupBy("src").agg(count(lit(1)).as("outd"))
+        var ranks = d.select(col("doc_id"), lit(1000000L).as("r"))
+        for (_ <- 1 to 5) {
+          val contrib = edges
+            .join(outd, "src")
+            .join(ranks.select(col("doc_id").as("src"), col("r")), "src")
+            .select(col("dst"), expr("r div outd").as("c"))
+            .groupBy("dst").agg(sum(col("c")).as("sc"))
+          ranks = d
+            .join(contrib, col("doc_id") === col("dst"), "left_outer")
+            .select(col("doc_id"),
+              (lit(150000L) + expr("(850 * coalesce(sc, 0L)) div 1000")).as("r"))
+        }
+        ranks
+          .withColumn("rk", row_number()
+            .over(Window.orderBy(col("r").desc, col("doc_id"))).cast("long"))
+          .where(col("rk") <= 20)
+          .select(col("rk"), col("doc_id"), col("r").as("rank_ppm"))
+      }.orderBy("rk")
+    }),
     // nearest-class-mean classification: assign every vector to its
     // closest label centroid by cosine, emit the confusion matrix — the
     // standard embedding-space quality check (are labels separable?).
@@ -992,6 +1033,38 @@ object PipelineQueries {
           r6(col("scale_x")).as("scale_x"), r6(col("scale_y")).as("scale_y"),
           col("out_bytes"))
         .orderBy("media_id")))
+
+  /** Integer-PR mirror: 5 unrolled iterations (DuckDB restricts
+   *  aggregates in recursive CTEs), identical modular graph synthesis,
+   *  BIGINT floor division matching the engine's `div`.
+   */
+  private val pagerankOracle: String = {
+    val iters = (1 to 5).map { k =>
+      val prev = if (k == 1) "r0" else s"r${k - 1}"
+      s"""r$k AS (SELECT n.doc_id,
+          |  CAST(150000 + (850 * coalesce(s.s, 0)) // 1000 AS BIGINT) AS r
+          |  FROM nodes n LEFT JOIN (
+          |    SELECT e.dst, CAST(sum(p.r // o.outd) AS BIGINT) AS s
+          |    FROM edges e
+          |    JOIN od o ON o.src = e.src
+          |    JOIN $prev p ON p.doc_id = e.src
+          |    GROUP BY 1) s ON s.dst = n.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |edges AS (
+       |  SELECT doc_id AS src, (doc_id * 17 + j.g * 13) % nn.n AS dst
+       |  FROM nodes, nn, generate_series(1, 3) j(g)
+       |  WHERE j.g <= 1 + doc_id % 3
+       |    AND (doc_id * 17 + j.g * 13) % nn.n <> doc_id),
+       |od AS (SELECT src, count(*) AS outd FROM edges GROUP BY 1),
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |$iters,
+       |ranked AS (SELECT doc_id, r,
+       |    row_number() OVER (ORDER BY r DESC, doc_id) AS rk FROM r5)
+       |SELECT rk, doc_id, r AS rank_ppm FROM ranked
+       |WHERE rk <= 20 ORDER BY rk""".stripMargin
+  }
 
   private val jaccardOracle: String =
     s"""WITH corpus AS (
@@ -1364,6 +1437,7 @@ object PipelineQueries {
         |JOIN sizes sb ON sb.doc_id = b_id
         |WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
+    "graph_pagerank" -> pagerankOracle,
     "centroid_classify" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -315,7 +315,9 @@ class PlanAuditSpec extends AnyFunSuite {
       // cusum: bucket-grain agg + bounded windows; no cartesian anywhere
       for (q <- Seq("series_cusum_100s", "series_autocorr_100s",
           "series_trend_100s", "containment_pairs", "mixture_plan",
-          "epoch_shuffle")) {
+          "epoch_shuffle", "series_xcorr_100s", "centroid_classify",
+          "vocab_coverage", "value_winsorize", "event_transitions",
+          "graph_pagerank")) {
         val plan = SparkEntry.queries(q)(spark, sf)
           .queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian")
