@@ -728,6 +728,78 @@ object CoreQueries {
         .orderBy("p_id")
     }),
 
+    // ---- streaming gap sessionization (flatMapGroupsWithState): the
+    // CUSTOM-state streaming posture registered end-to-end. The events
+    // file replays as a micro-batch; per-user OpenSession state closes
+    // sessions by data or by event-time timeout; two far-future
+    // sentinel batches (same two-step watermark dance as
+    // stream_window_10s) advance the watermark so every real session
+    // flushes deterministically, and the result must equal the batch
+    // gaps-and-islands sessionization bit-for-bit (shared oracle shape
+    // with user_sessions). Sentinel rows ride user_id = -1 and are
+    // filtered from the sink --------------------------------------------
+    "stream_sessions" -> ((s, dir) => {
+      val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("a_events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val maxTsUs = evb.select(Melt.tsUs(evb, "ts").as("us"))
+        .agg(max("us")).head().getLong(0)
+      val base = System.currentTimeMillis()
+      java.nio.file.Files.setLastModifiedTime(
+        srcDir.resolve("a_events.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(base - 60000L))
+      for (k <- 1 to 2) {
+        val scratch = srcDir.resolve(s"scratch$k")
+        evb.limit(1)
+          .withColumn("ts",
+            Melt.tsLit(evb.schema("ts").dataType, maxTsUs + k * 86400L * 1000000L))
+          .withColumn("user_id", lit(-1L))
+          .coalesce(1)
+          .write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"b_sentinel$k.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + k * 2000L))
+        } finally parts.close()
+      }
+      val stream = s.readStream.schema(evb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val sessions = graft.streaming.Sessionize.sessions(
+        stream.select(col("user_id"), Melt.tsUs(stream, "ts").as("ts_us")),
+        gapUs = 1800000000L)
+      val qn = "ss_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        sessions.toDF()
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qn)
+          .option("checkpointLocation", s"$srcDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      q.awaitTermination()
+      s.table(qn)
+        .where(col("user_id") >= 0)
+        // the streaming emission order is nondeterministic; session_id is
+        // the per-user start-time ordinal, same as the batch operator
+        .withColumn("session_id", row_number()
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id").orderBy("start_us")).cast("long"))
+        .select("user_id", "session_id", "n_events", "start_us", "end_us")
+        .orderBy("user_id", "session_id")
+    }),
+
     // ---- S12/O3/F14: comment CRUD round-trip — create 6, update every
     // id%3==0 (text prefixed, date shifted +1s), delete every id%5==0,
     // read back date-sorted (the reference's sorted-rewrite write path,
@@ -935,6 +1007,26 @@ object CoreQueries {
         |FROM p JOIN v ON p.user_id = v.user_id
         |             AND abs(p.p_us - v.v_us) <= 3000000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical to the batch user_sessions oracle: the streamed
+    // flatMapGroupsWithState sessionizer must reproduce the one-shot
+    // gaps-and-islands result exactly
+    "stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us FROM events),
+        |d AS (
+        |  SELECT user_id, ts_us,
+        |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+        |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+        |              > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ts_us,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us
+        |                     ROWS UNBOUNDED PRECEDING) AS session_id
+        |  FROM d)
+        |SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        |  count(*) AS n_events, min(ts_us) AS start_us, max(ts_us) AS end_us
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "comments_crud" ->
       """WITH base AS (
         |  SELECT event_id AS id, epoch_us(ts) AS date_us, props AS text

@@ -494,6 +494,12 @@ object PipelineQueries {
     // corpus-unigram-LM fluency score per doc (exact ppm integers)
     "doc_logprob" -> ((s, dir) =>
       docLogProbMemo(s, dir).orderBy("doc_id")),
+    // corpus-bigram-LM fluency: first token under the unigram LM, the
+    // rest under p(w2|w1) — the stronger repetition/fluency signal a
+    // CCNet-style filter upgrades to when unigram scores saturate
+    "doc_bigram_logprob" -> ((s, dir) =>
+      TextOps.docBigramLogProb(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // RAG-style chunking: fixed 200-char windows at stride 160 (40-char
     // overlap), the indexing-side primitive an embedding pipeline runs
     // before embed+ANN. Pure narrow explode — chunk count rides the
@@ -2101,6 +2107,39 @@ object PipelineQueries {
         |  CAST(sum(tf * lp_ppm) AS DOUBLE) / (sum(tf) * 1000000.0) AS avg_logp
         |FROM tf JOIN lp USING (token)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // order-preserving list_filter (NOT unnest+WHERE): bigram adjacency
+    // is over the FILTERED token sequence on both sides
+    "doc_bigram_logprob" ->
+      """WITH f AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '), t -> len(t) > 0) AS fl
+        |  FROM documents WHERE len(list_filter(string_split(text, ' '), t -> len(t) > 0)) > 0),
+        |tok AS (SELECT doc_id, unnest(fl) AS token FROM f),
+        |uni AS (SELECT token, count(*) AS cnt FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS DOUBLE) AS t FROM uni),
+        |ulp AS (SELECT token,
+        |          CAST(round(ln(CAST(cnt AS DOUBLE) / tot.t) * 1000000) AS BIGINT)
+        |            AS ulp_ppm
+        |        FROM uni, tot),
+        |bg AS (
+        |  SELECT doc_id, fl[i] AS w1, fl[i + 1] AS w2
+        |  FROM f, LATERAL (SELECT unnest(generate_series(1, len(fl) - 1)) AS i) u),
+        |bcnt AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+        |pref AS (SELECT w1, sum(c2) AS c1 FROM bcnt GROUP BY 1),
+        |blp AS (
+        |  SELECT w1, w2,
+        |    CAST(round(ln(CAST(c2 AS DOUBLE) / CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS blp_ppm
+        |  FROM bcnt JOIN pref USING (w1)),
+        |btf AS (SELECT doc_id, w1, w2, count(*) AS tf FROM bg GROUP BY 1, 2, 3),
+        |s2 AS (
+        |  SELECT doc_id, sum(tf * blp_ppm) AS s2, sum(tf) AS nb
+        |  FROM btf JOIN blp USING (w1, w2) GROUP BY 1),
+        |s1 AS (SELECT f.doc_id, ulp_ppm FROM f JOIN ulp ON fl[1] = ulp.token)
+        |SELECT s1.doc_id, CAST(1 + coalesce(nb, 0) AS BIGINT) AS n_tok,
+        |  CAST(ulp_ppm + coalesce(s2, 0) AS BIGINT) AS sum_lp_ppm,
+        |  CAST(ulp_ppm + coalesce(s2, 0) AS DOUBLE)
+        |    / ((1 + coalesce(nb, 0)) * 1000000.0) AS avg_logp
+        |FROM s1 LEFT JOIN s2 USING (doc_id) ORDER BY doc_id""".stripMargin,
     "chunk_documents" ->
       """WITH c AS (
         |  SELECT doc_id, (i - 1) // 160 AS chunk_idx,

@@ -313,6 +313,65 @@ object TextOps {
         (col("sum_lp_ppm").cast("double") / (col("n_tok") * lit(1e6))).as("avg_logp"))
   }
 
+  /** Corpus bigram-LM fluency score per doc — the second-order companion
+   *  to [[docLogProb]]: the first token scores under the corpus unigram
+   *  LM, every subsequent token under p(w₂|w₁) = cnt(w₁w₂)/cnt(w₁·),
+   *  all in exact ppm integers (the only floats are the per-probability
+   *  `log`s, which both engines evaluate identically on identical
+   *  double ratios — the proven docLogProb discipline).
+   *
+   *  Scale shape: every aggregation is (bigram|token)-vocabulary-grain
+   *  with map-side combine — state ∝ observed vocabulary, never corpus
+   *  rows; the LM attaches back by equi-join on the bigram key (NOT a
+   *  broadcast: at web scale the bigram vocabulary outgrows any driver),
+   *  so the whole lineage is shuffle-by-vocabulary-key, skew-bounded by
+   *  the df-style frequency cap Zipf puts on any single bigram share.
+   */
+  def docBigramLogProb(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val f = docs
+      .select(col(idCol).as("doc_id"),
+        filter(tokens(col(textCol)), t => length(t) > 0).as("fl"))
+      .where(size(col("fl")) > 0)
+    // adjacent pairs in one narrow pass; sequence() guards the 1-token
+    // case (Spark's sequence(1,0) would generate DESCENDING [1,0])
+    val bg = f
+      .select(col("doc_id"),
+        explode(when(size(col("fl")) >= 2,
+          transform(sequence(lit(1), size(col("fl")) - 1),
+            i => struct(
+              element_at(col("fl"), i).as("w1"),
+              element_at(col("fl"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val tok = f.select(col("doc_id"), explode(col("fl")).as("token"))
+    val uni = tok.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum(col("cnt")).cast("double").as("t"))
+    val ulp = uni.crossJoin(broadcast(total))
+      .select(col("token"),
+        round(log(col("cnt").cast("double") / col("t")) * 1e6)
+          .cast("long").as("ulp_ppm"))
+    val bcnt = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val pref = bcnt.groupBy("w1").agg(sum(col("c2")).as("c1"))
+    val blp = bcnt.join(pref, "w1")
+      .select(col("w1"), col("w2"),
+        round(log(col("c2").cast("double") / col("c1").cast("double")) * 1e6)
+          .cast("long").as("blp_ppm"))
+    val btf = bg.groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
+    val s2 = btf.join(blp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf") * col("blp_ppm")).as("s2"), sum(col("tf")).as("nb"))
+    val s1 = f.select(col("doc_id"), element_at(col("fl"), 1).as("token"))
+      .join(ulp, "token")
+      .select(col("doc_id"), col("ulp_ppm"))
+    s1.join(s2, Seq("doc_id"), "left_outer")
+      .select(
+        col("doc_id"),
+        (lit(1L) + coalesce(col("nb"), lit(0L))).as("n_tok"),
+        (col("ulp_ppm") + coalesce(col("s2"), lit(0L))).as("sum_lp_ppm"))
+      .withColumn("avg_logp",
+        col("sum_lp_ppm").cast("double") / (col("n_tok") * lit(1e6)))
+  }
+
   /** Inverted index at vocabulary grain: per token its document
    *  frequency, total occurrence count, and the first `sampleK` doc ids
    *  of the posting list (comma-joined — an engine-portable prefix
