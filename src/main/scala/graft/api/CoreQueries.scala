@@ -244,6 +244,13 @@ object CoreQueries {
         .orderBy("dataset_id", "hour")
     }),
 
+    // ---- seasonal-residual anomaly: buckets deviating > 3σ from the
+    // series' OWN hour-of-day profile — the integer-exact 3σ test
+    // (rₙ² > 9·(n·Σy²−Σy²)) over the full-span ppm bucket means -------
+    "seasonal_anomaly_100s" -> ((s, dir) =>
+      graft.ops.SeriesStats.seasonalAnomaly(ev(s, dir), 0L, Long.MaxValue, 100L)
+        .orderBy("dataset_id", "bucket_s")),
+
     // ---- sample autocorrelation: per-series ACF at lags 1..5 over the
     // routed day's 100 s bucket means — exact BigInt moments per series
     // (bounded groups), one float division at the end ------------------
@@ -1430,6 +1437,28 @@ object CoreQueries {
         |  round(sum(round(m * 1000000)) / (1000000.0 * count(*)), 6) AS hour_mean,
         |  round(min(m), 6) AS hour_min, round(max(m), 6) AS hour_max
         |FROM r0 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the integer-exact 3σ test over hour-conditioned ppm residuals:
+    // rn = n·y − Σy, flag iff rn² > 9·(n·Σy² − (Σy)²), all HUGEINT
+    "seasonal_anomaly_100s" ->
+      """WITH r AS (
+        |  SELECT event_type AS dataset_id,
+        |    (epoch_us(ts) // 100000000) * 100 AS bucket_s,
+        |    CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+        |      / (CAST(count(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  GROUP BY 1, 2),
+        |b AS (SELECT dataset_id, bucket_s, y,
+        |        (bucket_s % 86400) // 3600 AS hour FROM r),
+        |g AS (SELECT dataset_id, hour, count(*) AS n, sum(y) AS sy,
+        |        sum(CAST(y AS HUGEINT) * y) AS syy
+        |      FROM b GROUP BY 1, 2)
+        |SELECT dataset_id, bucket_s, y,
+        |  CAST(b.y * g.n - g.sy AS BIGINT) AS resid_n_ppm,
+        |  CAST(g.n AS BIGINT) AS n
+        |FROM b JOIN g USING (dataset_id, hour)
+        |WHERE CAST(b.y * g.n - g.sy AS HUGEINT) * CAST(b.y * g.n - g.sy AS HUGEINT)
+        |      > 9 * (g.n * g.syy - CAST(g.sy AS HUGEINT) * g.sy)
+        |ORDER BY dataset_id, bucket_s""".stripMargin,
     // ACF / OLS / CUSUM share the ppm-requantized bucket-mean series:
     // y = round(mean·10⁶) — the round of a bit-identical double, so y is
     // integral-exact and every downstream moment is HUGEINT-exact,

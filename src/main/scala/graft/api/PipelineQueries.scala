@@ -460,6 +460,11 @@ object PipelineQueries {
         .orderBy("doc_id")),
     "lang_id" -> ((s, dir) =>
       TextOps.langId(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
+    // char-bigram Shannon entropy (exact ppm ints): gibberish high,
+    // padding near zero, prose in a narrow band
+    "char_entropy" -> ((s, dir) =>
+      TextOps.charBigramEntropy(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     "token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
@@ -916,6 +921,39 @@ object PipelineQueries {
           .select(col("rk"), col("doc_id"), col("r").as("rank_ppm"))
       }.orderBy("rk")
     }),
+    // min-label propagation over the graph_pagerank doc-link graph made
+    // undirected: 3 synchronous rounds of l(v) ← min(l(v), min over
+    // neighbors) — the connected-components / community-seeding
+    // iteration. Pure integers; each round is one equi-join + one
+    // node-grain min-agg, state is the label vector (node-grain),
+    // never the edge list — the same distributed shape as pagerank
+    "label_propagation" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id")
+      val nDf = broadcast(d.agg(count(lit(1)).as("nn")))
+      val e0 = d.crossJoin(nDf)
+        .withColumn("j",
+          explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L)))))
+        .withColumn("dst",
+          pmod(col("doc_id") * lit(17L) + col("j") * lit(13L), col("nn")))
+        .where(col("dst") =!= col("doc_id"))
+        .select(col("doc_id").as("src"), col("dst"))
+      val edges = e0.unionByName(
+        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+      Dedup.withScopedPersist(edges) {
+        var lab = d.select(col("doc_id"), col("doc_id").as("lab"))
+        for (_ <- 1 to 3) {
+          val nbr = edges
+            .join(lab.select(col("doc_id").as("dst"), col("lab").as("nl")), "dst")
+            .groupBy(col("src").as("doc_id"))
+            .agg(min(col("nl")).as("nl"))
+          lab = lab.join(nbr, Seq("doc_id"), "left_outer")
+            .select(col("doc_id"),
+              least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+        }
+        lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
+      }.orderBy("lab")
+    }),
+
     // nearest-class-mean classification: assign every vector to its
     // closest label centroid by cosine, emit the confusion matrix — the
     // standard embedding-space quality check (are labels separable?).
@@ -1044,6 +1082,31 @@ object PipelineQueries {
    *  aggregates in recursive CTEs), identical modular graph synthesis,
    *  BIGINT floor division matching the engine's `div`.
    */
+  private val labelPropOracle: String = {
+    val iters = (1 to 3).map { k =>
+      val prev = if (k == 1) "l0" else s"l${k - 1}"
+      s"""l$k AS (SELECT p.doc_id, least(p.lab, coalesce(m.nl, p.lab)) AS lab
+          |  FROM $prev p LEFT JOIN (
+          |    SELECT e.src AS doc_id, min(q.lab) AS nl
+          |    FROM edges e JOIN $prev q ON q.doc_id = e.dst
+          |    GROUP BY 1) m ON m.doc_id = p.doc_id)"""
+    }.mkString(",\n")
+    s"""WITH nodes AS (SELECT doc_id FROM documents),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |e0 AS (
+       |  SELECT doc_id AS src, (doc_id * 17 + j.g * 13) % nn.n AS dst
+       |  FROM nodes, nn, generate_series(1, 3) j(g)
+       |  WHERE j.g <= 1 + doc_id % 3
+       |    AND (doc_id * 17 + j.g * 13) % nn.n <> doc_id),
+       |edges AS (SELECT DISTINCT src, dst FROM
+       |  (SELECT src, dst FROM e0
+       |   UNION ALL SELECT dst AS src, src AS dst FROM e0)),
+       |l0 AS (SELECT doc_id, doc_id AS lab FROM nodes),
+       |$iters
+       |SELECT CAST(lab AS BIGINT) AS lab, count(*) AS n_members
+       |FROM l3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   private val pagerankOracle: String = {
     val iters = (1 to 5).map { k =>
       val prev = if (k == 1) "r0" else s"r${k - 1}"
@@ -1444,6 +1507,7 @@ object PipelineQueries {
         |WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
     "graph_pagerank" -> pagerankOracle,
+    "label_propagation" -> labelPropOracle,
     "centroid_classify" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -2017,6 +2081,23 @@ object PipelineQueries {
         |      / len(string_split(text, ' ')) AS stop_ratio
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    // per-ln rounding to ppm BEFORE the fold makes the entropy pure
+    // integer arithmetic on both engines (the docLogProb discipline)
+    "char_entropy" ->
+      """WITH bg AS (
+        |  SELECT doc_id, substr(text, CAST(i AS INTEGER), 2) AS b
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1, len(text) - 1)) AS i) u
+        |  WHERE len(text) >= 2),
+        |c AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |a AS (SELECT doc_id, sum(c) AS n,
+        |        sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT))
+        |          AS scl
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_pairs,
+        |  CAST((n * CAST(round(ln(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) - scl)
+        |    // n AS BIGINT) AS h_nats_ppm
+        |FROM a ORDER BY doc_id""".stripMargin,
     "lang_id" ->
       """SELECT doc_id, en_n, de_n, fr_n, es_n,
         |  CASE WHEN en_n = 0 AND de_n = 0 AND fr_n = 0 AND es_n = 0 THEN 'unknown'

@@ -210,4 +210,37 @@ object SeriesStats {
         col("cusum_pos") > thresholdPpm || col("cusum_neg") > thresholdPpm)
       .select("dataset_id", "bucket_s", "y", "cusum_pos", "cusum_neg", "alarm")
   }
+
+  /** Hour-of-day-conditioned anomaly detection: flag buckets whose mean
+   *  deviates > 3σ from the series' profile FOR THAT HOUR — the
+   *  seasonal-residual upgrade of a global z-score, which a daily-cycle
+   *  series fools (every rush hour looks anomalous globally).
+   *
+   *  The 3σ test is multiplied through to pure integer arithmetic on
+   *  the ppm series: with rₙ = n·y − Σy (the residual scaled by n),
+   *  |resid| > 3σ ⇔ rₙ² > 9·(n·Σy² − (Σy)²) — exact in decimal(38)/
+   *  HUGEINT, zero float-order hazard. Scale: the profile is a
+   *  (series × 24)-grain agg with map-side combine over the bucket
+   *  grain (itself bounded by span/bucketS per series); the flag join
+   *  attaches 24 rows per series back to its buckets on the equi-key.
+   */
+  def seasonalAnomaly(
+      long: DataFrame, startUs: Long, endUs: Long,
+      bucketS: Long): DataFrame = {
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val b = ppmBuckets(long, startUs, endUs, bucketS)
+      .withColumn("hour", expr("(bucket_s % 86400) div 3600"))
+    val g = b.groupBy("dataset_id", "hour")
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).as("sy"),
+        sum(col("y").cast(dec) * col("y")).as("syy"))
+    b.join(g, Seq("dataset_id", "hour"))
+      .withColumn("rn", col("y") * col("n") - col("sy"))
+      .where(col("rn").cast(dec) * col("rn") >
+        lit(9).cast(dec) *
+          (col("n").cast(dec) * col("syy") - col("sy").cast(dec) * col("sy")))
+      .select(col("dataset_id"), col("bucket_s"), col("y"),
+        col("rn").as("resid_n_ppm"), col("n"))
+  }
 }

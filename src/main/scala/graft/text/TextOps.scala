@@ -372,6 +372,38 @@ object TextOps {
         col("sum_lp_ppm").cast("double") / (col("n_tok") * lit(1e6)))
   }
 
+  /** Per-doc character-bigram Shannon entropy (nats, ppm integers) — a
+   *  gibberish/boilerplate signal: random bytes score high, repeated
+   *  padding scores near zero, natural prose sits in a narrow band.
+   *
+   *  Exact-integer discipline: each ln(count) is rounded to ppm FIRST,
+   *  then H·ppm = (n·L(n) − Σ c·L(c)) div n is pure integer arithmetic —
+   *  no float-order hazard (the docLogProb rule applied to entropy).
+   *
+   *  Scale: per-doc bigram histograms are (doc × ≤|Σ|²)-grain aggs with
+   *  map-side combine; everything shuffles on doc_id. The explode is
+   *  chars-per-doc wide but NARROW (rides the scan); for 100 TB the
+   *  histogram fold can move in-row behind a native expression like
+   *  WinnowSelect if the explode volume ever dominates — the agg shape
+   *  downstream is unchanged.
+   */
+  def charBigramEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"))
+      .where(length(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("t")) - 1),
+          i => col("t").substr(i, lit(2)))).as("b"))
+    def lppm(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    bg.groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n"), sum(col("c") * lppm(col("c"))).as("scl"))
+      .withColumn("ln_ppm", lppm(col("n")))
+      .select(col("doc_id"), col("n").as("n_pairs"),
+        expr("(n * ln_ppm - scl) div n").as("h_nats_ppm"))
+  }
+
   /** Inverted index at vocabulary grain: per token its document
    *  frequency, total occurrence count, and the first `sampleK` doc ids
    *  of the posting list (comma-joined — an engine-portable prefix
