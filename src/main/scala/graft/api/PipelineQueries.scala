@@ -940,17 +940,10 @@ object PipelineQueries {
       val edges = e0.unionByName(
         e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
       Dedup.withScopedPersist(edges) {
-        var lab = d.select(col("doc_id"), col("doc_id").as("lab"))
-        for (_ <- 1 to 3) {
-          val nbr = edges
-            .join(lab.select(col("doc_id").as("dst"), col("lab").as("nl")), "dst")
-            .groupBy(col("src").as("doc_id"))
-            .agg(min(col("nl")).as("nl"))
-          lab = lab.join(nbr, Seq("doc_id"), "left_outer")
-            .select(col("doc_id"),
-              least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
-        }
-        lab.groupBy("lab").agg(count(lit(1)).as("n_members"))
+        graft.ops.Graph.minLabelPropagate(
+          d.select(col("doc_id").as("id")),
+          edges.select(col("src"), col("dst")), 3)
+          .groupBy("lab").agg(count(lit(1)).as("n_members"))
       }.orderBy("lab")
     }),
 

@@ -1,0 +1,41 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed iterative graph primitives over DataFrames. Both follow
+ * the classic Pregel-on-relations shape: state is a NODE-grain vector,
+ * each round is one equi-join against the edge list plus one
+ * destination-grain aggregation — the edge list is never collected,
+ * re-clustered, or self-joined, so a round's cost is one shuffle of
+ * |E| keyed by node id at any scale (PageRank lives inline in the
+ * graph_pagerank query; this object holds the label-propagation
+ * kernel shared by query and spec).
+ */
+object Graph {
+
+  /** Synchronous min-label propagation: `iters` rounds of
+   *  l(v) ← min(l(v), min over neighbors' l(u)) over DIRECTED edges
+   *  (pass both directions for the undirected semantics). With enough
+   *  rounds this converges to connected components; few rounds give
+   *  community seeds. Pure integer arithmetic.
+   *
+   *  @param nodes (id) one row per node
+   *  @param edges (src, dst) directed adjacency
+   *  @return (id, lab) final labels
+   */
+  def minLabelPropagate(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    var lab = nodes.select(col("id"), col("id").as("lab"))
+    for (_ <- 1 to iters) {
+      val nbr = edges
+        .join(lab.select(col("id").as("dst"), col("lab").as("nl")), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("nl")).as("nl"))
+      lab = lab.join(nbr, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nl"), col("lab"))).as("lab"))
+    }
+    lab
+  }
+}

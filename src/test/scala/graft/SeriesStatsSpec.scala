@@ -88,4 +88,27 @@ class SeriesStatsSpec extends AnyFunSuite {
     assert(out.map(_.getBoolean(5)).toSeq ==
       Seq(false, false, true, false, false, true))
   }
+
+  test("seasonal anomaly flags a >3σ bucket within its own hour") {
+    // 21 buckets in one hour: 20 at 10.0, one at 100.0. A single
+    // outlier among n−1 equals sits at exactly resid/σ = √(n−1)
+    // regardless of magnitude — for n=21 that is √20 ≈ 4.5σ → flagged
+    // (n=10 would be 3σ exactly, the > comparison's knife edge); the
+    // 20 constants sit far inside.
+    val vals = Seq.fill(20)(10.0) :+ 100.0
+    val out = SeriesStats.seasonalAnomaly(
+      series(vals: _*), t0, t0 + 210_000_000L, 10L)
+      .collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(2) == 100000000L) // y ppm of the outlier
+    // rn = n·y − Σy = 21·1e8 − (20·1e7 + 1e8) = 18e8
+    assert(out.head.getLong(3) == 1800000000L)
+  }
+
+  test("seasonal anomaly: zero-variance hours never flag") {
+    val out = SeriesStats.seasonalAnomaly(
+      series(Seq.fill(12)(5.0): _*), t0, t0 + 120_000_000L, 10L)
+      .collect()
+    assert(out.isEmpty)
+  }
 }
