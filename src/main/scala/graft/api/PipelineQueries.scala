@@ -819,6 +819,28 @@ object PipelineQueries {
           col("target_frac"), r6(col("rate")).as("rate"),
           round(col("rate") * col("n_tokens")).cast("long").as("planned_tokens"))
         .orderBy("source")),
+    // temperature-sampled mixture weights (the mC4/XLM-R α-sampling
+    // rule): per-source weight ∝ n_chars^0.5, normalized. sqrt is
+    // IEEE-correctly-rounded in both engines and is quantized to a ppm
+    // integer BEFORE the normalizing sum, so the whole computation is
+    // order-independent integer arithmetic. One source-grain agg —
+    // catalog-bounded state at any corpus size
+    "mixture_alpha_weights" -> ((s, dir) =>
+      docs(s, dir)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+        .withColumn("s_ppm",
+          round(sqrt(col("n_chars").cast("double")) * 1e6).cast("long"))
+        .withColumn("tot",
+          sum(col("s_ppm")).over(Window.partitionBy()))
+        .select(col("source"), col("n_docs"), col("n_chars"),
+          expr("(s_ppm * 1000000L) div tot").as("weight_ppm"))
+        .orderBy("source")),
+    // PMI-ranked adjacent-pair collocations (phrase mining for
+    // tokenizer/vocab construction) — exact ppm integers end to end
+    "collocations_topk" -> ((s, dir) =>
+      TextOps.collocationsTopK(docs(s, dir), "text", minCount = 5L, k = 50)
+        .orderBy("rank")),
     // deterministic epoch shuffle: the training-order operator — every
     // doc gets a reproducible (shard, position) from an md5 draw keyed
     // by the epoch string, so any worker materializes its shard
@@ -2120,6 +2142,48 @@ object PipelineQueries {
         |      FROM c)
         |SELECT pair, n, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // PMI with every log pre-rounded to ppm → pure integer compare
+    "collocations_topk" ->
+      """WITH f AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> len(t) > 0) AS fl
+        |  FROM documents),
+        |tok AS (SELECT unnest(fl) AS token FROM f WHERE len(fl) > 0),
+        |uni AS (SELECT token, count(*) AS c FROM tok GROUP BY 1),
+        |t AS (SELECT count(*) AS t FROM tok),
+        |bg AS (SELECT fl[i] AS w1, fl[i + 1] AS w2
+        |       FROM f, LATERAL (SELECT unnest(generate_series(1, len(fl) - 1)) AS i) u),
+        |tb AS (SELECT count(*) AS tb FROM bg),
+        |bc AS (SELECT w1, w2, count(*) AS c2 FROM bg
+        |       GROUP BY 1, 2 HAVING count(*) >= 5),
+        |p AS (SELECT w1, w2, c2,
+        |        CAST(round(ln(CAST(c2 AS DOUBLE)) * 1000000) AS BIGINT)
+        |        + 2 * CAST(round(ln(CAST(t.t AS DOUBLE)) * 1000000) AS BIGINT)
+        |        - CAST(round(ln(CAST(tb.tb AS DOUBLE)) * 1000000) AS BIGINT)
+        |        - CAST(round(ln(CAST(u1.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |        - CAST(round(ln(CAST(u2.c AS DOUBLE)) * 1000000) AS BIGINT)
+        |          AS pmi_ppm
+        |      FROM bc
+        |      JOIN uni u1 ON u1.token = bc.w1
+        |      JOIN uni u2 ON u2.token = bc.w2, t, tb),
+        |r AS (SELECT w1, w2, c2, pmi_ppm,
+        |        row_number() OVER (ORDER BY pmi_ppm DESC, w1, w2) AS rank
+        |      FROM p)
+        |SELECT CAST(rank AS BIGINT) AS rank, w1, w2,
+        |  CAST(c2 AS BIGINT) AS c2, CAST(pmi_ppm AS BIGINT) AS pmi_ppm
+        |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    // ppm-quantized sqrt BEFORE the normalizing sum → integer-exact
+    "mixture_alpha_weights" ->
+      """WITH g AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+        |           FROM documents GROUP BY 1),
+        |p AS (SELECT source, n_docs, n_chars,
+        |        CAST(round(sqrt(CAST(n_chars AS DOUBLE)) * 1000000) AS BIGINT)
+        |          AS s_ppm
+        |      FROM g),
+        |t AS (SELECT sum(s_ppm) AS tot FROM p)
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(p.n_chars AS BIGINT) AS n_chars,
+        |  CAST((s_ppm * 1000000) // tot AS BIGINT) AS weight_ppm
+        |FROM p, t ORDER BY source""".stripMargin,
     "vocab_topk" ->
       """WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents),

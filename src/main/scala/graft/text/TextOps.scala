@@ -372,6 +372,56 @@ object TextOps {
         col("sum_lp_ppm").cast("double") / (col("n_tok") * lit(1e6)))
   }
 
+  /** Corpus-level collocation mining: adjacent token pairs ranked by
+   *  pointwise mutual information, the phrase-extraction signal
+   *  tokenizer and n-gram vocabulary builders use. With per-log ppm
+   *  rounding (the docLogProb discipline) the PMI
+   *    ln(p(w₁w₂) / (p(w₁)p(w₂)))
+   *  becomes pure integer arithmetic:
+   *    pmi_ppm = L(c₂) + 2·L(T) − L(T_b) − L(c₁) − L(c₁′).
+   *
+   *  Scale: all aggregations are vocabulary-grain with map-side
+   *  combine; the unigram attach joins are vocabulary-sized equi-joins;
+   *  only the already-min-count-filtered pair list reaches the final
+   *  global top-k rank (WindowGroupLimit keeps per-partition top-k
+   *  below the single-partition sort).
+   */
+  def collocationsTopK(
+      docs: DataFrame, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val f = docs
+      .select(filter(tokens(col(textCol)), t => length(t) > 0).as("fl"))
+      .where(size(col("fl")) > 0)
+    val tok = f.select(explode(col("fl")).as("token"))
+    val uni = tok.groupBy("token").agg(count(lit(1)).as("c"))
+    val tT = tok.agg(count(lit(1)).as("t"))
+    val bg = f
+      .select(explode(when(size(col("fl")) >= 2,
+        transform(sequence(lit(1), size(col("fl")) - 1),
+          i => struct(
+            element_at(col("fl"), i).as("w1"),
+            element_at(col("fl"), i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col("b.w1"), col("b.w2"))
+    val tB = bg.agg(count(lit(1)).as("tb"))
+    val bc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .where(col("c2") >= minCount)
+    def lp(c: Column): Column =
+      round(log(c.cast("double")) * 1e6).cast("long")
+    bc
+      .join(uni.select(col("token").as("w1"), col("c").as("c1")), "w1")
+      .join(uni.select(col("token").as("w2"), col("c").as("c1b")), "w2")
+      .crossJoin(broadcast(tT)).crossJoin(broadcast(tB))
+      .withColumn("pmi_ppm",
+        lp(col("c2")) + lit(2L) * lp(col("t")) - lp(col("tb")) -
+          lp(col("c1")) - lp(col("c1b")))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("pmi_ppm").desc, col("w1"), col("w2")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("rank", "w1", "w2", "c2", "pmi_ppm")
+  }
+
   /** Per-doc character-bigram Shannon entropy (nats, ppm integers) — a
    *  gibberish/boilerplate signal: random bytes score high, repeated
    *  padding scores near zero, natural prose sits in a narrow band.
