@@ -407,4 +407,67 @@ object Similarity {
         // SQL engines — emit the portable type
         col("rank").cast("long").as("rank"))
   }
+
+  /**
+   * Product-quantization top-k (the memory-compression ANN path):
+   * vectors are split into `nSub` subspaces, each encoded as the id of
+   * its nearest codeword from a per-subspace codebook, and queries rank
+   * the WHOLE corpus by asymmetric distance (ADC) — the sum of
+   * query-to-codeword subdistances looked up from the codes. A D-dim
+   * float vector compresses to `nSub` byte-sized codes, so the scan
+   * side shrinks ~D·4/nSub× (64·4B → 16B at the registered nSub=16):
+   * that compression is the whole point at 100 TB, where the codes
+   * table is a write-once index column and the ADC probe is a
+   * broadcast of (queries × nSub × nCodes) integers against it.
+   * Subspace width is the recall lever — narrow (4-dim) subspaces
+   * quantize far tighter than wide ones at the same code budget.
+   *
+   * Determinism/oracle discipline: codebooks are stride-sampled corpus
+   * subvectors (no RNG, like ivfTopK), every coordinate is ppm-quantized
+   * BEFORE any arithmetic, and all distances are exact integer sums of
+   * squared ppm diffs — zero float-order hazard anywhere, so a SQL
+   * engine reproduces every code and every ADC rank bit-for-bit.
+   *
+   * The explode+join assignment shape is the index BUILD (linear in
+   * corpus × nCodes × D, one-time); a production build would fold the
+   * per-row argmin into a TopCentroids-style codegen expression — the
+   * downstream codes/ADC shape is unchanged.
+   */
+  def pqTopK(
+      corpus: DataFrame, dims: Int, nSub: Int, nCodes: Int,
+      codeStride: Long, nQueries: Int, k: Int): DataFrame = {
+    require(dims % nSub == 0, s"dims $dims must split into $nSub subspaces")
+    val subW = dims / nSub
+    val e = corpus
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        round(col("x") * 1e6).cast("long").as("ppm"))
+    val cb = e
+      .where(col("vec_id") % codeStride === 0 &&
+        col("vec_id") < codeStride * nCodes)
+      .select(expr(s"vec_id div ${codeStride}L").as("j"),
+        col("dim"), col("ppm").as("cppm"))
+    // per-(vector, subspace, codeword) exact integer subdistance
+    val a = e.join(broadcast(cb), "dim")
+      .groupBy(col("vec_id"), expr(s"dim div $subW").as("m"), col("j"))
+      .agg(sum((col("ppm") - col("cppm")) * (col("ppm") - col("cppm"))).as("d"))
+    graft.dedup.Dedup.withScopedPersist(a) {
+      val codes = a.groupBy("vec_id", "m")
+        .agg(min(struct(col("d"), col("j"))).as("s"))
+        .select(col("vec_id"), col("m"), col("s.j").as("code"))
+      val qd = a.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("m").as("qm"),
+          col("j"), col("d"))
+      codes.join(broadcast(qd),
+          col("qm") === col("m") && col("j") === col("code"))
+        .where(col("q_id") =!= col("vec_id"))
+        .groupBy(col("q_id"), col("vec_id").as("n_id"))
+        .agg(sum(col("d")).as("adc"))
+        .withColumn("rank", row_number()
+          .over(Window.partitionBy("q_id").orderBy(col("adc"), col("n_id")))
+          .cast("long"))
+        .where(col("rank") <= k)
+        .select("q_id", "rank", "n_id", "adc")
+    }
+  }
 }

@@ -122,4 +122,38 @@ class AnnRecallSpec extends AnyFunSuite {
       f"k-means recall regressed: $kmeans%.2f vs stride $stride%.2f")
     assert(kmeans > 0.1, f"k-means recall collapsed: $kmeans%.2f")
   }
+
+  test("PQ ADC recall@10 vs exact L2 on sf0.001 embeddings") {
+    assume(TestSpark.hasData, s"dataset ${TestSpark.dataDir} not present — skipping PQ check")
+    val emb = Similarity.asDouble(
+      spark.read.parquet(s"${TestSpark.dataDir}/embeddings.parquet"),
+      "vec_id", "embedding")
+    // exact L2 ground truth (PQ's ADC approximates L2, not cosine)
+    val q = emb.where(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val exact = emb.crossJoin(q).where(col("q_id") =!= col("vec_id"))
+      .withColumn("d2", expr(
+        "aggregate(zip_with(v, qv, (a, b) -> (a - b) * (a - b)), 0D, (acc, x) -> acc + x)"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("q_id").orderBy(col("d2"), col("vec_id"))))
+      .where(col("rank") <= 10)
+      .select("q_id", "vec_id")
+    def topSet(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (k, rows) => k -> rows.map(_.getLong(1)).toSet }
+    val want = topSet(exact)
+    val got = topSet(
+      Similarity.pqTopK(emb, 64, 16, 16, 31L, 10, 10).select("q_id", "n_id"))
+    val recalls = want.map { case (qid, w) =>
+      got.getOrElse(qid, Set.empty[Long]).intersect(w).size.toDouble / w.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ recall@10 = $mean%.2f over ${recalls.size} queries")
+    assert(recalls.size == 10, "every query produced PQ results")
+    // uniform random vectors are the quantization worst case (16
+    // codewords per 16-dim subspace retain little), but ADC must still
+    // beat the 2% random-overlap floor by a wide margin
+    assert(mean > 0.1, f"PQ recall collapsed: $mean%.2f")
+  }
 }
