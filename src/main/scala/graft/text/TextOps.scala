@@ -415,11 +415,14 @@ object TextOps {
       .withColumn("pmi_ppm",
         lp(col("c2")) + lit(2L) * lp(col("t")) - lp(col("tb")) -
           lp(col("c1")) - lp(col("c1b")))
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("pmi_ppm").desc, col("w1"), col("w2")))
-        .cast("long"))
-      .where(col("rank") <= k)
-      .select("rank", "w1", "w2", "c2", "pmi_ppm")
+      // filter the RAW int rank (cast only in the projection): the
+      // Filter-over-Window pattern is what plans WindowGroupLimit, so
+      // each partition ships only its local top-k to the single sort
+      .withColumn("rk", row_number()
+        .over(Window.orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))))
+      .where(col("rk") <= k)
+      .select(col("rk").cast("long").as("rank"),
+        col("w1"), col("w2"), col("c2"), col("pmi_ppm"))
   }
 
   /** Per-doc character-bigram Shannon entropy (nats, ppm integers) — a

@@ -325,6 +325,32 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-7 additions hold their shuffle budgets and stay cartesian-free") {
+    withPlainPlans {
+      // (query, maxShuffles, maxOneRowBroadcastNLJs): the NLJ allowance
+      // is ONLY the 1-row corpus-total broadcasts (vocab LM / PMI
+      // normalizers) — any other nested-loop join is a regression
+      val budget = Seq(
+        ("seasonal_anomaly_100s", 3, 0),
+        ("char_entropy", 3, 0),
+        ("mixture_alpha_weights", 2, 0),
+        ("doc_bigram_logprob", 8, 1),
+        ("collocations_topk", 4, 2))
+      for ((q, maxSh, maxNlj) <- budget) {
+        val df = SparkEntry.queries(q)(spark, sf)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian")
+        val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+        assert(nlj <= maxNlj, s"$q grew nested-loop joins: $nlj > $maxNlj")
+        assert(shuffleCount(df) <= maxSh,
+          s"$q exchange budget exceeded: ${shuffleCount(df)} > $maxSh")
+        // vocabulary/bucket-grain states must keep map-side combine
+        assert("HashAggregate".r.findAllIn(plan).size >= 2,
+          s"$q lost partial aggregation")
+      }
+    }
+  }
+
   test("funnel stages stay on the user_id partitioning — bounded exchanges") {
     withPlainPlans {
       val df = SparkEntry.queries("funnel_steps")(spark, sf)
