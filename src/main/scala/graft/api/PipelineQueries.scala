@@ -405,6 +405,13 @@ object PipelineQueries {
       Similarity.pqTopK(embBase(s, dir), dims = 64, nSub = 16,
           nCodes = 16, codeStride = 31L, nQueries = 5, k = 10)
         .orderBy("q_id", "rank")),
+    // dominant Gram eigenvector by distributed power iteration — the
+    // anisotropy/whitening diagnostic; the corpus is read once into a
+    // D²-cell partial agg, every round is a 4096-row matvec, and the
+    // integer renormalization keeps both engines bit-identical
+    "embedding_pca_power" -> ((s, dir) =>
+      Similarity.gramPowerIteration(embBase(s, dir), dims = 64, iters = 5)
+        .orderBy("dim")),
     "ann_ivf_kmeans" -> ((s, dir) => {
       val base = embBase(s, dir)
       Similarity.ivfTopKKmeans(base, base.where(col("vec_id") < 5), 10,
@@ -1108,6 +1115,31 @@ object PipelineQueries {
    *  aggregates in recursive CTEs), identical modular graph synthesis,
    *  BIGINT floor division matching the engine's `div`.
    */
+  private val pcaPowerOracle: String = {
+    val iters = (1 to 5).map { k =>
+      val prev = if (k == 1) "v0" else s"v${k - 1}"
+      s"""mv$k AS (SELECT i, sum(c * x) AS y
+          |  FROM cov JOIN $prev p ON p.j = cov.j GROUP BY 1),
+          |m$k AS (SELECT max(abs(y)) AS m FROM mv$k),
+          |v$k AS (SELECT i AS j,
+          |  (y * 1000000 + m * 2000000) // m - 2000000 AS x
+          |  FROM mv$k, m$k)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, i - 1 AS dim,
+       |    CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS ppm
+       |  FROM embeddings,
+       |    LATERAL (SELECT unnest(generate_series(1, 64)) AS i) u),
+       |cov AS (SELECT a.dim AS i, b.dim AS j,
+       |          sum(CAST(a.ppm AS HUGEINT) * b.ppm) AS c
+       |        FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT unnest(generate_series(0, 63)) AS j,
+       |         CAST(1000000 AS HUGEINT) AS x),
+       |$iters
+       |SELECT CAST(j AS BIGINT) AS dim, CAST(x AS BIGINT) AS v_ppm
+       |FROM v5 ORDER BY dim""".stripMargin
+  }
+
   private val labelPropOracle: String = {
     val iters = (1 to 3).map { k =>
       val prev = if (k == 1) "l0" else s"l${k - 1}"
@@ -1534,6 +1566,7 @@ object PipelineQueries {
         |ORDER BY a_id, b_id""".stripMargin,
     "graph_pagerank" -> pagerankOracle,
     "label_propagation" -> labelPropOracle,
+    "embedding_pca_power" -> pcaPowerOracle,
     "centroid_classify" ->
       """WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
         |             CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -470,4 +470,49 @@ object Similarity {
         .select("q_id", "rank", "n_id", "adc")
     }
   }
+
+  /**
+   * Dominant eigenvector of the corpus Gram matrix by distributed power
+   * iteration — the top principal direction (uncentered PCA), the
+   * embedding-space diagnostic behind whitening / anisotropy checks.
+   *
+   * Shape at scale: the Gram matrix is ONE (dim × dim)-grain partial
+   * aggregation over the corpus (map-side combine absorbs all rows —
+   * D² = 4096 cells regardless of corpus size); each power-iteration
+   * round is a joins-of-4096-rows matvec — driver-free, but
+   * constant-sized, so the corpus is read exactly once.
+   *
+   * Determinism: ppm-quantized coordinates make every Gram cell an
+   * exact integer; the iteration renormalizes with an integer
+   * max-|y| divide, SHIFTED non-negative before the floor division so
+   * Spark's truncating `div` and SQL's flooring `//` agree on every
+   * value. No floats anywhere.
+   */
+  def gramPowerIteration(corpus: DataFrame, dims: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
+    val e = corpus
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("dim"),
+        round(col("x") * 1e6).cast("long").as("ppm"))
+    val cov = e.as("a").join(e.as("b"), "vec_id")
+      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
+      .agg(sum(col("a.ppm").cast(dec) * col("b.ppm")).as("c"))
+    graft.dedup.Dedup.withScopedPersist(cov) {
+      var v = spark.range(dims.toLong)
+        .select(col("id").cast("int").as("j"),
+          lit(1000000L).cast(dec).as("x"))
+      for (_ <- 1 to iters) {
+        val mv = cov.join(v, "j")
+          .groupBy(col("i")).agg(sum(col("c") * col("x")).as("y"))
+        val m = mv.agg(max(abs(col("y"))).as("m"))
+        v = mv.crossJoin(broadcast(m))
+          .select(col("i").as("j"),
+            (expr("(y * 1000000 + m * 2000000) div m") - lit(2000000L))
+              .cast(dec).as("x"))
+      }
+      v.select(col("j").cast("long").as("dim"),
+        col("x").cast("long").as("v_ppm"))
+    }
+  }
 }
