@@ -97,6 +97,24 @@ object TpchQueries {
         .orderBy("p_id")
     }),
 
+    // forward as-of: first view ON OR AFTER each purchase by the same
+    // user — time-to-next-action attribution, the mirror of
+    // asof_attribution with the identical single-shuffle plan
+    "asof_next" -> ((s, dir) => {
+      val e = CoreQueries.rawEvents(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_us"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us"), col("event_id"))
+      graft.ops.Temporal
+        .asofForward(p, v, Seq("user_id"), "p_us", "ts_us", Seq("event_id"))
+        .select(
+          col("p_id"), col("user_id"), col("p_us"),
+          col("asof.event_id").as("v_id"), col("asof.ts_us").as("v_us"),
+          (col("asof.ts_us") - col("p_us")).as("gap_us"))
+        .orderBy("p_id")
+    }),
+
     // sliding-window aggregate (60 s window, 15 s slide) — the
     // streaming-rate view the reference's tumbling-only pyramid lacks
     "sliding_60s_15s" -> ((s, dir) =>
@@ -251,6 +269,21 @@ object TpchQueries {
         |  max(v.event_id) AS v_id, m.v_us, m.p_us - m.v_us AS gap_us
         |FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.ts_us = m.v_us
         |GROUP BY 1, 2, 3, 5, 6 ORDER BY p_id""".stripMargin,
+    // mirrors asofForward's running min(struct(ts, id)): earliest
+    // ts >= p_us first, then MIN event_id among equal-ts views
+    "asof_next" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        |      FROM events WHERE event_type = 'view'),
+        |m AS (
+        |  SELECT p.p_id, p.user_id, p.p_us, min(v.ts_us) AS v_us
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.ts_us >= p.p_us
+        |  GROUP BY 1, 2, 3)
+        |SELECT m.p_id, m.user_id, m.p_us,
+        |  min(v.event_id) AS v_id, m.v_us, m.v_us - m.p_us AS gap_us
+        |FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.ts_us = m.v_us
+        |GROUP BY 1, 2, 3, 5 ORDER BY p_id""".stripMargin,
     "sliding_60s_15s" ->
       """SELECT event_type AS dataset_id,
         |  (epoch_us(ts) // 15000000 - t.j) * 15 AS win_s,

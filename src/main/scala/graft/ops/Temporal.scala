@@ -78,6 +78,43 @@ object Temporal {
   }
 
   /**
+   * Forward as-of join: for every left row, attach the EARLIEST right
+   * row with `right.tsCol >= left.tsCol` — the "next event after"
+   * companion to [[asofBackward]] (time-to-next-action analytics).
+   * Ties on rightTs are broken by the remaining struct fields
+   * (lexicographic struct MIN → smallest id).
+   *
+   * Same single-shuffle shape: union both sides tagged, ONE exchange on
+   * the equi-key, sort DESCENDING by ts, running min(struct) carries
+   * the earliest future right row backward. The descending sort keeps
+   * the frame a running unbounded-PRECEDING one — never the
+   * unbounded-FOLLOWING frame Spark's WindowExec executes in O(n²).
+   */
+  def asofForward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String, rightCarry: Seq[String]): DataFrame = {
+    val payload = struct((rightTs +: rightCarry).map(col): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        tsOrderKey(right, rightTs).as("__ts"), lit(0).as("__side"),
+        payload.as("asof")): _*)
+    val rType = r.schema("asof").dataType
+    val l = left
+      .withColumn("__ts", tsOrderKey(left, leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("asof", lit(null).cast(rType))
+    // ts DESC with right rows (side 0) first at equal ts → the match
+    // predicate is inclusive (rightTs >= leftTs)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    r.unionByName(l, allowMissingColumns = true)
+      .withColumn("asof", min(col("asof")).over(w))
+      .where(col("__side") === 1)
+      .drop("__ts", "__side")
+  }
+
+  /**
    * Sliding-window aggregate over the canonical long form
    * (dataset_id, ts_us, value): min/max/sum/count per (dataset_id,
    * window) for a `sizeS`-second window sliding every `slideS` seconds

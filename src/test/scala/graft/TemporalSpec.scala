@@ -34,6 +34,31 @@ class TemporalSpec extends AnyFunSuite {
       (4L, 70L, 23L), (5L, -1L, -1L)))
   }
 
+  test("asofForward: earliest later right row per key, inclusive at equal ts, " +
+      "null when none follows, MIN tiebreak on right-ts ties") {
+    val left = Seq(
+      (1L, 10L, 60L),  // u1 @60  → right @90 (earliest ≥ 60)
+      (2L, 10L, 90L),  // u1 @90  → right @90 (inclusive)
+      (3L, 10L, 95L),  // u1 @95  → nothing later → null
+      (4L, 20L, 50L),  // u2 @50  → tie at ts 70: id 22 wins (min tiebreak)
+      (5L, 30L, 10L)   // u3: key has no right rows at all → null
+    ).toDF("p_id", "user_id", "p_us")
+    val right = Seq(
+      (10L, 50L, 11L), (10L, 90L, 12L),
+      (20L, 70L, 22L), (20L, 70L, 23L)
+    ).toDF("user_id", "ts_us", "event_id")
+
+    val out = Temporal
+      .asofForward(left, right, Seq("user_id"), "p_us", "ts_us", Seq("event_id"))
+      .select(col("p_id"), col("asof.ts_us").as("v_us"), col("asof.event_id").as("v_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    assert(out === Set(
+      (1L, 90L, 12L), (2L, 90L, 12L), (3L, -1L, -1L),
+      (4L, 70L, 22L), (5L, -1L, -1L)))
+  }
+
   test("asofBackward: TimestampType keeps sub-second order (no whole-second truncation)") {
     // right row at 10:00:00.500 is AFTER left row at 10:00:00.200 —
     // with cast("long") both truncate to the same second and the right
