@@ -476,28 +476,61 @@ object Similarity {
    * iteration — the top principal direction (uncentered PCA), the
    * embedding-space diagnostic behind whitening / anisotropy checks.
    *
-   * Shape at scale: the Gram matrix is ONE (dim × dim)-grain partial
-   * aggregation over the corpus (map-side combine absorbs all rows —
-   * D² = 4096 cells regardless of corpus size); each power-iteration
-   * round is a joins-of-4096-rows matvec — driver-free, but
-   * constant-sized, so the corpus is read exactly once.
+   * Shape at scale: each partition folds its rows into a LOCAL
+   * dims×dims long accumulator in-row (upper triangle only) and emits
+   * ≤ D(D+1)/2 cells — the shuffle carries partitions × 2080 rows, a
+   * constant, never corpus rows (the first cut's explode+self-join
+   * pushed |corpus|·D² rows through an exchange: 16.5 s vs ~1 s at
+   * sf0.1). Each power-iteration round is then a 4096-row matvec.
+   * Integer sums commute, so per-partition accumulation order is free;
+   * `multiplyExact`/`addExact` fail loudly if a partition ever exceeds
+   * the long range (≈9×10⁶ rows/partition at unit-norm ppm — size
+   * `maxPartitionBytes` under that) and the cross-partition fold is
+   * decimal(38).
    *
-   * Determinism: ppm-quantized coordinates make every Gram cell an
-   * exact integer; the iteration renormalizes with an integer
-   * max-|y| divide, SHIFTED non-negative before the floor division so
-   * Spark's truncating `div` and SQL's flooring `//` agree on every
-   * value. No floats anywhere.
+   * Determinism: ppm-quantized coordinates (round-half-away, matching
+   * SQL `round`) make every Gram cell an exact integer; the iteration
+   * renormalizes with an integer max-|y| divide, SHIFTED non-negative
+   * before the floor division so Spark's truncating `div` and SQL's
+   * flooring `//` agree on every value. No floats anywhere.
    */
   def gramPowerIteration(corpus: DataFrame, dims: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     val dec = org.apache.spark.sql.types.DataTypes.createDecimalType(38, 0)
-    val e = corpus
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"),
-        round(col("x") * 1e6).cast("long").as("ppm"))
-    val cov = e.as("a").join(e.as("b"), "vec_id")
-      .groupBy(col("a.dim").as("i"), col("b.dim").as("j"))
-      .agg(sum(col("a.ppm").cast(dec) * col("b.ppm")).as("c"))
+    val upperCells = corpus.select(col("v").cast("array<double>")).as[Seq[Double]]
+      .mapPartitions { it =>
+        val acc = Array.ofDim[Long](dims, dims)
+        var any = false
+        val p = new Array[Long](dims)
+        it.foreach { v =>
+          any = true
+          var i = 0
+          while (i < dims) {
+            val x = v(i) * 1e6
+            p(i) = (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+            i += 1
+          }
+          i = 0
+          while (i < dims) {
+            val row = acc(i)
+            var j = i
+            while (j < dims) {
+              row(j) = math.addExact(row(j), math.multiplyExact(p(i), p(j)))
+              j += 1
+            }
+            i += 1
+          }
+        }
+        if (!any) Iterator.empty
+        else for (i <- (0 until dims).iterator; j <- i until dims)
+          yield (i, j, acc(i)(j))
+      }.toDF("i", "j", "c0")
+    val upper = upperCells.groupBy("i", "j")
+      .agg(sum(col("c0").cast(dec)).as("c"))
+    val cov = upper.unionByName(
+      upper.where(col("i") =!= col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
     graft.dedup.Dedup.withScopedPersist(cov) {
       var v = spark.range(dims.toLong)
         .select(col("id").cast("int").as("j"),
@@ -506,10 +539,15 @@ object Similarity {
         val mv = cov.join(v, "j")
           .groupBy(col("i")).agg(sum(col("c") * col("x")).as("y"))
         val m = mv.agg(max(abs(col("y"))).as("m"))
+        // eager 64-row checkpoint per round: each round's broadcast
+        // subtree would otherwise NEST the whole previous chain
+        // (broadcast exchanges don't dedupe across rounds — measured
+        // ~2× work per round, 13 s for 5 rounds at sf0.1)
         v = mv.crossJoin(broadcast(m))
           .select(col("i").as("j"),
             (expr("(y * 1000000 + m * 2000000) div m") - lit(2000000L))
               .cast(dec).as("x"))
+          .localCheckpoint(true)
       }
       v.select(col("j").cast("long").as("dim"),
         col("x").cast("long").as("v_ppm"))
