@@ -244,6 +244,63 @@ object CoreQueries {
         .orderBy("dataset_id", "hour")
     }),
 
+    // ---- shuffle-skew diagnostics: per-key row counts → one-row
+    // summary (top-1/top-10 shares, Gini) — the report that decides
+    // whether a join/agg key needs salting before a 100 TB run. Two
+    // rank windows over the KEY-grain counts (bounded by key
+    // cardinality, never data rows); every share is integer ppm -------
+    "key_skew_report" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val c = rawEvents(s, dir).groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      c.withColumn("rk",
+          row_number().over(W.orderBy(col("cnt"), col("user_id"))).cast("long"))
+        .withColumn("rkd",
+          row_number().over(W.orderBy(col("cnt").desc, col("user_id").desc)).cast("long"))
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("cnt")).as("total_rows"),
+          max(col("cnt")).as("max_cnt"),
+          sum(when(col("rkd") <= 10, col("cnt")).otherwise(lit(0L))).as("top10"),
+          sum(col("rk") * col("cnt")).as("s1"))
+        .select(
+          col("n_keys"), col("total_rows"),
+          expr("(max_cnt * 1000000) div total_rows").as("top1_share_ppm"),
+          expr("(top10 * 1000000) div total_rows").as("top10_share_ppm"),
+          // Gini from ranked counts: (2·Σ rk·cnt − (n+1)·Σcnt)/(n·Σcnt)
+          expr("((2 * s1 - (n_keys + 1) * total_rows) * 1000000)" +
+            " div (n_keys * total_rows)").as("gini_ppm"))
+    }),
+
+    // ---- Z-order (Morton) layout planner: interleave the 16-bit time
+    // rank with a 16-bit series-hash into a z-key, bin rows into
+    // 5000-row files in z-order, report each file's span in BOTH
+    // dimensions — the multi-dimensional clustering that lets one
+    // layout serve time-range AND series-equality pruning (a time-only
+    // sort gives minimal t-spans but full h-spans). At 100 TB the
+    // single output sort becomes repartitionByRange(z) with the same
+    // key — file spans are unchanged ----------------------------------
+    "zorder_layout" -> ((s, dir) => {
+      val e = rawEvents(s, dir).select(col("event_id"), col("ts_us"), col("event_type"))
+      val b = broadcast(e.agg(min("ts_us").as("t0"), max("ts_us").as("t1")))
+      val zStr = (0 until 16).map(bb =>
+        s"shiftleft(shiftright(t16, $bb) & 1, ${2 * bb + 1})" +
+          s" + shiftleft(shiftright(h16, $bb) & 1, ${2 * bb})").mkString(" + ")
+      e.crossJoin(b)
+        .withColumn("t16", expr("((ts_us - t0) * 65535) div (t1 - t0)"))
+        .withColumn("h16",
+          pmod(conv(substring(md5(col("event_type")), 1, 4), 16, 10).cast("long"),
+            lit(65536L)))
+        .withColumn("z", expr(zStr))
+        .withColumn("fid",
+          expr("(row_number() over (order by z, event_id) - 1) div 5000"))
+        .groupBy("fid")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (max(col("t16")) - min(col("t16"))).as("t_span"),
+          (max(col("h16")) - min(col("h16"))).as("h_span"))
+        .orderBy("fid")
+    }),
+
     // ---- seasonal-residual anomaly: buckets deviating > 3σ from the
     // series' OWN hour-of-day profile — the integer-exact 3σ test
     // (rₙ² > 9·(n·Σy²−Σy²)) over the full-span ppm bucket means -------
@@ -951,7 +1008,46 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }))
 
+  private val zorderOracle: String = {
+    val zTerms = (0 until 16).map(b =>
+      s"(((t16 >> $b) & 1) << ${2 * b + 1}) + (((h16 >> $b) & 1) << ${2 * b})")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+       |b AS (SELECT min(ts_us) AS t0, max(ts_us) AS t1 FROM e),
+       |z0 AS (SELECT event_id,
+       |         ((ts_us - t0) * 65535) // (t1 - t0) AS t16,
+       |         ('0x' || substr(md5(event_type), 1, 4))::BIGINT % 65536 AS h16
+       |       FROM e, b),
+       |z1 AS (SELECT event_id, t16, h16, $zTerms AS z FROM z0),
+       |f AS (SELECT t16, h16,
+       |        (row_number() OVER (ORDER BY z, event_id) - 1) // 5000 AS fid
+       |      FROM z1)
+       |SELECT CAST(fid AS BIGINT) AS fid, count(*) AS n_rows,
+       |  CAST(max(t16) - min(t16) AS BIGINT) AS t_span,
+       |  CAST(max(h16) - min(h16) AS BIGINT) AS h_span
+       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "key_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |r AS (SELECT cnt,
+        |        row_number() OVER (ORDER BY cnt, user_id) AS rk,
+        |        row_number() OVER (ORDER BY cnt DESC, user_id DESC) AS rkd
+        |      FROM c),
+        |a AS (SELECT count(*) AS n_keys, sum(cnt) AS total_rows,
+        |        max(cnt) AS max_cnt,
+        |        sum(CASE WHEN rkd <= 10 THEN cnt ELSE 0 END) AS top10,
+        |        sum(rk * cnt) AS s1
+        |      FROM r)
+        |SELECT CAST(n_keys AS BIGINT) AS n_keys,
+        |  CAST(total_rows AS BIGINT) AS total_rows,
+        |  CAST((max_cnt * 1000000) // total_rows AS BIGINT) AS top1_share_ppm,
+        |  CAST((top10 * 1000000) // total_rows AS BIGINT) AS top10_share_ppm,
+        |  CAST(((2 * s1 - (n_keys + 1) * total_rows) * 1000000)
+        |    // (n_keys * total_rows) AS BIGINT) AS gini_ppm
+        |FROM a""".stripMargin,
+    "zorder_layout" -> zorderOracle,
     "melt_events" ->
       """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
