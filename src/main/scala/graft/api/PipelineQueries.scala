@@ -483,6 +483,25 @@ object PipelineQueries {
     "char_entropy" -> ((s, dir) =>
       TextOps.charBigramEntropy(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    // 5-gram novelty: the fraction of a doc's 5-grams whose FIRST
+    // corpus occurrence (min doc_id) is this doc — the ordering-aware
+    // contribution signal dedup pipelines use to pick survivors and
+    // score incremental crawls (planted exact copies score 0). Two
+    // 5-gram-grain aggs with map-side combine; the first-seen map
+    // attaches by equi-join on the gram key
+    "ngram_novelty" -> ((s, dir) => {
+      val c = exactCorpus(s, dir)
+      val toks = c.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      val g = toks.select(col("doc_id"),
+        explode(TextOps.shinglesOf(col("toks"), 5)).as("gram"))
+      val first = g.groupBy("gram").agg(min(col("doc_id")).as("fdoc"))
+      g.join(first, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("fdoc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("(n_novel * 1000000) div n_grams"))
+        .orderBy("doc_id")
+    }),
     "token_count" -> ((s, dir) =>
       TextOps.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "vocab_topk" -> ((s, dir) =>
@@ -837,6 +856,32 @@ object PipelineQueries {
           col("target_frac"), r6(col("rate")).as("rate"),
           round(col("rate") * col("n_tokens")).cast("long").as("planned_tokens"))
         .orderBy("source")),
+    // per-source dataset card: docs, tokens, language spread, and
+    // exact-duplicate exposure in ONE pass — the summary a curation
+    // run prints before mixing decisions. Source-grain state
+    // (catalog-bounded); the dup signal joins the md5-grain counts
+    // back on the hash key
+    "corpus_report" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val h = d.groupBy(md5(col("text")).as("h")).agg(count(lit(1)).as("nh"))
+      d.select(col("source"), col("lang"), col("n_chars"),
+          size(filter(split(col("text"), " "), t => length(t) > 0))
+            .cast("long").as("n_tok"),
+          md5(col("text")).as("h"))
+        .join(h, "h")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          count_distinct(col("lang")).as("n_langs"),
+          sum(when(col("nh") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .select(col("source"), col("n_docs"), col("n_tokens"), col("n_langs"),
+          col("n_dup_docs"),
+          expr("(n_dup_docs * 1000000) div n_docs").as("dup_ppm"),
+          expr("sum_chars div n_docs").as("mean_chars"))
+        .orderBy("source")
+    }),
     // temperature-sampled mixture weights (the mC4/XLM-R α-sampling
     // rule): per-source weight ∝ n_chars^0.5, normalized. sqrt is
     // IEEE-correctly-rounded in both engines and is quantized to a ppm
@@ -2169,6 +2214,25 @@ object PipelineQueries {
         |      / len(string_split(text, ' ')) AS stop_ratio
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "ngram_novelty" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM corpus),
+        |g AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(t) - 4),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+        |         t[i+3] || ' ' || t[i+4])) AS gram
+        |  FROM tok),
+        |f AS (SELECT gram, min(doc_id) AS fdoc FROM g GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST((sum(CASE WHEN fdoc = doc_id THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM g JOIN f USING (gram)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // per-ln rounding to ppm BEFORE the fold makes the entropy pure
     // integer arithmetic on both engines (the docLogProb discipline)
     "char_entropy" ->
@@ -2244,6 +2308,22 @@ object PipelineQueries {
         |SELECT CAST(rank AS BIGINT) AS rank, w1, w2,
         |  CAST(c2 AS BIGINT) AS c2, CAST(pmi_ppm AS BIGINT) AS pmi_ppm
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "corpus_report" ->
+      """WITH h AS (SELECT md5(text) AS h, count(*) AS nh
+        |           FROM documents GROUP BY 1),
+        |d AS (SELECT source, lang, n_chars,
+        |        len(list_filter(string_split(text, ' '), t -> len(t) > 0)) AS n_tok,
+        |        md5(text) AS h
+        |      FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+        |  CAST((sum(CASE WHEN nh > 1 THEN 1 ELSE 0 END) * 1000000)
+        |    // count(*) AS BIGINT) AS dup_ppm,
+        |  CAST(sum(n_chars) // count(*) AS BIGINT) AS mean_chars
+        |FROM d JOIN h USING (h)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // ppm-quantized sqrt BEFORE the normalizing sum → integer-exact
     "mixture_alpha_weights" ->
       """WITH g AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
