@@ -428,47 +428,67 @@ object Similarity {
    * squared ppm diffs — zero float-order hazard anywhere, so a SQL
    * engine reproduces every code and every ADC rank bit-for-bit.
    *
-   * The explode+join assignment shape is the index BUILD (linear in
-   * corpus × nCodes × D, one-time); a production build would fold the
-   * per-row argmin into a TopCentroids-style codegen expression — the
-   * downstream codes/ADC shape is unchanged.
+   * The codebook is driver-resident bounded index metadata (like the
+   * IVF centroids) shipped as a literal, so the encode is a NARROW
+   * per-row argmin inside the corpus scan — no shuffle wider than the
+   * (vec_id, subspace, code) triple ever carries vectors. (The first
+   * cut exploded corpus × nCodes × D rows through an exchange:
+   * 5-6 s vs ~1.5 s at sf0.1.)
    */
   def pqTopK(
       corpus: DataFrame, dims: Int, nSub: Int, nCodes: Int,
       codeStride: Long, nQueries: Int, k: Int): DataFrame = {
     require(dims % nSub == 0, s"dims $dims must split into $nSub subspaces")
     val subW = dims / nSub
-    val e = corpus
-      .select(col("vec_id"), posexplode(col("v")).as(Seq("dim", "x")))
-      .select(col("vec_id"), col("dim"),
-        round(col("x") * 1e6).cast("long").as("ppm"))
-    val cb = e
-      .where(col("vec_id") % codeStride === 0 &&
-        col("vec_id") < codeStride * nCodes)
-      .select(expr(s"vec_id div ${codeStride}L").as("j"),
-        col("dim"), col("ppm").as("cppm"))
-    // per-(vector, subspace, codeword) exact integer subdistance
-    val a = e.join(broadcast(cb), "dim")
-      .groupBy(col("vec_id"), expr(s"dim div $subW").as("m"), col("j"))
-      .agg(sum((col("ppm") - col("cppm")) * (col("ppm") - col("cppm"))).as("d"))
-    graft.dedup.Dedup.withScopedPersist(a) {
-      val codes = a.groupBy("vec_id", "m")
-        .agg(min(struct(col("d"), col("j"))).as("s"))
-        .select(col("vec_id"), col("m"), col("s.j").as("code"))
-      val qd = a.where(col("vec_id") < nQueries)
-        .select(col("vec_id").as("q_id"), col("m").as("qm"),
-          col("j"), col("d"))
-      codes.join(broadcast(qd),
-          col("qm") === col("m") && col("j") === col("code"))
-        .where(col("q_id") =!= col("vec_id"))
-        .groupBy(col("q_id"), col("vec_id").as("n_id"))
-        .agg(sum(col("d")).as("adc"))
-        .withColumn("rank", row_number()
-          .over(Window.partitionBy("q_id").orderBy(col("adc"), col("n_id")))
-          .cast("long"))
-        .where(col("rank") <= k)
-        .select("q_id", "rank", "n_id", "adc")
-    }
+    val cbRows = collectBounded(
+      corpus.where(col("vec_id") % codeStride === 0 &&
+        col("vec_id") < codeStride * nCodes),
+      "PQ codebook must be a bounded stride sample")
+    require(cbRows.length == nCodes,
+      s"expected $nCodes codewords, got ${cbRows.length}")
+    val cbPpm: Array[Array[Long]] =
+      cbRows.map(_._2.map(x => roundAway(x * 1e6).toLong))
+    val vppm = transform(col("v"), x => round(x * lit(1e6)).cast("long"))
+    // ONE 3-level codebook literal + one lambda over the subspace index
+    // (16 inlined per-subspace copies made Catalyst analysis the
+    // dominant cost — ~4 s of fixed plan work at any data size)
+    val cb3: Seq[Seq[Seq[Long]]] = (0 until nSub).map(m =>
+      cbPpm.toSeq.map(_.slice(m * subW, (m + 1) * subW).toSeq))
+    val cbLit = typedLit(cb3)
+    // integer subdistances of the row's m-th subvector to all codewords
+    def distsAt(m: Column, vp: Column): Column =
+      transform(element_at(cbLit, (m + 1).cast("int")), cw =>
+        aggregate(
+          zip_with(slice(vp, m * subW + 1, lit(subW)), cw,
+            (x, y) => (x - y) * (x - y)),
+          lit(0L), (acc, x) => acc + x))
+    // encode in-row: argmin per subspace (array_position takes the
+    // FIRST minimum → lowest code id on ties, matching the oracle)
+    val codes = corpus
+      .withColumn("vp", vppm)
+      .select(col("vec_id"),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)), m => {
+          val ds = distsAt(m, col("vp"))
+          (array_position(ds, array_min(ds)) - 1).cast("int")
+        })).as(Seq("m", "code")))
+    // query-side ADC table: nQueries × nSub × nCodes integer cells
+    val qd = corpus
+      .where(col("vec_id") < nQueries)
+      .withColumn("vp", vppm)
+      .select(col("vec_id").as("q_id"),
+        posexplode(transform(sequence(lit(0), lit(nSub - 1)),
+          m => distsAt(m, col("vp")))).as(Seq("qm", "ds")))
+      .select(col("q_id"), col("qm"), posexplode(col("ds")).as(Seq("j", "d")))
+    codes.join(broadcast(qd),
+        col("qm") === col("m") && col("j") === col("code"))
+      .where(col("q_id") =!= col("vec_id"))
+      .groupBy(col("q_id"), col("vec_id").as("n_id"))
+      .agg(sum(col("d")).as("adc"))
+      .withColumn("rank", row_number()
+        .over(Window.partitionBy("q_id").orderBy(col("adc"), col("n_id")))
+        .cast("long"))
+      .where(col("rank") <= k)
+      .select("q_id", "rank", "n_id", "adc")
   }
 
   /**
