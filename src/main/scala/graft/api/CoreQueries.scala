@@ -308,6 +308,13 @@ object CoreQueries {
       graft.ops.SeriesStats.seasonalAnomaly(ev(s, dir), 0L, Long.MaxValue, 100L)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- SAX symbolization on exact rank quartiles (alphabet 4) over
+    // the routed day's 100 s bucket means — distribution-free symbol
+    // streams for motif mining, integer-reproducible (no μ/σ floats) --
+    "series_sax_100s" -> ((s, dir) =>
+      graft.ops.SeriesStats.saxSymbols(ev(s, dir), Day5Us, Day6Us, 100L, 4)
+        .orderBy("dataset_id", "bucket_s")),
+
     // ---- sample autocorrelation: per-series ACF at lags 1..5 over the
     // routed day's 100 s bucket means — exact BigInt moments per series
     // (bounded groups), one float division at the end ------------------
@@ -1555,6 +1562,22 @@ object CoreQueries {
         |WHERE CAST(b.y * g.n - g.sy AS HUGEINT) * CAST(b.y * g.n - g.sy AS HUGEINT)
         |      > 9 * (g.n * g.syy - CAST(g.sy AS HUGEINT) * g.sy)
         |ORDER BY dataset_id, bucket_s""".stripMargin,
+    "series_sax_100s" ->
+      s"""WITH
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |r AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |        CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS BIGINT) AS y
+         |      FROM v GROUP BY 1, 2),
+         |k AS (SELECT dataset_id, bucket_s, y,
+         |        row_number() OVER (PARTITION BY dataset_id ORDER BY y, bucket_s) AS rk,
+         |        count(*) OVER (PARTITION BY dataset_id) AS n
+         |      FROM r)
+         |SELECT dataset_id, bucket_s, y,
+         |  CAST(((rk - 1) * 4) // n AS BIGINT) AS sym
+         |FROM k ORDER BY dataset_id, bucket_s""".stripMargin,
     // ACF / OLS / CUSUM share the ppm-requantized bucket-mean series:
     // y = round(mean·10⁶) — the round of a bit-identical double, so y is
     // integral-exact and every downstream moment is HUGEINT-exact,

@@ -1154,7 +1154,18 @@ object PipelineQueries {
           col("media_id"), col("out_w"), col("out_h"),
           r6(col("scale_x")).as("scale_x"), r6(col("scale_y")).as("scale_y"),
           col("out_bytes"))
-        .orderBy("media_id")))
+        .orderBy("media_id")),
+    // exact payload dedup for binary media columns: hash-grain agg over
+    // (md5, byte length) — the image/audio dedup pass a multimodal
+    // pipeline runs before any decode; payloads never shuffle (only
+    // their 16-byte hash does), planted copies collapse to min id
+    "multimodal_dedup" -> ((s, dir) =>
+      Multimodal.toBlob(exactCorpus(s, dir), "doc_id", "text")
+        .groupBy(md5(col("payload")).as("h"),
+          octet_length(col("payload")).cast("long").as("n_bytes"))
+        .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_id"))
+        .where(col("n_copies") > 1)
+        .orderBy("h")))
 
   /** Integer-PR mirror: 5 unrolled iterations (DuckDB restricts
    *  aggregates in recursive CTEs), identical modular graph synthesis,
@@ -2698,5 +2709,16 @@ object PipelineQueries {
         |  1 + (n_bytes % 30) AS n_frames
         |FROM (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
         |      FROM documents)
-        |ORDER BY media_id""".stripMargin)
+        |ORDER BY media_id""".stripMargin,
+    // payload bytes are the utf-8 text, so md5(text) is the blob hash
+    "multimodal_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text
+        |  FROM documents WHERE doc_id % 10 = 0)
+        |SELECT md5(text) AS h,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM corpus GROUP BY 1, 2 HAVING count(*) > 1
+        |ORDER BY h""".stripMargin)
 }

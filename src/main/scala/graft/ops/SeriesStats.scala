@@ -211,6 +211,27 @@ object SeriesStats {
       .select("dataset_id", "bucket_s", "y", "cusum_pos", "cusum_neg", "alarm")
   }
 
+  /** SAX-style symbolization on exact rank quartiles: each bucket mean
+   *  maps to one of `alphabet` symbols by its RANK within the series —
+   *  the distribution-free variant of SAX's Gaussian breakpoints, and
+   *  exactly integer-reproducible (no mean/σ floats): sym =
+   *  (rank−1)·alphabet div n. Symbol streams feed motif mining and
+   *  cheap series clustering. Per-series rank windows over the bounded
+   *  bucket grain — the rollup skew/bound argument applies unchanged.
+   */
+  def saxSymbols(
+      long: DataFrame, startUs: Long, endUs: Long,
+      bucketS: Long, alphabet: Int): DataFrame = {
+    val y = ppmBuckets(long, startUs, endUs, bucketS)
+    y.withColumn("rk", row_number()
+        .over(Window.partitionBy("dataset_id").orderBy("y", "bucket_s"))
+        .cast("long"))
+      .withColumn("n",
+        count(lit(1)).over(Window.partitionBy("dataset_id")))
+      .select(col("dataset_id"), col("bucket_s"), col("y"),
+        expr(s"((rk - 1) * $alphabet) div n").as("sym"))
+  }
+
   /** Hour-of-day-conditioned anomaly detection: flag buckets whose mean
    *  deviates > 3σ from the series' profile FOR THAT HOUR — the
    *  seasonal-residual upgrade of a global z-score, which a daily-cycle
