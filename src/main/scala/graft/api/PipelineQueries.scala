@@ -994,10 +994,14 @@ object PipelineQueries {
             .join(ranks.select(col("doc_id").as("src"), col("r")), "src")
             .select(col("dst"), expr("r div outd").as("c"))
             .groupBy("dst").agg(sum(col("c")).as("sc"))
+          // eager node-grain checkpoint per round: an unmaterialized
+          // rank lineage compounds the plan (and re-plans all prior
+          // rounds) each iteration — same discipline as Graph
           ranks = d
             .join(contrib, col("doc_id") === col("dst"), "left_outer")
             .select(col("doc_id"),
               (lit(150000L) + expr("(850 * coalesce(sc, 0L)) div 1000")).as("r"))
+            .localCheckpoint(true)
         }
         ranks
           .withColumn("rk", row_number()
@@ -1022,8 +1026,11 @@ object PipelineQueries {
           pmod(col("doc_id") * lit(17L) + col("j") * lit(13L), col("nn")))
         .where(col("dst") =!= col("doc_id"))
         .select(col("doc_id").as("src"), col("dst"))
+      // no distinct: duplicate edges cannot change a MIN aggregation,
+      // so the dedup shuffle is pure cost (the oracle's DISTINCT keeps
+      // its SQL simple; results are identical either way)
       val edges = e0.unionByName(
-        e0.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+        e0.select(col("dst").as("src"), col("src").as("dst")))
       Dedup.withScopedPersist(edges) {
         graft.ops.Graph.minLabelPropagate(
           d.select(col("doc_id").as("id")),
