@@ -315,6 +315,29 @@ object CoreQueries {
       graft.ops.SeriesStats.saxSymbols(ev(s, dir), Day5Us, Day6Us, 100L, 4)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- SAX motif mining: top-3 most frequent 4-symbol words per
+    // series over the observed symbol stream — one lead window on the
+    // bucket grain + a word-grain agg (vocabulary ≤ 4⁴ per series) -----
+    "series_motifs_100s" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val bySeries = W.partitionBy("dataset_id").orderBy("bucket_s")
+      val sax = graft.ops.SeriesStats.saxSymbols(ev(s, dir), Day5Us, Day6Us, 100L, 4)
+      sax
+        .withColumn("s1", lead(col("sym"), 1).over(bySeries))
+        .withColumn("s2", lead(col("sym"), 2).over(bySeries))
+        .withColumn("s3", lead(col("sym"), 3).over(bySeries))
+        .where(col("s3").isNotNull)
+        .select(col("dataset_id"),
+          concat_ws("", col("sym"), col("s1"), col("s2"), col("s3")).as("word"))
+        .groupBy("dataset_id", "word").agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(
+          W.partitionBy("dataset_id").orderBy(col("n").desc, col("word"))))
+        .where(col("rk") <= 3)
+        .select(col("dataset_id"), col("rk").cast("long").as("rank"),
+          col("word"), col("n"))
+        .orderBy("dataset_id", "rank")
+    }),
+
     // ---- sample autocorrelation: per-series ACF at lags 1..5 over the
     // routed day's 100 s bucket means — exact BigInt moments per series
     // (bounded groups), one float division at the end ------------------
@@ -1578,6 +1601,35 @@ object CoreQueries {
          |SELECT dataset_id, bucket_s, y,
          |  CAST(((rk - 1) * 4) // n AS BIGINT) AS sym
          |FROM k ORDER BY dataset_id, bucket_s""".stripMargin,
+    "series_motifs_100s" ->
+      s"""WITH
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |r AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |        CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000.0) * 1000000.0) AS BIGINT) AS y
+         |      FROM v GROUP BY 1, 2),
+         |k AS (SELECT dataset_id, bucket_s, y,
+         |        row_number() OVER (PARTITION BY dataset_id ORDER BY y, bucket_s) AS rk,
+         |        count(*) OVER (PARTITION BY dataset_id) AS n
+         |      FROM r),
+         |sx AS (SELECT dataset_id, bucket_s, ((rk - 1) * 4) // n AS sym FROM k),
+         |wd AS (SELECT dataset_id,
+         |        CAST(sym AS VARCHAR)
+         |        || CAST(lead(sym, 1) OVER (PARTITION BY dataset_id ORDER BY bucket_s) AS VARCHAR)
+         |        || CAST(lead(sym, 2) OVER (PARTITION BY dataset_id ORDER BY bucket_s) AS VARCHAR)
+         |        || CAST(lead(sym, 3) OVER (PARTITION BY dataset_id ORDER BY bucket_s) AS VARCHAR)
+         |          AS word
+         |      FROM sx),
+         |c AS (SELECT dataset_id, word, count(*) AS n FROM wd
+         |      WHERE word IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT dataset_id, word, n,
+         |        row_number() OVER (PARTITION BY dataset_id
+         |                           ORDER BY n DESC, word) AS rank
+         |      FROM c)
+         |SELECT dataset_id, CAST(rank AS BIGINT) AS rank, word, n
+         |FROM t WHERE rank <= 3 ORDER BY dataset_id, rank""".stripMargin,
     // ACF / OLS / CUSUM share the ppm-requantized bucket-mean series:
     // y = round(mean·10⁶) — the round of a bit-identical double, so y is
     // integral-exact and every downstream moment is HUGEINT-exact,

@@ -856,6 +856,19 @@ object PipelineQueries {
           col("target_frac"), r6(col("rate")).as("rate"),
           round(col("rate") * col("n_tokens")).cast("long").as("planned_tokens"))
         .orderBy("source")),
+    // per-source length deciles by EXACT rank (the range_quantiles
+    // pattern at source grain) — the length-distribution fingerprint
+    // curation compares across sources before mixing
+    "doc_length_deciles" -> ((s, dir) => {
+      val bySrc = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      docs(s, dir).select(col("source"), col("n_chars"))
+        .withColumn("r", row_number().over(bySrc.orderBy("n_chars")))
+        .withColumn("n", count(lit(1)).over(bySrc))
+        .withColumn("p", explode(array((1 to 9).map(i => lit(i / 10.0)): _*)))
+        .where(col("r") === greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+        .select(col("source"), col("p"), col("n_chars").as("q"))
+        .orderBy("source", "p")
+    }),
     // per-source dataset card: docs, tokens, language spread, and
     // exact-duplicate exposure in ONE pass — the summary a curation
     // run prints before mixing decisions. Source-grain state
@@ -2326,6 +2339,17 @@ object PipelineQueries {
         |SELECT CAST(rank AS BIGINT) AS rank, w1, w2,
         |  CAST(c2 AS BIGINT) AS c2, CAST(pmi_ppm AS BIGINT) AS pmi_ppm
         |FROM r WHERE rank <= 50 ORDER BY rank""".stripMargin,
+    "doc_length_deciles" ->
+      """WITH r AS (
+        |  SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS r,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |p AS (SELECT unnest([0.1, 0.2, 0.3, 0.4, 0.5,
+        |                     0.6, 0.7, 0.8, 0.9])::DOUBLE AS p)
+        |SELECT source, p, CAST(n_chars AS BIGINT) AS q
+        |FROM r, p WHERE r = greatest(1, CAST(ceil(p * n) AS BIGINT))
+        |ORDER BY source, p""".stripMargin,
     "corpus_report" ->
       """WITH h AS (SELECT md5(text) AS h, count(*) AS nh
         |           FROM documents GROUP BY 1),
