@@ -1052,6 +1052,68 @@ object PipelineQueries {
       }.orderBy("lab")
     }),
 
+    // triangle counting with degree orientation (Suri & Vassilvitskii,
+    // "Counting Triangles and the Curse of the Last Reducer", WWW'11):
+    // orient every undirected edge from its lower-(degree, id) endpoint
+    // to the higher, enumerate wedges only at each edge's LOW endpoint,
+    // and close them against the oriented edge set. Wedge count is then
+    // bounded by O(|E|^{3/2}) regardless of degree skew — a hub of
+    // degree d contributes d wedges as a spoke, never d² as a center —
+    // which is exactly the property that keeps the last reducer alive
+    // on a power-law graph at 100 TB. Three hash-join shuffles total,
+    // all keyed by node/pair ids; the edge list is never collected.
+    // Same deterministic doc-graph as graph_pagerank/label_propagation.
+    "graph_triangles" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id")
+      val nDf = broadcast(d.agg(count(lit(1)).as("nn")))
+      val und = d.crossJoin(nDf)
+        .withColumn("j",
+          explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L)))))
+        .withColumn("dst",
+          pmod(col("doc_id") * lit(17L) + col("j") * lit(13L), col("nn")))
+        .where(col("dst") =!= col("doc_id"))
+        .select(
+          least(col("doc_id"), col("dst")).as("a"),
+          greatest(col("doc_id"), col("dst")).as("b"))
+        .distinct()
+      Dedup.withScopedPersist(und) {
+        graft.ops.Graph.triangleCounts(und)
+          .select(col("id").as("doc_id"), col("n_tri"))
+      }.orderBy("doc_id")
+    }),
+
+    // common-neighbor link prediction: for every NON-adjacent pair with
+    // at least one shared neighbor, the neighborhood-Jaccard score in
+    // integer ppm; top 20. The candidate pairs are the same wedge
+    // enumeration as graph_triangles (bounded by Σ deg² — at 100 TB the
+    // standard discipline applies: cap or sample hub neighborhoods
+    // before wedging, as hubs predict links no better than degree),
+    // minus the existing edges via one anti-join. Pure integer
+    // arithmetic end to end, so ranks hash-match any engine.
+    "graph_link_predict" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id")
+      val nDf = broadcast(d.agg(count(lit(1)).as("nn")))
+      val und = d.crossJoin(nDf)
+        .withColumn("j",
+          explode(sequence(lit(1L), lit(1L) + pmod(col("doc_id"), lit(3L)))))
+        .withColumn("dst",
+          pmod(col("doc_id") * lit(17L) + col("j") * lit(13L), col("nn")))
+        .where(col("dst") =!= col("doc_id"))
+        .select(
+          least(col("doc_id"), col("dst")).as("a"),
+          greatest(col("doc_id"), col("dst")).as("b"))
+        .distinct()
+      Dedup.withScopedPersist(und) {
+        val cand = graft.ops.Graph.commonNeighborJaccard(und)
+        cand.withColumn("rk", row_number().over(
+            Window.orderBy(col("jaccard_ppm").desc, col("x"), col("y")))
+            .cast("long"))
+          .where(col("rk") <= 20)
+          .select(col("rk"), col("x"), col("y"), col("cn"),
+            col("jaccard_ppm"))
+      }.orderBy("rk")
+    }),
+
     // nearest-class-mean classification: assign every vector to its
     // closest label centroid by cosine, emit the confusion matrix — the
     // standard embedding-space quality check (are labels separable?).
@@ -1641,6 +1703,67 @@ object PipelineQueries {
         |WHERE CAST(i AS DOUBLE) / least(sa.n, sb.n) >= 0.9
         |ORDER BY a_id, b_id""".stripMargin,
     "graph_pagerank" -> pagerankOracle,
+    "graph_triangles" ->
+      """WITH nodes AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 17 + j.g * 13) % nn.n AS dst
+        |  FROM nodes, nn, generate_series(1, 3) j(g)
+        |  WHERE j.g <= 1 + doc_id % 3
+        |    AND (doc_id * 17 + j.g * 13) % nn.n <> doc_id),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e0),
+        |deg AS (SELECT id, count(*) AS dg FROM (
+        |    SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY 1),
+        |ori AS (
+        |  SELECT CASE WHEN ka < kb THEN a ELSE b END AS u,
+        |         CASE WHEN ka < kb THEN b ELSE a END AS v,
+        |         greatest(ka, kb) AS kv
+        |  FROM (SELECT und.a, und.b,
+        |          da.dg * 4294967296 + und.a AS ka,
+        |          db.dg * 4294967296 + und.b AS kb
+        |        FROM und
+        |        JOIN deg da ON da.id = und.a
+        |        JOIN deg db ON db.id = und.b)),
+        |tri AS (
+        |  SELECT e1.u AS t0, e1.v AS t1, e2.v AS t2
+        |  FROM ori e1
+        |  JOIN ori e2 ON e1.u = e2.u AND e1.kv < e2.kv
+        |  JOIN ori e3 ON e3.u = e1.v AND e3.v = e2.v)
+        |SELECT doc_id, count(*) AS n_tri
+        |FROM (SELECT unnest([t0, t1, t2]) AS doc_id FROM tri)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "graph_link_predict" ->
+      """WITH nodes AS (SELECT doc_id FROM documents),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |e0 AS (
+        |  SELECT doc_id AS src, (doc_id * 17 + j.g * 13) % nn.n AS dst
+        |  FROM nodes, nn, generate_series(1, 3) j(g)
+        |  WHERE j.g <= 1 + doc_id % 3
+        |    AND (doc_id * 17 + j.g * 13) % nn.n <> doc_id),
+        |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+        |        FROM e0),
+        |adj AS (SELECT a AS id, b AS nb FROM und
+        |        UNION ALL SELECT b, a FROM und),
+        |deg AS (SELECT id, count(*) AS dg FROM adj GROUP BY 1),
+        |cn AS (
+        |  SELECT l.id AS x, r.id AS y, count(*) AS cn
+        |  FROM adj l JOIN adj r ON l.nb = r.nb AND l.id < r.id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT cn.x, cn.y, cn.cn,
+        |    (1000000 * cn.cn) // (dx.dg + dy.dg - cn.cn) AS jaccard_ppm
+        |  FROM cn
+        |  JOIN deg dx ON dx.id = cn.x
+        |  JOIN deg dy ON dy.id = cn.y
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM und WHERE und.a = cn.x AND und.b = cn.y)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |      ORDER BY jaccard_ppm DESC, x, y) AS rk
+        |  FROM cand)
+        |SELECT rk, x, y, cn, jaccard_ppm FROM ranked
+        |WHERE rk <= 20 ORDER BY rk""".stripMargin,
     "label_propagation" -> labelPropOracle,
     "embedding_pca_power" -> pcaPowerOracle,
     "centroid_classify" ->

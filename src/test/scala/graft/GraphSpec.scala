@@ -41,4 +41,47 @@ class GraphSpec extends AnyFunSuite {
       nodes(5), undirected((0L, 1L), (2L, 3L)), 4))
     assert(l == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 2L, 4L -> 4L))
   }
+
+  // canonical undirected edge list (a < b, distinct) for the
+  // triangle / link-prediction kernels
+  private def canon(pairs: (Long, Long)*) = {
+    val sp = spark
+    import sp.implicits._
+    pairs.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .distinct.toDF("a", "b")
+  }
+
+  test("K4: every node sits in 3 of the 4 triangles") {
+    val out = Graph.triangleCounts(canon(
+        (0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L), (2L, 3L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+  }
+
+  test("C4 square has no triangles") {
+    val out = Graph.triangleCounts(canon(
+      (0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)))
+    assert(out.count() == 0L)
+  }
+
+  test("star + one leaf-leaf edge yields exactly one triangle (skew-safe orientation)") {
+    // hub 0 has degree 5: the orientation must enumerate wedges at the
+    // low-degree leaves, and still find triangle {0,1,2} exactly once
+    val out = Graph.triangleCounts(canon(
+        (0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L), (0L, 5L), (1L, 2L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(0L -> 1L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("path 0-1-2 predicts exactly the (0,2) link at full Jaccard") {
+    val out = Graph.commonNeighborJaccard(canon((0L, 1L), (1L, 2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L, 1L, 1000000L)))
+  }
+
+  test("complete graph has no links left to predict") {
+    val out = Graph.commonNeighborJaccard(canon(
+      (0L, 1L), (0L, 2L), (1L, 2L)))
+    assert(out.count() == 0L)
+  }
 }
