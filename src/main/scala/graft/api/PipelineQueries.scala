@@ -189,6 +189,15 @@ object PipelineQueries {
       minhashPairs(s, dir)
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
         .orderBy("a_id", "b_id")),
+    // sorted-neighborhood near-dup screening (Hernández-Stolfo): the
+    // sort-based alternative to hash blocking — candidate volume is a
+    // HARD (w-1)·n, immune to degenerate-key skew. Global order comes
+    // from the TeraSort-shaped rank primitive (ops/Ranks.scala), never
+    // a single-partition window; see Dedup.sortedNeighborhoodPairs for
+    // the 100 TB shuffle-payload note.
+    "dedup_sorted_nbr" -> ((s, dir) =>
+      Dedup.sortedNeighborhoodPairs(docs(s, dir).select("doc_id", "text"))
+        .orderBy("a_id", "b_id")),
     // incremental ingest decision: a NEW batch (near-dup copies of
     // every 7th doc + token-reversed novel docs from every 9th) checked
     // against the EXISTING corpus through cross band-bucket collisions
@@ -2019,6 +2028,25 @@ object PipelineQueries {
     // candidates ⊇ all pairs ≥ threshold (miss prob ≤ 1e-8 at J ≥ 0.9),
     // and verification is exact
     "dedup_minhash" -> jaccardOracle,
+    "dedup_sorted_nbr" ->
+      """WITH d AS (SELECT doc_id, text, substring(text, 1, 40) AS sk
+        |           FROM documents),
+        |r AS (SELECT doc_id, text,
+        |        row_number() OVER (ORDER BY sk, doc_id) - 1 AS rnk FROM d),
+        |tk AS (SELECT rnk, doc_id, string_split(text, ' ') AS w FROM r),
+        |t AS (SELECT rnk, doc_id,
+        |        list_distinct(list_transform(range(1, len(w) - 1),
+        |          i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+        |      FROM tk WHERE len(w) >= 3),
+        |cand AS (
+        |  SELECT least(l.doc_id, r.doc_id) AS a_id,
+        |         greatest(l.doc_id, r.doc_id) AS b_id,
+        |         (1000000 * len(list_intersect(l.sh, r.sh))) //
+        |           (len(l.sh) + len(r.sh) - len(list_intersect(l.sh, r.sh)))
+        |           AS jaccard_ppm
+        |  FROM t l JOIN t r ON r.rnk - l.rnk BETWEEN 1 AND 3)
+        |SELECT a_id, b_id, jaccard_ppm FROM cand
+        |WHERE jaccard_ppm >= 500000 ORDER BY a_id, b_id""".stripMargin,
     // exact cross-side Jaccard over the union-df-capped shingle sets —
     // the incremental MinHash path must converge to it (cross
     // candidates ⊇ all cross pairs ≥ threshold, verification exact)

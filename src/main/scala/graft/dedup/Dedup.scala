@@ -687,4 +687,53 @@ object Dedup {
         round(col("dup_windows").cast("double") / col("n_windows") * 1e6)
           .cast("long").as("dup_ppm"))
   }
+
+  /** Sorted-neighborhood near-dup detection (Hernández & Stolfo,
+   *  SIGMOD'95): sort the corpus by a cheap content key (text prefix),
+   *  compare each doc only to its `w - 1` successors in sort order, and
+   *  keep pairs whose 3-token-shingle Jaccard clears `thresholdPpm`.
+   *  The complement to hash blocking (minhashBands): candidate volume
+   *  is EXACTLY `(w-1)·n` — no degenerate key can go quadratic, the
+   *  property blocking lacks on skewed corpora.
+   *
+   *  Scale shape: the global order comes from [[graft.ops.Ranks
+   *  .withGlobalRank]] (range exchange + per-partition offsets), never
+   *  a single-partition window; the neighbor pairing is an equi-join on
+   *  rank. The shuffle payload is each doc's distinct shingle-string
+   *  array ×(w-1) — at 100 TB hash shingles to 8-byte ints first
+   *  (intersection sizes are preserved; strings are kept here so an
+   *  independent SQL engine can replicate the result exactly).
+   *
+   *  @return (a_id, b_id, jaccard_ppm) with a_id < b_id, threshold met
+   */
+  def sortedNeighborhoodPairs(
+      docs: DataFrame,
+      sortKeyLen: Int = 40,
+      w: Int = 4,
+      thresholdPpm: Long = 500000L): DataFrame = {
+    val ranked = graft.ops.Ranks.withGlobalRank(
+      docs.select(col("doc_id"), col("text"),
+        substring(col("text"), 1, sortKeyLen).as("sk")),
+      "rnk", Seq(col("sk"), col("doc_id")))
+    val t = ranked
+      .select(col("rnk"), col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("rnk"), col("doc_id"),
+        array_distinct(TextOps.shinglesOf(col("toks"), 3)).as("sh"))
+      .where(size(col("sh")) > 0)
+    val right = t
+      .withColumn("dd", explode(sequence(lit(1L), lit((w - 1).toLong))))
+      .select((col("rnk") - col("dd")).as("lrnk"),
+        col("doc_id").as("r_id"), col("sh").as("rsh"))
+    t.select(col("rnk").as("lrnk"), col("doc_id").as("l_id"),
+        col("sh").as("lsh"))
+      .join(right, "lrnk")
+      .select(
+        least(col("l_id"), col("r_id")).as("a_id"),
+        greatest(col("l_id"), col("r_id")).as("b_id"),
+        size(array_intersect(col("lsh"), col("rsh"))).cast("long").as("i"),
+        (size(col("lsh")) + size(col("rsh"))).cast("long").as("ab"))
+      .select(col("a_id"), col("b_id"),
+        expr("(1000000 * i) div (ab - i)").as("jaccard_ppm"))
+      .where(col("jaccard_ppm") >= thresholdPpm)
+  }
 }

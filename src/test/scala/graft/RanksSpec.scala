@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.ops.Ranks
+
+/** Global-rank primitive and the sorted-neighborhood dedup built on it. */
+class RanksSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  test("ranks are contiguous 0..n-1 and follow the sort order across partitions") {
+    val sp = spark
+    import sp.implicits._
+    // keys deliberately out of id order so the range exchange must move rows
+    val df = (0L until 1000L).map(id => ((id * 37L) % 1000L, id))
+      .toDF("k", "id")
+    val out = Ranks.withGlobalRank(df, "rnk", Seq(col("k"), col("id")))
+      .collect().map(r => (r.getLong(2), r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == (0L until 1000L))
+    val keys = out.map(t => (t._2, t._3))
+    assert(keys.sliding(2).forall { case Array(a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) })
+  }
+
+  test("ties without a tiebreaker column still yield contiguous distinct ranks") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq.fill(64)(1L).zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      .toDF("k", "id")
+    val out = Ranks.withGlobalRank(df, "rnk", Seq(col("k"), col("id")))
+    assert(out.select("rnk").collect().map(_.getLong(0)).sorted.toSeq
+      == (0L until 64L))
+  }
+
+  test("sorted-neighborhood finds the planted adjacent near-dup pair only") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five six"),
+      (4L, "red green blue white black grey"),
+      (5L, "north south east west up down")
+    ).toDF("doc_id", "text")
+    val out = Dedup.sortedNeighborhoodPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // shingle sets share 3 of 5 distinct 3-grams: 3/5 = 600000 ppm
+    assert(out.toSeq == Seq((1L, 2L, 600000L)))
+  }
+
+  test("docs shorter than one shingle never pair") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, "aa bb"), (2L, "aa bb"), (3L, "aa"))
+      .toDF("doc_id", "text")
+    assert(Dedup.sortedNeighborhoodPairs(docs).count() == 0L)
+  }
+}
