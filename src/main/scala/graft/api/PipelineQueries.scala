@@ -220,6 +220,28 @@ object PipelineQueries {
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(minhashPairs(s, dir))
         .orderBy("doc_id")),
+    // leakage-free train/val/test assignment: the split key is the
+    // near-dup CLUSTER representative (component min-id), not the doc —
+    // so near-duplicates can never straddle a split boundary, the
+    // failure mode split_leakage exists to detect. Singleton docs are
+    // their own representative. One left join of the corpus against
+    // the (memoized) component map + a split-grain agg; the hash is
+    // integer (Knuth multiplicative) so assignment is engine- and
+    // partitioning-independent at any scale.
+    "split_assign" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir).select("doc_id")
+      val comps = Dedup.connectedComponents(minhashPairs(s, dir))
+      val bucket = pmod(col("comp") * lit(2654435761L), lit(100L))
+      corpus.join(comps, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("comp"))
+        .withColumn("split",
+          when(bucket < 90, "train").when(bucket < 95, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("comp")).as("n_clusters"))
+        .orderBy("split")
+    }),
     // canonical survivor per cluster: dedup decides WHICH copy to keep —
     // the highest-quality member (ties to smallest id); quality travels
     // as an exact ppm integer so the argmax is engine-deterministic
@@ -1537,6 +1559,46 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
+    "split_assign" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |shf AS (SELECT * FROM sh0 WHERE sh IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM prs
+         |          UNION SELECT b_id, a_id FROM prs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+         |assigned AS (
+         |  SELECT c.doc_id, coalesce(comp.comp, c.doc_id) AS comp
+         |  FROM corpus c LEFT JOIN comp ON comp.doc_id = c.doc_id),
+         |sp AS (
+         |  SELECT doc_id, comp,
+         |    CASE WHEN (comp * 2654435761) % 100 < 90 THEN 'train'
+         |         WHEN (comp * 2654435761) % 100 < 95 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM assigned)
+         |SELECT split, count(*) AS n_docs,
+         |  count(DISTINCT comp) AS n_clusters
+         |FROM sp GROUP BY 1 ORDER BY 1""".stripMargin,
     "split_leakage" ->
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text FROM documents
