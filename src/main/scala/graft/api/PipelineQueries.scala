@@ -242,6 +242,29 @@ object PipelineQueries {
           count_distinct(col("comp")).as("n_clusters"))
         .orderBy("split")
     }),
+    // corpus-shrink report: what dedup actually buys — doc and token
+    // counts before/after keeping one representative per near-dup
+    // cluster, and the shrink in exact ppm. One corpus scan + the
+    // memoized component map + a 1-row agg; the per-doc keep decision
+    // is `doc == component representative` (the component id IS its
+    // min member), so no second pass over the pair graph is needed.
+    "dedup_shrink" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("nt"))
+      val comps = Dedup.connectedComponents(minhashPairs(s, dir))
+      corpus.join(comps, Seq("doc_id"), "left_outer")
+        .select(col("nt"),
+          (coalesce(col("comp"), col("doc_id")) === col("doc_id")).as("keep"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("keep"), 1)).as("n_kept"),
+          sum(col("nt")).as("tok_total"),
+          sum(when(col("keep"), col("nt")).otherwise(lit(0L))).as("tok_kept"))
+        .select(col("n_docs"), col("n_kept"), col("tok_total"),
+          col("tok_kept"),
+          expr("(1000000 * (tok_total - tok_kept)) div tok_total")
+            .as("shrink_ppm"))
+    }),
     // canonical survivor per cluster: dedup decides WHICH copy to keep —
     // the highest-quality member (ties to smallest id); quality travels
     // as an exact ppm integer so the argmax is engine-deterministic
@@ -500,6 +523,35 @@ object PipelineQueries {
     }),
 
     // ---- text analysis ----------------------------------------------
+    // staged filter funnel: how many docs survive each successive
+    // quality gate (C4/Gopher-style pipeline observability — WHERE the
+    // corpus is lost decides which filter to tune). One corpus scan
+    // computing all stage booleans per row, one 1-row agg of the
+    // cumulative conjunctions: no shuffle of doc rows, output is
+    // stage-count-bounded at any corpus size.
+    "quality_funnel" -> ((s, dir) => {
+      val staged0 = docs(s, dir)
+        .select(col("n_chars"), TextOps.tokens(col("text")).as("toks"))
+        .select(
+          (col("n_chars") >= 100 && col("n_chars") <= 10000).as("s1"),
+          size(col("toks")).cast("long").as("nt"),
+          size(filter(col("toks"),
+            t => t.isin("the", "a", "data", "key"))).cast("long").as("ns"),
+          TextOps.topTokenCount(col("toks")).as("tp"))
+      val staged = staged0
+        .select(col("s1"),
+          (col("s1") && col("nt") >= 20).as("s2"),
+          (col("s1") && col("nt") >= 20 &&
+            col("ns") * 2 <= col("nt")).as("s3"),
+          (col("s1") && col("nt") >= 20 && col("ns") * 2 <= col("nt") &&
+            col("tp") * 5 <= col("nt")).as("s4"))
+      staged.agg(
+          count(lit(1)).as("n_total"),
+          count(when(col("s1"), 1)).as("n_len_ok"),
+          count(when(col("s2"), 1)).as("n_tok_ok"),
+          count(when(col("s3"), 1)).as("n_stop_ok"),
+          count(when(col("s4"), 1)).as("n_rep_ok"))
+    }),
     "text_stats" -> ((s, dir) =>
       TextOps.stats(docs(s, dir), "doc_id", "text")
         .select(
@@ -1559,6 +1611,69 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
+    "quality_funnel" ->
+      """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
+        |           FROM documents),
+        |tc AS (SELECT doc_id, max(c) AS tp FROM (
+        |    SELECT doc_id, t, count(*) AS c FROM (
+        |      SELECT doc_id, unnest(w) AS t FROM d) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |st AS (SELECT d.doc_id,
+        |    d.n_chars BETWEEN 100 AND 10000 AS s1,
+        |    len(w) AS nt,
+        |    len(list_filter(w, t -> t IN ('the', 'a', 'data', 'key'))) AS ns,
+        |    tc.tp
+        |  FROM d JOIN tc USING (doc_id)),
+        |f AS (SELECT s1,
+        |    s1 AND nt >= 20 AS s2,
+        |    s1 AND nt >= 20 AND ns * 2 <= nt AS s3,
+        |    s1 AND nt >= 20 AND ns * 2 <= nt AND tp * 5 <= nt AS s4
+        |  FROM st)
+        |SELECT count(*) AS n_total,
+        |  count(*) FILTER (s1) AS n_len_ok,
+        |  count(*) FILTER (s2) AS n_tok_ok,
+        |  count(*) FILTER (s3) AS n_stop_ok,
+        |  count(*) FILTER (s4) AS n_rep_ok
+        |FROM f""".stripMargin,
+    "dedup_shrink" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |shf AS (SELECT * FROM sh0 WHERE sh IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |prs AS (
+         |  SELECT a_id, b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+         |edges AS (SELECT a_id AS s, b_id AS d FROM prs
+         |          UNION SELECT b_id, a_id FROM prs),
+         |reach(id, r) AS (
+         |  SELECT s, s FROM edges
+         |  UNION
+         |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+         |tk AS (SELECT t.doc_id, len(t.tokens) AS nt,
+         |         coalesce(c.comp, t.doc_id) = t.doc_id AS keep
+         |       FROM tok t LEFT JOIN comp c ON c.doc_id = t.doc_id),
+         |g AS (SELECT count(*) AS n_docs,
+         |    count(*) FILTER (keep) AS n_kept,
+         |    CAST(sum(nt) AS BIGINT) AS tok_total,
+         |    CAST(coalesce(sum(nt) FILTER (keep), 0) AS BIGINT) AS tok_kept
+         |  FROM tk)
+         |SELECT n_docs, n_kept, tok_total, tok_kept,
+         |  (1000000 * (tok_total - tok_kept)) // tok_total AS shrink_ppm
+         |FROM g""".stripMargin,
     "split_assign" ->
       s"""WITH RECURSIVE corpus AS (
          |  SELECT doc_id, text FROM documents

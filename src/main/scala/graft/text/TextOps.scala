@@ -50,13 +50,15 @@ object TextOps {
    *  twice and the doc spine once; this shape shuffles NOTHING — at
    *  100 TB the signals ride the scan.
    */
-  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toked = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-    // max run in the sorted array == max per-token count; the initial
-    // prev="" sentinel is safe: a real "" first token just starts its
-    // run at 0+1 like any other first element
-    val topTok = aggregate(
-      array_sort(col("toks")),
+  /** Dominant token's occurrence count from a token-array column: max
+   *  run length over the in-row sorted array — one O(n log n) sort +
+   *  one O(n) fold per document, NO explode/groupBy/join. The initial
+   *  prev="" sentinel is safe: a real "" first token just starts its
+   *  run at 0+1 like any other first element.
+   */
+  def topTokenCount(toks: Column): Column =
+    aggregate(
+      array_sort(toks),
       struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
       (st, x) => {
         val run = when(x === st.getField("prev"), st.getField("run") + 1L)
@@ -65,6 +67,10 @@ object TextOps {
           greatest(st.getField("best"), run).as("best"))
       },
       st => st.getField("best"))
+
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toked = docs.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+    val topTok = topTokenCount(col("toks"))
     toked
       .withColumn("tris", shinglesOf(col("toks"), 3))
       .select(
