@@ -223,6 +223,34 @@ object CoreQueries {
       graft.ops.Smooth.holt(ev(s, dir), Day5Us, Day6Us, 100L, 0.5, 0.25)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- rolling-median despike filter: the classic telemetry
+    // spike-removal pass — centered 5-bucket lower-median per series,
+    // a point deviating >20% from its local median is flagged and
+    // replaced. All-integer (ppm means, element-pick median, cross-
+    // multiplied threshold) so every engine agrees bit-for-bit. One
+    // bucket-grain agg + one per-series bounded window (frame of 5):
+    // both partition by series, scale with the routed range ----------
+    "series_despike_100s" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("bucket_s").rowsBetween(-2, 2)
+      val dev = abs(col("mean_ppm") - col("med_ppm")) * 5 > abs(col("med_ppm"))
+      ev(s, dir)
+        .where(col("ts_us").between(Day5Us, Day6Us))
+        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+        .groupBy(col("dataset_id"),
+          (expr("ts_us div 100000000") * lit(100L)).as("bucket_s"))
+        .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_ppm"))
+        .withColumn("win", array_sort(collect_list(col("mean_ppm")).over(w)))
+        .withColumn("med_ppm",
+          element_at(col("win"), expr("(size(win) + 1) div 2").cast("int")))
+        .select(col("dataset_id"), col("bucket_s"), col("mean_ppm"),
+          col("med_ppm"), dev.as("is_spike"),
+          when(dev, col("med_ppm")).otherwise(col("mean_ppm"))
+            .as("despiked_ppm"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- seasonal profile: the classic telemetry "daily shape" view —
     // per-series hour-of-day aggregate over the 100 s bucket means.
     // One (series × 24)-grain hash agg with map-side combine; output
@@ -1349,6 +1377,27 @@ object CoreQueries {
          |SELECT dataset_id, bucket_s, s AS level, t AS trend,
          |  s + t AS forecast
          |FROM e ORDER BY 1, 2""".stripMargin,
+    "series_despike_100s" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |b AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |    CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+         |        AS DOUBLE) / count(*)) AS BIGINT) AS mean_ppm
+         |  FROM v GROUP BY 1, 2),
+         |w AS (SELECT dataset_id, bucket_s, mean_ppm,
+         |    list_sort(list(mean_ppm) OVER (PARTITION BY dataset_id
+         |      ORDER BY bucket_s
+         |      ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)) AS win
+         |  FROM b),
+         |m AS (SELECT dataset_id, bucket_s, mean_ppm,
+         |    win[(len(win) + 1) // 2] AS med_ppm FROM w)
+         |SELECT dataset_id, bucket_s, mean_ppm, med_ppm,
+         |  abs(mean_ppm - med_ppm) * 5 > abs(med_ppm) AS is_spike,
+         |  CASE WHEN abs(mean_ppm - med_ppm) * 5 > abs(med_ppm)
+         |       THEN med_ppm ELSE mean_ppm END AS despiked_ppm
+         |FROM m ORDER BY 1, 2""".stripMargin,
     // LTTB: the sequential pick recurses over buckets with a LATERAL
     // argmax per step; areas are exact HUGEINT (µs × ppm) mirroring the
     // engine's BigInt, ties broken toward the smallest (ts, value).

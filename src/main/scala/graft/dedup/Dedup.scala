@@ -720,20 +720,25 @@ object Dedup {
       .select(col("rnk"), col("doc_id"),
         array_distinct(TextOps.shinglesOf(col("toks"), 3)).as("sh"))
       .where(size(col("sh")) > 0)
-    val right = t
-      .withColumn("dd", explode(sequence(lit(1L), lit((w - 1).toLong))))
-      .select((col("rnk") - col("dd")).as("lrnk"),
-        col("doc_id").as("r_id"), col("sh").as("rsh"))
-    t.select(col("rnk").as("lrnk"), col("doc_id").as("l_id"),
-        col("sh").as("lsh"))
-      .join(right, "lrnk")
-      .select(
-        least(col("l_id"), col("r_id")).as("a_id"),
-        greatest(col("l_id"), col("r_id")).as("b_id"),
-        size(array_intersect(col("lsh"), col("rsh"))).cast("long").as("i"),
-        (size(col("lsh")) + size(col("rsh"))).cast("long").as("ab"))
-      .select(col("a_id"), col("b_id"),
-        expr("(1000000 * i) div (ab - i)").as("jaccard_ppm"))
-      .where(col("jaccard_ppm") >= thresholdPpm)
+    // t feeds BOTH join sides, and its lineage includes the ranking
+    // RDD hop — without a scoped persist the range exchange, sort,
+    // zipWithIndex and shingling all run twice (measured ~2×)
+    withScopedPersist(t) {
+      val right = t
+        .withColumn("dd", explode(sequence(lit(1L), lit((w - 1).toLong))))
+        .select((col("rnk") - col("dd")).as("lrnk"),
+          col("doc_id").as("r_id"), col("sh").as("rsh"))
+      t.select(col("rnk").as("lrnk"), col("doc_id").as("l_id"),
+          col("sh").as("lsh"))
+        .join(right, "lrnk")
+        .select(
+          least(col("l_id"), col("r_id")).as("a_id"),
+          greatest(col("l_id"), col("r_id")).as("b_id"),
+          size(array_intersect(col("lsh"), col("rsh"))).cast("long").as("i"),
+          (size(col("lsh")) + size(col("rsh"))).cast("long").as("ab"))
+        .select(col("a_id"), col("b_id"),
+          expr("(1000000 * i) div (ab - i)").as("jaccard_ppm"))
+        .where(col("jaccard_ppm") >= thresholdPpm)
+    }
   }
 }

@@ -60,16 +60,20 @@ object Graph {
    *  @return (id, n_tri) for every node in at least one triangle
    */
   def triangleCounts(und: DataFrame): DataFrame = {
+    // ori feeds THREE plan legs (both wedge sides + the closing probe):
+    // scoped persist or each leg re-runs the degree join — measured 2×
     val ori = orientByDegree(und)
-    val tri = ori.as("e1")
-      .join(ori.as("e2"), col("e1.u") === col("e2.u"))
-      .where(col("e1.kv") < col("e2.kv"))
-      .select(col("e1.u").as("t0"), col("e1.v").as("t1"),
-        col("e2.v").as("t2"))
-      .join(ori.select(col("u").as("t1"), col("v").as("t2")),
-        Seq("t1", "t2"))
-    tri.select(explode(array(col("t0"), col("t1"), col("t2"))).as("id"))
-      .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    graft.dedup.Dedup.withScopedPersist(ori) {
+      val tri = ori.as("e1")
+        .join(ori.as("e2"), col("e1.u") === col("e2.u"))
+        .where(col("e1.kv") < col("e2.kv"))
+        .select(col("e1.u").as("t0"), col("e1.v").as("t1"),
+          col("e2.v").as("t2"))
+        .join(ori.select(col("u").as("t1"), col("v").as("t2")),
+          Seq("t1", "t2"))
+      tri.select(explode(array(col("t0"), col("t1"), col("t2"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    }
   }
 
   /** Common-neighbor link prediction: for every NON-adjacent pair with
@@ -85,17 +89,21 @@ object Graph {
   def commonNeighborJaccard(und: DataFrame): DataFrame = {
     val adj = und.select(col("a").as("id"), col("b").as("nb"))
       .unionByName(und.select(col("b").as("id"), col("a").as("nb")))
-    val deg = adj.groupBy("id").agg(count(lit(1)).as("dg"))
-    val cn = adj.as("l").join(adj.as("r"), col("l.nb") === col("r.nb"))
-      .where(col("l.id") < col("r.id"))
-      .select(col("l.id").as("x"), col("r.id").as("y"))
-      .groupBy("x", "y").agg(count(lit(1)).as("cn"))
-    cn.join(und,
-        col("x") === col("a") && col("y") === col("b"), "left_anti")
-      .join(deg.select(col("id").as("x"), col("dg").as("dx")), "x")
-      .join(deg.select(col("id").as("y"), col("dg").as("dy")), "y")
-      .select(col("x"), col("y"), col("cn"),
-        expr("(1000000 * cn) div (dx + dy - cn)").as("jaccard_ppm"))
+    // adj feeds the wedge self-join (both sides) and the degree agg:
+    // scoped persist or the union re-materializes per leg
+    graft.dedup.Dedup.withScopedPersist(adj) {
+      val deg = adj.groupBy("id").agg(count(lit(1)).as("dg"))
+      val cn = adj.as("l").join(adj.as("r"), col("l.nb") === col("r.nb"))
+        .where(col("l.id") < col("r.id"))
+        .select(col("l.id").as("x"), col("r.id").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("cn"))
+      cn.join(und,
+          col("x") === col("a") && col("y") === col("b"), "left_anti")
+        .join(deg.select(col("id").as("x"), col("dg").as("dx")), "x")
+        .join(deg.select(col("id").as("y"), col("dg").as("dy")), "y")
+        .select(col("x"), col("y"), col("cn"),
+          expr("(1000000 * cn) div (dx + dy - cn)").as("jaccard_ppm"))
+    }
   }
 
   /** Orient each undirected edge (a < b) from its lower-(degree, id)

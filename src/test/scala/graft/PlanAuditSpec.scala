@@ -362,6 +362,50 @@ class PlanAuditSpec extends AnyFunSuite {
         "funnel planned a cartesian product")
     }
   }
+
+  test("series_despike_100s windows are all series-partitioned (no global window)") {
+    withPlainPlans {
+      val df = SparkEntry.queries("series_despike_100s")(spark, sf)
+      val wins = df.queryExecution.executedPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.nonEmpty, "expected the rolling-median window in the plan")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        "unpartitioned WindowExec — the single-partition scale-killer")
+      // bucket agg + window repartition + output sort
+      assert(shuffleCount(df) <= 3,
+        s"despike exchange budget exceeded: ${shuffleCount(df)}")
+    }
+  }
+
+  test("sorted-neighborhood ranking stays out of WindowExec (TeraSort shape)") {
+    withPlainPlans {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text")
+      val df = graft.dedup.Dedup.sortedNeighborhoodPairs(d)
+      val wins = df.queryExecution.executedPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.isEmpty,
+        "SNM must rank via ops.Ranks, never a global row_number window")
+    }
+  }
+
+  test("triangle counting closes wedges with hash/merge joins, never cartesian") {
+    withPlainPlans {
+      val und = spark.range(0L, 1000L)
+        .select(org.apache.spark.sql.functions.col("id").as("a"),
+          org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("id") * 7 + 3,
+            org.apache.spark.sql.functions.lit(1000L)).as("b"))
+        .where(org.apache.spark.sql.functions.col("a") <
+          org.apache.spark.sql.functions.col("b"))
+      val plan = graft.ops.Graph.triangleCounts(und)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        "triangle join degenerated to a cartesian product")
+    }
+  }
 }
 
 /** Small indirection so the plan audit reuses the exact `ev` melt the
