@@ -223,6 +223,42 @@ object CoreQueries {
       graft.ops.Smooth.holt(ev(s, dir), Day5Us, Day6Us, 100L, 0.5, 0.25)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- threshold-excursion history: gaps-and-islands over the 100 s
+    // bucket means — consecutive buckets above the per-series mean
+    // level merge into one excursion row (start/end/width/peak), the
+    // alert-history view a telemetry UI renders. Island ids come from
+    // a running count of below-threshold rows (one series-partitioned
+    // window), so the whole query is two series-keyed exchanges and
+    // output is excursion-bounded. All-integer ppm discipline --------
+    "series_excursions_100s" -> ((s, dir) => {
+      val byDs = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id")
+      val runW = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("bucket_s")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      ev(s, dir)
+        .where(col("ts_us").between(Day5Us, Day6Us))
+        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+        .groupBy(col("dataset_id"),
+          (expr("ts_us div 100000000") * lit(100L)).as("bucket_s"))
+        .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
+          .cast("long").as("mean_ppm"))
+        .withColumn("thr_ppm",
+          round(sum(col("mean_ppm")).over(byDs).cast("double") /
+            count(lit(1)).over(byDs)).cast("long"))
+        .withColumn("grp",
+          sum(when(col("mean_ppm") > col("thr_ppm"), 0L).otherwise(1L))
+            .over(runW))
+        .where(col("mean_ppm") > col("thr_ppm"))
+        .groupBy("dataset_id", "grp")
+        .agg(min("bucket_s").as("start_s"), max("bucket_s").as("end_s"),
+          count(lit(1)).as("n_buckets"), max("mean_ppm").as("peak_ppm"))
+        .select(col("dataset_id"), col("start_s"), col("end_s"),
+          col("n_buckets"), col("peak_ppm"))
+        .orderBy("dataset_id", "start_s")
+    }),
+
     // ---- rolling-median despike filter: the classic telemetry
     // spike-removal pass — centered 5-bucket lower-median per series,
     // a point deviating >20% from its local median is flagged and
@@ -1377,6 +1413,30 @@ object CoreQueries {
          |SELECT dataset_id, bucket_s, s AS level, t AS trend,
          |  s + t AS forecast
          |FROM e ORDER BY 1, 2""".stripMargin,
+    "series_excursions_100s" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |b AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |    CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+         |        AS DOUBLE) / count(*)) AS BIGINT) AS mean_ppm
+         |  FROM v GROUP BY 1, 2),
+         |t AS (SELECT dataset_id, bucket_s, mean_ppm,
+         |    CAST(round(CAST(sum(mean_ppm) OVER (PARTITION BY dataset_id)
+         |        AS DOUBLE) / count(*) OVER (PARTITION BY dataset_id))
+         |      AS BIGINT) AS thr_ppm
+         |  FROM b),
+         |f AS (SELECT dataset_id, bucket_s, mean_ppm,
+         |    mean_ppm > thr_ppm AS flag,
+         |    sum(CASE WHEN mean_ppm > thr_ppm THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY dataset_id ORDER BY bucket_s
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+         |  FROM t)
+         |SELECT dataset_id, min(bucket_s) AS start_s, max(bucket_s) AS end_s,
+         |  count(*) AS n_buckets, max(mean_ppm) AS peak_ppm
+         |FROM f WHERE flag GROUP BY dataset_id, grp
+         |ORDER BY 1, 2""".stripMargin,
     "series_despike_100s" ->
       s"""WITH v AS (
          |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value

@@ -1330,7 +1330,37 @@ object PipelineQueries {
           octet_length(col("payload")).cast("long").as("n_bytes"))
         .agg(count(lit(1)).as("n_copies"), min(col("media_id")).as("keep_id"))
         .where(col("n_copies") > 1)
-        .orderBy("h")))
+        .orderBy("h")),
+
+    // chunk-grain PARTIAL-duplicate detection over binary payloads:
+    // overlapping 64-byte chunks (stride 32), each hashed in-row; a
+    // chunk held by ≥2 media marks region-level sharing (image regions
+    // reused across crops, video segments across cuts) that whole-file
+    // hashing (multimodal_dedup) cannot see. The payload never leaves
+    // the scan — only 16-byte chunk hashes reach the exchange, so the
+    // shuffle is chunks × 16 B at any payload size, and per-media
+    // output is corpus-bounded. The binary twin of substring_dup_spans.
+    "multimodal_chunk_dedup" -> ((s, dir) => {
+      val ch = Multimodal.toBlob(exactCorpus(s, dir), "doc_id", "text")
+        .select(col("media_id"), col("payload"),
+          octet_length(col("payload")).cast("long").as("nb"))
+        .withColumn("k", explode(sequence(lit(0L),
+          greatest(lit(0L), expr("(nb - 64) div 32")))))
+        .select(col("media_id"),
+          md5(expr("substring(payload, cast(1 + 32 * k as int), 64)"))
+            .as("h"))
+        .distinct()
+      Dedup.withScopedPersist(ch) {
+        val hs = ch.groupBy("h").agg(count(lit(1)).as("nm"))
+        ch.join(hs, "h")
+          .groupBy("media_id")
+          .agg(count(lit(1)).as("n_chunks"),
+            count(when(col("nm") >= 2, 1)).as("n_shared"))
+          .where(col("n_shared") > 0)
+          .select(col("media_id"), col("n_chunks"), col("n_shared"),
+            expr("(1000000 * n_shared) div n_chunks").as("share_ppm"))
+      }.orderBy("media_id")
+    }))
 
   /** Integer-PR mirror: 5 unrolled iterations (DuckDB restricts
    *  aggregates in recursive CTEs), identical modular graph synthesis,
@@ -3079,5 +3109,25 @@ object PipelineQueries {
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM corpus GROUP BY 1, 2 HAVING count(*) > 1
-        |ORDER BY h""".stripMargin)
+        |ORDER BY h""".stripMargin,
+    "multimodal_chunk_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000, text
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |c AS (SELECT doc_id AS media_id, text, length(text) AS nb
+        |      FROM corpus),
+        |ks AS (SELECT media_id, text,
+        |    unnest(generate_series(0, greatest(0, (nb - 64) // 32))) AS k
+        |  FROM c),
+        |ch AS (SELECT DISTINCT media_id,
+        |    md5(substring(text, CAST(1 + 32 * k AS INT), 64)) AS h
+        |  FROM ks),
+        |hs AS (SELECT h, count(*) AS nm FROM ch GROUP BY 1),
+        |per AS (SELECT media_id, count(*) AS n_chunks,
+        |    count(*) FILTER (nm >= 2) AS n_shared
+        |  FROM ch JOIN hs USING (h) GROUP BY 1)
+        |SELECT media_id, n_chunks, n_shared,
+        |  (1000000 * n_shared) // n_chunks AS share_ppm
+        |FROM per WHERE n_shared > 0 ORDER BY media_id""".stripMargin)
 }
