@@ -552,6 +552,34 @@ object PipelineQueries {
           count(when(col("s3"), 1)).as("n_stop_ok"),
           count(when(col("s4"), 1)).as("n_rep_ok"))
     }),
+    // Heaps-law vocabulary growth: distinct-token count as the corpus
+    // is consumed in doc_id order, reported at corpus deciles. The
+    // naive formulation (cumulative distinct) is inherently
+    // sequential; the distributed shape is one token-grain
+    // FIRST-OCCURRENCE agg (min doc_id per token, map-side combined)
+    // histogrammed into deciles + a 10-row running sum — vocabulary
+    // state, never corpus state, reaches the exchange.
+    "vocab_growth" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextOps.tokens(col("text")).as("toks"))
+      val nDf = broadcast(d.agg(count(lit(1)).as("nn")))
+      val tok = d.crossJoin(nDf)
+        .select(col("doc_id"), col("nn"), explode(col("toks")).as("t"))
+      val byTok = tok
+        .groupBy("t").agg(min(expr("(doc_id * 10) div nn")).as("dec"))
+        .groupBy("dec").agg(count(lit(1)).as("new_vocab"))
+      val byDoc = tok
+        .groupBy(expr("(doc_id * 10) div nn").as("dec"))
+        .agg(count(lit(1)).as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("dec")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, 0)
+      byDoc.join(byTok, Seq("dec"), "left_outer")
+        .select(col("dec"),
+          sum(col("n_tok")).over(w).as("tokens_cum"),
+          sum(coalesce(col("new_vocab"), lit(0L))).over(w).as("vocab_cum"))
+        .orderBy("dec")
+    }),
     "text_stats" -> ((s, dir) =>
       TextOps.stats(docs(s, dir), "doc_id", "text")
         .select(
@@ -1641,6 +1669,24 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
+    "vocab_growth" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
+        |           FROM documents),
+        |nn AS (SELECT count(*) AS n FROM documents),
+        |tok AS (SELECT doc_id, unnest(w) AS t FROM d),
+        |bt AS (SELECT t, min((doc_id * 10) // nn.n) AS dec
+        |       FROM tok, nn GROUP BY 1),
+        |nv AS (SELECT dec, count(*) AS new_vocab FROM bt GROUP BY 1),
+        |bd AS (SELECT (doc_id * 10) // nn.n AS dec, count(*) AS n_tok
+        |       FROM tok, nn GROUP BY 1)
+        |SELECT bd.dec,
+        |  CAST(sum(bd.n_tok) OVER win AS BIGINT) AS tokens_cum,
+        |  CAST(sum(coalesce(nv.new_vocab, 0)) OVER win AS BIGINT)
+        |    AS vocab_cum
+        |FROM bd LEFT JOIN nv USING (dec)
+        |WINDOW win AS (ORDER BY dec
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY dec""".stripMargin,
     "quality_funnel" ->
       """WITH d AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w
         |           FROM documents),
