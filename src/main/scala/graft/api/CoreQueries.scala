@@ -729,6 +729,29 @@ object CoreQueries {
         .orderBy("dataset_id")),
 
     // ---- JSON property extraction (pipeline metadata parsing) -------
+    // ---- ANALYZE-style table profile: per-column row/null/NDV counts
+    // in ONE corpus pass — the statistics a query planner (and a data
+    // engineer) reads first. The six count-distincts share a single
+    // expand-based aggregate (map-side combined per column value), and
+    // the wide 1-row result unpivots via stack: no join, no second
+    // scan, output bounded by column count at any table size. Profiles
+    // the raw table, so null/NDV reflect what ingest actually receives.
+    "table_profile" -> ((s, dir) => {
+      val e = Melt.readTsParquet(s, s"$dir/events.parquet")
+      val colsToProfile =
+        Seq("event_id", "user_id", "event_type", "ts", "value", "props")
+      val aggs = count(lit(1)).as("n") +:
+        colsToProfile.flatMap(c => Seq(
+          count(when(col(c).isNull, 1)).as(s"${c}__nulls"),
+          count_distinct(col(c)).as(s"${c}__ndv")))
+      e.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(colsToProfile.map(c =>
+          struct(lit(c).as("col_name"), col("n").as("n_rows"),
+            col(s"${c}__nulls").as("n_nulls"),
+            col(s"${c}__ndv").as("n_distinct"))): _*)).as("r"))
+        .select("r.*")
+        .orderBy("col_name")
+    }),
     "props_parse" -> ((s, dir) =>
       rawEvents(s, dir).groupBy(col("event_type").as("dataset_id"))
         .agg(
@@ -1908,6 +1931,13 @@ object CoreQueries {
         |  round(avg(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 6) AS avg_k,
         |  count(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "table_profile" ->
+      Seq("event_id", "user_id", "event_type", "ts", "value", "props")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_nulls,
+             |  count(DISTINCT $c) AS n_distinct FROM events""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL ", ") ORDER BY col_name"),
     "range_full" ->
       s"""SELECT epoch_us(ts) AS ts_us, value FROM events
          |WHERE event_type = 'purchase' AND value IS NOT NULL AND NOT isnan(value)

@@ -644,6 +644,42 @@ object PipelineQueries {
     "inverted_index" -> ((s, dir) =>
       TextOps.invertedIndex(docs(s, dir), "doc_id", "text", 10)
         .orderBy("token")),
+    // BM25 top-5 terms per doc (Robertson k1=1.2, b=0.75, +1 idf): the
+    // production ranking function the tfidf query is the baseline for.
+    // Same plan family — (doc, term) hash agg, vocabulary-grain df,
+    // 1-row corpus stats broadcast — plus the doc-length
+    // normalization. idf is rounded ONCE per term (ppm), the remaining
+    // float factors are written in the identical operation order on
+    // both engines, so ranks hash-match.
+    "bm25_topk" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      Dedup.withScopedPersist(tf) {
+        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val dfq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        val st = broadcast(dl.agg(count(lit(1)).as("nd"),
+          sum(col("dl")).as("tl")))
+        val w = Window.partitionBy("doc_id")
+          .orderBy(col("score_ppm").desc, col("token"))
+        tf.join(dl, "doc_id").join(dfq, "token").crossJoin(st)
+          .withColumn("idf_ppm",
+            round(log((col("nd") - col("df") + 0.5) / (col("df") + 0.5)
+              + 1.0) * 1e6).cast("long"))
+          .withColumn("avgdl", col("tl").cast("double") / col("nd"))
+          .withColumn("score_ppm",
+            round(col("idf_ppm").cast("double") * (col("tf") * lit(2.2)) /
+              (col("tf") + lit(1.2) *
+                (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+              .cast("long"))
+          .withColumn("rank", row_number().over(w).cast("long"))
+          .where(col("rank") <= 5)
+          .select(col("doc_id"), col("token"), col("tf"),
+            col("score_ppm"), col("rank"))
+      }.orderBy("doc_id", "rank")
+    }),
     // corpus-unigram-LM fluency score per doc (exact ppm integers)
     "doc_logprob" -> ((s, dir) =>
       docLogProbMemo(s, dir).orderBy("doc_id")),
@@ -1669,6 +1705,30 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
+    "bm25_topk" ->
+      """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id, token, tf,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT)
+        |      AS score_ppm
+        |  FROM sc),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_ppm DESC, token) AS rank FROM s2)
+        |SELECT doc_id, token, tf, score_ppm, rank FROM r
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "vocab_growth" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),
