@@ -223,6 +223,30 @@ object CoreQueries {
       graft.ops.Smooth.holt(ev(s, dir), Day5Us, Day6Us, 100L, 0.5, 0.25)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- time × value density heatmap: raw-point counts per
+    // (series, 1000 s time bucket, per-series value decile band) — the
+    // rendering backend for a telemetry heatmap view, the dense-data
+    // complement of the equal-width histogram (§3.4). One tiny
+    // per-series min/max broadcast + one grid-grain hash agg with
+    // map-side combine; output bounded by series × buckets × 10,
+    // never point count. All-integer band arithmetic.
+    "series_heatmap_1000s" -> ((s, dir) => {
+      val pts = ev(s, dir)
+        .where(col("ts_us").between(Day5Us, Day6Us))
+        .select(col("dataset_id"),
+          (expr("ts_us div 1000000000") * lit(1000L)).as("t_s"),
+          round(col("value") * lit(1e6)).cast("long").as("ppm"))
+      val mm = pts.groupBy("dataset_id")
+        .agg(min(col("ppm")).as("mn"), max(col("ppm")).as("mx"))
+      pts.join(broadcast(mm), "dataset_id")
+        .select(col("dataset_id"), col("t_s"),
+          least(lit(9L), expr("((ppm - mn) * 10) div (mx - mn + 1)"))
+            .as("band"))
+        .groupBy("dataset_id", "t_s", "band")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("dataset_id", "t_s", "band")
+    }),
+
     // ---- threshold-excursion history: gaps-and-islands over the 100 s
     // bucket means — consecutive buckets above the per-series mean
     // level merge into one excursion row (start/end/width/peak), the
@@ -1436,6 +1460,20 @@ object CoreQueries {
          |SELECT dataset_id, bucket_s, s AS level, t AS trend,
          |  s + t AS forecast
          |FROM e ORDER BY 1, 2""".stripMargin,
+    "series_heatmap_1000s" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |p AS (SELECT dataset_id, (ts_us // 1000000000) * 1000 AS t_s,
+         |    CAST(round(value * 1000000) AS BIGINT) AS ppm FROM v),
+         |mm AS (SELECT dataset_id, min(ppm) AS mn, max(ppm) AS mx
+         |       FROM p GROUP BY 1)
+         |SELECT p.dataset_id, p.t_s,
+         |  least(9, ((p.ppm - mm.mn) * 10) // (mm.mx - mm.mn + 1)) AS band,
+         |  count(*) AS n
+         |FROM p JOIN mm USING (dataset_id)
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "series_excursions_100s" ->
       s"""WITH v AS (
          |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value

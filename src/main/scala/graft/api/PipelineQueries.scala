@@ -189,6 +189,30 @@ object PipelineQueries {
       minhashPairs(s, dir)
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
         .orderBy("a_id", "b_id")),
+    // threshold-sensitivity histogram: pair counts per 5%-Jaccard band
+    // over ALL co-shingle pairs — the curve you read before choosing
+    // the dedup threshold (where does the near-dup mode separate from
+    // the background?). Same df-capped shingle join as jaccard_pairs
+    // (the cap is what bounds pair volume); the histogram is one extra
+    // 20-row agg in exact integer band arithmetic.
+    "dedup_sensitivity" -> ((s, dir) => {
+      val sh = Dedup.shingleSet(nearDupCorpus(s, dir), "doc_id", "text")
+      Dedup.withScopedPersist(sh) {
+        val a = sh.select(col("doc_id").as("a_id"), col("sh"))
+        val b = sh.select(col("doc_id").as("b_id"), col("sh"))
+        val inter = a.join(b, Seq("sh")).where(col("a_id") < col("b_id"))
+          .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        inter
+          .join(sizes.withColumnRenamed("doc_id", "a_id")
+            .withColumnRenamed("n", "na"), Seq("a_id"))
+          .join(sizes.withColumnRenamed("doc_id", "b_id")
+            .withColumnRenamed("n", "nb"), Seq("b_id"))
+          .select(least(lit(19L), expr("(i * 20) div (na + nb - i)"))
+            .as("bucket"))
+          .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+      }.orderBy("bucket")
+    }),
     // sorted-neighborhood near-dup screening (Hernández-Stolfo): the
     // sort-based alternative to hash blocking — candidate volume is a
     // HARD (w-1)·n, immune to degenerate-key skew. Global order comes
@@ -2341,6 +2365,28 @@ object PipelineQueries {
     // candidates ⊇ all pairs ≥ threshold (miss prob ≤ 1e-8 at J ≥ 0.9),
     // and verification is exact
     "dedup_minhash" -> jaccardOracle,
+    "dedup_sensitivity" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+         |  FROM documents WHERE doc_id % 7 = 0),
+         |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |shf AS (SELECT * FROM sh0 WHERE sh IN (
+         |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT least(19, (i * 20) // (sa.n + sb.n - i)) AS bucket,
+         |  count(*) AS n_pairs
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dedup_sorted_nbr" ->
       """WITH d AS (SELECT doc_id, text, substring(text, 1, 40) AS sk
         |           FROM documents),
