@@ -84,4 +84,25 @@ class GraphSpec extends AnyFunSuite {
       (0L, 1L), (0L, 2L), (1L, 2L)))
     assert(out.count() == 0L)
   }
+
+  test("triangle counts match O(n³) brute force on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val n = 12
+      val edges = for {
+        a <- 0 until n; b <- a + 1 until n if rnd.nextDouble() < 0.35
+      } yield (a.toLong, b.toLong)
+      val es = edges.toSet
+      val expected = scala.collection.mutable.Map[Long, Long]()
+        .withDefaultValue(0L)
+      for {
+        a <- 0 until n; b <- a + 1 until n; c <- b + 1 until n
+        if es((a.toLong, b.toLong)) && es((b.toLong, c.toLong)) &&
+          es((a.toLong, c.toLong))
+      } Seq(a, b, c).foreach(v => expected(v.toLong) += 1L)
+      val got = Graph.triangleCounts(canon(edges: _*))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected.toMap.filter(_._2 > 0L))
+    }
+  }
 }
