@@ -1005,6 +1005,85 @@ object CoreQueries {
         .orderBy("user_id", "session_id")
     }),
 
+    // ---- streaming threshold alerting (flatMapGroupsWithState): live
+    // debounced excursion detection — consecutive above-threshold
+    // points merge into one alert row, closed by data or flushed by
+    // watermark. Thresholds (per-series mean, batch-computed) join the
+    // stream as a STATIC broadcast frame — the model-scoring-in-streams
+    // pattern. Sentinels ride event_type zzsentinel; the left join
+    // gives them thr = MaxValue so they flow through as below-threshold
+    // no-ops that advance the watermark. Must equal the batch
+    // gaps-and-islands oracle over raw points bit-for-bit ------------
+    "stream_excursions" -> ((s, dir) => {
+      val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_alrt")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("a_events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val maxTsUs = evb.select(Melt.tsUs(evb, "ts").as("us"))
+        .agg(max("us")).head().getLong(0)
+      val base = System.currentTimeMillis()
+      java.nio.file.Files.setLastModifiedTime(
+        srcDir.resolve("a_events.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(base - 60000L))
+      for (k <- 1 to 2) {
+        val scratch = srcDir.resolve(s"scratch$k")
+        evb.limit(1)
+          .withColumn("ts",
+            Melt.tsLit(evb.schema("ts").dataType, maxTsUs + k * 86400L * 1000000L))
+          .withColumn("event_type", lit("zzsentinel"))
+          .withColumn("value", lit(1.0))
+          .coalesce(1)
+          .write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"b_sentinel$k.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + k * 2000L))
+        } finally parts.close()
+      }
+      // batch-side per-series mean thresholds (integer ppm discipline)
+      val thr = Melt.events(evb)
+        .where(col("ts_us").between(Day5Us, Day6Us))
+        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+        .groupBy("dataset_id")
+        .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
+          .cast("long").as("thr_ppm"))
+      val stream = s.readStream.schema(evb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val scored = Melt.events(stream)
+        .where(col("ts_us").between(Day5Us, Day6Us) ||
+          col("dataset_id") === "zzsentinel")
+        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+        .join(broadcast(thr), Seq("dataset_id"), "left_outer")
+        .withColumn("thr_ppm", coalesce(col("thr_ppm"), lit(Long.MaxValue)))
+      val qn = "sa_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.StreamAlert.excursions(scored)
+          .toDF()
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qn)
+          .option("checkpointLocation", s"$srcDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      q.awaitTermination()
+      s.table(qn)
+        .where(col("dataset_id") =!= "zzsentinel")
+        .select(col("dataset_id"), col("start_us"), col("end_us"),
+          col("n_points"), col("peak_ppm"))
+        .orderBy("dataset_id", "start_us")
+    }),
+
     // ---- S12/O3/F14: comment CRUD round-trip — create 6, update every
     // id%3==0 (text prefixed, date shifted +1s), delete every id%5==0,
     // read back date-sorted (the reference's sorted-rewrite write path,
@@ -1474,6 +1553,26 @@ object CoreQueries {
          |  count(*) AS n
          |FROM p JOIN mm USING (dataset_id)
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "stream_excursions" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us,
+         |    CAST(round(value * 1000000) AS BIGINT) AS ppm
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |t AS (SELECT dataset_id,
+         |    CAST(round(CAST(sum(ppm) AS DOUBLE) / count(*)) AS BIGINT)
+         |      AS thr
+         |  FROM v GROUP BY 1),
+         |f AS (SELECT v.dataset_id, ts_us, ppm, thr,
+         |    sum(CASE WHEN ppm > thr THEN 0 ELSE 1 END)
+         |      OVER (PARTITION BY v.dataset_id ORDER BY ts_us
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS grp
+         |  FROM v JOIN t USING (dataset_id))
+         |SELECT dataset_id, min(ts_us) AS start_us, max(ts_us) AS end_us,
+         |  count(*) AS n_points, max(ppm) AS peak_ppm
+         |FROM f WHERE ppm > thr GROUP BY dataset_id, grp
+         |ORDER BY 1, 2""".stripMargin,
     "series_excursions_100s" ->
       s"""WITH v AS (
          |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
