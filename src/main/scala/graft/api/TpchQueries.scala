@@ -67,6 +67,40 @@ object TpchQueries {
         .orderBy("o_orderkey")
     }),
 
+    // q5-style regional revenue: the 6-table join exercise. Plan shape:
+    // the region→nation→(customer, supplier) dimension chain is tiny
+    // and BROADCASTS — the only fact-fact shuffle is
+    // lineitem ⨝ orders on orderkey; the c_nationkey = s_nationkey
+    // local-supplier condition rides the joined row as a filter, never
+    // a join explosion. At 100 TB both fact sides are bucketed on
+    // orderkey (see Joins in SCALE.md); dims broadcast at any scale.
+    "q5_join" -> ((s, dir) => {
+      val lo = lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+      val hi = lit(java.time.LocalDateTime.parse("1999-01-01T00:00:00"))
+      val nat = t(s, dir, "nation")
+        .join(t(s, dir, "region").where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = t(s, dir, "customer")
+        .join(nat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val supp = t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .where(col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     "q6_filter" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.where(
@@ -253,6 +287,21 @@ object TpchQueries {
         |  AND epoch_us(l_shipdate) < 852076800000000
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q5_join" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1999-01-01'
+        |  AND c_nationkey = s_nationkey
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
     // tie-break mirrors asofBackward's running max(struct(ts, id)):
     // latest ts first, then MAX event_id among equal-ts views — a
     // two-step max avoids arg_max, whose tie choice is unspecified
