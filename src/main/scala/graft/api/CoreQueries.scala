@@ -1151,6 +1151,38 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- rollup repair / backfill: corrupt a coarse-aligned slice of
+    // the rollup pyramid by re-merging DUPLICATE offset partials (a
+    // partially-applied bad merge), then Tables.repairRollups
+    // recomputes every level for the slice from RAW — the truth — and
+    // replaces exactly those buckets. The read-back must equal the
+    // one-shot oracle, proving the repair path restores byte-exact
+    // state. Cost ∝ slice (pruned raw read + affected-partition
+    // rewrite), never the table ---------------------------------------
+    "rollup_repair" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_repair").toString
+      val long = ev(s, dir)
+      Tables.ingestBatch(s, root, long)
+      val b = long.agg(min("ts_us"), max("ts_us")).head()
+      val coarse = 100000L * 1000000L
+      val lo = (b.getLong(0) / coarse + 1L) * coarse
+      val hi = math.min((b.getLong(1) / coarse) * coarse, lo + 5L * coarse)
+      if (hi > lo) {
+        val corrupt = Tables.allLevelPartials(
+          long.where(col("ts_us") >= lo && col("ts_us") < hi)
+            .withColumn("value", col("value") + lit(1000.0)))
+        Tables.mergeRollups(s, root, corrupt)
+        Tables.repairRollups(s, root, lo, hi)
+      }
+      Tables.readRollup(s, root, Fidelity.S10)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"),
+          col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- store compaction: 3 per-batch appends leave interleaved
     // sliver files; compactRaw rewrites each partition bin-packed and
     // (dataset_id, ts)-sorted. The oracle proves the rewrite is
@@ -1302,6 +1334,7 @@ object CoreQueries {
     "rollup_100000s" -> rollupSql(100000),
     "rollup_cascade_10s" -> rollupSql(10),
     "ingest_incremental_1s" -> rollupSql(1),
+    "rollup_repair" -> rollupSql(10),
     "ingest_manifest_1s" -> rollupSql(1),
     // batches are md5-split; as-of version 2 sees batches 0 and 1 only
     "manifest_time_travel" ->

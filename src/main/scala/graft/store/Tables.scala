@@ -460,6 +460,98 @@ object Tables {
   }
 
   /**
+   * Operational repair / backfill: recompute EVERY rollup level for the
+   * time slice [t0Us, t1Us) from RAW and replace exactly those bucket
+   * rows — the recovery path when a rollup partition diverges from raw
+   * (partial merge, bad writer, manual surgery). RAW is the source of
+   * truth, exactly like the reference's recompute-from-raw rollup
+   * build (src/index.py:137-177) but sliced.
+   *
+   * Slice bounds must align to the coarsest level's bucket grid
+   * (100000 s): every level's bucket width divides 100000, so each
+   * affected bucket at each level lies WHOLLY inside the slice and
+   * replace-by-recompute is exact — no merging with stale partials.
+   *
+   * Cost ∝ slice, not table: the raw read prunes to the slice's
+   * windows, carried-over rows come only from the affected partitions
+   * (broadcast semi-join), and only those partitions rewrite (dynamic
+   * overwrite). Partitions whose every row was stale (no surviving
+   * output) are deleted as directory metadata, so the repair cannot
+   * leave orphaned rows behind.
+   */
+  def repairRollups(
+      spark: SparkSession, root: String, t0Us: Long, t1Us: Long): Unit = {
+    val coarseUs = 100000L * 1000000L
+    require(t0Us % coarseUs == 0 && t1Us % coarseUs == 0 && t1Us > t0Us,
+      "repair slice must align to the coarsest (100000 s) bucket grid")
+    val t0s = t0Us / 1000000L
+    val t1s = t1Us / 1000000L
+    val path = rollupPath(root)
+    val rawSlice = readRaw(spark, root)
+      .where(col("ts_us") >= t0Us && col("ts_us") < t1Us)
+      .select(col("dataset_id"), col("ts_us"), col("value"))
+    val partials = allLevelPartials(rawSlice)
+      .select("fidelity", "dataset_id", "part_s", "bucket_s",
+        "min_v", "max_v", "sum_v", "cnt")
+      .persist()
+    val exists = StoreFs.exists(spark, path)
+    val fromNew = partials
+      .withColumn("ds_b", dsBucket(col("dataset_id")))
+      .select("fidelity", "ds_b", "part_s").distinct()
+    val affected = (if (!exists) fromNew
+      else fromNew.unionByName(
+        spark.read.parquet(path)
+          .where(col("bucket_s") >= t0s && col("bucket_s") < t1s)
+          .select("fidelity", "ds_b", "part_s").distinct()))
+      .distinct().persist()
+    try {
+      if (affected.isEmpty) return
+      val carried =
+        if (!exists) None
+        else Some(spark.read.parquet(path)
+          .join(broadcast(affected),
+            Seq("fidelity", "ds_b", "part_s"), "left_semi")
+          .where(col("bucket_s") < t0s || col("bucket_s") >= t1s)
+          .select("fidelity", "dataset_id", "part_s", "bucket_s",
+            "min_v", "max_v", "sum_v", "cnt"))
+      val out = carried.map(_.unionByName(partials)).getOrElse(partials)
+        .persist()
+      out
+        .withColumn("ds_b", dsBucket(col("dataset_id")))
+        .repartition(col("fidelity"), col("ds_b"), col("part_s"))
+        .sortWithinPartitions(
+          col("fidelity"), col("ds_b"), col("part_s"),
+          col("dataset_id"), col("bucket_s"))
+        .write
+        .mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", Fidelity.GroupSize)
+        .partitionBy("fidelity", "ds_b", "part_s")
+        .parquet(path)
+      // dynamic overwrite only rewrites partitions PRESENT in `out`;
+      // an affected partition whose rows were all stale must be
+      // cleared explicitly or its orphans survive the repair
+      val outParts = out
+        .withColumn("ds_b", dsBucket(col("dataset_id")))
+        .select("fidelity", "ds_b", "part_s").distinct()
+      val stale = affected.exceptAll(outParts).collect()
+      if (stale.nonEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        stale.foreach { r =>
+          fs.delete(new org.apache.hadoop.fs.Path(
+            s"$path/fidelity=${r.getString(0)}/ds_b=${r.getInt(1)}" +
+              s"/part_s=${r.getLong(2)}"), true)
+        }
+      }
+      out.unpersist()
+    } finally {
+      affected.unpersist()
+      partials.unpersist()
+    }
+  }
+
+  /**
    * §3.2 `Index.put` — one ingest batch: sanitize → append raw →
    * cascade all 6 rollup levels → merge each into its table
    * (reference: src/index.py:124-177). Used by both the batch bootstrap

@@ -217,4 +217,42 @@ class IngestMergeSpec extends AnyFunSuite {
       s"compaction should shrink file count: $filesBefore -> $filesAfter")
     assert(filesAfter <= 2, s"one partition should compact to ~1 file: $filesAfter")
   }
+
+  test("repairRollups restores raw-truth after a corrupting merge and clears orphans") {
+    import org.apache.spark.sql.functions._
+    val root = TestSpark.tmpDir("graft_repair_spec")
+    for (b <- Seq(0, 4, 8))
+      Tables.ingestBatch(spark, root, TestSpark.longDF(batch(b)))
+    def r1: Seq[Row] = Tables.readRollup(spark, root, Fidelity.S1)
+      .select("dataset_id", "bucket_s", "min_v", "max_v", "sum_v", "cnt")
+      .orderBy("dataset_id", "bucket_s").collect().toSeq
+    val truth = r1
+
+    val coarseUs = 100000L * 1000000L
+    val lo = (TestSpark.isoUs("2024-01-01T03:00:00") / coarseUs) * coarseUs
+    // corrupt: re-merge duplicate +1000-offset partials for the slice
+    Tables.mergeRollups(spark, root, Tables.allLevelPartials(
+      Tables.readRaw(spark, root).select("dataset_id", "ts_us", "value")
+        .withColumn("value", col("value") + lit(1000.0))))
+    assert(r1 != truth, "negative control: the corrupting merge must show")
+
+    Tables.repairRollups(spark, root, lo, lo + coarseUs)
+    assert(r1 == truth, "repair must restore the raw-derived rollups exactly")
+
+    // orphan case: merge rollup rows with NO raw backing into an
+    // adjacent slice, then repair it — the orphans must vanish, even
+    // when their whole partition empties (directory-grain cleanup)
+    val orphanUs = TestSpark.isoUs("2024-01-05T00:00:00")
+    val lo2 = (orphanUs / coarseUs) * coarseUs
+    Tables.mergeRollups(spark, root, Tables.allLevelPartials(
+      TestSpark.longDF(Seq(
+        ("test_agg_combine", "2024-01-05T00:00:00.000", 42.0)))))
+    assert(Tables.readRollup(spark, root, Fidelity.S1)
+      .where(col("bucket_s") === orphanUs / 1000000L).count() == 1)
+    Tables.repairRollups(spark, root, lo2, lo2 + coarseUs)
+    assert(Tables.readRollup(spark, root, Fidelity.S1)
+      .where(col("bucket_s") === orphanUs / 1000000L).count() == 0,
+      "orphaned rollup rows must not survive a repair of their slice")
+    assert(r1 == truth, "repairing an empty slice must not disturb real data")
+  }
 }
