@@ -101,6 +101,20 @@ object TpchQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // CUBE subtotals: revenue at every (returnflag × linestatus)
+    // grouping-set combination including grand total — the reporting
+    // rollup the reference's flat aggregations can't express. Spark
+    // plans CUBE as one Expand + hash agg: the 4× row expansion is
+    // absorbed by map-side partial aggregation, so the shuffle carries
+    // (grouping-set × group) partials, never expanded input rows.
+    "cube_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
     "q6_filter" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.where(
@@ -168,6 +182,22 @@ object TpchQueries {
         Seq("user_id"), Seq(col("value").desc, col("event_id")), 3)
         .withColumn("rank", col("rank").cast("long"))
         .orderBy("user_id", "rank")),
+
+    // skew-proof salted top-k: same semantics as topk_per_user but per
+    // EVENT TYPE — a 5-value key over ~n rows, i.e. genuinely hot keys
+    // that would funnel the whole table into 5 window tasks. The
+    // two-stage salted form bounds every task at k·salts rows per key;
+    // the oracle is the direct single-window formulation, proving the
+    // salting is result-invariant (Temporal.saltedTopKPerKey).
+    "salted_topk" -> ((s, dir) =>
+      graft.ops.Temporal.saltedTopKPerKey(
+        CoreQueries.rawEvents(s, dir)
+          .where(col("value").isNotNull && !isnan(col("value")))
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), Seq(col("value").desc, col("event_id")), 5,
+        saltOn = col("event_id"), salts = 16)
+        .withColumn("rank", col("rank").cast("long"))
+        .orderBy("event_type", "rank")),
 
     // bucketed tolerance (range) join: views within ±30 s of each
     // purchase across ALL users — no range cross join (Temporal
@@ -287,6 +317,19 @@ object TpchQueries {
         |  AND epoch_us(l_shipdate) < 852076800000000
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "salted_topk" ->
+      """SELECT event_type, event_id, value, rank FROM (
+        |  SELECT event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        |WHERE rank <= 5 ORDER BY event_type, rank""".stripMargin,
+    "cube_revenue" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q5_join" ->
       """SELECT n_name,
         |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,

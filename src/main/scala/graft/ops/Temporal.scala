@@ -169,4 +169,29 @@ object Temporal {
     df.withColumn("rank",
         row_number().over(Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
       .where(col("rank") <= k)
+
+  /** Skew-proof top-k per key: the two-stage SALTED form of
+   *  [[topKPerKey]]. Stage 1 ranks within (key, salt) — a hot key's
+   *  rows split across `salts` tasks, so no single reducer ever sorts
+   *  its full row set — and keeps k candidates per salt. Stage 2 ranks
+   *  the ≤ k·salts survivors per key: a bounded input no matter how
+   *  skewed the source. The result is IDENTICAL to the direct window
+   *  for any salt count (each key's true top-k rows survive stage 1 in
+   *  every salting), so correctness never depends on the skew knob.
+   *  `saltOn` must be deterministic per row (hash of a unique column)
+   *  or retries could re-salt differently.
+   */
+  def saltedTopKPerKey(
+      df: DataFrame, keys: Seq[String],
+      ordering: Seq[org.apache.spark.sql.Column], k: Int,
+      saltOn: org.apache.spark.sql.Column, salts: Int): DataFrame = {
+    val stage1 = df
+      .withColumn("__salt", pmod(hash(saltOn), lit(salts)))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy((keys.map(col) :+ col("__salt")): _*)
+          .orderBy(ordering: _*)))
+      .where(col("__rn") <= k)
+      .drop("__salt", "__rn")
+    topKPerKey(stage1, keys, ordering, k)
+  }
 }

@@ -391,6 +391,18 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("salted top-k plans two bounded window stages, both partitioned") {
+    withPlainPlans {
+      val df = SparkEntry.queries("salted_topk")(spark, sf)
+      val wins = df.queryExecution.executedPlan.collectWithSubqueries {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(wins.size == 2, s"expected salt + merge stages, got ${wins.size}")
+      assert(wins.forall(_.partitionSpec.nonEmpty),
+        "a salted stage lost its partition spec")
+    }
+  }
+
   test("triangle counting closes wedges with hash/merge joins, never cartesian") {
     withPlainPlans {
       val und = spark.range(0L, 1000L)
