@@ -283,6 +283,31 @@ object CoreQueries {
         .orderBy("dataset_id", "start_s")
     }),
 
+    // ---- forecasting feature table: per-bucket lag-1/lag-2/rolling-3
+    // features + one-step delta — the telemetry→ML bridge that turns a
+    // series into supervised training rows. One bucket agg + one
+    // series-partitioned window; all-integer ppm arithmetic (rolling
+    // mean rounds ONCE from an exact 3-term sum) -----------------------
+    "series_lag_features_100s" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("bucket_s")
+      ev(s, dir)
+        .where(col("ts_us").between(Day5Us, Day6Us))
+        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+        .groupBy(col("dataset_id"),
+          (expr("ts_us div 100000000") * lit(100L)).as("bucket_s"))
+        .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
+          .cast("long").as("y_ppm"))
+        .withColumn("lag1_ppm", lag(col("y_ppm"), 1).over(w))
+        .withColumn("lag2_ppm", lag(col("y_ppm"), 2).over(w))
+        .withColumn("roll3_ppm",
+          round((col("y_ppm") + col("lag1_ppm") + col("lag2_ppm"))
+            .cast("double") / 3.0).cast("long"))
+        .withColumn("delta_ppm", col("y_ppm") - col("lag1_ppm"))
+        .where(col("lag2_ppm").isNotNull)
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- rolling-median despike filter: the classic telemetry
     // spike-removal pass — centered 5-bucket lower-median per series,
     // a point deviating >20% from its local median is flagged and
@@ -1629,6 +1654,25 @@ object CoreQueries {
          |SELECT dataset_id, min(bucket_s) AS start_s, max(bucket_s) AS end_s,
          |  count(*) AS n_buckets, max(mean_ppm) AS peak_ppm
          |FROM f WHERE flag GROUP BY dataset_id, grp
+         |ORDER BY 1, 2""".stripMargin,
+    "series_lag_features_100s" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |b AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |    CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+         |        AS DOUBLE) / count(*)) AS BIGINT) AS y_ppm
+         |  FROM v GROUP BY 1, 2),
+         |f AS (SELECT dataset_id, bucket_s, y_ppm,
+         |    lag(y_ppm, 1) OVER w AS lag1_ppm,
+         |    lag(y_ppm, 2) OVER w AS lag2_ppm
+         |  FROM b WINDOW w AS (PARTITION BY dataset_id ORDER BY bucket_s))
+         |SELECT dataset_id, bucket_s, y_ppm, lag1_ppm, lag2_ppm,
+         |  CAST(round(CAST(y_ppm + lag1_ppm + lag2_ppm AS DOUBLE) / 3.0)
+         |    AS BIGINT) AS roll3_ppm,
+         |  y_ppm - lag1_ppm AS delta_ppm
+         |FROM f WHERE lag2_ppm IS NOT NULL
          |ORDER BY 1, 2""".stripMargin,
     "series_despike_100s" ->
       s"""WITH v AS (

@@ -101,6 +101,30 @@ object TpchQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // Bloom semi-join pushdown: the 1-URGENT orders' keys fold into a
+    // fixed-KB Bloom that prunes lineitem BEFORE the join shuffle —
+    // ~80% of fact rows never enter the exchange, at any fact size
+    // (the explicit, deterministic form of Spark's runtime-filter
+    // injection). False positives are removed by the exact join that
+    // follows, so the result is Bloom-independent — the oracle is the
+    // plain join, proving the pushdown is semantics-free.
+    "bloom_semi_join" -> ((s, dir) => {
+      val urgent = t(s, dir, "orders")
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_orderkey"))
+      val pruned = graft.sketch.Sketches.bloomMember(
+        urgent, "o_orderkey",
+        t(s, dir, "lineitem").select(
+          col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+        "l_orderkey")
+      pruned
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .agg(
+          r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+            .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // CUBE subtotals: revenue at every (returnflag × linestatus)
     // grouping-set combination including grand total — the reporting
     // rollup the reference's flat aggregations can't express. Spark
@@ -317,6 +341,11 @@ object TpchQueries {
         |  AND epoch_us(l_shipdate) < 852076800000000
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'""".stripMargin,
     "salted_topk" ->
       """SELECT event_type, event_id, value, rank FROM (
         |  SELECT event_type, event_id, value,
