@@ -283,6 +283,51 @@ object CoreQueries {
         .orderBy("dataset_id", "start_s")
     }),
 
+    // ---- distribution drift (PSI): per-series population stability
+    // index between a baseline day and the next — the standard ML-ops
+    // drift gate before retraining on fresh telemetry. 10 equal-width
+    // bands over the combined range, Laplace-smoothed shares, and each
+    // band's (p−q)·ln(p/q) term rounds to ppm BEFORE the sum — so the
+    // final PSI is an integer sum, immune to cross-engine/partition
+    // float accumulation order. Two grid-bounded aggs + one tiny
+    // broadcast; output is catalog-bounded -----------------------------
+    "value_drift_psi" -> ((s, dir) => {
+      val day7Us = (Day6S + 86400L) * 1000000L
+      val pts = ev(s, dir)
+        .where(col("ts_us") >= Day5Us && col("ts_us") < day7Us)
+        .select(col("dataset_id"),
+          round(col("value") * lit(1e6)).cast("long").as("ppm"),
+          (col("ts_us") >= Day6Us).cast("int").as("day"))
+      val mm = pts.groupBy("dataset_id")
+        .agg(min("ppm").as("mn"), max("ppm").as("mx"))
+      val counts = pts.join(broadcast(mm), "dataset_id")
+        .select(col("dataset_id"), col("day"),
+          least(lit(9L), expr("((ppm - mn) * 10) div (mx - mn + 1)"))
+            .as("band"))
+        .groupBy("dataset_id", "band")
+        .agg(count(when(col("day") === 0, 1)).as("c5"),
+          count(when(col("day") === 1, 1)).as("c6"))
+      val grid = counts.groupBy("dataset_id")
+        .agg(sum("c5").as("n5"), sum("c6").as("n6"))
+        .select(col("dataset_id"), col("n5"), col("n6"),
+          explode(sequence(lit(0L), lit(9L))).as("band"))
+      grid.join(counts, Seq("dataset_id", "band"), "left_outer")
+        .select(col("dataset_id"), col("n5"), col("n6"),
+          coalesce(col("c5"), lit(0L)).as("c5"),
+          coalesce(col("c6"), lit(0L)).as("c6"))
+        .withColumn("p", (col("c5") + lit(1)).cast("double") /
+          (col("n5") + lit(10)).cast("double"))
+        .withColumn("q", (col("c6") + lit(1)).cast("double") /
+          (col("n6") + lit(10)).cast("double"))
+        .withColumn("term_ppm",
+          round((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6))
+            .cast("long"))
+        .groupBy("dataset_id")
+        .agg(sum("term_ppm").as("psi_ppm"),
+          max("n5").as("n_base"), max("n6").as("n_cur"))
+        .orderBy("dataset_id")
+    }),
+
     // ---- forecasting feature table: per-bucket lag-1/lag-2/rolling-3
     // features + one-step delta — the telemetry→ML bridge that turns a
     // series into supervised training rows. One bucket agg + one
@@ -1655,6 +1700,41 @@ object CoreQueries {
          |  count(*) AS n_buckets, max(mean_ppm) AS peak_ppm
          |FROM f WHERE flag GROUP BY dataset_id, grp
          |ORDER BY 1, 2""".stripMargin,
+    "value_drift_psi" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS dataset_id,
+         |    CAST(round(value * 1000000) AS BIGINT) AS ppm,
+         |    CASE WHEN epoch_us(ts) >= $Day6Us THEN 1 ELSE 0 END AS day
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND epoch_us(ts) >= $Day5Us
+         |    AND epoch_us(ts) < ${(Day6S + 86400L) * 1000000L}),
+         |mm AS (SELECT dataset_id, min(ppm) AS mn, max(ppm) AS mx
+         |       FROM v GROUP BY 1),
+         |banded AS (SELECT v.dataset_id, day,
+         |    least(9, ((ppm - mn) * 10) // (mx - mn + 1)) AS band
+         |  FROM v JOIN mm USING (dataset_id)),
+         |counts AS (SELECT dataset_id, band,
+         |    count(*) FILTER (day = 0) AS c5,
+         |    count(*) FILTER (day = 1) AS c6
+         |  FROM banded GROUP BY 1, 2),
+         |tot AS (SELECT dataset_id, CAST(sum(c5) AS BIGINT) AS n5,
+         |    CAST(sum(c6) AS BIGINT) AS n6 FROM counts GROUP BY 1),
+         |grid AS (SELECT dataset_id, n5, n6,
+         |    unnest(generate_series(0, 9)) AS band FROM tot),
+         |j AS (SELECT g.dataset_id, g.n5, g.n6, g.band,
+         |    coalesce(c.c5, 0) AS c5, coalesce(c.c6, 0) AS c6
+         |  FROM grid g LEFT JOIN counts c
+         |    ON c.dataset_id = g.dataset_id AND c.band = g.band),
+         |terms AS (SELECT dataset_id, n5, n6,
+         |    CAST(round((CAST(c5 + 1 AS DOUBLE) / (n5 + 10) -
+         |                CAST(c6 + 1 AS DOUBLE) / (n6 + 10)) *
+         |      ln((CAST(c5 + 1 AS DOUBLE) / (n5 + 10)) /
+         |         (CAST(c6 + 1 AS DOUBLE) / (n6 + 10))) * 1000000)
+         |      AS BIGINT) AS term_ppm
+         |  FROM j)
+         |SELECT dataset_id, CAST(sum(term_ppm) AS BIGINT) AS psi_ppm,
+         |  max(n5) AS n_base, max(n6) AS n_cur
+         |FROM terms GROUP BY 1 ORDER BY 1""".stripMargin,
     "series_lag_features_100s" ->
       s"""WITH v AS (
          |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
