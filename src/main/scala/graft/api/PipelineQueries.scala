@@ -576,6 +576,35 @@ object PipelineQueries {
           count(when(col("s3"), 1)).as("n_stop_ok"),
           count(when(col("s4"), 1)).as("n_rep_ok"))
     }),
+    // vocabulary drift between sources (PSI over token shares): the
+    // text twin of value_drift_psi — has src1's token mix drifted from
+    // src0's? Shares over the UNION vocabulary, Laplace-smoothed; each
+    // token's (p−q)·ln(p/q) rounds to ppm BEFORE the sum so the PSI is
+    // an order-free integer total. Vocabulary-grain state only.
+    "vocab_drift_psi" -> ((s, dir) => {
+      val tok = docs(s, dir)
+        .where(col("source").isin("src0", "src1"))
+        .select(col("source"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        .where(length(col("t")) > 0)
+      val counts = tok.groupBy("t")
+        .agg(count(when(col("source") === "src0", 1)).as("c0"),
+          count(when(col("source") === "src1", 1)).as("c1"))
+      val tot = broadcast(counts.agg(
+        sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        count(lit(1)).as("v")))
+      counts.crossJoin(tot)
+        .withColumn("p", (col("c0") + lit(1)).cast("double") /
+          (col("n0") + col("v")).cast("double"))
+        .withColumn("q", (col("c1") + lit(1)).cast("double") /
+          (col("n1") + col("v")).cast("double"))
+        .withColumn("term_ppm",
+          round((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6))
+            .cast("long"))
+        .agg(sum(col("term_ppm")).as("psi_ppm"),
+          max(col("n0")).as("n_src0"), max(col("n1")).as("n_src1"),
+          max(col("v")).as("n_vocab"))
+    }),
     // Heaps-law vocabulary growth: distinct-token count as the corpus
     // is consumed in doc_id order, reported at corpus deciles. The
     // naive formulation (cumulative distinct) is inherently
@@ -1753,6 +1782,28 @@ object PipelineQueries {
         |        ORDER BY score_ppm DESC, token) AS rank FROM s2)
         |SELECT doc_id, token, tf, score_ppm, rank FROM r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    "vocab_drift_psi" ->
+      """WITH tok AS (
+        |  SELECT source, t FROM (
+        |    SELECT source, unnest(string_split(text, ' ')) AS t
+        |    FROM documents WHERE source IN ('src0', 'src1'))
+        |  WHERE length(t) > 0),
+        |counts AS (SELECT t,
+        |    count(*) FILTER (source = 'src0') AS c0,
+        |    count(*) FILTER (source = 'src1') AS c1
+        |  FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c0) AS BIGINT) AS n0,
+        |    CAST(sum(c1) AS BIGINT) AS n1, count(*) AS v FROM counts),
+        |terms AS (SELECT n0, n1, v,
+        |    CAST(round((CAST(c0 + 1 AS DOUBLE) / (n0 + v) -
+        |                CAST(c1 + 1 AS DOUBLE) / (n1 + v)) *
+        |      ln((CAST(c0 + 1 AS DOUBLE) / (n0 + v)) /
+        |         (CAST(c1 + 1 AS DOUBLE) / (n1 + v))) * 1000000)
+        |      AS BIGINT) AS term_ppm
+        |  FROM counts, tot)
+        |SELECT CAST(sum(term_ppm) AS BIGINT) AS psi_ppm,
+        |  max(n0) AS n_src0, max(n1) AS n_src1, max(v) AS n_vocab
+        |FROM terms""".stripMargin,
     "vocab_growth" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS w
         |           FROM documents),
