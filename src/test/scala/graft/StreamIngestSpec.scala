@@ -63,6 +63,50 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(mn1 == 7.0 && c1 == 2 && sm1 / c1 == 7.5)
   }
 
+  test("restart from checkpoint resumes cleanly: no batch lost, no batch doubled") {
+    val srcDir = TestSpark.tmpDir("graft_restart_src")
+    val root = TestSpark.tmpDir("graft_restart_store")
+    val ckpt = TestSpark.tmpDir("graft_restart_ckpt")
+
+    def drop(b: Seq[(String, String, Double)], name: String): Unit = {
+      val staging = TestSpark.tmpDir(s"graft_restage_$name")
+      TestSpark.longDF(b).coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    }
+    def openStream() = spark.readStream
+      .schema(Tables.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+
+    // run 1 processes batch 0, then the query STOPS (crash stand-in)
+    drop(batch(0), "b0")
+    val q1 = StreamIngest.start(
+      openStream(), root, ckpt, Trigger.ProcessingTime("0 seconds"))
+    try q1.processAllAvailable() finally q1.stop()
+    assert(Tables.readRaw(spark, root).count() == 4)
+
+    // run 2 restarts from the SAME checkpoint with two more batches
+    // waiting: the source's offset log must skip b0 (no double ingest)
+    // and pick up exactly b1/b2
+    drop(batch(4), "b1")
+    drop(batch(8), "b2")
+    val q2 = StreamIngest.start(
+      openStream(), root, ckpt, Trigger.ProcessingTime("0 seconds"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    assert(Tables.readRaw(spark, root).count() == 12)
+    val r1 = Tables.readRollup(spark, root, Fidelity.S1)
+      .orderBy("bucket_s").collect()
+    assert(r1.length == 2)
+    val Row(_, _, mn0: Double, mx0: Double, sm0: Double, c0: Long) = r1(0): @unchecked
+    assert(mn0 == 7.0 && mx0 == 10.0 && c0 == 10 && sm0 == 87.0)
+    val Row(_, _, _, _, sm1: Double, c1: Long) = r1(1): @unchecked
+    assert(c1 == 2 && sm1 == 15.0)
+  }
+
   test("S1: JSON wire format decodes to canonical long form (server.py:76-103)") {
     val s = spark
     import s.implicits._
