@@ -283,6 +283,37 @@ object CoreQueries {
         .orderBy("dataset_id", "start_s")
     }),
 
+    // ---- forecast backtest: Holt's one-step-ahead forecast at bucket
+    // i scored against the NEXT observed bucket — per-series MAE and
+    // bias in ppm, the accept/reject gate before trusting a forecaster
+    // on a series. Per-row errors round to ppm integers BEFORE the
+    // aggregation, so the summary is accumulation-order-free. One
+    // window (lead) + one series-grain agg on top of the smoother ----
+    "series_holt_backtest_100s" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("bucket_s")
+      val v = ev(s, dir)
+        .where(col("ts_us").between(Day5Us, Day6Us))
+        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+        .groupBy(col("dataset_id"),
+          (expr("ts_us div 100000000") * lit(100L)).as("bucket_s"))
+        .agg((sum(col("ppm")).cast("double") /
+          (count(lit(1)).cast("double") * lit(1e6))).as("vv"))
+        .withColumn("vn", lead(col("vv"), 1).over(w))
+      graft.ops.Smooth.holt(ev(s, dir), Day5Us, Day6Us, 100L, 0.5, 0.25)
+        .join(v, Seq("dataset_id", "bucket_s"))
+        .where(col("vn").isNotNull)
+        .withColumn("err_ppm",
+          round((col("vn") - col("forecast")) * lit(1e6)).cast("long"))
+        .groupBy("dataset_id")
+        .agg(count(lit(1)).as("n"),
+          round(sum(abs(col("err_ppm"))).cast("double") / count(lit(1)))
+            .cast("long").as("mae_ppm"),
+          round(sum(col("err_ppm")).cast("double") / count(lit(1)))
+            .cast("long").as("bias_ppm"))
+        .orderBy("dataset_id")
+    }),
+
     // ---- distribution drift (PSI): per-series population stability
     // index between a baseline day and the next — the standard ML-ops
     // drift gate before retraining on fresh telemetry. 10 equal-width
@@ -1700,6 +1731,40 @@ object CoreQueries {
          |  count(*) AS n_buckets, max(mean_ppm) AS peak_ppm
          |FROM f WHERE flag GROUP BY dataset_id, grp
          |ORDER BY 1, 2""".stripMargin,
+    "series_holt_backtest_100s" ->
+      s"""WITH RECURSIVE
+         |v AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
+         |      FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |        AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |r AS (SELECT dataset_id, (ts_us // 100000000) * 100 AS bucket_s,
+         |        CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE)
+         |          / (CAST(count(*) AS DOUBLE) * 1000000.0) AS v
+         |      FROM v GROUP BY 1, 2),
+         |idx AS (SELECT dataset_id, bucket_s, v,
+         |          row_number() OVER (PARTITION BY dataset_id
+         |                             ORDER BY bucket_s) AS i
+         |        FROM r),
+         |e AS (
+         |  SELECT dataset_id, i, bucket_s, v AS s, CAST(0.0 AS DOUBLE) AS t
+         |  FROM idx WHERE i = 1
+         |  UNION ALL
+         |  SELECT n.dataset_id, n.i, n.bucket_s,
+         |    0.5 * n.v + 0.5 * (e.s + e.t),
+         |    0.25 * ((0.5 * n.v + 0.5 * (e.s + e.t)) - e.s) + 0.75 * e.t
+         |  FROM e JOIN idx n
+         |    ON n.dataset_id = e.dataset_id AND n.i = e.i + 1),
+         |err AS (
+         |  SELECT e.dataset_id,
+         |    CAST(round((n2.v - (e.s + e.t)) * 1000000) AS BIGINT)
+         |      AS err_ppm
+         |  FROM e JOIN idx n2
+         |    ON n2.dataset_id = e.dataset_id AND n2.i = e.i + 1)
+         |SELECT dataset_id, count(*) AS n,
+         |  CAST(round(CAST(sum(abs(err_ppm)) AS DOUBLE) / count(*))
+         |    AS BIGINT) AS mae_ppm,
+         |  CAST(round(CAST(sum(err_ppm) AS DOUBLE) / count(*))
+         |    AS BIGINT) AS bias_ppm
+         |FROM err GROUP BY 1 ORDER BY 1""".stripMargin,
     "value_drift_psi" ->
       s"""WITH v AS (
          |  SELECT event_type AS dataset_id,

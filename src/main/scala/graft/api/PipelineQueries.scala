@@ -448,6 +448,24 @@ object PipelineQueries {
       embBase(s, dir)
         .select(col("vec_id"), r6(sqrt(Similarity.norm2(col("v")))).as("l2"))
         .orderBy("vec_id")),
+    // per-dimension moment profile — the anisotropy / dead-dimension
+    // check run before trusting cosine distances (a dimension with
+    // near-zero variance or a large mean offset distorts every
+    // similarity). One posexplode + a 64-row hash agg with map-side
+    // combine; exact integer ppm sums so moments are
+    // accumulation-order-free. Output bounded by dimensionality.
+    "embedding_dim_stats" -> ((s, dir) =>
+      embBase(s, dir)
+        .select(posexplode(col("v")).as(Seq("dim", "x")))
+        .select(col("dim").cast("long").as("dim"),
+          round(col("x") * lit(1e6)).cast("long").as("p"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"),
+          sum(col("p")).as("sppm"),
+          sum(col("p") * col("p")).as("sqppm"))
+        .withColumn("mean_ppm",
+          round(col("sppm").cast("double") / col("n")).cast("long"))
+        .orderBy("dim")),
     "ann_cosine_topk" -> ((s, dir) => {
       val base = embBase(s, dir)
       Similarity.bruteTopK(base, base.where(col("vec_id") < 5), 10)
@@ -2519,6 +2537,19 @@ object PipelineQueries {
         |  round(sqrt(list_sum(list_transform(
         |    CAST(embedding AS DOUBLE[]), x -> x * x))), 6) AS l2
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "embedding_dim_stats" ->
+      """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings),
+        |d AS (SELECT CAST(d.g AS BIGINT) AS dim,
+        |        CAST(round(v[d.g + 1] * 1000000) AS BIGINT) AS p
+        |      FROM e, generate_series(0, 63) d(g) WHERE d.g < len(v)),
+        |g AS (SELECT dim, count(*) AS n,
+        |        CAST(sum(p) AS BIGINT) AS sppm,
+        |        CAST(sum(p * p) AS BIGINT) AS sqppm
+        |      FROM d GROUP BY 1)
+        |SELECT dim, n, sppm, sqppm,
+        |  CAST(round(CAST(sppm AS DOUBLE) / n) AS BIGINT) AS mean_ppm
+        |FROM g ORDER BY dim""".stripMargin,
     // the LSH planes are md5-derived and the band bucket is a plain
     // bit-sum (Similarity.hyperplanes/lshBuckets), so the whole
     // candidate-generation + exact-rank pipeline is replicated in SQL:
