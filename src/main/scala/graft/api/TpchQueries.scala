@@ -101,6 +101,61 @@ object TpchQueries {
         .orderBy(col("revenue").desc, col("n_name"))
     }),
 
+    // interval counting: how many orders are OPEN (placed, not yet
+    // fully shipped) on each day — the classic event-interval stabbing
+    // query, computed as +1/−1 deltas at order/last-ship days and one
+    // running sum over the DAY grain (calendar-bounded, so the global
+    // cumulative window is a few-thousand-row reduce at any fact
+    // size). Orders that never ship stay in the backlog forever.
+    "orders_backlog_daily" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+      val opens = ord
+        .select(Melt.tsUs(ord, "o_orderdate").as("us"))
+        .select(expr("us div 86400000000").as("day"), lit(1L).as("delta"))
+      val li = t(s, dir, "lineitem")
+      val closes = li
+        .groupBy("l_orderkey")
+        .agg(max(Melt.tsUs(li, "l_shipdate")).as("ship_us"))
+        .select(expr("ship_us div 86400000000").as("day"),
+          lit(-1L).as("delta"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      opens.unionByName(closes)
+        .groupBy("day").agg(sum(col("delta")).as("d"))
+        .withColumn("n_open", sum(col("d")).over(w))
+        .select(col("day"), col("n_open"))
+        .orderBy("day")
+    }),
+
+    // concentration (Pareto) curve: rank suppliers by account balance
+    // and report the cumulative balance share at each rank decile —
+    // the 80/20 view. The global rank runs over a DIMENSION table
+    // (catalog-bounded); shares are exact integer ppm of cent-exact
+    // sums, so the curve hash-matches across engines.
+    "supplier_pareto" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          round(col("s_acctbal") * lit(100)).cast("long").as("cents"))
+      val n = broadcast(sup.agg(count(lit(1)).as("nn"),
+        sum(col("cents")).as("tot")))
+      val w = Window.orderBy(col("cents").desc, col("s_suppkey"))
+      val cw = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      sup.crossJoin(n)
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .select(expr("((rk - 1) * 10) div nn").as("decile"),
+          col("cents"), col("tot"))
+        .groupBy("decile")
+        .agg(sum(col("cents")).as("dc"), max(col("tot")).as("tot"),
+          count(lit(1)).as("n_suppliers"))
+        .withColumn("cum_share_ppm",
+          expr("(1000000 * sum(dc) OVER (ORDER BY decile " +
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) div tot"))
+        .select(col("decile"), col("n_suppliers"), col("dc").as("cents"),
+          col("cum_share_ppm"))
+        .orderBy("decile")
+    }),
+
     // Bloom semi-join pushdown: the 1-URGENT orders' keys fold into a
     // fixed-KB Bloom that prunes lineitem BEFORE the join shuffle —
     // ~80% of fact rows never enter the exchange, at any fact size
@@ -341,6 +396,40 @@ object TpchQueries {
         |  AND epoch_us(l_shipdate) < 852076800000000
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "orders_backlog_daily" ->
+      """WITH opens AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(1 AS BIGINT) AS delta
+        |  FROM orders),
+        |closes AS (
+        |  SELECT epoch_us(max(l_shipdate)) // 86400000000 AS day,
+        |    CAST(-1 AS BIGINT) AS delta
+        |  FROM lineitem GROUP BY l_orderkey),
+        |d AS (SELECT day, CAST(sum(delta) AS BIGINT) AS d
+        |  FROM (SELECT * FROM opens UNION ALL SELECT * FROM closes)
+        |  GROUP BY 1)
+        |SELECT day, CAST(sum(d) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS n_open
+        |FROM d ORDER BY day""".stripMargin,
+    "supplier_pareto" ->
+      """WITH sup AS (SELECT s_suppkey,
+        |    CAST(round(s_acctbal * 100) AS BIGINT) AS cents
+        |  FROM supplier),
+        |n AS (SELECT count(*) AS nn, CAST(sum(cents) AS BIGINT) AS tot
+        |      FROM sup),
+        |r AS (SELECT cents, tot,
+        |    row_number() OVER (ORDER BY cents DESC, s_suppkey) AS rk, nn
+        |  FROM sup, n),
+        |g AS (SELECT ((rk - 1) * 10) // nn AS decile,
+        |    CAST(sum(cents) AS BIGINT) AS dc, max(tot) AS tot,
+        |    count(*) AS n_suppliers
+        |  FROM r GROUP BY 1)
+        |SELECT decile, n_suppliers, dc AS cents,
+        |  (1000000 * CAST(sum(dc) OVER (ORDER BY decile
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT))
+        |    // tot AS cum_share_ppm
+        |FROM g ORDER BY decile""".stripMargin,
     "bloom_semi_join" ->
       """SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
         |  count(*) AS n_rows
