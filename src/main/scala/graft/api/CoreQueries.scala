@@ -223,6 +223,32 @@ object CoreQueries {
       graft.ops.Smooth.holt(ev(s, dir), Day5Us, Day6Us, 100L, 0.5, 0.25)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- current-value dashboard read: the newest point per series
+    // in ONE struct-max aggregation (map-side combined; no window, no
+    // sort of the scan) — the "what is it now" endpoint every
+    // telemetry UI polls. Lexicographic (ts, value) max is
+    // tie-deterministic on any engine.
+    "series_latest" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy("dataset_id")
+        .agg(max(struct(col("ts_us"), col("value"))).as("m"))
+        .select(col("dataset_id"), col("m.ts_us").as("ts_us"),
+          col("m.value").as("value"))
+        .orderBy("dataset_id")),
+
+    // ---- data-completeness SLA: what fraction of the day's expected
+    // 1 s buckets actually hold data, per series — the ingestion-health
+    // number an on-call reads first. One distinct-bucket count per
+    // series (map-side combined), exact integer ppm.
+    "series_uptime_ppm" -> ((s, dir) =>
+      ev(s, dir)
+        .where(col("ts_us") >= Day5Us && col("ts_us") < Day6Us)
+        .groupBy("dataset_id")
+        .agg(count_distinct(expr("ts_us div 1000000")).as("n_buckets"))
+        .select(col("dataset_id"), col("n_buckets"),
+          expr("(1000000 * n_buckets) div 86400").as("uptime_ppm"))
+        .orderBy("dataset_id")),
+
     // ---- time × value density heatmap: raw-point counts per
     // (series, 1000 s time bucket, per-series value decile band) — the
     // rendering backend for a telemetry heatmap view, the dense-data
@@ -1673,6 +1699,21 @@ object CoreQueries {
          |SELECT dataset_id, bucket_s, s AS level, t AS trend,
          |  s + t AS forecast
          |FROM e ORDER BY 1, 2""".stripMargin,
+    "series_latest" ->
+      """SELECT dataset_id, ts_us, value FROM (
+        |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY epoch_us(ts) DESC, value DESC) AS rn
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        |WHERE rn = 1 ORDER BY 1""".stripMargin,
+    "series_uptime_ppm" ->
+      s"""SELECT event_type AS dataset_id,
+         |  count(DISTINCT epoch_us(ts) // 1000000) AS n_buckets,
+         |  (1000000 * count(DISTINCT epoch_us(ts) // 1000000)) // 86400
+         |    AS uptime_ppm
+         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |  AND epoch_us(ts) >= $Day5Us AND epoch_us(ts) < $Day6Us
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "series_heatmap_1000s" ->
       s"""WITH v AS (
          |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
