@@ -58,4 +58,30 @@ class RanksSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     assert(Dedup.sortedNeighborhoodPairs(docs).count() == 0L)
   }
+
+  test("SNM recall vs exact high-similarity pairs on the sf documents table") {
+    assume(TestSpark.hasData,
+      s"dataset ${TestSpark.dataDir} not present — skipping recall check")
+    // ground truth: ALL pairs with shingle-Jaccard ≥ 0.5 (exact,
+    // df-capped join); SNM finds the subset whose 40-char sort keys
+    // land within its w=4 window — near-dups that share a prefix.
+    // This is the documented trade: a HARD (w-1)·n candidate bound in
+    // exchange for prefix-sensitivity; the measured recall pins the
+    // trade so a sort-key regression (e.g. key too short) shows here.
+    val d = spark.read.parquet(s"${TestSpark.dataDir}/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val sh = Dedup.shingleSet(d, "doc_id", "text")
+    val exact = Dedup.exactJaccardPairs(sh, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val snm = Dedup.sortedNeighborhoodPairs(d, thresholdPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "corpus should contain high-similarity pairs")
+    assert(snm.subsetOf(exact),
+      s"SNM must not invent pairs: ${(snm -- exact).take(3)}")
+    val recall = snm.size.toDouble / exact.size
+    info(f"SNM recall vs exact J>=0.5: $recall%.2f " +
+      s"(${snm.size}/${exact.size})")
+    assert(recall >= 0.5, f"prefix-window recall collapsed: $recall%.2f")
+  }
 }
