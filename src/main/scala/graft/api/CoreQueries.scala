@@ -223,6 +223,51 @@ object CoreQueries {
       graft.ops.Smooth.holt(ev(s, dir), Day5Us, Day6Us, 100L, 0.5, 0.25)
         .orderBy("dataset_id", "bucket_s")),
 
+    // ---- recency-weighted popularity: per-type event counts decayed
+    // with a 6 h half-life against the window end — the "what's hot
+    // NOW" ranking that plain counts can't express. Each event's decay
+    // weight rounds to ppm BEFORE the sum (one exp2 per row, rounded
+    // once), so the total is an order-free integer — no float
+    // accumulation drift at any partition count.
+    "decayed_counts" -> ((s, dir) => {
+      val halfLifeUs = 6L * 3600L * 1000000L
+      ev(s, dir)
+        .where(col("ts_us").between(Day5Us, Day6Us))
+        .select(col("dataset_id"),
+          round(pow(lit(2.0),
+            (col("ts_us") - lit(Day6Us)).cast("double") / halfLifeUs)
+            * lit(1e6)).cast("long").as("w_ppm"))
+        .groupBy("dataset_id")
+        .agg(count(lit(1)).as("n"), sum(col("w_ppm")).as("decayed_ppm"))
+        .orderBy(col("decayed_ppm").desc, col("dataset_id"))
+    }),
+
+    // ---- ingestion-cadence health: per-series inter-arrival gap
+    // stats — median and p95 gap by exact rank selection (no
+    // interpolation ulp hazard), plus max gap. One lag window + one
+    // rank window, both series-partitioned; all integer µs.
+    "series_interarrival" -> ((s, dir) => {
+      val byDs = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("ts_us")
+      val byGap = org.apache.spark.sql.expressions.Window
+        .partitionBy("dataset_id").orderBy("gap_us", "ts_us")
+      ev(s, dir)
+        .where(col("ts_us").between(Day5Us, Day6Us))
+        .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byDs))
+        .where(col("gap_us").isNotNull)
+        .withColumn("rk", row_number().over(byGap).cast("long"))
+        .withColumn("nn", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("dataset_id")))
+        .groupBy("dataset_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          max(when(col("rk") === expr("(nn + 1) div 2"), col("gap_us")))
+            .as("p50_gap_us"),
+          max(when(col("rk") === expr("(nn * 95 + 99) div 100"),
+            col("gap_us"))).as("p95_gap_us"),
+          max(col("gap_us")).as("max_gap_us"))
+        .orderBy("dataset_id")
+    }),
+
     // ---- current-value dashboard read: the newest point per series
     // in ONE struct-max aggregation (map-side combined; no window, no
     // sort of the scan) — the "what is it now" endpoint every
@@ -1699,6 +1744,36 @@ object CoreQueries {
          |SELECT dataset_id, bucket_s, s AS level, t AS trend,
          |  s + t AS forecast
          |FROM e ORDER BY 1, 2""".stripMargin,
+    "decayed_counts" ->
+      s"""SELECT event_type AS dataset_id, count(*) AS n,
+         |  CAST(sum(CAST(round(pow(2.0,
+         |    CAST(epoch_us(ts) - $Day6Us AS DOUBLE) / 21600000000)
+         |    * 1000000) AS BIGINT)) AS BIGINT) AS decayed_ppm
+         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |  AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us
+         |GROUP BY 1 ORDER BY decayed_ppm DESC, dataset_id""".stripMargin,
+    "series_interarrival" ->
+      s"""WITH v AS (
+         |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+         |g AS (SELECT dataset_id, ts_us,
+         |    ts_us - lag(ts_us, 1) OVER (PARTITION BY dataset_id
+         |                                ORDER BY ts_us) AS gap_us
+         |  FROM v),
+         |f AS (SELECT dataset_id, ts_us, gap_us FROM g
+         |      WHERE gap_us IS NOT NULL),
+         |r AS (SELECT dataset_id, gap_us,
+         |    row_number() OVER (PARTITION BY dataset_id
+         |                       ORDER BY gap_us, ts_us) AS rk,
+         |    count(*) OVER (PARTITION BY dataset_id) AS nn
+         |  FROM f)
+         |SELECT dataset_id, count(*) AS n_gaps,
+         |  max(CASE WHEN rk = (nn + 1) // 2 THEN gap_us END) AS p50_gap_us,
+         |  max(CASE WHEN rk = (nn * 95 + 99) // 100 THEN gap_us END)
+         |    AS p95_gap_us,
+         |  max(gap_us) AS max_gap_us
+         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "series_latest" ->
       """SELECT dataset_id, ts_us, value FROM (
         |  SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value,
