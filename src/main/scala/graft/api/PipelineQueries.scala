@@ -843,6 +843,27 @@ object PipelineQueries {
     "distinct_sketch" -> ((s, dir) =>
       Sketches.hllReport(
         s.read.parquet(s"$dir/orders.parquet"), col("o_custkey"))),
+    // sketch MERGEABILITY end-to-end: registers built per shard fold
+    // via per-bucket max (associative + idempotent), so incremental /
+    // per-day sketches union into EXACTLY the whole-range sketch — the
+    // algebra that lets 1000 executors (or 365 daily jobs) count
+    // distincts without ever re-reading history. The query merges two
+    // modular shards and must reproduce the whole-table estimate
+    // bit-for-bit; merge_exact is computed, not assumed.
+    "sketch_merge" -> ((s, dir) => {
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      def half(i: Int) = ord.where(pmod(col("o_orderkey"), lit(2)) === i)
+      val merged = Sketches.hllMergeRegisters(
+        Sketches.hllRegisters(half(0), col("o_custkey")),
+        Sketches.hllRegisters(half(1), col("o_custkey")))
+      Sketches.hllEstimateFromRegisters(merged)
+        .select(col("m"), col("v_zero"), col("t_sum"),
+          col("est").as("est_merged"))
+        .crossJoin(Sketches.hllEstimateFromRegisters(
+          Sketches.hllRegisters(ord, col("o_custkey")))
+          .select(col("est").as("est_whole")))
+        .withColumn("merge_exact", col("est_merged") === col("est_whole"))
+    }),
     // mergeable fixed-grid quantile sketch over a wide numeric column —
     // two constant-size aggregations, grid error ≤ (max−min)/1024
     "quantile_sketch" -> ((s, dir) =>
@@ -3006,6 +3027,13 @@ object PipelineQueries {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "distinct_sketch" -> Sketches.hllOracleSql("orders", "o_custkey"),
+    // merged-shard registers ≡ whole-range registers (bucket-max is
+    // associative), so the oracle computes the whole-range report once
+    // and asserts equality as a literal the engine must also reach
+    "sketch_merge" ->
+      s"""SELECT m, v_zero, t_sum, est AS est_merged, est AS est_whole,
+         |  TRUE AS merge_exact
+         |FROM (${Sketches.hllOracleSql("orders", "o_custkey")})""".stripMargin,
     "quantile_sketch" -> Sketches.quantileOracleSql(
       "lineitem", "l_extendedprice", Seq(0.5, 0.9, 0.99)),
     "series_quantile_sketch" ->

@@ -46,26 +46,41 @@ object Sketches {
    *  sketch's error is visible in the output (and the oracle compares
    *  both paths).
    */
-  def hllReport(df: DataFrame, key: Column, p: Int = 10): DataFrame = {
+  /** The HLL's register table `(bucket, m_rank)` — the MERGEABLE state
+   *  a production pipeline persists per shard/day and folds with
+   *  [[hllMergeRegisters]] (register max is associative/commutative/
+   *  idempotent, so incremental unions are exact). Constant size: ≤ 2^p
+   *  rows regardless of input cardinality.
+   */
+  def hllRegisters(df: DataFrame, key: Column, p: Int = 10): DataFrame = {
     require(p >= 4 && p <= 16, "p out of the sane HLL range")
     val m = 1 << p
     val width = 60 - p
     val h = conv(substring(md5(key.cast("string")), 1, 15), 16, 10).cast("long")
-    val regs = df
-      .select(h.as("h"))
+    df.select(h.as("h"))
       .select(
         col("h").bitwiseAND(lit((m - 1).toLong)).as("bucket"),
         shiftright(col("h"), p).as("rem"))
       .groupBy("bucket")
       .agg(max(rankCol(col("rem"), width)).as("m_rank"))
-    val agg = regs.agg(
-      count(lit(1)).as("seen"),
-      sum(expr("shiftleft(cast(1 as bigint), cast(50 - m_rank as int))")).as("t_obs"))
-    val exact = df.agg(count_distinct(key).as("n_exact"))
-    // alpha and the 2^50 scale are literals — identical doubles on any
-    // engine; T is exact integer, so est = f(identical operands)
+  }
+
+  /** Fold register tables from disjoint (or overlapping — idempotent)
+   *  slices into one: per-bucket max. */
+  def hllMergeRegisters(regTables: DataFrame*): DataFrame =
+    regTables.reduce(_ unionByName _)
+      .groupBy("bucket").agg(max(col("m_rank")).as("m_rank"))
+
+  /** One-row estimate from a register table: (m, v_zero, t_sum, est).
+   *  alpha and the 2^50 scale are literals — identical doubles on any
+   *  engine; T is exact integer, so est = f(identical operands).
+   */
+  def hllEstimateFromRegisters(regs: DataFrame, p: Int = 10): DataFrame = {
+    val m = 1 << p
     val alpha = lit(0.7213) / (lit(1.0) + lit(1.079) / lit(m.toDouble))
-    agg.crossJoin(exact)
+    regs.agg(
+        count(lit(1)).as("seen"),
+        sum(expr("shiftleft(cast(1 as bigint), cast(50 - m_rank as int))")).as("t_obs"))
       .withColumn("v_zero", lit(m.toLong) - col("seen"))
       .withColumn("t_sum", // empty input: sum() is NULL, not 0
         coalesce(col("t_obs"), lit(0L)) + col("v_zero") * lit(1L << 50))
@@ -79,8 +94,15 @@ object Sketches {
             .otherwise(col("raw")),
           6))
       .select(
-        lit(m.toLong).as("m"), col("v_zero"), col("t_sum"),
-        col("est"), col("n_exact"))
+        lit(m.toLong).as("m"), col("v_zero"), col("t_sum"), col("est"))
+  }
+
+  def hllReport(df: DataFrame, key: Column, p: Int = 10): DataFrame = {
+    require(p >= 4 && p <= 16, "p out of the sane HLL range")
+    hllEstimateFromRegisters(hllRegisters(df, key, p), p)
+      .crossJoin(df.agg(count_distinct(key).as("n_exact")))
+      .select(col("m"), col("v_zero"), col("t_sum"), col("est"),
+        col("n_exact"))
   }
 
   /** Engine-portable cell index for row `j` of a width-2^wBits sketch:
