@@ -858,6 +858,24 @@ object PipelineQueries {
     "distinct_sketch" -> ((s, dir) =>
       Sketches.hllReport(
         s.read.parquet(s"$dir/orders.parquet"), col("o_custkey"))),
+    // planner-style join-size estimation from two fixed-KB Count-Min
+    // grids (inner product, one-sided error) — "how big will
+    // lineitem ⨝ orders be" WITHOUT joining data; the exact join runs
+    // alongside so the bound's tightness is visible and
+    // oracle-checked, and one_sided_ok is computed, never assumed.
+    "join_size_estimate" -> ((s, dir) => {
+      val est = Sketches.cmsJoinSize(
+        s.read.parquet(s"$dir/lineitem.parquet"), col("l_orderkey"),
+        s.read.parquet(s"$dir/orders.parquet"), col("o_orderkey"),
+        wBits = 14)
+      val exact = s.read.parquet(s"$dir/lineitem.parquet")
+        .join(s.read.parquet(s"$dir/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .agg(count(lit(1)).as("n_exact"))
+      est.crossJoin(exact)
+        .withColumn("one_sided_ok",
+          col("est_join_rows") >= col("n_exact"))
+    }),
     // sketch MERGEABILITY end-to-end: registers built per shard fold
     // via per-bucket max (associative + idempotent), so incremental /
     // per-day sketches union into EXACTLY the whole-range sketch — the
@@ -3044,6 +3062,29 @@ object PipelineQueries {
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
     "distinct_sketch" -> Sketches.hllOracleSql("orders", "o_custkey"),
+    "join_size_estimate" ->
+      """WITH ca AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
+        |    count(*) AS n FROM lineitem GROUP BY 1),
+        |cb AS (SELECT CAST(o_orderkey AS VARCHAR) AS key,
+        |    count(*) AS n FROM orders GROUP BY 1),
+        |ga AS (SELECT j.g AS j,
+        |    ('0x' || substr(md5(CAST(j.g AS VARCHAR) || '_' || key),
+        |      1, 15))::BIGINT & 16383 AS cell,
+        |    CAST(sum(n) AS BIGINT) AS c
+        |  FROM ca, generate_series(0, 3) j(g) GROUP BY 1, 2),
+        |gb AS (SELECT j.g AS j,
+        |    ('0x' || substr(md5(CAST(j.g AS VARCHAR) || '_' || key),
+        |      1, 15))::BIGINT & 16383 AS cell,
+        |    CAST(sum(n) AS BIGINT) AS c
+        |  FROM cb, generate_series(0, 3) j(g) GROUP BY 1, 2),
+        |ip AS (SELECT ga.j, CAST(sum(ga.c * gb.c) AS BIGINT) AS ip
+        |  FROM ga JOIN gb USING (j, cell) GROUP BY 1),
+        |est AS (SELECT min(ip) AS est_join_rows FROM ip),
+        |ex AS (SELECT count(*) AS n_exact
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT est_join_rows, n_exact,
+        |  est_join_rows >= n_exact AS one_sided_ok
+        |FROM est, ex""".stripMargin,
     // merged-shard registers ≡ whole-range registers (bucket-max is
     // associative), so the oracle computes the whole-range report once
     // and asserts equality as a literal the engine must also reach

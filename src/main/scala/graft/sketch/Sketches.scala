@@ -134,6 +134,40 @@ object Sketches {
    * Portability: cell indices are md5-derived (see `cellOf`), counts
    * are exact longs — nothing in the pipeline is engine-private.
    */
+  /** Count-Min counter grid `(j, cell, c)` over `key` — the mergeable
+   *  (plain `+`) fixed-size state behind both the heavy-hitter report
+   *  and the join-size inner product. d·2^wBits rows regardless of
+   *  input size.
+   */
+  def cmsGrid(
+      df: DataFrame, key: Column, d: Int = 4, wBits: Int = 11): DataFrame = {
+    require(d >= 1 && d <= 8 && wBits >= 4 && wBits <= 24, "CMS shape out of range")
+    val wMask = (1L << wBits) - 1
+    df.select(key.cast("string").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("n"))
+      .select(col("key"), col("n"),
+        explode(sequence(lit(0), lit(d - 1))).as("j"))
+      .groupBy(col("j"), cellOf(col("j"), col("key"), wMask).as("cell"))
+      .agg(sum(col("n")).as("c"))
+  }
+
+  /** Join-cardinality estimate via the CM inner product (Cormode &
+   *  Muthukrishnan 2005 §4.2): |A ⨝ B| on the key ≤ min_j Σ_cell
+   *  cmA[j]·cmB[j], with ONE-SIDED error (never an underestimate) —
+   *  the planner-style "how big will this join be" answer from two
+   *  fixed-KB sketches, no data joined. At 100 TB each side's grid is
+   *  a d·2^wBits aggregate a coordinator keeps per table/partition;
+   *  estimating any pairwise join cost is then grid-only arithmetic.
+   */
+  def cmsJoinSize(
+      a: DataFrame, aKey: Column, b: DataFrame, bKey: Column,
+      d: Int = 4, wBits: Int = 11): DataFrame =
+    cmsGrid(a, aKey, d, wBits)
+      .join(cmsGrid(b, bKey, d, wBits).withColumnRenamed("c", "cb"),
+        Seq("j", "cell"))
+      .groupBy("j").agg(sum(col("c") * col("cb")).as("ip"))
+      .agg(min(col("ip")).as("est_join_rows"))
+
   def cmsTopK(
       df: DataFrame, key: Column, k: Int = 20,
       d: Int = 4, wBits: Int = 11): DataFrame = {
