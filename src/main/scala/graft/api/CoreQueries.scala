@@ -42,6 +42,20 @@ object CoreQueries {
   private val Day5Us = Day5S * 1000000L
   private val Day6Us = Day6S * 1000000L
 
+  /** 100 s bucket means over the fixed query window as EXACT ppm
+   *  integers (one round from the fixed-point sum) — the shared
+   *  preamble of the despike / excursion / lag-feature tier.
+   */
+  private def bucketMeanPpm(
+      s: SparkSession, dir: String, outCol: String): DataFrame =
+    ev(s, dir)
+      .where(col("ts_us").between(Day5Us, Day6Us))
+      .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+      .groupBy(col("dataset_id"),
+        (expr("ts_us div 100000000") * lit(100L)).as("bucket_s"))
+      .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
+        .cast("long").as(outCol))
+
   private def rollupQ(d: Long): Q = (s, dir) =>
     Rollup.aggregate(ev(s, dir), d)
       .select(
@@ -332,13 +346,7 @@ object CoreQueries {
         .partitionBy("dataset_id").orderBy("bucket_s")
         .rowsBetween(org.apache.spark.sql.expressions.Window
           .unboundedPreceding, 0)
-      ev(s, dir)
-        .where(col("ts_us").between(Day5Us, Day6Us))
-        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
-        .groupBy(col("dataset_id"),
-          (expr("ts_us div 100000000") * lit(100L)).as("bucket_s"))
-        .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
-          .cast("long").as("mean_ppm"))
+      bucketMeanPpm(s, dir, "mean_ppm")
         .withColumn("thr_ppm",
           round(sum(col("mean_ppm")).over(byDs).cast("double") /
             count(lit(1)).over(byDs)).cast("long"))
@@ -438,13 +446,7 @@ object CoreQueries {
     "series_lag_features_100s" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("dataset_id").orderBy("bucket_s")
-      ev(s, dir)
-        .where(col("ts_us").between(Day5Us, Day6Us))
-        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
-        .groupBy(col("dataset_id"),
-          (expr("ts_us div 100000000") * lit(100L)).as("bucket_s"))
-        .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
-          .cast("long").as("y_ppm"))
+      bucketMeanPpm(s, dir, "y_ppm")
         .withColumn("lag1_ppm", lag(col("y_ppm"), 1).over(w))
         .withColumn("lag2_ppm", lag(col("y_ppm"), 2).over(w))
         .withColumn("roll3_ppm",
@@ -466,13 +468,7 @@ object CoreQueries {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("dataset_id").orderBy("bucket_s").rowsBetween(-2, 2)
       val dev = abs(col("mean_ppm") - col("med_ppm")) * 5 > abs(col("med_ppm"))
-      ev(s, dir)
-        .where(col("ts_us").between(Day5Us, Day6Us))
-        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
-        .groupBy(col("dataset_id"),
-          (expr("ts_us div 100000000") * lit(100L)).as("bucket_s"))
-        .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
-          .cast("long").as("mean_ppm"))
+      bucketMeanPpm(s, dir, "mean_ppm")
         .withColumn("win", array_sort(collect_list(col("mean_ppm")).over(w)))
         .withColumn("med_ppm",
           element_at(col("win"), expr("(size(win) + 1) div 2").cast("int")))
