@@ -81,4 +81,26 @@ class CurationPropertySpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
     assert(perRow == agg)
   }
+
+  test("salted top-k equals the direct window on random hot-key data, any salt count") {
+    for (round <- 0 until 6) {
+      val n = 200 + rnd.nextInt(300)
+      // 3 keys, one of them hot (~80% of rows) — the regime salting is for
+      val rows = (0 until n).map { i =>
+        val key = if (rnd.nextInt(10) < 8) 0L else 1L + rnd.nextInt(2)
+        (key, i.toLong, rnd.nextInt(50).toLong)
+      }
+      val df = rows.toDF("key", "id", "v")
+      val ord = Seq(col("v").desc, col("id"))
+      def res(d: org.apache.spark.sql.DataFrame) =
+        d.select("key", "id", "rank").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val direct = res(graft.ops.Temporal.topKPerKey(df, Seq("key"), ord, 4))
+      for (salts <- Seq(2, 7, 16)) {
+        val salted = res(graft.ops.Temporal.saltedTopKPerKey(
+          df, Seq("key"), ord, 4, saltOn = col("id"), salts = salts))
+        assert(salted == direct, s"round $round salts=$salts diverged")
+      }
+    }
+  }
 }
