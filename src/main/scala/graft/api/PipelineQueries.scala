@@ -904,6 +904,32 @@ object PipelineQueries {
         s.read.parquet(s"$dir/lineitem.parquet"),
         col("l_extendedprice"), Seq(0.5, 0.9, 0.99))
         .orderBy("p")),
+    // quantile-grid MERGEABILITY: bucket counts from two shards under
+    // the SHARED (lo, hi, b) grid sum exactly (plain +), so the merged
+    // sketch's probes must equal the whole-range sketch's bit-for-bit
+    // — the incremental-build contract (range fixed upfront) proven
+    // in-query, like sketch_merge for HLL.
+    "quantile_merge" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val v = li.select(col("l_extendedprice").cast("double").as("v"),
+        col("l_orderkey")).where(col("v").isNotNull)
+      Dedup.withScopedPersist(v) {
+        val mm = v.agg(min("v").as("lo"), max("v").as("hi"),
+          count(lit(1)).as("n"))
+        def half(i: Int) =
+          v.where(pmod(col("l_orderkey"), lit(2)) === i).select("v")
+        val merged = Sketches.quantileGridCounts(half(0), mm, 1024)
+          .unionByName(Sketches.quantileGridCounts(half(1), mm, 1024))
+          .groupBy("bucket").agg(sum(col("cnt")).as("cnt"))
+        Sketches.quantileFromGrid(merged, mm, Seq(0.5, 0.9, 0.99), 1024)
+          .withColumnRenamed("est", "est_merged")
+          .join(Sketches.quantileFromGrid(
+              Sketches.quantileGridCounts(v.select("v"), mm, 1024),
+              mm, Seq(0.5, 0.9, 0.99), 1024)
+            .select(col("p"), col("est").as("est_whole")), "p")
+          .withColumn("merge_exact", col("est_merged") === col("est_whole"))
+      }.orderBy("p")
+    }),
     // per-SERIES grid quantiles — the grouped sketch variant: constant
     // state per key, every shuffle key-grain, no global sort anywhere
     "series_quantile_sketch" -> ((s, dir) =>
@@ -3094,6 +3120,15 @@ object PipelineQueries {
          |FROM (${Sketches.hllOracleSql("orders", "o_custkey")})""".stripMargin,
     "quantile_sketch" -> Sketches.quantileOracleSql(
       "lineitem", "l_extendedprice", Seq(0.5, 0.9, 0.99)),
+    // merged-shard grid ≡ whole-range grid under a shared (lo, hi, b):
+    // the oracle computes the whole-range probes once and asserts the
+    // equality the engine must also reach
+    "quantile_merge" ->
+      s"""SELECT p, rank, bucket, est AS est_merged, est AS est_whole,
+         |  TRUE AS merge_exact
+         |FROM (${Sketches.quantileOracleSql(
+              "lineitem", "l_extendedprice", Seq(0.5, 0.9, 0.99))})
+         |ORDER BY p""".stripMargin,
     "series_quantile_sketch" ->
       Sketches.groupedQuantileOracleSql(
         "events", "event_type", "value", Seq(0.5, 0.95, 0.99),

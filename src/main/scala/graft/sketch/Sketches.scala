@@ -324,6 +324,45 @@ object Sketches {
    *
    * Output per probe p: (p, rank, bucket, est).
    */
+  /** Bucket counts of `v` on the fixed (lo, hi, b) grid given by `mm`
+   *  — the MERGEABLE state of the quantile sketch: counts from
+   *  disjoint shards under the SAME grid sum exactly (plain `+`), so
+   *  incremental builds need the range fixed upfront (the documented
+   *  contract of every fixed-grid sketch).
+   */
+  def quantileGridCounts(v: DataFrame, mm: DataFrame, b: Int): DataFrame =
+    v.crossJoin(broadcast(mm))
+      .select(
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(
+            lit(b - 1),
+            floor((col("v") - col("lo")) / (col("hi") - col("lo")) * b)
+              .cast("int")))
+          .as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Rank-probe the grid: quantile estimates for `probes` from bucket
+   *  counts + the (lo, hi, n) frame the grid was built against. */
+  def quantileFromGrid(
+      grid: DataFrame, mm: DataFrame, probes: Seq[Double],
+      b: Int): DataFrame = {
+    val cum = grid
+      .withColumn("cum",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window
+          .orderBy("bucket")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val pr = broadcast(
+      grid.sparkSession.createDataFrame(probes.map(Tuple1(_))).toDF("p"))
+    pr.crossJoin(broadcast(mm))
+      .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+      .join(cum, col("cum") >= col("rank"))
+      .groupBy("p", "rank", "lo", "hi")
+      .agg(min("bucket").as("bucket"))
+      .select(
+        col("p"), col("rank"), col("bucket").cast("long").as("bucket"),
+        round(col("lo") + col("bucket") * (col("hi") - col("lo")) / b, 6).as("est"))
+  }
+
   def quantileSketch(
       df: DataFrame, value: Column, probes: Seq[Double],
       b: Int = 1024): DataFrame = {
@@ -332,30 +371,7 @@ object Sketches {
     graft.dedup.Dedup.withScopedPersist(v) {
       val mm = v.agg(
         min("v").as("lo"), max("v").as("hi"), count(lit(1)).as("n"))
-      val buckets = v.crossJoin(broadcast(mm))
-        .select(
-          when(col("hi") === col("lo"), lit(0))
-            .otherwise(least(
-              lit(b - 1),
-              floor((col("v") - col("lo")) / (col("hi") - col("lo")) * b)
-                .cast("int")))
-            .as("bucket"))
-        .groupBy("bucket").agg(count(lit(1)).as("cnt"))
-      val cum = buckets
-        .withColumn("cum",
-          sum("cnt").over(org.apache.spark.sql.expressions.Window
-            .orderBy("bucket")
-            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
-      val pr = broadcast(
-        v.sparkSession.createDataFrame(probes.map(Tuple1(_))).toDF("p"))
-      pr.crossJoin(broadcast(mm))
-        .withColumn("rank", greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
-        .join(cum, col("cum") >= col("rank"))
-        .groupBy("p", "rank", "lo", "hi")
-        .agg(min("bucket").as("bucket"))
-        .select(
-          col("p"), col("rank"), col("bucket").cast("long").as("bucket"),
-          round(col("lo") + col("bucket") * (col("hi") - col("lo")) / b, 6).as("est"))
+      quantileFromGrid(quantileGridCounts(v, mm, b), mm, probes, b)
     }
   }
 
