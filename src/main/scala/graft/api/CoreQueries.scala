@@ -1252,6 +1252,113 @@ object CoreQueries {
         .orderBy("dataset_id", "start_us")
     }),
 
+    // ---- streaming drift monitor (foreachBatch scoring): each
+    // micro-batch of day-6 traffic is PSI-scored per series against a
+    // BROADCAST day-5 baseline histogram — the live "has this metric's
+    // distribution moved" gate, state-free (the baseline is the only
+    // state, and it's a static frame). The replay is three fixed
+    // 8-hour files fed in mtime order, so batch contents are
+    // deterministic and the batch id derives from the batch's own
+    // min event time, never from trigger numbering. Same order-free
+    // integer PSI discipline as value_drift_psi.
+    "stream_drift" -> ((s, dir) => {
+      val eightHUs = 8L * 3600L * 1000000L
+      val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
+      val long = Melt.events(evb)
+      // day-5 baseline: per-series band histogram on day-5 min/max
+      val base5 = long
+        .where(col("ts_us") >= Day5Us && col("ts_us") < Day6Us)
+        .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+      val mm = base5.groupBy("dataset_id")
+        .agg(min("ppm").as("mn"), max("ppm").as("mx"))
+      val baseCounts = base5.join(broadcast(mm), "dataset_id")
+        .select(col("dataset_id"),
+          greatest(lit(0L), least(lit(9L),
+            expr("((ppm - mn) * 10) div (mx - mn + 1)"))).as("band"))
+        .groupBy("dataset_id", "band").agg(count(lit(1)).as("c5"))
+      val n5 = baseCounts.groupBy("dataset_id").agg(sum("c5").as("n5"))
+      val baseline = mm
+        .join(n5, "dataset_id")
+        .select(col("dataset_id"), col("mn"), col("mx"), col("n5"),
+          explode(sequence(lit(0L), lit(9L))).as("band"))
+        .join(baseCounts, Seq("dataset_id", "band"), "left_outer")
+        .select(col("dataset_id"), col("band"), col("mn"), col("mx"),
+          col("n5"), coalesce(col("c5"), lit(0L)).as("c5"))
+        .localCheckpoint(true)
+      // three fixed 8 h day-6 windows as separate batch files
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_drift")
+      val base = System.currentTimeMillis()
+      for (k <- 0 to 2) {
+        val scratch = srcDir.resolve(s"scratch$k")
+        val lo = Day6Us + k * eightHUs
+        val loL = Melt.tsLit(evb.schema("ts").dataType, lo)
+        val hiL = Melt.tsLit(evb.schema("ts").dataType, lo + eightHUs)
+        // half-open window: exact boundaries in either physical ts
+        // encoding, no sub-µs gap between consecutive batch files
+        evb.where(col("ts") >= loL && col("ts") < hiL)
+          .coalesce(1).write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"b$k.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + k * 2000L))
+        } finally parts.close()
+      }
+      val outDir = srcDir.resolve("out").toString
+      val stream = s.readStream.schema(evb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val q = Melt.events(stream).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", s"$srcDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val b = batch
+            .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+            .localCheckpoint(true)
+          if (!b.isEmpty) {
+            val bno = b.agg(min("ts_us")).head().getLong(0) match {
+              case t => (t - Day6Us) / eightHUs
+            }
+            val counts = b.join(broadcast(baseline.select(
+                col("dataset_id"), col("mn"), col("mx")).distinct()),
+                "dataset_id")
+              .select(col("dataset_id"),
+                greatest(lit(0L), least(lit(9L),
+                  expr("((ppm - mn) * 10) div (mx - mn + 1)"))).as("band"))
+              .groupBy("dataset_id", "band").agg(count(lit(1)).as("cb"))
+            val nb = counts.groupBy("dataset_id").agg(sum("cb").as("nb"))
+            baseline
+              .join(counts, Seq("dataset_id", "band"), "left_outer")
+              .join(nb, Seq("dataset_id"), "left_outer")
+              .select(col("dataset_id"), col("band"), col("n5"), col("c5"),
+                coalesce(col("cb"), lit(0L)).as("cb"),
+                coalesce(col("nb"), lit(0L)).as("nb"))
+              .withColumn("p", (col("c5") + lit(1)).cast("double") /
+                (col("n5") + lit(10)).cast("double"))
+              .withColumn("q", (col("cb") + lit(1)).cast("double") /
+                (col("nb") + lit(10)).cast("double"))
+              .withColumn("term_ppm",
+                round((col("p") - col("q")) * log(col("p") / col("q"))
+                  * lit(1e6)).cast("long"))
+              .groupBy("dataset_id")
+              .agg(sum("term_ppm").as("psi_ppm"), max("nb").as("n_batch"))
+              .withColumn("batch_no", lit(bno))
+              .write.mode("append").parquet(outDir)
+          }
+        }
+        .start()
+      q.awaitTermination()
+      s.read.parquet(outDir)
+        .select(col("batch_no"), col("dataset_id"), col("n_batch"),
+          col("psi_ppm"))
+        .orderBy("batch_no", "dataset_id")
+    }),
+
     // ---- S12/O3/F14: comment CRUD round-trip — create 6, update every
     // id%3==0 (text prefixed, date shifted +1s), delete every id%5==0,
     // read back date-sorted (the reference's sorted-rewrite write path,
@@ -1740,6 +1847,58 @@ object CoreQueries {
          |SELECT dataset_id, bucket_s, s AS level, t AS trend,
          |  s + t AS forecast
          |FROM e ORDER BY 1, 2""".stripMargin,
+    "stream_drift" ->
+      s"""WITH v5 AS (
+         |  SELECT event_type AS dataset_id,
+         |    CAST(round(value * 1000000) AS BIGINT) AS ppm
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND epoch_us(ts) >= $Day5Us AND epoch_us(ts) < $Day6Us),
+         |mm AS (SELECT dataset_id, min(ppm) AS mn, max(ppm) AS mx
+         |       FROM v5 GROUP BY 1),
+         |bc AS (SELECT v5.dataset_id,
+         |    greatest(0, least(9, ((ppm - mn) * 10) // (mx - mn + 1)))
+         |      AS band, count(*) AS c5
+         |  FROM v5 JOIN mm USING (dataset_id) GROUP BY 1, 2),
+         |n5 AS (SELECT dataset_id, CAST(sum(c5) AS BIGINT) AS n5
+         |       FROM bc GROUP BY 1),
+         |grid AS (SELECT m.dataset_id, n5.n5,
+         |    unnest(generate_series(0, 9)) AS band
+         |  FROM mm m JOIN n5 USING (dataset_id)),
+         |base AS (SELECT g.dataset_id, g.band, g.n5,
+         |    coalesce(bc.c5, 0) AS c5
+         |  FROM grid g LEFT JOIN bc
+         |    ON bc.dataset_id = g.dataset_id AND bc.band = g.band),
+         |v6 AS (SELECT event_type AS dataset_id,
+         |    CAST(round(value * 1000000) AS BIGINT) AS ppm,
+         |    (epoch_us(ts) - $Day6Us) // 28800000000 AS batch_no
+         |  FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+         |    AND epoch_us(ts) >= $Day6Us
+         |    AND epoch_us(ts) < ${Day6Us + 3L * 28800000000L}),
+         |cb AS (SELECT v6.dataset_id, batch_no,
+         |    greatest(0, least(9, ((ppm - mn) * 10) // (mx - mn + 1)))
+         |      AS band, count(*) AS cb
+         |  FROM v6 JOIN mm USING (dataset_id) GROUP BY 1, 2, 3),
+         |nb AS (SELECT dataset_id, batch_no, CAST(sum(cb) AS BIGINT) AS nb
+         |       FROM cb GROUP BY 1, 2),
+         |bg AS (SELECT b.dataset_id, k.g AS batch_no, b.band, b.n5, b.c5
+         |  FROM base b, generate_series(0, 2) k(g)),
+         |j AS (SELECT bg.dataset_id, bg.batch_no, bg.band, bg.n5, bg.c5,
+         |    coalesce(cb.cb, 0) AS cb, coalesce(nb.nb, 0) AS nb
+         |  FROM bg
+         |  LEFT JOIN cb ON cb.dataset_id = bg.dataset_id
+         |    AND cb.batch_no = bg.batch_no AND cb.band = bg.band
+         |  LEFT JOIN nb ON nb.dataset_id = bg.dataset_id
+         |    AND nb.batch_no = bg.batch_no),
+         |terms AS (SELECT dataset_id, batch_no, nb,
+         |    CAST(round((CAST(c5 + 1 AS DOUBLE) / (n5 + 10) -
+         |                CAST(cb + 1 AS DOUBLE) / (nb + 10)) *
+         |      ln((CAST(c5 + 1 AS DOUBLE) / (n5 + 10)) /
+         |         (CAST(cb + 1 AS DOUBLE) / (nb + 10))) * 1000000)
+         |      AS BIGINT) AS term_ppm
+         |  FROM j)
+         |SELECT batch_no, dataset_id, max(nb) AS n_batch,
+         |  CAST(sum(term_ppm) AS BIGINT) AS psi_ppm
+         |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "decayed_counts" ->
       s"""SELECT event_type AS dataset_id, count(*) AS n,
          |  CAST(sum(CAST(round(pow(2.0,
