@@ -56,6 +56,92 @@ object CoreQueries {
       .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
         .cast("long").as(outCol))
 
+  // banded-DTW grid: 1000 s buckets over day 5 (87 full + boundary
+  // seam), Sakoe–Chiba radius 8
+  private val DtwLen = 88
+  private val DtwRadius = 8
+
+  /** Unordered-pair banded DTW distances over dense integer-ppm
+   *  series vectors (gaps mean-filled) — shared by series_dtw_1000s /
+   *  series_dtw_topk. See ops/Dtw.scala for the fold; pair
+   *  enumeration is catalog-grain (series², never points²).
+   */
+  private def dtwPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = Day5Us / 1000000000L
+    val bm = ev(s, dir)
+      .where(col("ts_us").between(Day5Us, Day6Us))
+      .withColumn("ppm", round(col("value") * lit(1e6)).cast("long"))
+      .groupBy(col("dataset_id"),
+        (expr("ts_us div 1000000000") - lit(base)).as("i"))
+      .agg(round(sum(col("ppm")).cast("double") / count(lit(1)))
+        .cast("long").as("m"))
+    val fills = bm.groupBy("dataset_id")
+      .agg(round(sum(col("m")).cast("double") / count(lit(1)))
+        .cast("long").as("fill"))
+    val vecs = fills
+      .withColumn("i", explode(sequence(lit(0L), lit(DtwLen - 1L))))
+      .join(bm, Seq("dataset_id", "i"), "left")
+      .withColumn("x", coalesce(col("m"), col("fill")))
+      .groupBy("dataset_id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("x")))),
+        p => p.getField("x")).as("v"))
+    vecs.as("a")
+      .join(vecs.as("b"), col("a.dataset_id") < col("b.dataset_id"))
+      .select(
+        col("a.dataset_id").as("ds_a"), col("b.dataset_id").as("ds_b"),
+        graft.ops.Dtw.banded(col("a.v"), col("b.v"), DtwLen, DtwRadius)
+          .as("dtw_ppm"))
+  }
+
+  /** DuckDB replica of [[dtwPairs]] as a CTE chain ending in
+   *  `dt(ds_a, ds_b, dtw_ppm)` — shared by the two DTW oracles.
+   */
+  private lazy val DtwPairsSql: String = {
+    val L = DtwLen; val W = DtwRadius; val B = 2 * W + 1
+    val big = 4000000000000000L
+    val init = (1 to B)
+      .map(kk => if (kk == W + 1) "0" else big.toString)
+      .mkString("[", ", ", "]::BIGINT[]")
+    s"""WITH e AS (
+       |  SELECT event_type AS ds, epoch_us(ts) AS ts_us, value FROM events
+       |  WHERE value IS NOT NULL AND NOT isnan(value)
+       |    AND epoch_us(ts) BETWEEN $Day5Us AND $Day6Us),
+       |bm AS (SELECT ds, CAST(ts_us // 1000000000 - ${Day5Us / 1000000000L}
+       |      AS BIGINT) AS i,
+       |    CAST(round(CAST(sum(CAST(round(value * 1000000) AS BIGINT))
+       |        AS DOUBLE) / count(*)) AS BIGINT) AS m
+       |  FROM e GROUP BY 1, 2),
+       |fl AS (SELECT ds,
+       |    CAST(round(CAST(sum(m) AS DOUBLE) / count(*)) AS BIGINT) AS fill
+       |  FROM bm GROUP BY 1),
+       |g AS (SELECT fl.ds, fl.fill, gs.i FROM fl
+       |      CROSS JOIN generate_series(0, ${L - 1}) gs(i)),
+       |d AS (SELECT g.ds, g.i, coalesce(bm.m, g.fill) AS x
+       |      FROM g LEFT JOIN bm ON bm.ds = g.ds AND bm.i = g.i),
+       |v AS (SELECT ds, list(x ORDER BY i) AS v FROM d GROUP BY 1),
+       |p AS (SELECT a.ds AS ds_a, b.ds AS ds_b, a.v AS va, b.v AS vb
+       |      FROM v a JOIN v b ON a.ds < b.ds),
+       |dt AS (SELECT ds_a, ds_b,
+       |  list_reduce(
+       |    [$init] || list_transform(generate_series(1, ${L * B}),
+       |                              c -> [CAST(c AS BIGINT)]),
+       |    (acc, x) -> acc[2:] || [
+       |      CASE WHEN (x[1] - 1) // $B + 1 + ((x[1] - 1) % $B) - $W < 1
+       |             OR (x[1] - 1) // $B + 1 + ((x[1] - 1) % $B) - $W > $L
+       |        THEN $big
+       |        ELSE least(
+       |            acc[1],
+       |            CASE WHEN (x[1] - 1) % $B = ${B - 1} THEN $big
+       |                 ELSE acc[2] END,
+       |            CASE WHEN (x[1] - 1) % $B = 0 THEN $big
+       |                 ELSE acc[$B] END)
+       |          + abs(va[(x[1] - 1) // $B + 1]
+       |              - vb[(x[1] - 1) // $B + 1 + ((x[1] - 1) % $B) - $W])
+       |        END
+       |    ])[${W + 1}] AS dtw_ppm
+       |FROM p)""".stripMargin
+  }
+
   private def rollupQ(d: Long): Q = (s, dir) =>
     Rollup.aggregate(ev(s, dir), d)
       .select(
@@ -911,6 +997,40 @@ object CoreQueries {
       val vecs = graft.ops.SeriesSim.vectorize(m, Day5S, Day6S, 100)
       graft.ops.SeriesSim.annTopK(vecs, 3, centroidStep = 2L, nProbe = 2)
         .withColumn("cos", r6(col("cos")))
+        .orderBy("dataset_id", "rank")
+    }),
+
+    // ---- banded DTW series similarity: warping-tolerant distance for
+    // series whose shapes match but drift in phase (Pearson's blind
+    // spot). Each series → one dense 1000 s-grid integer-ppm vector
+    // (gaps filled with the series mean), then DTW with a Sakoe–Chiba
+    // band as ONE codegen'd O(len·band) fold per pair (ops/Dtw.scala)
+    // — exact 64-bit integer arithmetic end to end, so it hash-matches
+    // the oracle's identical recurrence. Pair enumeration is
+    // catalog-grain (series², never points²) and each pair costs
+    // O(len·band) with O(band) state inside the expression; at 10⁶
+    // series, route candidate pairs through the ANN tier first
+    // (series_similarity_ann) and DTW only the survivors ------------
+    "series_dtw_1000s" -> ((s, dir) =>
+      dtwPairs(s, dir).orderBy("ds_a", "ds_b")),
+
+    // ---- DTW nearest neighbors: the similarity-SEARCH consumer of
+    // the pair distances — per series, the 2 closest under warping.
+    // Symmetrize the a<b pair table by union (no recompute: the fold
+    // runs once per unordered pair), then one per-series window rank.
+    // Catalog-grain throughout ---------------------------------------
+    "series_dtw_topk" -> ((s, dir) => {
+      val p = dtwPairs(s, dir)
+      val sym = p.unionByName(p.select(
+        col("ds_b").as("ds_a"), col("ds_a").as("ds_b"), col("dtw_ppm")))
+      sym
+        .withColumn("rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy("ds_a")
+            .orderBy(col("dtw_ppm"), col("ds_b"))).cast("long"))
+        .where(col("rank") <= 2)
+        .select(col("ds_a").as("dataset_id"), col("ds_b").as("neighbor"),
+          col("dtw_ppm"), col("rank"))
         .orderBy("dataset_id", "rank")
     }),
 
@@ -2307,6 +2427,27 @@ object CoreQueries {
         |SELECT q_ds AS dataset_id, n_ds AS neighbor, round(cos, 6) AS cos,
         |  CAST(rank AS BIGINT) AS rank
         |FROM r WHERE rank <= 3 ORDER BY dataset_id, rank""".stripMargin,
+    // banded-DTW replica: same dense integer-ppm vectors, same
+    // band-linearized fold (list_reduce with a (2r+1)-cell sliding
+    // buffer, row-seam guards on the up/left slots) — exact BIGINT
+    // arithmetic end to end, so the hash match proves the recurrence
+    "series_dtw_1000s" ->
+      s"""$DtwPairsSql
+         |SELECT ds_a, ds_b, dtw_ppm FROM dt
+         |ORDER BY ds_a, ds_b""".stripMargin,
+    // symmetrized pair table + per-series (dtw, neighbor) rank
+    "series_dtw_topk" ->
+      s"""$DtwPairsSql,
+         |sym AS (SELECT ds_a, ds_b, dtw_ppm FROM dt
+         |        UNION ALL
+         |        SELECT ds_b AS ds_a, ds_a AS ds_b, dtw_ppm FROM dt),
+         |r AS (SELECT ds_a, ds_b, dtw_ppm,
+         |        row_number() OVER (PARTITION BY ds_a
+         |                           ORDER BY dtw_ppm, ds_b) AS rank
+         |      FROM sym)
+         |SELECT ds_a AS dataset_id, ds_b AS neighbor, dtw_ppm,
+         |  CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 2 ORDER BY dataset_id, rank""".stripMargin,
     "distinct_users" ->
       """SELECT event_type AS dataset_id, count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,

@@ -35,6 +35,40 @@ object PipelineQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
+  /** Unrolled k-round BPE trainer CTE chain shared by the bpe_train /
+   *  bpe_encode oracles: word-frequency grain (wds/r0), then per
+   *  round r a pair count (p_r), winner (b_r), and — for r < k, or
+   *  all rounds when `finalRewrite` — the greedy left-to-right
+   *  list_reduce rewrite (r_r), byte-identical to
+   *  BpeTrainer.applyMerge's fold.
+   */
+  private def bpeWithChain(k: Int, finalRewrite: Boolean): String = {
+    val sb = new StringBuilder(
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wds AS (SELECT w AS word, count(*) AS cnt FROM tok
+        |        WHERE len(w) > 0 GROUP BY 1),
+        |r0 AS (SELECT word, cnt,
+        |  array_to_string(list_transform(generate_series(1, length(word)),
+        |    i -> substring(word, i, 1)), ' ') || ' </w>' AS repr FROM wds)""".stripMargin)
+    for (r <- 1 to k) {
+      sb ++= s""",
+        |p$r AS (SELECT l[i] AS lhs, l[i + 1] AS rhs, cnt
+        |  FROM (SELECT string_split(repr, ' ') AS l, cnt FROM r${r - 1}) s,
+        |  LATERAL (SELECT unnest(generate_series(1, len(l) - 1)) AS i) u),
+        |b$r AS (SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS n FROM p$r
+        |  GROUP BY 1, 2 ORDER BY n DESC, lhs, rhs LIMIT 1)""".stripMargin
+      if (r < k || finalRewrite) sb ++= s""",
+        |r$r AS (SELECT word, cnt,
+        |  list_reduce(string_split(repr, ' '), (acc, t) ->
+        |    CASE WHEN t = b.rhs AND (acc = b.lhs OR ends_with(acc, ' ' || b.lhs))
+        |      THEN CASE WHEN acc = b.lhs THEN b.lhs || b.rhs
+        |        ELSE substring(acc, 1, length(acc) - length(b.lhs)) || b.lhs || b.rhs END
+        |      ELSE acc || ' ' || t END) AS repr
+        |  FROM r${r - 1} CROSS JOIN b$r b)""".stripMargin
+    }
+    sb.toString
+  }
+
   private def embBase(s: SparkSession, dir: String): DataFrame =
     Similarity.asDouble(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
 
@@ -722,6 +756,47 @@ object PipelineQueries {
         .where(col("rank") <= 100)
         .orderBy("rank")
     }),
+    // BPE merge-rule training (the tokenizer-training step): 8 greedy
+    // merge rounds over the word-frequency grain. One corpus-sized
+    // pass builds the vocab table; each round is a vocab-sized pair
+    // aggregate + a 1-row collect of the winner + a codegen'd fold
+    // rewriting each word — the standard distributed-BPE shape
+    // (text/BpeTrainer.scala has the full scale notes)
+    "bpe_train" -> ((s, dir) => {
+      val words = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.text.BpeTrainer.train(s, words, "word", "cnt", 8)
+        .orderBy("round")
+    }),
+
+    // the trainer's consumer: ENCODE the corpus with the learned
+    // rules and report per-doc subword counts vs whitespace tokens —
+    // the sequence-length / compression profile a packing and token-
+    // budget planner reads. Encoding is word-grain too (apply the k
+    // rule folds once per VOCAB word, then join the doc→word explode
+    // back — never fold per occurrence); the rules are k driver-side
+    // literals, so the encode plan is pure narrow codegen
+    "bpe_encode" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+      val vocab = toks.groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("cnt"))
+      val rules = graft.text.BpeTrainer
+        .trainRules(vocab, "word", "cnt", 8)
+        .map { case (_, x, y, _) => (x, y) }
+      val seg = vocab.withColumn("n_sub",
+        size(split(graft.text.BpeTrainer.applyMerges(
+          graft.text.BpeTrainer.charRepr(col("word")), rules), " ")))
+      toks.join(seg.select(col("word").as("w"), col("n_sub")), Seq("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+        .orderBy("doc_id")
+    }),
+
     // per-doc keyword extraction; corpus size N for idf is a 1-row
     // broadcast aggregate inside the plan — one job, no eager count
     "tfidf_topk" -> ((s, dir) =>
@@ -2984,6 +3059,25 @@ object PipelineQueries {
         |      FROM c)
         |SELECT pair, n, CAST(rank AS BIGINT) AS rank FROM r
         |WHERE rank <= 100 ORDER BY rank""".stripMargin,
+    // exact replica of the 8-round trainer, unrolled: each round is a
+    // (pairs → best LIMIT 1 → list_reduce merge rewrite) CTE block
+    // with the same greedy left-to-right fold semantics as
+    // BpeTrainer.applyMerge, so the learned rules match byte-for-byte
+    "bpe_train" -> (bpeWithChain(8, finalRewrite = false) + "\n" +
+      (1 to 8)
+        .map(r => s"SELECT CAST($r AS BIGINT) AS round, lhs, rhs, n FROM b$r")
+        .mkString(" UNION ALL ") +
+      " ORDER BY round"),
+    // trainer chain + one more rewrite (r8 = fully-segmented vocab),
+    // then the doc→word explode joins each word's subword count
+    "bpe_encode" -> (bpeWithChain(8, finalRewrite = true) + """,
+      |ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT doc_id, w FROM ws WHERE len(w) > 0),
+      |seg AS (SELECT word, len(string_split(repr, ' ')) AS n_sub FROM r8)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
+      |FROM wf JOIN seg ON wf.w = seg.word
+      |GROUP BY 1 ORDER BY 1""".stripMargin),
     // PMI with every log pre-rounded to ppm → pure integer compare
     "collocations_topk" ->
       """WITH f AS (
