@@ -1016,13 +1016,18 @@ object CoreQueries {
 
     // ---- DTW nearest neighbors: the similarity-SEARCH consumer of
     // the pair distances — per series, the 2 closest under warping.
-    // Symmetrize the a<b pair table by union (no recompute: the fold
-    // runs once per unordered pair), then one per-series window rank.
+    // Symmetrize by exploding each computed pair row into its two
+    // directions (the fold runs ONCE per unordered pair — a union of
+    // two selects over the pair table would re-evaluate the whole
+    // fold subtree per branch), then one per-series window rank.
     // Catalog-grain throughout ---------------------------------------
     "series_dtw_topk" -> ((s, dir) => {
-      val p = dtwPairs(s, dir)
-      val sym = p.unionByName(p.select(
-        col("ds_b").as("ds_a"), col("ds_a").as("ds_b"), col("dtw_ppm")))
+      val sym = dtwPairs(s, dir)
+        .select(explode(array(
+          struct(col("ds_a"), col("ds_b"), col("dtw_ppm")),
+          struct(col("ds_b").as("ds_a"), col("ds_a").as("ds_b"),
+            col("dtw_ppm")))).as("e"))
+        .select("e.*")
       sym
         .withColumn("rank",
           row_number().over(org.apache.spark.sql.expressions.Window

@@ -403,6 +403,35 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("series_dtw_topk evaluates the DTW fold once per unordered pair") {
+    withPlainPlans {
+      val df = SparkEntry.queries("series_dtw_topk")(spark, sf)
+      // exactly ONE ArrayAggregate (the DTW fold) in the whole plan:
+      // symmetrization must explode the computed row, not union two
+      // selects that each re-evaluate the fold subtree
+      val folds = df.queryExecution.optimizedPlan.collect { case p =>
+        p.expressions.map(_.collect {
+          case a: org.apache.spark.sql.catalyst.expressions.ArrayAggregate => a
+        }.size).sum
+      }.sum
+      assert(folds == 1, s"DTW fold subtree evaluated $folds times")
+    }
+  }
+
+  test("bpe_encode segments at the vocab grain with a bounded shuffle budget") {
+    withPlainPlans {
+      val df = SparkEntry.queries("bpe_encode")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // all merge folds are native HOF expressions — no UDF eval nodes
+      assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+        "bpe_encode plan contains a UDF")
+      // vocab agg + word join + per-doc agg + output sort; anything
+      // more means the encoder started folding per OCCURRENCE
+      assert(shuffleCount(df) <= 4,
+        s"bpe_encode shuffle budget exceeded: ${shuffleCount(df)}")
+    }
+  }
+
   test("triangle counting closes wedges with hash/merge joins, never cartesian") {
     withPlainPlans {
       val und = spark.range(0L, 1000L)
