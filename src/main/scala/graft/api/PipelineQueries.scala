@@ -69,6 +69,27 @@ object PipelineQueries {
     sb.toString
   }
 
+  /** Session-scoped memo of the learned BPE merge rules — bpe_train
+   *  and bpe_encode consume the IDENTICAL 8-round training (a dozen
+   *  sequential vocab-grain jobs); the memo hands both the same k-row
+   *  driver-side rule list. Same bounding rule as
+   *  [[minhashPairsCache]].
+   */
+  private val bpeRulesCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Seq[(Long, String, String, Long)]]()
+  private def bpeRules(
+      s: SparkSession, dir: String): Seq[(Long, String, String, Long)] = {
+    if (bpeRulesCache.size > 8) bpeRulesCache.clear()
+    bpeRulesCache.computeIfAbsent((s, dir), { key =>
+      val words = docs(key._1, key._2)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .where(length(col("w")) > 0)
+        .groupBy(col("w").as("word"))
+        .agg(count(lit(1)).as("cnt"))
+      graft.text.BpeTrainer.trainRules(words, "word", "cnt", 8)
+    })
+  }
+
   private def embBase(s: SparkSession, dir: String): DataFrame =
     Similarity.asDouble(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
 
@@ -763,13 +784,8 @@ object PipelineQueries {
     // rewriting each word — the standard distributed-BPE shape
     // (text/BpeTrainer.scala has the full scale notes)
     "bpe_train" -> ((s, dir) => {
-      val words = docs(s, dir)
-        .select(explode(TextOps.tokens(col("text"))).as("w"))
-        .where(length(col("w")) > 0)
-        .groupBy(col("w").as("word"))
-        .agg(count(lit(1)).as("cnt"))
-      graft.text.BpeTrainer.train(s, words, "word", "cnt", 8)
-        .orderBy("round")
+      import s.implicits._
+      bpeRules(s, dir).toDF("round", "lhs", "rhs", "n").orderBy("round")
     }),
 
     // the trainer's consumer: ENCODE the corpus with the learned
@@ -785,9 +801,7 @@ object PipelineQueries {
         .where(length(col("w")) > 0)
       val vocab = toks.groupBy(col("w").as("word"))
         .agg(count(lit(1)).as("cnt"))
-      val rules = graft.text.BpeTrainer
-        .trainRules(vocab, "word", "cnt", 8)
-        .map { case (_, x, y, _) => (x, y) }
+      val rules = bpeRules(s, dir).map { case (_, x, y, _) => (x, y) }
       val seg = vocab.withColumn("n_sub",
         size(split(graft.text.BpeTrainer.applyMerges(
           graft.text.BpeTrainer.charRepr(col("word")), rules), " ")))
