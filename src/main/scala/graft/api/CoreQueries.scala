@@ -1692,6 +1692,34 @@ object CoreQueries {
           col("dataset_id"), col("bucket_s"),
           col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
         .orderBy("dataset_id", "bucket_s")
+    }),
+
+    // ---- manifest change-data feed: after the same md5-split 3-batch
+    // ingest, read WHAT CHANGED in (v2, v3] on the 1 s level — old and
+    // new aggregate per touched bucket plus insert/update kind. Cost ∝
+    // the delta commits, never the table (ManifestStore.cdcBetween's
+    // bounding-box + semi-join pruning); the incremental-consumption
+    // read a downstream cache/alert/export sync runs instead of a
+    // full-table diff ------------------------------------------------
+    "manifest_cdc" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_cdc").toString
+      val long = ev(s, dir)
+      val h = pmod(
+        conv(substring(
+          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(3L))
+      for (i <- 0 until 3)
+        graft.store.ManifestStore.ingestBatch(s, root, long.where(h === i))
+      graft.store.ManifestStore
+        .cdcBetween(s, root, Fidelity.S1, fromV = 2L, toV = 3L)
+        .select(
+          col("dataset_id"), col("bucket_s"), col("op"),
+          col("old_min_v"), col("old_max_v"),
+          r6(col("old_sum_v")).as("old_sum_v"), col("old_cnt"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
     }))
 
   private val zorderOracle: String = {
@@ -1781,6 +1809,35 @@ object CoreQueries {
         |  AND ('0x' || substr(md5(event_type || '|' ||
         |        CAST(epoch_us(ts) AS VARCHAR)), 1, 15))::BIGINT % 3 <> 2
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // net effect of batch 2 (the md5-split bucket b = 2) on the 1 s
+    // level: delta keys only, old state from batches 0-1, merged new
+    // values — NULL old_* marks buckets born in the window
+    "manifest_cdc" ->
+      """WITH e AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us,
+        |    value FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |hb AS (SELECT dataset_id, ts_us // 1000000 AS bucket_s, value,
+        |    ('0x' || substr(md5(dataset_id || '|' ||
+        |      CAST(ts_us AS VARCHAR)), 1, 15))::BIGINT % 3 AS b
+        |  FROM e),
+        |d AS (SELECT dataset_id, bucket_s, min(value) AS d_min,
+        |    max(value) AS d_max, sum(value) AS d_sum, count(*) AS d_cnt
+        |  FROM hb WHERE b = 2 GROUP BY 1, 2),
+        |o AS (SELECT dataset_id, bucket_s, min(value) AS o_min,
+        |    max(value) AS o_max, sum(value) AS o_sum, count(*) AS o_cnt
+        |  FROM hb WHERE b <> 2 GROUP BY 1, 2)
+        |SELECT d.dataset_id, d.bucket_s,
+        |  CASE WHEN o.o_cnt IS NULL THEN 'insert' ELSE 'update' END AS op,
+        |  o.o_min AS old_min_v, o.o_max AS old_max_v,
+        |  round(o.o_sum, 6) AS old_sum_v, o.o_cnt AS old_cnt,
+        |  CASE WHEN o.o_cnt IS NULL THEN d.d_min
+        |       ELSE least(d.d_min, o.o_min) END AS min_v,
+        |  CASE WHEN o.o_cnt IS NULL THEN d.d_max
+        |       ELSE greatest(d.d_max, o.o_max) END AS max_v,
+        |  round(d.d_sum + coalesce(o.o_sum, 0), 6) AS sum_v,
+        |  d.d_cnt + coalesce(o.o_cnt, 0) AS cnt
+        |FROM d LEFT JOIN o ON d.dataset_id = o.dataset_id
+        |  AND d.bucket_s = o.bucket_s
+        |ORDER BY 1, 2""".stripMargin,
     "stream_ingest_1s" -> rollupSql(1),
     // every 10 s window is below the sentinel-advanced watermark, so the
     // streamed append-mode output must equal the one-shot batch rollup

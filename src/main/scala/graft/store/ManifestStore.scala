@@ -271,6 +271,97 @@ object ManifestStore {
     }
   }
 
+  private val cdcSchema: StructType = StructType(Seq(
+    StructField("dataset_id", StringType),
+    StructField("bucket_s", LongType),
+    StructField("op", StringType),
+    StructField("old_min_v", DoubleType),
+    StructField("old_max_v", DoubleType),
+    StructField("old_sum_v", DoubleType),
+    StructField("old_cnt", LongType),
+    StructField("min_v", DoubleType),
+    StructField("max_v", DoubleType),
+    StructField("sum_v", DoubleType),
+    StructField("cnt", LongType)))
+
+  /** Change-data feed for one level between two published versions:
+   *  every (dataset_id, bucket_s) whose aggregate changed in
+   *  (fromV, toV], with the OLD and NEW aggregate values and the change
+   *  kind (`insert` for buckets born inside the window, `update`
+   *  otherwise) — the incremental-consumption read every downstream
+   *  materialization (cache refresh, alert re-evaluation, export sync)
+   *  wants instead of a full-table diff.
+   *
+   *  Scale shape: cost ∝ the DELTA, never the table. Only commit dirs
+   *  ADDED inside the window are read and folded; the old state is read
+   *  from the `fromV` snapshot pruned twice — a driver-computed
+   *  (ds_b, part_s) bounding box from the tiny folded delta pushed into
+   *  the scan (riding the within-file sort's row-group stats), then an
+   *  exact left-semi join on the changed keys above it. Requires
+   *  append-only history across the window: a compaction rewrites the
+   *  live set and makes "what changed" underivable from the manifest
+   *  alone, so that case fails loudly rather than guessing. Rollup
+   *  deltas are pure monoid appends — `cnt` strictly grows — so every
+   *  delta key IS a change; no value-compare against the old state is
+   *  needed.
+   */
+  def cdcBetween(
+      spark: SparkSession, root: String, f: Fidelity,
+      fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"cdcBetween: fromV $fromV > toV $toV")
+    val before = if (fromV == 0L) Seq.empty else liveAt(spark, root, fromV)
+    val after = liveAt(spark, root, toV)
+    val beforeSet = before.toSet
+    require(before.forall(after.contains),
+      s"CDC window ($fromV, $toV] at $root crosses a compaction/vacuum " +
+        "boundary: the old live set is not a subset of the new one, so " +
+        "the window's net change is not derivable from the manifest alone")
+    val level = s"fidelity=${Tables.fidelityPart(f)}"
+    val addedDirs = after.filterNot(beforeSet)
+      .map(d => s"${dataDir(root)}/$d/$level")
+      .filter(StoreFs.exists(spark, _))
+    if (addedDirs.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], cdcSchema)
+    val deltaRaw = spark.read.schema(physSchema).parquet(addedDirs: _*)
+    val delta = mergeOnRead(deltaRaw)
+    // driver-side bounding box of the delta (4 scalars off the small
+    // delta scan, never a key list) → row-group pruning on the old scan
+    val bb = deltaRaw.agg(
+      min("ds_b"), max("ds_b"), min("part_s"), max("part_s")).head()
+    val beforeDirs = before
+      .map(d => s"${dataDir(root)}/$d/$level")
+      .filter(StoreFs.exists(spark, _))
+    val old =
+      if (beforeDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], physSchema)
+          .drop("part_s", "ds_b")
+      else mergeOnRead(
+        spark.read.schema(physSchema).parquet(beforeDirs: _*)
+          .where(col("ds_b").between(bb.getInt(0), bb.getInt(1)) &&
+            col("part_s").between(bb.getLong(2), bb.getLong(3))))
+    val oldK = old
+      .join(delta.select("dataset_id", "bucket_s"),
+        Seq("dataset_id", "bucket_s"), "left_semi")
+      .select(
+        col("dataset_id"), col("bucket_s"),
+        col("min_v").as("old_min_v"), col("max_v").as("old_max_v"),
+        col("sum_v").as("old_sum_v"), col("cnt").as("old_cnt"))
+    delta
+      .join(oldK, Seq("dataset_id", "bucket_s"), "left")
+      .select(
+        col("dataset_id"), col("bucket_s"),
+        when(col("old_cnt").isNull, "insert").otherwise("update").as("op"),
+        col("old_min_v"), col("old_max_v"), col("old_sum_v"), col("old_cnt"),
+        when(col("old_cnt").isNull, col("min_v"))
+          .otherwise(least(col("min_v"), col("old_min_v"))).as("min_v"),
+        when(col("old_cnt").isNull, col("max_v"))
+          .otherwise(greatest(col("max_v"), col("old_max_v"))).as("max_v"),
+        (col("sum_v") + coalesce(col("old_sum_v"), lit(0.0))).as("sum_v"),
+        (col("cnt") + coalesce(col("old_cnt"), lit(0L))).as("cnt"))
+  }
+
   /** Fold ALL live commits into one and swap the manifest atomically.
    *  Readers see either the old set or the compacted one, never both.
    *  Commits that land AFTER this compaction's snapshot was read are

@@ -160,4 +160,44 @@ class ManifestStoreSpec extends AnyFunSuite {
       .orderBy("bucket_s").collect().toSeq
     assert(stored == oneShot)
   }
+
+  test("cdcBetween reports inserts and updates with old and merged new state") {
+    val root = TestSpark.tmpDir("mstore_cdc")
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 4.0), ("b", "2024-01-01T00:00:01", 7.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00.5", 1.0), // update: same bucket as v1's a
+        ("c", "2024-01-01T00:00:02", 9.0))) // insert: bucket born in window
+    val sec0 = TestSpark.isoUs("2024-01-01T00:00:00") / 1000000L
+    val rows = ManifestStore.cdcBetween(spark, root, Fidelity.S1, 1L, 2L)
+      .orderBy("dataset_id").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("a", "c"),
+      "untouched bucket b absent from the feed")
+    val a = rows(0)
+    assert(a.getLong(1) == sec0 && a.getString(2) == "update")
+    assert((a.getDouble(3), a.getDouble(4), a.getDouble(5), a.getLong(6)) ==
+      ((4.0, 4.0, 4.0, 1L)), "old state = v1 aggregate")
+    assert((a.getDouble(7), a.getDouble(8), a.getDouble(9), a.getLong(10)) ==
+      ((1.0, 4.0, 5.0, 2L)), "new state = old merged with delta")
+    val c = rows(1)
+    assert(c.getString(2) == "insert" && c.isNullAt(3) && c.isNullAt(6))
+    assert((c.getDouble(7), c.getDouble(8), c.getDouble(9), c.getLong(10)) ==
+      ((9.0, 9.0, 9.0, 1L)))
+  }
+
+  test("cdcBetween: empty window is empty; compaction boundary fails loudly") {
+    val root = TestSpark.tmpDir("mstore_cdc2")
+    ManifestStore.ingestBatch(spark, root, batch(("a", "2024-01-01T00:00:00", 1.0)))
+    assert(ManifestStore.cdcBetween(spark, root, Fidelity.S1, 1L, 1L).isEmpty)
+    // from the never-written version 0, everything is an insert
+    val fromZero = ManifestStore.cdcBetween(spark, root, Fidelity.S1, 0L, 1L).collect()
+    assert(fromZero.map(_.getString(2)).toSeq == Seq("insert"))
+    ManifestStore.ingestBatch(spark, root, batch(("a", "2024-01-01T00:00:01", 2.0)))
+    ManifestStore.compact(spark, root)
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.cdcBetween(spark, root, Fidelity.S1, 1L,
+        ManifestStore.latest(spark, root)._1)
+    }
+    assert(ex.getMessage.contains("compaction"))
+  }
 }
