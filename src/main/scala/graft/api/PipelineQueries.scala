@@ -412,6 +412,66 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // STREAMING exact dedup-on-ingest: dropDuplicatesWithinWatermark
+    // keyed on the content hash (StreamDedup — built-in bounded state,
+    // watermark-evicted). Two ordered micro-batches: batch 1 streams
+    // the distinct-text originals (min doc_id per text, pre-deduped
+    // BATCH-side so the arbitrary within-batch survivor order of the
+    // built-in can't leak into the result), batch 2 streams exact
+    // copies of every 10th doc — every copy must be suppressed by the
+    // cross-batch hash state, so the sink holds exactly batch 1 -------
+    "stream_dedup" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val originals = d.groupBy("text").agg(min("doc_id").as("doc_id"))
+        .select("doc_id", "text")
+      val copies = d.where(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_dd")
+      val base = System.currentTimeMillis()
+      def emit(df: org.apache.spark.sql.DataFrame, name: String, k: Int): Unit = {
+        val scratch = srcDir.resolve(s"scratch$k")
+        // 2024-01-01 base: an epoch-0 event time sits ON the initial
+        // watermark and is dropped as late — keep every synthetic ts
+        // strictly above it
+        df.withColumn("ts_us",
+          lit(1704067200000000L) + pmod(col("doc_id"), lit(100000L)) * 1000000L)
+          .coalesce(1).write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(name)
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + k * 2000L))
+        } finally parts.close()
+      }
+      emit(originals, "a_originals.parquet", 0)
+      emit(copies, "b_copies.parquet", 1)
+      val schema = s.read.parquet(s"$srcDir/a_originals.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      // 30-day horizon: the synthetic event times span well under it at
+      // any sf, so nothing is late-dropped or state-evicted mid-replay
+      val out = graft.streaming.StreamDedup.dedupped(stream, horizon = "30 days")
+      val qn = "sdd_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        out.writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qn)
+          .option("checkpointLocation", s"$srcDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      q.awaitTermination()
+      s.table(qn).select("doc_id", "text").orderBy("doc_id")
+    }),
+
     // the capstone dedup DECISION: per-document keep/drop verdict with
     // reason — stage 1 exact (min id per content hash), stage 2 MinHash
     // clustering among exact survivors, stage 3 canonical selection
@@ -2576,6 +2636,12 @@ object PipelineQueries {
          |LEFT JOIN comp c ON c.doc_id = e.doc_id
          |LEFT JOIN canon cn ON cn.comp = c.comp
          |ORDER BY e.doc_id""".stripMargin,
+    // the replayed stream must end holding exactly the distinct-text
+    // originals: batch 1 passes untouched, batch 2 (the copies) is
+    // wholly suppressed by cross-batch hash state
+    "stream_dedup" ->
+      """SELECT min(doc_id) AS doc_id, text FROM documents
+        |GROUP BY text ORDER BY doc_id""".stripMargin,
     // the streamed pipeline signs UNCAPPED shingle sets, so its parity
     // target is the cap-free exact Jaccard (sh0, not shf)
     "stream_neardup" ->

@@ -127,6 +127,50 @@ object TpchQueries {
         .orderBy("day")
     }),
 
+    // q18-style large-volume customers: orders whose total lineitem
+    // quantity tops 300, joined back to order and customer detail.
+    // Scale shape: the HAVING aggregate is ONE shuffle of lineitem on
+    // its join key with map-side partials; the survivor set is tiny at
+    // any sf (heavy-order tail), so it BROADCASTS into orders and the
+    // joined pair broadcasts again into customer — the two big tables
+    // never shuffle for the joins. The global top-100 sort runs on the
+    // survivor rows only.
+    "q18_topk" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(r6(sum(col("l_quantity"))).as("sum_qty"))
+        .where(col("sum_qty") > 300)
+      val ord = t(s, dir, "orders")
+      val ordUs = ord.withColumn("order_us", Melt.tsUs(ord, "o_orderdate"))
+      val ordBig = ordUs.join(broadcast(big),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("order_us"), col("sum_qty"))
+      t(s, dir, "customer")
+        .join(broadcast(ordBig), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("order_us"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
+    // k-anonymity audit: group sizes over the quasi-identifier tuple
+    // (nation, market segment, account-balance band) with an at-risk
+    // flag where fewer than k=5 customers share the tuple — the
+    // re-identification exposure report a privacy review runs before
+    // releasing joined data. ONE hash aggregate; output cardinality is
+    // the QI cell space (bounded by the attribute domains), never the
+    // row count — scale-indifferent.
+    "k_anonymity" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(
+          col("c_nationkey").as("nation"),
+          col("c_mktsegment").as("segment"),
+          floor(col("c_acctbal") / 1000).cast("long").as("bal_bin"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("at_risk", col("n") < 5)
+        .orderBy("nation", "segment", "bal_bin")),
+
     // concentration (Pareto) curve: rank suppliers by account balance
     // and report the cumulative balance share at each rank decile —
     // the 80/20 view. The global rank runs over a DIMENSION table
@@ -396,6 +440,22 @@ object TpchQueries {
         |  AND epoch_us(l_shipdate) < 852076800000000
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q18_topk" ->
+      """WITH big AS (
+        |  SELECT l_orderkey, round(sum(l_quantity), 6) AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING round(sum(l_quantity), 6) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) AS order_us, o_totalprice, sum_qty
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "k_anonymity" ->
+      """SELECT c_nationkey AS nation, c_mktsegment AS segment,
+        |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
+        |  count(*) AS n, count(*) < 5 AS at_risk
+        |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "orders_backlog_daily" ->
       """WITH opens AS (
         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
