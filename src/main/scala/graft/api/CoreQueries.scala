@@ -1643,6 +1643,23 @@ object CoreQueries {
     // raw expiry is exact), read back — directory-metadata deletes
     // only, zero data read; straddling rollup partitions stay whole
     // (conservative TTL, unit-specced) --------------------------------
+    // ---- targeted series deletion (right-to-be-forgotten): ingest,
+    // forget the 'view' series — a REWRITE of just its hash-bucket
+    // subtree (1/DsBuckets of the store; TTL-style unlinking can't do
+    // per-series deletes because bucket files interleave series) —
+    // then read the 10 s level back: the series must be gone and every
+    // other series' aggregate untouched. Raw-side equality and
+    // layout preservation are assert-ed in StoreForgetSpec ------------
+    "store_forget" -> ((s, dir) => {
+      val root = clonedBaseStore(s, dir)
+      Tables.forgetDataset(s, root, "view")
+      Tables.readRollup(s, root, Fidelity.S10)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     "store_retention" -> ((s, dir) => {
       val root = clonedBaseStore(s, dir)
       Tables.expireBefore(s, root, cutoffS = 1704326400L)
@@ -1773,6 +1790,16 @@ object CoreQueries {
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |  AND epoch_us(ts) >= 1704326400000000
         |ORDER BY dataset_id, ts_us, value""".stripMargin,
+    // after the forget, the 10 s level equals the rollup computed with
+    // the deleted series never having existed
+    "store_forget" ->
+      """SELECT event_type AS dataset_id,
+        |  (epoch_us(ts) // 10000000) * 10 AS bucket_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND event_type <> 'view'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // compaction is lossless: the compacted raw table IS the melt
     "store_compact" ->
       """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value

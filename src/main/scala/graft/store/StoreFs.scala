@@ -34,6 +34,17 @@ private[store] object StoreFs {
     else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
   }
 
+  /** Recursively delete `path` if it exists; a failed delete of an
+   *  existing path throws (a silent false would leave the caller
+   *  appending into a dir it believes gone — duplicate rows).
+   */
+  def delete(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = fsFor(spark, p)
+    if (fs.exists(p) && !fs.delete(p, true))
+      throw new java.io.IOException(s"delete failed: $path")
+  }
+
   /** Replace `target` with `tmp` (delete-then-rename). Parquet table
    *  swaps in the comment store go through this instead of
    *  `java.io.File.renameTo`, whose failure mode is a silent `false`.

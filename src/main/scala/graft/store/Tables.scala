@@ -227,6 +227,69 @@ object Tables {
       .parquet(path)
   }
 
+  /** Targeted series deletion (right-to-be-forgotten): remove every
+   *  raw point and every rollup bucket of `datasetId` by rewriting
+   *  ONLY the series' hash-bucket subtree of each table — cost is
+   *  1/DsBuckets of the store regardless of how many series it holds,
+   *  never a full-table rewrite (and unlike `expireBefore` it must
+   *  rewrite, not just unlink: the bucket's other series share its
+   *  files). Each subtree is materialized series-free via
+   *  localCheckpoint BEFORE its directory is replaced (the same
+   *  self-overwrite discipline as `compactRaw`); a bucket left with no
+   *  surviving rows is simply deleted. The rewrite preserves the
+   *  ingest layout — (dataset_id, ts)-sorted, GroupSize-capped files —
+   *  so reads after a forget prune exactly as before.
+   */
+  def forgetDataset(spark: SparkSession, root: String, datasetId: String): Unit = {
+    val b = spark.range(1).select(dsBucket(lit(datasetId))).head().getInt(0)
+
+    def rewrite(basePath: String, bucketDir: String, partCol: String,
+        sortCols: Seq[String]): Unit = {
+      if (!StoreFs.exists(spark, bucketDir)) return
+      val survivors = spark.read
+        .option("basePath", basePath).parquet(bucketDir)
+        .where(col("dataset_id") =!= datasetId)
+        .drop("ds_b", "fidelity")
+        .localCheckpoint(true)
+      StoreFs.delete(spark, bucketDir)
+      if (!survivors.isEmpty)
+        survivors
+          .repartition(col(partCol))
+          .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+          .write
+          .mode("append")
+          .option("maxRecordsPerFile", Fidelity.GroupSize)
+          .partitionBy(partCol)
+          .parquet(bucketDir)
+    }
+
+    rewrite(rawPath(root), s"${rawPath(root)}/ds_b=$b",
+      "win_s", Seq("dataset_id", "ts_us"))
+    for (f <- Fidelity.aggLevels)
+      rewrite(rollupPath(root),
+        s"${rollupPath(root)}/fidelity=${fidelityPart(f)}/ds_b=$b",
+        "part_s", Seq("dataset_id", "bucket_s"))
+    // a table drained of its last partition must read as never-written
+    // (an empty dir defeats parquet schema inference), and an empty
+    // fidelity level must not break partition discovery
+    for (f <- Fidelity.aggLevels)
+      deleteIfHollow(spark, s"${rollupPath(root)}/fidelity=${fidelityPart(f)}")
+    deleteIfHollow(spark, rawPath(root))
+    deleteIfHollow(spark, rollupPath(root))
+  }
+
+  /** Delete `path` if it exists but holds no non-hidden children
+   *  (leftover _SUCCESS-style markers don't keep a table "alive").
+   */
+  private def deleteIfHollow(spark: SparkSession, path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.listStatus(p).forall { st =>
+      val n = st.getPath.getName
+      n.startsWith("_") || n.startsWith(".")
+    }) StoreFs.delete(spark, path)
+  }
+
   /** Read a table back; a never-written table reads as empty (the
    *  reference treats missing files as empty results, src/index.py:556-558).
    */
