@@ -1737,6 +1737,57 @@ object CoreQueries {
           r6(col("old_sum_v")).as("old_sum_v"), col("old_cnt"),
           col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
         .orderBy("dataset_id", "bucket_s")
+    }),
+
+    // ---- incremental view maintenance driven by the CDC feed: a
+    // DERIVED daily summary is bootstrapped from snapshot v1, then for
+    // each later version only the (dataset, day) groups the CDC feed
+    // touched are recomputed (anti-join out, re-aggregate in) — the
+    // classic delta-driven refresh a downstream materialization runs
+    // instead of rebuilding itself. Per step, work ∝ changed days:
+    // the CDC read costs the delta, and the re-aggregation reads the
+    // 1 s level semi-joined to the affected-day set. The maintained
+    // summary must equal the one-shot daily rollup bit-for-bit --------
+    "incremental_refresh" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ivm").toString
+      val long = ev(s, dir)
+      val h = pmod(
+        conv(substring(
+          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(3L))
+      for (i <- 0 until 3)
+        graft.store.ManifestStore.ingestBatch(s, root, long.where(h === i))
+      def daily(level1: DataFrame): DataFrame =
+        level1
+          .groupBy(col("dataset_id"),
+            (expr("bucket_s div 86400") * lit(86400L)).as("day_s"))
+          .agg(
+            min("min_v").as("min_v"), max("max_v").as("max_v"),
+            sum("sum_v").as("sum_v"), sum("cnt").as("cnt"))
+      var summary = daily(
+        graft.store.ManifestStore.readLevelAsOf(s, root, Fidelity.S1, 1L))
+      for (v <- 2L to 3L) {
+        val touched = graft.store.ManifestStore
+          .cdcBetween(s, root, Fidelity.S1, v - 1L, v)
+          .select(col("dataset_id"),
+            (expr("bucket_s div 86400") * lit(86400L)).as("day_s"))
+          .distinct()
+        val fresh = daily(
+          graft.store.ManifestStore.readLevelAsOf(s, root, Fidelity.S1, v)
+            .withColumn("day_s", expr("bucket_s div 86400") * lit(86400L))
+            .join(broadcast(touched), Seq("dataset_id", "day_s"), "left_semi")
+            .drop("day_s"))
+        summary = summary
+          .join(broadcast(touched), Seq("dataset_id", "day_s"), "left_anti")
+          .unionByName(fresh)
+      }
+      summary
+        .select(
+          col("dataset_id"), col("day_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "day_s")
     }))
 
   private val zorderOracle: String = {
@@ -1835,6 +1886,15 @@ object CoreQueries {
         |WHERE value IS NOT NULL AND NOT isnan(value)
         |  AND ('0x' || substr(md5(event_type || '|' ||
         |        CAST(epoch_us(ts) AS VARCHAR)), 1, 15))::BIGINT % 3 <> 2
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the delta-maintained daily summary must equal the one-shot daily
+    // rollup over everything
+    "incremental_refresh" ->
+      """SELECT event_type AS dataset_id,
+        |  (epoch_us(ts) // 86400000000) * 86400 AS day_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // net effect of batch 2 (the md5-split bucket b = 2) on the 1 s
     // level: delta keys only, old state from batches 0-1, merged new
