@@ -180,6 +180,28 @@ object CoreQueries {
        |FROM p)""".stripMargin
   }
 
+  /** Z-ordered layout assembly shared by zorder_layout /
+   *  zonemap_prune: every event mapped to 16-bit time and series-hash
+   *  coordinates, bit-interleaved to a 32-bit Morton code, ranked, and
+   *  chunked into 5000-row files. Carries (t0, t1) so consumers can
+   *  map absolute times onto the t16 axis.
+   */
+  private def zorderFiles(s: SparkSession, dir: String): DataFrame = {
+    val e = rawEvents(s, dir).select(col("event_id"), col("ts_us"), col("event_type"))
+    val b = broadcast(e.agg(min("ts_us").as("t0"), max("ts_us").as("t1")))
+    val zStr = (0 until 16).map(bb =>
+      s"shiftleft(shiftright(t16, $bb) & 1, ${2 * bb + 1})" +
+        s" + shiftleft(shiftright(h16, $bb) & 1, ${2 * bb})").mkString(" + ")
+    e.crossJoin(b)
+      .withColumn("t16", expr("((ts_us - t0) * 65535) div (t1 - t0)"))
+      .withColumn("h16",
+        pmod(conv(substring(md5(col("event_type")), 1, 4), 16, 10).cast("long"),
+          lit(65536L)))
+      .withColumn("z", expr(zStr))
+      .withColumn("fid",
+        expr("(row_number() over (order by z, event_id) - 1) div 5000"))
+  }
+
   private def rollupQ(d: Long): Q = (s, dir) =>
     Rollup.aggregate(ev(s, dir), d)
       .select(
@@ -659,26 +681,47 @@ object CoreQueries {
     // sort gives minimal t-spans but full h-spans). At 100 TB the
     // single output sort becomes repartitionByRange(z) with the same
     // key — file spans are unchanged ----------------------------------
-    "zorder_layout" -> ((s, dir) => {
-      val e = rawEvents(s, dir).select(col("event_id"), col("ts_us"), col("event_type"))
-      val b = broadcast(e.agg(min("ts_us").as("t0"), max("ts_us").as("t1")))
-      val zStr = (0 until 16).map(bb =>
-        s"shiftleft(shiftright(t16, $bb) & 1, ${2 * bb + 1})" +
-          s" + shiftleft(shiftright(h16, $bb) & 1, ${2 * bb})").mkString(" + ")
-      e.crossJoin(b)
-        .withColumn("t16", expr("((ts_us - t0) * 65535) div (t1 - t0)"))
-        .withColumn("h16",
-          pmod(conv(substring(md5(col("event_type")), 1, 4), 16, 10).cast("long"),
-            lit(65536L)))
-        .withColumn("z", expr(zStr))
-        .withColumn("fid",
-          expr("(row_number() over (order by z, event_id) - 1) div 5000"))
+    "zorder_layout" -> ((s, dir) =>
+      zorderFiles(s, dir)
         .groupBy("fid")
         .agg(
           count(lit(1)).as("n_rows"),
           (max(col("t16")) - min(col("t16"))).as("t_span"),
           (max(col("h16")) - min(col("h16"))).as("h_span"))
-        .orderBy("fid")
+        .orderBy("fid")),
+
+    // ---- zone-map pruning audit over the z-ordered layout: for the
+    // canonical box query (day-5 time range × the 'view' series), how
+    // many 5000-row files does per-file (t16, h16) min/max skipping
+    // actually read? ONE summary row: files total/read, rows scanned
+    // in read files, rows truly matching. This is the quantitative
+    // "is the layout worth it" check a table-layout optimizer runs;
+    // the skip decision here is exactly parquet row-group/file stats
+    // pruning math. Catalog-grain aggregation over the file zone maps
+    // — never a second pass over the data -----------------------------
+    "zonemap_prune" -> ((s, dir) => {
+      val hv = pmod(conv(substring(md5(lit("view")), 1, 4), 16, 10).cast("long"),
+        lit(65536L))
+      val zones = zorderFiles(s, dir)
+        .withColumn("tlo", expr(s"(($Day5Us - t0) * 65535) div (t1 - t0)"))
+        .withColumn("thi", expr(s"(($Day6Us - t0) * 65535) div (t1 - t0)"))
+        .withColumn("hv", hv)
+        .groupBy("fid")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          min("t16").as("mn_t"), max("t16").as("mx_t"),
+          min("h16").as("mn_h"), max("h16").as("mx_h"),
+          max("tlo").as("tlo"), max("thi").as("thi"), max("hv").as("hv"),
+          sum(when(col("t16").between(col("tlo"), col("thi")) &&
+            col("h16") === col("hv"), 1L).otherwise(0L)).as("n_match"))
+        .withColumn("read",
+          col("mx_t") >= col("tlo") && col("mn_t") <= col("thi") &&
+            col("hv").between(col("mn_h"), col("mx_h")))
+      zones.agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("read"), 1L).otherwise(0L)).as("n_files_read"),
+        sum(when(col("read"), col("n_rows")).otherwise(0L)).as("n_rows_scanned"),
+        sum(col("n_match")).as("n_rows_matched"))
     }),
 
     // ---- seasonal-residual anomaly: buckets deviating > 3σ from the
@@ -1790,7 +1833,10 @@ object CoreQueries {
         .orderBy("dataset_id", "day_s")
     }))
 
-  private val zorderOracle: String = {
+  /** Shared DuckDB CTE chain ending in `f(t16, h16, fid)` with `b(t0,
+   *  t1)` in scope — the oracle replica of [[zorderFiles]].
+   */
+  private val zorderCte: String = {
     val zTerms = (0 until 16).map(b =>
       s"(((t16 >> $b) & 1) << ${2 * b + 1}) + (((h16 >> $b) & 1) << ${2 * b})")
       .mkString(" + ")
@@ -1803,12 +1849,39 @@ object CoreQueries {
        |z1 AS (SELECT event_id, t16, h16, $zTerms AS z FROM z0),
        |f AS (SELECT t16, h16,
        |        (row_number() OVER (ORDER BY z, event_id) - 1) // 5000 AS fid
-       |      FROM z1)
+       |      FROM z1)""".stripMargin
+  }
+
+  private val zorderOracle: String =
+    s"""$zorderCte
        |SELECT CAST(fid AS BIGINT) AS fid, count(*) AS n_rows,
        |  CAST(max(t16) - min(t16) AS BIGINT) AS t_span,
        |  CAST(max(h16) - min(h16) AS BIGINT) AS h_span
        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  private val zonemapPruneOracle: String =
+    s"""$zorderCte,
+       |pr AS (SELECT
+       |    (($Day5Us - t0) * 65535) // (t1 - t0) AS tlo,
+       |    (($Day6Us - t0) * 65535) // (t1 - t0) AS thi,
+       |    ('0x' || substr(md5('view'), 1, 4))::BIGINT % 65536 AS hv
+       |  FROM b),
+       |zm AS (SELECT fid, count(*) AS n_rows,
+       |    min(t16) AS mn_t, max(t16) AS mx_t,
+       |    min(h16) AS mn_h, max(h16) AS mx_h,
+       |    max(tlo) AS tlo, max(thi) AS thi, max(hv) AS hv,
+       |    sum(CASE WHEN t16 BETWEEN tlo AND thi AND h16 = hv
+       |        THEN 1 ELSE 0 END) AS n_match
+       |  FROM f, pr GROUP BY fid)
+       |SELECT count(*) AS n_files,
+       |  CAST(sum(CASE WHEN mx_t >= tlo AND mn_t <= thi
+       |      AND hv BETWEEN mn_h AND mx_h THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_files_read,
+       |  CAST(sum(CASE WHEN mx_t >= tlo AND mn_t <= thi
+       |      AND hv BETWEEN mn_h AND mx_h THEN n_rows ELSE 0 END) AS BIGINT)
+       |    AS n_rows_scanned,
+       |  CAST(sum(n_match) AS BIGINT) AS n_rows_matched
+       |FROM zm""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "key_skew_report" ->
@@ -1830,6 +1903,7 @@ object CoreQueries {
         |    // (n_keys * total_rows) AS BIGINT) AS gini_ppm
         |FROM a""".stripMargin,
     "zorder_layout" -> zorderOracle,
+    "zonemap_prune" -> zonemapPruneOracle,
     "melt_events" ->
       """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us, value
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)

@@ -171,6 +171,30 @@ object TpchQueries {
         .withColumn("at_risk", col("n") < 5)
         .orderBy("nation", "segment", "bal_bin")),
 
+    // blocked edit-distance similarity join (record linkage): pairs of
+    // DISTINCT part names within Levenshtein 2, candidates generated by
+    // blocking on the head noun (the last token) and verified exactly
+    // inside each block. Scale shape: the name CATALOG (not the part
+    // rows) self-joins, and blocking bounds candidates to Σ|block|²
+    // instead of N² — at web scale the blocking key swaps for sorted-
+    // neighborhood or MinHash candidates (dedup_sorted_nbr /
+    // dedup_minhash) while this exact verify stage stays identical.
+    "fuzzy_name_match" -> ((s, dir) => {
+      val names = t(s, dir, "part")
+        .groupBy(col("p_name").as("name"))
+        .agg(count(lit(1)).as("n_parts"))
+        .withColumn("noun", element_at(split(col("name"), " "), -1))
+      names.as("a").join(names.as("b"),
+          col("a.noun") === col("b.noun") && col("a.name") < col("b.name"))
+        .withColumn("dist", levenshtein(col("a.name"), col("b.name")))
+        .where(col("dist") <= 2)
+        .select(
+          col("a.name").as("name_a"), col("b.name").as("name_b"),
+          col("dist").cast("long").as("dist"),
+          col("a.n_parts").as("n_a"), col("b.n_parts").as("n_b"))
+        .orderBy("name_a", "name_b")
+    }),
+
     // concentration (Pareto) curve: rank suppliers by account balance
     // and report the cumulative balance share at each rank decile —
     // the 80/20 view. The global rank runs over a DIMENSION table
@@ -456,6 +480,17 @@ object TpchQueries {
         |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
         |  count(*) AS n, count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "fuzzy_name_match" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, count(*) AS n_parts,
+        |    string_split(p_name, ' ')[-1] AS noun
+        |  FROM part GROUP BY 1)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |  CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist,
+        |  a.n_parts AS n_a, b.n_parts AS n_b
+        |FROM names a JOIN names b ON a.noun = b.noun AND a.name < b.name
+        |WHERE levenshtein(a.name, b.name) <= 2
+        |ORDER BY 1, 2""".stripMargin,
     "orders_backlog_daily" ->
       """WITH opens AS (
         |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,

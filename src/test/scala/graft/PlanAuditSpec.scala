@@ -432,6 +432,31 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q18_topk broadcasts the survivor chain — the big tables never shuffle to join") {
+    withPlainPlans {
+      val df = SparkEntry.queries("q18_topk")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2,
+        s"survivor joins not broadcast:\n${plan.take(1500)}")
+      assert(!plan.contains("SortMergeJoin"),
+        "a fact-side join degenerated to sort-merge")
+      // one partial-agg shuffle for the HAVING aggregate; the top-100
+      // rides TakeOrderedAndProject, not a global sort exchange
+      assert(shuffleCount(df) <= 2,
+        s"q18 shuffle budget exceeded: ${shuffleCount(df)}")
+    }
+  }
+
+  test("fuzzy_name_match joins on the blocking key, never cartesian") {
+    withPlainPlans {
+      val df = SparkEntry.queries("fuzzy_name_match")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"blocked self-join degenerated to all-pairs:\n${plan.take(1500)}")
+    }
+  }
+
   test("triangle counting closes wedges with hash/merge joins, never cartesian") {
     withPlainPlans {
       val und = spark.range(0L, 1000L)
