@@ -1182,6 +1182,33 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- EXACTLY-ONCE streaming ingest into the manifest/LSM store:
+    // same replay as stream_ingest_1s but each micro-batch appends its
+    // partials under ONE idempotent manifest commit keyed by batch id
+    // (a blind append would double-count on foreachBatch redelivery —
+    // the merge path is naturally idempotent, the append path needs
+    // the txn key). Read back the 1 s level = one-shot rollup --------
+    "stream_manifest_1s" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_manifest").toString
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = Melt.readTsParquet(s, s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_msrc")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val q = graft.streaming.StreamIngest.startManifest(
+        Melt.events(stream), root, s"$root/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      graft.store.ManifestStore.readLevel(s, root, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- watermarked event-time window aggregation: the bounded-
     // lateness streaming analytics path (the ingest path above stays
     // watermark-free for unbounded lateness). Append mode emits each
@@ -2000,6 +2027,8 @@ object CoreQueries {
         |  AND d.bucket_s = o.bucket_s
         |ORDER BY 1, 2""".stripMargin,
     "stream_ingest_1s" -> rollupSql(1),
+    // the exactly-once manifest replay must equal the one-shot rollup
+    "stream_manifest_1s" -> rollupSql(1),
     // every 10 s window is below the sentinel-advanced watermark, so the
     // streamed append-mode output must equal the one-shot batch rollup
     "stream_window_10s" -> rollupSql(10),

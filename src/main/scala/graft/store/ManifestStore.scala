@@ -184,6 +184,50 @@ object ManifestStore {
     commit(spark, root)(live => Some(live :+ name)): Unit
   }
 
+  /** Manifest entries starting with this prefix are application-level
+   *  TRANSACTION KEYS, not commit dirs: `#txn:<key>` lines ride the
+   *  same atomically-published version file as the data they guard and
+   *  are PRESERVED by compaction (Delta's txn/appId-version idea
+   *  reduced to this table) — so the duplicate check can never race or
+   *  be garbage-collected away from a redelivery.
+   */
+  private val TxnPrefix = "#txn:"
+
+  /** Txn keys preserved across a compaction (most recent first to go
+   *  is oldest): bounds manifest growth under a perpetual stream while
+   *  keeping the duplicate-check window orders of magnitude wider than
+   *  any real redelivery window (~1 micro-batch).
+   */
+  val MaxTxnKeys: Int = 1024
+
+  private def dirEntries(live: Seq[String]): Seq[String] =
+    live.filterNot(_.startsWith("#"))
+
+  /** Idempotent [[appendPartials]] keyed by a caller-supplied delivery
+   *  key (e.g. a streaming micro-batch id). If the key was already
+   *  published, the staged commit dir is dropped and nothing changes —
+   *  foreachBatch redeliveries after a crash between sink-commit and
+   *  checkpoint-commit fold in EXACTLY once. Returns true iff this
+   *  call published. The key check is part of the manifest's own
+   *  optimistic-commit read: no second coordination channel, so there
+   *  is no window where the key and the data disagree.
+   */
+  def appendPartialsIdempotent(
+      spark: SparkSession, root: String, partials: DataFrame,
+      key: String): Boolean = {
+    require(!key.contains('\n') && key.nonEmpty, s"bad txn key: $key")
+    val txn = TxnPrefix + key
+    val name = writeCommitDir(root, partials)
+    val published = commit(spark, root) { live =>
+      if (live.contains(txn)) None else Some(live :+ name :+ txn)
+    }
+    if (!published) {
+      val p = new Path(s"${dataDir(root)}/$name")
+      fsFor(spark, p).delete(p, true): Unit
+    }
+    published
+  }
+
   private def empty(spark: SparkSession): DataFrame =
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.rollupSchema)
@@ -205,7 +249,7 @@ object ManifestStore {
    */
   private def levelDirs(spark: SparkSession, root: String, f: Fidelity): Seq[String] = {
     val (_, live) = latest(spark, root)
-    live
+    dirEntries(live)
       .map(d => s"${dataDir(root)}/$d/fidelity=${Tables.fidelityPart(f)}")
       .filter(StoreFs.exists(spark, _))
   }
@@ -224,7 +268,7 @@ object ManifestStore {
    */
   def readLevelAsOf(
       spark: SparkSession, root: String, f: Fidelity, version: Long): DataFrame = {
-    val dirs = liveAt(spark, root, version)
+    val dirs = dirEntries(liveAt(spark, root, version))
       .map(d => s"${dataDir(root)}/$d/fidelity=${Tables.fidelityPart(f)}")
       .filter(StoreFs.exists(spark, _))
     if (dirs.isEmpty) empty(spark)
@@ -317,7 +361,7 @@ object ManifestStore {
         "boundary: the old live set is not a subset of the new one, so " +
         "the window's net change is not derivable from the manifest alone")
     val level = s"fidelity=${Tables.fidelityPart(f)}"
-    val addedDirs = after.filterNot(beforeSet)
+    val addedDirs = dirEntries(after.filterNot(beforeSet))
       .map(d => s"${dataDir(root)}/$d/$level")
       .filter(StoreFs.exists(spark, _))
     if (addedDirs.isEmpty)
@@ -329,7 +373,7 @@ object ManifestStore {
     // delta scan, never a key list) → row-group pruning on the old scan
     val bb = deltaRaw.agg(
       min("ds_b"), max("ds_b"), min("part_s"), max("part_s")).head()
-    val beforeDirs = before
+    val beforeDirs = dirEntries(before)
       .map(d => s"${dataDir(root)}/$d/$level")
       .filter(StoreFs.exists(spark, _))
     val old =
@@ -374,9 +418,13 @@ object ManifestStore {
    */
   def compact(spark: SparkSession, root: String): Unit = {
     val (_, live) = latest(spark, root)
-    if (live.size <= 1) return
+    // fold DATA commits only; `#txn:` key lines survive every
+    // compaction untouched (that permanence is what makes the
+    // idempotent append's duplicate check durable)
+    val dirs = dirEntries(live)
+    if (dirs.size <= 1) return
     val full = StructType(physSchema.fields :+ StructField("fidelity", StringType))
-    val merged = live
+    val merged = dirs
       .map(d => spark.read.schema(full)
         .option("basePath", s"${dataDir(root)}/$d")
         .parquet(s"${dataDir(root)}/$d"))
@@ -389,7 +437,15 @@ object ManifestStore {
         sum("cnt").as("cnt"))
     val name = writeCommitDir(root, merged)
     val published = commit(spark, root) { now =>
-      if (live.forall(now.contains)) Some(now.filterNot(live.contains) :+ name)
+      if (dirs.forall(now.contains)) {
+        // trim the txn-key tail so the manifest stays bounded under a
+        // perpetual stream: exactly-once is guaranteed for
+        // redeliveries within the last MaxTxnKeys batches (streaming
+        // redelivery windows are ~1 batch)
+        val kept = now.filterNot(dirs.contains)
+        val (txns, rest) = kept.partition(_.startsWith(TxnPrefix))
+        Some(rest :+ name :++ txns.takeRight(MaxTxnKeys))
+      }
       else None // inputs already folded elsewhere — abort, don't double
     }
     if (!published) {

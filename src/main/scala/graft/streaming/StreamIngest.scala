@@ -60,4 +60,45 @@ object StreamIngest {
         Tables.ingestBatch(batch.sparkSession, root, batch)
       }
       .start()
+
+  /** EXACTLY-ONCE streaming rollup ingest into the manifest store:
+   *  each micro-batch's all-level partials append under ONE idempotent
+   *  manifest commit keyed by the batch id
+   *  (ManifestStore.appendPartialsIdempotent). foreachBatch gives
+   *  at-least-once delivery — a crash between the sink commit and the
+   *  checkpoint commit REPLAYS the batch on restart — and the txn key
+   *  riding the atomically-published manifest version turns that into
+   *  exactly-once: the replay sees its key and folds in nothing. The
+   *  `Tables.ingestBatch` path (`start` above) gets the same property
+   *  from idempotent MERGE semantics instead; this is the append-only
+   *  LSM variant where a blind re-append WOULD double-count without
+   *  the key.
+   */
+  def startManifest(
+      longStream: DataFrame,
+      root: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxLiveCommits: Int = 16): StreamingQuery =
+    longStream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val s = batch.sparkSession
+        val b = graft.ingest.Melt.sanitize(batch).persist()
+        try {
+          if (!b.isEmpty) {
+            graft.store.ManifestStore.appendPartialsIdempotent(
+              s, root, Tables.allLevelPartials(b), key = s"b$id"): Unit
+            if (graft.store.ManifestStore.latest(s, root)._2
+              .count(!_.startsWith("#")) > maxLiveCommits) {
+              graft.store.ManifestStore.compact(s, root)
+              graft.store.ManifestStore.vacuum(
+                s, root, graft.store.ManifestStore.VacuumRetentionMs)
+            }
+          }
+        } finally b.unpersist(): Unit
+      }
+      .start()
 }

@@ -161,6 +161,30 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(stored == oneShot)
   }
 
+  test("idempotent append: a redelivered key folds in exactly once, even past compaction") {
+    val root = TestSpark.tmpDir("mstore_txn")
+    val partials = Tables.allLevelPartials(
+      graft.ingest.Melt.sanitize(batch(("a", "2024-01-01T00:00:00", 2.0))))
+    assert(ManifestStore.appendPartialsIdempotent(spark, root, partials, "b0"),
+      "first delivery publishes")
+    assert(!ManifestStore.appendPartialsIdempotent(spark, root, partials, "b0"),
+      "redelivery is rejected")
+    assert(level1(root).values.map(_._4).sum == 1L, "cnt folded once")
+
+    // a second batch + compaction must PRESERVE the key
+    assert(ManifestStore.appendPartialsIdempotent(spark, root,
+      Tables.allLevelPartials(
+        graft.ingest.Melt.sanitize(batch(("a", "2024-01-01T00:00:01", 4.0)))), "b1"))
+    ManifestStore.compact(spark, root)
+    assert(!ManifestStore.appendPartialsIdempotent(spark, root, partials, "b0"),
+      "key survives compaction")
+    assert(!ManifestStore.appendPartialsIdempotent(spark, root, partials, "b1"))
+    assert(level1(root).values.map(_._4).sum == 2L,
+      "state identical after compaction + redeliveries")
+    // reads ignore key lines entirely
+    assert(ManifestStore.readLevel(spark, root, Fidelity.S1).count() == 2L)
+  }
+
   test("cdcBetween reports inserts and updates with old and merged new state") {
     val root = TestSpark.tmpDir("mstore_cdc")
     ManifestStore.ingestBatch(spark, root,
