@@ -47,6 +47,31 @@ object CoreQueries {
   private val baseStoreCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
 
+  /** Session-scoped memo of the md5-split 3-batch MANIFEST store —
+   *  the shared fixture of manifest_time_travel / manifest_cdc /
+   *  incremental_refresh, all read-only consumers (time travel, CDC
+   *  and version reads never mutate), so unlike [[clonedBaseStore]]
+   *  no clone is needed: they read the same root directly.
+   */
+  private val manifestFixtureCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  private def mdSplitManifestStore(s: SparkSession, dir: String): String = {
+    if (manifestFixtureCache.size > 8) manifestFixtureCache.clear()
+    manifestFixtureCache.computeIfAbsent((s, dir), { key =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_manifest_fixture").toString
+      val long = ev(key._1, key._2)
+      val h = pmod(
+        conv(substring(
+          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(3L))
+      for (i <- 0 until 3)
+        graft.store.ManifestStore.ingestBatch(key._1, root, long.where(h === i))
+      root
+    })
+  }
+
   /** A private, mutation-safe copy of the baseline store: directories
    *  are recreated, files HARDLINKED. Safe because store files are
    *  immutable once written (every mutation — merge, repair, expire —
@@ -1764,16 +1789,7 @@ object CoreQueries {
     // version 2 — the snapshot must equal the rollup of batches 0-1
     // exactly, proving versioned-read isolation from later commits ----
     "manifest_time_travel" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_timetravel").toString
-      val long = ev(s, dir)
-      val h = pmod(
-        conv(substring(
-          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
-          .cast("long"),
-        lit(3L))
-      for (i <- 0 until 3)
-        graft.store.ManifestStore.ingestBatch(s, root, long.where(h === i))
+      val root = mdSplitManifestStore(s, dir)
       graft.store.ManifestStore.readLevelAsOf(s, root, Fidelity.S1, version = 2L)
         .select(
           col("dataset_id"), col("bucket_s"),
@@ -1789,16 +1805,7 @@ object CoreQueries {
     // read a downstream cache/alert/export sync runs instead of a
     // full-table diff ------------------------------------------------
     "manifest_cdc" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_cdc").toString
-      val long = ev(s, dir)
-      val h = pmod(
-        conv(substring(
-          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
-          .cast("long"),
-        lit(3L))
-      for (i <- 0 until 3)
-        graft.store.ManifestStore.ingestBatch(s, root, long.where(h === i))
+      val root = mdSplitManifestStore(s, dir)
       graft.store.ManifestStore
         .cdcBetween(s, root, Fidelity.S1, fromV = 2L, toV = 3L)
         .select(
@@ -1819,16 +1826,7 @@ object CoreQueries {
     // 1 s level semi-joined to the affected-day set. The maintained
     // summary must equal the one-shot daily rollup bit-for-bit --------
     "incremental_refresh" -> ((s, dir) => {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_ivm").toString
-      val long = ev(s, dir)
-      val h = pmod(
-        conv(substring(
-          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
-          .cast("long"),
-        lit(3L))
-      for (i <- 0 until 3)
-        graft.store.ManifestStore.ingestBatch(s, root, long.where(h === i))
+      val root = mdSplitManifestStore(s, dir)
       def daily(level1: DataFrame): DataFrame =
         level1
           .groupBy(col("dataset_id"),
