@@ -918,6 +918,13 @@ object PipelineQueries {
     // corpus-unigram-LM fluency score per doc (exact ppm integers)
     "doc_logprob" -> ((s, dir) =>
       docLogProbMemo(s, dir).orderBy("doc_id")),
+    // DSIR importance weights: target slice = English docs, source =
+    // whole corpus; positive weight ⇔ more target-like (the resampling
+    // signal for steering a crawl toward the target distribution)
+    "dsir_weights" -> ((s, dir) =>
+      TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
+        col("lang") === "en")
+        .orderBy("doc_id")),
     // corpus-bigram-LM fluency: first token under the unigram LM, the
     // rest under p(w2|w1) — the stronger repetition/fluency signal a
     // CCNet-style filter upgrades to when unigram scores saturate
@@ -3311,6 +3318,31 @@ object PipelineQueries {
     // lp_ppm is integer once per vocabulary term (the idf_ppm pattern):
     // per-doc sums are order-proof integers, the average divides
     // identical operands
+    // add-1 smoothed target/source unigram log-ratio in exact ppm; the
+    // ln operands are identical integer-derived doubles on both sides
+    "dsir_weights" ->
+      """WITH b AS (
+        |  SELECT doc_id, is_t, token FROM (
+        |    SELECT doc_id, lang = 'en' AS is_t,
+        |      unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM b GROUP BY 1, 2),
+        |sc AS (SELECT token, count(*) AS s_cnt,
+        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+        |  FROM b GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(s_cnt) AS BIGINT) AS s, CAST(sum(t_cnt) AS BIGINT) AS t
+        |  FROM sc),
+        |lp AS (SELECT token,
+        |    CAST(round((ln((t_cnt + 1)::DOUBLE / (t + v))
+        |      - ln((s_cnt + 1)::DOUBLE / (s + v))) * 1000000) AS BIGINT) AS w_ppm
+        |  FROM sc, v)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |  CAST(sum(tf * w_ppm) AS BIGINT) AS sum_w_ppm,
+        |  CAST(sum(tf * w_ppm) AS DOUBLE) / (sum(tf) * 1000000.0) AS avg_w,
+        |  CAST(sum(tf * w_ppm) AS BIGINT) > 0 AS target_like
+        |FROM tf JOIN lp USING (token)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "doc_logprob" ->
       """WITH tf AS (
         |  SELECT doc_id, token, count(*) AS tf FROM (

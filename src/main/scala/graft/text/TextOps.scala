@@ -319,6 +319,51 @@ object TextOps {
         (col("sum_lp_ppm").cast("double") / (col("n_tok") * lit(1e6))).as("avg_logp"))
   }
 
+  /** DSIR-style importance weights (Data Selection via Importance
+   *  Resampling, Xie et al. 2023): per-doc log-likelihood RATIO
+   *  between a TARGET unigram LM (docs matching `isTarget`) and the
+   *  SOURCE LM (the whole corpus), both add-1 smoothed over the shared
+   *  source vocabulary so tokens unseen in the target slice score
+   *  finitely. `sum_w_ppm > 0` ⇔ the doc looks more target- than
+   *  source-like — the resampling weight a curation pass feeds into
+   *  weighted sampling (sample_weighted) to steer a 100 TB crawl
+   *  toward a high-quality slice.
+   *
+   *  Float discipline: the only floats are the two `ln`s per
+   *  vocabulary entry, evaluated on identical integer-derived doubles
+   *  by both engines, rounded ONCE to ppm; everything per-doc is
+   *  exact integer arithmetic ([[docLogProb]]'s proven rule). Scale:
+   *  vocabulary-grain aggregates with map-side combine, LM attach by
+   *  token-key equi-join, one doc-grain reduction — corpus rows never
+   *  self-join.
+   */
+  def dsirWeights(
+      docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), isTarget.as("is_t"),
+        explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+    val tf = base.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val sc = base.groupBy("token").agg(
+      count(lit(1)).as("s_cnt"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("t_cnt"))
+    val v = sc.agg(
+      count(lit(1)).as("v"), sum(col("s_cnt")).as("s"), sum(col("t_cnt")).as("t"))
+    val lp = sc.crossJoin(broadcast(v))
+      .select(col("token"),
+        round((log((col("t_cnt") + 1).cast("double") / (col("t") + col("v"))) -
+          log((col("s_cnt") + 1).cast("double") / (col("s") + col("v"))))
+          * 1e6).cast("long").as("w_ppm"))
+    tf.join(lp, Seq("token"))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_tok"), sum(col("tf") * col("w_ppm")).as("sum_w_ppm"))
+      .select(
+        col("doc_id"), col("n_tok"), col("sum_w_ppm"),
+        (col("sum_w_ppm").cast("double") / (col("n_tok") * lit(1e6))).as("avg_w"),
+        (col("sum_w_ppm") > 0).as("target_like"))
+  }
+
   /** Corpus bigram-LM fluency score per doc — the second-order companion
    *  to [[docLogProb]]: the first token scores under the corpus unigram
    *  LM, every subsequent token under p(w₂|w₁) = cnt(w₁w₂)/cnt(w₁·),
