@@ -1703,6 +1703,23 @@ object PipelineQueries {
         .where(col("n_copies") > 1)
         .orderBy("h")),
 
+    // perceptual (aHash) near-dup over the multimodal tier: 64-cell
+    // sampled signature per payload (a real decoder's 8×8 luma grid),
+    // 16-bit band blocking, exact Hamming ≤ 6 cut — finds the
+    // length-preserving perturbed copies whole-file hashing
+    // (multimodal_dedup) misses, without any all-pairs join
+    "multimodal_phash" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionByName(
+        d.where(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + 100000L).as("doc_id"),
+            concat(expr("substring(text, 1, length(text) - 3)"), lit("zzz"))
+              .as("text")))
+      Multimodal.phashPairs(
+        Multimodal.aHash64(corpus, "doc_id", "text"), maxHamming = 6)
+        .orderBy("a_id", "b_id")
+    }),
+
     // chunk-grain PARTIAL-duplicate detection over binary payloads:
     // overlapping 64-byte chunks (stride 32), each hashed in-row; a
     // chunk held by ≥2 media marks region-level sharing (image regions
@@ -3660,6 +3677,44 @@ object PipelineQueries {
         |FROM (SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
         |      FROM documents)
         |ORDER BY media_id""".stripMargin,
+    // same banded-candidate semantics as the engine (pigeonhole exact
+    // to 3 flips; 4-6 found iff a band stays clean — see scaladoc)
+    "multimodal_phash" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 100000,
+        |    substring(text, 1, len(text) - 3) || 'zzz'
+        |  FROM documents WHERE doc_id % 10 = 0),
+        |c0 AS (SELECT doc_id AS media_id, text AS t, len(text) AS n
+        |  FROM corpus WHERE len(text) > 0),
+        |c1 AS (SELECT media_id,
+        |    list_transform(generate_series(0, 63),
+        |      i -> ascii(substring(t, 1 + CAST(i * n // 64 AS INT), 1))) AS cells
+        |  FROM c0),
+        |c2 AS (SELECT media_id, cells,
+        |    list_reduce(cells, (a, x) -> a + x) AS sumc FROM c1),
+        |h AS (SELECT media_id,
+        |    list_reduce(list_transform(generate_series(0, 31),
+        |      i -> CASE WHEN cells[CAST(i + 1 AS INT)] * 64 >= sumc
+        |        THEN (1::BIGINT << CAST(i AS INT)) ELSE 0::BIGINT END),
+        |      (a, b) -> a + b) AS h0,
+        |    list_reduce(list_transform(generate_series(32, 63),
+        |      i -> CASE WHEN cells[CAST(i + 1 AS INT)] * 64 >= sumc
+        |        THEN (1::BIGINT << CAST(i - 32 AS INT)) ELSE 0::BIGINT END),
+        |      (a, b) -> a + b) AS h1
+        |  FROM c2),
+        |bands AS (
+        |  SELECT media_id, h0, h1, 0 AS band, h0 & 65535 AS key FROM h
+        |  UNION ALL SELECT media_id, h0, h1, 1, (h0 >> 16) & 65535 FROM h
+        |  UNION ALL SELECT media_id, h0, h1, 2, h1 & 65535 FROM h
+        |  UNION ALL SELECT media_id, h0, h1, 3, (h1 >> 16) & 65535 FROM h),
+        |p AS (SELECT DISTINCT a.media_id AS a_id, b.media_id AS b_id,
+        |    CAST(bit_count(xor(a.h0, b.h0)) + bit_count(xor(a.h1, b.h1))
+        |      AS BIGINT) AS hamming
+        |  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        |    AND a.media_id < b.media_id)
+        |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 6
+        |ORDER BY 1, 2""".stripMargin,
     // payload bytes are the utf-8 text, so md5(text) is the blob hash
     "multimodal_dedup" ->
       """WITH corpus AS (

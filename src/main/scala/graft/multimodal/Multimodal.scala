@@ -99,4 +99,65 @@ object Multimodal {
         }
       }
   }
+
+  /** Average-hash (aHash) perceptual signature over the stub-decoded
+   *  byte grid: 64 cells sampled at evenly-spaced payload positions,
+   *  each bit = cell ≥ grid mean (integer-exact: `cell·64 ≥ Σcells`),
+   *  packed as two 32-bit words so neither engine shifts into a
+   *  BIGINT sign bit. With a real decoder the cells would be 8×8
+   *  downsampled luma — the sampling/threshold/packing pipeline is
+   *  identical. Small payload edits flip only the cells that sample
+   *  near them, so perceptual near-copies land within a few bits.
+   */
+  def aHash64(blobsText: DataFrame, idCol: String, textCol: String): DataFrame =
+    blobsText
+      .select(col(idCol).cast("long").as("media_id"),
+        col(textCol).as("t"), length(col(textCol)).as("n"))
+      .where(col("n") > 0)
+      .withColumn("cells",
+        expr("transform(sequence(0, 63), " +
+          "i -> ascii(substring(t, 1 + CAST(i * n DIV 64 AS INT), 1)))"))
+      .withColumn("sumc",
+        expr("aggregate(cells, 0L, (a, x) -> a + CAST(x AS BIGINT))"))
+      // shift a BIGINT one: shiftleft(1, 31) in INT arithmetic lands on
+      // the sign bit and negates the word
+      .withColumn("h0",
+        expr("aggregate(transform(sequence(0, 31), " +
+          "i -> IF(element_at(cells, i + 1) * 64 >= sumc, " +
+          "shiftleft(CAST(1 AS BIGINT), i), 0L)), 0L, (a, x) -> a + x)"))
+      .withColumn("h1",
+        expr("aggregate(transform(sequence(32, 63), " +
+          "i -> IF(element_at(cells, i + 1) * 64 >= sumc, " +
+          "shiftleft(CAST(1 AS BIGINT), i - 32), 0L)), 0L, (a, x) -> a + x)"))
+      .select("media_id", "h0", "h1")
+
+  /** Perceptual near-dup pairs: 16-bit band blocking over the two hash
+   *  words (any shared band ⇒ candidate), then the exact Hamming cut
+   *  via bit_count(xor). The pigeonhole GUARANTEES capture for pairs
+   *  within 3 flips; 4..maxHamming-flip pairs are found iff the flips
+   *  leave some band untouched — the operator's contract (and its
+   *  oracle) is exactly these banded-candidate semantics, the standard
+   *  SimHash-table trade (more tables ⇔ wider guarantee). Candidate
+   *  volume is band-bucket grain — the corpus never self-joins
+   *  all-pairs.
+   */
+  def phashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val banded = sigs.select(col("media_id"), col("h0"), col("h1"),
+      explode(expr(
+        "array(struct(0 AS band, h0 & 65535 AS key), " +
+          "struct(1 AS band, shiftright(h0, 16) & 65535 AS key), " +
+          "struct(2 AS band, h1 & 65535 AS key), " +
+          "struct(3 AS band, shiftright(h1, 16) & 65535 AS key))")).as("b"))
+      .select(col("media_id"), col("h0"), col("h1"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(
+        col("a.media_id").as("a_id"), col("b.media_id").as("b_id"),
+        (expr("bit_count(a.h0 ^ b.h0)") + expr("bit_count(a.h1 ^ b.h1)"))
+          .cast("long").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
 }
