@@ -107,6 +107,54 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(c1 == 2 && sm1 == 15.0)
   }
 
+  test("manifest sink restart from checkpoint: exactly-once, txn keys persist") {
+    val srcDir = TestSpark.tmpDir("graft_mrestart_src")
+    val root = TestSpark.tmpDir("graft_mrestart_store")
+    val ckpt = TestSpark.tmpDir("graft_mrestart_ckpt")
+    import graft.store.ManifestStore
+
+    def drop(b: Seq[(String, String, Double)], name: String): Unit = {
+      val staging = TestSpark.tmpDir(s"graft_mrestage_$name")
+      TestSpark.longDF(b).coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    }
+    def openStream() = spark.readStream
+      .schema(Tables.rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+
+    drop(batch(0), "b0")
+    val q1 = StreamIngest.startManifest(
+      openStream(), root, ckpt, Trigger.ProcessingTime("0 seconds"))
+    try q1.processAllAvailable() finally q1.stop()
+
+    drop(batch(4), "b1")
+    drop(batch(8), "b2")
+    val q2 = StreamIngest.startManifest(
+      openStream(), root, ckpt, Trigger.ProcessingTime("0 seconds"))
+    try q2.processAllAvailable() finally q2.stop()
+
+    // streamed state == one-shot batch rollup of all 12 points
+    val streamed = ManifestStore.readLevel(spark, root, Fidelity.S1)
+      .orderBy("bucket_s").collect().toSeq
+    val oneShot = graft.ops.Rollup.aggregate(
+        TestSpark.longDF(batch(0) ++ batch(4) ++ batch(8)), 1)
+      .select("dataset_id", "bucket_s", "min_v", "max_v", "sum_v", "cnt")
+      .orderBy("bucket_s").collect().toSeq
+    assert(streamed == oneShot, "restart neither lost nor doubled a batch")
+
+    // the micro-batch txn keys survived both runs: a redelivery of any
+    // processed id is rejected outright
+    for (k <- Seq("b0", "b1", "b2"))
+      assert(!ManifestStore.appendPartialsIdempotent(spark, root,
+        Tables.allLevelPartials(
+          graft.ingest.Melt.sanitize(TestSpark.longDF(batch(0)))), k),
+        s"key $k should persist across restarts")
+  }
+
   test("S1: JSON wire format decodes to canonical long form (server.py:76-103)") {
     val s = spark
     import s.implicits._
