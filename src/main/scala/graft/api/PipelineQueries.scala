@@ -925,6 +925,27 @@ object PipelineQueries {
       TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
         col("lang") === "en")
         .orderBy("doc_id")),
+    // the RESAMPLING half of DSIR: acceptance probability is a clamped
+    // monotone map of the per-token weight (integer ppm end to end),
+    // selection by the deterministic md5-threshold trick
+    // (sample_weighted's discipline) — target-like docs oversampled,
+    // source-typical docs thinned, fully reproducible across engines
+    "dsir_resample" -> ((s, dir) =>
+      TextOps.dsirWeights(docs(s, dir), "doc_id", "text",
+        col("lang") === "en")
+        // floor on identical doubles, NOT integer `div`: Spark div
+        // truncates toward zero while DuckDB // floors, and DSIR
+        // weights go negative
+        .withColumn("p_ppm",
+          greatest(lit(50000L), least(lit(1000000L),
+            lit(500000L) +
+              floor(col("sum_w_ppm") / col("n_tok") / lit(2)).cast("long"))))
+        .withColumn("h",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 15), 16, 10)
+            .cast("long"))
+        .where(col("h") % 1000000L < col("p_ppm"))
+        .select(col("doc_id"), col("p_ppm"))
+        .orderBy("doc_id")),
     // corpus-bigram-LM fluency: first token under the unigram LM, the
     // rest under p(w2|w1) — the stronger repetition/fluency signal a
     // CCNet-style filter upgrades to when unigram scores saturate
@@ -3360,6 +3381,34 @@ object PipelineQueries {
         |  CAST(sum(tf * w_ppm) AS BIGINT) > 0 AS target_like
         |FROM tf JOIN lp USING (token)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dsir_resample" ->
+      """WITH b AS (
+        |  SELECT doc_id, is_t, token FROM (
+        |    SELECT doc_id, lang = 'en' AS is_t,
+        |      unnest(string_split(text, ' ')) AS token FROM documents)
+        |  WHERE len(token) > 0),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM b GROUP BY 1, 2),
+        |sc AS (SELECT token, count(*) AS s_cnt,
+        |    CAST(sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS t_cnt
+        |  FROM b GROUP BY 1),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |    CAST(sum(s_cnt) AS BIGINT) AS s, CAST(sum(t_cnt) AS BIGINT) AS t
+        |  FROM sc),
+        |lp AS (SELECT token,
+        |    CAST(round((ln((t_cnt + 1)::DOUBLE / (t + v))
+        |      - ln((s_cnt + 1)::DOUBLE / (s + v))) * 1000000) AS BIGINT) AS w_ppm
+        |  FROM sc, v),
+        |w AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+        |    CAST(sum(tf * w_ppm) AS BIGINT) AS sum_w_ppm
+        |  FROM tf JOIN lp USING (token) GROUP BY 1),
+        |p AS (SELECT doc_id,
+        |    greatest(50000, least(1000000,
+        |      500000 + CAST(floor(sum_w_ppm / n_tok / 2) AS BIGINT))) AS p_ppm
+        |  FROM w)
+        |SELECT doc_id, CAST(p_ppm AS BIGINT) AS p_ppm FROM p
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |  % 1000000 < p_ppm
+        |ORDER BY doc_id""".stripMargin,
     "doc_logprob" ->
       """WITH tf AS (
         |  SELECT doc_id, token, count(*) AS tf FROM (
