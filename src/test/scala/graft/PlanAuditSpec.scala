@@ -457,6 +457,23 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal_phash plan stays collapse-safe and blocks on band keys") {
+    withPlainPlans {
+      val df = SparkEntry.queries("multimodal_phash")(spark, sf)
+      val opt = df.queryExecution.optimizedPlan.toString
+      // the pre-fix plan inlined the 64-cell transform into every
+      // signature lambda (64× duplication → a megabyte-scale plan and
+      // a 43× slowdown); the explode+aggregate shape stays ~5 KB
+      assert(opt.length < 50000,
+        s"phash plan exploded to ${opt.length} chars — expression " +
+          "duplication is back")
+      val phys = df.queryExecution.executedPlan.toString
+      assert(!phys.contains("CartesianProduct") &&
+        !phys.contains("BroadcastNestedLoopJoin"),
+        "banded self-join degenerated to all-pairs")
+    }
+  }
+
   test("triangle counting closes wedges with hash/merge joins, never cartesian") {
     withPlainPlans {
       val und = spark.range(0L, 1000L)
