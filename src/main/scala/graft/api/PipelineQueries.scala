@@ -620,6 +620,48 @@ object PipelineQueries {
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
     }),
+
+    // hard-negative mining over the dup-planted corpus: per query, the
+    // 10 most-similar candidates in the (0.2, 0.9) cosine band — the
+    // ~0.99 planted near-copies fall ABOVE the band (a positive, not a
+    // negative) and random pairs mostly below it; the band filter runs
+    // before ranking so excluded near-dups don't eat the k slots
+    "hard_negatives" -> ((s, dir) => {
+      val corpus = embCorpus(s, dir)
+      Similarity.hardNegatives(corpus, corpus.where(col("vec_id") < 5), 10,
+          loCos = 0.2, hiCos = 0.9,
+          centroidStep = Similarity.boundedStep(corpus.count()), nProbe = 3)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
+    // label-noise audit via kNN consistency (Confident-Learning style):
+    // per vector, the fraction of its 10 IVF neighbors sharing its
+    // label, in exact ppm; low agreement flags likely mislabels. Self-
+    // similarity posture → probes shuffle on cell (broadcastProbes =
+    // false), never the whole catalog × nProbe to every task
+    "knn_label_audit" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val labels = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label"))
+      val nbrs = Similarity.ivfTopK(base, base, 10,
+        centroidStep = Similarity.boundedStep(base.count()), nProbe = 3,
+        broadcastProbes = false)
+      nbrs
+        .join(labels.select(col("vec_id").as("q_id"), col("label").as("q_lab")),
+          Seq("q_id"))
+        .join(labels.select(col("vec_id").as("n_id"), col("label").as("n_lab")),
+          Seq("n_id"))
+        .groupBy(col("q_id").as("vec_id"), col("q_lab").as("label"))
+        .agg(
+          count(lit(1)).as("n_nbrs"),
+          sum(when(col("q_lab") === col("n_lab"), 1L).otherwise(0L))
+            .as("n_agree"))
+        .withColumn("agree_ppm",
+          expr("1000000 * n_agree div n_nbrs"))
+        .withColumn("suspect", col("agree_ppm") < 300000L)
+        .orderBy("vec_id")
+    }),
     // product quantization: 64 dims → 16 subspace codes (4 dims each)
     // from stride-sampled 16-codeword codebooks, whole corpus ranked by
     // asymmetric (ADC) distance — the 16× memory-compression ANN path;
@@ -2898,6 +2940,85 @@ object PipelineQueries {
         |      FROM p)
         |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // same IVF semantics over the dup-planted corpus, band-filtered
+    // BEFORE ranking; centroids stride over the corpus incl. copies
+    "hard_negatives" ->
+      """WITH base AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pert AS (
+        |  SELECT b.vec_id + 100000 AS vec_id,
+        |    list_transform(generate_series(1, 64),
+        |      i -> b.v[i] + 0.01 * (((b.vec_id + i - 1) % 7) - 3)) AS v
+        |  FROM base b WHERE b.vec_id % 5 = 0),
+        |e AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM e) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |ar AS (SELECT vec_id, v, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
+        |           FROM ar WHERE vec_id < 5 AND rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p WHERE cos > 0.2 AND cos < 0.9)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // every vector probes its own catalog (no vec_id < 5 cut), then
+    // neighbor labels aggregate to an exact-ppm agreement per vector
+    "knn_label_audit" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM e) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |ar AS (SELECT vec_id, v, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
+        |           FROM ar WHERE rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p),
+        |nb AS (SELECT q_id, n_id FROM r WHERE rank <= 10),
+        |ag AS (
+        |  SELECT nb.q_id AS vec_id, ql.label,
+        |    CAST(count(*) AS BIGINT) AS n_nbrs,
+        |    CAST(sum(CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_agree
+        |  FROM nb
+        |  JOIN embeddings ql ON ql.vec_id = nb.q_id
+        |  JOIN embeddings nl ON nl.vec_id = nb.n_id
+        |  GROUP BY 1, 2)
+        |SELECT vec_id, label, n_nbrs, n_agree,
+        |  (1000000 * n_agree) // n_nbrs AS agree_ppm,
+        |  (1000000 * n_agree) // n_nbrs < 300000 AS suspect
+        |FROM ag ORDER BY vec_id""".stripMargin,
     // k-means IVF: the 2 Lloyd iterations are replicated in SQL. The
     // mean update is fixed-point (Σ round(x·10⁶) is a sum of integral
     // doubles — exact in any order — divided by identical operands), so

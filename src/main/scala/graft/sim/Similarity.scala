@@ -209,7 +209,18 @@ object Similarity {
   def ivfTopKWith(
       corpus: DataFrame, queries: DataFrame, k: Int,
       centIds: Array[Long], centVecs: Array[Double], nProbe: Int,
-      broadcastProbes: Boolean = true): DataFrame = {
+      broadcastProbes: Boolean = true): DataFrame =
+    rankTopK(
+      probeCands(corpus, queries, centIds, centVecs, nProbe, broadcastProbes), k)
+
+  /** IVF probe candidates with exact cosine — the shared front half of
+   *  [[ivfTopKWith]] and [[hardNegatives]]: cell assignment (narrow
+   *  argmax over driver-resident centroids), probe explode, cell join.
+   */
+  private def probeCands(
+      corpus: DataFrame, queries: DataFrame,
+      centIds: Array[Long], centVecs: Array[Double], nProbe: Int,
+      broadcastProbes: Boolean): DataFrame = {
     def topCells(v: Column, n: Int): Column =
       toCol(graft.functions.TopCentroids(toExpr(v), centIds, centVecs, n))
     val assigned = corpus.select(
@@ -221,6 +232,10 @@ object Similarity {
     assigned.join(if (broadcastProbes) broadcast(probes) else probes, Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", cosine(col("qv"), col("v")))
+  }
+
+  private def rankTopK(cands: DataFrame, k: Int): DataFrame =
+    cands
       .withColumn("rank",
         row_number().over(
           Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))))
@@ -229,6 +244,28 @@ object Similarity {
         // BIGINT rank: row_number() is int-typed in Spark but BIGINT in
         // SQL engines — emit the portable type
         col("rank").cast("long").as("rank"))
+
+  /** Hard-negative mining for contrastive training: per query, the
+   *  top-k MOST similar candidates inside the band (loCos, hiCos) —
+   *  similar enough to be informative negatives, strictly below the
+   *  near-duplicate cut so positives and copies are excluded. Same
+   *  IVF probe shape and cost as [[ivfTopK]]; the band filter runs on
+   *  the exact cosine BEFORE ranking, so the k slots go to in-band
+   *  candidates rather than being eaten by excluded near-dups.
+   */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame, k: Int,
+      loCos: Double, hiCos: Double,
+      centroidStep: Long = 7L, nProbe: Int = 3,
+      broadcastProbes: Boolean = true): DataFrame = {
+    val cents = collectBounded(
+      corpus.where(col("vec_id") % centroidStep === 0),
+      "raise centroidStep (or build centroids with k-means) for this corpus")
+    rankTopK(
+      probeCands(corpus, queries,
+        cents.map(_._1), cents.flatMap(_._2), nProbe, broadcastProbes)
+        .where(col("cos") > loCos && col("cos") < hiCos),
+      k)
   }
 
   /** Bounded driver-side collect of (vec_id, v) rows — legal only
