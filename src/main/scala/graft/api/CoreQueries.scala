@@ -1330,6 +1330,94 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- windowed STREAMING quantiles: per-60 s-window p50/p95 from
+    // fixed-grid bucket counts maintained as streaming state (≤ B
+    // counters per window, watermark-evicted — the production latency-
+    // histogram posture; the range is pre-configured because a stream
+    // cannot two-pass for min/max). Counts are order-free integer
+    // sums, so the streamed grid equals the batch grid exactly; rank
+    // extraction runs batch-side over the sink. Same two-sentinel
+    // flush dance as stream_window_10s --------------------------------
+    "stream_quantile_60s" -> ((s, dir) => {
+      val (qLo, qHi, qB) = (0.0, 600.0, 256)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_qn")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("a_events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val maxTsUs = evb.select(Melt.tsUs(evb, "ts").as("us"))
+        .agg(max("us")).head().getLong(0)
+      val base = System.currentTimeMillis()
+      java.nio.file.Files.setLastModifiedTime(
+        srcDir.resolve("a_events.parquet"),
+        java.nio.file.attribute.FileTime.fromMillis(base - 60000L))
+      for (k <- 1 to 2) {
+        val scratch = srcDir.resolve(s"scratch$k")
+        evb.limit(1)
+          .withColumn("ts",
+            Melt.tsLit(evb.schema("ts").dataType, maxTsUs + k * 86400L * 1000000L))
+          .withColumn("event_type", lit("zzsentinel"))
+          .coalesce(1)
+          .write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"b_sentinel$k.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + k * 2000L))
+        } finally parts.close()
+      }
+      val stream = s.readStream.schema(evb.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val qn = "sq60_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val prevSp = s.conf.get("spark.sql.shuffle.partitions")
+      val q = try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        graft.streaming.StreamWindow
+          .windowedGridCounts(Melt.events(stream),
+            widthS = 60, delayS = 5, lo = qLo, hi = qHi, b = qB)
+          .writeStream
+          .outputMode("append")
+          .format("memory")
+          .queryName(qn)
+          .option("checkpointLocation", s"$srcDir/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevSp)
+      q.awaitTermination()
+      // batch-side rank extraction over the sunk grid; sentinel windows
+      // sit past the real max event time and are dropped. The grid is
+      // materialized OFF the memory sink first: the mm/cum self-join
+      // below cannot deduplicate a MemoryPlan view's attributes
+      val grid = s.table(qn).where(col("bucket_s") <= maxTsUs / 1000000L)
+        .localCheckpoint(true)
+      val mm = grid.groupBy("bucket_s").agg(sum("cnt").as("n"))
+      val cum = grid.withColumn("cum",
+        sum("cnt").over(org.apache.spark.sql.expressions.Window
+          .partitionBy("bucket_s").orderBy("bucket")
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      val pr = broadcast(
+        s.createDataFrame(Seq(Tuple1(0.5), Tuple1(0.95))).toDF("p"))
+      mm.crossJoin(pr)
+        .withColumn("rank",
+          greatest(lit(1L), ceil(col("p") * col("n")).cast("long")))
+        .join(cum, Seq("bucket_s"))
+        .where(col("cum") >= col("rank"))
+        .groupBy("bucket_s", "p", "rank")
+        .agg(min("bucket").as("bucket"))
+        .select(
+          col("bucket_s"), col("p"), col("rank"),
+          col("bucket").cast("long").as("bucket"),
+          round(lit(qLo) + col("bucket") * lit(qHi - qLo) / qB, 6).as("est"))
+        .orderBy("bucket_s", "p")
+    }),
+
     // ---- stream-stream interval join: views within ±3000 s of each
     // purchase by the SAME user, joined live across two event streams
     // (symmetric hash join state keyed by user, watermark-evicted).
@@ -2047,6 +2135,31 @@ object CoreQueries {
     // every 10 s window is below the sentinel-advanced watermark, so the
     // streamed append-mode output must equal the one-shot batch rollup
     "stream_window_10s" -> rollupSql(10),
+    // the streamed per-window grid must equal the batch grid (order-
+    // free integer sums), so the extracted quantiles match exactly
+    "stream_quantile_60s" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts_us, value FROM events
+        |  WHERE value IS NOT NULL AND NOT isnan(value)),
+        |g AS (SELECT (ts_us // 60000000) * 60 AS bucket_s,
+        |    least(255, greatest(0,
+        |      CAST(floor((value - 0.0) / 600.0 * 256) AS INT))) AS bucket,
+        |    count(*) AS cnt
+        |  FROM e GROUP BY 1, 2),
+        |mm AS (SELECT bucket_s, CAST(sum(cnt) AS BIGINT) AS n
+        |  FROM g GROUP BY 1),
+        |cum AS (SELECT bucket_s, bucket,
+        |    CAST(sum(cnt) OVER (PARTITION BY bucket_s ORDER BY bucket)
+        |      AS BIGINT) AS cum
+        |  FROM g),
+        |pr AS (SELECT CAST(unnest([0.5, 0.95]) AS DOUBLE) AS p),
+        |r AS (SELECT mm.bucket_s, p,
+        |    greatest(1, CAST(ceil(p * n) AS BIGINT)) AS rank FROM mm, pr),
+        |sel AS (SELECT r.bucket_s, r.p, r.rank, min(bucket) AS bucket
+        |  FROM r JOIN cum ON cum.bucket_s = r.bucket_s AND cum.cum >= r.rank
+        |  GROUP BY 1, 2, 3)
+        |SELECT bucket_s, p, rank, CAST(bucket AS BIGINT) AS bucket,
+        |  round(0.0 + bucket * 600.0 / 256, 6) AS est
+        |FROM sel ORDER BY bucket_s, p""".stripMargin,
     // a bounded replay through the symmetric hash join must produce
     // exactly the batch per-user interval join
     "stream_join_3000s" ->

@@ -39,4 +39,34 @@ object StreamWindow {
         col("dataset_id"),
         unix_timestamp(col("window.start")).as("bucket_s"),
         col("min_v"), col("max_v"), col("sum_v"), col("cnt"))
+
+  /** Windowed fixed-grid QUANTILE state: per-(window, bucket) counts on
+   *  a PRE-CONFIGURED (lo, hi, b) grid — the streaming leg of the
+   *  fixed-grid quantile sketch (Sketches.quantileGridCounts). The
+   *  range must be fixed upfront: a stream cannot two-pass for min/max,
+   *  which is the documented contract of every fixed-grid sketch (and
+   *  why production latency histograms configure their bucket bounds).
+   *  State per window is ≤ b counters regardless of event volume;
+   *  watermark evicts finalized windows. Quantile extraction (rank
+   *  probing the cumulative counts) runs batch-side over the sink —
+   *  counts are order-free integer sums, so the streamed state equals
+   *  the batch grid bit-for-bit.
+   */
+  def windowedGridCounts(
+      long: DataFrame, widthS: Int, delayS: Int,
+      lo: Double, hi: Double, b: Int): DataFrame = {
+    require(b >= 2 && b <= 65536 && hi > lo, "bad grid")
+    long
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", s"$delayS seconds")
+      .withColumn("bucket",
+        least(lit(b - 1),
+          greatest(lit(0),
+            floor((col("value") - lit(lo)) / lit(hi - lo) * b).cast("int"))))
+      .groupBy(window(col("ts"), s"$widthS seconds"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_s"),
+        col("bucket"), col("cnt"))
+  }
 }
