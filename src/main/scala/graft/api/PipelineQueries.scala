@@ -90,6 +90,25 @@ object PipelineQueries {
     })
   }
 
+  /** Per-doc BPE-encoded lengths (doc_id, n_tokens, n_subwords) —
+   *  the bpe_encode result, shared with seq_length_plan. Segmentation
+   *  runs at the VOCAB grain (unique words), never per occurrence.
+   */
+  private def bpeDocLengths(s: SparkSession, dir: String): DataFrame = {
+    val toks = docs(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+      .where(length(col("w")) > 0)
+    val vocab = toks.groupBy(col("w").as("word"))
+      .agg(count(lit(1)).as("cnt"))
+    val rules = bpeRules(s, dir).map { case (_, x, y, _) => (x, y) }
+    val seg = vocab.withColumn("n_sub",
+      size(split(graft.text.BpeTrainer.applyMerges(
+        graft.text.BpeTrainer.charRepr(col("word")), rules), " ")))
+    toks.join(seg.select(col("word").as("w"), col("n_sub")), Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
+  }
+
   private def embBase(s: SparkSession, dir: String): DataFrame =
     Similarity.asDouble(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
 
@@ -897,20 +916,30 @@ object PipelineQueries {
     // rule folds once per VOCAB word, then join the doc→word explode
     // back — never fold per occurrence); the rules are k driver-side
     // literals, so the encode plan is pure narrow codegen
-    "bpe_encode" -> ((s, dir) => {
-      val toks = docs(s, dir)
-        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
-        .where(length(col("w")) > 0)
-      val vocab = toks.groupBy(col("w").as("word"))
-        .agg(count(lit(1)).as("cnt"))
-      val rules = bpeRules(s, dir).map { case (_, x, y, _) => (x, y) }
-      val seg = vocab.withColumn("n_sub",
-        size(split(graft.text.BpeTrainer.applyMerges(
-          graft.text.BpeTrainer.charRepr(col("word")), rules), " ")))
-      toks.join(seg.select(col("word").as("w"), col("n_sub")), Seq("w"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum(col("n_sub")).as("n_subwords"))
-        .orderBy("doc_id")
+    "bpe_encode" -> ((s, dir) =>
+      bpeDocLengths(s, dir).orderBy("doc_id")),
+
+    // context-window budgeting from the BPE-encoded lengths: per
+    // candidate context size, how many docs fit whole, how many
+    // sequences a no-packing chunker emits, and the padding
+    // utilization — the capacity-planning report run before choosing a
+    // training context/packing strategy (pack_sequences is the
+    // optimized packing it argues for). Doc-grain agg + a 3-row
+    // broadcast of budgets; all-integer arithmetic
+    "seq_length_plan" -> ((s, dir) => {
+      val ctx = broadcast(s.createDataFrame(
+        Seq(Tuple1(128L), Tuple1(512L), Tuple1(2048L))).toDF("ctx"))
+      bpeDocLengths(s, dir).crossJoin(ctx)
+        .groupBy("ctx")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("n_subwords") <= col("ctx"), 1L).otherwise(0L))
+            .as("n_fit"),
+          sum(expr("(n_subwords + ctx - 1) div ctx")).as("n_sequences"),
+          sum(col("n_subwords")).as("total_subwords"))
+        .withColumn("util_ppm",
+          expr("1000000 * total_subwords div (ctx * n_sequences)"))
+        .orderBy("ctx")
     }),
 
     // per-doc keyword extraction; corpus size N for idf is a 1-row
@@ -3324,6 +3353,25 @@ object PipelineQueries {
       |  CAST(sum(n_sub) AS BIGINT) AS n_subwords
       |FROM wf JOIN seg ON wf.w = seg.word
       |GROUP BY 1 ORDER BY 1""".stripMargin),
+    // same BPE lengths folded per context budget — all positive-integer
+    // arithmetic, so div/// agree
+    "seq_length_plan" -> (bpeWithChain(8, finalRewrite = true) + """,
+      |ws AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      |wf AS (SELECT doc_id, w FROM ws WHERE len(w) > 0),
+      |seg AS (SELECT word, len(string_split(repr, ' ')) AS n_sub FROM r8),
+      |dl AS (SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(n_sub) AS BIGINT) AS n_subwords
+      |  FROM wf JOIN seg ON wf.w = seg.word GROUP BY 1),
+      |cx AS (SELECT CAST(unnest([128, 512, 2048]) AS BIGINT) AS ctx),
+      |ag AS (SELECT ctx, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN n_subwords <= ctx THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_fit,
+      |    CAST(sum((n_subwords + ctx - 1) // ctx) AS BIGINT) AS n_sequences,
+      |    CAST(sum(n_subwords) AS BIGINT) AS total_subwords
+      |  FROM dl, cx GROUP BY 1)
+      |SELECT ctx, n_docs, n_fit, n_sequences, total_subwords,
+      |  (1000000 * total_subwords) // (ctx * n_sequences) AS util_ppm
+      |FROM ag ORDER BY ctx""".stripMargin),
     // PMI with every log pre-rounded to ppm → pure integer compare
     "collocations_topk" ->
       """WITH f AS (
