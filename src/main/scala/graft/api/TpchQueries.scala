@@ -171,6 +171,35 @@ object TpchQueries {
         .withColumn("at_risk", col("n") < 5)
         .orderBy("nation", "segment", "bal_bin")),
 
+    // q10-style returned-item customer ranking: revenue lost to
+    // returns in one quarter, per customer, top 20. Scale shape: the
+    // only fact-fact shuffle is lineitem('R') ⨝ date-filtered orders on
+    // orderkey; the per-customer aggregate is tiny (one quarter's
+    // returners) and BROADCASTS into the customer dimension, which
+    // never shuffles; nation broadcasts into customer. Top-20 rides
+    // TakeOrderedAndProject.
+    "q10_returns" -> ((s, dir) => {
+      val lo = lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00"))
+      val hi = lit(java.time.LocalDateTime.parse("1997-04-01T00:00:00"))
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_returnflag") === "R")
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_custkey")
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+      val nat = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+      t(s, dir, "customer")
+        .join(broadcast(rev), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // blocked edit-distance similarity join (record linkage): pairs of
     // DISTINCT part names within Levenshtein 2, candidates generated by
     // blocking on the head noun (the last token) and verified exactly
@@ -277,6 +306,38 @@ object TpchQueries {
     // backward as-of join: each purchase attributed to the user's
     // latest prior view (union+running-window plan — one shuffle by
     // user_id, no range explosion; graft.ops.Temporal)
+    // MULTI-touch attribution with time decay: every view in the
+    // 3000 s window before a purchase earns integer-ppm credit that
+    // halves-ish by age band (w = 1e6/(1+age/600)), normalized per
+    // purchase — the linear/time-decay models marketing attribution
+    // uses beyond asof_attribution's last-touch. Shape: one
+    // user_id-keyed join with the window as a filter (the
+    // stream_join_3000s batch twin), then a purchase-grain aggregate;
+    // all positive-integer arithmetic, cross-engine exact
+    "attribution_decay" -> ((s, dir) => {
+      val e = CoreQueries.rawEvents(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id"), col("ts_us").as("p_us"))
+      val v = e.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts_us").as("v_us"))
+      p.join(v, Seq("user_id"))
+        .where(col("v_us") <= col("p_us") &&
+          col("v_us") >= col("p_us") - lit(3000L * 1000000L))
+        .withColumn("age_s", expr("(p_us - v_us) div 1000000"))
+        .withColumn("w", expr("1000000 div (1 + age_s div 600)"))
+        .groupBy("p_id")
+        .agg(
+          count(lit(1)).as("n_touches"),
+          sum(col("w")).as("sum_w"),
+          max(struct(col("v_us"), col("w"))).getField("w").as("last_w"),
+          min(struct(col("v_us"), col("w"))).getField("w").as("first_w"))
+        .select(
+          col("p_id"), col("n_touches"),
+          expr("1000000 * last_w div sum_w").as("last_share_ppm"),
+          expr("1000000 * first_w div sum_w").as("first_share_ppm"))
+        .orderBy("p_id")
+    }),
+
     "asof_attribution" -> ((s, dir) => {
       val e = CoreQueries.rawEvents(s, dir)
       val p = e.where(col("event_type") === "purchase")
@@ -480,6 +541,20 @@ object TpchQueries {
         |  CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bin,
         |  count(*) AS n, count(*) < 5 AS at_risk
         |FROM customer GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returns" ->
+      """WITH rev AS (
+        |  SELECT o_custkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |    AND o_orderdate < TIMESTAMP '1997-04-01'
+        |  GROUP BY 1)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM rev
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation ON n_nationkey = c_nationkey
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "fuzzy_name_match" ->
       """WITH names AS (
         |  SELECT p_name AS name, count(*) AS n_parts,
@@ -561,6 +636,25 @@ object TpchQueries {
     // tie-break mirrors asofBackward's running max(struct(ts, id)):
     // latest ts first, then MAX event_id among equal-ts views — a
     // two-step max avoids arg_max, whose tie choice is unspecified
+    // arg_max/arg_min on (v_us) mirror Spark's struct-max tie rule:
+    // equal v_us ⇒ equal age ⇒ equal w, so ties cannot diverge
+    "attribution_decay" ->
+      """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT user_id, epoch_us(ts) AS v_us
+        |  FROM events WHERE event_type = 'view'),
+        |j AS (SELECT p_id, v_us, (p_us - v_us) // 1000000 AS age_s
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE v_us <= p_us AND v_us >= p_us - 3000000000),
+        |w AS (SELECT p_id, v_us, 1000000 // (1 + age_s // 600) AS w FROM j),
+        |a AS (SELECT p_id, count(*) AS n_touches,
+        |    CAST(sum(w) AS BIGINT) AS sum_w,
+        |    arg_max(w, v_us) AS last_w, arg_min(w, v_us) AS first_w
+        |  FROM w GROUP BY 1)
+        |SELECT p_id, n_touches,
+        |  (1000000 * last_w) // sum_w AS last_share_ppm,
+        |  (1000000 * first_w) // sum_w AS first_share_ppm
+        |FROM a ORDER BY p_id""".stripMargin,
     "asof_attribution" ->
       """WITH p AS (SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
         |           FROM events WHERE event_type = 'purchase'),
