@@ -1261,9 +1261,13 @@ object CoreQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
       val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_win")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("a_events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // COPY, not symlink: the watermark dance below sets this staged
+      // file's mtime to order the replay, and setLastModifiedTime on a
+      // symlink FOLLOWS it — a link here would mutate the read-only
+      // source table's metadata
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("a_events.parquet"))
       // TWO sentinels, each a day apart past the stream's max event
       // time, each in its own micro-batch: append-mode emission applies
       // the watermark computed at the PREVIOUS batch's end, so batch
@@ -1343,9 +1347,13 @@ object CoreQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
       val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_qn")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("a_events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // COPY, not symlink: the watermark dance below sets this staged
+      // file's mtime to order the replay, and setLastModifiedTime on a
+      // symlink FOLLOWS it — a link here would mutate the read-only
+      // source table's metadata
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("a_events.parquet"))
       val maxTsUs = evb.select(Melt.tsUs(evb, "ts").as("us"))
         .agg(max("us")).head().getLong(0)
       val base = System.currentTimeMillis()
@@ -1477,9 +1485,13 @@ object CoreQueries {
     "stream_sessions" -> ((s, dir) => {
       val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
       val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_sess")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("a_events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // COPY, not symlink: the watermark dance below sets this staged
+      // file's mtime to order the replay, and setLastModifiedTime on a
+      // symlink FOLLOWS it — a link here would mutate the read-only
+      // source table's metadata
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("a_events.parquet"))
       val maxTsUs = evb.select(Melt.tsUs(evb, "ts").as("us"))
         .agg(max("us")).head().getLong(0)
       val base = System.currentTimeMillis()
@@ -1548,9 +1560,13 @@ object CoreQueries {
     "stream_excursions" -> ((s, dir) => {
       val evb = Melt.readTsParquet(s, s"$dir/events.parquet")
       val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_alrt")
-      java.nio.file.Files.createSymbolicLink(
-        srcDir.resolve("a_events.parquet"),
-        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      // COPY, not symlink: the watermark dance below sets this staged
+      // file's mtime to order the replay, and setLastModifiedTime on a
+      // symlink FOLLOWS it — a link here would mutate the read-only
+      // source table's metadata
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        srcDir.resolve("a_events.parquet"))
       val maxTsUs = evb.select(Melt.tsUs(evb, "ts").as("us"))
         .agg(max("us")).head().getLong(0)
       val base = System.currentTimeMillis()
@@ -1961,6 +1977,36 @@ object CoreQueries {
           col("dataset_id"), col("day_s"),
           col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
         .orderBy("dataset_id", "day_s")
+    }),
+
+    // ---- manifest SCHEMA EVOLUTION: batch 0 is committed by a v1
+    // writer (its parquet files have NO sumsq column), batches 1-2 by
+    // v2 writers (sumsq = Σv²). Old commits are never rewritten —
+    // parquet schema reconciliation reads the missing column as NULL —
+    // and the merge rule is conservative: a bucket's sumsq is non-null
+    // iff EVERY contributing commit carries it (null-poisoning sum
+    // monoid, associative, so compaction preserves it). v1 columns
+    // (min/max/sum/cnt) fold identically across revisions ------------
+    "manifest_schema_evolution" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_manifest_evo").toString
+      val long = ev(s, dir)
+      val h = pmod(
+        conv(substring(
+          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(3L))
+      graft.store.ManifestStore.appendPartials(s, root,
+        Tables.allLevelPartials(long.where(h === 0)))
+      for (i <- 1 until 3)
+        graft.store.ManifestStore.appendPartials(s, root,
+          Tables.allLevelPartials(long.where(h === i), withSumsq = true))
+      graft.store.ManifestStore.readLevelV2(s, root, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"),
+          r6(col("sumsq")).as("sumsq"))
+        .orderBy("dataset_id", "bucket_s")
     }))
 
   /** Shared DuckDB CTE chain ending in `f(t16, h16, fid)` with `b(t0,
@@ -2129,6 +2175,20 @@ object CoreQueries {
         |FROM d LEFT JOIN o ON d.dataset_id = o.dataset_id
         |  AND d.bucket_s = o.bucket_s
         |ORDER BY 1, 2""".stripMargin,
+    // buckets any md5-split-0 (v1-written) row touches read sumsq NULL;
+    // all-v2 buckets read the exact Σv² — the conservative merge rule
+    "manifest_schema_evolution" ->
+      """WITH e AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us,
+        |    value,
+        |    ('0x' || substr(md5(event_type || '|' ||
+        |      CAST(epoch_us(ts) AS VARCHAR)), 1, 15))::BIGINT % 3 AS b
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        |SELECT dataset_id, ts_us // 1000000 AS bucket_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt,
+        |  CASE WHEN count(*) FILTER (WHERE b = 0) > 0 THEN NULL
+        |       ELSE round(sum(value * value), 6) END AS sumsq
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_ingest_1s" -> rollupSql(1),
     // the exactly-once manifest replay must equal the one-shot rollup
     "stream_manifest_1s" -> rollupSql(1),

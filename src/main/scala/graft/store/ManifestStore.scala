@@ -56,7 +56,16 @@ object ManifestStore {
   private def dataDir(root: String) = s"${tableRoot(root)}/data"
   private def manifestDir(root: String) = s"${tableRoot(root)}/_manifests"
 
-  /** Physical file schema: fidelity lives in the directory name. */
+  /** Physical file schema, CURRENT (v2) revision: fidelity lives in the
+   *  directory name. `sumsq` (Σv² — variance/stddev support) is the v2
+   *  addition: v1 commit files simply lack the column and parquet schema
+   *  reconciliation reads it as NULL, so old commits need no rewrite.
+   *  The merge rule for an evolved column is CONSERVATIVE: a bucket's
+   *  folded `sumsq` is non-null iff EVERY contributing commit carries it
+   *  — a partial sum over only the v2 contributors would silently claim
+   *  a Σv² that excludes v1 rows. The rule is the null-poisoning sum
+   *  monoid, so it is associative and compaction preserves it.
+   */
   private val physSchema: StructType = StructType(Seq(
     StructField("dataset_id", StringType),
     StructField("part_s", LongType),
@@ -65,7 +74,17 @@ object ManifestStore {
     StructField("max_v", DoubleType),
     StructField("sum_v", DoubleType),
     StructField("cnt", LongType),
+    StructField("sumsq", DoubleType),
     StructField("ds_b", IntegerType)))
+
+  /** Fields every commit revision carries (the v1 schema): a commit file
+   *  is written with exactly the evolvable columns its writer knows,
+   *  never null-padded — that is what keeps old readers working and
+   *  makes the NULL-on-read reconciliation the single evolution
+   *  mechanism rather than one of two.
+   */
+  private val requiredFields: Set[String] =
+    Set("dataset_id", "part_s", "bucket_s", "min_v", "max_v", "sum_v", "cnt", "ds_b")
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
@@ -158,9 +177,14 @@ object ManifestStore {
    */
   private def writeCommitDir(root: String, partials: DataFrame): String = {
     val name = s"c-${UUID.randomUUID().toString.take(12)}"
-    partials
-      .withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
-      .select((col("fidelity") +: physSchema.fieldNames.map(col).toIndexedSeq): _*)
+    val withB = partials.withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
+    val present = withB.columns.toSet
+    val fields = physSchema.fieldNames.toIndexedSeq
+      .filter(f => requiredFields(f) || present(f))
+    require(fields.forall(present),
+      s"commit partials missing required columns: ${fields.filterNot(present)}")
+    withB
+      .select((col("fidelity") +: fields.map(col)): _*)
       .repartition(col("fidelity"))
       .sortWithinPartitions(
         col("fidelity"), col("ds_b"), col("part_s"), col("dataset_id"), col("bucket_s"))
@@ -233,7 +257,10 @@ object ManifestStore {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.rollupSchema)
 
   /** The rollup monoid folded at read time over the given pre-filtered
-   *  per-commit frames.
+   *  per-commit frames. `sumsq` (v2) folds under the null-poisoning sum:
+   *  non-null iff every contributing row carries it (SQL `sum` would
+   *  silently SKIP the v1 contributors' nulls and report a Σv² that
+   *  excludes their rows).
    */
   private def mergeOnRead(parts: DataFrame): DataFrame =
     parts
@@ -242,7 +269,9 @@ object ManifestStore {
         min("min_v").as("min_v"),
         max("max_v").as("max_v"),
         sum("sum_v").as("sum_v"),
-        sum("cnt").as("cnt"))
+        sum("cnt").as("cnt"),
+        when(count(lit(1)) === count(col("sumsq")), sum(col("sumsq")))
+          .as("sumsq"))
 
   /** Live `fidelity=<level>` leaf dirs for one level (manifest-level
    *  pruning: other levels' files are never listed, let alone read).
@@ -260,6 +289,20 @@ object ManifestStore {
     if (dirs.isEmpty) empty(spark)
     else mergeOnRead(spark.read.schema(physSchema).parquet(dirs: _*))
       .select(Tables.rollupSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** [[readLevel]] with the v2 schema exposed: `sumsq` is Σv² for a
+   *  bucket when every contributing commit was written by a v2 writer,
+   *  NULL when any v1 commit touched the bucket (the conservative
+   *  evolution rule — see `physSchema`). Callers derive variance as
+   *  `(sumsq - sum_v²/cnt) / cnt` where non-null.
+   */
+  def readLevelV2(spark: SparkSession, root: String, f: Fidelity): DataFrame = {
+    val dirs = levelDirs(spark, root, f)
+    if (dirs.isEmpty)
+      empty(spark).withColumn("sumsq", lit(null).cast(DoubleType))
+    else mergeOnRead(spark.read.schema(physSchema).parquet(dirs: _*))
+      .select((Tables.rollupSchema.fieldNames.toIndexedSeq :+ "sumsq").map(col): _*)
   }
 
   /** Snapshot (time-travel) level read: fold the monoid over the live
@@ -434,7 +477,12 @@ object ManifestStore {
         min("min_v").as("min_v"),
         max("max_v").as("max_v"),
         sum("sum_v").as("sum_v"),
-        sum("cnt").as("cnt"))
+        sum("cnt").as("cnt"),
+        // null-poisoning fold (see mergeOnRead): a compacted bucket any
+        // v1 commit touched stays null, so read-time and compacted
+        // answers agree — the fold is associative
+        when(count(lit(1)) === count(col("sumsq")), sum(col("sumsq")))
+          .as("sumsq"))
     val name = writeCommitDir(root, merged)
     val published = commit(spark, root) { now =>
       if (dirs.forall(now.contains)) {
@@ -496,7 +544,8 @@ object ManifestStore {
       if (!batch.isEmpty) {
         val writes = Seq(
           Future(Tables.appendRaw(batch, root)),
-          Future(appendPartials(spark, root, Tables.allLevelPartials(batch))))
+          Future(appendPartials(spark, root,
+            Tables.allLevelPartials(batch, withSumsq = true))))
         Await.result(Future.sequence(writes), Duration.Inf): Unit
         if (latest(spark, root)._2.size > maxLiveCommits) {
           compact(spark, root)

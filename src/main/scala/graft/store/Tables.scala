@@ -372,7 +372,7 @@ object Tables {
    *  finest level) — the same bytes a 6-stage cascade moves, in ONE
    *  stage instead of six.
    */
-  def allLevelPartials(long: DataFrame): DataFrame = {
+  def allLevelPartials(long: DataFrame, withSumsq: Boolean = false): DataFrame = {
     val keys = Fidelity.aggLevels.map { f =>
       val d = f.seconds
       val w = partitionWindowS(f)
@@ -382,16 +382,21 @@ object Tables {
         expr(b).as("bucket_s"),
         expr(s"(($b) div $w) * $w").as("part_s"))
     }
+    val base = Seq(
+      min("value").as("min_v"),
+      max("value").as("max_v"),
+      sum("value").as("sum_v"),
+      count(lit(1)).as("cnt"))
+    // sumsq is the manifest store's v2 schema column (variance support);
+    // it is the same monoid shape as sum_v, so coarser merges stay exact
+    val aggs = if (withSumsq) base :+ sum(col("value") * col("value")).as("sumsq")
+    else base
     long
       .select(col("dataset_id"), col("value"), explode(array(keys: _*)).as("k"))
       .groupBy(
         col("k.fidelity").as("fidelity"), col("dataset_id"),
         col("k.part_s").as("part_s"), col("k.bucket_s").as("bucket_s"))
-      .agg(
-        min("value").as("min_v"),
-        max("value").as("max_v"),
-        sum("value").as("sum_v"),
-        count(lit(1)).as("cnt"))
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /**

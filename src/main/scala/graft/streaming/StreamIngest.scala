@@ -90,7 +90,8 @@ object StreamIngest {
         try {
           if (!b.isEmpty) {
             graft.store.ManifestStore.appendPartialsIdempotent(
-              s, root, Tables.allLevelPartials(b), key = s"b$id"): Unit
+              s, root, Tables.allLevelPartials(b, withSumsq = true),
+              key = s"b$id"): Unit
             if (graft.store.ManifestStore.latest(s, root)._2
               .count(!_.startsWith("#")) > maxLiveCommits) {
               graft.store.ManifestStore.compact(s, root)

@@ -224,4 +224,65 @@ class ManifestStoreSpec extends AnyFunSuite {
     }
     assert(ex.getMessage.contains("compaction"))
   }
+
+  test("schema evolution: v1 commits read sumsq NULL, merges are conservative, compaction preserves the rule") {
+    val root = TestSpark.tmpDir("mstore_evo")
+    val sec = (i: Int) => TestSpark.isoUs(f"2024-01-01T00:00:$i%02d") / 1000000L
+
+    // a TRUE v1 commit dir, written by hand with the pre-evolution file
+    // schema (no sumsq column anywhere in the files) and published via a
+    // hand-written manifest — simulating data an old binary committed
+    val v1Partials = Tables.allLevelPartials(graft.ingest.Melt.sanitize(
+      batch(("a", "2024-01-01T00:00:00", 2.0), ("a", "2024-01-01T00:00:01", 4.0))))
+    assert(!v1Partials.columns.contains("sumsq"), "v1 partials carry no sumsq")
+    v1Partials
+      .withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
+      .write.partitionBy("fidelity").parquet(s"$root/mrollup/data/c-handv1")
+    val mdir = java.nio.file.Paths.get(s"$root/mrollup/_manifests")
+    java.nio.file.Files.createDirectories(mdir)
+    java.nio.file.Files.write(mdir.resolve("v000000000001"),
+      "c-handv1\n".getBytes("UTF-8"))
+
+    // every bucket of a v1-only table reads sumsq NULL, v1 columns exact
+    val v1Read = ManifestStore.readLevelV2(spark, root, Fidelity.S1)
+      .orderBy("bucket_s").collect()
+    assert(v1Read.map(r => (r.getLong(1), r.getDouble(4), r.getLong(5))).toSeq ==
+      Seq((sec(0), 2.0, 1L), (sec(1), 4.0, 1L)))
+    assert(v1Read.forall(_.isNullAt(6)), "v1 data must read sumsq as NULL")
+
+    // a v2 writer appends: one bucket shared with v1 (poisoned), one new
+    ManifestStore.appendPartials(spark, root,
+      Tables.allLevelPartials(graft.ingest.Melt.sanitize(
+        batch(("a", "2024-01-01T00:00:01", 6.0), ("b", "2024-01-01T00:00:02", 3.0))),
+        withSumsq = true))
+    def check(): Unit = {
+      val m = ManifestStore.readLevelV2(spark, root, Fidelity.S1).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5),
+            if (r.isNullAt(6)) None else Some(r.getDouble(6)))))
+        .toMap
+      assert(m(("a", sec(0))) == ((2.0, 2.0, 2.0, 1L, None)))
+      // v1+v2 contributors: v1 stats fold, sumsq stays NULL (conservative)
+      assert(m(("a", sec(1))) == ((4.0, 6.0, 10.0, 2L, None)))
+      // all-v2 bucket: exact Σv²
+      assert(m(("b", sec(2))) == ((3.0, 3.0, 3.0, 1L, Some(9.0))))
+    }
+    check()
+
+    // the v1 (non-evolved) reader view is unchanged in shape and values
+    val v1View = ManifestStore.readLevel(spark, root, Fidelity.S1)
+    assert(!v1View.columns.contains("sumsq"))
+    assert(v1View.count() == 3L)
+
+    // compaction folds the mixed-revision live set with the same
+    // null-poisoning rule (associativity) and writes a v2 file
+    ManifestStore.compact(spark, root)
+    ManifestStore.vacuum(spark, root)
+    assert(ManifestStore.latest(spark, root)._2.size == 1, "one live commit")
+    check()
+    val compactedDir = s"$root/mrollup/data/" +
+      ManifestStore.latest(spark, root)._2.head
+    assert(spark.read.parquet(compactedDir).columns.contains("sumsq"),
+      "compacted commit carries the v2 column")
+  }
 }
