@@ -1948,31 +1948,31 @@ object CoreQueries {
     // summary must equal the one-shot daily rollup bit-for-bit --------
     "incremental_refresh" -> ((s, dir) => {
       val root = mdSplitManifestStore(s, dir)
-      def daily(level1: DataFrame): DataFrame =
-        level1
-          .groupBy(col("dataset_id"),
-            (expr("bucket_s div 86400") * lit(86400L)).as("day_s"))
-          .agg(
-            min("min_v").as("min_v"), max("max_v").as("max_v"),
-            sum("sum_v").as("sum_v"), sum("cnt").as("cnt"))
-      var summary = daily(
+      var summary = graft.streaming.StreamCdc.daily(
         graft.store.ManifestStore.readLevelAsOf(s, root, Fidelity.S1, 1L))
-      for (v <- 2L to 3L) {
-        val touched = graft.store.ManifestStore
-          .cdcBetween(s, root, Fidelity.S1, v - 1L, v)
-          .select(col("dataset_id"),
-            (expr("bucket_s div 86400") * lit(86400L)).as("day_s"))
-          .distinct()
-        val fresh = daily(
-          graft.store.ManifestStore.readLevelAsOf(s, root, Fidelity.S1, v)
-            .withColumn("day_s", expr("bucket_s div 86400") * lit(86400L))
-            .join(broadcast(touched), Seq("dataset_id", "day_s"), "left_semi")
-            .drop("day_s"))
-        summary = summary
-          .join(broadcast(touched), Seq("dataset_id", "day_s"), "left_anti")
-          .unionByName(fresh)
-      }
+      for (v <- 2L to 3L)
+        summary = graft.streaming.StreamCdc.refreshDailyStep(s, root, summary, v)
       summary
+        .select(
+          col("dataset_id"), col("day_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "day_s")
+    }),
+
+    // ---- CDC STREAMING CONSUMER: tail the manifest store's version
+    // files as a Structured Streaming file source (the commit
+    // protocol's own WAL — no second channel) and apply each published
+    // version as one delta-driven refresh of a derived daily summary,
+    // bootstrapped from the EMPTY table so every version folds in as a
+    // delta. Out-of-order version arrivals buffer until their
+    // predecessor applies. The continuously-maintained summary must
+    // equal the one-shot daily rollup bit-for-bit (same oracle as the
+    // batch incremental_refresh — the two share refreshDailyStep) ----
+    "stream_cdc_refresh" -> ((s, dir) => {
+      val root = mdSplitManifestStore(s, dir)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdc_ckpt").toString
+      graft.streaming.StreamCdc.maintainDaily(s, root, s"$ckpt/ckpt")
         .select(
           col("dataset_id"), col("day_s"),
           col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
@@ -2140,6 +2140,15 @@ object CoreQueries {
     // the delta-maintained daily summary must equal the one-shot daily
     // rollup over everything
     "incremental_refresh" ->
+      """SELECT event_type AS dataset_id,
+        |  (epoch_us(ts) // 86400000000) * 86400 AS day_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the stream-maintained summary equals the batch-maintained one
+    // equals the one-shot daily rollup
+    "stream_cdc_refresh" ->
       """SELECT event_type AS dataset_id,
         |  (epoch_us(ts) // 86400000000) * 86400 AS day_s,
         |  min(value) AS min_v, max(value) AS max_v,

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.Fidelity
+import graft.store.ManifestStore
+import graft.streaming.StreamCdc
+
+/**
+ * CDC streaming consumer: the manifest log tailed as a file-source
+ * stream drives sequential delta refreshes of a derived daily summary.
+ */
+class StreamCdcSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+
+  private def batch(points: (String, String, Double)*): DataFrame =
+    TestSpark.longDF(points)
+
+  test("maintainDaily equals the one-shot daily rollup after draining the log") {
+    val root = TestSpark.tmpDir("cdc_stream")
+    // three commits, the third touching a second day and a second series
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 2.0), ("a", "2024-01-01T06:00:00", 4.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T06:00:00", 6.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-02T01:00:00", 1.0), ("b", "2024-01-01T12:00:00", 8.0)))
+
+    val maintained = StreamCdc
+      .maintainDaily(spark, root, TestSpark.tmpDir("cdc_ckpt") + "/ckpt")
+      .orderBy("dataset_id", "day_s").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+    val oneShot = StreamCdc
+      .daily(ManifestStore.readLevel(spark, root, Fidelity.S1))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getLong(5))))
+      .toMap
+    assert(maintained.nonEmpty && maintained.toMap == oneShot,
+      "stream-maintained summary must equal the one-shot daily rollup")
+    val day1 = TestSpark.isoUs("2024-01-01T00:00:00") / 1000000L
+    assert(maintained.toMap.apply(("a", day1)) == ((2.0, 6.0, 12.0, 3L)))
+  }
+
+  test("versionFeed surfaces versions in commit order under AvailableNow") {
+    val root = TestSpark.tmpDir("cdc_feed")
+    for (i <- 1 to 3)
+      ManifestStore.ingestBatch(spark, root,
+        batch(("a", f"2024-01-01T00:00:0$i", i.toDouble)))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamCdc.versionFeed(spark, root).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", TestSpark.tmpDir("cdc_feed_ck") + "/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select("version").distinct()
+            .collect().map(_.getLong(0)).sorted
+        }: Unit
+      }
+      .start()
+    q.awaitTermination()
+    assert(seen.sorted == Seq(1L, 2L, 3L),
+      s"every published version surfaces exactly once, got $seen")
+  }
+}
