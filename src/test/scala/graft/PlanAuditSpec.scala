@@ -474,6 +474,36 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("no pure query's optimized plan exceeds the collapse-safety ceiling") {
+    withPlainPlans {
+      // Mechanical guard for the lambda-duplication hazard class: a
+      // projection collapse that inlines an ARRAY-building expression
+      // into every lambda of a later HOF multiplies the plan by the
+      // array width (multimodal_phash hit 64× → a megabyte-scale plan
+      // and a 43× slowdown before its explode+aggregate rewrite). The
+      // honest plans all sit ≤ ~66 KB (largest: bloom_semi_join's
+      // broadcast filter literal), so 150 KB separates "big but real"
+      // from "an expression got duplicated per array cell". Fixture
+      // queries (store/stream round-trips) are excluded because
+      // BUILDING their frame runs the fixture, not because their plans
+      // are exempt — their shapes are guarded by their own tests.
+      def isFixture(n: String): Boolean =
+        n.startsWith("stream_") || n.startsWith("ingest_") ||
+          n.startsWith("store_") || n.startsWith("manifest_") ||
+          n.startsWith("comments_") ||
+          Set("self_metrics", "count_metrics", "rollup_repair",
+            "incremental_refresh", "forget_series", "csv_roundtrip")(n)
+      val oversized = SparkEntry.queries.toSeq
+        .filterNot { case (n, _) => isFixture(n) }
+        .flatMap { case (name, fn) =>
+          val n = fn(spark, sf).queryExecution.optimizedPlan.toString.length
+          if (n >= 150000) Some(s"$name ($n chars)") else None
+        }
+      assert(oversized.isEmpty,
+        s"plans exploded past the 150 KB collapse ceiling: $oversized")
+    }
+  }
+
   test("triangle counting closes wedges with hash/merge joins, never cartesian") {
     withPlainPlans {
       val und = spark.range(0L, 1000L)
