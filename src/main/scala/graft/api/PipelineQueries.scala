@@ -327,6 +327,24 @@ object PipelineQueries {
       Dedup.incrementalDedup(corpus, batch, "doc_id", "text", JaccardThreshold)
         .orderBy("doc_id")
     }),
+    // persisted-LSH-index dedup: three shards (doc_id % 3) arrive in
+    // order against an index that stores signatures + df-capped
+    // postings — corpus text is NEVER re-read, the index maintains
+    // itself by appending each shard after its check. Output is every
+    // cross-shard near-dup pair (earlier shard id first); within-shard
+    // dups are the per-shard dedup_minhash posture's job
+    "dedup_index_ingest" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_lsh_idx").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      (0 until 3)
+        .map(i => Dedup.indexCheckAndIngest(
+          s, idx, d.where(pmod(col("doc_id"), lit(3)) === i),
+          "doc_id", "text", JaccardThreshold))
+        .reduce(_.unionByName(_))
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
     // cluster resolution: pairwise near-dup output → one component id
     // per doc (min reachable doc_id), the "keep one representative per
     // group" step of a real dedup pipeline
@@ -2868,6 +2886,30 @@ object PipelineQueries {
          |FROM batch b LEFT JOIN (SELECT * FROM best WHERE rn = 1) m
          |  ON m.b_id = b.doc_id
          |ORDER BY doc_id""".stripMargin,
+    // cross-shard pairs on per-shard df-capped shingle sets: the index
+    // is built shard-at-a-time, so the cap population is the shard
+    "dedup_index_ingest" ->
+      s"""WITH d AS (SELECT doc_id, text, doc_id % 3 AS shard FROM documents),
+         |tok AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d),
+         |sh0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+         |  FROM tok),
+         |shf AS (SELECT s.* FROM sh0 s JOIN (
+         |    SELECT shard, sh FROM sh0 GROUP BY shard, sh
+         |    HAVING count(*) <= 200) c
+         |    ON s.shard = c.shard AND s.sh = c.sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.shard < b.shard
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

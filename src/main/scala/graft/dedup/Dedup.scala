@@ -257,6 +257,72 @@ object Dedup {
   }
 
   /**
+   * PERSISTED-LSH-INDEX incremental dedup step — the posture where the
+   * corpus is too big to ever re-read: the index stores, per ingested
+   * doc, its MinHash signature AND its df-capped shingle postings
+   * (everything candidate generation and exact verification need), so
+   * checking a new shard touches corpus TEXT never and corpus state
+   * only ∝ collisions. Per arriving shard: shingle + sign the SHARD
+   * (df-cap within the shard — the stored index is immutable, so a
+   * global df is undefinable by design), join its band buckets against
+   * the stored index's (cross collisions only; the corpus is never
+   * self-joined), estimate-prune on signatures, exact-verify on
+   * postings, then append the shard's own signatures and postings —
+   * the index maintains itself. Returns (a_id, b_id, jaccard) with
+   * `a_id` from the pre-existing index and `b_id` from the shard.
+   *
+   * Scale shape: per-shard cost is shard-linear plus collision-
+   * proportional joins on 8-byte keys; index writes are append-only
+   * (at 100 TB the manifest-store commit protocol is this write path,
+   * and per-doc set SIZES would be stored beside the signatures
+   * instead of re-aggregated from postings as done here). The verdict
+   * is materialized via localCheckpoint BEFORE the append so the
+   * returned frame can never observe its own shard in the index.
+   */
+  def indexCheckAndIngest(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      shard: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int = 64, bands: Int = 16): DataFrame = {
+    val sigDir = s"$indexDir/sig"
+    val shDir = s"$indexDir/shingles"
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
+    }
+    val sh = shingleSet(shard, idCol, textCol)
+    val sig = minhashSignature(sh, k)
+    withScopedPersist(sh, sig) {
+      val verdict =
+        if (!exists(sigDir))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("a_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("b_id",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("jaccard",
+                org.apache.spark.sql.types.DoubleType))))
+        else {
+          val isig = spark.read.parquet(sigDir)
+          val ish = spark.read.parquet(shDir)
+          val cand = bandBuckets(isig, k, bands).as("x")
+            .join(bandBuckets(sig, k, bands).as("y"),
+              col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+            .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+            .distinct()
+          verifyJaccard(
+            estimatePrune(cand, isig.unionByName(sig), k, minEst = threshold / 2),
+            ish.unionByName(sh), threshold)
+        }
+      val res = verdict.localCheckpoint(true)
+      sig.write.mode("append").parquet(sigDir)
+      sh.write.mode("append").parquet(shDir)
+      res
+    }
+  }
+
+  /**
    * Connected components over an undirected near-dup pair list —
    * cluster resolution, the step that turns pairwise dedup output into
    * "keep one representative per group": every node gets

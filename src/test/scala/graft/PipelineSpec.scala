@@ -92,6 +92,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(1).isNullAt(2) && out(1).isNullAt(3))
   }
 
+  test("indexCheckAndIngest: cross-shard dups via stored postings only, never within-shard") {
+    val idx = TestSpark.tmpDir("lsh_idx")
+    val shard0 = Seq((0L, doc), (1L, doc)) // exact twins INSIDE shard 0
+      .toDF("doc_id", "text")
+    val shard1 = Seq(
+      (10L, doc + " tail"), // near-dup of 0 and 1 (cross-shard)
+      (11L, "entirely novel content nothing shared here at all today friends"))
+      .toDF("doc_id", "text")
+    val r0 = Dedup.indexCheckAndIngest(spark, idx, shard0, "doc_id", "text", 0.6)
+    // first shard: empty index, no pairs — its twins are NOT reported
+    // (within-shard dedup is the per-shard batch pipeline's job)
+    assert(r0.isEmpty)
+    val r1 = Dedup.indexCheckAndIngest(spark, idx, shard1, "doc_id", "text", 0.6)
+      .orderBy("a_id", "b_id").collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((0L, 10L), (1L, 10L)), s"got ${r1.toSeq}")
+    assert(r1.forall(_.getDouble(2) >= 0.6))
+    // the index grew: a third shard matches docs from BOTH earlier ones
+    val r2 = Dedup.indexCheckAndIngest(spark, idx,
+      Seq((20L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .orderBy("a_id").collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(0L, 1L, 10L))
+  }
+
   test("substringDupPrune: keep-first cuts the copy, not the original; novel text intact") {
     val base = "x" * 30 + ("the quick brown fox jumps over the lazy dog " * 3)
     val docs2 = Seq(
