@@ -458,13 +458,47 @@ object ManifestStore {
    *  this compaction's output dir is dropped: publishing both folds
    *  would double-count every cell they share. Aborting only loses
    *  optimization work, never data.
+   *
+   *  A full fold rewrites the whole table — right for an explicit
+   *  "optimize" call, WRONG as the steady-state policy under sustained
+   *  ingest (N batches would write O(N²) bytes total). The auto paths
+   *  use [[compactTiered]].
    */
-  def compact(spark: SparkSession, root: String): Unit = {
+  def compact(spark: SparkSession, root: String): Unit =
+    compactTiered(spark, root, fanIn = Int.MaxValue)
+
+  /** SIZE-TIERED compaction (the LSM policy): fold only the `fanIn`
+   *  SMALLEST live commits into one, leaving large, already-compacted
+   *  commits untouched. Under sustained ingest each trigger folds the
+   *  fresh small tier — so a commit's bytes are rewritten only when it
+   *  is among the smallest, i.e. O(log N)-ish times over its life
+   *  instead of every trigger, which is what bounds write
+   *  amplification at 100 TB (the full fold rewrites the ENTIRE table
+   *  per trigger: O(N²) total bytes over N batches). Same atomicity,
+   *  txn-key preservation, and concurrent-compactor abort as
+   *  [[compact]]; the fold is the same associative monoid, so
+   *  read-time answers are unchanged by WHICH commits folded.
+   */
+  def compactTiered(spark: SparkSession, root: String, fanIn: Int = 8): Unit = {
     val (_, live) = latest(spark, root)
     // fold DATA commits only; `#txn:` key lines survive every
     // compaction untouched (that permanence is what makes the
     // idempotent append's duplicate check durable)
-    val dirs = dirEntries(live)
+    val all = dirEntries(live)
+    if (all.size <= 1) return
+    val dirs =
+      if (fanIn >= all.size) all
+      else {
+        // size-tiered pick: commit dir length via the filesystem — one
+        // driver-side listing per live commit, no data read
+        val sized = all.map { d =>
+          val p = new Path(s"${dataDir(root)}/$d")
+          val fs = fsFor(spark, p)
+          val len = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+          (d, len)
+        }
+        sized.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
+      }
     if (dirs.size <= 1) return
     val full = StructType(physSchema.fields :+ StructField("fidelity", StringType))
     val merged = dirs
@@ -548,7 +582,8 @@ object ManifestStore {
             Tables.allLevelPartials(batch, withSumsq = true))))
         Await.result(Future.sequence(writes), Duration.Inf): Unit
         if (latest(spark, root)._2.size > maxLiveCommits) {
-          compact(spark, root)
+          // steady-state policy: fold the small tier, never the table
+          compactTiered(spark, root, fanIn = math.max(2, maxLiveCommits / 2))
           vacuum(spark, root, VacuumRetentionMs)
         }
       }

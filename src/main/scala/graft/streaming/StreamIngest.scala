@@ -94,7 +94,9 @@ object StreamIngest {
               key = s"b$id"): Unit
             if (graft.store.ManifestStore.latest(s, root)._2
               .count(!_.startsWith("#")) > maxLiveCommits) {
-              graft.store.ManifestStore.compact(s, root)
+              // steady-state policy: fold the small tier, never the table
+              graft.store.ManifestStore.compactTiered(
+                s, root, fanIn = math.max(2, maxLiveCommits / 2))
               graft.store.ManifestStore.vacuum(
                 s, root, graft.store.ManifestStore.VacuumRetentionMs)
             }

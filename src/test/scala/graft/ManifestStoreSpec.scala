@@ -225,6 +225,34 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("compaction"))
   }
 
+  test("tiered compaction folds only the small tier and leaves the big commit in place") {
+    val root = TestSpark.tmpDir("mstore_tier")
+    // one BIG commit (many buckets) + three small ones
+    ManifestStore.ingestBatch(spark, root,
+      batch((0 until 120).map(i =>
+        ("big", f"2024-01-01T00:${i / 60}%02d:${i % 60}%02d", i.toDouble)): _*))
+    for (i <- 1 to 3)
+      ManifestStore.ingestBatch(spark, root,
+        batch(("s", s"2024-01-02T00:00:0$i", i.toDouble)))
+    val before = ManifestStore.latest(spark, root)._2
+    assert(before.size == 4)
+    val bigDir = before.head // first commit = the 120-bucket one
+    val pre = level1(root)
+
+    ManifestStore.compactTiered(spark, root, fanIn = 3)
+    val after = ManifestStore.latest(spark, root)._2
+    assert(after.size == 2, s"3 small commits folded into 1: $after")
+    assert(after.contains(bigDir),
+      "the large commit must survive tiered compaction UNREWRITTEN " +
+        "(write amplification bound) — it was folded")
+    assert(level1(root) == pre, "tiered fold preserves every read answer")
+
+    // explicit full optimize still folds everything down to one
+    ManifestStore.compact(spark, root)
+    assert(ManifestStore.latest(spark, root)._2.size == 1)
+    assert(level1(root) == pre)
+  }
+
   test("schema evolution: v1 commits read sumsq NULL, merges are conservative, compaction preserves the rule") {
     val root = TestSpark.tmpDir("mstore_evo")
     val sec = (i: Int) => TestSpark.isoUs(f"2024-01-01T00:00:$i%02d") / 1000000L
