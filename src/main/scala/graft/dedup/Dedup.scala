@@ -272,10 +272,11 @@ object Dedup {
    * `a_id` from the pre-existing index and `b_id` from the shard.
    *
    * Scale shape: per-shard cost is shard-linear plus collision-
-   * proportional joins on 8-byte keys; index writes are append-only
-   * (at 100 TB the manifest-store commit protocol is this write path,
-   * and per-doc set SIZES would be stored beside the signatures
-   * instead of re-aggregated from postings as done here). The verdict
+   * proportional joins on 8-byte keys; per-doc set SIZES are stored
+   * beside the signatures so verification never re-aggregates the
+   * index, and its postings scan prunes to candidate docs via a
+   * broadcast semi-join first. Index writes are append-only (at 100 TB
+   * the manifest-store commit protocol is this write path). The verdict
    * is materialized via localCheckpoint BEFORE the append so the
    * returned frame can never observe its own shard in the index.
    */
@@ -283,6 +284,7 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       shard: DataFrame, idCol: String, textCol: String, threshold: Double,
       k: Int = 64, bands: Int = 16): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
     val sigDir = s"$indexDir/sig"
     val shDir = s"$indexDir/shingles"
     def exists(p: String): Boolean = {
@@ -290,7 +292,13 @@ object Dedup {
       hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
     }
     val sh = shingleSet(shard, idCol, textCol)
-    val sig = minhashSignature(sh, k)
+    // signature AND set size in ONE pass over the shingle set: the
+    // stored row is (doc_id, mh, n) — everything banding, estimation,
+    // and the Jaccard denominator need
+    val sig = sh.groupBy("doc_id").agg(
+      toCol(graft.functions.MinhashSignatureAgg(
+        toExpr(col("sh")), toExpr(col("h2")), k).toAggregateExpression()).as("mh"),
+      count(lit(1)).as("n"))
     withScopedPersist(sh, sig) {
       val verdict =
         if (!exists(sigDir))
@@ -305,20 +313,41 @@ object Dedup {
                 org.apache.spark.sql.types.DoubleType))))
         else {
           val isig = spark.read.parquet(sigDir)
-          val ish = spark.read.parquet(shDir)
           val cand = bandBuckets(isig, k, bands).as("x")
             .join(bandBuckets(sig, k, bands).as("y"),
               col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
             .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
             .distinct()
-          verifyJaccard(
-            estimatePrune(cand, isig.unionByName(sig), k, minEst = threshold / 2),
-            ish.unionByName(sh), threshold)
+          // est feeds BOTH the postings prune and the intersection
+          // join — persist it or the band/estimate chain runs twice
+          val est = estimatePrune(cand, isig.unionByName(sig), k,
+            minEst = threshold / 2).persist()
+          try {
+            // candidate-driven exact verify against STORED state: index
+            // postings semi-join down to candidate a_ids before the
+            // intersection join, and set sizes come from the stored
+            // sizes table — the index is never re-aggregated per shard
+            val aPost = spark.read.parquet(shDir)
+              .join(broadcast(est.select(col("a_id").as("doc_id")).distinct()),
+                Seq("doc_id"), "left_semi")
+              .select(col("doc_id").as("a_id"), col("sh"))
+            val inter = est
+              .join(aPost, Seq("a_id"))
+              .join(sh.select(col("doc_id").as("b_id"), col("sh")),
+                Seq("b_id", "sh"))
+              .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+            jaccardOf(inter,
+              isig.unionByName(sig).select("doc_id", "n"))
+              .where(col("jaccard") >= threshold)
+              .select(col("a_id"), col("b_id"), col("jaccard"))
+              .localCheckpoint(true)
+          } finally est.unpersist(): Unit
         }
-      val res = verdict.localCheckpoint(true)
+      // verdict is already eagerly checkpointed (or an empty literal
+      // frame) — safe against the appends below
       sig.write.mode("append").parquet(sigDir)
       sh.write.mode("append").parquet(shDir)
-      res
+      verdict
     }
   }
 
