@@ -55,6 +55,33 @@ object CoreQueries {
    */
   private val manifestFixtureCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), String]()
+
+  /** Shared read-only fixture for the ATOMIC multi-table manifest
+   *  queries: 3 crc32-split batches through
+   *  `ManifestStore.ingestBatchAtomic` (each publishing raw + partials
+   *  under one version, keyed), plus a deliberate DUPLICATE redelivery
+   *  of batch 1 — the oracle equality of both table legs then proves
+   *  the two-table publish is exactly-once end to end.
+   */
+  private val atomicFixtureCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+  private def atomicManifestStore(s: SparkSession, dir: String): String = {
+    if (atomicFixtureCache.size > 8) atomicFixtureCache.clear()
+    atomicFixtureCache.computeIfAbsent((s, dir), { key =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_atomic_fixture").toString
+      val long = ev(key._1, key._2)
+      def slice(i: Int) = long.where(
+        pmod(crc32(concat_ws("|", col("dataset_id"), col("ts_us"))), lit(3)) === i)
+      for (i <- 0 until 3)
+        require(graft.store.ManifestStore.ingestBatchAtomic(
+          key._1, root, slice(i), key = Some(s"b$i")), s"batch $i must publish")
+      require(!graft.store.ManifestStore.ingestBatchAtomic(
+        key._1, root, slice(1), key = Some("b1")),
+        "duplicate delivery of batch 1 must be rejected")
+      root
+    })
+  }
   private def mdSplitManifestStore(s: SparkSession, dir: String): String = {
     if (manifestFixtureCache.size > 8) manifestFixtureCache.clear()
     manifestFixtureCache.computeIfAbsent((s, dir), { key =>
@@ -1959,6 +1986,33 @@ object CoreQueries {
         .orderBy("dataset_id", "day_s")
     }),
 
+    // ---- ATOMIC multi-table ingest, rollup leg: 3 keyed batches (one
+    // deliberately redelivered) publish raw + partials under single
+    // manifest versions; the 1 s level must equal the one-shot rollup —
+    // with the raw-leg twin below sharing the same oracle, the pair
+    // proves both tables are exactly-once and mutually consistent ----
+    "ingest_atomic_1s" -> ((s, dir) => {
+      val root = atomicManifestStore(s, dir)
+      graft.store.ManifestStore.readLevel(s, root, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
+    // ---- ATOMIC multi-table ingest, raw leg: aggregate the manifest-
+    // committed raw table to the same 1 s shape — same oracle --------
+    "ingest_atomic_raw_1s" -> ((s, dir) => {
+      val root = atomicManifestStore(s, dir)
+      graft.store.ManifestStore.readRaw(s, root)
+        .groupBy(col("dataset_id"),
+          (expr("ts_us div 1000000") * lit(1L)).as("bucket_s"))
+        .agg(
+          min("value").as("min_v"), max("value").as("max_v"),
+          r6(sum("value")).as("sum_v"), count(lit(1)).as("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- CDC STREAMING CONSUMER: tail the manifest store's version
     // files as a Structured Streaming file source (the commit
     // protocol's own WAL — no second channel) and apply each published
@@ -2198,6 +2252,9 @@ object CoreQueries {
         |  CASE WHEN count(*) FILTER (WHERE b = 0) > 0 THEN NULL
         |       ELSE round(sum(value * value), 6) END AS sumsq
         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // both legs of the atomic two-table publish fold to the same truth
+    "ingest_atomic_1s" -> rollupSql(1),
+    "ingest_atomic_raw_1s" -> rollupSql(1),
     "stream_ingest_1s" -> rollupSql(1),
     // the exactly-once manifest replay must equal the one-shot rollup
     "stream_manifest_1s" -> rollupSql(1),

@@ -224,8 +224,16 @@ object ManifestStore {
    */
   val MaxTxnKeys: Int = 1024
 
+  /** Typed manifest entries: `c-` rollup-partial commits, `r-` raw
+   *  commits (see [[ingestBatchAtomic]]), `#txn:` delivery keys. Each
+   *  reader selects its own prefix, so a level scan never lists raw
+   *  dirs and vice versa.
+   */
   private def dirEntries(live: Seq[String]): Seq[String] =
-    live.filterNot(_.startsWith("#"))
+    live.filter(_.startsWith("c-"))
+
+  private def rawDirEntries(live: Seq[String]): Seq[String] =
+    live.filter(_.startsWith("r-"))
 
   /** Idempotent [[appendPartials]] keyed by a caller-supplied delivery
    *  key (e.g. a streaming micro-batch id). If the key was already
@@ -561,6 +569,86 @@ object ManifestStore {
    *  writers/readers of superseded snapshots (see `vacuum`).
    */
   val VacuumRetentionMs: Long = 15L * 60L * 1000L
+
+  /** Raw rows as one immutable `r-` commit dir: ds_b-bucketed and
+   *  (dataset_id, ts)-sorted so series/time predicates ride row-group
+   *  stats; the manifest version plays the time-window role the
+   *  partitioned raw table gets from `win_s` directories.
+   */
+  private def writeRawCommitDir(root: String, batch: DataFrame): String = {
+    val name = s"r-${UUID.randomUUID().toString.take(12)}"
+    batch
+      .withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
+      .repartition(col("ds_b"))
+      .sortWithinPartitions(col("ds_b"), col("dataset_id"), col("ts_us"))
+      .write
+      .mode("errorifexists")
+      .option("maxRecordsPerFile", graft.model.Fidelity.GroupSize)
+      .parquet(s"${dataDir(root)}/$name")
+    name
+  }
+
+  /** ATOMIC MULTI-TABLE ingest: the batch's raw rows AND its all-level
+   *  rollup partials become visible in ONE manifest version — a reader
+   *  resolving any snapshot sees a raw table and a rollup pyramid that
+   *  agree exactly, and a crash anywhere before the version publish
+   *  leaves only orphan dirs that `vacuum` reclaims (the plain
+   *  [[ingestBatch]] writes the two tables as independent appends, so a
+   *  crash between them publishes a raw/rollup disagreement). The two
+   *  commit dirs write concurrently — the serialization point is still
+   *  the single version-file create. An optional delivery `key` makes
+   *  the whole two-table publish idempotent exactly like
+   *  [[appendPartialsIdempotent]]. Returns true iff this call
+   *  published (false: duplicate key or empty batch).
+   */
+  def ingestBatchAtomic(
+      spark: SparkSession, root: String, batchLong: DataFrame,
+      key: Option[String] = None, maxLiveCommits: Int = 16): Boolean = {
+    require(key.forall(k => k.nonEmpty && !k.contains('\n')),
+      s"bad txn key: $key")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val batch = graft.ingest.Melt.sanitize(batchLong).persist()
+    try {
+      if (batch.isEmpty) return false
+      val writes = Seq(
+        Future(writeRawCommitDir(root, batch)),
+        Future(writeCommitDir(root,
+          Tables.allLevelPartials(batch, withSumsq = true))))
+      val names = Await.result(Future.sequence(writes), Duration.Inf)
+      val txn = key.map(TxnPrefix + _)
+      val published = commit(spark, root) { live =>
+        if (txn.exists(live.contains)) None
+        else Some(live :++ names :++ txn.toSeq)
+      }
+      if (!published)
+        for (d <- names) {
+          val p = new Path(s"${dataDir(root)}/$d")
+          fsFor(spark, p).delete(p, true): Unit
+        }
+      else if (latest(spark, root)._2.count(_.startsWith("c-")) > maxLiveCommits) {
+        compactTiered(spark, root, fanIn = math.max(2, maxLiveCommits / 2))
+        vacuum(spark, root, VacuumRetentionMs)
+      }
+      published
+    } finally batch.unpersist(): Unit
+  }
+
+  /** Raw datapoint scan over the atomic store (S4 for manifest roots):
+   *  the union of live `r-` commit dirs — exactly the batches whose
+   *  version published, never a torn write's orphans.
+   */
+  def readRaw(spark: SparkSession, root: String): DataFrame = {
+    val (_, live) = latest(spark, root)
+    val dirs = rawDirEntries(live).map(d => s"${dataDir(root)}/$d")
+      .filter(StoreFs.exists(spark, _))
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.rawSchema)
+    else spark.read.parquet(dirs: _*)
+      .select(Tables.rawSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
 
   /** §3.2 ingest through the manifest path: sanitize → concurrent raw
    *  append + rollup partials append (no merge on the write path) →

@@ -253,6 +253,56 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(level1(root) == pre)
   }
 
+  test("atomic ingest: raw and rollup publish together, torn writes stay invisible, keys dedupe both tables") {
+    val root = TestSpark.tmpDir("mstore_atomic")
+    assert(ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 2.0), ("b", "2024-01-01T00:00:01", 4.0)),
+      key = Some("k1")))
+    assert(ManifestStore.readRaw(spark, root).count() == 2L)
+    assert(ManifestStore.readLevel(spark, root, Fidelity.S1).count() == 2L)
+
+    // torn write: commit dirs exist on disk but no version published —
+    // readers of BOTH tables see nothing from them
+    val orphanR = s"$root/mrollup/data/r-torn"
+    val orphanC = s"$root/mrollup/data/c-torn"
+    batch(("zz", "2024-01-01T00:00:09", 9.0))
+      .withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
+      .write.parquet(orphanR)
+    Tables.allLevelPartials(
+      graft.ingest.Melt.sanitize(batch(("zz", "2024-01-01T00:00:09", 9.0))))
+      .withColumn("ds_b", Tables.dsBucket(col("dataset_id")))
+      .write.partitionBy("fidelity").parquet(orphanC)
+    assert(ManifestStore.readRaw(spark, root)
+      .where(col("dataset_id") === "zz").isEmpty, "torn raw dir visible")
+    assert(ManifestStore.readLevel(spark, root, Fidelity.S1)
+      .where(col("dataset_id") === "zz").isEmpty, "torn partials dir visible")
+    // vacuum reclaims the orphans (they are in no snapshot's live set)
+    ManifestStore.vacuum(spark, root)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphanR)))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(orphanC)))
+
+    // duplicate delivery key: NEITHER table changes
+    assert(!ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 2.0)), key = Some("k1")))
+    assert(ManifestStore.readRaw(spark, root).count() == 2L)
+    assert(ManifestStore.readLevel(spark, root, Fidelity.S1)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) == 2L)
+
+    // the two legs agree bucket-for-bucket after more batches
+    assert(ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("a", "2024-01-01T00:00:00.5", 6.0)), key = Some("k2")))
+    val fromRaw = ManifestStore.readRaw(spark, root)
+      .groupBy(col("dataset_id"), expr("ts_us div 1000000").as("bucket_s"))
+      .agg(
+        min("value").as("min_v"), max("value").as("max_v"),
+        sum("value").as("sum_v"), count(lit(1)).as("cnt"))
+      .orderBy("dataset_id", "bucket_s").collect().toSeq
+    val fromLevel = ManifestStore.readLevel(spark, root, Fidelity.S1)
+      .select("dataset_id", "bucket_s", "min_v", "max_v", "sum_v", "cnt")
+      .orderBy("dataset_id", "bucket_s").collect().toSeq
+    assert(fromRaw == fromLevel, "atomic store's raw and rollup legs disagree")
+  }
+
   test("schema evolution: v1 commits read sumsq NULL, merges are conservative, compaction preserves the rule") {
     val root = TestSpark.tmpDir("mstore_evo")
     val sec = (i: Int) => TestSpark.isoUs(f"2024-01-01T00:00:$i%02d") / 1000000L
