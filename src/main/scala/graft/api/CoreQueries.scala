@@ -1278,6 +1278,32 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- ATOMIC exactly-once streaming ingest: same replay as
+    // stream_manifest_1s but each micro-batch publishes raw + rollup
+    // partials under ONE keyed manifest version (the strongest sink
+    // posture — no snapshot can see the two tables out of step). The
+    // 1 s level must equal the one-shot rollup --------------------
+    "stream_atomic_1s" -> ((s, dir) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_stream_atomic").toString
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = Melt.readTsParquet(s, s"$dir/events.parquet").schema
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_asrc")
+      java.nio.file.Files.createSymbolicLink(
+        srcDir.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val stream = s.readStream.schema(schema).parquet(srcDir.toString)
+      val q = graft.streaming.StreamIngest.startAtomic(
+        Melt.events(stream), root, s"$root/ckpt",
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      q.awaitTermination()
+      graft.store.ManifestStore.readLevel(s, root, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- watermarked event-time window aggregation: the bounded-
     // lateness streaming analytics path (the ingest path above stays
     // watermark-free for unbounded lateness). Append mode emits each
@@ -2258,6 +2284,8 @@ object CoreQueries {
     "stream_ingest_1s" -> rollupSql(1),
     // the exactly-once manifest replay must equal the one-shot rollup
     "stream_manifest_1s" -> rollupSql(1),
+    // the atomic two-table streaming sink's rollup leg, same truth
+    "stream_atomic_1s" -> rollupSql(1),
     // every 10 s window is below the sentinel-advanced watermark, so the
     // streamed append-mode output must equal the one-shot batch rollup
     "stream_window_10s" -> rollupSql(10),

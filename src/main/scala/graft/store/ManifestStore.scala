@@ -404,8 +404,12 @@ object ManifestStore {
       spark: SparkSession, root: String, f: Fidelity,
       fromV: Long, toV: Long): DataFrame = {
     require(fromV <= toV, s"cdcBetween: fromV $fromV > toV $toV")
-    val before = if (fromV == 0L) Seq.empty else liveAt(spark, root, fromV)
-    val after = liveAt(spark, root, toV)
+    // the append-only requirement binds on the PARTIAL (`c-`) entries
+    // the feed derives from — raw-tier folds and txn-key trims in the
+    // window don't affect what changed on a level
+    val before = if (fromV == 0L) Seq.empty
+      else dirEntries(liveAt(spark, root, fromV))
+    val after = dirEntries(liveAt(spark, root, toV))
     val beforeSet = before.toSet
     require(before.forall(after.contains),
       s"CDC window ($fromV, $toV] at $root crosses a compaction/vacuum " +
@@ -487,6 +491,51 @@ object ManifestStore {
    *  [[compact]]; the fold is the same associative monoid, so
    *  read-time answers are unchanged by WHICH commits folded.
    */
+  /** Size-tiered selection: the `fanIn` smallest of `entries` by commit
+   *  dir length — one driver-side listing per live commit, no data
+   *  read. Returns everything when `fanIn` covers the set.
+   */
+  private def pickSmallest(
+      spark: SparkSession, root: String,
+      entries: Seq[String], fanIn: Int): Seq[String] =
+    if (fanIn >= entries.size) entries
+    else {
+      val sized = entries.map { d =>
+        val p = new Path(s"${dataDir(root)}/$d")
+        val fs = fsFor(spark, p)
+        val len = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+        (d, len)
+      }
+      sized.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
+    }
+
+  /** The raw (`r-`) leg of the size-tiered policy: concatenate the
+   *  `fanIn` smallest raw commits into one re-sorted dir and swap the
+   *  manifest — bounds both write amplification and the small-files
+   *  problem on raw scans (thousands of micro-batch commits would
+   *  otherwise each keep ≥ 1 file forever). No monoid here: raw rows
+   *  concatenate, and [[writeRawCommitDir]] restores the
+   *  (ds_b, dataset_id, ts) clustering row-group pruning rides. Same
+   *  concurrent-compactor abort as the partial fold.
+   */
+  def compactRawTiered(spark: SparkSession, root: String, fanIn: Int = 8): Unit = {
+    val (_, live) = latest(spark, root)
+    val dirs = pickSmallest(spark, root, rawDirEntries(live), fanIn)
+    if (dirs.size <= 1) return
+    val merged = spark.read
+      .parquet(dirs.map(d => s"${dataDir(root)}/$d"): _*)
+      .select("dataset_id", "ts_us", "value")
+    val name = writeRawCommitDir(root, merged)
+    val published = commit(spark, root) { now =>
+      if (dirs.forall(now.contains)) Some(now.filterNot(dirs.contains) :+ name)
+      else None
+    }
+    if (!published) {
+      val p = new Path(s"${dataDir(root)}/$name")
+      fsFor(spark, p).delete(p, true): Unit
+    }
+  }
+
   def compactTiered(spark: SparkSession, root: String, fanIn: Int = 8): Unit = {
     val (_, live) = latest(spark, root)
     // fold DATA commits only; `#txn:` key lines survive every
@@ -494,19 +543,7 @@ object ManifestStore {
     // idempotent append's duplicate check durable)
     val all = dirEntries(live)
     if (all.size <= 1) return
-    val dirs =
-      if (fanIn >= all.size) all
-      else {
-        // size-tiered pick: commit dir length via the filesystem — one
-        // driver-side listing per live commit, no data read
-        val sized = all.map { d =>
-          val p = new Path(s"${dataDir(root)}/$d")
-          val fs = fsFor(spark, p)
-          val len = if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
-          (d, len)
-        }
-        sized.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
-      }
+    val dirs = pickSmallest(spark, root, all, fanIn)
     if (dirs.size <= 1) return
     val full = StructType(physSchema.fields :+ StructField("fidelity", StringType))
     val merged = dirs
@@ -627,9 +664,14 @@ object ManifestStore {
           val p = new Path(s"${dataDir(root)}/$d")
           fsFor(spark, p).delete(p, true): Unit
         }
-      else if (latest(spark, root)._2.count(_.startsWith("c-")) > maxLiveCommits) {
-        compactTiered(spark, root, fanIn = math.max(2, maxLiveCommits / 2))
-        vacuum(spark, root, VacuumRetentionMs)
+      else {
+        val liveNow = latest(spark, root)._2
+        val fanIn = math.max(2, maxLiveCommits / 2)
+        val foldC = liveNow.count(_.startsWith("c-")) > maxLiveCommits
+        val foldR = liveNow.count(_.startsWith("r-")) > maxLiveCommits
+        if (foldC) compactTiered(spark, root, fanIn)
+        if (foldR) compactRawTiered(spark, root, fanIn)
+        if (foldC || foldR) vacuum(spark, root, VacuumRetentionMs)
       }
       published
     } finally batch.unpersist(): Unit
@@ -639,9 +681,21 @@ object ManifestStore {
    *  the union of live `r-` commit dirs — exactly the batches whose
    *  version published, never a torn write's orphans.
    */
-  def readRaw(spark: SparkSession, root: String): DataFrame = {
-    val (_, live) = latest(spark, root)
-    val dirs = rawDirEntries(live).map(d => s"${dataDir(root)}/$d")
+  def readRaw(spark: SparkSession, root: String): DataFrame =
+    readRawDirs(spark, rawDirEntries(latest(spark, root)._2), root)
+
+  /** Snapshot raw read AS OF a published version. Because
+   *  [[ingestBatchAtomic]] publishes both tables in one version, the
+   *  pair (readRawAsOf, readLevelAsOf) at the SAME version is
+   *  mutually consistent — cross-table time travel, which two
+   *  independently-versioned tables cannot give.
+   */
+  def readRawAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
+    readRawDirs(spark, rawDirEntries(liveAt(spark, root, version)), root)
+
+  private def readRawDirs(
+      spark: SparkSession, entries: Seq[String], root: String): DataFrame = {
+    val dirs = entries.map(d => s"${dataDir(root)}/$d")
       .filter(StoreFs.exists(spark, _))
     if (dirs.isEmpty)
       spark.createDataFrame(

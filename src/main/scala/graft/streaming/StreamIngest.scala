@@ -74,6 +74,31 @@ object StreamIngest {
    *  LSM variant where a blind re-append WOULD double-count without
    *  the key.
    */
+  /** ATOMIC exactly-once streaming ingest: each micro-batch's raw rows
+   *  AND rollup partials publish under ONE manifest version keyed by
+   *  the batch id (ManifestStore.ingestBatchAtomic) — the strongest
+   *  posture in this file: a crash replay can neither double EITHER
+   *  table nor publish them out of step, so any snapshot a reader
+   *  resolves is a consistent two-table view of a prefix of the
+   *  stream. Tiered compaction of both tiers rides the same call.
+   */
+  def startAtomic(
+      longStream: DataFrame,
+      root: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
+      maxLiveCommits: Int = 16): StreamingQuery =
+    longStream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.store.ManifestStore.ingestBatchAtomic(
+          batch.sparkSession, root, batch,
+          key = Some(s"b$id"), maxLiveCommits = maxLiveCommits): Unit
+      }
+      .start()
+
   def startManifest(
       longStream: DataFrame,
       root: String,

@@ -301,6 +301,25 @@ class ManifestStoreSpec extends AnyFunSuite {
       .select("dataset_id", "bucket_s", "min_v", "max_v", "sum_v", "cnt")
       .orderBy("dataset_id", "bucket_s").collect().toSeq
     assert(fromRaw == fromLevel, "atomic store's raw and rollup legs disagree")
+
+    // cross-table time travel: version 1 saw exactly the first batch in
+    // BOTH tables (one version = one consistent two-table snapshot)
+    assert(ManifestStore.readRawAsOf(spark, root, 1L).count() == 2L)
+    assert(ManifestStore.readLevelAsOf(spark, root, Fidelity.S1, 1L)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) == 2L)
+
+    // raw-tier fold: concatenation preserves every row, CDC windows
+    // over the fold stay derivable (c- entries untouched)
+    val (vPre, _) = ManifestStore.latest(spark, root)
+    ManifestStore.compactRawTiered(spark, root, fanIn = 8)
+    assert(ManifestStore.latest(spark, root)._2.count(_.startsWith("r-")) == 1)
+    assert(ManifestStore.readRaw(spark, root)
+      .orderBy("dataset_id", "ts_us").collect().toSeq ==
+      ManifestStore.readRawAsOf(spark, root, vPre)
+        .orderBy("dataset_id", "ts_us").collect().toSeq)
+    assert(ManifestStore.cdcBetween(spark, root, Fidelity.S1,
+      vPre, ManifestStore.latest(spark, root)._1).isEmpty,
+      "a pure raw fold must read as an empty level change feed")
   }
 
   test("schema evolution: v1 commits read sumsq NULL, merges are conservative, compaction preserves the rule") {
