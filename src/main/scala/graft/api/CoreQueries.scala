@@ -1835,7 +1835,9 @@ object CoreQueries {
       api.getData("view", Day5Us, Day6Us)
       api.getData("click", Day5Us, Day6Us)
       api.flushSelfMetrics(Day6Us)
-      Tables.readRaw(s, s"$tmp/store")
+      // the default backend commits raw atomically into the manifest
+      // store — read the counter series back from there
+      graft.store.ManifestStore.readRaw(s, s"$tmp/store")
         .where(col("dataset_id").startsWith("index."))
         .select("dataset_id", "ts_us", "value")
         .orderBy("dataset_id")

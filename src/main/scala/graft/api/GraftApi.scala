@@ -17,14 +17,16 @@ import graft.store.{CommentStore, ManifestStore, Tables}
  * operator modules; this layer does exactly what the Flask layer does —
  * validation, routing, id assignment, and counters.
  *
- * `manifestRollups` (DEFAULT) keeps the ROLLUP table on the
- * manifest-committed merge-on-read store (ManifestStore): O(1) atomic
- * commits for sustained high-cardinality ingest — the 100 TB-correct
- * write path, and ~2× faster than the dynamic-overwrite backend on the
- * identical ingest workload. Set it false for the partitioned-table
- * backend; the two are interchangeable behind this façade (the raw
- * table and comments are identical in both modes), and the flip is
- * proven by ApiSpec running the same flow through both.
+ * `manifestRollups` (DEFAULT) runs BOTH tables on the
+ * manifest-committed store via `ManifestStore.ingestBatchAtomic`: each
+ * put publishes its raw rows and rollup partials under ONE atomic
+ * version (no snapshot can see the two tables out of step), with O(1)
+ * commits and size-tiered compaction for sustained high-cardinality
+ * ingest — the 100 TB-correct write path, and ~2× faster than the
+ * dynamic-overwrite backend on the identical ingest workload. Set it
+ * false for the partitioned-table backend; the two are interchangeable
+ * behind this façade (comments are identical in both modes), and the
+ * flip is proven by ApiSpec running the same flow through both.
  *
  * `autoRollupRewrite = true` registers this store with the
  * materialized-view rewrite (graft.plans.RollupRewriteRule) and
@@ -76,7 +78,9 @@ final class GraftApi(
     // (readLevelRange), the partitioned table injects its hash-bucket
     // predicate (readRollupFor)
     RangeQuery.getWith(
-      _ => Tables.readRawFor(spark, root, datasetId),
+      _ =>
+        if (manifestRollups) ManifestStore.readRawFor(spark, root, datasetId)
+        else Tables.readRawFor(spark, root, datasetId),
       (f, startS, endS) =>
         if (manifestRollups)
           ManifestStore.readLevelRange(spark, root, f, datasetId, startS, endS)
@@ -90,14 +94,16 @@ final class GraftApi(
    */
   def putData(batchLong: DataFrame): Unit = {
     numPuts.incrementAndGet()
-    if (manifestRollups) ManifestStore.ingestBatch(spark, root, batchLong)
+    if (manifestRollups)
+      ManifestStore.ingestBatchAtomic(spark, root, batchLong): Unit
     else Tables.ingestBatch(spark, root, batchLong)
   }
 
   /** GET /api/datasets?text=q (server.py:57-60, index.py:219-239). */
   def datasets(query: String, maxCount: Int = 300): DataFrame =
     Search.datasets(
-      Tables.readRaw(spark, root), query, maxCount)
+      if (manifestRollups) ManifestStore.readRaw(spark, root)
+      else Tables.readRaw(spark, root), query, maxCount)
 
   /** POST /api/comment/new — EPOCH-nanosecond id assigned HERE, never
    *  inside a distributed job (marks.py:82 uses `time.time_ns()`:
@@ -138,7 +144,8 @@ final class GraftApi(
       ("index.num_puts", tsUs, numPuts.get().toDouble),
       ("index.num_gets", tsUs, numGets.get().toDouble))
       .toDF("dataset_id", "ts_us", "value")
-    if (manifestRollups) ManifestStore.ingestBatch(spark, root, rows)
+    if (manifestRollups)
+      ManifestStore.ingestBatchAtomic(spark, root, rows): Unit
     else Tables.ingestBatch(spark, root, rows)
   }
 }

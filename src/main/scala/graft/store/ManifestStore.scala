@@ -693,6 +693,26 @@ object ManifestStore {
   def readRawAsOf(spark: SparkSession, root: String, version: Long): DataFrame =
     readRawDirs(spark, rawDirEntries(liveAt(spark, root, version)), root)
 
+  /** Per-series raw read (the FULL-fidelity chart route): the ds_b +
+   *  dataset_id equalities ride the commit files' (ds_b, dataset_id,
+   *  ts) sort via row-group stats — the manifest analog of
+   *  `Tables.readRawFor`'s partition-dir pruning, with the manifest
+   *  itself standing in for the directory tree.
+   */
+  def readRawFor(
+      spark: SparkSession, root: String, datasetId: String): DataFrame = {
+    val dirs = rawDirEntries(latest(spark, root)._2)
+      .map(d => s"${dataDir(root)}/$d")
+      .filter(StoreFs.exists(spark, _))
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.rawSchema)
+    else spark.read.parquet(dirs: _*)
+      .where(col("ds_b") === Tables.dsBucket(lit(datasetId)) &&
+        col("dataset_id") === datasetId)
+      .select(Tables.rawSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
   private def readRawDirs(
       spark: SparkSession, entries: Seq[String], root: String): DataFrame = {
     val dirs = entries.map(d => s"${dataDir(root)}/$d")
