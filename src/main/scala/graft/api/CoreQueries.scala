@@ -105,14 +105,12 @@ object CoreQueries {
    *  replaces or unlinks files, never appends in place), so a clone's
    *  mutations can never reach the shared baseline.
    */
-  private def clonedBaseStore(s: SparkSession, dir: String): String = {
-    if (baseStoreCache.size > 8) baseStoreCache.clear()
-    val base = baseStoreCache.computeIfAbsent((s, dir), { key =>
-      val root = java.nio.file.Files
-        .createTempDirectory("graft_basestore").toString
-      Tables.ingestBatch(key._1, root, ev(key._1, key._2))
-      root
-    })
+  /** Hardlink-clone a store root: file data is shared (copy-on-nothing
+   *  — stores only ever add or unlink whole files), directory
+   *  structure is fresh, so a mutating query gets a private store for
+   *  the price of metadata.
+   */
+  private def hardlinkClone(base: String): String = {
     import java.nio.file.{Files, Path, Paths}
     val src = Paths.get(base)
     val dst = Files.createTempDirectory("graft_storeclone")
@@ -123,6 +121,16 @@ object CoreQueries {
       else Files.createLink(t, p)
     } finally st.close()
     dst.toString
+  }
+
+  private def clonedBaseStore(s: SparkSession, dir: String): String = {
+    if (baseStoreCache.size > 8) baseStoreCache.clear()
+    hardlinkClone(baseStoreCache.computeIfAbsent((s, dir), { key =>
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_basestore").toString
+      Tables.ingestBatch(key._1, root, ev(key._1, key._2))
+      root
+    }))
   }
 
   // Fixed query window: 2024-01-05T00:00:00Z .. 2024-01-06T00:00:00Z
@@ -2041,6 +2049,21 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- right-to-be-forgotten on the ATOMIC store: clone the shared
+    // atomic fixture (hardlinks), forget the 'view' series — every
+    // containing commit rewrites without it and the manifest swaps
+    // ONCE, so no reader can see a partial delete — then read the 10 s
+    // level back: the series is gone, every other aggregate untouched
+    "manifest_forget_10s" -> ((s, dir) => {
+      val root = hardlinkClone(atomicManifestStore(s, dir))
+      graft.store.ManifestStore.forgetDataset(s, root, "view")
+      graft.store.ManifestStore.readLevel(s, root, Fidelity.S10)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- CDC STREAMING CONSUMER: tail the manifest store's version
     // files as a Structured Streaming file source (the commit
     // protocol's own WAL — no second channel) and apply each published
@@ -2283,6 +2306,15 @@ object CoreQueries {
     // both legs of the atomic two-table publish fold to the same truth
     "ingest_atomic_1s" -> rollupSql(1),
     "ingest_atomic_raw_1s" -> rollupSql(1),
+    // atomic-store series delete: the 10 s level minus the series
+    "manifest_forget_10s" ->
+      """SELECT event_type AS dataset_id,
+        |  (epoch_us(ts) // 10000000) * 10 AS bucket_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND event_type <> 'view'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_ingest_1s" -> rollupSql(1),
     // the exactly-once manifest replay must equal the one-shot rollup
     "stream_manifest_1s" -> rollupSql(1),

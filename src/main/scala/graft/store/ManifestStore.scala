@@ -581,6 +581,67 @@ object ManifestStore {
     }
   }
 
+  /** Right-to-be-forgotten on the atomic store: rewrite every live
+   *  commit that CONTAINS the series without it and swap the manifest
+   *  ONCE — readers resolve the pre-delete or post-delete table, never
+   *  a partial delete (the partitioned-store `Tables.forgetDataset`
+   *  cannot make that claim across its per-partition rewrites). Cost ∝
+   *  commits actually containing the series: the containment probe is
+   *  a ds_b/dataset_id-pruned scan riding each commit's row-group
+   *  stats, untouched commits keep their dirs byte-for-byte (no write
+   *  amplification), and a commit left EMPTY by the delete simply
+   *  drops out of the manifest. Replaced dirs stay on disk for
+   *  time-travel readers until `vacuum` reclaims them — so the
+   *  compliance clock for physical erasure is the caller's vacuum
+   *  schedule, and `readRawAsOf`/`readLevelAsOf` of old versions fail
+   *  loudly (missing dirs) after it runs, never silently resurrect.
+   */
+  def forgetDataset(spark: SparkSession, root: String, datasetId: String): Unit = {
+    val (_, live) = latest(spark, root)
+    val keep = col("ds_b") =!= Tables.dsBucket(lit(datasetId)) ||
+      col("dataset_id") =!= datasetId
+    val hit = col("ds_b") === Tables.dsBucket(lit(datasetId)) &&
+      col("dataset_id") === datasetId
+    val fullC = StructType(physSchema.fields :+ StructField("fidelity", StringType))
+    // old entry -> replacement (None = commit becomes empty, drop it)
+    val replaced = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
+    for (d <- dirEntries(live) ++ rawDirEntries(live)) {
+      val path = s"${dataDir(root)}/$d"
+      if (StoreFs.exists(spark, path)) {
+        val isPartials = d.startsWith("c-")
+        val df =
+          if (isPartials)
+            spark.read.schema(fullC).option("basePath", path).parquet(path)
+          else spark.read.parquet(path)
+        if (!df.where(hit).isEmpty) {
+          val survivors = df.where(keep)
+          replaced(d) =
+            if (survivors.isEmpty) None
+            else if (isPartials)
+              Some(writeCommitDir(root, survivors.drop("ds_b")))
+            else
+              Some(writeRawCommitDir(
+                root, survivors.select("dataset_id", "ts_us", "value")))
+        }
+      }
+    }
+    if (replaced.isEmpty) return
+    val published = commit(spark, root) { now =>
+      if (replaced.keys.forall(now.contains))
+        Some(now.flatMap(e => replaced.get(e).getOrElse(Some(e))))
+      else None // live set moved under us — abort, caller retries
+    }
+    if (!published) {
+      for (n <- replaced.values.flatten) {
+        val p = new Path(s"${dataDir(root)}/$n")
+        fsFor(spark, p).delete(p, true): Unit
+      }
+      throw new IllegalStateException(
+        s"forgetDataset($datasetId) lost the manifest race at $root — " +
+          "rerun against the new live set")
+    }
+  }
+
   /** Delete data dirs no manifest-visible snapshot references and older
    *  than `minAgeMs`. The age floor is what makes GC safe against (a)
    *  writers that have WRITTEN a commit dir but not yet published its

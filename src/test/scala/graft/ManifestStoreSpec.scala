@@ -322,6 +322,51 @@ class ManifestStoreSpec extends AnyFunSuite {
       "a pure raw fold must read as an empty level change feed")
   }
 
+  test("forgetDataset on the atomic store: one swap, both tables, untouched commits keep their dirs") {
+    val root = TestSpark.tmpDir("mstore_forget")
+    // commit 1: only 'a' (must survive UNREWRITTEN)
+    assert(ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 1.0)), key = Some("k1")))
+    // commit 2: 'a' + 'view' (rewrites without view)
+    assert(ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("a", "2024-01-01T00:00:01", 2.0), ("view", "2024-01-01T00:00:01", 9.0)),
+      key = Some("k2")))
+    // commit 3: ONLY 'view' (drops out of the manifest entirely)
+    assert(ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("view", "2024-01-01T00:00:02", 7.0)), key = Some("k3")))
+    val before = ManifestStore.latest(spark, root)._2
+    val untouched = before.take(2).filter(e => !e.startsWith("#")) // c-/r- of commit 1
+
+    ManifestStore.forgetDataset(spark, root, "view")
+    val after = ManifestStore.latest(spark, root)._2
+    assert(untouched.forall(after.contains),
+      "commits without the series must keep their dirs byte-for-byte")
+    // both tables forgot the series, everything else intact
+    val raw = ManifestStore.readRaw(spark, root)
+      .orderBy("ts_us").collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(raw.toSeq == Seq(("a", 1.0), ("a", 2.0)))
+    val lvl = ManifestStore.readLevel(spark, root, Fidelity.S1).collect()
+      .map(r => r.getString(0)).toSet
+    assert(lvl == Set("a"))
+    // txn keys survive the rewrite: redelivery still rejected
+    assert(!ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("view", "2024-01-01T00:00:02", 7.0)), key = Some("k3")))
+    // old snapshots still resolve until vacuum reclaims replaced dirs
+    assert(ManifestStore.readRawAsOf(spark, root, 3L)
+      .where(col("dataset_id") === "view").count() == 2L)
+    ManifestStore.vacuum(spark, root)
+    // post-vacuum: the forgotten series' bytes are physically gone
+    val leftover = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/mrollup/data"))
+      .filter(p => p.getFileName.toString.endsWith(".parquet"))
+      .toArray.map(_.toString)
+    // raw and partial files carry different schemas — probe each alone
+    val resurrected = leftover.exists(f =>
+      spark.read.parquet(f).where(col("dataset_id") === "view")
+        .take(1).nonEmpty)
+    assert(!resurrected, "vacuum must physically erase the forgotten series")
+  }
+
   test("schema evolution: v1 commits read sumsq NULL, merges are conservative, compaction preserves the rule") {
     val root = TestSpark.tmpDir("mstore_evo")
     val sec = (i: Int) => TestSpark.isoUs(f"2024-01-01T00:00:$i%02d") / 1000000L
