@@ -2064,6 +2064,23 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- time-based retention on the ATOMIC store: expire everything
+    // before a coarsest-level-aligned cutoff from BOTH tables in one
+    // manifest swap — EXACT at the cutoff (every level width divides
+    // 100000 s), where directory-grain expiry must keep straddling
+    // partitions whole. Cutoff = 2 coarse windows past the data start
+    "manifest_retention_10s" -> ((s, dir) => {
+      val root = hardlinkClone(atomicManifestStore(s, dir))
+      val minUs = ev(s, dir).agg(min("ts_us")).head().getLong(0)
+      val cutoffS = (minUs / 1000000L / 100000L + 2L) * 100000L
+      graft.store.ManifestStore.expireBefore(s, root, cutoffS)
+      graft.store.ManifestStore.readLevel(s, root, Fidelity.S10)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- CDC STREAMING CONSUMER: tail the manifest store's version
     // files as a Structured Streaming file source (the commit
     // protocol's own WAL — no second channel) and apply each published
@@ -2306,6 +2323,19 @@ object CoreQueries {
     // both legs of the atomic two-table publish fold to the same truth
     "ingest_atomic_1s" -> rollupSql(1),
     "ingest_atomic_raw_1s" -> rollupSql(1),
+    // atomic-store expiry: the 10 s level minus everything before the
+    // aligned cutoff (2 coarse windows past the sanitized data start)
+    "manifest_retention_10s" ->
+      """SELECT event_type AS dataset_id,
+        |  (epoch_us(ts) // 10000000) * 10 AS bucket_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND epoch_us(ts) >= 1000000 * (
+        |    (SELECT min(epoch_us(ts)) FROM events
+        |     WHERE value IS NOT NULL AND NOT isnan(value))
+        |    // 100000000000 + 2) * 100000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // atomic-store series delete: the 10 s level minus the series
     "manifest_forget_10s" ->
       """SELECT event_type AS dataset_id,

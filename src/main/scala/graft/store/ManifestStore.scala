@@ -597,11 +597,42 @@ object ManifestStore {
    *  loudly (missing dirs) after it runs, never silently resurrect.
    */
   def forgetDataset(spark: SparkSession, root: String, datasetId: String): Unit = {
-    val (_, live) = latest(spark, root)
-    val keep = col("ds_b") =!= Tables.dsBucket(lit(datasetId)) ||
-      col("dataset_id") =!= datasetId
     val hit = col("ds_b") === Tables.dsBucket(lit(datasetId)) &&
       col("dataset_id") === datasetId
+    rewriteLive(spark, root, partialsHit = hit, rawHit = hit,
+      what = s"forgetDataset($datasetId)")
+  }
+
+  /** Time-based retention on the atomic store: delete every bucket
+   *  strictly BEFORE `cutoffS` from both tables in one manifest swap.
+   *  Exact at any cutoff aligned to the coarsest level (100000 s —
+   *  every finer width divides it), which the partitioned store's
+   *  directory-grain expiry cannot be: it must keep whole straddling
+   *  partitions. Same rewrite machinery as [[forgetDataset]]: commits
+   *  wholly before the cutoff drop out of the manifest with NO data
+   *  read beyond the containment probe, straddlers rewrite once.
+   */
+  def expireBefore(spark: SparkSession, root: String, cutoffS: Long): Unit = {
+    require(cutoffS % 100000L == 0,
+      s"cutoff $cutoffS must align to the coarsest level (100000 s) so " +
+        "every rollup level's buckets split exactly")
+    rewriteLive(spark, root,
+      partialsHit = col("bucket_s") < cutoffS,
+      rawHit = col("ts_us") < cutoffS * 1000000L,
+      what = s"expireBefore($cutoffS)")
+  }
+
+  /** Shared delete machinery: rewrite every live commit containing a
+   *  `hit` row without those rows and publish ONE new version; commits
+   *  left empty drop, untouched commits keep their dirs. Aborts (and
+   *  cleans its output) if the live set moved underneath.
+   */
+  private def rewriteLive(
+      spark: SparkSession, root: String,
+      partialsHit: org.apache.spark.sql.Column,
+      rawHit: org.apache.spark.sql.Column,
+      what: String): Unit = {
+    val (_, live) = latest(spark, root)
     val fullC = StructType(physSchema.fields :+ StructField("fidelity", StringType))
     // old entry -> replacement (None = commit becomes empty, drop it)
     val replaced = scala.collection.mutable.LinkedHashMap[String, Option[String]]()
@@ -609,12 +640,13 @@ object ManifestStore {
       val path = s"${dataDir(root)}/$d"
       if (StoreFs.exists(spark, path)) {
         val isPartials = d.startsWith("c-")
+        val hit = if (isPartials) partialsHit else rawHit
         val df =
           if (isPartials)
             spark.read.schema(fullC).option("basePath", path).parquet(path)
           else spark.read.parquet(path)
         if (!df.where(hit).isEmpty) {
-          val survivors = df.where(keep)
+          val survivors = df.where(!hit)
           replaced(d) =
             if (survivors.isEmpty) None
             else if (isPartials)
@@ -637,8 +669,7 @@ object ManifestStore {
         fsFor(spark, p).delete(p, true): Unit
       }
       throw new IllegalStateException(
-        s"forgetDataset($datasetId) lost the manifest race at $root — " +
-          "rerun against the new live set")
+        s"$what lost the manifest race at $root — rerun against the new live set")
     }
   }
 

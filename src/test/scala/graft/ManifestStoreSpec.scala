@@ -367,6 +367,30 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(!resurrected, "vacuum must physically erase the forgotten series")
   }
 
+  test("expireBefore cuts both tables exactly at an aligned cutoff; wholly-old commits just unlink") {
+    val root = TestSpark.tmpDir("mstore_ttl")
+    val epoch0 = "1970-01-02T03:46:40" // epoch 100000 s — one coarse window
+    // commit 1: wholly before the cutoff (drops without a rewrite)
+    assert(ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("a", "1970-01-01T00:00:10", 1.0))))
+    // commit 2: straddles (one point each side of the cutoff)
+    assert(ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("a", "1970-01-02T03:46:39", 2.0), ("a", epoch0, 3.0))))
+    intercept[IllegalArgumentException] {
+      ManifestStore.expireBefore(spark, root, 12345L) // unaligned cutoff
+    }
+    ManifestStore.expireBefore(spark, root, 100000L)
+    val raw = ManifestStore.readRaw(spark, root).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    assert(raw == Seq((100000000000L, 3.0)), s"raw leg after expiry: $raw")
+    val lvl = ManifestStore.readLevel(spark, root, Fidelity.S1).collect()
+      .map(r => (r.getLong(1), r.getDouble(4))).toSeq
+    assert(lvl == Seq((100000L, 3.0)), s"rollup leg after expiry: $lvl")
+    // every coarser level agrees (all widths divide the cutoff)
+    assert(ManifestStore.readLevel(spark, root, Fidelity.S100000).collect()
+      .map(_.getLong(5)).toSeq == Seq(1L))
+  }
+
   test("schema evolution: v1 commits read sumsq NULL, merges are conservative, compaction preserves the rule") {
     val root = TestSpark.tmpDir("mstore_evo")
     val sec = (i: Int) => TestSpark.isoUs(f"2024-01-01T00:00:$i%02d") / 1000000L
