@@ -71,8 +71,15 @@ object CoreQueries {
       val root = java.nio.file.Files
         .createTempDirectory("graft_atomic_fixture").toString
       val long = ev(key._1, key._2)
-      def slice(i: Int) = long.where(
-        pmod(crc32(concat_ws("|", col("dataset_id"), col("ts_us"))), lit(3)) === i)
+      // md5 split (not crc32) so the per-batch membership is DuckDB-
+      // reproducible — the raw CDC oracle depends on WHICH rows landed
+      // in batch 2, not just on their union
+      val h = pmod(
+        conv(substring(
+          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(3L))
+      def slice(i: Int) = long.where(h === i)
       for (i <- 0 until 3)
         require(graft.store.ManifestStore.ingestBatchAtomic(
           key._1, root, slice(i), key = Some(s"b$i")), s"batch $i must publish")
@@ -2064,6 +2071,17 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- raw-tier change feed: the raw rows ADDED in (v2, v3] — the
+    // replication/export read. On the md5-split atomic fixture that is
+    // exactly batch 2's rows, with no old-state join (the delta IS the
+    // added raw commit dirs) --------------------------------------
+    "manifest_cdc_raw" -> ((s, dir) => {
+      val root = atomicManifestStore(s, dir)
+      graft.store.ManifestStore.cdcRawBetween(s, root, fromV = 2L, toV = 3L)
+        .select(col("dataset_id"), col("ts_us"), r6(col("value")).as("value"))
+        .orderBy("dataset_id", "ts_us", "value")
+    }),
+
     // ---- time-based retention on the ATOMIC store: expire everything
     // before a coarsest-level-aligned cutoff from BOTH tables in one
     // manifest swap — EXACT at the cutoff (every level width divides
@@ -2323,6 +2341,14 @@ object CoreQueries {
     // both legs of the atomic two-table publish fold to the same truth
     "ingest_atomic_1s" -> rollupSql(1),
     "ingest_atomic_raw_1s" -> rollupSql(1),
+    // the raw rows of md5-split batch 2 exactly
+    "manifest_cdc_raw" ->
+      """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us,
+        |  round(value, 6) AS value
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND ('0x' || substr(md5(event_type || '|' ||
+        |        CAST(epoch_us(ts) AS VARCHAR)), 1, 15))::BIGINT % 3 = 2
+        |ORDER BY 1, 2, 3""".stripMargin,
     // atomic-store expiry: the 10 s level minus everything before the
     // aligned cutoff (2 coarse windows past the sanitized data start)
     "manifest_retention_10s" ->

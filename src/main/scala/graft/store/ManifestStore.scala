@@ -461,6 +461,27 @@ object ManifestStore {
         (col("cnt") + coalesce(col("old_cnt"), lit(0L))).as("cnt"))
   }
 
+  /** Raw-tier change feed: the raw rows ADDED in (fromV, toV] — the
+   *  replication/export primitive (ship every new row downstream
+   *  without diffing tables). Raw commits are immutable and the raw
+   *  live set is append-only between rewrites (compactRawTiered /
+   *  forgetDataset / expireBefore), so the delta IS the added `r-`
+   *  dirs — no old-state join at all, cost ∝ the delta. A window
+   *  crossing a rewrite fails loudly, exactly like the partials feed.
+   */
+  def cdcRawBetween(
+      spark: SparkSession, root: String, fromV: Long, toV: Long): DataFrame = {
+    require(fromV <= toV, s"cdcRawBetween: fromV $fromV > toV $toV")
+    val before = if (fromV == 0L) Seq.empty[String]
+      else rawDirEntries(liveAt(spark, root, fromV))
+    val after = rawDirEntries(liveAt(spark, root, toV))
+    require(before.forall(after.contains),
+      s"raw CDC window ($fromV, $toV] at $root crosses a raw rewrite " +
+        "(compaction/forget/expiry): the added-dirs delta is not the " +
+        "net change there")
+    readRawDirs(spark, after.filterNot(before.toSet), root)
+  }
+
   /** Fold ALL live commits into one and swap the manifest atomically.
    *  Readers see either the old set or the compacted one, never both.
    *  Commits that land AFTER this compaction's snapshot was read are

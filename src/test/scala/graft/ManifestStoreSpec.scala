@@ -308,6 +308,11 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.readLevelAsOf(spark, root, Fidelity.S1, 1L)
       .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0) == 2L)
 
+    // raw change feed: (v1, v2] is exactly the k2 batch's rows
+    val rawDelta = ManifestStore.cdcRawBetween(spark, root, 1L, 2L)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(rawDelta == Seq(("a", 6.0)), s"raw CDC delta: $rawDelta")
+
     // raw-tier fold: concatenation preserves every row, CDC windows
     // over the fold stay derivable (c- entries untouched)
     val (vPre, _) = ManifestStore.latest(spark, root)
@@ -320,6 +325,12 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.cdcBetween(spark, root, Fidelity.S1,
       vPre, ManifestStore.latest(spark, root)._1).isEmpty,
       "a pure raw fold must read as an empty level change feed")
+    // ...but the RAW feed across that fold is underivable — loud failure
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.cdcRawBetween(spark, root,
+        vPre, ManifestStore.latest(spark, root)._1)
+    }
+    assert(ex.getMessage.contains("raw rewrite"))
   }
 
   test("forgetDataset on the atomic store: one swap, both tables, untouched commits keep their dirs") {
