@@ -95,11 +95,22 @@ object StreamCdc {
    *  daily summary. Out-of-order arrivals buffer until their
    *  predecessor applies; `localCheckpoint` truncates the summary's
    *  lineage each step so N versions cost N deltas, not an N-deep plan.
+   *
+   *  With a `stateDir`, the consumer is RESTART-SAFE independently of
+   *  the driver process: each applied version writes the summary to
+   *  `stateDir/s-<v>` and then flips the `_applied` marker, and a
+   *  resumed run bootstraps from the highest marked version instead of
+   *  the empty table — a crashed consumer re-applies AT MOST the one
+   *  version whose marker didn't land, and a refresh step is a
+   *  deterministic rewrite of the touched days, so that replay is
+   *  idempotent.
    */
   def maintainDaily(
-      spark: SparkSession, root: String, checkpoint: String): DataFrame = {
-    @volatile var summary = emptyDaily(spark)
-    @volatile var applied = 0L
+      spark: SparkSession, root: String, checkpoint: String,
+      stateDir: Option[String] = None): DataFrame = {
+    val boot = stateDir.flatMap(readState(spark, _))
+    @volatile var summary = boot.map(_._2).getOrElse(emptyDaily(spark))
+    @volatile var applied = boot.map(_._1).getOrElse(0L)
     val pending = scala.collection.mutable.SortedSet.empty[Long]
     val q = versionFeed(spark, root).writeStream
       .outputMode("append")
@@ -115,6 +126,7 @@ object StreamCdc {
               b.sparkSession, root, summary, pending.head).localCheckpoint(true)
             applied = pending.head
             pending -= applied
+            stateDir.foreach(writeState(_, applied, summary))
           }
         }
       }
@@ -124,5 +136,27 @@ object StreamCdc {
       s"manifest log gap: versions $pending arrived without predecessor " +
         s"$applied+1 — refusing to skip CDC windows")
     summary
+  }
+
+  private def writeState(stateDir: String, v: Long, summary: DataFrame): Unit = {
+    summary.write.mode("overwrite").parquet(s"$stateDir/s-$v")
+    // marker flips AFTER the data lands: a crash between the two leaves
+    // the previous marker valid and the half-written dir unreferenced
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(stateDir).resolve("_applied"),
+      v.toString.getBytes("UTF-8")): Unit
+  }
+
+  private def readState(
+      spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {
+    val marker = java.nio.file.Paths.get(stateDir).resolve("_applied")
+    if (!java.nio.file.Files.exists(marker)) None
+    else {
+      val v = new String(
+        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+      // localCheckpoint: the bootstrap summary must not lazily depend
+      // on state files a later writeState overwrite could replace
+      Some((v, spark.read.parquet(s"$stateDir/s-$v").localCheckpoint(true)))
+    }
   }
 }

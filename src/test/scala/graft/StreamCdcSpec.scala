@@ -44,6 +44,42 @@ class StreamCdcSpec extends AnyFunSuite {
     assert(maintained.toMap.apply(("a", day1)) == ((2.0, 6.0, 12.0, 3L)))
   }
 
+  test("maintainDaily resumes from persisted state, applying only new versions") {
+    val root = TestSpark.tmpDir("cdc_resume")
+    val state = TestSpark.tmpDir("cdc_state")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("dataset_id", "day_s").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getLong(5)))
+        .toSeq
+    def marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(state).resolve("_applied")), "UTF-8").trim.toLong
+
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 2.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T06:00:00", 4.0)))
+    val s1 = StreamCdc.maintainDaily(spark, root,
+      TestSpark.tmpDir("cdc_rck1") + "/c", Some(state))
+    assert(marker == 2L, "both versions applied and marked")
+
+    // a third version lands while the consumer is down; the resumed run
+    // (fresh stream checkpoint — the crash-lost-checkpoint case) must
+    // bootstrap from state and apply ONLY version 3
+    ManifestStore.ingestBatch(spark, root,
+      batch(("b", "2024-01-01T12:00:00", 8.0)))
+    val ck2 = TestSpark.tmpDir("cdc_rck2") + "/c"
+    val s2 = StreamCdc.maintainDaily(spark, root, ck2, Some(state))
+    assert(marker == 3L)
+    assert(snap(s2) == snap(
+      StreamCdc.daily(ManifestStore.readLevel(spark, root, Fidelity.S1))))
+    assert(snap(s2) != snap(s1), "version 3 changed the summary")
+
+    // idle resume with the SAME stream checkpoint: nothing redelivers,
+    // the summary comes entirely from state
+    val s3 = StreamCdc.maintainDaily(spark, root, ck2, Some(state))
+    assert(marker == 3L && snap(s3) == snap(s2))
+  }
+
   test("versionFeed surfaces versions in commit order under AvailableNow") {
     val root = TestSpark.tmpDir("cdc_feed")
     for (i <- 1 to 3)
