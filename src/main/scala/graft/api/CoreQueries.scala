@@ -2071,6 +2071,21 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- snapshot chart-range read: the 'view' series over one day at
+    // the 10 s level AS OF version 2 — series/part/bucket pruning below
+    // the merge fold against a frozen snapshot (batches 0-1 only) ----
+    "manifest_range_asof_10s" -> ((s, dir) => {
+      val root = atomicManifestStore(s, dir)
+      val minUs = ev(s, dir).agg(min("ts_us")).head().getLong(0)
+      val startS = (minUs / 1000000L / 86400L) * 86400L + 86400L
+      graft.store.ManifestStore.readLevelRangeAsOf(
+        s, root, Fidelity.S10, "view", startS, startS + 86400L, version = 2L)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("bucket_s")
+    }),
+
     // ---- raw-tier change feed: the raw rows ADDED in (v2, v3] — the
     // replication/export read. On the md5-split atomic fixture that is
     // exactly batch 2's rows, with no old-state join (the delta IS the
@@ -2341,6 +2356,22 @@ object CoreQueries {
     // both legs of the atomic two-table publish fold to the same truth
     "ingest_atomic_1s" -> rollupSql(1),
     "ingest_atomic_raw_1s" -> rollupSql(1),
+    // snapshot range read: md5-split batches 0-1, 'view' only, one day
+    "manifest_range_asof_10s" ->
+      """WITH m AS (SELECT ((SELECT min(epoch_us(ts)) FROM events
+        |    WHERE value IS NOT NULL AND NOT isnan(value))
+        |    // 1000000 // 86400) * 86400 + 86400 AS st)
+        |SELECT event_type AS dataset_id,
+        |  (epoch_us(ts) // 10000000) * 10 AS bucket_s,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  round(sum(value), 6) AS sum_v, count(*) AS cnt
+        |FROM events, m
+        |WHERE value IS NOT NULL AND NOT isnan(value)
+        |  AND event_type = 'view'
+        |  AND ('0x' || substr(md5(event_type || '|' ||
+        |        CAST(epoch_us(ts) AS VARCHAR)), 1, 15))::BIGINT % 3 <> 2
+        |  AND (epoch_us(ts) // 10000000) * 10 BETWEEN m.st AND m.st + 86400
+        |GROUP BY 1, 2 ORDER BY 2""".stripMargin,
     // the raw rows of md5-split batch 2 exactly
     "manifest_cdc_raw" ->
       """SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us,

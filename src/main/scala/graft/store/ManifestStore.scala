@@ -351,8 +351,28 @@ object ManifestStore {
    */
   def readLevelRange(
       spark: SparkSession, root: String, f: Fidelity,
-      datasetId: String, startS: Long, endS: Long): DataFrame = {
-    val dirs = levelDirs(spark, root, f)
+      datasetId: String, startS: Long, endS: Long): DataFrame =
+    readLevelRangeDirs(spark, levelDirs(spark, root, f), f,
+      datasetId, startS, endS)
+
+  /** [[readLevelRange]] AS OF a published version: the chart-serving
+   *  read against a frozen snapshot — same double pruning (series
+   *  bucket + part/bucket bounds below the merge fold), dirs resolved
+   *  from the version's live set. Paired with [[readRawAsOf]] this
+   *  serves a whole dashboard from one consistent instant.
+   */
+  def readLevelRangeAsOf(
+      spark: SparkSession, root: String, f: Fidelity,
+      datasetId: String, startS: Long, endS: Long, version: Long): DataFrame = {
+    val dirs = dirEntries(liveAt(spark, root, version))
+      .map(d => s"${dataDir(root)}/$d/fidelity=${Tables.fidelityPart(f)}")
+      .filter(StoreFs.exists(spark, _))
+    readLevelRangeDirs(spark, dirs, f, datasetId, startS, endS)
+  }
+
+  private def readLevelRangeDirs(
+      spark: SparkSession, dirs: Seq[String], f: Fidelity,
+      datasetId: String, startS: Long, endS: Long): DataFrame =
     if (dirs.isEmpty) empty(spark)
     else {
       val w = Tables.partitionWindowS(f)
@@ -364,7 +384,6 @@ object ManifestStore {
             col("bucket_s").between(startS, endS)))
         .select(Tables.rollupSchema.fieldNames.map(col).toIndexedSeq: _*)
     }
-  }
 
   private val cdcSchema: StructType = StructType(Seq(
     StructField("dataset_id", StringType),

@@ -474,6 +474,22 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("manifest_range_asof pushes series and range predicates into the snapshot scan") {
+    withPlainPlans {
+      val df = SparkEntry.queries("manifest_range_asof_10s")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the series-bucket and time predicates must reach the parquet
+      // scan (row-group pruning below the merge fold), and the fold is
+      // ONE aggregation exchange plus the output sort
+      assert(plan.contains("PushedFilters") && plan.contains("ds_b"),
+        "ds_b series predicate not pushed to the snapshot scan")
+      assert(plan.contains("part_s") && plan.contains("bucket_s"),
+        "part/bucket range predicates missing from the scan")
+      assert(shuffleCount(df) <= 2,
+        s"snapshot range read grew extra exchanges:\n$plan")
+    }
+  }
+
   test("no pure query's optimized plan exceeds the collapse-safety ceiling") {
     withPlainPlans {
       // Mechanical guard for the lambda-duplication hazard class: a
