@@ -1397,6 +1397,16 @@ object PipelineQueries {
         .where(col("h") % 1000000L < col("weight_ppm"))
         .select(col("doc_id"), col("weight_ppm"))
         .orderBy("doc_id")),
+    // balanced training-shard export plan: 8 shards by serpentine
+    // assignment over the GLOBAL whitespace-token rank (TeraSort
+    // two-pass, no single-task window), each with doc/token counts and
+    // an order-free modular md5 content checksum the consumer
+    // re-validates — the handoff artifact a training job ingests
+    "export_shards" -> ((s, dir) =>
+      graft.curate.Sharding.shardPlan(
+        docs(s, dir).withColumn("w", size(split(col("text"), " ")).cast("long")),
+        "doc_id", "w", k = 8)
+        .orderBy("shard")),
     // data-mixture planner, epoch-capped variant: per-source sampling
     // rates that hit target domain weights at the FULL corpus token
     // budget, allowing up to 3 epochs of repetition on under-weight
@@ -2425,6 +2435,23 @@ object PipelineQueries {
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      % 1000000 < weight_ppm
         |ORDER BY doc_id""".stripMargin,
+    // serpentine over the (w DESC, doc_id) rank; checksum mod 1e9+7
+    "export_shards" ->
+      """WITH w AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |  FROM documents),
+        |r AS (SELECT doc_id, w,
+        |    row_number() OVER (ORDER BY w DESC, doc_id) - 1 AS rk FROM w),
+        |a AS (SELECT doc_id, w,
+        |    CASE WHEN rk % 16 < 8 THEN rk % 16 ELSE 15 - (rk % 16) END AS shard
+        |  FROM r)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_tokens,
+        |  min(w) AS min_tokens, max(w) AS max_tokens,
+        |  CAST(sum(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' ||
+        |      CAST(w AS VARCHAR)), 1, 15))::BIGINT % 1000000007)
+        |    % 1000000007 AS BIGINT) AS checksum
+        |FROM a GROUP BY 1 ORDER BY 1""".stripMargin,
     "mixture_plan" ->
       """WITH g AS (
         |  SELECT source, count(*) AS n_docs,

@@ -116,6 +116,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.map(_.getLong(0)).toSeq == Seq(0L, 1L, 10L))
   }
 
+  test("shardPlan: serpentine masses stay within one max-doc of each other") {
+    val sized = (1 to 100).map(i => (i.toLong, ("tok " * i).trim))
+      .toDF("doc_id", "text")
+      .withColumn("w", size(split(col("text"), " ")).cast("long"))
+    val plan = graft.curate.Sharding.shardPlan(sized, "doc_id", "w", 4)
+      .orderBy("shard").collect()
+    assert(plan.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(plan.map(_.getLong(1)).sum == 100L, "every doc lands in a shard")
+    assert(plan.map(_.getLong(2)).sum == (1 to 100).sum.toLong)
+    val masses = plan.map(_.getLong(2))
+    assert(masses.max - masses.min <= 100L,
+      s"serpentine spread exceeded one max doc: ${masses.toSeq}")
+  }
+
   test("substringDupPrune: keep-first cuts the copy, not the original; novel text intact") {
     val base = "x" * 30 + ("the quick brown fox jumps over the lazy dog " * 3)
     val docs2 = Seq(
