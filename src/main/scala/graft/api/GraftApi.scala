@@ -69,22 +69,32 @@ final class GraftApi(
    */
   def getData(
       datasetId: String, startUs: Long, endUs: Long,
-      fidelity: Option[Fidelity] = None): DataFrame = {
+      fidelity: Option[Fidelity] = None,
+      asOf: Option[Long] = None): DataFrame = {
     Melt.requireLegalId(datasetId)
+    require(asOf.isEmpty || manifestRollups,
+      "time-travel reads require the manifest backend")
     numGets.incrementAndGet()
     // ONE routing dispatch for both backends (RangeQuery.getWith); the
     // backends differ only in the aggregate-level reader — the manifest
     // store needs the series/bucket bounds BELOW its merge-on-read fold
     // (readLevelRange), the partitioned table injects its hash-bucket
-    // predicate (readRollupFor)
+    // predicate (readRollupFor). With `asOf`, both legs resolve the
+    // SAME published version — the chart shows one consistent instant
+    // whatever fidelity the span routes to.
     RangeQuery.getWith(
-      _ =>
-        if (manifestRollups) ManifestStore.readRawFor(spark, root, datasetId)
-        else Tables.readRawFor(spark, root, datasetId),
-      (f, startS, endS) =>
-        if (manifestRollups)
+      _ => (manifestRollups, asOf) match {
+        case (true, Some(v)) => ManifestStore.readRawForAsOf(spark, root, datasetId, v)
+        case (true, None) => ManifestStore.readRawFor(spark, root, datasetId)
+        case _ => Tables.readRawFor(spark, root, datasetId)
+      },
+      (f, startS, endS) => (manifestRollups, asOf) match {
+        case (true, Some(v)) =>
+          ManifestStore.readLevelRangeAsOf(spark, root, f, datasetId, startS, endS, v)
+        case (true, None) =>
           ManifestStore.readLevelRange(spark, root, f, datasetId, startS, endS)
-        else Tables.readRollupFor(spark, root, f, datasetId),
+        case _ => Tables.readRollupFor(spark, root, f, datasetId)
+      },
       datasetId, startUs, endUs, fidelity)
   }
 

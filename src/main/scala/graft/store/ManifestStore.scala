@@ -832,8 +832,22 @@ object ManifestStore {
    *  itself standing in for the directory tree.
    */
   def readRawFor(
-      spark: SparkSession, root: String, datasetId: String): DataFrame = {
-    val dirs = rawDirEntries(latest(spark, root)._2)
+      spark: SparkSession, root: String, datasetId: String): DataFrame =
+    readRawForDirs(spark, rawDirEntries(latest(spark, root)._2), root, datasetId)
+
+  /** [[readRawFor]] AS OF a published version — the FULL-fidelity leg
+   *  of chart time travel (pairs with [[readLevelRangeAsOf]]).
+   */
+  def readRawForAsOf(
+      spark: SparkSession, root: String, datasetId: String,
+      version: Long): DataFrame =
+    readRawForDirs(spark, rawDirEntries(liveAt(spark, root, version)),
+      root, datasetId)
+
+  private def readRawForDirs(
+      spark: SparkSession, entries: Seq[String], root: String,
+      datasetId: String): DataFrame = {
+    val dirs = entries
       .map(d => s"${dataDir(root)}/$d")
       .filter(StoreFs.exists(spark, _))
     if (dirs.isEmpty)

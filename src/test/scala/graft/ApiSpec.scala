@@ -60,6 +60,32 @@ class ApiSpec extends AnyFunSuite {
     } finally graft.plans.RollupCatalog.clear()
   }
 
+  test("getData asOf serves the chart from one frozen version on both routes") {
+    val root = TestSpark.tmpDir("graft_api_asof")
+    val api = new GraftApi(spark, root, root + "/all_comments")
+    val t0 = TestSpark.isoUs("2024-01-01T01:00:00")
+    api.putData(TestSpark.longDF(Seq(
+      ("api.tt.a", "2024-01-01T01:00:00", 1.0))))
+    api.putData(TestSpark.longDF(Seq(
+      ("api.tt.a", "2024-01-01T01:00:30", 9.0))))
+
+    // FULL route: version 1 sees only the first point, latest sees both
+    assert(api.getData("api.tt.a", t0, t0 + 120000000L, asOf = Some(1L))
+      .collect().map(_.getDouble(1)).toSeq == Seq(1.0))
+    assert(api.getData("api.tt.a", t0, t0 + 120000000L)
+      .count() == 2L)
+    // forced aggregate route at the same frozen version: mean of batch 1
+    val agg = api.getData("api.tt.a", t0, t0 + 120000000L,
+      Some(Fidelity.S100), asOf = Some(1L)).collect()
+    assert(agg.length == 1 && agg.head.getDouble(2) == 1.0)
+    // time travel is a manifest-backend capability — loud otherwise
+    val dyn = new GraftApi(spark, TestSpark.tmpDir("graft_api_dyn"),
+      root + "/c2", manifestRollups = false)
+    assertThrows[IllegalArgumentException] {
+      dyn.getData("api.tt.a", t0, t0 + 1L, asOf = Some(1L))
+    }
+  }
+
   test("put/get/search/comments/self-metrics round-trip") {
     val root = TestSpark.tmpDir("graft_api")
     val api = new GraftApi(spark, root, root + "/all_comments")
