@@ -2071,6 +2071,25 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- commit-log history sweep: every published version read back
+    // on BOTH tables — the raw count and the 1 s-level point count must
+    // agree at every version (atomic publish = no version can ever
+    // show the tables out of step), and the oracle pins both to the
+    // cumulative md5-split membership ------------------------------
+    "manifest_history" -> ((s, dir) => {
+      val root = atomicManifestStore(s, dir)
+      (1L to 3L).map { v =>
+        graft.store.ManifestStore.readRawAsOf(s, root, v)
+          .agg(count(lit(1)).as("n_raw"))
+          .crossJoin(
+            graft.store.ManifestStore.readLevelAsOf(s, root, Fidelity.S1, v)
+              .agg(sum("cnt").as("n_rollup_pts")))
+          .withColumn("version", lit(v))
+      }.reduce(_.unionByName(_))
+        .select(col("version"), col("n_raw"), col("n_rollup_pts"))
+        .orderBy("version")
+    }),
+
     // ---- snapshot chart-range read: the 'view' series over one day at
     // the 10 s level AS OF version 2 — series/part/bucket pruning below
     // the merge fold against a frozen snapshot (batches 0-1 only) ----
@@ -2356,6 +2375,17 @@ object CoreQueries {
     // both legs of the atomic two-table publish fold to the same truth
     "ingest_atomic_1s" -> rollupSql(1),
     "ingest_atomic_raw_1s" -> rollupSql(1),
+    // each version's visible rows = cumulative md5-split membership,
+    // identical on both tables
+    "manifest_history" ->
+      """WITH e AS (SELECT ('0x' || substr(md5(event_type || '|' ||
+        |      CAST(epoch_us(ts) AS VARCHAR)), 1, 15))::BIGINT % 3 AS b
+        |  FROM events WHERE value IS NOT NULL AND NOT isnan(value))
+        |SELECT CAST(v.version AS BIGINT) AS version,
+        |  (SELECT count(*) FROM e WHERE b < v.version) AS n_raw,
+        |  (SELECT count(*) FROM e WHERE b < v.version) AS n_rollup_pts
+        |FROM (VALUES (1), (2), (3)) v(version)
+        |ORDER BY 1""".stripMargin,
     // snapshot range read: md5-split batches 0-1, 'view' only, one day
     "manifest_range_asof_10s" ->
       """WITH m AS (SELECT ((SELECT min(epoch_us(ts)) FROM events
