@@ -225,6 +225,31 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("compaction"))
   }
 
+  test("concurrent atomic writers all publish: optimistic commit loses no update") {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val root = TestSpark.tmpDir("mstore_race")
+    // 6 writers race on the version file; losers re-read and retry
+    val writers = (0 until 6).map { i =>
+      Future(ManifestStore.ingestBatchAtomic(spark, root,
+        batch((s"w$i", f"2024-01-01T00:00:$i%02d", i.toDouble)),
+        key = Some(s"w$i")))
+    }
+    assert(Await.result(Future.sequence(writers), 5.minutes).forall(identity),
+      "every racing writer must eventually publish")
+    val (v, live) = ManifestStore.latest(spark, root)
+    assert(v == 6L, s"six distinct versions published, got $v")
+    assert(live.count(_.startsWith("#txn:")) == 6)
+    assert(ManifestStore.readRaw(spark, root).count() == 6L)
+    assert(ManifestStore.readLevel(spark, root, Fidelity.S1).count() == 6L)
+    // every intermediate snapshot is a consistent two-table prefix
+    for (vv <- 1L to v)
+      assert(ManifestStore.readRawAsOf(spark, root, vv).count() ==
+        ManifestStore.readLevelAsOf(spark, root, Fidelity.S1, vv)
+          .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0))
+  }
+
   test("tiered compaction folds only the small tier and leaves the big commit in place") {
     val root = TestSpark.tmpDir("mstore_tier")
     // one BIG commit (many buckets) + three small ones
