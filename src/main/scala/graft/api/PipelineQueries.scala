@@ -658,6 +658,27 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // persisted IVF index grown by appends: centroids freeze on the
+    // founding shard (vec_id % 3 = 0), two more shards assign against
+    // them and append into cell-partitioned postings, then queries
+    // probe the STORED index — assignments identical to a one-shot
+    // build with the same frozen centroids, which the oracle replays
+    "ann_index_ingest" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_idx").toString
+      val base = embBase(s, dir)
+      val founding = base.where(pmod(col("vec_id"), lit(3)) === 0)
+      Similarity.ivfIndexBuild(s, idx, founding,
+        Similarity.boundedStep(founding.count()))
+      for (i <- 1 until 3)
+        Similarity.ivfIndexAppend(s, idx,
+          base.where(pmod(col("vec_id"), lit(3)) === i))
+      Similarity.ivfIndexQuery(s, idx, base.where(col("vec_id") < 5),
+          k = 10, nProbe = 3)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+
     // hard-negative mining over the dup-planted corpus: per query, the
     // 10 most-similar candidates in the (0.2, 0.9) cosine band — the
     // ~0.99 planted near-copies fall ABOVE the band (a positive, not a
@@ -3015,6 +3036,37 @@ object PipelineQueries {
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e
         |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
         |                      FROM e) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |ar AS (SELECT vec_id, v, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
+        |           FROM ar WHERE vec_id < 5 AND rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // same probe/rank semantics as ann_ivf, but centroids restricted
+    // to the founding shard with the stride derived from ITS count
+    "ann_index_ingest" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      WHERE vec_id % 3 = 0
+        |        AND vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM e WHERE vec_id % 3 = 0) = 0),
         |ac AS (
         |  SELECT e.vec_id, e.v, c.c_id,
         |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /

@@ -245,6 +245,68 @@ object Similarity {
         // SQL engines — emit the portable type
         col("rank").cast("long").as("rank"))
 
+  /** PERSISTED IVF index, built once and grown by appends — the
+   *  embedding-side sibling of the persisted dedup index: centroids
+   *  freeze at build time (stride over the FOUNDING shard; frozen
+   *  centroids are what make an ANN index append-able — re-deriving
+   *  them per batch would re-bucket the whole corpus), postings store
+   *  as (vec_id, v) PARTITIONED BY cell, so a query's probe reads only
+   *  its nProbe cell directories — at 100 TB that is the difference
+   *  between scanning ~nProbe/256 of the corpus and all of it.
+   *  Centroid drift as the corpus grows is the accepted tradeoff of
+   *  every frozen ANN index; the rebuild IS a new index.
+   */
+  def ivfIndexBuild(
+      spark: org.apache.spark.sql.SparkSession, dir: String, founding: DataFrame,
+      centroidStep: Long): Unit = {
+    founding.where(col("vec_id") % centroidStep === 0)
+      .select(col("vec_id"), col("v"))
+      .coalesce(1)
+      .write.mode("errorifexists").parquet(s"$dir/centroids")
+    ivfIndexAppend(spark, dir, founding)
+  }
+
+  /** Assign a new batch against the FROZEN centroids and append its
+   *  postings — batch-linear narrow work, the index is never re-read.
+   */
+  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String, batch: DataFrame): Unit = {
+    val cents = collectBounded(
+      spark.read.parquet(s"$dir/centroids"),
+      "the stored centroid set must stay index-small")
+    val (ids, vecs) = (cents.map(_._1), cents.flatMap(_._2))
+    batch.select(
+        col("vec_id"), col("v"),
+        element_at(
+          toCol(graft.functions.TopCentroids(toExpr(col("v")), ids, vecs, 1)), 1)
+          .as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
+  }
+
+  /** Probe the stored postings: queries rank exactly within their
+   *  nProbe nearest cells; the cell partitioning prunes the scan to
+   *  those directories.
+   */
+  def ivfIndexQuery(
+      spark: org.apache.spark.sql.SparkSession, dir: String, queries: DataFrame,
+      k: Int, nProbe: Int): DataFrame = {
+    val cents = collectBounded(
+      spark.read.parquet(s"$dir/centroids"),
+      "the stored centroid set must stay index-small")
+    val (ids, vecs) = (cents.map(_._1), cents.flatMap(_._2))
+    val probes = queries.select(
+      col("vec_id").as("q_id"), col("v").as("qv"),
+      explode(
+        toCol(graft.functions.TopCentroids(toExpr(col("v")), ids, vecs, nProbe)))
+        .as("cell"))
+    rankTopK(
+      spark.read.parquet(s"$dir/postings")
+        .join(broadcast(probes), Seq("cell"))
+        .where(col("q_id") =!= col("vec_id"))
+        .withColumn("cos", cosine(col("qv"), col("v")))
+        .withColumnRenamed("vec_id", "n_id"),
+      k)
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
    *  top-k MOST similar candidates inside the band (loCos, hiCos) —
    *  similar enough to be informative negatives, strictly below the

@@ -116,6 +116,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.map(_.getLong(0)).toSeq == Seq(0L, 1L, 10L))
   }
 
+  test("ivfIndex: appended shards are probe-visible and equal the one-shot path") {
+    val idx = TestSpark.tmpDir("ivf_idx")
+    val all = Similarity.asDouble(
+      (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 1.7 + d).toFloat)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val founding = all.where(col("vec_id") % 2 === 0)
+    Similarity.ivfIndexBuild(spark, idx, founding, centroidStep = 7L)
+    Similarity.ivfIndexAppend(spark, idx, all.where(col("vec_id") % 2 === 1))
+    val queries = all.where(col("vec_id") < 2)
+    val viaIndex = Similarity.ivfIndexQuery(spark, idx, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    // one-shot reference with the SAME frozen centroids
+    val cents = spark.read.parquet(s"$idx/centroids")
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val oneShot = Similarity.ivfTopKWith(all, queries, 5,
+        cents.map(_._1), cents.flatMap(_._2), nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(viaIndex == oneShot, "stored index diverged from one-shot assignment")
+    assert(viaIndex.map(_._2).exists(_ % 2 == 1),
+      "appended (odd-shard) vectors must be probe-visible")
+  }
+
   test("shardPlan: serpentine masses stay within one max-doc of each other") {
     val sized = (1 to 100).map(i => (i.toLong, ("tok " * i).trim))
       .toDF("doc_id", "text")
