@@ -275,8 +275,10 @@ object Dedup {
    * proportional joins on 8-byte keys; per-doc set SIZES are stored
    * beside the signatures so verification never re-aggregates the
    * index, and its postings scan prunes to candidate docs via a
-   * broadcast semi-join first. Index writes are append-only (at 100 TB
-   * the manifest-store commit protocol is this write path). The verdict
+   * broadcast semi-join first. Index writes publish through the SAME
+   * commit protocol as the store tables (graft.store.CommitLog): both
+   * index tables stage under one immutable commit dir and one
+   * version-file create makes them visible together. The verdict
    * is materialized via localCheckpoint BEFORE the append so the
    * returned frame can never observe its own shard in the index.
    */
@@ -285,12 +287,17 @@ object Dedup {
       shard: DataFrame, idCol: String, textCol: String, threshold: Double,
       k: Int = 64, bands: Int = 16): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
-    val sigDir = s"$indexDir/sig"
-    val shDir = s"$indexDir/shingles"
-    def exists(p: String): Boolean = {
-      val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(spark.sessionState.newHadoopConf()).exists(hp)
-    }
+    // the index is MANIFEST-GOVERNED (graft.store.CommitLog — the same
+    // protocol as the manifest store): each shard stages its signature
+    // and postings tables under ONE immutable commit dir and publishes
+    // them with one version-file create, so a crash mid-append leaves
+    // an orphan dir, never a torn index (signatures without postings
+    // would silently produce candidates that can't verify)
+    val clog = new graft.store.CommitLog(s"$indexDir/_manifests")
+    def live(sub: String): Seq[String] =
+      clog.latest(spark)._2.map(d => s"$indexDir/data/$d/$sub")
+    val sigDirs = live("sig")
+    val shDirs = live("sh")
     val sh = shingleSet(shard, idCol, textCol)
     // signature AND set size in ONE pass over the shingle set: the
     // stored row is (doc_id, mh, n) — everything banding, estimation,
@@ -301,7 +308,7 @@ object Dedup {
       count(lit(1)).as("n"))
     withScopedPersist(sh, sig) {
       val verdict =
-        if (!exists(sigDir))
+        if (sigDirs.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
             org.apache.spark.sql.types.StructType(Seq(
@@ -312,7 +319,7 @@ object Dedup {
               org.apache.spark.sql.types.StructField("jaccard",
                 org.apache.spark.sql.types.DoubleType))))
         else {
-          val isig = spark.read.parquet(sigDir)
+          val isig = spark.read.parquet(sigDirs: _*)
           val cand = bandBuckets(isig, k, bands).as("x")
             .join(bandBuckets(sig, k, bands).as("y"),
               col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
@@ -327,7 +334,7 @@ object Dedup {
             // postings semi-join down to candidate a_ids before the
             // intersection join, and set sizes come from the stored
             // sizes table — the index is never re-aggregated per shard
-            val aPost = spark.read.parquet(shDir)
+            val aPost = spark.read.parquet(shDirs: _*)
               .join(broadcast(est.select(col("a_id").as("doc_id")).distinct()),
                 Seq("doc_id"), "left_semi")
               .select(col("doc_id").as("a_id"), col("sh"))
@@ -344,9 +351,13 @@ object Dedup {
           } finally est.unpersist(): Unit
         }
       // verdict is already eagerly checkpointed (or an empty literal
-      // frame) — safe against the appends below
-      sig.write.mode("append").parquet(sigDir)
-      sh.write.mode("append").parquet(shDir)
+      // frame) before the shard publishes itself. Both tables stage
+      // under ONE immutable commit dir; the version-file create is the
+      // only visibility point — no torn index on any crash
+      val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+      sig.write.parquet(s"$indexDir/data/$name/sig")
+      sh.write.parquet(s"$indexDir/data/$name/sh")
+      clog.commit(spark)(now => Some(now :+ name)): Unit
       verdict
     }
   }

@@ -89,46 +89,23 @@ object ManifestStore {
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def versionPath(root: String, v: Long): Path =
-    new Path(manifestDir(root) + f"/v$v%012d")
-
-  private def readVersionFile(fs: FileSystem, p: Path): Seq[String] = {
-    val in = fs.open(p)
-    val body =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-    body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
-  }
+  // the commit protocol itself lives in CommitLog (shared with every
+  // other manifest-governed dataset, e.g. the persisted dedup index)
+  private def log(root: String) = new CommitLog(manifestDir(root))
 
   /** Latest snapshot: (version, live commit-dir names); (0, Nil) when
    *  the table has never been written.
    */
-  def latest(spark: SparkSession, root: String): (Long, Seq[String]) = {
-    val dir = new Path(manifestDir(root))
-    val fs = fsFor(spark, dir)
-    if (!fs.exists(dir)) (0L, Seq.empty)
-    else {
-      val versions = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
-      if (versions.isEmpty) (0L, Seq.empty)
-      else {
-        val v = versions.max
-        (v, readVersionFile(fs, versionPath(root, v)))
-      }
-    }
-  }
+  def latest(spark: SparkSession, root: String): (Long, Seq[String]) =
+    log(root).latest(spark)
 
   /** The live commit set AS OF a published version — time travel.
    *  Valid for any version whose commit dirs `vacuum` has not yet
    *  reclaimed (manifest files themselves are never deleted, so the
    *  failure mode is a loud missing-data read, not silent corruption).
    */
-  def liveAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
-    val p = versionPath(root, v)
-    val fs = fsFor(spark, p)
-    require(fs.exists(p), s"manifest version $v was never published at $root")
-    readVersionFile(fs, p)
-  }
+  def liveAt(spark: SparkSession, root: String, v: Long): Seq[String] =
+    log(root).liveAt(spark, v)
 
   /** Optimistic-concurrency manifest commit: compute the next live set
    *  from the current one and publish it as the next version with
@@ -143,31 +120,8 @@ object ManifestStore {
    *  Returns true iff a version was published.
    */
   private def commit(spark: SparkSession, root: String)(
-      next: Seq[String] => Option[Seq[String]]): Boolean = {
-    val dir = new Path(manifestDir(root))
-    val fs = fsFor(spark, dir)
-    fs.mkdirs(dir)
-    var attempts = 0
-    while (true) {
-      attempts += 1
-      require(attempts <= 50, s"manifest commit contention at $root")
-      val (v, live) = latest(spark, root)
-      next(live) match {
-        case None => return false
-        case Some(entries) =>
-          val target = versionPath(root, v + 1)
-          try {
-            val out = fs.create(target, false) // no overwrite: loser throws
-            try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
-            finally out.close()
-            return true
-          } catch {
-            case _: java.io.IOException => () // version taken — re-read, retry
-          }
-      }
-    }
-    false
-  }
+      next: Seq[String] => Option[Seq[String]]): Boolean =
+    log(root).commit(spark)(next)
 
   /** Write a frame as one immutable commit directory (shared by append
    *  and compaction so the physical layout — ds_b derivation, sort,

@@ -109,11 +109,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((0L, 10L), (1L, 10L)), s"got ${r1.toSeq}")
     assert(r1.forall(_.getDouble(2) >= 0.6))
+    // torn write: a staged-but-unpublished commit dir must be invisible
+    // (the index is commit-log-governed, same protocol as the store)
+    Seq((999L, doc)).toDF("doc_id", "text")
+      .write.parquet(s"$idx/data/c-torn/sig")
     // the index grew: a third shard matches docs from BOTH earlier ones
     val r2 = Dedup.indexCheckAndIngest(spark, idx,
       Seq((20L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6)
       .orderBy("a_id").collect()
-    assert(r2.map(_.getLong(0)).toSeq == Seq(0L, 1L, 10L))
+    assert(r2.map(_.getLong(0)).toSeq == Seq(0L, 1L, 10L),
+      "unpublished commit dir leaked into the candidate set")
   }
 
   test("ivfIndex: appended shards are probe-visible and equal the one-shot path") {
