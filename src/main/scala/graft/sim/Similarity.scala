@@ -256,41 +256,73 @@ object Similarity {
    *  Centroid drift as the corpus grows is the accepted tradeoff of
    *  every frozen ANN index; the rebuild IS a new index.
    */
+  private def ivfLog(dir: String) = new graft.store.CommitLog(s"$dir/_manifests")
+
+  private def ivfLiveSub(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      sub: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    ivfLog(dir).latest(spark)._2
+      .map(d => s"$dir/data/$d/$sub")
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+  }
+
   def ivfIndexBuild(
       spark: org.apache.spark.sql.SparkSession, dir: String, founding: DataFrame,
       centroidStep: Long): Unit = {
-    founding.where(col("vec_id") % centroidStep === 0)
+    // centroids + founding postings stage under ONE commit dir and
+    // publish with one version-file create (graft.store.CommitLog, the
+    // store tables' protocol) — a crash cannot leave centroids without
+    // postings or vice versa
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    val centFrame = founding.where(col("vec_id") % centroidStep === 0)
       .select(col("vec_id"), col("v"))
-      .coalesce(1)
-      .write.mode("errorifexists").parquet(s"$dir/centroids")
-    ivfIndexAppend(spark, dir, founding)
+    centFrame.coalesce(1).write.parquet(s"$dir/data/$name/centroids")
+    val cents = collectBounded(centFrame,
+      "raise centroidStep for this founding shard")
+    writePostings(s"$dir/data/$name/post", founding,
+      cents.map(_._1), cents.flatMap(_._2))
+    ivfLog(dir).commit(spark)(now => Some(now :+ name)): Unit
   }
 
-  /** Assign a new batch against the FROZEN centroids and append its
-   *  postings — batch-linear narrow work, the index is never re-read.
+  /** Assign a new batch against the FROZEN centroids and publish its
+   *  postings as one commit — batch-linear narrow work, the stored
+   *  index is never re-read or rewritten.
    */
-  def ivfIndexAppend(spark: org.apache.spark.sql.SparkSession, dir: String, batch: DataFrame): Unit = {
+  def ivfIndexAppend(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame): Unit = {
     val cents = collectBounded(
-      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
       "the stored centroid set must stay index-small")
-    val (ids, vecs) = (cents.map(_._1), cents.flatMap(_._2))
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    writePostings(s"$dir/data/$name/post", batch,
+      cents.map(_._1), cents.flatMap(_._2))
+    ivfLog(dir).commit(spark)(now => Some(now :+ name)): Unit
+  }
+
+  private def writePostings(
+      path: String, batch: DataFrame,
+      ids: Array[Long], vecs: Array[Double]): Unit =
     batch.select(
         col("vec_id"), col("v"),
         element_at(
           toCol(graft.functions.TopCentroids(toExpr(col("v")), ids, vecs, 1)), 1)
           .as("cell"))
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/postings")
-  }
+      .write.partitionBy("cell").parquet(path)
 
   /** Probe the stored postings: queries rank exactly within their
-   *  nProbe nearest cells; the cell partitioning prunes the scan to
-   *  those directories.
+   *  nProbe nearest cells; the per-commit cell partitioning prunes the
+   *  scan to those directories.
    */
   def ivfIndexQuery(
       spark: org.apache.spark.sql.SparkSession, dir: String, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
     val cents = collectBounded(
-      spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
       "the stored centroid set must stay index-small")
     val (ids, vecs) = (cents.map(_._1), cents.flatMap(_._2))
     val probes = queries.select(
@@ -298,8 +330,14 @@ object Similarity {
       explode(
         toCol(graft.functions.TopCentroids(toExpr(col("v")), ids, vecs, nProbe)))
         .as("cell"))
+    // per-commit roots each carry their own cell=N partition tree — a
+    // multi-root partitioned read conflicts, so read per commit and
+    // union (same leaf files either way)
+    val postings = ivfLiveSub(spark, dir, "post")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
     rankTopK(
-      spark.read.parquet(s"$dir/postings")
+      postings
         .join(broadcast(probes), Seq("cell"))
         .where(col("q_id") =!= col("vec_id"))
         .withColumn("cos", cosine(col("qv"), col("v")))

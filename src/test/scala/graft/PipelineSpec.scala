@@ -135,8 +135,13 @@ class PipelineSpec extends AnyFunSuite {
     val viaIndex = Similarity.ivfIndexQuery(spark, idx, queries, k = 5, nProbe = 2)
       .orderBy("q_id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
-    // one-shot reference with the SAME frozen centroids
-    val cents = spark.read.parquet(s"$idx/centroids")
+    // one-shot reference with the SAME frozen centroids (stored in the
+    // founding commit, resolved through the index's commit log)
+    val live = new graft.store.CommitLog(s"$idx/_manifests").latest(spark)._2
+    assert(live.size == 2, "build + append = two published commits")
+    val centDir = live.map(d => s"$idx/data/$d/centroids")
+      .find(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p))).get
+    val cents = spark.read.parquet(centDir)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val oneShot = Similarity.ivfTopKWith(all, queries, 5,
