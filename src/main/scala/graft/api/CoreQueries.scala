@@ -2153,6 +2153,27 @@ object CoreQueries {
         .orderBy("dataset_id", "day_s")
     }),
 
+    // ---- CDC FAN-OUT: one manifest-WAL stream drives TWO maintained
+    // states — the daily summary (touched-days re-aggregation; min/max
+    // are not invertible) and per-series totals (pure delta-add from
+    // the feed's old/new values; the table is never re-read). The query
+    // joins summary-derived totals with the delta-maintained totals so
+    // the oracle checks both states AND their agreement -------------
+    "stream_cdc_fanout" -> ((s, dir) => {
+      val root = mdSplitManifestStore(s, dir)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdc_fan").toString
+      val (summary, totals) =
+        graft.streaming.StreamCdc.maintainFanout(s, root, s"$ckpt/ckpt")
+      summary
+        .groupBy("dataset_id")
+        .agg(r6(sum("sum_v")).as("sum_from_summary"), sum("cnt").as("cnt_from_summary"))
+        .join(totals.select(col("dataset_id"),
+          r6(col("sum_v")).as("sum_from_deltas"), col("cnt").as("cnt_from_deltas")),
+          Seq("dataset_id"))
+        .orderBy("dataset_id")
+    }),
+
     // ---- manifest SCHEMA EVOLUTION: batch 0 is committed by a v1
     // writer (its parquet files have NO sumsq column), batches 1-2 by
     // v2 writers (sumsq = Σv²). Old commits are never rewritten —
@@ -2320,6 +2341,15 @@ object CoreQueries {
         |  round(sum(value), 6) AS sum_v, count(*) AS cnt
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // both fan-out states fold to the same per-series truth
+    "stream_cdc_fanout" ->
+      """SELECT event_type AS dataset_id,
+        |  round(sum(value), 6) AS sum_from_summary,
+        |  count(*) AS cnt_from_summary,
+        |  round(sum(value), 6) AS sum_from_deltas,
+        |  count(*) AS cnt_from_deltas
+        |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the stream-maintained summary equals the batch-maintained one
     // equals the one-shot daily rollup
     "stream_cdc_refresh" ->

@@ -75,8 +75,17 @@ object StreamCdc {
    *  semi/anti joins against the small touched set).
    */
   def refreshDailyStep(
-      spark: SparkSession, root: String, summary: DataFrame, v: Long): DataFrame = {
-    val touched = ManifestStore.cdcBetween(spark, root, Fidelity.S1, v - 1L, v)
+      spark: SparkSession, root: String, summary: DataFrame, v: Long): DataFrame =
+    refreshDailyStepWith(spark, root, summary, v,
+      ManifestStore.cdcBetween(spark, root, Fidelity.S1, v - 1L, v))
+
+  /** [[refreshDailyStep]] against a caller-provided change feed — so a
+   *  fan-out consumer reads the version's CDC ONCE for all its states.
+   */
+  def refreshDailyStepWith(
+      spark: SparkSession, root: String, summary: DataFrame, v: Long,
+      feed: DataFrame): DataFrame = {
+    val touched = feed
       .select(col("dataset_id"),
         (expr("bucket_s div 86400") * lit(86400L)).as("day_s"))
       .distinct()
@@ -136,6 +145,65 @@ object StreamCdc {
       s"manifest log gap: versions $pending arrived without predecessor " +
         s"$applied+1 — refusing to skip CDC windows")
     summary
+  }
+
+  /** FAN-OUT consumer: ONE manifest-WAL stream drives TWO maintained
+   *  states, each refreshed in its own style from the SAME per-version
+   *  change feed (read once):
+   *   - the daily summary, by touched-days re-aggregation (min/max are
+   *     not invertible, so the snapshot re-read is required);
+   *   - per-series running totals, by PURE DELTA-ADD — sum/cnt are
+   *     invertible, so `new − old` from the feed suffices and the
+   *     table is never re-read at all (the cheapest consumer shape).
+   *  Returns (summary, totals) after draining. The registered query
+   *  joins them so the two independently-maintained states' agreement
+   *  is itself oracle-checked.
+   */
+  def maintainFanout(
+      spark: SparkSession, root: String,
+      checkpoint: String): (DataFrame, DataFrame) = {
+    @volatile var summary = emptyDaily(spark)
+    @volatile var totals = daily(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        graft.store.Tables.rollupSchema))
+      .select(col("dataset_id"), col("sum_v"), col("cnt"))
+    @volatile var applied = 0L
+    val pending = scala.collection.mutable.SortedSet.empty[Long]
+    val q = versionFeed(spark, root).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val vs = b.select("version").distinct().collect().map(_.getLong(0))
+        pending.synchronized {
+          pending ++= vs.filter(_ > applied)
+          while (pending.nonEmpty && pending.head == applied + 1L) {
+            val v = pending.head
+            val feed = ManifestStore
+              .cdcBetween(b.sparkSession, root, Fidelity.S1, v - 1L, v)
+              .localCheckpoint(true)
+            summary = refreshDailyStepWith(
+              b.sparkSession, root, summary, v, feed).localCheckpoint(true)
+            val delta = feed.select(
+                col("dataset_id"),
+                (col("sum_v") - coalesce(col("old_sum_v"), lit(0.0))).as("sum_v"),
+                (col("cnt") - coalesce(col("old_cnt"), lit(0L))).as("cnt"))
+            totals = totals.unionByName(delta)
+              .groupBy("dataset_id")
+              .agg(sum("sum_v").as("sum_v"), sum("cnt").as("cnt"))
+              .localCheckpoint(true)
+            applied = v
+            pending -= v
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+    require(pending.isEmpty,
+      s"manifest log gap: versions $pending arrived without predecessor " +
+        s"$applied+1 — refusing to skip CDC windows")
+    (summary, totals)
   }
 
   private def writeState(stateDir: String, v: Long, summary: DataFrame): Unit = {
