@@ -314,6 +314,60 @@ object Similarity {
           .as("cell"))
       .write.partitionBy("cell").parquet(path)
 
+  /** REBUILD (re-center) the persisted index: Lloyd-refine centroids
+   *  from the grown corpus ([[kmeansCentroids]] — deterministic, no
+   *  random init), re-assign every stored posting, and publish the
+   *  refreshed centroids + postings as ONE commit replacing the whole
+   *  live set — readers resolve the old generation or the new one,
+   *  never a mix (cell ids are centroid indexes; mixed-generation
+   *  cells would be meaningless). This is the production "reindex"
+   *  answer to centroid drift under appends; superseded dirs stay on
+   *  disk for in-flight readers until [[ivfIndexVacuum]]. Aborts (and
+   *  drops its staging) if a concurrent writer moved the live set.
+   */
+  def ivfIndexRebuild(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      centroidStep: Long, iters: Int = 2, sampleStep: Long = 1L): Unit = {
+    val live = ivfLog(dir).latest(spark)._2
+    val corpus = ivfLiveSub(spark, dir, "post")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .select(col("vec_id"), col("v"))
+      .localCheckpoint(true) // frozen input: the commit swap must not
+    // invalidate this plan's source dirs mid-write
+    val cents = kmeansCentroids(corpus, centroidStep, iters, sampleStep)
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    import spark.implicits._
+    cents.toSeq.map { case (i, v) => (i, v.toSeq) }
+      .toDF("vec_id", "v")
+      .coalesce(1).write.parquet(s"$dir/data/$name/centroids")
+    writePostings(s"$dir/data/$name/post", corpus,
+      cents.map(_._1), cents.flatMap(_._2))
+    val published = ivfLog(dir).commit(spark) { now =>
+      if (live.forall(now.contains))
+        Some(now.filterNot(live.contains) :+ name)
+      else None // index moved under us — abort, caller retries
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
+    }
+  }
+
+  /** Delete index data dirs no published version references (run after
+   *  a rebuild once in-flight readers of the old generation drain).
+   */
+  def ivfIndexVacuum(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val live = ivfLog(dir).latest(spark)._2.toSet
+    val dd = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dd.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dd)) return
+    fs.listStatus(dd)
+      .filter(st => !live.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true): Unit)
+  }
+
   /** Probe the stored postings: queries rank exactly within their
    *  nProbe nearest cells; the per-commit cell partitioning prunes the
    *  scan to those directories.

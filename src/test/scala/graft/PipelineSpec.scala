@@ -151,6 +151,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(viaIndex == oneShot, "stored index diverged from one-shot assignment")
     assert(viaIndex.map(_._2).exists(_ % 2 == 1),
       "appended (odd-shard) vectors must be probe-visible")
+
+    // re-center: one commit replaces the whole live set; results equal
+    // the one-shot k-means path over the same corpus, and vacuum
+    // reclaims the superseded generation
+    Similarity.ivfIndexRebuild(spark, idx, centroidStep = 7L, iters = 2)
+    val liveAfter = new graft.store.CommitLog(s"$idx/_manifests")
+      .latest(spark)._2
+    assert(liveAfter.size == 1, s"rebuild publishes one generation: $liveAfter")
+    val rebuilt = Similarity.ivfIndexQuery(spark, idx, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val kref = Similarity.kmeansCentroids(all, centroidStep = 7L, iters = 2)
+    val krefTopK = Similarity.ivfTopKWith(all, queries, 5,
+        kref.map(_._1), kref.flatMap(_._2), nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(rebuilt == krefTopK, "rebuilt index diverged from one-shot k-means")
+    Similarity.ivfIndexVacuum(spark, idx)
+    val remaining = new java.io.File(s"$idx/data").listFiles().map(_.getName)
+    assert(remaining.toSet == liveAfter.toSet,
+      s"vacuum must leave exactly the live generation: ${remaining.toSeq}")
   }
 
   test("shardPlan: serpentine masses stay within one max-doc of each other") {
