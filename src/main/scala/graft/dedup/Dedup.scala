@@ -281,11 +281,24 @@ object Dedup {
    * version-file create makes them visible together. The verdict
    * is materialized via localCheckpoint BEFORE the append so the
    * returned frame can never observe its own shard in the index.
+   *
+   * EXACTLY-ONCE: pass `deliveryKey` (e.g. the upstream batch id) and a
+   * redelivered/retried shard FAILS LOUDLY instead of re-appending its
+   * signatures and postings (which would permanently duplicate index
+   * state and double-report pairs on every later shard). Keys ride the
+   * commit log as `#txn:<key>` lines, mirroring the manifest store's
+   * ingestBatchAtomic; the duplicate check runs both up front (cheap,
+   * before any scan) and inside the commit closure (closes the race
+   * with a concurrent redelivery). Shards must ingest SEQUENTIALLY:
+   * two concurrent shards both read the old live set and never
+   * cross-check each other — the commit protocol serializes the
+   * appends but not the missed a↔b pair between them.
    */
   def indexCheckAndIngest(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       shard: DataFrame, idCol: String, textCol: String, threshold: Double,
-      k: Int = 64, bands: Int = 16): DataFrame = {
+      k: Int = 64, bands: Int = 16,
+      deliveryKey: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
     // the index is MANIFEST-GOVERNED (graft.store.CommitLog — the same
     // protocol as the manifest store): each shard stages its signature
@@ -294,8 +307,18 @@ object Dedup {
     // an orphan dir, never a torn index (signatures without postings
     // would silently produce candidates that can't verify)
     val clog = new graft.store.CommitLog(s"$indexDir/_manifests")
+    val txn = deliveryKey.map { key =>
+      require(!key.contains('\n') && key.nonEmpty, s"bad delivery key: $key")
+      "#txn:" + key
+    }
+    txn.foreach { t =>
+      require(!clog.latest(spark)._2.contains(t),
+        s"shard with delivery key ${deliveryKey.get} was already ingested " +
+          s"into $indexDir — redelivery rejected (the index is exactly-once)")
+    }
     def live(sub: String): Seq[String] =
-      clog.latest(spark)._2.map(d => s"$indexDir/data/$d/$sub")
+      clog.latest(spark)._2.filter(_.startsWith("c-"))
+        .map(d => s"$indexDir/data/$d/$sub")
     val sigDirs = live("sig")
     val shDirs = live("sh")
     val sh = shingleSet(shard, idCol, textCol)
@@ -357,7 +380,18 @@ object Dedup {
       val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
       sig.write.parquet(s"$indexDir/data/$name/sig")
       sh.write.parquet(s"$indexDir/data/$name/sh")
-      clog.commit(spark)(now => Some(now :+ name)): Unit
+      val published = clog.commit(spark) { now =>
+        if (txn.exists(now.contains)) None // raced redelivery — abort
+        else Some(now :+ name :++ txn.toSeq)
+      }
+      if (!published) {
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$name")
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        require(published,
+          s"shard with delivery key ${deliveryKey.get} raced a concurrent " +
+            s"redelivery into $indexDir — this attempt's staging was dropped")
+      }
       verdict
     }
   }

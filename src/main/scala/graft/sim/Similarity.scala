@@ -322,14 +322,31 @@ object Similarity {
    *  never a mix (cell ids are centroid indexes; mixed-generation
    *  cells would be meaningless). This is the production "reindex"
    *  answer to centroid drift under appends; superseded dirs stay on
-   *  disk for in-flight readers until [[ivfIndexVacuum]]. Aborts (and
-   *  drops its staging) if a concurrent writer moved the live set.
+   *  disk for in-flight readers until [[ivfIndexVacuum]]. Returns
+   *  false (and drops its staging) if ANY concurrent writer — append
+   *  included — moved the live set; the caller retries against the
+   *  fresh snapshot.
    */
   def ivfIndexRebuild(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      centroidStep: Long, iters: Int = 2, sampleStep: Long = 1L): Unit = {
-    val live = ivfLog(dir).latest(spark)._2
-    val corpus = ivfLiveSub(spark, dir, "post")
+      centroidStep: Long, iters: Int = 2, sampleStep: Long = 1L): Boolean =
+    ivfIndexRebuildFrom(spark, dir, ivfLog(dir).latest(spark)._2,
+      centroidStep, iters, sampleStep)
+
+  /** [[ivfIndexRebuild]] against an explicit observed snapshot — the
+   *  seam that lets a spec interleave a concurrent append between the
+   *  snapshot read and the publish, pinning the abort path.
+   */
+  private[graft] def ivfIndexRebuildFrom(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      live: Seq[String], centroidStep: Long, iters: Int,
+      sampleStep: Long): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    val corpus = live.map(d => s"$dir/data/$d/post")
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
       .map(spark.read.parquet(_))
       .reduce(_.unionByName(_))
       .select(col("vec_id"), col("v"))
@@ -344,14 +361,19 @@ object Similarity {
     writePostings(s"$dir/data/$name/post", corpus,
       cents.map(_._1), cents.flatMap(_._2))
     val published = ivfLog(dir).commit(spark) { now =>
-      if (live.forall(now.contains))
-        Some(now.filterNot(live.contains) :+ name)
+      // ANY concurrent write is a lost race — including an APPEND: its
+      // postings were assigned against the OLD centroids, so letting it
+      // pass through the swap would publish mixed-generation cell ids
+      // (new-centroid queries probing stale assignments, silently wrong
+      // neighbors). Strict equality, not subset.
+      if (now.toSet == live.toSet) Some(Seq(name))
       else None // index moved under us — abort, caller retries
     }
     if (!published) {
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
       p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true): Unit
     }
+    published
   }
 
   /** Delete index data dirs no published version references (run after

@@ -273,9 +273,7 @@ object ManifestStore {
    */
   def readLevelAsOf(
       spark: SparkSession, root: String, f: Fidelity, version: Long): DataFrame = {
-    val dirs = dirEntries(liveAt(spark, root, version))
-      .map(d => s"${dataDir(root)}/$d/fidelity=${Tables.fidelityPart(f)}")
-      .filter(StoreFs.exists(spark, _))
+    val dirs = asOfLevelDirs(spark, root, f, version)
     if (dirs.isEmpty) empty(spark)
     else mergeOnRead(spark.read.schema(physSchema).parquet(dirs: _*))
       .select(Tables.rollupSchema.fieldNames.map(col).toIndexedSeq: _*)
@@ -317,11 +315,30 @@ object ManifestStore {
    */
   def readLevelRangeAsOf(
       spark: SparkSession, root: String, f: Fidelity,
-      datasetId: String, startS: Long, endS: Long, version: Long): DataFrame = {
-    val dirs = dirEntries(liveAt(spark, root, version))
+      datasetId: String, startS: Long, endS: Long, version: Long): DataFrame =
+    readLevelRangeDirs(spark, asOfLevelDirs(spark, root, f, version), f,
+      datasetId, startS, endS)
+
+  /** Level leaf dirs for a SNAPSHOT read. The leaf (`fidelity=`) filter
+   *  is legitimate — a commit only writes the levels it touched — but
+   *  the PARENT `c-` commit dir must still exist: an absent one means
+   *  vacuum reclaimed it after a compaction superseded this version,
+   *  and silently skipping it would serve a partial snapshot. Fail
+   *  loudly instead (mirrors [[requireRawDirs]] on the raw tier).
+   */
+  private def asOfLevelDirs(
+      spark: SparkSession, root: String, f: Fidelity,
+      version: Long): Seq[String] = {
+    val entries = dirEntries(liveAt(spark, root, version))
+    val missing = entries
+      .filterNot(d => StoreFs.exists(spark, s"${dataDir(root)}/$d"))
+    require(missing.isEmpty,
+      s"commit dir(s) ${missing.mkString(", ")} referenced by version " +
+        s"$version at $root no longer exist (vacuumed after a rewrite); " +
+        "this snapshot is unreadable — refusing to return partial data")
+    entries
       .map(d => s"${dataDir(root)}/$d/fidelity=${Tables.fidelityPart(f)}")
       .filter(StoreFs.exists(spark, _))
-    readLevelRangeDirs(spark, dirs, f, datasetId, startS, endS)
   }
 
   private def readLevelRangeDirs(
@@ -801,9 +818,7 @@ object ManifestStore {
   private def readRawForDirs(
       spark: SparkSession, entries: Seq[String], root: String,
       datasetId: String): DataFrame = {
-    val dirs = entries
-      .map(d => s"${dataDir(root)}/$d")
-      .filter(StoreFs.exists(spark, _))
+    val dirs = requireRawDirs(spark, entries, root)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.rawSchema)
@@ -813,10 +828,30 @@ object ManifestStore {
       .select(Tables.rawSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 
+  /** Resolve `r-` commit entries to data dirs, REQUIRING each to exist.
+   *  Raw commit dirs (unlike per-level `c-<id>/fidelity=` leaf dirs,
+   *  which legitimately exist only for levels the commit touched) are
+   *  always present when their version published — an absent one means
+   *  vacuum reclaimed a superseded dir after a rewrite, and silently
+   *  skipping it would return PARTIAL data from an as-of read or
+   *  [[cdcRawBetween]]. Fail loudly instead, like [[liveAt]] does for
+   *  reclaimed versions.
+   */
+  private def requireRawDirs(
+      spark: SparkSession, entries: Seq[String], root: String): Seq[String] = {
+    val dirs = entries.map(d => s"${dataDir(root)}/$d")
+    val missing = dirs.filterNot(StoreFs.exists(spark, _))
+    require(missing.isEmpty,
+      s"raw commit dir(s) ${missing.mkString(", ")} referenced by the " +
+        s"manifest at $root no longer exist (vacuumed after a rewrite); " +
+        "this snapshot/CDC window is unreadable — refusing to return " +
+        "partial data")
+    dirs
+  }
+
   private def readRawDirs(
       spark: SparkSession, entries: Seq[String], root: String): DataFrame = {
-    val dirs = entries.map(d => s"${dataDir(root)}/$d")
-      .filter(StoreFs.exists(spark, _))
+    val dirs = requireRawDirs(spark, entries, root)
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.rawSchema)

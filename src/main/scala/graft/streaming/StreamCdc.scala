@@ -135,7 +135,7 @@ object StreamCdc {
               b.sparkSession, root, summary, pending.head).localCheckpoint(true)
             applied = pending.head
             pending -= applied
-            stateDir.foreach(writeState(_, applied, summary))
+            stateDir.foreach(writeState(b.sparkSession, _, applied, summary))
           }
         }
       }
@@ -206,22 +206,43 @@ object StreamCdc {
     (summary, totals)
   }
 
-  private def writeState(stateDir: String, v: Long, summary: DataFrame): Unit = {
+  // State persistence goes through Hadoop FileSystem (like CommitLog),
+  // NOT java.nio local-file APIs: the restart-safe stateDir must be able
+  // to live on HDFS/S3 alongside the store it consumes — local-only
+  // state on a 1000-executor cluster is state that dies with the driver
+  // host.
+
+  private def fsFor(
+      spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def writeState(
+      spark: SparkSession, stateDir: String, v: Long,
+      summary: DataFrame): Unit = {
     summary.write.mode("overwrite").parquet(s"$stateDir/s-$v")
     // marker flips AFTER the data lands: a crash between the two leaves
     // the previous marker valid and the half-written dir unreferenced
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(stateDir).resolve("_applied"),
-      v.toString.getBytes("UTF-8")): Unit
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_applied")
+    val fs = fsFor(spark, marker)
+    val out = fs.create(marker, true)
+    try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+    // the superseded snapshot is unreferenced once the marker flips —
+    // reclaim it, or the stateDir accumulates one full summary copy
+    // per applied version
+    val prev = new org.apache.hadoop.fs.Path(s"$stateDir/s-${v - 1L}")
+    if (fs.exists(prev)) fs.delete(prev, true): Unit
   }
 
   private def readState(
       spark: SparkSession, stateDir: String): Option[(Long, DataFrame)] = {
-    val marker = java.nio.file.Paths.get(stateDir).resolve("_applied")
-    if (!java.nio.file.Files.exists(marker)) None
+    val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_applied")
+    val fs = fsFor(spark, marker)
+    if (!fs.exists(marker)) None
     else {
-      val v = new String(
-        java.nio.file.Files.readAllBytes(marker), "UTF-8").trim.toLong
+      val in = fs.open(marker)
+      val v =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+        finally in.close()
       // localCheckpoint: the bootstrap summary must not lazily depend
       // on state files a later writeState overwrite could replace
       Some((v, spark.read.parquet(s"$stateDir/s-$v").localCheckpoint(true)))

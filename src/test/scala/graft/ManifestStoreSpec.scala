@@ -358,6 +358,56 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("raw rewrite"))
   }
 
+  test("as-of reads fail loudly once vacuum reclaims a superseded snapshot") {
+    val root = TestSpark.tmpDir("mstore_asof_vac")
+    assert(ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 1.0)), key = Some("k1")))
+    assert(ManifestStore.ingestBatchAtomic(spark, root,
+      batch(("a", "2024-01-01T00:00:01", 2.0)), key = Some("k2")))
+    val (vPre, _) = ManifestStore.latest(spark, root)
+
+    // fold BOTH tiers, superseding every pre-fold commit dir
+    ManifestStore.compactRawTiered(spark, root, fanIn = 8)
+    ManifestStore.compactTiered(spark, root, fanIn = 8)
+    // pre-vacuum: the superseded dirs still exist, old snapshots read fine
+    assert(ManifestStore.readRawAsOf(spark, root, vPre).count() == 2L)
+    assert(ManifestStore.readLevelAsOf(spark, root, Fidelity.S1, vPre)
+      .agg(sum("cnt")).head().getLong(0) == 2L)
+
+    ManifestStore.vacuum(spark, root)
+
+    // post-vacuum: the old version's dirs are gone — every as-of/CDC
+    // read of it must FAIL LOUDLY, never silently return partial data
+    val exRaw = intercept[IllegalArgumentException] {
+      ManifestStore.readRawAsOf(spark, root, vPre)
+    }
+    assert(exRaw.getMessage.contains("no longer exist"), exRaw.getMessage)
+    val exRawFor = intercept[IllegalArgumentException] {
+      ManifestStore.readRawForAsOf(spark, root, "a", vPre)
+    }
+    assert(exRawFor.getMessage.contains("no longer exist"))
+    val exLevel = intercept[IllegalArgumentException] {
+      ManifestStore.readLevelAsOf(spark, root, Fidelity.S1, vPre)
+    }
+    assert(exLevel.getMessage.contains("no longer exist"))
+    val exRange = intercept[IllegalArgumentException] {
+      ManifestStore.readLevelRangeAsOf(spark, root, Fidelity.S1, "a",
+        0L, Long.MaxValue / 2, vPre)
+    }
+    assert(exRange.getMessage.contains("no longer exist"))
+    // the lagging-consumer window whose delta dir was reclaimed: loud,
+    // not a silent row-losing subset
+    val exCdc = intercept[IllegalArgumentException] {
+      ManifestStore.cdcRawBetween(spark, root, 1L, vPre)
+    }
+    assert(exCdc.getMessage.contains("no longer exist"))
+
+    // latest-version reads are untouched by the reclamation
+    assert(ManifestStore.readRaw(spark, root).count() == 2L)
+    assert(ManifestStore.readRawAsOf(spark, root,
+      ManifestStore.latest(spark, root)._1).count() == 2L)
+  }
+
   test("forgetDataset on the atomic store: one swap, both tables, untouched commits keep their dirs") {
     val root = TestSpark.tmpDir("mstore_forget")
     // commit 1: only 'a' (must survive UNREWRITTEN)

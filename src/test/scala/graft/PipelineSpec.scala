@@ -121,6 +121,74 @@ class PipelineSpec extends AnyFunSuite {
       "unpublished commit dir leaked into the candidate set")
   }
 
+  test("indexCheckAndIngest: a redelivered shard is rejected, the index never doubles") {
+    val idx = TestSpark.tmpDir("lsh_idx_once")
+    val shard0 = Seq((0L, doc)).toDF("doc_id", "text")
+    val shard1 = Seq((10L, doc + " tail")).toDF("doc_id", "text")
+    Dedup.indexCheckAndIngest(spark, idx, shard0, "doc_id", "text", 0.6,
+      deliveryKey = Some("b0")): Unit
+    val clog = new graft.store.CommitLog(s"$idx/_manifests")
+    val liveAfter0 = clog.latest(spark)._2
+    assert(liveAfter0.contains("#txn:b0"), s"key not recorded: $liveAfter0")
+
+    // redelivery of the SAME shard (crash-before-ack replay): fails
+    // loudly, index state byte-identical
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.indexCheckAndIngest(spark, idx, shard0, "doc_id", "text", 0.6,
+        deliveryKey = Some("b0"))
+    }
+    assert(ex.getMessage.contains("already ingested"), ex.getMessage)
+    assert(clog.latest(spark)._2 == liveAfter0, "redelivery mutated the index")
+
+    // the next distinct key ingests normally and reports the pair ONCE
+    val r1 = Dedup.indexCheckAndIngest(spark, idx, shard1, "doc_id", "text", 0.6,
+      deliveryKey = Some("b1")).collect()
+    assert(r1.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 10L)),
+      s"got ${r1.toSeq}")
+    // a doubled index would have reported (0,20) TWICE here
+    val r2 = Dedup.indexCheckAndIngest(spark, idx,
+      Seq((20L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6,
+      deliveryKey = Some("b2")).orderBy("a_id").collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(0L, 10L), s"got ${r2.toSeq}")
+  }
+
+  test("ivfIndexRebuild aborts when a concurrent append moved the live set") {
+    val idx = TestSpark.tmpDir("ivf_idx_race")
+    val all = Similarity.asDouble(
+      (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(d => math.cos(i * 1.3 + d).toFloat)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, idx, all.where(col("vec_id") < 20),
+      centroidStep = 7L)
+    val clog = new graft.store.CommitLog(s"$idx/_manifests")
+    val stale = clog.latest(spark)._2 // rebuild's observed snapshot
+
+    // an append lands BETWEEN the rebuild's snapshot read and its
+    // publish: its postings were assigned under the OLD centroids, so
+    // the rebuild must LOSE the race — strict live-set equality, a
+    // subset check would let the append leak mixed-generation cell ids
+    Similarity.ivfIndexAppend(spark, idx, all.where(col("vec_id") >= 20))
+    val liveWithAppend = clog.latest(spark)._2
+    assert(!Similarity.ivfIndexRebuildFrom(spark, idx, stale,
+      centroidStep = 7L, iters = 2, sampleStep = 1L),
+      "rebuild against a stale snapshot must abort")
+    assert(clog.latest(spark)._2 == liveWithAppend,
+      "aborted rebuild must not move the live set")
+    // the loser's staging is dropped: data/ holds exactly the live dirs
+    val onDisk = new java.io.File(s"$idx/data").listFiles().map(_.getName).toSet
+    assert(onDisk == liveWithAppend.toSet, s"staging leaked: $onDisk")
+
+    // a retry against the FRESH snapshot publishes the single-generation
+    // swap and every appended vector stays probe-visible
+    assert(Similarity.ivfIndexRebuild(spark, idx, centroidStep = 7L, iters = 2))
+    assert(clog.latest(spark)._2.size == 1)
+    val probed = Similarity.ivfIndexQuery(spark, idx,
+        all.where(col("vec_id") < 2), k = 5, nProbe = 2)
+      .collect().map(_.getLong(1))
+    assert(probed.exists(_ >= 20L), "appended vectors lost by the rebuild")
+  }
+
   test("ivfIndex: appended shards are probe-visible and equal the one-shot path") {
     val idx = TestSpark.tmpDir("ivf_idx")
     val all = Similarity.asDouble(

@@ -78,6 +78,13 @@ class StreamCdcSpec extends AnyFunSuite {
     // the summary comes entirely from state
     val s3 = StreamCdc.maintainDaily(spark, root, ck2, Some(state))
     assert(marker == 3L && snap(s3) == snap(s2))
+
+    // superseded snapshots are reclaimed as the marker advances: the
+    // stateDir holds ONE summary copy, not one per applied version
+    val snaps = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("s-")).toSeq
+    assert(snaps == Seq("s-3"),
+      s"stateDir must hold only the marked snapshot, got $snaps")
   }
 
   test("versionFeed surfaces versions in commit order under AvailableNow") {
