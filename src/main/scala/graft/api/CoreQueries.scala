@@ -2174,6 +2174,21 @@ object CoreQueries {
         .orderBy("dataset_id")
     }),
 
+    // ---- CDC ALERT consumer with HYSTERESIS: the third maintained-
+    // state shape — per dataset, alert ON when a version's ingested
+    // mean ≥ 50.0, OFF when ≤ 48.5, CARRIED in the dead band (the
+    // anti-flapping band). State changes only at decisive versions, so
+    // the sequentially-folded stream state must equal the declarative
+    // "last decisive event" fold the oracle computes with windows ----
+    "stream_cdc_alerts" -> ((s, dir) => {
+      val root = mdSplitManifestStore(s, dir)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cdc_alert").toString
+      graft.streaming.StreamCdc
+        .maintainAlerts(s, root, s"$ckpt/ckpt", high = 50.0, low = 48.5)
+        .orderBy("dataset_id")
+    }),
+
     // ---- manifest SCHEMA EVOLUTION: batch 0 is committed by a v1
     // writer (its parquet files have NO sumsq column), batches 1-2 by
     // v2 writers (sumsq = Σv²). Old commits are never rewritten —
@@ -2359,6 +2374,32 @@ object CoreQueries {
         |  round(sum(value), 6) AS sum_v, count(*) AS cnt
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // hysteresis fold ≡ last-decisive-event fold: state changes only at
+    // versions whose md5-slice mean leaves the dead band AND differs
+    // from the previous state; active/since_v/flips all derive from
+    // that change sequence
+    "stream_cdc_alerts" ->
+      """WITH e AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us,
+        |    value FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |vm AS (SELECT dataset_id,
+        |    ('0x' || substr(md5(dataset_id || '|' ||
+        |      CAST(ts_us AS VARCHAR)), 1, 15))::BIGINT % 3 + 1 AS version,
+        |    avg(value) AS m
+        |  FROM e GROUP BY 1, 2),
+        |dec AS (SELECT dataset_id, version, (m >= 50.0) AS dir
+        |  FROM vm WHERE m >= 50.0 OR m <= 48.5),
+        |seq AS (SELECT dataset_id, version, dir,
+        |    coalesce(lag(dir) OVER (PARTITION BY dataset_id
+        |      ORDER BY version), false) AS prev
+        |  FROM dec),
+        |ch AS (SELECT dataset_id, version, dir FROM seq WHERE dir <> prev)
+        |SELECT d.dataset_id,
+        |  coalesce(max_by(c.dir, c.version), false) AS active,
+        |  coalesce(max(c.version), 0) AS since_v,
+        |  count(c.version) AS flips
+        |FROM (SELECT DISTINCT dataset_id FROM vm) d
+        |LEFT JOIN ch c ON d.dataset_id = c.dataset_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // net effect of batch 2 (the md5-split bucket b = 2) on the 1 s
     // level: delta keys only, old state from batches 0-1, merged new
     // values — NULL old_* marks buckets born in the window

@@ -206,6 +206,98 @@ object StreamCdc {
     (summary, totals)
   }
 
+  /** The empty alert state (bootstrap: everything implicitly inactive
+   *  since version 0 with zero flips).
+   */
+  def emptyAlerts(spark: SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("dataset_id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("active",
+          org.apache.spark.sql.types.BooleanType),
+        org.apache.spark.sql.types.StructField("since_v",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("flips",
+          org.apache.spark.sql.types.LongType))))
+
+  /** One alert-state transition: fold version `v`'s change feed into the
+   *  per-dataset hysteresis state. The version's INGESTED mean per
+   *  dataset is `Σ(new−old sums) / Σ(new−old counts)` off the feed —
+   *  never a table re-read. Transition: mean ≥ `high` → active, mean ≤
+   *  `low` → inactive, in the dead band (or absent from this version)
+   *  the previous state CARRIES — the hysteresis that keeps a signal
+   *  oscillating around one threshold from flapping the alert. State is
+   *  catalog-grain (one row per dataset ever seen), so the outer join
+   *  against the version's delta is small on both sides at any corpus
+   *  scale.
+   */
+  def alertStep(
+      state: DataFrame, feed: DataFrame, v: Long,
+      high: Double, low: Double): DataFrame = {
+    val vm = feed.groupBy("dataset_id").agg(
+      (sum(col("sum_v") - coalesce(col("old_sum_v"), lit(0.0))) /
+        sum(col("cnt") - coalesce(col("old_cnt"), lit(0L))).cast("double"))
+        .as("m"))
+    val prev = coalesce(col("active"), lit(false))
+    val nxt = when(col("m") >= high, lit(true))
+      .when(col("m") <= low, lit(false))
+      .otherwise(prev)
+    state.join(vm, Seq("dataset_id"), "full_outer")
+      .select(
+        col("dataset_id"),
+        nxt.as("active"),
+        when(nxt =!= prev, lit(v))
+          .otherwise(coalesce(col("since_v"), lit(0L))).as("since_v"),
+        (coalesce(col("flips"), lit(0L)) +
+          when(nxt =!= prev, lit(1L)).otherwise(lit(0L))).as("flips"))
+  }
+
+  /** ALERT consumer with HYSTERESIS — the third maintained-state shape
+   *  (after re-aggregation and delta-add): per dataset, the alert turns
+   *  ON when a version's ingested mean crosses `high`, turns OFF only
+   *  when it falls to `low`, and CARRIES between them. Returns
+   *  (dataset_id, active, since_v = version of the last state change,
+   *  0 if never flipped, flips = total state changes) after draining
+   *  the log. Because state changes happen only at decisive versions
+   *  (mean outside the dead band), the maintained state equals the
+   *  declarative "last decisive event" fold — which is what the oracle
+   *  checks.
+   */
+  def maintainAlerts(
+      spark: SparkSession, root: String, checkpoint: String,
+      high: Double, low: Double): DataFrame = {
+    require(low <= high, s"hysteresis band inverted: low $low > high $high")
+    @volatile var state = emptyAlerts(spark)
+    @volatile var applied = 0L
+    val pending = scala.collection.mutable.SortedSet.empty[Long]
+    val q = versionFeed(spark, root).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        val vs = b.select("version").distinct().collect().map(_.getLong(0))
+        pending.synchronized {
+          pending ++= vs.filter(_ > applied)
+          while (pending.nonEmpty && pending.head == applied + 1L) {
+            val v = pending.head
+            val feed = ManifestStore
+              .cdcBetween(b.sparkSession, root, Fidelity.S1, v - 1L, v)
+            state = alertStep(state, feed, v, high, low).localCheckpoint(true)
+            applied = v
+            pending -= v
+          }
+        }
+      }
+      .start()
+    q.awaitTermination()
+    require(pending.isEmpty,
+      s"manifest log gap: versions $pending arrived without predecessor " +
+        s"$applied+1 — refusing to skip CDC windows")
+    state
+  }
+
   // State persistence goes through Hadoop FileSystem (like CommitLog),
   // NOT java.nio local-file APIs: the restart-safe stateDir must be able
   // to live on HDFS/S3 alongside the store it consumes — local-only

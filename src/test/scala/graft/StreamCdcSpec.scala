@@ -44,6 +44,31 @@ class StreamCdcSpec extends AnyFunSuite {
     assert(maintained.toMap.apply(("a", day1)) == ((2.0, 6.0, 12.0, 3L)))
   }
 
+  test("maintainAlerts: hysteresis carries the dead band, flips only on decisive crossings") {
+    val root = TestSpark.tmpDir("cdc_alert")
+    // series a means per version: 10 (high→ON), 5 (dead band→carries ON),
+    // 1 (low→OFF); series b: always dead-band → never activates;
+    // series c appears only in v3, decisively high
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 10.0), ("b", "2024-01-01T00:00:00", 5.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:01", 5.0), ("b", "2024-01-01T00:00:01", 5.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:02", 1.0), ("b", "2024-01-01T00:00:02", 5.0),
+        ("c", "2024-01-01T00:00:02", 10.0)))
+
+    val got = StreamCdc.maintainAlerts(spark, root,
+        TestSpark.tmpDir("cdc_alert_ck") + "/ckpt", high = 8.0, low = 2.0)
+      .orderBy("dataset_id").collect()
+      .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == Seq(
+      ("a", false, 3L, 2L), // ON@1, carried@2 (dead band!), OFF@3
+      ("b", false, 0L, 0L), // never decisive: inactive since bootstrap
+      ("c", true, 3L, 1L)), // first seen decisively high
+      s"got $got")
+  }
+
   test("maintainDaily resumes from persisted state, applying only new versions") {
     val root = TestSpark.tmpDir("cdc_resume")
     val state = TestSpark.tmpDir("cdc_state")
