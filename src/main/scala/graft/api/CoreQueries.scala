@@ -2116,6 +2116,47 @@ object CoreQueries {
         .orderBy("dataset_id", "ts_us", "value")
     }),
 
+    // ---- WRITE-AUDIT-PUBLISH ingest: batch 1 (md5-slice 0) passes its
+    // audit and publishes; batch 2 (slice 1) carries values > 95, so
+    // ONE aggregation pass over its STAGED commit dirs counts the
+    // violations and the whole batch is rejected — staging deleted, no
+    // version consumed, the table byte-identical. A redelivered clean
+    // batch is still key-deduped through the WAP path. The store row
+    // count after each step proves rejected data was never visible ----
+    "ingest_wap" -> ((s, dir) => {
+      import s.implicits._
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_wap_fixture").toString
+      val long = ev(s, dir)
+      val h = pmod(
+        conv(substring(
+          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(3L))
+      def rep1(df: DataFrame): (String, Long) = {
+        val r = df.head(); (r.getString(0), r.getLong(1))
+      }
+      val (p1, r1) = graft.store.ManifestStore.ingestBatchAudited(s, root,
+        long.where(h === 0),
+        Seq("value_le_1000" -> (col("value") <= 1000.0)), key = Some("w1"))
+      val n1 = graft.store.ManifestStore.readRaw(s, root).count()
+      val (p1b, r1b) = graft.store.ManifestStore.ingestBatchAudited(s, root,
+        long.where(h === 0),
+        Seq("value_le_1000" -> (col("value") <= 1000.0)), key = Some("w1"))
+      val n1b = graft.store.ManifestStore.readRaw(s, root).count()
+      val (p2, r2) = graft.store.ManifestStore.ingestBatchAudited(s, root,
+        long.where(h === 1),
+        Seq("value_le_95" -> (col("value") <= 95.0)), key = Some("w2"))
+      val n2 = graft.store.ManifestStore.readRaw(s, root).count()
+      val (e1, v1) = rep1(r1); val (e1b, v1b) = rep1(r1b); val (e2, v2) = rep1(r2)
+      Seq(
+        ("b1", e1, v1, p1, n1),
+        ("b1_redelivery", e1b, v1b, p1b, n1b),
+        ("b2", e2, v2, p2, n2))
+        .toDF("batch", "expectation", "violations", "published", "store_rows")
+        .orderBy("batch")
+    }),
+
     // ---- time-based retention on the ATOMIC store: expire everything
     // before a coarsest-level-aligned cutoff from BOTH tables in one
     // manifest swap — EXACT at the cutoff (every level width divides
@@ -2374,6 +2415,27 @@ object CoreQueries {
         |  round(sum(value), 6) AS sum_v, count(*) AS cnt
         |FROM events WHERE value IS NOT NULL AND NOT isnan(value)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // WAP: slice 0 publishes clean; slice 1's violations are the rows
+    // over the strict bound and its rejection leaves the store at
+    // slice-0 rows; the redelivered clean batch dedupes on its key
+    "ingest_wap" ->
+      """WITH e AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us,
+        |    value FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+        |s AS (SELECT ('0x' || substr(md5(dataset_id || '|' ||
+        |    CAST(ts_us AS VARCHAR)), 1, 15))::BIGINT % 3 AS b, value FROM e),
+        |c0 AS (SELECT count(*) AS n FROM s WHERE b = 0),
+        |v1 AS (SELECT count(*) FILTER (WHERE value > 95) AS viol
+        |  FROM s WHERE b = 1)
+        |SELECT batch, expectation, violations, published, store_rows
+        |FROM (VALUES
+        |  ('b1', 'value_le_1000', CAST(0 AS BIGINT), true,
+        |    (SELECT n FROM c0)),
+        |  ('b1_redelivery', 'value_le_1000', CAST(0 AS BIGINT), false,
+        |    (SELECT n FROM c0)),
+        |  ('b2', 'value_le_95', (SELECT viol FROM v1), false,
+        |    (SELECT n FROM c0))
+        |) t(batch, expectation, violations, published, store_rows)
+        |ORDER BY 1""".stripMargin,
     // hysteresis fold ≡ last-decisive-event fold: state changes only at
     // versions whose md5-slice mean leaves the dead band AND differs
     // from the previous state; active/since_v/flips all derive from

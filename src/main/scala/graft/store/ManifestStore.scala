@@ -757,26 +757,103 @@ object ManifestStore {
         Future(writeCommitDir(root,
           Tables.allLevelPartials(batch, withSumsq = true))))
       val names = Await.result(Future.sequence(writes), Duration.Inf)
-      val txn = key.map(TxnPrefix + _)
-      val published = commit(spark, root) { live =>
-        if (txn.exists(live.contains)) None
-        else Some(live :++ names :++ txn.toSeq)
-      }
-      if (!published)
-        for (d <- names) {
-          val p = new Path(s"${dataDir(root)}/$d")
-          fsFor(spark, p).delete(p, true): Unit
-        }
-      else {
-        val liveNow = latest(spark, root)._2
-        val fanIn = math.max(2, maxLiveCommits / 2)
-        val foldC = liveNow.count(_.startsWith("c-")) > maxLiveCommits
-        val foldR = liveNow.count(_.startsWith("r-")) > maxLiveCommits
-        if (foldC) compactTiered(spark, root, fanIn)
-        if (foldR) compactRawTiered(spark, root, fanIn)
-        if (foldC || foldR) vacuum(spark, root, VacuumRetentionMs)
-      }
-      published
+      publishStaged(spark, root, names, key, maxLiveCommits)
+    } finally batch.unpersist(): Unit
+  }
+
+  /** Publish already-staged commit dirs under one version (shared by
+   *  [[ingestBatchAtomic]] and [[ingestBatchAudited]]): the delivery-key
+   *  duplicate check rides the commit closure, a lost publish deletes
+   *  the staging, a won one runs the tiered-compaction trigger.
+   */
+  private def publishStaged(
+      spark: SparkSession, root: String, names: Seq[String],
+      key: Option[String], maxLiveCommits: Int): Boolean = {
+    val txn = key.map(TxnPrefix + _)
+    val published = commit(spark, root) { live =>
+      if (txn.exists(live.contains)) None
+      else Some(live :++ names :++ txn.toSeq)
+    }
+    if (!published) dropStaged(spark, root, names)
+    else {
+      val liveNow = latest(spark, root)._2
+      val fanIn = math.max(2, maxLiveCommits / 2)
+      val foldC = liveNow.count(_.startsWith("c-")) > maxLiveCommits
+      val foldR = liveNow.count(_.startsWith("r-")) > maxLiveCommits
+      if (foldC) compactTiered(spark, root, fanIn)
+      if (foldR) compactRawTiered(spark, root, fanIn)
+      if (foldC || foldR) vacuum(spark, root, VacuumRetentionMs)
+    }
+    published
+  }
+
+  private def dropStaged(
+      spark: SparkSession, root: String, names: Seq[String]): Unit =
+    for (d <- names) {
+      val p = new Path(s"${dataDir(root)}/$d")
+      fsFor(spark, p).delete(p, true): Unit
+    }
+
+  /** WRITE-AUDIT-PUBLISH ingest (the lakehouse WAP pattern): stage both
+   *  tables' commit dirs exactly as [[ingestBatchAtomic]] would, AUDIT
+   *  the STAGED raw data by reading it back through the same schema'd
+   *  path readers use (so the audit also catches writer/layout bugs,
+   *  not just bad input), and create the version file ONLY if every
+   *  expectation holds on every staged row. A failed audit deletes the
+   *  staging and leaves the table byte-identical — bad data is never
+   *  visible to ANY reader, not even transiently (publish-then-delete
+   *  has a window where a dashboard serves the bad batch; the manifest
+   *  protocol gives WAP for free because staged dirs are invisible
+   *  until the version-file create).
+   *
+   *  `expectations` are (name, boolean Column over the raw schema); a
+   *  row violates one when the predicate is false OR null (SQL
+   *  three-valued logic must not smuggle nulls past a gate). All
+   *  expectations evaluate in ONE aggregation pass over the staged
+   *  batch — cost ∝ batch, never ∝ table. Returns (published, report)
+   *  where the report has one (expectation, violations) row per
+   *  expectation, in input order.
+   */
+  def ingestBatchAudited(
+      spark: SparkSession, root: String, batchLong: DataFrame,
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      key: Option[String] = None, maxLiveCommits: Int = 16): (Boolean, DataFrame) = {
+    require(expectations.nonEmpty, "ingestBatchAudited without expectations")
+    require(key.forall(k => k.nonEmpty && !k.contains('\n')),
+      s"bad txn key: $key")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    import spark.implicits._
+    val batch = graft.ingest.Melt.sanitize(batchLong).persist()
+    try {
+      if (batch.isEmpty)
+        return (false,
+          expectations.map { case (n, _) => (n, 0L) }.toDF("expectation", "violations"))
+      val writes = Seq(
+        Future(writeRawCommitDir(root, batch)),
+        Future(writeCommitDir(root,
+          Tables.allLevelPartials(batch, withSumsq = true))))
+      val names = Await.result(Future.sequence(writes), Duration.Inf)
+      // audit what readers WOULD see: the staged raw dir through the
+      // reader's schema, one pass, all expectations as parallel counts
+      val rawName = names.find(_.startsWith("r-")).get
+      val staged = spark.read.parquet(s"${dataDir(root)}/$rawName")
+        .select(Tables.rawSchema.fieldNames.map(col).toIndexedSeq: _*)
+      val counts = staged.agg(
+        count(lit(1)).as("__n"),
+        expectations.map { case (n, pred) =>
+          sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(n)
+        }: _*).head()
+      val report = expectations.zipWithIndex
+        .map { case ((n, _), i) => (n, counts.getLong(i + 1)) }
+        .toDF("expectation", "violations")
+      val clean = expectations.indices.forall(i => counts.getLong(i + 1) == 0L)
+      if (!clean) {
+        dropStaged(spark, root, names)
+        (false, report)
+      } else
+        (publishStaged(spark, root, names, key, maxLiveCommits), report)
     } finally batch.unpersist(): Unit
   }
 

@@ -358,6 +358,53 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("raw rewrite"))
   }
 
+  test("WAP ingest: a failed audit leaves the table byte-identical, a clean one publishes") {
+    val root = TestSpark.tmpDir("mstore_wap")
+    val exps = Seq(
+      "value_in_range" -> (col("value") >= 0.0 && col("value") <= 100.0),
+      "ts_positive" -> (col("ts_us") > 0L))
+    val (ok1, rep1) = ManifestStore.ingestBatchAudited(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 2.0), ("a", "2024-01-01T00:00:01", 4.0)),
+      exps, key = Some("w1"))
+    assert(ok1, "clean batch must publish")
+    assert(rep1.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("value_in_range", 0L), ("ts_positive", 0L)))
+    assert(ManifestStore.readRaw(spark, root).count() == 2L)
+    val v1 = ManifestStore.latest(spark, root)._1
+
+    // one bad row poisons the WHOLE batch: nothing publishes, the
+    // staging is dropped, no version is consumed
+    val (ok2, rep2) = ManifestStore.ingestBatchAudited(spark, root,
+      batch(("a", "2024-01-01T00:00:02", 6.0), ("a", "2024-01-01T00:00:03", 900.0)),
+      exps, key = Some("w2"))
+    assert(!ok2, "audited batch with a violation must not publish")
+    assert(rep2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("value_in_range", 1L), ("ts_positive", 0L)))
+    assert(ManifestStore.latest(spark, root)._1 == v1, "version moved on a rejected batch")
+    assert(ManifestStore.readRaw(spark, root).count() == 2L)
+    assert(ManifestStore.readLevel(spark, root, Fidelity.S1)
+      .agg(sum("cnt")).head().getLong(0) == 2L)
+    // rejected staging is deleted, not left for vacuum
+    val onDisk = new java.io.File(s"$root/mrollup/data").listFiles().map(_.getName).toSet
+    assert(onDisk == ManifestStore.latest(spark, root)._2.filterNot(_.startsWith("#")).toSet,
+      s"rejected staging leaked: $onDisk")
+
+    // a redelivered CLEAN batch is still key-deduped through the WAP path
+    val (ok3, rep3) = ManifestStore.ingestBatchAudited(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 2.0), ("a", "2024-01-01T00:00:01", 4.0)),
+      exps, key = Some("w1"))
+    assert(!ok3 && rep3.collect().forall(_.getLong(1) == 0L))
+    assert(ManifestStore.readRaw(spark, root).count() == 2L)
+
+    // null must not smuggle past a gate: a predicate that evaluates to
+    // NULL on a row counts as a violation
+    val (ok4, rep4) = ManifestStore.ingestBatchAudited(spark, root,
+      batch(("b", "2024-01-01T00:00:04", 5.0)),
+      Seq("null_gate" -> (lit(null).cast("boolean") || col("value") > 100.0)))
+    assert(!ok4 && rep4.head().getLong(1) == 1L,
+      "null predicate must count as a violation")
+  }
+
   test("as-of reads fail loudly once vacuum reclaims a superseded snapshot") {
     val root = TestSpark.tmpDir("mstore_asof_vac")
     assert(ManifestStore.ingestBatchAtomic(spark, root,
