@@ -1025,6 +1025,29 @@ object PipelineQueries {
             col("score_ppm"), col("rank"))
       }.orderBy("doc_id", "rank")
     }),
+    // PERSISTED inverted text index: three doc shards ingest into
+    // commit-log-governed postings (df/stats fold across shards by
+    // sum, dl denormalized into the posting row), a redelivered shard
+    // is rejected by its #txn: key, and a 3-term BM25 query answers
+    // from token-bucket-pruned postings — corpus text is never
+    // re-read at query time. Must equal the declarative whole-corpus
+    // BM25 the oracle computes
+    "text_index_search" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_text_idx").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      for (i <- 0 until 3)
+        graft.text.TextIndex.ingestShard(s, idx,
+          d.where(pmod(col("doc_id"), lit(3)) === i),
+          "doc_id", "text", key = Some(s"t$i"))
+      require(scala.util.Try(graft.text.TextIndex.ingestShard(s, idx,
+          d.where(pmod(col("doc_id"), lit(3)) === 0),
+          "doc_id", "text", key = Some("t0"))).isFailure,
+        "redelivered shard must be rejected")
+      graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+        .orderBy("rank")
+    }),
     // corpus-unigram-LM fluency score per doc (exact ppm integers)
     "doc_logprob" -> ((s, dir) =>
       docLogProbMemo(s, dir).orderBy("doc_id")),
@@ -2194,6 +2217,34 @@ object PipelineQueries {
         |        ORDER BY score_ppm DESC, token) AS rank FROM s2)
         |SELECT doc_id, token, tf, score_ppm, rank FROM r
         |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
+    // the stored index's folded df/nd/tl equal the corpus's, so the
+    // index answer must equal whole-corpus BM25 restricted to the terms
+    "text_index_search" ->
+      """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, score_ppm, n_terms FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "vocab_drift_psi" ->
       """WITH tok AS (
         |  SELECT source, t FROM (

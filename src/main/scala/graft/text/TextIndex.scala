@@ -1,0 +1,166 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * PERSISTED INVERTED TEXT INDEX — the full-text-search sibling of the
+ * persisted dedup and IVF indexes: a corpus too big to re-scan per
+ * query is ingested shard by shard into commit-log-governed postings,
+ * and BM25 queries touch only the query terms' token buckets, never
+ * corpus text. (The reference's search surface is catalog-substring
+ * only, src/dataset.py:21-36; this is the document-search posture a
+ * training-data pipeline needs on top.)
+ *
+ * Layout per shard commit `c-<uuid>` (one CommitLog version-file
+ * create makes all three visible together — a crash mid-ingest leaves
+ * an invisible orphan, never a torn index):
+ *   - `post/tb=<b>/`: (token, doc_id, tf, dl) — postings partitioned
+ *     by a 16-way token-hash bucket so a query's parquet scan prunes
+ *     to the buckets its terms hash into. `dl` is DENORMALIZED into
+ *     the posting row (classic search-engine layout): scoring needs
+ *     per-doc length, and carrying it here removes the query-time join
+ *     against a doc-lengths table — at 100 TB that join would shuffle
+ *     corpus-grain rows to serve a 3-term query.
+ *   - `vocab/`: (token, df) — the shard's document frequencies. Shards
+ *     partition docs, so corpus df = Σ shard df (a plain sum fold, the
+ *     same merge-on-read monoid discipline as the rollup store).
+ *   - `stats/`: 1 row (nd, tl) — shard doc count and total length;
+ *     corpus stats fold by sum.
+ *
+ * Query cost shape: |terms| vocab lookups (token-pruned scans), one
+ * posting scan pruned to ≤|terms| of 16 buckets AND pushed-down token
+ * equality, a doc-grain partial-aggregated sum, and a top-k window.
+ * Nothing is ∝ corpus except the pruned posting scan itself, which is
+ * ∝ the query terms' posting lists — the inverted-index contract.
+ *
+ * Exactly-once: `key` mirrors the dedup index's `#txn:` discipline —
+ * a redelivered shard fails loudly instead of double-counting df and
+ * doubling posting lists.
+ */
+object TextIndex {
+
+  private val TokenBuckets = 16
+
+  private def clog(dir: String) =
+    new graft.store.CommitLog(s"$dir/_manifests")
+
+  private def liveSub(
+      spark: SparkSession, dir: String, sub: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    clog(dir).latest(spark)._2.filter(_.startsWith("c-"))
+      .map(d => s"$dir/data/$d/$sub")
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+  }
+
+  private def tokenBucket(token: Column): Column =
+    pmod(xxhash64(token), lit(TokenBuckets.toLong))
+
+  /** Ingest one document shard: stage postings (dl denormalized),
+   *  shard vocabulary, and shard stats under ONE commit dir; publish
+   *  with one version-file create. Shard-local cost only — the stored
+   *  index is never re-read or rewritten.
+   */
+  def ingestShard(
+      spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, key: Option[String] = None): Unit = {
+    val cl = clog(dir)
+    val txn = key.map { k =>
+      require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")
+      "#txn:" + k
+    }
+    txn.foreach { t =>
+      require(!cl.latest(spark)._2.contains(t),
+        s"shard with delivery key ${key.get} was already ingested into " +
+          s"$dir — redelivery rejected (the index is exactly-once)")
+    }
+    val tf = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .persist()
+    try {
+      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+      tf.join(dl, "doc_id")
+        .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+          tokenBucket(col("token")).as("tb"))
+        .write.partitionBy("tb").parquet(s"$dir/data/$name/post")
+      tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .write.parquet(s"$dir/data/$name/vocab")
+      dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+        .coalesce(1).write.parquet(s"$dir/data/$name/stats")
+      val published = cl.commit(spark) { now =>
+        if (txn.exists(now.contains)) None // raced redelivery — abort
+        else Some(now :+ name :++ txn.toSeq)
+      }
+      if (!published) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+        p.getFileSystem(spark.sessionState.newHadoopConf())
+          .delete(p, true): Unit
+        require(published,
+          s"shard with delivery key ${key.get} raced a concurrent " +
+            s"redelivery into $dir — this attempt's staging was dropped")
+      }
+    } finally tf.unpersist(): Unit
+  }
+
+  /** BM25 top-k over the stored index for a bag of query terms.
+   *  Corpus stats and per-term df fold across shards by sum (driver-
+   *  side: |terms|+1 scalars, never a key list); idf is rounded ONCE
+   *  per term to ppm and joined back as a broadcast literal frame, so
+   *  scores hash-match an engine that computes the same operation
+   *  order. Ties rank by doc_id.
+   */
+  def searchBm25(
+      spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+    require(terms.nonEmpty, "searchBm25 with no terms")
+    import spark.implicits._
+    val stats = spark.read.parquet(liveSub(spark, dir, "stats"): _*)
+      .agg(sum("nd"), sum("tl")).head()
+    val (nd, tl) = (stats.getLong(0), stats.getLong(1))
+    val avgdl = tl.toDouble / nd
+    val dfByTerm = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+      .where(col("token").isin(terms: _*))
+      .groupBy("token").agg(sum("df").as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf = terms.distinct.flatMap { t =>
+      dfByTerm.get(t).map { df =>
+        (t, math.round(
+          math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6))
+      }
+    }.toDF("token", "idf_ppm")
+    // the terms' bucket ids, computed with the SAME expression that
+    // partitioned the write (driver-side, |terms| rows)
+    val termBuckets = terms.distinct.toDF("t")
+      .select(tokenBucket(col("t"))).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    // per-commit roots each carry their own tb=N partition tree — read
+    // per commit and union (the same multi-root discipline as the IVF
+    // postings); the tb filter prunes partition DIRECTORIES, the token
+    // equality pushes into row groups within the surviving buckets
+    val posts = liveSub(spark, dir, "post")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .where(col("tb").isin(termBuckets: _*) &&
+        col("token").isin(terms: _*))
+    posts
+      .join(broadcast(idf), "token")
+      .withColumn("score_ppm",
+        round(col("idf_ppm").cast("double") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("score_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
+  }
+}
