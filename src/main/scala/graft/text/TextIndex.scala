@@ -116,9 +116,21 @@ object TextIndex {
    *  per term to ppm and joined back as a broadcast literal frame, so
    *  scores hash-match an engine that computes the same operation
    *  order. Ties rank by doc_id.
+   *
+   *  `maxDf` caps QUERY terms by folded document frequency: a
+   *  stop-word-grade term's posting list is corpus-grain, so without
+   *  the cap one "the" in the query turns the pruned posting scan into
+   *  a full-corpus scan feeding a corpus-grain groupBy — for a term
+   *  whose idf (≈ log(1 + (nd−df+.5)/(df+.5))) carries almost no
+   *  ranking signal anyway. Capped terms are skipped entirely (no
+   *  posting scan, no idf row, no n_terms credit) — the same maxDf
+   *  discipline the declarative inverted-index query applies. The df
+   *  fold the cap reads is the SAME |terms|-scalar driver-side fold
+   *  the idf needs — the cap costs nothing extra.
    */
   def searchBm25(
-      spark: SparkSession, dir: String, terms: Seq[String], k: Int): DataFrame = {
+      spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+      maxDf: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "searchBm25 with no terms")
     import spark.implicits._
     val stats = spark.read.parquet(liveSub(spark, dir, "stats"): _*)
@@ -129,17 +141,22 @@ object TextIndex {
       .where(col("token").isin(terms: _*))
       .groupBy("token").agg(sum("df").as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val idf = terms.distinct.flatMap { t =>
-      dfByTerm.get(t).map { df =>
-        (t, math.round(
-          math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6))
-      }
+    // survivors: indexed (df exists) and under the stop-word cap —
+    // only these reach the posting scan and the bucket list
+    val kept = terms.distinct.filter(t =>
+      dfByTerm.get(t).exists(df => maxDf.forall(df <= _)))
+    val idf = kept.map { t =>
+      val df = dfByTerm(t)
+      (t, math.round(
+        math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6))
     }.toDF("token", "idf_ppm")
     // the terms' bucket ids, computed with the SAME expression that
     // partitioned the write (driver-side, |terms| rows)
-    val termBuckets = terms.distinct.toDF("t")
-      .select(tokenBucket(col("t"))).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    val termBuckets =
+      if (kept.isEmpty) Seq.empty[Long]
+      else kept.toDF("t")
+        .select(tokenBucket(col("t"))).distinct()
+        .collect().map(_.getLong(0)).toSeq
     // per-commit roots each carry their own tb=N partition tree — read
     // per commit and union (the same multi-root discipline as the IVF
     // postings); the tb filter prunes partition DIRECTORIES, the token
@@ -148,7 +165,7 @@ object TextIndex {
       .map(spark.read.parquet(_))
       .reduce(_.unionByName(_))
       .where(col("tb").isin(termBuckets: _*) &&
-        col("token").isin(terms: _*))
+        col("token").isin(kept: _*))
     posts
       .join(broadcast(idf), "token")
       .withColumn("score_ppm",
@@ -162,5 +179,84 @@ object TextIndex {
         Window.orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
       .where(col("rank") <= k)
       .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
+  }
+
+  /** Full fold: every live shard commit into one. Right for an
+   *  explicit "optimize"; the steady-state policy is [[compactTiered]]
+   *  (a full fold under sustained ingest rewrites O(N²) bytes total).
+   */
+  def compact(spark: SparkSession, dir: String): Unit =
+    compactTiered(spark, dir, fanIn = Int.MaxValue)
+
+  /** SIZE-TIERED shard compaction — the same LSM policy as the rollup
+   *  store's compactTiered, applied to the index's three legs, which
+   *  all fold associatively: postings CONCATENATE (tb is a pure
+   *  function of token, identical across shards, so bucket layout is
+   *  preserved), vocab df and stats (nd, tl) are sum monoids. Without
+   *  this, every ingested shard adds a commit dir forever and
+   *  [[searchBm25]]'s per-commit union grows linearly in shard count —
+   *  query-PLANNING cost ∝ history, the small-files problem in index
+   *  clothing. Folding only the `fanIn` smallest commits bounds write
+   *  amplification (a commit's bytes are rewritten O(log N)-ish times
+   *  over its life, not once per trigger).
+   *
+   *  Atomicity rides the same CommitLog swap as ingest: the folded
+   *  output is invisible until the version-file create, `#txn:`
+   *  delivery keys pass through UNTOUCHED (exactly-once survives any
+   *  number of compactions), and if a concurrent writer moved any
+   *  input commit the publish ABORTS and drops its staging — folding
+   *  an already-folded input would double-count df/nd/tl.
+   */
+  def compactTiered(spark: SparkSession, dir: String, fanIn: Int = 8): Unit = {
+    val cl = clog(dir)
+    val (_, live) = cl.latest(spark)
+    val all = live.filter(_.startsWith("c-"))
+    if (all.size <= 1) return
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs =
+      if (fanIn >= all.size) all
+      else all.map { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data/$d")
+        val fs = p.getFileSystem(conf)
+        (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
+      }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
+    if (dirs.size <= 1) return
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    dirs.map(d => spark.read
+        .option("basePath", s"$dir/data/$d/post")
+        .parquet(s"$dir/data/$d/post"))
+      .reduce(_.unionByName(_))
+      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+      .write.partitionBy("tb").parquet(s"$dir/data/$name/post")
+    spark.read.parquet(dirs.map(d => s"$dir/data/$d/vocab"): _*)
+      .groupBy("token").agg(sum(col("df")).as("df"))
+      .write.parquet(s"$dir/data/$name/vocab")
+    spark.read.parquet(dirs.map(d => s"$dir/data/$d/stats"): _*)
+      .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
+      .coalesce(1).write.parquet(s"$dir/data/$name/stats")
+    val published = cl.commit(spark) { now =>
+      if (dirs.forall(now.contains)) Some(now.filterNot(dirs.contains) :+ name)
+      else None // an input moved under us — abort, never double-fold
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+      p.getFileSystem(conf).delete(p, true): Unit
+    }
+  }
+
+  /** Reclaim data dirs no longer referenced by the LATEST version
+   *  (superseded by compaction). Run once in-flight readers of older
+   *  snapshots drain — after vacuum, an as-of read of a superseded
+   *  version fails loudly at the existence filter, never silently
+   *  partially.
+   */
+  def vacuum(spark: SparkSession, dir: String): Unit = {
+    val live = clog(dir).latest(spark)._2.toSet
+    val dd = new org.apache.hadoop.fs.Path(s"$dir/data")
+    val fs = dd.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dd)) return
+    fs.listStatus(dd)
+      .filter(st => !live.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true): Unit)
   }
 }

@@ -62,4 +62,67 @@ class TextIndexSpec extends AnyFunSuite {
     assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
       s"token-bucket pruning missing:\n${plan.take(2000)}")
   }
+
+  test("compaction folds shards without changing answers; txn keys survive; vacuum reclaims") {
+    val idx = TestSpark.tmpDir("text_idx_c")
+    for (i <- 0 until 4)
+      TextIndex.ingestShard(spark, idx,
+        corpus.where(pmod(col("doc_id"), lit(4)) === i),
+        "doc_id", "text", key = Some(s"k$i"))
+    def run() = TextIndex
+      .searchBm25(spark, idx, Seq("merge", "window", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val before = run()
+    val cl = new graft.store.CommitLog(s"$idx/_manifests")
+
+    // tiered: fold only the 2 smallest of 4 — answers unchanged
+    TextIndex.compactTiered(spark, idx, fanIn = 2)
+    assert(cl.latest(spark)._2.count(_.startsWith("c-")) == 3)
+    assert(run() == before, "tiered fold changed the search answer")
+
+    // full fold: one live data commit — answers still unchanged
+    TextIndex.compact(spark, idx)
+    val live = cl.latest(spark)._2
+    assert(live.count(_.startsWith("c-")) == 1,
+      s"full compact must leave one data commit, got $live")
+    assert(run() == before, "full fold changed the search answer")
+
+    // delivery keys pass through every fold untouched: redelivery of a
+    // long-since-folded shard is still rejected
+    assert(live.count(_.startsWith("#txn:")) == 4, s"txn keys lost: $live")
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.ingestShard(spark, idx,
+        corpus.where(pmod(col("doc_id"), lit(4)) === 0),
+        "doc_id", "text", key = Some("k0"))
+    }
+    assert(ex.getMessage.contains("already ingested"))
+
+    // vacuum reclaims the superseded shard dirs; the live index answers
+    val dd = new java.io.File(s"$idx/data")
+    assert(dd.listFiles().length > 1, "superseded dirs should linger pre-vacuum")
+    TextIndex.vacuum(spark, idx)
+    assert(dd.listFiles().map(_.getName).toSet ==
+      live.filter(_.startsWith("c-")).toSet)
+    assert(run() == before, "vacuum broke the live index")
+  }
+
+  test("maxDf skips stop-word-grade query terms") {
+    val idx = TestSpark.tmpDir("text_idx_d")
+    TextIndex.ingestShard(spark, idx, corpus, "doc_id", "text")
+    // "merge" has df=3 (docs 0,2,4); cap 2 must skip it, so the capped
+    // query equals the uncapped query WITHOUT the term — no posting
+    // rows, no n_terms credit, no score contribution
+    def run(terms: Seq[String], cap: Option[Long]) = TextIndex
+      .searchBm25(spark, idx, terms, 10, maxDf = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(run(Seq("merge", "window"), Some(2L)) ==
+      run(Seq("window"), None))
+    // cap that nothing hits is a no-op
+    assert(run(Seq("merge", "window"), Some(100L)) ==
+      run(Seq("merge", "window"), None))
+    // every term capped out → empty result, not an error
+    assert(run(Seq("merge"), Some(1L)).isEmpty)
+  }
 }
