@@ -87,14 +87,36 @@ object TextIndex {
     try {
       val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
-      tf.join(dl, "doc_id")
-        .select(col("token"), col("doc_id"), col("tf"), col("dl"),
-          tokenBucket(col("token")).as("tb"))
-        .write.partitionBy("tb").parquet(s"$dir/data/$name/post")
-      tf.groupBy("token").agg(count(lit(1)).as("df"))
-        .write.parquet(s"$dir/data/$name/vocab")
-      dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
-        .coalesce(1).write.parquet(s"$dir/data/$name/stats")
+      // the three legs all derive from the persisted tf and land under
+      // ONE not-yet-visible commit dir — write them concurrently (the
+      // ManifestStore.ingestBatchAtomic discipline): atomicity comes
+      // from the version-file create, not from write order
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      Await.result(Future.sequence(Seq(
+        Future {
+          tf.join(dl, "doc_id")
+            .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+              tokenBucket(col("token")).as("tb"))
+            // bucket-grain tasks before the partitioned write: one file
+            // per bucket per shard instead of tasks×buckets — the read
+            // path's file count stays ∝ shards×TokenBuckets, and a shard
+            // is a bounded ingest batch so bucket-grain tasks stay small
+            .repartition(TokenBuckets, col("tb"))
+            .write.partitionBy("tb").parquet(s"$dir/data/$name/post")
+        },
+        Future {
+          tf.groupBy("token").agg(count(lit(1)).as("df"))
+            // vocab is token-grain (small per shard); 4 files beats one
+            // tiny file per shuffle task on the per-query vocab lookup
+            .coalesce(4)
+            .write.parquet(s"$dir/data/$name/vocab")
+        },
+        Future {
+          dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+            .coalesce(1).write.parquet(s"$dir/data/$name/stats")
+        })), Duration.Inf): Unit
       val published = cl.commit(spark) { now =>
         if (txn.exists(now.contains)) None // raced redelivery — abort
         else Some(now :+ name :++ txn.toSeq)
@@ -133,14 +155,24 @@ object TextIndex {
       maxDf: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "searchBm25 with no terms")
     import spark.implicits._
-    val stats = spark.read.parquet(liveSub(spark, dir, "stats"): _*)
-      .agg(sum("nd"), sum("tl")).head()
+    // the two scalar folds are independent — overlap their jobs
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val statsF = Future {
+      spark.read.parquet(liveSub(spark, dir, "stats"): _*)
+        .agg(sum("nd"), sum("tl")).head()
+    }
+    val dfF = Future {
+      spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+        .where(col("token").isin(terms: _*))
+        .groupBy("token").agg(sum("df").as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val stats = Await.result(statsF, Duration.Inf)
     val (nd, tl) = (stats.getLong(0), stats.getLong(1))
     val avgdl = tl.toDouble / nd
-    val dfByTerm = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
-      .where(col("token").isin(terms: _*))
-      .groupBy("token").agg(sum("df").as("df"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val dfByTerm = Await.result(dfF, Duration.Inf)
     // survivors: indexed (df exists) and under the stop-word cap —
     // only these reach the posting scan and the bucket list
     val kept = terms.distinct.filter(t =>
@@ -222,18 +254,30 @@ object TextIndex {
       }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
     if (dirs.size <= 1) return
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
-    dirs.map(d => spark.read
-        .option("basePath", s"$dir/data/$d/post")
-        .parquet(s"$dir/data/$d/post"))
-      .reduce(_.unionByName(_))
-      .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
-      .write.partitionBy("tb").parquet(s"$dir/data/$name/post")
-    spark.read.parquet(dirs.map(d => s"$dir/data/$d/vocab"): _*)
-      .groupBy("token").agg(sum(col("df")).as("df"))
-      .write.parquet(s"$dir/data/$name/vocab")
-    spark.read.parquet(dirs.map(d => s"$dir/data/$d/stats"): _*)
-      .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
-      .coalesce(1).write.parquet(s"$dir/data/$name/stats")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(Seq(
+      Future {
+        dirs.map(d => spark.read
+            .option("basePath", s"$dir/data/$d/post")
+            .parquet(s"$dir/data/$d/post"))
+          .reduce(_.unionByName(_))
+          .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+          .repartition(TokenBuckets, col("tb"))
+          .write.partitionBy("tb").parquet(s"$dir/data/$name/post")
+      },
+      Future {
+        spark.read.parquet(dirs.map(d => s"$dir/data/$d/vocab"): _*)
+          .groupBy("token").agg(sum(col("df")).as("df"))
+          .coalesce(4)
+          .write.parquet(s"$dir/data/$name/vocab")
+      },
+      Future {
+        spark.read.parquet(dirs.map(d => s"$dir/data/$d/stats"): _*)
+          .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
+          .coalesce(1).write.parquet(s"$dir/data/$name/stats")
+      })), Duration.Inf): Unit
     val published = cl.commit(spark) { now =>
       if (dirs.forall(now.contains)) Some(now.filterNot(dirs.contains) :+ name)
       else None // an input moved under us — abort, never double-fold

@@ -100,6 +100,30 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text index search prunes token buckets, broadcasts idf, rank-limits the top-k window") {
+    withPlainPlans {
+      val df = SparkEntry.queries("text_index_search")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      // the posting scan must carry the token-bucket partition filter —
+      // the directory-pruning contract that keeps a 3-term query from
+      // scanning all 16 buckets
+      assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+        s"token-bucket pruning missing:\n${plan.take(2000)}")
+      // idf is a |terms|-row literal frame — joining it any other way
+      // than broadcast would shuffle the posting rows to serve 3 terms
+      assert(plan.contains("BroadcastHashJoin"),
+        "idf join regressed from broadcast")
+      // the global top-k rank must stay bounded: either WindowGroupLimit
+      // (local top-k per task, capped final window) or the stronger
+      // TakeOrderedAndProject (per-partition top-k + driver merge, then
+      // the window ranks only k rows) — without one of them the full
+      // doc-grain score table single-tasks through one global sort
+      assert(plan.contains("WindowGroupLimit") ||
+          plan.contains("TakeOrderedAndProject"),
+        s"rank window lost its group-limit pushdown:\n${plan.take(2000)}")
+    }
+  }
+
   test("distinct_sketch reduces at register grain with map-side partials") {
     withPlainPlans {
       val df = SparkEntry.queries("distinct_sketch")(spark, sf)
