@@ -342,11 +342,18 @@ object Similarity {
       live: Seq[String], centroidStep: Long, iters: Int,
       sampleStep: Long): Boolean = {
     val conf = spark.sessionState.newHadoopConf()
-    val corpus = live.map(d => s"$dir/data/$d/post")
-      .filter { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(conf).exists(hp)
-      }
+    val dirs = live.filter(_.startsWith("c-")).map(d => s"$dir/data/$d/post")
+    // a missing live dir PROVES the observed snapshot is stale (vacuum
+    // only reclaims superseded dirs): the commit below would lose the
+    // race anyway, so abort NOW — silently filtering would k-means a
+    // partial corpus (and an all-vacuumed snapshot would die in
+    // .reduce on empty instead of reporting the lost race cleanly)
+    val anyMissing = dirs.exists { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      !hp.getFileSystem(conf).exists(hp)
+    }
+    if (anyMissing || dirs.isEmpty) return false
+    val corpus = dirs
       .map(spark.read.parquet(_))
       .reduce(_.unionByName(_))
       .select(col("vec_id"), col("v"))

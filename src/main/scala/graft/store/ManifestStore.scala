@@ -814,10 +814,46 @@ object ManifestStore {
    *  where the report has one (expectation, violations) row per
    *  expectation, in input order.
    */
+  /** The four semantically distinct ways a WAP ingest can end —
+   *  previously conflated into one `false`: a duplicate delivery is
+   *  success-equivalent (the data IS in the table), an empty batch a
+   *  no-op, an audit failure a data problem someone must look at.
+   */
+  sealed trait WapOutcome
+  object WapOutcome {
+    case object Published extends WapOutcome
+    case object DuplicateDelivery extends WapOutcome
+    case object EmptyBatch extends WapOutcome
+    case object AuditFailed extends WapOutcome
+  }
+
   def ingestBatchAudited(
       spark: SparkSession, root: String, batchLong: DataFrame,
       expectations: Seq[(String, org.apache.spark.sql.Column)],
       key: Option[String] = None, maxLiveCommits: Int = 16): (Boolean, DataFrame) = {
+    val (outcome, report) = ingestBatchAuditedOutcome(
+      spark, root, batchLong, expectations, key, maxLiveCommits)
+    (outcome == WapOutcome.Published, report)
+  }
+
+  def ingestBatchAuditedOutcome(
+      spark: SparkSession, root: String, batchLong: DataFrame,
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      key: Option[String] = None,
+      maxLiveCommits: Int = 16): (WapOutcome, DataFrame) =
+    ingestBatchAuditedWith(spark, root, batchLong, expectations, key,
+      maxLiveCommits, b => Tables.allLevelPartials(b, withSumsq = true))
+
+  /** [[ingestBatchAuditedOutcome]] with an injectable partials writer —
+   *  the seam that lets a spec stage CORRUPTED rollup partials and pin
+   *  the conservation audit's rejection (the negative control a
+   *  pre-publish gate needs: proof it can actually fail).
+   */
+  private[graft] def ingestBatchAuditedWith(
+      spark: SparkSession, root: String, batchLong: DataFrame,
+      expectations: Seq[(String, org.apache.spark.sql.Column)],
+      key: Option[String], maxLiveCommits: Int,
+      partialsOf: DataFrame => DataFrame): (WapOutcome, DataFrame) = {
     require(expectations.nonEmpty, "ingestBatchAudited without expectations")
     require(key.forall(k => k.nonEmpty && !k.contains('\n')),
       s"bad txn key: $key")
@@ -825,35 +861,77 @@ object ManifestStore {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     import spark.implicits._
+    val conservationNames = Fidelity.aggLevels
+      .map(f => s"rollup_cnt_conservation_${Tables.fidelityPart(f)}")
+    def emptyReport = (expectations.map { case (n, _) => (n, 0L) } ++
+      conservationNames.map((_, 0L))).toDF("expectation", "violations")
+    // cheap up-front rejection: a redelivered batch must not pay the
+    // full stage+audit cost before losing to its own key (the same
+    // up-front check Dedup/TextIndex make; the in-closure check inside
+    // publishStaged still guards the concurrent-redelivery race)
+    val txn = key.map(TxnPrefix + _)
+    if (txn.exists(latest(spark, root)._2.contains))
+      return (WapOutcome.DuplicateDelivery, emptyReport)
     val batch = graft.ingest.Melt.sanitize(batchLong).persist()
     try {
-      if (batch.isEmpty)
-        return (false,
-          expectations.map { case (n, _) => (n, 0L) }.toDF("expectation", "violations"))
+      if (batch.isEmpty) return (WapOutcome.EmptyBatch, emptyReport)
       val writes = Seq(
         Future(writeRawCommitDir(root, batch)),
-        Future(writeCommitDir(root,
-          Tables.allLevelPartials(batch, withSumsq = true))))
+        Future(writeCommitDir(root, partialsOf(batch))))
       val names = Await.result(Future.sequence(writes), Duration.Inf)
-      // audit what readers WOULD see: the staged raw dir through the
-      // reader's schema, one pass, all expectations as parallel counts
+      // audit what readers WOULD see: both STAGED commit dirs through
+      // the readers' schema'd paths (so writer/layout bugs are caught
+      // too, not just bad input), concurrently:
+      //  - raw tier: one aggregation pass, all expectations as
+      //    parallel violation counts over the staged raw rows;
+      //  - rollup tier: per-level COUNT CONSERVATION — every fidelity's
+      //    Σcnt must equal the staged raw row count (the invariant
+      //    manifest_history checks post-hoc, moved pre-publish so an
+      //    allLevelPartials writer bug never becomes visible data).
+      // Cost of both ∝ batch, never ∝ table.
       val rawName = names.find(_.startsWith("r-")).get
-      val staged = spark.read.parquet(s"${dataDir(root)}/$rawName")
-        .select(Tables.rawSchema.fieldNames.map(col).toIndexedSeq: _*)
-      val counts = staged.agg(
-        count(lit(1)).as("__n"),
-        expectations.map { case (n, pred) =>
-          sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(n)
-        }: _*).head()
-      val report = expectations.zipWithIndex
-        .map { case ((n, _), i) => (n, counts.getLong(i + 1)) }
+      val rollName = names.find(_.startsWith("c-")).get
+      val countsF = Future {
+        spark.read.parquet(s"${dataDir(root)}/$rawName")
+          .select(Tables.rawSchema.fieldNames.map(col).toIndexedSeq: _*)
+          .agg(
+            count(lit(1)).as("__n"),
+            expectations.map { case (n, pred) =>
+              sum(when(pred.isNull || !pred, 1L).otherwise(0L)).as(n)
+            }: _*).head()
+      }
+      val perLevelF = Future {
+        val full = StructType(
+          physSchema.fields :+ StructField("fidelity", StringType))
+        spark.read.schema(full)
+          .option("basePath", s"${dataDir(root)}/$rollName")
+          .parquet(s"${dataDir(root)}/$rollName")
+          .groupBy("fidelity").agg(sum(col("cnt")).as("c"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val counts = Await.result(countsF, Duration.Inf)
+      val perLevel = Await.result(perLevelF, Duration.Inf)
+      val nRaw = counts.getLong(0)
+      // violations for a conservation row = the absolute row-count
+      // discrepancy at that level (an absent level counts all nRaw)
+      val conservation = Fidelity.aggLevels.map { f =>
+        val part = Tables.fidelityPart(f)
+        (s"rollup_cnt_conservation_$part",
+          math.abs(perLevel.getOrElse(part, 0L) - nRaw))
+      }
+      val report = (expectations.zipWithIndex
+        .map { case ((n, _), i) => (n, counts.getLong(i + 1)) } ++
+        conservation)
         .toDF("expectation", "violations")
-      val clean = expectations.indices.forall(i => counts.getLong(i + 1) == 0L)
+      val clean = expectations.indices.forall(i => counts.getLong(i + 1) == 0L) &&
+        conservation.forall(_._2 == 0L)
       if (!clean) {
         dropStaged(spark, root, names)
-        (false, report)
-      } else
-        (publishStaged(spark, root, names, key, maxLiveCommits), report)
+        (WapOutcome.AuditFailed, report)
+      } else if (publishStaged(spark, root, names, key, maxLiveCommits))
+        (WapOutcome.Published, report)
+      else // lost the publish race to a concurrent redelivery of our key
+        (WapOutcome.DuplicateDelivery, report)
     } finally batch.unpersist(): Unit
   }
 

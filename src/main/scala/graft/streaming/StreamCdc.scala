@@ -267,10 +267,22 @@ object StreamCdc {
    */
   def maintainAlerts(
       spark: SparkSession, root: String, checkpoint: String,
-      high: Double, low: Double): DataFrame = {
+      high: Double, low: Double,
+      stateDir: Option[String] = None): DataFrame = {
     require(low <= high, s"hysteresis band inverted: low $low > high $high")
-    @volatile var state = emptyAlerts(spark)
-    @volatile var applied = 0L
+    // same restart contract as maintainDaily: with a stateDir the
+    // consumer bootstraps from the highest `_applied` alert snapshot
+    // (alert state is catalog-grain — one row per dataset — so the
+    // snapshot is tiny at any corpus scale) and a resumed run replays
+    // AT MOST the one version whose marker didn't land; alertStep is a
+    // deterministic fold of (state, feed), so that replay is
+    // idempotent. Without a stateDir the checkpoint must be FRESH per
+    // invocation — a reused checkpoint skips delivered versions and a
+    // bootstrap-from-empty run would either return empty state (no new
+    // versions) or die at the gap require.
+    val boot = stateDir.flatMap(readState(spark, _))
+    @volatile var state = boot.map(_._2).getOrElse(emptyAlerts(spark))
+    @volatile var applied = boot.map(_._1).getOrElse(0L)
     val pending = scala.collection.mutable.SortedSet.empty[Long]
     val q = versionFeed(spark, root).writeStream
       .outputMode("append")
@@ -287,6 +299,7 @@ object StreamCdc {
             state = alertStep(state, feed, v, high, low).localCheckpoint(true)
             applied = v
             pending -= v
+            stateDir.foreach(writeState(b.sparkSession, _, applied, state))
           }
         }
       }
@@ -313,16 +326,30 @@ object StreamCdc {
       summary: DataFrame): Unit = {
     summary.write.mode("overwrite").parquet(s"$stateDir/s-$v")
     // marker flips AFTER the data lands: a crash between the two leaves
-    // the previous marker valid and the half-written dir unreferenced
+    // the previous marker valid and the half-written dir unreferenced.
+    // The flip itself is write-temp-then-rename: an in-place overwrite
+    // has a crash window (created-but-unwritten) that leaves an EMPTY
+    // marker — a bricked restart until manual cleanup, strictly worse
+    // than the full-WAL replay an absent marker degrades to
+    val fs = fsFor(spark, new org.apache.hadoop.fs.Path(stateDir))
     val marker = new org.apache.hadoop.fs.Path(s"$stateDir/_applied")
-    val fs = fsFor(spark, marker)
-    val out = fs.create(marker, true)
+    val tmp = new org.apache.hadoop.fs.Path(s"$stateDir/_applied.tmp")
+    val out = fs.create(tmp, true)
     try out.write(v.toString.getBytes("UTF-8")) finally out.close()
-    // the superseded snapshot is unreferenced once the marker flips —
-    // reclaim it, or the stateDir accumulates one full summary copy
-    // per applied version
-    val prev = new org.apache.hadoop.fs.Path(s"$stateDir/s-${v - 1L}")
-    if (fs.exists(prev)) fs.delete(prev, true): Unit
+    if (fs.exists(marker)) fs.delete(marker, false): Unit
+    require(fs.rename(tmp, marker),
+      s"could not move $tmp over $marker — state flip failed loudly")
+    // every snapshot below the marker is unreferenced — reclaim them
+    // ALL, not just v−1: a crash between a previous flip and its
+    // delete would otherwise strand an orphan forever
+    val dd = new org.apache.hadoop.fs.Path(stateDir)
+    fs.listStatus(dd)
+      .filter { st =>
+        val n = st.getPath.getName
+        n.startsWith("s-") &&
+          scala.util.Try(n.drop(2).toLong).toOption.exists(_ < v)
+      }
+      .foreach(st => fs.delete(st.getPath, true): Unit)
   }
 
   private def readState(
@@ -332,12 +359,17 @@ object StreamCdc {
     if (!fs.exists(marker)) None
     else {
       val in = fs.open(marker)
-      val v =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
         finally in.close()
-      // localCheckpoint: the bootstrap summary must not lazily depend
-      // on state files a later writeState overwrite could replace
-      Some((v, spark.read.parquet(s"$stateDir/s-$v").localCheckpoint(true)))
+      // a damaged marker (or one whose snapshot dir is gone) degrades
+      // to the empty-state bootstrap — a full WAL replay, which the
+      // idempotent refresh steps make correct, just slower. Never brick.
+      scala.util.Try(body.toLong).toOption
+        .filter(v => fs.exists(new org.apache.hadoop.fs.Path(s"$stateDir/s-$v")))
+        // localCheckpoint: the bootstrap summary must not lazily depend
+        // on state files a later writeState overwrite could replace
+        .map(v => (v, spark.read.parquet(s"$stateDir/s-$v").localCheckpoint(true)))
     }
   }
 }

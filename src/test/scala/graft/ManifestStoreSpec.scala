@@ -367,8 +367,12 @@ class ManifestStoreSpec extends AnyFunSuite {
       batch(("a", "2024-01-01T00:00:00", 2.0), ("a", "2024-01-01T00:00:01", 4.0)),
       exps, key = Some("w1"))
     assert(ok1, "clean batch must publish")
-    assert(rep1.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
-      Seq(("value_in_range", 0L), ("ts_positive", 0L)))
+    val rows1 = rep1.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows1.take(2) == Seq(("value_in_range", 0L), ("ts_positive", 0L)))
+    // the always-on rollup-tier audit reports per-level conservation
+    assert(rows1.drop(2).map(_._1) ==
+      Fidelity.aggLevels.map(f => s"rollup_cnt_conservation_d${f.name}") &&
+      rows1.drop(2).forall(_._2 == 0L), s"got $rows1")
     assert(ManifestStore.readRaw(spark, root).count() == 2L)
     val v1 = ManifestStore.latest(spark, root)._1
 
@@ -378,7 +382,7 @@ class ManifestStoreSpec extends AnyFunSuite {
       batch(("a", "2024-01-01T00:00:02", 6.0), ("a", "2024-01-01T00:00:03", 900.0)),
       exps, key = Some("w2"))
     assert(!ok2, "audited batch with a violation must not publish")
-    assert(rep2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+    assert(rep2.collect().map(r => (r.getString(0), r.getLong(1))).toSeq.take(2) ==
       Seq(("value_in_range", 1L), ("ts_positive", 0L)))
     assert(ManifestStore.latest(spark, root)._1 == v1, "version moved on a rejected batch")
     assert(ManifestStore.readRaw(spark, root).count() == 2L)
@@ -403,6 +407,64 @@ class ManifestStoreSpec extends AnyFunSuite {
       Seq("null_gate" -> (lit(null).cast("boolean") || col("value") > 100.0)))
     assert(!ok4 && rep4.head().getLong(1) == 1L,
       "null predicate must count as a violation")
+  }
+
+  test("WAP outcomes are distinct; corrupted rollup partials fail the conservation audit") {
+    import ManifestStore.WapOutcome
+    val root = TestSpark.tmpDir("mstore_wap_outcome")
+    val exps = Seq("value_ok" -> (col("value") <= 100.0))
+    val b1 = batch(("a", "2024-01-01T00:00:00", 2.0), ("a", "2024-01-01T00:00:01", 4.0))
+
+    val (o1, _) = ManifestStore.ingestBatchAuditedOutcome(spark, root, b1, exps,
+      key = Some("w1"))
+    assert(o1 == WapOutcome.Published)
+
+    // duplicate, empty, and audit-failed were previously all `false` —
+    // a caller retrying "failures" could not tell success-equivalent
+    // duplicates from data problems
+    val (o2, _) = ManifestStore.ingestBatchAuditedOutcome(spark, root, b1, exps,
+      key = Some("w1"))
+    assert(o2 == WapOutcome.DuplicateDelivery)
+    val (o3, _) = ManifestStore.ingestBatchAuditedOutcome(spark, root,
+      b1.where(col("value") > 1000.0), exps, key = Some("w3"))
+    assert(o3 == WapOutcome.EmptyBatch)
+
+    // up-front rejection: the duplicate never stages — data/ holds
+    // exactly the live commit dirs throughout, no transient staging
+    val v1 = ManifestStore.latest(spark, root)
+
+    // NEGATIVE CONTROL for the rollup-tier audit: a writer bug that
+    // drops one level's partials (and one that double-counts) must be
+    // caught pre-publish by count conservation, leaving the table
+    // byte-identical
+    val b2 = batch(("a", "2024-01-01T00:00:02", 6.0))
+    val (o4, rep4) = ManifestStore.ingestBatchAuditedWith(spark, root, b2, exps,
+      Some("w4"), 16,
+      b => graft.store.Tables.allLevelPartials(b, withSumsq = true)
+        .where(col("fidelity") =!= "d10"))
+    assert(o4 == WapOutcome.AuditFailed, s"dropped level must fail the audit: $o4")
+    val r4 = rep4.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(r4("rollup_cnt_conservation_d10") == 1L && r4("value_ok") == 0L,
+      s"got $r4")
+    val (o5, rep5) = ManifestStore.ingestBatchAuditedWith(spark, root, b2, exps,
+      Some("w5"), 16,
+      b => graft.store.Tables.allLevelPartials(b, withSumsq = true)
+        .withColumn("cnt", col("cnt") * 2))
+    assert(o5 == WapOutcome.AuditFailed)
+    assert(rep5.collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      .apply("rollup_cnt_conservation_d1") == 1L)
+    assert(ManifestStore.latest(spark, root) == v1,
+      "a failed conservation audit must not move the table")
+    assert(ManifestStore.readRaw(spark, root).count() == 2L)
+    val onDisk = new java.io.File(s"$root/mrollup/data").listFiles().map(_.getName).toSet
+    assert(onDisk == v1._2.filterNot(_.startsWith("#")).toSet,
+      s"rejected staging leaked: $onDisk")
+
+    // the intact writer still publishes through the same seam
+    val (o6, _) = ManifestStore.ingestBatchAuditedOutcome(spark, root, b2, exps,
+      key = Some("w6"))
+    assert(o6 == WapOutcome.Published)
+    assert(ManifestStore.readRaw(spark, root).count() == 3L)
   }
 
   test("as-of reads fail loudly once vacuum reclaims a superseded snapshot") {

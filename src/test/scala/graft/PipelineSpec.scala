@@ -187,6 +187,21 @@ class PipelineSpec extends AnyFunSuite {
         all.where(col("vec_id") < 2), k = 5, nProbe = 2)
       .collect().map(_.getLong(1))
     assert(probed.exists(_ >= 20L), "appended vectors lost by the rebuild")
+
+    // a VACUUMED stale snapshot aborts IMMEDIATELY: a missing live dir
+    // proves the snapshot lost already (vacuum only reclaims superseded
+    // dirs), so no partial-corpus k-means runs and no staging is
+    // written — previously this path died in .reduce on an
+    // all-vacuumed snapshot and burned a full rebuild on a partial one
+    Similarity.ivfIndexVacuum(spark, idx)
+    val liveNow = clog.latest(spark)._2
+    val before = new java.io.File(s"$idx/data").listFiles().map(_.getName).toSet
+    assert(!Similarity.ivfIndexRebuildFrom(spark, idx, liveWithAppend,
+      centroidStep = 7L, iters = 2, sampleStep = 1L),
+      "rebuild from a vacuumed snapshot must abort cleanly")
+    assert(clog.latest(spark)._2 == liveNow &&
+      new java.io.File(s"$idx/data").listFiles().map(_.getName).toSet == before,
+      "vacuumed-snapshot abort must leave no trace")
   }
 
   test("ivfIndex: appended shards are probe-visible and equal the one-shot path") {

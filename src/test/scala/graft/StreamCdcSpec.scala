@@ -112,6 +112,75 @@ class StreamCdcSpec extends AnyFunSuite {
       s"stateDir must hold only the marked snapshot, got $snaps")
   }
 
+  test("maintainAlerts resumes from persisted state without full-WAL replay") {
+    val root = TestSpark.tmpDir("cdc_alert_resume")
+    val state = TestSpark.tmpDir("cdc_alert_state")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("dataset_id").collect()
+        .map(r => (r.getString(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    def marker = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(state).resolve("_applied")), "UTF-8").trim.toLong
+
+    // v1: a decisively high (ON); v2: dead band (carries)
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 10.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:01", 5.0)))
+    val s1 = StreamCdc.maintainAlerts(spark, root,
+      TestSpark.tmpDir("cdc_ack1") + "/c", high = 8.0, low = 2.0, Some(state))
+    assert(marker == 2L, "both versions applied and marked")
+    assert(snap(s1) == Seq(("a", true, 1L, 1L)))
+
+    // v3 lands while the consumer is down (decisively low — OFF); the
+    // resumed run (fresh stream checkpoint = the crash case) must
+    // bootstrap from state and apply ONLY version 3
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:02", 1.0)))
+    val ck2 = TestSpark.tmpDir("cdc_ack2") + "/c"
+    val s2 = StreamCdc.maintainAlerts(spark, root, ck2,
+      high = 8.0, low = 2.0, Some(state))
+    assert(marker == 3L)
+    assert(snap(s2) == Seq(("a", false, 3L, 2L)), s"got ${snap(s2)}")
+
+    // the resumed state equals a from-scratch full-WAL run
+    val scratch = StreamCdc.maintainAlerts(spark, root,
+      TestSpark.tmpDir("cdc_ack3") + "/c", high = 8.0, low = 2.0)
+    assert(snap(s2) == snap(scratch),
+      "resume-from-state diverged from the full replay")
+
+    // idle resume with the SAME checkpoint: nothing redelivers, the
+    // state comes entirely from the stateDir (the shape that silently
+    // returned EMPTY state before stateDir existed)
+    val s3 = StreamCdc.maintainAlerts(spark, root, ck2,
+      high = 8.0, low = 2.0, Some(state))
+    assert(marker == 3L && snap(s3) == snap(s2))
+
+    // reclaim is exhaustive: every snapshot below the marker goes, even
+    // a stranded orphan from a crash between a past flip and its delete
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(state).resolve("s-1"))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:03", 10.0)))
+    StreamCdc.maintainAlerts(spark, root, ck2,
+      high = 8.0, low = 2.0, Some(state))
+    val snaps = new java.io.File(state).listFiles()
+      .map(_.getName).filter(_.startsWith("s-")).toSeq
+    assert(snaps == Seq("s-4"),
+      s"stateDir must hold only the marked snapshot, got $snaps")
+
+    // a damaged (empty) marker degrades to the empty-state bootstrap —
+    // a full replay on a fresh checkpoint, identical final state, never
+    // a NumberFormatException brick
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(state).resolve("_applied"),
+      "".getBytes("UTF-8"))
+    val s4 = StreamCdc.maintainAlerts(spark, root,
+      TestSpark.tmpDir("cdc_ack4") + "/c", high = 8.0, low = 2.0, Some(state))
+    assert(marker == 4L && snap(s4) == Seq(("a", true, 4L, 3L)),
+      s"damaged-marker recovery failed: ${snap(s4)}")
+  }
+
   test("versionFeed surfaces versions in commit order under AvailableNow") {
     val root = TestSpark.tmpDir("cdc_feed")
     for (i <- 1 to 3)
