@@ -371,6 +371,35 @@ object TpchQueries {
         .orderBy("p_id")
     }),
 
+    // NEAREST-datapoint join: synthetic comments (every ~401st melted
+    // row, md5-deterministic, pinned 0.3 s after their source point)
+    // attach to the closest datapoint of their series in EITHER time
+    // direction — the chart co-display join SURVEY §2.5 names as the
+    // one reference-adjacent stretch (the reference renders comments
+    // on the time axis without joining them to data, graph.js:198).
+    // The tiny annotation side broadcasts over ONE scan of the data
+    // side (lexicographic argmin struct fold with map-side combine —
+    // no data-side shuffle); equidistant ties take the earlier point
+    "comments_asof_nearest" -> ((s, dir) => {
+      val long = CoreQueries.ev(s, dir)
+      val h = pmod(
+        conv(substring(
+          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(401L))
+      val comments = long.where(h === 0)
+        .select(col("dataset_id"), (col("ts_us") + 300000L).as("date_us"))
+      graft.ops.Temporal
+        .nearestJoin(comments, long, Seq("dataset_id"),
+          "date_us", "ts_us", Seq("value"))
+        .select(
+          col("dataset_id"), col("date_us"),
+          col("nearest.diff_us").as("diff_us"),
+          col("nearest.ts_us").as("ts_us"),
+          col("nearest.value").as("value"))
+        .orderBy("dataset_id", "date_us")
+    }),
+
     // sliding-window aggregate (60 s window, 15 s slide) — the
     // streaming-rate view the reference's tumbling-only pyramid lacks
     "sliding_60s_15s" -> ((s, dir) =>
@@ -683,6 +712,22 @@ object TpchQueries {
         |  min(v.event_id) AS v_id, m.v_us, m.v_us - m.p_us AS gap_us
         |FROM m LEFT JOIN v ON v.user_id = m.user_id AND v.ts_us = m.v_us
         |GROUP BY 1, 2, 3, 5 ORDER BY p_id""".stripMargin,
+    // argmin(|Δt|) per comment with (diff, ts, value) tie-break —
+    // identical lexicographic order to the engine's struct min
+    "comments_asof_nearest" ->
+      """WITH e AS (SELECT event_type AS dataset_id, epoch_us(ts) AS ts_us,
+        |           value FROM events
+        |           WHERE value IS NOT NULL AND NOT isnan(value)),
+        |c AS (SELECT dataset_id, ts_us + 300000 AS date_us FROM e
+        |      WHERE ('0x' || substr(md5(dataset_id || '|' ||
+        |        CAST(ts_us AS VARCHAR)), 1, 15))::BIGINT % 401 = 0),
+        |j AS (SELECT c.dataset_id, c.date_us, e.ts_us, e.value,
+        |        abs(e.ts_us - c.date_us) AS diff_us
+        |      FROM c JOIN e USING (dataset_id)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY dataset_id, date_us
+        |        ORDER BY diff_us, ts_us, value) AS rn FROM j)
+        |SELECT dataset_id, date_us, diff_us, ts_us, value FROM r
+        |WHERE rn = 1 ORDER BY dataset_id, date_us""".stripMargin,
     "sliding_60s_15s" ->
       """SELECT event_type AS dataset_id,
         |  (epoch_us(ts) // 15000000 - t.j) * 15 AS win_s,

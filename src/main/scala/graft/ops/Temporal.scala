@@ -115,6 +115,43 @@ object Temporal {
   }
 
   /**
+   * Nearest-row join for a SMALL left side: for every left row, attach
+   * the right row minimizing |rightTs − leftTs| within the equi-keys —
+   * the "comment pinned to the closest datapoint" co-display the
+   * reference UI implies (SURVEY §2.5 names this as-of variant as the
+   * one natural stretch; the reference itself renders comments on the
+   * time axis without joining them to data rows, public/graph.js:198).
+   *
+   * Shape: broadcast the left (an annotation table — the reference
+   * caps comment reads at 20, marks.py:63; anything comment-like is
+   * broadcast-small), ONE scan of the huge right side, and a
+   * lexicographic `min(struct(diff, rightTs, carry…))` argmin folded
+   * per left row with map-side partial aggregation — no shuffle of the
+   * right side at all, result is left-grain. The union+running-window
+   * asof formulation is the right shape when BOTH sides are large; for
+   * a 20-row left it would sort the corpus against 20 rows.
+   * Equidistant ties break toward the EARLIER right row, then by the
+   * carry columns. Inner-join semantics: a left row whose key has no
+   * right rows drops. Left/right column names must not collide except
+   * on `keys`.
+   *
+   * Output = all left columns + `nearest` struct
+   * (diff_us, rightTs, carry…).
+   */
+  def nearestJoin(
+      small: DataFrame, big: DataFrame, keys: Seq[String],
+      smallTs: String, bigTs: String, bigCarry: Seq[String]): DataFrame = {
+    val bigKey = tsOrderKey(big, bigTs)
+    val smallKey = tsOrderKey(small, smallTs)
+    big.join(broadcast(small), keys)
+      .withColumn("__diff", abs(bigKey - smallKey))
+      .groupBy(small.columns.map(col).toIndexedSeq: _*)
+      .agg(min(struct(
+        (col("__diff").as("diff_us") +: (bigTs +: bigCarry).map(col)): _*))
+        .as("nearest"))
+  }
+
+  /**
    * Sliding-window aggregate over the canonical long form
    * (dataset_id, ts_us, value): min/max/sum/count per (dataset_id,
    * window) for a `sizeS`-second window sliding every `slideS` seconds

@@ -75,6 +75,39 @@ class TemporalSpec extends AnyFunSuite {
     assert(out.getLong(0) == 7L) // the 09:59:59.9 row, not the later .5 one
   }
 
+  test("nearestJoin: argmin |Δt| within key, earlier point on equidistant tie, " +
+      "keyless left rows drop, duplicate left rows fold to one") {
+    val comments = Seq(
+      ("a", 100L), ("a", 100L), // duplicate annotation folds to ONE row
+      ("a", 25L),               // equidistant between 20 and 30 → 20 wins
+      ("b", 1000L),             // nearest is BEFORE (backward match)
+      ("c", 5L)                 // series with no datapoints → drops
+    ).toDF("dataset_id", "date_us")
+    val data = Seq(
+      ("a", 20L, 2.0), ("a", 30L, 3.0), ("a", 98L, 9.0), ("a", 105L, 1.5),
+      ("b", 900L, 7.0), ("b", 2000L, 8.0)
+    ).toDF("dataset_id", "ts_us", "value")
+
+    val out = Temporal
+      .nearestJoin(comments, data, Seq("dataset_id"),
+        "date_us", "ts_us", Seq("value"))
+      .select(col("dataset_id"), col("date_us"),
+        col("nearest.diff_us"), col("nearest.ts_us"), col("nearest.value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sorted
+    assert(out == Seq(
+      ("a", 25L, 5L, 20L, 2.0),    // tie 20 vs 30 → earlier ts
+      ("a", 100L, 2L, 98L, 9.0),   // 98 (Δ2) beats 105 (Δ5)
+      ("b", 1000L, 100L, 900L, 7.0)), s"got $out")
+
+    // plan shape: the annotation side must broadcast — a data-side
+    // shuffle would sort the corpus against a ≤20-row comment table
+    val plan = Temporal.nearestJoin(comments, data, Seq("dataset_id"),
+      "date_us", "ts_us", Seq("value")).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"left side not broadcast:\n$plan")
+  }
+
   test("slidingAgg: every point lands in exactly size/slide epoch-aligned windows") {
     // one point at t=100s: windows starting 45,60,75,90 (size 60, slide 15)
     val one = TestSpark.longDF(Seq(("a", "1970-01-01T00:01:40", 2.0)))
