@@ -1096,6 +1096,57 @@ object PipelineQueries {
           maxDf = Some(nd * 768L / 1000L))
         .orderBy("rank")
     }),
+    // PERSISTED inverted text index, STREAMING-MAINTAINER leg, on a
+    // disjoint 1/10 subset: three mtime-ordered files replay as three
+    // micro-batches through StreamTextIndex.maintain (one shard per
+    // batch under its #txn:b<id> key; the third shard crosses
+    // maxShards=2 and triggers a tiered fold mid-stream), then the
+    // WHOLE stream redelivers under a FRESH checkpoint — batch ids
+    // restart at 0, every batch short-circuits on its already-
+    // committed key, and the require pins that the index version did
+    // not move (a df-doubling re-ingest would also hash-fail the
+    // oracle). Search answers from the streamed index; oracle =
+    // declarative whole-subset BM25
+    "stream_text_index" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_text_sidx").toString
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_text_ssrc")
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(col("doc_id") % 10 === 5)
+      val base = System.currentTimeMillis()
+      for (i <- 0 until 3) {
+        val scratch = srcDir.resolve(s"scratch$i")
+        d.where(pmod(col("doc_id"), lit(30)) === i * 10 + 5)
+          .coalesce(1).write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        } finally parts.close()
+      }
+      val schema = s.read.parquet(s"$srcDir/batch0.parquet").schema
+      def drain(ckpt: String): Unit =
+        graft.streaming.StreamTextIndex.maintain(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir.toString),
+          idx, ckpt, maxShards = 2, fanIn = 2).awaitTermination()
+      drain(s"$srcDir/ckpt")
+      val vAfter = graft.text.TextIndex.version(s, idx)
+      drain(s"$srcDir/ckpt_redelivery") // fresh checkpoint = full replay
+      require(
+        graft.text.TextIndex.version(s, idx) == vAfter,
+        "stream redelivery must be a no-op — every batch key is committed")
+      graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+        .orderBy("rank")
+    }),
     // corpus-unigram-LM fluency score per doc (exact ppm integers)
     "doc_logprob" -> ((s, dir) =>
       docLogProbMemo(s, dir).orderBy("doc_id")),
@@ -2314,6 +2365,34 @@ object PipelineQueries {
         |      * 1000000) AS BIGINT) AS idf_ppm,
         |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
         |  FROM tf JOIN dl USING (doc_id) JOIN kept USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, score_ppm, n_terms FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // streamed-then-compacted index ≡ declarative BM25 over the
+    // doc_id % 10 = 5 subset (no df cap on this leg)
+    "stream_text_index" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id % 10 = 5),
+        |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
         |s2 AS (SELECT doc_id,
         |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
         |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp

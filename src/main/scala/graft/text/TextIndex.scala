@@ -60,6 +60,31 @@ object TextIndex {
   private def tokenBucket(token: Column): Column =
     pmod(xxhash64(token), lit(TokenBuckets.toLong))
 
+  /** True iff a shard with this delivery key is already committed —
+   *  the cheap up-front probe a CONSUMER makes before paying the
+   *  tokenize+stage cost of [[ingestShard]] (a redelivered shard would
+   *  lose to its own `#txn:` key anyway; the in-commit check still
+   *  guards the concurrent race). The streaming maintainer's replay
+   *  path depends on this: a crash-recovered micro-batch re-arrives
+   *  with the SAME batch id, and this probe turns the replay into a
+   *  no-op instead of an exception.
+   */
+  def hasDelivery(spark: SparkSession, dir: String, key: String): Boolean =
+    clog(dir).latest(spark)._2.contains("#txn:" + key)
+
+  /** Number of live shard commits (compaction-trigger input: the read
+   *  path unions one parquet root per live commit, so this is also the
+   *  query-planning fan-in). Driver-side metadata only.
+   */
+  def liveShardCount(spark: SparkSession, dir: String): Int =
+    clog(dir).latest(spark)._2.count(_.startsWith("c-"))
+
+  /** Latest published version (0 = never written) — the cheap
+   *  "did anything commit?" probe a redelivery test pins on.
+   */
+  def version(spark: SparkSession, dir: String): Long =
+    clog(dir).latest(spark)._1
+
   /** Ingest one document shard: stage postings (dl denormalized),
    *  shard vocabulary, and shard stats under ONE commit dir; publish
    *  with one version-file create. Shard-local cost only — the stored
