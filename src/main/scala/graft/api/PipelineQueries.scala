@@ -1147,6 +1147,58 @@ object PipelineQueries {
         .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
         .orderBy("rank")
     }),
+    // PERSISTED IVF index, STREAMING-MAINTAINER leg, on the odd-id
+    // half: three mtime-ordered embedding files replay as three
+    // micro-batches through StreamAnnIndex.maintain — the FIRST founds
+    // the index (its strided sample freezes the centroid set), the
+    // next two append under their #txn:b<id> keys — then the WHOLE
+    // stream redelivers under a FRESH checkpoint and the require pins
+    // the version-preserving no-op (a leaked re-found would fork the
+    // centroids; a re-append would double-insert and hash-fail the
+    // oracle). Probes answer from the streamed index; oracle =
+    // declarative frozen-centroid IVF over the same half
+    "stream_ann_index" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ann_sidx").toString
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_ann_ssrc")
+      val e = embBase(s, dir).where(col("vec_id") % 2 === 1)
+      val step = Similarity.boundedStep(
+        e.where(pmod(col("vec_id"), lit(6)) === 1).count())
+      val base = System.currentTimeMillis()
+      for (i <- 0 until 3) {
+        val scratch = srcDir.resolve(s"scratch$i")
+        e.where(pmod(col("vec_id"), lit(6)) === 2 * i + 1)
+          .coalesce(1).write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        } finally parts.close()
+      }
+      val schema = s.read.parquet(s"$srcDir/batch0.parquet").schema
+      def drain(ckpt: String): Unit =
+        graft.streaming.StreamAnnIndex.maintain(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir.toString),
+          idx, ckpt, centroidStep = step).awaitTermination()
+      drain(s"$srcDir/ckpt")
+      val vAfter = Similarity.ivfVersion(s, idx)
+      drain(s"$srcDir/ckpt_redelivery") // fresh checkpoint = full replay
+      require(
+        Similarity.ivfVersion(s, idx) == vAfter,
+        "stream redelivery must be a no-op — every batch key is committed")
+      Similarity.ivfIndexQuery(s, idx, e.where(col("vec_id") < 10),
+          k = 10, nProbe = 3)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
     // corpus-unigram-LM fluency score per doc (exact ppm integers)
     "doc_logprob" -> ((s, dir) =>
       docLogProbMemo(s, dir).orderBy("doc_id")),
@@ -2403,6 +2455,40 @@ object PipelineQueries {
         |    doc_id) AS rank FROM ag)
         |SELECT rank, doc_id, score_ppm, n_terms FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // streamed found+append IVF ≡ declarative frozen-centroid IVF over
+    // the odd-id half: centroids stride the FOUNDING slice
+    // (vec_id % 6 = 1), every vector assigns to its nearest centroid,
+    // probes rank exactly within their 3 nearest cells
+    "stream_ann_index" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 2 = 1),
+        |f AS (SELECT * FROM e WHERE vec_id % 6 = 1),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM f
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM f) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |ar AS (SELECT vec_id, v, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
+        |           FROM ar WHERE vec_id < 10 AND rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     "vocab_drift_psi" ->
       """WITH tok AS (
         |  SELECT source, t FROM (

@@ -258,11 +258,62 @@ object Similarity {
    */
   private def ivfLog(dir: String) = new graft.store.CommitLog(s"$dir/_manifests")
 
+  /** True iff a batch with this delivery key is already committed —
+   *  the cheap up-front probe a consumer (the streaming maintainer)
+   *  makes before paying the assignment+staging cost of an append (a
+   *  redelivered batch would lose to its own `#txn:` key anyway; the
+   *  in-commit check still guards the concurrent race).
+   */
+  def ivfHasDelivery(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      key: String): Boolean =
+    ivfLog(dir).latest(spark)._2.contains("#txn:" + key)
+
+  /** Latest published version (0 = never written) — the cheap "did
+   *  anything commit?" probe; also how the streaming maintainer picks
+   *  found-vs-append for a batch.
+   */
+  def ivfVersion(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    ivfLog(dir).latest(spark)._1
+
+  private def ivfTxn(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      key: Option[String]): Option[String] = {
+    val txn = key.map { k =>
+      require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")
+      "#txn:" + k
+    }
+    txn.foreach { t =>
+      require(!ivfLog(dir).latest(spark)._2.contains(t),
+        s"batch with delivery key ${key.get} was already ingested into " +
+          s"$dir — redelivery rejected (the index is exactly-once)")
+    }
+    txn
+  }
+
+  private def ivfPublish(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String, txn: Option[String], key: Option[String]): Unit = {
+    val published = ivfLog(dir).commit(spark) { now =>
+      if (txn.exists(now.contains)) None // raced redelivery — abort
+      else Some(now :+ name :++ txn.toSeq)
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(p, true): Unit
+      require(published,
+        s"batch with delivery key ${key.get} raced a concurrent " +
+          s"redelivery into $dir — this attempt's staging was dropped")
+    }
+  }
+
   private def ivfLiveSub(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       sub: String): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
-    ivfLog(dir).latest(spark)._2
+    ivfLog(dir).latest(spark)._2.filter(_.startsWith("c-"))
       .map(d => s"$dir/data/$d/$sub")
       .filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
@@ -272,11 +323,13 @@ object Similarity {
 
   def ivfIndexBuild(
       spark: org.apache.spark.sql.SparkSession, dir: String, founding: DataFrame,
-      centroidStep: Long): Unit = {
+      centroidStep: Long, key: Option[String] = None): Unit = {
     // centroids + founding postings stage under ONE commit dir and
     // publish with one version-file create (graft.store.CommitLog, the
     // store tables' protocol) — a crash cannot leave centroids without
-    // postings or vice versa
+    // postings or vice versa. `key` mirrors the dedup/text indexes'
+    // `#txn:` exactly-once discipline.
+    val txn = ivfTxn(spark, dir, key)
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
     val centFrame = founding.where(col("vec_id") % centroidStep === 0)
       .select(col("vec_id"), col("v"))
@@ -285,7 +338,7 @@ object Similarity {
       "raise centroidStep for this founding shard")
     writePostings(s"$dir/data/$name/post", founding,
       cents.map(_._1), cents.flatMap(_._2))
-    ivfLog(dir).commit(spark)(now => Some(now :+ name)): Unit
+    ivfPublish(spark, dir, name, txn, key)
   }
 
   /** Assign a new batch against the FROZEN centroids and publish its
@@ -294,14 +347,15 @@ object Similarity {
    */
   def ivfIndexAppend(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, key: Option[String] = None): Unit = {
+    val txn = ivfTxn(spark, dir, key)
     val cents = collectBounded(
       spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
       "the stored centroid set must stay index-small")
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
     writePostings(s"$dir/data/$name/post", batch,
       cents.map(_._1), cents.flatMap(_._2))
-    ivfLog(dir).commit(spark)(now => Some(now :+ name)): Unit
+    ivfPublish(spark, dir, name, txn, key)
   }
 
   private def writePostings(
@@ -372,8 +426,12 @@ object Similarity {
       // postings were assigned against the OLD centroids, so letting it
       // pass through the swap would publish mixed-generation cell ids
       // (new-centroid queries probing stale assignments, silently wrong
-      // neighbors). Strict equality, not subset.
-      if (now.toSet == live.toSet) Some(Seq(name))
+      // neighbors). Strict equality, not subset. `#txn:` delivery keys
+      // pass through UNTOUCHED — the rebuilt index CONTAINS every
+      // folded batch, so a post-rebuild replay must still be rejected
+      // (re-appending it would double-insert its vectors).
+      if (now.toSet == live.toSet)
+        Some(name +: now.filter(_.startsWith("#txn:")))
       else None // index moved under us — abort, caller retries
     }
     if (!published) {
