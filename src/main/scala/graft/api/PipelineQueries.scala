@@ -371,6 +371,56 @@ object PipelineQueries {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
+    // PERSISTED LSH dedup index, STREAMING-MAINTAINER leg: the same
+    // three doc_id%3 shards as dedup_index_ingest arrive as three
+    // mtime-ordered micro-batches through StreamDedupIndex.maintain —
+    // each checks against the stored index, stages its near-dup pair
+    // REPORT under its own commit (so exactly-once covers the report,
+    // not just the index state), and appends under its #txn:b<id>
+    // key — then the WHOLE stream redelivers under a FRESH checkpoint
+    // and the require pins the version-preserving no-op (a re-ingest
+    // would both duplicate index state and double the pair reports,
+    // hash-failing the oracle). Output = the cumulative persisted
+    // reports; oracle = all cross-shard near-dup pairs
+    "stream_dedup_index" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_lsh_sidx").toString
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_lsh_ssrc")
+      val d = docs(s, dir).select("doc_id", "text")
+      val base = System.currentTimeMillis()
+      for (i <- 0 until 3) {
+        val scratch = srcDir.resolve(s"scratch$i")
+        d.where(pmod(col("doc_id"), lit(3)) === i)
+          .coalesce(1).write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        } finally parts.close()
+      }
+      val schema = s.read.parquet(s"$srcDir/batch0.parquet").schema
+      def drain(ckpt: String): Unit =
+        graft.streaming.StreamDedupIndex.maintain(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir.toString),
+          idx, ckpt, threshold = JaccardThreshold).awaitTermination()
+      drain(s"$srcDir/ckpt")
+      val vAfter = Dedup.indexVersion(s, idx)
+      drain(s"$srcDir/ckpt_redelivery") // fresh checkpoint = full replay
+      require(
+        Dedup.indexVersion(s, idx) == vAfter,
+        "stream redelivery must be a no-op — every batch key is committed")
+      Dedup.indexPairs(s, idx)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
     // cluster resolution: pairwise near-dup output → one component id
     // per doc (min reachable doc_id), the "keep one representative per
     // group" step of a real dedup pipeline
@@ -3232,6 +3282,32 @@ object PipelineQueries {
     // cross-shard pairs on per-shard df-capped shingle sets: the index
     // is built shard-at-a-time, so the cap population is the shard
     "dedup_index_ingest" ->
+      s"""WITH d AS (SELECT doc_id, text, doc_id % 3 AS shard FROM documents),
+         |tok AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d),
+         |sh0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+         |  FROM tok),
+         |shf AS (SELECT s.* FROM sh0 s JOIN (
+         |    SELECT shard, sh FROM sh0 GROUP BY shard, sh
+         |    HAVING count(*) <= 200) c
+         |    ON s.shard = c.shard AND s.sh = c.sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.shard < b.shard
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+    // streamed maintainer ≡ the same cross-shard pair set: the
+    // persisted per-batch reports union to exactly the sequential
+    // check-and-ingest output (each pair reported once, by the later
+    // shard's batch)
+    "stream_dedup_index" ->
       s"""WITH d AS (SELECT doc_id, text, doc_id % 3 AS shard FROM documents),
          |tok AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d),
          |sh0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
