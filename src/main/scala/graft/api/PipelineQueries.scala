@@ -1197,6 +1197,60 @@ object PipelineQueries {
         .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
         .orderBy("rank")
     }),
+    // COMPOSED crawl pipeline: ONE stream near-dup-gates each
+    // micro-batch against the dedup index and ingests only SURVIVORS
+    // into the text index — two persisted indexes, two independent
+    // #txn:b<id> ledgers, exactly-once across both (the text leg's
+    // survivor set derives from the dedup index's PERSISTED pair
+    // reports, so a crash between the two commits replays exactly;
+    // StreamCrawlPipelineSpec pins that path). The whole stream then
+    // redelivers under a FRESH checkpoint and the require pins the
+    // no-op on BOTH versions. Search answers from the gated index;
+    // oracle = BM25 over (subset minus later-shard near-dups)
+    "stream_crawl_pipeline" -> ((s, dir) => {
+      val dedupIdx = java.nio.file.Files
+        .createTempDirectory("graft_crawl_didx").toString
+      val textIdx = java.nio.file.Files
+        .createTempDirectory("graft_crawl_tidx").toString
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_crawl_src")
+      val d = docs(s, dir).select("doc_id", "text")
+      val base = System.currentTimeMillis()
+      for (i <- 0 until 3) {
+        val scratch = srcDir.resolve(s"scratch$i")
+        d.where(pmod(col("doc_id"), lit(15)) === 5 * i + 2)
+          .coalesce(1).write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        } finally parts.close()
+      }
+      val schema = s.read.parquet(s"$srcDir/batch0.parquet").schema
+      def drain(ckpt: String): Unit =
+        graft.streaming.StreamCrawlPipeline.maintain(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir.toString),
+          dedupIdx, textIdx, ckpt,
+          threshold = JaccardThreshold).awaitTermination()
+      drain(s"$srcDir/ckpt")
+      val vD = Dedup.indexVersion(s, dedupIdx)
+      val vT = graft.text.TextIndex.version(s, textIdx)
+      drain(s"$srcDir/ckpt_redelivery") // fresh checkpoint = full replay
+      require(
+        Dedup.indexVersion(s, dedupIdx) == vD &&
+          graft.text.TextIndex.version(s, textIdx) == vT,
+        "stream redelivery must be a no-op on BOTH indexes")
+      graft.text.TextIndex
+        .searchBm25(s, textIdx, Seq("merge", "window", "scan"), 20)
+        .orderBy("rank")
+    }),
     // PERSISTED IVF index, STREAMING-MAINTAINER leg, on the odd-id
     // half: three mtime-ordered embedding files replay as three
     // micro-batches through StreamAnnIndex.maintain — the FIRST founds
@@ -2505,6 +2559,55 @@ object PipelineQueries {
         |    doc_id) AS rank FROM ag)
         |SELECT rank, doc_id, score_ppm, n_terms FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // gated-then-indexed ≡ declarative BM25 over (subset minus
+    // later-shard near-dups): the dedup CTE chain reproduces the
+    // index's cross-shard verdict, the BM25 chain scores what survives
+    "stream_crawl_pipeline" ->
+      s"""WITH d0 AS (SELECT doc_id, text, (doc_id % 15) // 5 AS shard
+         |            FROM documents WHERE doc_id % 5 = 2),
+         |tokd AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d0),
+         |sg0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+         |  FROM tokd),
+         |sgf AS (SELECT s.* FROM sg0 s JOIN (
+         |    SELECT shard, sh FROM sg0 GROUP BY shard, sh
+         |    HAVING count(*) <= 200) c
+         |    ON s.shard = c.shard AND s.sh = c.sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sgf GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sgf a JOIN sgf b ON a.sh = b.sh AND a.shard < b.shard
+         |  GROUP BY 1, 2),
+         |dups AS (SELECT DISTINCT b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+         |d AS (SELECT doc_id, text FROM d0
+         |      WHERE doc_id NOT IN (SELECT b_id FROM dups)),
+         |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+         |  WHERE length(t) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+         |       FROM dl),
+         |dfq AS (SELECT token, count(*) AS df FROM tf
+         |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+         |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * 1000000) AS BIGINT) AS idf_ppm,
+         |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+         |s2 AS (SELECT doc_id,
+         |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+         |  FROM sc),
+         |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+         |    count(*) AS n_terms FROM s2 GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+         |    doc_id) AS rank FROM ag)
+         |SELECT rank, doc_id, score_ppm, n_terms FROM r
+         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // streamed found+append IVF ≡ declarative frozen-centroid IVF over
     // the odd-id half: centroids stride the FOUNDING slice
     // (vec_id % 6 = 1), every vector assigns to its nearest centroid,

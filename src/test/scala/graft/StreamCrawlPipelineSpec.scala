@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.streaming.StreamCrawlPipeline
+import graft.text.TextIndex
+
+/**
+ * Composed crawl pipeline: one stream near-dup-gates each micro-batch
+ * against the dedup index and ingests only survivors into the text
+ * index. Pins the two-sink exactly-once contract: full redelivery is a
+ * no-op on BOTH indexes, and a crash BETWEEN the dedup commit and the
+ * text commit recovers exactly (the replay skips the committed dedup
+ * append, rebuilds the survivor set from the PERSISTED pair reports,
+ * and performs the missing text ingest).
+ */
+class StreamCrawlPipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  // near-dup pairs planted ACROSS shards (shard = doc_id % 3):
+  // 1 ≈ 0 and 5 ≈ 4, so the gate must drop docs 1 and 5
+  private lazy val corpus = Seq(
+    (0L, "a b c d e f g h"),
+    (1L, "a b c d e f g h x"),
+    (2L, "totally different words entirely here now ok fine"),
+    (3L, "another unrelated set of words for this test doc"),
+    (4L, "p q r s t u v w"),
+    (5L, "p q r s t u v w y"))
+    .toDF("doc_id", "text")
+
+  private def stageBatches(srcDir: java.nio.file.Path): Unit = {
+    val base = System.currentTimeMillis()
+    for (i <- 0 until 3) {
+      val scratch = srcDir.resolve(s"scratch$i")
+      corpus.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(scratch.toString)
+      val parts = java.nio.file.Files.list(scratch)
+      try {
+        val part = parts
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      } finally parts.close()
+    }
+  }
+
+  private def search(d: String) = TextIndex
+    .searchBm25(spark, d, Seq("a", "b", "p"), 10)
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    .toSeq
+
+  test("dedup-gated text ingest; redelivery no-op on both indexes; " +
+      "crash between the two commits recovers exactly") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_scp_src")
+    val dedupIdx = TestSpark.tmpDir("scp_dedup")
+    val textIdx = TestSpark.tmpDir("scp_text")
+    val oneShot = TestSpark.tmpDir("scp_oneshot")
+    stageBatches(srcDir)
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    def drain(dd: String, td: String, ckpt: String): Unit =
+      StreamCrawlPipeline.maintain(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString),
+        dd, td, ckpt, threshold = 0.6).awaitTermination()
+
+    drain(dedupIdx, textIdx, s"$srcDir/ckpt")
+    // gate verdict: docs 1 and 5 are later-shard near-dups → the text
+    // index must answer exactly like a one-shot build over survivors
+    TextIndex.ingestShard(spark, oneShot,
+      corpus.where(!col("doc_id").isin(1L, 5L)), "doc_id", "text")
+    assert(search(textIdx) == search(oneShot),
+      "text index must hold exactly the dedup survivors")
+    val vD = Dedup.indexVersion(spark, dedupIdx)
+    val vT = TextIndex.version(spark, textIdx)
+
+    // full redelivery under a FRESH checkpoint: both ledgers reject
+    // every batch, neither index version moves
+    drain(dedupIdx, textIdx, s"$srcDir/ckpt2")
+    assert(Dedup.indexVersion(spark, dedupIdx) == vD &&
+      TextIndex.version(spark, textIdx) == vT,
+      "redelivered stream must be a no-op on BOTH indexes")
+
+    // crash between the two commits: batch 0's dedup append committed
+    // (simulated by a direct pre-ingest under the key the stream will
+    // use) but its text ingest did not happen. The replayed batch must
+    // skip the dedup leg, rebuild survivors from the PERSISTED pair
+    // reports, and complete the text leg — converging to the same
+    // final state as the uncrashed run
+    val dedup2 = TestSpark.tmpDir("scp_dedup2")
+    val text2 = TestSpark.tmpDir("scp_text2")
+    Dedup.indexCheckAndIngest(spark, dedup2,
+      corpus.where(pmod(col("doc_id"), lit(3)) === 0),
+      "doc_id", "text", 0.6, deliveryKey = Some("b0"),
+      persistPairs = true): Unit
+    val vD2 = Dedup.indexVersion(spark, dedup2)
+    drain(dedup2, text2, s"$srcDir/ckpt3")
+    val live2 = new graft.store.CommitLog(s"$dedup2/_manifests").latest(spark)._2
+    assert(live2.count(_.startsWith("c-")) == 3,
+      s"replayed b0 must not re-append to the dedup index: $live2")
+    assert(Dedup.indexVersion(spark, dedup2) == vD2 + 2,
+      "only batches 1 and 2 may publish dedup commits after the crash")
+    assert(search(text2) == search(oneShot),
+      "post-crash recovery must converge to the uncrashed text index")
+  }
+}
