@@ -421,6 +421,48 @@ object PipelineQueries {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
+    // FEDERATED dedup-index merge: two LSH indexes built independently
+    // — destination over a 1/4 corpus slice, source over a batch of
+    // near-dup copies (every 7th dst doc + token-reversed novels) —
+    // fold into one, and the merge itself REPORTS every near-dup pair
+    // that SPANS the two corpora, discovered entirely from STORED
+    // signatures and df-capped postings: dst band buckets × src band
+    // buckets (collisions only), estimate-prune, exact verify. Corpus
+    // text is never re-shingled on either side. The requires pin that
+    // exactly-once composes (source key rejects redelivery into the
+    // merged index; re-merge refuses). Output = the cross-corpus
+    // verdict; oracle = declarative cross-only Jaccard with per-corpus
+    // df caps (each index capped its own shard population)
+    "dedup_index_merge" -> ((s, dir) => {
+      val dstIdx = java.nio.file.Files
+        .createTempDirectory("graft_lsh_mdst").toString
+      val srcIdx = java.nio.file.Files
+        .createTempDirectory("graft_lsh_msrc").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      val dstDocs = d.where(pmod(col("doc_id"), lit(4)) === 1)
+      val srcDocs = d.where(pmod(col("doc_id"), lit(28)) === 1)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text"))
+        .unionByName(d.where(pmod(col("doc_id"), lit(36)) === 1)
+          .select((col("doc_id") + 200000L).as("doc_id"),
+            concat_ws(" ", reverse(split(col("text"), " "))).as("text")))
+      Dedup.indexCheckAndIngest(s, dstIdx, dstDocs, "doc_id", "text",
+        JaccardThreshold, deliveryKey = Some("west0")): Unit
+      Dedup.indexCheckAndIngest(s, srcIdx, srcDocs, "doc_id", "text",
+        JaccardThreshold, deliveryKey = Some("east0")): Unit
+      val verdict = Dedup.indexMergeFrom(s, dstIdx, srcIdx,
+        JaccardThreshold, deliveryKey = Some("m0"), persistPairs = true)
+      require(scala.util.Try(Dedup.indexCheckAndIngest(s, dstIdx, srcDocs,
+          "doc_id", "text", JaccardThreshold,
+          deliveryKey = Some("east0"))).isFailure,
+        "the source's delivery key must reject redelivery into the merged index")
+      require(scala.util.Try(Dedup.indexMergeFrom(s, dstIdx, srcIdx,
+          JaccardThreshold)).isFailure,
+        "re-merging the same source must be refused")
+      verdict
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
     // cluster resolution: pairwise near-dup output → one component id
     // per doc (min reachable doc_id), the "keep one representative per
     // group" step of a real dedup pipeline
@@ -750,6 +792,39 @@ object PipelineQueries {
         Similarity.ivfIndexAppend(s, idx,
           base.where(pmod(col("vec_id"), lit(3)) === i))
       Similarity.ivfIndexQuery(s, idx, base.where(col("vec_id") < 5),
+          k = 10, nProbe = 3)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+    // FEDERATED IVF-index merge: two indexes founded INDEPENDENTLY over
+    // the even / odd vec_id halves — each froze its OWN centroids — fold
+    // into one with ivfIndexMergeFrom: the source's stored postings
+    // re-assign under the DESTINATION's frozen centroids (batch-linear
+    // narrow work ∝ the source index; its foreign cell ids are dropped),
+    // no corpus re-read on either side. The requires pin that
+    // exactly-once composes across the merge. Probes answer from the
+    // merged index; oracle = declarative IVF over the full corpus with
+    // the destination's (even-half-strided) centroid set
+    "ann_index_merge" -> ((s, dir) => {
+      val dstIdx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_mdst").toString
+      val srcIdx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_msrc").toString
+      val base = embBase(s, dir)
+      val even = base.where(pmod(col("vec_id"), lit(2)) === 0)
+      val odd = base.where(pmod(col("vec_id"), lit(2)) === 1)
+      Similarity.ivfIndexBuild(s, dstIdx, even,
+        Similarity.boundedStep(even.count()), key = Some("west0"))
+      Similarity.ivfIndexBuild(s, srcIdx, odd,
+        Similarity.boundedStep(odd.count()), key = Some("east0"))
+      Similarity.ivfIndexMergeFrom(s, dstIdx, srcIdx, key = Some("m0"))
+      require(scala.util.Try(Similarity.ivfIndexAppend(s, dstIdx, odd,
+          key = Some("east0"))).isFailure,
+        "the source's delivery key must reject redelivery into the merged index")
+      require(scala.util.Try(
+          Similarity.ivfIndexMergeFrom(s, dstIdx, srcIdx)).isFailure,
+        "re-merging the same source must be refused")
+      Similarity.ivfIndexQuery(s, dstIdx, base.where(col("vec_id") < 5),
           k = 10, nProbe = 3)
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
@@ -1195,6 +1270,39 @@ object PipelineQueries {
         "stream redelivery must be a no-op — every batch key is committed")
       graft.text.TextIndex
         .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+        .orderBy("rank")
+    }),
+    // FEDERATED index merge: two text indexes built INDEPENDENTLY over
+    // disjoint corpus slices (two regional crawls) fold into one with
+    // TextIndex.mergeFrom — cost ∝ the source INDEX bytes (postings
+    // concat, df/nd/tl sum), corpus text is never re-tokenized. The
+    // source's #txn: keys ride into the destination's log, so the two
+    // requires pin that exactly-once COMPOSES across the merge:
+    // redelivering the source's shard to the merged index rejects, and
+    // re-merging the same source refuses. Search answers from the
+    // merged index; oracle = declarative BM25 over the union slice
+    "text_index_merge" -> ((s, dir) => {
+      val dstIdx = java.nio.file.Files
+        .createTempDirectory("graft_text_mdst").toString
+      val srcIdx = java.nio.file.Files
+        .createTempDirectory("graft_text_msrc").toString
+      val d = docs(s, dir).select("doc_id", "text")
+      graft.text.TextIndex.ingestShard(s, dstIdx,
+        d.where(pmod(col("doc_id"), lit(10)) === 1),
+        "doc_id", "text", key = Some("west0"))
+      graft.text.TextIndex.ingestShard(s, srcIdx,
+        d.where(pmod(col("doc_id"), lit(10)) === 6),
+        "doc_id", "text", key = Some("east0"))
+      graft.text.TextIndex.mergeFrom(s, dstIdx, srcIdx, key = Some("m0"))
+      require(scala.util.Try(graft.text.TextIndex.ingestShard(s, dstIdx,
+          d.where(pmod(col("doc_id"), lit(10)) === 6),
+          "doc_id", "text", key = Some("east0"))).isFailure,
+        "the source's delivery key must reject redelivery into the merged index")
+      require(scala.util.Try(
+          graft.text.TextIndex.mergeFrom(s, dstIdx, srcIdx)).isFailure,
+        "re-merging the same source must be refused")
+      graft.text.TextIndex
+        .searchBm25(s, dstIdx, Seq("merge", "window", "scan"), 20)
         .orderBy("rank")
     }),
     // COMPOSED crawl pipeline: ONE stream near-dup-gates each
@@ -2559,6 +2667,101 @@ object PipelineQueries {
         |    doc_id) AS rank FROM ag)
         |SELECT rank, doc_id, score_ppm, n_terms FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // merged index ≡ declarative BM25 over the UNION of the two
+    // regional slices: the merge's df/nd/tl sum-folds are exactly what
+    // one index over the union would have stored
+    "text_index_merge" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 10 = 1 OR doc_id % 10 = 6),
+        |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, score_ppm, n_terms FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // merge verdict ≡ declarative CROSS-corpus Jaccard with per-corpus
+    // df caps (each index df-capped its own build shard)
+    "dedup_index_merge" ->
+      s"""WITH a0 AS (SELECT doc_id, text, 0 AS shard FROM documents
+         |            WHERE doc_id % 4 = 1),
+         |b0 AS (
+         |  SELECT doc_id + 100000 AS doc_id, text || ' zz0 zz1 zz2' AS text,
+         |    1 AS shard
+         |  FROM documents WHERE doc_id % 28 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |    array_to_string(list_reverse(string_split(text, ' ')), ' '), 1
+         |  FROM documents WHERE doc_id % 36 = 1),
+         |d AS (SELECT * FROM a0 UNION ALL SELECT * FROM b0),
+         |tok AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d),
+         |sh0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+         |  FROM tok),
+         |shf AS (SELECT s.* FROM sh0 s JOIN (
+         |    SELECT shard, sh FROM sh0 GROUP BY shard, sh
+         |    HAVING count(*) <= 200) c
+         |    ON s.shard = c.shard AND s.sh = c.sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.shard < b.shard
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
+    // merged IVF ≡ declarative frozen-centroid IVF over the FULL corpus
+    // with the destination's centroids (strided over the even half)
+    "ann_index_merge" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      WHERE vec_id % 2 = 0
+        |        AND vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM e WHERE vec_id % 2 = 0) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |ar AS (SELECT vec_id, v, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
+        |           FROM ar WHERE vec_id < 5 AND rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // gated-then-indexed ≡ declarative BM25 over (subset minus
     // later-shard near-dups): the dedup CTE chain reproduces the
     // index's cross-shard verdict, the BM25 chain scores what survives

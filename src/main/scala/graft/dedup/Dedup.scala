@@ -449,6 +449,137 @@ object Dedup {
   }
 
   /**
+   * FEDERATED MERGE of two persisted LSH dedup indexes: fold the
+   * SOURCE index's stored signatures and postings into the destination
+   * as ONE commit, and — the part a plain file move could never give
+   * you — report every near-dup pair that SPANS the two corpora,
+   * discovered entirely from STORED state: destination band buckets
+   * cross-join source band buckets (collisions only, neither corpus is
+   * self-joined), signature estimate prunes, exact verification runs
+   * on both sides' stored df-capped postings semi-joined down to the
+   * candidates. Corpus TEXT is never touched on either side — at
+   * 100 TB merging two regional dedup indexes costs ∝ collision volume
+   * plus the source-index rewrite, not a re-shingle of anything.
+   *
+   * Returns (a_id, b_id, jaccard) with `a_id` from the destination and
+   * `b_id` from the source — the same orientation as
+   * [[indexCheckAndIngest]] (the destination is "the index", the
+   * source arrives). `persistPairs` stages the report under the merge
+   * commit itself, so [[indexPairs]] readback stays exactly-once: the
+   * cross-corpus pairs are visible iff the merge is.
+   *
+   * Contract: disjoint doc_id spaces (the shard contract), and merges
+   * serialize with other writers like shards do — two concurrent
+   * merges never cross-check each other. Exactly-once composes: the
+   * source's `#txn:` keys ride into the destination's log (a shard
+   * redelivered to the MERGED index is still rejected), a source
+   * sharing any key with the destination is REFUSED (its docs are
+   * already folded here), and the merge may carry its own
+   * `deliveryKey`. The source is read-only; on failure the staging
+   * drops and both indexes stand.
+   */
+  def indexMergeFrom(
+      spark: org.apache.spark.sql.SparkSession, dstDir: String,
+      srcDir: String, threshold: Double, k: Int = 64, bands: Int = 16,
+      deliveryKey: Option[String] = None,
+      persistPairs: Boolean = false): DataFrame = {
+    val dlog = new graft.store.CommitLog(s"$dstDir/_manifests")
+    val srcLive = new graft.store.CommitLog(s"$srcDir/_manifests")
+      .latest(spark)._2
+    val srcShards = srcLive.filter(_.startsWith("c-"))
+    val srcTxn = srcLive.filter(_.startsWith("#txn:"))
+    require(srcShards.nonEmpty, s"nothing to merge: $srcDir has no live shards")
+    val txn = deliveryKey.map { key =>
+      require(!key.contains('\n') && key.nonEmpty, s"bad delivery key: $key")
+      "#txn:" + key
+    }
+    val dstNow = dlog.latest(spark)._2
+    (srcTxn ++ txn).foreach { t =>
+      require(!dstNow.contains(t),
+        s"merge of $srcDir into $dstDir rejected: delivery key " +
+          s"${t.stripPrefix("#txn:")} already lives in the destination — " +
+          "its docs are already folded here (merging again would " +
+          "duplicate signatures and postings)")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    srcShards.foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(s"$srcDir/data/$d")
+      require(hp.getFileSystem(conf).exists(hp),
+        s"source commit $d vanished mid-merge (concurrent vacuum?) — " +
+          "re-read the source and retry")
+    }
+    def live(root: String, entries: Seq[String], sub: String): Seq[String] =
+      entries.filter(_.startsWith("c-")).map(d => s"$root/data/$d/$sub")
+    val dstSigDirs = live(dstDir, dstNow, "sig")
+    val dstShDirs = live(dstDir, dstNow, "sh")
+    val srcSig = spark.read.parquet(live(srcDir, srcLive, "sig"): _*)
+    val srcSh = spark.read.parquet(live(srcDir, srcLive, "sh"): _*)
+    val verdict =
+      if (dstSigDirs.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("a_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("b_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("jaccard",
+              org.apache.spark.sql.types.DoubleType))))
+      else {
+        val dstSig = spark.read.parquet(dstSigDirs: _*)
+        val cand = bandBuckets(dstSig, k, bands).as("x")
+          .join(bandBuckets(srcSig, k, bands).as("y"),
+            col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
+          .select(col("x.doc_id").as("a_id"), col("y.doc_id").as("b_id"))
+          .distinct()
+        val est = estimatePrune(cand, dstSig.unionByName(srcSig), k,
+          minEst = threshold / 2).persist()
+        try {
+          // both posting scans semi-join down to candidate docs before
+          // the intersection join — index-merge cost is collision-
+          // proportional, never corpus-proportional
+          val aPost = spark.read.parquet(dstShDirs: _*)
+            .join(broadcast(est.select(col("a_id").as("doc_id")).distinct()),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id").as("a_id"), col("sh"))
+          val bPost = srcSh
+            .join(broadcast(est.select(col("b_id").as("doc_id")).distinct()),
+              Seq("doc_id"), "left_semi")
+            .select(col("doc_id").as("b_id"), col("sh"))
+          val inter = est
+            .join(aPost, Seq("a_id"))
+            .join(bPost, Seq("b_id", "sh"))
+            .groupBy("a_id", "b_id").agg(count(lit(1)).as("i"))
+          jaccardOf(inter,
+            dstSig.unionByName(srcSig).select("doc_id", "n"))
+            .where(col("jaccard") >= threshold)
+            .select(col("a_id"), col("b_id"), col("jaccard"))
+            .localCheckpoint(true)
+        } finally est.unpersist(): Unit
+      }
+    // stage the source's state (normalized to one commit dir) plus the
+    // cross-pair report; ONE version-file create publishes them together
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    srcSig.write.parquet(s"$dstDir/data/$name/sig")
+    srcSh.write.parquet(s"$dstDir/data/$name/sh")
+    if (persistPairs)
+      verdict.repartition(1).write.parquet(s"$dstDir/data/$name/pairs")
+    val published = dlog.commit(spark) { now =>
+      if ((srcTxn ++ txn).exists(now.contains)) None // raced duplicate
+      else Some(now :+ name :++ srcTxn :++ txn.toSeq)
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$dstDir/data/$name")
+      p.getFileSystem(conf).delete(p, true): Unit
+      require(published,
+        s"merge of $srcDir into $dstDir raced a concurrent writer that " +
+          "committed one of its delivery keys — this attempt's staging " +
+          "was dropped")
+    }
+    verdict
+  }
+
+  /**
    * Connected components over an undirected near-dup pair list —
    * cluster resolution, the step that turns pairwise dedup output into
    * "keep one representative per group": every node gets

@@ -358,6 +358,71 @@ object Similarity {
     ivfPublish(spark, dir, name, txn, key)
   }
 
+  /** FEDERATED MERGE: fold ANOTHER IVF index's postings into this one
+   *  as ONE commit — unify indexes built independently (per-region
+   *  embedding jobs) WITHOUT re-reading any corpus. The destination's
+   *  centroids stay FROZEN (the append contract): the source's stored
+   *  (vec_id, v) postings re-assign under them with the same codegen
+   *  TopCentroids expression appends use — batch-linear narrow work ∝
+   *  the SOURCE INDEX, no shuffle, the destination is never re-read
+   *  beyond its centroid table. Source cell ids are meaningless here
+   *  (cells are centroid indexes of the OTHER index) and are simply
+   *  dropped by the re-assignment.
+   *
+   *  Contract: disjoint vec_id spaces. Exactly-once composes: the
+   *  source's `#txn:` keys ride into the destination's log (a batch
+   *  redelivered to the MERGED index is still rejected), a source
+   *  sharing any key with the destination is REFUSED (double-insert),
+   *  and the merge may carry its own `key`. The source is read-only;
+   *  on failure the staging drops and both indexes stand.
+   */
+  def ivfIndexMergeFrom(
+      spark: org.apache.spark.sql.SparkSession, dstDir: String,
+      srcDir: String, key: Option[String] = None): Unit = {
+    val srcLive = ivfLog(srcDir).latest(spark)._2
+    val srcShards = srcLive.filter(_.startsWith("c-"))
+    val srcTxn = srcLive.filter(_.startsWith("#txn:"))
+    require(srcShards.nonEmpty, s"nothing to merge: $srcDir has no live commits")
+    val txn = ivfTxn(spark, dstDir, key)
+    val dstNow = ivfLog(dstDir).latest(spark)._2.toSet
+    srcTxn.foreach { t =>
+      require(!dstNow.contains(t),
+        s"merge of $srcDir into $dstDir rejected: delivery key " +
+          s"${t.stripPrefix("#txn:")} already lives in the destination — " +
+          "its vectors are already folded here (merging again would " +
+          "double-insert them)")
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    val srcPosts = srcShards.map(d => s"$srcDir/data/$d/post")
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    require(srcPosts.size == srcShards.size,
+      s"a source commit vanished mid-merge (concurrent vacuum?) — " +
+        "re-read the source and retry")
+    val cents = collectBounded(
+      spark.read.parquet(ivfLiveSub(spark, dstDir, "centroids"): _*),
+      "the stored centroid set must stay index-small")
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    writePostings(s"$dstDir/data/$name/post",
+      srcPosts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        .select(col("vec_id"), col("v")),
+      cents.map(_._1), cents.flatMap(_._2))
+    val published = ivfLog(dstDir).commit(spark) { now =>
+      if ((srcTxn ++ txn).exists(now.contains)) None // raced duplicate
+      else Some(now :+ name :++ srcTxn :++ txn.toSeq)
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$dstDir/data/$name")
+      p.getFileSystem(conf).delete(p, true): Unit
+      require(published,
+        s"merge of $srcDir into $dstDir raced a concurrent writer that " +
+          "committed one of its delivery keys — this attempt's staging " +
+          "was dropped")
+    }
+  }
+
   private def writePostings(
       path: String, batch: DataFrame,
       ids: Array[Long], vecs: Array[Double]): Unit =

@@ -8,11 +8,12 @@ import org.apache.spark.sql.SparkSession
  * manifest-governed dataset (the rollup/raw store, the persisted dedup
  * index) shares ONE implementation of atomic visibility instead of
  * re-deriving it: a version file `v<N>` lists the live entries; writers
- * publish the next version with create-no-overwrite (atomic on HDFS, a
- * conditional PUT on S3, check-then-create on POSIX — a lost race
- * FAILS LOUDLY instead of silently replacing the other writer's
- * manifest) and losers re-read and retry. See ManifestStore's scaladoc
- * for the full design discussion; semantics here are identical.
+ * publish the next version with an atomic create-exclusive (hard-link
+ * publish on POSIX, rename-no-replace on HDFS, a conditional PUT on
+ * S3 — a lost race FAILS LOUDLY instead of silently replacing the
+ * other writer's manifest, see [[publishExclusive]]) and losers
+ * re-read and retry. See ManifestStore's scaladoc for the full design
+ * discussion; semantics here are identical.
  */
 final class CommitLog(manifestDir: String) {
 
@@ -54,6 +55,51 @@ final class CommitLog(manifestDir: String) {
     readVersionFile(fs, p)
   }
 
+  /** Atomically publish `body` at `target`, returning false iff the
+   *  version already exists (a lost race). The content must be COMPLETE
+   *  the instant the target becomes visible — readers race `latest()`
+   *  against publishes, and a torn version file would silently truncate
+   *  the live set.
+   *
+   *  - `file://`: Hadoop's local `create(overwrite = false)` is a
+   *    non-atomic exists-check-then-create — two racing writers can
+   *    BOTH pass the check and both report success while one manifest
+   *    silently vanishes (observed as a 6-writer race publishing 4
+   *    versions). POSIX's atomic create-exclusive primitive is
+   *    link(2): write a temp file, hard-link it to the target (EEXIST
+   *    loses, content complete before the name appears), unlink the
+   *    temp.
+   *  - everything else: write a temp file and rename-no-replace into
+   *    place — atomic fail-if-exists on HDFS; object stores need a
+   *    conditional-PUT-backed FileSystem for the same guarantee.
+   */
+  private def publishExclusive(
+      fs: FileSystem, target: Path, body: Array[Byte]): Boolean =
+    if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+      val dir = java.nio.file.Paths.get(target.getParent.toUri.getPath)
+      val tmp = dir.resolve(
+        s".${target.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      java.nio.file.Files.write(tmp, body)
+      try {
+        java.nio.file.Files.createLink(dir.resolve(target.getName), tmp)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+      } finally {
+        java.nio.file.Files.deleteIfExists(tmp): Unit
+      }
+    } else {
+      val tmp = new Path(target.getParent,
+        s".${target.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, false)
+      try out.write(body) finally out.close()
+      val ok =
+        try fs.rename(tmp, target)
+        catch { case _: java.io.IOException => false }
+      if (!ok) fs.delete(tmp, false): Unit
+      ok
+    }
+
   /** Optimistic-concurrency publish: compute the next live set from the
    *  current one; `next` returning None ABORTS. Returns true iff a
    *  version was published.
@@ -63,23 +109,25 @@ final class CommitLog(manifestDir: String) {
     val dir = new Path(manifestDir)
     val fs = fsFor(spark, dir)
     fs.mkdirs(dir)
-    var attempts = 0
+    // the retry backstop counts attempts WITHOUT system-wide progress:
+    // losing a race means someone ELSE published (healthy contention —
+    // reset), so this only fires when the version stops moving and our
+    // publishes still fail, i.e. a genuinely wedged filesystem
+    var stalled = 0
+    var lastSeen = -1L
     while (true) {
-      attempts += 1
-      require(attempts <= 50, s"manifest commit contention at $manifestDir")
       val (v, live) = latest(spark)
+      stalled = if (v != lastSeen) 1 else stalled + 1
+      lastSeen = v
+      require(stalled <= 50,
+        s"manifest commit wedged at $manifestDir: 50 failed publishes " +
+          s"with no version progress (stuck at v$v)")
       next(live) match {
         case None => return false
         case Some(entries) =>
-          val target = versionPath(v + 1)
-          try {
-            val out = fs.create(target, false) // no overwrite: loser throws
-            try out.write((entries.mkString("\n") + "\n").getBytes("UTF-8"))
-            finally out.close()
-            return true
-          } catch {
-            case _: java.io.IOException => () // version taken — re-read, retry
-          }
+          val body = (entries.mkString("\n") + "\n").getBytes("UTF-8")
+          if (publishExclusive(fs, versionPath(v + 1), body)) return true
+        // version taken — re-read, retry
       }
     }
     false

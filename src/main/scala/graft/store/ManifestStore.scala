@@ -108,13 +108,13 @@ object ManifestStore {
     log(root).liveAt(spark, v)
 
   /** Optimistic-concurrency manifest commit: compute the next live set
-   *  from the current one and publish it as the next version with
-   *  create-no-overwrite (atomic fail-if-exists on HDFS; on a POSIX
-   *  local FS Hadoop checks-then-creates, which narrows the race to
-   *  the check/create window — a plain rename would silently REPLACE
-   *  an existing target and lose the other writer's commit outright.
-   *  On S3 this maps to a conditional PUT). A losing writer re-reads
-   *  and retries. `next` returning None ABORTS the commit (used by
+   *  from the current one and publish it as the next version with an
+   *  atomic create-exclusive (hard-link publish on POSIX — Hadoop's
+   *  local create(overwrite=false) checks-then-creates and DID lose a
+   *  racing writer's manifest under load; rename-no-replace on HDFS;
+   *  a conditional PUT on S3 — see CommitLog.publishExclusive). A
+   *  losing writer re-reads and retries. `next` returning None ABORTS
+   *  the commit (used by
    *  compaction when its input snapshot was invalidated by a
    *  concurrent compactor — publishing anyway would double-count).
    *  Returns true iff a version was published.

@@ -313,6 +313,101 @@ object TextIndex {
     }
   }
 
+  /** FEDERATED MERGE: fold ANOTHER index instance's live shards into
+   *  this one as ONE commit — the operation that unifies indexes built
+   *  independently (per-region crawls, per-tenant corpora, a backfill
+   *  job's private index) WITHOUT re-reading any corpus text. All
+   *  three legs fold by the same monoids compaction uses — postings
+   *  concatenate (tb is a pure function of token, identical in every
+   *  instance, so bucket layout is preserved), vocab df and stats
+   *  (nd, tl) sum — so merge cost is ∝ the SOURCE INDEX bytes (the
+   *  tokenized projection of its corpus), never a re-tokenize. At
+   *  100 TB this is the difference between unifying two regional
+   *  crawl indexes overnight and re-indexing a region.
+   *
+   *  Contract: the two instances index DISJOINT doc_id spaces — the
+   *  same contract two shards of one index already live under (df/nd/
+   *  tl sums and posting concat are only meaningful then).
+   *
+   *  Exactly-once COMPOSES across the merge: the source's `#txn:`
+   *  delivery keys ride into the destination's commit log, so a shard
+   *  redelivered to the MERGED index is still rejected; conversely the
+   *  merge REFUSES a source that shares any delivery key with the
+   *  destination (those docs are already here — folding them would
+   *  double-count df/nd/tl and duplicate postings). The merge itself
+   *  may carry its own `key`, making a redelivered merge a loud no-op
+   *  too. The source is read-only throughout — on any failure the
+   *  destination's staging is dropped and BOTH indexes stand.
+   */
+  def mergeFrom(
+      spark: SparkSession, dstDir: String, srcDir: String,
+      key: Option[String] = None): Unit = {
+    val cl = clog(dstDir)
+    val srcLive = clog(srcDir).latest(spark)._2
+    val srcShards = srcLive.filter(_.startsWith("c-"))
+    val srcTxn = srcLive.filter(_.startsWith("#txn:"))
+    require(srcShards.nonEmpty, s"nothing to merge: $srcDir has no live shards")
+    val txn = key.map { k =>
+      require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")
+      "#txn:" + k
+    }
+    val dstNow = cl.latest(spark)._2.toSet
+    (srcTxn ++ txn).foreach { t =>
+      require(!dstNow.contains(t),
+        s"merge of $srcDir into $dstDir rejected: delivery key " +
+          s"${t.stripPrefix("#txn:")} already lives in the destination — " +
+          "its shard is already folded here (merging again would " +
+          "double-count df/nd/tl)")
+    }
+    // a missing live dir proves the source snapshot went stale under a
+    // concurrent source-side compact+vacuum — abort before staging, the
+    // strict-snapshot discipline of ivfIndexRebuildFrom
+    val conf = spark.sessionState.newHadoopConf()
+    srcShards.foreach { d =>
+      val hp = new org.apache.hadoop.fs.Path(s"$srcDir/data/$d")
+      require(hp.getFileSystem(conf).exists(hp),
+        s"source commit $d vanished mid-merge (concurrent vacuum?) — " +
+          "re-read the source and retry")
+    }
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(Future.sequence(Seq(
+      Future {
+        srcShards.map(d => spark.read
+            .option("basePath", s"$srcDir/data/$d/post")
+            .parquet(s"$srcDir/data/$d/post"))
+          .reduce(_.unionByName(_))
+          .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+          .repartition(TokenBuckets, col("tb"))
+          .write.partitionBy("tb").parquet(s"$dstDir/data/$name/post")
+      },
+      Future {
+        spark.read.parquet(srcShards.map(d => s"$srcDir/data/$d/vocab"): _*)
+          .groupBy("token").agg(sum(col("df")).as("df"))
+          .coalesce(4)
+          .write.parquet(s"$dstDir/data/$name/vocab")
+      },
+      Future {
+        spark.read.parquet(srcShards.map(d => s"$srcDir/data/$d/stats"): _*)
+          .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
+          .coalesce(1).write.parquet(s"$dstDir/data/$name/stats")
+      })), Duration.Inf): Unit
+    val published = cl.commit(spark) { now =>
+      if ((srcTxn ++ txn).exists(now.contains)) None // raced duplicate
+      else Some(now :+ name :++ srcTxn :++ txn.toSeq)
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$dstDir/data/$name")
+      p.getFileSystem(conf).delete(p, true): Unit
+      require(published,
+        s"merge of $srcDir into $dstDir raced a concurrent writer that " +
+          "committed one of its delivery keys — this attempt's staging " +
+          "was dropped")
+    }
+  }
+
   /** Reclaim data dirs no longer referenced by the LATEST version
    *  (superseded by compaction). Run once in-flight readers of older
    *  snapshots drain — after vacuum, an as-of read of a superseded

@@ -225,6 +225,37 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("compaction"))
   }
 
+  test("CommitLog hammer: no publish is ever lost under heavy contention") {
+    // regression for a REAL lost-update race: Hadoop's local
+    // create(overwrite=false) is exists-check-then-create, so two
+    // racing writers could both report success on the SAME version
+    // number while one manifest silently vanished (observed: 6 atomic
+    // writers, 4 surviving versions). publishExclusive's hard-link
+    // create-exclusive makes the loser fail loudly and retry. 8
+    // threads x 20 commits each — every commit appends its unique
+    // entry; afterwards every entry must be live and the version count
+    // must equal the commit count.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val clog = new graft.store.CommitLog(
+      s"${TestSpark.tmpDir("clog_hammer")}/_manifests")
+    val writers = for (t <- 0 until 8) yield Future {
+      for (i <- 0 until 20)
+        assert(clog.commit(spark)(live => Some(live :+ s"e-$t-$i")),
+          s"writer $t commit $i reported failure")
+    }
+    Await.result(Future.sequence(writers), 5.minutes): Unit
+    val (v, live) = clog.latest(spark)
+    assert(v == 160L, s"160 successful publishes but only $v versions survive")
+    assert(live.size == 160 && live.toSet.size == 160,
+      s"entries lost or duplicated: ${live.size} live, ${live.toSet.size} distinct")
+    // every intermediate version is a complete, readable prefix chain
+    for (vv <- Seq(1L, 80L, 159L))
+      assert(clog.liveAt(spark, vv).size == vv.toInt,
+        s"version $vv is not the $vv-entry prefix")
+  }
+
   test("concurrent atomic writers all publish: optimistic commit loses no update") {
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration._

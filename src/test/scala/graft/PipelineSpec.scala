@@ -152,6 +152,97 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.map(_.getLong(0)).toSeq == Seq(0L, 10L), s"got ${r2.toSeq}")
   }
 
+  test("indexMergeFrom: cross-corpus pairs from stored state; keys compose; " +
+      "report rides the merge commit; source read-only") {
+    val dst = TestSpark.tmpDir("lsh_mdst")
+    val src = TestSpark.tmpDir("lsh_msrc")
+    Dedup.indexCheckAndIngest(spark, dst, Seq(
+        (0L, doc),
+        (1L, "completely different words about spark catalyst tungsten shuffles"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 0.6, deliveryKey = Some("d0")): Unit
+    Dedup.indexCheckAndIngest(spark, src, Seq(
+        (10L, doc + " tail"), // near-dup of 0, cross-index
+        (11L, "entirely novel content nothing shared here at all today friends"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 0.6, deliveryKey = Some("s0")): Unit
+    val pairs = Dedup.indexMergeFrom(spark, dst, src, 0.6,
+        deliveryKey = Some("m0"), persistPairs = true)
+      .orderBy("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs == Seq((0L, 10L)), s"got $pairs")
+    // the cross-corpus report is persisted under the merge commit
+    assert(Dedup.indexPairs(spark, dst).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 10L)))
+
+    // the merged index checks future shards against BOTH corpora
+    val r = Dedup.indexCheckAndIngest(spark, dst,
+        Seq((20L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .orderBy("a_id").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(0L, 10L), s"got $r")
+
+    // the source's key rode along: redelivering its shard to the merged
+    // index is rejected, and re-merging the same source is refused
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.indexCheckAndIngest(spark, dst,
+        Seq((10L, doc + " tail")).toDF("doc_id", "text"),
+        "doc_id", "text", 0.6, deliveryKey = Some("s0"))
+    }
+    assert(ex.getMessage.contains("already ingested"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.indexMergeFrom(spark, dst, src, 0.6)
+    }
+    assert(ex2.getMessage.contains("already lives in the destination"))
+
+    // the source was never written to
+    val srcLive = new graft.store.CommitLog(s"$src/_manifests").latest(spark)._2
+    assert(srcLive.count(_.startsWith("c-")) == 1 && srcLive.contains("#txn:s0"))
+  }
+
+  test("ivfIndexMergeFrom: merge equals appending the source's vectors under " +
+      "frozen centroids; keys compose; source read-only") {
+    val dst = TestSpark.tmpDir("ivf_mdst")
+    val src = TestSpark.tmpDir("ivf_msrc")
+    val ref = TestSpark.tmpDir("ivf_mref")
+    val all = Similarity.asDouble(
+      (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 2.1 + d).toFloat)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val even = all.where(col("vec_id") % 2 === 0)
+    val odd = all.where(col("vec_id") % 2 === 1)
+    Similarity.ivfIndexBuild(spark, dst, even, centroidStep = 7L, key = Some("E0"))
+    // the source index has its OWN centroids — merge must re-assign its
+    // vectors under the destination's, not carry foreign cell ids over
+    Similarity.ivfIndexBuild(spark, src, odd, centroidStep = 5L, key = Some("O0"))
+    Similarity.ivfIndexBuild(spark, ref, even, centroidStep = 7L)
+    Similarity.ivfIndexAppend(spark, ref, odd)
+    Similarity.ivfIndexMergeFrom(spark, dst, src, key = Some("M0"))
+    val queries = all.where(col("vec_id") < 2)
+    def run(idx: String) = Similarity
+      .ivfIndexQuery(spark, idx, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(run(dst) == run(ref),
+      "merged index must equal appending the source's raw vectors")
+
+    // exactly-once composes: the source's key now lives in the
+    // destination, so a batch redelivered there is rejected, and the
+    // same source cannot merge twice
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, dst, odd, key = Some("O0"))
+    }
+    assert(ex.getMessage.contains("already ingested"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexMergeFrom(spark, dst, src)
+    }
+    assert(ex2.getMessage.contains("already lives in the destination"))
+
+    // source untouched: one live commit, its key still its own
+    val srcLive = new graft.store.CommitLog(s"$src/_manifests").latest(spark)._2
+    assert(srcLive.count(_.startsWith("c-")) == 1 && srcLive.contains("#txn:O0"))
+  }
+
   test("ivfIndexRebuild aborts when a concurrent append moved the live set") {
     val idx = TestSpark.tmpDir("ivf_idx_race")
     val all = Similarity.asDouble(

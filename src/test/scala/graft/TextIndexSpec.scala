@@ -125,4 +125,45 @@ class TextIndexSpec extends AnyFunSuite {
     // every term capped out → empty result, not an error
     assert(run(Seq("merge"), Some(1L)).isEmpty)
   }
+
+  test("mergeFrom: merged index answers like one index over the union; " +
+      "delivery keys compose; duplicate merge refused; source read-only") {
+    val dst = TestSpark.tmpDir("text_idx_mdst")
+    val src = TestSpark.tmpDir("text_idx_msrc")
+    val ref = TestSpark.tmpDir("text_idx_mref")
+    val left = corpus.where(col("doc_id") < 2)
+    val right = corpus.where(col("doc_id") >= 2)
+    TextIndex.ingestShard(spark, dst, left, "doc_id", "text", key = Some("L0"))
+    TextIndex.ingestShard(spark, src, right, "doc_id", "text", key = Some("R0"))
+    TextIndex.ingestShard(spark, ref, corpus, "doc_id", "text")
+    TextIndex.mergeFrom(spark, dst, src, key = Some("M0"))
+    def run(idx: String) = TextIndex
+      .searchBm25(spark, idx, Seq("merge", "window", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val expected = run(ref)
+    assert(run(dst) == expected,
+      "merged df/nd/tl folds must equal one index over the union corpus")
+
+    // the source's delivery key rode along: redelivering its shard to
+    // the MERGED index is rejected (exactly-once composes)
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.ingestShard(spark, dst, right, "doc_id", "text", key = Some("R0"))
+    }
+    assert(ex.getMessage.contains("already ingested"))
+    // merging the same source again is refused — its keys already live here
+    val ex2 = intercept[IllegalArgumentException] {
+      TextIndex.mergeFrom(spark, dst, src)
+    }
+    assert(ex2.getMessage.contains("already lives in the destination"))
+    assert(run(dst) == expected, "refused merge mutated the index")
+
+    // the source was never written to
+    assert(TextIndex.liveShardCount(spark, src) == 1)
+    assert(TextIndex.version(spark, src) == 1L)
+
+    // the merged commit folds like any other shard
+    TextIndex.compact(spark, dst)
+    assert(run(dst) == expected, "compaction after merge changed answers")
+  }
 }
