@@ -220,6 +220,40 @@ object PipelineQueries {
     })
   }
 
+  /** Re-render a document as a whitespace-separated sequence of
+   *  '~'-joined 3-shingles, so the GENERIC text index tokenizes into
+   *  n-gram "tokens" — the contamination-detection unit (the corpus's
+   *  31-word unigram vocabulary is all stop-word-grade). Mirrored
+   *  exactly by the oracle's `tokens[i] || '~' || ...` CTE.
+   */
+  private def shingleText(c: Column): Column =
+    concat_ws(" ",
+      transform(TextOps.shinglesOf(TextOps.tokens(c), 3),
+        x => translate(x, " ", "~")))
+
+  /** Session-scoped memo of the persisted 3-GRAM text-index fixture
+   *  (two doc_id-parity shards over the full corpus rendered through
+   *  [[shingleText]]) — the probe target for index-accelerated
+   *  decontamination. Same fixture discipline and bounding rule as
+   *  [[textIndexFixture]].
+   */
+  private val shingleIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def shingleIndexFixture(s: SparkSession, dir: String): String = {
+    if (shingleIndexCache.size > 8) shingleIndexCache.clear()
+    shingleIndexCache.computeIfAbsent((s, dir), { key =>
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_shingle_idx").toString
+      val d = docs(key._1, key._2)
+        .select(col("doc_id"), shingleText(col("text")).as("text"))
+      for (i <- 0 until 2)
+        graft.text.TextIndex.ingestShard(key._1, idx,
+          d.where(pmod(col("doc_id"), lit(2)) === i),
+          "doc_id", "text", key = Some(s"n$i"))
+      idx
+    })
+  }
+
   /** documents ∪ near-dup copies (3 appended tokens, ids offset by
    *  100000) of every 50th doc — the holdout (doc_id % 50 == 0, id <
    *  100000) has planted fuzzy leaks into the training side. The
@@ -418,6 +452,39 @@ object PipelineQueries {
         Dedup.indexVersion(s, idx) == vAfter,
         "stream redelivery must be a no-op — every batch key is committed")
       Dedup.indexPairs(s, idx)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
+    // PERSISTED LSH index COMPACTION leg, on a 1/10 subset: three
+    // keyed shards ingest, a full size-tiered fold collapses them to
+    // ONE commit (sig/sh/pairs concatenate — the read path's union
+    // fan-in stops growing with ingest history), the delivery keys
+    // survive the fold (redelivery still rejected), vacuum reclaims
+    // the superseded dirs — then a 4th batch checks against the
+    // COMPACTED state. Output = that batch's verdict; oracle =
+    // declarative cross Jaccard with per-shard df caps
+    "dedup_index_compact" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_lsh_cidx").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(10)) === 3)
+      for (i <- 0 until 3)
+        Dedup.indexCheckAndIngest(s, idx,
+          d.where(pmod(col("doc_id"), lit(30)) === 10 * i + 3),
+          "doc_id", "text", JaccardThreshold,
+          deliveryKey = Some(s"c$i")): Unit
+      Dedup.indexCompact(s, idx)
+      require(scala.util.Try(Dedup.indexCheckAndIngest(s, idx,
+          d.where(pmod(col("doc_id"), lit(30)) === 3),
+          "doc_id", "text", JaccardThreshold,
+          deliveryKey = Some("c0"))).isFailure,
+        "delivery keys must survive the fold — redelivery still rejected")
+      Dedup.indexVacuum(s, idx)
+      val batch = d.where(pmod(col("doc_id"), lit(30)) === 3)
+        .select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text"))
+      Dedup.indexCheckAndIngest(s, idx, batch, "doc_id", "text",
+          JaccardThreshold)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
@@ -792,6 +859,37 @@ object PipelineQueries {
         Similarity.ivfIndexAppend(s, idx,
           base.where(pmod(col("vec_id"), lit(3)) === i))
       Similarity.ivfIndexQuery(s, idx, base.where(col("vec_id") < 5),
+          k = 10, nProbe = 3)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
+    // PERSISTED IVF index COMPACTION leg, on the vec_id%4==2 quarter:
+    // founding + two keyed appends, a tiered fold (2 smallest) then a
+    // full fold collapse the three commits to ONE — postings
+    // concatenate and re-cluster per cell, the centroid leg carries
+    // through, keys survive (redelivery still rejected), vacuum
+    // reclaims — then probes answer from the compacted index. Oracle =
+    // declarative frozen-centroid IVF over the quarter
+    "ann_index_compact" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_cidx").toString
+      val base = embBase(s, dir)
+      val sub = base.where(pmod(col("vec_id"), lit(4)) === 2)
+      val founding = sub.where(pmod(col("vec_id"), lit(12)) === 2)
+      Similarity.ivfIndexBuild(s, idx, founding,
+        Similarity.boundedStep(founding.count()), key = Some("c0"))
+      for (i <- 1 until 3)
+        Similarity.ivfIndexAppend(s, idx,
+          sub.where(pmod(col("vec_id"), lit(12)) === 4 * i + 2),
+          key = Some(s"c$i"))
+      Similarity.ivfIndexCompactTiered(s, idx, fanIn = 2)
+      Similarity.ivfIndexCompactTiered(s, idx, fanIn = 16)
+      require(scala.util.Try(Similarity.ivfIndexAppend(s, idx,
+          sub.where(pmod(col("vec_id"), lit(12)) === 6),
+          key = Some("c1"))).isFailure,
+        "delivery keys must survive the fold — redelivery still rejected")
+      Similarity.ivfIndexVacuum(s, idx)
+      Similarity.ivfIndexQuery(s, idx, sub.where(col("vec_id") < 20),
           k = 10, nProbe = 3)
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
@@ -1271,6 +1369,29 @@ object PipelineQueries {
       graft.text.TextIndex
         .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
         .orderBy("rank")
+    }),
+    // INDEX-ACCELERATED decontamination: a benchmark set (copies of
+    // every 150th doc + two noise tokens) probes a persisted
+    // 3-GRAM-token text index — candidate contaminated docs come from
+    // the benchmark shingles' posting lists alone (token-bucket
+    // pruning + pushed token equality), the corpus is never re-read.
+    // This is the only decontamination posture that survives 100 TB:
+    // per-benchmark cost ∝ the benchmark's postings. The index's
+    // "tokens" are '~'-joined 3-shingles (the standard n-gram
+    // contamination unit — this corpus's 31-word unigram vocabulary
+    // is all stop-word-grade); boilerplate shingles (df > 200, the
+    // repo's shingle-cap discipline) are skipped on BOTH sides.
+    // Containment = overlap / kept-benchmark-shingles in exact ppm
+    "index_decontaminate" -> ((s, dir) => {
+      val bench = docs(s, dir).select("doc_id", "text")
+        .where(col("doc_id") % 150 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          concat(col("text"), lit(" qq1 qq2")).as("text"))
+      graft.text.TextIndex.containmentProbe(
+          s, shingleIndexFixture(s, dir),
+          bench.select(col("doc_id"), shingleText(col("text")).as("text")),
+          "doc_id", "text", maxDf = 200L, minPpm = 800000L)
+        .orderBy("bench_id", "doc_id")
     }),
     // FEDERATED index merge: two text indexes built INDEPENDENTLY over
     // disjoint corpus slices (two regional crawls) fold into one with
@@ -2667,6 +2788,35 @@ object PipelineQueries {
         |    doc_id) AS rank FROM ag)
         |SELECT rank, doc_id, score_ppm, n_terms FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // index probe ≡ declarative distinct-3-gram containment with the
+    // same boilerplate cap: kept = benchmark shingles indexed with
+    // df ≤ 200; containment = overlap/kept in exact ppm
+    "index_decontaminate" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents),
+        |bench AS (SELECT doc_id + 500000 AS bench_id,
+        |    text || ' qq1 qq2' AS text
+        |  FROM documents WHERE doc_id % 150 = 0),
+        |ctok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+        |csh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || '~' || tokens[i+1] || '~' || tokens[i+2])) AS sh
+        |  FROM ctok),
+        |df AS (SELECT sh, count(*) AS df FROM csh GROUP BY 1),
+        |btok AS (SELECT bench_id, string_split(text, ' ') AS tokens FROM bench),
+        |bsh AS (SELECT DISTINCT bench_id, unnest(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || '~' || tokens[i+1] || '~' || tokens[i+2])) AS sh
+        |  FROM btok),
+        |kept AS (SELECT b.bench_id, b.sh FROM bsh b JOIN df USING (sh)
+        |  WHERE df.df <= 200),
+        |nk AS (SELECT bench_id, count(*) AS n_kept FROM kept GROUP BY 1),
+        |ov AS (SELECT k.bench_id, c.doc_id, count(*) AS overlap
+        |  FROM kept k JOIN csh c USING (sh) GROUP BY 1, 2)
+        |SELECT bench_id, doc_id, n_kept, overlap,
+        |  1000000 * overlap // n_kept AS containment_ppm
+        |FROM ov JOIN nk USING (bench_id)
+        |WHERE 1000000 * overlap // n_kept >= 800000
+        |ORDER BY bench_id, doc_id""".stripMargin,
     // merged index ≡ declarative BM25 over the UNION of the two
     // regional slices: the merge's df/nd/tl sum-folds are exactly what
     // one index over the union would have stored
@@ -2697,6 +2847,36 @@ object PipelineQueries {
         |    doc_id) AS rank FROM ag)
         |SELECT rank, doc_id, score_ppm, n_terms FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // compacted-index check ≡ declarative cross Jaccard between the
+    // three folded shards and the batch, per-shard df caps
+    "dedup_index_compact" ->
+      s"""WITH sub AS (SELECT doc_id, text, (doc_id % 30) // 10 AS shard
+         |             FROM documents WHERE doc_id % 10 = 3),
+         |batch AS (SELECT doc_id + 100000 AS doc_id,
+         |    text || ' zz0 zz1 zz2' AS text, 3 AS shard
+         |  FROM documents WHERE doc_id % 30 = 3),
+         |d AS (SELECT * FROM sub UNION ALL SELECT * FROM batch),
+         |tok AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d),
+         |sh0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+         |  FROM tok),
+         |shf AS (SELECT s.* FROM sh0 s JOIN (
+         |    SELECT shard, sh FROM sh0 GROUP BY shard, sh
+         |    HAVING count(*) <= 200) c
+         |    ON s.shard = c.shard AND s.sh = c.sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh
+         |  WHERE a.shard < 3 AND b.shard = 3
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
     // merge verdict ≡ declarative CROSS-corpus Jaccard with per-corpus
     // df caps (each index df-capped its own build shard)
     "dedup_index_merge" ->
@@ -2731,6 +2911,38 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = b_id
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
          |ORDER BY a_id, b_id""".stripMargin,
+    // compacted IVF ≡ declarative frozen-centroid IVF over the quarter
+    // (centroids strided over the founding 1/12 slice)
+    "ann_index_compact" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 4 = 2),
+        |f AS (SELECT * FROM e WHERE vec_id % 12 = 2),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM f
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM f) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |ar AS (SELECT vec_id, v, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
+        |           FROM ar WHERE vec_id < 20 AND rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // merged IVF ≡ declarative frozen-centroid IVF over the FULL corpus
     // with the destination's centroids (strided over the even half)
     "ann_index_merge" ->

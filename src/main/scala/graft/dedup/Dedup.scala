@@ -448,6 +448,87 @@ object Dedup {
     }
   }
 
+  /** SIZE-TIERED shard compaction for the persisted LSH index — the
+   *  same LSM policy as the text index and the rollup store: without
+   *  it every ingested shard adds a commit dir forever and every
+   *  check's sig/sh union grows linearly in shard count (query-
+   *  PLANNING cost ∝ history). All three legs fold by pure
+   *  concatenation — signatures and postings are doc-grain rows from
+   *  disjoint doc spaces, pair reports are append-only facts — so the
+   *  fold is one read+write of the `fanIn` smallest commits, no
+   *  aggregation at all. `#txn:` delivery keys pass through UNTOUCHED
+   *  (exactly-once survives any number of folds) and a concurrent
+   *  writer moving any input aborts the publish (never double-fold).
+   */
+  def indexCompactTiered(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      fanIn: Int = 8): Unit = {
+    val clog = new graft.store.CommitLog(s"$indexDir/_manifests")
+    val (_, live) = clog.latest(spark)
+    val all = live.filter(_.startsWith("c-"))
+    if (all.size <= 1) return
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs =
+      if (fanIn >= all.size) all
+      else all.map { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$d")
+        val fs = p.getFileSystem(conf)
+        (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
+      }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
+    if (dirs.size <= 1) return
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    // shuffle-free coalesce back to one shard's worth of files — a fold
+    // that carries the SUM of its inputs' file counts forward would
+    // defeat the small-files half of compaction's purpose
+    val nsp = spark.sessionState.conf.numShufflePartitions
+    def fold(sub: String, coalesceTo: Int): Boolean = {
+      val srcs = dirs.map(d => s"$indexDir/data/$d/$sub").filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+      if (srcs.isEmpty) false
+      else {
+        srcs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+          .coalesce(coalesceTo)
+          .write.parquet(s"$indexDir/data/$name/$sub")
+        true
+      }
+    }
+    fold("sig", nsp): Unit
+    fold("sh", nsp): Unit
+    fold("pairs", 1): Unit // pair reports are optional per shard
+    val published = clog.commit(spark) { now =>
+      if (dirs.forall(now.contains)) Some(now.filterNot(dirs.contains) :+ name)
+      else None // an input moved under us — abort, never double-fold
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$name")
+      p.getFileSystem(conf).delete(p, true): Unit
+    }
+  }
+
+  /** Full fold: every live shard commit into one (see
+   *  [[indexCompactTiered]] for the steady-state tiered policy).
+   */
+  def indexCompact(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit =
+    indexCompactTiered(spark, indexDir, fanIn = Int.MaxValue)
+
+  /** Reclaim data dirs no longer referenced by the LATEST version
+   *  (superseded by compaction) — run once in-flight readers drain.
+   */
+  def indexVacuum(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
+    val live = new graft.store.CommitLog(s"$indexDir/_manifests")
+      .latest(spark)._2.toSet
+    val dd = new org.apache.hadoop.fs.Path(s"$indexDir/data")
+    val fs = dd.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(dd)) return
+    fs.listStatus(dd)
+      .filter(st => !live.contains(st.getPath.getName))
+      .foreach(st => fs.delete(st.getPath, true): Unit)
+  }
+
   /**
    * FEDERATED MERGE of two persisted LSH dedup indexes: fold the
    * SOURCE index's stored signatures and postings into the destination

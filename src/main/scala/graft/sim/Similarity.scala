@@ -506,6 +506,67 @@ object Similarity {
     published
   }
 
+  /** SIZE-TIERED commit compaction for the persisted IVF index — the
+   *  same LSM policy as the text and dedup indexes: every append adds
+   *  a commit dir forever and [[ivfIndexQuery]]'s per-commit union
+   *  grows linearly in append count. Postings fold by pure
+   *  concatenation (cell ids are indexes into the ONE live centroid
+   *  generation, identical across commits by the rebuild invariant),
+   *  re-clustered so each cell lands in one file instead of
+   *  commits × cells. If the founding (or rebuilt) commit is among the
+   *  folded inputs its centroid table carries through — the index
+   *  always keeps exactly one centroids leg. `#txn:` keys pass through
+   *  untouched; a concurrent writer moving any input aborts the
+   *  publish.
+   */
+  def ivfIndexCompactTiered(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      fanIn: Int = 8): Unit = {
+    val cl = ivfLog(dir)
+    val (_, live) = cl.latest(spark)
+    val all = live.filter(_.startsWith("c-"))
+    if (all.size <= 1) return
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs =
+      if (fanIn >= all.size) all
+      else all.map { d =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data/$d")
+        val fs = p.getFileSystem(conf)
+        (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
+      }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
+    if (dirs.size <= 1) return
+    def existing(sub: String): Seq[String] =
+      dirs.map(d => s"$dir/data/$d/$sub").filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    existing("post") match {
+      case ps if ps.nonEmpty =>
+        ps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+          .select(col("vec_id"), col("v"), col("cell"))
+          .repartition(col("cell"))
+          .write.partitionBy("cell").parquet(s"$dir/data/$name/post")
+      case _ => ()
+    }
+    existing("centroids") match {
+      case Seq(c) => spark.read.parquet(c)
+        .coalesce(1).write.parquet(s"$dir/data/$name/centroids")
+      case Seq() => ()
+      case many => throw new IllegalStateException(
+        s"index $dir has ${many.size} centroid legs among $dirs — " +
+          "one generation must own exactly one")
+    }
+    val published = cl.commit(spark) { now =>
+      if (dirs.forall(now.contains)) Some(now.filterNot(dirs.contains) :+ name)
+      else None // an input moved under us — abort, never double-fold
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+      p.getFileSystem(conf).delete(p, true): Unit
+    }
+  }
+
   /** Delete index data dirs no published version references (run after
    *  a rebuild once in-flight readers of the old generation drain).
    */

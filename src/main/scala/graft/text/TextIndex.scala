@@ -238,6 +238,74 @@ object TextIndex {
       .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
   }
 
+  /** INDEX-ACCELERATED DECONTAMINATION: find corpus documents whose
+   *  token overlap with a (capped-small) benchmark table is high,
+   *  touching ONLY the benchmark's terms' posting lists — the
+   *  decontamination posture when the corpus can no longer be scanned
+   *  per benchmark: probe cost is ∝ the benchmark's tokens' postings
+   *  (token-bucket directory pruning + pushed-down token equality,
+   *  the same scan shape as [[searchBm25]]), never ∝ the corpus.
+   *
+   *  A benchmark token is KEPT iff it is indexed and its folded df ≤
+   *  `maxDf` — a ubiquitous token carries no contamination signal and
+   *  its posting list is corpus-grain (the stop-word cap, same
+   *  discipline as search). Containment is |posting overlap| / |kept
+   *  benchmark tokens| in exact integer ppm, so any engine computing
+   *  the same definition hash-matches. Returns (bench_id, doc_id,
+   *  n_kept, overlap, containment_ppm) for pairs ≥ `minPpm`.
+   *
+   *  The benchmark's distinct tokens collect to the driver (bounded —
+   *  a benchmark is small by contract; loud failure past the cap) to
+   *  become LITERAL token/bucket filters, exactly like search terms.
+   */
+  def containmentProbe(
+      spark: SparkSession, dir: String, bench: DataFrame,
+      idCol: String, textCol: String, maxDf: Long, minPpm: Long): DataFrame = {
+    val bt = bench
+      .select(col(idCol).as("bench_id"),
+        explode(TextOps.tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .distinct()
+      .persist()
+    try {
+      val terms = bt.select("token").distinct().collect().map(_.getString(0))
+      require(terms.length <= 65536,
+        s"containmentProbe benchmark has ${terms.length} distinct tokens — " +
+          "the probe is for capped-small benchmarks (split it, or scan)")
+      val dfByTerm = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+        .where(col("token").isin(terms.toSeq: _*))
+        .groupBy("token").agg(sum("df").as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val kept = terms.filter(t => dfByTerm.get(t).exists(_ <= maxDf)).toSeq
+      val keptBt = bt.where(col("token").isin(kept: _*))
+      val nKept = keptBt.groupBy("bench_id").agg(count(lit(1)).as("n_kept"))
+      val termBuckets =
+        if (kept.isEmpty) Seq.empty[Long]
+        else {
+          import spark.implicits._
+          kept.toDF("t").select(tokenBucket(col("t"))).distinct()
+            .collect().map(_.getLong(0)).toSeq
+        }
+      // postings are unique per (token, doc): shards partition docs and
+      // compaction concatenates, so count(*) IS the distinct-token overlap
+      val posts = liveSub(spark, dir, "post")
+        .map(spark.read.parquet(_))
+        .reduce(_.unionByName(_))
+        .where(col("tb").isin(termBuckets: _*) &&
+          col("token").isin(kept: _*))
+      posts.select("token", "doc_id")
+        .join(broadcast(keptBt), Seq("token"))
+        .groupBy("bench_id", "doc_id")
+        .agg(count(lit(1)).as("overlap"))
+        .join(broadcast(nKept), Seq("bench_id"))
+        .withColumn("containment_ppm",
+          expr("1000000 * overlap div n_kept"))
+        .where(col("containment_ppm") >= minPpm)
+        .select(col("bench_id"), col("doc_id"), col("n_kept"),
+          col("overlap"), col("containment_ppm"))
+    } finally bt.unpersist(): Unit
+  }
+
   /** Full fold: every live shard commit into one. Right for an
    *  explicit "optimize"; the steady-state policy is [[compactTiered]]
    *  (a full fold under sustained ingest rewrites O(N²) bytes total).

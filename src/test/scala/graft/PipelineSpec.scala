@@ -152,6 +152,104 @@ class PipelineSpec extends AnyFunSuite {
     assert(r2.map(_.getLong(0)).toSeq == Seq(0L, 10L), s"got ${r2.toSeq}")
   }
 
+  test("indexCompactTiered: folded dedup index checks identically; " +
+      "pair reports and delivery keys survive; vacuum reclaims") {
+    val idx = TestSpark.tmpDir("lsh_idx_compact")
+    Dedup.indexCheckAndIngest(spark, idx,
+      Seq((0L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6,
+      deliveryKey = Some("b0"), persistPairs = true): Unit
+    Dedup.indexCheckAndIngest(spark, idx,
+      Seq((10L, doc + " tail")).toDF("doc_id", "text"), "doc_id", "text", 0.6,
+      deliveryKey = Some("b1"), persistPairs = true): Unit
+    Dedup.indexCheckAndIngest(spark, idx,
+      Seq((11L, "entirely novel content nothing shared here at all today"))
+        .toDF("doc_id", "text"), "doc_id", "text", 0.6,
+      deliveryKey = Some("b2"), persistPairs = true): Unit
+    def pairs() = Dedup.indexPairs(spark, idx).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    val pairsBefore = pairs()
+    assert(pairsBefore == Seq((0L, 10L)))
+    val clog = new graft.store.CommitLog(s"$idx/_manifests")
+
+    // tiered: fold the 2 smallest of 3; then full fold to one
+    Dedup.indexCompactTiered(spark, idx, fanIn = 2)
+    assert(clog.latest(spark)._2.count(_.startsWith("c-")) == 2)
+    assert(pairs() == pairsBefore, "tiered fold changed the pair report")
+    Dedup.indexCompact(spark, idx)
+    val live = clog.latest(spark)._2
+    assert(live.count(_.startsWith("c-")) == 1,
+      s"full compact must leave one data commit: $live")
+    assert(live.count(_.startsWith("#txn:")) == 3, s"txn keys lost: $live")
+    assert(pairs() == pairsBefore, "full fold changed the pair report")
+
+    // the compacted index checks a new shard against ALL folded docs
+    val r = Dedup.indexCheckAndIngest(spark, idx,
+        Seq((20L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .orderBy("a_id").collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(0L, 10L), s"got $r")
+
+    // keys survive the fold: redelivery still rejected
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.indexCheckAndIngest(spark, idx,
+        Seq((0L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6,
+        deliveryKey = Some("b0"))
+    }
+    assert(ex.getMessage.contains("already ingested"))
+
+    // vacuum leaves exactly the live commit dirs
+    Dedup.indexVacuum(spark, idx)
+    val remaining = new java.io.File(s"$idx/data").listFiles().map(_.getName)
+    assert(remaining.toSet ==
+      clog.latest(spark)._2.filter(_.startsWith("c-")).toSet,
+      s"vacuum left ${remaining.toSeq}")
+  }
+
+  test("ivfIndexCompactTiered: folded postings answer identically; " +
+      "the centroid leg carries through; keys survive; vacuum reclaims") {
+    val idx = TestSpark.tmpDir("ivf_idx_compact")
+    val all = Similarity.asDouble(
+      (0L until 40L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 1.1 + d).toFloat)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, idx,
+      all.where(col("vec_id") % 3 === 0), centroidStep = 6L, key = Some("k0"))
+    Similarity.ivfIndexAppend(spark, idx,
+      all.where(col("vec_id") % 3 === 1), key = Some("k1"))
+    Similarity.ivfIndexAppend(spark, idx,
+      all.where(col("vec_id") % 3 === 2), key = Some("k2"))
+    val queries = all.where(col("vec_id") < 2)
+    def run() = Similarity.ivfIndexQuery(spark, idx, queries, k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    val before = run()
+    val clog = new graft.store.CommitLog(s"$idx/_manifests")
+
+    Similarity.ivfIndexCompactTiered(spark, idx, fanIn = 2)
+    assert(clog.latest(spark)._2.count(_.startsWith("c-")) == 2)
+    assert(run() == before, "tiered fold changed probe answers")
+    Similarity.ivfIndexCompactTiered(spark, idx, fanIn = 10)
+    val live = clog.latest(spark)._2
+    assert(live.count(_.startsWith("c-")) == 1,
+      s"full fold must leave one data commit: $live")
+    assert(live.count(_.startsWith("#txn:")) == 3, s"txn keys lost: $live")
+    assert(run() == before, "full fold changed probe answers")
+    // exactly one centroids leg survived the fold
+    val onlyCommit = live.find(_.startsWith("c-")).get
+    assert(new java.io.File(s"$idx/data/$onlyCommit/centroids").exists(),
+      "the centroid table was dropped by compaction")
+
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, idx,
+        all.where(col("vec_id") % 3 === 1), key = Some("k1"))
+    }
+    assert(ex.getMessage.contains("already ingested"))
+
+    Similarity.ivfIndexVacuum(spark, idx)
+    val remaining = new java.io.File(s"$idx/data").listFiles().map(_.getName)
+    assert(remaining.toSet == Set(onlyCommit), s"vacuum left ${remaining.toSeq}")
+  }
+
   test("indexMergeFrom: cross-corpus pairs from stored state; keys compose; " +
       "report rides the merge commit; source read-only") {
     val dst = TestSpark.tmpDir("lsh_mdst")

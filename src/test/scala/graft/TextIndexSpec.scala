@@ -126,6 +126,43 @@ class TextIndexSpec extends AnyFunSuite {
     assert(run(Seq("merge"), Some(1L)).isEmpty)
   }
 
+  test("containmentProbe: kept-token containment from posting lists only, " +
+      "df cap drops ubiquitous tokens, unindexed tokens drop silently") {
+    val idx = TestSpark.tmpDir("text_idx_probe")
+    // two shards so the probe proves the cross-shard df/posting fold
+    TextIndex.ingestShard(spark, idx,
+      corpus.where(col("doc_id") < 2), "doc_id", "text")
+    TextIndex.ingestShard(spark, idx,
+      corpus.where(col("doc_id") >= 2), "doc_id", "text")
+    // corpus df: merge=3 window=2 scan=2 spark=1 sort=1 table=1 ...
+    val bench = Seq(
+      (100L, "spark merge sort qq"), // kept = {spark, sort}: merge capped
+      // at df 2, qq unindexed — both match only doc 0, containment 1.0
+      (101L, "window table")) // kept = {window, table}: doc 2 has both
+      // (1.0), doc 1 has window only (0.5)
+      .toDF("doc_id", "text")
+    val got = TextIndex.containmentProbe(spark, idx, bench,
+        "doc_id", "text", maxDf = 2L, minPpm = 500000L)
+      .orderBy("bench_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == Seq(
+      (100L, 0L, 2L, 2L, 1000000L),
+      (101L, 1L, 2L, 1L, 500000L),
+      (101L, 2L, 2L, 2L, 1000000L)), s"got $got")
+    // the probe's posting scan carries the token-bucket partition
+    // filter — the directory-pruning contract, same as search
+    val plan = TextIndex.containmentProbe(spark, idx, bench,
+        "doc_id", "text", maxDf = 2L, minPpm = 500000L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+      s"token-bucket pruning missing:\n${plan.take(2000)}")
+    // a benchmark with no kept tokens yields no rows, not an error
+    assert(TextIndex.containmentProbe(spark, idx,
+      Seq((102L, "merge qq")).toDF("doc_id", "text"),
+      "doc_id", "text", maxDf = 2L, minPpm = 0L).isEmpty)
+  }
+
   test("mergeFrom: merged index answers like one index over the union; " +
       "delivery keys compose; duplicate merge refused; source read-only") {
     val dst = TestSpark.tmpDir("text_idx_mdst")
