@@ -1975,6 +1975,41 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- FEDERATED store merge: two stores ingest DISJOINT halves of
+    // the same event stream (crc32 parity split — but overlapping
+    // series and buckets, which the merge-on-read monoid must fold
+    // across the store boundary), then the source folds into the
+    // destination under ONE manifest version: rollup partials
+    // concatenate, raw rows restage through the layout writer, and
+    // the source's #txn: keys ride along so exactly-once composes —
+    // the requires pin that a redelivered batch still folds in zero
+    // times and a re-merge refuses. Oracle = the one-shot 1 s rollup
+    // over ALL events --------------------------------------------------
+    "store_merge" -> ((s, dir) => {
+      val dst = java.nio.file.Files
+        .createTempDirectory("graft_store_mdst").toString
+      val src = java.nio.file.Files
+        .createTempDirectory("graft_store_msrc").toString
+      val long = ev(s, dir)
+      val half = pmod(crc32(concat_ws("|", col("dataset_id"), col("ts_us"))), lit(2))
+      require(graft.store.ManifestStore.ingestBatchAtomic(
+        s, dst, long.where(half === 0), key = Some("west0")))
+      require(graft.store.ManifestStore.ingestBatchAtomic(
+        s, src, long.where(half === 1), key = Some("east0")))
+      graft.store.ManifestStore.mergeFrom(s, dst, src, key = Some("m0"))
+      require(!graft.store.ManifestStore.ingestBatchAtomic(
+          s, dst, long.where(half === 1), key = Some("east0")),
+        "the source's delivery key must reject redelivery into the merged store")
+      require(scala.util.Try(
+          graft.store.ManifestStore.mergeFrom(s, dst, src)).isFailure,
+        "re-merging the same source must be refused")
+      graft.store.ManifestStore.readLevel(s, dst, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- manifest time travel: ingest 3 batches (md5-split so the
     // oracle reproduces the partition), then read the 1 s level AS OF
     // version 2 — the snapshot must equal the rollup of batches 0-1
@@ -2508,6 +2543,9 @@ object CoreQueries {
     // both legs of the atomic two-table publish fold to the same truth
     "ingest_atomic_1s" -> rollupSql(1),
     "ingest_atomic_raw_1s" -> rollupSql(1),
+    // merged store ≡ one store over every event: the crc32 halves
+    // reunite exactly, cross-store buckets folding on read
+    "store_merge" -> rollupSql(1),
     // each version's visible rows = cumulative md5-split membership,
     // identical on both tables
     "manifest_history" ->

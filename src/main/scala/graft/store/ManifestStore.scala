@@ -592,6 +592,89 @@ object ManifestStore {
     }
   }
 
+  /** FEDERATED MERGE: fold ANOTHER store instance's live raw and
+   *  rollup state into this one under ONE manifest version — the
+   *  operation that unifies stores built independently (per-region
+   *  ingest pipelines, a backfill job's private store) without
+   *  replaying a single batch. The source's rollup PARTIALS
+   *  concatenate into one staged commit (the merge-on-read monoid
+   *  makes that equivalent to every source commit individually —
+   *  same-series buckets from both stores fold correctly at read
+   *  time, so DISJOINT key spaces are NOT required), its raw rows
+   *  restage through [[writeRawCommitDir]] (preserving the
+   *  ds_b/dataset_id/ts clustering row-group pruning rides), and the
+   *  single version-file create publishes both — a reader sees none
+   *  of the source or all of it, raw and rollups agreeing exactly.
+   *
+   *  Exactly-once COMPOSES across the merge: the source's `#txn:`
+   *  keys ride into the destination's manifest (a batch redelivered
+   *  to the merged store is still rejected), and a source sharing any
+   *  delivery key with the destination is REFUSED — that key means
+   *  the same upstream batch was ingested on both sides, and folding
+   *  it twice would double-count. The merge may carry its own `key`.
+   *  The source is read-only throughout; a lost race drops the
+   *  staging and fails loudly, both stores standing.
+   */
+  def mergeFrom(
+      spark: SparkSession, dstRoot: String, srcRoot: String,
+      key: Option[String] = None): Unit = {
+    val (_, srcLive) = latest(spark, srcRoot)
+    val srcC = dirEntries(srcLive)
+    val srcR = rawDirEntries(srcLive)
+    val srcTxn = srcLive.filter(_.startsWith(TxnPrefix))
+    require(srcC.nonEmpty || srcR.nonEmpty,
+      s"nothing to merge: $srcRoot has no live commits")
+    val txn = key.map { k =>
+      require(k.nonEmpty && !k.contains('\n'), s"bad txn key: $k")
+      TxnPrefix + k
+    }
+    val dstNow = latest(spark, dstRoot)._2
+    (srcTxn ++ txn).foreach { t =>
+      require(!dstNow.contains(t),
+        s"merge of $srcRoot into $dstRoot rejected: delivery key " +
+          s"${t.stripPrefix(TxnPrefix)} already lives in the destination " +
+          "— its batch is already folded here (merging again would " +
+          "double-count it)")
+    }
+    (srcC ++ srcR).foreach { d =>
+      val p = new Path(s"${dataDir(srcRoot)}/$d")
+      require(fsFor(spark, p).exists(p),
+        s"source commit $d vanished mid-merge (concurrent vacuum?) — " +
+          "re-read the source and retry")
+    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val full = StructType(physSchema.fields :+ StructField("fidelity", StringType))
+    val writes = Seq(
+      if (srcC.isEmpty) Future.successful(None)
+      else Future(Some(writeCommitDir(dstRoot,
+        // plain concat of the source's partials: v1 commits read sumsq
+        // NULL here and the null lands in the staged rows, which the
+        // null-poisoning fold treats exactly like the absent column
+        srcC.map(d => spark.read.schema(full)
+            .option("basePath", s"${dataDir(srcRoot)}/$d")
+            .parquet(s"${dataDir(srcRoot)}/$d"))
+          .reduce(_.unionByName(_))))),
+      if (srcR.isEmpty) Future.successful(None)
+      else Future(Some(writeRawCommitDir(dstRoot,
+        spark.read
+          .parquet(srcR.map(d => s"${dataDir(srcRoot)}/$d"): _*)
+          .select("dataset_id", "ts_us", "value")))))
+    val names = Await.result(Future.sequence(writes), Duration.Inf).flatten
+    val published = commit(spark, dstRoot) { now =>
+      if ((srcTxn ++ txn).exists(now.contains)) None // raced duplicate
+      else Some(now :++ names :++ srcTxn :++ txn.toSeq)
+    }
+    if (!published) {
+      dropStaged(spark, dstRoot, names)
+      require(published,
+        s"merge of $srcRoot into $dstRoot raced a concurrent writer " +
+          "that committed one of its delivery keys — this attempt's " +
+          "staging was dropped")
+    }
+  }
+
   /** Right-to-be-forgotten on the atomic store: rewrite every live
    *  commit that CONTAINS the series without it and swap the manifest
    *  ONCE — readers resolve the pre-delete or post-delete table, never

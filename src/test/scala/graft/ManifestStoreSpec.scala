@@ -225,6 +225,50 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("compaction"))
   }
 
+  test("mergeFrom: merged store reads like one store over both ingest " +
+      "sets, even on overlapping series; keys compose; source read-only") {
+    val dst = TestSpark.tmpDir("mstore_mdst")
+    val src = TestSpark.tmpDir("mstore_msrc")
+    val ref = TestSpark.tmpDir("mstore_mref")
+    val bDst = batch(("a", "2024-01-01T00:00:00", 1.0),
+      ("a", "2024-01-01T00:00:01", 2.0))
+    // overlaps dst's series AND its first bucket — the merge-on-read
+    // monoid must fold cross-store contributions, so merge does NOT
+    // require disjoint key spaces (unlike the index merges)
+    val bSrc = batch(("a", "2024-01-01T00:00:00", 10.0),
+      ("b", "2024-01-01T00:00:02", 5.0))
+    assert(ManifestStore.ingestBatchAtomic(spark, dst, bDst, key = Some("d0")))
+    assert(ManifestStore.ingestBatchAtomic(spark, src, bSrc, key = Some("s0")))
+    assert(ManifestStore.ingestBatchAtomic(spark, ref, bDst))
+    assert(ManifestStore.ingestBatchAtomic(spark, ref, bSrc))
+    val srcLiveBefore = ManifestStore.latest(spark, src)
+
+    ManifestStore.mergeFrom(spark, dst, src, key = Some("m0"))
+    assert(level1(dst) == level1(ref),
+      "merged rollups must equal one store over both batches")
+    assert(ManifestStore.readRaw(spark, dst).count() ==
+      ManifestStore.readRaw(spark, ref).count())
+    // and both merged tables agree with each other at every version
+    val (v, live) = ManifestStore.latest(spark, dst)
+    assert(live.contains("#txn:s0") && live.contains("#txn:m0"))
+    assert(ManifestStore.readRawAsOf(spark, dst, v).count() ==
+      ManifestStore.readLevelAsOf(spark, dst, Fidelity.S1, v)
+        .agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0))
+
+    // the source's key rode along: its batch redelivered to the merged
+    // store folds in ZERO times (atomic ingest returns false)
+    assert(!ManifestStore.ingestBatchAtomic(spark, dst, bSrc, key = Some("s0")),
+      "redelivered batch must be rejected by the merged store")
+    assert(level1(dst) == level1(ref), "rejected redelivery mutated the store")
+    // re-merging the same source refuses
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.mergeFrom(spark, dst, src)
+    }
+    assert(ex.getMessage.contains("already lives in the destination"))
+    // the source was never written to
+    assert(ManifestStore.latest(spark, src) == srcLiveBefore)
+  }
+
   test("CommitLog hammer: no publish is ever lost under heavy contention") {
     // regression for a REAL lost-update race: Hadoop's local
     // create(overwrite=false) is exists-check-then-create, so two
