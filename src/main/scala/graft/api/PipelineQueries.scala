@@ -244,11 +244,16 @@ object PipelineQueries {
     shingleIndexCache.computeIfAbsent((s, dir), { key =>
       val idx = java.nio.file.Files
         .createTempDirectory("graft_shingle_idx").toString
+      // the even half, as two parity-of-half shards: the fixture exists
+      // to be PROBED — building a corpus-scale shingle index inside the
+      // timed query is the round-8 anti-pattern the fixture discipline
+      // removed (text_index_search 32 s → 2 s)
       val d = docs(key._1, key._2)
+        .where(pmod(col("doc_id"), lit(2)) === 0)
         .select(col("doc_id"), shingleText(col("text")).as("text"))
       for (i <- 0 until 2)
         graft.text.TextIndex.ingestShard(key._1, idx,
-          d.where(pmod(col("doc_id"), lit(2)) === i),
+          d.where(pmod(col("doc_id"), lit(4)) === 2 * i),
           "doc_id", "text", key = Some(s"n$i"))
       idx
     })
@@ -467,20 +472,20 @@ object PipelineQueries {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_lsh_cidx").toString
       val d = docs(s, dir).select("doc_id", "text")
-        .where(pmod(col("doc_id"), lit(10)) === 3)
+        .where(pmod(col("doc_id"), lit(20)) === 3)
       for (i <- 0 until 3)
         Dedup.indexCheckAndIngest(s, idx,
-          d.where(pmod(col("doc_id"), lit(30)) === 10 * i + 3),
+          d.where(pmod(col("doc_id"), lit(60)) === 20 * i + 3),
           "doc_id", "text", JaccardThreshold,
           deliveryKey = Some(s"c$i")): Unit
       Dedup.indexCompact(s, idx)
       require(scala.util.Try(Dedup.indexCheckAndIngest(s, idx,
-          d.where(pmod(col("doc_id"), lit(30)) === 3),
+          d.where(pmod(col("doc_id"), lit(60)) === 3),
           "doc_id", "text", JaccardThreshold,
           deliveryKey = Some("c0"))).isFailure,
         "delivery keys must survive the fold — redelivery still rejected")
       Dedup.indexVacuum(s, idx)
-      val batch = d.where(pmod(col("doc_id"), lit(30)) === 3)
+      val batch = d.where(pmod(col("doc_id"), lit(60)) === 3)
         .select((col("doc_id") + 100000L).as("doc_id"),
           concat(col("text"), lit(" zz0 zz1 zz2")).as("text"))
       Dedup.indexCheckAndIngest(s, idx, batch, "doc_id", "text",
@@ -874,22 +879,22 @@ object PipelineQueries {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_ivf_cidx").toString
       val base = embBase(s, dir)
-      val sub = base.where(pmod(col("vec_id"), lit(4)) === 2)
-      val founding = sub.where(pmod(col("vec_id"), lit(12)) === 2)
+      val sub = base.where(pmod(col("vec_id"), lit(8)) === 2)
+      val founding = sub.where(pmod(col("vec_id"), lit(24)) === 2)
       Similarity.ivfIndexBuild(s, idx, founding,
         Similarity.boundedStep(founding.count()), key = Some("c0"))
       for (i <- 1 until 3)
         Similarity.ivfIndexAppend(s, idx,
-          sub.where(pmod(col("vec_id"), lit(12)) === 4 * i + 2),
+          sub.where(pmod(col("vec_id"), lit(24)) === 8 * i + 2),
           key = Some(s"c$i"))
       Similarity.ivfIndexCompactTiered(s, idx, fanIn = 2)
       Similarity.ivfIndexCompactTiered(s, idx, fanIn = 16)
       require(scala.util.Try(Similarity.ivfIndexAppend(s, idx,
-          sub.where(pmod(col("vec_id"), lit(12)) === 6),
+          sub.where(pmod(col("vec_id"), lit(24)) === 10),
           key = Some("c1"))).isFailure,
         "delivery keys must survive the fold — redelivery still rejected")
       Similarity.ivfIndexVacuum(s, idx)
-      Similarity.ivfIndexQuery(s, idx, sub.where(col("vec_id") < 20),
+      Similarity.ivfIndexQuery(s, idx, sub.where(col("vec_id") < 40),
           k = 10, nProbe = 3)
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
@@ -908,21 +913,24 @@ object PipelineQueries {
         .createTempDirectory("graft_ivf_mdst").toString
       val srcIdx = java.nio.file.Files
         .createTempDirectory("graft_ivf_msrc").toString
-      val base = embBase(s, dir)
-      val even = base.where(pmod(col("vec_id"), lit(2)) === 0)
-      val odd = base.where(pmod(col("vec_id"), lit(2)) === 1)
-      Similarity.ivfIndexBuild(s, dstIdx, even,
-        Similarity.boundedStep(even.count()), key = Some("west0"))
-      Similarity.ivfIndexBuild(s, srcIdx, odd,
-        Similarity.boundedStep(odd.count()), key = Some("east0"))
+      // two quarter-slices (the even half split by %4): the timed
+      // machinery is the MERGE, not a corpus-scale index build — the
+      // same fixture discipline as text_index_ingest's 1/10 subset
+      val sub = embBase(s, dir).where(pmod(col("vec_id"), lit(2)) === 0)
+      val west = sub.where(pmod(col("vec_id"), lit(4)) === 0)
+      val east = sub.where(pmod(col("vec_id"), lit(4)) === 2)
+      Similarity.ivfIndexBuild(s, dstIdx, west,
+        Similarity.boundedStep(west.count()), key = Some("west0"))
+      Similarity.ivfIndexBuild(s, srcIdx, east,
+        Similarity.boundedStep(east.count()), key = Some("east0"))
       Similarity.ivfIndexMergeFrom(s, dstIdx, srcIdx, key = Some("m0"))
-      require(scala.util.Try(Similarity.ivfIndexAppend(s, dstIdx, odd,
+      require(scala.util.Try(Similarity.ivfIndexAppend(s, dstIdx, east,
           key = Some("east0"))).isFailure,
         "the source's delivery key must reject redelivery into the merged index")
       require(scala.util.Try(
           Similarity.ivfIndexMergeFrom(s, dstIdx, srcIdx)).isFailure,
         "re-merging the same source must be refused")
-      Similarity.ivfIndexQuery(s, dstIdx, base.where(col("vec_id") < 5),
+      Similarity.ivfIndexQuery(s, dstIdx, sub.where(col("vec_id") < 10),
           k = 10, nProbe = 3)
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
@@ -1384,7 +1392,7 @@ object PipelineQueries {
     // Containment = overlap / kept-benchmark-shingles in exact ppm
     "index_decontaminate" -> ((s, dir) => {
       val bench = docs(s, dir).select("doc_id", "text")
-        .where(col("doc_id") % 150 === 0)
+        .where(col("doc_id") % 300 === 0)
         .select((col("doc_id") + 500000L).as("doc_id"),
           concat(col("text"), lit(" qq1 qq2")).as("text"))
       graft.text.TextIndex.containmentProbe(
@@ -2792,10 +2800,10 @@ object PipelineQueries {
     // same boilerplate cap: kept = benchmark shingles indexed with
     // df ≤ 200; containment = overlap/kept in exact ppm
     "index_decontaminate" ->
-      """WITH corpus AS (SELECT doc_id, text FROM documents),
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
         |bench AS (SELECT doc_id + 500000 AS bench_id,
         |    text || ' qq1 qq2' AS text
-        |  FROM documents WHERE doc_id % 150 = 0),
+        |  FROM documents WHERE doc_id % 300 = 0),
         |ctok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
         |csh AS (SELECT DISTINCT doc_id, unnest(list_transform(
         |    generate_series(1, len(tokens) - 2),
@@ -2850,11 +2858,11 @@ object PipelineQueries {
     // compacted-index check ≡ declarative cross Jaccard between the
     // three folded shards and the batch, per-shard df caps
     "dedup_index_compact" ->
-      s"""WITH sub AS (SELECT doc_id, text, (doc_id % 30) // 10 AS shard
-         |             FROM documents WHERE doc_id % 10 = 3),
+      s"""WITH sub AS (SELECT doc_id, text, (doc_id % 60) // 20 AS shard
+         |             FROM documents WHERE doc_id % 20 = 3),
          |batch AS (SELECT doc_id + 100000 AS doc_id,
          |    text || ' zz0 zz1 zz2' AS text, 3 AS shard
-         |  FROM documents WHERE doc_id % 30 = 3),
+         |  FROM documents WHERE doc_id % 60 = 3),
          |d AS (SELECT * FROM sub UNION ALL SELECT * FROM batch),
          |tok AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d),
          |sh0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
@@ -2911,12 +2919,12 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = b_id
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
          |ORDER BY a_id, b_id""".stripMargin,
-    // compacted IVF ≡ declarative frozen-centroid IVF over the quarter
-    // (centroids strided over the founding 1/12 slice)
+    // compacted IVF ≡ declarative frozen-centroid IVF over the eighth
+    // (centroids strided over the founding 1/24 slice)
     "ann_index_compact" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-        |           FROM embeddings WHERE vec_id % 4 = 2),
-        |f AS (SELECT * FROM e WHERE vec_id % 12 = 2),
+        |           FROM embeddings WHERE vec_id % 8 = 2),
+        |f AS (SELECT * FROM e WHERE vec_id % 24 = 2),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM f
         |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
         |                      FROM f) = 0),
@@ -2931,7 +2939,7 @@ object PipelineQueries {
         |       FROM ac),
         |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
         |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
-        |           FROM ar WHERE vec_id < 20 AND rn <= 3),
+        |           FROM ar WHERE vec_id < 40 AND rn <= 3),
         |p AS (
         |  SELECT q_id, n_id,
         |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
@@ -2943,14 +2951,16 @@ object PipelineQueries {
         |      FROM p)
         |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
-    // merged IVF ≡ declarative frozen-centroid IVF over the FULL corpus
-    // with the destination's centroids (strided over the even half)
+    // merged IVF ≡ declarative frozen-centroid IVF over the even-half
+    // union of the two quarter slices, with the destination's
+    // centroids (strided over the %4==0 quarter)
     "ann_index_merge" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        |           WHERE vec_id % 2 = 0),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM e
-        |      WHERE vec_id % 2 = 0
+        |      WHERE vec_id % 4 = 0
         |        AND vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
-        |                      FROM e WHERE vec_id % 2 = 0) = 0),
+        |                      FROM e WHERE vec_id % 4 = 0) = 0),
         |ac AS (
         |  SELECT e.vec_id, e.v, c.c_id,
         |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
@@ -2962,7 +2972,7 @@ object PipelineQueries {
         |       FROM ac),
         |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
         |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
-        |           FROM ar WHERE vec_id < 5 AND rn <= 3),
+        |           FROM ar WHERE vec_id < 10 AND rn <= 3),
         |p AS (
         |  SELECT q_id, n_id,
         |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
