@@ -2010,6 +2010,38 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- ZERO-COPY BRANCH: clone the shared atomic fixture AS OF v2
+    // (batches 0-1) into a fresh root — every live file hard-links,
+    // zero bytes move — then DIVERGE the branch: batch 1's key (folded
+    // before the branch point) still rejects there, while batch 2's
+    // key (folded by the source only at v3, after the branch point)
+    // ingests normally. The branch ends up holding all three batches
+    // through its own two-version history; the source is never
+    // touched. Oracle = the one-shot 1 s rollup over ALL events -----
+    "store_branch" -> ((s, dir) => {
+      val src = atomicManifestStore(s, dir)
+      val br = java.nio.file.Files
+        .createTempDirectory("graft_branch").toString + "/b"
+      graft.store.ManifestStore.cloneAsOf(s, src, br, version = 2L)
+      val long = ev(s, dir)
+      val h = pmod(
+        conv(substring(
+          md5(concat_ws("|", col("dataset_id"), col("ts_us"))), 1, 15), 16, 10)
+          .cast("long"),
+        lit(3L))
+      require(!graft.store.ManifestStore.ingestBatchAtomic(
+          s, br, long.where(h === 1), key = Some("b1")),
+        "a key folded before the branch point must reject on the branch")
+      require(graft.store.ManifestStore.ingestBatchAtomic(
+          s, br, long.where(h === 2), key = Some("b2")),
+        "a key folded only after the branch point must ingest on the branch")
+      graft.store.ManifestStore.readLevel(s, br, Fidelity.S1)
+        .select(
+          col("dataset_id"), col("bucket_s"),
+          col("min_v"), col("max_v"), r6(col("sum_v")).as("sum_v"), col("cnt"))
+        .orderBy("dataset_id", "bucket_s")
+    }),
+
     // ---- manifest time travel: ingest 3 batches (md5-split so the
     // oracle reproduces the partition), then read the 1 s level AS OF
     // version 2 — the snapshot must equal the rollup of batches 0-1
@@ -2546,6 +2578,10 @@ object CoreQueries {
     // merged store ≡ one store over every event: the crc32 halves
     // reunite exactly, cross-store buckets folding on read
     "store_merge" -> rollupSql(1),
+    // branched-then-diverged ≡ one store over every event: v2's two
+    // batches came through the clone, batch 2 through the branch's own
+    // ingest
+    "store_branch" -> rollupSql(1),
     // each version's visible rows = cumulative md5-split membership,
     // identical on both tables
     "manifest_history" ->

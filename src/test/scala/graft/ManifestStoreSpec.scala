@@ -225,6 +225,60 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("compaction"))
   }
 
+  test("cloneAsOf: zero-copy branch at a version diverges independently; " +
+      "pre-branch keys reject, post-branch keys ingest; source vacuum safe") {
+    val src = TestSpark.tmpDir("mstore_bsrc")
+    val br = TestSpark.tmpDir("mstore_bbr") + "/branch"
+    val b0 = batch(("a", "2024-01-01T00:00:00", 1.0))
+    val b1 = batch(("a", "2024-01-01T00:00:01", 2.0))
+    val b2 = batch(("b", "2024-01-01T00:00:02", 9.0))
+    assert(ManifestStore.ingestBatchAtomic(spark, src, b0, key = Some("k0")))
+    assert(ManifestStore.ingestBatchAtomic(spark, src, b1, key = Some("k1")))
+    assert(ManifestStore.ingestBatchAtomic(spark, src, b2, key = Some("k2")))
+
+    // branch at v2 = batches 0-1; reads equal the source's as-of view
+    ManifestStore.cloneAsOf(spark, src, br, version = 2L)
+    def lvl(root: String) = ManifestStore.readLevel(spark, root, Fidelity.S1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+      .toSet
+    val asOf2 = ManifestStore.readLevelAsOf(spark, src, Fidelity.S1, 2L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(4)))
+      .toSet
+    assert(lvl(br) == asOf2, "branch must read as the source's v2 snapshot")
+
+    // a key folded BEFORE the branch point rejects on the branch; one
+    // folded only AFTER it (k2, on the source's v3) ingests normally —
+    // the branch genuinely diverged at v2
+    assert(!ManifestStore.ingestBatchAtomic(spark, br, b1, key = Some("k1")))
+    assert(ManifestStore.ingestBatchAtomic(spark, br, b2, key = Some("k2")))
+    val srcV = ManifestStore.latest(spark, src)
+    assert(srcV._1 == 3L, "branch writes must never touch the source")
+
+    // branch now equals the full source content, via a different history
+    assert(lvl(br) == lvl(src))
+
+    // hard links share bytes, not names: compact + vacuum the SOURCE
+    // and the branch still reads (its names pin the shared inodes)
+    ManifestStore.compact(spark, src)
+    ManifestStore.vacuum(spark, src)
+    assert(lvl(br) == lvl(src), "source vacuum must not reach the branch")
+
+    // loud failures: unpublished version, non-empty destination
+    intercept[IllegalArgumentException] {
+      ManifestStore.cloneAsOf(spark, src, TestSpark.tmpDir("mstore_bx"), 99L)
+    }
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.cloneAsOf(spark, src, br,
+        ManifestStore.latest(spark, src)._1)
+    }
+    assert(ex.getMessage.contains("already has published versions"))
+    // and a vacuumed snapshot cannot branch (the as-of read discipline)
+    val ex2 = intercept[IllegalArgumentException] {
+      ManifestStore.cloneAsOf(spark, src, TestSpark.tmpDir("mstore_bv"), 1L)
+    }
+    assert(ex2.getMessage.contains("vacuumed"))
+  }
+
   test("mergeFrom: merged store reads like one store over both ingest " +
       "sets, even on overlapping series; keys compose; source read-only") {
     val dst = TestSpark.tmpDir("mstore_mdst")
