@@ -1401,6 +1401,49 @@ object PipelineQueries {
           "doc_id", "text", maxDf = 200L, minPpm = 800000L)
         .orderBy("bench_id", "doc_id")
     }),
+    // HYBRID RETRIEVAL capstone: ONE query answered by BOTH retrieval
+    // tiers and fused — the text leg is a BM25 top-20 from the shared
+    // persisted inverted index (posting-list scan, corpus text never
+    // read), the vector leg is an IVF top-20 over doc-grain histogram
+    // embeddings (the rag_retrieval encoder stub; probe cost
+    // nProbe/#cells of the corpus), and the legs fuse by reciprocal-
+    // rank fusion in exact integer arithmetic (score = Σ 1e6 div
+    // (60 + rank) — integer div, so engines hash-match). The fusion
+    // join is top-20 × top-20: constant-size regardless of corpus.
+    // This is the production hybrid-search shape: each leg's cost is
+    // its index's probe cost, the fusion is free
+    "hybrid_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+      val qText = "merge window scan"
+      val textHits = graft.text.TextIndex
+        .searchBm25(s, textIndexFixture(s, dir), qText.split(" ").toSeq, 20)
+        .select(col("doc_id"), col("rank").as("r_text"))
+      def embed(c: Column) =
+        toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d
+        .select(col("doc_id").as("vec_id"), embed(col("text")).as("v"))
+        .where(aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x) > 0)
+      val q = Seq((-1L, qText)).toDF("vec_id", "t")
+        .select(col("vec_id"), embed(col("t")).as("v"))
+      val vecHits = Similarity.ivfTopK(corpus, q, 20,
+          centroidStep = Similarity.boundedStep(d.count()), nProbe = 3)
+        .select(col("n_id").as("doc_id"), col("rank").as("r_vec"))
+      textHits.join(vecHits, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000 div (60 + r_text)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_vec)"), lit(0L))).as("score_ppm"),
+          (col("r_text").isNotNull.cast("int") +
+            col("r_vec").isNotNull.cast("int")).cast("long").as("n_sources"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_sources"))
+        .orderBy("rank")
+    }),
     // FEDERATED index merge: two text indexes built INDEPENDENTLY over
     // disjoint corpus slices (two regional crawls) fold into one with
     // TextIndex.mergeFrom — cost ∝ the source INDEX bytes (postings
@@ -2825,6 +2868,94 @@ object PipelineQueries {
         |FROM ov JOIN nk USING (bench_id)
         |WHERE 1000000 * overlap // n_kept >= 800000
         |ORDER BY bench_id, doc_id""".stripMargin,
+    // hybrid ≡ RRF of the declarative BM25 top-20 (whole-corpus index)
+    // and the declarative frozen-centroid IVF top-20 over the same
+    // histogram embeddings — integer-div fusion, so exact
+    "hybrid_retrieval" ->
+      s"""WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm
+        |  FROM s2 GROUP BY 1),
+        |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS r_text FROM ag),
+        |bmr AS (SELECT doc_id, r_text FROM tr WHERE r_text <= 20),
+        |e0 AS (
+        |  SELECT doc_id AS vec_id,
+        |    list_transform(generate_series(1, 64), i -> CAST(len(text) -
+        |      len(replace(text, substr('$RagAlphabet', CAST(i AS INTEGER), 1), ''))
+        |      AS DOUBLE)) AS v
+        |  FROM documents),
+        |e AS (SELECT vec_id, v FROM e0
+        |      WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        |q AS (
+        |  SELECT CAST(-1 AS BIGINT) AS q_id,
+        |    list_transform(generate_series(1, 64), i -> CAST(len(qs) -
+        |      len(replace(qs, substr('$RagAlphabet', CAST(i AS INTEGER), 1), ''))
+        |      AS DOUBLE)) AS qv
+        |  FROM (VALUES ('merge window scan')) t(qs)),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM documents) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |assigned AS (
+        |  SELECT vec_id AS n_id, v, c_id AS cell FROM (
+        |    SELECT vec_id, v, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |    FROM ac) WHERE rn = 1),
+        |aq AS (
+        |  SELECT q.q_id, q.qv, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM q, c),
+        |probes AS (
+        |  SELECT q_id, qv, c_id AS cell FROM (
+        |    SELECT q_id, qv, c_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_id) AS rn
+        |    FROM aq) WHERE rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |rv AS (SELECT n_id, row_number() OVER (ORDER BY cos DESC, n_id) AS r_vec
+        |       FROM p),
+        |vr AS (SELECT n_id AS doc_id, r_vec FROM rv WHERE r_vec <= 20),
+        |f AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+        |    coalesce(1000000 // (60 + b.r_text), 0) +
+        |      coalesce(1000000 // (60 + v.r_vec), 0) AS score_ppm,
+        |    (CASE WHEN b.r_text IS NOT NULL THEN 1 ELSE 0 END +
+        |     CASE WHEN v.r_vec IS NOT NULL THEN 1 ELSE 0 END) AS n_sources
+        |  FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id),
+        |g AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM f)
+        |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+        |  CAST(score_ppm AS BIGINT) AS score_ppm,
+        |  CAST(n_sources AS BIGINT) AS n_sources
+        |FROM g WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // merged index ≡ declarative BM25 over the UNION of the two
     // regional slices: the merge's df/nd/tl sum-folds are exactly what
     // one index over the union would have stored
