@@ -100,6 +100,68 @@ final class CommitLog(manifestDir: String) {
       ok
     }
 
+  /** ZERO-COPY CLONE of a manifest-governed dataset as of a published
+   *  version — the generic core every dataset's branch operation
+   *  shares (the rollup store, the text/dedup/IVF indexes): hard-link
+   *  every data dir the version references from `srcDataDir` into
+   *  `dstDataDir` (bytes shared, names independent — commit dirs are
+   *  immutable once published, so neither side's compaction or vacuum
+   *  can reach the other through a shared inode), then publish the
+   *  as-of live set — `#txn:` keys included, so exactly-once history
+   *  branches with the data — as the destination log's first version.
+   *  Cost ∝ live file COUNT, zero bytes moved; non-POSIX filesystems
+   *  fall back to a byte copy with the same semantics. Loud on an
+   *  unpublished version, a vacuumed snapshot, or a non-empty
+   *  destination.
+   */
+  def cloneAsOf(
+      spark: SparkSession, srcDataDir: String, dstDataDir: String,
+      dstLog: CommitLog, version: Long): Unit = {
+    require(dstLog.latest(spark)._1 == 0L,
+      s"cannot branch into $dstDataDir — the destination already has " +
+        "published versions (branch into a fresh root)")
+    val live = liveAt(spark, version)
+    val dirs = live.filterNot(_.startsWith("#txn:"))
+    require(dirs.nonEmpty, s"version $version has no data commits")
+    val conf = spark.sessionState.newHadoopConf()
+    dirs.foreach { d =>
+      val p = new Path(s"$srcDataDir/$d")
+      require(p.getFileSystem(conf).exists(p),
+        s"commit $d of version $version was vacuumed — snapshots below " +
+          "the retention floor cannot branch")
+    }
+    val fs = new Path(srcDataDir).getFileSystem(conf)
+    val localFs = Option(fs.getUri.getScheme).forall(_ == "file")
+    for (d <- dirs) {
+      if (localFs) {
+        import java.nio.file.{Files, Paths}
+        val from = Paths.get(new Path(s"$srcDataDir/$d").toUri.getPath)
+        val to = Paths.get(new Path(s"$dstDataDir/$d").toUri.getPath)
+        val walk = Files.walk(from)
+        try walk.forEach { p =>
+          val t = to.resolve(from.relativize(p))
+          if (Files.isDirectory(p)) Files.createDirectories(t): Unit
+          else Files.createLink(t, p): Unit
+        } finally walk.close()
+      } else
+        org.apache.hadoop.fs.FileUtil.copy(
+          fs, new Path(s"$srcDataDir/$d"),
+          fs, new Path(s"$dstDataDir/$d"), false, conf): Unit
+    }
+    val published = dstLog.commit(spark) { now =>
+      if (now.nonEmpty) None else Some(live) // raced writer — abort
+    }
+    if (!published) {
+      for (d <- dirs) {
+        val p = new Path(s"$dstDataDir/$d")
+        p.getFileSystem(conf).delete(p, true): Unit
+      }
+      require(published,
+        s"cannot branch into $dstDataDir — a concurrent writer " +
+          "published there first (branch into a fresh root)")
+    }
+  }
+
   /** Optimistic-concurrency publish: compute the next live set from the
    *  current one; `next` returning None ABORTS. Returns true iff a
    *  version was published.

@@ -616,52 +616,10 @@ object ManifestStore {
    */
   def cloneAsOf(
       spark: SparkSession, srcRoot: String, dstRoot: String,
-      version: Long): Unit = {
-    require(log(dstRoot).latest(spark)._1 == 0L,
-      s"cannot branch into $dstRoot — it already has published versions " +
-        "(branch into a fresh root)")
-    val live = liveAt(spark, srcRoot, version) // loud if never published
-    val dirs = live.filter(e => e.startsWith("c-") || e.startsWith("r-"))
-    require(dirs.nonEmpty, s"version $version of $srcRoot has no data commits")
-    val conf = spark.sessionState.newHadoopConf()
-    dirs.foreach { d =>
-      val p = new Path(s"${dataDir(srcRoot)}/$d")
-      require(p.getFileSystem(conf).exists(p),
-        s"commit $d of version $version was vacuumed from $srcRoot — " +
-          "snapshots below the retention floor cannot branch")
-    }
-    val srcData = new Path(dataDir(srcRoot))
-    val fs = srcData.getFileSystem(conf)
-    val localFs = Option(fs.getUri.getScheme).forall(_ == "file")
-    for (d <- dirs) {
-      if (localFs) {
-        import java.nio.file.{Files, Paths}
-        val from = Paths.get(
-          new Path(s"${dataDir(srcRoot)}/$d").toUri.getPath)
-        val to = Paths.get(
-          new Path(s"${dataDir(dstRoot)}/$d").toUri.getPath)
-        val walk = Files.walk(from)
-        try walk.forEach { p =>
-          val t = to.resolve(from.relativize(p))
-          if (Files.isDirectory(p)) Files.createDirectories(t): Unit
-          else Files.createLink(t, p): Unit
-        } finally walk.close()
-      } else
-        org.apache.hadoop.fs.FileUtil.copy(
-          fs, new Path(s"${dataDir(srcRoot)}/$d"),
-          fs, new Path(s"${dataDir(dstRoot)}/$d"),
-          false, conf): Unit
-    }
-    val published = log(dstRoot).commit(spark) { now =>
-      if (now.nonEmpty) None else Some(live) // raced writer — abort
-    }
-    if (!published) {
-      dropStaged(spark, dstRoot, dirs)
-      require(published,
-        s"cannot branch into $dstRoot — a concurrent writer published " +
-          "there first (branch into a fresh root)")
-    }
-  }
+      version: Long): Unit =
+    // the generic commit-log clone (shared with the index branches)
+    log(srcRoot).cloneAsOf(
+      spark, dataDir(srcRoot), dataDir(dstRoot), log(dstRoot), version)
 
   /** FEDERATED MERGE: fold ANOTHER store instance's live raw and
    *  rollup state into this one under ONE manifest version — the

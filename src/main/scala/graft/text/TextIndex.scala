@@ -476,6 +476,22 @@ object TextIndex {
     }
   }
 
+  /** ZERO-COPY BRANCH of the index as of a published version — the
+   *  same shallow clone the store offers (CommitLog.cloneAsOf): data
+   *  files hard-link, the as-of live set (delivery keys included)
+   *  becomes the branch's first version, and the two indexes diverge
+   *  independently from there — experiment with a different
+   *  compaction policy, df cap, or shard mix on a branch of a corpus-
+   *  scale index without copying a byte. A shard folded before the
+   *  branch point still rejects redelivery on the branch; one
+   *  ingested only after it lands normally.
+   */
+  def cloneAsOf(
+      spark: SparkSession, srcDir: String, dstDir: String,
+      version: Long): Unit =
+    clog(srcDir).cloneAsOf(
+      spark, s"$srcDir/data", s"$dstDir/data", clog(dstDir), version)
+
   /** Reclaim data dirs no longer referenced by the LATEST version
    *  (superseded by compaction). Run once in-flight readers of older
    *  snapshots drain — after vacuum, an as-of read of a superseded

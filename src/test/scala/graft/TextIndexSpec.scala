@@ -163,6 +163,43 @@ class TextIndexSpec extends AnyFunSuite {
       "doc_id", "text", maxDf = 2L, minPpm = 0L).isEmpty)
   }
 
+  test("cloneAsOf: index branch at a version diverges independently; " +
+      "keys branch with the data; source vacuum cannot reach the branch") {
+    val src = TestSpark.tmpDir("text_idx_bsrc")
+    val br = TestSpark.tmpDir("text_idx_bbr") + "/branch"
+    TextIndex.ingestShard(spark, src,
+      corpus.where(col("doc_id") < 2), "doc_id", "text", key = Some("s0"))
+    TextIndex.ingestShard(spark, src,
+      corpus.where(col("doc_id") >= 2 && col("doc_id") < 4),
+      "doc_id", "text", key = Some("s1"))
+    TextIndex.ingestShard(spark, src,
+      corpus.where(col("doc_id") === 4), "doc_id", "text", key = Some("s2"))
+    def run(idx: String) = TextIndex
+      .searchBm25(spark, idx, Seq("merge", "window", "scan"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+
+    // branch at v2 = shards 0-1: a pre-branch key rejects there, the
+    // post-branch shard (s2, the source's v3) ingests — true divergence
+    TextIndex.cloneAsOf(spark, src, br, version = 2L)
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.ingestShard(spark, br,
+        corpus.where(col("doc_id") < 2), "doc_id", "text", key = Some("s0"))
+    }
+    assert(ex.getMessage.contains("already ingested"))
+    TextIndex.ingestShard(spark, br,
+      corpus.where(col("doc_id") === 4), "doc_id", "text", key = Some("s2"))
+    assert(run(br) == run(src),
+      "branch + its own s2 ingest must equal the source's full index")
+    assert(TextIndex.version(spark, src) == 3L, "branch writes hit the source")
+
+    // compact + vacuum the SOURCE: the branch's hard-linked names keep
+    // the shared inodes alive
+    TextIndex.compact(spark, src)
+    TextIndex.vacuum(spark, src)
+    assert(run(br) == run(src), "source vacuum reached the branch")
+  }
+
   test("mergeFrom: merged index answers like one index over the union; " +
       "delivery keys compose; duplicate merge refused; source read-only") {
     val dst = TestSpark.tmpDir("text_idx_mdst")
