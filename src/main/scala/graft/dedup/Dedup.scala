@@ -514,6 +514,20 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit =
     indexCompactTiered(spark, indexDir, fanIn = Int.MaxValue)
 
+  /** ZERO-COPY BRANCH of the LSH index as of a published version —
+   *  the shared CommitLog.cloneAsOf shallow clone: data hard-links,
+   *  the as-of live set (delivery keys included) becomes the branch's
+   *  first version, and the two indexes diverge independently (e.g.
+   *  re-run a dedup campaign at a different threshold against a
+   *  branch of corpus-scale stored state without copying a byte).
+   */
+  def indexCloneAsOf(
+      spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, version: Long): Unit =
+    new graft.store.CommitLog(s"$srcDir/_manifests").cloneAsOf(
+      spark, s"$srcDir/data", s"$dstDir/data",
+      new graft.store.CommitLog(s"$dstDir/_manifests"), version)
+
   /** Reclaim data dirs no longer referenced by the LATEST version
    *  (superseded by compaction) — run once in-flight readers drain.
    */

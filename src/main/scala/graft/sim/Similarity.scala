@@ -567,6 +567,19 @@ object Similarity {
     }
   }
 
+  /** ZERO-COPY BRANCH of the IVF index as of a published version —
+   *  the shared CommitLog.cloneAsOf shallow clone: postings and the
+   *  centroid leg hard-link, delivery keys branch with the data, and
+   *  the branch can rebuild (re-center) or append independently of
+   *  the source (e.g. trial a re-centering on a branch before
+   *  swapping production).
+   */
+  def ivfIndexCloneAsOf(
+      spark: org.apache.spark.sql.SparkSession, srcDir: String,
+      dstDir: String, version: Long): Unit =
+    ivfLog(srcDir).cloneAsOf(
+      spark, s"$srcDir/data", s"$dstDir/data", ivfLog(dstDir), version)
+
   /** Delete index data dirs no published version references (run after
    *  a rebuild once in-flight readers of the old generation drain).
    */

@@ -250,6 +250,57 @@ class PipelineSpec extends AnyFunSuite {
     assert(remaining.toSet == Set(onlyCommit), s"vacuum left ${remaining.toSeq}")
   }
 
+  test("index branches: dedup and IVF clones diverge at the branch point " +
+      "with branched delivery keys; sources untouched") {
+    // dedup: branch at v1 = shard b0 only
+    val dsrc = TestSpark.tmpDir("lsh_bsrc")
+    val dbr = TestSpark.tmpDir("lsh_bbr") + "/b"
+    Dedup.indexCheckAndIngest(spark, dsrc,
+      Seq((0L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6,
+      deliveryKey = Some("b0")): Unit
+    Dedup.indexCheckAndIngest(spark, dsrc,
+      Seq((10L, doc + " tail")).toDF("doc_id", "text"), "doc_id", "text", 0.6,
+      deliveryKey = Some("b1")): Unit
+    Dedup.indexCloneAsOf(spark, dsrc, dbr, version = 1L)
+    // the pre-branch key rejects on the branch
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.indexCheckAndIngest(spark, dbr,
+        Seq((0L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6,
+        deliveryKey = Some("b0"))
+    }
+    assert(ex.getMessage.contains("already ingested"))
+    // the branch sees ONLY the as-of state: a probe matches doc 0, not 10
+    val r = Dedup.indexCheckAndIngest(spark, dbr,
+        Seq((20L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .collect().map(_.getLong(0)).toSeq
+    assert(r == Seq(0L), s"branch leaked post-branch state: $r")
+    assert(Dedup.indexVersion(spark, dsrc) == 2L, "branch writes hit the source")
+
+    // IVF: branch at v1 = founding commit; a key the SOURCE folded at
+    // v2 ingests normally on the branch (true divergence)
+    val isrc = TestSpark.tmpDir("ivf_bsrc")
+    val ibr = TestSpark.tmpDir("ivf_bbr") + "/b"
+    val all = Similarity.asDouble(
+      (0L until 30L).map(i =>
+        (i, Array.tabulate(8)(d => math.cos(i * 0.9 + d).toFloat)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, isrc,
+      all.where(col("vec_id") % 2 === 0), centroidStep = 7L, key = Some("f0"))
+    Similarity.ivfIndexAppend(spark, isrc,
+      all.where(col("vec_id") % 2 === 1), key = Some("a0"))
+    Similarity.ivfIndexCloneAsOf(spark, isrc, ibr, version = 1L)
+    Similarity.ivfIndexAppend(spark, ibr,
+      all.where(col("vec_id") % 2 === 1), key = Some("a0")) // accepted: branched at v1
+    def run(idx: String) = Similarity
+      .ivfIndexQuery(spark, idx, all.where(col("vec_id") < 2), k = 5, nProbe = 2)
+      .orderBy("q_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSeq
+    assert(run(ibr) == run(isrc),
+      "branch + its own append must equal the source's build+append")
+    assert(Similarity.ivfVersion(spark, isrc) == 2L, "branch writes hit the source")
+  }
+
   test("indexMergeFrom: cross-corpus pairs from stored state; keys compose; " +
       "report rides the merge commit; source read-only") {
     val dst = TestSpark.tmpDir("lsh_mdst")
