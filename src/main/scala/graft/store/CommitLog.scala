@@ -14,6 +14,12 @@ import org.apache.spark.sql.SparkSession
  * other writer's manifest, see [[publishExclusive]]) and losers
  * re-read and retry. See ManifestStore's scaladoc for the full design
  * discussion; semantics here are identical.
+ *
+ * PROTOCOL INVARIANT — versions are DENSE: every publish is exactly
+ * latest+1 through create-exclusive, so the version sequence has no
+ * gaps above the retention floor. [[latest]] exploits this (hint +
+ * forward existence probes instead of an O(history) listing); writing
+ * a gapped version file by hand is out of contract.
  */
 final class CommitLog(manifestDir: String) {
 
@@ -23,6 +29,9 @@ final class CommitLog(manifestDir: String) {
   private def versionPath(v: Long): Path =
     new Path(manifestDir + f"/v$v%012d")
 
+  private def hintPath: Path = new Path(manifestDir + "/_latest")
+  private def floorPath: Path = new Path(manifestDir + "/_floor")
+
   private def readVersionFile(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     val body =
@@ -31,29 +40,134 @@ final class CommitLog(manifestDir: String) {
     body.split('\n').iterator.map(_.trim).filter(_.nonEmpty).toSeq
   }
 
-  /** Latest snapshot: (version, live entries); (0, Nil) if never written. */
+  /** Best-effort read of a single-long control file (`_latest` hint,
+   *  `_floor`): a missing, torn, or garbage file is simply None —
+   *  every caller re-validates against the `v%012d` files themselves,
+   *  so these files are NEVER trusted blind.
+   */
+  private def readLongFile(fs: FileSystem, p: Path): Option[Long] =
+    try {
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        Some(s.toLong).filter(_ >= 1L)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Best-effort overwrite of a control file (last writer wins; a torn
+   *  read on the other side degrades to the listing fallback, never to
+   *  a wrong answer). Local fs gets an atomic tmp+move so readers see
+   *  old-or-new, never partial bytes.
+   */
+  private def writeLongFile(fs: FileSystem, p: Path, v: Long): Unit =
+    try {
+      val body = v.toString.getBytes("UTF-8")
+      if (Option(fs.getUri.getScheme).forall(_ == "file")) {
+        import java.nio.file.{Files, Paths, StandardCopyOption}
+        val dir = Paths.get(p.getParent.toUri.getPath)
+        val tmp = dir.resolve(
+          s".${p.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
+        Files.write(tmp, body)
+        Files.move(tmp, dir.resolve(p.getName),
+          StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE): Unit
+      } else {
+        val out = fs.create(p, true)
+        try out.write(body) finally out.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+
+  private def listVersions(fs: FileSystem, dir: Path): Array[Long] =
+    fs.listStatus(dir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{12}")).map(_.drop(1).toLong)
+
+  /** Latest snapshot: (version, live entries); (0, Nil) if never
+   *  written.
+   *
+   *  COST CONTRACT: O(1)-ish, not O(history). The naive implementation
+   *  (`listStatus` over every version file ever published, take max)
+   *  makes every read AND every optimistic-commit attempt pay a
+   *  directory listing that grows forever — a streaming maintainer at
+   *  one commit per 10 s accrues ~8.6k versions/day, so within weeks
+   *  the listing dominates the commit. Instead: read the `_latest`
+   *  HINT (written best-effort after every publish), VALIDATE it
+   *  against the real version file, and roll FORWARD with existence
+   *  probes (versions are dense — each publish is exactly prev+1) —
+   *  cost is one hint read + (1 + lag) existence probes. The hint is
+   *  never trusted blind: missing / torn / pointing at a vacuumed
+   *  version all fall back to the full listing, which remains the
+   *  source of truth.
+   */
   def latest(spark: SparkSession): (Long, Seq[String]) = {
     val dir = new Path(manifestDir)
     val fs = fsFor(spark, dir)
     if (!fs.exists(dir)) (0L, Seq.empty)
     else {
-      val versions = fs.listStatus(dir).map(_.getPath.getName)
-        .filter(_.startsWith("v")).map(_.drop(1).toLong)
-      if (versions.isEmpty) (0L, Seq.empty)
+      var v = readLongFile(fs, hintPath)
+        .filter(h => fs.exists(versionPath(h)))
+        .getOrElse {
+          val versions = listVersions(fs, dir)
+          if (versions.isEmpty) 0L else versions.max
+        }
+      if (v == 0L) (0L, Seq.empty)
       else {
-        val v = versions.max
+        while (fs.exists(versionPath(v + 1))) v += 1
         (v, readVersionFile(fs, versionPath(v)))
       }
     }
   }
 
-  /** Live entries AS OF a published version (loud if never published). */
+  /** Live entries AS OF a published version — loud if never published,
+   *  and loud WITH THE REAL CAUSE if the version was reclaimed by
+   *  [[vacuumVersions]] (time-travel below the retention floor must
+   *  read as a retention decision, not as corruption).
+   */
   def liveAt(spark: SparkSession, v: Long): Seq[String] = {
     val p = versionPath(v)
     val fs = fsFor(spark, p)
-    require(fs.exists(p), s"manifest version $v was never published at $manifestDir")
+    if (!fs.exists(p)) {
+      val floor = readLongFile(fs, floorPath).getOrElse(1L)
+      require(v >= floor,
+        s"manifest version $v of $manifestDir is below the retention " +
+          s"floor $floor — vacuumVersions reclaimed it; time-travel and " +
+          "branch reads need a version at or above the floor")
+      require(false, s"manifest version $v was never published at $manifestDir")
+    }
     readVersionFile(fs, p)
   }
+
+  /** RETENTION for the version-file history itself: keep the newest
+   *  `keep` version files, delete the rest, and record the lowest
+   *  retained version in `_floor` so [[liveAt]] (and through it
+   *  time-travel and [[cloneAsOf]]) fails loudly-and-truthfully below
+   *  it. The floor is written BEFORE any delete (readers racing the
+   *  vacuum see the honest error, never "never published") and is
+   *  monotonic — a stale concurrent vacuum cannot lower it. Data-dir
+   *  reclamation is separate (each dataset's vacuum); this bounds the
+   *  MANIFEST history so the listing fallback of [[latest]] stays
+   *  small even when the hint is lost.
+   */
+  def vacuumVersions(spark: SparkSession, keep: Int): Unit = {
+    require(keep >= 1, s"vacuumVersions keep must be >= 1 (got $keep)")
+    val dir = new Path(manifestDir)
+    val fs = fsFor(spark, dir)
+    if (!fs.exists(dir)) return
+    val (v, _) = latest(spark)
+    if (v == 0L) return
+    val floor = math.max(1L, v - keep + 1)
+    val prior = readLongFile(fs, floorPath).getOrElse(1L)
+    if (floor > prior) writeLongFile(fs, floorPath, floor)
+    listVersions(fs, dir).filter(_ < math.max(floor, prior))
+      .foreach(x => fs.delete(versionPath(x), false): Unit)
+    writeLongFile(fs, hintPath, v)
+  }
+
+  /** The current retention floor (1 if never vacuumed). */
+  def retentionFloor(spark: SparkSession): Long =
+    readLongFile(fsFor(spark, floorPath), floorPath).getOrElse(1L)
 
   /** Atomically publish `body` at `target`, returning false iff the
    *  version already exists (a lost race). The content must be COMPLETE
@@ -93,11 +207,26 @@ final class CommitLog(manifestDir: String) {
         s".${target.getName}.tmp.${java.util.UUID.randomUUID().toString.take(8)}")
       val out = fs.create(tmp, false)
       try out.write(body) finally out.close()
-      val ok =
-        try fs.rename(tmp, target)
-        catch { case _: java.io.IOException => false }
-      if (!ok) fs.delete(tmp, false): Unit
-      ok
+      // rename-no-replace conflates two very different failures: "target
+      // exists" (a lost race — the healthy retry path) and everything
+      // else (missing parent, a store without atomic rename). Only the
+      // former may return false; a non-race failure retried blind would
+      // spin to the 50-stall backstop and die blaming a "wedged"
+      // manifest, hiding the real cause.
+      val failure: Option[Throwable] =
+        try { if (fs.rename(tmp, target)) None else Some(null) }
+        catch { case e: java.io.IOException => Some(e) }
+      failure match {
+        case None => true
+        case Some(cause) =>
+          fs.delete(tmp, false): Unit
+          if (fs.exists(target)) false // lost race — caller re-reads and retries
+          else throw new java.io.IOException(
+            s"manifest publish failed at $target for a NON-RACE reason " +
+              "(the target does not exist after the failed rename) — " +
+              "check the filesystem supports atomic rename-no-replace " +
+              "and the manifest directory is writable", cause)
+      }
     }
 
   /** ZERO-COPY CLONE of a manifest-governed dataset as of a published
@@ -188,7 +317,14 @@ final class CommitLog(manifestDir: String) {
         case None => return false
         case Some(entries) =>
           val body = (entries.mkString("\n") + "\n").getBytes("UTF-8")
-          if (publishExclusive(fs, versionPath(v + 1), body)) return true
+          if (publishExclusive(fs, versionPath(v + 1), body)) {
+            // refresh the hint so every later latest() skips the
+            // listing; best-effort and re-validated, so a lost hint
+            // write (or an out-of-order one under contention — the
+            // roll-forward probe absorbs a stale-low hint) is harmless
+            writeLongFile(fs, hintPath, v + 1)
+            return true
+          }
         // version taken — re-read, retry
       }
     }

@@ -136,13 +136,18 @@ class ManifestStoreSpec extends AnyFunSuite {
     val root = TestSpark.tmpDir("mstore")
     ManifestStore.ingestBatch(spark, root, batch(("a", "2024-01-01T00:00:00", 1.0)))
     val (v1, live1) = ManifestStore.latest(spark, root)
-    // simulate a concurrent writer publishing a higher version with the
-    // same live set — the next commit must re-read and land above it
-    val fake = new java.io.File(s"$root/mrollup/_manifests/" + f"v${v1 + 5}%012d")
+    // simulate a concurrent writer (another CommitLog instance — e.g. a
+    // different driver on the same root) publishing the next version
+    // with the same live set. Versions are DENSE by protocol (every
+    // publish is exactly latest+1 through create-exclusive), so the
+    // foreign version is v1+1; the next commit must discover it — the
+    // stale _latest hint rolls forward by existence probes — and land
+    // above it, never beside it
+    val fake = new java.io.File(s"$root/mrollup/_manifests/" + f"v${v1 + 1}%012d")
     java.nio.file.Files.writeString(fake.toPath, live1.mkString("", "\n", "\n"))
     ManifestStore.ingestBatch(spark, root, batch(("a", "2024-01-01T00:00:01", 2.0)))
     val (v2, live2) = ManifestStore.latest(spark, root)
-    assert(v2 == v1 + 6, "new commit sequenced after the foreign version")
+    assert(v2 == v1 + 2, "new commit sequenced after the foreign version")
     assert(live2.size == 2 && live1.forall(live2.contains))
     assert(level1(root).keySet.size == 2)
   }
@@ -352,6 +357,70 @@ class ManifestStoreSpec extends AnyFunSuite {
     for (vv <- Seq(1L, 80L, 159L))
       assert(clog.liveAt(spark, vv).size == vv.toInt,
         s"version $vv is not the $vv-entry prefix")
+  }
+
+  test("CommitLog latest() rides the _latest hint: stale, corrupt, missing and lying hints all self-heal") {
+    import java.nio.file.{Files, Paths}
+    val dir = s"${TestSpark.tmpDir("clog_hint")}/_manifests"
+    val clog = new graft.store.CommitLog(dir)
+    for (i <- 0 until 50)
+      assert(clog.commit(spark)(l => Some(l :+ s"e$i")))
+    // the winner of every publish refreshes the hint
+    val hint = Paths.get(dir, "_latest")
+    assert(Files.exists(hint), "_latest hint missing after 50 commits")
+    assert(new String(Files.readAllBytes(hint), "UTF-8").trim == "50")
+    assert(clog.latest(spark)._1 == 50L)
+    // stale-LOW hint (a lost hint write) rolls FORWARD by existence
+    // probes — versions are dense, so the probe walk finds the truth
+    Files.write(hint, "3".getBytes("UTF-8"))
+    assert(clog.latest(spark) == (50L, (0 until 50).map(i => s"e$i")))
+    // garbage hint degrades to the listing fallback, never to an error
+    Files.write(hint, "not-a-number".getBytes("UTF-8"))
+    assert(clog.latest(spark)._1 == 50L)
+    // a LYING hint (points above every published version) is caught by
+    // validation against the real version file — never trusted blind
+    Files.write(hint, "999".getBytes("UTF-8"))
+    assert(clog.latest(spark)._1 == 50L)
+    // no hint at all + a stray non-version file: the listing fallback
+    // must ignore anything that isn't exactly v%012d
+    Files.delete(hint)
+    Files.write(Paths.get(dir, "vGARBAGE"), "x".getBytes("UTF-8"))
+    assert(clog.latest(spark)._1 == 50L)
+    // and the next commit proceeds normally and restores the hint
+    assert(clog.commit(spark)(l => Some(l :+ "e50")))
+    assert(new String(Files.readAllBytes(hint), "UTF-8").trim == "51")
+  }
+
+  test("CommitLog vacuumVersions: manifest history bounded, floor monotonic, time-travel below it fails loudly") {
+    import java.nio.file.{Files, Paths}
+    val dir = s"${TestSpark.tmpDir("clog_vac")}/_manifests"
+    val clog = new graft.store.CommitLog(dir)
+    for (i <- 0 until 40)
+      assert(clog.commit(spark)(l => Some(l :+ s"e$i")))
+    clog.vacuumVersions(spark, keep = 5)
+    assert(clog.retentionFloor(spark) == 36L)
+    val vFiles = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .count(_.matches(".*/v\\d{12}"))
+    assert(vFiles == 5, s"keep=5 must retain exactly 5 version files, got $vFiles")
+    assert(clog.latest(spark)._1 == 40L)
+    assert(clog.liveAt(spark, 36L).size == 36)
+    // below the floor: the error names RETENTION, not "never published"
+    val ex = intercept[IllegalArgumentException](clog.liveAt(spark, 10L))
+    assert(ex.getMessage.contains("retention floor"),
+      s"wrong diagnosis for a vacuumed version: ${ex.getMessage}")
+    // above the floor but never published keeps the honest message
+    val ex2 = intercept[IllegalArgumentException](clog.liveAt(spark, 99L))
+    assert(ex2.getMessage.contains("never published"))
+    // commits continue; a LOOSER later vacuum cannot lower the floor
+    assert(clog.commit(spark)(l => Some(l :+ "e40")))
+    assert(clog.latest(spark)._1 == 41L)
+    clog.vacuumVersions(spark, keep = 1000)
+    assert(clog.retentionFloor(spark) == 36L, "retention floor must be monotonic")
+    // hint loss after vacuum: the listing fallback sees only retained
+    // files and still answers correctly
+    Files.delete(Paths.get(dir, "_latest"))
+    assert(clog.latest(spark) ==
+      (41L, ((0 until 41).map(i => s"e$i"))))
   }
 
   test("concurrent atomic writers all publish: optimistic commit loses no update") {
