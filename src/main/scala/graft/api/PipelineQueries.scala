@@ -220,6 +220,48 @@ object PipelineQueries {
     })
   }
 
+  /** The hybrid/RAG document-grain embedding corpus: one 64-dim
+   *  character-histogram vector per document (the deterministic
+   *  encoder stub), zero-norm rows dropped. Shared by the vector leg
+   *  of `hybrid_retrieval` and its index fixture so both sides embed
+   *  identically.
+   */
+  private def ragDocCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+    docs(s, dir)
+      .select(col("doc_id").as("vec_id"),
+        toCol(graft.functions.CharHistogram(toExpr(col("text")), RagAlphabet))
+          .as("v"))
+      .where(aggregate(transform(col("v"), x => x * x),
+        lit(0.0), (acc, x) => acc + x) > 0)
+  }
+
+  /** Session-scoped memo of the persisted IVF-index FIXTURE over the
+   *  document-grain histogram embeddings — the probe target for the
+   *  hybrid-retrieval vector leg. Built ONCE per (session, sf dir)
+   *  with the SAME stride centroids the declarative `ivfTopK` leg
+   *  derived (boundedStep of the doc count, frozen by ivfIndexBuild),
+   *  so probe results — and the unchanged oracle — are identical;
+   *  the registered query now pays the index's PROBE cost
+   *  (nProbe/#cells of the postings, statically cell-pruned), never a
+   *  per-query corpus scan. The index-build MACHINERY is probed
+   *  separately by `ann_index_ingest`; same fixture discipline and
+   *  bounding rule as [[textIndexFixture]].
+   */
+  private val ivfIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), String]()
+  private def ivfIndexFixture(s: SparkSession, dir: String): String = {
+    if (ivfIndexCache.size > 8) ivfIndexCache.clear()
+    ivfIndexCache.computeIfAbsent((s, dir), { key =>
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_fix").toString
+      val corpus = ragDocCorpus(key._1, key._2)
+      Similarity.ivfIndexBuild(key._1, idx, corpus,
+        Similarity.boundedStep(docs(key._1, key._2).count()))
+      idx
+    })
+  }
+
   /** Re-render a document as a whitespace-separated sequence of
    *  '~'-joined 3-shingles, so the GENERIC text index tokenizes into
    *  n-gram "tokens" — the contamination-detection unit (the corpus's
@@ -1404,14 +1446,15 @@ object PipelineQueries {
     // HYBRID RETRIEVAL capstone: ONE query answered by BOTH retrieval
     // tiers and fused — the text leg is a BM25 top-20 from the shared
     // persisted inverted index (posting-list scan, corpus text never
-    // read), the vector leg is an IVF top-20 over doc-grain histogram
-    // embeddings (the rag_retrieval encoder stub; probe cost
-    // nProbe/#cells of the corpus), and the legs fuse by reciprocal-
-    // rank fusion in exact integer arithmetic (score = Σ 1e6 div
-    // (60 + rank) — integer div, so engines hash-match). The fusion
-    // join is top-20 × top-20: constant-size regardless of corpus.
-    // This is the production hybrid-search shape: each leg's cost is
-    // its index's probe cost, the fusion is free
+    // read), the vector leg is an IVF top-20 PROBED FROM THE PERSISTED
+    // IVF index fixture (statically cell-pruned posting scan — the
+    // corpus is embedded once at fixture build, never per query), and
+    // the legs fuse by reciprocal-rank fusion in exact integer
+    // arithmetic (score = Σ 1e6 div (60 + rank) — integer div, so
+    // engines hash-match). The fusion join is top-20 × top-20:
+    // constant-size regardless of corpus. This is the production
+    // hybrid-search shape: each leg's cost is its index's probe cost
+    // — now TRUE for both legs — and the fusion is free
     "hybrid_retrieval" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
@@ -1421,15 +1464,10 @@ object PipelineQueries {
         .select(col("doc_id"), col("rank").as("r_text"))
       def embed(c: Column) =
         toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
-      val d = docs(s, dir).select("doc_id", "text")
-      val corpus = d
-        .select(col("doc_id").as("vec_id"), embed(col("text")).as("v"))
-        .where(aggregate(transform(col("v"), x => x * x),
-          lit(0.0), (acc, x) => acc + x) > 0)
       val q = Seq((-1L, qText)).toDF("vec_id", "t")
         .select(col("vec_id"), embed(col("t")).as("v"))
-      val vecHits = Similarity.ivfTopK(corpus, q, 20,
-          centroidStep = Similarity.boundedStep(d.count()), nProbe = 3)
+      val vecHits = Similarity.ivfIndexQuery(s, ivfIndexFixture(s, dir), q,
+          k = 20, nProbe = 3)
         .select(col("n_id").as("doc_id"), col("rank").as("r_vec"))
       textHits.join(vecHits, Seq("doc_id"), "full_outer")
         .select(col("doc_id"),

@@ -610,11 +610,22 @@ object Similarity {
       explode(
         toCol(graft.functions.TopCentroids(toExpr(col("v")), ids, vecs, nProbe)))
         .as("cell"))
+    // the probed cell set is driver-computable and BOUNDED by the
+    // centroid count (itself collectBounded ≤ 65536 just above) — so
+    // prune each per-commit posting read with a STATIC cell filter
+    // instead of trusting dynamic partition pruning to fire through
+    // the union (it does not reliably propagate through per-commit
+    // branches, and a silent DPP miss would scan every cell of every
+    // commit). The plan carries `PartitionFilters: [cell IN (...)]`
+    // per branch — guarded by PlanAuditSpec.
+    val probedCells = probes.select("cell").distinct()
+      .collect().map(_.getLong(0)).sorted
     // per-commit roots each carry their own cell=N partition tree — a
     // multi-root partitioned read conflicts, so read per commit and
     // union (same leaf files either way)
     val postings = ivfLiveSub(spark, dir, "post")
-      .map(spark.read.parquet(_))
+      .map(p => spark.read.parquet(p)
+        .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*)))
       .reduce(_.unionByName(_))
     rankTopK(
       postings

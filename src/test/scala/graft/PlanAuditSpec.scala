@@ -124,6 +124,36 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("ivfIndexQuery prunes the posting scan to the probed cells") {
+    withPlainPlans {
+      import org.apache.spark.sql.functions._
+      // a tiny 3-commit persisted index: the probe must carry a STATIC
+      // cell partition filter on EVERY per-commit branch of the union —
+      // the IVF twin of the text index's tb# guard. (Dynamic partition
+      // pruning does not reliably propagate through the per-commit
+      // union, so the contract is a driver-computed cell IN-set.)
+      val idx = TestSpark.tmpDir("ivf_plan_idx")
+      val base = spark.range(0, 300).select(
+        col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(7)),
+          i => (pmod(col("id") * (i + 3), lit(17))).cast("double") + 0.5)
+          .as("v"))
+      graft.sim.Similarity.ivfIndexBuild(spark, idx,
+        base.where(pmod(col("vec_id"), lit(3)) === 0), centroidStep = 30L)
+      for (i <- 1 until 3)
+        graft.sim.Similarity.ivfIndexAppend(spark, idx,
+          base.where(pmod(col("vec_id"), lit(3)) === i))
+      val df = graft.sim.Similarity.ivfIndexQuery(spark, idx,
+        base.where(col("vec_id") < 2), k = 5, nProbe = 2)
+      val plan = df.queryExecution.executedPlan.toString
+      val scans = "PartitionFilters: \\[[^\\]]*cell".r.findAllIn(plan).size
+      assert(scans >= 3,
+        s"every per-commit posting scan must carry a cell partition " +
+          s"filter (got $scans of 3):\n${plan.take(3000)}")
+      assert(df.count() > 0)
+    }
+  }
+
   test("distinct_sketch reduces at register grain with map-side partials") {
     withPlainPlans {
       val df = SparkEntry.queries("distinct_sketch")(spark, sf)
