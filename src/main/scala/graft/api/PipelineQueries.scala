@@ -1519,8 +1519,9 @@ object PipelineQueries {
     // micro-batch against the dedup index and ingests only SURVIVORS
     // into the text index — two persisted indexes, two independent
     // #txn:b<id> ledgers, exactly-once across both (the text leg's
-    // survivor set derives from the dedup index's PERSISTED pair
-    // reports, so a crash between the two commits replays exactly;
+    // survivor set derives from the BATCH'S OWN persisted pair report
+    // — batch-grain cost, replay-identical — so a crash between the
+    // two commits replays exactly;
     // StreamCrawlPipelineSpec pins that path). The whole stream then
     // redelivers under a FRESH checkpoint and the require pins the
     // no-op on BOTH versions. Search answers from the gated index;

@@ -314,6 +314,64 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Long =
     new graft.store.CommitLog(s"$indexDir/_manifests").latest(spark)._1
 
+  /** Stable digest of a delivery key, embedded in a keyed shard's
+   *  commit-dir name (`c-k<digest>-<rand>`) so the shard's own pair
+   *  report stays ADDRESSABLE BY KEY ([[indexPairsForDelivery]]). The
+   *  random suffix keeps concurrent redelivery attempts staging into
+   *  distinct dirs — only the publish winner's dir goes live, so the
+   *  loser's cleanup can never touch committed data.
+   */
+  private def keyDigest(key: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
+  /** The empty (a_id, b_id, jaccard) pair report. */
+  private def emptyPairs(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("a_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("b_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("jaccard",
+          org.apache.spark.sql.types.DoubleType))))
+
+  /** ONE keyed shard's persisted pair report — the batch-grain read
+   *  the streaming crawl pipeline needs: a batch's report contains
+   *  every pair involving that batch's docs (b_id side), is published
+   *  atomically WITH the shard, and is replay-identical by
+   *  construction — so a consumer deriving this batch's survivors
+   *  must read THIS report, not the cumulative [[indexPairs]] union,
+   *  whose cost grows with every duplicate the stream ever found.
+   *  Loud if the key was never delivered, or if its commit has been
+   *  folded away by compaction (then only the cumulative read
+   *  remains); an addressable keyed shard ingested with
+   *  `persistPairs = false` reads as the empty report.
+   */
+  def indexPairsForDelivery(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      key: String): DataFrame = {
+    val live = new graft.store.CommitLog(s"$indexDir/_manifests")
+      .latest(spark)._2
+    require(live.contains("#txn:" + key),
+      s"no shard with delivery key $key in $indexDir")
+    val matches = live.filter(_.startsWith(s"c-k${keyDigest(key)}-"))
+    require(matches.nonEmpty,
+      s"the commit of delivery key $key in $indexDir is no longer " +
+        "addressable (folded by compaction) — batch-grain pair reads " +
+        "must happen before the shard is compacted; use indexPairs for " +
+        "the cumulative union")
+    val conf = spark.sessionState.newHadoopConf()
+    val dirs = matches.map(d => s"$indexDir/data/$d/pairs").filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    if (dirs.isEmpty) emptyPairs(spark)
+    else dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+  }
+
   /** Union of the PERSISTED per-shard pair reports
    *  (`indexCheckAndIngest(persistPairs = true)`) across live commits
    *  — the exactly-once readback of everything the index ever
@@ -376,16 +434,7 @@ object Dedup {
       count(lit(1)).as("n"))
     withScopedPersist(sh, sig) {
       val verdict =
-        if (sigDirs.isEmpty)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("a_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("b_id",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("jaccard",
-                org.apache.spark.sql.types.DoubleType))))
+        if (sigDirs.isEmpty) emptyPairs(spark)
         else {
           val isig = spark.read.parquet(sigDirs: _*)
           val cand = bandBuckets(isig, k, bands).as("x")
@@ -421,8 +470,14 @@ object Dedup {
       // verdict is already eagerly checkpointed (or an empty literal
       // frame) before the shard publishes itself. Both tables stage
       // under ONE immutable commit dir; the version-file create is the
-      // only visibility point — no torn index on any crash
-      val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+      // only visibility point — no torn index on any crash. Keyed
+      // shards embed the key digest in the dir name so their pair
+      // report stays addressable by key (indexPairsForDelivery)
+      val name = deliveryKey match {
+        case Some(dk) =>
+          s"c-k${keyDigest(dk)}-${java.util.UUID.randomUUID().toString.take(8)}"
+        case None => s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+      }
       sig.write.parquet(s"$indexDir/data/$name/sig")
       sh.write.parquet(s"$indexDir/data/$name/sh")
       if (persistPairs)
@@ -611,15 +666,7 @@ object Dedup {
     val srcSh = spark.read.parquet(live(srcDir, srcLive, "sh"): _*)
     val verdict =
       if (dstSigDirs.isEmpty)
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("a_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("b_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("jaccard",
-              org.apache.spark.sql.types.DoubleType))))
+        emptyPairs(spark)
       else {
         val dstSig = spark.read.parquet(dstSigDirs: _*)
         val cand = bandBuckets(dstSig, k, bands).as("x")
@@ -653,12 +700,25 @@ object Dedup {
         } finally est.unpersist(): Unit
       }
     // stage the source's state (normalized to one commit dir) plus the
-    // cross-pair report; ONE version-file create publishes them together
+    // pairs leg; ONE version-file create publishes them together. The
+    // pairs leg = the SOURCE'S OWN pair history (append-only facts —
+    // they must ride the merge or indexPairs(dst) silently loses the
+    // source's intra-corpus findings, the same rule indexCompactTiered
+    // applies when folding) ∪ the cross-corpus report when requested
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
     srcSig.write.parquet(s"$dstDir/data/$name/sig")
     srcSh.write.parquet(s"$dstDir/data/$name/sh")
-    if (persistPairs)
-      verdict.repartition(1).write.parquet(s"$dstDir/data/$name/pairs")
+    val srcPairDirs = srcShards.map(d => s"$srcDir/data/$d/pairs")
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    val stagedPairs =
+      (srcPairDirs.map(spark.read.parquet(_)) ++
+        (if (persistPairs) Seq(verdict) else Nil))
+        .reduceOption(_.unionByName(_))
+    stagedPairs.foreach(_.repartition(1)
+      .write.parquet(s"$dstDir/data/$name/pairs"))
     val published = dlog.commit(spark) { now =>
       if ((srcTxn ++ txn).exists(now.contains)) None // raced duplicate
       else Some(now :+ name :++ srcTxn :++ txn.toSeq)

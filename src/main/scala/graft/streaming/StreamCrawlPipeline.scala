@@ -21,11 +21,17 @@ import graft.text.TextIndex
  * append and still performs the missing text ingest). The subtle
  * requirement that makes this sound: the text leg's survivor set must
  * be identical on first run and on replay, so survivors derive from
- * the dedup index's PERSISTED pair reports
- * ([[graft.dedup.Dedup.indexPairs]] — each report published
- * atomically with its shard), never from this attempt's in-memory
+ * THE BATCH'S OWN persisted pair report
+ * ([[graft.dedup.Dedup.indexPairsForDelivery]] — published atomically
+ * with the batch's shard, so it exists on first run and on replay and
+ * is byte-identical both times), never from this attempt's in-memory
  * verdict. Dedup-before-text within the batch gives the report-read
- * its happens-before.
+ * its happens-before. The batch's report is also SUFFICIENT: it
+ * contains every pair involving this batch's docs (the b_id side),
+ * and doc ids are unique across the stream, so no other batch's
+ * report can name them — reading the cumulative [[Dedup.indexPairs]]
+ * union here would make per-batch cost grow with every duplicate the
+ * stream ever found.
  *
  * A full fresh-checkpoint redelivery is a version-preserving no-op on
  * BOTH indexes; batches are micro-batch-sequential, which is the
@@ -34,8 +40,8 @@ import graft.text.TextIndex
  * At 100 TB: per-batch cost is batch-linear (shingle+sign,
  * tokenize) plus collision-proportional joins against stored dedup
  * state — the two corpora-at-rest are never re-read; the anti-join
- * against reported duplicates is pair-report-grain (dups found so
- * far), broadcast-small relative to any real batch.
+ * against reported duplicates is BATCH-report-grain (this batch's
+ * dups only, bounded by the batch), regardless of stream lifetime.
  */
 object StreamCrawlPipeline {
 
@@ -63,10 +69,10 @@ object StreamCrawlPipeline {
               s, dedupDir, b.select(idCol, textCol), idCol, textCol,
               threshold, deliveryKey = Some(key), persistPairs = true): Unit
           if (!TextIndex.hasDelivery(s, textDir, key)) {
-            // survivors from the PERSISTED reports (which now include
-            // this batch's, committed just above or by a pre-crash
-            // attempt) — identical on first run and on replay
-            val dups = Dedup.indexPairs(s, dedupDir)
+            // survivors from THIS BATCH'S persisted report (committed
+            // just above or by a pre-crash attempt) — identical on
+            // first run and on replay, and bounded by the batch
+            val dups = Dedup.indexPairsForDelivery(s, dedupDir, key)
               .select(col("b_id").as(idCol)).distinct()
             val survivors = b.select(idCol, textCol)
               .join(dups, Seq(idCol), "left_anti")

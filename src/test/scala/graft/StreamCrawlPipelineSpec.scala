@@ -110,4 +110,56 @@ class StreamCrawlPipelineSpec extends AnyFunSuite {
     assert(search(text2) == search(oneShot),
       "post-crash recovery must converge to the uncrashed text index")
   }
+
+  test("survivor gate input is the batch's own pair report: commit-local, " +
+      "partitioning the cumulative union, loud when unaddressable") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_scp_src2")
+    val dedupIdx = TestSpark.tmpDir("scp_dedup3")
+    val textIdx = TestSpark.tmpDir("scp_text3")
+    stageBatches(srcDir)
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    StreamCrawlPipeline.maintain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString),
+      dedupIdx, textIdx, s"$srcDir/ckpt", threshold = 0.6)
+      .awaitTermination()
+    // each batch's report reads from exactly ONE commit dir — the
+    // keyed (c-k<digest>-) commit of that batch — never the union of
+    // every live pairs leg: this is what bounds the text leg's
+    // survivor anti-join at batch grain instead of stream lifetime
+    for (i <- 0 until 3) {
+      val rep = Dedup.indexPairsForDelivery(spark, dedupIdx, s"b$i")
+      val commitDirs = rep.inputFiles
+        .map(_.replaceAll("/pairs/[^/]*$", "")).distinct
+      assert(commitDirs.size <= 1,
+        s"batch b$i report must be one commit's pairs leg: ${commitDirs.toSeq}")
+      assert(commitDirs.forall(_.matches(".*/c-k[0-9a-f]{16}-[0-9a-f]{8}")),
+        s"batch b$i report must come from its keyed commit: ${commitDirs.toSeq}")
+    }
+    // the batch reports PARTITION the cumulative union (b0 is the
+    // empty founding report; 1≈0 lands in b1's, 5≈4 in b2's)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cum = pairsOf(Dedup.indexPairs(spark, dedupIdx))
+    assert(pairsOf(Dedup.indexPairsForDelivery(spark, dedupIdx, "b0")).isEmpty)
+    assert(pairsOf(Dedup.indexPairsForDelivery(spark, dedupIdx, "b1")) == Set((0L, 1L)))
+    assert(pairsOf(Dedup.indexPairsForDelivery(spark, dedupIdx, "b2")) == Set((4L, 5L)))
+    assert((0 until 3).map(i =>
+      pairsOf(Dedup.indexPairsForDelivery(spark, dedupIdx, s"b$i")))
+      .reduce(_ ++ _) == cum,
+      "batch reports must partition the cumulative pair union")
+    // a key that never delivered is loud
+    intercept[IllegalArgumentException](
+      Dedup.indexPairsForDelivery(spark, dedupIdx, "never-delivered"))
+    // once compaction folds the keyed commit away, the batch-grain
+    // read refuses loudly (the per-batch report is no longer
+    // separable) — and the cumulative union still holds every pair
+    Dedup.indexCompact(spark, dedupIdx)
+    val ex = intercept[IllegalArgumentException](
+      Dedup.indexPairsForDelivery(spark, dedupIdx, "b1"))
+    assert(ex.getMessage.contains("no longer addressable"))
+    assert(pairsOf(Dedup.indexPairs(spark, dedupIdx)) == cum,
+      "compaction must carry every pair report forward")
+  }
 }
