@@ -634,10 +634,13 @@ object Dedup {
       deliveryKey: Option[String] = None,
       persistPairs: Boolean = false): DataFrame = {
     val dlog = new graft.store.CommitLog(s"$dstDir/_manifests")
-    val srcLive = new graft.store.CommitLog(s"$srcDir/_manifests")
-      .latest(spark)._2
+    val (srcV, srcLive) = new graft.store.CommitLog(s"$srcDir/_manifests")
+      .latest(spark)
     val srcShards = srcLive.filter(_.startsWith("c-"))
-    val srcTxn = srcLive.filter(_.startsWith("#txn:"))
+    // + the snapshot-identity marker: keyless sources re-merged twice
+    // must refuse too (graft.store.CommitLog.sourceIdentity)
+    val srcTxn = srcLive.filter(_.startsWith("#txn:")) :+
+      graft.store.CommitLog.sourceIdentity(srcV, srcLive)
     require(srcShards.nonEmpty, s"nothing to merge: $srcDir has no live shards")
     val txn = deliveryKey.map { key =>
       require(!key.contains('\n') && key.nonEmpty, s"bad delivery key: $key")

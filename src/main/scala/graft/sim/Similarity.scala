@@ -379,9 +379,12 @@ object Similarity {
   def ivfIndexMergeFrom(
       spark: org.apache.spark.sql.SparkSession, dstDir: String,
       srcDir: String, key: Option[String] = None): Unit = {
-    val srcLive = ivfLog(srcDir).latest(spark)._2
+    val (srcV, srcLive) = ivfLog(srcDir).latest(spark)
     val srcShards = srcLive.filter(_.startsWith("c-"))
-    val srcTxn = srcLive.filter(_.startsWith("#txn:"))
+    // + the snapshot-identity marker: keyless sources re-merged twice
+    // must refuse too (graft.store.CommitLog.sourceIdentity)
+    val srcTxn = srcLive.filter(_.startsWith("#txn:")) :+
+      graft.store.CommitLog.sourceIdentity(srcV, srcLive)
     require(srcShards.nonEmpty, s"nothing to merge: $srcDir has no live commits")
     val txn = ivfTxn(spark, dstDir, key)
     val dstNow = ivfLog(dstDir).latest(spark)._2.toSet

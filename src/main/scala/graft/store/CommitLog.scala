@@ -21,6 +21,27 @@ import org.apache.spark.sql.SparkSession
  * forward existence probes instead of an O(history) listing); writing
  * a gapped version file by hand is out of contract.
  */
+object CommitLog {
+  /** SOURCE-IDENTITY marker for federated merges: a `#txn:` entry
+   *  derived from the source's published snapshot (version + live
+   *  entries), recorded in the DESTINATION's log by every mergeFrom
+   *  variant. Delivery keys only protect sources that were ingested
+   *  WITH keys — a keyless source merged twice would silently
+   *  double-count (rollups/df/nd/tl/postings all concatenate) with no
+   *  error. The marker makes the exact re-merge refuse loudly for
+   *  keyless sources too. A source that ADVANCED between merges gets
+   *  a new identity (its old entries would re-fold) — sources that
+   *  keep growing must ingest under delivery keys; the marker
+   *  guarantees only exact-snapshot refusal.
+   */
+  def sourceIdentity(version: Long, live: Seq[String]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    val bytes =
+      md.digest((version.toString + "\n" + live.mkString("\n")).getBytes("UTF-8"))
+    "#txn:merge-src=" + bytes.map("%02x".format(_)).mkString.take(16)
+  }
+}
+
 final class CommitLog(manifestDir: String) {
 
   private def fsFor(spark: SparkSession, p: Path): FileSystem =

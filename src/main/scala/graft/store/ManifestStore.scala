@@ -647,10 +647,11 @@ object ManifestStore {
   def mergeFrom(
       spark: SparkSession, dstRoot: String, srcRoot: String,
       key: Option[String] = None): Unit = {
-    val (_, srcLive) = latest(spark, srcRoot)
+    val (srcV, srcLive) = latest(spark, srcRoot)
     val srcC = dirEntries(srcLive)
     val srcR = rawDirEntries(srcLive)
-    val srcTxn = srcLive.filter(_.startsWith(TxnPrefix))
+    val srcTxn = srcLive.filter(_.startsWith(TxnPrefix)) :+
+      CommitLog.sourceIdentity(srcV, srcLive)
     require(srcC.nonEmpty || srcR.nonEmpty,
       s"nothing to merge: $srcRoot has no live commits")
     val txn = key.map { k =>

@@ -261,6 +261,17 @@ object TextIndex {
   def containmentProbe(
       spark: SparkSession, dir: String, bench: DataFrame,
       idCol: String, textCol: String, maxDf: Long, minPpm: Long): DataFrame = {
+    // an index with no live shard commits probes to the empty result
+    // (nothing can be contained in nothing) — without this guard the
+    // per-commit union below is an empty .reduce and throws a bare
+    // UnsupportedOperationException instead of answering
+    if (liveSub(spark, dir, "post").isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          Seq("bench_id", "doc_id", "n_kept", "overlap", "containment_ppm")
+            .map(org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType))))
     val bt = bench
       .select(col(idCol).as("bench_id"),
         explode(TextOps.tokens(col(textCol))).as("token"))
@@ -411,9 +422,12 @@ object TextIndex {
       spark: SparkSession, dstDir: String, srcDir: String,
       key: Option[String] = None): Unit = {
     val cl = clog(dstDir)
-    val srcLive = clog(srcDir).latest(spark)._2
+    val (srcV, srcLive) = clog(srcDir).latest(spark)
     val srcShards = srcLive.filter(_.startsWith("c-"))
-    val srcTxn = srcLive.filter(_.startsWith("#txn:"))
+    // + the snapshot-identity marker: keyless sources re-merged twice
+    // must refuse too (graft.store.CommitLog.sourceIdentity)
+    val srcTxn = srcLive.filter(_.startsWith("#txn:")) :+
+      graft.store.CommitLog.sourceIdentity(srcV, srcLive)
     require(srcShards.nonEmpty, s"nothing to merge: $srcDir has no live shards")
     val txn = key.map { k =>
       require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")

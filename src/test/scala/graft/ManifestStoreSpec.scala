@@ -328,6 +328,25 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.latest(spark, src) == srcLiveBefore)
   }
 
+  test("mergeFrom: KEYLESS re-merge refuses via the snapshot-identity marker") {
+    val dst = TestSpark.tmpDir("mstore_klm")
+    val src = TestSpark.tmpDir("mstore_klm_src")
+    ManifestStore.ingestBatch(spark, dst, batch(("a", "2024-01-01T00:00:00", 1.0)))
+    ManifestStore.ingestBatch(spark, src, batch(("b", "2024-01-01T00:00:01", 2.0)))
+    ManifestStore.mergeFrom(spark, dst, src) // no keys anywhere
+    val counts = level1(dst)
+    // the same source snapshot again: without the identity marker this
+    // silently double-counted every rollup partial
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.mergeFrom(spark, dst, src)
+    }
+    assert(ex.getMessage.contains("already lives in the destination"))
+    assert(level1(dst) == counts, "refused keyless re-merge mutated the store")
+    // an advanced source is a new snapshot and may merge again
+    ManifestStore.ingestBatch(spark, src, batch(("c", "2024-01-01T00:00:02", 3.0)))
+    ManifestStore.mergeFrom(spark, dst, src)
+  }
+
   test("CommitLog hammer: no publish is ever lost under heavy contention") {
     // regression for a REAL lost-update race: Hadoop's local
     // create(overwrite=false) is exists-check-then-create, so two

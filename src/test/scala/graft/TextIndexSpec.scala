@@ -240,4 +240,41 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.compact(spark, dst)
     assert(run(dst) == expected, "compaction after merge changed answers")
   }
+
+  test("KEYLESS re-merge refuses via the snapshot-identity marker; an advanced source merges again") {
+    val dst = TestSpark.tmpDir("text_idx_kldst")
+    val src = TestSpark.tmpDir("text_idx_klsrc")
+    TextIndex.ingestShard(spark, dst, corpus.where(col("doc_id") < 2),
+      "doc_id", "text")
+    TextIndex.ingestShard(spark, src, corpus.where(col("doc_id").between(2, 3)),
+      "doc_id", "text")
+    TextIndex.mergeFrom(spark, dst, src) // keyless on both sides
+    val after = TextIndex.version(spark, dst)
+    // the EXACT same source snapshot re-merged must refuse — delivery
+    // keys can't catch this (there are none); the identity marker does
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.mergeFrom(spark, dst, src)
+    }
+    assert(ex.getMessage.contains("already lives in the destination"),
+      s"keyless re-merge must refuse: ${ex.getMessage}")
+    assert(TextIndex.version(spark, dst) == after,
+      "refused keyless re-merge mutated the destination")
+    // a source that ADVANCED is a NEW snapshot: merging it again is the
+    // caller's call (and would re-fold the old entries — the documented
+    // reason growing sources must use delivery keys); it must not be
+    // blocked by the old marker
+    TextIndex.ingestShard(spark, src, corpus.where(col("doc_id") === 4),
+      "doc_id", "text")
+    TextIndex.mergeFrom(spark, dst, src)
+    assert(TextIndex.version(spark, dst) == after + 1)
+  }
+
+  test("containmentProbe on an index with no live commits answers empty, not an empty-reduce crash") {
+    val idx = TestSpark.tmpDir("text_idx_empty")
+    val out = TextIndex.containmentProbe(spark, idx,
+      corpus.limit(1), "doc_id", "text", maxDf = 100L, minPpm = 1L)
+    assert(out.columns.toSeq ==
+      Seq("bench_id", "doc_id", "n_kept", "overlap", "containment_ppm"))
+    assert(out.count() == 0L)
+  }
 }
