@@ -585,17 +585,21 @@ object Dedup {
 
   /** Reclaim data dirs no longer referenced by the LATEST version
    *  (superseded by compaction) — run once in-flight readers drain.
+   *  `keepVersions` additionally bounds the MANIFEST history
+   *  (CommitLog.vacuumVersions — see its retention-floor contract).
    */
   def indexVacuum(
-      spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit = {
-    val live = new graft.store.CommitLog(s"$indexDir/_manifests")
-      .latest(spark)._2.toSet
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      keepVersions: Int = Int.MaxValue): Unit = {
+    val clog = new graft.store.CommitLog(s"$indexDir/_manifests")
+    val live = clog.latest(spark)._2.toSet
     val dd = new org.apache.hadoop.fs.Path(s"$indexDir/data")
     val fs = dd.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(dd)) return
     fs.listStatus(dd)
       .filter(st => !live.contains(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true): Unit)
+    if (keepVersions != Int.MaxValue) clog.vacuumVersions(spark, keepVersions)
   }
 
   /**

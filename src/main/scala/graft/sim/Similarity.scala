@@ -587,7 +587,8 @@ object Similarity {
    *  a rebuild once in-flight readers of the old generation drain).
    */
   def ivfIndexVacuum(
-      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keepVersions: Int = Int.MaxValue): Unit = {
     val live = ivfLog(dir).latest(spark)._2.toSet
     val dd = new org.apache.hadoop.fs.Path(s"$dir/data")
     val fs = dd.getFileSystem(spark.sessionState.newHadoopConf())
@@ -595,6 +596,9 @@ object Similarity {
     fs.listStatus(dd)
       .filter(st => !live.contains(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true): Unit)
+    // bound the MANIFEST history too (CommitLog.vacuumVersions)
+    if (keepVersions != Int.MaxValue)
+      ivfLog(dir).vacuumVersions(spark, keepVersions)
   }
 
   /** Probe the stored postings: queries rank exactly within their

@@ -806,7 +806,8 @@ object ManifestStore {
    *  Delta/Iceberg pattern); `minAgeMs = 0` is for explicit cleanup
    *  once a caller knows everything has drained.
    */
-  def vacuum(spark: SparkSession, root: String, minAgeMs: Long = 0L): Unit = {
+  def vacuum(spark: SparkSession, root: String, minAgeMs: Long = 0L,
+      keepVersions: Int = Int.MaxValue): Unit = {
     val (_, live) = latest(spark, root)
     val dd = new Path(dataDir(root))
     val fs = fsFor(spark, dd)
@@ -816,6 +817,13 @@ object ManifestStore {
       .filter(st => !live.contains(st.getPath.getName) &&
         st.getModificationTime <= cutoff)
       .foreach(st => fs.delete(st.getPath, true): Unit)
+    // MANIFEST retention (CommitLog.vacuumVersions): the version files
+    // themselves accrue one per commit forever — a streaming maintainer
+    // at one commit per 10 s is ~8.6k/day — and only matter for
+    // time-travel/branch, so a production deployment bounds them here;
+    // reads below the floor fail loudly naming retention
+    if (keepVersions != Int.MaxValue)
+      log(root).vacuumVersions(spark, keepVersions)
   }
 
   /** Retention the auto compact+vacuum path leaves for in-flight

@@ -512,7 +512,8 @@ object TextIndex {
    *  version fails loudly at the existence filter, never silently
    *  partially.
    */
-  def vacuum(spark: SparkSession, dir: String): Unit = {
+  def vacuum(spark: SparkSession, dir: String,
+      keepVersions: Int = Int.MaxValue): Unit = {
     val live = clog(dir).latest(spark)._2.toSet
     val dd = new org.apache.hadoop.fs.Path(s"$dir/data")
     val fs = dd.getFileSystem(spark.sessionState.newHadoopConf())
@@ -520,5 +521,8 @@ object TextIndex {
     fs.listStatus(dd)
       .filter(st => !live.contains(st.getPath.getName))
       .foreach(st => fs.delete(st.getPath, true): Unit)
+    // bound the MANIFEST history too (CommitLog.vacuumVersions)
+    if (keepVersions != Int.MaxValue)
+      clog(dir).vacuumVersions(spark, keepVersions)
   }
 }

@@ -328,6 +328,38 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ManifestStore.latest(spark, src) == srcLiveBefore)
   }
 
+  test("branching below the source's retention fails loudly on both paths: vacuumed data dirs and vacuumed version files") {
+    val src = TestSpark.tmpDir("mstore_br_ret")
+    for (i <- 0 until 3)
+      ManifestStore.ingestBatch(spark, src,
+        batch(("a", s"2024-01-01T00:00:0$i", i.toDouble)))
+    ManifestStore.compact(spark, src) // v4 supersedes v1..v3's commits
+    ManifestStore.vacuum(spark, src)  // superseded DATA dirs reclaimed
+    // (a) the version file survives but its commits were vacuumed —
+    // the clone's existence sweep refuses before linking anything
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.cloneAsOf(spark, src, TestSpark.tmpDir("mstore_br_a"), 2L)
+    }
+    assert(ex.getMessage.contains("vacuumed"),
+      s"wrong diagnosis for a vacuumed snapshot: ${ex.getMessage}")
+    // branching at the live head still works after the vacuum
+    val dst = TestSpark.tmpDir("mstore_br_ok")
+    ManifestStore.cloneAsOf(spark, src, dst, 4L)
+    assert(level1(dst) == level1(src))
+    // (b) manifest retention: once the version FILES below the floor
+    // are reclaimed, the branch names the retention floor, not
+    // "never published"
+    ManifestStore.vacuum(spark, src, keepVersions = 1)
+    val ex2 = intercept[IllegalArgumentException] {
+      ManifestStore.cloneAsOf(spark, src, TestSpark.tmpDir("mstore_br_b"), 2L)
+    }
+    assert(ex2.getMessage.contains("retention floor"),
+      s"wrong diagnosis below the retention floor: ${ex2.getMessage}")
+    // the independent branch took its own copy of history: the source's
+    // retention cannot reach it
+    assert(level1(dst) == level1(src))
+  }
+
   test("mergeFrom: KEYLESS re-merge refuses via the snapshot-identity marker") {
     val dst = TestSpark.tmpDir("mstore_klm")
     val src = TestSpark.tmpDir("mstore_klm_src")

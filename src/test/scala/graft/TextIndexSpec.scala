@@ -198,6 +198,23 @@ class TextIndexSpec extends AnyFunSuite {
     TextIndex.compact(spark, src)
     TextIndex.vacuum(spark, src)
     assert(run(br) == run(src), "source vacuum reached the branch")
+
+    // branch-then-source-retention: a branch from a version whose
+    // commits were vacuumed refuses loudly (data-dir path), and once
+    // manifest retention reclaims the version FILES the refusal names
+    // the retention floor
+    val ex2 = intercept[IllegalArgumentException] {
+      TextIndex.cloneAsOf(spark, src,
+        TestSpark.tmpDir("text_idx_bv") + "/b", version = 1L)
+    }
+    assert(ex2.getMessage.contains("vacuumed"))
+    TextIndex.vacuum(spark, src, keepVersions = 1)
+    val ex3 = intercept[IllegalArgumentException] {
+      TextIndex.cloneAsOf(spark, src,
+        TestSpark.tmpDir("text_idx_bf") + "/b", version = 1L)
+    }
+    assert(ex3.getMessage.contains("retention floor"))
+    assert(run(br) == run(src), "source retention reached the branch")
   }
 
   test("mergeFrom: merged index answers like one index over the union; " +
