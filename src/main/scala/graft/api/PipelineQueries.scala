@@ -1336,6 +1336,27 @@ object PipelineQueries {
         .searchBm25(s, textIndexFixture(s, dir),
           Seq("merge", "window", "scan"), 20)
         .orderBy("rank")),
+    // BATCHED BM25: three queries scored against the SAME shared
+    // persisted index in ONE pruned posting scan — the production
+    // batch-retrieval shape (searchBm25 is single-query; N queries
+    // would pay N stats folds + N vocab probes + N scans). The union
+    // of the batch's terms prunes the scan, the (query_id, token)
+    // table broadcasts onto the postings, and the per-query top-k
+    // ranks under a rank-limited window partitioned by query_id.
+    // Oracle = the declarative BM25 CTE chain joined to a VALUES
+    // query table with a per-query rank partition
+    "text_index_search_batch" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq(
+        (1L, Seq("merge", "window", "scan")),
+        (2L, Seq("join", "hash", "customer")),
+        (3L, Seq("vector", "stream", "dup")))
+        .flatMap { case (q, ts) => ts.map((q, _)) }
+        .toDF("query_id", "token")
+      graft.text.TextIndex
+        .searchBm25Batch(s, textIndexFixture(s, dir), qs, 10)
+        .orderBy("query_id", "rank")
+    }),
     // PERSISTED inverted text index, INGEST-MACHINERY leg, on a 1/10
     // corpus subset: two shards ingest under #txn: delivery keys, a
     // redelivered shard is rejected, a full compaction folds the
@@ -2819,6 +2840,38 @@ object PipelineQueries {
         |    doc_id) AS rank FROM ag)
         |SELECT rank, doc_id, score_ppm, n_terms FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "text_index_search_batch" ->
+      """WITH q(query_id, token) AS (VALUES
+        |    (1, 'merge'), (1, 'window'), (1, 'scan'),
+        |    (2, 'join'), (2, 'hash'), (2, 'customer'),
+        |    (3, 'vector'), (3, 'stream'), (3, 'dup')),
+        |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN (SELECT token FROM q) GROUP BY 1),
+        |sc AS (SELECT q.query_id, tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token)
+        |    JOIN q USING (token), st),
+        |s2 AS (SELECT query_id, doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT query_id, doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+        |    ORDER BY score_ppm DESC, doc_id) AS rank FROM ag)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
+        |  score_ppm, n_terms FROM r
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // compacted index ≡ declarative BM25 over the subset, with the
     // stop-word df cap (skip query terms whose df > nd*768//1000 —
     // integer arithmetic, so both engines cut the same terms)

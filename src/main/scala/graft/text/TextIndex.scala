@@ -238,6 +238,95 @@ object TextIndex {
       .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
   }
 
+  /** BATCHED multi-query BM25: score a TABLE of queries —
+   *  (query_id, token) rows — in ONE pruned posting scan. This is the
+   *  production batch-retrieval shape (an eval suite, a distillation
+   *  query log, RAG over a request batch): [[searchBm25]] is
+   *  single-query with driver-side scalar folds, so N queries cost N
+   *  stats folds + N vocab probes + N posting scans; here the UNION of
+   *  the batch's terms prunes one scan exactly the way a single
+   *  query's terms would (token-bucket directory pruning + pushed
+   *  token equality), the query table broadcasts onto the postings,
+   *  and the top-k ranks per query under a rank-limited window
+   *  (partitionBy query_id — WindowGroupLimit keeps per-task state at
+   *  k, no global sort). Per-term scoring is IDENTICAL to
+   *  [[searchBm25]] (same driver-computed idf arithmetic), so a batch
+   *  of one query returns exactly that query's search results.
+   *
+   *  The batch's distinct terms collect to the driver to become
+   *  literal bucket/token filters — bounded (≤ 65536, loud past the
+   *  cap), the same capped-small contract as [[containmentProbe]];
+   *  duplicate terms within a query count once, as in searchBm25.
+   *
+   *  Returns (query_id, rank, doc_id, score_ppm, n_terms), rank ≤ k
+   *  per query.
+   */
+  def searchBm25Batch(
+      spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val qt = queries.select(col("query_id"), col("token")).distinct()
+      .persist()
+    try {
+      val terms = qt.select("token").distinct()
+        .limit(65537).collect().map(_.getString(0))
+      require(terms.nonEmpty, "searchBm25Batch with no terms")
+      require(terms.length <= 65536,
+        s"searchBm25Batch query batch has ${terms.length} distinct terms — " +
+          "the batch probe is for capped-small query sets (split it)")
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val statsF = Future {
+        spark.read.parquet(liveSub(spark, dir, "stats"): _*)
+          .agg(sum("nd"), sum("tl")).head()
+      }
+      val dfF = Future {
+        spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+          .where(col("token").isin(terms.toSeq: _*))
+          .groupBy("token").agg(sum("df").as("df"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      val stats = Await.result(statsF, Duration.Inf)
+      val (nd, tl) = (stats.getLong(0), stats.getLong(1))
+      val avgdl = tl.toDouble / nd
+      val dfByTerm = Await.result(dfF, Duration.Inf)
+      val kept = terms.toSeq.filter(t =>
+        dfByTerm.get(t).exists(df => maxDf.forall(df <= _)))
+      val idf = kept.map { t =>
+        val df = dfByTerm(t)
+        (t, math.round(
+          math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6))
+      }.toDF("token", "idf_ppm")
+      val termBuckets =
+        if (kept.isEmpty) Seq.empty[Long]
+        else kept.toDF("t")
+          .select(tokenBucket(col("t"))).distinct()
+          .collect().map(_.getLong(0)).toSeq
+      val posts = liveSub(spark, dir, "post")
+        .map(spark.read.parquet(_))
+        .reduce(_.unionByName(_))
+        .where(col("tb").isin(termBuckets: _*) &&
+          col("token").isin(kept: _*))
+      posts
+        .join(broadcast(idf), "token")
+        .join(broadcast(qt), "token") // fan out to the queries naming the term
+        .withColumn("score_ppm",
+          round(col("idf_ppm").cast("double") * (col("tf") * lit(2.2)) /
+            (col("tf") + lit(1.2) *
+              (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+            .cast("long"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum("score_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy("query_id")
+            .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+        .where(col("rank") <= k)
+        .select(col("query_id"), col("rank"), col("doc_id"),
+          col("score_ppm"), col("n_terms"))
+    } finally qt.unpersist(): Unit
+  }
+
   /** INDEX-ACCELERATED DECONTAMINATION: find corpus documents whose
    *  token overlap with a (capped-small) benchmark table is high,
    *  touching ONLY the benchmark's terms' posting lists — the

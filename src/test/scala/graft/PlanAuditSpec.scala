@@ -124,6 +124,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("text_index_search_batch keeps the single-query plan shape: bucket pruning, broadcast legs, rank-limited per-query window") {
+    withPlainPlans {
+      val df = SparkEntry.queries("text_index_search_batch")(spark, sf)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+        s"token-bucket pruning missing:\n${plan.take(2000)}")
+      assert(plan.contains("BroadcastHashJoin"),
+        "idf/query-table joins regressed from broadcast")
+      // the per-query top-k must stay rank-limited: one batch with a
+      // hot query must not single-task a global sort
+      assert(plan.contains("WindowGroupLimit"),
+        s"per-query rank window lost its group-limit pushdown:\n${plan.take(2000)}")
+    }
+  }
+
   test("ivfIndexQuery prunes the posting scan to the probed cells") {
     withPlainPlans {
       import org.apache.spark.sql.functions._

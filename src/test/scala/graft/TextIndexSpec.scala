@@ -286,6 +286,44 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.version(spark, dst) == after + 1)
   }
 
+  test("searchBm25Batch: a batch of one equals searchBm25; per-query ranks are independent; maxDf parity") {
+    val idx = TestSpark.tmpDir("text_idx_batch")
+    TextIndex.ingestShard(spark, idx, corpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame, cols: Int) =
+      df.collect().map(r => (0 until cols).map(r.getLong).toSeq).toSeq
+    // batch of one ≡ the single-query search (same scoring arithmetic)
+    val single = rows(
+      TextIndex.searchBm25(spark, idx, Seq("merge", "window", "scan"), 10)
+        .orderBy("rank"), 4)
+    val asBatch = rows(
+      TextIndex.searchBm25Batch(spark, idx,
+        Seq((7L, "merge"), (7L, "window"), (7L, "scan"), (7L, "merge"))
+          .toDF("query_id", "token"), 10)
+        .orderBy("rank")
+        .select("rank", "doc_id", "score_ppm", "n_terms"), 4)
+    assert(asBatch == single,
+      "a one-query batch (with a duplicated term) must equal searchBm25")
+    // two queries in one batch: each query's leg equals its own
+    // single-query search — the shared scan changes nothing per query
+    val batch = TextIndex.searchBm25Batch(spark, idx,
+      Seq((1L, "merge"), (1L, "sort"), (2L, "window"), (2L, "scan"))
+        .toDF("query_id", "token"), 10)
+    for ((qid, terms) <- Seq(1L -> Seq("merge", "sort"), 2L -> Seq("window", "scan")))
+      assert(rows(batch.where(col("query_id") === qid)
+          .orderBy("rank").select("rank", "doc_id", "score_ppm", "n_terms"), 4) ==
+        rows(TextIndex.searchBm25(spark, idx, terms, 10).orderBy("rank"), 4),
+        s"query $qid diverged from its single-query search")
+    // maxDf drops the same stop-word-grade terms in both paths
+    val capped = rows(
+      TextIndex.searchBm25Batch(spark, idx,
+        Seq((1L, "merge"), (1L, "window")).toDF("query_id", "token"),
+        10, maxDf = Some(2L))
+        .orderBy("rank").select("rank", "doc_id", "score_ppm", "n_terms"), 4)
+    assert(capped ==
+      rows(TextIndex.searchBm25(spark, idx, Seq("merge", "window"), 10,
+        maxDf = Some(2L)).orderBy("rank"), 4))
+  }
+
   test("containmentProbe on an index with no live commits answers empty, not an empty-reduce crash") {
     val idx = TestSpark.tmpDir("text_idx_empty")
     val out = TextIndex.containmentProbe(spark, idx,
