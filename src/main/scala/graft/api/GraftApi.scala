@@ -144,6 +144,66 @@ final class GraftApi(
 
   def counters: (Long, Long) = (numPuts.get(), numGets.get())
 
+  // ---- LLM-retrieval tier facade ------------------------------------
+  // The persisted text/dedup/ANN indexes are consumable the way
+  // put/get are: a caller holds index ROOTS (they are datasets, like
+  // `root`), the facade routes and validates, the operator modules do
+  // the work. No reference endpoint corresponds (the reference has no
+  // retrieval tier); the routing mirrors getData's shape.
+
+  /** Ingest a (doc_id, text) batch into a persisted inverted index —
+   *  the put-side of [[searchDocs]]; `key` gives exactly-once.
+   */
+  def indexDocs(indexDir: String, docs: DataFrame,
+      key: Option[String] = None): Unit = {
+    numPuts.incrementAndGet()
+    graft.text.TextIndex.ingestShard(
+      spark, indexDir, docs, "doc_id", "text", key = key)
+  }
+
+  /** BM25 top-k for one term list from a persisted inverted index. */
+  def searchDocs(indexDir: String, terms: Seq[String], k: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.searchBm25(spark, indexDir, terms, k, maxDf)
+  }
+
+  /** BM25 top-k per query for a (query_id, token) batch — one pruned
+   *  posting scan for the whole batch.
+   */
+  def searchDocsBatch(indexDir: String, queries: DataFrame, k: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.searchBm25Batch(spark, indexDir, queries, k, maxDf)
+  }
+
+  /** ANN top-k per query — (vec_id, v) rows probed against a persisted
+   *  IVF index (statically cell-pruned posting scan).
+   */
+  def annQuery(indexDir: String, queries: DataFrame, k: Int,
+      nProbe: Int = 3): DataFrame = {
+    require(k > 0 && nProbe > 0, s"bad k/nProbe: $k/$nProbe")
+    numGets.incrementAndGet()
+    graft.sim.Similarity.ivfIndexQuery(spark, indexDir, queries, k, nProbe)
+  }
+
+  /** Near-dup-check a (doc_id, text) batch against a persisted dedup
+   *  index AND fold the batch in — the crawl-ingest front door
+   *  (returns the (a_id, b_id, jaccard) verdict; `key` gives
+   *  exactly-once, `persistPairs` makes the verdict readable back via
+   *  the index's pair reports).
+   */
+  def checkAndIndexDocs(indexDir: String, docs: DataFrame,
+      threshold: Double, key: Option[String] = None,
+      persistPairs: Boolean = false): DataFrame = {
+    numPuts.incrementAndGet()
+    graft.dedup.Dedup.indexCheckAndIngest(
+      spark, indexDir, docs, "doc_id", "text", threshold,
+      deliveryKey = key, persistPairs = persistPairs)
+  }
+
   /** S11 — the metrics loop's flush: ingest the engine's own counters
    *  as `index.num_puts` / `index.num_gets` series (loop.py:52-78).
    *  The timestamp is a parameter so tests stay deterministic.

@@ -136,4 +136,51 @@ class ApiSpec extends AnyFunSuite {
     api.flushSelfMetrics(t0)
     assert(api.getData("index.num_puts", t0 - 1, t0 + 1).count() == 1)
   }
+
+  test("retrieval-tier facade: indexDocs/searchDocs(+batch), checkAndIndexDocs, annQuery delegate exactly") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val root = TestSpark.tmpDir("graft_api_ret")
+    val api = new GraftApi(spark, root, root + "/all_comments")
+    val docs = Seq(
+      (0L, "spark merge sort merge"), (1L, "window scan window window"),
+      (2L, "merge window table"), (3L, "unrelated words here"),
+      (4L, "spark merge sort merge zz"))
+      .toDF("doc_id", "text")
+    // text: facade search == direct module search on the same index
+    val tIdx = TestSpark.tmpDir("graft_api_tidx")
+    api.indexDocs(tIdx, docs.where(col("doc_id") < 4), key = Some("s0"))
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(dump(api.searchDocs(tIdx, Seq("merge", "window"), 5)) ==
+      dump(graft.text.TextIndex.searchBm25(spark, tIdx, Seq("merge", "window"), 5)))
+    assert(dump(api.searchDocsBatch(tIdx,
+        Seq((1L, "merge"), (1L, "window")).toDF("query_id", "token"), 5)) ==
+      dump(graft.text.TextIndex.searchBm25Batch(spark, tIdx,
+        Seq((1L, "merge"), (1L, "window")).toDF("query_id", "token"), 5)))
+    // exactly-once composes through the facade
+    intercept[IllegalArgumentException](
+      api.indexDocs(tIdx, docs.where(col("doc_id") < 4), key = Some("s0")))
+    // dedup front door: the near-copy is reported against its original
+    val dIdx = TestSpark.tmpDir("graft_api_didx")
+    api.checkAndIndexDocs(dIdx, docs.where(col("doc_id") === 0), 0.6,
+      key = Some("b0"), persistPairs = true): Unit
+    val verdict = api.checkAndIndexDocs(dIdx, docs.where(col("doc_id") === 4),
+      0.6, key = Some("b1"), persistPairs = true)
+    assert(verdict.select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 4L)))
+    // ANN: facade probe == direct probe of the same persisted index
+    val aIdx = TestSpark.tmpDir("graft_api_aidx")
+    val vecs = spark.range(0, 60).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(7)),
+        i => (pmod(col("id") * (i + 3), lit(13))).cast("double") + 0.25).as("v"))
+    graft.sim.Similarity.ivfIndexBuild(spark, aIdx, vecs, centroidStep = 10L)
+    val probes = vecs.where(col("vec_id") < 2)
+    assert(dump(api.annQuery(aIdx, probes, k = 4)) ==
+      dump(graft.sim.Similarity.ivfIndexQuery(spark, aIdx, probes, 4, 3)))
+    // the facade counted the traffic
+    val (puts, gets) = api.counters
+    assert(puts == 4 && gets == 3, s"facade counters off: $puts puts, $gets gets")
+  }
 }
