@@ -588,6 +588,15 @@ object Dedup {
    *  `keepVersions` additionally bounds the MANIFEST history
    *  (CommitLog.vacuumVersions — see its retention-floor contract).
    */
+  /** Bound the MANIFEST history alone (CommitLog.vacuumVersions) —
+   *  version files only, safe continuously; see TextIndex.vacuumManifest.
+   */
+  def indexVacuumManifest(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      keep: Int): Unit =
+    new graft.store.CommitLog(s"$indexDir/_manifests")
+      .vacuumVersions(spark, keep)
+
   def indexVacuum(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       keepVersions: Int = Int.MaxValue): Unit = {

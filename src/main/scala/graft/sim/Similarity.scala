@@ -586,6 +586,14 @@ object Similarity {
   /** Delete index data dirs no published version references (run after
    *  a rebuild once in-flight readers of the old generation drain).
    */
+  /** Bound the MANIFEST history alone (CommitLog.vacuumVersions) —
+   *  version files only, safe continuously; see TextIndex.vacuumManifest.
+   */
+  def ivfIndexVacuumManifest(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      keep: Int): Unit =
+    ivfLog(dir).vacuumVersions(spark, keep)
+
   def ivfIndexVacuum(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       keepVersions: Int = Int.MaxValue): Unit = {

@@ -56,8 +56,10 @@ object StreamAnnIndex {
    */
   def maintain(
       embStream: DataFrame, indexDir: String, checkpoint: String,
-      centroidStep: Long): StreamingQuery = {
+      centroidStep: Long,
+      keepVersions: Int = Int.MaxValue): StreamingQuery = {
     require(centroidStep >= 1, s"bad centroidStep: $centroidStep")
+    require(keepVersions >= 1, s"bad keepVersions: $keepVersions")
     embStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -72,6 +74,9 @@ object StreamAnnIndex {
               s, indexDir, batch, centroidStep, key = Some(key))
           else
             Similarity.ivfIndexAppend(s, indexDir, batch, key = Some(key))
+          // manifest retention — version files only, safe per batch
+          if (keepVersions != Int.MaxValue)
+            Similarity.ivfIndexVacuumManifest(s, indexDir, keepVersions)
         }
       }
       .start()

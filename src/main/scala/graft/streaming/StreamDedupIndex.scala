@@ -47,8 +47,10 @@ object StreamDedupIndex {
   def maintain(
       docsStream: DataFrame, indexDir: String, checkpoint: String,
       threshold: Double, idCol: String = "doc_id",
-      textCol: String = "text"): StreamingQuery = {
+      textCol: String = "text",
+      keepVersions: Int = Int.MaxValue): StreamingQuery = {
     require(threshold > 0 && threshold <= 1, s"bad threshold: $threshold")
+    require(keepVersions >= 1, s"bad keepVersions: $keepVersions")
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -56,10 +58,14 @@ object StreamDedupIndex {
       .foreachBatch { (b: DataFrame, id: Long) =>
         val s = b.sparkSession
         val key = s"b$id"
-        if (!Dedup.indexHasDelivery(s, indexDir, key) && !b.isEmpty)
+        if (!Dedup.indexHasDelivery(s, indexDir, key) && !b.isEmpty) {
           Dedup.indexCheckAndIngest(
             s, indexDir, b.select(idCol, textCol), idCol, textCol,
             threshold, deliveryKey = Some(key), persistPairs = true): Unit
+          // manifest retention — version files only, safe per batch
+          if (keepVersions != Int.MaxValue)
+            Dedup.indexVacuumManifest(s, indexDir, keepVersions)
+        }
       }
       .start()
   }

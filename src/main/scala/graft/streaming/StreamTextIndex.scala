@@ -52,8 +52,10 @@ object StreamTextIndex {
   def maintain(
       docsStream: DataFrame, indexDir: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",
-      maxShards: Int = 8, fanIn: Int = 4): StreamingQuery = {
+      maxShards: Int = 8, fanIn: Int = 4,
+      keepVersions: Int = Int.MaxValue): StreamingQuery = {
     require(maxShards >= 1 && fanIn >= 2, s"bad tier policy: $maxShards/$fanIn")
+    require(keepVersions >= 1, s"bad keepVersions: $keepVersions")
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -68,6 +70,12 @@ object StreamTextIndex {
             key = Some(key))
           if (graft.text.TextIndex.liveShardCount(s, indexDir) > maxShards)
             graft.text.TextIndex.compactTiered(s, indexDir, fanIn)
+          // MANIFEST retention: a forever-stream is exactly the
+          // workload that accrues unbounded version files (~8.6k/day
+          // at a 10 s trigger) — version-file-only vacuum is safe per
+          // batch (live set, data dirs, delivery keys untouched)
+          if (keepVersions != Int.MaxValue)
+            graft.text.TextIndex.vacuumManifest(s, indexDir, keepVersions)
         }
       }
       .start()

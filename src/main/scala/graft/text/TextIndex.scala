@@ -601,6 +601,16 @@ object TextIndex {
    *  version fails loudly at the existence filter, never silently
    *  partially.
    */
+  /** Bound the MANIFEST history alone (CommitLog.vacuumVersions):
+   *  version files only — the live set, data dirs, and delivery keys
+   *  are untouched, so this is safe to run CONTINUOUSLY (the
+   *  streaming maintainer calls it per batch when asked; data-dir
+   *  vacuum stays a separate, explicitly-scheduled action because it
+   *  races in-flight readers of superseded snapshots).
+   */
+  def vacuumManifest(spark: SparkSession, dir: String, keep: Int): Unit =
+    clog(dir).vacuumVersions(spark, keep)
+
   def vacuum(spark: SparkSession, dir: String,
       keepVersions: Int = Int.MaxValue): Unit = {
     val live = clog(dir).latest(spark)._2.toSet

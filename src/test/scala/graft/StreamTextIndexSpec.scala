@@ -85,4 +85,45 @@ class StreamTextIndexSpec extends AnyFunSuite {
     assert(run(idx) == run(oneShot),
       "streamed+compacted index must answer exactly like a one-shot build")
   }
+
+  test("maintainer manifest retention: version files stay bounded, " +
+      "exactly-once and search survive, redelivery still a no-op") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sti_src2")
+    val idx = TestSpark.tmpDir("sti_idx2")
+    stageBatches(srcDir)
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    def drain(ckpt: String): Unit =
+      StreamTextIndex.maintain(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString),
+        idx, ckpt, maxShards = 8, fanIn = 2, keepVersions = 1)
+        .awaitTermination()
+    drain(s"$srcDir/ckpt")
+    // 3 publishes happened but only the newest version FILE survives —
+    // a forever-stream's manifest history stays O(keepVersions)
+    val vFiles = java.nio.file.Files.list(
+        java.nio.file.Paths.get(s"$idx/_manifests")).toArray.map(_.toString)
+      .count(_.matches(".*/v\\d{12}"))
+    assert(vFiles == 1, s"keepVersions=1 must retain 1 version file, got $vFiles")
+    assert(TextIndex.version(spark, idx) == 3L)
+    // delivery keys live in the LATEST version — replay rejection and
+    // search are untouched by manifest retention
+    drain(s"$srcDir/ckpt2")
+    assert(TextIndex.version(spark, idx) == 3L,
+      "redelivery after manifest retention must stay a no-op")
+    val oneShot = TestSpark.tmpDir("sti_oneshot2")
+    TextIndex.ingestShard(spark, oneShot, corpus, "doc_id", "text")
+    def run(d: String) = TextIndex
+      .searchBm25(spark, d, Seq("merge", "window", "scan"), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(run(idx) == run(oneShot))
+    // time-travel below the floor is a loud retention error now
+    val ex = intercept[IllegalArgumentException] {
+      new graft.store.CommitLog(s"$idx/_manifests").liveAt(spark, 1L)
+    }
+    assert(ex.getMessage.contains("retention floor"))
+  }
 }
