@@ -628,6 +628,27 @@ object PipelineQueries {
           expr("(1000000 * (tok_total - tok_kept)) div tok_total")
             .as("shrink_ppm"))
     }),
+    // SOFT dedup: down-WEIGHT near-duplicates instead of dropping them
+    // — every doc gets training weight 1e6 div |cluster| in exact
+    // integer ppm (singletons keep full weight), so a cluster's total
+    // sampling mass is ~1 doc regardless of how many copies the crawl
+    // found. This is the soft-dedup posture recent LLM-data work
+    // prefers over hard dropping (duplicates still contribute, just
+    // not multiplicatively). Cost on top of the memoized component
+    // map: one cluster-grain size agg + two joins (sizes are
+    // cluster-grain small — broadcastable at any corpus scale)
+    "dedup_soft_weights" -> ((s, dir) => {
+      val corpus = nearDupCorpus(s, dir).select("doc_id")
+      val comps = Dedup.connectedComponents(minhashPairs(s, dir))
+      val sizes = comps.groupBy("comp").agg(count(lit(1)).as("csize"))
+      corpus.join(comps, Seq("doc_id"), "left_outer")
+        .withColumn("comp", coalesce(col("comp"), col("doc_id")))
+        .join(broadcast(sizes), Seq("comp"), "left_outer")
+        .withColumn("csize", coalesce(col("csize"), lit(1L)))
+        .select(col("doc_id"), col("comp"), col("csize"),
+          expr("1000000 div csize").as("weight_ppm"))
+        .orderBy("doc_id")
+    }),
     // canonical survivor per cluster: dedup decides WHICH copy to keep —
     // the highest-quality member (ties to smallest id); quality travels
     // as an exact ppm integer so the argmax is engine-deterministic
@@ -1356,6 +1377,100 @@ object PipelineQueries {
       graft.text.TextIndex
         .searchBm25Batch(s, textIndexFixture(s, dir), qs, 10)
         .orderBy("query_id", "rank")
+    }),
+    // RM3 PSEUDO-RELEVANCE-FEEDBACK query expansion over the persisted
+    // index — the classic relevance-model retrieval upgrade: (1) BM25
+    // top-10 feedback docs from ONE pruned posting probe; (2) RM1
+    // expansion-term weights in exact integer arithmetic — term t's
+    // weight is Σ over feedback docs of score_ppm(d) × round(1e6·tf/dl)
+    // (both factors integers, so the sum is order-independent and
+    // engine-exact); (3) the top-5 expansion terms (ties by token) join
+    // the original terms at half weight; (4) ONE weighted re-probe
+    // (searchBm25Weighted — same pruned-scan shape, weight×idf in fixed
+    // float order). Feedback text is fetched by a 10-id point lookup on
+    // the corpus (the forward-index shape), NEVER a corpus scan, so the
+    // whole expansion costs two posting probes + a 10-doc tokenize.
+    // Oracle = the same four steps as declarative SQL
+    "bm25_rm3" -> ((s, dir) => {
+      import s.implicits._
+      val idx = textIndexFixture(s, dir)
+      val qTerms = Seq("merge", "window", "scan")
+      val fb = graft.text.TextIndex.searchBm25(s, idx, qTerms, 10)
+        .select("doc_id", "score_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val fbScores = broadcast(fb.toSeq.toDF("doc_id", "fb_score"))
+      val tf = docs(s, dir)
+        .where(col("doc_id").isin(fb.map(_._1).toSeq: _*))
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val expTerms = tf.join(dl, "doc_id").join(fbScores, "doc_id")
+        .where(!col("token").isin(qTerms: _*))
+        .withColumn("contrib_ppm",
+          round(lit(1000000.0) * col("tf") / col("dl")).cast("long"))
+        .groupBy("token")
+        .agg(sum(col("fb_score") * col("contrib_ppm")).as("w"))
+        .orderBy(col("w").desc, col("token"))
+        .limit(5).select("token").collect().map(_.getString(0)).toSeq
+      val expanded = qTerms.map((_, 1000000L)) ++ expTerms.map((_, 500000L))
+      graft.text.TextIndex.searchBm25Weighted(s, idx, expanded, 10)
+        .orderBy("rank")
+    }),
+    // PROXIMITY RERANK: the BM25 top-20 rescored by the smallest token
+    // window containing ALL query terms — the cheap positional second
+    // stage of a retrieve-then-rerank pipeline. Candidate text is a
+    // 20-id point lookup (never a corpus scan) and the min-window is
+    // the classic LINEAR sweep: at each query-term position keep the
+    // last-seen position of every term (running max over a doc-ordered
+    // window), window length = pos − least(last) + 1 where all terms
+    // have appeared; both engines run the identical window-function
+    // formulation, integer-exact. Docs missing a term sort after full
+    // matches (n_present DESC, then window ASC, then BM25). Cost ∝ the
+    // candidates' token counts — reranking never touches the index
+    "rerank_proximity" -> ((s, dir) => {
+      import s.implicits._
+      val idx = textIndexFixture(s, dir)
+      val qTerms = Seq("merge", "window", "scan")
+      val cands = graft.text.TextIndex.searchBm25(s, idx, qTerms, 20)
+        .select("doc_id", "score_ppm").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val scores = broadcast(cands.toSeq.toDF("doc_id", "score_ppm"))
+      val pos = docs(s, dir)
+        .where(col("doc_id").isin(cands.map(_._1).toSeq: _*))
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
+        .where(col("col").isin(qTerms: _*))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def lastSeen(t: String) =
+        max(when(col("token") === t, col("pos"))).over(w)
+      val mw = pos
+        .withColumn("l1", lastSeen("merge"))
+        .withColumn("l2", lastSeen("window"))
+        .withColumn("l3", lastSeen("scan"))
+        .where(col("l1").isNotNull && col("l2").isNotNull &&
+          col("l3").isNotNull)
+        .withColumn("wlen",
+          col("pos") - least(col("l1"), col("l2"), col("l3")) + 1)
+        .groupBy("doc_id").agg(min("wlen").as("min_window"))
+      val np = pos.groupBy("doc_id")
+        .agg(count_distinct(col("token")).as("n_present"))
+      scores.join(np, Seq("doc_id"), "left_outer")
+        .join(mw, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("score_ppm"),
+          coalesce(col("n_present"), lit(0L)).as("n_present"),
+          coalesce(col("min_window"), lit(-1L)).as("min_window"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_present").desc,
+            when(col("min_window") === -1L, lit(Long.MaxValue))
+              .otherwise(col("min_window")).asc,
+            col("score_ppm").desc, col("doc_id"))).cast("long"))
+        .select(col("rank"), col("doc_id"), col("n_present"),
+          col("min_window"), col("score_ppm"))
+        .orderBy("rank")
     }),
     // PERSISTED inverted text index, INGEST-MACHINERY leg, on a 1/10
     // corpus subset: two shards ingest under #txn: delivery keys, a
@@ -2674,6 +2789,159 @@ object PipelineQueries {
        |SELECT id AS doc_id, min(r) AS comp FROM reach
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Same recursive closure as `clustersOracle`, then soft-dedup
+   *  weighting: weight_ppm = 1e6 // |cluster| (floor division on both
+   *  engines), singletons (docs absent from the component map) weigh
+   *  the full 1e6.
+   */
+  private val softWeightsOracle: String =
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 100000, text || ' zz0 zz1 zz2'
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM corpus),
+       |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+       |    generate_series(1, len(tokens) - 2),
+       |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh FROM tok),
+       |shf AS (SELECT * FROM sh0 WHERE sh IN (
+       |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200)),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+       |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |prs AS (
+       |  SELECT a_id, b_id FROM inter
+       |  JOIN sizes sa ON sa.doc_id = a_id
+       |  JOIN sizes sb ON sb.doc_id = b_id
+       |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+       |edges AS (SELECT a_id AS s, b_id AS d FROM prs
+       |          UNION SELECT b_id, a_id FROM prs),
+       |reach(id, r) AS (
+       |  SELECT s, s FROM edges
+       |  UNION
+       |  SELECT e.d, reach.r FROM reach JOIN edges e ON e.s = reach.id),
+       |comp AS (SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY 1),
+       |sz AS (SELECT comp, CAST(count(*) AS BIGINT) AS csize
+       |       FROM comp GROUP BY 1),
+       |j AS (SELECT c.doc_id, coalesce(k.comp, c.doc_id) AS comp
+       |      FROM corpus c LEFT JOIN comp k USING (doc_id))
+       |SELECT j.doc_id, j.comp,
+       |  coalesce(sz.csize, CAST(1 AS BIGINT)) AS csize,
+       |  CAST(1000000 // coalesce(sz.csize, CAST(1 AS BIGINT)) AS BIGINT)
+       |    AS weight_ppm
+       |FROM j LEFT JOIN sz ON sz.comp = j.comp ORDER BY j.doc_id""".stripMargin
+
+  /** Shared declarative BM25 CTE prefix over `documents` for the
+   *  retrieval-tier oracles: ends at `cand` = the whole-corpus BM25
+   *  top-`k` for the ('merge','window','scan') query — identical
+   *  arithmetic to the `text_index_search` oracle (idf rounded once to
+   *  ppm, fixed float operation order).
+   */
+  private def bm25CandPrefix(k: Int): String =
+    s"""WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+       |    FROM documents)
+       |  WHERE length(t) > 0 GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+       |       FROM tf GROUP BY 1),
+       |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+       |       FROM dl),
+       |dfq AS (SELECT token, count(*) AS df FROM tf
+       |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+       |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+       |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+       |      * 1000000) AS BIGINT) AS idf_ppm,
+       |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+       |s2 AS (SELECT doc_id,
+       |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+       |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+       |  FROM sc),
+       |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+       |    count(*) AS n_terms FROM s2 GROUP BY 1),
+       |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+       |    doc_id) AS rank FROM ag),
+       |cand AS (SELECT doc_id, score_ppm FROM r WHERE rank <= $k)""".stripMargin
+
+  /** RM3 oracle: the BM25 top-10 feedback from [[bm25CandPrefix]],
+   *  integer RM1 expansion weights (score_ppm × round(1e6·tf/dl)),
+   *  top-5 expansion terms at half weight with the original terms at
+   *  full weight, then the weighted BM25 re-query — weight×idf first,
+   *  the same float operation order as `searchBm25Weighted`.
+   */
+  private val rm3Oracle: String =
+    s"""${bm25CandPrefix(10)},
+       |rm AS (SELECT t.token,
+       |    CAST(sum(f.score_ppm *
+       |      CAST(round(1000000.0 * t.tf / d.dl) AS BIGINT)) AS BIGINT) AS w
+       |  FROM tf t JOIN dl d USING (doc_id) JOIN cand f USING (doc_id)
+       |  WHERE t.token NOT IN ('merge', 'window', 'scan') GROUP BY 1),
+       |ex AS (SELECT token FROM rm ORDER BY w DESC, token LIMIT 5),
+       |q2 AS (SELECT token, CAST(1000000 AS BIGINT) AS w_ppm
+       |         FROM (VALUES ('merge'), ('window'), ('scan')) v(token)
+       |       UNION ALL
+       |       SELECT token, CAST(500000 AS BIGINT) AS w_ppm FROM ex),
+       |dfq2 AS (SELECT token, count(*) AS df FROM tf
+       |  WHERE token IN (SELECT token FROM q2) GROUP BY 1),
+       |sc2 AS (SELECT tf.doc_id, tf.tf, dl.dl, q2.w_ppm,
+       |    CAST(round(ln((st.nd - dfq2.df + 0.5) / (dfq2.df + 0.5) + 1.0)
+       |      * 1000000) AS BIGINT) AS idf_ppm,
+       |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfq2 USING (token)
+       |    JOIN q2 USING (token), st),
+       |s3 AS (SELECT doc_id,
+       |    CAST(round((w_ppm / 1000000.0) * idf_ppm * (tf * 2.2) /
+       |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+       |  FROM sc2),
+       |ag2 AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+       |    count(*) AS n_terms FROM s3 GROUP BY 1),
+       |r2 AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+       |    doc_id) AS rank FROM ag2)
+       |SELECT rank, doc_id, score_ppm, n_terms FROM r2
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  /** Proximity-rerank oracle: BM25 top-20 candidates from
+   *  [[bm25CandPrefix]], then the identical running-last-seen
+   *  min-window formulation the Spark side runs (1-based positions,
+   *  window length only where all three terms have appeared).
+   */
+  private val rerankProximityOracle: String =
+    s"""${bm25CandPrefix(20)},
+       |tok2 AS (SELECT doc_id, string_split(text, ' ') AS tokens
+       |         FROM documents),
+       |pos0 AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(tokens)),
+       |    i -> {'p': i, 't': tokens[i]})) AS u
+       |  FROM cand JOIN tok2 USING (doc_id)),
+       |pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.t AS token
+       |        FROM pos0
+       |        WHERE u.t IN ('merge', 'window', 'scan')),
+       |ls AS (SELECT doc_id, pos,
+       |    max(CASE WHEN token = 'merge' THEN pos END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l1,
+       |    max(CASE WHEN token = 'window' THEN pos END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l2,
+       |    max(CASE WHEN token = 'scan' THEN pos END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l3
+       |  FROM pos),
+       |mw AS (SELECT doc_id, min(pos - least(l1, l2, l3) + 1) AS min_window
+       |       FROM ls WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+       |         AND l3 IS NOT NULL GROUP BY 1),
+       |np AS (SELECT doc_id, count(DISTINCT token) AS n_present
+       |       FROM pos GROUP BY 1),
+       |j AS (SELECT c.doc_id, c.score_ppm,
+       |        coalesce(np.n_present, CAST(0 AS BIGINT)) AS n_present,
+       |        coalesce(mw.min_window, CAST(-1 AS BIGINT)) AS min_window
+       |      FROM cand c LEFT JOIN np USING (doc_id)
+       |        LEFT JOIN mw USING (doc_id)),
+       |rr AS (SELECT *, row_number() OVER (ORDER BY n_present DESC,
+       |    CASE WHEN min_window = -1 THEN 9223372036854775807
+       |         ELSE min_window END ASC,
+       |    score_ppm DESC, doc_id) AS rank FROM j)
+       |SELECT rank, doc_id, n_present, min_window, score_ppm FROM rr
+       |ORDER BY rank""".stripMargin
+
   /** Same recursive closure as `clustersOracle`, then the survivor
    *  selection: max qppm per component, min doc_id among the maxima
    *  (two-step max — never arg_max, whose tie choice is unspecified).
@@ -2788,6 +3056,9 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "dedup_clusters" -> clustersOracle,
+    "dedup_soft_weights" -> softWeightsOracle,
+    "bm25_rm3" -> rm3Oracle,
+    "rerank_proximity" -> rerankProximityOracle,
     "bm25_topk" ->
       """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -238,6 +238,76 @@ object TextIndex {
       .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
   }
 
+  /** WEIGHTED BM25 over the stored index: each query term carries an
+   *  exact ppm weight and contributes `(w_ppm/1e6) × bm25_term` to the
+   *  doc score — the scoring primitive query expansion needs (RM3-style
+   *  pseudo-relevance feedback interpolates original terms at full
+   *  weight with expansion terms at a discount; see `bm25_rm3`). Scan
+   *  shape is IDENTICAL to [[searchBm25]] — token-bucket directory
+   *  pruning + pushed token equality, driver-side |terms|+1 scalar
+   *  folds, broadcast idf/weight literals — so an expanded query costs
+   *  one pruned posting probe, never a corpus pass. Per-term float
+   *  factors are written in one fixed operation order (weight × idf
+   *  first), and a weight of exactly 1e6 multiplies by the double 1.0,
+   *  so an all-1e6 call is bit-identical to [[searchBm25]]
+   *  (spec-pinned). Duplicate terms keep the LAST weight given.
+   */
+  def searchBm25Weighted(
+      spark: SparkSession, dir: String, terms: Seq[(String, Long)], k: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(terms.nonEmpty, "searchBm25Weighted with no terms")
+    import spark.implicits._
+    val wByTerm = terms.toMap // last weight wins for duplicate terms
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val statsF = Future {
+      spark.read.parquet(liveSub(spark, dir, "stats"): _*)
+        .agg(sum("nd"), sum("tl")).head()
+    }
+    val dfF = Future {
+      spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+        .where(col("token").isin(wByTerm.keys.toSeq: _*))
+        .groupBy("token").agg(sum("df").as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val stats = Await.result(statsF, Duration.Inf)
+    val (nd, tl) = (stats.getLong(0), stats.getLong(1))
+    val avgdl = tl.toDouble / nd
+    val dfByTerm = Await.result(dfF, Duration.Inf)
+    val kept = wByTerm.keys.toSeq.sorted.filter(t =>
+      dfByTerm.get(t).exists(df => maxDf.forall(df <= _)))
+    val idf = kept.map { t =>
+      val df = dfByTerm(t)
+      (t, math.round(
+        math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6), wByTerm(t))
+    }.toDF("token", "idf_ppm", "w_ppm")
+    val termBuckets =
+      if (kept.isEmpty) Seq.empty[Long]
+      else kept.toDF("t")
+        .select(tokenBucket(col("t"))).distinct()
+        .collect().map(_.getLong(0)).toSeq
+    val posts = liveSub(spark, dir, "post")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .where(col("tb").isin(termBuckets: _*) &&
+        col("token").isin(kept: _*))
+    posts
+      .join(broadcast(idf), "token")
+      .withColumn("score_ppm",
+        round((col("w_ppm") / lit(1000000.0)) *
+          col("idf_ppm").cast("double") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+          .cast("long"))
+      .groupBy("doc_id")
+      .agg(sum("score_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
+  }
+
   /** BATCHED multi-query BM25: score a TABLE of queries —
    *  (query_id, token) rows — in ONE pruned posting scan. This is the
    *  production batch-retrieval shape (an eval suite, a distillation

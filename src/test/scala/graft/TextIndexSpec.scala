@@ -324,6 +324,37 @@ class TextIndexSpec extends AnyFunSuite {
         maxDf = Some(2L)).orderBy("rank"), 4))
   }
 
+  test("searchBm25Weighted: all-1e6 weights equal searchBm25 exactly; " +
+      "a down-weighted term only shrinks the docs that match it") {
+    val idx = TestSpark.tmpDir("text_idx_weighted")
+    TextIndex.ingestShard(spark, idx, corpus, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq
+    val terms = Seq("merge", "window", "scan")
+    val unweighted = rows(TextIndex.searchBm25(spark, idx, terms, 10))
+    // weight 1e6 multiplies by the double 1.0 → bit-identical scores
+    assert(rows(TextIndex.searchBm25Weighted(
+        spark, idx, terms.map((_, 1000000L)), 10)) == unweighted,
+      "all-1e6 weighted search must equal the unweighted search")
+    // quarter-weight 'window': window-matching docs shrink, others don't
+    val down = rows(TextIndex.searchBm25Weighted(spark, idx,
+      Seq(("merge", 1000000L), ("window", 250000L), ("scan", 1000000L)), 10))
+    val windowDocs = Set(1L, 2L) // docs whose text contains 'window'
+    for ((_, doc, score, _) <- down) {
+      val full = unweighted.find(_._2 == doc).get._3
+      if (windowDocs(doc))
+        assert(score < full, s"doc $doc kept score $score despite down-weight")
+      else assert(score == full,
+        s"doc $doc without the down-weighted term moved: $score != $full")
+    }
+    // an unindexed term is skipped: no idf row, no n_terms credit
+    assert(rows(TextIndex.searchBm25Weighted(spark, idx,
+        terms.map((_, 1000000L)) :+ (("zz_not_indexed", 900000L)), 10))
+      == unweighted)
+  }
+
   test("containmentProbe on an index with no live commits answers empty, not an empty-reduce crash") {
     val idx = TestSpark.tmpDir("text_idx_empty")
     val out = TextIndex.containmentProbe(spark, idx,
