@@ -1472,6 +1472,106 @@ object PipelineQueries {
           col("min_window"), col("score_ppm"))
         .orderBy("rank")
     }),
+    // SNIPPET EXTRACTION: the result-presentation step of search — for
+    // each BM25 top-10 hit, the smallest token window containing every
+    // query term THE DOC HAS (the all-present-terms generalization of
+    // the rerank sweep: a window is valid once the count of seen terms
+    // equals the doc's present-term count, and `least` skipping nulls
+    // — identical on both engines — reads the window start), padded by
+    // 2 context tokens and clamped to the doc, then sliced out of the
+    // token array. Ties resolve (min length, then min start). Cost ∝
+    // the 10 candidates' token counts: a 10-id point lookup, one
+    // positional sweep, one slice — corpus and index untouched beyond
+    // the probe
+    "search_snippets" -> ((s, dir) => {
+      import s.implicits._
+      val idx = textIndexFixture(s, dir)
+      val qTerms = Seq("merge", "window", "scan")
+      val cands = graft.text.TextIndex.searchBm25(s, idx, qTerms, 10)
+        .select("rank", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ranks = broadcast(cands.toSeq.toDF("rank", "doc_id"))
+      val toks = docs(s, dir)
+        .where(col("doc_id").isin(cands.map(_._2).toSeq: _*))
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens"))
+      val pos = toks
+        .select(col("doc_id"), posexplode(col("tokens")))
+        .where(col("col").isin(qTerms: _*))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+          col("col").as("token"))
+      val np = pos.groupBy("doc_id")
+        .agg(count_distinct(col("token")).as("n_present"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      def lastSeen(t: String) =
+        max(when(col("token") === t, col("pos"))).over(w)
+      val win = pos
+        .withColumn("l1", lastSeen("merge"))
+        .withColumn("l2", lastSeen("window"))
+        .withColumn("l3", lastSeen("scan"))
+        .withColumn("nn", col("l1").isNotNull.cast("long") +
+          col("l2").isNotNull.cast("long") + col("l3").isNotNull.cast("long"))
+        .join(np, "doc_id")
+        .where(col("nn") === col("n_present"))
+        .withColumn("start", least(col("l1"), col("l2"), col("l3")))
+        .withColumn("wlen", col("pos") - col("start") + 1)
+      val best = win.groupBy("doc_id").agg(min("wlen").as("wlen"))
+      val bs = win.join(best, Seq("doc_id", "wlen"))
+        .groupBy("doc_id", "wlen").agg(min("start").as("start"))
+      ranks.join(bs, "doc_id").join(toks, "doc_id")
+        .withColumn("s0", greatest(lit(1L), col("start") - 2))
+        .withColumn("e0", least(size(col("tokens")).cast("long"),
+          col("start") + col("wlen") - 1 + 2))
+        .select(col("rank"), col("doc_id"), col("s0").as("snip_start"),
+          (col("e0") - col("s0") + 1).as("snip_len"),
+          array_join(slice(col("tokens"), col("s0"),
+            col("e0") - col("s0") + 1), " ").as("snippet"))
+        .orderBy("rank")
+    }),
+    // MMR DIVERSIFICATION: select 5 of the BM25 top-10 maximizing
+    // marginal relevance — score = 700·rel_ppm − 300·max_sim_ppm
+    // (λ=0.7 scaled ×1000, all integers), rel is RRF-style
+    // 1e6 div (60+rank), sim is the candidates' pairwise embedding
+    // cosine in ppm (the shared char-histogram encoder, the SAME
+    // sequential-fold arithmetic the ANN tier pins bit-exact). The
+    // distributed work is the index probe + a 10-id vector point
+    // lookup + a 10×10 pairwise-sim join; the greedy selection itself
+    // is inherently sequential over k·|cand| ≤ 50 scored pairs, so it
+    // folds on the driver from a BOUNDED collect (≤ 10 rel rows + 90
+    // sim rows — candidate-grain, never corpus). Oracle = the same
+    // greedy unrolled into 5 argmax CTE steps
+    "mmr_diversify" -> ((s, dir) => {
+      import s.implicits._
+      val idx = textIndexFixture(s, dir)
+      val hits = graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 10)
+        .select("doc_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val rel = hits.map { case (d, r) => d -> 1000000L / (60L + r) }.toMap
+      val ids = hits.map(_._1).toSeq
+      val cv = ragDocCorpus(s, dir).where(col("vec_id").isin(ids: _*))
+      val sims = cv.as("a").join(cv.as("b"),
+          col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+          round(Similarity.cosine(col("a.v"), col("b.v")) * lit(1000000.0))
+            .cast("long").as("sim_ppm"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+        .toMap
+      val picked = scala.collection.mutable.ListBuffer[(Long, Long, Long)]()
+      val remaining = scala.collection.mutable.SortedSet(ids: _*)
+      for (step <- 1L to math.min(5L, ids.size.toLong)) {
+        val (score, doc) = remaining.map { d =>
+          val mx =
+            if (picked.isEmpty) 0L
+            else picked.map(p => sims.getOrElse((d, p._2), 0L)).max
+          (700L * rel(d) - 300L * mx, d)
+        }.minBy { case (sc, d) => (-sc, d) }
+        picked += ((step, doc, score))
+        remaining -= doc
+      }
+      picked.toSeq.toDF("sel_order", "doc_id", "mmr_score")
+        .orderBy("sel_order")
+    }),
     // PERSISTED inverted text index, INGEST-MACHINERY leg, on a 1/10
     // corpus subset: two shards ingest under #txn: delivery keys, a
     // redelivered shard is rejected, a full compaction folds the
@@ -2862,7 +2962,7 @@ object PipelineQueries {
        |    count(*) AS n_terms FROM s2 GROUP BY 1),
        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
        |    doc_id) AS rank FROM ag),
-       |cand AS (SELECT doc_id, score_ppm FROM r WHERE rank <= $k)""".stripMargin
+       |cand AS (SELECT doc_id, score_ppm, rank FROM r WHERE rank <= $k)""".stripMargin
 
   /** RM3 oracle: the BM25 top-10 feedback from [[bm25CandPrefix]],
    *  integer RM1 expansion weights (score_ppm × round(1e6·tf/dl)),
@@ -2941,6 +3041,105 @@ object PipelineQueries {
        |    score_ppm DESC, doc_id) AS rank FROM j)
        |SELECT rank, doc_id, n_present, min_window, score_ppm FROM rr
        |ORDER BY rank""".stripMargin
+
+  /** Snippet oracle: BM25 top-10 from [[bm25CandPrefix]], the
+   *  all-present-terms min-window sweep (window valid once the seen-
+   *  term count equals the doc's present-term count; `least` skips
+   *  nulls identically on both engines), (min length, min start) tie
+   *  resolution, ±2-token padding clamped to the doc, 1-based list
+   *  slice.
+   */
+  private val searchSnippetsOracle: String =
+    s"""${bm25CandPrefix(10)},
+       |tok2 AS (SELECT doc_id, string_split(text, ' ') AS tokens
+       |         FROM documents),
+       |pos0 AS (SELECT doc_id, unnest(list_transform(
+       |    generate_series(1, len(tokens)),
+       |    i -> {'p': i, 't': tokens[i]})) AS u
+       |  FROM cand JOIN tok2 USING (doc_id)),
+       |pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.t AS token
+       |        FROM pos0
+       |        WHERE u.t IN ('merge', 'window', 'scan')),
+       |np AS (SELECT doc_id, count(DISTINCT token) AS n_present
+       |       FROM pos GROUP BY 1),
+       |ls AS (SELECT doc_id, pos,
+       |    max(CASE WHEN token = 'merge' THEN pos END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l1,
+       |    max(CASE WHEN token = 'window' THEN pos END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l2,
+       |    max(CASE WHEN token = 'scan' THEN pos END) OVER
+       |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l3
+       |  FROM pos),
+       |win AS (SELECT l.doc_id, least(l.l1, l.l2, l.l3) AS st,
+       |    l.pos - least(l.l1, l.l2, l.l3) + 1 AS wlen
+       |  FROM ls l JOIN np USING (doc_id)
+       |  WHERE CAST(l.l1 IS NOT NULL AS BIGINT)
+       |      + CAST(l.l2 IS NOT NULL AS BIGINT)
+       |      + CAST(l.l3 IS NOT NULL AS BIGINT) = np.n_present),
+       |best AS (SELECT doc_id, min(wlen) AS wlen FROM win GROUP BY 1),
+       |bs AS (SELECT w.doc_id, w.wlen, min(w.st) AS st
+       |       FROM win w JOIN best b
+       |         ON b.doc_id = w.doc_id AND b.wlen = w.wlen
+       |       GROUP BY 1, 2),
+       |sn AS (SELECT c.rank, c.doc_id,
+       |         greatest(CAST(1 AS BIGINT), bs.st - 2) AS s0,
+       |         least(CAST(len(k.tokens) AS BIGINT),
+       |           bs.st + bs.wlen - 1 + 2) AS e0,
+       |         k.tokens
+       |       FROM cand c JOIN bs USING (doc_id) JOIN tok2 k USING (doc_id))
+       |SELECT rank, doc_id, s0 AS snip_start, e0 - s0 + 1 AS snip_len,
+       |  array_to_string(tokens[s0:e0], ' ') AS snippet
+       |FROM sn ORDER BY rank""".stripMargin
+
+  /** MMR oracle: BM25 top-10 from [[bm25CandPrefix]], integer RRF
+   *  relevance, pairwise candidate cosine in ppm (the same sequential
+   *  list_sum fold as the ANN oracles), and the greedy selection
+   *  UNROLLED into 5 argmax steps — step n picks, among candidates not
+   *  yet in the union of steps 1..n−1, the max of
+   *  700·rel − 300·max-sim-to-selected (ties to smallest doc_id).
+   */
+  private val mmrOracle: String = {
+    val steps = (2 to 5).map { n =>
+      val prev = s"u${n - 1}"
+      s"""sel$n AS (SELECT r.doc_id,
+         |    CAST(700 * r.rel_ppm - 300 * coalesce(mx.m, 0) AS BIGINT) AS score,
+         |    CAST($n AS BIGINT) AS sel_order
+         |  FROM rel r LEFT JOIN (
+         |    SELECT p.a_id, max(p.sim_ppm) AS m FROM p
+         |    WHERE p.b_id IN (SELECT doc_id FROM $prev) GROUP BY 1) mx
+         |    ON mx.a_id = r.doc_id
+         |  WHERE r.doc_id NOT IN (SELECT doc_id FROM $prev)
+         |  ORDER BY score DESC, r.doc_id LIMIT 1),
+         |u$n AS (SELECT * FROM $prev UNION ALL SELECT * FROM sel$n)""".stripMargin
+    }.mkString(",\n")
+    s"""${bm25CandPrefix(10)},
+       |rel AS (SELECT doc_id, CAST(1000000 // (60 + rank) AS BIGINT)
+       |          AS rel_ppm FROM cand),
+       |e0 AS (
+       |  SELECT doc_id AS vec_id,
+       |    list_transform(generate_series(1, 64), i -> CAST(len(text) -
+       |      len(replace(text, substr('$RagAlphabet', CAST(i AS INTEGER), 1), ''))
+       |      AS DOUBLE)) AS v
+       |  FROM documents),
+       |e AS (SELECT vec_id, v FROM e0
+       |      WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+       |cv AS (SELECT vec_id, v FROM e
+       |       WHERE vec_id IN (SELECT doc_id FROM cand)),
+       |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |    CAST(round(
+       |      list_sum(list_transform(generate_series(1, 64), i -> a.v[i] * b.v[i])) /
+       |        (sqrt(list_sum(list_transform(a.v, x -> x * x))) *
+       |         sqrt(list_sum(list_transform(b.v, x -> x * x)))) * 1000000)
+       |      AS BIGINT) AS sim_ppm
+       |  FROM cv a JOIN cv b ON a.vec_id <> b.vec_id),
+       |sel1 AS (SELECT doc_id, CAST(700 * rel_ppm AS BIGINT) AS score,
+       |    CAST(1 AS BIGINT) AS sel_order
+       |  FROM rel ORDER BY 700 * rel_ppm DESC, doc_id LIMIT 1),
+       |u1 AS (SELECT * FROM sel1),
+       |$steps
+       |SELECT sel_order, doc_id, score AS mmr_score FROM u5
+       |ORDER BY sel_order""".stripMargin
+  }
 
   /** Same recursive closure as `clustersOracle`, then the survivor
    *  selection: max qppm per component, min doc_id among the maxima
@@ -3059,6 +3258,8 @@ object PipelineQueries {
     "dedup_soft_weights" -> softWeightsOracle,
     "bm25_rm3" -> rm3Oracle,
     "rerank_proximity" -> rerankProximityOracle,
+    "search_snippets" -> searchSnippetsOracle,
+    "mmr_diversify" -> mmrOracle,
     "bm25_topk" ->
       """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
