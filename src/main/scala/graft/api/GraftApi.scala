@@ -189,6 +189,52 @@ final class GraftApi(
     graft.sim.Similarity.ivfIndexQuery(spark, indexDir, queries, k, nProbe)
   }
 
+  /** BM25 with RM3 query expansion: feedback docs from the index,
+   *  integer RM1 expansion weights, one weighted re-probe. `corpus`
+   *  serves the feedback docs' text by point lookup (forward-index
+   *  role) — the index is never scanned beyond the two probes.
+   */
+  def searchDocsExpanded(indexDir: String, corpus: DataFrame,
+      terms: Seq[String], k: Int, fbK: Int = 10, expK: Int = 5,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.searchBm25Rm3(
+      spark, indexDir, corpus, "doc_id", "text", terms, k,
+      fbK = fbK, expK = expK, maxDf = maxDf)
+  }
+
+  /** Proximity second stage over [[searchDocs]] results: min-window
+   *  rerank, candidate-grain cost (point lookup + positional sweep).
+   */
+  def rerankDocs(indexDir: String, corpus: DataFrame,
+      terms: Seq[String], k: Int, maxDf: Option[Long] = None): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    val cands = graft.text.TextIndex
+      .searchBm25(spark, indexDir, terms, k, maxDf)
+      .select("doc_id", "score_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.text.TextOps.proximityRerank(
+      corpus, "doc_id", "text", cands, terms)
+  }
+
+  /** Search with snippets: BM25 top-k plus the best matching token
+   *  window (padded, clamped) sliced from each hit's text.
+   */
+  def searchDocsWithSnippets(indexDir: String, corpus: DataFrame,
+      terms: Seq[String], k: Int, pad: Int = 2,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    val cands = graft.text.TextIndex
+      .searchBm25(spark, indexDir, terms, k, maxDf)
+      .select("rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.text.TextOps.searchSnippets(
+      corpus, "doc_id", "text", cands, terms, pad)
+  }
+
   /** Near-dup-check a (doc_id, text) batch against a persisted dedup
    *  index AND fold the batch in — the crawl-ingest front door
    *  (returns the (a_id, b_id, jaccard) verdict; `key` gives

@@ -1391,33 +1391,11 @@ object PipelineQueries {
     // the corpus (the forward-index shape), NEVER a corpus scan, so the
     // whole expansion costs two posting probes + a 10-doc tokenize.
     // Oracle = the same four steps as declarative SQL
-    "bm25_rm3" -> ((s, dir) => {
-      import s.implicits._
-      val idx = textIndexFixture(s, dir)
-      val qTerms = Seq("merge", "window", "scan")
-      val fb = graft.text.TextIndex.searchBm25(s, idx, qTerms, 10)
-        .select("doc_id", "score_ppm").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val fbScores = broadcast(fb.toSeq.toDF("doc_id", "fb_score"))
-      val tf = docs(s, dir)
-        .where(col("doc_id").isin(fb.map(_._1).toSeq: _*))
-        .select(col("doc_id"),
-          explode(TextOps.tokens(col("text"))).as("token"))
-        .where(length(col("token")) > 0)
-        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val expTerms = tf.join(dl, "doc_id").join(fbScores, "doc_id")
-        .where(!col("token").isin(qTerms: _*))
-        .withColumn("contrib_ppm",
-          round(lit(1000000.0) * col("tf") / col("dl")).cast("long"))
-        .groupBy("token")
-        .agg(sum(col("fb_score") * col("contrib_ppm")).as("w"))
-        .orderBy(col("w").desc, col("token"))
-        .limit(5).select("token").collect().map(_.getString(0)).toSeq
-      val expanded = qTerms.map((_, 1000000L)) ++ expTerms.map((_, 500000L))
-      graft.text.TextIndex.searchBm25Weighted(s, idx, expanded, 10)
-        .orderBy("rank")
-    }),
+    "bm25_rm3" -> ((s, dir) =>
+      graft.text.TextIndex.searchBm25Rm3(s, textIndexFixture(s, dir),
+          docs(s, dir), "doc_id", "text",
+          Seq("merge", "window", "scan"), 10)
+        .orderBy("rank")),
     // PROXIMITY RERANK: the BM25 top-20 rescored by the smallest token
     // window containing ALL query terms — the cheap positional second
     // stage of a retrieve-then-rerank pipeline. Candidate text is a
@@ -1430,46 +1408,13 @@ object PipelineQueries {
     // matches (n_present DESC, then window ASC, then BM25). Cost ∝ the
     // candidates' token counts — reranking never touches the index
     "rerank_proximity" -> ((s, dir) => {
-      import s.implicits._
-      val idx = textIndexFixture(s, dir)
       val qTerms = Seq("merge", "window", "scan")
-      val cands = graft.text.TextIndex.searchBm25(s, idx, qTerms, 20)
+      val cands = graft.text.TextIndex
+        .searchBm25(s, textIndexFixture(s, dir), qTerms, 20)
         .select("doc_id", "score_ppm").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val scores = broadcast(cands.toSeq.toDF("doc_id", "score_ppm"))
-      val pos = docs(s, dir)
-        .where(col("doc_id").isin(cands.map(_._1).toSeq: _*))
-        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))))
-        .where(col("col").isin(qTerms: _*))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("token"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      def lastSeen(t: String) =
-        max(when(col("token") === t, col("pos"))).over(w)
-      val mw = pos
-        .withColumn("l1", lastSeen("merge"))
-        .withColumn("l2", lastSeen("window"))
-        .withColumn("l3", lastSeen("scan"))
-        .where(col("l1").isNotNull && col("l2").isNotNull &&
-          col("l3").isNotNull)
-        .withColumn("wlen",
-          col("pos") - least(col("l1"), col("l2"), col("l3")) + 1)
-        .groupBy("doc_id").agg(min("wlen").as("min_window"))
-      val np = pos.groupBy("doc_id")
-        .agg(count_distinct(col("token")).as("n_present"))
-      scores.join(np, Seq("doc_id"), "left_outer")
-        .join(mw, Seq("doc_id"), "left_outer")
-        .select(col("doc_id"), col("score_ppm"),
-          coalesce(col("n_present"), lit(0L)).as("n_present"),
-          coalesce(col("min_window"), lit(-1L)).as("min_window"))
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n_present").desc,
-            when(col("min_window") === -1L, lit(Long.MaxValue))
-              .otherwise(col("min_window")).asc,
-            col("score_ppm").desc, col("doc_id"))).cast("long"))
-        .select(col("rank"), col("doc_id"), col("n_present"),
-          col("min_window"), col("score_ppm"))
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      TextOps.proximityRerank(docs(s, dir), "doc_id", "text",
+          cands, qTerms)
         .orderBy("rank")
     }),
     // SNIPPET EXTRACTION: the result-presentation step of search — for
@@ -1484,48 +1429,13 @@ object PipelineQueries {
     // positional sweep, one slice — corpus and index untouched beyond
     // the probe
     "search_snippets" -> ((s, dir) => {
-      import s.implicits._
-      val idx = textIndexFixture(s, dir)
       val qTerms = Seq("merge", "window", "scan")
-      val cands = graft.text.TextIndex.searchBm25(s, idx, qTerms, 10)
+      val cands = graft.text.TextIndex
+        .searchBm25(s, textIndexFixture(s, dir), qTerms, 10)
         .select("rank", "doc_id").collect()
-        .map(r => (r.getLong(0), r.getLong(1)))
-      val ranks = broadcast(cands.toSeq.toDF("rank", "doc_id"))
-      val toks = docs(s, dir)
-        .where(col("doc_id").isin(cands.map(_._2).toSeq: _*))
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("tokens"))
-      val pos = toks
-        .select(col("doc_id"), posexplode(col("tokens")))
-        .where(col("col").isin(qTerms: _*))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
-          col("col").as("token"))
-      val np = pos.groupBy("doc_id")
-        .agg(count_distinct(col("token")).as("n_present"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      def lastSeen(t: String) =
-        max(when(col("token") === t, col("pos"))).over(w)
-      val win = pos
-        .withColumn("l1", lastSeen("merge"))
-        .withColumn("l2", lastSeen("window"))
-        .withColumn("l3", lastSeen("scan"))
-        .withColumn("nn", col("l1").isNotNull.cast("long") +
-          col("l2").isNotNull.cast("long") + col("l3").isNotNull.cast("long"))
-        .join(np, "doc_id")
-        .where(col("nn") === col("n_present"))
-        .withColumn("start", least(col("l1"), col("l2"), col("l3")))
-        .withColumn("wlen", col("pos") - col("start") + 1)
-      val best = win.groupBy("doc_id").agg(min("wlen").as("wlen"))
-      val bs = win.join(best, Seq("doc_id", "wlen"))
-        .groupBy("doc_id", "wlen").agg(min("start").as("start"))
-      ranks.join(bs, "doc_id").join(toks, "doc_id")
-        .withColumn("s0", greatest(lit(1L), col("start") - 2))
-        .withColumn("e0", least(size(col("tokens")).cast("long"),
-          col("start") + col("wlen") - 1 + 2))
-        .select(col("rank"), col("doc_id"), col("s0").as("snip_start"),
-          (col("e0") - col("s0") + 1).as("snip_len"),
-          array_join(slice(col("tokens"), col("s0"),
-            col("e0") - col("s0") + 1), " ").as("snippet"))
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      TextOps.searchSnippets(docs(s, dir), "doc_id", "text",
+          cands, qTerms)
         .orderBy("rank")
     }),
     // MMR DIVERSIFICATION: select 5 of the BM25 top-10 maximizing

@@ -308,6 +308,54 @@ object TextIndex {
       .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
   }
 
+  /** RM3 PSEUDO-RELEVANCE-FEEDBACK search: BM25 top-`fbK` feedback
+   *  docs from one pruned probe; RM1 expansion-term weights as exact
+   *  integer sums (feedback score_ppm × round(1e6·tf/dl) — both
+   *  factors integers, so the fold is order-independent and
+   *  engine-exact); the top-`expK` expansion terms (ties by token)
+   *  join the original terms — full weight — at `expWeightPpm`; one
+   *  weighted re-probe ([[searchBm25Weighted]]) answers. The feedback
+   *  docs' text comes from `corpus` by an `fbK`-id point lookup (the
+   *  forward-index shape — at scale the predicate pushes to row-group
+   *  point reads), NEVER a corpus scan: the whole expansion costs two
+   *  pruned posting probes plus an `fbK`-doc tokenize.
+   */
+  def searchBm25Rm3(
+      spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, textCol: String, terms: Seq[String], k: Int,
+      fbK: Int = 10, expK: Int = 5, expWeightPpm: Long = 500000L,
+      maxDf: Option[Long] = None): DataFrame = {
+    require(terms.nonEmpty && k > 0 && fbK > 0 && expK >= 0 &&
+      expWeightPpm > 0, s"bad rm3 parameters: k=$k fbK=$fbK expK=$expK")
+    import spark.implicits._
+    // feedback is a first-stage top-k: bounded by contract
+    val fb = searchBm25(spark, dir, terms, fbK, maxDf)
+      .select("doc_id", "score_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expTerms: Seq[String] =
+      if (fb.isEmpty) Seq.empty
+      else {
+        val fbScores = broadcast(fb.toSeq.toDF("doc_id", "fb_score"))
+        val tf = corpus
+          .where(col(idCol).isin(fb.map(_._1).toSeq: _*))
+          .select(col(idCol).as("doc_id"),
+            explode(TextOps.tokens(col(textCol))).as("token"))
+          .where(length(col("token")) > 0)
+          .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+        tf.join(dl, "doc_id").join(fbScores, "doc_id")
+          .where(!col("token").isin(terms: _*))
+          .withColumn("contrib_ppm",
+            round(lit(1000000.0) * col("tf") / col("dl")).cast("long"))
+          .groupBy("token")
+          .agg(sum(col("fb_score") * col("contrib_ppm")).as("w"))
+          .orderBy(col("w").desc, col("token"))
+          .limit(expK).select("token").collect().map(_.getString(0)).toSeq
+      }
+    searchBm25Weighted(spark, dir,
+      terms.map((_, 1000000L)) ++ expTerms.map((_, expWeightPpm)), k, maxDf)
+  }
+
   /** BATCHED multi-query BM25: score a TABLE of queries —
    *  (query_id, token) rows — in ONE pruned posting scan. This is the
    *  production batch-retrieval shape (an eval suite, a distillation

@@ -539,4 +539,125 @@ object TextOps {
         col("token"), col("df"), col("n_postings"),
         concat_ws(",", transform(col("p"), x => x.cast("string"))).as("postings_head"))
   }
+
+  // ---- retrieval second stage: candidate-grain positional ops -------
+  // Both take the candidate list as a DRIVER-SIDE Seq by contract: a
+  // second stage operates on a first stage's top-k, which is bounded
+  // and already on the driver (the ids become a pushed-down point
+  // lookup on the corpus — never a corpus scan). Cost is ∝ the
+  // candidates' token counts.
+
+  /** Per-candidate query-term positions, 1-based (matches a 1-based
+   *  SQL `generate_series` formulation): the shared scaffold of the
+   *  positional second-stage ops.
+   */
+  private def termPositions(
+      corpus: DataFrame, idCol: String, textCol: String,
+      ids: Seq[Long], terms: Seq[String]): DataFrame =
+    corpus
+      .where(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("doc_id"), posexplode(tokens(col(textCol))))
+      .where(col("col").isin(terms: _*))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("token"))
+
+  /** Running last-seen position per query term (the linear min-window
+   *  sweep): one window column per term, plus the count of terms seen
+   *  so far (`nn`). Window length at a position = pos − least(last) +
+   *  1; `least` skips nulls on Spark and DuckDB alike, so callers gate
+   *  on how many terms must have appeared.
+   */
+  private def lastSeenSweep(pos: DataFrame, terms: Seq[String]): DataFrame = {
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withLs = terms.zipWithIndex.foldLeft(pos) { case (df, (t, i)) =>
+      df.withColumn(s"l$i", max(when(col("token") === t, col("pos"))).over(w))
+    }
+    val lCols = terms.indices.map(i => col(s"l$i"))
+    withLs
+      .withColumn("nn",
+        lCols.map(_.isNotNull.cast("long")).reduce(_ + _))
+      .withColumn("lmin",
+        if (lCols.size == 1) lCols.head else least(lCols: _*))
+  }
+
+  /** PROXIMITY RERANK: rescore retrieval candidates by the smallest
+   *  token window containing ALL query terms. Candidates carry their
+   *  first-stage score; docs missing a term sort after full matches
+   *  (n_present DESC, min_window ASC with missing → last, score DESC,
+   *  doc_id). min_window is −1 when the doc lacks a term. Returns
+   *  (rank, doc_id, n_present, min_window, score_ppm).
+   */
+  def proximityRerank(
+      corpus: DataFrame, idCol: String, textCol: String,
+      candidates: Seq[(Long, Long)], terms: Seq[String]): DataFrame = {
+    require(candidates.nonEmpty, "proximityRerank with no candidates")
+    require(terms.nonEmpty, "proximityRerank with no terms")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val scores = broadcast(candidates.toDF("doc_id", "score_ppm"))
+    val pos = termPositions(
+      corpus, idCol, textCol, candidates.map(_._1), terms)
+    val mw = lastSeenSweep(pos, terms)
+      .where(col("nn") === terms.size)
+      .withColumn("wlen", col("pos") - col("lmin") + 1)
+      .groupBy("doc_id").agg(min("wlen").as("min_window"))
+    val np = pos.groupBy("doc_id")
+      .agg(count_distinct(col("token")).as("n_present"))
+    scores.join(np, Seq("doc_id"), "left_outer")
+      .join(mw, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("score_ppm"),
+        coalesce(col("n_present"), lit(0L)).as("n_present"),
+        coalesce(col("min_window"), lit(-1L)).as("min_window"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_present").desc,
+          when(col("min_window") === -1L, lit(Long.MaxValue))
+            .otherwise(col("min_window")).asc,
+          col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .select(col("rank"), col("doc_id"), col("n_present"),
+        col("min_window"), col("score_ppm"))
+  }
+
+  /** SNIPPET EXTRACTION: for each (rank, doc_id) candidate, the
+   *  smallest token window containing every query term THE DOC HAS
+   *  (validity = seen-term count equals the doc's present-term count —
+   *  the all-present generalization of the rerank sweep), tie-resolved
+   *  (min length, then min start), padded by `pad` context tokens,
+   *  clamped to the doc, and sliced out of the token array. Returns
+   *  (rank, doc_id, snip_start, snip_len, snippet); candidates with
+   *  no query term at all yield no row.
+   */
+  def searchSnippets(
+      corpus: DataFrame, idCol: String, textCol: String,
+      candidates: Seq[(Long, Long)], terms: Seq[String],
+      pad: Int = 2): DataFrame = {
+    require(candidates.nonEmpty, "searchSnippets with no candidates")
+    require(terms.nonEmpty && pad >= 0, "bad terms/pad")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val ranks = broadcast(candidates.toDF("rank", "doc_id"))
+    val ids = candidates.map(_._2)
+    val toks = corpus
+      .where(col(idCol).isin(ids: _*))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tokens"))
+    val pos = termPositions(corpus, idCol, textCol, ids, terms)
+    val np = pos.groupBy("doc_id")
+      .agg(count_distinct(col("token")).as("n_present"))
+    val win = lastSeenSweep(pos, terms)
+      .join(np, "doc_id")
+      .where(col("nn") === col("n_present"))
+      .withColumn("start", col("lmin"))
+      .withColumn("wlen", col("pos") - col("start") + 1)
+    val best = win.groupBy("doc_id").agg(min("wlen").as("wlen"))
+    val bs = win.join(best, Seq("doc_id", "wlen"))
+      .groupBy("doc_id", "wlen").agg(min("start").as("start"))
+    ranks.join(bs, "doc_id").join(toks, "doc_id")
+      .withColumn("s0", greatest(lit(1L), col("start") - pad))
+      .withColumn("e0", least(size(col("tokens")).cast("long"),
+        col("start") + col("wlen") - 1 + pad))
+      .select(col("rank"), col("doc_id"), col("s0").as("snip_start"),
+        (col("e0") - col("s0") + 1).as("snip_len"),
+        array_join(slice(col("tokens"), col("s0"),
+          col("e0") - col("s0") + 1), " ").as("snippet"))
+  }
 }

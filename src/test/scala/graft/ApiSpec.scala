@@ -179,8 +179,29 @@ class ApiSpec extends AnyFunSuite {
     val probes = vecs.where(col("vec_id") < 2)
     assert(dump(api.annQuery(aIdx, probes, k = 4)) ==
       dump(graft.sim.Similarity.ivfIndexQuery(spark, aIdx, probes, 4, 3)))
+    // retrieval second stages route through the operator modules
+    val corpus = docs.where(col("doc_id") < 4)
+    val terms = Seq("merge", "window")
+    val expanded = api.searchDocsExpanded(tIdx, corpus, terms, 5)
+    assert(expanded.columns.toSeq ==
+      Seq("rank", "doc_id", "score_ppm", "n_terms"))
+    assert(expanded.count() > 0)
+    val reranked = api.rerankDocs(tIdx, corpus, terms, 5)
+    val cands = graft.text.TextIndex.searchBm25(spark, tIdx, terms, 5)
+      .select("doc_id", "score_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(dump(reranked) == dump(graft.text.TextOps.proximityRerank(
+      corpus, "doc_id", "text", cands, terms)))
+    // doc 2 "merge window table": adjacent terms → the tightest window
+    val top = reranked.orderBy("rank").collect()
+    assert(top.head.getLong(1) == 2L && top.head.getLong(3) == 2L,
+      s"expected doc 2 with window 2 first, got ${top.head}")
+    val snip = api.searchDocsWithSnippets(tIdx, corpus, terms, 5)
+      .where(col("doc_id") === 2).collect().head
+    assert(snip.getString(4) == "merge window table",
+      s"bad snippet: ${snip.getString(4)}")
     // the facade counted the traffic
     val (puts, gets) = api.counters
-    assert(puts == 4 && gets == 3, s"facade counters off: $puts puts, $gets gets")
+    assert(puts == 4 && gets == 6, s"facade counters off: $puts puts, $gets gets")
   }
 }
