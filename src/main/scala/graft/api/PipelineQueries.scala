@@ -1482,6 +1482,114 @@ object PipelineQueries {
       picked.toSeq.toDF("sel_order", "doc_id", "mmr_score")
         .orderBy("sel_order")
     }),
+    // PERCOLATION (reverse search): 10 stored 3-token rules — built
+    // from the corpus's df ranking (top-30 by df desc, token; a
+    // TakeOrdered + driver literal, rules are driver-resident alerting
+    // config by nature) — watch an incoming batch (every 50th doc). A
+    // rule fires when ALL its tokens appear in the doc. The match is
+    // one tokenize pass over the BATCH with the rules broadcast —
+    // never a corpus scan, never an index probe: the production
+    // saved-search/alerting shape on a crawl
+    "percolate_queries" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val dt = d.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .where(length(col("token")) > 0).distinct()
+      val top = dt.groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(30).select("token").collect().map(_.getString(0))
+      val rules = top.zipWithIndex
+        .map { case (t, i) => (i / 3 + 1L, t) }.toSeq
+        .toDF("query_id", "token")
+      TextOps.percolate(d.where(col("doc_id") % 50 === 0),
+          "doc_id", "text", rules)
+        .orderBy("query_id", "doc_id")
+    }),
+    // STREAMING PERCOLATION: the same 10 stored rules watch a DOC
+    // STREAM (a disjoint incoming subset, every 50th doc offset 25,
+    // replayed as two micro-batches). Matching is ROW-LOCAL — rules
+    // ride as a literal array, per doc one array_intersect per rule —
+    // so the stream needs NO state store, NO watermark, NO shuffle:
+    // append-mode output is batch-identical by construction, which the
+    // oracle (the aggregate percolation formulation over the same
+    // subset) proves
+    "stream_percolate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val dt = d.select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .where(length(col("token")) > 0).distinct()
+      val top = dt.groupBy("token").agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("token"))
+        .limit(30).select("token").collect().map(_.getString(0))
+      val rules = top.zipWithIndex.groupBy(_._2 / 3)
+        .map { case (g, ts) => (g + 1L, ts.map(_._1).toSeq) }
+        .toSeq.sortBy(_._1)
+      val incoming = d.where(col("doc_id") % 50 === 25)
+        .select("doc_id", "text")
+      val srcDir = java.nio.file.Files.createTempDirectory("graft_stream_pc")
+      val base = System.currentTimeMillis()
+      for (i <- 0 until 2) {
+        val scratch = srcDir.resolve(s"scratch$i")
+        incoming.where(pmod(col("doc_id"), lit(100)) === i * 50 + 25)
+          .coalesce(1).write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        } finally parts.close()
+      }
+      val schema = s.read.parquet(s"$srcDir/batch0.parquet").schema
+      val stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString)
+      val out = graft.streaming.StreamPercolate.matches(stream, rules)
+      val qn = "spc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(qn)
+        .option("checkpointLocation", s"$srcDir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(qn).orderBy("query_id", "doc_id")
+    }),
+    // INDEX OBSERVABILITY: the shared index fixture's folded stats —
+    // shard count, nd/tl sums, across-shard distinct vocabulary,
+    // posting count — read from the index's own legs (cost ∝ index
+    // metadata, not corpus); the oracle recomputes every number from
+    // the corpus, proving the whole ingest fold end to end
+    "text_index_stats" -> ((s, dir) =>
+      graft.text.TextIndex.stats(s, textIndexFixture(s, dir))),
+    // RETRIEVAL EVAL: recall@10 of the IVF probe against the exact
+    // brute-force gold for the 5 standard query vectors — the index-
+    // quality report a production ANN deployment monitors (is nProbe
+    // high enough? did a centroid drift eat a cell?). Both legs are
+    // the ALREADY-PINNED ann plans; the report is a top-k × top-k
+    // join, constant-size regardless of corpus. Exact integer ppm
+    "ann_recall_report" -> ((s, dir) => {
+      val base = embBase(s, dir)
+      val qs = base.where(col("vec_id") < 5)
+      val approx = Similarity.ivfTopK(base, qs, 10,
+          centroidStep = Similarity.boundedStep(base.count()), nProbe = 3)
+        .select(col("q_id"), col("n_id"))
+      val gold = Similarity.bruteTopK(base, qs, 10)
+        .select(col("q_id"), col("n_id"))
+      val hits = gold.join(approx, Seq("q_id", "n_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+      gold.groupBy("q_id").agg(count(lit(1)).as("n_gold"))
+        .join(hits, Seq("q_id"), "left_outer")
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .select(col("q_id"), col("n_hits"), col("n_gold"),
+          expr("(1000000 * n_hits) div n_gold").as("recall_ppm"))
+        .orderBy("q_id")
+    }),
     // PERSISTED inverted text index, INGEST-MACHINERY leg, on a 1/10
     // corpus subset: two shards ingest under #txn: delivery keys, a
     // redelivered shard is rejected, a full compaction folds the
@@ -3170,6 +3278,101 @@ object PipelineQueries {
     "rerank_proximity" -> rerankProximityOracle,
     "search_snippets" -> searchSnippetsOracle,
     "mmr_diversify" -> mmrOracle,
+    "percolate_queries" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |dfr AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+        |rk AS (SELECT token,
+        |    row_number() OVER (ORDER BY df DESC, token) AS r FROM dfr),
+        |q AS (SELECT CAST((r - 1) // 3 + 1 AS BIGINT) AS query_id, token
+        |      FROM rk WHERE r <= 30),
+        |qs AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+        |idt AS (SELECT doc_id, token FROM dt WHERE doc_id % 50 = 0),
+        |m AS (SELECT q.query_id, idt.doc_id, count(*) AS n_matched
+        |      FROM idt JOIN q USING (token) GROUP BY 1, 2)
+        |SELECT m.query_id, m.doc_id, m.n_matched, qs.n_terms
+        |FROM m JOIN qs USING (query_id)
+        |WHERE m.n_matched = qs.n_terms
+        |ORDER BY query_id, doc_id""".stripMargin,
+    "stream_percolate" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |dfr AS (SELECT token, count(*) AS df FROM dt GROUP BY 1),
+        |rk AS (SELECT token,
+        |    row_number() OVER (ORDER BY df DESC, token) AS r FROM dfr),
+        |q AS (SELECT CAST((r - 1) // 3 + 1 AS BIGINT) AS query_id, token
+        |      FROM rk WHERE r <= 30),
+        |qs AS (SELECT query_id, count(*) AS n_terms FROM q GROUP BY 1),
+        |idt AS (SELECT doc_id, token FROM dt WHERE doc_id % 50 = 25),
+        |m AS (SELECT q.query_id, idt.doc_id, count(*) AS n_matched
+        |      FROM idt JOIN q USING (token) GROUP BY 1, 2)
+        |SELECT m.query_id, m.doc_id, m.n_matched, qs.n_terms
+        |FROM m JOIN qs USING (query_id)
+        |WHERE m.n_matched = qs.n_terms
+        |ORDER BY query_id, doc_id""".stripMargin,
+    "text_index_stats" ->
+      """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1)
+        |SELECT CAST(2 AS BIGINT) AS n_shards,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM dl) AS nd,
+        |  (SELECT CAST(sum(dl) AS BIGINT) FROM dl) AS tl,
+        |  (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM tf)
+        |    AS vocab_size,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_postings""".stripMargin,
+    "ann_recall_report" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |qv AS (SELECT * FROM e WHERE vec_id < 5),
+        |bp AS (
+        |  SELECT q.vec_id AS q_id, e.vec_id AS n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> q.v[i] * e.v[i])) /
+        |      (sqrt(list_sum(list_transform(q.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(e.v, x -> x * x)))) AS cos
+        |  FROM qv q, e WHERE q.vec_id <> e.vec_id),
+        |gold AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |    FROM bp) WHERE rank <= 10),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM e) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |ar AS (SELECT vec_id, v, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar WHERE rn = 1),
+        |probes AS (SELECT vec_id AS q_id, v AS pqv, c_id AS cell
+        |           FROM ar WHERE vec_id < 5 AND rn <= 3),
+        |ip AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> pqv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(pqv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |ivf AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |    FROM ip) WHERE rank <= 10),
+        |h AS (SELECT g.q_id, count(*) AS n_hits
+        |      FROM gold g JOIN ivf USING (q_id, n_id) GROUP BY 1),
+        |gn AS (SELECT q_id, count(*) AS n_gold FROM gold GROUP BY 1)
+        |SELECT gn.q_id,
+        |  coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits, gn.n_gold,
+        |  CAST((1000000 * coalesce(h.n_hits, CAST(0 AS BIGINT)))
+        |    // gn.n_gold AS BIGINT) AS recall_ppm
+        |FROM gn LEFT JOIN h USING (q_id) ORDER BY gn.q_id""".stripMargin,
     "bm25_topk" ->
       """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t

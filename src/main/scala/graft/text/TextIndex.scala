@@ -308,6 +308,29 @@ object TextIndex {
       .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
   }
 
+  /** INDEX OBSERVABILITY: one row of folded index statistics —
+   *  (n_shards, nd, tl, vocab_size, n_postings) — from the index's own
+   *  legs, never the corpus: stats fold by sum (shard-count scalars),
+   *  vocab_size is the across-shard DISTINCT token count (shards can
+   *  share tokens), n_postings counts posting rows. This is the
+   *  health-check a production index needs (is df drifting? did a
+   *  merge double postings?) and its corpus-derived ground truth is
+   *  exactly recomputable, so the oracle proves the whole ingest fold.
+   */
+  def stats(spark: SparkSession, dir: String): DataFrame = {
+    val shards = liveSub(spark, dir, "stats")
+    require(shards.nonEmpty, s"no live shards in text index $dir")
+    val st = spark.read.parquet(shards: _*)
+      .agg(lit(shards.size.toLong).as("n_shards"),
+        sum("nd").as("nd"), sum("tl").as("tl"))
+    val vocab = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+      .agg(count_distinct(col("token")).as("vocab_size"))
+    val posts = liveSub(spark, dir, "post")
+      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      .agg(count(lit(1)).as("n_postings"))
+    st.crossJoin(vocab).crossJoin(posts)
+  }
+
   /** RM3 PSEUDO-RELEVANCE-FEEDBACK search: BM25 top-`fbK` feedback
    *  docs from one pruned probe; RM1 expansion-term weights as exact
    *  integer sums (feedback score_ppm × round(1e6·tf/dl) — both

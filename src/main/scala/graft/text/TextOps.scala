@@ -581,6 +581,39 @@ object TextOps {
         if (lCols.size == 1) lCols.head else least(lCols: _*))
   }
 
+  /** PERCOLATION (reverse search): match documents against a table of
+   *  STORED queries — the alerting shape (saved searches watch a
+   *  crawl) and the inverse of ad-hoc retrieval. `queries` is
+   *  (query_id, token) rows — registered-rule-grain small by contract,
+   *  broadcast onto the docs' distinct (doc, token) pairs — so cost is
+   *  one tokenize pass over the DOCS at hand (a batch, a micro-batch,
+   *  never the corpus) and no shuffle wider than the match-pair agg. A
+   *  query matches when at least `minMatch` of its DISTINCT tokens
+   *  appear in the doc (`minMatch = 0` means ALL tokens — conjunctive
+   *  percolation). Returns (query_id, doc_id, n_matched, n_terms).
+   */
+  def percolate(
+      docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, minMatch: Int = 0): DataFrame = {
+    require(minMatch >= 0, s"bad minMatch: $minMatch")
+    val q = queries.select(col("query_id"), col("token")).distinct()
+    val qSize = q.groupBy("query_id").agg(count(lit(1)).as("n_terms"))
+    val dt = docs
+      .select(col(idCol).as("doc_id"),
+        explode(tokens(col(textCol))).as("token"))
+      .where(length(col("token")) > 0)
+      .distinct()
+    dt.join(broadcast(q), "token")
+      .groupBy("query_id", "doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+      .join(broadcast(qSize), "query_id")
+      .where(
+        if (minMatch == 0) col("n_matched") === col("n_terms")
+        else col("n_matched") >= minMatch)
+      .select(col("query_id"), col("doc_id"), col("n_matched"),
+        col("n_terms"))
+  }
+
   /** PROXIMITY RERANK: rescore retrieval candidates by the smallest
    *  token window containing ALL query terms. Candidates carry their
    *  first-stage score; docs missing a term sort after full matches
