@@ -1567,6 +1567,15 @@ object PipelineQueries {
     // the corpus, proving the whole ingest fold end to end
     "text_index_stats" -> ((s, dir) =>
       graft.text.TextIndex.stats(s, textIndexFixture(s, dir))),
+    // IVF CELL-BALANCE report over the shared persisted index fixture:
+    // imbalance = max·cells/total in exact ppm — the probe-latency
+    // amplification factor (a hot cell makes every probe landing on it
+    // scan max_cell postings; growth says "rebuild with fresher
+    // centroids"). One cell-grain agg over the index's own postings;
+    // the oracle re-derives every number by replaying the frozen-
+    // centroid assignment over the corpus embeddings
+    "ann_index_stats" -> ((s, dir) =>
+      Similarity.ivfIndexStats(s, ivfIndexFixture(s, dir))),
     // RETRIEVAL EVAL: recall@10 of the IVF probe against the exact
     // brute-force gold for the 5 standard query vectors — the index-
     // quality report a production ANN deployment monitors (is nProbe
@@ -3327,6 +3336,35 @@ object PipelineQueries {
         |  (SELECT CAST(count(DISTINCT token) AS BIGINT) FROM tf)
         |    AS vocab_size,
         |  (SELECT CAST(count(*) AS BIGINT) FROM tf) AS n_postings""".stripMargin,
+    "ann_index_stats" ->
+      s"""WITH e0 AS (
+        |  SELECT doc_id AS vec_id,
+        |    list_transform(generate_series(1, 64), i -> CAST(len(text) -
+        |      len(replace(text, substr('$RagAlphabet', CAST(i AS INTEGER), 1), ''))
+        |      AS DOUBLE)) AS v
+        |  FROM documents),
+        |e AS (SELECT vec_id, v FROM e0
+        |      WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM documents) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |assigned AS (SELECT vec_id, c_id AS cell FROM (
+        |    SELECT vec_id, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |    FROM ac) WHERE rn = 1),
+        |g AS (SELECT cell, count(*) AS n FROM assigned GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        |  CAST(sum(n) AS BIGINT) AS n_vectors,
+        |  CAST(max(n) AS BIGINT) AS max_cell,
+        |  CAST((1000000 * max(n) * count(*)) // sum(n) AS BIGINT)
+        |    AS imbalance_ppm
+        |FROM g""".stripMargin,
     "ann_recall_report" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |qv AS (SELECT * FROM e WHERE vec_id < 5),

@@ -651,6 +651,31 @@ object Similarity {
       k)
   }
 
+  /** INDEX OBSERVABILITY: cell-balance report for a persisted IVF
+   *  index — (n_cells, n_vectors, max_cell, imbalance_ppm) where
+   *  imbalance = max·cells/total in exact ppm (1e6 = perfectly
+   *  balanced). THE skew monitor an IVF deployment watches: a hot
+   *  cell makes every probe that lands on it scan max_cell postings,
+   *  so imbalance is the probe-latency amplification factor, and
+   *  growth here is the signal to rebuild with fresher centroids
+   *  ([[ivfIndexRebuild]]). Cost: one cell-grain agg over the live
+   *  postings (map-side partials — ∝ index, never corpus text).
+   */
+  def ivfIndexStats(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val posts = ivfLiveSub(spark, dir, "post")
+    require(posts.nonEmpty, s"no live commits in IVF index $dir")
+    val cellSizes = posts.map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+    cellSizes
+      .agg(count(lit(1)).as("n_cells"), sum("n").as("n_vectors"),
+        max("n").as("max_cell"))
+      .select(col("n_cells"), col("n_vectors"), col("max_cell"),
+        expr("(1000000 * max_cell * n_cells) div n_vectors")
+          .as("imbalance_ppm"))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
    *  top-k MOST similar candidates inside the band (loCos, hiCos) —
    *  similar enough to be informative negatives, strictly below the

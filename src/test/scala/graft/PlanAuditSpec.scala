@@ -394,6 +394,47 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-10 retrieval stages keep their scale shapes") {
+    withPlainPlans {
+      // proximity rerank: the candidate text fetch must be a PUSHED
+      // point lookup on the corpus scan — a full corpus read here
+      // would break the candidate-grain cost model
+      val rr = SparkEntry.queries("rerank_proximity")(spark, sf)
+      val rrPlan = rr.queryExecution.executedPlan.toString
+      assert(rrPlan.contains("PushedFilters:") && rrPlan.contains("In(doc_id"),
+        "rerank candidate lookup not pushed into the corpus scan")
+      val sn = SparkEntry.queries("search_snippets")(spark, sf)
+      val snPlan = sn.queryExecution.executedPlan.toString
+      assert(snPlan.contains("In(doc_id"),
+        "snippet candidate lookup not pushed into the corpus scan")
+      // RM3's weighted re-probe must keep the token-bucket partition
+      // pruning — expansion terms ride the same pruned-scan contract
+      val rm = SparkEntry.queries("bm25_rm3")(spark, sf)
+      val rmPlan = rm.queryExecution.executedPlan.toString
+      assert(rmPlan.contains("PartitionFilters") && rmPlan.contains("tb#"),
+        "rm3 re-probe lost the token-bucket partition filter")
+      // percolation: rules BROADCAST onto the batch, never shuffled or
+      // crossed; the row-local streaming formulation is shuffle-FREE
+      val pc = SparkEntry.queries("percolate_queries")(spark, sf)
+      val pcPlan = pc.queryExecution.executedPlan.toString
+      assert(pcPlan.contains("BroadcastHashJoin"),
+        "percolate rules no longer broadcast")
+      assert(!pcPlan.contains("CartesianProduct"), "percolate went cartesian")
+      val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      val rowLocal = graft.streaming.StreamPercolate.matches(
+        corpus, Seq(1L -> Seq("merge", "scan"), 2L -> Seq("window")))
+      assert(shuffleCount(rowLocal) == 0,
+        "row-local percolation must plan ZERO exchanges")
+      // mmr/recall: constant-size joins, never cartesian
+      for (q <- Seq("mmr_diversify", "ann_recall_report",
+          "dedup_soft_weights")) {
+        val plan = SparkEntry.queries(q)(spark, sf)
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian")
+      }
+    }
+  }
+
   test("round-7 additions hold their shuffle budgets and stay cartesian-free") {
     withPlainPlans {
       // (query, maxShuffles, maxOneRowBroadcastNLJs): the NLJ allowance
