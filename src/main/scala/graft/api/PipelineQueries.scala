@@ -1833,6 +1833,93 @@ object PipelineQueries {
         .searchBm25(s, textIdx, Seq("merge", "window", "scan"), 20)
         .orderBy("rank")
     }),
+    // FULL RAG INGEST capstone: ONE stream maintains THREE persisted
+    // indexes — each micro-batch near-dup-gates against the dedup
+    // index, survivors ingest into BOTH retrieval tiers (text shard +
+    // IVF embed/append; first batch founds the centroids). Three
+    // independent #txn:b<id> ledgers give exactly-once across three
+    // sinks (survivors derive from the batch's own persisted pair
+    // report on every leg); the fresh-checkpoint redelivery must be a
+    // no-op on ALL THREE versions. The answer is the HYBRID (RRF)
+    // retrieval over the two gated indexes — one query, both tiers,
+    // stream-built end to end. Oracle = survivor derivation + BM25 +
+    // frozen-centroid IVF + integer RRF, all declarative
+    "stream_rag_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+      val dedupIdx = java.nio.file.Files
+        .createTempDirectory("graft_rag_didx").toString
+      val textIdx = java.nio.file.Files
+        .createTempDirectory("graft_rag_tidx").toString
+      val annIdx = java.nio.file.Files
+        .createTempDirectory("graft_rag_aidx").toString
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_rag_src")
+      val d = docs(s, dir).select("doc_id", "text")
+      val base = System.currentTimeMillis()
+      for (i <- 0 until 3) {
+        val scratch = srcDir.resolve(s"scratch$i")
+        d.where(pmod(col("doc_id"), lit(15)) === 5 * i + 3)
+          .coalesce(1).write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"batch$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        } finally parts.close()
+      }
+      def embedCol(c: Column) =
+        toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
+      def embed(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id").as("vec_id"), embedCol(col("text")).as("v"))
+        .where(aggregate(transform(col("v"), x => x * x),
+          lit(0.0), (acc, x) => acc + x) > 0)
+      val step = Similarity.boundedStep(
+        d.where(pmod(col("doc_id"), lit(15)) === 3).count())
+      val schema = s.read.parquet(s"$srcDir/batch0.parquet").schema
+      def drain(ckpt: String): Unit =
+        graft.streaming.StreamRagPipeline.maintain(
+          s.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(srcDir.toString),
+          dedupIdx, textIdx, annIdx, ckpt,
+          threshold = JaccardThreshold, centroidStep = step,
+          embed = embed).awaitTermination()
+      drain(s"$srcDir/ckpt")
+      val vD = Dedup.indexVersion(s, dedupIdx)
+      val vT = graft.text.TextIndex.version(s, textIdx)
+      val vA = Similarity.ivfVersion(s, annIdx)
+      drain(s"$srcDir/ckpt_redelivery") // fresh checkpoint = full replay
+      require(
+        Dedup.indexVersion(s, dedupIdx) == vD &&
+          graft.text.TextIndex.version(s, textIdx) == vT &&
+          Similarity.ivfVersion(s, annIdx) == vA,
+        "stream redelivery must be a no-op on ALL THREE indexes")
+      val qText = "merge window scan"
+      val textHits = graft.text.TextIndex
+        .searchBm25(s, textIdx, qText.split(" ").toSeq, 10)
+        .select(col("doc_id"), col("rank").as("r_text"))
+      val q = Seq((-1L, qText)).toDF("vec_id", "t")
+        .select(col("vec_id"), embedCol(col("t")).as("v"))
+      val vecHits = Similarity.ivfIndexQuery(s, annIdx, q, k = 10, nProbe = 3)
+        .select(col("n_id").as("doc_id"), col("rank").as("r_vec"))
+      textHits.join(vecHits, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(expr("1000000 div (60 + r_text)"), lit(0L)) +
+            coalesce(expr("1000000 div (60 + r_vec)"), lit(0L))).as("score_ppm"),
+          (col("r_text").isNotNull.cast("int") +
+            col("r_vec").isNotNull.cast("int")).cast("long").as("n_sources"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+        .where(col("rank") <= 10)
+        .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_sources"))
+        .orderBy("rank")
+    }),
     // PERSISTED IVF index, STREAMING-MAINTAINER leg, on the odd-id
     // half: three mtime-ordered embedding files replay as three
     // micro-batches through StreamAnnIndex.maintain — the FIRST founds
@@ -3879,6 +3966,115 @@ object PipelineQueries {
          |    doc_id) AS rank FROM ag)
          |SELECT rank, doc_id, score_ppm, n_terms FROM r
          |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // rag capstone ≡ survivor derivation (cross-shard near-dups drop)
+    // + BM25 over survivors + frozen-centroid IVF over embedded
+    // survivors (centroids stride the batch-0 slice) + integer RRF
+    "stream_rag_pipeline" ->
+      s"""WITH d0 AS (SELECT doc_id, text, (doc_id % 15) // 5 AS shard
+         |            FROM documents WHERE doc_id % 5 = 3),
+         |tokd AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d0),
+         |sg0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+         |  FROM tokd),
+         |sgf AS (SELECT s.* FROM sg0 s JOIN (
+         |    SELECT shard, sh FROM sg0 GROUP BY shard, sh
+         |    HAVING count(*) <= 200) c
+         |    ON s.shard = c.shard AND s.sh = c.sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sgf GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM sgf a JOIN sgf b ON a.sh = b.sh AND a.shard < b.shard
+         |  GROUP BY 1, 2),
+         |dups AS (SELECT DISTINCT b_id FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold),
+         |d AS (SELECT doc_id, text FROM d0
+         |      WHERE doc_id NOT IN (SELECT b_id FROM dups)),
+         |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+         |  WHERE length(t) > 0 GROUP BY 1, 2),
+         |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+         |       FROM tf GROUP BY 1),
+         |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+         |       FROM dl),
+         |dfq AS (SELECT token, count(*) AS df FROM tf
+         |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+         |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+         |      * 1000000) AS BIGINT) AS idf_ppm,
+         |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+         |s2 AS (SELECT doc_id,
+         |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+         |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+         |  FROM sc),
+         |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm
+         |  FROM s2 GROUP BY 1),
+         |tr AS (SELECT doc_id, row_number() OVER (ORDER BY score_ppm DESC,
+         |    doc_id) AS r_text FROM ag),
+         |bmr AS (SELECT doc_id, r_text FROM tr WHERE r_text <= 10),
+         |e0 AS (
+         |  SELECT doc_id AS vec_id,
+         |    list_transform(generate_series(1, 64), i -> CAST(len(text) -
+         |      len(replace(text, substr('$RagAlphabet', CAST(i AS INTEGER), 1), ''))
+         |      AS DOUBLE)) AS v
+         |  FROM d),
+         |e AS (SELECT vec_id, v FROM e0
+         |      WHERE list_sum(list_transform(v, x -> x * x)) > 0),
+         |c AS (SELECT vec_id AS c_id, v AS cv FROM e
+         |      WHERE vec_id % 15 = 3
+         |        AND vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+         |                      FROM documents WHERE doc_id % 15 = 3) = 0),
+         |ac AS (
+         |  SELECT e.vec_id, e.v, c.c_id,
+         |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+         |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+         |  FROM e, c),
+         |assigned AS (
+         |  SELECT vec_id AS n_id, v, c_id AS cell FROM (
+         |    SELECT vec_id, v, c_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+         |    FROM ac) WHERE rn = 1),
+         |q AS (
+         |  SELECT CAST(-1 AS BIGINT) AS q_id,
+         |    list_transform(generate_series(1, 64), i -> CAST(len(qs) -
+         |      len(replace(qs, substr('$RagAlphabet', CAST(i AS INTEGER), 1), ''))
+         |      AS DOUBLE)) AS qv
+         |  FROM (VALUES ('merge window scan')) t(qs)),
+         |aq AS (
+         |  SELECT q.q_id, q.qv, c.c_id,
+         |    list_sum(list_transform(generate_series(1, 64), i -> q.qv[i] * c.cv[i])) /
+         |      (sqrt(list_sum(list_transform(q.qv, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+         |  FROM q, c),
+         |probes AS (
+         |  SELECT q_id, qv, c_id AS cell FROM (
+         |    SELECT q_id, qv, c_id,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY ccos DESC, c_id) AS rn
+         |    FROM aq) WHERE rn <= 3),
+         |p AS (
+         |  SELECT q_id, n_id,
+         |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+         |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+         |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+         |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+         |rv AS (SELECT n_id, row_number() OVER (ORDER BY cos DESC, n_id) AS r_vec
+         |       FROM p),
+         |vr AS (SELECT n_id AS doc_id, r_vec FROM rv WHERE r_vec <= 10),
+         |f AS (SELECT coalesce(b.doc_id, v.doc_id) AS doc_id,
+         |    coalesce(1000000 // (60 + b.r_text), 0) +
+         |      coalesce(1000000 // (60 + v.r_vec), 0) AS score_ppm,
+         |    (CASE WHEN b.r_text IS NOT NULL THEN 1 ELSE 0 END +
+         |     CASE WHEN v.r_vec IS NOT NULL THEN 1 ELSE 0 END) AS n_sources
+         |  FROM bmr b FULL OUTER JOIN vr v ON b.doc_id = v.doc_id),
+         |g AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+         |    doc_id) AS rank FROM f)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id,
+         |  CAST(score_ppm AS BIGINT) AS score_ppm,
+         |  CAST(n_sources AS BIGINT) AS n_sources
+         |FROM g WHERE rank <= 10 ORDER BY rank""".stripMargin,
     // streamed found+append IVF ≡ declarative frozen-centroid IVF over
     // the odd-id half: centroids stride the FOUNDING slice
     // (vec_id % 6 = 1), every vector assigns to its nearest centroid,

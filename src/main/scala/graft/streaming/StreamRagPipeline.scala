@@ -1,0 +1,100 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.text.TextIndex
+
+/**
+ * The full RAG ingest pipeline: ONE document stream maintains THREE
+ * persisted indexes — each micro-batch is near-dup-gated against the
+ * dedup index, and the SURVIVORS ingest into BOTH retrieval tiers:
+ * the inverted text index (BM25 leg) and the IVF vector index (ANN
+ * leg, via a caller-supplied `embed`). This is the production "crawl →
+ * dedup → hybrid-searchable" shape, the composition the per-index
+ * maintainers and [[StreamCrawlPipeline]] build toward.
+ *
+ * Exactly-once across THREE sinks with no cross-sink transaction:
+ * each index keeps its own `#txn:b<batchId>` ledger, checked
+ * independently, so a crash between ANY two commits recovers
+ * correctly — the replayed batch skips whichever legs already
+ * committed and performs the missing ones. What makes that sound is
+ * the same invariant the crawl pipeline pins: both derived legs
+ * compute survivors from THE BATCH'S OWN persisted pair report
+ * ([[Dedup.indexPairsForDelivery]], published atomically with the
+ * batch's dedup shard, byte-identical on first run and on replay),
+ * never from an attempt-local verdict. Dedup-before-derived-legs
+ * within the batch gives the report read its happens-before.
+ *
+ * ANN founding follows [[StreamAnnIndex]]: the first batch with a
+ * non-empty embedded survivor set founds the index (its strided
+ * sample freezes the centroid set); later batches append under the
+ * frozen centroids. A fresh-checkpoint redelivery is a
+ * version-preserving no-op on all three indexes.
+ *
+ * At 100 TB: per-batch cost is batch-linear (shingle+sign, tokenize,
+ * embed) plus collision-proportional joins against stored dedup
+ * state and a broadcast-centroid assignment — none of the three
+ * corpora-at-rest are ever re-read, and the survivor anti-join is
+ * batch-report-grain regardless of stream lifetime.
+ */
+object StreamRagPipeline {
+
+  /** Start the pipeline over a streaming Dataset of documents
+   *  (`idCol`, `textCol`). `embed` maps a batch of survivor docs to
+   *  (vec_id, v) rows — dropping un-embeddable rows is its business
+   *  (e.g. zero-norm vectors). Runs with `Trigger.AvailableNow`
+   *  (bounded-replay harness; production swaps the trigger, nothing
+   *  else). Returns the running query; callers `awaitTermination`.
+   */
+  def maintain(
+      docsStream: DataFrame, dedupDir: String, textDir: String,
+      annDir: String, checkpoint: String, threshold: Double,
+      centroidStep: Long, embed: DataFrame => DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): StreamingQuery = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold: $threshold")
+    require(centroidStep >= 1, s"bad centroidStep: $centroidStep")
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val key = s"b$id"
+        if (!b.isEmpty) {
+          if (!Dedup.indexHasDelivery(s, dedupDir, key))
+            Dedup.indexCheckAndIngest(
+              s, dedupDir, b.select(idCol, textCol), idCol, textCol,
+              threshold, deliveryKey = Some(key), persistPairs = true): Unit
+          // survivors from THIS BATCH'S persisted report (committed
+          // just above or by a pre-crash attempt) — replay-identical,
+          // bounded by the batch; shared by both derived legs
+          def survivors: DataFrame = {
+            val dups = Dedup.indexPairsForDelivery(s, dedupDir, key)
+              .select(col("b_id").as(idCol)).distinct()
+            b.select(idCol, textCol).join(dups, Seq(idCol), "left_anti")
+          }
+          if (!TextIndex.hasDelivery(s, textDir, key)) {
+            val sv = survivors
+            if (!sv.isEmpty)
+              TextIndex.ingestShard(
+                s, textDir, sv, idCol, textCol, key = Some(key))
+          }
+          if (!Similarity.ivfHasDelivery(s, annDir, key)) {
+            val vecs = embed(survivors)
+            if (!vecs.isEmpty) {
+              if (Similarity.ivfVersion(s, annDir) == 0L)
+                Similarity.ivfIndexBuild(
+                  s, annDir, vecs, centroidStep, key = Some(key))
+              else
+                Similarity.ivfIndexAppend(s, annDir, vecs, key = Some(key))
+            }
+          }
+        }
+      }
+      .start()
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.streaming.StreamRagPipeline
+import graft.text.TextIndex
+
+/**
+ * Full RAG ingest pipeline: one stream, three persisted indexes.
+ * Pins the THREE-sink exactly-once contract: both derived legs hold
+ * exactly the dedup survivors, full redelivery is a no-op on all
+ * three versions, and a crash AFTER the text commit but BEFORE the
+ * ANN commit recovers exactly (the replay skips the two committed
+ * legs and performs only the missing ANN ingest).
+ */
+class StreamRagPipelineSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+  import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+
+  // near-dup pairs planted ACROSS shards (shard = doc_id % 3):
+  // 1 ≈ 0 and 5 ≈ 4 → the gate drops docs 1 and 5
+  private lazy val corpus = Seq(
+    (0L, "a b c d e f g h"),
+    (1L, "a b c d e f g h x"),
+    (2L, "totally different words entirely here now ok fine"),
+    (3L, "another unrelated set of words for this test doc"),
+    (4L, "p q r s t u v w"),
+    (5L, "p q r s t u v w y"))
+    .toDF("doc_id", "text")
+
+  private val Alphabet = "abcdefghijklmnopqrstuvwxyz"
+
+  private def embed(df: DataFrame): DataFrame = df
+    .select(col("doc_id").as("vec_id"),
+      toCol(graft.functions.CharHistogram(toExpr(col("text")), Alphabet))
+        .as("v"))
+    .where(aggregate(transform(col("v"), x => x * x),
+      lit(0.0), (acc, x) => acc + x) > 0)
+
+  private def stageBatches(srcDir: java.nio.file.Path): Unit = {
+    val base = System.currentTimeMillis()
+    for (i <- 0 until 3) {
+      val scratch = srcDir.resolve(s"scratch$i")
+      corpus.where(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.parquet(scratch.toString)
+      val parts = java.nio.file.Files.list(scratch)
+      try {
+        val part = parts
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      } finally parts.close()
+    }
+  }
+
+  // survivors per batch: b0 = {0, 3}, b1 = {4}, b2 = {2}
+  private def referenceAnn(dir: String): Unit = {
+    Similarity.ivfIndexBuild(spark, dir,
+      embed(corpus.where(col("doc_id").isin(0L, 3L))), centroidStep = 1L)
+    Similarity.ivfIndexAppend(spark, dir,
+      embed(corpus.where(col("doc_id") === 4)))
+    Similarity.ivfIndexAppend(spark, dir,
+      embed(corpus.where(col("doc_id") === 2)))
+  }
+
+  private def probe(d: String) = Similarity
+    .ivfIndexQuery(spark, d, embed(corpus.where(col("doc_id") === 0)),
+      k = 5, nProbe = 2)
+    .select(col("q_id"), col("n_id"), round(col("cos"), 6).as("cos"),
+      col("rank"))
+    .collect().map(_.toString).toSeq
+
+  test("three-sink exactly-once: survivors reach both tiers, redelivery " +
+      "is a no-op on all three versions, text→ANN crash gap recovers") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rag_spec")
+    val dedupIdx = TestSpark.tmpDir("rag_dedup")
+    val textIdx = TestSpark.tmpDir("rag_text")
+    val annIdx = TestSpark.tmpDir("rag_ann")
+    stageBatches(srcDir)
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    def drain(dd: String, td: String, ad: String, ckpt: String): Unit =
+      StreamRagPipeline.maintain(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString),
+        dd, td, ad, ckpt, threshold = 0.6, centroidStep = 1L,
+        embed = embed).awaitTermination()
+
+    drain(dedupIdx, textIdx, annIdx, s"$srcDir/ckpt")
+    // the ANN tier holds exactly the embedded survivors, founded on
+    // batch 0's centroids — identical to the reference found+append
+    val ref = TestSpark.tmpDir("rag_ann_ref")
+    referenceAnn(ref)
+    assert(probe(annIdx) == probe(ref),
+      "streamed ANN index must equal the reference found+append over survivors")
+    val oneShotText = TestSpark.tmpDir("rag_text_ref")
+    TextIndex.ingestShard(spark, oneShotText,
+      corpus.where(!col("doc_id").isin(1L, 5L)), "doc_id", "text")
+    def search(d: String) = TextIndex
+      .searchBm25(spark, d, Seq("a", "b", "p"), 10)
+      .collect().map(_.toString).toSeq
+    assert(search(textIdx) == search(oneShotText))
+
+    // full fresh-checkpoint redelivery: no version moves anywhere
+    val (vD, vT, vA) = (Dedup.indexVersion(spark, dedupIdx),
+      TextIndex.version(spark, textIdx), Similarity.ivfVersion(spark, annIdx))
+    drain(dedupIdx, textIdx, annIdx, s"$srcDir/ckpt2")
+    assert(Dedup.indexVersion(spark, dedupIdx) == vD &&
+      TextIndex.version(spark, textIdx) == vT &&
+      Similarity.ivfVersion(spark, annIdx) == vA,
+      "redelivered stream must be a no-op on ALL THREE indexes")
+
+    // crash AFTER text, BEFORE ANN on batch 0 (simulated by
+    // pre-committing dedup+text under the key the stream will use):
+    // the replay must skip both committed legs and perform ONLY the
+    // missing ANN ingest, converging to the same final state
+    val dedup2 = TestSpark.tmpDir("rag_dedup2")
+    val text2 = TestSpark.tmpDir("rag_text2")
+    val ann2 = TestSpark.tmpDir("rag_ann2")
+    val b0 = corpus.where(pmod(col("doc_id"), lit(3)) === 0)
+    Dedup.indexCheckAndIngest(spark, dedup2, b0, "doc_id", "text", 0.6,
+      deliveryKey = Some("b0"), persistPairs = true): Unit
+    TextIndex.ingestShard(spark, text2, b0, "doc_id", "text",
+      key = Some("b0"))
+    val (vD2, vT2) = (Dedup.indexVersion(spark, dedup2),
+      TextIndex.version(spark, text2))
+    drain(dedup2, text2, ann2, s"$srcDir/ckpt3")
+    assert(Dedup.indexVersion(spark, dedup2) == vD2 + 2 &&
+      TextIndex.version(spark, text2) == vT2 + 2,
+      "replayed b0 must not re-commit the dedup or text legs")
+    assert(probe(ann2) == probe(ref),
+      "post-crash recovery must converge to the reference ANN index")
+  }
+}
