@@ -291,6 +291,55 @@ object TpchQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H Q4 shape on the slim schema (no l_commitdate → "shipped
+    // after order date" is the late-lineitem predicate): an EXISTS
+    // SEMI-join — the orders side never duplicates however many
+    // lineitems match, and Catalyst plans LeftSemi with the date
+    // filters pushed to both scans
+    "q4_priority" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .where(col("o_orderdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("o_orderdate") < lit(java.time.LocalDateTime.parse("1996-04-01T00:00:00")))
+      val li = t(s, dir, "lineitem")
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }),
+    // TPC-H Q12 shape (l_returnflag stands in for the missing
+    // l_shipmode): one orders⋈lineitem join, CASE-split counts by
+    // priority class per mode — map-side partials carry the two
+    // counters, the join shuffles on the order key only
+    "q12_modes" -> ((s, dir) => {
+      val hi = Seq("1-URGENT", "2-HIGH")
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-01-01T00:00:00")) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00")))
+      t(s, dir, "orders").join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_returnflag").as("mode"))
+        .agg(
+          sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+            .as("low_line_count"))
+        .orderBy("mode")
+    }),
+    // TPC-H Q14: promo revenue share for one month — the part dim
+    // BROADCASTS (explicitly: it is dimension-small at every SF), the
+    // month filter pushes to the lineitem scan, one agg row out
+    "q14_promo" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1996-09-01T00:00:00")) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.parse("1996-10-01T00:00:00")))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      li.join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(r6(lit(100.0) *
+          sum(when(col("p_type") === "PROMO", rev).otherwise(lit(0.0))) /
+          sum(rev)).as("promo_revenue"))
+    }),
     "q6_filter" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.where(
@@ -546,6 +595,33 @@ object TpchQueries {
          |  AND epoch_us(o_orderdate) < $ShipCutoffUs
          |  AND epoch_us(l_shipdate) > $ShipCutoffUs
          |GROUP BY 1, 2, 3 ORDER BY o_orderkey""".stripMargin,
+    "q4_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE epoch_us(o_orderdate) >= 820454400000000
+        |  AND epoch_us(o_orderdate) < 828316800000000
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q12_modes" ->
+      """SELECT l_returnflag AS mode,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE epoch_us(l_shipdate) >= 820454400000000
+        |  AND epoch_us(l_shipdate) < 852076800000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q14_promo" ->
+      """SELECT round(100.0 *
+        |    sum(CASE WHEN p_type = 'PROMO'
+        |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE epoch_us(l_shipdate) >= 841536000000000
+        |  AND epoch_us(l_shipdate) < 844128000000000""".stripMargin,
     "q6_filter" ->
       """SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
         |  count(*) AS n_rows
