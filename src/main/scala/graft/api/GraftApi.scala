@@ -235,6 +235,17 @@ final class GraftApi(
       corpus, "doc_id", "text", cands, terms, pad)
   }
 
+  /** Reverse search: match a (doc_id, text) batch against stored
+   *  rules (saved searches / alerts). `rules` is (query_id, token)
+   *  rows, registered-config-grain small; cost is one pass over the
+   *  batch with the rules broadcast.
+   */
+  def percolateDocs(docs: DataFrame, rules: DataFrame,
+      minMatch: Int = 0): DataFrame = {
+    numGets.incrementAndGet()
+    graft.text.TextOps.percolate(docs, "doc_id", "text", rules, minMatch)
+  }
+
   /** Near-dup-check a (doc_id, text) batch against a persisted dedup
    *  index AND fold the batch in — the crawl-ingest front door
    *  (returns the (a_id, b_id, jaccard) verdict; `key` gives

@@ -200,8 +200,13 @@ class ApiSpec extends AnyFunSuite {
       .where(col("doc_id") === 2).collect().head
     assert(snip.getString(4) == "merge window table",
       s"bad snippet: ${snip.getString(4)}")
+    // reverse search routes through TextOps.percolate
+    val fired = api.percolateDocs(corpus,
+        Seq((1L, "merge"), (1L, "window")).toDF("query_id", "token"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fired == Set((1L, 2L)), s"percolation fired wrong: $fired")
     // the facade counted the traffic
     val (puts, gets) = api.counters
-    assert(puts == 4 && gets == 6, s"facade counters off: $puts puts, $gets gets")
+    assert(puts == 4 && gets == 7, s"facade counters off: $puts puts, $gets gets")
   }
 }
