@@ -1560,6 +1560,18 @@ object PipelineQueries {
       q.awaitTermination()
       s.table(qn).orderBy("query_id", "doc_id")
     }),
+    // PHRASE SEARCH as candidate-then-verify — the scalable phrase
+    // shape on a positionless inverted index: conjunctive candidates
+    // from the pruned posting scan (docs matching ALL phrase tokens,
+    // capped loudly), then an exact token-boundary containment verify
+    // on the candidates' text via point lookup, ranked by exact
+    // (non-overlapping) occurrence count. The oracle verifies over
+    // the whole corpus — proving the index's candidate set loses
+    // nothing
+    "phrase_search" -> ((s, dir) =>
+      graft.text.TextIndex.searchPhrase(s, textIndexFixture(s, dir),
+          docs(s, dir), "doc_id", "text", "window scan", 20)
+        .orderBy("rank")),
     // INDEX OBSERVABILITY: the shared index fixture's folded stats —
     // shard count, nd/tl sums, across-shard distinct vocabulary,
     // posting count — read from the index's own legs (cost ∝ index
@@ -3410,6 +3422,19 @@ object PipelineQueries {
         |FROM m JOIN qs USING (query_id)
         |WHERE m.n_matched = qs.n_terms
         |ORDER BY query_id, doc_id""".stripMargin,
+    "phrase_search" ->
+      """WITH cand AS (SELECT doc_id, ' ' || text || ' ' AS padded
+        |              FROM documents),
+        |occ AS (SELECT doc_id,
+        |    CAST((len(padded) -
+        |      len(replace(padded, ' window scan ', ' '))) / 12
+        |      AS BIGINT) AS n_occurrences
+        |  FROM cand),
+        |r AS (SELECT doc_id, n_occurrences,
+        |    row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rank
+        |  FROM occ WHERE n_occurrences > 0)
+        |SELECT rank, doc_id, n_occurrences FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     "text_index_stats" ->
       """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -806,6 +806,16 @@ object ManifestStore {
    *  Delta/Iceberg pattern); `minAgeMs = 0` is for explicit cleanup
    *  once a caller knows everything has drained.
    */
+  /** Bound the MANIFEST history alone (CommitLog.vacuumVersions):
+   *  version files only — live set, data dirs, and delivery keys are
+   *  untouched, so this is safe to run CONTINUOUSLY (the streaming
+   *  ingest maintainers call it per batch when asked; data-dir vacuum
+   *  stays a separate, explicitly-scheduled action because it races
+   *  in-flight readers of superseded snapshots).
+   */
+  def vacuumManifest(spark: SparkSession, root: String, keep: Int): Unit =
+    log(root).vacuumVersions(spark, keep)
+
   def vacuum(spark: SparkSession, root: String, minAgeMs: Long = 0L,
       keepVersions: Int = Int.MaxValue): Unit = {
     val (_, live) = latest(spark, root)

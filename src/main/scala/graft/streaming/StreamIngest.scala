@@ -87,7 +87,9 @@ object StreamIngest {
       root: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      maxLiveCommits: Int = 16): StreamingQuery =
+      maxLiveCommits: Int = 16,
+      keepVersions: Int = Int.MaxValue): StreamingQuery = {
+    require(keepVersions >= 1, s"bad keepVersions: $keepVersions")
     longStream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -96,15 +98,22 @@ object StreamIngest {
         graft.store.ManifestStore.ingestBatchAtomic(
           batch.sparkSession, root, batch,
           key = Some(s"b$id"), maxLiveCommits = maxLiveCommits): Unit
+        // MANIFEST retention: a forever-stream accrues unbounded
+        // version files; version-file-only vacuum is safe per batch
+        if (keepVersions != Int.MaxValue)
+          graft.store.ManifestStore.vacuumManifest(
+            batch.sparkSession, root, keepVersions)
       }
       .start()
+  }
 
   def startManifest(
       longStream: DataFrame,
       root: String,
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
-      maxLiveCommits: Int = 16): StreamingQuery =
+      maxLiveCommits: Int = 16,
+      keepVersions: Int = Int.MaxValue): StreamingQuery =
     longStream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -125,6 +134,9 @@ object StreamIngest {
               graft.store.ManifestStore.vacuum(
                 s, root, graft.store.ManifestStore.VacuumRetentionMs)
             }
+            // version-file-only retention is safe every batch
+            if (keepVersions != Int.MaxValue)
+              graft.store.ManifestStore.vacuumManifest(s, root, keepVersions)
           }
         } finally b.unpersist(): Unit
       }

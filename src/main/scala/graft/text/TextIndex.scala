@@ -331,6 +331,65 @@ object TextIndex {
     st.crossJoin(vocab).crossJoin(posts)
   }
 
+  /** PHRASE SEARCH as candidate-then-verify — the scalable phrase
+   *  shape on a POSITIONLESS inverted index: (1) candidates are the
+   *  docs containing ALL phrase tokens, from the pruned posting scan
+   *  alone (conjunctive containment: per-doc matched-term count must
+   *  equal the phrase's distinct-term count); (2) candidates' text is
+   *  fetched from `corpus` by point lookup and verified with an exact
+   *  token-boundary containment check (`' '+text+' '` CONTAINS
+   *  `' '+phrase+' '` — identical on both engines for
+   *  whitespace-tokenized text). Ranked by exact occurrence count
+   *  (computed by length-difference arithmetic, integer-exact), ties
+   *  to smallest doc_id. Candidates are capped LOUDLY at 65536 — a
+   *  phrase of stop-word-grade tokens has corpus-grain conjunctive
+   *  candidates and must be handled by a positional index instead.
+   *  Returns (rank, doc_id, n_occurrences).
+   */
+  def searchPhrase(
+      spark: SparkSession, dir: String, corpus: DataFrame,
+      idCol: String, textCol: String, phrase: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val toks = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(toks.nonEmpty && k > 0, s"bad phrase/k: '$phrase'/$k")
+    val terms = toks.distinct
+    val termBuckets = terms.toDF("t")
+      .select(tokenBucket(col("t"))).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val candIds = liveSub(spark, dir, "post")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .where(col("tb").isin(termBuckets: _*) &&
+        col("token").isin(terms: _*))
+      .groupBy("doc_id")
+      .agg(count_distinct(col("token")).as("nt"))
+      .where(col("nt") === terms.size)
+      .select("doc_id")
+      .limit(65537).collect().map(_.getLong(0))
+    require(candIds.length <= 65536,
+      s"phrase '$phrase' has > 65536 conjunctive candidates — " +
+        "stop-word-grade tokens need a positional index, not the " +
+        "candidate-then-verify probe")
+    if (candIds.isEmpty)
+      return spark.emptyDataFrame
+        .select(lit(0L).as("rank"), lit(0L).as("doc_id"),
+          lit(0L).as("n_occurrences")).limit(0)
+    val needle = " " + toks.mkString(" ") + " "
+    corpus
+      .where(col(idCol).isin(candIds.toSeq: _*))
+      .select(col(idCol).as("doc_id"),
+        concat(lit(" "), col(textCol), lit(" ")).as("padded"))
+      .withColumn("n_occurrences",
+        ((length(col("padded")) -
+          length(replace(col("padded"), lit(needle), lit(" ")))) /
+          lit(needle.length - 1)).cast("long"))
+      .where(col("n_occurrences") > 0)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("n_occurrences"))
+  }
+
   /** RM3 PSEUDO-RELEVANCE-FEEDBACK search: BM25 top-`fbK` feedback
    *  docs from one pruned probe; RM1 expansion-term weights as exact
    *  integer sums (feedback score_ppm × round(1e6·tf/dl) — both

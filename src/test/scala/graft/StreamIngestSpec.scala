@@ -209,6 +209,43 @@ class StreamIngestSpec extends AnyFunSuite {
       TestSpark.longDF(batch(0)), key = Some("b0")))
   }
 
+  test("atomic sink manifest retention: version files stay bounded, " +
+      "exactly-once and reads survive") {
+    val srcDir = TestSpark.tmpDir("graft_aret_src")
+    val root = TestSpark.tmpDir("graft_aret_store")
+    val ckpt = TestSpark.tmpDir("graft_aret_ckpt")
+    import graft.store.ManifestStore
+    def drop(b: Seq[(String, String, Double)], name: String): Unit = {
+      val staging = TestSpark.tmpDir(s"graft_aretstage_$name")
+      TestSpark.longDF(b).coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(
+        part.toPath, java.nio.file.Paths.get(s"$srcDir/$name.parquet"))
+    }
+    drop(batch(0), "b0"); drop(batch(4), "b1"); drop(batch(8), "b2")
+    val q = StreamIngest.startAtomic(
+      spark.readStream.schema(Tables.rawSchema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir),
+      root, ckpt, Trigger.ProcessingTime("0 seconds"), keepVersions = 1)
+    try q.processAllAvailable() finally q.stop()
+    // 3 versions published, only the newest version FILE survives
+    val vFiles = new java.io.File(s"$root/mrollup/_manifests").listFiles()
+      .count(_.getName.matches("v\\d{12}"))
+    assert(vFiles == 1, s"keepVersions=1 must retain 1 version file, got $vFiles")
+    assert(ManifestStore.latest(spark, root)._1 == 3L)
+    assert(ManifestStore.readRaw(spark, root).count() == 12)
+    // delivery keys live in the latest version: replay still rejected
+    assert(!ManifestStore.ingestBatchAtomic(spark, root,
+      TestSpark.longDF(batch(0)), key = Some("b0")))
+    // time-travel below the floor names retention, loudly
+    val ex = intercept[IllegalArgumentException] {
+      ManifestStore.readRawAsOf(spark, root, 1L).count()
+    }
+    assert(ex.getMessage.contains("retention floor"),
+      s"wrong error: ${ex.getMessage}")
+  }
+
   test("S1: JSON wire format decodes to canonical long form (server.py:76-103)") {
     val s = spark
     import s.implicits._

@@ -355,6 +355,29 @@ class TextIndexSpec extends AnyFunSuite {
       == unweighted)
   }
 
+  test("searchPhrase: order and adjacency matter, counts are " +
+      "non-overlapping, candidates come from the index") {
+    val idx = TestSpark.tmpDir("text_idx_phrase")
+    TextIndex.ingestShard(spark, idx, corpus, "doc_id", "text")
+    def hits(phrase: String) = TextIndex
+      .searchPhrase(spark, idx, corpus, "doc_id", "text", phrase, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // adjacency: doc 1 is "window scan window window"
+    assert(hits("window scan") == Seq((1L, 1L)))
+    // order matters: both orders exist in doc 0 "spark merge sort merge"
+    assert(hits("merge sort") == Seq((0L, 1L)))
+    assert(hits("sort merge") == Seq((0L, 1L)))
+    assert(hits("merge spark").isEmpty, "reversed phrase must not match")
+    // non-overlapping count (documented): "scan scan scan" holds ONE
+    // non-overlapping "scan scan" (the shared space is consumed)
+    assert(hits("scan scan") == Seq((4L, 1L)))
+    // a token the index has never seen yields no candidates, no scan
+    assert(hits("window zzz").isEmpty)
+    // tokens all present but never adjacent: candidate set nonempty,
+    // verify rejects
+    assert(hits("spark window").isEmpty)
+  }
+
   test("containmentProbe on an index with no live commits answers empty, not an empty-reduce crash") {
     val idx = TestSpark.tmpDir("text_idx_empty")
     val out = TextIndex.containmentProbe(spark, idx,
