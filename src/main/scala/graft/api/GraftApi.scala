@@ -235,6 +235,32 @@ final class GraftApi(
       corpus, "doc_id", "text", cands, terms, pad)
   }
 
+  /** Phrase search: candidate-then-verify over the inverted index
+   *  (conjunctive posting candidates, token-boundary verify on a
+   *  point lookup of `corpus`).
+   */
+  def searchDocsPhrase(indexDir: String, corpus: DataFrame,
+      phrase: String, k: Int): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.searchPhrase(
+      spark, indexDir, corpus, "doc_id", "text", phrase, k)
+  }
+
+  /** Index observability: one-row health reports for the persisted
+   *  retrieval tiers (text: shard/stat/vocab/posting folds; ANN: cell
+   *  balance — the probe-latency amplification monitor).
+   */
+  def textIndexStats(indexDir: String): DataFrame = {
+    numGets.incrementAndGet()
+    graft.text.TextIndex.stats(spark, indexDir)
+  }
+
+  def annIndexStats(indexDir: String): DataFrame = {
+    numGets.incrementAndGet()
+    graft.sim.Similarity.ivfIndexStats(spark, indexDir)
+  }
+
   /** Reverse search: match a (doc_id, text) batch against stored
    *  rules (saved searches / alerts). `rules` is (query_id, token)
    *  rows, registered-config-grain small; cost is one pass over the

@@ -200,6 +200,15 @@ class ApiSpec extends AnyFunSuite {
       .where(col("doc_id") === 2).collect().head
     assert(snip.getString(4) == "merge window table",
       s"bad snippet: ${snip.getString(4)}")
+    // phrase + observability routes
+    val ph = api.searchDocsPhrase(tIdx, corpus, "merge window", 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(ph == Seq((2L, 1L)), s"phrase route wrong: $ph")
+    val ts = api.textIndexStats(tIdx).collect().head
+    assert(ts.getLong(0) == 1L && ts.getLong(1) == 4L,
+      s"text stats wrong: $ts") // 1 shard, 4 docs
+    assert(api.annIndexStats(aIdx).collect().head.getLong(1) == 60L,
+      "ann stats must count the 60 indexed vectors")
     // reverse search routes through TextOps.percolate
     val fired = api.percolateDocs(corpus,
         Seq((1L, "merge"), (1L, "window")).toDF("query_id", "token"))
@@ -207,6 +216,6 @@ class ApiSpec extends AnyFunSuite {
     assert(fired == Set((1L, 2L)), s"percolation fired wrong: $fired")
     // the facade counted the traffic
     val (puts, gets) = api.counters
-    assert(puts == 4 && gets == 7, s"facade counters off: $puts puts, $gets gets")
+    assert(puts == 4 && gets == 10, s"facade counters off: $puts puts, $gets gets")
   }
 }
