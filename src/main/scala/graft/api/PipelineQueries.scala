@@ -3423,12 +3423,13 @@ object PipelineQueries {
         |WHERE m.n_matched = qs.n_terms
         |ORDER BY query_id, doc_id""".stripMargin,
     "phrase_search" ->
-      """WITH cand AS (SELECT doc_id, ' ' || text || ' ' AS padded
+      """WITH cand AS (SELECT doc_id, string_split(text, ' ') AS tokens
         |              FROM documents),
         |occ AS (SELECT doc_id,
-        |    CAST((len(padded) -
-        |      len(replace(padded, ' window scan ', ' '))) / 12
-        |      AS BIGINT) AS n_occurrences
+        |    CAST(CASE WHEN len(tokens) >= 2 THEN len(list_filter(
+        |        generate_series(1, len(tokens) - 1),
+        |        i -> tokens[i] = 'window' AND tokens[i+1] = 'scan'))
+        |      ELSE 0 END AS BIGINT) AS n_occurrences
         |  FROM cand),
         |r AS (SELECT doc_id, n_occurrences,
         |    row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rank

@@ -359,10 +359,12 @@ object Dedup {
       s"no shard with delivery key $key in $indexDir")
     val matches = live.filter(_.startsWith(s"c-k${keyDigest(key)}-"))
     require(matches.nonEmpty,
-      s"the commit of delivery key $key in $indexDir is no longer " +
-        "addressable (folded by compaction) — batch-grain pair reads " +
-        "must happen before the shard is compacted; use indexPairs for " +
-        "the cumulative union")
+      s"the commit of delivery key $key in $indexDir is not addressable " +
+        "by key digest — either a compaction folded it (batch-grain " +
+        "pair reads must happen before the shard is compacted) or the " +
+        "shard was committed by a version of this library that predates " +
+        "key-digest commit naming; use indexPairs for the cumulative " +
+        "union, which still holds every pair")
     val conf = spark.sessionState.newHadoopConf()
     val dirs = matches.map(d => s"$indexDir/data/$d/pairs").filter { p =>
       val hp = new org.apache.hadoop.fs.Path(p)

@@ -150,8 +150,10 @@ final class CommitLog(manifestDir: String) {
     val p = versionPath(v)
     val fs = fsFor(spark, p)
     if (!fs.exists(p)) {
+      // v < 1 can never have been published OR reclaimed — report it as
+      // unpublished, not as a (false) retention decision
       val floor = readLongFile(fs, floorPath).getOrElse(1L)
-      require(v >= floor,
+      require(v < 1L || v >= floor,
         s"manifest version $v of $manifestDir is below the retention " +
           s"floor $floor — vacuumVersions reclaimed it; time-travel and " +
           "branch reads need a version at or above the floor")
@@ -179,9 +181,24 @@ final class CommitLog(manifestDir: String) {
     val (v, _) = latest(spark)
     if (v == 0L) return
     val floor = math.max(1L, v - keep + 1)
-    val prior = readLongFile(fs, floorPath).getOrElse(1L)
-    if (floor > prior) writeLongFile(fs, floorPath, floor)
-    listVersions(fs, dir).filter(_ < math.max(floor, prior))
+    // the prior floor is a CONTROL file and is not trusted blind (the
+    // module's contract): a torn/corrupt value that still parses could
+    // exceed the head and delete EVERY version file — clamp the
+    // deletion cutoff so the head version always survives, exactly as
+    // keep = 1 would behave
+    val prior = math.min(readLongFile(fs, floorPath).getOrElse(1L), v)
+    if (floor > prior) {
+      writeLongFile(fs, floorPath, floor)
+      // the floor must be DURABLY recorded before any delete — readers
+      // racing the vacuum must see the honest retention error, never
+      // "never published". writeLongFile is best-effort; verify.
+      val recorded = readLongFile(fs, floorPath).getOrElse(0L)
+      require(recorded >= floor,
+        s"retention floor write did not stick at $floorPath (read " +
+          s"$recorded, wanted $floor) — aborting the version-file " +
+          "vacuum; no version files were deleted")
+    }
+    listVersions(fs, dir).filter(_ < math.min(math.max(floor, prior), v))
       .foreach(x => fs.delete(versionPath(x), false): Unit)
     writeLongFile(fs, hintPath, v)
   }

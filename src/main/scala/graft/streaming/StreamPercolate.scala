@@ -40,14 +40,24 @@ object StreamPercolate {
       s"${rules.size} rules — the literal-rule percolator is for " +
         "capped-small registered-rule sets (shard the rule table)")
     require(minMatch >= 0, s"bad minMatch: $minMatch")
-    val ruleArr = array(rules.map { case (q, ts) =>
-      val distinctToks = ts.distinct
+    // parity with TextOps.percolate: empty tokens exist NEITHER on the
+    // rule side (a (query_id, token) table cannot hold a rule with no
+    // rows — an all-empty rule here would conjunctively fire on every
+    // doc, an alert storm) NOR on the doc side (split(" ") emits ""
+    // for doubled separators; the aggregate formulation drops them)
+    val cleaned = rules.map { case (q, ts) =>
+      (q, ts.distinct.filter(_.nonEmpty))
+    }
+    require(cleaned.forall(_._2.nonEmpty),
+      s"rules with no non-empty tokens: ${cleaned.filter(_._2.isEmpty).map(_._1)}")
+    val ruleArr = array(cleaned.map { case (q, distinctToks) =>
       struct(lit(q).as("query_id"),
         array(distinctToks.map(lit): _*).as("toks"))
     }: _*)
     docs
       .select(col(idCol).as("doc_id"),
-        array_distinct(graft.text.TextOps.tokens(col(textCol))).as("dt"))
+        array_distinct(filter(graft.text.TextOps.tokens(col(textCol)),
+          t => length(t) > 0)).as("dt"))
       .select(col("doc_id"), explode(
         filter(
           transform(ruleArr, r => struct(

@@ -71,27 +71,31 @@ object StreamRagPipeline {
               threshold, deliveryKey = Some(key), persistPairs = true): Unit
           // survivors from THIS BATCH'S persisted report (committed
           // just above or by a pre-crash attempt) — replay-identical,
-          // bounded by the batch; shared by both derived legs
-          def survivors: DataFrame = {
+          // bounded by the batch; MATERIALIZED ONCE and shared by both
+          // derived legs (each leg would otherwise re-read the pair
+          // report and re-run the anti-join)
+          val needText = !TextIndex.hasDelivery(s, textDir, key)
+          val needAnn = !Similarity.ivfHasDelivery(s, annDir, key)
+          if (needText || needAnn) {
             val dups = Dedup.indexPairsForDelivery(s, dedupDir, key)
               .select(col("b_id").as(idCol)).distinct()
-            b.select(idCol, textCol).join(dups, Seq(idCol), "left_anti")
-          }
-          if (!TextIndex.hasDelivery(s, textDir, key)) {
-            val sv = survivors
-            if (!sv.isEmpty)
-              TextIndex.ingestShard(
-                s, textDir, sv, idCol, textCol, key = Some(key))
-          }
-          if (!Similarity.ivfHasDelivery(s, annDir, key)) {
-            val vecs = embed(survivors)
-            if (!vecs.isEmpty) {
-              if (Similarity.ivfVersion(s, annDir) == 0L)
-                Similarity.ivfIndexBuild(
-                  s, annDir, vecs, centroidStep, key = Some(key))
-              else
-                Similarity.ivfIndexAppend(s, annDir, vecs, key = Some(key))
-            }
+            val survivors = b.select(idCol, textCol)
+              .join(dups, Seq(idCol), "left_anti").persist()
+            try {
+              if (needText && !survivors.isEmpty)
+                TextIndex.ingestShard(
+                  s, textDir, survivors, idCol, textCol, key = Some(key))
+              if (needAnn) {
+                val vecs = embed(survivors)
+                if (!vecs.isEmpty) {
+                  if (Similarity.ivfVersion(s, annDir) == 0L)
+                    Similarity.ivfIndexBuild(
+                      s, annDir, vecs, centroidStep, key = Some(key))
+                  else
+                    Similarity.ivfIndexAppend(s, annDir, vecs, key = Some(key))
+                }
+              }
+            } finally survivors.unpersist(): Unit
           }
         }
       }

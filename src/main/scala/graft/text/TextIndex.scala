@@ -179,8 +179,28 @@ object TextIndex {
       spark: SparkSession, dir: String, terms: Seq[String], k: Int,
       maxDf: Option[Long] = None): DataFrame = {
     require(terms.nonEmpty, "searchBm25 with no terms")
+    // weight 1e6 multiplies every per-term factor by the double 1.0 —
+    // bit-identical to unweighted scoring (spec-pinned), so the
+    // unweighted search is a pure delegation and there is ONE scoring
+    // implementation to maintain
+    searchBm25Weighted(spark, dir, terms.distinct.map((_, 1000000L)),
+      k, maxDf)
+  }
+
+  /** The shared driver-side prelude of every BM25 probe: the (nd, tl)
+   *  stats fold OVERLAPPED with the terms' df fold (independent jobs),
+   *  the `maxDf` stop-word cut, per-term ppm idf, and the
+   *  token-bucket-pruned posting scan. Per-commit roots each carry
+   *  their own tb=N partition tree — read per commit and union (the
+   *  same multi-root discipline as the IVF postings); the tb filter
+   *  prunes partition DIRECTORIES, the token equality pushes into row
+   *  groups within the surviving buckets. Returns (avgdl, kept terms
+   *  sorted, (token, idf_ppm) pairs, pruned postings).
+   */
+  private def bm25Prelude(
+      spark: SparkSession, dir: String, terms: Seq[String],
+      maxDf: Option[Long]): (Double, Seq[String], Seq[(String, Long)], DataFrame) = {
     import spark.implicits._
-    // the two scalar folds are independent — overlap their jobs
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
@@ -200,42 +220,24 @@ object TextIndex {
     val dfByTerm = Await.result(dfF, Duration.Inf)
     // survivors: indexed (df exists) and under the stop-word cap —
     // only these reach the posting scan and the bucket list
-    val kept = terms.distinct.filter(t =>
+    val kept = terms.distinct.sorted.filter(t =>
       dfByTerm.get(t).exists(df => maxDf.forall(df <= _)))
     val idf = kept.map { t =>
       val df = dfByTerm(t)
       (t, math.round(
         math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6))
-    }.toDF("token", "idf_ppm")
-    // the terms' bucket ids, computed with the SAME expression that
-    // partitioned the write (driver-side, |terms| rows)
+    }
     val termBuckets =
       if (kept.isEmpty) Seq.empty[Long]
       else kept.toDF("t")
         .select(tokenBucket(col("t"))).distinct()
         .collect().map(_.getLong(0)).toSeq
-    // per-commit roots each carry their own tb=N partition tree — read
-    // per commit and union (the same multi-root discipline as the IVF
-    // postings); the tb filter prunes partition DIRECTORIES, the token
-    // equality pushes into row groups within the surviving buckets
     val posts = liveSub(spark, dir, "post")
       .map(spark.read.parquet(_))
       .reduce(_.unionByName(_))
       .where(col("tb").isin(termBuckets: _*) &&
         col("token").isin(kept: _*))
-    posts
-      .join(broadcast(idf), "token")
-      .withColumn("score_ppm",
-        round(col("idf_ppm").cast("double") * (col("tf") * lit(2.2)) /
-          (col("tf") + lit(1.2) *
-            (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
-          .cast("long"))
-      .groupBy("doc_id")
-      .agg(sum("score_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
-      .where(col("rank") <= k)
-      .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
+    (avgdl, kept, idf, posts)
   }
 
   /** WEIGHTED BM25 over the stored index: each query term carries an
@@ -258,40 +260,10 @@ object TextIndex {
     require(terms.nonEmpty, "searchBm25Weighted with no terms")
     import spark.implicits._
     val wByTerm = terms.toMap // last weight wins for duplicate terms
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val statsF = Future {
-      spark.read.parquet(liveSub(spark, dir, "stats"): _*)
-        .agg(sum("nd"), sum("tl")).head()
-    }
-    val dfF = Future {
-      spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
-        .where(col("token").isin(wByTerm.keys.toSeq: _*))
-        .groupBy("token").agg(sum("df").as("df"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    }
-    val stats = Await.result(statsF, Duration.Inf)
-    val (nd, tl) = (stats.getLong(0), stats.getLong(1))
-    val avgdl = tl.toDouble / nd
-    val dfByTerm = Await.result(dfF, Duration.Inf)
-    val kept = wByTerm.keys.toSeq.sorted.filter(t =>
-      dfByTerm.get(t).exists(df => maxDf.forall(df <= _)))
-    val idf = kept.map { t =>
-      val df = dfByTerm(t)
-      (t, math.round(
-        math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6), wByTerm(t))
-    }.toDF("token", "idf_ppm", "w_ppm")
-    val termBuckets =
-      if (kept.isEmpty) Seq.empty[Long]
-      else kept.toDF("t")
-        .select(tokenBucket(col("t"))).distinct()
-        .collect().map(_.getLong(0)).toSeq
-    val posts = liveSub(spark, dir, "post")
-      .map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
-      .where(col("tb").isin(termBuckets: _*) &&
-        col("token").isin(kept: _*))
+    val (avgdl, _, idfPairs, posts) =
+      bm25Prelude(spark, dir, wByTerm.keys.toSeq, maxDf)
+    val idf = idfPairs.map { case (t, i) => (t, i, wByTerm(t)) }
+      .toDF("token", "idf_ppm", "w_ppm")
     posts
       .join(broadcast(idf), "token")
       .withColumn("score_ppm",
@@ -336,12 +308,12 @@ object TextIndex {
    *  docs containing ALL phrase tokens, from the pruned posting scan
    *  alone (conjunctive containment: per-doc matched-term count must
    *  equal the phrase's distinct-term count); (2) candidates' text is
-   *  fetched from `corpus` by point lookup and verified with an exact
-   *  token-boundary containment check (`' '+text+' '` CONTAINS
-   *  `' '+phrase+' '` — identical on both engines for
-   *  whitespace-tokenized text). Ranked by exact occurrence count
-   *  (computed by length-difference arithmetic, integer-exact), ties
-   *  to smallest doc_id. Candidates are capped LOUDLY at 65536 — a
+   *  fetched from `corpus` by point lookup and verified POSITIONALLY:
+   *  the occurrence count is the number of start positions `i` with
+   *  `tokens[i..i+n-1] == phrase` (a sliding token scan — exact for
+   *  adjacent repeats and overlapping self-similar phrases alike,
+   *  where substring-replace arithmetic undercounts), ties to
+   *  smallest doc_id. Candidates are capped LOUDLY at 65536 — a
    *  phrase of stop-word-grade tokens has corpus-grain conjunctive
    *  candidates and must be handled by a positional index instead.
    *  Returns (rank, doc_id, n_occurrences).
@@ -374,15 +346,18 @@ object TextIndex {
       return spark.emptyDataFrame
         .select(lit(0L).as("rank"), lit(0L).as("doc_id"),
           lit(0L).as("n_occurrences")).limit(0)
-    val needle = " " + toks.mkString(" ") + " "
+    val n = toks.size
     corpus
       .where(col(idCol).isin(candIds.toSeq: _*))
       .select(col(idCol).as("doc_id"),
-        concat(lit(" "), col(textCol), lit(" ")).as("padded"))
+        graft.text.TextOps.tokens(col(textCol)).as("tokens"))
       .withColumn("n_occurrences",
-        ((length(col("padded")) -
-          length(replace(col("padded"), lit(needle), lit(" ")))) /
-          lit(needle.length - 1)).cast("long"))
+        when(size(col("tokens")) >= n,
+          size(filter(sequence(lit(1), size(col("tokens")) - n + 1),
+            i => toks.zipWithIndex.map { case (tk, j) =>
+              element_at(col("tokens"), i + j) === tk
+            }.reduce(_ && _))))
+          .otherwise(lit(0)).cast("long"))
       .where(col("n_occurrences") > 0)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("n_occurrences").desc, col("doc_id"))).cast("long"))
@@ -474,40 +449,9 @@ object TextIndex {
       require(terms.length <= 65536,
         s"searchBm25Batch query batch has ${terms.length} distinct terms — " +
           "the batch probe is for capped-small query sets (split it)")
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val statsF = Future {
-        spark.read.parquet(liveSub(spark, dir, "stats"): _*)
-          .agg(sum("nd"), sum("tl")).head()
-      }
-      val dfF = Future {
-        spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
-          .where(col("token").isin(terms.toSeq: _*))
-          .groupBy("token").agg(sum("df").as("df"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
-      val stats = Await.result(statsF, Duration.Inf)
-      val (nd, tl) = (stats.getLong(0), stats.getLong(1))
-      val avgdl = tl.toDouble / nd
-      val dfByTerm = Await.result(dfF, Duration.Inf)
-      val kept = terms.toSeq.filter(t =>
-        dfByTerm.get(t).exists(df => maxDf.forall(df <= _)))
-      val idf = kept.map { t =>
-        val df = dfByTerm(t)
-        (t, math.round(
-          math.log((nd - df + 0.5) / (df + 0.5) + 1.0) * 1e6))
-      }.toDF("token", "idf_ppm")
-      val termBuckets =
-        if (kept.isEmpty) Seq.empty[Long]
-        else kept.toDF("t")
-          .select(tokenBucket(col("t"))).distinct()
-          .collect().map(_.getLong(0)).toSeq
-      val posts = liveSub(spark, dir, "post")
-        .map(spark.read.parquet(_))
-        .reduce(_.unionByName(_))
-        .where(col("tb").isin(termBuckets: _*) &&
-          col("token").isin(kept: _*))
+      val (avgdl, _, idfPairs, posts) =
+        bm25Prelude(spark, dir, terms.toSeq, maxDf)
+      val idf = idfPairs.toDF("token", "idf_ppm")
       posts
         .join(broadcast(idf), "token")
         .join(broadcast(qt), "token") // fan out to the queries naming the term

@@ -158,7 +158,7 @@ class StreamCrawlPipelineSpec extends AnyFunSuite {
     Dedup.indexCompact(spark, dedupIdx)
     val ex = intercept[IllegalArgumentException](
       Dedup.indexPairsForDelivery(spark, dedupIdx, "b1"))
-    assert(ex.getMessage.contains("no longer addressable"))
+    assert(ex.getMessage.contains("not addressable by key digest"))
     assert(pairsOf(Dedup.indexPairs(spark, dedupIdx)) == cum,
       "compaction must carry every pair report forward")
   }

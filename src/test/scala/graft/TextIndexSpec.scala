@@ -355,8 +355,8 @@ class TextIndexSpec extends AnyFunSuite {
       == unweighted)
   }
 
-  test("searchPhrase: order and adjacency matter, counts are " +
-      "non-overlapping, candidates come from the index") {
+  test("searchPhrase: order and adjacency matter, counts are exact " +
+      "positional (adjacent repeats included), candidates come from the index") {
     val idx = TestSpark.tmpDir("text_idx_phrase")
     TextIndex.ingestShard(spark, idx, corpus, "doc_id", "text")
     def hits(phrase: String) = TextIndex
@@ -368,9 +368,10 @@ class TextIndexSpec extends AnyFunSuite {
     assert(hits("merge sort") == Seq((0L, 1L)))
     assert(hits("sort merge") == Seq((0L, 1L)))
     assert(hits("merge spark").isEmpty, "reversed phrase must not match")
-    // non-overlapping count (documented): "scan scan scan" holds ONE
-    // non-overlapping "scan scan" (the shared space is consumed)
-    assert(hits("scan scan") == Seq((4L, 1L)))
+    // positional count: "scan scan scan" holds TWO start positions of
+    // "scan scan" (1 and 2) — the adjacent-repeat case substring
+    // arithmetic would undercount
+    assert(hits("scan scan") == Seq((4L, 2L)))
     // a token the index has never seen yields no candidates, no scan
     assert(hits("window zzz").isEmpty)
     // tokens all present but never adjacent: candidate set nonempty,
