@@ -1438,6 +1438,46 @@ object PipelineQueries {
           cands, qTerms)
         .orderBy("rank")
     }),
+    // RAG CONTEXT PACKING: the serving step between retrieval and the
+    // prompt — walk the BM25 top-20 in rank order, admit each hit
+    // while the RUNNING token total stays within the budget (600),
+    // skip hits that would overflow but keep walking (greedy
+    // first-fit in rank order, deterministic). Token counts are a
+    // 20-id point lookup; the admit decision is a rank-ordered
+    // running sum over ADMITTED docs — expressed as the classic
+    // quadratic-in-k self-accumulation both engines compute
+    // identically (k = 20, constant). Output marks every candidate
+    // with its cumulative total and whether it shipped
+    "rag_context_pack" -> ((s, dir) => {
+      import s.implicits._
+      val idx = textIndexFixture(s, dir)
+      val Budget = 600L
+      val cands = graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+        .select("rank", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      val ranks = broadcast(cands.toSeq.toDF("rank", "doc_id"))
+      val toks = docs(s, dir)
+        .where(col("doc_id").isin(cands.map(_._2).toSeq: _*))
+        .select(col("doc_id"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n_tokens"))
+      // greedy first-fit admission is inherently sequential in rank —
+      // fold it on the driver over the 20 collected (rank, n_tokens)
+      // rows (candidate-grain, the mmr discipline), emit the verdict
+      val sized = ranks.join(toks, "doc_id")
+        .select("rank", "doc_id", "n_tokens").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1)
+      val out = scala.collection.mutable.ListBuffer[(Long, Long, Long, Long, Boolean)]()
+      var cum = 0L
+      for ((rank, doc, nt) <- sized) {
+        val fits = cum + nt <= Budget
+        if (fits) cum += nt
+        out += ((rank, doc, nt, cum, fits))
+      }
+      out.toSeq.toDF("rank", "doc_id", "n_tokens", "cum_tokens", "included")
+        .orderBy("rank")
+    }),
     // MMR DIVERSIFICATION: select 5 of the BM25 top-10 maximizing
     // marginal relevance — score = 700·rel_ppm − 300·max_sim_ppm
     // (λ=0.7 scaled ×1000, all integers), rel is RRF-style
@@ -3267,6 +3307,33 @@ object PipelineQueries {
        |ORDER BY sel_order""".stripMargin
   }
 
+  /** Context-packing oracle: BM25 top-20 from [[bm25CandPrefix]], per-
+   *  candidate token counts, then the greedy first-fit walk as a
+   *  RECURSIVE CTE stepping rank → rank+1 (admitted state must thread
+   *  through skips, so a plain window running-sum cannot express it).
+   */
+  private val ragContextPackOracle: String =
+    s"""${bm25CandPrefix(20)},
+       |sized AS (SELECT c.rank, c.doc_id,
+       |    CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+       |  FROM cand c JOIN documents d USING (doc_id)),
+       |walk AS (
+       |  WITH RECURSIVE w(rank, doc_id, n_tokens, cum, included) AS (
+       |    SELECT rank, doc_id, n_tokens,
+       |      CASE WHEN n_tokens <= 600 THEN n_tokens
+       |           ELSE CAST(0 AS BIGINT) END,
+       |      n_tokens <= 600
+       |    FROM sized WHERE rank = 1
+       |    UNION ALL
+       |    SELECT c.rank, c.doc_id, c.n_tokens,
+       |      CASE WHEN w.cum + c.n_tokens <= 600 THEN w.cum + c.n_tokens
+       |           ELSE w.cum END,
+       |      w.cum + c.n_tokens <= 600
+       |    FROM w JOIN sized c ON c.rank = w.rank + 1)
+       |  SELECT * FROM w)
+       |SELECT rank, doc_id, n_tokens, cum AS cum_tokens, included
+       |FROM walk ORDER BY rank""".stripMargin
+
   /** Same recursive closure as `clustersOracle`, then the survivor
    *  selection: max qppm per component, min doc_id among the maxima
    *  (two-step max — never arg_max, whose tie choice is unspecified).
@@ -3386,6 +3453,7 @@ object PipelineQueries {
     "rerank_proximity" -> rerankProximityOracle,
     "search_snippets" -> searchSnippetsOracle,
     "mmr_diversify" -> mmrOracle,
+    "rag_context_pack" -> ragContextPackOracle,
     "percolate_queries" ->
       """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
