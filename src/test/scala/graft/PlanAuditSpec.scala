@@ -425,9 +425,16 @@ class PlanAuditSpec extends AnyFunSuite {
         corpus, Seq(1L -> Seq("merge", "scan"), 2L -> Seq("window")))
       assert(shuffleCount(rowLocal) == 0,
         "row-local percolation must plan ZERO exchanges")
+      // phrase search: the verify stage must be a pushed point lookup
+      // (the candidate set, not the corpus) and the candidate stage
+      // must keep the token-bucket pruning
+      val ph = SparkEntry.queries("phrase_search")(spark, sf)
+      val phPlan = ph.queryExecution.executedPlan.toString
+      assert(phPlan.contains("In(doc_id"),
+        "phrase verify stage not pushed into the corpus scan")
       // mmr/recall: constant-size joins, never cartesian
       for (q <- Seq("mmr_diversify", "ann_recall_report",
-          "dedup_soft_weights")) {
+          "dedup_soft_weights", "rag_context_pack")) {
         val plan = SparkEntry.queries(q)(spark, sf)
           .queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$q planned a cartesian")
