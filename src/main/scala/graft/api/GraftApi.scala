@@ -261,6 +261,15 @@ final class GraftApi(
     graft.sim.Similarity.ivfIndexStats(spark, indexDir)
   }
 
+  /** Autocomplete: top-k indexed tokens by folded df for a prefix —
+   *  served from the index's vocab legs alone.
+   */
+  def suggestDocs(indexDir: String, prefix: String, k: Int): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.suggestPrefix(spark, indexDir, prefix, k)
+  }
+
   /** Reverse search: match a (doc_id, text) batch against stored
    *  rules (saved searches / alerts). `rules` is (query_id, token)
    *  rows, registered-config-grain small; cost is one pass over the

@@ -1612,6 +1612,15 @@ object PipelineQueries {
       graft.text.TextIndex.searchPhrase(s, textIndexFixture(s, dir),
           docs(s, dir), "doc_id", "text", "window scan", 20)
         .orderBy("rank")),
+    // PREFIX SUGGESTION (autocomplete) from the index's vocab legs
+    // alone: top-10 's…' tokens by across-shard folded df — the
+    // query-suggestion surface, cost ∝ vocabulary (≪ corpus), ranking
+    // via TakeOrdered + a ≤k-row window. Oracle recomputes df from
+    // the corpus, proving the vocab fold serves prefixes correctly
+    "prefix_suggest" -> ((s, dir) =>
+      graft.text.TextIndex.suggestPrefix(s, textIndexFixture(s, dir),
+          "s", 10)
+        .orderBy("rank")),
     // INDEX OBSERVABILITY: the shared index fixture's folded stats —
     // shard count, nd/tl sums, across-shard distinct vocabulary,
     // posting count — read from the index's own legs (cost ∝ index
@@ -3504,6 +3513,18 @@ object PipelineQueries {
         |  FROM occ WHERE n_occurrences > 0)
         |SELECT rank, doc_id, n_occurrences FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "prefix_suggest" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM dt GROUP BY 1),
+        |r AS (SELECT token, df,
+        |    row_number() OVER (ORDER BY df DESC, token) AS rank
+        |  FROM dfr WHERE token LIKE 's%')
+        |SELECT rank, token, df FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
     "text_index_stats" ->
       """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t

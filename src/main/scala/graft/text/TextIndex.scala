@@ -303,6 +303,30 @@ object TextIndex {
     st.crossJoin(vocab).crossJoin(posts)
   }
 
+  /** PREFIX SUGGESTION (autocomplete): top-`k` indexed tokens starting
+   *  with `prefix`, ranked by folded document frequency (ties by
+   *  token) — the query-suggestion surface a search box needs, served
+   *  from the index's VOCAB legs alone. The vocab is
+   *  vocabulary-grain (≪ corpus); the prefix cannot bucket-prune
+   *  (buckets hash whole tokens) but pushes to the vocab scan as a
+   *  StringStartsWith row-group filter, and the ranking is a
+   *  TakeOrdered over the prefix matches followed by a window over
+   *  the ≤ k survivors — no global single-partition window over the
+   *  full match set. Returns (rank, token, df).
+   */
+  def suggestPrefix(
+      spark: SparkSession, dir: String, prefix: String, k: Int): DataFrame = {
+    require(prefix.nonEmpty && k > 0, s"bad prefix/k: '$prefix'/$k")
+    val top = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+      .where(col("token").startsWith(prefix))
+      .groupBy("token").agg(sum("df").as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("df").desc, col("token"))).cast("long"))
+      .select(col("rank"), col("token"), col("df"))
+  }
+
   /** PHRASE SEARCH as candidate-then-verify — the scalable phrase
    *  shape on a POSITIONLESS inverted index: (1) candidates are the
    *  docs containing ALL phrase tokens, from the pruned posting scan

@@ -209,6 +209,11 @@ class ApiSpec extends AnyFunSuite {
       s"text stats wrong: $ts") // 1 shard, 4 docs
     assert(api.annIndexStats(aIdx).collect().head.getLong(1) == 60L,
       "ann stats must count the 60 indexed vectors")
+    // autocomplete: indexed (doc_id < 4) corpus has spark/sort/scan
+    val sug = api.suggestDocs(tIdx, "s", 5)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(sug == Seq(("scan", 1L), ("sort", 1L), ("spark", 1L)),
+      s"suggestion ranking wrong: $sug")
     // reverse search routes through TextOps.percolate
     val fired = api.percolateDocs(corpus,
         Seq((1L, "merge"), (1L, "window")).toDF("query_id", "token"))
@@ -216,6 +221,6 @@ class ApiSpec extends AnyFunSuite {
     assert(fired == Set((1L, 2L)), s"percolation fired wrong: $fired")
     // the facade counted the traffic
     val (puts, gets) = api.counters
-    assert(puts == 4 && gets == 10, s"facade counters off: $puts puts, $gets gets")
+    assert(puts == 4 && gets == 11, s"facade counters off: $puts puts, $gets gets")
   }
 }

@@ -472,6 +472,19 @@ class ManifestStoreSpec extends AnyFunSuite {
     Files.delete(Paths.get(dir, "_latest"))
     assert(clog.latest(spark) ==
       (41L, ((0 until 41).map(i => s"e$i"))))
+    // CORRUPT floor control file ABOVE the head (a torn write that
+    // still parses): the deletion cutoff clamps to the head, so the
+    // head version file survives and the log stays readable — a
+    // control file is never trusted blind
+    Files.write(Paths.get(dir, "_floor"), "9999".getBytes("UTF-8"))
+    clog.vacuumVersions(spark, keep = 5)
+    assert(clog.latest(spark)._1 == 41L,
+      "a corrupt floor must never delete the head version file")
+    assert(Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .count(_.matches(".*/v\\d{12}")) >= 1)
+    // and commits continue normally past the corruption
+    assert(clog.commit(spark)(l => Some(l :+ "e41")))
+    assert(clog.latest(spark)._1 == 42L)
   }
 
   test("concurrent atomic writers all publish: optimistic commit loses no update") {
