@@ -270,6 +270,16 @@ final class GraftApi(
     graft.text.TextIndex.suggestPrefix(spark, indexDir, prefix, k)
   }
 
+  /** "Did you mean": indexed tokens within edit distance `maxDist` of
+   *  a (possibly misspelled) term, ranked (distance, df DESC, token).
+   */
+  def suggestDocsFuzzy(indexDir: String, term: String,
+      maxDist: Int = 2, k: Int = 10): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.suggestFuzzy(spark, indexDir, term, maxDist, k)
+  }
+
   /** Reverse search: match a (doc_id, text) batch against stored
    *  rules (saved searches / alerts). `rules` is (query_id, token)
    *  rows, registered-config-grain small; cost is one pass over the

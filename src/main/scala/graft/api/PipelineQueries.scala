@@ -1621,6 +1621,14 @@ object PipelineQueries {
       graft.text.TextIndex.suggestPrefix(s, textIndexFixture(s, dir),
           "s", 10)
         .orderBy("rank")),
+    // FUZZY TERM SUGGESTION ("did you mean"): indexed tokens within
+    // edit distance 2 of the misspelled 'mergee', ranked (distance,
+    // df DESC, token) — the spell-correction surface; one
+    // vocabulary-grain scan, identical Levenshtein on both engines
+    "fuzzy_suggest" -> ((s, dir) =>
+      graft.text.TextIndex.suggestFuzzy(s, textIndexFixture(s, dir),
+          "mergee", maxDist = 2, k = 10)
+        .orderBy("rank")),
     // INDEX OBSERVABILITY: the shared index fixture's folded stats —
     // shard count, nd/tl sums, across-shard distinct vocabulary,
     // posting count — read from the index's own legs (cost ∝ index
@@ -3513,6 +3521,22 @@ object PipelineQueries {
         |  FROM occ WHERE n_occurrences > 0)
         |SELECT rank, doc_id, n_occurrences FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "fuzzy_suggest" ->
+      """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0),
+        |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM dt GROUP BY 1),
+        |fz AS (SELECT token, df,
+        |    CAST(levenshtein(token, 'mergee') AS BIGINT) AS dist
+        |  FROM dfr
+        |  WHERE levenshtein(token, 'mergee') <= 2 AND token <> 'mergee'),
+        |r AS (SELECT token, dist, df,
+        |    row_number() OVER (ORDER BY dist, df DESC, token) AS rank
+        |  FROM fz)
+        |SELECT rank, token, dist, df FROM r WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
     "prefix_suggest" ->
       """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t

@@ -327,6 +327,34 @@ object TextIndex {
       .select(col("rank"), col("token"), col("df"))
   }
 
+  /** FUZZY TERM SUGGESTION ("did you mean"): indexed tokens within
+   *  Levenshtein distance `maxDist` of a (possibly misspelled) query
+   *  term, ranked by (distance, folded df DESC, token) — the
+   *  spell-correction surface in front of search. Cost is one
+   *  vocabulary-grain scan with the edit-distance filter (vocab ≪
+   *  corpus; at web-scale vocabularies the upgrade is an n-gram
+   *  pre-filter before the Levenshtein — documented in SCALE.md),
+   *  then TakeOrdered + a ≤ k-row ranking window. The exact term
+   *  itself is excluded. Returns (rank, token, dist, df).
+   */
+  def suggestFuzzy(
+      spark: SparkSession, dir: String, term: String,
+      maxDist: Int, k: Int): DataFrame = {
+    require(term.nonEmpty && maxDist >= 1 && k > 0,
+      s"bad term/maxDist/k: '$term'/$maxDist/$k")
+    val top = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+      .groupBy("token").agg(sum("df").as("df"))
+      .withColumn("dist",
+        levenshtein(col("token"), lit(term)).cast("long"))
+      .where(col("dist") <= maxDist && col("token") =!= term)
+      .orderBy(col("dist").asc, col("df").desc, col("token"))
+      .limit(k)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy(col("dist").asc, col("df").desc, col("token")))
+        .cast("long"))
+      .select(col("rank"), col("token"), col("dist"), col("df"))
+  }
+
   /** PHRASE SEARCH as candidate-then-verify — the scalable phrase
    *  shape on a POSITIONLESS inverted index: (1) candidates are the
    *  docs containing ALL phrase tokens, from the pruned posting scan

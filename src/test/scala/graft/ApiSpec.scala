@@ -214,6 +214,10 @@ class ApiSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
     assert(sug == Seq(("scan", 1L), ("sort", 1L), ("spark", 1L)),
       s"suggestion ranking wrong: $sug")
+    // did-you-mean: 'scann' corrects to scan (dist 1) before span-likes
+    val fz = api.suggestDocsFuzzy(tIdx, "scann", maxDist = 2, k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(fz.headOption.contains(("scan", 1L)), s"fuzzy wrong: $fz")
     // reverse search routes through TextOps.percolate
     val fired = api.percolateDocs(corpus,
         Seq((1L, "merge"), (1L, "window")).toDF("query_id", "token"))
@@ -221,6 +225,6 @@ class ApiSpec extends AnyFunSuite {
     assert(fired == Set((1L, 2L)), s"percolation fired wrong: $fired")
     // the facade counted the traffic
     val (puts, gets) = api.counters
-    assert(puts == 4 && gets == 11, s"facade counters off: $puts puts, $gets gets")
+    assert(puts == 4 && gets == 12, s"facade counters off: $puts puts, $gets gets")
   }
 }
