@@ -1621,6 +1621,15 @@ object PipelineQueries {
       graft.text.TextIndex.suggestPrefix(s, textIndexFixture(s, dir),
           "s", 10)
         .orderBy("rank")),
+    // SCORE EXPLANATION: per-term BM25 breakdown for the top-5 hits
+    // of the standard query — the "why did this doc rank here"
+    // surface; one extra pruned posting probe with a broadcast 5-id
+    // doc filter, contributions sum to the search's score_ppm by
+    // construction (identical arithmetic, oracle-proven)
+    "explain_search" -> ((s, dir) =>
+      graft.text.TextIndex.explainSearch(s, textIndexFixture(s, dir),
+          Seq("merge", "window", "scan"), 5)
+        .orderBy("rank", "token")),
     // FUZZY TERM SUGGESTION ("did you mean"): indexed tokens within
     // edit distance 2 of the misspelled 'mergee', ranked (distance,
     // df DESC, token) — the spell-correction surface; one
@@ -3521,6 +3530,36 @@ object PipelineQueries {
         |  FROM occ WHERE n_occurrences > 0)
         |SELECT rank, doc_id, n_occurrences FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    "explain_search" ->
+      """WITH tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |    FROM documents)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.token, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id, token, tf, dl, idf_ppm,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT)
+        |      AS contrib_ppm
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(contrib_ppm) AS BIGINT) AS score
+        |       FROM s2 GROUP BY 1),
+        |r AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC,
+        |    doc_id) AS rank FROM ag),
+        |top AS (SELECT doc_id, rank FROM r WHERE rank <= 5)
+        |SELECT t.rank, s2.doc_id, s2.token, s2.tf, s2.dl, s2.idf_ppm,
+        |  s2.contrib_ppm
+        |FROM s2 JOIN top t USING (doc_id)
+        |ORDER BY t.rank, s2.token""".stripMargin,
     "fuzzy_suggest" ->
       """WITH dt AS (SELECT DISTINCT doc_id, t AS token FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t

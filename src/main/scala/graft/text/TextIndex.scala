@@ -327,6 +327,38 @@ object TextIndex {
       .select(col("rank"), col("token"), col("df"))
   }
 
+  /** SCORE EXPLANATION: the per-term BM25 breakdown for the top-`k`
+   *  docs of a query — (rank, doc_id, token, tf, dl, idf_ppm,
+   *  contrib_ppm), one row per matched (doc, term) — the relevance-
+   *  debugging surface behind every "why did this doc rank here".
+   *  Costs one extra pruned posting probe beyond the search itself
+   *  (same bucket pruning; the doc filter is a broadcast k-id
+   *  literal), and each row's contrib_ppm sums to the search's
+   *  score_ppm by construction (identical arithmetic).
+   */
+  def explainSearch(
+      spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+      maxDf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val top = searchBm25(spark, dir, terms, k, maxDf)
+      .select("rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val ranks = broadcast(top.toSeq.toDF("rank", "doc_id"))
+    val (avgdl, _, idfPairs, posts) = bm25Prelude(spark, dir, terms, maxDf)
+    val idf = idfPairs.toDF("token", "idf_ppm")
+    posts
+      .where(col("doc_id").isin(top.map(_._2).toSeq: _*))
+      .join(broadcast(idf), "token")
+      .join(ranks, "doc_id")
+      .withColumn("contrib_ppm",
+        round(col("idf_ppm").cast("double") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+          .cast("long"))
+      .select(col("rank"), col("doc_id"), col("token"), col("tf"),
+        col("dl"), col("idf_ppm"), col("contrib_ppm"))
+  }
+
   /** FUZZY TERM SUGGESTION ("did you mean"): indexed tokens within
    *  Levenshtein distance `maxDist` of a (possibly misspelled) query
    *  term, ranked by (distance, folded df DESC, token) — the
