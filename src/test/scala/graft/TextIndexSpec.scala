@@ -379,6 +379,31 @@ class TextIndexSpec extends AnyFunSuite {
     assert(hits("spark window").isEmpty)
   }
 
+  test("explainSearch: per-term contributions sum exactly to the " +
+      "search score; suggestion surfaces rank from the vocab fold") {
+    val idx = TestSpark.tmpDir("text_idx_explain")
+    TextIndex.ingestShard(spark, idx, corpus, "doc_id", "text")
+    val terms = Seq("merge", "window", "scan")
+    val search = TextIndex.searchBm25(spark, idx, terms, 10)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3))).toMap
+    val explain = TextIndex.explainSearch(spark, idx, terms, 10)
+      .collect()
+      .groupBy(_.getLong(1))
+      .map { case (doc, rows) =>
+        doc -> (rows.map(_.getLong(6)).sum, rows.length.toLong)
+      }
+    assert(explain == search,
+      s"explain rows must reconstruct (score_ppm, n_terms): $explain vs $search")
+    // prefix: 'merge' and 'window' both hit 3 docs; ties break by token
+    val pre = TextIndex.suggestPrefix(spark, idx, "w", 5)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(pre == Seq(("window", 2L), ("words", 1L)), s"prefix wrong: $pre")
+    // fuzzy: the misspelling 'windoq' corrects to window at distance 1
+    val fz = TextIndex.suggestFuzzy(spark, idx, "windoq", 2, 5)
+      .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
+    assert(fz.headOption.contains(("window", 1L)), s"fuzzy wrong: $fz")
+  }
+
   test("containmentProbe on an index with no live commits answers empty, not an empty-reduce crash") {
     val idx = TestSpark.tmpDir("text_idx_empty")
     val out = TextIndex.containmentProbe(spark, idx,
