@@ -361,10 +361,12 @@ object Dedup {
     require(matches.nonEmpty,
       s"the commit of delivery key $key in $indexDir is not addressable " +
         "by key digest — either a compaction folded it (batch-grain " +
-        "pair reads must happen before the shard is compacted) or the " +
-        "shard was committed by a version of this library that predates " +
-        "key-digest commit naming; use indexPairs for the cumulative " +
-        "union, which still holds every pair")
+        "pair reads must happen before the shard is compacted), or the " +
+        "key arrived via indexMergeFrom (merge commits keep the source's " +
+        "unkeyed c-<uuid> names, so a merged-in shard is not key-" +
+        "addressable here), or the shard was committed by a version of " +
+        "this library that predates key-digest commit naming; use " +
+        "indexPairs for the cumulative union, which still holds every pair")
     val conf = spark.sessionState.newHadoopConf()
     val dirs = matches.map(d => s"$indexDir/data/$d/pairs").filter { p =>
       val hp = new org.apache.hadoop.fs.Path(p)

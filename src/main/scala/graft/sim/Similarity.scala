@@ -672,7 +672,12 @@ object Similarity {
       .agg(count(lit(1)).as("n_cells"), sum("n").as("n_vectors"),
         max("n").as("max_cell"))
       .select(col("n_cells"), col("n_vectors"), col("max_cell"),
-        expr("(1000000 * max_cell * n_cells) div n_vectors")
+        // the product runs in DECIMAL(38,0): in Long, ~1e6 cells with a
+        // ~1e7-vector hot cell overflows 1e6·max_cell·n_cells and the
+        // report goes negative/garbage with no error; the decimal div
+        // returns the same BIGINT everywhere the Long didn't overflow
+        expr("CAST((CAST(1000000 AS DECIMAL(38,0)) * max_cell * n_cells) " +
+          "div n_vectors AS BIGINT)")
           .as("imbalance_ppm"))
   }
 

@@ -157,7 +157,15 @@ final class CommitLog(manifestDir: String) {
         s"manifest version $v of $manifestDir is below the retention " +
           s"floor $floor — vacuumVersions reclaimed it; time-travel and " +
           "branch reads need a version at or above the floor")
-      require(false, s"manifest version $v was never published at $manifestDir")
+      // the floor record is best-effort (non-atomic on some object
+      // stores): a torn/unreadable _floor reads as floor=1, so a
+      // vacuumed version can land here — say so instead of asserting
+      // "never published" as certain
+      require(false,
+        s"manifest version $v was never published at $manifestDir " +
+          "(or, if the _floor control file is missing/unreadable, it may " +
+          "have been reclaimed by vacuumVersions — the retention floor " +
+          "could not be read to distinguish the two)")
     }
     readVersionFile(fs, p)
   }

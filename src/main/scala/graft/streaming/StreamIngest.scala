@@ -113,7 +113,11 @@ object StreamIngest {
       checkpoint: String,
       trigger: Trigger = Trigger.ProcessingTime("10 seconds"),
       maxLiveCommits: Int = 16,
-      keepVersions: Int = Int.MaxValue): StreamingQuery =
+      keepVersions: Int = Int.MaxValue): StreamingQuery = {
+    // fail fast at START (matching startAtomic) — an invalid value
+    // must not surface as a vacuumVersions exception inside
+    // foreachBatch, crashing the stream mid-run
+    require(keepVersions >= 1, s"keepVersions must be >= 1 (got $keepVersions)")
     longStream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
@@ -141,4 +145,5 @@ object StreamIngest {
         } finally b.unpersist(): Unit
       }
       .start()
+  }
 }

@@ -524,35 +524,42 @@ object TextIndex {
       spark: SparkSession, dir: String, queries: DataFrame, k: Int,
       maxDf: Option[Long] = None): DataFrame = {
     import spark.implicits._
-    val qt = queries.select(col("query_id"), col("token")).distinct()
-      .persist()
-    try {
-      val terms = qt.select("token").distinct()
-        .limit(65537).collect().map(_.getString(0))
-      require(terms.nonEmpty, "searchBm25Batch with no terms")
-      require(terms.length <= 65536,
-        s"searchBm25Batch query batch has ${terms.length} distinct terms — " +
-          "the batch probe is for capped-small query sets (split it)")
-      val (avgdl, _, idfPairs, posts) =
-        bm25Prelude(spark, dir, terms.toSeq, maxDf)
-      val idf = idfPairs.toDF("token", "idf_ppm")
-      posts
-        .join(broadcast(idf), "token")
-        .join(broadcast(qt), "token") // fan out to the queries naming the term
-        .withColumn("score_ppm",
-          round(col("idf_ppm").cast("double") * (col("tf") * lit(2.2)) /
-            (col("tf") + lit(1.2) *
-              (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
-            .cast("long"))
-        .groupBy("query_id", "doc_id")
-        .agg(sum("score_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
-        .withColumn("rank", row_number().over(
-          Window.partitionBy("query_id")
-            .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
-        .where(col("rank") <= k)
-        .select(col("query_id"), col("rank"), col("doc_id"),
-          col("score_ppm"), col("n_terms"))
-    } finally qt.unpersist(): Unit
+    // the pruning-term literals and the posting-join side must see the
+    // SAME rows even if `queries` is nondeterministic — so the pairs
+    // collect ONCE to the driver (bounded: the batch is capped-small
+    // by contract, loud past the cap) and both derive from that one
+    // collected set, rebuilt as a literal broadcast frame
+    val qtRows = queries.select(col("query_id"), col("token")).distinct()
+    val pairs = qtRows.limit(262145).collect()
+    require(pairs.length <= 262144,
+      s"searchBm25Batch query batch has >= ${pairs.length} (query, term) " +
+        "pairs — the batch probe is for capped-small query sets (split it)")
+    val qt = spark.createDataFrame(
+      java.util.Arrays.asList(pairs: _*), qtRows.schema)
+    val terms = pairs.map(_.getString(1)).distinct
+    require(terms.nonEmpty, "searchBm25Batch with no terms")
+    require(terms.length <= 65536,
+      s"searchBm25Batch query batch has ${terms.length} distinct terms — " +
+        "the batch probe is for capped-small query sets (split it)")
+    val (avgdl, _, idfPairs, posts) =
+      bm25Prelude(spark, dir, terms.toSeq, maxDf)
+    val idf = idfPairs.toDF("token", "idf_ppm")
+    posts
+      .join(broadcast(idf), "token")
+      .join(broadcast(qt), "token") // fan out to the queries naming the term
+      .withColumn("score_ppm",
+        round(col("idf_ppm").cast("double") * (col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+          .cast("long"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("score_ppm").as("score_ppm"), count(lit(1)).as("n_terms"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("score_ppm").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"),
+        col("score_ppm"), col("n_terms"))
   }
 
   /** INDEX-ACCELERATED DECONTAMINATION: find corpus documents whose
