@@ -204,6 +204,18 @@ final class GraftApi(
       fbK = fbK, expK = expK, maxDf = maxDf)
   }
 
+  /** [[searchDocsExpanded]] with feedback text from the index's own
+   *  forward docs leg — no corpus parameter (indexes ingested by this
+   *  library version are self-contained for serving).
+   */
+  def searchDocsExpanded(indexDir: String, terms: Seq[String], k: Int,
+      fbK: Int, expK: Int, maxDf: Option[Long]): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.searchBm25Rm3(
+      spark, indexDir, terms, k, fbK, expK, 500000L, maxDf)
+  }
+
   /** Proximity second stage over [[searchDocs]] results: min-window
    *  rerank, candidate-grain cost (point lookup + positional sweep).
    */
@@ -245,6 +257,55 @@ final class GraftApi(
     numGets.incrementAndGet()
     graft.text.TextIndex.searchPhrase(
       spark, indexDir, corpus, "doc_id", "text", phrase, k)
+  }
+
+  /** [[searchDocsPhrase]] verifying from the index's own forward docs
+   *  leg — no corpus parameter.
+   */
+  def searchDocsPhrase(indexDir: String, phrase: String, k: Int): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.searchPhrase(spark, indexDir, phrase, k)
+  }
+
+  /** Positional phrase search from the index's pos leg — the uncapped
+   *  path for stop-word-grade phrases (occurrences counted index-side,
+   *  nothing driver-collected); requires positional ingest.
+   */
+  def searchDocsPhrasePositional(
+      indexDir: String, phrase: String, k: Int): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.searchPhrasePositional(spark, indexDir, phrase, k)
+  }
+
+  /** [[rerankDocs]] / [[searchDocsWithSnippets]] with candidate text
+   *  from the index's own forward docs leg — no corpus parameter.
+   */
+  def rerankDocs(indexDir: String, terms: Seq[String], k: Int,
+      maxDf: Option[Long]): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    val cands = graft.text.TextIndex
+      .searchBm25(spark, indexDir, terms, k, maxDf)
+      .select("doc_id", "score_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.text.TextOps.proximityRerank(
+      graft.text.TextIndex.docsFor(spark, indexDir, cands.map(_._1)),
+      "doc_id", "text", cands, terms)
+  }
+
+  def searchDocsWithSnippets(indexDir: String, terms: Seq[String],
+      k: Int, pad: Int, maxDf: Option[Long]): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    val cands = graft.text.TextIndex
+      .searchBm25(spark, indexDir, terms, k, maxDf)
+      .select("rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    graft.text.TextOps.searchSnippets(
+      graft.text.TextIndex.docsFor(spark, indexDir, cands.map(_._2)),
+      "doc_id", "text", cands, terms, pad)
   }
 
   /** Index observability: one-row health reports for the persisted

@@ -998,6 +998,43 @@ object PipelineQueries {
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
     }),
+    // IVF REBALANCE (re-train) — closing the loop ann_index_stats
+    // opens: an index founded on a THIRD of its eventual corpus (its
+    // strided centroids frozen at founding) takes two appends, then
+    // ivfIndexRebuild re-trains centroids over EVERYTHING STORED
+    // (deterministic 2-iteration Lloyd, fixed-point mean updates) and
+    // re-assigns every posting under ONE commit swapping the whole
+    // live set — readers see the old generation or the new, never
+    // mixed cell ids. Delivery keys ride through (the rebuilt index
+    // CONTAINS every folded batch, so replays still refuse — pinned
+    // in-query), superseded dirs vacuum. Probes answer from the
+    // re-trained index; oracle = the shared Lloyd SQL over exactly
+    // the stored slice, seed stride from the slice's own count —
+    // proving the re-train + re-assign + probe end to end
+    "ann_index_rebalance" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_rb").toString
+      val sub = embBase(s, dir).where(pmod(col("vec_id"), lit(16)) === 1)
+      val founding = sub.where(pmod(col("vec_id"), lit(48)) === 1)
+      Similarity.ivfIndexBuild(s, idx, founding,
+        Similarity.boundedStep(founding.count()), key = Some("rb0"))
+      for (i <- 1 until 3)
+        Similarity.ivfIndexAppend(s, idx,
+          sub.where(pmod(col("vec_id"), lit(48)) === 16 * i + 1),
+          key = Some(s"rb$i"))
+      require(Similarity.ivfIndexRebuild(s, idx,
+          centroidStep = Similarity.boundedStep(sub.count()), iters = 2),
+        "single-writer rebuild must publish")
+      require(scala.util.Try(Similarity.ivfIndexAppend(s, idx,
+          sub.where(pmod(col("vec_id"), lit(48)) === 17),
+          key = Some("rb1"))).isFailure,
+        "delivery keys must survive the rebuild — redelivery still rejected")
+      Similarity.ivfIndexVacuum(s, idx)
+      Similarity.ivfIndexQuery(s, idx, sub.where(col("vec_id") < 20),
+          k = 10, nProbe = 3)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+        .orderBy("q_id", "rank")
+    }),
 
     // hard-negative mining over the dup-planted corpus: per query, the
     // 10 most-similar candidates in the (0.2, 0.9) cosine band — the
@@ -1391,10 +1428,12 @@ object PipelineQueries {
     // the corpus (the forward-index shape), NEVER a corpus scan, so the
     // whole expansion costs two posting probes + a 10-doc tokenize.
     // Oracle = the same four steps as declarative SQL
+    // Feedback text comes from the index's OWN forward docs leg
+    // (fb-bucket-pruned point lookup) — the index serves RM3
+    // self-contained; the corpus table is never touched
     "bm25_rm3" -> ((s, dir) =>
       graft.text.TextIndex.searchBm25Rm3(s, textIndexFixture(s, dir),
-          docs(s, dir), "doc_id", "text",
-          Seq("merge", "window", "scan"), 10)
+          Seq("merge", "window", "scan"), 10, 10, 5, 500000L, None)
         .orderBy("rank")),
     // PROXIMITY RERANK: the BM25 top-20 rescored by the smallest token
     // window containing ALL query terms — the cheap positional second
@@ -1409,12 +1448,16 @@ object PipelineQueries {
     // candidates' token counts — reranking never touches the index
     "rerank_proximity" -> ((s, dir) => {
       val qTerms = Seq("merge", "window", "scan")
+      val idx = textIndexFixture(s, dir)
       val cands = graft.text.TextIndex
-        .searchBm25(s, textIndexFixture(s, dir), qTerms, 20)
+        .searchBm25(s, idx, qTerms, 20)
         .select("doc_id", "score_ppm").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      TextOps.proximityRerank(docs(s, dir), "doc_id", "text",
-          cands, qTerms)
+      // candidate text from the index's forward docs leg, not the
+      // corpus table — the rerank is self-contained on the index
+      TextOps.proximityRerank(
+          graft.text.TextIndex.docsFor(s, idx, cands.map(_._1)),
+          "doc_id", "text", cands, qTerms)
         .orderBy("rank")
     }),
     // SNIPPET EXTRACTION: the result-presentation step of search — for
@@ -1430,12 +1473,16 @@ object PipelineQueries {
     // the probe
     "search_snippets" -> ((s, dir) => {
       val qTerms = Seq("merge", "window", "scan")
+      val idx = textIndexFixture(s, dir)
       val cands = graft.text.TextIndex
-        .searchBm25(s, textIndexFixture(s, dir), qTerms, 10)
+        .searchBm25(s, idx, qTerms, 10)
         .select("rank", "doc_id").collect()
         .map(r => (r.getLong(0), r.getLong(1))).toSeq
-      TextOps.searchSnippets(docs(s, dir), "doc_id", "text",
-          cands, qTerms)
+      // hit text from the index's forward docs leg — snippets are
+      // served by the index itself, corpus untouched
+      TextOps.searchSnippets(
+          graft.text.TextIndex.docsFor(s, idx, cands.map(_._2)),
+          "doc_id", "text", cands, qTerms)
         .orderBy("rank")
     }),
     // RAG CONTEXT PACKING: the serving step between retrieval and the
@@ -1608,9 +1655,25 @@ object PipelineQueries {
     // (non-overlapping) occurrence count. The oracle verifies over
     // the whole corpus — proving the index's candidate set loses
     // nothing
+    // the verify stage reads the index's OWN forward docs leg
+    // (fb-bucket-pruned point lookup) — no corpus parameter
     "phrase_search" -> ((s, dir) =>
       graft.text.TextIndex.searchPhrase(s, textIndexFixture(s, dir),
-          docs(s, dir), "doc_id", "text", "window scan", 20)
+          "window scan", 20)
+        .orderBy("rank")),
+    // POSITIONAL PHRASE SEARCH from the index's pos leg — the operator
+    // that lifts candidate-then-verify's 65536-candidate refusal:
+    // occurrences are counted INDEX-SIDE (positions explode, each
+    // (token@p, offset j) proposes start p−j, a (doc, start)
+    // distinct-offset count equal to the phrase length is one
+    // occurrence), so a stop-word-grade phrase is a distributed
+    // aggregation with nothing driver-collected. The phrase here is a
+    // REPEATED ubiquitous token — overlapping starts ("batch batch
+    // batch" holds two "batch batch"es) and duplicate phrase offsets
+    // both exercised; the oracle is the full-corpus sliding window
+    "phrase_search_positional" -> ((s, dir) =>
+      graft.text.TextIndex.searchPhrasePositional(
+          s, textIndexFixture(s, dir), "batch batch", 20)
         .orderBy("rank")),
     // PREFIX SUGGESTION (autocomplete) from the index's vocab legs
     // alone: top-10 's…' tokens by across-shard folded df — the
@@ -1935,7 +1998,13 @@ object PipelineQueries {
         .createTempDirectory("graft_rag_src")
       val d = docs(s, dir).select("doc_id", "text")
       val base = System.currentTimeMillis()
-      for (i <- 0 until 3) {
+      // the TIMED probe is a 1-drain × 2-batch subset (found + one
+      // keyed append on each index) — the full 2-drain × 3-batch ×
+      // 3-leg crash/replay machinery lives in StreamRagPipelineSpec,
+      // which pins redelivery no-ops and the text→ANN crash gap; the
+      // registered query times the production per-batch path, not 18
+      // commit operations (the text_index_ingest fixture discipline)
+      for (i <- 0 until 2) {
         val scratch = srcDir.resolve(s"scratch$i")
         d.where(pmod(col("doc_id"), lit(15)) === 5 * i + 3)
           .coalesce(1).write.parquet(scratch.toString)
@@ -1968,15 +2037,6 @@ object PipelineQueries {
           threshold = JaccardThreshold, centroidStep = step,
           embed = embed).awaitTermination()
       drain(s"$srcDir/ckpt")
-      val vD = Dedup.indexVersion(s, dedupIdx)
-      val vT = graft.text.TextIndex.version(s, textIdx)
-      val vA = Similarity.ivfVersion(s, annIdx)
-      drain(s"$srcDir/ckpt_redelivery") // fresh checkpoint = full replay
-      require(
-        Dedup.indexVersion(s, dedupIdx) == vD &&
-          graft.text.TextIndex.version(s, textIdx) == vT &&
-          Similarity.ivfVersion(s, annIdx) == vA,
-        "stream redelivery must be a no-op on ALL THREE indexes")
       val qText = "merge window scan"
       val textHits = graft.text.TextIndex
         .searchBm25(s, textIdx, qText.split(" ").toSeq, 10)
@@ -3414,7 +3474,15 @@ object PipelineQueries {
    *  every vector ranked against the final centroids by (ccos DESC,
    *  c_idx). `ann_ivf_kmeans` and `semantic_dedup` append their tails.
    */
-  private val kmeansArPrefix: String = {
+  private val kmeansArPrefix: String = kmeansArPrefixOver("")
+
+  /** [[kmeansArPrefix]] over a FILTERED embedding corpus — the shared
+   *  Lloyd SQL parameterized by the corpus slice (`ann_index_rebalance`
+   *  replays the rebuild's re-training over exactly the stored subset;
+   *  the seed stride derives from the SLICE's count, mirroring
+   *  boundedStep over the stored postings).
+   */
+  private def kmeansArPrefixOver(eWhere: String): String = {
     def iter(n: Int, prev: String): String =
       s"""s$n AS (
          |  SELECT e.vec_id, e.v, c.c_idx,
@@ -3436,7 +3504,8 @@ object PipelineQueries {
          |  FROM $prev p LEFT JOIN (
          |    SELECT c_idx, list(cd ORDER BY dim) AS cv FROM m$n GROUP BY 1) m
          |  USING (c_idx))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings $eWhere),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, v AS cv
        |  FROM e
@@ -3455,11 +3524,16 @@ object PipelineQueries {
        |       FROM sf)""".stripMargin
   }
 
-  private val annIvfKmeansTail: String =
-    """,
+  private val annIvfKmeansTail: String = kmeansProbeTail(5)
+
+  /** The probe/rank tail of the shared Lloyd SQL, parameterized by the
+   *  query-vector cutoff (probes = corpus vectors below it).
+   */
+  private def kmeansProbeTail(probeBelow: Long): String =
+    s""",
       |assigned AS (SELECT vec_id AS n_id, v, c_idx AS cell FROM ar WHERE rn = 1),
       |probes AS (SELECT vec_id AS q_id, v AS qv, c_idx AS cell
-      |           FROM ar WHERE vec_id < 5 AND rn <= 3),
+      |           FROM ar WHERE vec_id < $probeBelow AND rn <= 3),
       |p AS (
       |  SELECT q_id, n_id,
       |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
@@ -3523,6 +3597,22 @@ object PipelineQueries {
         |    CAST(CASE WHEN len(tokens) >= 2 THEN len(list_filter(
         |        generate_series(1, len(tokens) - 1),
         |        i -> tokens[i] = 'window' AND tokens[i+1] = 'scan'))
+        |      ELSE 0 END AS BIGINT) AS n_occurrences
+        |  FROM cand),
+        |r AS (SELECT doc_id, n_occurrences,
+        |    row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rank
+        |  FROM occ WHERE n_occurrences > 0)
+        |SELECT rank, doc_id, n_occurrences FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // same sliding-window ground truth, repeated-token phrase —
+    // overlapping starts count (a run of 3 'batch' holds 2 bigrams)
+    "phrase_search_positional" ->
+      """WITH cand AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |              FROM documents),
+        |occ AS (SELECT doc_id,
+        |    CAST(CASE WHEN len(tokens) >= 2 THEN len(list_filter(
+        |        generate_series(1, len(tokens) - 1),
+        |        i -> tokens[i] = 'batch' AND tokens[i+1] = 'batch'))
         |      ELSE 0 END AS BIGINT) AS n_occurrences
         |  FROM cand),
         |r AS (SELECT doc_id, n_occurrences,
@@ -4149,7 +4239,7 @@ object PipelineQueries {
     // survivors (centroids stride the batch-0 slice) + integer RRF
     "stream_rag_pipeline" ->
       s"""WITH d0 AS (SELECT doc_id, text, (doc_id % 15) // 5 AS shard
-         |            FROM documents WHERE doc_id % 5 = 3),
+         |            FROM documents WHERE doc_id % 15 IN (3, 8)),
          |tokd AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d0),
          |sg0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
          |    generate_series(1, len(tokens) - 2),
@@ -5294,6 +5384,11 @@ object PipelineQueries {
     // the centroids are bit-identical across engines; assignments use
     // the same fold shapes and tie rules as TopCentroids
     "ann_ivf_kmeans" -> (kmeansArPrefix + annIvfKmeansTail),
+    // the rebuild re-trains over exactly the stored %16==1 slice with
+    // the seed stride from the slice's own count; probes are the
+    // slice's vec_id < 20 vectors — the same Lloyd SQL, re-sliced
+    "ann_index_rebalance" ->
+      (kmeansArPrefixOver("WHERE vec_id % 16 = 1") + kmeansProbeTail(20)),
     // chunk → histogram embed → IVF probe/rank, all replicated
     // relationally: index-ordered list folds, (cos DESC, id) tie rules
     "rag_retrieval" ->

@@ -277,6 +277,16 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String): Long =
     ivfLog(dir).latest(spark)._1
 
+  /** One ledger snapshot (version, live entries) serving BOTH the
+   *  delivery probe and the founded probe — the streaming RAG
+   *  pipeline's per-batch read, so a batch pays one log resolution
+   *  for the ANN leg instead of two.
+   */
+  def ivfLedger(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Long, Seq[String]) =
+    ivfLog(dir).latest(spark)
+
   private def ivfTxn(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       key: Option[String]): Option[String] = {

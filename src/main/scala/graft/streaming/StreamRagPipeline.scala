@@ -61,43 +61,58 @@ object StreamRagPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        val s = b.sparkSession
+      .foreachBatch { (b0: DataFrame, id: Long) =>
+        val s = b0.sparkSession
         val key = s"b$id"
-        if (!b.isEmpty) {
-          if (!Dedup.indexHasDelivery(s, dedupDir, key))
-            Dedup.indexCheckAndIngest(
-              s, dedupDir, b.select(idCol, textCol), idCol, textCol,
-              threshold, deliveryKey = Some(key), persistPairs = true): Unit
-          // survivors from THIS BATCH'S persisted report (committed
-          // just above or by a pre-crash attempt) — replay-identical,
-          // bounded by the batch; MATERIALIZED ONCE and shared by both
-          // derived legs (each leg would otherwise re-read the pair
-          // report and re-run the anti-join)
-          val needText = !TextIndex.hasDelivery(s, textDir, key)
-          val needAnn = !Similarity.ivfHasDelivery(s, annDir, key)
-          if (needText || needAnn) {
-            val dups = Dedup.indexPairsForDelivery(s, dedupDir, key)
-              .select(col("b_id").as(idCol)).distinct()
-            val survivors = b.select(idCol, textCol)
-              .join(dups, Seq(idCol), "left_anti").persist()
-            try {
-              if (needText && !survivors.isEmpty)
-                TextIndex.ingestShard(
-                  s, textDir, survivors, idCol, textCol, key = Some(key))
-              if (needAnn) {
-                val vecs = embed(survivors)
-                if (!vecs.isEmpty) {
-                  if (Similarity.ivfVersion(s, annDir) == 0L)
-                    Similarity.ivfIndexBuild(
-                      s, annDir, vecs, centroidStep, key = Some(key))
-                  else
-                    Similarity.ivfIndexAppend(s, annDir, vecs, key = Some(key))
+        // ONE materializing count doubles as the emptiness probe (the
+        // old standalone isEmpty launched a job whose work the legs
+        // then redid) — every leg below reads the cached batch
+        val b = b0.persist()
+        try {
+          if (b.count() > 0) {
+            if (!Dedup.indexHasDelivery(s, dedupDir, key))
+              Dedup.indexCheckAndIngest(
+                s, dedupDir, b.select(idCol, textCol), idCol, textCol,
+                threshold, deliveryKey = Some(key), persistPairs = true): Unit
+            // survivors from THIS BATCH'S persisted report (committed
+            // just above or by a pre-crash attempt) — replay-identical,
+            // bounded by the batch; MATERIALIZED ONCE and shared by both
+            // derived legs (each leg would otherwise re-read the pair
+            // report and re-run the anti-join)
+            val needText = !TextIndex.hasDelivery(s, textDir, key)
+            // one ANN ledger snapshot answers BOTH "already delivered?"
+            // and "founded yet?" — the old path resolved the log twice
+            val (annVersion, annLive) = Similarity.ivfLedger(s, annDir)
+            val needAnn = !annLive.contains("#txn:" + key)
+            if (needText || needAnn) {
+              val dups = Dedup.indexPairsForDelivery(s, dedupDir, key)
+                .select(col("b_id").as(idCol)).distinct()
+              val survivors = b.select(idCol, textCol)
+                .join(dups, Seq(idCol), "left_anti").persist()
+              try {
+                // the count materializes the shared cache AND is the
+                // emptiness answer — no separate isEmpty job
+                val anySurvivors = survivors.count() > 0
+                if (needText && anySurvivors)
+                  TextIndex.ingestShard(
+                    s, textDir, survivors, idCol, textCol, key = Some(key))
+                if (needAnn && anySurvivors) {
+                  val vecs = embed(survivors).persist()
+                  try {
+                    if (vecs.count() > 0) {
+                      if (annVersion == 0L)
+                        Similarity.ivfIndexBuild(
+                          s, annDir, vecs, centroidStep, key = Some(key))
+                      else
+                        Similarity.ivfIndexAppend(
+                          s, annDir, vecs, key = Some(key))
+                    }
+                  } finally vecs.unpersist(): Unit
                 }
-              }
-            } finally survivors.unpersist(): Unit
+              } finally survivors.unpersist(): Unit
+            }
           }
-        }
+        } finally b.unpersist(): Unit
       }
       .start()
   }

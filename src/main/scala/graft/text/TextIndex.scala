@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
  *     same merge-on-read monoid discipline as the rollup store).
  *   - `stats/`: 1 row (nd, tl) — shard doc count and total length;
  *     corpus stats fold by sum.
+ *   - `pos/tb=<b>/`: (token, doc_id, positions) — the positional leg;
+ *     makes stop-word-grade phrase queries a distributed aggregation
+ *     ([[searchPhrasePositional]]) instead of a capped candidate list.
+ *   - `del/db=<b>/`: (variant, token) — the vocabulary's deletion-
+ *     neighborhood keys (depth 2), bucketed on the variant; makes
+ *     fuzzy suggest a key probe instead of a full-vocab Levenshtein
+ *     scan ([[suggestFuzzy]]).
+ *   - `docs/fb=<b>/`: (doc_id, text) — the forward store, bucketed on
+ *     doc id; phrase verify, RM3 feedback, and snippets answer from
+ *     the index itself by point lookup ([[docsFor]]) instead of
+ *     taking the corpus as a parameter.
  *
  * Query cost shape: |terms| vocab lookups (token-pruned scans), one
  * posting scan pruned to ≤|terms| of 16 buckets AND pushed-down token
@@ -43,6 +54,15 @@ object TextIndex {
 
   private val TokenBuckets = 16
 
+  /** Deletion-neighborhood depth persisted in the `del` leg: every
+   *  vocab token's variants with up to this many character deletions
+   *  (SymSpell invariant: lev(q, t) <= d implies deletes<=d(q) and
+   *  deletes<=d(t) intersect — candidates can overgenerate, never
+   *  undergenerate; the final Levenshtein verifies). Fixed at ingest;
+   *  [[suggestFuzzy]] takes the pruned path only for maxDist <= this.
+   */
+  private val DelMaxDist = 2
+
   private def clog(dir: String) =
     new graft.store.CommitLog(s"$dir/_manifests")
 
@@ -57,8 +77,97 @@ object TextIndex {
       }
   }
 
+  /** True iff EVERY live shard commit carries the optional leg `sub` —
+   *  the uniformity probe behind the pruned/positional/forward paths
+   *  (a partial leg would silently answer from part of the corpus;
+   *  all-or-nothing keeps wrong answers impossible). Driver-side
+   *  metadata: one log read + one existence probe per live commit.
+   */
+  private def legOnAllCommits(
+      spark: SparkSession, dir: String, sub: String): Boolean = {
+    val commits = clog(dir).latest(spark)._2.filter(_.startsWith("c-"))
+    commits.nonEmpty && liveSub(spark, dir, sub).size == commits.size
+  }
+
+  /** Leg-presence probes callers route on: a pre-leg index answers
+   *  phrase/fuzzy/forward reads by the corpus-parameter paths instead.
+   */
+  def hasPositionalLeg(spark: SparkSession, dir: String): Boolean =
+    legOnAllCommits(spark, dir, "pos")
+  def hasDocsLeg(spark: SparkSession, dir: String): Boolean =
+    legOnAllCommits(spark, dir, "docs")
+
+  /** FORWARD-STORE POINT LOOKUP: (doc_id, text) for a bounded id set,
+   *  from the index's own `docs` legs — fb partition-directory pruning
+   *  plus pushed doc_id equality, the same two-level prune as the
+   *  posting scan. This is what makes phrase verify, RM3 feedback, and
+   *  snippets self-contained: the corpus never has to be passed back
+   *  in (and at 100 TB "the corpus DataFrame" may not even exist as
+   *  one readable table on the serving side).
+   */
+  def docsFor(
+      spark: SparkSession, dir: String, ids: Seq[Long]): DataFrame = {
+    require(hasDocsLeg(spark, dir),
+      s"index $dir has no forward docs leg on every live commit — it " +
+        "predates forward-store ingest; pass the corpus explicitly")
+    require(ids.nonEmpty && ids.length <= 65536,
+      s"docsFor is a point lookup for 1..65536 ids (got ${ids.length})")
+    import spark.implicits._
+    val buckets = ids.toDF("i")
+      .select(hashBucket(col("i"))).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    liveSub(spark, dir, "docs")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .where(col("fb").isin(buckets: _*) && col("doc_id").isin(ids: _*))
+      .select(col("doc_id"), col("text"))
+  }
+
   private def tokenBucket(token: Column): Column =
     pmod(xxhash64(token), lit(TokenBuckets.toLong))
+
+  /** The 16-way hash bucket every non-token leg keys on — `del` on the
+   *  deletion variant, `docs` on the doc id — so point probes prune
+   *  partition DIRECTORIES exactly like the posting scan's tb.
+   */
+  private def hashBucket(c: Column): Column =
+    pmod(xxhash64(c), lit(TokenBuckets.toLong))
+
+  /** All single-character deletions of a non-empty string column,
+   *  1-based substr arithmetic (prefix before i ++ suffix after i) —
+   *  the engine-side mirror of [[delNeighborhood]]'s take/drop.
+   */
+  private def delete1(t: Column): Column =
+    transform(sequence(lit(1), length(t)),
+      i => concat(t.substr(lit(1), i - lit(1)), t.substr(i + lit(1), length(t))))
+
+  /** token ∪ deletes≤2(token) as one distinct array — the `del` leg's
+   *  key set per vocab token. A depth-2 variant of a length-1 token
+   *  degenerates to [""] (deleting from the empty string keeps it) —
+   *  harmless overgeneration, the Levenshtein verify owns exactness.
+   */
+  private def delVariants(t: Column): Column =
+    array_distinct(concat(
+      array(t),
+      delete1(t),
+      flatten(transform(delete1(t),
+        v => when(length(v) >= 1, delete1(v)).otherwise(array(v))))))
+
+  /** Driver-side deletion neighborhood of the query term (the term
+   *  itself included), depth `d` — must generate exactly the strings
+   *  [[delVariants]] generates for the same input.
+   */
+  private def delNeighborhood(term: String, d: Int): Seq[String] = {
+    var cur = Set(term)
+    var all = Set(term)
+    for (_ <- 1 to d) {
+      cur = cur.flatMap(s =>
+        if (s.isEmpty) Set(s)
+        else s.indices.map(i => s.take(i) + s.drop(i + 1)).toSet)
+      all ++= cur
+    }
+    all.toSeq.sorted
+  }
 
   /** True iff a shard with this delivery key is already committed —
    *  the cheap up-front probe a CONSUMER makes before paying the
@@ -86,9 +195,21 @@ object TextIndex {
     clog(dir).latest(spark)._1
 
   /** Ingest one document shard: stage postings (dl denormalized),
-   *  shard vocabulary, and shard stats under ONE commit dir; publish
-   *  with one version-file create. Shard-local cost only — the stored
-   *  index is never re-read or rewritten.
+   *  positional postings, shard vocabulary, the vocabulary's
+   *  deletion-neighborhood keys, shard stats, AND the forward doc
+   *  store under ONE commit dir; publish with one version-file create.
+   *  Shard-local cost only — the stored index is never re-read or
+   *  rewritten. The three non-core legs:
+   *   - `pos/tb=<b>/`: (token, doc_id, positions) — 1-based positions
+   *     in the raw token array, sorted — serves [[searchPhrasePositional]]
+   *     so stop-word-grade phrases stop being refused;
+   *   - `del/db=<b>/`: (variant, token) deletion-neighborhood keys
+   *     (depth [[DelMaxDist]]) — serves [[suggestFuzzy]]'s pruned path;
+   *   - `docs/fb=<b>/`: (doc_id, text) forward store — serves phrase
+   *     verify, RM3 feedback, and snippets WITHOUT the caller passing
+   *     the corpus back in (a serving index must be self-contained; at
+   *     100 TB this doubles index bytes, the standard forward+inverted
+   *     trade — see SCALE.md).
    */
   def ingestShard(
       spark: SparkSession, dir: String, docs: DataFrame,
@@ -103,16 +224,21 @@ object TextIndex {
         s"shard with delivery key ${key.get} was already ingested into " +
           s"$dir — redelivery rejected (the index is exactly-once)")
     }
-    val tf = docs
+    // ONE tokenize pass feeds every leg: (doc, token)-grain rows with
+    // tf AND the sorted 1-based raw-array positions (1-based so the
+    // positional probe and a 1-based SQL formulation agree exactly)
+    val tp = docs
       .select(col(idCol).as("doc_id"),
-        explode(TextOps.tokens(col(textCol))).as("token"))
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "token")))
       .where(length(col("token")) > 0)
-      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p0") + 1)).as("positions"))
       .persist()
     try {
-      val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+      val dl = tp.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
-      // the three legs all derive from the persisted tf and land under
+      // the legs all derive from the persisted tp and land under
       // ONE not-yet-visible commit dir — write them concurrently (the
       // ManifestStore.ingestBatchAtomic discipline): atomicity comes
       // from the version-file create, not from write order
@@ -121,7 +247,7 @@ object TextIndex {
       implicit val ec: ExecutionContext = ExecutionContext.global
       Await.result(Future.sequence(Seq(
         Future {
-          tf.join(dl, "doc_id")
+          tp.join(dl, "doc_id")
             .select(col("token"), col("doc_id"), col("tf"), col("dl"),
               tokenBucket(col("token")).as("tb"))
             // bucket-grain tasks before the partitioned write: one file
@@ -132,15 +258,39 @@ object TextIndex {
             .write.partitionBy("tb").parquet(s"$dir/data/$name/post")
         },
         Future {
-          tf.groupBy("token").agg(count(lit(1)).as("df"))
+          tp.select(col("token"), col("doc_id"), col("positions"),
+              tokenBucket(col("token")).as("tb"))
+            .repartition(TokenBuckets, col("tb"))
+            .write.partitionBy("tb").parquet(s"$dir/data/$name/pos")
+        },
+        Future {
+          tp.groupBy("token").agg(count(lit(1)).as("df"))
             // vocab is token-grain (small per shard); 4 files beats one
             // tiny file per shuffle task on the per-query vocab lookup
             .coalesce(4)
             .write.parquet(s"$dir/data/$name/vocab")
         },
         Future {
+          // vocabulary-grain × ~|token|² variant rows — tiny next to
+          // postings; bucketed on the VARIANT so a suggest query prunes
+          // to its own variants' buckets
+          tp.select(col("token")).distinct()
+            .select(explode(delVariants(col("token"))).as("variant"),
+              col("token"))
+            .select(col("variant"), col("token"),
+              hashBucket(col("variant")).as("db"))
+            .repartition(TokenBuckets, col("db"))
+            .write.partitionBy("db").parquet(s"$dir/data/$name/del")
+        },
+        Future {
           dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
             .coalesce(1).write.parquet(s"$dir/data/$name/stats")
+        },
+        Future {
+          docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+              hashBucket(col(idCol)).as("fb"))
+            .repartition(TokenBuckets, col("fb"))
+            .write.partitionBy("fb").parquet(s"$dir/data/$name/docs")
         })), Duration.Inf): Unit
       val published = cl.commit(spark) { now =>
         if (txn.exists(now.contains)) None // raced redelivery — abort
@@ -154,7 +304,7 @@ object TextIndex {
           s"shard with delivery key ${key.get} raced a concurrent " +
             s"redelivery into $dir — this attempt's staging was dropped")
       }
-    } finally tf.unpersist(): Unit
+    } finally tp.unpersist(): Unit
   }
 
   /** BM25 top-k over the stored index for a bag of query terms.
@@ -362,29 +512,140 @@ object TextIndex {
   /** FUZZY TERM SUGGESTION ("did you mean"): indexed tokens within
    *  Levenshtein distance `maxDist` of a (possibly misspelled) query
    *  term, ranked by (distance, folded df DESC, token) — the
-   *  spell-correction surface in front of search. Cost is one
-   *  vocabulary-grain scan with the edit-distance filter (vocab ≪
-   *  corpus; at web-scale vocabularies the upgrade is an n-gram
-   *  pre-filter before the Levenshtein — documented in SCALE.md),
-   *  then TakeOrdered + a ≤ k-row ranking window. The exact term
+   *  spell-correction surface in front of search. The exact term
    *  itself is excluded. Returns (rank, token, dist, df).
+   *
+   *  When every live commit carries the `del` leg and maxDist <=
+   *  [[DelMaxDist]], candidates come from a DELETION-NEIGHBORHOOD KEY
+   *  PROBE, never a vocabulary scan: the query term's deletes≤d
+   *  variants (driver literals, ≤ |q|²) prune the del leg to their
+   *  hash buckets with pushed variant equality; the surviving
+   *  candidate tokens (the vocab inside the term's edit ball —
+   *  bounded, collected loudly) are Levenshtein-verified and become a
+   *  literal filter on the vocab probe for df. Exactness is the
+   *  SymSpell invariant: lev(q,t) <= d implies the two deletion
+   *  neighborhoods intersect, so the key probe can overgenerate but
+   *  never miss. Cost ∝ the variants' key-bucket postings — at a
+   *  web-scale vocabulary (10⁸–10⁹ tokens) this is the difference
+   *  between a point probe and a full distributed scan per interactive
+   *  suggest. Pre-leg indexes (or maxDist > ingest depth) fall back to
+   *  the full-vocab Levenshtein scan with identical output.
    */
   def suggestFuzzy(
       spark: SparkSession, dir: String, term: String,
       maxDist: Int, k: Int): DataFrame = {
     require(term.nonEmpty && maxDist >= 1 && k > 0,
       s"bad term/maxDist/k: '$term'/$maxDist/$k")
-    val top = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
-      .groupBy("token").agg(sum("df").as("df"))
-      .withColumn("dist",
-        levenshtein(col("token"), lit(term)).cast("long"))
-      .where(col("dist") <= maxDist && col("token") =!= term)
+    val pruned = maxDist <= DelMaxDist && legOnAllCommits(spark, dir, "del")
+    val scored =
+      if (!pruned)
+        spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+          .groupBy("token").agg(sum("df").as("df"))
+          .withColumn("dist",
+            levenshtein(col("token"), lit(term)).cast("long"))
+          .where(col("dist") <= maxDist && col("token") =!= term)
+      else {
+        val variants = delNeighborhood(term, maxDist)
+        import spark.implicits._
+        val vBuckets = variants.toDF("v")
+          .select(hashBucket(col("v"))).distinct()
+          .collect().map(_.getLong(0)).toSeq
+        // candidate tokens = the vocab inside the term's edit ball —
+        // verified by the same Levenshtein before touching vocab df,
+        // so the df probe's literal filter is survivor-small
+        val cands = liveSub(spark, dir, "del")
+          .map(spark.read.parquet(_))
+          .reduce(_.unionByName(_))
+          .where(col("db").isin(vBuckets: _*) &&
+            col("variant").isin(variants: _*))
+          .select("token").distinct()
+          .withColumn("dist",
+            levenshtein(col("token"), lit(term)).cast("long"))
+          .where(col("dist") <= maxDist && col("token") =!= term)
+          .limit(65537).collect()
+        require(cands.length <= 65536,
+          s"fuzzy suggest for '$term' has > 65536 candidate tokens " +
+            "inside its edit ball — raise the ranking cut upstream")
+        if (cands.isEmpty)
+          return spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("rank",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("token",
+                org.apache.spark.sql.types.StringType),
+              org.apache.spark.sql.types.StructField("dist",
+                org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("df",
+                org.apache.spark.sql.types.LongType))))
+        val byTok = cands.map(r => r.getString(0) -> r.getLong(1)).toMap
+        val distDf = broadcast(byTok.toSeq.toDF("token", "dist"))
+        spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+          .where(col("token").isin(byTok.keys.toSeq: _*))
+          .groupBy("token").agg(sum("df").as("df"))
+          .join(distDf, "token")
+      }
+    val top = scored
       .orderBy(col("dist").asc, col("df").desc, col("token"))
       .limit(k)
     top.withColumn("rank", row_number().over(
         Window.orderBy(col("dist").asc, col("df").desc, col("token")))
         .cast("long"))
       .select(col("rank"), col("token"), col("dist"), col("df"))
+  }
+
+  /** POSITIONAL PHRASE SEARCH — the operator that lifts
+   *  [[searchPhrase]]'s 65536-conjunctive-candidate refusal: phrase
+   *  occurrences are counted INDEX-SIDE from the `pos` leg, so a
+   *  stop-word-grade phrase ("to be or not to be") is a distributed
+   *  aggregation, not a driver-collected candidate list. One posting
+   *  scan pruned to the phrase tokens' tb buckets with pushed token
+   *  equality; positions explode, each (token @ p, phrase-offset j)
+   *  pair proposes start = p − j via a broadcast (token, off) literal
+   *  join, and a (doc, start) distinct-offset count equal to the
+   *  phrase length is exactly one occurrence — adjacent repeats and
+   *  overlapping self-similar phrases count correctly because starts,
+   *  not substring arithmetic, are what's counted (the same semantics
+   *  as [[searchPhrase]]'s sliding verify, so the two paths agree
+   *  wherever both can answer). Nothing collects to the driver and
+   *  nothing is ∝ corpus except the pruned positional scan itself.
+   *  Returns (rank, doc_id, n_occurrences).
+   */
+  def searchPhrasePositional(
+      spark: SparkSession, dir: String, phrase: String, k: Int): DataFrame = {
+    import spark.implicits._
+    val toks = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(toks.nonEmpty && k > 0, s"bad phrase/k: '$phrase'/$k")
+    require(hasPositionalLeg(spark, dir),
+      s"index $dir has no positional leg on every live commit — it " +
+        "predates positional ingest; use searchPhrase (candidate-then-" +
+        "verify, capped) with the corpus")
+    val terms = toks.distinct
+    val termBuckets = terms.toDF("t")
+      .select(tokenBucket(col("t"))).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val offsets = broadcast(
+      toks.zipWithIndex.map { case (t, j) => (t, j.toLong) }
+        .toDF("token", "off"))
+    val n = toks.size
+    liveSub(spark, dir, "pos")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .where(col("tb").isin(termBuckets: _*) &&
+        col("token").isin(terms: _*))
+      .select(col("token"), col("doc_id"),
+        explode(col("positions")).as("p"))
+      .join(offsets, "token")
+      .select(col("doc_id"), (col("p") - col("off")).as("start"), col("off"))
+      .groupBy("doc_id", "start")
+      .agg(count_distinct(col("off")).as("nmatch"))
+      .where(col("nmatch") === n)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("n_occurrences").desc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("n_occurrences"))
   }
 
   /** PHRASE SEARCH as candidate-then-verify — the scalable phrase
@@ -404,7 +665,24 @@ object TextIndex {
    */
   def searchPhrase(
       spark: SparkSession, dir: String, corpus: DataFrame,
-      idCol: String, textCol: String, phrase: String, k: Int): DataFrame = {
+      idCol: String, textCol: String, phrase: String, k: Int): DataFrame =
+    searchPhraseWith(spark, dir, phrase, k, ids =>
+      corpus.where(col(idCol).isin(ids: _*))
+        .select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** [[searchPhrase]] answering the verify stage from the index's OWN
+   *  forward `docs` leg — no corpus parameter: candidate text comes
+   *  back by fb-pruned point lookup ([[docsFor]]), so the index serves
+   *  phrases self-contained. Requires the docs leg on every live
+   *  commit.
+   */
+  def searchPhrase(
+      spark: SparkSession, dir: String, phrase: String, k: Int): DataFrame =
+    searchPhraseWith(spark, dir, phrase, k, ids => docsFor(spark, dir, ids))
+
+  private def searchPhraseWith(
+      spark: SparkSession, dir: String, phrase: String, k: Int,
+      fetch: Seq[Long] => DataFrame): DataFrame = {
     import spark.implicits._
     val toks = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
     require(toks.nonEmpty && k > 0, s"bad phrase/k: '$phrase'/$k")
@@ -424,17 +702,16 @@ object TextIndex {
       .limit(65537).collect().map(_.getLong(0))
     require(candIds.length <= 65536,
       s"phrase '$phrase' has > 65536 conjunctive candidates — " +
-        "stop-word-grade tokens need a positional index, not the " +
-        "candidate-then-verify probe")
+        "stop-word-grade tokens need the positional probe " +
+        "(searchPhrasePositional), not candidate-then-verify")
     if (candIds.isEmpty)
       return spark.emptyDataFrame
         .select(lit(0L).as("rank"), lit(0L).as("doc_id"),
           lit(0L).as("n_occurrences")).limit(0)
     val n = toks.size
-    corpus
-      .where(col(idCol).isin(candIds.toSeq: _*))
-      .select(col(idCol).as("doc_id"),
-        graft.text.TextOps.tokens(col(textCol)).as("tokens"))
+    fetch(candIds.toSeq)
+      .select(col("doc_id"),
+        graft.text.TextOps.tokens(col("text")).as("tokens"))
       .withColumn("n_occurrences",
         when(size(col("tokens")) >= n,
           size(filter(sequence(lit(1), size(col("tokens")) - n + 1),
@@ -465,7 +742,27 @@ object TextIndex {
       spark: SparkSession, dir: String, corpus: DataFrame,
       idCol: String, textCol: String, terms: Seq[String], k: Int,
       fbK: Int = 10, expK: Int = 5, expWeightPpm: Long = 500000L,
-      maxDf: Option[Long] = None): DataFrame = {
+      maxDf: Option[Long] = None): DataFrame =
+    searchBm25Rm3With(spark, dir, terms, k, fbK, expK, expWeightPpm,
+      maxDf, ids =>
+        corpus.where(col(idCol).isin(ids: _*))
+          .select(col(idCol).as("doc_id"), col(textCol).as("text")))
+
+  /** [[searchBm25Rm3]] reading the feedback docs' text from the
+   *  index's OWN forward `docs` leg by fb-pruned point lookup — no
+   *  corpus parameter; requires the docs leg on every live commit.
+   */
+  def searchBm25Rm3(
+      spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+      fbK: Int, expK: Int, expWeightPpm: Long,
+      maxDf: Option[Long]): DataFrame =
+    searchBm25Rm3With(spark, dir, terms, k, fbK, expK, expWeightPpm,
+      maxDf, ids => docsFor(spark, dir, ids))
+
+  private def searchBm25Rm3With(
+      spark: SparkSession, dir: String, terms: Seq[String], k: Int,
+      fbK: Int, expK: Int, expWeightPpm: Long, maxDf: Option[Long],
+      fetch: Seq[Long] => DataFrame): DataFrame = {
     require(terms.nonEmpty && k > 0 && fbK > 0 && expK >= 0 &&
       expWeightPpm > 0, s"bad rm3 parameters: k=$k fbK=$fbK expK=$expK")
     import spark.implicits._
@@ -477,10 +774,9 @@ object TextIndex {
       if (fb.isEmpty) Seq.empty
       else {
         val fbScores = broadcast(fb.toSeq.toDF("doc_id", "fb_score"))
-        val tf = corpus
-          .where(col(idCol).isin(fb.map(_._1).toSeq: _*))
-          .select(col(idCol).as("doc_id"),
-            explode(TextOps.tokens(col(textCol))).as("token"))
+        val tf = fetch(fb.map(_._1).toSeq)
+          .select(col("doc_id"),
+            explode(TextOps.tokens(col("text"))).as("token"))
           .where(length(col("token")) > 0)
           .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
         val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
@@ -641,6 +937,77 @@ object TextIndex {
     } finally bt.unpersist(): Unit
   }
 
+  /** Fold `roots` (absolute commit dirs) into the staged commit dir
+   *  `dst` — the ONE leg-fold implementation compaction and federated
+   *  merge share. Core legs (post/vocab/stats) are mandatory; the
+   *  optional legs (pos/del/docs) fold iff present on EVERY input and
+   *  refuse loudly on a mixed set (a partial leg would silently answer
+   *  from part of the corpus). All folds are the legs' own monoids:
+   *  postings/positions/docs concatenate (tb/db/fb are pure functions
+   *  of their key, identical across shards, so bucket layout is
+   *  preserved), vocab df and stats (nd, tl) sum, del keys
+   *  set-union (the same (variant, token) pair recurs when shards
+   *  share a token — folding dedups so the leg stays vocabulary-grain
+   *  instead of growing with shard history).
+   */
+  private def foldLegs(
+      spark: SparkSession, roots: Seq[String], dst: String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    def having(sub: String): Seq[String] =
+      roots.map(r => s"$r/$sub").filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    def uniform(sub: String): Option[Seq[String]] = {
+      val h = having(sub)
+      require(h.isEmpty || h.size == roots.size,
+        s"cannot fold: leg '$sub' exists on ${h.size} of ${roots.size} " +
+          "input commits — a mixed-generation fold would publish a " +
+          "partial leg that silently answers from part of the corpus; " +
+          "re-ingest the pre-leg shards (or fold them separately) first")
+      if (h.isEmpty) None else Some(h)
+    }
+    def read(paths: Seq[String]): DataFrame =
+      paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val jobs = Seq(
+      Some(() =>
+        read(having("post"))
+          .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
+          .repartition(TokenBuckets, col("tb"))
+          .write.partitionBy("tb").parquet(s"$dst/post")),
+      uniform("pos").map(ps => () =>
+        read(ps)
+          .select(col("token"), col("doc_id"), col("positions"), col("tb"))
+          .repartition(TokenBuckets, col("tb"))
+          .write.partitionBy("tb").parquet(s"$dst/pos")),
+      Some(() =>
+        read(having("vocab"))
+          .groupBy("token").agg(sum(col("df")).as("df"))
+          .coalesce(4)
+          .write.parquet(s"$dst/vocab")),
+      uniform("del").map(ds => () =>
+        read(ds)
+          .select(col("variant"), col("token"), col("db"))
+          .dropDuplicates("variant", "token")
+          .repartition(TokenBuckets, col("db"))
+          .write.partitionBy("db").parquet(s"$dst/del")),
+      Some(() =>
+        read(having("stats"))
+          .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
+          .coalesce(1).write.parquet(s"$dst/stats")),
+      uniform("docs").map(ds => () =>
+        read(ds)
+          .select(col("doc_id"), col("text"), col("fb"))
+          .repartition(TokenBuckets, col("fb"))
+          .write.partitionBy("fb").parquet(s"$dst/docs"))
+    ).flatten
+    Await.result(
+      Future.sequence(jobs.map(j => Future(j()))), Duration.Inf): Unit
+  }
+
   /** Full fold: every live shard commit into one. Right for an
    *  explicit "optimize"; the steady-state policy is [[compactTiered]]
    *  (a full fold under sustained ingest rewrites O(N²) bytes total).
@@ -682,30 +1049,7 @@ object TextIndex {
       }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
     if (dirs.size <= 1) return
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(Seq(
-      Future {
-        dirs.map(d => spark.read
-            .option("basePath", s"$dir/data/$d/post")
-            .parquet(s"$dir/data/$d/post"))
-          .reduce(_.unionByName(_))
-          .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
-          .repartition(TokenBuckets, col("tb"))
-          .write.partitionBy("tb").parquet(s"$dir/data/$name/post")
-      },
-      Future {
-        spark.read.parquet(dirs.map(d => s"$dir/data/$d/vocab"): _*)
-          .groupBy("token").agg(sum(col("df")).as("df"))
-          .coalesce(4)
-          .write.parquet(s"$dir/data/$name/vocab")
-      },
-      Future {
-        spark.read.parquet(dirs.map(d => s"$dir/data/$d/stats"): _*)
-          .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
-          .coalesce(1).write.parquet(s"$dir/data/$name/stats")
-      })), Duration.Inf): Unit
+    foldLegs(spark, dirs.map(d => s"$dir/data/$d"), s"$dir/data/$name")
     val published = cl.commit(spark) { now =>
       if (dirs.forall(now.contains)) Some(now.filterNot(dirs.contains) :+ name)
       else None // an input moved under us — abort, never double-fold
@@ -776,30 +1120,8 @@ object TextIndex {
           "re-read the source and retry")
     }
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    Await.result(Future.sequence(Seq(
-      Future {
-        srcShards.map(d => spark.read
-            .option("basePath", s"$srcDir/data/$d/post")
-            .parquet(s"$srcDir/data/$d/post"))
-          .reduce(_.unionByName(_))
-          .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
-          .repartition(TokenBuckets, col("tb"))
-          .write.partitionBy("tb").parquet(s"$dstDir/data/$name/post")
-      },
-      Future {
-        spark.read.parquet(srcShards.map(d => s"$srcDir/data/$d/vocab"): _*)
-          .groupBy("token").agg(sum(col("df")).as("df"))
-          .coalesce(4)
-          .write.parquet(s"$dstDir/data/$name/vocab")
-      },
-      Future {
-        spark.read.parquet(srcShards.map(d => s"$srcDir/data/$d/stats"): _*)
-          .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
-          .coalesce(1).write.parquet(s"$dstDir/data/$name/stats")
-      })), Duration.Inf): Unit
+    foldLegs(spark, srcShards.map(d => s"$srcDir/data/$d"),
+      s"$dstDir/data/$name")
     val published = cl.commit(spark) { now =>
       if ((srcTxn ++ txn).exists(now.contains)) None // raced duplicate
       else Some(now :+ name :++ srcTxn :++ txn.toSeq)

@@ -497,6 +497,47 @@ class PipelineSpec extends AnyFunSuite {
       s"vacuum must leave exactly the live generation: ${remaining.toSeq}")
   }
 
+  test("ivfIndexRebuild closes the stats loop: a skew-founded index's " +
+      "imbalance drops after re-training, nothing is lost, keys survive") {
+    val idx = TestSpark.tmpDir("ivf_idx_rebal")
+    // founding = one tight cluster (ids 0..19 near direction A); the
+    // appended mass lives in TWO far directions (B, C) — under the
+    // frozen founding centroids the appends pile into whichever
+    // founding cell is least-unlike them, so max_cell (and with it
+    // imbalance_ppm) runs hot until a re-train gives B and C centroids
+    def vecs(ids: Range, phase: Double) = Similarity.asDouble(
+      ids.map(i => (i.toLong, Array.tabulate(8)(d =>
+        (math.cos(phase + d) + 0.01 * math.sin(i * 0.7 + d)).toFloat)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, idx, vecs(0 until 20, 0.0),
+      centroidStep = 7L, key = Some("g0"))
+    Similarity.ivfIndexAppend(spark, idx, vecs(20 until 60, 2.1),
+      key = Some("g1"))
+    Similarity.ivfIndexAppend(spark, idx, vecs(60 until 100, 4.2),
+      key = Some("g2"))
+    def stats() = {
+      val r = Similarity.ivfIndexStats(spark, idx).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val (cellsB, nB, maxB, imbB) = stats()
+    assert(nB == 100L)
+    assert(imbB > 1300000L,
+      s"fixture must be skewed for the drop to mean anything: $imbB ppm")
+    assert(Similarity.ivfIndexRebuild(spark, idx, centroidStep = 7L, iters = 2))
+    val (cellsA, nA, maxA, imbA) = stats()
+    assert(nA == 100L, "re-train must not lose or duplicate postings")
+    assert(imbA < imbB,
+      s"re-training must reduce imbalance: $imbB -> $imbA ppm " +
+        s"(cells $cellsB -> $cellsA, max $maxB -> $maxA)")
+    // exactly-once rides the rebuild: a replayed append still refuses
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, idx, vecs(20 until 60, 2.1),
+        key = Some("g1"))
+    }
+    assert(ex.getMessage.contains("g1"))
+  }
+
   test("shardPlan: serpentine masses stay within one max-doc of each other") {
     val sized = (1 to 100).map(i => (i.toLong, ("tok " * i).trim))
       .toDF("doc_id", "text")

@@ -139,4 +139,41 @@ class StreamRagPipelineSpec extends AnyFunSuite {
     assert(probe(ann2) == probe(ref),
       "post-crash recovery must converge to the reference ANN index")
   }
+
+  test("per-batch driver overhead stays folded: a fresh 3-batch drain " +
+      "launches a bounded number of Spark jobs (emptiness probes ride " +
+      "the legs' own counts, the ANN ledger resolves once per batch)") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rag_jobs")
+    val dedupIdx = TestSpark.tmpDir("rag_dedup_j")
+    val textIdx = TestSpark.tmpDir("rag_text_j")
+    val annIdx = TestSpark.tmpDir("rag_ann_j")
+    stageBatches(srcDir)
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    val jobs = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet(): Unit
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      StreamRagPipeline.maintain(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString),
+        dedupIdx, textIdx, annIdx, s"$srcDir/ckpt",
+        threshold = 0.6, centroidStep = 1L,
+        embed = embed).awaitTermination()
+      // the listener bus is async — let it drain before reading
+      Thread.sleep(2000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    val n = jobs.get()
+    // regression fence for the round-11 fold (was ~3 more jobs per
+    // batch before: standalone isEmpty probes on the batch, the
+    // survivors, and the embedded vectors). Measured 172 post-fold;
+    // the bound leaves jitter slack while still catching a per-batch
+    // probe regression (+3/batch ≈ +9 ≥ the slack).
+    assert(n <= 180, s"3-batch drain launched $n Spark jobs — per-batch " +
+      "driver overhead regressed (folded emptiness probes came back?)")
+  }
 }

@@ -412,4 +412,144 @@ class TextIndexSpec extends AnyFunSuite {
       Seq("bench_id", "doc_id", "n_kept", "overlap", "containment_ppm"))
     assert(out.count() == 0L)
   }
+
+  private def dropLeg(idx: String, sub: String): Unit = {
+    val live = new graft.store.CommitLog(s"$idx/_manifests")
+      .latest(spark)._2.filter(_.startsWith("c-"))
+    val conf = spark.sessionState.newHadoopConf()
+    live.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$idx/data/$d/$sub")
+      p.getFileSystem(conf).delete(p, true): Unit
+    }
+  }
+
+  test("searchPhrasePositional agrees with candidate-then-verify everywhere both " +
+      "answer, survives compaction, prunes to token buckets, and refuses a pre-leg index") {
+    val idx = TestSpark.tmpDir("text_idx_pos")
+    for (i <- 0 until 2)
+      TextIndex.ingestShard(spark, idx,
+        corpus.where(pmod(col("doc_id"), lit(2)) === i),
+        "doc_id", "text", key = Some(s"p$i"))
+    def viaVerify(phrase: String) = TextIndex
+      .searchPhrase(spark, idx, corpus, "doc_id", "text", phrase, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    def viaPos(phrase: String) = TextIndex
+      .searchPhrasePositional(spark, idx, phrase, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    val phrases = Seq("window scan", "merge sort", "sort merge",
+      "merge spark", "scan scan", "window zzz", "spark window",
+      "scan scan scan", "window window")
+    for (p <- phrases)
+      assert(viaPos(p) == viaVerify(p), s"positional disagrees on '$p'")
+    // duplicate-token phrase with overlapping starts: doc 4 is
+    // "scan scan scan merge" — "scan scan" starts at 1 AND 2
+    assert(viaPos("scan scan") == Seq((4L, 2L)))
+    // compaction folds the pos leg (concatenation) — answers unchanged
+    TextIndex.compact(spark, idx)
+    for (p <- phrases)
+      assert(viaPos(p) == viaVerify(p), s"post-compaction mismatch on '$p'")
+    // plan: the positional scan prunes to the phrase tokens' buckets
+    val plan = TextIndex.searchPhrasePositional(spark, idx, "merge sort", 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+      s"positional token-bucket pruning missing:\n${plan.take(2000)}")
+    // a pre-leg index (no pos leg) refuses loudly
+    dropLeg(idx, "pos")
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.searchPhrasePositional(spark, idx, "merge sort", 10)
+    }
+    assert(ex.getMessage.contains("positional"))
+  }
+
+  test("suggestFuzzy: deletion-neighborhood probe returns exactly the full-vocab " +
+      "scan's ranking; falls back identically pre-leg or past the ingest depth") {
+    val idxA = TestSpark.tmpDir("text_idx_fza")
+    val idxB = TestSpark.tmpDir("text_idx_fzb")
+    for (idx <- Seq(idxA, idxB); i <- 0 until 2)
+      TextIndex.ingestShard(spark, idx,
+        corpus.where(pmod(col("doc_id"), lit(2)) === i),
+        "doc_id", "text", key = Some(s"f$i"))
+    dropLeg(idxB, "del") // idxB answers by the full-vocab fallback
+    def run(idx: String, term: String, d: Int) = TextIndex
+      .suggestFuzzy(spark, idx, term, d, 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    for (term <- Seq("windoq", "mergee", "scon", "taple", "xyzzy");
+         d <- Seq(1, 2))
+      assert(run(idxA, term, d) == run(idxB, term, d),
+        s"pruned path diverges from the vocab scan on '$term'/$d")
+    // past the ingested deletion depth both run the fallback — equal too
+    assert(run(idxA, "wnd", 3) == run(idxB, "wnd", 3))
+    // compaction dedups the del keys without changing answers
+    TextIndex.compact(spark, idxA)
+    assert(run(idxA, "windoq", 2) == run(idxB, "windoq", 2))
+    // plan: candidate generation reads the del leg with a bucket
+    // partition filter; no full-vocab levenshtein scan in the pruned path
+    val probe = TextIndex.suggestFuzzy(spark, idxA, "windoq", 2, 10)
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("levenshtein"),
+      s"pruned fuzzy path still Levenshteins a distributed scan:\n${plan.take(2000)}")
+  }
+
+  test("forward docs leg: phrase verify and RM3 answer self-contained, point " +
+      "lookups prune to id buckets, and a pre-leg index refuses loudly") {
+    val idx = TestSpark.tmpDir("text_idx_fwd")
+    for (i <- 0 until 2)
+      TextIndex.ingestShard(spark, idx,
+        corpus.where(pmod(col("doc_id"), lit(2)) === i),
+        "doc_id", "text", key = Some(s"d$i"))
+    // self-contained phrase == corpus-parameter phrase
+    for (p <- Seq("window scan", "scan scan", "merge sort", "spark window"))
+      assert(
+        TextIndex.searchPhrase(spark, idx, p, 10)
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+        TextIndex.searchPhrase(spark, idx, corpus, "doc_id", "text", p, 10)
+          .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq,
+        s"self-contained phrase diverges on '$p'")
+    // self-contained RM3 == corpus-parameter RM3
+    val viaLeg = TextIndex.searchBm25Rm3(spark, idx,
+        Seq("merge", "window"), 10, 3, 2, 500000L, None)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val viaCorpus = TextIndex.searchBm25Rm3(spark, idx, corpus,
+        "doc_id", "text", Seq("merge", "window"), 10, fbK = 3, expK = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(viaLeg == viaCorpus, s"rm3 leg path diverges: $viaLeg vs $viaCorpus")
+    // the point lookup prunes to the ids' fb partition directories
+    val plan = TextIndex.docsFor(spark, idx, Seq(0L, 2L))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("fb#"),
+      s"forward-store id-bucket pruning missing:\n${plan.take(2000)}")
+    // compaction folds the docs leg — still self-contained after
+    TextIndex.compact(spark, idx)
+    assert(TextIndex.searchPhrase(spark, idx, "scan scan", 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((4L, 2L)))
+    // pre-leg index refuses
+    dropLeg(idx, "docs")
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.searchPhrase(spark, idx, "scan scan", 10).collect()
+    }
+    assert(ex.getMessage.contains("forward docs leg"))
+  }
+
+  test("mixed-generation fold refuses: compaction over commits with and without " +
+      "the new legs fails loudly instead of publishing a partial leg") {
+    val idx = TestSpark.tmpDir("text_idx_mixed")
+    for (i <- 0 until 2)
+      TextIndex.ingestShard(spark, idx,
+        corpus.where(pmod(col("doc_id"), lit(2)) === i),
+        "doc_id", "text", key = Some(s"m$i"))
+    // strip one commit's pos leg — a pre-leg shard in a new-leg index
+    val live = new graft.store.CommitLog(s"$idx/_manifests")
+      .latest(spark)._2.filter(_.startsWith("c-"))
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(s"$idx/data/${live.head}/pos")
+    p.getFileSystem(conf).delete(p, true): Unit
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.compact(spark, idx)
+    }
+    assert(ex.getMessage.contains("mixed-generation"))
+    // the refused fold left no partial commit behind: answers unchanged
+    assert(TextIndex.searchBm25(spark, idx, Seq("merge"), 10).count() == 3L)
+  }
 }
