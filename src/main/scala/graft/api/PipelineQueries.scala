@@ -1675,6 +1675,18 @@ object PipelineQueries {
       graft.text.TextIndex.searchPhrasePositional(
           s, textIndexFixture(s, dir), "batch batch", 20)
         .orderBy("rank")),
+    // INDEX-SIDE PROXIMITY (NEAR/6): docs where all three terms
+    // co-occur within a 6-token window, ranked by minimal window —
+    // the pos leg's second operator: the pruned positional rows run
+    // the last-seen min-window sweep per doc, so proximity over
+    // stop-word-grade terms needs no candidate cap and no corpus
+    // text (rerank_proximity is the candidate-grain second stage;
+    // this is the first-stage proximity FILTER at index scale).
+    // Oracle = the identical sweep over the whole corpus
+    "near_search" -> ((s, dir) =>
+      graft.text.TextIndex.searchNear(s, textIndexFixture(s, dir),
+          Seq("merge", "window", "scan"), w = 6, k = 20)
+        .orderBy("rank")),
     // PREFIX SUGGESTION (autocomplete) from the index's vocab legs
     // alone: top-10 's…' tokens by across-shard folded df — the
     // query-suggestion surface, cost ∝ vocabulary (≪ corpus), ranking
@@ -3603,6 +3615,34 @@ object PipelineQueries {
         |    row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rank
         |  FROM occ WHERE n_occurrences > 0)
         |SELECT rank, doc_id, n_occurrences FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // the last-seen min-window sweep over the whole corpus (the
+    // rerank oracle's formulation), filtered to windows <= 6
+    "near_search" ->
+      """WITH tok2 AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |              FROM documents),
+        |pos0 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tokens)),
+        |    i -> {'p': i, 't': tokens[i]})) AS u
+        |  FROM tok2),
+        |pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.t AS token
+        |        FROM pos0
+        |        WHERE u.t IN ('merge', 'window', 'scan')),
+        |ls AS (SELECT doc_id, pos,
+        |    max(CASE WHEN token = 'merge' THEN pos END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l1,
+        |    max(CASE WHEN token = 'window' THEN pos END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l2,
+        |    max(CASE WHEN token = 'scan' THEN pos END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l3
+        |  FROM pos),
+        |mw AS (SELECT doc_id, min(pos - least(l1, l2, l3) + 1) AS min_window
+        |       FROM ls WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+        |         AND l3 IS NOT NULL GROUP BY 1),
+        |r AS (SELECT doc_id, min_window,
+        |    row_number() OVER (ORDER BY min_window ASC, doc_id) AS rank
+        |  FROM mw WHERE min_window <= 6)
+        |SELECT rank, doc_id, min_window FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // same sliding-window ground truth, repeated-token phrase —
     // overlapping starts count (a run of 3 'batch' holds 2 bigrams)

@@ -489,11 +489,23 @@ object TextIndex {
   def explainSearch(
       spark: SparkSession, dir: String, terms: Seq[String], k: Int,
       maxDf: Option[Long] = None): DataFrame = {
-    import spark.implicits._
     val top = searchBm25(spark, dir, terms, k, maxDf)
       .select("rank", "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    val ranks = broadcast(top.toSeq.toDF("rank", "doc_id"))
+    explainTop(spark, dir, terms, top.toSeq, maxDf)
+  }
+
+  /** [[explainSearch]] for a caller that ALREADY ran the search —
+   *  pass the (rank, doc_id) top-k and pay only the one extra pruned
+   *  breakdown probe, not a recomputed first-stage search.
+   */
+  def explainTop(
+      spark: SparkSession, dir: String, terms: Seq[String],
+      top: Seq[(Long, Long)], maxDf: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    require(top.nonEmpty && top.length <= 65536,
+      s"explainTop takes a bounded ranked top-k (got ${top.length})")
+    val ranks = broadcast(top.toDF("rank", "doc_id"))
     val (avgdl, _, idfPairs, posts) = bm25Prelude(spark, dir, terms, maxDf)
     val idf = idfPairs.toDF("token", "idf_ppm")
     posts
@@ -724,6 +736,53 @@ object TextIndex {
         Window.orderBy(col("n_occurrences").desc, col("doc_id"))).cast("long"))
       .where(col("rank") <= k)
       .select(col("rank"), col("doc_id"), col("n_occurrences"))
+  }
+
+  /** INDEX-SIDE PROXIMITY SEARCH (NEAR/w): docs where ALL query terms
+   *  co-occur within a window of at most `w` tokens, ranked by the
+   *  minimal such window (ties by doc_id) — answered ENTIRELY from
+   *  the `pos` leg. The pruned positional rows (tb directory pruning
+   *  + pushed token equality) explode and run the classic last-seen
+   *  min-window sweep per doc ([[TextOps.lastSeenSweep]] — a
+   *  partitioned window over the TERMS' positions only, never the
+   *  doc's full token stream, never corpus text). This is the
+   *  proximity operator candidate-then-verify cannot offer at scale:
+   *  stop-word-grade terms stay a distributed aggregation with no
+   *  candidate cap and nothing driver-collected ([[searchPhrase]]'s
+   *  sibling trade, same as the positional phrase probe). Returns
+   *  (rank, doc_id, min_window), min_window <= w.
+   */
+  def searchNear(
+      spark: SparkSession, dir: String, terms0: Seq[String],
+      w: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val terms = terms0.distinct.sorted
+    require(terms.nonEmpty && k > 0 && w >= terms.size,
+      s"bad terms/w/k: $terms0/$w/$k (a window below the distinct term " +
+        "count can never contain them all)")
+    require(hasPositionalLeg(spark, dir),
+      s"index $dir has no positional leg on every live commit — NEAR " +
+        "needs positional ingest")
+    val termBuckets = terms.toDF("t")
+      .select(tokenBucket(col("t"))).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pos = liveSub(spark, dir, "pos")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .where(col("tb").isin(termBuckets: _*) &&
+        col("token").isin(terms: _*))
+      .select(col("doc_id"), explode(col("positions")).as("pos"),
+        col("token"))
+    TextOps.lastSeenSweep(pos, terms)
+      .where(col("nn") === terms.size)
+      .select(col("doc_id"),
+        (col("pos") - col("lmin") + 1).cast("long").as("wl"))
+      .groupBy("doc_id").agg(min(col("wl")).as("min_window"))
+      .where(col("min_window") <= w)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("min_window").asc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("min_window"))
   }
 
   /** RM3 PSEUDO-RELEVANCE-FEEDBACK search: BM25 top-`fbK` feedback

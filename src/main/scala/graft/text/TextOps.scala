@@ -567,7 +567,7 @@ object TextOps {
    *  1; `least` skips nulls on Spark and DuckDB alike, so callers gate
    *  on how many terms must have appeared.
    */
-  private def lastSeenSweep(pos: DataFrame, terms: Seq[String]): DataFrame = {
+  private[text] def lastSeenSweep(pos: DataFrame, terms: Seq[String]): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val withLs = terms.zipWithIndex.foldLeft(pos) { case (df, (t, i)) =>

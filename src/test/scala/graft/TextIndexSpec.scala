@@ -461,6 +461,43 @@ class TextIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("positional"))
   }
 
+  test("searchNear: min-window proximity entirely from the pos leg — exact " +
+      "windows, w-cut honored, missing-term docs excluded, pre-leg refusal") {
+    val idx = TestSpark.tmpDir("text_idx_near")
+    for (i <- 0 until 2)
+      TextIndex.ingestShard(spark, idx,
+        corpus.where(pmod(col("doc_id"), lit(2)) === i),
+        "doc_id", "text", key = Some(s"n$i"))
+    def near(terms: Seq[String], w: Int) = TextIndex
+      .searchNear(spark, idx, terms, w, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // doc 2 "merge window table": merge@1, window@2 -> window 2
+    assert(near(Seq("merge", "window"), 3) == Seq((2L, 2L)))
+    // doc 1 "window scan window window": scan@2 adjacent to window@1/@3
+    assert(near(Seq("window", "scan"), 2) == Seq((1L, 2L)))
+    // doc 0 "spark merge sort merge": spark@1..sort@3 -> window 3 > w=2
+    assert(near(Seq("spark", "sort"), 3) == Seq((0L, 3L)))
+    assert(near(Seq("spark", "sort"), 2).isEmpty)
+    // a doc missing one term never ranks (doc 0 has merge, no window,
+    // doc 4 has scan+merge, no window)
+    assert(near(Seq("merge", "window", "scan"), 10).isEmpty ||
+      !near(Seq("merge", "window", "scan"), 10).exists(
+        h => h._1 == 0L || h._1 == 4L))
+    // survives compaction (pos leg concatenates)
+    TextIndex.compact(spark, idx)
+    assert(near(Seq("merge", "window"), 3) == Seq((2L, 2L)))
+    // window below the distinct term count is a contract error
+    intercept[IllegalArgumentException] {
+      TextIndex.searchNear(spark, idx, Seq("merge", "window"), 1, 10)
+    }
+    // pre-leg index refuses loudly
+    dropLeg(idx, "pos")
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.searchNear(spark, idx, Seq("merge", "window"), 3, 10)
+    }
+    assert(ex.getMessage.contains("positional"))
+  }
+
   test("suggestFuzzy: deletion-neighborhood probe returns exactly the full-vocab " +
       "scan's ranking; falls back identically pre-leg or past the ingest depth") {
     val idxA = TestSpark.tmpDir("text_idx_fza")
