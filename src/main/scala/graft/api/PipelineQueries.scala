@@ -296,7 +296,12 @@ object PipelineQueries {
       for (i <- 0 until 2)
         graft.text.TextIndex.ingestShard(key._1, idx,
           d.where(pmod(col("doc_id"), lit(4)) === 2 * i),
-          "doc_id", "text", key = Some(s"n$i"))
+          "doc_id", "text", key = Some(s"n$i"),
+          // posting-probe-only index: the serving legs would pay
+          // ~|token|² deletion variants per distinct SHINGLE (corpus-
+          // grain vocabulary) plus positional/forward bytes nothing
+          // ever reads — the Minimal profile is the design point here
+          legs = graft.text.TextIndex.LegProfile.Minimal)
       idx
     })
   }

@@ -63,6 +63,24 @@ object TextIndex {
    */
   private val DelMaxDist = 2
 
+  /** Which OPTIONAL legs an ingest writes. [[LegProfile.Serving]]
+   *  (the default) writes all three — a user-facing search index
+   *  wants positional phrases, key-probe fuzzy suggest, and
+   *  self-contained forward reads. [[LegProfile.Minimal]] writes
+   *  none — right for indexes that only ever answer posting-level
+   *  probes (the decontamination SHINGLE index is the canonical case:
+   *  nobody fuzzy-suggests over 3-gram tokens, and its
+   *  corpus-grain shingle vocabulary would pay ~|token|² deletion
+   *  variants per distinct shingle for nothing). Commits in one index
+   *  must use ONE profile: compaction/merge refuse mixed-generation
+   *  folds loudly.
+   */
+  final case class LegProfile(pos: Boolean, del: Boolean, docs: Boolean)
+  object LegProfile {
+    val Serving = LegProfile(pos = true, del = true, docs = true)
+    val Minimal = LegProfile(pos = false, del = false, docs = false)
+  }
+
   private def clog(dir: String) =
     new graft.store.CommitLog(s"$dir/_manifests")
 
@@ -210,10 +228,15 @@ object TextIndex {
    *     the corpus back in (a serving index must be self-contained; at
    *     100 TB this doubles index bytes, the standard forward+inverted
    *     trade — see SCALE.md).
+   *  `legs` picks the profile: [[LegProfile.Serving]] (default) writes
+   *  all three optional legs; [[LegProfile.Minimal]] skips them for
+   *  posting-probe-only indexes (the decontamination shingle index is
+   *  the canonical case).
    */
   def ingestShard(
       spark: SparkSession, dir: String, docs: DataFrame,
-      idCol: String, textCol: String, key: Option[String] = None): Unit = {
+      idCol: String, textCol: String, key: Option[String] = None,
+      legs: LegProfile = LegProfile.Serving): Unit = {
     val cl = clog(dir)
     val txn = key.map { k =>
       require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")
@@ -236,6 +259,11 @@ object TextIndex {
         sort_array(collect_list(col("p0") + 1)).as("positions"))
       .persist()
     try {
+      // materialize the cache BEFORE the concurrent leg writes fan out:
+      // parallel jobs on a cold persist all race to compute the same
+      // tokenize+group (the cache only dedups work once populated), so
+      // one count here makes the six writes read, not recompute
+      tp.count(): Unit
       val dl = tp.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
       val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
       // the legs all derive from the persisted tp and land under
@@ -245,8 +273,8 @@ object TextIndex {
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       implicit val ec: ExecutionContext = ExecutionContext.global
-      Await.result(Future.sequence(Seq(
-        Future {
+      val writes: Seq[() => Unit] = Seq(
+        Some(() =>
           tp.join(dl, "doc_id")
             .select(col("token"), col("doc_id"), col("tf"), col("dl"),
               tokenBucket(col("token")).as("tb"))
@@ -255,22 +283,19 @@ object TextIndex {
             // path's file count stays ∝ shards×TokenBuckets, and a shard
             // is a bounded ingest batch so bucket-grain tasks stay small
             .repartition(TokenBuckets, col("tb"))
-            .write.partitionBy("tb").parquet(s"$dir/data/$name/post")
-        },
-        Future {
+            .write.partitionBy("tb").parquet(s"$dir/data/$name/post")),
+        Option.when(legs.pos)(() =>
           tp.select(col("token"), col("doc_id"), col("positions"),
               tokenBucket(col("token")).as("tb"))
             .repartition(TokenBuckets, col("tb"))
-            .write.partitionBy("tb").parquet(s"$dir/data/$name/pos")
-        },
-        Future {
+            .write.partitionBy("tb").parquet(s"$dir/data/$name/pos")),
+        Some(() =>
           tp.groupBy("token").agg(count(lit(1)).as("df"))
             // vocab is token-grain (small per shard); 4 files beats one
             // tiny file per shuffle task on the per-query vocab lookup
             .coalesce(4)
-            .write.parquet(s"$dir/data/$name/vocab")
-        },
-        Future {
+            .write.parquet(s"$dir/data/$name/vocab")),
+        Option.when(legs.del)(() =>
           // vocabulary-grain × ~|token|² variant rows — tiny next to
           // postings; bucketed on the VARIANT so a suggest query prunes
           // to its own variants' buckets
@@ -280,18 +305,18 @@ object TextIndex {
             .select(col("variant"), col("token"),
               hashBucket(col("variant")).as("db"))
             .repartition(TokenBuckets, col("db"))
-            .write.partitionBy("db").parquet(s"$dir/data/$name/del")
-        },
-        Future {
+            .write.partitionBy("db").parquet(s"$dir/data/$name/del")),
+        Some(() =>
           dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
-            .coalesce(1).write.parquet(s"$dir/data/$name/stats")
-        },
-        Future {
+            .coalesce(1).write.parquet(s"$dir/data/$name/stats")),
+        Option.when(legs.docs)(() =>
           docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
               hashBucket(col(idCol)).as("fb"))
             .repartition(TokenBuckets, col("fb"))
-            .write.partitionBy("fb").parquet(s"$dir/data/$name/docs")
-        })), Duration.Inf): Unit
+            .write.partitionBy("fb").parquet(s"$dir/data/$name/docs"))
+      ).flatten
+      Await.result(
+        Future.sequence(writes.map(w => Future(w()))), Duration.Inf): Unit
       val published = cl.commit(spark) { now =>
         if (txn.exists(now.contains)) None // raced redelivery — abort
         else Some(now :+ name :++ txn.toSeq)
