@@ -352,6 +352,155 @@ object TpchQueries {
           count(lit(1)).as("n_rows"))
     }),
 
+    // TPC-H Q7: bilateral trade volume between two nations by ship
+    // year. Plan shape: the ONLY fact-fact shuffle is
+    // lineitem ⨝ orders on the order key; customer+nation and
+    // supplier+nation are dimension chains that BROADCAST, and the
+    // bilateral disjunction rides the joined row as a filter (never a
+    // join condition that would block broadcast planning)
+    "q7_volume" -> ((s, dir) => {
+      val (na, nb) = ("NATION_1", "NATION_2")
+      val natPair = t(s, dir, "nation")
+        .where(col("n_name").isin(na, nb))
+      val cust = t(s, dir, "customer")
+        .join(natPair, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val supp = t(s, dir, "supplier")
+        .join(natPair, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .where((col("supp_nation") === na && col("cust_nation") === nb) ||
+          (col("supp_nation") === nb && col("cust_nation") === na))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+    // TPC-H Q8: one nation's market share of a product type inside one
+    // region's customer market, per order year. The numerator rides
+    // the same aggregated rows as the denominator (a CASE inside the
+    // sum — one pass, no second join); part/customer-region/supplier
+    // dims all broadcast; the fact-fact join shuffles on orderkey only
+    "q8_share" -> ((s, dir) => {
+      val target = "NATION_3"
+      val regionNat = t(s, dir, "nation")
+        .join(t(s, dir, "region").where(col("r_name") === "AFRICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = t(s, dir, "customer")
+        .join(regionNat, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supp = t(s, dir, "supplier")
+        .join(t(s, dir, "nation"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part").where(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(r6(
+          sum(when(col("supp_nation") === target, rev).otherwise(lit(0.0))) /
+            sum(rev)).as("mkt_share"))
+        .orderBy("o_year")
+    }),
+    // TPC-H Q13: customer distribution by order count — the classic
+    // LEFT OUTER + two-level aggregate (customers with zero orders
+    // count at c_count = 0). Orders pre-aggregate to customer grain
+    // BEFORE the outer join, so the join is key-to-key (no row
+    // explosion) and the second aggregate runs on 1 row per customer
+    "q13_custdist" -> ((s, dir) => {
+      val perCust = t(s, dir, "orders")
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+      t(s, dir, "customer")
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+    // TPC-H Q15: top supplier(s) by revenue in one quarter. The max is
+    // computed over ROUNDED per-supplier revenue (r6 on both engines)
+    // so the equality join cannot flip on last-ulp float drift; the
+    // revenue aggregate is one shuffle of the filtered fact at
+    // supplier grain, and the 1-row max broadcasts back
+    "q15_topsupp" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .where(col("l_shipdate") >= lit(java.time.LocalDateTime.parse("1997-01-01T00:00:00")) &&
+          col("l_shipdate") < lit(java.time.LocalDateTime.parse("1997-04-01T00:00:00")))
+        .groupBy("l_suppkey")
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("total_revenue"))
+      val top = rev.agg(max(col("total_revenue")).as("mx"))
+      rev.join(broadcast(top), col("total_revenue") === col("mx"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy("s_suppkey")
+    }),
+    // TPC-H Q17: revenue loss if small-quantity orders (below 20% of
+    // the part's average quantity) were dropped, for one brand. The
+    // correlated per-part average becomes a part-grain aggregate
+    // BROADCAST back onto the fact rows — the fact never shuffles for
+    // the correlation, one scalar row out
+    "q17_smallqty" -> ((s, dir) => {
+      val brandParts = t(s, dir, "part")
+        .where(col("p_brand") === "Brand#1").select("p_partkey")
+      val li = t(s, dir, "lineitem")
+        .join(broadcast(brandParts), col("l_partkey") === col("p_partkey"))
+      val avgQty = li.groupBy("l_partkey")
+        .agg((lit(0.2) * avg(col("l_quantity"))).as("qty_cut"))
+      li.join(broadcast(avgQty), Seq("l_partkey"))
+        .where(col("l_quantity") < col("qty_cut"))
+        .agg(r6(sum(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"),
+          count(lit(1)).as("n_rows"))
+    }),
+    // TPC-H Q19: disjunctive brand/size/quantity predicate bands —
+    // the classic OR-of-ANDs that must still broadcast the part dim
+    // and evaluate as ONE joined-row filter (a naive per-band UNION
+    // would scan the fact three times)
+    "q19_disjunct" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def band(brand: String, szLo: Int, szHi: Int, qLo: Int, qHi: Int) =
+        col("p_brand") === brand &&
+          col("p_size").between(szLo, szHi) &&
+          col("l_quantity").between(qLo, qHi)
+      li.join(broadcast(t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .where(band("Brand#1", 1, 15, 1, 20) ||
+          band("Brand#2", 10, 30, 10, 30) ||
+          band("Brand#3", 20, 50, 20, 40))
+        .agg(r6(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("revenue"),
+          count(lit(1)).as("n_rows"))
+    }),
+    // TPC-H Q22: well-funded customers (balance above the positive-
+    // balance average) who never ordered, grouped by nation. The
+    // scalar average broadcasts as a 1-row cross join; the "never
+    // ordered" test is a LEFT ANTI against orders pre-projected to its
+    // key column (orders never duplicates, the anti side shuffles at
+    // key grain)
+    "q22_noorders" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val cut = cust.where(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("cut"))
+      cust
+        .crossJoin(broadcast(cut)) // 1-row scalar fold
+        .where(col("c_acctbal") > col("cut"))
+        .join(t(s, dir, "orders").select("o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          r6(sum(col("c_acctbal"))).as("totacctbal"))
+        .orderBy("nationkey")
+    }),
+
     // backward as-of join: each purchase attributed to the user's
     // latest prior view (union+running-window plan — one shuffle by
     // user_id, no range explosion; graft.ops.Temporal)
@@ -630,6 +779,87 @@ object TpchQueries {
         |  AND epoch_us(l_shipdate) < 852076800000000
         |  AND l_discount BETWEEN 0.05 AND 0.07
         |  AND l_quantity < 24""".stripMargin,
+    "q7_volume" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE (sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+        |   OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q8_share" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  round(sum(CASE WHEN sn.n_name = 'NATION_3'
+        |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+        |    sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'PROMO' AND r_name = 'AFRICA'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q13_custdist" ->
+      """WITH per_cust AS (
+        |  SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1),
+        |cc AS (
+        |  SELECT coalesce(n, 0) AS c_count
+        |  FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM cc GROUP BY 1
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q15_topsupp" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    round(sum(l_extendedprice * (1 - l_discount)), 6) AS total_revenue
+        |  FROM lineitem
+        |  WHERE epoch_us(l_shipdate) >= 852076800000000
+        |    AND epoch_us(l_shipdate) < 859852800000000
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q17_smallqty" ->
+      """WITH li AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#1'),
+        |cuts AS (
+        |  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_cut
+        |  FROM li GROUP BY 1)
+        |SELECT round(sum(l_extendedprice) / 7.0, 6) AS avg_yearly,
+        |  count(*) AS n_rows
+        |FROM li JOIN cuts USING (l_partkey)
+        |WHERE l_quantity < qty_cut""".stripMargin,
+    "q19_disjunct" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin,
+    "q22_noorders" ->
+      """WITH cut AS (
+        |  SELECT avg(c_acctbal) AS cut FROM customer WHERE c_acctbal > 0.0)
+        |SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  count(*) AS numcust,
+        |  round(sum(c_acctbal), 6) AS totacctbal
+        |FROM customer, cut
+        |WHERE c_acctbal > cut
+        |  AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q18_topk" ->
       """WITH big AS (
         |  SELECT l_orderkey, round(sum(l_quantity), 6) AS sum_qty

@@ -191,6 +191,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("round-11 TPC-H shapes: dims broadcast, q19's OR is one joined-row " +
+      "filter, q22 plans a broadcast anti-join, q13's outer join is key-to-key") {
+    withPlainPlans {
+      import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+      def bhj(name: String): Seq[BroadcastHashJoinExec] =
+        SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+          .collectWithSubqueries { case j: BroadcastHashJoinExec => j }
+      // q7/q8: every dimension chain broadcasts; the only
+      // SortMergeJoin/shuffled join allowed is lineitem ⨝ orders
+      for (q <- Seq("q7_volume", "q8_share")) {
+        val joins = bhj(q)
+        assert(joins.size >= 2, s"$q dimension joins are not broadcast")
+        val sc = shuffleCount(SparkEntry.queries(q)(spark, sf))
+        assert(sc <= 4,
+          s"$q shuffles $sc times — the fact-fact join + agg budget is 4")
+      }
+      // q19: exactly one join (part broadcast); the OR bands are a
+      // filter on the joined row, never a 3-way union of fact scans
+      val q19 = SparkEntry.queries("q19_disjunct")(spark, sf)
+      assert(bhj("q19_disjunct").size == 1 &&
+        !q19.queryExecution.executedPlan.toString.contains("Union"),
+        "q19 must be ONE broadcast join + filter, not unioned scans")
+      // q22: the never-ordered test plans as a broadcast anti-join
+      val q22 = SparkEntry.queries("q22_noorders")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(q22.contains("LeftAnti"), "q22 must plan an anti-join")
+      // q17: the correlated per-part cut joins back as a broadcast
+      assert(bhj("q17_smallqty").nonEmpty,
+        "q17's per-part average must broadcast back onto the fact")
+    }
+  }
+
   test("heavy_hitters probes the CMS grid via a broadcast, with map-side partials") {
     withPlainPlans {
       // inspect the CMS dataflow directly — the registered query's
