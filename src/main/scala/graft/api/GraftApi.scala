@@ -279,6 +279,18 @@ final class GraftApi(
     graft.text.TextIndex.searchPhrasePositional(spark, indexDir, phrase, k)
   }
 
+  /** NEAR/w proximity search from the index's pos leg: docs whose
+   *  minimal window containing ALL terms is at most `w` tokens, ranked
+   *  by that window — first-stage proximity at index scale (no
+   *  candidate cap, no corpus text); requires positional ingest.
+   */
+  def searchDocsNear(
+      indexDir: String, terms: Seq[String], w: Int, k: Int): DataFrame = {
+    require(k > 0, s"bad k: $k")
+    numGets.incrementAndGet()
+    graft.text.TextIndex.searchNear(spark, indexDir, terms, w, k)
+  }
+
   /** [[rerankDocs]] / [[searchDocsWithSnippets]] with candidate text
    *  from the index's own forward docs leg — no corpus parameter.
    */

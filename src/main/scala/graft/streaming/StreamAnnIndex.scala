@@ -34,10 +34,18 @@ import graft.sim.Similarity
  *
  * Centroid drift under a forever-stream is the frozen-IVF tradeoff,
  * answered by the explicit `ivfIndexRebuild` maintenance action (a
- * strict-race atomic re-center) — deliberately NOT auto-triggered
- * in-stream: a rebuild re-reads the whole stored corpus, a cost that
- * belongs to a scheduled maintenance window, not to whichever
- * micro-batch happens to cross a threshold.
+ * strict-race atomic re-center) — NOT auto-triggered by default: a
+ * rebuild re-reads the whole stored corpus, a cost that belongs to a
+ * scheduled maintenance window, not to whichever micro-batch happens
+ * to cross a threshold. Deployments that WANT the loop closed
+ * in-stream opt in with `rebalanceAbovePpm`: after each commit the
+ * maintainer reads [[Similarity.ivfIndexStats]] (one cell-grain agg
+ * ∝ index) and re-trains when imbalance crosses the threshold —
+ * under the strict-race publish, so an external writer racing the
+ * rebuild simply wins and the next batch re-checks. A forever-stream
+ * must also raise `rebalanceSampleStep` so the re-train reads a
+ * bounded sample of the grown corpus (kmeansCentroids' ≤65536
+ * contract), exactly like a scheduled rebuild would.
  *
  * At 100 TB: per-batch cost is assignment (a broadcast of the
  * index-small centroid set, no corpus shuffle) + one cell-partitioned
@@ -57,9 +65,16 @@ object StreamAnnIndex {
   def maintain(
       embStream: DataFrame, indexDir: String, checkpoint: String,
       centroidStep: Long,
-      keepVersions: Int = Int.MaxValue): StreamingQuery = {
+      keepVersions: Int = Int.MaxValue,
+      rebalanceAbovePpm: Option[Long] = None,
+      rebalanceSampleStep: Long = 1L): StreamingQuery = {
     require(centroidStep >= 1, s"bad centroidStep: $centroidStep")
     require(keepVersions >= 1, s"bad keepVersions: $keepVersions")
+    require(rebalanceAbovePpm.forall(_ >= 1000000L),
+      "rebalanceAbovePpm below 1e6 (perfect balance) would re-train " +
+        "on every batch")
+    require(rebalanceSampleStep >= 1,
+      s"bad rebalanceSampleStep: $rebalanceSampleStep")
     embStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -67,9 +82,12 @@ object StreamAnnIndex {
       .foreachBatch { (b: DataFrame, id: Long) =>
         val s = b.sparkSession
         val key = s"b$id"
-        if (!Similarity.ivfHasDelivery(s, indexDir, key) && !b.isEmpty) {
+        // one ledger snapshot answers both the delivery probe and
+        // found-vs-append (the StreamRagPipeline discipline)
+        val (version, live) = Similarity.ivfLedger(s, indexDir)
+        if (!live.contains("#txn:" + key) && !b.isEmpty) {
           val batch = b.select("vec_id", "v")
-          if (Similarity.ivfVersion(s, indexDir) == 0L)
+          if (version == 0L)
             Similarity.ivfIndexBuild(
               s, indexDir, batch, centroidStep, key = Some(key))
           else
@@ -77,6 +95,18 @@ object StreamAnnIndex {
           // manifest retention — version files only, safe per batch
           if (keepVersions != Int.MaxValue)
             Similarity.ivfIndexVacuumManifest(s, indexDir, keepVersions)
+          // opt-in drift policy: measure, re-train past the threshold.
+          // A lost publish race (external writer) is fine — the next
+          // batch re-measures. Superseded dirs are NOT vacuumed here:
+          // in-flight readers of the old generation drain on the
+          // deployment's own schedule.
+          rebalanceAbovePpm.foreach { cut =>
+            val imb = Similarity.ivfIndexStats(s, indexDir)
+              .head().getLong(3)
+            if (imb > cut)
+              Similarity.ivfIndexRebuild(s, indexDir, centroidStep,
+                iters = 2, sampleStep = rebalanceSampleStep): Unit
+          }
         }
       }
       .start()

@@ -204,6 +204,26 @@ class ApiSpec extends AnyFunSuite {
     val ph = api.searchDocsPhrase(tIdx, corpus, "merge window", 5)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
     assert(ph == Seq((2L, 1L)), s"phrase route wrong: $ph")
+    // round-11 self-contained routes (forward/pos/del legs): the
+    // corpus-free paths answer identically to the corpus-parameter ones
+    val phLeg = api.searchDocsPhrase(tIdx, "merge window", 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(phLeg == ph, s"forward-leg phrase route diverges: $phLeg")
+    val phPos = api.searchDocsPhrasePositional(tIdx, "merge window", 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(phPos == ph, s"positional phrase route diverges: $phPos")
+    val nearHits = api.searchDocsNear(tIdx, Seq("merge", "window"), 3, 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    assert(nearHits == Seq((2L, 2L)), s"NEAR route wrong: $nearHits")
+    assert(dump(api.searchDocsExpanded(tIdx, terms, 5, 10, 5, None)) ==
+      dump(api.searchDocsExpanded(tIdx, corpus, terms, 5)),
+      "forward-leg RM3 route diverges from the corpus one")
+    assert(dump(api.rerankDocs(tIdx, terms, 5, None)) ==
+      dump(api.rerankDocs(tIdx, corpus, terms, 5)),
+      "forward-leg rerank route diverges from the corpus one")
+    assert(dump(api.searchDocsWithSnippets(tIdx, terms, 5, 2, None)) ==
+      dump(api.searchDocsWithSnippets(tIdx, corpus, terms, 5)),
+      "forward-leg snippet route diverges from the corpus one")
     val ts = api.textIndexStats(tIdx).collect().head
     assert(ts.getLong(0) == 1L && ts.getLong(1) == 4L,
       s"text stats wrong: $ts") // 1 shard, 4 docs
@@ -225,6 +245,6 @@ class ApiSpec extends AnyFunSuite {
     assert(fired == Set((1L, 2L)), s"percolation fired wrong: $fired")
     // the facade counted the traffic
     val (puts, gets) = api.counters
-    assert(puts == 4 && gets == 12, s"facade counters off: $puts puts, $gets gets")
+    assert(puts == 4 && gets == 21, s"facade counters off: $puts puts, $gets gets")
   }
 }

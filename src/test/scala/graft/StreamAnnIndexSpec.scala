@@ -108,4 +108,69 @@ class StreamAnnIndexSpec extends AnyFunSuite {
     assert(Similarity.ivfVersion(spark, idx) == vReb,
       "post-rebuild redelivery must still be rejected by the kept keys")
   }
+
+  test("opt-in auto-rebalance: a drifting stream re-trains past the imbalance " +
+      "threshold — lower final imbalance than the frozen twin, nothing lost, " +
+      "keys still exactly-once") {
+    // batch 0 = one tight founding cluster (ids 0..19, direction 0);
+    // batches 1-2 = far clusters (2.1, 4.2) — the frozen founding
+    // centroids only know cluster 0, so the appends pile into a hot
+    // cell (the PipelineSpec rebalance fixture, measured ~1.44e6 ppm)
+    val drift = Similarity.asDouble(
+      (0L until 100L).map { i =>
+        val phase = if (i < 20) 0.0 else if (i < 60) 2.1 else 4.2
+        (i, Array.tabulate(8)(d =>
+          (math.cos(phase + d) + 0.01 * math.sin(i * 0.7 + d)).toFloat))
+      }.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sai_rb_src")
+    val base = System.currentTimeMillis()
+    val cuts = Seq((0L, 20L), (20L, 60L), (60L, 100L))
+    for (i <- 0 until 3) {
+      val scratch = srcDir.resolve(s"scratch$i")
+      drift.where(col("vec_id") >= cuts(i)._1 && col("vec_id") < cuts(i)._2)
+        .coalesce(1).write.parquet(scratch.toString)
+      val parts = java.nio.file.Files.list(scratch)
+      try {
+        val part = parts
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      } finally parts.close()
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    def drain(dir: String, ckpt: String, cut: Option[Long]): Unit =
+      StreamAnnIndex.maintain(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString),
+        dir, ckpt, centroidStep = 7L,
+        rebalanceAbovePpm = cut).awaitTermination()
+    val rebIdx = TestSpark.tmpDir("sai_rb")
+    val frozenIdx = TestSpark.tmpDir("sai_frozen")
+    drain(rebIdx, s"$srcDir/ck_rb", Some(1200000L))
+    drain(frozenIdx, s"$srcDir/ck_fr", None)
+    def stats(d: String) = {
+      val r = Similarity.ivfIndexStats(spark, d).head()
+      (r.getLong(1), r.getLong(3)) // (n_vectors, imbalance_ppm)
+    }
+    val (nReb, imbReb) = stats(rebIdx)
+    val (nFro, imbFro) = stats(frozenIdx)
+    assert(nReb == 100L && nFro == 100L, "auto-rebalance must not lose postings")
+    assert(imbFro > 1200000L,
+      s"drift fixture must skew the frozen twin: $imbFro ppm")
+    assert(imbReb < imbFro,
+      s"auto-rebalance must beat the frozen twin: $imbReb vs $imbFro ppm")
+    // exactly-once still holds across the in-stream re-trains
+    val live = new graft.store.CommitLog(s"$rebIdx/_manifests").latest(spark)._2
+    assert((0 until 3).forall(i => live.contains(s"#txn:b$i")),
+      s"delivery keys must survive in-stream re-trains: $live")
+    val v = Similarity.ivfVersion(spark, rebIdx)
+    drain(rebIdx, s"$srcDir/ck_rb2", Some(1200000L))
+    assert(Similarity.ivfVersion(spark, rebIdx) == v,
+      "redelivery must be a no-op on the auto-rebalanced index")
+  }
 }
