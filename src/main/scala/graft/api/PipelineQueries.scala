@@ -1598,6 +1598,20 @@ object PipelineQueries {
           "doc_id", "text", rules)
         .orderBy("query_id", "doc_id")
     }),
+    // PHRASE PERCOLATION: four stored PHRASE rules watch a doc subset
+    // — the alerting shape for exact phrases. Rules ride as literal
+    // expressions: one tokenize per doc, a sliding positional count
+    // per rule (adjacent repeats and overlapping matches exact), and a
+    // row-local explode — ZERO shuffles and ZERO state (plan-guarded),
+    // so the identical function serves batch and append-mode streams.
+    // Oracle = the per-rule sliding-window counts unioned
+    "percolate_phrases" -> ((s, dir) =>
+      TextOps.percolatePhrases(
+          docs(s, dir).where(col("doc_id") % 10 === 0),
+          "doc_id", "text",
+          Seq((1L, "window scan"), (2L, "batch batch"),
+            (3L, "the scan"), (4L, "join order")))
+        .orderBy("query_id", "doc_id")),
     // STREAMING PERCOLATION: the same 10 stored rules watch a DOC
     // STREAM (a disjoint incoming subset, every 50th doc offset 25,
     // replayed as two micro-batches). Matching is ROW-LOCAL — rules
@@ -3621,6 +3635,29 @@ object PipelineQueries {
         |  FROM occ WHERE n_occurrences > 0)
         |SELECT rank, doc_id, n_occurrences FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // per-rule sliding-window phrase counts over the subset, unioned
+    "percolate_phrases" -> {
+      def rule(q: Int, t0: String, t1: String): String =
+        s"""SELECT CAST($q AS BIGINT) AS query_id, doc_id,
+           |  CAST(CASE WHEN len(tokens) >= 2 THEN len(list_filter(
+           |      generate_series(1, len(tokens) - 1),
+           |      i -> tokens[i] = '$t0' AND tokens[i+1] = '$t1'))
+           |    ELSE 0 END AS BIGINT) AS n_occurrences
+           |FROM tk""".stripMargin
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tokens
+         |            FROM documents WHERE doc_id % 10 = 0),
+         |occ AS (
+         |${rule(1, "window", "scan")}
+         |UNION ALL
+         |${rule(2, "batch", "batch")}
+         |UNION ALL
+         |${rule(3, "the", "scan")}
+         |UNION ALL
+         |${rule(4, "join", "order")})
+         |SELECT query_id, doc_id, n_occurrences FROM occ
+         |WHERE n_occurrences > 0
+         |ORDER BY query_id, doc_id""".stripMargin
+    },
     // the last-seen min-window sweep over the whole corpus (the
     // rerank oracle's formulation), filtered to windows <= 6
     "near_search" ->

@@ -614,6 +614,50 @@ object TextOps {
         col("n_terms"))
   }
 
+  /** PHRASE PERCOLATION (reverse phrase search): match documents
+   *  against STORED PHRASE rules — the alerting shape for exact
+   *  phrases ("page me when 'kernel panic' appears in the crawl").
+   *  Rules are registered-rule-grain small by contract and ride as
+   *  LITERAL expressions: each doc tokenizes ONCE, every rule counts
+   *  its occurrences with the same sliding positional scan as phrase
+   *  search's verify (adjacent repeats and overlapping self-similar
+   *  phrases count exactly), and matches explode row-locally — ZERO
+   *  shuffles, ZERO state, so the same function serves a batch, a
+   *  micro-batch, or an append-mode stream unchanged. Returns
+   *  (query_id, doc_id, n_occurrences), matches only.
+   */
+  def percolatePhrases(
+      docs: DataFrame, idCol: String, textCol: String,
+      rules: Seq[(Long, String)]): DataFrame = {
+    require(rules.nonEmpty && rules.size <= 4096,
+      s"percolatePhrases takes 1..4096 literal rules (got ${rules.size})")
+    val parsed = rules.map { case (q, p) =>
+      val toks = p.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+      require(toks.nonEmpty, s"rule $q has an empty phrase")
+      (q, toks)
+    }
+    require(parsed.map(_._1).distinct.size == parsed.size,
+      "duplicate rule query_ids")
+    def occ(toks: Seq[String]): Column = {
+      val n = toks.size
+      when(size(col("tokens")) >= n,
+        size(filter(sequence(lit(1), size(col("tokens")) - n + 1),
+          i => toks.zipWithIndex.map { case (t, j) =>
+            element_at(col("tokens"), i + j) === t
+          }.reduce(_ && _))))
+        .otherwise(lit(0)).cast("long")
+    }
+    docs
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("tokens"))
+      .select(col("doc_id"),
+        explode(array(parsed.map { case (q, toks) =>
+          struct(lit(q).as("query_id"), occ(toks).as("n_occurrences"))
+        }: _*)).as("m"))
+      .where(col("m.n_occurrences") > 0)
+      .select(col("m.query_id").as("query_id"), col("doc_id"),
+        col("m.n_occurrences").as("n_occurrences"))
+  }
+
   /** PROXIMITY RERANK: rescore retrieval candidates by the smallest
    *  token window containing ALL query terms. Candidates carry their
    *  first-stage score; docs missing a term sort after full matches

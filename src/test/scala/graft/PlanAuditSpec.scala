@@ -223,6 +223,21 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("percolate_phrases is row-local: zero shuffles, zero joins — the " +
+      "stateless streaming-safe percolation claim") {
+    withPlainPlans {
+      val df = SparkEntry.queries("percolate_phrases")(spark, sf)
+      // the output orderBy is the only exchange allowed (a range
+      // partitioning for the sort, not data-plane movement)
+      val shuffles = df.queryExecution.executedPlan
+        .collectWithSubqueries { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 1,
+        s"phrase percolation must be row-local, found ${shuffles.size} shuffles")
+      assert(!df.queryExecution.executedPlan.toString.contains("Join"),
+        "phrase rules must ride as literals, never a join")
+    }
+  }
+
   test("heavy_hitters probes the CMS grid via a broadcast, with map-side partials") {
     withPlainPlans {
       // inspect the CMS dataflow directly — the registered query's

@@ -394,6 +394,16 @@ class TextIndexSpec extends AnyFunSuite {
       }
     assert(explain == search,
       s"explain rows must reconstruct (score_ppm, n_terms): $explain vs $search")
+    // the reuse path: a caller passing its own ranked top-k gets the
+    // identical breakdown without the recomputed first stage
+    val top = TextIndex.searchBm25(spark, idx, terms, 10)
+      .select("rank", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaTop = TextIndex.explainTop(spark, idx, terms, top)
+      .collect().map(_.toString).sorted.toSeq
+    val viaSearch = TextIndex.explainSearch(spark, idx, terms, 10)
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaTop == viaSearch, "explainTop diverges from explainSearch")
     // prefix: 'merge' and 'window' both hit 3 docs; ties break by token
     val pre = TextIndex.suggestPrefix(spark, idx, "w", 5)
       .collect().map(r => (r.getString(1), r.getLong(2))).toSeq
