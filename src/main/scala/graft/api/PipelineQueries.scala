@@ -1706,6 +1706,17 @@ object PipelineQueries {
       graft.text.TextIndex.searchNear(s, textIndexFixture(s, dir),
           Seq("merge", "window", "scan"), w = 6, k = 20)
         .orderBy("rank")),
+    // ORDERED SLOPPY PHRASE (phrase within a window): the terms in
+    // PHRASE ORDER within 8 tokens — between the exact positional
+    // phrase (w = n) and unordered NEAR. Answered from the pos leg by
+    // the latest-start minimal-window-subsequence DP: one running-max
+    // window pass per term, all sharing ONE (doc, pos) sort — no
+    // extra shuffle per term, nothing driver-collected. Oracle = the
+    // identical cascade as SQL window functions over the corpus
+    "sloppy_phrase_search" -> ((s, dir) =>
+      graft.text.TextIndex.searchPhraseSloppy(
+          s, textIndexFixture(s, dir), "merge window scan", w = 8, k = 20)
+        .orderBy("rank")),
     // PREFIX SUGGESTION (autocomplete) from the index's vocab legs
     // alone: top-10 's…' tokens by across-shard folded df — the
     // query-suggestion surface, cost ∝ vocabulary (≪ corpus), ranking
@@ -3634,6 +3645,36 @@ object PipelineQueries {
         |    row_number() OVER (ORDER BY n_occurrences DESC, doc_id) AS rank
         |  FROM occ WHERE n_occurrences > 0)
         |SELECT rank, doc_id, n_occurrences FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // the latest-start ordered-min-window DP as cascaded SQL window
+    // functions (one per term, strictly-preceding frames)
+    "sloppy_phrase_search" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tokens
+        |            FROM documents),
+        |pos0 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tokens)),
+        |    i -> {'p': i, 't': tokens[i]})) AS u
+        |  FROM tk),
+        |pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.t AS token
+        |        FROM pos0
+        |        WHERE u.t IN ('merge', 'window', 'scan')),
+        |c0 AS (SELECT doc_id, pos, token,
+        |    CASE WHEN token = 'merge' THEN pos END AS s0 FROM pos),
+        |c1 AS (SELECT *, max(CASE WHEN token = 'merge' THEN s0 END) OVER
+        |    (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s1
+        |  FROM c0),
+        |c2 AS (SELECT *, max(CASE WHEN token = 'window' THEN s1 END) OVER
+        |    (PARTITION BY doc_id ORDER BY pos
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s2
+        |  FROM c1),
+        |mw AS (SELECT doc_id, min(pos - s2 + 1) AS min_window
+        |       FROM c2 WHERE token = 'scan' AND s2 IS NOT NULL
+        |       GROUP BY 1),
+        |r AS (SELECT doc_id, min_window,
+        |    row_number() OVER (ORDER BY min_window ASC, doc_id) AS rank
+        |  FROM mw WHERE min_window <= 8)
+        |SELECT rank, doc_id, min_window FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // per-rule sliding-window phrase counts over the subset, unioned
     "percolate_phrases" -> {

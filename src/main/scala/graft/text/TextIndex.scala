@@ -810,6 +810,75 @@ object TextIndex {
       .select(col("rank"), col("doc_id"), col("min_window"))
   }
 
+  /** ORDERED SLOPPY-PHRASE SEARCH (phrase within a window): docs where
+   *  the query terms occur IN PHRASE ORDER within a window of at most
+   *  `w` tokens (w = phrase length degenerates to the exact adjacent
+   *  phrase; [[searchNear]] is the unordered sibling). Answered
+   *  entirely from the `pos` leg by the classic latest-start
+   *  minimal-window-subsequence DP: one pass per term layers a
+   *  running-max window over the doc-ordered positions — at any
+   *  position, s_j = the LATEST start of a chain matching the first j
+   *  terms strictly before it (a later start always dominates: the
+   *  window is shorter and any continuation prefers it) — so the last
+   *  term's rows read their best window directly. All n window passes
+   *  share ONE (doc_id, pos) sort: no extra shuffle per term, nothing
+   *  driver-collected, cost ∝ the terms' positional postings. Returns
+   *  (rank, doc_id, min_window), min_window <= w, ranked (window ASC,
+   *  doc_id).
+   */
+  def searchPhraseSloppy(
+      spark: SparkSession, dir: String, phrase: String,
+      w: Int, k: Int): DataFrame = {
+    import spark.implicits._
+    val toks = phrase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(toks.nonEmpty && k > 0 && w >= toks.size,
+      s"bad phrase/w/k: '$phrase'/$w/$k (a window below the phrase " +
+        "length can never contain it in order)")
+    require(hasPositionalLeg(spark, dir),
+      s"index $dir has no positional leg on every live commit — sloppy " +
+        "phrases need positional ingest")
+    val terms = toks.distinct
+    val termBuckets = terms.toDF("t")
+      .select(tokenBucket(col("t"))).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    val pos = liveSub(spark, dir, "pos")
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+      .where(col("tb").isin(termBuckets: _*) &&
+        col("token").isin(terms: _*))
+      .select(col("doc_id"), explode(col("positions")).as("pos"),
+        col("token"))
+    // strictly-preceding rows only: a duplicated phrase token must not
+    // chain through its own occurrence
+    val prev = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val layered = toks.zipWithIndex.drop(1).foldLeft(
+      pos.withColumn("s0",
+        when(col("token") === toks.head, col("pos")))) {
+      case (df, (_, j)) =>
+        df.withColumn(s"s$j",
+          max(when(col("token") === toks(j - 1), col(s"s${j - 1}")))
+            .over(prev))
+    }
+    val last = s"s${toks.size - 1}"
+    val n = toks.size
+    val end =
+      if (n == 1) layered.withColumn("chain_start", col("s0"))
+      else layered.withColumn("chain_start",
+        when(col("token") === toks.last, col(last)))
+    end
+      .where(col("chain_start").isNotNull &&
+        col("token") === toks.last)
+      .select(col("doc_id"),
+        (col("pos") - col("chain_start") + 1).cast("long").as("wl"))
+      .groupBy("doc_id").agg(min(col("wl")).as("min_window"))
+      .where(col("min_window") <= w)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("min_window").asc, col("doc_id"))).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("min_window"))
+  }
+
   /** RM3 PSEUDO-RELEVANCE-FEEDBACK search: BM25 top-`fbK` feedback
    *  docs from one pruned probe; RM1 expansion-term weights as exact
    *  integer sums (feedback score_ppm × round(1e6·tf/dl) — both

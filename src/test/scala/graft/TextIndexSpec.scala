@@ -508,6 +508,45 @@ class TextIndexSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("positional"))
   }
 
+  test("searchPhraseSloppy: ordered-within-window semantics — w = phrase length " +
+      "degenerates to the exact phrase, order matters (unlike NEAR), duplicate " +
+      "tokens chain correctly, and compaction preserves answers") {
+    val idx = TestSpark.tmpDir("text_idx_sloppy")
+    for (i <- 0 until 2)
+      TextIndex.ingestShard(spark, idx,
+        corpus.where(pmod(col("doc_id"), lit(2)) === i),
+        "doc_id", "text", key = Some(s"sl$i"))
+    def sloppy(phrase: String, w: Int) = TextIndex
+      .searchPhraseSloppy(spark, idx, phrase, w, 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // w = n: exactly the adjacent-phrase doc set
+    for (p <- Seq("window scan", "merge sort", "sort merge", "scan scan")) {
+      val exact = TextIndex.searchPhrasePositional(spark, idx, p, 10)
+        .collect().map(_.getLong(1)).toSet
+      assert(sloppy(p, p.split(" ").length).map(_._1).toSet == exact,
+        s"w=n sloppy must equal the exact phrase on '$p'")
+    }
+    // order matters: doc 0 is "spark merge sort merge" — 'merge spark'
+    // never occurs in order, but unordered NEAR finds the pair
+    assert(sloppy("merge spark", 4).isEmpty,
+      "reversed phrase must not match in order")
+    assert(TextIndex.searchNear(spark, idx, Seq("merge", "spark"), 4, 10)
+      .collect().map(_.getLong(1)).toSeq == Seq(0L),
+      "unordered NEAR must still find the reversed pair")
+    // slop: 'spark sort' spans positions 1..3 of doc 0 — window 3
+    assert(sloppy("spark sort", 3) == Seq((0L, 3L)))
+    assert(sloppy("spark sort", 2).isEmpty, "window cut must hold")
+    // duplicate phrase tokens: 'scan scan' in doc 4 "scan scan scan
+    // merge" chains through distinct positions (min window 2, never 1)
+    assert(sloppy("scan scan", 5) == Seq((4L, 2L)))
+    // 3-term ordered chain with a gap: doc 1 "window scan window
+    // window" holds window->scan->window in positions 1..3
+    assert(sloppy("window scan window", 3) == Seq((1L, 3L)))
+    TextIndex.compact(spark, idx)
+    assert(sloppy("spark sort", 3) == Seq((0L, 3L)),
+      "compaction changed sloppy-phrase answers")
+  }
+
   test("suggestFuzzy: deletion-neighborhood probe returns exactly the full-vocab " +
       "scan's ranking; falls back identically pre-leg or past the ingest depth") {
     val idxA = TestSpark.tmpDir("text_idx_fza")
