@@ -540,6 +540,64 @@ object PipelineQueries {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
+    // DOCUMENT DELETION on the persisted LSH dedup index (takedown):
+    // two subset shards plus a batch of near-dup COPIES ingest with
+    // persisted pair reports, then the copied ORIGINALS are deleted —
+    // one pure gone-set tombstone commit. Immediately: the cumulative
+    // pair readback stops serving any pair naming a deleted doc, and
+    // a NEW batch of near-dups of those originals pairs only against
+    // the surviving copies (a deleted doc can neither gate nor pair).
+    // The query pins the lifecycle in-line: redelivered takedown
+    // refused, full fold physically erases (tombstone retired, keys
+    // survive), vacuum reclaims. Output = cumulative pairs; oracle =
+    // declarative cross-shard Jaccard with per-shard df caps, minus
+    // every pair touching a deleted original
+    "dedup_index_forget" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_lsh_fidx").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(20)) === 7)
+      for (i <- 0 until 2)
+        Dedup.indexCheckAndIngest(s, idx,
+          d.where(pmod(col("doc_id"), lit(40)) === 20 * i + 7),
+          "doc_id", "text", JaccardThreshold,
+          deliveryKey = Some(s"d$i"), persistPairs = true): Unit
+      val originals = d.where(pmod(col("doc_id"), lit(80)) === 7)
+      Dedup.indexCheckAndIngest(s, idx,
+        originals.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text")),
+        "doc_id", "text", JaccardThreshold,
+        deliveryKey = Some("d2"), persistPairs = true): Unit
+      val deleted = originals.select("doc_id")
+        .collect().map(_.getLong(0)).toSeq
+      Dedup.indexForgetDocs(s, idx, deleted, key = Some("rtbf"))
+      require(scala.util.Try(Dedup.indexForgetDocs(
+          s, idx, deleted, key = Some("rtbf"))).isFailure,
+        "redelivered takedown must be rejected")
+      // near-dups of the DELETED originals: must pair only against
+      // the surviving +100000 copies
+      Dedup.indexCheckAndIngest(s, idx,
+        originals.select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" qq0 qq1 qq2")).as("text")),
+        "doc_id", "text", JaccardThreshold,
+        deliveryKey = Some("d3"), persistPairs = true): Unit
+      val pre = Dedup.indexPairs(s, idx)
+        .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+      Dedup.indexCompact(s, idx)
+      require(Dedup.indexTombstoneCount(s, idx) == 0L,
+        "full fold must retire the tombstone")
+      require(scala.util.Try(Dedup.indexForgetDocs(
+          s, idx, deleted, key = Some("rtbf"))).isFailure,
+        "the takedown key must survive compaction")
+      Dedup.indexVacuum(s, idx)
+      val post = Dedup.indexPairs(s, idx)
+      require(post.select("a_id", "b_id").collect()
+          .map(_.toString).sorted.toSeq == pre,
+        "compaction must not change post-delete pair readback")
+      post
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
     // FEDERATED dedup-index merge: two LSH indexes built independently
     // — destination over a 1/4 corpus slice, source over a batch of
     // near-dup copies (every 7th dst doc + token-reversed novels) —
@@ -966,6 +1024,52 @@ object PipelineQueries {
           k = 10, nProbe = 3)
         .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
         .orderBy("q_id", "rank")
+    }),
+    // VECTOR DELETION on the persisted IVF index (takedown): build +
+    // two appends over the %8==5 slice, then every %32==5 vector is
+    // deleted — one pure gone-set tombstone commit. Deleted vectors
+    // stop appearing as neighbors IMMEDIATELY (probe-side anti-join);
+    // centroids stay frozen (deletion does not retrain — the same
+    // drift contract as appends). Lifecycle pinned in-line:
+    // redelivered takedown refused, full fold physically erases
+    // (tombstone retired, keys survive), vacuum reclaims, and the
+    // post-fold probe must equal the pre-fold one. Oracle =
+    // declarative frozen-centroid IVF with the FULL founding centroid
+    // set (built pre-delete) but only surviving vectors on the
+    // posting side
+    "ann_index_forget" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_fidx").toString
+      val sub = embBase(s, dir).where(pmod(col("vec_id"), lit(8)) === 5)
+      val founding = sub.where(pmod(col("vec_id"), lit(24)) === 5)
+      Similarity.ivfIndexBuild(s, idx, founding,
+        Similarity.boundedStep(founding.count()), key = Some("f0"))
+      for (i <- 1 until 3)
+        Similarity.ivfIndexAppend(s, idx,
+          sub.where(pmod(col("vec_id"), lit(24)) === 8 * i + 5),
+          key = Some(s"f$i"))
+      val deleted = sub.where(pmod(col("vec_id"), lit(32)) === 5)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      Similarity.ivfIndexForget(s, idx, deleted, key = Some("take0"))
+      require(scala.util.Try(Similarity.ivfIndexForget(
+          s, idx, deleted, key = Some("take0"))).isFailure,
+        "redelivered takedown must be rejected")
+      def probe() = Similarity
+        .ivfIndexQuery(s, idx, sub.where(col("vec_id") < 40),
+          k = 10, nProbe = 3)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+      val pre = probe().collect().map(_.toString).sorted.toSeq
+      Similarity.ivfIndexCompactTiered(s, idx, fanIn = 16)
+      require(Similarity.ivfTombstoneCount(s, idx) == 0L,
+        "full fold must retire the tombstone")
+      require(scala.util.Try(Similarity.ivfIndexForget(
+          s, idx, deleted, key = Some("take0"))).isFailure,
+        "the takedown key must survive compaction")
+      Similarity.ivfIndexVacuum(s, idx)
+      val post = probe()
+      require(post.collect().map(_.toString).sorted.toSeq == pre,
+        "compaction must not change post-delete probe answers")
+      post.orderBy("q_id", "rank")
     }),
     // FEDERATED IVF-index merge: two indexes founded INDEPENDENTLY over
     // the even / odd vec_id halves — each froze its OWN centroids — fold
@@ -1612,6 +1716,46 @@ object PipelineQueries {
           Seq((1L, "window scan"), (2L, "batch batch"),
             (3L, "the scan"), (4L, "join order")))
         .orderBy("query_id", "doc_id")),
+    // INDEXED PHRASE PERCOLATION: the rule registry is a persisted
+    // TEXT INDEX (each rule one phrase-document, pos-leg profile) —
+    // lifting percolate_phrases' 4096-literal cap. ~4.4k trigram
+    // rules (10 deterministic slots per document, stride 4) ingest in
+    // two keyed shards; a doc batch (every 10th doc, offset 4) then
+    // matches by the positional JOIN (searchPhrasePositional's
+    // algebra generalized to all rules at once): the rule index's
+    // pos scan prunes to the BATCH's token buckets with pushed token
+    // equality — cost ∝ rules sharing vocabulary with the batch,
+    // never the registry — and occurrences are distinct-offset-cover
+    // start counts (overlaps and adjacent repeats exact). The require
+    // pins that the fixture actually exceeds the literal-rule cap.
+    // Oracle = the declarative rule derivation + sliding trigram count
+    "percolate_indexed" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_perc_idx").toString
+      val t = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val rules = t
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L), lit(9L))).as("x"))
+        .where(size(col("tk")) >= col("x") * 4 + 3)
+        .select((col("doc_id") * 16 + col("x")).as("doc_id"),
+          concat_ws(" ",
+            expr("element_at(tk, cast(x*4+1 as int))"),
+            expr("element_at(tk, cast(x*4+2 as int))"),
+            expr("element_at(tk, cast(x*4+3 as int))")).as("text"))
+      require(rules.count() > 4096,
+        "fixture must exceed percolatePhrases' literal-rule cap")
+      val legs = graft.text.TextIndex.LegProfile(
+        pos = true, del = false, docs = false)
+      for (i <- 0 until 2)
+        graft.text.TextIndex.ingestShard(s, idx,
+          rules.where(pmod(col("doc_id"), lit(2)) === i),
+          "doc_id", "text", key = Some(s"p$i"), legs = legs)
+      graft.text.TextIndex.percolateIndexed(s, idx,
+          docs(s, dir).where(col("doc_id") % 10 === 4),
+          "doc_id", "text")
+        .orderBy("query_id", "doc_id")
+    }),
     // STREAMING PERCOLATION: the same 10 stored rules watch a DOC
     // STREAM (a disjoint incoming subset, every 50th doc offset 25,
     // replayed as two micro-batches). Matching is ROW-LOCAL — rules
@@ -1815,6 +1959,61 @@ object PipelineQueries {
           maxDf = Some(nd * 768L / 1000L))
         .orderBy("rank")
     }),
+    // DOCUMENT DELETION on the persisted text index (right-to-be-
+    // forgotten): a quarter of the doc_id % 10 = 3 subset is taken
+    // down via forgetDocs — ONE tombstone commit (gone ids + EXACT
+    // negative df/nd/tl deltas re-derived from the forward store), so
+    // post-delete BM25 equals an index that NEVER ingested those docs,
+    // immediately, without rewriting the index. The query then pins
+    // the whole lifecycle in-line: redelivered delete refused, a
+    // pre-delete cloneAsOf branch still serves a deleted doc
+    // (time-travel until vacuum), full compaction retires the
+    // tombstone (physical erasure) with the delete key surviving, and
+    // the post-compaction search must equal the pre-compaction one.
+    // Oracle = declarative BM25 over (subset MINUS the deleted docs)
+    "text_index_forget" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_text_forget").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(col("doc_id") % 10 === 3)
+      for (i <- 0 until 2)
+        graft.text.TextIndex.ingestShard(s, idx,
+          d.where(pmod(col("doc_id"), lit(20)) === i * 10 + 3),
+          "doc_id", "text", key = Some(s"f$i"))
+      val vPre = graft.text.TextIndex.version(s, idx)
+      val deleted = d.where(col("doc_id") % 40 === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      graft.text.TextIndex.forgetDocs(s, idx, deleted, key = Some("rtbf0"))
+      require(scala.util.Try(graft.text.TextIndex.forgetDocs(
+          s, idx, deleted, key = Some("rtbf0"))).isFailure,
+        "redelivered delete must be rejected")
+      val pre = graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+        .collect().toSeq
+      // time travel: the pre-delete branch still serves a deleted doc
+      val branch = java.nio.file.Files
+        .createTempDirectory("graft_text_forget_br").toString
+      graft.text.TextIndex.cloneAsOf(s, idx, branch, vPre)
+      require(graft.text.TextIndex
+          .docsFor(s, branch, Seq(deleted.head)).count() == 1L,
+        "pre-delete clone must still serve the deleted doc")
+      require(graft.text.TextIndex
+          .docsFor(s, idx, Seq(deleted.head)).count() == 0L,
+        "the live index must not serve a deleted doc")
+      // full fold retires the tombstone; the delete key survives
+      graft.text.TextIndex.compact(s, idx)
+      require(graft.text.TextIndex.tombstoneCount(s, idx) == 0L,
+        "full compaction must fold the tombstone away")
+      require(scala.util.Try(graft.text.TextIndex.forgetDocs(
+          s, idx, deleted, key = Some("rtbf0"))).isFailure,
+        "delete keys must survive compaction")
+      graft.text.TextIndex.vacuum(s, idx)
+      val post = graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+      require(post.collect().toSeq == pre,
+        "compaction must not change post-delete answers")
+      post.orderBy("rank")
+    }),
     // PERSISTED inverted text index, STREAMING-MAINTAINER leg, on a
     // disjoint 1/10 subset: three mtime-ordered files replay as three
     // micro-batches through StreamTextIndex.maintain (one shard per
@@ -1967,11 +2166,10 @@ object PipelineQueries {
     // #txn:b<id> ledgers, exactly-once across both (the text leg's
     // survivor set derives from the BATCH'S OWN persisted pair report
     // — batch-grain cost, replay-identical — so a crash between the
-    // two commits replays exactly;
-    // StreamCrawlPipelineSpec pins that path). The whole stream then
-    // redelivers under a FRESH checkpoint and the require pins the
-    // no-op on BOTH versions. Search answers from the gated index;
-    // oracle = BM25 over (subset minus later-shard near-dups)
+    // two commits replays exactly; StreamCrawlPipelineSpec pins that
+    // path AND the fresh-checkpoint redelivery no-op on both
+    // ledgers). Search answers from the gated index; oracle = BM25
+    // over (subset minus later-shard near-dups)
     "stream_crawl_pipeline" -> ((s, dir) => {
       val dedupIdx = java.nio.file.Files
         .createTempDirectory("graft_crawl_didx").toString
@@ -1981,7 +2179,14 @@ object PipelineQueries {
         .createTempDirectory("graft_crawl_src")
       val d = docs(s, dir).select("doc_id", "text")
       val base = System.currentTimeMillis()
-      for (i <- 0 until 3) {
+      // the TIMED probe is a 1-drain × 2-batch subset (the production
+      // per-batch path: gate against the stored index, ingest
+      // survivors, two ledgers) — the full 2-drain × 3-batch
+      // crash/replay machinery lives in StreamCrawlPipelineSpec,
+      // which pins the redelivery no-op on BOTH indexes and the
+      // batch-grain survivor derivation (the stream_rag_pipeline
+      // probe-slimming discipline)
+      for (i <- 0 until 2) {
         val scratch = srcDir.resolve(s"scratch$i")
         d.where(pmod(col("doc_id"), lit(15)) === 5 * i + 2)
           .coalesce(1).write.parquet(scratch.toString)
@@ -1997,21 +2202,12 @@ object PipelineQueries {
         } finally parts.close()
       }
       val schema = s.read.parquet(s"$srcDir/batch0.parquet").schema
-      def drain(ckpt: String): Unit =
-        graft.streaming.StreamCrawlPipeline.maintain(
-          s.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(srcDir.toString),
-          dedupIdx, textIdx, ckpt,
-          threshold = JaccardThreshold).awaitTermination()
-      drain(s"$srcDir/ckpt")
-      val vD = Dedup.indexVersion(s, dedupIdx)
-      val vT = graft.text.TextIndex.version(s, textIdx)
-      drain(s"$srcDir/ckpt_redelivery") // fresh checkpoint = full replay
-      require(
-        Dedup.indexVersion(s, dedupIdx) == vD &&
-          graft.text.TextIndex.version(s, textIdx) == vT,
-        "stream redelivery must be a no-op on BOTH indexes")
+      graft.streaming.StreamCrawlPipeline.maintain(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString),
+        dedupIdx, textIdx, s"$srcDir/ckpt",
+        threshold = JaccardThreshold).awaitTermination()
       graft.text.TextIndex
         .searchBm25(s, textIdx, Seq("merge", "window", "scan"), 20)
         .orderBy("rank")
@@ -3699,6 +3895,25 @@ object PipelineQueries {
          |WHERE n_occurrences > 0
          |ORDER BY query_id, doc_id""".stripMargin
     },
+    // rule derivation (10 trigram slots per doc, stride 4) + sliding
+    // trigram count of every rule against the batch subset
+    "percolate_indexed" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |r AS (SELECT doc_id * 16 + s AS query_id,
+        |        tk[CAST(4*s+1 AS INT)] AS t1, tk[CAST(4*s+2 AS INT)] AS t2,
+        |        tk[CAST(4*s+3 AS INT)] AS t3
+        |      FROM t, unnest(generate_series(0, 9)) AS g(s)
+        |      WHERE len(tk) >= 4*s+3),
+        |d AS (SELECT doc_id, tk FROM t WHERE doc_id % 10 = 4),
+        |m AS (SELECT r.query_id, d.doc_id,
+        |        CAST(len(list_filter(generate_series(1, len(d.tk) - 2),
+        |          i -> d.tk[i] = r.t1 AND d.tk[i+1] = r.t2
+        |            AND d.tk[i+2] = r.t3)) AS BIGINT) AS n_occurrences
+        |      FROM r, d)
+        |SELECT query_id, doc_id, n_occurrences FROM m
+        |WHERE n_occurrences > 0
+        |ORDER BY query_id, doc_id""".stripMargin,
     // the last-seen min-window sweep over the whole corpus (the
     // rerank oracle's formulation), filtered to windows <= 6
     "near_search" ->
@@ -3973,6 +4188,36 @@ object PipelineQueries {
         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
         |  score_ppm, n_terms FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // post-delete, post-compaction index ≡ declarative BM25 over the
+    // subset MINUS the deleted docs — EXACT df/nd/tl deltas mean the
+    // takedown leaves the same scores as never ingesting those docs
+    "text_index_forget" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 3 AND doc_id % 40 <> 3),
+        |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, score_ppm, n_terms FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // compacted index ≡ declarative BM25 over the subset, with the
     // stop-word df cap (skip query terms whose df > nd*768//1000 —
     // integer arithmetic, so both engines cut the same terms)
@@ -4209,6 +4454,43 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = b_id
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
          |ORDER BY a_id, b_id""".stripMargin,
+    // post-delete cumulative pair readback ≡ declarative cross-shard
+    // Jaccard (per-shard df caps) MINUS every pair touching a deleted
+    // original (< 100000 with doc_id % 80 = 7)
+    "dedup_index_forget" ->
+      s"""WITH sub AS (SELECT doc_id, text,
+         |    CASE WHEN doc_id % 40 = 7 THEN 0 ELSE 1 END AS shard
+         |  FROM documents WHERE doc_id % 20 = 7),
+         |copies AS (SELECT doc_id + 100000 AS doc_id,
+         |    text || ' zz0 zz1 zz2' AS text, 2 AS shard
+         |  FROM documents WHERE doc_id % 80 = 7),
+         |b2 AS (SELECT doc_id + 200000 AS doc_id,
+         |    text || ' qq0 qq1 qq2' AS text, 3 AS shard
+         |  FROM documents WHERE doc_id % 80 = 7),
+         |d AS (SELECT * FROM sub UNION ALL SELECT * FROM copies
+         |      UNION ALL SELECT * FROM b2),
+         |tok AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d),
+         |sh0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+         |  FROM tok),
+         |shf AS (SELECT s.* FROM sh0 s JOIN (
+         |    SELECT shard, sh FROM sh0 GROUP BY shard, sh
+         |    HAVING count(*) <= 200) c
+         |    ON s.shard = c.shard AND s.sh = c.sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.shard < b.shard
+         |  GROUP BY 1, 2)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id
+         |JOIN sizes sb ON sb.doc_id = b_id
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |  AND NOT (a_id < 100000 AND a_id % 80 = 7)
+         |  AND NOT (b_id < 100000 AND b_id % 80 = 7)
+         |ORDER BY a_id, b_id""".stripMargin,
     // merge verdict ≡ declarative CROSS-corpus Jaccard with per-corpus
     // df caps (each index df-capped its own build shard)
     "dedup_index_merge" ->
@@ -4275,6 +4557,41 @@ object PipelineQueries {
         |      FROM p)
         |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
         |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // post-delete IVF ≡ declarative frozen-centroid IVF: centroids
+    // strided over the FULL founding slice (built pre-delete), but
+    // only surviving vectors (%32 <> 5) on the posting side; probes
+    // come from the corpus frame, so a deleted vector may still QUERY
+    "ann_index_forget" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 8 = 5),
+        |f AS (SELECT * FROM e WHERE vec_id % 24 = 5),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM f
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM f) = 0),
+        |ac AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |ar AS (SELECT vec_id, v, c_id,
+        |         row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |       FROM ac),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM ar
+        |             WHERE rn = 1 AND vec_id % 32 <> 5),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
+        |           FROM ar WHERE vec_id < 40 AND rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
     // merged IVF ≡ declarative frozen-centroid IVF over the even-half
     // union of the two quarter slices, with the destination's
     // centroids (strided over the %4==0 quarter)
@@ -4313,7 +4630,7 @@ object PipelineQueries {
     // index's cross-shard verdict, the BM25 chain scores what survives
     "stream_crawl_pipeline" ->
       s"""WITH d0 AS (SELECT doc_id, text, (doc_id % 15) // 5 AS shard
-         |            FROM documents WHERE doc_id % 5 = 2),
+         |            FROM documents WHERE doc_id % 15 IN (2, 7)),
          |tokd AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens FROM d0),
          |sg0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
          |    generate_series(1, len(tokens) - 2),

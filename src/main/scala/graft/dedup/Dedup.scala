@@ -314,6 +314,102 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Long =
     new graft.store.CommitLog(s"$indexDir/_manifests").latest(spark)._1
 
+  /** Live tombstone commits (`t-` prefix) — each one
+   *  [[indexForgetDocs]] call's gone doc-id set. */
+  private def indexTombDirs(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[String] =
+    new graft.store.CommitLog(s"$indexDir/_manifests")
+      .latest(spark)._2.filter(_.startsWith("t-"))
+
+  /** The live tombstoned doc ids as one (doc_id) frame — None when no
+   *  tombstones are live, so the no-deletions case adds zero plan
+   *  nodes to the check/pair read paths.
+   */
+  private def indexGone(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] = {
+    val ts = indexTombDirs(spark, indexDir)
+    Option.when(ts.nonEmpty)(
+      ts.map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
+        .reduce(_.unionByName(_)).select("doc_id"))
+  }
+
+  /** Drop tombstoned docs from a doc-grain index read (broadcast
+   *  anti-join; the gone set is bounded — a full [[indexCompact]]
+   *  retires it, so it never grows with delete history).
+   */
+  private def dropIndexGone(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      df: DataFrame, idCols: String*): DataFrame =
+    indexGone(spark, indexDir) match {
+      case None => df
+      case Some(g) =>
+        idCols.foldLeft(df)((d, c) =>
+          d.join(broadcast(g.select(col("doc_id").as(c))), Seq(c),
+            "left_anti"))
+    }
+
+  /** DOCUMENT DELETION for the persisted LSH dedup index (takedown
+   *  without rebuild): ONE tombstone commit `t-<uuid>` holding the
+   *  gone doc ids. Signatures and shingle postings of a gone doc stop
+   *  participating in candidate generation and verification
+   *  IMMEDIATELY (every check anti-joins the gone set), and persisted
+   *  pair reports stop serving pairs that mention a gone doc on
+   *  either side. A FULL [[indexCompact]] physically drops the gone
+   *  docs' rows from sig/sh/pairs and retires the tombstone;
+   *  [[indexVacuum]] erases the superseded bytes — the store's
+   *  forgetDataset lifecycle. A pre-delete [[indexCloneAsOf]] branch
+   *  still serves the doc until vacuum.
+   *
+   *  Unlike the text index there are NO corpus-level aggregates to
+   *  delta (the index stores only doc-grain rows), so the tombstone
+   *  is a pure idempotent set: re-deleting an already-gone or
+   *  never-ingested id is harmless by construction, concurrent
+   *  forgets of disjoint or overlapping sets compose (gone sets
+   *  union), and no stale-abort is needed. `key` rides the same
+   *  `#txn:` ledger as ingest — a redelivered takedown is refused
+   *  loudly, and keys survive compaction. Cost: O(ids) — never ∝
+   *  the index.
+   */
+  def indexForgetDocs(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      ids: Seq[Long], key: Option[String] = None): Unit = {
+    require(ids.nonEmpty && ids.length <= 1000000,
+      s"indexForgetDocs takes 1..1000000 ids per call (got ${ids.length})")
+    val clog = new graft.store.CommitLog(s"$indexDir/_manifests")
+    val txn = key.map { k =>
+      require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")
+      "#txn:" + k
+    }
+    txn.foreach { t =>
+      require(!clog.latest(spark)._2.contains(t),
+        s"delete with delivery key ${key.get} was already applied to " +
+          s"$indexDir — redelivery rejected (deletion is exactly-once)")
+    }
+    import spark.implicits._
+    val name = s"t-${java.util.UUID.randomUUID().toString.take(12)}"
+    ids.distinct.toDF("doc_id")
+      .coalesce(1).write.parquet(s"$indexDir/data/$name/gone")
+    val published = clog.commit(spark) { now =>
+      if (txn.exists(now.contains)) None // raced redelivery
+      else Some(now :+ name :++ txn.toSeq)
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$name")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(p, true): Unit
+      require(published,
+        s"delete with delivery key ${key.get} raced a concurrent " +
+          s"redelivery into $indexDir — this attempt's staging was dropped")
+    }
+  }
+
+  /** Live tombstoned-doc count — compact-scheduler observability. */
+  def indexTombstoneCount(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Long =
+    indexGone(spark, indexDir).map(_.count()).getOrElse(0L)
+
   /** Stable digest of a delivery key, embedded in a keyed shard's
    *  commit-dir name (`c-k<digest>-<rand>`) so the shard's own pair
    *  report stays ADDRESSABLE BY KEY ([[indexPairsForDelivery]]). The
@@ -373,7 +469,9 @@ object Dedup {
       hp.getFileSystem(conf).exists(hp)
     }
     if (dirs.isEmpty) emptyPairs(spark)
-    else dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    else dropIndexGone(spark, indexDir,
+      dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+      "a_id", "b_id")
   }
 
   /** Union of the PERSISTED per-shard pair reports
@@ -397,7 +495,9 @@ object Dedup {
     require(dirs.nonEmpty,
       s"no persisted pair reports under $indexDir — ingest with " +
         "persistPairs = true")
-    dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    dropIndexGone(spark, indexDir,
+      dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+      "a_id", "b_id")
   }
 
   def indexCheckAndIngest(
@@ -440,7 +540,10 @@ object Dedup {
       val verdict =
         if (sigDirs.isEmpty) emptyPairs(spark)
         else {
-          val isig = spark.read.parquet(sigDirs: _*)
+          // tombstoned docs neither generate candidates nor verify —
+          // a deleted doc can't gate or pair with future shards
+          val isig = dropIndexGone(spark, indexDir,
+            spark.read.parquet(sigDirs: _*), "doc_id")
           val cand = bandBuckets(isig, k, bands).as("x")
             .join(bandBuckets(sig, k, bands).as("y"),
               col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
@@ -455,7 +558,8 @@ object Dedup {
             // postings semi-join down to candidate a_ids before the
             // intersection join, and set sizes come from the stored
             // sizes table — the index is never re-aggregated per shard
-            val aPost = spark.read.parquet(shDirs: _*)
+            val aPost = dropIndexGone(spark, indexDir,
+                spark.read.parquet(shDirs: _*), "doc_id")
               .join(broadcast(est.select(col("a_id").as("doc_id")).distinct()),
                 Seq("doc_id"), "left_semi")
               .select(col("doc_id").as("a_id"), col("sh"))
@@ -525,39 +629,60 @@ object Dedup {
     val clog = new graft.store.CommitLog(s"$indexDir/_manifests")
     val (_, live) = clog.latest(spark)
     val all = live.filter(_.startsWith("c-"))
-    if (all.size <= 1) return
+    val tombs = live.filter(_.startsWith("t-"))
+    // tombstones fold away ONLY in a full fold — a partial fold can't
+    // know the gone docs' rows all sit inside its inputs, so it
+    // concatenates pure and leaves the `t-` commits live (the read
+    // paths keep applying them)
+    val full = fanIn >= all.size
+    val applyTombs = full && tombs.nonEmpty
+    if (all.isEmpty || (all.size <= 1 && !applyTombs)) return
     val conf = spark.sessionState.newHadoopConf()
     val dirs =
-      if (fanIn >= all.size) all
+      if (full) all
       else all.map { d =>
         val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$d")
         val fs = p.getFileSystem(conf)
         (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
       }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
-    if (dirs.size <= 1) return
+    if (dirs.size <= 1 && !applyTombs) return
+    val gone: Option[DataFrame] = Option.when(applyTombs)(
+      tombs.map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
+        .reduce(_.unionByName(_)).select("doc_id"))
+    def dropGone(df: DataFrame, idCols: String*): DataFrame =
+      gone match {
+        case None => df
+        case Some(g) => idCols.foldLeft(df)((d, c) =>
+          d.join(broadcast(g.select(col("doc_id").as(c))), Seq(c),
+            "left_anti"))
+      }
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
     // shuffle-free coalesce back to one shard's worth of files — a fold
     // that carries the SUM of its inputs' file counts forward would
     // defeat the small-files half of compaction's purpose
     val nsp = spark.sessionState.conf.numShufflePartitions
-    def fold(sub: String, coalesceTo: Int): Boolean = {
+    def fold(sub: String, coalesceTo: Int, idCols: String*): Boolean = {
       val srcs = dirs.map(d => s"$indexDir/data/$d/$sub").filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
       }
       if (srcs.isEmpty) false
       else {
-        srcs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        dropGone(
+          srcs.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
+          idCols: _*)
           .coalesce(coalesceTo)
           .write.parquet(s"$indexDir/data/$name/$sub")
         true
       }
     }
-    fold("sig", nsp): Unit
-    fold("sh", nsp): Unit
-    fold("pairs", 1): Unit // pair reports are optional per shard
+    fold("sig", nsp, "doc_id"): Unit
+    fold("sh", nsp, "doc_id"): Unit
+    fold("pairs", 1, "a_id", "b_id"): Unit // pair reports optional per shard
+    val replaced = dirs ++ (if (applyTombs) tombs else Seq.empty)
     val published = clog.commit(spark) { now =>
-      if (dirs.forall(now.contains)) Some(now.filterNot(dirs.contains) :+ name)
+      if (replaced.forall(now.contains))
+        Some(now.filterNot(replaced.contains) :+ name)
       else None // an input moved under us — abort, never double-fold
     }
     if (!published) {
@@ -654,6 +779,10 @@ object Dedup {
     val (srcV, srcLive) = new graft.store.CommitLog(s"$srcDir/_manifests")
       .latest(spark)
     val srcShards = srcLive.filter(_.startsWith("c-"))
+    require(!srcLive.exists(_.startsWith("t-")),
+      s"source index $srcDir has live tombstones — fully compact it " +
+        "first (a merge folds doc-grain legs by concatenation and " +
+        "cannot carry another index's pending deletions)")
     // + the snapshot-identity marker: keyless sources re-merged twice
     // must refuse too (graft.store.CommitLog.sourceIdentity)
     val srcTxn = srcLive.filter(_.startsWith("#txn:")) :+
@@ -688,7 +817,10 @@ object Dedup {
       if (dstSigDirs.isEmpty)
         emptyPairs(spark)
       else {
-        val dstSig = spark.read.parquet(dstSigDirs: _*)
+        // dst tombstones apply: a deleted destination doc must not
+        // pair with (or gate) the incoming corpus
+        val dstSig = dropIndexGone(spark, dstDir,
+          spark.read.parquet(dstSigDirs: _*), "doc_id")
         val cand = bandBuckets(dstSig, k, bands).as("x")
           .join(bandBuckets(srcSig, k, bands).as("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
@@ -700,7 +832,8 @@ object Dedup {
           // both posting scans semi-join down to candidate docs before
           // the intersection join — index-merge cost is collision-
           // proportional, never corpus-proportional
-          val aPost = spark.read.parquet(dstShDirs: _*)
+          val aPost = dropIndexGone(spark, dstDir,
+              spark.read.parquet(dstShDirs: _*), "doc_id")
             .join(broadcast(est.select(col("a_id").as("doc_id")).distinct()),
               Seq("doc_id"), "left_semi")
             .select(col("doc_id").as("a_id"), col("sh"))

@@ -331,6 +331,68 @@ object Similarity {
       }
   }
 
+  /** Live tombstone commits (`t-` prefix) — each one
+   *  [[ivfIndexForget]] call's gone vec-id set. */
+  private def ivfTombDirs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
+    ivfLog(dir).latest(spark)._2.filter(_.startsWith("t-"))
+
+  /** The live tombstoned vec ids as one (vec_id) frame — None when no
+   *  tombstones are live (zero plan overhead without deletions). */
+  private def ivfGone(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val ts = ivfTombDirs(spark, dir)
+    Option.when(ts.nonEmpty)(
+      ts.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
+        .reduce(_.unionByName(_)).select("vec_id"))
+  }
+
+  private def dropIvfGone(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      df: DataFrame): DataFrame =
+    ivfGone(spark, dir)
+      .map(g => df.join(broadcast(g), Seq("vec_id"), "left_anti"))
+      .getOrElse(df)
+
+  /** VECTOR DELETION for the persisted IVF index (takedown without
+   *  rebuild): ONE tombstone commit `t-<uuid>` holding the gone vec
+   *  ids. Deleted vectors stop appearing as neighbors IMMEDIATELY
+   *  (every probe anti-joins the gone set — a broadcast, bounded
+   *  because folds retire it), stats reflect the live set, and the
+   *  next FULL [[ivfIndexCompact]] or [[ivfIndexRebuild]] physically
+   *  drops the rows and retires the tombstone (the rebuild's
+   *  whole-live-set swap keeps only `#txn:` keys, so tombstones fold
+   *  into it for free); [[ivfIndexVacuum]] erases the superseded
+   *  bytes. A pre-delete [[ivfIndexCloneAsOf]] branch still serves
+   *  the vector until vacuum. Centroids are NOT retrained by a
+   *  delete — cell geometry drifts exactly as under appends, and the
+   *  same imbalance monitor decides when to rebuild.
+   *
+   *  The tombstone is a pure idempotent set (no corpus-level
+   *  aggregates to delta): re-deleting a gone or never-ingested id
+   *  is harmless, concurrent forgets compose, no stale-abort needed.
+   *  `key` rides the same `#txn:` ledger as appends — a redelivered
+   *  takedown is refused loudly, keys survive folds. Cost: O(ids).
+   */
+  def ivfIndexForget(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      ids: Seq[Long], key: Option[String] = None): Unit = {
+    require(ids.nonEmpty && ids.length <= 1000000,
+      s"ivfIndexForget takes 1..1000000 ids per call (got ${ids.length})")
+    val txn = ivfTxn(spark, dir, key)
+    import spark.implicits._
+    val name = s"t-${java.util.UUID.randomUUID().toString.take(12)}"
+    ids.distinct.toDF("vec_id")
+      .coalesce(1).write.parquet(s"$dir/data/$name/gone")
+    ivfPublish(spark, dir, name, txn, key)
+  }
+
+  /** Live tombstoned-vector count — fold-scheduler observability. */
+  def ivfTombstoneCount(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Long =
+    ivfGone(spark, dir).map(_.count()).getOrElse(0L)
+
   def ivfIndexBuild(
       spark: org.apache.spark.sql.SparkSession, dir: String, founding: DataFrame,
       centroidStep: Long, key: Option[String] = None): Unit = {
@@ -391,6 +453,10 @@ object Similarity {
       srcDir: String, key: Option[String] = None): Unit = {
     val (srcV, srcLive) = ivfLog(srcDir).latest(spark)
     val srcShards = srcLive.filter(_.startsWith("c-"))
+    require(!srcLive.exists(_.startsWith("t-")),
+      s"source index $srcDir has live tombstones — fully compact (or " +
+        "rebuild) it first; a merge folds postings by concatenation " +
+        "and cannot carry another index's pending deletions")
     // + the snapshot-identity marker: keyless sources re-merged twice
     // must refuse too (graft.store.CommitLog.sourceIdentity)
     val srcTxn = srcLive.filter(_.startsWith("#txn:")) :+
@@ -485,10 +551,22 @@ object Similarity {
       !hp.getFileSystem(conf).exists(hp)
     }
     if (anyMissing || dirs.isEmpty) return false
-    val corpus = dirs
+    // the observed snapshot's tombstones fold into the rebuild: gone
+    // vectors are dropped from the retrain corpus AND the reassigned
+    // postings, and the whole-live-set swap below retires the `t-`
+    // entries (only `#txn:` keys carry through) — a rebuild IS the
+    // physical-erasure point for deletions, same as a full compact
+    val goneDirs = live.filter(_.startsWith("t-"))
+      .map(t => s"$dir/data/$t/gone")
+    val raw = dirs
       .map(spark.read.parquet(_))
       .reduce(_.unionByName(_))
       .select(col("vec_id"), col("v"))
+    val corpus = (if (goneDirs.isEmpty) raw
+      else raw.join(
+        broadcast(goneDirs.map(spark.read.parquet(_))
+          .reduce(_.unionByName(_)).select("vec_id")),
+        Seq("vec_id"), "left_anti"))
       .localCheckpoint(true) // frozen input: the commit swap must not
     // invalidate this plan's source dirs mid-write
     val cents = kmeansCentroids(corpus, centroidStep, iters, sampleStep)
@@ -538,26 +616,37 @@ object Similarity {
     val cl = ivfLog(dir)
     val (_, live) = cl.latest(spark)
     val all = live.filter(_.startsWith("c-"))
-    if (all.size <= 1) return
+    val tombs = live.filter(_.startsWith("t-"))
+    // tombstones fold away ONLY in a full fold (partial folds cannot
+    // know the gone vectors' rows all sit inside their inputs) — the
+    // read paths keep applying live tombstones either way
+    val full = fanIn >= all.size
+    val applyTombs = full && tombs.nonEmpty
+    if (all.isEmpty || (all.size <= 1 && !applyTombs)) return
     val conf = spark.sessionState.newHadoopConf()
     val dirs =
-      if (fanIn >= all.size) all
+      if (full) all
       else all.map { d =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$d")
         val fs = p.getFileSystem(conf)
         (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
       }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
-    if (dirs.size <= 1) return
+    if (dirs.size <= 1 && !applyTombs) return
     def existing(sub: String): Seq[String] =
       dirs.map(d => s"$dir/data/$d/$sub").filter { p =>
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
       }
+    val gone: Option[DataFrame] = Option.when(applyTombs)(
+      tombs.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
+        .reduce(_.unionByName(_)).select("vec_id"))
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
     existing("post") match {
       case ps if ps.nonEmpty =>
-        ps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+        val base = ps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
           .select(col("vec_id"), col("v"), col("cell"))
+        gone.map(g => base.join(broadcast(g), Seq("vec_id"), "left_anti"))
+          .getOrElse(base)
           .repartition(col("cell"))
           .write.partitionBy("cell").parquet(s"$dir/data/$name/post")
       case _ => ()
@@ -570,8 +659,10 @@ object Similarity {
         s"index $dir has ${many.size} centroid legs among $dirs — " +
           "one generation must own exactly one")
     }
+    val replaced = dirs ++ (if (applyTombs) tombs else Seq.empty)
     val published = cl.commit(spark) { now =>
-      if (dirs.forall(now.contains)) Some(now.filterNot(dirs.contains) :+ name)
+      if (replaced.forall(now.contains))
+        Some(now.filterNot(replaced.contains) :+ name)
       else None // an input moved under us — abort, never double-fold
     }
     if (!published) {
@@ -648,10 +739,11 @@ object Similarity {
     // per-commit roots each carry their own cell=N partition tree — a
     // multi-root partitioned read conflicts, so read per commit and
     // union (same leaf files either way)
-    val postings = ivfLiveSub(spark, dir, "post")
-      .map(p => spark.read.parquet(p)
-        .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*)))
-      .reduce(_.unionByName(_))
+    val postings = dropIvfGone(spark, dir,
+      ivfLiveSub(spark, dir, "post")
+        .map(p => spark.read.parquet(p)
+          .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*)))
+        .reduce(_.unionByName(_)))
     rankTopK(
       postings
         .join(broadcast(probes), Seq("cell"))
@@ -675,8 +767,8 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     val posts = ivfLiveSub(spark, dir, "post")
     require(posts.nonEmpty, s"no live commits in IVF index $dir")
-    val cellSizes = posts.map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
+    val cellSizes = dropIvfGone(spark, dir,
+        posts.map(spark.read.parquet(_)).reduce(_.unionByName(_)))
       .groupBy("cell").agg(count(lit(1)).as("n"))
     cellSizes
       .agg(count(lit(1)).as("n_cells"), sum("n").as("n_vectors"),

@@ -42,10 +42,13 @@ import graft.sim.Similarity
  * maintainer reads [[Similarity.ivfIndexStats]] (one cell-grain agg
  * ∝ index) and re-trains when imbalance crosses the threshold —
  * under the strict-race publish, so an external writer racing the
- * rebuild simply wins and the next batch re-checks. A forever-stream
- * must also raise `rebalanceSampleStep` so the re-train reads a
- * bounded sample of the grown corpus (kmeansCentroids' ≤65536
- * contract), exactly like a scheduled rebuild would.
+ * rebuild simply wins and the next batch re-checks. The re-train's
+ * sample stride is DERIVED from the index's own stats by default
+ * (`n_vectors / 32768`, so the Lloyd sample stays bounded however
+ * large the stream has grown — kmeansCentroids' ≤65536 contract);
+ * `rebalanceSampleStep` overrides it for deployments with sparse or
+ * skewed vec_id spaces where the modular stride under- or
+ * over-samples.
  *
  * At 100 TB: per-batch cost is assignment (a broadcast of the
  * index-small centroid set, no corpus shuffle) + one cell-partitioned
@@ -53,6 +56,12 @@ import graft.sim.Similarity
  * beyond the checkpoint and the log.
  */
 object StreamAnnIndex {
+
+  /** Target Lloyd-sample size for the auto-derived rebalance stride —
+   *  half of kmeansCentroids' ≤65536 collectBounded cap, margin for
+   *  vec_id spaces where `id % step == 0` over-selects slightly.
+   */
+  private val TargetLloydSample = 32768.0
 
   /** Start the maintainer over a streaming Dataset of embeddings
    *  (`vec_id`, `v`). Runs with `Trigger.AvailableNow` — drain what
@@ -67,13 +76,13 @@ object StreamAnnIndex {
       centroidStep: Long,
       keepVersions: Int = Int.MaxValue,
       rebalanceAbovePpm: Option[Long] = None,
-      rebalanceSampleStep: Long = 1L): StreamingQuery = {
+      rebalanceSampleStep: Option[Long] = None): StreamingQuery = {
     require(centroidStep >= 1, s"bad centroidStep: $centroidStep")
     require(keepVersions >= 1, s"bad keepVersions: $keepVersions")
     require(rebalanceAbovePpm.forall(_ >= 1000000L),
       "rebalanceAbovePpm below 1e6 (perfect balance) would re-train " +
         "on every batch")
-    require(rebalanceSampleStep >= 1,
+    require(rebalanceSampleStep.forall(_ >= 1),
       s"bad rebalanceSampleStep: $rebalanceSampleStep")
     embStream.writeStream
       .outputMode("append")
@@ -101,11 +110,18 @@ object StreamAnnIndex {
           // in-flight readers of the old generation drain on the
           // deployment's own schedule.
           rebalanceAbovePpm.foreach { cut =>
-            val imb = Similarity.ivfIndexStats(s, indexDir)
-              .head().getLong(3)
-            if (imb > cut)
+            val st = Similarity.ivfIndexStats(s, indexDir).head()
+            if (st.getLong(3) > cut) {
+              // auto stride: the re-train reads ~TargetLloydSample
+              // vectors of the grown index, not all of it — the
+              // operator no longer guesses (manual override stands
+              // for sparse/skewed vec_id spaces)
+              val step = rebalanceSampleStep.getOrElse(math.max(1L,
+                math.ceil(st.getLong(1).toDouble / TargetLloydSample)
+                  .toLong))
               Similarity.ivfIndexRebuild(s, indexDir, centroidStep,
-                iters = 2, sampleStep = rebalanceSampleStep): Unit
+                iters = 2, sampleStep = step): Unit
+            }
           }
         }
       }

@@ -84,6 +84,21 @@ object TextIndex {
   private def clog(dir: String) =
     new graft.store.CommitLog(s"$dir/_manifests")
 
+  /** Empty result frame with the given (name, type) columns — the
+   *  shared zero-rows constructor behind every probe whose candidate
+   *  stage can legitimately come up empty (fuzzy suggest with an empty
+   *  edit ball, explain of a zero-hit search): same schema as the
+   *  populated path so downstream unions/writes never fork on shape.
+   */
+  private def emptyResult(
+      spark: SparkSession,
+      cols: (String, org.apache.spark.sql.types.DataType)*): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+        org.apache.spark.sql.types.StructField(n, t)
+      }))
+
   private def liveSub(
       spark: SparkSession, dir: String, sub: String): Seq[String] = {
     val conf = spark.sessionState.newHadoopConf()
@@ -93,6 +108,75 @@ object TextIndex {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
       }
+  }
+
+  /** Live TOMBSTONE commits (`t-` prefix): each is one [[forgetDocs]]
+   *  call's (gone doc ids, exact negative vocab/stats deltas). They
+   *  ride the same commit log as shard commits — one version-file
+   *  create makes a deletion visible atomically across every leg —
+   *  and a FULL compaction folds them away (physical erasure follows
+   *  at vacuum, exactly the store's forget discipline).
+   */
+  private def tombDirs(spark: SparkSession, dir: String): Seq[String] =
+    clog(dir).latest(spark)._2.filter(_.startsWith("t-"))
+
+  /** The live tombstoned doc ids as one (doc_id) frame — None when no
+   *  tombstones are live, so the common no-deletions case adds ZERO
+   *  plan nodes to every read path.
+   */
+  private def goneDocs(
+      spark: SparkSession, dir: String): Option[DataFrame] = {
+    val ts = tombDirs(spark, dir)
+    Option.when(ts.nonEmpty)(
+      ts.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
+        .reduce(_.unionByName(_)).select("doc_id"))
+  }
+
+  /** Union a DOC-GRAIN leg (post/pos/docs) across live shard commits
+   *  with tombstoned docs dropped — a broadcast anti-join against the
+   *  gone set (bounded: tombstones accumulate only between
+   *  compactions; a full fold retires them, so the broadcast never
+   *  grows with delete history). Every query path reads postings
+   *  through here, so a deleted doc can never resurrect in search,
+   *  phrase, proximity, containment, or forward-store results.
+   */
+  private def readDocGrain(
+      spark: SparkSession, dir: String, sub: String): DataFrame = {
+    val base = liveSub(spark, dir, sub)
+      .map(spark.read.parquet(_))
+      .reduce(_.unionByName(_))
+    goneDocs(spark, dir)
+      .map(g => base.join(broadcast(g), Seq("doc_id"), "left_anti"))
+      .getOrElse(base)
+  }
+
+  /** Vocab rows ACROSS live commits INCLUDING tombstone delta rows
+   *  (negative df) — callers fold `sum(df)` exactly as before and the
+   *  deltas make the fold equal the never-ingested-those-docs df; a
+   *  token whose folded df reaches 0 must be dropped by the caller
+   *  (`where df > 0`) so fully-deleted tokens stop suggesting.
+   */
+  private def vocabRows(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+    val ts = tombDirs(spark, dir)
+    if (ts.isEmpty) base
+    else base.unionByName(
+      ts.map(t => spark.read.parquet(s"$dir/data/$t/dvocab"))
+        .reduce(_.unionByName(_)))
+  }
+
+  /** Stats rows including tombstone deltas (negative nd/tl) — callers
+   *  `agg(sum)` exactly as before; post-delete (nd, tl) equal the
+   *  never-ingested values, so BM25 idf/avgdl are EXACT after a
+   *  delete, not stale-until-compaction.
+   */
+  private def statsRows(spark: SparkSession, dir: String): DataFrame = {
+    val base = spark.read.parquet(liveSub(spark, dir, "stats"): _*)
+    val ts = tombDirs(spark, dir)
+    if (ts.isEmpty) base
+    else base.unionByName(
+      ts.map(t => spark.read.parquet(s"$dir/data/$t/dstats"))
+        .reduce(_.unionByName(_)))
   }
 
   /** True iff EVERY live shard commit carries the optional leg `sub` —
@@ -134,9 +218,7 @@ object TextIndex {
     val buckets = ids.toDF("i")
       .select(hashBucket(col("i"))).distinct()
       .collect().map(_.getLong(0)).toSeq
-    liveSub(spark, dir, "docs")
-      .map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
+    readDocGrain(spark, dir, "docs")
       .where(col("fb").isin(buckets: _*) && col("doc_id").isin(ids: _*))
       .select(col("doc_id"), col("text"))
   }
@@ -247,10 +329,32 @@ object TextIndex {
         s"shard with delivery key ${key.get} was already ingested into " +
           s"$dir — redelivery rejected (the index is exactly-once)")
     }
+    // forward-store snapshot: when the docs leg is requested the input
+    // is materialized ONCE up front and every leg (tp included)
+    // derives from that snapshot — a nondeterministic source (sampled/
+    // limited/rand-derived) would otherwise publish a forward store
+    // whose rows disagree with the postings built from a second
+    // evaluation of the same plan. The id is normalized to long here
+    // (loud for non-integral ids) so the fb bucket written at ingest
+    // equals the bucket docsFor recomputes from its Seq[Long] literals
+    // — xxhash64 hashes IntegerType and LongType differently, so a raw
+    // int id would silently fail the fb directory prune at lookup.
+    val snap: Option[DataFrame] = Option.when(legs.docs) {
+      val idType = docs.schema(idCol).dataType.typeName
+      require(Seq("byte", "short", "integer", "long").contains(idType),
+        s"forward docs leg needs an integral id column (docsFor probes " +
+          s"by Seq[Long]); got $idCol: $idType — use LegProfile.Minimal " +
+          "or map ids to long first")
+      val s = docs.select(col(idCol).cast("long").as(idCol),
+        col(textCol).cast("string").as(textCol)).persist()
+      s.count(): Unit
+      s
+    }
+    val src = snap.getOrElse(docs)
     // ONE tokenize pass feeds every leg: (doc, token)-grain rows with
     // tf AND the sorted 1-based raw-array positions (1-based so the
     // positional probe and a 1-based SQL formulation agree exactly)
-    val tp = docs
+    val tp = src
       .select(col(idCol).as("doc_id"),
         posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "token")))
       .where(length(col("token")) > 0)
@@ -310,7 +414,10 @@ object TextIndex {
           dl.agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
             .coalesce(1).write.parquet(s"$dir/data/$name/stats")),
         Option.when(legs.docs)(() =>
-          docs.select(col(idCol).as("doc_id"), col(textCol).as("text"),
+          // reads the SNAPSHOT (id already long) — never re-evaluates
+          // the caller's frame, so forward text always agrees with the
+          // postings built from the same rows
+          src.select(col(idCol).as("doc_id"), col(textCol).as("text"),
               hashBucket(col(idCol)).as("fb"))
             .repartition(TokenBuckets, col("fb"))
             .write.partitionBy("fb").parquet(s"$dir/data/$name/docs"))
@@ -329,8 +436,147 @@ object TextIndex {
           s"shard with delivery key ${key.get} raced a concurrent " +
             s"redelivery into $dir — this attempt's staging was dropped")
       }
-    } finally tp.unpersist(): Unit
+    } finally {
+      tp.unpersist(): Unit
+      snap.foreach(_.unpersist(): Unit)
+    }
   }
+
+  /** DOCUMENT DELETION (right-to-be-forgotten for the index): remove
+   *  up to 65536 docs from every leg's ANSWERS immediately, under ONE
+   *  commit, WITHOUT rewriting the index — the takedown operator a
+   *  100 TB serving index needs (a full rebuild per takedown is
+   *  corpus-grain; this is ∝ the deleted docs' own postings).
+   *
+   *  Mechanism — a TOMBSTONE commit `t-<uuid>` holding three tiny legs:
+   *   - `gone/`: the deleted doc ids. Every doc-grain read path
+   *     (postings, positions, forward store) anti-joins this set, so
+   *     search/phrase/NEAR/containment/snippets can never resurrect a
+   *     deleted doc;
+   *   - `dvocab/`: EXACT negative df deltas (token, −n), recomputed by
+   *     re-tokenizing the docs' text from the forward `docs` leg (the
+   *     tokenizer is deterministic, so the deltas equal the df the
+   *     docs contributed at ingest);
+   *   - `dstats/`: one (−nd, −tl) row.
+   *  Because the deltas are exact, post-delete BM25 idf/avgdl/df are
+   *  IDENTICAL to an index that never ingested those docs — scores are
+   *  right immediately, not stale-until-compaction. A token whose
+   *  folded df reaches 0 drops from suggest/containment liveness at
+   *  the `df > 0` fold filter.
+   *
+   *  Lifecycle mirrors the store's forgetDataset: the tombstone is
+   *  LOGICAL deletion (immediate, atomic — one version-file create);
+   *  a FULL [[compact]] physically drops the docs' rows from every
+   *  leg, folds the deltas into vocab/stats, and retires the
+   *  tombstone; [[vacuum]] then erases the superseded bytes — the
+   *  compliance clock is the caller's compact+vacuum schedule, and a
+   *  pre-delete [[cloneAsOf]] branch still sees the doc until vacuum.
+   *
+   *  Exactly-once: `key` rides the same `#txn:` ledger as ingest — a
+   *  redelivered delete is refused loudly (and keys survive
+   *  compaction). Ids already deleted (or never ingested) contribute
+   *  nothing — the forward-store lookup is gone-filtered, so a
+   *  re-delete of the same id cannot double-subtract. CONCURRENT
+   *  forgets race safely: the publish aborts if the live tombstone
+   *  set moved between this call's snapshot and its commit (the
+   *  rewriteLive stale-abort discipline) — retry recomputes against
+   *  the new live set and overlapping ids drop out.
+   *
+   *  Requires the forward `docs` leg (the deltas come from the index
+   *  itself — at scale "the corpus DataFrame" is not available on the
+   *  serving side). For a [[LegProfile.Minimal]] index, delete by
+   *  rebuilding the affected shard.
+   */
+  def forgetDocs(
+      spark: SparkSession, dir: String, ids: Seq[Long],
+      key: Option[String] = None): Unit = {
+    require(ids.nonEmpty && ids.length <= 65536,
+      s"forgetDocs takes 1..65536 ids per call (got ${ids.length}); " +
+        "batch larger takedowns")
+    val cl = clog(dir)
+    val txn = key.map { k =>
+      require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")
+      "#txn:" + k
+    }
+    txn.foreach { t =>
+      require(!cl.latest(spark)._2.contains(t),
+        s"delete with delivery key ${key.get} was already applied to " +
+          s"$dir — redelivery rejected (deletion is exactly-once)")
+    }
+    require(hasDocsLeg(spark, dir),
+      s"index $dir has no forward docs leg on every live commit — " +
+        "forgetDocs computes its exact df/stats deltas from the " +
+        "index's own forward store; a Minimal-profile index deletes " +
+        "by rebuilding the affected shard")
+    // stale-abort snapshot: the publish refuses if the live tombstone
+    // set moves under us (a concurrent forget landed, or a full
+    // compaction retired tombstones) — deltas computed against one
+    // snapshot must not publish against another
+    val tombSnap = tombDirs(spark, dir).toSet
+    // gone-filtered point lookup: ids already tombstoned (or never
+    // ingested) vanish here, so the deltas below never double-subtract
+    val hit = docsFor(spark, dir, ids.distinct).persist()
+    try {
+      if (hit.isEmpty) {
+        // nothing live to delete — still ledger the delivery key so a
+        // redelivered (already-applied) takedown probes as done
+        txn.foreach { t =>
+          cl.commit(spark)(now =>
+            if (now.contains(t)) None else Some(now :+ t)): Unit
+        }
+        return
+      }
+      val tp = hit
+        .select(col("doc_id"),
+          explode(TextOps.tokens(col("text"))).as("token"))
+        .where(length(col("token")) > 0)
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val name = s"t-${java.util.UUID.randomUUID().toString.take(12)}"
+      hit.select(col("doc_id"))
+        .coalesce(1).write.parquet(s"$dir/data/$name/gone")
+      tp.groupBy("token").agg((-count(lit(1))).as("df"))
+        .coalesce(1).write.parquet(s"$dir/data/$name/dvocab")
+      tp.groupBy("doc_id").agg(sum("tf").as("dl"))
+        .agg((-count(lit(1))).as("nd"), (-sum(col("dl"))).as("tl"))
+        .coalesce(1).write.parquet(s"$dir/data/$name/dstats")
+      publishTombstone(spark, dir, name, txn, tombSnap)
+    } finally hit.unpersist(): Unit
+  }
+
+  /** The tombstone PUBLISH step, separated so the stale-abort path is
+   *  deterministically testable: refuses (and drops the staged `t-`
+   *  dir) when the delivery key raced in, or when the live tombstone
+   *  set no longer equals the snapshot the deltas were computed
+   *  against (a concurrent forget landed, or a full compaction retired
+   *  tombstones) — the rewriteLive "live set moved under us"
+   *  discipline; the caller reruns against the new live set.
+   */
+  private[graft] def publishTombstone(
+      spark: SparkSession, dir: String, name: String,
+      txn: Option[String], tombSnap: Set[String]): Unit = {
+    val published = clog(dir).commit(spark) { now =>
+      if (txn.exists(now.contains)) None // raced redelivery
+      else if (now.filter(_.startsWith("t-")).toSet != tombSnap)
+        None // live tombstone set moved — deltas may be stale
+      else Some(now :+ name :++ txn.toSeq)
+    }
+    if (!published) {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+      p.getFileSystem(spark.sessionState.newHadoopConf())
+        .delete(p, true): Unit
+      throw new IllegalStateException(
+        s"forgetDocs raced a concurrent forget/compaction at $dir — " +
+          "this attempt's staging was dropped; rerun against the " +
+          "new live set")
+    }
+  }
+
+  /** Live tombstoned-doc count — observability for the compact
+   *  scheduler (tombstones accumulate between full folds; each adds a
+   *  broadcast anti-join input to every read).
+   */
+  def tombstoneCount(spark: SparkSession, dir: String): Long =
+    goneDocs(spark, dir).map(_.count()).getOrElse(0L)
 
   /** BM25 top-k over the stored index for a bag of query terms.
    *  Corpus stats and per-term df fold across shards by sum (driver-
@@ -380,13 +626,13 @@ object TextIndex {
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val statsF = Future {
-      spark.read.parquet(liveSub(spark, dir, "stats"): _*)
-        .agg(sum("nd"), sum("tl")).head()
+      statsRows(spark, dir).agg(sum("nd"), sum("tl")).head()
     }
     val dfF = Future {
-      spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+      vocabRows(spark, dir)
         .where(col("token").isin(terms: _*))
         .groupBy("token").agg(sum("df").as("df"))
+        .where(col("df") > 0) // fully-deleted tokens are not indexed
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     }
     val stats = Await.result(statsF, Duration.Inf)
@@ -407,9 +653,7 @@ object TextIndex {
       else kept.toDF("t")
         .select(tokenBucket(col("t"))).distinct()
         .collect().map(_.getLong(0)).toSeq
-    val posts = liveSub(spark, dir, "post")
-      .map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
+    val posts = readDocGrain(spark, dir, "post")
       .where(col("tb").isin(termBuckets: _*) &&
         col("token").isin(kept: _*))
     (avgdl, kept, idf, posts)
@@ -467,13 +711,14 @@ object TextIndex {
   def stats(spark: SparkSession, dir: String): DataFrame = {
     val shards = liveSub(spark, dir, "stats")
     require(shards.nonEmpty, s"no live shards in text index $dir")
-    val st = spark.read.parquet(shards: _*)
+    val st = statsRows(spark, dir)
       .agg(lit(shards.size.toLong).as("n_shards"),
         sum("nd").as("nd"), sum("tl").as("tl"))
-    val vocab = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
-      .agg(count_distinct(col("token")).as("vocab_size"))
-    val posts = liveSub(spark, dir, "post")
-      .map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val vocab = vocabRows(spark, dir)
+      .groupBy("token").agg(sum("df").as("df"))
+      .where(col("df") > 0)
+      .agg(count(lit(1)).as("vocab_size"))
+    val posts = readDocGrain(spark, dir, "post")
       .agg(count(lit(1)).as("n_postings"))
     st.crossJoin(vocab).crossJoin(posts)
   }
@@ -492,9 +737,10 @@ object TextIndex {
   def suggestPrefix(
       spark: SparkSession, dir: String, prefix: String, k: Int): DataFrame = {
     require(prefix.nonEmpty && k > 0, s"bad prefix/k: '$prefix'/$k")
-    val top = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+    val top = vocabRows(spark, dir)
       .where(col("token").startsWith(prefix))
       .groupBy("token").agg(sum("df").as("df"))
+      .where(col("df") > 0) // fully-deleted tokens must stop suggesting
       .orderBy(col("df").desc, col("token"))
       .limit(k)
     top.withColumn("rank", row_number().over(
@@ -517,7 +763,15 @@ object TextIndex {
     val top = searchBm25(spark, dir, terms, k, maxDf)
       .select("rank", "doc_id").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    explainTop(spark, dir, terms, top.toSeq, maxDf)
+    // zero hits (terms absent from the index, or all over maxDf) is an
+    // ordinary input: the explanation of an empty ranking is the empty
+    // breakdown, not explainTop's bounded-top-k contract violation
+    if (top.isEmpty) {
+      import org.apache.spark.sql.types.{LongType, StringType}
+      emptyResult(spark, "rank" -> LongType, "doc_id" -> LongType,
+        "token" -> StringType, "tf" -> LongType, "dl" -> LongType,
+        "idf_ppm" -> LongType, "contrib_ppm" -> LongType)
+    } else explainTop(spark, dir, terms, top.toSeq, maxDf)
   }
 
   /** [[explainSearch]] for a caller that ALREADY ran the search —
@@ -576,8 +830,9 @@ object TextIndex {
     val pruned = maxDist <= DelMaxDist && legOnAllCommits(spark, dir, "del")
     val scored =
       if (!pruned)
-        spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+        vocabRows(spark, dir)
           .groupBy("token").agg(sum("df").as("df"))
+          .where(col("df") > 0)
           .withColumn("dist",
             levenshtein(col("token"), lit(term)).cast("long"))
           .where(col("dist") <= maxDist && col("token") =!= term)
@@ -603,23 +858,20 @@ object TextIndex {
         require(cands.length <= 65536,
           s"fuzzy suggest for '$term' has > 65536 candidate tokens " +
             "inside its edit ball — raise the ranking cut upstream")
-        if (cands.isEmpty)
-          return spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("rank",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("token",
-                org.apache.spark.sql.types.StringType),
-              org.apache.spark.sql.types.StructField("dist",
-                org.apache.spark.sql.types.LongType),
-              org.apache.spark.sql.types.StructField("df",
-                org.apache.spark.sql.types.LongType))))
+        if (cands.isEmpty) {
+          import org.apache.spark.sql.types.{LongType, StringType}
+          return emptyResult(spark, "rank" -> LongType,
+            "token" -> StringType, "dist" -> LongType, "df" -> LongType)
+        }
         val byTok = cands.map(r => r.getString(0) -> r.getLong(1)).toMap
         val distDf = broadcast(byTok.toSeq.toDF("token", "dist"))
-        spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+        vocabRows(spark, dir)
           .where(col("token").isin(byTok.keys.toSeq: _*))
           .groupBy("token").agg(sum("df").as("df"))
+          // a candidate whose folded df reached 0 was fully deleted —
+          // the del leg may still carry its keys until compaction, but
+          // the df fold is what decides liveness
+          .where(col("df") > 0)
           .join(distDf, "token")
       }
     val top = scored
@@ -665,9 +917,7 @@ object TextIndex {
       toks.zipWithIndex.map { case (t, j) => (t, j.toLong) }
         .toDF("token", "off"))
     val n = toks.size
-    liveSub(spark, dir, "pos")
-      .map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
+    readDocGrain(spark, dir, "pos")
       .where(col("tb").isin(termBuckets: _*) &&
         col("token").isin(terms: _*))
       .select(col("token"), col("doc_id"),
@@ -727,9 +977,7 @@ object TextIndex {
     val termBuckets = terms.toDF("t")
       .select(tokenBucket(col("t"))).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val candIds = liveSub(spark, dir, "post")
-      .map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
+    val candIds = readDocGrain(spark, dir, "post")
       .where(col("tb").isin(termBuckets: _*) &&
         col("token").isin(terms: _*))
       .groupBy("doc_id")
@@ -791,9 +1039,7 @@ object TextIndex {
     val termBuckets = terms.toDF("t")
       .select(tokenBucket(col("t"))).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val pos = liveSub(spark, dir, "pos")
-      .map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
+    val pos = readDocGrain(spark, dir, "pos")
       .where(col("tb").isin(termBuckets: _*) &&
         col("token").isin(terms: _*))
       .select(col("doc_id"), explode(col("positions")).as("pos"),
@@ -841,9 +1087,7 @@ object TextIndex {
     val termBuckets = terms.toDF("t")
       .select(tokenBucket(col("t"))).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val pos = liveSub(spark, dir, "pos")
-      .map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
+    val pos = readDocGrain(spark, dir, "pos")
       .where(col("tb").isin(termBuckets: _*) &&
         col("token").isin(terms: _*))
       .select(col("doc_id"), explode(col("positions")).as("pos"),
@@ -961,10 +1205,13 @@ object TextIndex {
    *  [[searchBm25]] (same driver-computed idf arithmetic), so a batch
    *  of one query returns exactly that query's search results.
    *
-   *  The batch's distinct terms collect to the driver to become
-   *  literal bucket/token filters — bounded (≤ 65536, loud past the
-   *  cap), the same capped-small contract as [[containmentProbe]];
-   *  duplicate terms within a query count once, as in searchBm25.
+   *  The batch's distinct (query_id, token) PAIRS collect to the
+   *  driver — bounded (≤ 262144 pairs AND ≤ 65536 distinct terms,
+   *  loud past either cap; split larger batches) — so the pruning
+   *  literals and the posting-join side derive from ONE evaluation
+   *  of a possibly-nondeterministic `queries` frame, the same
+   *  capped-small contract as [[containmentProbe]]; duplicate terms
+   *  within a query count once, as in searchBm25.
    *
    *  Returns (query_id, rank, doc_id, score_ppm, n_terms), rank ≤ k
    *  per query.
@@ -1056,9 +1303,10 @@ object TextIndex {
       require(terms.length <= 65536,
         s"containmentProbe benchmark has ${terms.length} distinct tokens — " +
           "the probe is for capped-small benchmarks (split it, or scan)")
-      val dfByTerm = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+      val dfByTerm = vocabRows(spark, dir)
         .where(col("token").isin(terms.toSeq: _*))
         .groupBy("token").agg(sum("df").as("df"))
+        .where(col("df") > 0)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val kept = terms.filter(t => dfByTerm.get(t).exists(_ <= maxDf)).toSeq
       val keptBt = bt.where(col("token").isin(kept: _*))
@@ -1072,9 +1320,7 @@ object TextIndex {
         }
       // postings are unique per (token, doc): shards partition docs and
       // compaction concatenates, so count(*) IS the distinct-token overlap
-      val posts = liveSub(spark, dir, "post")
-        .map(spark.read.parquet(_))
-        .reduce(_.unionByName(_))
+      val posts = readDocGrain(spark, dir, "post")
         .where(col("tb").isin(termBuckets: _*) &&
           col("token").isin(kept: _*))
       posts.select("token", "doc_id")
@@ -1088,6 +1334,89 @@ object TextIndex {
         .select(col("bench_id"), col("doc_id"), col("n_kept"),
           col("overlap"), col("containment_ppm"))
     } finally bt.unpersist(): Unit
+  }
+
+  /** INDEXED PHRASE PERCOLATION (reverse phrase search at rule
+   *  scale): match a batch of documents against phrase rules STORED
+   *  AS A TEXT INDEX — each rule ingested as a one-phrase document
+   *  (rule id = doc_id, phrase = text, [[LegProfile]] with `pos`) —
+   *  lifting [[TextOps.percolatePhrases]]' 4096-literal-rule cap to
+   *  an unbounded persisted rule set (the alerting registry shape: a
+   *  million standing "page me when ..." phrases, maintained by the
+   *  same ingest/compact/forget lifecycle as any index).
+   *
+   *  The positional-join algebra is [[searchPhrasePositional]]
+   *  GENERALIZED to all rules at once: the batch tokenizes ONCE into
+   *  (doc, p, token); the RULE index's positional postings — pruned
+   *  to the batch's own token buckets with pushed token equality, so
+   *  the scan is ∝ the rules that share vocabulary with the batch,
+   *  never the registry — join on token; each (doc token @ p, rule
+   *  offset off) pair proposes start = p − off, and a (rule, doc,
+   *  start) whose DISTINCT offsets cover the rule's whole phrase
+   *  (count = the rule's stored dl) is exactly one occurrence —
+   *  adjacent repeats and overlapping self-similar phrases count
+   *  correctly, same as the single-phrase probe. Nothing ∝
+   *  |rules| × |docs|, nothing rule-side collects to the driver, and
+   *  the rule set is NEVER broadcast as literals — the batch's
+   *  distinct tokens are the only driver-collected set (≤ 65536,
+   *  loud past the cap: percolation batches are micro-batch-grain by
+   *  contract; split larger ones).
+   *
+   *  Output (query_id, doc_id, n_occurrences), matches only —
+   *  identical to percolatePhrases over the same rules.
+   */
+  def percolateIndexed(
+      spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    require(hasPositionalLeg(spark, dir),
+      s"rule index $dir has no positional leg on every live commit — " +
+        "ingest rules with a pos-bearing LegProfile")
+    import spark.implicits._
+    val dpos = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "token")))
+      .where(length(col("token")) > 0)
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("token"))
+      .persist()
+    try {
+      val dtok = dpos.select("token").distinct()
+        .limit(65537).collect().map(_.getString(0)).toSeq
+      require(dtok.length <= 65536,
+        "percolateIndexed batch has > 65536 distinct tokens — split " +
+          "the batch (the token set prunes the rule-index scan and " +
+          "must stay driver-bounded)")
+      if (dtok.isEmpty) {
+        import org.apache.spark.sql.types.LongType
+        return emptyResult(spark, "query_id" -> LongType,
+          "doc_id" -> LongType, "n_occurrences" -> LongType)
+      }
+      val buckets = dtok.toDF("t")
+        .select(tokenBucket(col("t"))).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      // candidate rules' phrase lengths: dl rides every posting row
+      // (dl = the rule-document's token count), pruned by the batch's
+      // tokens — rule-grain rows, only for rules sharing vocabulary
+      val rlen = readDocGrain(spark, dir, "post")
+        .where(col("tb").isin(buckets: _*) &&
+          col("token").isin(dtok: _*))
+        .select(col("doc_id").as("query_id"), col("dl").as("n"))
+        .distinct()
+      val rpos = readDocGrain(spark, dir, "pos")
+        .where(col("tb").isin(buckets: _*) &&
+          col("token").isin(dtok: _*))
+        .select(col("doc_id").as("query_id"), col("token"),
+          explode(col("positions")).as("off"))
+      dpos.join(rpos, "token")
+        .select(col("query_id"), col("doc_id"),
+          (col("p") - col("off")).as("start"), col("off"))
+        .groupBy("query_id", "doc_id", "start")
+        .agg(count_distinct(col("off")).as("cover"))
+        .join(rlen, "query_id")
+        .where(col("cover") === col("n"))
+        .groupBy("query_id", "doc_id")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .select(col("query_id"), col("doc_id"), col("n_occurrences"))
+    } finally dpos.unpersist(): Unit
   }
 
   /** Fold `roots` (absolute commit dirs) into the staged commit dir
@@ -1104,7 +1433,8 @@ object TextIndex {
    *  instead of growing with shard history).
    */
   private def foldLegs(
-      spark: SparkSession, roots: Seq[String], dst: String): Unit = {
+      spark: SparkSession, roots: Seq[String], dst: String,
+      tombRoots: Seq[String] = Seq.empty): Unit = {
     val conf = spark.sessionState.newHadoopConf()
     def having(sub: String): Seq[String] =
       roots.map(r => s"$r/$sub").filter { p =>
@@ -1122,37 +1452,64 @@ object TextIndex {
     }
     def read(paths: Seq[String]): DataFrame =
       paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    // tombstone application (FULL folds only — compactTiered guards):
+    // doc-grain legs drop the gone docs' rows (physical erasure lands
+    // here; vacuum reclaims the superseded dirs), vocab/stats fold the
+    // negative deltas in and keep df > 0, del keys semi-join the
+    // surviving vocab so fully-deleted tokens stop key-probing
+    val gone: Option[DataFrame] = Option.when(tombRoots.nonEmpty)(
+      read(tombRoots.map(t => s"$t/gone")).select("doc_id"))
+    def dropGone(df: DataFrame): DataFrame =
+      gone.map(g => df.join(broadcast(g), Seq("doc_id"), "left_anti"))
+        .getOrElse(df)
+    def foldedVocab: DataFrame = {
+      val base = read(having("vocab"))
+      val all =
+        if (tombRoots.isEmpty) base
+        else base.unionByName(read(tombRoots.map(t => s"$t/dvocab")))
+      all.groupBy("token").agg(sum(col("df")).as("df"))
+        .where(col("df") > 0)
+    }
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobs = Seq(
       Some(() =>
-        read(having("post"))
+        dropGone(read(having("post")))
           .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
           .repartition(TokenBuckets, col("tb"))
           .write.partitionBy("tb").parquet(s"$dst/post")),
       uniform("pos").map(ps => () =>
-        read(ps)
+        dropGone(read(ps))
           .select(col("token"), col("doc_id"), col("positions"), col("tb"))
           .repartition(TokenBuckets, col("tb"))
           .write.partitionBy("tb").parquet(s"$dst/pos")),
       Some(() =>
-        read(having("vocab"))
-          .groupBy("token").agg(sum(col("df")).as("df"))
+        foldedVocab
           .coalesce(4)
           .write.parquet(s"$dst/vocab")),
-      uniform("del").map(ds => () =>
-        read(ds)
+      uniform("del").map(ds => () => {
+        val base = read(ds)
           .select(col("variant"), col("token"), col("db"))
           .dropDuplicates("variant", "token")
+        val live =
+          if (tombRoots.isEmpty) base
+          else base.join(foldedVocab.select("token"), Seq("token"),
+            "left_semi")
+        live
           .repartition(TokenBuckets, col("db"))
-          .write.partitionBy("db").parquet(s"$dst/del")),
-      Some(() =>
-        read(having("stats"))
-          .agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
-          .coalesce(1).write.parquet(s"$dst/stats")),
+          .write.partitionBy("db").parquet(s"$dst/del")
+      }),
+      Some(() => {
+        val base = read(having("stats"))
+        val all =
+          if (tombRoots.isEmpty) base
+          else base.unionByName(read(tombRoots.map(t => s"$t/dstats")))
+        all.agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
+          .coalesce(1).write.parquet(s"$dst/stats")
+      }),
       uniform("docs").map(ds => () =>
-        read(ds)
+        dropGone(read(ds))
           .select(col("doc_id"), col("text"), col("fb"))
           .repartition(TokenBuckets, col("fb"))
           .write.partitionBy("fb").parquet(s"$dst/docs"))
@@ -1191,20 +1548,33 @@ object TextIndex {
     val cl = clog(dir)
     val (_, live) = cl.latest(spark)
     val all = live.filter(_.startsWith("c-"))
-    if (all.size <= 1) return
+    val tombs = live.filter(_.startsWith("t-"))
+    // tombstones fold away ONLY in a full fold: a partial fold cannot
+    // know a gone doc's rows all sit inside its inputs, and folding
+    // the dvocab/dstats deltas while the doc's postings survive in an
+    // unfolded commit would subtract twice — partial folds concatenate
+    // pure and leave the `t-` commits live (the read paths keep
+    // applying them)
+    val full = fanIn >= all.size
+    val applyTombs = full && tombs.nonEmpty
+    if (all.isEmpty || (all.size <= 1 && !applyTombs)) return
     val conf = spark.sessionState.newHadoopConf()
     val dirs =
-      if (fanIn >= all.size) all
+      if (full) all
       else all.map { d =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$d")
         val fs = p.getFileSystem(conf)
         (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
       }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
-    if (dirs.size <= 1) return
+    if (dirs.size <= 1 && !applyTombs) return
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
-    foldLegs(spark, dirs.map(d => s"$dir/data/$d"), s"$dir/data/$name")
+    foldLegs(spark, dirs.map(d => s"$dir/data/$d"), s"$dir/data/$name",
+      tombRoots =
+        if (applyTombs) tombs.map(t => s"$dir/data/$t") else Seq.empty)
+    val replaced = dirs ++ (if (applyTombs) tombs else Seq.empty)
     val published = cl.commit(spark) { now =>
-      if (dirs.forall(now.contains)) Some(now.filterNot(dirs.contains) :+ name)
+      if (replaced.forall(now.contains))
+        Some(now.filterNot(replaced.contains) :+ name)
       else None // an input moved under us — abort, never double-fold
     }
     if (!published) {
@@ -1245,6 +1615,10 @@ object TextIndex {
     val cl = clog(dstDir)
     val (srcV, srcLive) = clog(srcDir).latest(spark)
     val srcShards = srcLive.filter(_.startsWith("c-"))
+    require(!srcLive.exists(_.startsWith("t-")),
+      s"source index $srcDir has live tombstones — fully compact it " +
+        "first (a merge folds shard legs by concatenation and cannot " +
+        "carry another index's pending deletions)")
     // + the snapshot-identity marker: keyless sources re-merged twice
     // must refuse too (graft.store.CommitLog.sourceIdentity)
     val srcTxn = srcLive.filter(_.startsWith("#txn:")) :+

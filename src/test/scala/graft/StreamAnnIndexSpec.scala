@@ -173,4 +173,56 @@ class StreamAnnIndexSpec extends AnyFunSuite {
     assert(Similarity.ivfVersion(spark, rebIdx) == v,
       "redelivery must be a no-op on the auto-rebalanced index")
   }
+
+  test("auto-rebalance derives its Lloyd-sample stride from the index's " +
+      "own size: an index past the 65536 sample cap re-trains with no " +
+      "caller-supplied stride") {
+    // founding batch = 2000 tight vectors; append = 68000 drifted ones
+    // piling into a hot cell. Total 70000 > kmeansCentroids' 65536
+    // collectBounded cap, so a stride-1 re-train (the old default)
+    // would die in 'raise sampleStep'; the derived stride
+    // ceil(70000/32768) = 3 bounds the sample to ~23k
+    val big = Similarity.asDouble(
+      (0L until 70000L).map { i =>
+        val phase = if (i < 2000) 0.0 else 2.1
+        (i, Array.tabulate(8)(d =>
+          (math.cos(phase + d) + 0.01 * math.sin(i * 0.7 + d)).toFloat))
+      }.toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_sai_big_src")
+    val base = System.currentTimeMillis()
+    val cuts = Seq((0L, 2000L), (2000L, 70000L))
+    for (i <- 0 until 2) {
+      val scratch = srcDir.resolve(s"scratch$i")
+      big.where(col("vec_id") >= cuts(i)._1 && col("vec_id") < cuts(i)._2)
+        .coalesce(1).write.parquet(scratch.toString)
+      val parts = java.nio.file.Files.list(scratch)
+      try {
+        val part = parts
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      } finally parts.close()
+    }
+    val idx = TestSpark.tmpDir("sai_big")
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    StreamAnnIndex.maintain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString),
+      idx, s"$srcDir/ckpt", centroidStep = 97L,
+      rebalanceAbovePpm = Some(1200000L)).awaitTermination()
+    // the re-train ran (the rebuild swap collapses the live set to one
+    // commit) and nothing was lost
+    val live = new graft.store.CommitLog(s"$idx/_manifests").latest(spark)._2
+    assert(live.count(_.startsWith("c-")) == 1,
+      s"auto-stride re-train did not run: $live")
+    assert((0 until 2).forall(i => live.contains(s"#txn:b$i")),
+      s"delivery keys must survive the re-train: $live")
+    assert(Similarity.ivfIndexStats(spark, idx).head().getLong(1) == 70000L,
+      "re-train lost postings")
+  }
 }

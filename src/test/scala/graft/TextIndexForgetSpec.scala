@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextIndex
+
+/**
+ * Document deletion on the persisted text index: a tombstone commit
+ * makes the docs vanish from EVERY read path immediately with EXACT
+ * df/stats deltas (post-delete answers equal a never-ingested index),
+ * a full compaction physically folds the tombstone away, delivery
+ * keys survive, a stale publish aborts, and a pre-delete clone still
+ * sees the doc until vacuum.
+ */
+class TextIndexForgetSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, "spark merge sort merge"),
+    (1L, "window scan window window"),
+    (2L, "merge window table"),
+    (3L, "totally unrelated words here"),
+    (4L, "scan scan scan merge"),
+    (5L, "zebra zebra merge"))
+    .toDF("doc_id", "text")
+
+  private def freshIdx(tag: String, d: org.apache.spark.sql.DataFrame,
+      shards: Int = 2): String = {
+    val idx = TestSpark.tmpDir(s"text_forget_$tag")
+    for (i <- 0 until shards)
+      TextIndex.ingestShard(spark, idx,
+        d.where(pmod(col("doc_id"), lit(shards)) === i),
+        "doc_id", "text", key = Some(s"$tag$i"))
+    idx
+  }
+
+  private def bm25(idx: String, terms: Seq[String]) = TextIndex
+    .searchBm25(spark, idx, terms, 10)
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    .toSeq
+
+  test("forgetDocs removes the docs from every read path with EXACT " +
+      "df/stats deltas: post-delete answers equal a never-ingested index") {
+    val idx = freshIdx("main", corpus)
+    val ref = freshIdx("ref", corpus.where(!col("doc_id").isin(1L, 5L)))
+    TextIndex.forgetDocs(spark, idx, Seq(1L, 5L), key = Some("take1"))
+    // BM25 (scores included — exact deltas, not stale-until-compaction)
+    for (q <- Seq(Seq("merge"), Seq("window", "scan"), Seq("zebra"),
+        Seq("merge", "window", "scan")))
+      assert(bm25(idx, q) == bm25(ref, q),
+        s"post-delete bm25 diverges from never-ingested on $q")
+    // stats: nd/tl/vocab_size/n_postings equal (n_shards may differ)
+    def st(i: String) = TextIndex.stats(spark, i)
+      .select("nd", "tl", "vocab_size", "n_postings").head()
+    assert(st(idx) == st(ref), "folded stats diverge post-delete")
+    // forward store: the deleted doc is gone, survivors stand
+    assert(TextIndex.docsFor(spark, idx, Seq(0L, 1L, 5L))
+      .collect().map(_.getLong(0)).toSet == Set(0L))
+    // positional phrase / NEAR / sloppy never resurrect doc 1
+    assert(TextIndex.searchPhrasePositional(spark, idx, "window scan", 10)
+      .count() == 0L)
+    assert(TextIndex.searchNear(spark, idx, Seq("window", "scan"), 4, 10)
+      .count() == 0L)
+    assert(TextIndex.searchPhraseSloppy(spark, idx, "window window", 4, 10)
+      .count() == 0L)
+    // candidate-then-verify phrase (self-contained) too
+    assert(TextIndex.searchPhrase(spark, idx, "window scan", 10).count() == 0L)
+    // a fully-deleted token stops suggesting: 'zebra' lived only in doc 5
+    assert(TextIndex.suggestPrefix(spark, idx, "z", 5).count() == 0L)
+    assert(TextIndex.suggestFuzzy(spark, idx, "zebru", 2, 5).count() == 0L)
+    assert(TextIndex.tombstoneCount(spark, idx) == 2L)
+  }
+
+  test("full compaction folds the tombstone away physically; answers, " +
+      "delivery keys, and redelivery refusal all survive") {
+    val idx = freshIdx("comp", corpus)
+    val ref = freshIdx("cref", corpus.where(col("doc_id") =!= 4L))
+    TextIndex.forgetDocs(spark, idx, Seq(4L), key = Some("take4"))
+    val pre = bm25(idx, Seq("merge", "scan"))
+    TextIndex.compact(spark, idx)
+    assert(TextIndex.tombstoneCount(spark, idx) == 0L,
+      "full fold must retire the tombstone commit")
+    assert(TextIndex.liveShardCount(spark, idx) == 1)
+    assert(bm25(idx, Seq("merge", "scan")) == pre,
+      "compaction changed post-delete answers")
+    assert(bm25(idx, Seq("merge", "scan")) == bm25(ref, Seq("merge", "scan")))
+    // physical: the folded post leg carries no rows for doc 4
+    val live = new graft.store.CommitLog(s"$idx/_manifests")
+      .latest(spark)._2.filter(_.startsWith("c-"))
+    assert(live.size == 1)
+    assert(spark.read.parquet(s"$idx/data/${live.head}/post")
+      .where(col("doc_id") === 4L).count() == 0L,
+      "gone doc's postings must be physically dropped by the fold")
+    // both the ingest keys and the DELETE key survived the fold
+    for (k <- Seq("comp0", "comp1", "take4"))
+      assert(TextIndex.hasDelivery(spark, idx, k), s"key $k lost in fold")
+    // redelivered delete still refused post-compaction
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.forgetDocs(spark, idx, Seq(4L), key = Some("take4"))
+    }
+    assert(ex.getMessage.contains("redelivery rejected"))
+    // vacuum reclaims the superseded dirs; answers stand
+    TextIndex.vacuum(spark, idx)
+    assert(bm25(idx, Seq("merge", "scan")) == bm25(ref, Seq("merge", "scan")))
+  }
+
+  test("a PARTIAL (tiered) fold leaves tombstones live and applying — " +
+      "no double subtraction when the full fold later retires them") {
+    val idx = freshIdx("tier", corpus, shards = 4)
+    val ref = freshIdx("tref", corpus.where(col("doc_id") =!= 0L))
+    TextIndex.forgetDocs(spark, idx, Seq(0L))
+    // fanIn=2 folds only the two smallest shard commits of four
+    TextIndex.compactTiered(spark, idx, fanIn = 2)
+    assert(TextIndex.tombstoneCount(spark, idx) == 1L,
+      "a partial fold must NOT retire tombstones")
+    assert(bm25(idx, Seq("merge", "spark")) == bm25(ref, Seq("merge", "spark")))
+    // now the full fold: tombstone retired, answers unchanged (the
+    // deltas fold in exactly once)
+    TextIndex.compact(spark, idx)
+    assert(TextIndex.tombstoneCount(spark, idx) == 0L)
+    assert(bm25(idx, Seq("merge", "spark")) == bm25(ref, Seq("merge", "spark")))
+  }
+
+  test("delete is idempotent-by-construction: re-deleting an already-" +
+      "gone id (and a never-ingested id) subtracts nothing") {
+    val idx = freshIdx("idem", corpus)
+    TextIndex.forgetDocs(spark, idx, Seq(2L))
+    val after = bm25(idx, Seq("merge", "window"))
+    val stAfter = TextIndex.stats(spark, idx).head()
+    // same id again, plus an id the index never held: both no-ops
+    TextIndex.forgetDocs(spark, idx, Seq(2L, 999L), key = Some("again"))
+    assert(bm25(idx, Seq("merge", "window")) == after)
+    assert(TextIndex.stats(spark, idx).head() == stAfter,
+      "re-delete double-subtracted df/nd/tl")
+    // the no-op still LEDGERED its key (replay probes as done)
+    assert(TextIndex.hasDelivery(spark, idx, "again"))
+    assert(TextIndex.version(spark, idx) > 0)
+  }
+
+  test("stale publish aborts and drops its staging: the live tombstone " +
+      "set moved between delta computation and commit") {
+    val idx = freshIdx("stale", corpus)
+    // snapshot taken when NO tombstone was live...
+    val staleSnap = Set.empty[String]
+    // ...then a concurrent forget lands
+    TextIndex.forgetDocs(spark, idx, Seq(3L))
+    // a staged tombstone computed against the stale snapshot must
+    // refuse to publish and clean up after itself
+    val name = "t-stalestaged"
+    corpus.where(col("doc_id") === 0L).select(col("doc_id"))
+      .coalesce(1).write.parquet(s"$idx/data/$name/gone")
+    val ex = intercept[IllegalStateException] {
+      TextIndex.publishTombstone(spark, idx, name, None, staleSnap)
+    }
+    assert(ex.getMessage.contains("raced a concurrent forget"))
+    val p = new org.apache.hadoop.fs.Path(s"$idx/data/$name")
+    assert(!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p),
+      "aborted publish must drop its staged tombstone dir")
+    // doc 0 was never deleted — the aborted tombstone left no trace
+    assert(TextIndex.docsFor(spark, idx, Seq(0L)).count() == 1L)
+    assert(TextIndex.tombstoneCount(spark, idx) == 1L)
+  }
+
+  test("time travel: a pre-delete cloneAsOf branch still serves the " +
+      "deleted doc until vacuum erases the superseded bytes") {
+    val idx = freshIdx("tt", corpus)
+    val vPre = TextIndex.version(spark, idx)
+    TextIndex.forgetDocs(spark, idx, Seq(1L))
+    val branch = TestSpark.tmpDir("text_forget_branch")
+    TextIndex.cloneAsOf(spark, idx, branch, vPre)
+    // the branch sees the pre-delete world
+    assert(TextIndex.docsFor(spark, branch, Seq(1L)).count() == 1L)
+    assert(TextIndex.searchBm25(spark, branch, Seq("window"), 10)
+      .collect().map(_.getLong(1)).contains(1L))
+    // the main index does not
+    assert(TextIndex.docsFor(spark, idx, Seq(1L)).count() == 0L)
+    // a source with live tombstones refuses to merge
+    val dst = freshIdx("ttdst", corpus.where(col("doc_id") === 3L), 1)
+    val mex = intercept[IllegalArgumentException] {
+      TextIndex.mergeFrom(spark, dst, idx)
+    }
+    assert(mex.getMessage.contains("live tombstones"))
+    // compact + vacuum on the main index completes physical erasure
+    // without touching the branch (clone = hard links to its own refs)
+    TextIndex.compact(spark, idx)
+    TextIndex.vacuum(spark, idx)
+    assert(TextIndex.docsFor(spark, branch, Seq(1L)).count() == 1L)
+  }
+}

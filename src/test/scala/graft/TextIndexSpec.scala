@@ -638,4 +638,47 @@ class TextIndexSpec extends AnyFunSuite {
     // the refused fold left no partial commit behind: answers unchanged
     assert(TextIndex.searchBm25(spark, idx, Seq("merge"), 10).count() == 3L)
   }
+
+  test("explainSearch of a zero-hit query returns the empty breakdown " +
+      "with the populated path's schema, not a crash") {
+    val idx = TestSpark.tmpDir("text_idx_explain0")
+    TextIndex.ingestShard(spark, idx, corpus, "doc_id", "text")
+    // terms entirely absent from the index: first-stage search is empty
+    val empty = TextIndex.explainSearch(spark, idx, Seq("zzz", "qqq"), 10)
+    assert(empty.count() == 0L)
+    val full = TextIndex.explainSearch(spark, idx, Seq("merge"), 10)
+    assert(empty.schema.map(f => (f.name, f.dataType)) ==
+      full.schema.map(f => (f.name, f.dataType)),
+      "empty-hit explain schema must match the populated path")
+    // all terms present but over the maxDf cut: same ordinary-empty path
+    assert(TextIndex.explainSearch(spark, idx, Seq("merge"), 10,
+      maxDf = Some(0L)).count() == 0L)
+  }
+
+  test("forward docs leg: integer doc ids bucket identically at ingest " +
+      "and lookup; a non-integral id column refuses loudly") {
+    val idx = TestSpark.tmpDir("text_idx_intid")
+    // IntegerType ids — ingest must cast to long before hashing so the
+    // fb directory docsFor probes (from Seq[Long] literals) is the one
+    // the row was written under; xxhash64(int) != xxhash64(long)
+    val intCorpus = corpus.select(
+      col("doc_id").cast("int").as("doc_id"), col("text"))
+    TextIndex.ingestShard(spark, idx, intCorpus, "doc_id", "text")
+    val got = TextIndex.docsFor(spark, idx, Seq(0L, 2L, 4L))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got.keySet == Set(0L, 2L, 4L),
+      s"int-id forward rows missing from the fb prune: ${got.keySet}")
+    assert(got(4L) == "scan scan scan merge")
+    // and the search legs built from the same snapshot still answer
+    assert(TextIndex.searchPhrase(spark, idx, "scan scan", 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((4L, 2L)))
+    // string ids can't be probed by Seq[Long]: refuse at ingest, loudly
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.ingestShard(spark, TestSpark.tmpDir("text_idx_strid"),
+        corpus.select(concat(lit("d"), col("doc_id")).as("doc_id"),
+          col("text")), "doc_id", "text")
+    }
+    assert(ex.getMessage.contains("integral id column"))
+  }
 }
