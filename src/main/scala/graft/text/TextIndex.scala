@@ -1345,22 +1345,28 @@ object TextIndex {
    *  million standing "page me when ..." phrases, maintained by the
    *  same ingest/compact/forget lifecycle as any index).
    *
-   *  The positional-join algebra is [[searchPhrasePositional]]
-   *  GENERALIZED to all rules at once: the batch tokenizes ONCE into
-   *  (doc, p, token); the RULE index's positional postings — pruned
-   *  to the batch's own token buckets with pushed token equality, so
-   *  the scan is ∝ the rules that share vocabulary with the batch,
-   *  never the registry — join on token; each (doc token @ p, rule
-   *  offset off) pair proposes start = p − off, and a (rule, doc,
-   *  start) whose DISTINCT offsets cover the rule's whole phrase
-   *  (count = the rule's stored dl) is exactly one occurrence —
-   *  adjacent repeats and overlapping self-similar phrases count
-   *  correctly, same as the single-phrase probe. Nothing ∝
-   *  |rules| × |docs|, nothing rule-side collects to the driver, and
-   *  the rule set is NEVER broadcast as literals — the batch's
-   *  distinct tokens are the only driver-collected set (≤ 65536,
-   *  loud past the cap: percolation batches are micro-batch-grain by
-   *  contract; split larger ones).
+   *  Matching is a WINDOW-EQUIJOIN, not a token join: (1) candidate
+   *  rules RECONSTRUCT their phrase string from the positional
+   *  postings — pruned to the batch's own token buckets with pushed
+   *  token equality, so this is ∝ rules sharing vocabulary with the
+   *  batch, never the registry, and a rule with ANY token absent
+   *  from the batch reconstructs incomplete and is dropped by the
+   *  offsets-count = stored-dl completeness check (it cannot match
+   *  anyway); (2) the batch computes every doc's sliding token
+   *  window of each DISTINCT rule length (≤ 64 lengths, loud —
+   *  token-linear per length), and the window STRING equijoins the
+   *  phrase string — space-joined tokens are injective under a
+   *  space tokenizer, so the join is EXACT, its output is the true
+   *  match set, and its cost is hash-join linear. A per-token join
+   *  would instead pay Σ_t freq_doc(t)·freq_rules(t) — quadratic in
+   *  common-token frequency and ruinous on small vocabularies (the
+   *  31-word synthetic corpus measured 114M pairs for a 43k-rule ×
+   *  500-doc batch). Adjacent repeats and overlapping self-similar
+   *  phrases count exactly (each start is its own window row). The
+   *  batch's distinct tokens are the only driver-collected set
+   *  (≤ 65536, loud: percolation batches are micro-batch-grain by
+   *  contract; split larger ones). Rules are NEVER broadcast as
+   *  literals.
    *
    *  Output (query_id, doc_id, n_occurrences), matches only —
    *  identical to percolatePhrases over the same rules.
@@ -1372,24 +1378,23 @@ object TextIndex {
       s"rule index $dir has no positional leg on every live commit — " +
         "ingest rules with a pos-bearing LegProfile")
     import spark.implicits._
-    val dpos = docs
+    import org.apache.spark.sql.types.LongType
+    val dtk = docs
       .select(col(idCol).as("doc_id"),
-        posexplode(TextOps.tokens(col(textCol))).as(Seq("p0", "token")))
-      .where(length(col("token")) > 0)
-      .select(col("doc_id"), (col("p0") + 1).as("p"), col("token"))
+        filter(TextOps.tokens(col(textCol)),
+          t => length(t) > 0).as("tk"))
       .persist()
     try {
-      val dtok = dpos.select("token").distinct()
+      val dtok = dtk
+        .select(explode(col("tk")).as("token")).distinct()
         .limit(65537).collect().map(_.getString(0)).toSeq
       require(dtok.length <= 65536,
         "percolateIndexed batch has > 65536 distinct tokens — split " +
           "the batch (the token set prunes the rule-index scan and " +
           "must stay driver-bounded)")
-      if (dtok.isEmpty) {
-        import org.apache.spark.sql.types.LongType
+      if (dtok.isEmpty)
         return emptyResult(spark, "query_id" -> LongType,
           "doc_id" -> LongType, "n_occurrences" -> LongType)
-      }
       val buckets = dtok.toDF("t")
         .select(tokenBucket(col("t"))).distinct()
         .collect().map(_.getLong(0)).toSeq
@@ -1401,22 +1406,50 @@ object TextIndex {
           col("token").isin(dtok: _*))
         .select(col("doc_id").as("query_id"), col("dl").as("n"))
         .distinct()
-      val rpos = readDocGrain(spark, dir, "pos")
+      // reconstruct each candidate rule's phrase from its pruned
+      // positional rows; rules missing any token (absent from the
+      // batch) reconstruct short and fail the completeness check
+      val rphrase = readDocGrain(spark, dir, "pos")
         .where(col("tb").isin(buckets: _*) &&
           col("token").isin(dtok: _*))
         .select(col("doc_id").as("query_id"), col("token"),
           explode(col("positions")).as("off"))
-      dpos.join(rpos, "token")
-        .select(col("query_id"), col("doc_id"),
-          (col("p") - col("off")).as("start"), col("off"))
-        .groupBy("query_id", "doc_id", "start")
-        .agg(count_distinct(col("off")).as("cover"))
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_off"),
+          concat_ws(" ", transform(
+            sort_array(collect_list(struct(col("off"), col("token")))),
+            s => s.getField("token"))).as("phrase"))
         .join(rlen, "query_id")
-        .where(col("cover") === col("n"))
-        .groupBy("query_id", "doc_id")
-        .agg(count(lit(1)).as("n_occurrences"))
-        .select(col("query_id"), col("doc_id"), col("n_occurrences"))
-    } finally dpos.unpersist(): Unit
+        .where(col("n_off") === col("n"))
+        .select(col("query_id"), col("n"), col("phrase"))
+        .persist()
+      // distinct candidate rule lengths drive the doc-side windowing —
+      // a rule REGISTRY has few distinct phrase lengths by nature
+      val lengths = rphrase.select(col("n")).distinct()
+        .limit(65).collect().map(_.getLong(0)).toSeq
+      try {
+        if (lengths.isEmpty)
+          return emptyResult(spark, "query_id" -> LongType,
+            "doc_id" -> LongType, "n_occurrences" -> LongType)
+        require(lengths.length <= 64,
+          "percolateIndexed rule registry has > 64 distinct phrase " +
+            "lengths sharing vocabulary with this batch — split the " +
+            "registry by length band")
+        val windows = dtk
+          .select(col("doc_id"), col("tk"),
+            explode(array(lengths.map(lit): _*)).as("n"))
+          .where(size(col("tk")) >= col("n"))
+          .select(col("doc_id"), col("n"),
+            explode(transform(
+              sequence(lit(1), size(col("tk")) - col("n") + 1),
+              s => concat_ws(" ", slice(col("tk"), s, col("n")))))
+              .as("phrase"))
+        windows.join(rphrase, Seq("n", "phrase"))
+          .groupBy("query_id", "doc_id")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .select(col("query_id"), col("doc_id"), col("n_occurrences"))
+      } finally rphrase.unpersist(): Unit
+    } finally dtk.unpersist(): Unit
   }
 
   /** Fold `roots` (absolute commit dirs) into the staged commit dir

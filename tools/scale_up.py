@@ -47,10 +47,24 @@ def main():
                label
         FROM '{src}/embeddings.parquet' CROSS JOIN range({k}) t(i)
         """, "embeddings")
-    # the relational tables pass through unscaled (the heavy tier does
-    # not read them, but Bench's warmup lists the directory)
-    for tbl in ("region", "nation", "customer", "supplier", "part",
-                "orders", "lineitem"):
+    # the TPC-H FACTS scale too (order keys offset in lockstep so the
+    # lineitem<->orders join stays consistent; dimension foreign keys
+    # pass through, so dims keep their cardinality and every dim key
+    # simply owns k-times the fact rows — the realistic fact-growth
+    # regime the TPC-H scale-honesty runs need)
+    copy(f"""
+        SELECT o_orderkey + i * 100000000 AS o_orderkey, o_custkey,
+               o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        FROM '{src}/orders.parquet' CROSS JOIN range({k}) t(i)
+        """, "orders")
+    copy(f"""
+        SELECT l_orderkey + i * 100000000 AS l_orderkey, l_partkey,
+               l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+               l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        FROM '{src}/lineitem.parquet' CROSS JOIN range({k}) t(i)
+        """, "lineitem")
+    # the dimension tables pass through unscaled
+    for tbl in ("region", "nation", "customer", "supplier", "part"):
         p = f"{src}/{tbl}.parquet"
         if os.path.exists(p):
             duckdb.sql(f"COPY (SELECT * FROM '{p}') TO '{dst}/{tbl}.parquet' (FORMAT PARQUET)")
