@@ -2014,6 +2014,51 @@ object PipelineQueries {
         "compaction must not change post-delete answers")
       post.orderBy("rank")
     }),
+    // STREAMING TAKEDOWN QUEUE (right-to-be-forgotten as a stream):
+    // deletion requests drain as two mtime-ordered micro-batches into
+    // exactly-once tombstones on a 1/10-subset text index (#txn:b<id>
+    // per batch; the no-op ledger path makes replays short-circuit).
+    // The timed probe is the production per-batch path on ONE index —
+    // the three-index composition, crash-gap replay, and threshold
+    // compaction live in StreamForgetSpec. Search answers post-delete;
+    // oracle = declarative BM25 over (subset MINUS the streamed ids)
+    "stream_forget" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_sforget_idx").toString
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_sforget_src")
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(col("doc_id") % 10 === 6)
+      for (i <- 0 until 2)
+        graft.text.TextIndex.ingestShard(s, idx,
+          d.where(pmod(col("doc_id"), lit(20)) === i * 10 + 6),
+          "doc_id", "text", key = Some(s"s$i"))
+      val base = System.currentTimeMillis()
+      for (i <- 0 until 2) {
+        val scratch = srcDir.resolve(s"scratch$i")
+        d.where(col("doc_id") % 40 === i * 20 + 6).select("doc_id")
+          .coalesce(1).write.parquet(scratch.toString)
+        val parts = java.nio.file.Files.list(scratch)
+        try {
+          val part = parts
+            .filter(p => p.getFileName.toString.endsWith(".parquet"))
+            .findFirst().get()
+          val dst = srcDir.resolve(s"b$i.parquet")
+          java.nio.file.Files.move(part, dst)
+          java.nio.file.Files.setLastModifiedTime(
+            dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+        } finally parts.close()
+      }
+      val schema = s.read.parquet(s"$srcDir/b0.parquet").schema
+      graft.streaming.StreamForget.maintain(
+        s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString),
+        s"$srcDir/ckpt", textIdx = Some(idx)).awaitTermination()
+      graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+        .orderBy("rank")
+    }),
     // PERSISTED inverted text index, STREAMING-MAINTAINER leg, on a
     // disjoint 1/10 subset: three mtime-ordered files replay as three
     // micro-batches through StreamTextIndex.maintain (one shard per
@@ -4188,6 +4233,35 @@ object PipelineQueries {
         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
         |  score_ppm, n_terms FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // streamed takedowns ≡ declarative BM25 over the subset minus the
+    // two batches' ids (doc_id % 40 in (6, 26))
+    "stream_forget" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 6 AND doc_id % 40 NOT IN (6, 26)),
+        |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, score_ppm, n_terms FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // post-delete, post-compaction index ≡ declarative BM25 over the
     // subset MINUS the deleted docs — EXACT df/nd/tl deltas mean the
     // takedown leaves the same scores as never ingesting those docs

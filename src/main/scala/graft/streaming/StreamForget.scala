@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/**
+ * Streaming TAKEDOWN maintenance for the persisted indexes — the
+ * "right-to-be-forgotten queue" posture completing the index
+ * lifecycle: deletion requests stream in (an id column), and each
+ * micro-batch applies one exactly-once tombstone commit per target
+ * index ([[graft.text.TextIndex.forgetDocs]],
+ * [[graft.dedup.Dedup.indexForgetDocs]],
+ * [[graft.sim.Similarity.ivfIndexForget]]) — the deleted documents
+ * stop being served IMMEDIATELY on every probe path, and physical
+ * erasure follows the usual full-fold + vacuum schedule.
+ *
+ * Exactly-once is the shared maintainer contract (StreamTextIndex /
+ * StreamRagPipeline): Structured Streaming replays an uncommitted
+ * batch after a crash with the SAME deterministic id, each index's
+ * `#txn:b<id>` ledger entry makes the apply idempotent, and the three
+ * ledgers are INDEPENDENT — a crash between the text and ANN commits
+ * replays the batch, the text leg short-circuits on its committed
+ * key, and the ANN leg completes; a full fresh-checkpoint redelivery
+ * is a version-preserving no-op on every index. forgetDocs' no-op
+ * path still ledgers its key, so a batch whose ids were already gone
+ * (or never ingested) replays as done rather than re-staging.
+ *
+ * A takedown batch is request-grain small by contract (the ids
+ * collect to the driver to become the tombstone — loud past the
+ * 65536 cap, matching forgetDocs). Tombstones accumulate one
+ * broadcast-anti-join input per batch until a fold retires them;
+ * `compactAboveTombstones` opts into maintainer-driven full folds
+ * past a live-tombstone threshold (off by default — a full fold
+ * re-reads the stored index, a cost that belongs to a scheduled
+ * maintenance window).
+ */
+object StreamForget {
+
+  /** Start the maintainer over a streaming Dataset of takedown
+   *  requests carrying `idCol` (long doc/vec ids). Any subset of the
+   *  three indexes may be targeted; at least one must be. Runs with
+   *  `Trigger.AvailableNow` — drain, then stop — matching the
+   *  bounded-replay harness. Returns the running query; callers
+   *  `awaitTermination`.
+   */
+  def maintain(
+      idsStream: DataFrame, checkpoint: String,
+      textIdx: Option[String] = None,
+      dedupIdx: Option[String] = None,
+      annIdx: Option[String] = None,
+      idCol: String = "doc_id",
+      compactAboveTombstones: Option[Long] = None): StreamingQuery = {
+    require(textIdx.orElse(dedupIdx).orElse(annIdx).nonEmpty,
+      "StreamForget needs at least one target index")
+    require(compactAboveTombstones.forall(_ >= 1),
+      s"bad compactAboveTombstones: $compactAboveTombstones")
+    idsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (b: DataFrame, id: Long) =>
+        val s = b.sparkSession
+        val key = s"b$id"
+        // ONE bounded collect serves all three legs (the batch is
+        // request-grain by contract; forgetDocs re-checks the cap)
+        val ids = b.select(org.apache.spark.sql.functions
+            .col(idCol).cast("long"))
+          .distinct().limit(65537)
+          .collect().map(_.getLong(0)).toSeq
+        require(ids.length <= 65536,
+          s"takedown batch $id carries > 65536 ids — split the request " +
+            "stream (a tombstone is a bounded driver-side set)")
+        if (ids.nonEmpty) {
+          textIdx.foreach { dir =>
+            if (!graft.text.TextIndex.hasDelivery(s, dir, key)) {
+              graft.text.TextIndex.forgetDocs(s, dir, ids, key = Some(key))
+              compactAboveTombstones.foreach { cut =>
+                if (graft.text.TextIndex.tombstoneCount(s, dir) > cut)
+                  graft.text.TextIndex.compact(s, dir)
+              }
+            }
+          }
+          dedupIdx.foreach { dir =>
+            if (!graft.dedup.Dedup.indexHasDelivery(s, dir, key)) {
+              graft.dedup.Dedup.indexForgetDocs(s, dir, ids,
+                key = Some(key))
+              compactAboveTombstones.foreach { cut =>
+                if (graft.dedup.Dedup.indexTombstoneCount(s, dir) > cut)
+                  graft.dedup.Dedup.indexCompact(s, dir)
+              }
+            }
+          }
+          annIdx.foreach { dir =>
+            if (!graft.sim.Similarity.ivfHasDelivery(s, dir, key)) {
+              graft.sim.Similarity.ivfIndexForget(s, dir, ids,
+                key = Some(key))
+              compactAboveTombstones.foreach { cut =>
+                if (graft.sim.Similarity.ivfTombstoneCount(s, dir) > cut)
+                  graft.sim.Similarity.ivfIndexCompactTiered(s, dir,
+                    fanIn = Int.MaxValue)
+              }
+            }
+          }
+        }
+      }
+      .start()
+  }
+}

@@ -684,6 +684,38 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("tombstoned text-index reads anti-join the gone set as a BROADCAST " +
+      "(never a shuffled anti-join) and stay pruned to the terms' buckets") {
+    withPlainPlans {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val idx = TestSpark.tmpDir("plan_forget_idx")
+      graft.text.TextIndex.ingestShard(spark, idx,
+        Seq((0L, "alpha beta gamma"), (1L, "beta gamma delta"),
+          (2L, "gamma delta epsilon")).toDF("doc_id", "text"),
+        "doc_id", "text")
+      graft.text.TextIndex.forgetDocs(spark, idx, Seq(1L))
+      val df = graft.text.TextIndex.searchBm25(spark, idx, Seq("gamma"), 5)
+      val plan = df.queryExecution.executedPlan.toString
+      // the gone filter is a broadcast anti-join — a SortMergeJoin here
+      // would shuffle the whole posting scan to drop a takedown set
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+        s"gone-set anti-join not broadcast:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"tombstone filter degenerated to a sort-merge join:\n${plan.take(2000)}")
+      // token-bucket directory pruning must survive the tombstone path
+      assert(plan.contains("PartitionFilters") && plan.contains("tb#"),
+        s"term-bucket pruning lost under tombstones:\n${plan.take(2000)}")
+      // and with NO live tombstones the read path adds ZERO join nodes
+      graft.text.TextIndex.compact(spark, idx)
+      val clean = graft.text.TextIndex
+        .searchBm25(spark, idx, Seq("gamma"), 5)
+        .queryExecution.executedPlan.toString
+      assert(!clean.contains("LeftAnti"),
+        s"tombstone-free read still carries an anti-join:\n${clean.take(2000)}")
+    }
+  }
+
   test("triangle counting closes wedges with hash/merge joins, never cartesian") {
     withPlainPlans {
       val und = spark.range(0L, 1000L)

@@ -1,0 +1,164 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.streaming.StreamForget
+import graft.text.TextIndex
+
+/**
+ * Streaming takedown queue: deletion requests drain as micro-batches
+ * into exactly-once tombstones across all three persisted indexes;
+ * a crash between the per-index commits replays without
+ * double-applying, a fresh-checkpoint redelivery is a no-op on every
+ * ledger, and the opt-in threshold compaction retires tombstones
+ * mid-stream.
+ */
+class StreamForgetSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val doc =
+    "the quick brown fox jumps over the lazy dog again and again today"
+  private lazy val corpus = Seq(
+    (0L, doc),
+    (1L, "window scan window window merge"),
+    (2L, "merge window table"),
+    (3L, "totally unrelated words here"),
+    (4L, doc + " tail"))
+    .toDF("doc_id", "text")
+
+  private def writeBatches(
+      dir: java.nio.file.Path, batches: Seq[Seq[Long]]): Unit = {
+    val base = System.currentTimeMillis()
+    for ((ids, i) <- batches.zipWithIndex) {
+      val scratch = dir.resolve(s"scratch$i")
+      ids.toDF("doc_id").coalesce(1).write.parquet(scratch.toString)
+      val parts = java.nio.file.Files.list(scratch)
+      try {
+        val part = parts
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = dir.resolve(s"b$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      } finally parts.close()
+    }
+  }
+
+  test("a takedown stream tombstones all three indexes exactly-once; " +
+      "full redelivery is a no-op on every ledger") {
+    val textIdx = TestSpark.tmpDir("sfg_text")
+    val dedupIdx = TestSpark.tmpDir("sfg_dedup")
+    val annIdx = TestSpark.tmpDir("sfg_ann")
+    TextIndex.ingestShard(spark, textIdx, corpus, "doc_id", "text")
+    Dedup.indexCheckAndIngest(spark, dedupIdx, corpus,
+      "doc_id", "text", 0.6, persistPairs = true): Unit
+    val vecs = Similarity.asDouble(
+      (0L until 5L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 1.3 + d).toFloat)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, annIdx, vecs, centroidStep = 2L)
+    val srcDir = java.nio.file.Files.createTempDirectory("sfg_src")
+    writeBatches(srcDir, Seq(Seq(0L), Seq(4L, 999L))) // 999: never ingested
+    val schema = spark.read.parquet(s"$srcDir/b0.parquet").schema
+    def drain(ckpt: String): Unit = StreamForget.maintain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString),
+      ckpt, textIdx = Some(textIdx), dedupIdx = Some(dedupIdx),
+      annIdx = Some(annIdx)).awaitTermination()
+    drain(s"$srcDir/ckpt")
+    // text: docs 0 and 4 gone from search and the forward store
+    assert(TextIndex.searchBm25(spark, textIdx, Seq("fox"), 10).count() == 0L)
+    assert(TextIndex.docsFor(spark, textIdx, Seq(0L, 4L, 1L))
+      .collect().map(_.getLong(0)).toSet == Set(1L))
+    // dedup: no pair may name doc 0 or 4
+    assert(Dedup.indexCheckAndIngest(spark, dedupIdx,
+      Seq((50L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .count() == 0L, "deleted docs still gate the dedup index")
+    // ann: vectors 0/4 never returned as neighbors
+    val nn = Similarity.ivfIndexQuery(spark, annIdx,
+        vecs.where(col("vec_id") === 1L), k = 5, nProbe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(!nn.contains(0L) && !nn.contains(4L),
+      s"deleted vectors still probe as neighbors: $nn")
+    // every ledger carries both batch keys
+    for (k <- Seq("b0", "b1")) {
+      assert(TextIndex.hasDelivery(spark, textIdx, k))
+      assert(Dedup.indexHasDelivery(spark, dedupIdx, k))
+      assert(Similarity.ivfHasDelivery(spark, annIdx, k))
+    }
+    // fresh-checkpoint redelivery: version-preserving no-op everywhere
+    val vs = (TextIndex.version(spark, textIdx),
+      Dedup.indexVersion(spark, dedupIdx),
+      Similarity.ivfVersion(spark, annIdx))
+    drain(s"$srcDir/ckpt_redelivery")
+    assert((TextIndex.version(spark, textIdx),
+      Dedup.indexVersion(spark, dedupIdx),
+      Similarity.ivfVersion(spark, annIdx)) == vs,
+      "redelivered takedown stream must be a no-op on every index")
+  }
+
+  test("a crash between the text and ANN commits replays exactly: the " +
+      "committed leg short-circuits, the missing leg completes") {
+    val textIdx = TestSpark.tmpDir("sfg_gap_text")
+    val annIdx = TestSpark.tmpDir("sfg_gap_ann")
+    TextIndex.ingestShard(spark, textIdx, corpus, "doc_id", "text")
+    val vecs = Similarity.asDouble(
+      (0L until 5L).map(i =>
+        (i, Array.tabulate(8)(d => math.sin(i * 1.3 + d).toFloat)))
+        .toDF("vec_id", "embedding"),
+      "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, annIdx, vecs, centroidStep = 2L)
+    // simulate the crash gap: the text tombstone for batch 0 committed,
+    // the ANN one did not (the stream died in between)
+    TextIndex.forgetDocs(spark, textIdx, Seq(0L), key = Some("b0"))
+    val vText = TextIndex.version(spark, textIdx)
+    val srcDir = java.nio.file.Files.createTempDirectory("sfg_gap_src")
+    writeBatches(srcDir, Seq(Seq(0L)))
+    val schema = spark.read.parquet(s"$srcDir/b0.parquet").schema
+    StreamForget.maintain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString),
+      s"$srcDir/ckpt", textIdx = Some(textIdx),
+      annIdx = Some(annIdx)).awaitTermination()
+    assert(TextIndex.version(spark, textIdx) == vText,
+      "replayed batch re-applied to the already-committed text leg")
+    assert(Similarity.ivfTombstoneCount(spark, annIdx) == 1L,
+      "the missing ANN leg did not complete on replay")
+    assert(Similarity.ivfHasDelivery(spark, annIdx, "b0"))
+  }
+
+  test("compactAboveTombstones folds tombstones away mid-stream once " +
+      "the live count crosses the threshold") {
+    val textIdx = TestSpark.tmpDir("sfg_fold_text")
+    TextIndex.ingestShard(spark, textIdx, corpus, "doc_id", "text")
+    val srcDir = java.nio.file.Files.createTempDirectory("sfg_fold_src")
+    writeBatches(srcDir, Seq(Seq(0L), Seq(3L))) // 2 batches of 1 id
+    val schema = spark.read.parquet(s"$srcDir/b0.parquet").schema
+    StreamForget.maintain(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(srcDir.toString),
+      s"$srcDir/ckpt", textIdx = Some(textIdx),
+      compactAboveTombstones = Some(1L)).awaitTermination()
+    // batch 0 left 1 live tombstone (<= cut); batch 1 crossed the
+    // threshold and triggered the full fold
+    assert(TextIndex.tombstoneCount(spark, textIdx) == 0L,
+      "threshold compaction did not retire the tombstones")
+    assert(TextIndex.docsFor(spark, textIdx, Seq(1L, 2L))
+      .count() == 2L, "survivors lost in the mid-stream fold")
+    // doc 0 is gone; doc 4 (the untouched near-copy) still holds "fox"
+    assert(TextIndex.searchBm25(spark, textIdx, Seq("fox"), 10)
+      .collect().map(_.getLong(1)).toSeq == Seq(4L))
+    for (k <- Seq("b0", "b1"))
+      assert(TextIndex.hasDelivery(spark, textIdx, k),
+        s"key $k lost in the mid-stream fold")
+  }
+}
