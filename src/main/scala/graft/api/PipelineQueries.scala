@@ -541,7 +541,7 @@ object PipelineQueries {
         .orderBy("a_id", "b_id")
     }),
     // DOCUMENT DELETION on the persisted LSH dedup index (takedown):
-    // two subset shards plus a batch of near-dup COPIES ingest with
+    // one subset shard plus a batch of near-dup COPIES ingest with
     // persisted pair reports, then the copied ORIGINALS are deleted —
     // one pure gone-set tombstone commit. Immediately: the cumulative
     // pair readback stops serving any pair naming a deleted doc, and
@@ -557,17 +557,15 @@ object PipelineQueries {
         .createTempDirectory("graft_lsh_fidx").toString
       val d = docs(s, dir).select("doc_id", "text")
         .where(pmod(col("doc_id"), lit(20)) === 7)
-      for (i <- 0 until 2)
-        Dedup.indexCheckAndIngest(s, idx,
-          d.where(pmod(col("doc_id"), lit(40)) === 20 * i + 7),
-          "doc_id", "text", JaccardThreshold,
-          deliveryKey = Some(s"d$i"), persistPairs = true): Unit
+      Dedup.indexCheckAndIngest(s, idx, d,
+        "doc_id", "text", JaccardThreshold,
+        deliveryKey = Some("d0"), persistPairs = true): Unit
       val originals = d.where(pmod(col("doc_id"), lit(80)) === 7)
       Dedup.indexCheckAndIngest(s, idx,
         originals.select((col("doc_id") + 100000L).as("doc_id"),
           concat(col("text"), lit(" zz0 zz1 zz2")).as("text")),
         "doc_id", "text", JaccardThreshold,
-        deliveryKey = Some("d2"), persistPairs = true): Unit
+        deliveryKey = Some("d1"), persistPairs = true): Unit
       val deleted = originals.select("doc_id")
         .collect().map(_.getLong(0)).toSeq
       Dedup.indexForgetDocs(s, idx, deleted, key = Some("rtbf"))
@@ -580,7 +578,7 @@ object PipelineQueries {
         originals.select((col("doc_id") + 200000L).as("doc_id"),
           concat(col("text"), lit(" qq0 qq1 qq2")).as("text")),
         "doc_id", "text", JaccardThreshold,
-        deliveryKey = Some("d3"), persistPairs = true): Unit
+        deliveryKey = Some("d2"), persistPairs = true): Unit
       val pre = Dedup.indexPairs(s, idx)
         .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
       Dedup.indexCompact(s, idx)
@@ -4532,14 +4530,13 @@ object PipelineQueries {
     // Jaccard (per-shard df caps) MINUS every pair touching a deleted
     // original (< 100000 with doc_id % 80 = 7)
     "dedup_index_forget" ->
-      s"""WITH sub AS (SELECT doc_id, text,
-         |    CASE WHEN doc_id % 40 = 7 THEN 0 ELSE 1 END AS shard
+      s"""WITH sub AS (SELECT doc_id, text, 0 AS shard
          |  FROM documents WHERE doc_id % 20 = 7),
          |copies AS (SELECT doc_id + 100000 AS doc_id,
-         |    text || ' zz0 zz1 zz2' AS text, 2 AS shard
+         |    text || ' zz0 zz1 zz2' AS text, 1 AS shard
          |  FROM documents WHERE doc_id % 80 = 7),
          |b2 AS (SELECT doc_id + 200000 AS doc_id,
-         |    text || ' qq0 qq1 qq2' AS text, 3 AS shard
+         |    text || ' qq0 qq1 qq2' AS text, 2 AS shard
          |  FROM documents WHERE doc_id % 80 = 7),
          |d AS (SELECT * FROM sub UNION ALL SELECT * FROM copies
          |      UNION ALL SELECT * FROM b2),
