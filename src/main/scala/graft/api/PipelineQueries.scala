@@ -540,6 +540,25 @@ object PipelineQueries {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
+    // LSH-INDEX OBSERVABILITY: one row of folded stats from the
+    // index's own legs (n_shards, n_docs = live signature rows,
+    // n_postings = df-capped shingle postings, n_pairs = persisted
+    // pair-report rows) — stats parity with text_index_stats /
+    // ann_index_stats. Oracle recomputes all four from the corpus
+    // (distinct 3-gram shingles, per-shard df cap, cross-shard
+    // Jaccard), proving the whole ingest fold
+    "dedup_index_stats" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_lsh_sidx2").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(20)) === 9)
+      for (i <- 0 until 2)
+        Dedup.indexCheckAndIngest(s, idx,
+          d.where(pmod(col("doc_id"), lit(40)) === 20 * i + 9),
+          "doc_id", "text", JaccardThreshold,
+          deliveryKey = Some(s"st$i"), persistPairs = true): Unit
+      Dedup.indexStats(s, idx)
+    }),
     // DOCUMENT DELETION on the persisted LSH dedup index (takedown):
     // one subset shard plus a batch of near-dup COPIES ingest with
     // persisted pair reports, then the copied ORIGINALS are deleted —
@@ -1974,10 +1993,16 @@ object PipelineQueries {
         .createTempDirectory("graft_text_forget").toString
       val d = docs(s, dir).select("doc_id", "text")
         .where(col("doc_id") % 10 === 3)
+      // docs-only leg profile: forgetDocs needs the forward store (its
+      // deltas re-tokenize from it) and the probe is BM25-only — the
+      // full 6-leg read-path coverage of deletion lives in
+      // TextIndexForgetSpec (registered-probe slimming discipline)
+      val legs = graft.text.TextIndex.LegProfile(
+        pos = false, del = false, docs = true)
       for (i <- 0 until 2)
         graft.text.TextIndex.ingestShard(s, idx,
           d.where(pmod(col("doc_id"), lit(20)) === i * 10 + 3),
-          "doc_id", "text", key = Some(s"f$i"))
+          "doc_id", "text", key = Some(s"f$i"), legs = legs)
       val vPre = graft.text.TextIndex.version(s, idx)
       val deleted = d.where(col("doc_id") % 40 === 3)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
@@ -4526,6 +4551,34 @@ object PipelineQueries {
          |JOIN sizes sb ON sb.doc_id = b_id
          |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
          |ORDER BY a_id, b_id""".stripMargin,
+    // folded index stats ≡ corpus-derived ground truth: distinct
+    // 3-gram shingles per doc, per-shard df cap 200, cross-shard pairs
+    "dedup_index_stats" ->
+      s"""WITH sub AS (SELECT doc_id, text,
+         |    CASE WHEN doc_id % 40 = 9 THEN 0 ELSE 1 END AS shard
+         |  FROM documents WHERE doc_id % 20 = 9),
+         |tok AS (SELECT doc_id, shard, string_split(text, ' ') AS tokens
+         |        FROM sub),
+         |sh0 AS (SELECT DISTINCT doc_id, shard, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+         |  FROM tok),
+         |shf AS (SELECT s.* FROM sh0 s JOIN (
+         |    SELECT shard, sh FROM sh0 GROUP BY shard, sh
+         |    HAVING count(*) <= 200) c
+         |    ON s.shard = c.shard AND s.sh = c.sh),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM shf GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.shard < b.shard
+         |  GROUP BY 1, 2),
+         |np AS (SELECT count(*) AS n_pairs FROM inter
+         |  JOIN sizes sa ON sa.doc_id = a_id
+         |  JOIN sizes sb ON sb.doc_id = b_id
+         |  WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold)
+         |SELECT CAST(2 AS BIGINT) AS n_shards,
+         |  (SELECT count(DISTINCT doc_id) FROM shf) AS n_docs,
+         |  (SELECT count(*) FROM shf) AS n_postings,
+         |  (SELECT n_pairs FROM np) AS n_pairs""".stripMargin,
     // post-delete cumulative pair readback ≡ declarative cross-shard
     // Jaccard (per-shard df caps) MINUS every pair touching a deleted
     // original (< 100000 with doc_id % 80 = 7)

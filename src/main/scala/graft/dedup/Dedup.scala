@@ -410,6 +410,53 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Long =
     indexGone(spark, indexDir).map(_.count()).getOrElse(0L)
 
+  /** INDEX OBSERVABILITY: one row of folded LSH-index statistics —
+   *  (n_shards, n_docs, n_postings, n_pairs) from the index's own
+   *  legs, never the corpus: n_docs counts live signature rows (a doc
+   *  whose every shingle saturated its shard's df cap carries no
+   *  signature and is genuinely unmatchable — the honest count),
+   *  n_postings the live df-capped shingle postings, n_pairs the live
+   *  persisted pair-report rows (0 when no shard persisted a report).
+   *  Tombstoned docs are excluded everywhere, so the report reflects
+   *  exactly what the probe paths can serve — the health check a
+   *  dedup deployment watches (did a merge double postings? is the
+   *  pair ledger growing?), completing stats parity with
+   *  [[graft.text.TextIndex.stats]] and
+   *  [[graft.sim.Similarity.ivfIndexStats]]. Cost: leg-grain
+   *  counts — ∝ index, never corpus text.
+   */
+  def indexStats(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val live = new graft.store.CommitLog(s"$indexDir/_manifests")
+      .latest(spark)._2
+    val shards = live.filter(_.startsWith("c-"))
+    require(shards.nonEmpty, s"no live commits in dedup index $indexDir")
+    def legDirs(sub: String): Seq[String] =
+      shards.map(d => s"$indexDir/data/$d/$sub").filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    def read(dirs: Seq[String]): DataFrame =
+      dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    val nDocs = dropIndexGone(spark, indexDir,
+        read(legDirs("sig")), "doc_id")
+      .agg(count(lit(1)).as("n_docs"))
+    val nPost = dropIndexGone(spark, indexDir,
+        read(legDirs("sh")), "doc_id")
+      .agg(count(lit(1)).as("n_postings"))
+    val pairDirs = legDirs("pairs")
+    val nPairs =
+      if (pairDirs.isEmpty)
+        spark.range(1).select(lit(0L).as("n_pairs"))
+      else dropIndexGone(spark, indexDir, read(pairDirs), "a_id", "b_id")
+        .agg(count(lit(1)).as("n_pairs"))
+    spark.range(1)
+      .select(lit(shards.size.toLong).as("n_shards"))
+      .crossJoin(nDocs).crossJoin(nPost).crossJoin(nPairs)
+  }
+
   /** Stable digest of a delivery key, embedded in a keyed shard's
    *  commit-dir name (`c-k<digest>-<rand>`) so the shard's own pair
    *  report stays ADDRESSABLE BY KEY ([[indexPairsForDelivery]]). The

@@ -103,6 +103,36 @@ class IndexForgetSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("dedup indexStats reflects exactly what the probe paths can " +
+      "serve: tombstoned docs drop from every count, folds restore them " +
+      "to physical truth") {
+    val idx = TestSpark.tmpDir("lsh_stats_forget")
+    Dedup.indexCheckAndIngest(spark, idx,
+      Seq((0L, doc), (1L, "entirely novel content nothing shared today"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 0.6, deliveryKey = Some("s0"),
+      persistPairs = true): Unit
+    Dedup.indexCheckAndIngest(spark, idx,
+      Seq((10L, doc + " tail")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6, deliveryKey = Some("s1"),
+      persistPairs = true): Unit
+    def st() = {
+      val r = Dedup.indexStats(spark, idx).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
+    val (sh0, docs0, post0, pairs0) = st()
+    assert(sh0 == 2L && docs0 == 3L && pairs0 == 1L, s"fixture: ${st()}")
+    Dedup.indexForgetDocs(spark, idx, Seq(0L))
+    val (_, docs1, post1, pairs1) = st()
+    assert(docs1 == 2L, "tombstoned doc still counted in n_docs")
+    assert(post1 < post0, "tombstoned doc's postings still counted")
+    assert(pairs1 == 0L, "pair naming a tombstoned doc still counted")
+    // the full fold makes logical == physical; stats unchanged by it
+    Dedup.indexCompact(spark, idx)
+    assert(st() == (1L, docs1, post1, pairs1),
+      "fold changed served stats (beyond the shard fold)")
+  }
+
   private def vecs(n: Long) = Similarity.asDouble(
     (0L until n).map(i =>
       (i, Array.tabulate(8)(d => math.sin(i * 1.3 + d).toFloat)))
