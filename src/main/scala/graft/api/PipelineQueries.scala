@@ -2037,6 +2037,40 @@ object PipelineQueries {
         "compaction must not change post-delete answers")
       post.orderBy("rank")
     }),
+    // DOCUMENT UPSERT (the crawl re-fetch op): a quarter of the
+    // doc_id % 10 = 8 subset is re-fetched with changed text and
+    // upserted — one exact-delta tombstone commit + one fresh shard
+    // commit under paired <key>.del/<key>.add ledger entries, so
+    // post-upsert BM25 equals an index that ingested the NEW text
+    // from the start, and a redelivered upsert is a version-
+    // preserving NO-OP (pinned in-line; crash-gap replay is pinned in
+    // TextIndexForgetSpec). Compaction then folds the superseded
+    // postings away. Oracle = declarative BM25 over the subset with
+    // the re-fetched docs' text replaced
+    "text_index_upsert" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_text_upsert").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(col("doc_id") % 10 === 8)
+      for (i <- 0 until 2)
+        graft.text.TextIndex.ingestShard(s, idx,
+          d.where(pmod(col("doc_id"), lit(20)) === i * 10 + 8),
+          "doc_id", "text", key = Some(s"w$i"))
+      val upd = d.where(col("doc_id") % 40 === 8)
+        .select(col("doc_id"),
+          concat(lit("upd "), col("text")).as("text"))
+      graft.text.TextIndex.upsertDocs(s, idx, upd, "doc_id", "text",
+        key = Some("u0"))
+      val v = graft.text.TextIndex.version(s, idx)
+      graft.text.TextIndex.upsertDocs(s, idx, upd, "doc_id", "text",
+        key = Some("u0"))
+      require(graft.text.TextIndex.version(s, idx) == v,
+        "redelivered upsert must be a version-preserving no-op")
+      graft.text.TextIndex.compact(s, idx)
+      graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+        .orderBy("rank")
+    }),
     // STREAMING TAKEDOWN QUEUE (right-to-be-forgotten as a stream):
     // deletion requests drain as two mtime-ordered micro-batches into
     // exactly-once tombstones on a 1/10-subset text index (#txn:b<id>
@@ -4256,6 +4290,37 @@ object PipelineQueries {
         |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc_id,
         |  score_ppm, n_terms FROM r
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // upserted index ≡ declarative BM25 over the subset with the
+    // re-fetched quarter's text replaced ('upd ' prefix)
+    "text_index_upsert" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 40 = 8 THEN 'upd ' || text ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 10 = 8),
+        |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, score_ppm, n_terms FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
     // streamed takedowns ≡ declarative BM25 over the subset minus the
     // two batches' ids (doc_id % 40 in (6, 26))
     "stream_forget" ->

@@ -575,6 +575,20 @@ object Dedup {
         .map(d => s"$indexDir/data/$d/$sub")
     val sigDirs = live("sig")
     val shDirs = live("sh")
+    // unlike the text index (whose tombstones are order-scoped so an
+    // upsert's re-ingest serves normally), this index's gone set
+    // applies globally until a full fold retires it — silently
+    // accepting a tombstoned id here would ingest rows NO probe can
+    // ever serve. Refuse loudly instead; cost only while tombstones
+    // are live.
+    indexGone(spark, indexDir).foreach { g =>
+      val clash = shard.select(col(idCol).cast("long").as("doc_id"))
+        .join(broadcast(g), Seq("doc_id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"shard re-ingests doc ids tombstoned in $indexDir — their rows " +
+          "would be invisible until a full compaction retires the " +
+          "tombstone; run indexCompact first (or assign fresh ids)")
+    }
     val sh = shingleSet(shard, idCol, textCol)
     // signature AND set size in ONE pass over the shingle set: the
     // stored row is (doc_id, mh, n) — everything banding, estimation,

@@ -421,6 +421,18 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, key: Option[String] = None): Unit = {
     val txn = ivfTxn(spark, dir, key)
+    // the gone set applies globally until a fold/rebuild retires it —
+    // appending a tombstoned vec_id would store rows no probe can
+    // serve. Refuse loudly (cost only while tombstones are live);
+    // the text index's order-scoped tombstones are the upsert path.
+    ivfGone(spark, dir).foreach { g =>
+      val clash = batch.select(col("vec_id"))
+        .join(broadcast(g), Seq("vec_id"), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"batch re-appends vec ids tombstoned in $dir — their rows " +
+          "would be invisible until a full fold or rebuild retires " +
+          "the tombstone; fold first (or assign fresh ids)")
+    }
     val cents = collectBounded(
       spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
       "the stored centroid set must stay index-small")

@@ -73,7 +73,20 @@ object StreamForget {
         if (ids.nonEmpty) {
           textIdx.foreach { dir =>
             if (!graft.text.TextIndex.hasDelivery(s, dir, key)) {
-              graft.text.TextIndex.forgetDocs(s, dir, ids, key = Some(key))
+              try graft.text.TextIndex.forgetDocs(s, dir, ids,
+                key = Some(key))
+              catch {
+                case _: IllegalStateException =>
+                  // lost the tombstone-set race (a concurrent forget or
+                  // full fold moved the live set) — forgetDocs' contract
+                  // is "rerun against the new live set"; the maintainer
+                  // owns that retry so an operator race doesn't fail the
+                  // stream. Re-probe the ledger first: if the racer
+                  // committed OUR key, the batch is already applied.
+                  if (!graft.text.TextIndex.hasDelivery(s, dir, key))
+                    graft.text.TextIndex.forgetDocs(s, dir, ids,
+                      key = Some(key))
+              }
               compactAboveTombstones.foreach { cut =>
                 if (graft.text.TextIndex.tombstoneCount(s, dir) > cut)
                   graft.text.TextIndex.compact(s, dir)

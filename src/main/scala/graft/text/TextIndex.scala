@@ -139,15 +139,46 @@ object TextIndex {
    *  grows with delete history). Every query path reads postings
    *  through here, so a deleted doc can never resurrect in search,
    *  phrase, proximity, containment, or forward-store results.
+   *
+   *  A tombstone is ORDER-SCOPED: it covers exactly the shard commits
+   *  that PRECEDE it in the commit log's (insertion-ordered) live
+   *  list. A doc re-ingested AFTER its takedown (the [[upsertDocs]]
+   *  add leg, or any later re-crawl of the same id) lands in a commit
+   *  after the tombstone and is served normally — a global gone set
+   *  would silently kill the fresh rows too (re-ingest "succeeds" but
+   *  never answers), the silent-loss trap this scoping exists to
+   *  close. Commits are read in groups sharing the same
+   *  subsequent-tombstone set — at most (#live tombstones + 1) groups,
+   *  each paying one broadcast anti-join; zero extra plan nodes when
+   *  no tombstones are live.
    */
   private def readDocGrain(
       spark: SparkSession, dir: String, sub: String): DataFrame = {
-    val base = liveSub(spark, dir, sub)
-      .map(spark.read.parquet(_))
-      .reduce(_.unionByName(_))
-    goneDocs(spark, dir)
-      .map(g => base.join(broadcast(g), Seq("doc_id"), "left_anti"))
-      .getOrElse(base)
+    val conf = spark.sessionState.newHadoopConf()
+    val ordered = clog(dir).latest(spark)._2
+      .filter(e => e.startsWith("c-") || e.startsWith("t-"))
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    // each commit's applicable tombstones = the t- entries AFTER it
+    val withScope: Seq[(String, Seq[String])] = ordered.zipWithIndex
+      .filter(_._1.startsWith("c-"))
+      .map { case (c, i) =>
+        (s"$dir/data/$c/$sub",
+          ordered.drop(i + 1).filter(_.startsWith("t-")))
+      }
+      .filter(p => exists(p._1))
+    withScope.groupBy(_._2).map { case (tombs, roots) =>
+      val base = roots.map(r => spark.read.parquet(r._1))
+        .reduce(_.unionByName(_))
+      if (tombs.isEmpty) base
+      else {
+        val gone = tombs.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
+          .reduce(_.unionByName(_)).select("doc_id")
+        base.join(broadcast(gone), Seq("doc_id"), "left_anti")
+      }
+    }.reduce(_.unionByName(_))
   }
 
   /** Vocab rows ACROSS live commits INCLUDING tombstone delta rows
@@ -541,6 +572,52 @@ object TextIndex {
         .coalesce(1).write.parquet(s"$dir/data/$name/dstats")
       publishTombstone(spark, dir, name, txn, tombSnap)
     } finally hit.unpersist(): Unit
+  }
+
+  /** DOCUMENT UPSERT (the crawl re-fetch lifecycle op): replace up to
+   *  65536 docs' content in place — one tombstone commit deleting the
+   *  old postings ([[forgetDocs]]; ids never ingested no-op) followed
+   *  by one shard commit ingesting the new text ([[ingestShard]]).
+   *  Because the tombstone's df/nd/tl deltas are exact and the new
+   *  shard folds by the ordinary monoids, post-upsert BM25 equals an
+   *  index that ingested the NEW text from the start; a later full
+   *  compaction physically erases the superseded postings.
+   *
+   *  Exactly-once across the two commits is the maintainer contract:
+   *  `key` fans out to `<key>.del` / `<key>.add` ledger entries and
+   *  each leg short-circuits on its own committed key — a crash
+   *  between the two commits replays with the delete leg a no-op and
+   *  the add leg completing, and a full redelivery is a
+   *  version-preserving no-op (NOT an error — upsert is the
+   *  replay-friendly verb; the primitive ingest/forget stay loud).
+   *  Visibility is eventual across the pair: a reader between the two
+   *  commits sees the doc deleted-not-yet-replaced (each commit is
+   *  individually atomic; a single-commit upsert would need every
+   *  read path to resolve gone-sets inside data commits — the
+   *  documented trade). Requires the forward docs leg (the delete
+   *  leg's deltas come from it).
+   */
+  def upsertDocs(
+      spark: SparkSession, dir: String, docs: DataFrame,
+      idCol: String, textCol: String, key: Option[String] = None,
+      legs: LegProfile = LegProfile.Serving): Unit = {
+    require(legs.docs,
+      "upsertDocs needs the forward docs leg in its ingest profile — " +
+        "the next upsert's delete leg re-derives deltas from it")
+    val ids = docs.select(col(idCol).cast("long")).distinct()
+      .limit(65537).collect().map(_.getLong(0)).toSeq
+    require(ids.nonEmpty && ids.length <= 65536,
+      s"upsertDocs takes 1..65536 distinct ids per call (got ${ids.length})")
+    val (delKey, addKey) = (key.map(_ + ".del"), key.map(_ + ".add"))
+    // an empty index has nothing to delete — the first upsert is a
+    // plain founding ingest (forgetDocs would refuse the missing
+    // docs leg of a commit-less index)
+    if (liveShardCount(spark, dir) > 0 &&
+        !delKey.exists(hasDelivery(spark, dir, _)))
+      forgetDocs(spark, dir, ids, key = delKey)
+    if (!addKey.exists(hasDelivery(spark, dir, _)))
+      ingestShard(spark, dir, docs, idCol, textCol, key = addKey,
+        legs = legs)
   }
 
   /** The tombstone PUBLISH step, separated so the stale-abort path is
@@ -1466,8 +1543,10 @@ object TextIndex {
    *  instead of growing with shard history).
    */
   private def foldLegs(
-      spark: SparkSession, roots: Seq[String], dst: String,
-      tombRoots: Seq[String] = Seq.empty): Unit = {
+      spark: SparkSession, rootsGone: Seq[(String, Seq[String])],
+      dst: String, tombRoots: Seq[String] = Seq.empty): Unit = {
+    val roots = rootsGone.map(_._1)
+    val scopeByRoot = rootsGone.toMap
     val conf = spark.sessionState.newHadoopConf()
     def having(sub: String): Seq[String] =
       roots.map(r => s"$r/$sub").filter { p =>
@@ -1486,15 +1565,23 @@ object TextIndex {
     def read(paths: Seq[String]): DataFrame =
       paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
     // tombstone application (FULL folds only — compactTiered guards):
-    // doc-grain legs drop the gone docs' rows (physical erasure lands
-    // here; vacuum reclaims the superseded dirs), vocab/stats fold the
-    // negative deltas in and keep df > 0, del keys semi-join the
-    // surviving vocab so fully-deleted tokens stop key-probing
-    val gone: Option[DataFrame] = Option.when(tombRoots.nonEmpty)(
-      read(tombRoots.map(t => s"$t/gone")).select("doc_id"))
-    def dropGone(df: DataFrame): DataFrame =
-      gone.map(g => df.join(broadcast(g), Seq("doc_id"), "left_anti"))
-        .getOrElse(df)
+    // each root's doc-grain rows drop ITS OWN scope's gone docs (a
+    // tombstone covers only the commits that precede it, so a doc
+    // re-ingested after its takedown survives the fold — physical
+    // erasure of the OLD rows lands here, vacuum reclaims the dirs);
+    // vocab/stats fold the global negative deltas in and keep df > 0,
+    // del keys semi-join the surviving vocab so fully-deleted tokens
+    // stop key-probing
+    def readScoped(sub: String, paths: Seq[String]): DataFrame =
+      paths.map { p =>
+        val df = spark.read.parquet(p)
+        val ts = scopeByRoot.getOrElse(p.stripSuffix(s"/$sub"), Seq.empty)
+        if (ts.isEmpty) df
+        else df.join(
+          broadcast(ts.map(t => spark.read.parquet(s"$t/gone"))
+            .reduce(_.unionByName(_)).select("doc_id")),
+          Seq("doc_id"), "left_anti")
+      }.reduce(_.unionByName(_))
     def foldedVocab: DataFrame = {
       val base = read(having("vocab"))
       val all =
@@ -1508,12 +1595,12 @@ object TextIndex {
     implicit val ec: ExecutionContext = ExecutionContext.global
     val jobs = Seq(
       Some(() =>
-        dropGone(read(having("post")))
+        readScoped("post", having("post"))
           .select(col("token"), col("doc_id"), col("tf"), col("dl"), col("tb"))
           .repartition(TokenBuckets, col("tb"))
           .write.partitionBy("tb").parquet(s"$dst/post")),
       uniform("pos").map(ps => () =>
-        dropGone(read(ps))
+        readScoped("pos", ps)
           .select(col("token"), col("doc_id"), col("positions"), col("tb"))
           .repartition(TokenBuckets, col("tb"))
           .write.partitionBy("tb").parquet(s"$dst/pos")),
@@ -1542,7 +1629,7 @@ object TextIndex {
           .coalesce(1).write.parquet(s"$dst/stats")
       }),
       uniform("docs").map(ds => () =>
-        dropGone(read(ds))
+        readScoped("docs", ds)
           .select(col("doc_id"), col("text"), col("fb"))
           .repartition(TokenBuckets, col("fb"))
           .write.partitionBy("fb").parquet(s"$dst/docs"))
@@ -1586,33 +1673,74 @@ object TextIndex {
     // know a gone doc's rows all sit inside its inputs, and folding
     // the dvocab/dstats deltas while the doc's postings survive in an
     // unfolded commit would subtract twice — partial folds concatenate
-    // pure and leave the `t-` commits live (the read paths keep
-    // applying them)
+    // pure, fold WITHIN one run of consecutive shard commits (no
+    // tombstone between them), and SPLICE their output at the run's
+    // position so every commit keeps exactly its original
+    // subsequent-tombstone coverage
     val full = fanIn >= all.size
     val applyTombs = full && tombs.nonEmpty
     if (all.isEmpty || (all.size <= 1 && !applyTombs)) return
     val conf = spark.sessionState.newHadoopConf()
-    val dirs =
-      if (full) all
-      else all.map { d =>
+    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+    if (full) {
+      // scoped application: each shard drops the gone sets of the
+      // tombstones AFTER it; every tombstone retires (its deltas fold
+      // into the one output's vocab/stats)
+      val ordered = live.filter(e =>
+        e.startsWith("c-") || e.startsWith("t-"))
+      val rootsGone = ordered.zipWithIndex
+        .filter(_._1.startsWith("c-"))
+        .map { case (c, i) =>
+          (s"$dir/data/$c", ordered.drop(i + 1)
+            .filter(_.startsWith("t-")).map(t => s"$dir/data/$t"))
+        }
+      foldLegs(spark, rootsGone, s"$dir/data/$name",
+        tombRoots = tombs.map(t => s"$dir/data/$t"))
+      val replaced = all ++ tombs
+      val published = cl.commit(spark) { now =>
+        if (replaced.forall(now.contains))
+          Some(now.filterNot(replaced.contains) :+ name)
+        else None // an input moved under us — abort, never double-fold
+      }
+      if (!published) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+        p.getFileSystem(conf).delete(p, true): Unit
+      }
+    } else {
+      // runs of consecutive c- commits between tombstone boundaries;
+      // fold the fanIn smallest within the largest run
+      val ordered = live.filter(e =>
+        e.startsWith("c-") || e.startsWith("t-"))
+      val runs = ordered.foldLeft(Seq(Seq.empty[String])) { (acc, e) =>
+        if (e.startsWith("t-")) acc :+ Seq.empty
+        else acc.init :+ (acc.last :+ e)
+      }
+      val run = runs.maxBy(_.size)
+      if (run.size <= 1) return
+      val dirs = run.map { d =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$d")
         val fs = p.getFileSystem(conf)
         (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
       }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
-    if (dirs.size <= 1 && !applyTombs) return
-    val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
-    foldLegs(spark, dirs.map(d => s"$dir/data/$d"), s"$dir/data/$name",
-      tombRoots =
-        if (applyTombs) tombs.map(t => s"$dir/data/$t") else Seq.empty)
-    val replaced = dirs ++ (if (applyTombs) tombs else Seq.empty)
-    val published = cl.commit(spark) { now =>
-      if (replaced.forall(now.contains))
-        Some(now.filterNot(replaced.contains) :+ name)
-      else None // an input moved under us — abort, never double-fold
-    }
-    if (!published) {
-      val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
-      p.getFileSystem(conf).delete(p, true): Unit
+      if (dirs.size <= 1) return
+      foldLegs(spark, dirs.map(d => (s"$dir/data/$d", Seq.empty[String])),
+        s"$dir/data/$name")
+      val published = cl.commit(spark) { now =>
+        if (dirs.forall(now.contains)) {
+          // splice at the first input's position — the output stays
+          // inside its run, keeping the same tombstone coverage
+          val firstIdx = now.indexWhere(dirs.contains)
+          Some(now.zipWithIndex.flatMap { case (e, i) =>
+            if (i == firstIdx) Seq(name)
+            else if (dirs.contains(e)) Seq.empty
+            else Seq(e)
+          })
+        } else None // an input moved under us — abort, never double-fold
+      }
+      if (!published) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+        p.getFileSystem(conf).delete(p, true): Unit
+      }
     }
   }
 
@@ -1680,7 +1808,8 @@ object TextIndex {
           "re-read the source and retry")
     }
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
-    foldLegs(spark, srcShards.map(d => s"$srcDir/data/$d"),
+    foldLegs(spark,
+      srcShards.map(d => (s"$srcDir/data/$d", Seq.empty[String])),
       s"$dstDir/data/$name")
     val published = cl.commit(spark) { now =>
       if ((srcTxn ++ txn).exists(now.contains)) None // raced duplicate

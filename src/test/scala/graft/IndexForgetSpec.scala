@@ -103,6 +103,38 @@ class IndexForgetSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("re-ingesting a tombstoned id refuses LOUDLY on the dedup and " +
+      "ivf indexes (their gone sets are global until a fold) — and " +
+      "ingests normally again after the fold retires the tombstone") {
+    val idx = TestSpark.tmpDir("lsh_reingest")
+    Dedup.indexCheckAndIngest(spark, idx,
+      Seq((0L, doc), (1L, "other words entirely")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6): Unit
+    Dedup.indexForgetDocs(spark, idx, Seq(0L))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.indexCheckAndIngest(spark, idx,
+        Seq((0L, doc + " v2")).toDF("doc_id", "text"),
+        "doc_id", "text", 0.6)
+    }
+    assert(ex.getMessage.contains("tombstoned"), ex.getMessage)
+    Dedup.indexCompact(spark, idx)
+    // tombstone retired: the id is free again
+    Dedup.indexCheckAndIngest(spark, idx,
+      Seq((0L, doc + " v2")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6): Unit
+    val ivf = TestSpark.tmpDir("ivf_reingest")
+    val all = vecs(10L)
+    Similarity.ivfIndexBuild(spark, ivf, all, centroidStep = 4L)
+    Similarity.ivfIndexForget(spark, ivf, Seq(2L))
+    val ex2 = intercept[IllegalArgumentException] {
+      Similarity.ivfIndexAppend(spark, ivf, all.where(col("vec_id") === 2L))
+    }
+    assert(ex2.getMessage.contains("tombstoned"), ex2.getMessage)
+    Similarity.ivfIndexCompactTiered(spark, ivf, fanIn = 10)
+    Similarity.ivfIndexAppend(spark, ivf, all.where(col("vec_id") === 2L))
+    assert(Similarity.ivfIndexStats(spark, ivf).head().getLong(1) == 10L)
+  }
+
   test("dedup indexStats reflects exactly what the probe paths can " +
       "serve: tombstoned docs drop from every count, folds restore them " +
       "to physical truth") {

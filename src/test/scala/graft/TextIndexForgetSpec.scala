@@ -164,6 +164,52 @@ class TextIndexForgetSpec extends AnyFunSuite {
     assert(TextIndex.tombstoneCount(spark, idx) == 1L)
   }
 
+  test("upsertDocs replaces content in place: post-upsert answers equal " +
+      "a fresh index of the new text; replay completes the missing leg " +
+      "only; full redelivery is a version-preserving no-op") {
+    val idx = freshIdx("ups", corpus)
+    val newText = Seq(
+      (1L, "merge merge merge sort"), // was the window/scan doc
+      (7L, "brand new document seven")) // never ingested: insert path
+      .toDF("doc_id", "text")
+    TextIndex.upsertDocs(spark, idx, newText, "doc_id", "text",
+      key = Some("u1"))
+    val ref = freshIdx("upsref",
+      corpus.where(col("doc_id") =!= 1L).unionByName(newText))
+    for (q <- Seq(Seq("merge"), Seq("window", "scan"), Seq("seven"),
+        Seq("merge", "window", "scan")))
+      assert(bm25(idx, q) == bm25(ref, q),
+        s"post-upsert bm25 diverges from fresh-index-of-new-text on $q")
+    assert(TextIndex.docsFor(spark, idx, Seq(1L)).head().getString(1) ==
+      "merge merge merge sort")
+    // both leg keys ledgered; a FULL redelivery of the upsert no-ops
+    assert(TextIndex.hasDelivery(spark, idx, "u1.del"))
+    assert(TextIndex.hasDelivery(spark, idx, "u1.add"))
+    val v = TextIndex.version(spark, idx)
+    TextIndex.upsertDocs(spark, idx, newText, "doc_id", "text",
+      key = Some("u1"))
+    assert(TextIndex.version(spark, idx) == v,
+      "redelivered upsert must be a version-preserving no-op")
+    // crash-gap replay: delete leg committed, add leg missing — the
+    // replay completes ONLY the add
+    val idx2 = freshIdx("upsgap", corpus)
+    TextIndex.forgetDocs(spark, idx2, Seq(2L), key = Some("u2.del"))
+    val upd2 = Seq((2L, "rebuilt second document")).toDF("doc_id", "text")
+    TextIndex.upsertDocs(spark, idx2, upd2, "doc_id", "text",
+      key = Some("u2"))
+    assert(TextIndex.tombstoneCount(spark, idx2) == 1L,
+      "replay re-applied the committed delete leg")
+    assert(bm25(idx2, Seq("rebuilt")).map(_._2) == Seq(2L))
+    // compaction folds the upsert's tombstone; answers stand
+    TextIndex.compact(spark, idx)
+    for (q <- Seq(Seq("merge"), Seq("seven")))
+      assert(bm25(idx, q) == bm25(ref, q), s"fold changed upsert answers on $q")
+    // an upsert on an EMPTY index is a plain founding ingest
+    val idx3 = TestSpark.tmpDir("text_forget_upsnew")
+    TextIndex.upsertDocs(spark, idx3, newText, "doc_id", "text")
+    assert(bm25(idx3, Seq("seven")).map(_._2) == Seq(7L))
+  }
+
   test("time travel: a pre-delete cloneAsOf branch still serves the " +
       "deleted doc until vacuum erases the superseded bytes") {
     val idx = freshIdx("tt", corpus)
