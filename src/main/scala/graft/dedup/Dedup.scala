@@ -324,7 +324,8 @@ object Dedup {
 
   /** The live tombstoned doc ids as one (doc_id) frame — None when no
    *  tombstones are live, so the no-deletions case adds zero plan
-   *  nodes to the check/pair read paths.
+   *  nodes to the check/pair read paths. (Global union — observability
+   *  only; reads scope per commit via [[readIndexLeg]].)
    */
   private def indexGone(
       spark: org.apache.spark.sql.SparkSession,
@@ -335,20 +336,51 @@ object Dedup {
         .reduce(_.unionByName(_)).select("doc_id"))
   }
 
-  /** Drop tombstoned docs from a doc-grain index read (broadcast
-   *  anti-join; the gone set is bounded — a full [[indexCompact]]
-   *  retires it, so it never grows with delete history).
+  /** Union one doc-grain index leg across live shard commits with
+   *  ORDER-SCOPED tombstones applied: a tombstone covers exactly the
+   *  commits that PRECEDE it in the commit log's live list, so a doc
+   *  re-ingested after its takedown (a re-crawl of the same id — the
+   *  StreamForget + crawl-pipeline composition) serves normally
+   *  instead of being silently killed by a global gone set (the same
+   *  scoping as the text index's readDocGrain). Commits group by
+   *  their subsequent-tombstone set — ≤ #tombstones+1 broadcast
+   *  anti-joins, zero plan nodes when none are live. `idCols` names
+   *  the column(s) carrying doc ids (pair reports carry two). Returns
+   *  None when no live commit holds the leg.
    */
-  private def dropIndexGone(
+  private def readIndexLeg(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      df: DataFrame, idCols: String*): DataFrame =
-    indexGone(spark, indexDir) match {
-      case None => df
-      case Some(g) =>
-        idCols.foldLeft(df)((d, c) =>
-          d.join(broadcast(g.select(col("doc_id").as(c))), Seq(c),
-            "left_anti"))
+      sub: String, idCols: String*): Option[DataFrame] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val ordered = new graft.store.CommitLog(s"$indexDir/_manifests")
+      .latest(spark)._2
+      .filter(e => e.startsWith("c-") || e.startsWith("t-"))
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
     }
+    val withScope = ordered.zipWithIndex
+      .filter(_._1.startsWith("c-"))
+      .map { case (c, i) =>
+        (s"$indexDir/data/$c/$sub",
+          ordered.drop(i + 1).filter(_.startsWith("t-")))
+      }
+      .filter(p => exists(p._1))
+    if (withScope.isEmpty) None
+    else Some(withScope.groupBy(_._2).map { case (tombs, roots) =>
+      val base = roots.map(r => spark.read.parquet(r._1))
+        .reduce(_.unionByName(_))
+      if (tombs.isEmpty) base
+      else {
+        val gone = tombs
+          .map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
+          .reduce(_.unionByName(_)).select("doc_id")
+        idCols.foldLeft(base)((d, c) =>
+          d.join(broadcast(gone.select(col("doc_id").as(c))), Seq(c),
+            "left_anti"))
+      }
+    }.reduce(_.unionByName(_)))
+  }
 
   /** DOCUMENT DELETION for the persisted LSH dedup index (takedown
    *  without rebuild): ONE tombstone commit `t-<uuid>` holding the
@@ -438,20 +470,13 @@ object Dedup {
         val hp = new org.apache.hadoop.fs.Path(p)
         hp.getFileSystem(conf).exists(hp)
       }
-    def read(dirs: Seq[String]): DataFrame =
-      dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-    val nDocs = dropIndexGone(spark, indexDir,
-        read(legDirs("sig")), "doc_id")
+    val nDocs = readIndexLeg(spark, indexDir, "sig", "doc_id").get
       .agg(count(lit(1)).as("n_docs"))
-    val nPost = dropIndexGone(spark, indexDir,
-        read(legDirs("sh")), "doc_id")
+    val nPost = readIndexLeg(spark, indexDir, "sh", "doc_id").get
       .agg(count(lit(1)).as("n_postings"))
-    val pairDirs = legDirs("pairs")
-    val nPairs =
-      if (pairDirs.isEmpty)
-        spark.range(1).select(lit(0L).as("n_pairs"))
-      else dropIndexGone(spark, indexDir, read(pairDirs), "a_id", "b_id")
-        .agg(count(lit(1)).as("n_pairs"))
+    val nPairs = readIndexLeg(spark, indexDir, "pairs", "a_id", "b_id")
+      .map(_.agg(count(lit(1)).as("n_pairs")))
+      .getOrElse(spark.range(1).select(lit(0L).as("n_pairs")))
     spark.range(1)
       .select(lit(shards.size.toLong).as("n_shards"))
       .crossJoin(nDocs).crossJoin(nPost).crossJoin(nPairs)
@@ -511,14 +536,33 @@ object Dedup {
         "this library that predates key-digest commit naming; use " +
         "indexPairs for the cumulative union, which still holds every pair")
     val conf = spark.sessionState.newHadoopConf()
-    val dirs = matches.map(d => s"$indexDir/data/$d/pairs").filter { p =>
+    // order-scoped tombstones: only the t- entries AFTER the keyed
+    // commit hide its pairs (a takedown preceding a re-ingest of the
+    // same id must not hide the fresh report)
+    val ordered = live.filter(e =>
+      e.startsWith("c-") || e.startsWith("t-"))
+    val frames = matches.flatMap { d =>
+      val p = s"$indexDir/data/$d/pairs"
       val hp = new org.apache.hadoop.fs.Path(p)
-      hp.getFileSystem(conf).exists(hp)
+      if (!hp.getFileSystem(conf).exists(hp)) None
+      else {
+        val after = ordered.drop(ordered.indexOf(d) + 1)
+          .filter(_.startsWith("t-"))
+        val base = spark.read.parquet(p)
+        Some(
+          if (after.isEmpty) base
+          else {
+            val gone = after
+              .map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
+              .reduce(_.unionByName(_)).select("doc_id")
+            Seq("a_id", "b_id").foldLeft(base)((df, c) =>
+              df.join(broadcast(gone.select(col("doc_id").as(c))),
+                Seq(c), "left_anti"))
+          })
+      }
     }
-    if (dirs.isEmpty) emptyPairs(spark)
-    else dropIndexGone(spark, indexDir,
-      dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
-      "a_id", "b_id")
+    if (frames.isEmpty) emptyPairs(spark)
+    else frames.reduce(_.unionByName(_))
   }
 
   /** Union of the PERSISTED per-shard pair reports
@@ -542,9 +586,7 @@ object Dedup {
     require(dirs.nonEmpty,
       s"no persisted pair reports under $indexDir — ingest with " +
         "persistPairs = true")
-    dropIndexGone(spark, indexDir,
-      dirs.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
-      "a_id", "b_id")
+    readIndexLeg(spark, indexDir, "pairs", "a_id", "b_id").get
   }
 
   def indexCheckAndIngest(
@@ -570,25 +612,6 @@ object Dedup {
         s"shard with delivery key ${deliveryKey.get} was already ingested " +
           s"into $indexDir — redelivery rejected (the index is exactly-once)")
     }
-    def live(sub: String): Seq[String] =
-      clog.latest(spark)._2.filter(_.startsWith("c-"))
-        .map(d => s"$indexDir/data/$d/$sub")
-    val sigDirs = live("sig")
-    val shDirs = live("sh")
-    // unlike the text index (whose tombstones are order-scoped so an
-    // upsert's re-ingest serves normally), this index's gone set
-    // applies globally until a full fold retires it — silently
-    // accepting a tombstoned id here would ingest rows NO probe can
-    // ever serve. Refuse loudly instead; cost only while tombstones
-    // are live.
-    indexGone(spark, indexDir).foreach { g =>
-      val clash = shard.select(col(idCol).cast("long").as("doc_id"))
-        .join(broadcast(g), Seq("doc_id"), "left_semi").limit(1).count()
-      require(clash == 0L,
-        s"shard re-ingests doc ids tombstoned in $indexDir — their rows " +
-          "would be invisible until a full compaction retires the " +
-          "tombstone; run indexCompact first (or assign fresh ids)")
-    }
     val sh = shingleSet(shard, idCol, textCol)
     // signature AND set size in ONE pass over the shingle set: the
     // stored row is (doc_id, mh, n) — everything banding, estimation,
@@ -599,12 +622,12 @@ object Dedup {
       count(lit(1)).as("n"))
     withScopedPersist(sh, sig) {
       val verdict =
-        if (sigDirs.isEmpty) emptyPairs(spark)
-        else {
-          // tombstoned docs neither generate candidates nor verify —
-          // a deleted doc can't gate or pair with future shards
-          val isig = dropIndexGone(spark, indexDir,
-            spark.read.parquet(sigDirs: _*), "doc_id")
+        // tombstoned docs (order-scoped: commits before their
+        // tombstone) neither generate candidates nor verify — a
+        // deleted doc can't gate or pair; a RE-INGESTED one can
+        readIndexLeg(spark, indexDir, "sig", "doc_id") match {
+          case None => emptyPairs(spark)
+          case Some(isig) =>
           val cand = bandBuckets(isig, k, bands).as("x")
             .join(bandBuckets(sig, k, bands).as("y"),
               col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
@@ -619,8 +642,7 @@ object Dedup {
             // postings semi-join down to candidate a_ids before the
             // intersection join, and set sizes come from the stored
             // sizes table — the index is never re-aggregated per shard
-            val aPost = dropIndexGone(spark, indexDir,
-                spark.read.parquet(shDirs: _*), "doc_id")
+            val aPost = readIndexLeg(spark, indexDir, "sh", "doc_id").get
               .join(broadcast(est.select(col("a_id").as("doc_id")).distinct()),
                 Seq("doc_id"), "left_semi")
               .select(col("doc_id").as("a_id"), col("sh"))
@@ -691,47 +713,68 @@ object Dedup {
     val (_, live) = clog.latest(spark)
     val all = live.filter(_.startsWith("c-"))
     val tombs = live.filter(_.startsWith("t-"))
-    // tombstones fold away ONLY in a full fold — a partial fold can't
-    // know the gone docs' rows all sit inside its inputs, so it
-    // concatenates pure and leaves the `t-` commits live (the read
-    // paths keep applying them)
+    // tombstones fold away ONLY in a full fold, where each commit
+    // drops exactly ITS OWN subsequent tombstones' docs (order-scoped
+    // — a doc re-ingested after its takedown survives the fold);
+    // partial folds concatenate pure WITHIN one run of consecutive
+    // shard commits and splice their output at the run's position so
+    // coverage is preserved exactly (the text index's discipline)
     val full = fanIn >= all.size
     val applyTombs = full && tombs.nonEmpty
     if (all.isEmpty || (all.size <= 1 && !applyTombs)) return
     val conf = spark.sessionState.newHadoopConf()
-    val dirs =
-      if (full) all
-      else all.map { d =>
-        val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$d")
-        val fs = p.getFileSystem(conf)
-        (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
-      }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
-    if (dirs.size <= 1 && !applyTombs) return
-    val gone: Option[DataFrame] = Option.when(applyTombs)(
-      tombs.map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
-        .reduce(_.unionByName(_)).select("doc_id"))
-    def dropGone(df: DataFrame, idCols: String*): DataFrame =
-      gone match {
-        case None => df
-        case Some(g) => idCols.foldLeft(df)((d, c) =>
-          d.join(broadcast(g.select(col("doc_id").as(c))), Seq(c),
-            "left_anti"))
-      }
+    val ordered = live.filter(e =>
+      e.startsWith("c-") || e.startsWith("t-"))
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
     // shuffle-free coalesce back to one shard's worth of files — a fold
     // that carries the SUM of its inputs' file counts forward would
     // defeat the small-files half of compaction's purpose
     val nsp = spark.sessionState.conf.numShufflePartitions
+    val (dirs, scopeOf) =
+      if (full) {
+        val scopes = ordered.zipWithIndex
+          .filter(_._1.startsWith("c-"))
+          .map { case (c, i) =>
+            (c, ordered.drop(i + 1).filter(_.startsWith("t-")))
+          }.toMap
+        (all, scopes)
+      } else {
+        // runs of consecutive shard commits between tombstone
+        // boundaries; fold the fanIn smallest within the largest run
+        val runs = ordered.foldLeft(Seq(Seq.empty[String])) { (acc, e) =>
+          if (e.startsWith("t-")) acc :+ Seq.empty
+          else acc.init :+ (acc.last :+ e)
+        }
+        val run = runs.maxBy(_.size)
+        if (run.size <= 1) return
+        val picked = run.map { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$d")
+          val fs = p.getFileSystem(conf)
+          (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
+        }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
+        (picked, picked.map(_ -> Seq.empty[String]).toMap)
+      }
+    if (dirs.size <= 1 && !applyTombs) return
     def fold(sub: String, coalesceTo: Int, idCols: String*): Boolean = {
-      val srcs = dirs.map(d => s"$indexDir/data/$d/$sub").filter { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
+      val srcs = dirs.map(d => (d, s"$indexDir/data/$d/$sub")).filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p._2)
         hp.getFileSystem(conf).exists(hp)
       }
       if (srcs.isEmpty) false
       else {
-        dropGone(
-          srcs.map(spark.read.parquet(_)).reduce(_.unionByName(_)),
-          idCols: _*)
+        srcs.map { case (d, p) =>
+          val base = spark.read.parquet(p)
+          val ts = scopeOf.getOrElse(d, Seq.empty)
+          if (ts.isEmpty) base
+          else {
+            val gone = ts
+              .map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
+              .reduce(_.unionByName(_)).select("doc_id")
+            idCols.foldLeft(base)((df, c) =>
+              df.join(broadcast(gone.select(col("doc_id").as(c))),
+                Seq(c), "left_anti"))
+          }
+        }.reduce(_.unionByName(_))
           .coalesce(coalesceTo)
           .write.parquet(s"$indexDir/data/$name/$sub")
         true
@@ -742,9 +785,19 @@ object Dedup {
     fold("pairs", 1, "a_id", "b_id"): Unit // pair reports optional per shard
     val replaced = dirs ++ (if (applyTombs) tombs else Seq.empty)
     val published = clog.commit(spark) { now =>
-      if (replaced.forall(now.contains))
-        Some(now.filterNot(replaced.contains) :+ name)
-      else None // an input moved under us — abort, never double-fold
+      if (replaced.forall(now.contains)) {
+        if (full) Some(now.filterNot(replaced.contains) :+ name)
+        else {
+          // splice at the first input's position — the output stays
+          // inside its run, keeping the same tombstone coverage
+          val firstIdx = now.indexWhere(dirs.contains)
+          Some(now.zipWithIndex.flatMap { case (e, i) =>
+            if (i == firstIdx) Seq(name)
+            else if (dirs.contains(e)) Seq.empty
+            else Seq(e)
+          })
+        }
+      } else None // an input moved under us — abort, never double-fold
     }
     if (!published) {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$name")
@@ -878,10 +931,9 @@ object Dedup {
       if (dstSigDirs.isEmpty)
         emptyPairs(spark)
       else {
-        // dst tombstones apply: a deleted destination doc must not
-        // pair with (or gate) the incoming corpus
-        val dstSig = dropIndexGone(spark, dstDir,
-          spark.read.parquet(dstSigDirs: _*), "doc_id")
+        // dst tombstones apply (order-scoped): a deleted destination
+        // doc must not pair with (or gate) the incoming corpus
+        val dstSig = readIndexLeg(spark, dstDir, "sig", "doc_id").get
         val cand = bandBuckets(dstSig, k, bands).as("x")
           .join(bandBuckets(srcSig, k, bands).as("y"),
             col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket"))
@@ -893,8 +945,7 @@ object Dedup {
           // both posting scans semi-join down to candidate docs before
           // the intersection join — index-merge cost is collision-
           // proportional, never corpus-proportional
-          val aPost = dropIndexGone(spark, dstDir,
-              spark.read.parquet(dstShDirs: _*), "doc_id")
+          val aPost = readIndexLeg(spark, dstDir, "sh", "doc_id").get
             .join(broadcast(est.select(col("a_id").as("doc_id")).distinct()),
               Seq("doc_id"), "left_semi")
             .select(col("doc_id").as("a_id"), col("sh"))

@@ -348,12 +348,45 @@ object Similarity {
         .reduce(_.unionByName(_)).select("vec_id"))
   }
 
-  private def dropIvfGone(
+  /** Union the live posting commits with ORDER-SCOPED tombstones
+   *  applied: a tombstone covers exactly the commits that PRECEDE it
+   *  in the commit log's live list, so a vec_id re-appended after its
+   *  takedown (a re-embed of a refreshed doc) serves normally instead
+   *  of being silently killed by a global gone set (the text index's
+   *  readDocGrain discipline). Commits group by subsequent-tombstone
+   *  set — ≤ #tombstones+1 broadcast anti-joins, zero plan nodes when
+   *  none are live. `perCommit` shapes each commit read (the query
+   *  path pushes its static cell filter there). None when no live
+   *  commit holds postings.
+   */
+  private def readIvfPosts(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      df: DataFrame): DataFrame =
-    ivfGone(spark, dir)
-      .map(g => df.join(broadcast(g), Seq("vec_id"), "left_anti"))
-      .getOrElse(df)
+      perCommit: DataFrame => DataFrame = identity): Option[DataFrame] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val ordered = ivfLog(dir).latest(spark)._2
+      .filter(e => e.startsWith("c-") || e.startsWith("t-"))
+    def exists(p: String): Boolean = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    val withScope = ordered.zipWithIndex
+      .filter(_._1.startsWith("c-"))
+      .map { case (c, i) =>
+        (s"$dir/data/$c/post",
+          ordered.drop(i + 1).filter(_.startsWith("t-")))
+      }
+      .filter(p => exists(p._1))
+    if (withScope.isEmpty) None
+    else Some(withScope.groupBy(_._2).map { case (tombs, roots) =>
+      val base = roots.map(r => perCommit(spark.read.parquet(r._1)))
+        .reduce(_.unionByName(_))
+      if (tombs.isEmpty) base
+      else base.join(
+        broadcast(tombs.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
+          .reduce(_.unionByName(_)).select("vec_id")),
+        Seq("vec_id"), "left_anti")
+    }.reduce(_.unionByName(_)))
+  }
 
   /** VECTOR DELETION for the persisted IVF index (takedown without
    *  rebuild): ONE tombstone commit `t-<uuid>` holding the gone vec
@@ -421,18 +454,6 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       batch: DataFrame, key: Option[String] = None): Unit = {
     val txn = ivfTxn(spark, dir, key)
-    // the gone set applies globally until a fold/rebuild retires it —
-    // appending a tombstoned vec_id would store rows no probe can
-    // serve. Refuse loudly (cost only while tombstones are live);
-    // the text index's order-scoped tombstones are the upsert path.
-    ivfGone(spark, dir).foreach { g =>
-      val clash = batch.select(col("vec_id"))
-        .join(broadcast(g), Seq("vec_id"), "left_semi").limit(1).count()
-      require(clash == 0L,
-        s"batch re-appends vec ids tombstoned in $dir — their rows " +
-          "would be invisible until a full fold or rebuild retires " +
-          "the tombstone; fold first (or assign fresh ids)")
-    }
     val cents = collectBounded(
       spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
       "the stored centroid set must stay index-small")
@@ -563,22 +584,28 @@ object Similarity {
       !hp.getFileSystem(conf).exists(hp)
     }
     if (anyMissing || dirs.isEmpty) return false
-    // the observed snapshot's tombstones fold into the rebuild: gone
-    // vectors are dropped from the retrain corpus AND the reassigned
-    // postings, and the whole-live-set swap below retires the `t-`
-    // entries (only `#txn:` keys carry through) — a rebuild IS the
-    // physical-erasure point for deletions, same as a full compact
-    val goneDirs = live.filter(_.startsWith("t-"))
-      .map(t => s"$dir/data/$t/gone")
-    val raw = dirs
-      .map(spark.read.parquet(_))
+    // the observed snapshot's tombstones fold into the rebuild with
+    // ORDER SCOPING (each commit drops only its subsequent tombstones'
+    // vectors — a re-appended id's fresh rows survive): gone vectors
+    // leave the retrain corpus AND the reassigned postings, and the
+    // whole-live-set swap below retires the `t-` entries (only `#txn:`
+    // keys carry through) — a rebuild IS the physical-erasure point
+    // for deletions, same as a full compact
+    val ordered = live.filter(e =>
+      e.startsWith("c-") || e.startsWith("t-"))
+    val corpus = ordered.zipWithIndex
+      .filter(_._1.startsWith("c-"))
+      .map { case (c, i) =>
+        val base = spark.read.parquet(s"$dir/data/$c/post")
+          .select(col("vec_id"), col("v"))
+        val ts = ordered.drop(i + 1).filter(_.startsWith("t-"))
+        if (ts.isEmpty) base
+        else base.join(
+          broadcast(ts.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
+            .reduce(_.unionByName(_)).select("vec_id")),
+          Seq("vec_id"), "left_anti")
+      }
       .reduce(_.unionByName(_))
-      .select(col("vec_id"), col("v"))
-    val corpus = (if (goneDirs.isEmpty) raw
-      else raw.join(
-        broadcast(goneDirs.map(spark.read.parquet(_))
-          .reduce(_.unionByName(_)).select("vec_id")),
-        Seq("vec_id"), "left_anti"))
       .localCheckpoint(true) // frozen input: the commit swap must not
     // invalidate this plan's source dirs mid-write
     val cents = kmeansCentroids(corpus, centroidStep, iters, sampleStep)
@@ -629,41 +656,63 @@ object Similarity {
     val (_, live) = cl.latest(spark)
     val all = live.filter(_.startsWith("c-"))
     val tombs = live.filter(_.startsWith("t-"))
-    // tombstones fold away ONLY in a full fold (partial folds cannot
-    // know the gone vectors' rows all sit inside their inputs) — the
-    // read paths keep applying live tombstones either way
+    // tombstones fold away ONLY in a full fold, where each commit
+    // drops exactly ITS OWN subsequent tombstones' vectors (order-
+    // scoped — a re-appended id's fresh rows survive); partial folds
+    // concatenate pure WITHIN one run of consecutive commits and
+    // splice at the run's position (coverage preserved exactly)
     val full = fanIn >= all.size
     val applyTombs = full && tombs.nonEmpty
     if (all.isEmpty || (all.size <= 1 && !applyTombs)) return
     val conf = spark.sessionState.newHadoopConf()
-    val dirs =
-      if (full) all
-      else all.map { d =>
-        val p = new org.apache.hadoop.fs.Path(s"$dir/data/$d")
-        val fs = p.getFileSystem(conf)
-        (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
-      }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
-    if (dirs.size <= 1 && !applyTombs) return
-    def existing(sub: String): Seq[String] =
-      dirs.map(d => s"$dir/data/$d/$sub").filter { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(conf).exists(hp)
+    val ordered = live.filter(e =>
+      e.startsWith("c-") || e.startsWith("t-"))
+    val (dirs, scopeOf) =
+      if (full) {
+        val scopes = ordered.zipWithIndex
+          .filter(_._1.startsWith("c-"))
+          .map { case (c, i) =>
+            (c, ordered.drop(i + 1).filter(_.startsWith("t-")))
+          }.toMap
+        (all, scopes)
+      } else {
+        val runs = ordered.foldLeft(Seq(Seq.empty[String])) { (acc, e) =>
+          if (e.startsWith("t-")) acc :+ Seq.empty
+          else acc.init :+ (acc.last :+ e)
+        }
+        val run = runs.maxBy(_.size)
+        if (run.size <= 1) return
+        val picked = run.map { d =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/data/$d")
+          val fs = p.getFileSystem(conf)
+          (d, if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L)
+        }.sortBy(_._2).take(math.max(2, fanIn)).map(_._1)
+        (picked, picked.map(_ -> Seq.empty[String]).toMap)
       }
-    val gone: Option[DataFrame] = Option.when(applyTombs)(
-      tombs.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
-        .reduce(_.unionByName(_)).select("vec_id"))
+    if (dirs.size <= 1 && !applyTombs) return
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
-    existing("post") match {
-      case ps if ps.nonEmpty =>
-        val base = ps.map(spark.read.parquet(_)).reduce(_.unionByName(_))
-          .select(col("vec_id"), col("v"), col("cell"))
-        gone.map(g => base.join(broadcast(g), Seq("vec_id"), "left_anti"))
-          .getOrElse(base)
-          .repartition(col("cell"))
-          .write.partitionBy("cell").parquet(s"$dir/data/$name/post")
-      case _ => ()
+    val posts = dirs.map(d => (d, s"$dir/data/$d/post")).filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p._2)
+      hp.getFileSystem(conf).exists(hp)
     }
-    existing("centroids") match {
+    if (posts.nonEmpty)
+      posts.map { case (d, p) =>
+        val base = spark.read.parquet(p)
+          .select(col("vec_id"), col("v"), col("cell"))
+        val ts = scopeOf.getOrElse(d, Seq.empty)
+        if (ts.isEmpty) base
+        else base.join(
+          broadcast(ts.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
+            .reduce(_.unionByName(_)).select("vec_id")),
+          Seq("vec_id"), "left_anti")
+      }.reduce(_.unionByName(_))
+        .repartition(col("cell"))
+        .write.partitionBy("cell").parquet(s"$dir/data/$name/post")
+    val cents = dirs.map(d => s"$dir/data/$d/centroids").filter { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      hp.getFileSystem(conf).exists(hp)
+    }
+    cents match {
       case Seq(c) => spark.read.parquet(c)
         .coalesce(1).write.parquet(s"$dir/data/$name/centroids")
       case Seq() => ()
@@ -673,9 +722,17 @@ object Similarity {
     }
     val replaced = dirs ++ (if (applyTombs) tombs else Seq.empty)
     val published = cl.commit(spark) { now =>
-      if (replaced.forall(now.contains))
-        Some(now.filterNot(replaced.contains) :+ name)
-      else None // an input moved under us — abort, never double-fold
+      if (replaced.forall(now.contains)) {
+        if (full) Some(now.filterNot(replaced.contains) :+ name)
+        else {
+          val firstIdx = now.indexWhere(dirs.contains)
+          Some(now.zipWithIndex.flatMap { case (e, i) =>
+            if (i == firstIdx) Seq(name)
+            else if (dirs.contains(e)) Seq.empty
+            else Seq(e)
+          })
+        }
+      } else None // an input moved under us — abort, never double-fold
     }
     if (!published) {
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
@@ -751,11 +808,11 @@ object Similarity {
     // per-commit roots each carry their own cell=N partition tree — a
     // multi-root partitioned read conflicts, so read per commit and
     // union (same leaf files either way)
-    val postings = dropIvfGone(spark, dir,
-      ivfLiveSub(spark, dir, "post")
-        .map(p => spark.read.parquet(p)
-          .where(col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*)))
-        .reduce(_.unionByName(_)))
+    val postings = readIvfPosts(spark, dir, perCommit = df =>
+      df.where(
+        col("cell").isin(probedCells.map(java.lang.Long.valueOf): _*)))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no live posting commits in IVF index $dir"))
     rankTopK(
       postings
         .join(broadcast(probes), Seq("cell"))
@@ -777,10 +834,9 @@ object Similarity {
    */
   def ivfIndexStats(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val posts = ivfLiveSub(spark, dir, "post")
+    val posts = readIvfPosts(spark, dir)
     require(posts.nonEmpty, s"no live commits in IVF index $dir")
-    val cellSizes = dropIvfGone(spark, dir,
-        posts.map(spark.read.parquet(_)).reduce(_.unionByName(_)))
+    val cellSizes = posts.get
       .groupBy("cell").agg(count(lit(1)).as("n"))
     cellSizes
       .agg(count(lit(1)).as("n_cells"), sum("n").as("n_vectors"),

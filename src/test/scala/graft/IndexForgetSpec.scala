@@ -103,35 +103,54 @@ class IndexForgetSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
-  test("re-ingesting a tombstoned id refuses LOUDLY on the dedup and " +
-      "ivf indexes (their gone sets are global until a fold) — and " +
-      "ingests normally again after the fold retires the tombstone") {
+  test("a tombstoned id RE-INGESTED after its takedown serves normally " +
+      "on the dedup and ivf indexes (order-scoped tombstones), and the " +
+      "full fold erases only the pre-tombstone rows") {
+    // dedup: doc 0 deleted, then re-ingested with near-dup content —
+    // the fresh rows must gate/pair again immediately
     val idx = TestSpark.tmpDir("lsh_reingest")
     Dedup.indexCheckAndIngest(spark, idx,
       Seq((0L, doc), (1L, "other words entirely")).toDF("doc_id", "text"),
-      "doc_id", "text", 0.6): Unit
-    Dedup.indexForgetDocs(spark, idx, Seq(0L))
-    val ex = intercept[IllegalArgumentException] {
-      Dedup.indexCheckAndIngest(spark, idx,
-        Seq((0L, doc + " v2")).toDF("doc_id", "text"),
-        "doc_id", "text", 0.6)
-    }
-    assert(ex.getMessage.contains("tombstoned"), ex.getMessage)
-    Dedup.indexCompact(spark, idx)
-    // tombstone retired: the id is free again
+      "doc_id", "text", 0.6, deliveryKey = Some("r0")): Unit
+    Dedup.indexForgetDocs(spark, idx, Seq(0L), key = Some("rt"))
     Dedup.indexCheckAndIngest(spark, idx,
-      Seq((0L, doc + " v2")).toDF("doc_id", "text"),
-      "doc_id", "text", 0.6): Unit
+      Seq((0L, doc)).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6, deliveryKey = Some("r1")): Unit
+    // each check INGESTS its probe doc too — distinct probe ids per call
+    def gate(pid: Long) = Dedup.indexCheckAndIngest(spark, idx,
+      Seq((pid, doc + " tail")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6)
+      .orderBy("a_id").collect().map(_.getLong(0)).toSeq
+    assert(gate(91L) == Seq(0L),
+      "re-ingested doc must gate again (fresh rows, post-tombstone commit)")
+    assert(Dedup.indexTombstoneCount(spark, idx) == 1L)
+    // full fold: erases only the FIRST ingest's rows; the re-ingested
+    // generation survives, tombstone retires
+    Dedup.indexCompact(spark, idx)
+    assert(Dedup.indexTombstoneCount(spark, idx) == 0L)
+    // probe 92 matches the re-ingested doc 0 AND probe 91 (exact twin)
+    assert(gate(92L) == Seq(0L, 91L),
+      "fold dropped the re-ingested generation")
+    val c = new graft.store.CommitLog(s"$idx/_manifests")
+      .latest(spark)._2.filter(_.startsWith("c-"))
+    assert(spark.read.parquet(s"$idx/data/${c.head}/sig")
+      .where(col("doc_id") === 0L).count() == 1L,
+      "exactly the re-ingested signature must survive the fold")
+    // ivf: vector 2 deleted then re-appended — probes serve it again
     val ivf = TestSpark.tmpDir("ivf_reingest")
     val all = vecs(10L)
     Similarity.ivfIndexBuild(spark, ivf, all, centroidStep = 4L)
     Similarity.ivfIndexForget(spark, ivf, Seq(2L))
-    val ex2 = intercept[IllegalArgumentException] {
-      Similarity.ivfIndexAppend(spark, ivf, all.where(col("vec_id") === 2L))
-    }
-    assert(ex2.getMessage.contains("tombstoned"), ex2.getMessage)
-    Similarity.ivfIndexCompactTiered(spark, ivf, fanIn = 10)
     Similarity.ivfIndexAppend(spark, ivf, all.where(col("vec_id") === 2L))
+    def nn() = Similarity.ivfIndexQuery(spark, ivf,
+        all.where(col("vec_id") === 3L), k = 9, nProbe = 3)
+      .collect().map(_.getLong(1)).toSet
+    assert(nn().contains(2L),
+      "re-appended vector must probe as a neighbor again")
+    assert(Similarity.ivfIndexStats(spark, ivf).head().getLong(1) == 10L)
+    Similarity.ivfIndexCompactTiered(spark, ivf, fanIn = 10)
+    assert(Similarity.ivfTombstoneCount(spark, ivf) == 0L)
+    assert(nn().contains(2L), "fold dropped the re-appended vector")
     assert(Similarity.ivfIndexStats(spark, ivf).head().getLong(1) == 10L)
   }
 
