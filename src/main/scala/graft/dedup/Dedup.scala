@@ -460,16 +460,10 @@ object Dedup {
   def indexStats(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
     val live = new graft.store.CommitLog(s"$indexDir/_manifests")
       .latest(spark)._2
     val shards = live.filter(_.startsWith("c-"))
     require(shards.nonEmpty, s"no live commits in dedup index $indexDir")
-    def legDirs(sub: String): Seq[String] =
-      shards.map(d => s"$indexDir/data/$d/$sub").filter { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(conf).exists(hp)
-      }
     val nDocs = readIndexLeg(spark, indexDir, "sig", "doc_id").get
       .agg(count(lit(1)).as("n_docs"))
     val nPost = readIndexLeg(spark, indexDir, "sh", "doc_id").get
@@ -784,20 +778,14 @@ object Dedup {
     fold("sh", nsp, "doc_id"): Unit
     fold("pairs", 1, "a_id", "b_id"): Unit // pair reports optional per shard
     val replaced = dirs ++ (if (applyTombs) tombs else Seq.empty)
+    // CommitLog.spliceReplace IN BOTH BRANCHES — a tombstone published
+    // concurrently during a full fold sits after the inputs in log
+    // order; appending the folded output after it would empty its
+    // order-scoped coverage and silently resurrect the takedown (the
+    // text index's discipline). None when an input moved under us —
+    // abort, never double-fold.
     val published = clog.commit(spark) { now =>
-      if (replaced.forall(now.contains)) {
-        if (full) Some(now.filterNot(replaced.contains) :+ name)
-        else {
-          // splice at the first input's position — the output stays
-          // inside its run, keeping the same tombstone coverage
-          val firstIdx = now.indexWhere(dirs.contains)
-          Some(now.zipWithIndex.flatMap { case (e, i) =>
-            if (i == firstIdx) Seq(name)
-            else if (dirs.contains(e)) Seq.empty
-            else Seq(e)
-          })
-        }
-      } else None // an input moved under us — abort, never double-fold
+      graft.store.CommitLog.spliceReplace(now, replaced, name)
     }
     if (!published) {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$name")

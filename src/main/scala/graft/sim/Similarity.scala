@@ -721,18 +721,14 @@ object Similarity {
           "one generation must own exactly one")
     }
     val replaced = dirs ++ (if (applyTombs) tombs else Seq.empty)
+    // CommitLog.spliceReplace IN BOTH BRANCHES — a tombstone published
+    // concurrently during a full fold sits after the inputs in log
+    // order; appending the folded output after it would empty its
+    // order-scoped coverage and silently resurrect the takedown (the
+    // text index's discipline). None when an input moved under us —
+    // abort, never double-fold.
     val published = cl.commit(spark) { now =>
-      if (replaced.forall(now.contains)) {
-        if (full) Some(now.filterNot(replaced.contains) :+ name)
-        else {
-          val firstIdx = now.indexWhere(dirs.contains)
-          Some(now.zipWithIndex.flatMap { case (e, i) =>
-            if (i == firstIdx) Seq(name)
-            else if (dirs.contains(e)) Seq.empty
-            else Seq(e)
-          })
-        }
-      } else None // an input moved under us — abort, never double-fold
+      graft.store.CommitLog.spliceReplace(now, replaced, name)
     }
     if (!published) {
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")

@@ -40,6 +40,36 @@ object CommitLog {
       md.digest((version.toString + "\n" + live.mkString("\n")).getBytes("UTF-8"))
     "#txn:merge-src=" + bytes.map("%02x".format(_)).mkString.take(16)
   }
+
+  /** The COMPACTION-PUBLISH splice all three persisted indexes (text /
+   *  dedup / IVF) share: replace the fold's input entries with the one
+   *  folded output, placed at the FIRST input's position — never
+   *  appended. Position is load-bearing under the order-scoped
+   *  tombstone discipline: a tombstone published concurrently during
+   *  the fold sits AFTER the inputs in log order, and appending the
+   *  folded output after it would empty that tombstone's coverage —
+   *  the acknowledged takedown would silently resurrect on every read
+   *  (and in the text index its dvocab/dstats deltas would still fold
+   *  globally, permanently skewing df/nd/tl). Entries not in
+   *  `replaced` (raced-in commits, tombstones, `#txn:` keys) keep
+   *  their order. Returns None when an input is missing from `now`
+   *  (a concurrent writer moved it — the fold must abort, never
+   *  double-fold).
+   */
+  def spliceReplace(
+      now: Seq[String], replaced: Seq[String],
+      name: String): Option[Seq[String]] = {
+    if (!replaced.forall(now.contains)) None
+    else {
+      val gone = replaced.toSet
+      val firstIdx = now.indexWhere(gone.contains)
+      Some(now.zipWithIndex.flatMap { case (e, i) =>
+        if (i == firstIdx) Seq(name)
+        else if (gone.contains(e)) Seq.empty
+        else Seq(e)
+      })
+    }
+  }
 }
 
 final class CommitLog(manifestDir: String) {

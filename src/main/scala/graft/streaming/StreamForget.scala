@@ -95,6 +95,15 @@ object StreamForget {
           }
           dedupIdx.foreach { dir =>
             if (!graft.dedup.Dedup.indexHasDelivery(s, dir, key)) {
+              // NO retry wrapper here, BY DESIGN (asymmetric with the
+              // text leg above): a dedup tombstone is a pure gone-id
+              // set with no corpus-level deltas, so indexForgetDocs
+              // has no stale-abort to lose — concurrent forgets
+              // compose (gone sets union) and the publish only
+              // refuses a raced redelivery of THIS key, which the
+              // hasDelivery guard already makes a no-op. Adding the
+              // text leg's IllegalStateException retry would mask a
+              // genuine redelivery bug. (Dedup.indexForgetDocs docs.)
               graft.dedup.Dedup.indexForgetDocs(s, dir, ids,
                 key = Some(key))
               compactAboveTombstones.foreach { cut =>
@@ -105,6 +114,10 @@ object StreamForget {
           }
           annIdx.foreach { dir =>
             if (!graft.sim.Similarity.ivfHasDelivery(s, dir, key)) {
+              // NO retry wrapper, same reasoning as the dedup leg: an
+              // IVF tombstone is a pure gone-vec-id set (no deltas, no
+              // stale-abort); only a raced redelivery of this key can
+              // refuse the publish, and hasDelivery already guards it.
               graft.sim.Similarity.ivfIndexForget(s, dir, ids,
                 key = Some(key))
               compactAboveTombstones.foreach { cut =>

@@ -539,11 +539,19 @@ object TextIndex {
         "forgetDocs computes its exact df/stats deltas from the " +
         "index's own forward store; a Minimal-profile index deletes " +
         "by rebuilding the affected shard")
-    // stale-abort snapshot: the publish refuses if the live tombstone
-    // set moves under us (a concurrent forget landed, or a full
-    // compaction retired tombstones) — deltas computed against one
-    // snapshot must not publish against another
-    val tombSnap = tombDirs(spark, dir).toSet
+    // stale-abort snapshot — BOTH prefixes: the publish refuses if the
+    // live tombstone set moved (a concurrent forget landed, or a full
+    // compaction retired tombstones — deltas computed against one
+    // snapshot must not publish against another) AND if the live
+    // shard-commit set moved. The c- half closes the silent-loss /
+    // over-count trap: a shard commit that re-ingests one of these
+    // very ids between the delta computation and this publish would
+    // land BEFORE the tombstone in log order, so the tombstone's
+    // order-scoped coverage would hide the fresh rows while the
+    // deltas never subtracted that commit's vocab/stats contribution
+    // (permanent df/nd/tl over-count after the next full fold)
+    val liveSnap = cl.latest(spark)._2
+      .filter(e => e.startsWith("c-") || e.startsWith("t-"))
     // gone-filtered point lookup: ids already tombstoned (or never
     // ingested) vanish here, so the deltas below never double-subtract
     val hit = docsFor(spark, dir, ids.distinct).persist()
@@ -570,7 +578,7 @@ object TextIndex {
       tp.groupBy("doc_id").agg(sum("tf").as("dl"))
         .agg((-count(lit(1))).as("nd"), (-sum(col("dl"))).as("tl"))
         .coalesce(1).write.parquet(s"$dir/data/$name/dstats")
-      publishTombstone(spark, dir, name, txn, tombSnap)
+      publishTombstone(spark, dir, name, txn, liveSnap)
     } finally hit.unpersist(): Unit
   }
 
@@ -604,37 +612,54 @@ object TextIndex {
     require(legs.docs,
       "upsertDocs needs the forward docs leg in its ingest profile — " +
         "the next upsert's delete leg re-derives deltas from it")
-    val ids = docs.select(col(idCol).cast("long")).distinct()
-      .limit(65537).collect().map(_.getLong(0)).toSeq
-    require(ids.nonEmpty && ids.length <= 65536,
-      s"upsertDocs takes 1..65536 distinct ids per call (got ${ids.length})")
-    val (delKey, addKey) = (key.map(_ + ".del"), key.map(_ + ".add"))
-    // an empty index has nothing to delete — the first upsert is a
-    // plain founding ingest (forgetDocs would refuse the missing
-    // docs leg of a commit-less index)
-    if (liveShardCount(spark, dir) > 0 &&
-        !delKey.exists(hasDelivery(spark, dir, _)))
-      forgetDocs(spark, dir, ids, key = delKey)
-    if (!addKey.exists(hasDelivery(spark, dir, _)))
-      ingestShard(spark, dir, docs, idCol, textCol, key = addKey,
-        legs = legs)
+    // ONE materialization of the caller's frame feeds BOTH legs: the
+    // delete-leg id list and the ingested shard must come from the
+    // same evaluation — a nondeterministic source (sampled/limited/
+    // rand-derived) evaluated twice could delete ids it never
+    // re-adds, or leave stale postings live
+    val idType = docs.schema(idCol).dataType.typeName
+    require(Seq("byte", "short", "integer", "long").contains(idType),
+      s"upsertDocs needs an integral id column; got $idCol: $idType")
+    val snap = docs.select(col(idCol).cast("long").as(idCol),
+      col(textCol).cast("string").as(textCol)).persist()
+    try {
+      val ids = snap.select(col(idCol)).distinct()
+        .limit(65537).collect().map(_.getLong(0)).toSeq
+      require(ids.nonEmpty && ids.length <= 65536,
+        s"upsertDocs takes 1..65536 distinct ids per call (got ${ids.length})")
+      val (delKey, addKey) = (key.map(_ + ".del"), key.map(_ + ".add"))
+      // an empty index has nothing to delete — the first upsert is a
+      // plain founding ingest (forgetDocs would refuse the missing
+      // docs leg of a commit-less index)
+      if (liveShardCount(spark, dir) > 0 &&
+          !delKey.exists(hasDelivery(spark, dir, _)))
+        forgetDocs(spark, dir, ids, key = delKey)
+      if (!addKey.exists(hasDelivery(spark, dir, _)))
+        ingestShard(spark, dir, snap, idCol, textCol, key = addKey,
+          legs = legs)
+    } finally snap.unpersist(): Unit
   }
 
   /** The tombstone PUBLISH step, separated so the stale-abort path is
    *  deterministically testable: refuses (and drops the staged `t-`
-   *  dir) when the delivery key raced in, or when the live tombstone
-   *  set no longer equals the snapshot the deltas were computed
-   *  against (a concurrent forget landed, or a full compaction retired
-   *  tombstones) — the rewriteLive "live set moved under us"
-   *  discipline; the caller reruns against the new live set.
+   *  dir) when the delivery key raced in, or when the live c-/t-
+   *  entry set no longer equals the snapshot the deltas were computed
+   *  against — a concurrent forget landed, a compaction folded an
+   *  input, OR a shard commit raced in (which this tombstone's
+   *  order-scoped coverage would wrongly hide while its deltas never
+   *  subtracted that commit's contribution). The rewriteLive "live
+   *  set moved under us" discipline; the caller reruns against the
+   *  new live set.
    */
   private[graft] def publishTombstone(
       spark: SparkSession, dir: String, name: String,
-      txn: Option[String], tombSnap: Set[String]): Unit = {
+      txn: Option[String], liveSnap: Seq[String]): Unit = {
+    val snapSet = liveSnap.toSet
     val published = clog(dir).commit(spark) { now =>
       if (txn.exists(now.contains)) None // raced redelivery
-      else if (now.filter(_.startsWith("t-")).toSet != tombSnap)
-        None // live tombstone set moved — deltas may be stale
+      else if (now.filter(e =>
+          e.startsWith("c-") || e.startsWith("t-")).toSet != snapSet)
+        None // live c-/t- set moved — deltas or coverage may be stale
       else Some(now :+ name :++ txn.toSeq)
     }
     if (!published) {
@@ -642,7 +667,7 @@ object TextIndex {
       p.getFileSystem(spark.sessionState.newHadoopConf())
         .delete(p, true): Unit
       throw new IllegalStateException(
-        s"forgetDocs raced a concurrent forget/compaction at $dir — " +
+        s"forgetDocs raced a concurrent forget/ingest/compaction at $dir — " +
           "this attempt's staging was dropped; rerun against the " +
           "new live set")
     }
@@ -1697,10 +1722,17 @@ object TextIndex {
       foldLegs(spark, rootsGone, s"$dir/data/$name",
         tombRoots = tombs.map(t => s"$dir/data/$t"))
       val replaced = all ++ tombs
+      // CommitLog.spliceReplace, never append: a tombstone published
+      // concurrently during the fold (its stale-abort only watches
+      // the c-/t- set it observed, so against a pre-fold snapshot it
+      // lands fine) sits AFTER this fold's inputs in log order —
+      // appending the folded output after it would empty that
+      // tombstone's order-scoped coverage, silently resurrecting the
+      // acknowledged takedown while its dvocab/dstats deltas still
+      // fold globally. Aborts (None) if an input moved — never
+      // double-fold.
       val published = cl.commit(spark) { now =>
-        if (replaced.forall(now.contains))
-          Some(now.filterNot(replaced.contains) :+ name)
-        else None // an input moved under us — abort, never double-fold
+        graft.store.CommitLog.spliceReplace(now, replaced, name)
       }
       if (!published) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
@@ -1725,17 +1757,11 @@ object TextIndex {
       if (dirs.size <= 1) return
       foldLegs(spark, dirs.map(d => (s"$dir/data/$d", Seq.empty[String])),
         s"$dir/data/$name")
+      // splice at the first input's position — the output stays
+      // inside its run, keeping the same tombstone coverage; None
+      // when an input moved under us (abort, never double-fold)
       val published = cl.commit(spark) { now =>
-        if (dirs.forall(now.contains)) {
-          // splice at the first input's position — the output stays
-          // inside its run, keeping the same tombstone coverage
-          val firstIdx = now.indexWhere(dirs.contains)
-          Some(now.zipWithIndex.flatMap { case (e, i) =>
-            if (i == firstIdx) Seq(name)
-            else if (dirs.contains(e)) Seq.empty
-            else Seq(e)
-          })
-        } else None // an input moved under us — abort, never double-fold
+        graft.store.CommitLog.spliceReplace(now, dirs, name)
       }
       if (!published) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")

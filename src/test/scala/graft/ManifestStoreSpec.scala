@@ -908,4 +908,28 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(spark.read.parquet(compactedDir).columns.contains("sumsq"),
       "compacted commit carries the v2 column")
   }
+
+  test("CommitLog.spliceReplace keeps a raced-in tombstone AFTER the " +
+      "folded output (order-scoped coverage survives a full fold) and " +
+      "aborts when an input moved") {
+    import graft.store.CommitLog.spliceReplace
+    // the round-12 bug: a full fold that observed [c1, c2] appends its
+    // output after a tombstone that raced in during the fold, emptying
+    // the tombstone's order-scoped coverage. The splice puts the
+    // output at the FIRST input's position, so t-x still covers it.
+    assert(spliceReplace(Seq("c1", "c2", "t-x", "#txn:k"),
+        Seq("c1", "c2"), "F") == Some(Seq("F", "t-x", "#txn:k")))
+    // full fold including observed tombstones: same position rule
+    assert(spliceReplace(Seq("c1", "t-a", "c2", "t-raced"),
+        Seq("c1", "t-a", "c2"), "F") == Some(Seq("F", "t-raced")))
+    // raced-in COMMITS also stay after the fold (their own coverage
+    // under any later tombstone is position-defined)
+    assert(spliceReplace(Seq("c1", "c2", "c3"), Seq("c1", "c2"), "F")
+      == Some(Seq("F", "c3")))
+    // partial-run fold deep in the list: output stays inside its run
+    assert(spliceReplace(Seq("c1", "t-a", "c2", "c3", "c4"),
+        Seq("c2", "c3"), "F") == Some(Seq("c1", "t-a", "F", "c4")))
+    // an input moved under the fold: abort, never double-fold
+    assert(spliceReplace(Seq("c1", "t-x"), Seq("c1", "c2"), "F").isEmpty)
+  }
 }

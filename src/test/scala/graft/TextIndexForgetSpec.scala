@@ -144,7 +144,7 @@ class TextIndexForgetSpec extends AnyFunSuite {
       "set moved between delta computation and commit") {
     val idx = freshIdx("stale", corpus)
     // snapshot taken when NO tombstone was live...
-    val staleSnap = Set.empty[String]
+    val staleSnap = Seq.empty[String]
     // ...then a concurrent forget lands
     TextIndex.forgetDocs(spark, idx, Seq(3L))
     // a staged tombstone computed against the stale snapshot must
@@ -162,6 +162,34 @@ class TextIndexForgetSpec extends AnyFunSuite {
     // doc 0 was never deleted — the aborted tombstone left no trace
     assert(TextIndex.docsFor(spark, idx, Seq(0L)).count() == 1L)
     assert(TextIndex.tombstoneCount(spark, idx) == 1L)
+  }
+
+  test("stale publish aborts when a SHARD COMMIT raced in: a re-ingest " +
+      "between delta computation and publish must not fall under the " +
+      "tombstone's coverage") {
+    val idx = freshIdx("stalec", corpus)
+    // snapshot taken against the pre-ingest live set...
+    val staleSnap = new graft.store.CommitLog(s"$idx/_manifests")
+      .latest(spark)._2.filter(e => e.startsWith("c-") || e.startsWith("t-"))
+    // ...then a shard commit lands (imagine it re-ingests doc 2 —
+    // covering it would hide the fresh rows while the staged deltas
+    // never subtracted this commit's df/nd/tl contribution)
+    TextIndex.ingestShard(spark, idx,
+      Seq((12L, "late arriving shard")).toDF("doc_id", "text"),
+      "doc_id", "text", key = Some("raced"))
+    val name = "t-stalecommit"
+    corpus.where(col("doc_id") === 2L).select(col("doc_id"))
+      .coalesce(1).write.parquet(s"$idx/data/$name/gone")
+    val ex = intercept[IllegalStateException] {
+      TextIndex.publishTombstone(spark, idx, name, None, staleSnap)
+    }
+    assert(ex.getMessage.contains("raced a concurrent"))
+    val p = new org.apache.hadoop.fs.Path(s"$idx/data/$name")
+    assert(!p.getFileSystem(spark.sessionState.newHadoopConf()).exists(p),
+      "aborted publish must drop its staged tombstone dir")
+    assert(TextIndex.tombstoneCount(spark, idx) == 0L)
+    // doc 2 and the raced-in doc both still serve
+    assert(TextIndex.docsFor(spark, idx, Seq(2L, 12L)).count() == 2L)
   }
 
   test("upsertDocs replaces content in place: post-upsert answers equal " +

@@ -51,14 +51,20 @@ def main():
     # lineitem<->orders join stays consistent; dimension foreign keys
     # pass through, so dims keep their cardinality and every dim key
     # simply owns k-times the fact rows — the realistic fact-growth
-    # regime the TPC-H scale-honesty runs need)
+    # regime the TPC-H scale-honesty runs need). The stride derives
+    # from the source's actual max key: a hard-coded constant would
+    # collide replica ranges once base orderkeys pass it (TPC-H max
+    # orderkey = 6M*sf, so sf >= ~17 breaks a fixed 1e8 stride).
+    stride = duckdb.sql(
+        f"SELECT max(o_orderkey) + 1 FROM '{src}/orders.parquet'"
+    ).fetchone()[0]
     copy(f"""
-        SELECT o_orderkey + i * 100000000 AS o_orderkey, o_custkey,
+        SELECT o_orderkey + i * {stride} AS o_orderkey, o_custkey,
                o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         FROM '{src}/orders.parquet' CROSS JOIN range({k}) t(i)
         """, "orders")
     copy(f"""
-        SELECT l_orderkey + i * 100000000 AS l_orderkey, l_partkey,
+        SELECT l_orderkey + i * {stride} AS l_orderkey, l_partkey,
                l_suppkey, l_linenumber, l_quantity, l_extendedprice,
                l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         FROM '{src}/lineitem.parquet' CROSS JOIN range({k}) t(i)
