@@ -615,6 +615,58 @@ object PipelineQueries {
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
+    // DOCUMENT UPSERT on the persisted LSH dedup index (the crawl
+    // re-fetch lifecycle): a subset shard plus near-dup COPIES ingest
+    // with persisted pair reports, then the copied ORIGINALS are
+    // upserted in place with suffixed text — ONE tombstone retiring
+    // the old generation plus ONE ordinary checked shard of the new,
+    // so the re-fetched docs gate against the REST of the index
+    // (their own prior versions are already tombstoned, the
+    // re-fetch-blind failure mode). The query pins the lifecycle
+    // in-line: full redelivery is a version-preserving no-op; the
+    // full fold retires the tombstone and keeps exactly the new
+    // generation; post-fold pair readback is unchanged. Output =
+    // cumulative pairs (ingest-time pairs naming an old generation
+    // drop; the upsert shard's pairs against the copies serve);
+    // oracle = declarative cross-shard Jaccard at (doc, shard) grain
+    // with per-shard df caps, old generations excluded from pairing
+    // but present in their shard's caps (they were live at ingest)
+    "dedup_index_upsert" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_lsh_uidx").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(20)) === 13)
+      Dedup.indexCheckAndIngest(s, idx, d,
+        "doc_id", "text", JaccardThreshold,
+        deliveryKey = Some("d0"), persistPairs = true): Unit
+      val originals = d.where(pmod(col("doc_id"), lit(80)) === 13)
+      Dedup.indexCheckAndIngest(s, idx,
+        originals.select((col("doc_id") + 100000L).as("doc_id"),
+          concat(col("text"), lit(" zz0 zz1 zz2")).as("text")),
+        "doc_id", "text", JaccardThreshold,
+        deliveryKey = Some("d1"), persistPairs = true): Unit
+      val upd = originals.select(col("doc_id"),
+        concat(col("text"), lit(" uu0 uu1 uu2")).as("text"))
+      Dedup.indexUpsertDocs(s, idx, upd, "doc_id", "text",
+        JaccardThreshold, key = Some("u0"), persistPairs = true): Unit
+      val v = Dedup.indexVersion(s, idx)
+      Dedup.indexUpsertDocs(s, idx, upd, "doc_id", "text",
+        JaccardThreshold, key = Some("u0"), persistPairs = true): Unit
+      require(Dedup.indexVersion(s, idx) == v,
+        "redelivered upsert must be a version-preserving no-op")
+      val pre = Dedup.indexPairs(s, idx)
+        .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+      Dedup.indexCompact(s, idx)
+      require(Dedup.indexTombstoneCount(s, idx) == 0L,
+        "full fold must retire the upsert's tombstone")
+      val post = Dedup.indexPairs(s, idx)
+      require(post.select("a_id", "b_id").collect()
+          .map(_.toString).sorted.toSeq == pre,
+        "compaction must not change post-upsert pair readback")
+      post
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy("a_id", "b_id")
+    }),
     // FEDERATED dedup-index merge: two LSH indexes built independently
     // — destination over a 1/4 corpus slice, source over a batch of
     // near-dup copies (every 7th dst doc + token-reversed novels) —
@@ -1086,6 +1138,48 @@ object PipelineQueries {
       val post = probe()
       require(post.collect().map(_.toString).sorted.toSeq == pre,
         "compaction must not change post-delete probe answers")
+      post.orderBy("q_id", "rank")
+    }),
+    // VECTOR UPSERT on the persisted IVF index (the re-embed / crawl
+    // re-fetch lifecycle): an index founded on a third of its corpus
+    // takes two appends, then every %32 vector is REPLACED in place
+    // with its reversed embedding — one pure gone-set tombstone plus
+    // one append assigning the new vectors under the FROZEN founding
+    // centroids. Probes answer from the new generation immediately;
+    // redelivery is a version-preserving no-op; the full fold retires
+    // the tombstone without changing answers. Oracle = declarative
+    // frozen-centroid IVF where the upserted rows carry the reversed
+    // vector (assignment AND scoring) while probes use originals
+    "ann_index_upsert" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_uidx").toString
+      val sub = embBase(s, dir).where(pmod(col("vec_id"), lit(8)) === 1)
+      val founding = sub.where(pmod(col("vec_id"), lit(24)) === 1)
+      Similarity.ivfIndexBuild(s, idx, founding,
+        Similarity.boundedStep(founding.count()), key = Some("f0"))
+      for (i <- 1 until 3)
+        Similarity.ivfIndexAppend(s, idx,
+          sub.where(pmod(col("vec_id"), lit(24)) === 8 * i + 1),
+          key = Some(s"f$i"))
+      val upd = sub.where(pmod(col("vec_id"), lit(32)) === 1)
+        .select(col("vec_id"), reverse(col("v")).as("v"))
+      Similarity.ivfIndexUpsert(s, idx, upd, key = Some("u0"))
+      val v = new graft.store.CommitLog(s"$idx/_manifests").latest(s)._1
+      Similarity.ivfIndexUpsert(s, idx, upd, key = Some("u0"))
+      require(new graft.store.CommitLog(s"$idx/_manifests")
+          .latest(s)._1 == v,
+        "redelivered upsert must be a version-preserving no-op")
+      def probe() = Similarity
+        .ivfIndexQuery(s, idx, sub.where(col("vec_id") < 40),
+          k = 10, nProbe = 3)
+        .select(col("q_id"), col("n_id"), r6(col("cos")).as("cos"), col("rank"))
+      val pre = probe().collect().map(_.toString).sorted.toSeq
+      Similarity.ivfIndexCompactTiered(s, idx, fanIn = 16)
+      require(Similarity.ivfTombstoneCount(s, idx) == 0L,
+        "full fold must retire the upsert's tombstone")
+      val post = probe()
+      require(post.collect().map(_.toString).sorted.toSeq == pre,
+        "compaction must not change post-upsert probe answers")
       post.orderBy("q_id", "rank")
     }),
     // FEDERATED IVF-index merge: two indexes founded INDEPENDENTLY over
@@ -4680,6 +4774,46 @@ object PipelineQueries {
          |  AND NOT (a_id < 100000 AND a_id % 80 = 7)
          |  AND NOT (b_id < 100000 AND b_id % 80 = 7)
          |ORDER BY a_id, b_id""".stripMargin,
+    // post-upsert cumulative pair readback ≡ declarative cross-shard
+    // Jaccard at (doc, shard) grain: the upserted docs pair only via
+    // their shard-2 (new-text) generation; their shard-0 old
+    // generation is excluded from pairing but counted in shard 0's
+    // df caps (it was live when that shard ingested)
+    "dedup_index_upsert" ->
+      s"""WITH sub AS (SELECT doc_id, text, 0 AS shard,
+         |    CASE WHEN doc_id % 80 = 13 THEN 0 ELSE 1 END AS live
+         |  FROM documents WHERE doc_id % 20 = 13),
+         |copies AS (SELECT doc_id + 100000 AS doc_id,
+         |    text || ' zz0 zz1 zz2' AS text, 1 AS shard, 1 AS live
+         |  FROM documents WHERE doc_id % 80 = 13),
+         |ups AS (SELECT doc_id, text || ' uu0 uu1 uu2' AS text,
+         |    2 AS shard, 1 AS live
+         |  FROM documents WHERE doc_id % 80 = 13),
+         |d AS (SELECT * FROM sub UNION ALL SELECT * FROM copies
+         |      UNION ALL SELECT * FROM ups),
+         |tok AS (SELECT doc_id, shard, live,
+         |    string_split(text, ' ') AS tokens FROM d),
+         |sh0 AS (SELECT DISTINCT doc_id, shard, live, unnest(list_transform(
+         |    generate_series(1, len(tokens) - 2),
+         |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2])) AS sh
+         |  FROM tok),
+         |shf AS (SELECT s.* FROM sh0 s JOIN (
+         |    SELECT shard, sh FROM sh0 GROUP BY shard, sh
+         |    HAVING count(*) <= 200) c
+         |    ON s.shard = c.shard AND s.sh = c.sh),
+         |sizes AS (SELECT doc_id, shard, count(*) AS n FROM shf GROUP BY 1, 2),
+         |inter AS (SELECT a.doc_id AS a_id, a.shard AS a_sh,
+         |    b.doc_id AS b_id, b.shard AS b_sh, count(*) AS i
+         |  FROM shf a JOIN shf b ON a.sh = b.sh AND a.shard < b.shard
+         |  WHERE a.live = 1 AND b.live = 1
+         |  GROUP BY 1, 2, 3, 4)
+         |SELECT a_id, b_id,
+         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = a_id AND sa.shard = a_sh
+         |JOIN sizes sb ON sb.doc_id = b_id AND sb.shard = b_sh
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |ORDER BY a_id, b_id""".stripMargin,
     // merge verdict ≡ declarative CROSS-corpus Jaccard with per-corpus
     // df caps (each index df-capped its own build shard)
     "dedup_index_merge" ->
@@ -4770,6 +4904,50 @@ object PipelineQueries {
         |             WHERE rn = 1 AND vec_id % 32 <> 5),
         |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell
         |           FROM ar WHERE vec_id < 40 AND rn <= 3),
+        |p AS (
+        |  SELECT q_id, n_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /
+        |      (sqrt(list_sum(list_transform(qv, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(v, x -> x * x)))) AS cos
+        |  FROM assigned JOIN probes USING (cell) WHERE q_id <> n_id),
+        |r AS (SELECT q_id, n_id, cos,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+        |      FROM p)
+        |SELECT q_id, n_id, round(cos, 6) AS cos, rank FROM r
+        |WHERE rank <= 10 ORDER BY q_id, rank""".stripMargin,
+    // post-upsert IVF probes ≡ declarative frozen-centroid IVF where
+    // the %32 vectors carry their REVERSED embedding (assignment and
+    // scoring both) while probe vectors stay original
+    "ann_index_upsert" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id % 8 = 1),
+        |en AS (SELECT vec_id,
+        |         CASE WHEN vec_id % 32 = 1 THEN list_reverse(v) ELSE v END AS v
+        |       FROM e),
+        |f AS (SELECT * FROM e WHERE vec_id % 24 = 1),
+        |c AS (SELECT vec_id AS c_id, v AS cv FROM f
+        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |                      FROM f) = 0),
+        |acn AS (
+        |  SELECT en.vec_id, en.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> en.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(en.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM en, c),
+        |assigned AS (SELECT vec_id AS n_id, v, c_id AS cell FROM (
+        |    SELECT vec_id, v, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |    FROM acn) WHERE rn = 1),
+        |aco AS (
+        |  SELECT e.vec_id, e.v, c.c_id,
+        |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
+        |      (sqrt(list_sum(list_transform(e.v, x -> x * x))) *
+        |       sqrt(list_sum(list_transform(c.cv, x -> x * x)))) AS ccos
+        |  FROM e, c),
+        |probes AS (SELECT vec_id AS q_id, v AS qv, c_id AS cell FROM (
+        |    SELECT vec_id, v, c_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, c_id) AS rn
+        |    FROM aco WHERE vec_id < 40) WHERE rn <= 3),
         |p AS (
         |  SELECT q_id, n_id,
         |    list_sum(list_transform(generate_series(1, 64), i -> qv[i] * v[i])) /

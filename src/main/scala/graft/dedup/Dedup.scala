@@ -437,6 +437,117 @@ object Dedup {
     }
   }
 
+  /** RAW id-membership probe for re-fetch routing: which of `ids` has
+   *  a signature row in a live shard commit published BEFORE the
+   *  first log entry owned by `excludeKeys` (a keyed `c-k<digest>-`
+   *  commit or a `#txn:` entry of one of the keys — their `.del` /
+   *  `.add` sub-keys included by passing them explicitly), IGNORING
+   *  tombstones. Both carve-outs exist for REPLAY STABILITY — the
+   *  streaming crawl pipeline's fresh/re-fetch split must be
+   *  identical on first run, on crash-replay, AND on a full
+   *  fresh-checkpoint redelivery after LATER batches mutated
+   *  membership: the log-position cutoff reconstructs the exact
+   *  batch-start snapshot (batches are sequential, so everything at
+   *  or after the batch's first own entry — its own legs and every
+   *  later batch — is post-split state), and ignoring tombstones
+   *  hides what any delete leg retired since. A PRE-batch tombstone
+   *  whose bytes aren't yet compacted makes a re-crawled id classify
+   *  as re-fetch instead of fresh, which is correctness-neutral
+   *  (upserting a never-live id ≡ ingesting it). Stability holds
+   *  while the batch's keyed commits are live — the same
+   *  "batch-grain reads precede compaction" contract as
+   *  [[indexPairsForDelivery]]. Cost: one pruned scan of the sig
+   *  legs semi-joined to the broadcast probe ids — the result is
+   *  probe-bounded.
+   */
+  def indexKnownIds(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      ids: DataFrame, idCol: String,
+      excludeKeys: Seq[String] = Seq.empty): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val digests = excludeKeys.map(keyDigest)
+    val txns = excludeKeys.map("#txn:" + _).toSet
+    def owned(e: String): Boolean =
+      txns.contains(e) || digests.exists(d => e.startsWith(s"c-k$d-"))
+    val live = new graft.store.CommitLog(s"$indexDir/_manifests")
+      .latest(spark)._2
+    val cut = live.indexWhere(owned)
+    val dirs = (if (cut >= 0) live.take(cut) else live)
+      .filter(_.startsWith("c-"))
+      .map(c => s"$indexDir/data/$c/sig")
+      .filter { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+    if (dirs.isEmpty)
+      ids.select(col(idCol)).limit(0)
+    else
+      spark.read.parquet(dirs: _*).select(col("doc_id").as(idCol))
+        .join(broadcast(ids.select(col(idCol)).distinct()),
+          Seq(idCol), "left_semi")
+        .distinct()
+  }
+
+  /** DOCUMENT UPSERT for the persisted LSH dedup index (the crawl
+   *  re-fetch lifecycle op, mirroring
+   *  [[graft.text.TextIndex.upsertDocs]]): replace up to 65536 docs'
+   *  content in place — one tombstone commit retiring the old
+   *  signatures/postings ([[indexForgetDocs]]; ids never ingested
+   *  no-op) followed by one [[indexCheckAndIngest]] shard of the new
+   *  text. Because tombstones are ORDER-SCOPED (a tombstone covers
+   *  only commits preceding it), the re-ingested generation serves
+   *  immediately, and because the old version is tombstoned BEFORE
+   *  the check, a re-fetched doc is near-dup-gated against the REST
+   *  of the index, never against its own prior version — the exact
+   *  failure a re-fetch-blind pipeline hits. Post-upsert candidate
+   *  generation and verification equal an index that ingested the
+   *  NEW text from the start; a later full [[indexCompact]]
+   *  physically erases the superseded rows.
+   *
+   *  Exactly-once across the two commits is the text index's paired
+   *  contract: `key` fans out to `<key>.del` / `<key>.add` entries,
+   *  each leg short-circuits on its own committed key — a crash
+   *  between the two replays with the delete leg a no-op and the add
+   *  leg completing; a full redelivery is a version-preserving no-op
+   *  that returns the PERSISTED pair report of the original attempt
+   *  (when `persistPairs`; the empty report otherwise). Returns the
+   *  new-text shard's verdict: every >= threshold pair between the
+   *  upserted docs and the surviving index. Cost: O(ids) tombstone +
+   *  one ordinary shard check — never ∝ the index.
+   */
+  def indexUpsertDocs(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      k: Int = 64, bands: Int = 16, key: Option[String] = None,
+      persistPairs: Boolean = false): DataFrame = {
+    // ONE materialization feeds both legs: a nondeterministic source
+    // evaluated twice could tombstone ids it never re-adds
+    val snap = docs.select(col(idCol).cast("long").as(idCol),
+      col(textCol).cast("string").as(textCol)).persist()
+    try {
+      val ids = snap.select(col(idCol)).distinct()
+        .limit(65537).collect().map(_.getLong(0)).toSeq
+      require(ids.nonEmpty && ids.length <= 65536,
+        s"indexUpsertDocs takes 1..65536 distinct ids per call " +
+          s"(got ${ids.length}); batch larger re-fetch waves")
+      val (delKey, addKey) = (key.map(_ + ".del"), key.map(_ + ".add"))
+      // an empty index has nothing to delete — the first upsert is a
+      // plain founding shard
+      val hasShards = new graft.store.CommitLog(s"$indexDir/_manifests")
+        .latest(spark)._2.exists(_.startsWith("c-"))
+      if (hasShards && !delKey.exists(indexHasDelivery(spark, indexDir, _)))
+        indexForgetDocs(spark, indexDir, ids, key = delKey)
+      if (!addKey.exists(indexHasDelivery(spark, indexDir, _)))
+        indexCheckAndIngest(spark, indexDir, snap, idCol, textCol,
+          threshold, k, bands, deliveryKey = addKey,
+          persistPairs = persistPairs)
+      else if (persistPairs)
+        // redelivery: the original attempt's report, replay-identical
+        indexPairsForDelivery(spark, indexDir, addKey.get)
+      else emptyPairs(spark)
+    } finally snap.unpersist(): Unit
+  }
+
   /** Live tombstoned-doc count — compact-scheduler observability. */
   def indexTombstoneCount(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Long =

@@ -421,6 +421,51 @@ object Similarity {
     ivfPublish(spark, dir, name, txn, key)
   }
 
+  /** VECTOR UPSERT for the persisted IVF index (the re-embed / crawl
+   *  re-fetch lifecycle op, mirroring
+   *  [[graft.text.TextIndex.upsertDocs]]): replace up to 65536
+   *  vectors in place — one tombstone commit retiring the old rows
+   *  ([[ivfIndexForget]]; ids never ingested no-op) followed by one
+   *  [[ivfIndexAppend]] assigning the new vectors under the FROZEN
+   *  centroids. Order-scoped tombstones make the re-appended
+   *  generation serve immediately; post-upsert query answers equal an
+   *  index that appended the NEW vectors from the start; a later full
+   *  fold (or [[ivfIndexRebuild]]) physically erases the superseded
+   *  rows. Centroids are NOT retrained — an upsert drifts cell
+   *  geometry exactly as an append does, and the same imbalance
+   *  monitor decides when to rebuild.
+   *
+   *  Exactly-once across the two commits: `key` fans out to
+   *  `<key>.del` / `<key>.add` entries, each leg short-circuits on
+   *  its own committed key — crash-gap replay completes the missing
+   *  leg only; full redelivery is a version-preserving no-op. The
+   *  index must be founded ([[ivfIndexBuild]]) — like append, upsert
+   *  needs the frozen centroid generation. Cost: O(ids) tombstone +
+   *  batch-linear narrow assignment — never ∝ the index.
+   */
+  def ivfIndexUpsert(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, key: Option[String] = None): Unit = {
+    require(ivfLog(dir).latest(spark)._2.exists(_.startsWith("c-")),
+      s"ivfIndexUpsert needs a founded index at $dir — ivfIndexBuild first")
+    // ONE materialization feeds both legs: a nondeterministic source
+    // evaluated twice could tombstone ids it never re-appends
+    val snap = batch.select(col("vec_id").cast("long").as("vec_id"),
+      col("v")).persist()
+    try {
+      val ids = snap.select(col("vec_id")).distinct()
+        .limit(65537).collect().map(_.getLong(0)).toSeq
+      require(ids.nonEmpty && ids.length <= 65536,
+        s"ivfIndexUpsert takes 1..65536 distinct ids per call " +
+          s"(got ${ids.length}); batch larger re-embed waves")
+      val (delKey, addKey) = (key.map(_ + ".del"), key.map(_ + ".add"))
+      if (!delKey.exists(ivfHasDelivery(spark, dir, _)))
+        ivfIndexForget(spark, dir, ids, key = delKey)
+      if (!addKey.exists(ivfHasDelivery(spark, dir, _)))
+        ivfIndexAppend(spark, dir, snap, key = addKey)
+    } finally snap.unpersist(): Unit
+  }
+
   /** Live tombstoned-vector count — fold-scheduler observability. */
   def ivfTombstoneCount(
       spark: org.apache.spark.sql.SparkSession, dir: String): Long =

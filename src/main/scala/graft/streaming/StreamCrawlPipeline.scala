@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{broadcast, col}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.dedup.Dedup
@@ -14,34 +14,50 @@ import graft.text.TextIndex
  * This is the production shape ("dedup the crawl, search what's
  * left") and the reason the per-index maintainers were built.
  *
+ * RE-FETCH AWARE: a batch splits into FRESH docs (id never seen) and
+ * RE-FETCHED docs (id already in the dedup index — the most common
+ * real mutation in a crawl corpus). Fresh docs take the classic
+ * gate-then-ingest path. Re-fetched docs are UPSERTS: the dedup index
+ * replaces their signatures in place ([[Dedup.indexUpsertDocs]] — the
+ * old version is tombstoned BEFORE the near-dup check, so a
+ * re-crawled doc is gated against the REST of the corpus, never
+ * against its own prior version), and the text index deletes the old
+ * postings and ingests the new text for the gate's survivors — so a
+ * re-crawled doc's NEW content is searchable, an update that became a
+ * duplicate is suppressed, and a first-sight duplicate whose update
+ * diverged becomes searchable.
+ *
  * Exactly-once across two sinks without a cross-sink transaction:
- * each index keeps its own `#txn:b<batchId>` ledger, checked
- * independently — so a crash BETWEEN the two commits recovers
- * correctly (the replayed batch skips the already-committed dedup
- * append and still performs the missing text ingest). The subtle
- * requirement that makes this sound: the text leg's survivor set must
- * be identical on first run and on replay, so survivors derive from
- * THE BATCH'S OWN persisted pair report
- * ([[graft.dedup.Dedup.indexPairsForDelivery]] — published atomically
- * with the batch's shard, so it exists on first run and on replay and
- * is byte-identical both times), never from this attempt's in-memory
- * verdict. Dedup-before-text within the batch gives the report-read
- * its happens-before. The batch's report is also SUFFICIENT: it
- * contains every pair involving this batch's docs (the b_id side),
- * and doc ids are unique across the stream, so no other batch's
- * report can name them — reading the cumulative [[Dedup.indexPairs]]
- * union here would make per-batch cost grow with every duplicate the
- * stream ever found.
+ * each index keeps its own `#txn:` ledger, checked independently, so
+ * a crash BETWEEN commits recovers correctly. Per batch b<id> the
+ * keys are: `b<id>` (fresh dedup shard + fresh text shard),
+ * `b<id>.up.del`/`b<id>.up.add` (dedup upsert pair), `b<id>.up.tdel`
+ * (text delete of all re-fetched ids) and `b<id>.up.tadd` (text
+ * ingest of re-fetch survivors). Three properties make replay sound:
+ *  - SURVIVOR sets derive from each leg's PERSISTED pair report
+ *    ([[Dedup.indexPairsForDelivery]] — published atomically with
+ *    the shard, byte-identical on first run and replay), never from
+ *    an in-memory verdict;
+ *  - the fresh/re-fetch SPLIT derives from [[Dedup.indexKnownIds]],
+ *    which excludes this batch's own keyed commits and ignores
+ *    tombstones — so a half-committed batch re-derives the same
+ *    split it started from (contract: don't run full compactions on
+ *    the dedup index while a crawl batch may be mid-replay — a full
+ *    fold physically drops the tombstoned rows the probe re-reads);
+ *  - every mutation is guarded by its own delivery key.
  *
  * A full fresh-checkpoint redelivery is a version-preserving no-op on
  * BOTH indexes; batches are micro-batch-sequential, which is the
  * dedup index's serial-shard requirement.
  *
- * At 100 TB: per-batch cost is batch-linear (shingle+sign,
- * tokenize) plus collision-proportional joins against stored dedup
- * state — the two corpora-at-rest are never re-read; the anti-join
- * against reported duplicates is BATCH-report-grain (this batch's
- * dups only, bounded by the batch), regardless of stream lifetime.
+ * At 100 TB: per-batch cost is batch-linear (shingle+sign, tokenize)
+ * plus collision-proportional joins against stored dedup state — the
+ * two corpora-at-rest are never re-read; the membership probe is one
+ * pruned sig-leg scan semi-joined to the broadcast batch ids; the
+ * anti-joins against reported duplicates are BATCH-report-grain,
+ * regardless of stream lifetime. Re-fetch ids are a bounded
+ * driver-side set (<= 65536 per batch — a tombstone is a bounded
+ * collect by design; split wider re-crawl waves upstream).
  */
 object StreamCrawlPipeline {
 
@@ -64,21 +80,81 @@ object StreamCrawlPipeline {
         val s = b.sparkSession
         val key = s"b$id"
         if (!b.isEmpty) {
-          if (!Dedup.indexHasDelivery(s, dedupDir, key))
-            Dedup.indexCheckAndIngest(
-              s, dedupDir, b.select(idCol, textCol), idCol, textCol,
-              threshold, deliveryKey = Some(key), persistPairs = true): Unit
-          if (!TextIndex.hasDelivery(s, textDir, key)) {
-            // survivors from THIS BATCH'S persisted report (committed
-            // just above or by a pre-crash attempt) — identical on
-            // first run and on replay, and bounded by the batch
-            val dups = Dedup.indexPairsForDelivery(s, dedupDir, key)
-              .select(col("b_id").as(idCol)).distinct()
-            val survivors = b.select(idCol, textCol)
-              .join(dups, Seq(idCol), "left_anti")
-            if (!survivors.isEmpty)
-              TextIndex.ingestShard(
-                s, textDir, survivors, idCol, textCol, key = Some(key))
+          val batch = b.select(idCol, textCol)
+          // replay-stable split: known = already in the dedup index AS
+          // OF THIS BATCH'S START (indexKnownIds cuts the log at the
+          // first entry owned by this batch's keys and ignores
+          // tombstones — so crash-replay and full redelivery re-derive
+          // the original split even after later batches mutated
+          // membership)
+          val known = broadcast(Dedup.indexKnownIds(
+            s, dedupDir, batch.select(idCol), idCol,
+            excludeKeys = Seq(key, s"$key.up.del", s"$key.up.add")))
+          val fresh = batch.join(known, Seq(idCol), "left_anti")
+          val refetch = batch.join(known, Seq(idCol), "left_semi")
+
+          // ---- fresh leg: the classic gate-then-ingest path ----
+          if (!fresh.isEmpty) {
+            if (!Dedup.indexHasDelivery(s, dedupDir, key))
+              Dedup.indexCheckAndIngest(
+                s, dedupDir, fresh, idCol, textCol,
+                threshold, deliveryKey = Some(key),
+                persistPairs = true): Unit
+            if (!TextIndex.hasDelivery(s, textDir, key)) {
+              // survivors from THIS BATCH'S persisted report (committed
+              // just above or by a pre-crash attempt) — identical on
+              // first run and on replay, and bounded by the batch
+              val dups = Dedup.indexPairsForDelivery(s, dedupDir, key)
+                .select(col("b_id").as(idCol)).distinct()
+              val survivors = fresh.join(dups, Seq(idCol), "left_anti")
+              if (!survivors.isEmpty)
+                TextIndex.ingestShard(
+                  s, textDir, survivors, idCol, textCol, key = Some(key))
+            }
+          }
+
+          // ---- re-fetch leg: upsert both indexes ----
+          if (!refetch.isEmpty) {
+            // dedup: tombstone the old generation, gate the new text
+            // against the REST of the index, persist the pair report
+            // (indexUpsertDocs short-circuits per committed sub-key)
+            Dedup.indexUpsertDocs(
+              s, dedupDir, refetch, idCol, textCol, threshold,
+              key = Some(s"$key.up"), persistPairs = true): Unit
+            // text: the old postings retire for EVERY re-fetched id
+            // (superseded content must stop serving even when the
+            // update is suppressed as a duplicate). Guards, in order:
+            // the delete already ran; the ADD already ran (the delete
+            // must never execute after it — on a replay where the
+            // text index was empty on the first attempt, running it
+            // now would tombstone the freshly-added generation); the
+            // text index is still empty (nothing to retire, and
+            // forgetDocs needs a docs leg to exist — the skip is
+            // replay-safe because the tadd guard above covers the
+            // only ordering that could go wrong)
+            if (!TextIndex.hasDelivery(s, textDir, s"$key.up.tdel") &&
+                !TextIndex.hasDelivery(s, textDir, s"$key.up.tadd") &&
+                TextIndex.liveShardCount(s, textDir) > 0) {
+              val ids = refetch.select(col(idCol).cast("long"))
+                .distinct().limit(65537)
+                .collect().map(_.getLong(0)).toSeq
+              require(ids.length <= 65536,
+                s"batch $id re-fetches > 65536 ids — split the " +
+                  "re-crawl wave (a tombstone is a bounded set)")
+              TextIndex.forgetDocs(s, textDir, ids,
+                key = Some(s"$key.up.tdel"))
+            }
+            // ...and the gate's survivors ingest the new text (from
+            // the upsert's persisted report — replay-identical)
+            if (!TextIndex.hasDelivery(s, textDir, s"$key.up.tadd")) {
+              val dups = Dedup
+                .indexPairsForDelivery(s, dedupDir, s"$key.up.add")
+                .select(col("b_id").as(idCol)).distinct()
+              val survivors = refetch.join(dups, Seq(idCol), "left_anti")
+              if (!survivors.isEmpty)
+                TextIndex.ingestShard(s, textDir, survivors, idCol,
+                  textCol, key = Some(s"$key.up.tadd"))
+            }
           }
         }
       }

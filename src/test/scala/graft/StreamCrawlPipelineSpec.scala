@@ -162,4 +162,106 @@ class StreamCrawlPipelineSpec extends AnyFunSuite {
     assert(pairsOf(Dedup.indexPairs(spark, dedupIdx)) == cum,
       "compaction must carry every pair report forward")
   }
+
+  test("re-crawled docs route through upsert: new text searchable, old " +
+      "retired, update-became-duplicate suppressed; redelivery no-op") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_scp_rf")
+    val dedupIdx = TestSpark.tmpDir("scp_rf_dedup")
+    val textIdx = TestSpark.tmpDir("scp_rf_text")
+    // batch 0: four first-sight docs. batch 1: doc 0 RE-FETCHED with
+    // entirely new text (must become searchable, old text must stop
+    // serving); doc 2 RE-FETCHED with text that now near-dups doc 3
+    // (must be suppressed from text AND its old text retired); doc 6
+    // fresh near-dup of doc 4 (classic gate must still fire); doc 7
+    // fresh novel (classic ingest)
+    val b0 = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "cold winter nights bring quiet snowfall over the valley"),
+      (3L, "green meadows stretch beyond the river bend every spring"),
+      (4L, "p q r s t u v w"))
+    val b1 = Seq(
+      (0L, "completely rewritten page about submarine cable routing"),
+      (2L, "green meadows stretch beyond the river bend every spring ok"),
+      (6L, "p q r s t u v w y"),
+      (7L, "sunlit harbor towns trade stories with passing sailors"))
+    val base = System.currentTimeMillis()
+    for ((rows, i) <- Seq(b0, b1).zipWithIndex) {
+      val scratch = srcDir.resolve(s"scratch$i")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(scratch.toString)
+      val parts = java.nio.file.Files.list(scratch)
+      try {
+        val part = parts
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      } finally parts.close()
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    def drain(ckpt: String): Unit =
+      StreamCrawlPipeline.maintain(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString),
+        dedupIdx, textIdx, ckpt, threshold = 0.6).awaitTermination()
+    drain(s"$srcDir/ckpt")
+    def top(terms: String*) = TextIndex
+      .searchBm25(spark, textIdx, terms, 10)
+      .orderBy("rank")
+      .collect().map(_.getLong(1)).toSeq
+    // doc 0: new content serves, old content gone
+    assert(top("submarine", "cable") == Seq(0L),
+      "re-crawled doc's NEW text must be searchable")
+    assert(!top("alpha", "beta", "gamma").contains(0L),
+      "re-crawled doc's OLD text must stop serving")
+    // doc 2: update became a duplicate of 3 → suppressed entirely
+    val winter = top("winter", "snowfall")
+    assert(!winter.contains(2L), "superseded text of a now-duplicate " +
+      "re-crawl must stop serving")
+    assert(top("meadows", "river") == Seq(3L),
+      "an update that became a duplicate must be suppressed from text")
+    // fresh legs still gate classically: 6 dropped (≈4), 7 ingested
+    assert(!top("p", "q", "r").contains(6L))
+    assert(top("harbor", "sailors") == Seq(7L))
+    // the text index equals a one-shot build over the expected final
+    // corpus {0-new, 3, 4, 7} — all legs with exact deltas
+    val oneShot = TestSpark.tmpDir("scp_rf_oneshot")
+    TextIndex.ingestShard(spark, oneShot,
+      (b1.take(1) ++ b0.drop(2) ++ b1.drop(3)).toDF("doc_id", "text"),
+      "doc_id", "text")
+    def full(d: String) = TextIndex
+      .searchBm25(spark, d,
+        Seq("submarine", "meadows", "p", "harbor", "winter"), 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(full(textIdx) == full(oneShot),
+      "post-re-crawl text index must equal a one-shot build of the " +
+        "final corpus (exact deltas on every leg)")
+    // dedup index: doc 0's new signature gates a future near-dup; its
+    // old content no longer does
+    assert(Dedup.indexCheckAndIngest(spark, dedupIdx,
+      Seq((90L, "completely rewritten page about submarine cable " +
+        "routing x")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6)
+      .collect().map(_.getLong(0)).toSeq == Seq(0L),
+      "re-crawled doc's new signature must gate")
+    assert(Dedup.indexCheckAndIngest(spark, dedupIdx,
+      Seq((91L, "alpha beta gamma delta epsilon zeta eta theta x"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", 0.6).count() == 0L,
+      "re-crawled doc's old signature must stop gating")
+    // full redelivery under a fresh checkpoint: version-preserving
+    // no-op on BOTH indexes — this also re-derives the fresh/re-fetch
+    // split post-mutation, pinning indexKnownIds' replay stability
+    val (vD, vT) =
+      (Dedup.indexVersion(spark, dedupIdx), TextIndex.version(spark, textIdx))
+    drain(s"$srcDir/ckpt2")
+    assert(Dedup.indexVersion(spark, dedupIdx) == vD &&
+      TextIndex.version(spark, textIdx) == vT,
+      "redelivered re-crawl stream must be a no-op on BOTH indexes")
+  }
 }
