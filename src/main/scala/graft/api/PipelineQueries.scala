@@ -2165,6 +2165,55 @@ object PipelineQueries {
         .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
         .orderBy("rank")
     }),
+    // TOMBSTONE-SCOPED RETIREMENT (takedown-stream hygiene without a
+    // whole-index rewrite): a 1/10 subset ingests as FOUR shards, one
+    // shard's %80 slice is deleted, the deleted ids re-ingest with new
+    // text (the re-crawl case), then retireTombstones rewrites ONLY
+    // the one covered commit holding the deleted docs — the in-query
+    // requires pin that the other three covered shards and the
+    // post-tombstone re-ingest keep their exact commit dirs, the
+    // tombstone count reaches zero, and answers don't move. Oracle =
+    // declarative BM25 over (subset minus deleted originals) plus the
+    // re-ingested new text
+    "text_index_retire" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_text_retire").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(col("doc_id") % 10 === 1)
+      val legs = graft.text.TextIndex.LegProfile(
+        pos = false, del = false, docs = true)
+      for (i <- 0 until 4)
+        graft.text.TextIndex.ingestShard(s, idx,
+          d.where(pmod(col("doc_id"), lit(40)) === i * 10 + 1),
+          "doc_id", "text", key = Some(s"r$i"), legs = legs)
+      val deleted = d.where(col("doc_id") % 80 === 21)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      graft.text.TextIndex.forgetDocs(s, idx, deleted, key = Some("rt0"))
+      graft.text.TextIndex.ingestShard(s, idx,
+        d.where(col("doc_id") % 80 === 21)
+          .select(col("doc_id"), concat(lit("re "), col("text")).as("text")),
+        "doc_id", "text", key = Some("r4"), legs = legs)
+      val cl = new graft.store.CommitLog(s"$idx/_manifests")
+      val before = cl.latest(s)._2.filter(_.startsWith("c-"))
+      val pre = graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+        .collect().toSeq
+      require(graft.text.TextIndex.retireTombstones(s, idx) == 1,
+        "exactly one tombstone must retire")
+      require(graft.text.TextIndex.tombstoneCount(s, idx) == 0L,
+        "retirement must reach zero live tombstones")
+      val after = cl.latest(s)._2.filter(_.startsWith("c-"))
+      require(after.count(before.contains) == 4,
+        s"retirement may rewrite only the one covered commit holding " +
+          s"the deleted docs: $before -> $after")
+      require(after.last == before.last,
+        "the post-tombstone re-ingest commit must keep its dir")
+      val post = graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "window", "scan"), 20)
+      require(post.collect().toSeq == pre,
+        "retirement must not change answers")
+      post.orderBy("rank")
+    }),
     // STREAMING TAKEDOWN QUEUE (right-to-be-forgotten as a stream):
     // deletion requests drain as two mtime-ordered micro-batches into
     // exactly-once tombstones on a 1/10-subset text index (#txn:b<id>
@@ -4391,6 +4440,39 @@ object PipelineQueries {
         |    CASE WHEN doc_id % 40 = 8 THEN 'upd ' || text ELSE text END
         |      AS text
         |  FROM documents WHERE doc_id % 10 = 8),
+        |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, score_ppm, n_terms FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // post-retirement BM25 ≡ declarative BM25 over (subset minus the
+    // deleted originals) plus the re-ingested 're '-prefixed text
+    "text_index_retire" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 1 AND doc_id % 80 <> 21
+        |  UNION ALL
+        |  SELECT doc_id, 're ' || text FROM documents
+        |  WHERE doc_id % 80 = 21),
         |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
         |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
         |  WHERE length(t) > 0 GROUP BY 1, 2),

@@ -911,6 +911,133 @@ object Dedup {
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Unit =
     indexCompactTiered(spark, indexDir, fanIn = Int.MaxValue)
 
+  /** TOMBSTONE-SCOPED RETIREMENT (the text index's
+   *  [[graft.text.TextIndex.retireOldestTombstone]] discipline on the
+   *  LSH index): retire the OLDEST live tombstone by rewriting IN
+   *  PLACE only the covered commits that actually mention its docs —
+   *  sig/sh rows of the gone ids drop, pair-report rows naming a gone
+   *  id on EITHER side drop (a pair can name a doc stored in another
+   *  commit, so the containment probe checks all three legs). Each
+   *  rewritten commit keeps its log position (and a keyed commit its
+   *  key-digest prefix, so batch-grain pair addressing survives), so
+   *  every other tombstone's coverage is untouched; commits whose
+   *  rows are all gone drop from the live list. Cost ∝ the commits
+   *  the docs live in — never the post-tombstone ingest stream, never
+   *  a whole-index rewrite. One atomic commit publishes rewrites +
+   *  retirement; concurrent c-/t- movement aborts loudly.
+   */
+  def indexRetireOldestTombstone(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String): Boolean = {
+    val cl = new graft.store.CommitLog(s"$indexDir/_manifests")
+    val (_, live) = cl.latest(spark)
+    val snap = live.filter(e => e.startsWith("c-") || e.startsWith("t-"))
+    val tIdx = snap.indexWhere(_.startsWith("t-"))
+    if (tIdx < 0) return false
+    val t = snap(tIdx)
+    val covered = snap.take(tIdx).filter(_.startsWith("c-"))
+    val conf = spark.sessionState.newHadoopConf()
+    val gone = broadcast(
+      spark.read.parquet(s"$indexDir/data/$t/gone").select("doc_id"))
+    def sub(c: String, s0: String): Option[DataFrame] = {
+      val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$c/$s0")
+      Option.when(p.getFileSystem(conf).exists(p))(
+        spark.read.parquet(p.toString))
+    }
+    // containment probe — ONE job over every covered commit's three
+    // legs (pairs can name a doc stored in another commit, so both
+    // pair sides probe too); a per-commit loop would pay one job's
+    // fixed overhead per commit
+    val touched: Set[String] = {
+      val probes = covered.flatMap { c =>
+        Seq(sub(c, "sig").map(_.select(col("doc_id"))),
+          sub(c, "sh").map(_.select(col("doc_id"))),
+          sub(c, "pairs").map(_.select(col("a_id").as("doc_id"))),
+          sub(c, "pairs").map(_.select(col("b_id").as("doc_id"))))
+          .flatten.map(_.withColumn("cmt", lit(c)))
+      }
+      if (probes.isEmpty) Set.empty
+      else probes.reduce(_.unionByName(_))
+        .join(gone, Seq("doc_id"), "left_semi")
+        .select("cmt").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val rewrites = covered.flatMap { c =>
+      val sig = sub(c, "sig")
+      val sh = sub(c, "sh")
+      val pairs = sub(c, "pairs")
+      if (!touched.contains(c)) None
+      else {
+        val name = (if (c.matches("c-k[0-9a-f]{16}-.*"))
+          c.substring(0, 19) else "c") +
+          s"-${java.util.UUID.randomUUID().toString.take(12)}"
+        val dst = s"$indexDir/data/$name"
+        val nsp = spark.sessionState.conf.numShufflePartitions
+        var any = false
+        for (df <- sig) {
+          val live2 = df.join(gone, Seq("doc_id"), "left_anti").persist()
+          if (!live2.isEmpty) {
+            live2.coalesce(nsp).write.parquet(s"$dst/sig"); any = true
+          }
+          live2.unpersist(): Unit
+        }
+        for (df <- sh) {
+          val live2 = df.join(gone, Seq("doc_id"), "left_anti").persist()
+          if (!live2.isEmpty) {
+            live2.coalesce(nsp).write.parquet(s"$dst/sh"); any = true
+          }
+          live2.unpersist(): Unit
+        }
+        for (df <- pairs) {
+          // written even when EMPTY (repartition(1) forces a readable
+          // file — the fold discipline): a commit's pair report leg
+          // must survive retirement so cumulative pair readback keeps
+          // at least one leg to read
+          df.join(broadcast(gone.select(col("doc_id").as("a_id"))),
+              Seq("a_id"), "left_anti")
+            .join(broadcast(gone.select(col("doc_id").as("b_id"))),
+              Seq("b_id"), "left_anti")
+            .select(df.columns.map(col): _*)
+            .repartition(1).write.parquet(s"$dst/pairs")
+          any = true
+        }
+        Some(c -> (if (any) name else ""))
+      }
+    }.toMap
+    val published = cl.commit(spark) { now =>
+      if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
+          != snap) None
+      else Some(now.flatMap { e =>
+        if (e == t) Seq.empty
+        else rewrites.get(e) match {
+          case Some("") => Seq.empty // fully-taken-down commit dropped
+          case Some(n) => Seq(n)
+          case None => Seq(e)
+        }
+      })
+    }
+    if (!published) {
+      for (n <- rewrites.values if n.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$n")
+        p.getFileSystem(conf).delete(p, true): Unit
+      }
+      throw new IllegalStateException(
+        s"indexRetireOldestTombstone raced a concurrent writer at " +
+          s"$indexDir — staging dropped; re-run against the new live set")
+    }
+    true
+  }
+
+  /** Retire up to `upTo` tombstones, oldest first. Returns the number
+   *  retired.
+   */
+  def indexRetireTombstones(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      upTo: Int = Int.MaxValue): Int = {
+    var n = 0
+    while (n < upTo && indexRetireOldestTombstone(spark, indexDir)) n += 1
+    n
+  }
+
   /** ZERO-COPY BRANCH of the LSH index as of a published version —
    *  the shared CommitLog.cloneAsOf shallow clone: data hard-links,
    *  the as-of live set (delivery keys included) becomes the branch's

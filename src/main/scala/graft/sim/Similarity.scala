@@ -781,6 +781,104 @@ object Similarity {
     }
   }
 
+  /** TOMBSTONE-SCOPED RETIREMENT (the text index's
+   *  [[graft.text.TextIndex.retireOldestTombstone]] discipline on the
+   *  IVF index): retire the OLDEST live tombstone by rewriting IN
+   *  PLACE only the covered commits whose postings mention its ids.
+   *  Rewritten commits keep their log position (other tombstones'
+   *  coverage untouched) and their cell partitioning (cell ids index
+   *  the frozen centroid generation — unchanged). The founding
+   *  commit's centroid leg carries through even when its postings
+   *  empty out; a posting-only commit whose rows are all gone drops
+   *  from the live list. Cost ∝ the commits the ids live in — never
+   *  the post-tombstone append stream, never a whole-index rewrite
+   *  (that is [[ivfIndexRebuild]]'s job, which also re-centers).
+   */
+  def ivfIndexRetireOldestTombstone(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    val cl = ivfLog(dir)
+    val (_, live) = cl.latest(spark)
+    val snap = live.filter(e => e.startsWith("c-") || e.startsWith("t-"))
+    val tIdx = snap.indexWhere(_.startsWith("t-"))
+    if (tIdx < 0) return false
+    val t = snap(tIdx)
+    val covered = snap.take(tIdx).filter(_.startsWith("c-"))
+    val conf = spark.sessionState.newHadoopConf()
+    val gone = broadcast(
+      spark.read.parquet(s"$dir/data/$t/gone").select("vec_id"))
+    def exists(c: String, s0: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/$c/$s0")
+      p.getFileSystem(conf).exists(p)
+    }
+    // containment probe — ONE job over every covered commit (a per-
+    // commit loop would pay one job's fixed overhead per commit)
+    val touched: Set[String] = {
+      val probes = covered.flatMap(c => Option.when(exists(c, "post"))(
+        spark.read.parquet(s"$dir/data/$c/post")
+          .select(col("vec_id")).withColumn("cmt", lit(c))))
+      if (probes.isEmpty) Set.empty
+      else probes.reduce(_.unionByName(_))
+        .join(gone, Seq("vec_id"), "left_semi")
+        .select("cmt").distinct()
+        .collect().map(_.getString(0)).toSet
+    }
+    val rewrites = covered.flatMap { c =>
+      val post = Option.when(exists(c, "post"))(
+        spark.read.parquet(s"$dir/data/$c/post")
+          .select(col("vec_id"), col("v"), col("cell")))
+      if (!touched.contains(c)) None
+      else {
+        val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
+        val dst = s"$dir/data/$name"
+        val live2 = post.get.join(gone, Seq("vec_id"), "left_anti")
+          .persist()
+        val anyPost = !live2.isEmpty
+        if (anyPost)
+          live2.repartition(col("cell"))
+            .write.partitionBy("cell").parquet(s"$dst/post")
+        live2.unpersist(): Unit
+        val hasCents = exists(c, "centroids")
+        if (hasCents)
+          spark.read.parquet(s"$dir/data/$c/centroids")
+            .coalesce(1).write.parquet(s"$dst/centroids")
+        Some(c -> (if (anyPost || hasCents) name else ""))
+      }
+    }.toMap
+    val published = cl.commit(spark) { now =>
+      if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
+          != snap) None
+      else Some(now.flatMap { e =>
+        if (e == t) Seq.empty
+        else rewrites.get(e) match {
+          case Some("") => Seq.empty // fully-taken-down commit dropped
+          case Some(n) => Seq(n)
+          case None => Seq(e)
+        }
+      })
+    }
+    if (!published) {
+      for (n <- rewrites.values if n.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data/$n")
+        p.getFileSystem(conf).delete(p, true): Unit
+      }
+      throw new IllegalStateException(
+        s"ivfIndexRetireOldestTombstone raced a concurrent writer at " +
+          s"$dir — staging dropped; re-run against the new live set")
+    }
+    true
+  }
+
+  /** Retire up to `upTo` tombstones, oldest first. Returns the number
+   *  retired.
+   */
+  def ivfIndexRetireTombstones(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      upTo: Int = Int.MaxValue): Int = {
+    var n = 0
+    while (n < upTo && ivfIndexRetireOldestTombstone(spark, dir)) n += 1
+    n
+  }
+
   /** ZERO-COPY BRANCH of the IVF index as of a published version —
    *  the shared CommitLog.cloneAsOf shallow clone: postings and the
    *  centroid leg hard-link, delivery keys branch with the data, and

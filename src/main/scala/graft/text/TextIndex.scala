@@ -1770,6 +1770,160 @@ object TextIndex {
     }
   }
 
+  /** TOMBSTONE-SCOPED RETIREMENT — the takedown-stream answer to "only
+   *  a FULL fold retires tombstones": retire the OLDEST live tombstone
+   *  by rewriting IN PLACE only the covered commits that actually
+   *  contain its rows. Order-scoping already knows the covered set
+   *  (every commit before the tombstone); a containment probe (one
+   *  gone-semi-join per covered commit's postings) skips commits that
+   *  hold none of the gone docs, so cost is ∝ the commits the docs
+   *  live in — never the post-tombstone ingest stream, never a
+   *  whole-index rewrite. Each rewritten commit keeps its LOG
+   *  POSITION (spliced in place), so every other tombstone's coverage
+   *  is untouched, and its vocab/stats are RECOMPUTED from its
+   *  surviving postings — exactly the state a full fold would have
+   *  produced, so the tombstone's dvocab/dstats deltas are consumed
+   *  and the tombstone entry drops. One atomic commit publishes all
+   *  rewrites + the retirement; any concurrent c-/t- movement aborts
+   *  (staging dropped) and the caller re-runs.
+   *
+   *  Under a steady right-to-be-forgotten stream this bounds read
+   *  fan-in at cost ∝ covered commits per retirement, where the old
+   *  policy ([[compact]]) re-read the WHOLE stored index; commits
+   *  after the oldest tombstone — the live ingest frontier — are
+   *  never rewritten. Returns true when a tombstone was retired;
+   *  false when none are live. [[retireTombstones]] loops it.
+   */
+  def retireOldestTombstone(spark: SparkSession, dir: String): Boolean = {
+    val cl = clog(dir)
+    val (_, live) = cl.latest(spark)
+    val snap = live.filter(e => e.startsWith("c-") || e.startsWith("t-"))
+    val tIdx = snap.indexWhere(_.startsWith("t-"))
+    if (tIdx < 0) return false
+    val t = snap(tIdx)
+    val covered = snap.take(tIdx).filter(_.startsWith("c-"))
+    val conf = spark.sessionState.newHadoopConf()
+    val gone = broadcast(
+      spark.read.parquet(s"$dir/data/$t/gone").select("doc_id"))
+    def has(c: String, sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/$c/$sub")
+      p.getFileSystem(conf).exists(p)
+    }
+    // containment probe — ONE job for every covered commit (a per-
+    // commit probe loop would pay one job's fixed overhead per commit
+    // and dominate the whole retirement at high commit counts), then
+    // per-commit in-place rewrite: doc-grain legs anti-join the gone
+    // set; vocab/stats RECOMPUTE from the surviving postings (df =
+    // live posting rows per token, nd/tl = live docs / token total —
+    // the ingest-time invariants, which exact-delta folds preserve);
+    // del keys semi-join the surviving vocab so fully-deleted tokens
+    // stop key-probing
+    val touched: Set[String] =
+      if (covered.isEmpty) Set.empty
+      else covered.map(c => spark.read.parquet(s"$dir/data/$c/post")
+          .select(col("doc_id")).withColumn("cmt", lit(c)))
+        .reduce(_.unionByName(_))
+        .join(gone, Seq("doc_id"), "left_semi")
+        .select("cmt").distinct()
+        .collect().map(_.getString(0)).toSet
+    val rewrites = covered.flatMap { c =>
+      val post = spark.read.parquet(s"$dir/data/$c/post")
+      if (!touched.contains(c)) None
+      else {
+        // keep a keyed commit's key-digest prefix so batch-grain pair/
+        // report addressing survives the rewrite
+        val name = (if (c.matches("c-k[0-9a-f]{16}-.*"))
+          c.substring(0, 19) else "c") +
+          s"-${java.util.UUID.randomUUID().toString.take(12)}"
+        val dst = s"$dir/data/$name"
+        val post2 = post.join(gone, Seq("doc_id"), "left_anti").persist()
+        try {
+          if (post2.isEmpty)
+            // every doc of this commit is taken down — drop the commit
+            // from the live list instead of publishing an empty one
+            Some(c -> "")
+          else {
+            // concurrent leg writes off the one materialized post2
+            // cache — the foldLegs discipline (the isEmpty probe above
+            // already populated the cache)
+            val vocab2 = post2.groupBy("token")
+              .agg(count(lit(1)).as("df"))
+            import scala.concurrent.{Await, ExecutionContext, Future}
+            import scala.concurrent.duration.Duration
+            implicit val ec: ExecutionContext = ExecutionContext.global
+            val jobs = Seq(
+              Some(() => post2
+                .select(col("token"), col("doc_id"), col("tf"), col("dl"),
+                  col("tb"))
+                .repartition(TokenBuckets, col("tb"))
+                .write.partitionBy("tb").parquet(s"$dst/post")),
+              Some(() =>
+                vocab2.coalesce(4).write.parquet(s"$dst/vocab")),
+              Some(() => post2.groupBy("doc_id").agg(sum("tf").as("dl"))
+                .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+                .coalesce(1).write.parquet(s"$dst/stats")),
+              Option.when(has(c, "pos"))(() =>
+                spark.read.parquet(s"$dir/data/$c/pos")
+                  .join(gone, Seq("doc_id"), "left_anti")
+                  .select(col("token"), col("doc_id"), col("positions"),
+                    col("tb"))
+                  .repartition(TokenBuckets, col("tb"))
+                  .write.partitionBy("tb").parquet(s"$dst/pos")),
+              Option.when(has(c, "docs"))(() =>
+                spark.read.parquet(s"$dir/data/$c/docs")
+                  .join(gone, Seq("doc_id"), "left_anti")
+                  .select(col("doc_id"), col("text"), col("fb"))
+                  .repartition(TokenBuckets, col("fb"))
+                  .write.partitionBy("fb").parquet(s"$dst/docs")),
+              Option.when(has(c, "del"))(() =>
+                spark.read.parquet(s"$dir/data/$c/del")
+                  .join(vocab2.select("token"), Seq("token"), "left_semi")
+                  .select(col("variant"), col("token"), col("db"))
+                  .repartition(TokenBuckets, col("db"))
+                  .write.partitionBy("db").parquet(s"$dst/del"))
+            ).flatten
+            Await.result(
+              Future.sequence(jobs.map(j => Future(j()))), Duration.Inf): Unit
+            Some(c -> name)
+          }
+        } finally post2.unpersist(): Unit
+      }
+    }.toMap
+    val published = cl.commit(spark) { now =>
+      if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
+          != snap) None // live set moved under us — abort, re-run
+      else Some(now.flatMap { e =>
+        if (e == t) Seq.empty // retired: its rows and deltas are folded
+        else rewrites.get(e) match {
+          case Some("") => Seq.empty // fully-taken-down commit dropped
+          case Some(n) => Seq(n) // rewritten in place — coverage intact
+          case None => Seq(e)
+        }
+      })
+    }
+    if (!published) {
+      for (n <- rewrites.values if n.nonEmpty) {
+        val p = new org.apache.hadoop.fs.Path(s"$dir/data/$n")
+        p.getFileSystem(conf).delete(p, true): Unit
+      }
+      throw new IllegalStateException(
+        s"retireOldestTombstone raced a concurrent writer at $dir — " +
+          "staging dropped; re-run against the new live set")
+    }
+    true
+  }
+
+  /** Retire up to `upTo` tombstones, oldest first (each retirement is
+   *  one atomic commit; a concurrent-writer race aborts loudly and the
+   *  caller re-runs). Returns the number retired.
+   */
+  def retireTombstones(
+      spark: SparkSession, dir: String, upTo: Int = Int.MaxValue): Int = {
+    var n = 0
+    while (n < upTo && retireOldestTombstone(spark, dir)) n += 1
+    n
+  }
+
   /** FEDERATED MERGE: fold ANOTHER index instance's live shards into
    *  this one as ONE commit — the operation that unifies indexes built
    *  independently (per-region crawls, per-tenant corpora, a backfill
