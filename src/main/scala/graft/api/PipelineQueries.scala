@@ -2214,6 +2214,42 @@ object PipelineQueries {
         "retirement must not change answers")
       post.orderBy("rank")
     }),
+    // PREDICATE-RESOLVED TAKEDOWN (the GDPR-shaped request as one
+    // ledgered verb): "erase every doc whose text mentions 'window'"
+    // resolves from the index's OWN forward store and tombstones under
+    // ONE #txn: key — no caller-side id resolution. In-query requires
+    // pin exactly-once (redelivery refused), the ledgered empty-match
+    // no-op, and the returned count; oracle = declarative BM25 over
+    // the subset minus every matching doc
+    "text_index_forget_where" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_text_fwhere").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(20)) === 17)
+      val legs = graft.text.TextIndex.LegProfile(
+        pos = false, del = false, docs = true)
+      for (i <- 0 until 2)
+        graft.text.TextIndex.ingestShard(s, idx,
+          d.where(pmod(col("doc_id"), lit(40)) === i * 20 + 17),
+          "doc_id", "text", key = Some(s"w$i"), legs = legs)
+      val n = graft.text.TextIndex.forgetWhere(s, idx,
+        col("text").contains("window"), key = Some("gdpr0"))
+      require(n == d.where(col("text").contains("window")).count(),
+        "forgetWhere must report the resolved takedown size")
+      require(scala.util.Try(graft.text.TextIndex.forgetWhere(s, idx,
+          col("text").contains("window"), key = Some("gdpr0"))).isFailure,
+        "redelivered predicate takedown must be rejected")
+      // already-deleted docs don't re-resolve: a fresh key matches
+      // nothing and still ledgers itself
+      require(graft.text.TextIndex.forgetWhere(s, idx,
+          col("text").contains("window"), key = Some("gdpr1")) == 0L,
+        "a second pass must resolve nothing (gone-filtered store)")
+      require(graft.text.TextIndex.hasDelivery(s, idx, "gdpr1"),
+        "an empty-match takedown must still ledger its key")
+      graft.text.TextIndex
+        .searchBm25(s, idx, Seq("merge", "scan", "table"), 20)
+        .orderBy("rank")
+    }),
     // STREAMING TAKEDOWN QUEUE (right-to-be-forgotten as a stream):
     // deletion requests drain as two mtime-ordered micro-batches into
     // exactly-once tombstones on a 1/10-subset text index (#txn:b<id>
@@ -4482,6 +4518,36 @@ object PipelineQueries {
         |       FROM dl),
         |dfq AS (SELECT token, count(*) AS df FROM tf
         |  WHERE token IN ('merge', 'window', 'scan') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, score_ppm, n_terms FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // predicate takedown ≡ declarative BM25 over the subset minus
+    // every doc whose text mentions 'window' (different query terms —
+    // the deleted docs' other tokens must stop scoring too)
+    "text_index_forget_where" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 20 = 17 AND text NOT LIKE '%window%'),
+        |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'scan', 'table') GROUP BY 1),
         |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
         |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
         |      * 1000000) AS BIGINT) AS idf_ppm,

@@ -515,8 +515,9 @@ object TextIndex {
    *
    *  Requires the forward `docs` leg (the deltas come from the index
    *  itself — at scale "the corpus DataFrame" is not available on the
-   *  serving side). For a [[LegProfile.Minimal]] index, delete by
-   *  rebuilding the affected shard.
+   *  serving side). A [[LegProfile.Minimal]] index deletes via
+   *  [[forgetDocsRebuild]] — a direct in-place commit rewrite that
+   *  needs no forward store and no corpus.
    */
   def forgetDocs(
       spark: SparkSession, dir: String, ids: Seq[Long],
@@ -538,7 +539,8 @@ object TextIndex {
       s"index $dir has no forward docs leg on every live commit — " +
         "forgetDocs computes its exact df/stats deltas from the " +
         "index's own forward store; a Minimal-profile index deletes " +
-        "by rebuilding the affected shard")
+        "via forgetDocsRebuild (direct in-place commit rewrite, no " +
+        "corpus needed)")
     // stale-abort snapshot — BOTH prefixes: the publish refuses if the
     // live tombstone set moved (a concurrent forget landed, or a full
     // compaction retired tombstones — deltas computed against one
@@ -580,6 +582,58 @@ object TextIndex {
         .coalesce(1).write.parquet(s"$dir/data/$name/dstats")
       publishTombstone(spark, dir, name, txn, liveSnap)
     } finally hit.unpersist(): Unit
+  }
+
+  /** PREDICATE-RESOLVED TAKEDOWN — the GDPR-shaped request ("erase
+   *  everything matching P") as ONE ledgered verb: resolve the doc ids
+   *  from the index's OWN live forward store (`docs` leg — columns
+   *  `doc_id`, `text`; the read is gone-filtered, so already-deleted
+   *  docs don't re-resolve) and tombstone them via [[forgetDocs]]
+   *  under the SAME `key` — resolution and tombstone are one
+   *  exactly-once unit instead of caller-side id resolution plus a
+   *  separate un-ledgered delete. A predicate matching NOTHING still
+   *  ledgers the key (replays probe as done). Returns the number of
+   *  docs deleted. Bounded: a takedown resolving > 65536 ids refuses
+   *  loudly (narrow the predicate or batch by id range) — a tombstone
+   *  is a bounded driver-side set by design.
+   */
+  def forgetWhere(
+      spark: SparkSession, dir: String, predicate: Column,
+      key: Option[String] = None): Long = {
+    val cl = clog(dir)
+    val txn = key.map { k =>
+      require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")
+      "#txn:" + k
+    }
+    txn.foreach { t =>
+      require(!cl.latest(spark)._2.contains(t),
+        s"delete with delivery key ${key.get} was already applied to " +
+          s"$dir — redelivery rejected (deletion is exactly-once)")
+    }
+    require(hasDocsLeg(spark, dir),
+      s"index $dir has no forward docs leg on every live commit — " +
+        "forgetWhere resolves its ids from the index's own forward " +
+        "store; resolve ids externally and use forgetDocsRebuild")
+    val ids = readDocGrain(spark, dir, "docs")
+      .where(predicate)
+      .select(col("doc_id")).distinct().limit(65537)
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.length <= 65536,
+      s"forgetWhere resolved > 65536 ids in $dir — narrow the " +
+        "predicate or batch the takedown (a tombstone is a bounded " +
+        "driver-side set)")
+    if (ids.isEmpty) {
+      // nothing matched — still ledger the key so a redelivered
+      // takedown probes as done (forgetDocs' empty-hit discipline)
+      txn.foreach { t =>
+        cl.commit(spark)(now =>
+          if (now.contains(t)) None else Some(now :+ t)): Unit
+      }
+      0L
+    } else {
+      forgetDocs(spark, dir, ids, key)
+      ids.length.toLong
+    }
   }
 
   /** DOCUMENT UPSERT (the crawl re-fetch lifecycle op): replace up to
@@ -1794,30 +1848,28 @@ object TextIndex {
    *  never rewritten. Returns true when a tombstone was retired;
    *  false when none are live. [[retireTombstones]] loops it.
    */
-  def retireOldestTombstone(spark: SparkSession, dir: String): Boolean = {
-    val cl = clog(dir)
-    val (_, live) = cl.latest(spark)
-    val snap = live.filter(e => e.startsWith("c-") || e.startsWith("t-"))
-    val tIdx = snap.indexWhere(_.startsWith("t-"))
-    if (tIdx < 0) return false
-    val t = snap(tIdx)
-    val covered = snap.take(tIdx).filter(_.startsWith("c-"))
+  /** The shared per-commit in-place rewrite behind tombstone
+   *  retirement AND the Minimal-profile direct delete: ONE
+   *  containment-probe job over `covered` (a per-commit probe loop
+   *  would pay one job's fixed overhead per commit and dominate at
+   *  high commit counts), then each touched commit rewrites WITHOUT
+   *  the gone docs — doc-grain legs anti-join the gone set;
+   *  vocab/stats RECOMPUTE from the surviving postings (df = live
+   *  posting rows per token, nd/tl = live docs / token total — the
+   *  ingest-time invariants, which exact-delta folds preserve); del
+   *  keys semi-join the surviving vocab so fully-deleted tokens stop
+   *  key-probing. Returns old-name -> new-name ("" = every doc gone,
+   *  drop the commit); the caller owns the atomic publish and the
+   *  abort cleanup.
+   */
+  private def rewriteCommitsWithout(
+      spark: SparkSession, dir: String, gone: DataFrame,
+      covered: Seq[String]): Map[String, String] = {
     val conf = spark.sessionState.newHadoopConf()
-    val gone = broadcast(
-      spark.read.parquet(s"$dir/data/$t/gone").select("doc_id"))
     def has(c: String, sub: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/$c/$sub")
       p.getFileSystem(conf).exists(p)
     }
-    // containment probe — ONE job for every covered commit (a per-
-    // commit probe loop would pay one job's fixed overhead per commit
-    // and dominate the whole retirement at high commit counts), then
-    // per-commit in-place rewrite: doc-grain legs anti-join the gone
-    // set; vocab/stats RECOMPUTE from the surviving postings (df =
-    // live posting rows per token, nd/tl = live docs / token total —
-    // the ingest-time invariants, which exact-delta folds preserve);
-    // del keys semi-join the surviving vocab so fully-deleted tokens
-    // stop key-probing
     val touched: Set[String] =
       if (covered.isEmpty) Set.empty
       else covered.map(c => spark.read.parquet(s"$dir/data/$c/post")
@@ -1826,7 +1878,7 @@ object TextIndex {
         .join(gone, Seq("doc_id"), "left_semi")
         .select("cmt").distinct()
         .collect().map(_.getString(0)).toSet
-    val rewrites = covered.flatMap { c =>
+    covered.flatMap { c =>
       val post = spark.read.parquet(s"$dir/data/$c/post")
       if (!touched.contains(c)) None
       else {
@@ -1889,28 +1941,102 @@ object TextIndex {
         } finally post2.unpersist(): Unit
       }
     }.toMap
-    val published = cl.commit(spark) { now =>
+  }
+
+  /** Publish a rewriteCommitsWithout result atomically: apply the
+   *  old->new mapping in place, drop `alsoDrop` entries, append
+   *  `append` entries; abort (staging dropped, loud) when the live
+   *  c-/t- set moved from `snap`.
+   */
+  private def publishRewrites(
+      spark: SparkSession, dir: String, snap: Seq[String],
+      rewrites: Map[String, String], alsoDrop: Set[String],
+      append: Seq[String], what: String): Unit = {
+    val published = clog(dir).commit(spark) { now =>
       if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
           != snap) None // live set moved under us — abort, re-run
       else Some(now.flatMap { e =>
-        if (e == t) Seq.empty // retired: its rows and deltas are folded
+        if (alsoDrop.contains(e)) Seq.empty
         else rewrites.get(e) match {
           case Some("") => Seq.empty // fully-taken-down commit dropped
           case Some(n) => Seq(n) // rewritten in place — coverage intact
           case None => Seq(e)
         }
-      })
+      } :++ append)
     }
     if (!published) {
+      val conf = spark.sessionState.newHadoopConf()
       for (n <- rewrites.values if n.nonEmpty) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$n")
         p.getFileSystem(conf).delete(p, true): Unit
       }
       throw new IllegalStateException(
-        s"retireOldestTombstone raced a concurrent writer at $dir — " +
+        s"$what raced a concurrent writer at $dir — " +
           "staging dropped; re-run against the new live set")
     }
+  }
+
+  def retireOldestTombstone(spark: SparkSession, dir: String): Boolean = {
+    val cl = clog(dir)
+    val (_, live) = cl.latest(spark)
+    val snap = live.filter(e => e.startsWith("c-") || e.startsWith("t-"))
+    val tIdx = snap.indexWhere(_.startsWith("t-"))
+    if (tIdx < 0) return false
+    val t = snap(tIdx)
+    val covered = snap.take(tIdx).filter(_.startsWith("c-"))
+    val gone = broadcast(
+      spark.read.parquet(s"$dir/data/$t/gone").select("doc_id"))
+    val rewrites = rewriteCommitsWithout(spark, dir, gone, covered)
+    // t retired: its rows are physically out, its deltas are consumed
+    // by the recomputed vocab/stats
+    publishRewrites(spark, dir, snap, rewrites, alsoDrop = Set(t),
+      append = Seq.empty, what = "retireOldestTombstone")
     true
+  }
+
+  /** DIRECT in-place deletion — the Minimal-profile answer to
+   *  [[forgetDocs]] (which needs the forward docs leg for its exact
+   *  deltas): rewrite every live commit holding the ids WITHOUT them,
+   *  recomputing each commit's vocab/stats from its surviving
+   *  postings — no tombstone, no deltas, no corpus parameter (the
+   *  post leg already knows the docs), physical erasure immediate
+   *  (vacuum reclaims the superseded dirs). Works on any profile;
+   *  prefer [[forgetDocs]] when the docs leg exists (O(ids) tombstone
+   *  now, rewrite deferred to retirement/folds — this rewrites the
+   *  touched commits up front). Refuses while tombstones are live:
+   *  a later tombstone's deltas were computed against these rows, so
+   *  erasing them out from under it would double-subtract at its
+   *  retirement — retire tombstones first. `key` ledgers the delete
+   *  exactly-once; deleting ids the index never held is a ledgered
+   *  no-op.
+   */
+  def forgetDocsRebuild(
+      spark: SparkSession, dir: String, ids: Seq[Long],
+      key: Option[String] = None): Unit = {
+    require(ids.nonEmpty && ids.length <= 65536,
+      s"forgetDocsRebuild takes 1..65536 ids per call (got ${ids.length})")
+    val cl = clog(dir)
+    val txn = key.map { k =>
+      require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")
+      "#txn:" + k
+    }
+    txn.foreach { t =>
+      require(!cl.latest(spark)._2.contains(t),
+        s"delete with delivery key ${key.get} was already applied to " +
+          s"$dir — redelivery rejected (deletion is exactly-once)")
+    }
+    val (_, live) = cl.latest(spark)
+    val snap = live.filter(e => e.startsWith("c-") || e.startsWith("t-"))
+    require(!snap.exists(_.startsWith("t-")),
+      s"index $dir has live tombstones — their deltas were computed " +
+        "against the rows this rebuild would erase (retiring them " +
+        "later would double-subtract); retireTombstones first")
+    import spark.implicits._
+    val gone = broadcast(ids.distinct.toDF("doc_id"))
+    val rewrites = rewriteCommitsWithout(spark, dir, gone,
+      snap.filter(_.startsWith("c-")))
+    publishRewrites(spark, dir, snap, rewrites, alsoDrop = Set.empty,
+      append = txn.toSeq, what = "forgetDocsRebuild")
   }
 
   /** Retire up to `upTo` tombstones, oldest first (each retirement is

@@ -127,6 +127,49 @@ class IndexRetireSpec extends AnyFunSuite {
     assert(TextIndex.tombstoneCount(spark, idx) == 0L)
   }
 
+  test("text index: forgetDocsRebuild deletes on a MINIMAL-profile " +
+      "index (no docs leg, no corpus) — answers equal a never-ingested " +
+      "index, untouched commits keep their dirs, key is exactly-once, " +
+      "live tombstones refuse") {
+    val minimal = graft.text.TextIndex.LegProfile(
+      pos = false, del = false, docs = false)
+    val idx = TestSpark.tmpDir("ret_min")
+    for (i <- 0 until 3)
+      TextIndex.ingestShard(spark, idx,
+        corpus.where(pmod(col("doc_id"), lit(3)) === i),
+        "doc_id", "text", key = Some(s"m$i"), legs = minimal)
+    // forgetDocs refuses a Minimal index and names the helper
+    val e = intercept[IllegalArgumentException](
+      TextIndex.forgetDocs(spark, idx, Seq(1L)))
+    assert(e.getMessage.contains("forgetDocsRebuild"))
+    val before = liveCommits(idx)
+    // delete doc 1 (shard 1 only) + a never-ingested id (no-op)
+    TextIndex.forgetDocsRebuild(spark, idx, Seq(1L, 999L),
+      key = Some("k0"))
+    val after = liveCommits(idx)
+    assert(after.count(before.contains) == 2,
+      s"only the commit holding doc 1 may be rewritten: $before -> $after")
+    val ref = TestSpark.tmpDir("ret_min_ref")
+    TextIndex.ingestShard(spark, ref,
+      corpus.where(col("doc_id") =!= 1L), "doc_id", "text", legs = minimal)
+    for (q <- Seq(Seq("merge"), Seq("window", "scan")))
+      assert(bm25(idx, q) == bm25(ref, q),
+        s"post-rebuild bm25 diverges from never-ingested on $q")
+    assert(TextIndex.tombstoneCount(spark, idx) == 0L)
+    // exactly-once: redelivery refused
+    assert(intercept[IllegalArgumentException] {
+      TextIndex.forgetDocsRebuild(spark, idx, Seq(1L), key = Some("k0"))
+    }.getMessage.contains("redelivery rejected"))
+    // a live tombstone refuses the rebuild (its deltas reference the
+    // rows the rebuild would erase)
+    val idx2 = TestSpark.tmpDir("ret_min_t")
+    TextIndex.ingestShard(spark, idx2, corpus, "doc_id", "text")
+    TextIndex.forgetDocs(spark, idx2, Seq(0L))
+    assert(intercept[IllegalArgumentException] {
+      TextIndex.forgetDocsRebuild(spark, idx2, Seq(2L))
+    }.getMessage.contains("retireTombstones first"))
+  }
+
   test("dedup index: retirement drops sig/sh rows AND pair rows naming " +
       "the gone doc in any covered commit; keyed commits keep their " +
       "digest prefix; answers unchanged") {

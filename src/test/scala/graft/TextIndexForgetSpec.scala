@@ -164,6 +164,26 @@ class TextIndexForgetSpec extends AnyFunSuite {
     assert(TextIndex.tombstoneCount(spark, idx) == 1L)
   }
 
+  test("forgetWhere resolves from the index's own forward store and " +
+      "deletes under one key: answers equal a never-ingested index; " +
+      "minimal-profile indexes are refused with a pointer") {
+    val idx = freshIdx("fwhere", corpus)
+    val ref = freshIdx("fwhere_ref",
+      corpus.where(!col("text").contains("zebra")))
+    assert(TextIndex.forgetWhere(spark, idx,
+      col("text").contains("zebra"), key = Some("z")) == 1L)
+    for (q <- Seq(Seq("merge"), Seq("zebra"), Seq("window", "scan")))
+      assert(bm25(idx, q) == bm25(ref, q),
+        s"post-forgetWhere bm25 diverges from never-ingested on $q")
+    // a docs-leg-less index refuses and names the fallback
+    val min = TestSpark.tmpDir("fwhere_min")
+    TextIndex.ingestShard(spark, min, corpus, "doc_id", "text",
+      legs = TextIndex.LegProfile(pos = false, del = false, docs = false))
+    assert(intercept[IllegalArgumentException] {
+      TextIndex.forgetWhere(spark, min, col("text").contains("zebra"))
+    }.getMessage.contains("forgetDocsRebuild"))
+  }
+
   test("stale publish aborts when a SHARD COMMIT raced in: a re-ingest " +
       "between delta computation and publish must not fall under the " +
       "tombstone's coverage") {
