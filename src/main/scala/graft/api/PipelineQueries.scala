@@ -1867,6 +1867,62 @@ object PipelineQueries {
           "doc_id", "text")
         .orderBy("query_id", "doc_id")
     }),
+    // RULE-REGISTRY LIFECYCLE for indexed percolation: rules live in a
+    // text index, so rule EDIT is upsertDocs (registry ingested with
+    // pos+docs legs) and rule DELETE is forgetDocs — exactly-once,
+    // no special machinery. Four rules per source doc; the s=1 family
+    // is EDITED to a different window of the same doc (redelivered
+    // edit pinned as a version-preserving no-op), the s=2 family is
+    // DELETED (redelivered takedown refused) — its alerts stop.
+    // Output = the final match set; oracle = declarative sliding-
+    // window counts over the POST-lifecycle rule set
+    "percolate_rules_update" -> ((s, dir) => {
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_perc_upd").toString
+      val t = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      val rules = t
+        .select(col("doc_id"), col("tk"),
+          explode(sequence(lit(0L), lit(3L))).as("x"))
+        .where(size(col("tk")) >= col("x") * 4 + 3)
+        .select((col("doc_id") * 16 + col("x")).as("doc_id"),
+          concat_ws(" ",
+            expr("element_at(tk, cast(x*4+1 as int))"),
+            expr("element_at(tk, cast(x*4+2 as int))"),
+            expr("element_at(tk, cast(x*4+3 as int))")).as("text"))
+      val legs = graft.text.TextIndex.LegProfile(
+        pos = true, del = false, docs = true)
+      for (i <- 0 until 2)
+        graft.text.TextIndex.ingestShard(s, idx,
+          rules.where(pmod(col("doc_id"), lit(2)) === i),
+          "doc_id", "text", key = Some(s"p$i"), legs = legs)
+      // EDIT the s=1 family: new phrase = tokens 2..4 of the source
+      // doc (also INSERTS the rule for docs too short for the
+      // original s=1 window — upsert's insert path)
+      val edited = t.where(size(col("tk")) >= 4)
+        .select((col("doc_id") * 16 + 1).as("doc_id"),
+          concat_ws(" ", expr("element_at(tk, 2)"),
+            expr("element_at(tk, 3)"), expr("element_at(tk, 4)"))
+            .as("text"))
+      graft.text.TextIndex.upsertDocs(s, idx, edited, "doc_id", "text",
+        key = Some("e0"), legs = legs)
+      val v = graft.text.TextIndex.version(s, idx)
+      graft.text.TextIndex.upsertDocs(s, idx, edited, "doc_id", "text",
+        key = Some("e0"), legs = legs)
+      require(graft.text.TextIndex.version(s, idx) == v,
+        "redelivered rule edit must be a version-preserving no-op")
+      // DELETE the s=2 family: its alerts stop
+      val deleted = rules.where(pmod(col("doc_id"), lit(16)) === 2)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      graft.text.TextIndex.forgetDocs(s, idx, deleted, key = Some("d0"))
+      require(scala.util.Try(graft.text.TextIndex.forgetDocs(
+          s, idx, deleted, key = Some("d0"))).isFailure,
+        "redelivered rule delete must be rejected")
+      graft.text.TextIndex.percolateIndexed(s, idx,
+          docs(s, dir).where(col("doc_id") % 10 === 4),
+          "doc_id", "text")
+        .orderBy("query_id", "doc_id")
+    }),
     // STREAMING PERCOLATION: the same 10 stored rules watch a DOC
     // STREAM (a disjoint incoming subset, every 50th doc offset 25,
     // replayed as two micro-batches). Matching is ROW-LOCAL — rules
@@ -4186,6 +4242,29 @@ object PipelineQueries {
         |        tk[CAST(4*s+3 AS INT)] AS t3
         |      FROM t, unnest(generate_series(0, 9)) AS g(s)
         |      WHERE len(tk) >= 4*s+3),
+        |d AS (SELECT doc_id, tk FROM t WHERE doc_id % 10 = 4),
+        |m AS (SELECT r.query_id, d.doc_id,
+        |        CAST(len(list_filter(generate_series(1, len(d.tk) - 2),
+        |          i -> d.tk[i] = r.t1 AND d.tk[i+1] = r.t2
+        |            AND d.tk[i+2] = r.t3)) AS BIGINT) AS n_occurrences
+        |      FROM r, d)
+        |SELECT query_id, doc_id, n_occurrences FROM m
+        |WHERE n_occurrences > 0
+        |ORDER BY query_id, doc_id""".stripMargin,
+    // post-lifecycle match set ≡ declarative sliding-window counts
+    // over (s=0,3 originals) ∪ (s=1 EDITED to tokens 2..4, inserted
+    // where the original was too short) minus the DELETED s=2 family
+    "percolate_rules_update" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |r AS (SELECT doc_id * 16 + s AS query_id,
+        |        tk[CAST(4*s+1 AS INT)] AS t1, tk[CAST(4*s+2 AS INT)] AS t2,
+        |        tk[CAST(4*s+3 AS INT)] AS t3
+        |      FROM t, unnest(generate_series(0, 3)) AS g(s)
+        |      WHERE len(tk) >= 4*s+3 AND s <> 1 AND s <> 2
+        |      UNION ALL
+        |      SELECT doc_id * 16 + 1, tk[2], tk[3], tk[4]
+        |      FROM t WHERE len(tk) >= 4),
         |d AS (SELECT doc_id, tk FROM t WHERE doc_id % 10 = 4),
         |m AS (SELECT r.query_id, d.doc_id,
         |        CAST(len(list_filter(generate_series(1, len(d.tk) - 2),

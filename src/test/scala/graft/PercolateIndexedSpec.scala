@@ -87,6 +87,38 @@ class PercolateIndexedSpec extends AnyFunSuite {
     assert(runIndexed(idx) == after)
   }
 
+  test("an edited rule matches its NEW phrase exactly-once: upsertDocs " +
+      "on the registry swaps the match set; redelivery is a " +
+      "version-preserving no-op; Minimal-profile registries can still " +
+      "delete via forgetDocsRebuild") {
+    val idx = TestSpark.tmpDir("perc_idx_edit")
+    TextIndex.ingestShard(spark, idx, rules.toDF("doc_id", "text"),
+      "doc_id", "text") // Serving profile: upsert needs the docs leg
+    assert(runIndexed(idx).exists(_._1 == 104L) == false)
+    // edit rule 104 from the absent phrase to one that matches doc 3
+    TextIndex.upsertDocs(spark, idx,
+      Seq((104L, "panic panic")).toDF("doc_id", "text"),
+      "doc_id", "text", key = Some("edit104"))
+    val after = runIndexed(idx)
+    assert(after.contains((104L, 3L, 2L)),
+      "edited rule must match its new phrase (2 overlapping starts)")
+    assert(after.exists(_._1 == 100L), "unrelated rules must survive")
+    val v = TextIndex.version(spark, idx)
+    TextIndex.upsertDocs(spark, idx,
+      Seq((104L, "panic panic")).toDF("doc_id", "text"),
+      "doc_id", "text", key = Some("edit104"))
+    assert(TextIndex.version(spark, idx) == v,
+      "redelivered rule edit must be a version-preserving no-op")
+    // a pos-only registry (no docs leg) deletes via the direct rewrite
+    val min = TestSpark.tmpDir("perc_idx_min")
+    TextIndex.ingestShard(spark, min, rules.toDF("doc_id", "text"),
+      "doc_id", "text", legs = RuleLegs)
+    TextIndex.forgetDocsRebuild(spark, min, Seq(101L), key = Some("rm"))
+    assert(!runIndexed(min).exists(_._1 == 101L),
+      "rebuild-deleted rule still matching")
+    assert(runIndexed(min).exists(_._1 == 100L))
+  }
+
   test("an empty batch answers empty with the result schema") {
     val idx = TestSpark.tmpDir("perc_idx_empty")
     TextIndex.ingestShard(spark, idx, rules.toDF("doc_id", "text"),
