@@ -28,11 +28,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * A takedown batch is request-grain small by contract (the ids
  * collect to the driver to become the tombstone — loud past the
  * 65536 cap, matching forgetDocs). Tombstones accumulate one
- * broadcast-anti-join input per batch until a fold retires them;
- * `compactAboveTombstones` opts into maintainer-driven full folds
- * past a live-tombstone threshold (off by default — a full fold
- * re-reads the stored index, a cost that belongs to a scheduled
- * maintenance window).
+ * broadcast-anti-join input per batch until retired;
+ * `retireAboveTombstones` opts into maintainer-driven TOMBSTONE-
+ * SCOPED retirement past a live-tombstone threshold
+ * ([[graft.text.TextIndex.retireTombstones]] and the dedup/IVF
+ * mirrors — cost ∝ the covered commits holding the deleted rows,
+ * never a whole-index fold, so it is safe to run mid-stream; shard
+ * compaction remains a separate scheduled-maintenance decision).
  */
 object StreamForget {
 
@@ -49,11 +51,11 @@ object StreamForget {
       dedupIdx: Option[String] = None,
       annIdx: Option[String] = None,
       idCol: String = "doc_id",
-      compactAboveTombstones: Option[Long] = None): StreamingQuery = {
+      retireAboveTombstones: Option[Long] = None): StreamingQuery = {
     require(textIdx.orElse(dedupIdx).orElse(annIdx).nonEmpty,
       "StreamForget needs at least one target index")
-    require(compactAboveTombstones.forall(_ >= 1),
-      s"bad compactAboveTombstones: $compactAboveTombstones")
+    require(retireAboveTombstones.forall(_ >= 1),
+      s"bad retireAboveTombstones: $retireAboveTombstones")
     idsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
@@ -87,9 +89,9 @@ object StreamForget {
                     graft.text.TextIndex.forgetDocs(s, dir, ids,
                       key = Some(key))
               }
-              compactAboveTombstones.foreach { cut =>
+              retireAboveTombstones.foreach { cut =>
                 if (graft.text.TextIndex.tombstoneCount(s, dir) > cut)
-                  graft.text.TextIndex.compact(s, dir)
+                  graft.text.TextIndex.retireTombstones(s, dir): Unit
               }
             }
           }
@@ -106,9 +108,9 @@ object StreamForget {
               // genuine redelivery bug. (Dedup.indexForgetDocs docs.)
               graft.dedup.Dedup.indexForgetDocs(s, dir, ids,
                 key = Some(key))
-              compactAboveTombstones.foreach { cut =>
+              retireAboveTombstones.foreach { cut =>
                 if (graft.dedup.Dedup.indexTombstoneCount(s, dir) > cut)
-                  graft.dedup.Dedup.indexCompact(s, dir)
+                  graft.dedup.Dedup.indexRetireTombstones(s, dir): Unit
               }
             }
           }
@@ -120,10 +122,9 @@ object StreamForget {
               // refuse the publish, and hasDelivery already guards it.
               graft.sim.Similarity.ivfIndexForget(s, dir, ids,
                 key = Some(key))
-              compactAboveTombstones.foreach { cut =>
+              retireAboveTombstones.foreach { cut =>
                 if (graft.sim.Similarity.ivfTombstoneCount(s, dir) > cut)
-                  graft.sim.Similarity.ivfIndexCompactTiered(s, dir,
-                    fanIn = Int.MaxValue)
+                  graft.sim.Similarity.ivfIndexRetireTombstones(s, dir): Unit
               }
             }
           }

@@ -135,8 +135,8 @@ class StreamForgetSpec extends AnyFunSuite {
     assert(Similarity.ivfHasDelivery(spark, annIdx, "b0"))
   }
 
-  test("compactAboveTombstones folds tombstones away mid-stream once " +
-      "the live count crosses the threshold") {
+  test("retireAboveTombstones retires tombstones mid-stream once the " +
+      "live count crosses the threshold (tombstone-scoped, no full fold)") {
     val textIdx = TestSpark.tmpDir("sfg_fold_text")
     TextIndex.ingestShard(spark, textIdx, corpus, "doc_id", "text")
     val srcDir = java.nio.file.Files.createTempDirectory("sfg_fold_src")
@@ -147,13 +147,13 @@ class StreamForgetSpec extends AnyFunSuite {
         .option("maxFilesPerTrigger", "1")
         .parquet(srcDir.toString),
       s"$srcDir/ckpt", textIdx = Some(textIdx),
-      compactAboveTombstones = Some(1L)).awaitTermination()
+      retireAboveTombstones = Some(1L)).awaitTermination()
     // batch 0 left 1 live tombstone (<= cut); batch 1 crossed the
-    // threshold and triggered the full fold
+    // threshold and triggered the scoped retirement
     assert(TextIndex.tombstoneCount(spark, textIdx) == 0L,
-      "threshold compaction did not retire the tombstones")
+      "threshold retirement did not retire the tombstones")
     assert(TextIndex.docsFor(spark, textIdx, Seq(1L, 2L))
-      .count() == 2L, "survivors lost in the mid-stream fold")
+      .count() == 2L, "survivors lost in the mid-stream retirement")
     // doc 0 is gone; doc 4 (the untouched near-copy) still holds "fox"
     assert(TextIndex.searchBm25(spark, textIdx, Seq("fox"), 10)
       .collect().map(_.getLong(1)).toSeq == Seq(4L))
