@@ -1879,11 +1879,16 @@ object PipelineQueries {
     "percolate_rules_update" -> ((s, dir) => {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_perc_upd").toString
+      // rules derive from the doc_id % 4 = 0 quarter, three families
+      // (s=0 survives, s=1 edits, s=2 deletes) — the timed machinery
+      // is the registry LIFECYCLE, not a corpus-scale rule build (the
+      // registry-scale percolation probe is percolate_indexed)
       val t = docs(s, dir)
+        .where(col("doc_id") % 4 === 0)
         .select(col("doc_id"), split(col("text"), " ").as("tk"))
       val rules = t
         .select(col("doc_id"), col("tk"),
-          explode(sequence(lit(0L), lit(3L))).as("x"))
+          explode(sequence(lit(0L), lit(2L))).as("x"))
         .where(size(col("tk")) >= col("x") * 4 + 3)
         .select((col("doc_id") * 16 + col("x")).as("doc_id"),
           concat_ws(" ",
@@ -1892,10 +1897,10 @@ object PipelineQueries {
             expr("element_at(tk, cast(x*4+3 as int))")).as("text"))
       val legs = graft.text.TextIndex.LegProfile(
         pos = true, del = false, docs = true)
-      for (i <- 0 until 2)
-        graft.text.TextIndex.ingestShard(s, idx,
-          rules.where(pmod(col("doc_id"), lit(2)) === i),
-          "doc_id", "text", key = Some(s"p$i"), legs = legs)
+      // ONE founding shard — registry SHARDING under percolation is
+      // percolate_indexed's job; this probe times the lifecycle verbs
+      graft.text.TextIndex.ingestShard(s, idx, rules,
+        "doc_id", "text", key = Some("p0"), legs = legs)
       // EDIT the s=1 family: new phrase = tokens 2..4 of the source
       // doc (also INSERTS the rule for docs too short for the
       // original s=1 window — upsert's insert path)
@@ -2234,13 +2239,17 @@ object PipelineQueries {
     "text_index_retire" -> ((s, dir) => {
       val idx = java.nio.file.Files
         .createTempDirectory("graft_text_retire").toString
+      // 1/20 subset, TWO covered shards — the timed machinery is the
+      // RETIREMENT (probe cost is job-count-bound, not data-bound);
+      // the takedown-scale probe is text_index_forget and
+      // ProfileRetire measures retire-vs-compact at 8/32 commits
       val d = docs(s, dir).select("doc_id", "text")
-        .where(col("doc_id") % 10 === 1)
+        .where(col("doc_id") % 20 === 1)
       val legs = graft.text.TextIndex.LegProfile(
         pos = false, del = false, docs = true)
-      for (i <- 0 until 4)
+      for (i <- 0 until 2)
         graft.text.TextIndex.ingestShard(s, idx,
-          d.where(pmod(col("doc_id"), lit(40)) === i * 10 + 1),
+          d.where(pmod(col("doc_id"), lit(40)) === i * 20 + 1),
           "doc_id", "text", key = Some(s"r$i"), legs = legs)
       val deleted = d.where(col("doc_id") % 80 === 21)
         .select("doc_id").collect().map(_.getLong(0)).toSeq
@@ -2259,7 +2268,7 @@ object PipelineQueries {
       require(graft.text.TextIndex.tombstoneCount(s, idx) == 0L,
         "retirement must reach zero live tombstones")
       val after = cl.latest(s)._2.filter(_.startsWith("c-"))
-      require(after.count(before.contains) == 4,
+      require(after.count(before.contains) == 2,
         s"retirement may rewrite only the one covered commit holding " +
           s"the deleted docs: $before -> $after")
       require(after.last == before.last,
@@ -4256,16 +4265,17 @@ object PipelineQueries {
     // where the original was too short) minus the DELETED s=2 family
     "percolate_rules_update" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
-        |           FROM documents),
+        |           FROM documents WHERE doc_id % 4 = 0),
         |r AS (SELECT doc_id * 16 + s AS query_id,
         |        tk[CAST(4*s+1 AS INT)] AS t1, tk[CAST(4*s+2 AS INT)] AS t2,
         |        tk[CAST(4*s+3 AS INT)] AS t3
-        |      FROM t, unnest(generate_series(0, 3)) AS g(s)
+        |      FROM t, unnest(generate_series(0, 2)) AS g(s)
         |      WHERE len(tk) >= 4*s+3 AND s <> 1 AND s <> 2
         |      UNION ALL
         |      SELECT doc_id * 16 + 1, tk[2], tk[3], tk[4]
         |      FROM t WHERE len(tk) >= 4),
-        |d AS (SELECT doc_id, tk FROM t WHERE doc_id % 10 = 4),
+        |d AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents WHERE doc_id % 10 = 4),
         |m AS (SELECT r.query_id, d.doc_id,
         |        CAST(len(list_filter(generate_series(1, len(d.tk) - 2),
         |          i -> d.tk[i] = r.t1 AND d.tk[i+1] = r.t2
@@ -4584,7 +4594,7 @@ object PipelineQueries {
     "text_index_retire" ->
       """WITH d AS (
         |  SELECT doc_id, text FROM documents
-        |  WHERE doc_id % 10 = 1 AND doc_id % 80 <> 21
+        |  WHERE doc_id % 20 = 1 AND doc_id % 80 <> 21
         |  UNION ALL
         |  SELECT doc_id, 're ' || text FROM documents
         |  WHERE doc_id % 80 = 21),
