@@ -140,6 +140,82 @@ class StreamRagPipelineSpec extends AnyFunSuite {
       "post-crash recovery must converge to the reference ANN index")
   }
 
+  test("re-fetch: a later batch re-crawling a doc upserts all THREE " +
+      "tiers — new text searchable, new embedding probeable, old " +
+      "generations retired; redelivery no-op everywhere") {
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_rag_rf")
+    val dedupIdx = TestSpark.tmpDir("ragrf_dedup")
+    val textIdx = TestSpark.tmpDir("ragrf_text")
+    val annIdx = TestSpark.tmpDir("ragrf_ann")
+    // batch 0: docs 0, 2, 3 (all fresh survivors). batch 1: doc 0
+    // RE-FETCHED with entirely new text + fresh doc 6
+    val b0 = Seq(
+      (0L, "a b c d e f g h"),
+      (2L, "totally different words entirely here now ok fine"),
+      (3L, "another unrelated set of words for this test doc"))
+    val b1 = Seq(
+      (0L, "rewritten zz yy xx ww vv uu"),
+      (6L, "p q r s t u v w"))
+    val base = System.currentTimeMillis()
+    for ((rows, i) <- Seq(b0, b1).zipWithIndex) {
+      val scratch = srcDir.resolve(s"scratch$i")
+      rows.toDF("doc_id", "text")
+        .coalesce(1).write.parquet(scratch.toString)
+      val parts = java.nio.file.Files.list(scratch)
+      try {
+        val part = parts
+          .filter(p => p.getFileName.toString.endsWith(".parquet"))
+          .findFirst().get()
+        val dst = srcDir.resolve(s"batch$i.parquet")
+        java.nio.file.Files.move(part, dst)
+        java.nio.file.Files.setLastModifiedTime(
+          dst, java.nio.file.attribute.FileTime.fromMillis(base + i * 2000L))
+      } finally parts.close()
+    }
+    val schema = spark.read.parquet(s"$srcDir/batch0.parquet").schema
+    def drain(ckpt: String): Unit =
+      StreamRagPipeline.maintain(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(srcDir.toString),
+        dedupIdx, textIdx, annIdx, ckpt, threshold = 0.6,
+        centroidStep = 1L, embed = embed).awaitTermination()
+    drain(s"$srcDir/ckpt")
+    // text: new content serves, old is gone
+    def top(terms: String*) = TextIndex
+      .searchBm25(spark, textIdx, terms, 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(top("rewritten", "zz") == Set(0L))
+    assert(!top("a", "b", "c").contains(0L),
+      "re-crawled doc's OLD text must stop serving")
+    assert(top("p", "q") == Set(6L), "fresh leg must still ingest")
+    // ANN: probing at the NEW embedding finds doc 0 first; at the OLD
+    // embedding it does not
+    val newEmb = embed(Seq((99L, "rewritten zz yy xx ww vv uu"))
+      .toDF("doc_id", "text"))
+    val oldEmb = embed(Seq((98L, "a b c d e f g h"))
+      .toDF("doc_id", "text"))
+    def nn1(q: DataFrame) = Similarity
+      .ivfIndexQuery(spark, annIdx, q, k = 1, nProbe = 3)
+      .collect().map(_.getLong(1)).toSeq
+    assert(nn1(newEmb) == Seq(0L),
+      "re-crawled doc's NEW embedding must probe first")
+    assert(nn1(oldEmb) != Seq(0L),
+      "re-crawled doc's OLD embedding must stop serving")
+    // dedup: the index serves exactly one live generation of doc 0
+    assert(Dedup.indexCheckAndIngest(spark, dedupIdx,
+      Seq((90L, "rewritten zz yy xx ww vv uu qq")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6).collect().map(_.getLong(0)).toSeq == Seq(0L))
+    // full redelivery: version-preserving no-op on all three
+    val (vD, vT, vA) = (Dedup.indexVersion(spark, dedupIdx),
+      TextIndex.version(spark, textIdx), Similarity.ivfVersion(spark, annIdx))
+    drain(s"$srcDir/ckpt2")
+    assert(Dedup.indexVersion(spark, dedupIdx) == vD &&
+      TextIndex.version(spark, textIdx) == vT &&
+      Similarity.ivfVersion(spark, annIdx) == vA,
+      "redelivered re-fetch stream must be a no-op on ALL THREE indexes")
+  }
+
   test("per-batch driver overhead stays folded: a fresh 3-batch drain " +
       "launches a bounded number of Spark jobs (emptiness probes ride " +
       "the legs' own counts, the ANN ledger resolves once per batch)") {
@@ -168,12 +244,15 @@ class StreamRagPipelineSpec extends AnyFunSuite {
       Thread.sleep(2000)
     } finally spark.sparkContext.removeSparkListener(listener)
     val n = jobs.get()
-    // regression fence for the round-11 fold (was ~3 more jobs per
-    // batch before: standalone isEmpty probes on the batch, the
-    // survivors, and the embedded vectors). Measured 172 post-fold;
-    // the bound leaves jitter slack while still catching a per-batch
-    // probe regression (+3/batch ≈ +9 ≥ the slack).
-    assert(n <= 180, s"3-batch drain launched $n Spark jobs — per-batch " +
+    // regression fence, re-based twice: the round-11 fold removed ~3
+    // standalone isEmpty probes per batch (measured 172 post-fold);
+    // round 13 added the DELIBERATE re-fetch membership probe —
+    // indexKnownIds costs ~3-4 jobs per batch (broadcast the batch
+    // ids + one pruned sig scan; the all-fresh case skips the split
+    // joins so that probe is the ONLY addition). Measured 191 with
+    // the probe; the bound leaves jitter slack while still catching
+    // a per-batch probe regression (+3/batch ≈ +9 ≥ the slack).
+    assert(n <= 200, s"3-batch drain launched $n Spark jobs — per-batch " +
       "driver overhead regressed (folded emptiness probes came back?)")
   }
 }
