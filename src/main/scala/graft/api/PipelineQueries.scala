@@ -2315,6 +2315,71 @@ object PipelineQueries {
         .searchBm25(s, idx, Seq("merge", "scan", "table"), 20)
         .orderBy("rank")
     }),
+    // CROSS-INDEX PREDICATE TAKEDOWN: "erase every doc mentioning
+    // 'scan' across the serving stack" — ids resolve ONCE from the
+    // text index's forward store, then text + dedup + ANN all
+    // tombstone under one key family (<key>.text/.dedup/.ann; the
+    // text leg commits LAST as the completion marker, making the
+    // whole verb replay-safe). In-query requires pin the resolved
+    // count, the dedup gate and ANN probe going dark, and redelivery
+    // as a version-preserving no-op on all three. Oracle =
+    // declarative BM25 over the subset minus matching docs
+    "index_forget_where_all" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+      val textIdx = java.nio.file.Files
+        .createTempDirectory("graft_fwa_text").toString
+      val dedupIdx = java.nio.file.Files
+        .createTempDirectory("graft_fwa_dedup").toString
+      val annIdx = java.nio.file.Files
+        .createTempDirectory("graft_fwa_ann").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(20)) === 14)
+      val legs = graft.text.TextIndex.LegProfile(
+        pos = false, del = false, docs = true)
+      graft.text.TextIndex.ingestShard(s, textIdx, d,
+        "doc_id", "text", key = Some("w0"), legs = legs)
+      Dedup.indexCheckAndIngest(s, dedupIdx, d, "doc_id", "text",
+        JaccardThreshold, deliveryKey = Some("w0")): Unit
+      val emb = d.select(col("doc_id").as("vec_id"),
+        toCol(graft.functions.CharHistogram(toExpr(col("text")),
+          RagAlphabet)).as("v"))
+      Similarity.ivfIndexBuild(s, annIdx, emb,
+        Similarity.boundedStep(d.count()), key = Some("w0"))
+      val expected = d.where(col("text").contains("scan")).count()
+      val victim = d.where(col("text").contains("scan"))
+        .select("doc_id").orderBy("doc_id").limit(1)
+        .collect().map(_.getLong(0)).head
+      val n = graft.streaming.StreamForget.forgetWhereAll(s,
+        col("text").contains("scan"), "gdpr", textIdx,
+        dedupIdx = Some(dedupIdx), annIdx = Some(annIdx))
+      require(n == expected,
+        s"forgetWhereAll must report the resolved size ($n vs $expected)")
+      // the erased doc's content no longer gates dedup nor probes ANN
+      require(Dedup.indexCheckAndIngest(s, dedupIdx,
+          d.where(col("doc_id") === victim)
+            .select((col("doc_id") + 900000L).as("doc_id"), col("text")),
+          "doc_id", "text", JaccardThreshold).count() == 0L,
+        "an erased doc's content still gates the dedup index")
+      require(Similarity.ivfIndexQuery(s, annIdx,
+          emb.where(col("vec_id") === victim)
+            .select(lit(-1L).as("vec_id"), col("v")),
+          k = 1, nProbe = 2)
+          .collect().forall(_.getLong(1) != victim),
+        "an erased doc's vector still probes as a neighbor")
+      // full redelivery: 0 docs, no version moves anywhere
+      val vs = (graft.text.TextIndex.version(s, textIdx),
+        Dedup.indexVersion(s, dedupIdx), Similarity.ivfVersion(s, annIdx))
+      require(graft.streaming.StreamForget.forgetWhereAll(s,
+          col("text").contains("scan"), "gdpr", textIdx,
+          dedupIdx = Some(dedupIdx), annIdx = Some(annIdx)) == 0L &&
+        vs == (graft.text.TextIndex.version(s, textIdx),
+          Dedup.indexVersion(s, dedupIdx),
+          Similarity.ivfVersion(s, annIdx)),
+        "redelivered cross-index takedown must be a no-op everywhere")
+      graft.text.TextIndex
+        .searchBm25(s, textIdx, Seq("merge", "window", "table"), 20)
+        .orderBy("rank")
+    }),
     // STREAMING TAKEDOWN QUEUE (right-to-be-forgotten as a stream):
     // deletion requests drain as two mtime-ordered micro-batches into
     // exactly-once tombstones on a 1/10-subset text index (#txn:b<id>
@@ -4637,6 +4702,36 @@ object PipelineQueries {
         |       FROM dl),
         |dfq AS (SELECT token, count(*) AS df FROM tf
         |  WHERE token IN ('merge', 'scan', 'table') GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
+        |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
+        |      * 1000000) AS BIGINT) AS idf_ppm,
+        |    CAST(st.tl AS DOUBLE) / st.nd AS avgdl
+        |  FROM tf JOIN dl USING (doc_id) JOIN dfq USING (token), st),
+        |s2 AS (SELECT doc_id,
+        |    CAST(round(CAST(idf_ppm AS DOUBLE) * (tf * 2.2) /
+        |      (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS BIGINT) AS sp
+        |  FROM sc),
+        |ag AS (SELECT doc_id, CAST(sum(sp) AS BIGINT) AS score_ppm,
+        |    count(*) AS n_terms FROM s2 GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC,
+        |    doc_id) AS rank FROM ag)
+        |SELECT rank, doc_id, score_ppm, n_terms FROM r
+        |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // cross-index takedown ≡ declarative BM25 over the subset minus
+    // every doc whose text mentions 'scan' (the dedup/ANN halves are
+    // pinned by in-query requires — their answers aren't SQL-shaped)
+    "index_forget_where_all" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 20 = 14 AND text NOT LIKE '%scan%'),
+        |tf AS (SELECT doc_id, t AS token, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM d)
+        |  WHERE length(t) > 0 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+        |       FROM tf GROUP BY 1),
+        |st AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS tl
+        |       FROM dl),
+        |dfq AS (SELECT token, count(*) AS df FROM tf
+        |  WHERE token IN ('merge', 'window', 'table') GROUP BY 1),
         |sc AS (SELECT tf.doc_id, tf.tf, dl.dl,
         |    CAST(round(ln((st.nd - dfq.df + 0.5) / (dfq.df + 0.5) + 1.0)
         |      * 1000000) AS BIGINT) AS idf_ppm,

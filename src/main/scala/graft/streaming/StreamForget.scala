@@ -38,6 +38,64 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  */
 object StreamForget {
 
+  /** ONE-SHOT CROSS-INDEX PREDICATE TAKEDOWN — "erase everything
+   *  matching P across the serving stack" as a single replay-safe
+   *  verb: resolve the doc ids ONCE from the TEXT index's live
+   *  forward store ([[graft.text.TextIndex.docsWhere]] — gone-
+   *  filtered, so already-deleted docs don't re-resolve) and
+   *  tombstone every targeted index under derived keys `<key>.dedup`
+   *  / `<key>.ann` / `<key>.text`. The ANN leg assumes the pipeline
+   *  contract vec_id == doc_id (both composed pipelines embed that
+   *  way).
+   *
+   *  Replay soundness rests on LEG ORDER: the text index is the
+   *  resolution SOURCE, so its leg commits LAST — a replay that finds
+   *  `<key>.text` committed knows the whole verb ran (earlier legs
+   *  are individually key-guarded), and a replay that doesn't
+   *  re-resolves the SAME ids, because dedup/ANN tombstones never
+   *  touch the text forward store. A predicate matching nothing still
+   *  ledgers `<key>.text` so redeliveries probe as done. Returns the
+   *  number of docs taken down (0 on redelivery or no match).
+   */
+  def forgetWhereAll(
+      spark: org.apache.spark.sql.SparkSession,
+      predicate: org.apache.spark.sql.Column, key: String,
+      textIdx: String, dedupIdx: Option[String] = None,
+      annIdx: Option[String] = None): Long = {
+    require(key.nonEmpty && !key.contains('\n'), s"bad delivery key: $key")
+    // completion marker: the text leg is last, so its key being
+    // ledgered means every leg already applied
+    if (graft.text.TextIndex.hasDelivery(spark, textIdx, s"$key.text"))
+      return 0L
+    val ids = graft.text.TextIndex.docsWhere(spark, textIdx, predicate)
+      .select(org.apache.spark.sql.functions.col("doc_id"))
+      .distinct().limit(65537)
+      .collect().map(_.getLong(0)).toSeq
+    require(ids.length <= 65536,
+      s"forgetWhereAll resolved > 65536 ids in $textIdx — narrow the " +
+        "predicate or batch the takedown (a tombstone is a bounded " +
+        "driver-side set)")
+    if (ids.isEmpty) {
+      // nothing live matches — ledger the completion marker only
+      graft.text.TextIndex.forgetWhere(spark, textIdx, predicate,
+        key = Some(s"$key.text")): Unit
+      return 0L
+    }
+    dedupIdx.foreach { dir =>
+      if (!graft.dedup.Dedup.indexHasDelivery(spark, dir, s"$key.dedup"))
+        graft.dedup.Dedup.indexForgetDocs(spark, dir, ids,
+          key = Some(s"$key.dedup"))
+    }
+    annIdx.foreach { dir =>
+      if (!graft.sim.Similarity.ivfHasDelivery(spark, dir, s"$key.ann"))
+        graft.sim.Similarity.ivfIndexForget(spark, dir, ids,
+          key = Some(s"$key.ann"))
+    }
+    graft.text.TextIndex.forgetDocs(spark, textIdx, ids,
+      key = Some(s"$key.text"))
+    ids.length.toLong
+  }
+
   /** Start the maintainer over a streaming Dataset of takedown
    *  requests carrying `idCol` (long doc/vec ids). Any subset of the
    *  three indexes may be targeted; at least one must be. Runs with

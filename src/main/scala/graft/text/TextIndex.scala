@@ -584,6 +584,26 @@ object TextIndex {
     } finally hit.unpersist(): Unit
   }
 
+  /** FORWARD-STORE PREDICATE SCAN: the live (doc_id, text) rows
+   *  matching `predicate` — gone-filtered (tombstoned docs don't
+   *  match) and order-scoped like every doc-grain read. This is the
+   *  resolution primitive behind [[forgetWhere]] and the cross-index
+   *  takedown ([[graft.streaming.StreamForget.forgetWhereAll]]); it
+   *  is also the general "find documents by content predicate"
+   *  escape hatch when a query can't be phrased as a token search.
+   *  Cost: one scan of the docs legs with the predicate pushed to
+   *  the parquet readers where possible — ∝ the forward store.
+   */
+  def docsWhere(
+      spark: SparkSession, dir: String, predicate: Column): DataFrame = {
+    require(hasDocsLeg(spark, dir),
+      s"index $dir has no forward docs leg on every live commit — " +
+        "a content-predicate scan needs the index's own forward store")
+    readDocGrain(spark, dir, "docs")
+      .where(predicate)
+      .select(col("doc_id"), col("text"))
+  }
+
   /** PREDICATE-RESOLVED TAKEDOWN — the GDPR-shaped request ("erase
    *  everything matching P") as ONE ledgered verb: resolve the doc ids
    *  from the index's OWN live forward store (`docs` leg — columns
@@ -614,8 +634,7 @@ object TextIndex {
       s"index $dir has no forward docs leg on every live commit — " +
         "forgetWhere resolves its ids from the index's own forward " +
         "store; resolve ids externally and use forgetDocsRebuild")
-    val ids = readDocGrain(spark, dir, "docs")
-      .where(predicate)
+    val ids = docsWhere(spark, dir, predicate)
       .select(col("doc_id")).distinct().limit(65537)
       .collect().map(_.getLong(0)).toSeq
     require(ids.length <= 65536,

@@ -135,6 +135,67 @@ class StreamForgetSpec extends AnyFunSuite {
     assert(Similarity.ivfHasDelivery(spark, annIdx, "b0"))
   }
 
+  test("forgetWhereAll erases everything matching a content predicate " +
+      "across all three indexes under one key family; crash-gap replay " +
+      "completes only the missing legs; redelivery and empty matches " +
+      "are ledgered no-ops") {
+    val textIdx = TestSpark.tmpDir("fwa_text")
+    val dedupIdx = TestSpark.tmpDir("fwa_dedup")
+    val annIdx = TestSpark.tmpDir("fwa_ann")
+    TextIndex.ingestShard(spark, textIdx, corpus, "doc_id", "text")
+    Dedup.indexCheckAndIngest(spark, dedupIdx, corpus,
+      "doc_id", "text", 0.6, persistPairs = true): Unit
+    val vecs = Similarity.asDouble(
+      (0L until 5L).map { i =>
+        val a = Array.fill(8)(0f); a(i.toInt) = 1f; (i, a)
+      }.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, annIdx, vecs, centroidStep = 2L)
+    // "erase everything mentioning 'fox'" — docs 0 and 4
+    val n = StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "gdpr1", textIdx,
+      dedupIdx = Some(dedupIdx), annIdx = Some(annIdx))
+    assert(n == 2L, s"expected 2 docs taken down, got $n")
+    assert(TextIndex.searchBm25(spark, textIdx, Seq("fox"), 10).count() == 0L)
+    assert(Dedup.indexCheckAndIngest(spark, dedupIdx,
+      Seq((50L, doc)).toDF("doc_id", "text"), "doc_id", "text", 0.6)
+      .count() == 0L, "deleted docs still gate the dedup index")
+    val nn = Similarity.ivfIndexQuery(spark, annIdx,
+        vecs.where(col("vec_id") === 1L), k = 5, nProbe = 2)
+      .collect().map(_.getLong(1)).toSet
+    assert(!nn.contains(0L) && !nn.contains(4L),
+      s"deleted vectors still probe as neighbors: $nn")
+    // redelivery: 0, no version moves anywhere
+    val vs = (TextIndex.version(spark, textIdx),
+      Dedup.indexVersion(spark, dedupIdx),
+      Similarity.ivfVersion(spark, annIdx))
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "gdpr1", textIdx,
+      dedupIdx = Some(dedupIdx), annIdx = Some(annIdx)) == 0L)
+    assert(vs == (TextIndex.version(spark, textIdx),
+      Dedup.indexVersion(spark, dedupIdx),
+      Similarity.ivfVersion(spark, annIdx)),
+      "redelivered cross-index takedown must be a version-preserving no-op")
+    // a predicate matching nothing LIVE still ledgers its marker —
+    // ('fox' docs are already gone, so a fresh key resolves nothing)
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "gdpr2", textIdx) == 0L)
+    assert(TextIndex.hasDelivery(spark, textIdx, "gdpr2.text"))
+    // crash gap: the dedup leg committed (with the ids the crashed
+    // attempt resolved), text/ANN did not — the replay must
+    // re-resolve the SAME ids (text store untouched) and complete
+    // only the missing legs
+    Dedup.indexForgetDocs(spark, dedupIdx, Seq(1L, 2L),
+      key = Some("gdpr3.dedup"))
+    val vD = Dedup.indexVersion(spark, dedupIdx)
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("window"), "gdpr3", textIdx,
+      dedupIdx = Some(dedupIdx), annIdx = Some(annIdx)) == 2L)
+    assert(Dedup.indexVersion(spark, dedupIdx) == vD,
+      "replay must skip the committed dedup leg")
+    assert(TextIndex.docsFor(spark, textIdx, Seq(1L, 2L)).count() == 0L,
+      "replay must complete the missing text leg")
+  }
+
   test("retireAboveTombstones retires tombstones mid-stream once the " +
       "live count crosses the threshold (tombstone-scoped, no full fold)") {
     val textIdx = TestSpark.tmpDir("sfg_fold_text")
