@@ -2343,8 +2343,14 @@ object PipelineQueries {
       val emb = d.select(col("doc_id").as("vec_id"),
         toCol(graft.functions.CharHistogram(toExpr(col("text")),
           RagAlphabet)).as("v"))
-      Similarity.ivfIndexBuild(s, annIdx, emb,
-        Similarity.boundedStep(d.count()), key = Some("w0"))
+      // vec_id == doc_id (the forgetWhereAll contract), so the id
+      // space is the doc_id % 20 == 14 lattice — the centroid stride
+      // must be COPRIME to 20 or the modulo sample can be EMPTY
+      // (gcd(stride,20) ∤ 14 has no solutions; boundedStep alone hit
+      // exactly that at the 10x scale-honesty run: stride 25, gcd 5)
+      val step = Iterator.iterate(Similarity.boundedStep(d.count()))(_ + 1)
+        .find(st => BigInt(st).gcd(BigInt(20)) == 1).get
+      Similarity.ivfIndexBuild(s, annIdx, emb, step, key = Some("w0"))
       val expected = d.where(col("text").contains("scan")).count()
       val victim = d.where(col("text").contains("scan"))
         .select("doc_id").orderBy("doc_id").limit(1)

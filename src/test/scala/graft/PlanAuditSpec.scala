@@ -716,6 +716,27 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("indexKnownIds probes membership with a BROADCAST semi-join of " +
+      "the batch ids against the sig scan — never a shuffled join") {
+    withPlainPlans {
+      import org.apache.spark.sql.functions._
+      import spark.implicits._
+      val idx = TestSpark.tmpDir("plan_known_idx")
+      graft.dedup.Dedup.indexCheckAndIngest(spark, idx,
+        Seq((0L, "alpha beta gamma delta epsilon zeta"),
+          (1L, "beta gamma delta epsilon zeta eta"))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", 0.6, deliveryKey = Some("s0")): Unit
+      val probe = Seq(0L, 5L).toDF("doc_id")
+      val df = graft.dedup.Dedup.indexKnownIds(spark, idx, probe, "doc_id")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+        s"membership probe not a broadcast semi-join:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"),
+        s"membership probe shuffled the sig scan:\n${plan.take(2000)}")
+    }
+  }
+
   test("triangle counting closes wedges with hash/merge joins, never cartesian") {
     withPlainPlans {
       val und = spark.range(0L, 1000L)
