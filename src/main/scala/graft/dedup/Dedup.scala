@@ -420,7 +420,16 @@ object Dedup {
           s"$indexDir — redelivery rejected (deletion is exactly-once)")
     }
     import spark.implicits._
-    val name = s"t-${java.util.UUID.randomUUID().toString.take(12)}"
+    // keyed takedowns embed the key digest in the tombstone dir name
+    // (the keyed-commit discipline) so the applied gone set stays
+    // addressable by key — [[indexGoneForDelivery]] is what makes a
+    // multi-index takedown's replay re-read the EXACT id set the
+    // first attempt applied instead of re-deriving a drifted one
+    val name = key match {
+      case Some(dk) =>
+        s"t-k${keyDigest(dk)}-${java.util.UUID.randomUUID().toString.take(8)}"
+      case None => s"t-${java.util.UUID.randomUUID().toString.take(12)}"
+    }
     ids.distinct.toDF("doc_id")
       .coalesce(1).write.parquet(s"$indexDir/data/$name/gone")
     val published = clog.commit(spark) { now =>
@@ -454,9 +463,11 @@ object Dedup {
    *  whose bytes aren't yet compacted makes a re-crawled id classify
    *  as re-fetch instead of fresh, which is correctness-neutral
    *  (upserting a never-live id ≡ ingesting it). Stability holds
-   *  while the batch's keyed commits are live — the same
-   *  "batch-grain reads precede compaction" contract as
-   *  [[indexPairsForDelivery]]. Cost: one pruned scan of the sig
+   *  while the batch's keyed commits are live AND no full fold or
+   *  tombstone retirement has physically dropped the tombstoned rows
+   *  this probe re-reads — the same "batch-grain reads precede
+   *  compaction" contract as [[indexPairsForDelivery]]. Cost: one
+   *  pruned scan of the sig
    *  legs semi-joined to the broadcast probe ids — the result is
    *  probe-bounded.
    */
@@ -532,10 +543,16 @@ object Dedup {
           s"(got ${ids.length}); batch larger re-fetch waves")
       val (delKey, addKey) = (key.map(_ + ".del"), key.map(_ + ".add"))
       // an empty index has nothing to delete — the first upsert is a
-      // plain founding shard
+      // plain founding shard. The delete leg must ALSO skip when the
+      // ADD leg already committed: a founding upsert never ledgers
+      // its delete key, so a redelivery would otherwise tombstone the
+      // generation the first delivery just founded (the text verb's
+      // guard, mirrored)
       val hasShards = new graft.store.CommitLog(s"$indexDir/_manifests")
         .latest(spark)._2.exists(_.startsWith("c-"))
-      if (hasShards && !delKey.exists(indexHasDelivery(spark, indexDir, _)))
+      if (hasShards &&
+          !delKey.exists(indexHasDelivery(spark, indexDir, _)) &&
+          !addKey.exists(indexHasDelivery(spark, indexDir, _)))
         indexForgetDocs(spark, indexDir, ids, key = delKey)
       if (!addKey.exists(indexHasDelivery(spark, indexDir, _)))
         indexCheckAndIngest(spark, indexDir, snap, idCol, textCol,
@@ -546,6 +563,33 @@ object Dedup {
         indexPairsForDelivery(spark, indexDir, addKey.get)
       else emptyPairs(spark)
     } finally snap.unpersist(): Unit
+  }
+
+  /** ONE keyed takedown's applied gone set — the replay-stable record
+   *  a multi-index takedown ([[graft.streaming.StreamForget
+   *  .forgetWhereAll]]) re-reads so its later legs tombstone the EXACT
+   *  ids the first attempt resolved (re-deriving them would drift:
+   *  the committed tombstone itself changes what pair ledgers and
+   *  forward stores still serve). Loud if the key never delivered or
+   *  its tombstone was already retired/folded — the same "batch-grain
+   *  reads precede compaction" contract as [[indexPairsForDelivery]].
+   */
+  def indexGoneForDelivery(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      key: String): DataFrame = {
+    val live = new graft.store.CommitLog(s"$indexDir/_manifests")
+      .latest(spark)._2
+    require(live.contains("#txn:" + key),
+      s"no takedown with delivery key $key in $indexDir")
+    val matches = live.filter(_.startsWith(s"t-k${keyDigest(key)}-"))
+    require(matches.nonEmpty,
+      s"the tombstone of delivery key $key in $indexDir is not " +
+        "addressable by key digest — a retirement or full fold " +
+        "already consumed it (key-grain gone reads must happen " +
+        "before the tombstone retires), or it predates keyed " +
+        "tombstone naming")
+    spark.read.parquet(s"$indexDir/data/${matches.head}/gone")
+      .select("doc_id")
   }
 
   /** Live tombstoned-doc count — compact-scheduler observability. */
@@ -962,11 +1006,11 @@ object Dedup {
         .collect().map(_.getString(0)).toSet
     }
     val rewrites = covered.flatMap { c =>
-      val sig = sub(c, "sig")
-      val sh = sub(c, "sh")
-      val pairs = sub(c, "pairs")
       if (!touched.contains(c)) None
       else {
+        val sig = sub(c, "sig")
+        val sh = sub(c, "sh")
+        val pairs = sub(c, "pairs")
         val name = (if (c.matches("c-k[0-9a-f]{16}-.*"))
           c.substring(0, 19) else "c") +
           s"-${java.util.UUID.randomUUID().toString.take(12)}"

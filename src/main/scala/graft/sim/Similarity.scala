@@ -823,11 +823,11 @@ object Similarity {
         .collect().map(_.getString(0)).toSet
     }
     val rewrites = covered.flatMap { c =>
-      val post = Option.when(exists(c, "post"))(
-        spark.read.parquet(s"$dir/data/$c/post")
-          .select(col("vec_id"), col("v"), col("cell")))
       if (!touched.contains(c)) None
       else {
+        val post = Option.when(exists(c, "post"))(
+          spark.read.parquet(s"$dir/data/$c/post")
+            .select(col("vec_id"), col("v"), col("cell")))
         val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
         val dst = s"$dir/data/$name"
         val live2 = post.get.join(gone, Seq("vec_id"), "left_anti")

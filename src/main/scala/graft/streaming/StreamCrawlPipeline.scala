@@ -41,9 +41,10 @@ import graft.text.TextIndex
  *  - the fresh/re-fetch SPLIT derives from [[Dedup.indexKnownIds]],
  *    which excludes this batch's own keyed commits and ignores
  *    tombstones — so a half-committed batch re-derives the same
- *    split it started from (contract: don't run full compactions on
- *    the dedup index while a crawl batch may be mid-replay — a full
- *    fold physically drops the tombstoned rows the probe re-reads);
+ *    split it started from (contract: don't run full compactions OR
+ *    tombstone retirements on the dedup index while a crawl batch
+ *    may be mid-replay — both physically drop the tombstoned rows
+ *    the probe re-reads);
  *  - every mutation is guarded by its own delivery key.
  *
  * A full fresh-checkpoint redelivery is a version-preserving no-op on
@@ -76,25 +77,40 @@ object StreamCrawlPipeline {
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (b: DataFrame, id: Long) =>
-        val s = b.sparkSession
+      .foreachBatch { (b0: DataFrame, id: Long) =>
+        val s = b0.sparkSession
         val key = s"b$id"
-        if (!b.isEmpty) {
-          val batch = b.select(idCol, textCol)
+        // persist discipline (the StreamRagPipeline fence's lesson):
+        // the batch, the membership probe, and both split halves each
+        // feed several downstream actions — uncached, every action
+        // would re-read the source and re-run the probe's sig scan
+        val batch = b0.select(idCol, textCol).persist()
+        try {
+        if (batch.count() > 0) {
           // replay-stable split: known = already in the dedup index AS
           // OF THIS BATCH'S START (indexKnownIds cuts the log at the
           // first entry owned by this batch's keys and ignores
           // tombstones — so crash-replay and full redelivery re-derive
           // the original split even after later batches mutated
-          // membership)
-          val known = broadcast(Dedup.indexKnownIds(
+          // membership). The common all-fresh batch pays exactly the
+          // one probe job and skips the split joins
+          val known = Dedup.indexKnownIds(
             s, dedupDir, batch.select(idCol), idCol,
-            excludeKeys = Seq(key, s"$key.up.del", s"$key.up.add")))
-          val fresh = batch.join(known, Seq(idCol), "left_anti")
-          val refetch = batch.join(known, Seq(idCol), "left_semi")
+            excludeKeys = Seq(key, s"$key.up.del", s"$key.up.add"))
+            .persist()
+          val allFresh = known.count() == 0
+          val fresh =
+            if (allFresh) batch
+            else batch.join(broadcast(known), Seq(idCol), "left_anti")
+              .persist()
+          val refetch =
+            if (allFresh) None
+            else Some(batch.join(broadcast(known), Seq(idCol), "left_semi")
+              .persist())
+          try {
 
           // ---- fresh leg: the classic gate-then-ingest path ----
-          if (!fresh.isEmpty) {
+          if (allFresh || !fresh.isEmpty) {
             if (!Dedup.indexHasDelivery(s, dedupDir, key))
               Dedup.indexCheckAndIngest(
                 s, dedupDir, fresh, idCol, textCol,
@@ -114,7 +130,7 @@ object StreamCrawlPipeline {
           }
 
           // ---- re-fetch leg: upsert both indexes ----
-          if (!refetch.isEmpty) {
+          for (refetch <- refetch) {
             // dedup: tombstone the old generation, gate the new text
             // against the REST of the index, persist the pair report
             // (indexUpsertDocs short-circuits per committed sub-key)
@@ -156,7 +172,13 @@ object StreamCrawlPipeline {
                   textCol, key = Some(s"$key.up.tadd"))
             }
           }
+          } finally {
+            known.unpersist(): Unit
+            if (!allFresh) fresh.unpersist(): Unit
+            refetch.foreach(_.unpersist(): Unit)
+          }
         }
+        } finally batch.unpersist(): Unit
       }
       .start()
   }

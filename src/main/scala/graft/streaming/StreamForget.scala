@@ -33,8 +33,15 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * SCOPED retirement past a live-tombstone threshold
  * ([[graft.text.TextIndex.retireTombstones]] and the dedup/IVF
  * mirrors — cost ∝ the covered commits holding the deleted rows,
- * never a whole-index fold, so it is safe to run mid-stream; shard
- * compaction remains a separate scheduled-maintenance decision).
+ * never a whole-index fold, so it is cheap enough to run from this
+ * stream; shard compaction remains a separate scheduled-maintenance
+ * decision). CONTRACT: like full folds, retirement physically drops
+ * the tombstoned rows that [[graft.dedup.Dedup.indexKnownIds]]
+ * re-reads, so do NOT point it at a dedup index that a crawl/RAG
+ * pipeline may be MID-REPLAY on — the replayed batch's fresh/
+ * re-fetch split could flip (the pipelines' own scaladoc carries the
+ * same rule). A lost retirement publish race is swallowed (deferred
+ * to the next batch), never a stream failure.
  */
 object StreamForget {
 
@@ -48,34 +55,92 @@ object StreamForget {
    *  contract vec_id == doc_id (both composed pipelines embed that
    *  way).
    *
-   *  Replay soundness rests on LEG ORDER: the text index is the
-   *  resolution SOURCE, so its leg commits LAST — a replay that finds
-   *  `<key>.text` committed knows the whole verb ran (earlier legs
-   *  are individually key-guarded), and a replay that doesn't
-   *  re-resolves the SAME ids, because dedup/ANN tombstones never
-   *  touch the text forward store. A predicate matching nothing still
-   *  ledgers `<key>.text` so redeliveries probe as done. Returns the
-   *  number of docs taken down (0 on redelivery or no match).
+   *  `includeNearDups` (needs `dedupIdx`): ALSO take down the
+   *  resolved docs' recorded near-duplicate partners from the dedup
+   *  pair ledgers. This is what reaches content that matches P but
+   *  never made the text index — a gate-suppressed duplicate's
+   *  signatures and shingle postings live ONLY in the dedup index,
+   *  where a text-resolved takedown cannot see them. It is OPT-IN
+   *  because the pair relation is symmetric and carries no ownership:
+   *  a partner may be the suppressed COPY of the erased content (the
+   *  intended reach) or an unrelated author's earlier original that
+   *  the erased doc happened to duplicate — wielding it is a policy
+   *  decision. Partner expansion reads the pair ledgers as persisted
+   *  (shards ingested with `persistPairs = false` recorded nothing
+   *  and contribute nothing).
+   *
+   *  Replay soundness rests on LEG ORDER. The DEDUP leg runs FIRST
+   *  and its KEYED tombstone ([[graft.dedup.Dedup
+   *  .indexGoneForDelivery]]) becomes the authoritative record of the
+   *  resolved id set — later legs and replays re-read it instead of
+   *  re-deriving (a committed tombstone changes what the pair ledger
+   *  serves, so re-derivation would drift). The TEXT leg runs LAST as
+   *  the completion marker: a replay that finds `<key>.text` ledgered
+   *  knows the whole verb ran; one that doesn't re-resolves from the
+   *  untouched text store (no dedup index) or re-reads the dedup
+   *  tombstone. A predicate matching nothing still ledgers
+   *  `<key>.text` so redeliveries probe as done. Returns the number
+   *  of docs taken down (0 on redelivery or no match).
    */
   def forgetWhereAll(
       spark: org.apache.spark.sql.SparkSession,
       predicate: org.apache.spark.sql.Column, key: String,
       textIdx: String, dedupIdx: Option[String] = None,
-      annIdx: Option[String] = None): Long = {
+      annIdx: Option[String] = None,
+      includeNearDups: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{broadcast, col}
     require(key.nonEmpty && !key.contains('\n'), s"bad delivery key: $key")
+    require(!includeNearDups || dedupIdx.nonEmpty,
+      "includeNearDups expands from the dedup pair ledgers — pass dedupIdx")
     // completion marker: the text leg is last, so its key being
     // ledgered means every leg already applied
     if (graft.text.TextIndex.hasDelivery(spark, textIdx, s"$key.text"))
       return 0L
-    val ids = graft.text.TextIndex.docsWhere(spark, textIdx, predicate)
-      .select(org.apache.spark.sql.functions.col("doc_id"))
-      .distinct().limit(65537)
-      .collect().map(_.getLong(0)).toSeq
-    require(ids.length <= 65536,
-      s"forgetWhereAll resolved > 65536 ids in $textIdx — narrow the " +
-        "predicate or batch the takedown (a tombstone is a bounded " +
-        "driver-side set)")
-    if (ids.isEmpty) {
+    def bounded(df: org.apache.spark.sql.DataFrame, what: String): Seq[Long] = {
+      val out = df.distinct().limit(65537)
+        .collect().map(_.getLong(0)).toSeq
+      require(out.length <= 65536,
+        s"forgetWhereAll $what resolved > 65536 ids — narrow the " +
+          "predicate or batch the takedown (a tombstone is a bounded " +
+          "driver-side set)")
+      out
+    }
+    val allIds: Seq[Long] = dedupIdx match {
+      case Some(dir)
+          if graft.dedup.Dedup.indexHasDelivery(spark, dir, s"$key.dedup") =>
+        // the dedup leg already committed: ITS keyed tombstone is the
+        // authoritative resolved set — never re-derive on a replay
+        bounded(graft.dedup.Dedup
+          .indexGoneForDelivery(spark, dir, s"$key.dedup"), "replay")
+      case _ =>
+        val ids = bounded(graft.text.TextIndex
+          .docsWhere(spark, textIdx, predicate)
+          .select(col("doc_id")), "predicate")
+        if (ids.isEmpty || !includeNearDups) ids
+        else {
+          import spark.implicits._
+          val base = broadcast(ids.toDF("doc_id"))
+          val partners = scala.util.Try(
+            graft.dedup.Dedup.indexPairs(spark, dedupIdx.get)) match {
+            case scala.util.Failure(_) => Seq.empty[Long]
+            // (no persisted pair reports — nothing recorded to expand)
+            case scala.util.Success(pairs) => bounded(
+              pairs.join(base.select(col("doc_id").as("a_id")),
+                  Seq("a_id"), "left_semi").select(col("b_id").as("doc_id"))
+                .unionByName(pairs
+                  .join(base.select(col("doc_id").as("b_id")),
+                    Seq("b_id"), "left_semi")
+                  .select(col("a_id").as("doc_id"))),
+              "near-dup expansion")
+          }
+          val union = (ids ++ partners).distinct
+          require(union.length <= 65536,
+            s"forgetWhereAll's expanded set (${union.length} ids) " +
+              "exceeds the 65536 tombstone bound — batch the takedown")
+          union
+        }
+    }
+    if (allIds.isEmpty) {
       // nothing live matches — ledger the completion marker only
       graft.text.TextIndex.forgetWhere(spark, textIdx, predicate,
         key = Some(s"$key.text")): Unit
@@ -83,17 +148,17 @@ object StreamForget {
     }
     dedupIdx.foreach { dir =>
       if (!graft.dedup.Dedup.indexHasDelivery(spark, dir, s"$key.dedup"))
-        graft.dedup.Dedup.indexForgetDocs(spark, dir, ids,
+        graft.dedup.Dedup.indexForgetDocs(spark, dir, allIds,
           key = Some(s"$key.dedup"))
     }
     annIdx.foreach { dir =>
       if (!graft.sim.Similarity.ivfHasDelivery(spark, dir, s"$key.ann"))
-        graft.sim.Similarity.ivfIndexForget(spark, dir, ids,
+        graft.sim.Similarity.ivfIndexForget(spark, dir, allIds,
           key = Some(s"$key.ann"))
     }
-    graft.text.TextIndex.forgetDocs(spark, textIdx, ids,
+    graft.text.TextIndex.forgetDocs(spark, textIdx, allIds,
       key = Some(s"$key.text"))
-    ids.length.toLong
+    allIds.length.toLong
   }
 
   /** Start the maintainer over a streaming Dataset of takedown
@@ -133,23 +198,37 @@ object StreamForget {
         if (ids.nonEmpty) {
           textIdx.foreach { dir =>
             if (!graft.text.TextIndex.hasDelivery(s, dir, key)) {
-              try graft.text.TextIndex.forgetDocs(s, dir, ids,
-                key = Some(key))
-              catch {
-                case _: IllegalStateException =>
-                  // lost the tombstone-set race (a concurrent forget or
-                  // full fold moved the live set) — forgetDocs' contract
-                  // is "rerun against the new live set"; the maintainer
-                  // owns that retry so an operator race doesn't fail the
-                  // stream. Re-probe the ledger first: if the racer
-                  // committed OUR key, the batch is already applied.
-                  if (!graft.text.TextIndex.hasDelivery(s, dir, key))
-                    graft.text.TextIndex.forgetDocs(s, dir, ids,
-                      key = Some(key))
+              // forgetDocs stale-aborts when the live c-/t- set moved
+              // between its delta computation and its publish — since
+              // round 13 that includes ANY concurrent shard ingest
+              // (not just forgets/folds), so under a steady crawl
+              // stream a single retry can lose twice; the maintainer
+              // owns a BOUNDED retry loop ("rerun against the new
+              // live set"), re-probing the ledger each attempt in
+              // case the racer committed OUR key. Persistent loss
+              // after the bound is a genuine wedge and fails loudly.
+              var attempts = 0
+              var done = graft.text.TextIndex.hasDelivery(s, dir, key)
+              while (!done) {
+                attempts += 1
+                try {
+                  graft.text.TextIndex.forgetDocs(s, dir, ids,
+                    key = Some(key))
+                  done = true
+                } catch {
+                  case e: IllegalStateException =>
+                    done = graft.text.TextIndex.hasDelivery(s, dir, key)
+                    if (!done && attempts >= 5) throw e
+                }
               }
               retireAboveTombstones.foreach { cut =>
                 if (graft.text.TextIndex.tombstoneCount(s, dir) > cut)
-                  graft.text.TextIndex.retireTombstones(s, dir): Unit
+                  // opportunistic hygiene: losing the publish race to
+                  // a concurrent writer just defers retirement to the
+                  // next batch — it must not fail the takedown stream
+                  // (compact's silent-abort behavior, preserved)
+                  try graft.text.TextIndex.retireTombstones(s, dir): Unit
+                  catch { case _: IllegalStateException => () }
               }
             }
           }
@@ -168,7 +247,10 @@ object StreamForget {
                 key = Some(key))
               retireAboveTombstones.foreach { cut =>
                 if (graft.dedup.Dedup.indexTombstoneCount(s, dir) > cut)
-                  graft.dedup.Dedup.indexRetireTombstones(s, dir): Unit
+                  // opportunistic — a lost publish race defers to the
+                  // next batch, never fails the stream
+                  try graft.dedup.Dedup.indexRetireTombstones(s, dir): Unit
+                  catch { case _: IllegalStateException => () }
               }
             }
           }
@@ -182,7 +264,11 @@ object StreamForget {
                 key = Some(key))
               retireAboveTombstones.foreach { cut =>
                 if (graft.sim.Similarity.ivfTombstoneCount(s, dir) > cut)
-                  graft.sim.Similarity.ivfIndexRetireTombstones(s, dir): Unit
+                  // opportunistic — a lost publish race defers to the
+                  // next batch, never fails the stream
+                  try graft.sim.Similarity
+                    .ivfIndexRetireTombstones(s, dir): Unit
+                  catch { case _: IllegalStateException => () }
               }
             }
           }

@@ -38,7 +38,9 @@ import graft.text.TextIndex
  * RE-FETCH AWARE (the [[StreamCrawlPipeline]] discipline, extended to
  * the ANN leg): each batch splits into FRESH and RE-FETCHED ids via
  * [[Dedup.indexKnownIds]] (log-position cutoff + tombstone-blind, so
- * the split is replay-stable). Re-fetched docs UPSERT all three
+ * the split is replay-stable — contract: no full compactions or
+ * tombstone retirements on the dedup index while a batch may be
+ * mid-replay). Re-fetched docs UPSERT all three
  * tiers: the dedup index replaces their signatures in place (gated
  * against the REST of the corpus, never their own prior version),
  * the text index retires the old postings for EVERY re-fetched id

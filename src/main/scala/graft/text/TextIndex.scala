@@ -703,9 +703,16 @@ object TextIndex {
       val (delKey, addKey) = (key.map(_ + ".del"), key.map(_ + ".add"))
       // an empty index has nothing to delete — the first upsert is a
       // plain founding ingest (forgetDocs would refuse the missing
-      // docs leg of a commit-less index)
+      // docs leg of a commit-less index). The delete leg must ALSO
+      // skip when the ADD leg already committed: a FOUNDING upsert
+      // never ledgers its delete key, so a redelivery (or a replay
+      // after the add committed) would otherwise see a now-non-empty
+      // index, tombstone the generation the first delivery just
+      // founded, and skip the re-ingest — silently deleting the
+      // upserted content
       if (liveShardCount(spark, dir) > 0 &&
-          !delKey.exists(hasDelivery(spark, dir, _)))
+          !delKey.exists(hasDelivery(spark, dir, _)) &&
+          !addKey.exists(hasDelivery(spark, dir, _)))
         forgetDocs(spark, dir, ids, key = delKey)
       if (!addKey.exists(hasDelivery(spark, dir, _)))
         ingestShard(spark, dir, snap, idCol, textCol, key = addKey,
@@ -1898,9 +1905,9 @@ object TextIndex {
         .select("cmt").distinct()
         .collect().map(_.getString(0)).toSet
     covered.flatMap { c =>
-      val post = spark.read.parquet(s"$dir/data/$c/post")
       if (!touched.contains(c)) None
       else {
+        val post = spark.read.parquet(s"$dir/data/$c/post")
         // keep a keyed commit's key-digest prefix so batch-grain pair/
         // report addressing survives the rewrite
         val name = (if (c.matches("c-k[0-9a-f]{16}-.*"))

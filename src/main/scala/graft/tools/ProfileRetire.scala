@@ -43,9 +43,14 @@ object ProfileRetire {
     val a = build("retire")
     val b = build("compact")
     // delete the %(2*shards) == 1 slice: every deleted doc lives in
-    // shard 1, so retirement has exactly one commit to rewrite
+    // shard 1, so retirement has exactly one commit to rewrite. The
+    // slice is capped at forgetDocs' 65536-id tombstone bound so the
+    // tool keeps working at large scale factors (a production-size
+    // takedown would batch across calls; the measurement doesn't need
+    // to)
     val deleted = d.where(pmod(col("doc_id"), lit(2 * shards)) === 1)
-      .select("doc_id").collect().map(_.getLong(0)).toSeq
+      .select("doc_id").orderBy("doc_id").limit(65536)
+      .collect().map(_.getLong(0)).toSeq
     TextIndex.forgetDocs(spark, a, deleted, key = Some("t"))
     TextIndex.forgetDocs(spark, b, deleted, key = Some("t"))
     def time(f: => Unit): Double = {

@@ -97,6 +97,18 @@ class IndexUpsertSpec extends AnyFunSuite {
       "a founding upsert must not write a tombstone")
     assert(Dedup.indexHasDelivery(spark, idx, "f0.add") &&
       !Dedup.indexHasDelivery(spark, idx, "f0.del"))
+    // REDELIVERY of the founding upsert: the delete key was never
+    // ledgered (nothing to delete), so the guard must key off the
+    // COMMITTED add leg — without it the redelivery would tombstone
+    // the generation the first delivery just founded
+    val vF = Dedup.indexVersion(spark, idx)
+    Dedup.indexUpsertDocs(spark, idx,
+      Seq((0L, oldText), (1L, novel)).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6, key = Some("f0")): Unit
+    assert(Dedup.indexVersion(spark, idx) == vF,
+      "redelivered FOUNDING upsert must be a version-preserving no-op")
+    assert(Dedup.indexTombstoneCount(spark, idx) == 0L,
+      "redelivered founding upsert tombstoned the founded generation")
     // crash gap: the delete leg committed (simulated directly under
     // the key the upsert will use), the add leg did not — the replay
     // must skip the delete and complete the add only

@@ -196,6 +196,76 @@ class StreamForgetSpec extends AnyFunSuite {
       "replay must complete the missing text leg")
   }
 
+  test("forgetWhereAll includeNearDups reaches gate-suppressed " +
+      "duplicates that never made the text index; the dedup leg's " +
+      "keyed tombstone is the replay-stable record of the resolved set") {
+    val textIdx = TestSpark.tmpDir("fwa2_text")
+    val dedupIdx = TestSpark.tmpDir("fwa2_dedup")
+    val annIdx = TestSpark.tmpDir("fwa2_ann")
+    // crawl-shaped state: docs 0 and 1 are survivors (text + dedup);
+    // doc 10 is a near-dup of 0 — its signatures and shingle postings
+    // were committed to the DEDUP index by the gate, its pair (0,10)
+    // persisted, but it was suppressed from the text index
+    TextIndex.ingestShard(spark, textIdx,
+      corpus.where(col("doc_id").isin(0L, 1L)), "doc_id", "text")
+    Dedup.indexCheckAndIngest(spark, dedupIdx,
+      corpus.where(col("doc_id").isin(0L, 1L)),
+      "doc_id", "text", 0.6, deliveryKey = Some("s0"),
+      persistPairs = true): Unit
+    Dedup.indexCheckAndIngest(spark, dedupIdx,
+      Seq((10L, doc + " tail")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6, deliveryKey = Some("s1"),
+      persistPairs = true): Unit
+    val vecs = Similarity.asDouble(
+      Seq(0L, 1L, 10L).zipWithIndex.map { case (id, i) =>
+        val a = Array.fill(8)(0f); a(i) = 1f; (id, a)
+      }.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, annIdx, vecs, centroidStep = 1L)
+    // without expansion, the suppressed duplicate would survive
+    val n = StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "g", textIdx,
+      dedupIdx = Some(dedupIdx), annIdx = Some(annIdx),
+      includeNearDups = true)
+    assert(n == 2L, s"expected doc 0 + its suppressed near-dup 10, got $n")
+    // the keyed tombstone records exactly the applied set
+    assert(Dedup.indexGoneForDelivery(spark, dedupIdx, "g.dedup")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 10L))
+    // the suppressed dup's content no longer gates; its vector is gone
+    assert(Dedup.indexCheckAndIngest(spark, dedupIdx,
+      Seq((60L, doc + " tail x")).toDF("doc_id", "text"),
+      "doc_id", "text", 0.6).count() == 0L,
+      "the suppressed near-dup's signatures survived the takedown")
+    assert(!Similarity.ivfIndexQuery(spark, annIdx,
+        vecs.where(col("vec_id") === 1L), k = 3, nProbe = 3)
+      .collect().map(_.getLong(1)).toSet.exists(Set(0L, 10L)),
+      "erased vectors still probe as neighbors")
+    // crash-gap replay reads the tombstone record, never re-derives:
+    // simulate an attempt that committed ONLY the dedup leg with the
+    // expanded set, then replay — the ANN leg must get the SAME set
+    // even though the pair ledger no longer serves the pair
+    val text2 = TestSpark.tmpDir("fwa2_text2")
+    val ann2 = TestSpark.tmpDir("fwa2_ann2")
+    val dedup2 = TestSpark.tmpDir("fwa2_dedup2")
+    TextIndex.ingestShard(spark, text2,
+      corpus.where(col("doc_id").isin(0L, 1L)), "doc_id", "text")
+    Dedup.indexCheckAndIngest(spark, dedup2,
+      corpus.where(col("doc_id").isin(0L, 1L)),
+      "doc_id", "text", 0.6, deliveryKey = Some("s0"),
+      persistPairs = true): Unit
+    Similarity.ivfIndexBuild(spark, ann2, vecs, centroidStep = 1L)
+    Dedup.indexForgetDocs(spark, dedup2, Seq(0L, 10L),
+      key = Some("g3.dedup"))
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "g3", text2,
+      dedupIdx = Some(dedup2), annIdx = Some(ann2),
+      includeNearDups = true) == 2L,
+      "replay must apply the tombstone-recorded set, not re-derive")
+    assert(!Similarity.ivfIndexQuery(spark, ann2,
+        vecs.where(col("vec_id") === 1L), k = 3, nProbe = 3)
+      .collect().map(_.getLong(1)).toSet.exists(Set(0L, 10L)),
+      "the replayed ANN leg missed the recorded near-dup id")
+  }
+
   test("retireAboveTombstones retires tombstones mid-stream once the " +
       "live count crosses the threshold (tombstone-scoped, no full fold)") {
     val textIdx = TestSpark.tmpDir("sfg_fold_text")

@@ -252,9 +252,22 @@ class TextIndexForgetSpec extends AnyFunSuite {
     TextIndex.compact(spark, idx)
     for (q <- Seq(Seq("merge"), Seq("seven")))
       assert(bm25(idx, q) == bm25(ref, q), s"fold changed upsert answers on $q")
-    // an upsert on an EMPTY index is a plain founding ingest
+    // an upsert on an EMPTY index is a plain founding ingest — and
+    // REDELIVERING it must be a no-op: the founding delivery never
+    // ledgered a delete key, so the guard must key off the committed
+    // ADD leg (without it the redelivery would tombstone the founded
+    // generation and skip the re-ingest — silent data loss)
     val idx3 = TestSpark.tmpDir("text_forget_upsnew")
-    TextIndex.upsertDocs(spark, idx3, newText, "doc_id", "text")
+    TextIndex.upsertDocs(spark, idx3, newText, "doc_id", "text",
+      key = Some("f0"))
+    assert(bm25(idx3, Seq("seven")).map(_._2) == Seq(7L))
+    val vF = TextIndex.version(spark, idx3)
+    TextIndex.upsertDocs(spark, idx3, newText, "doc_id", "text",
+      key = Some("f0"))
+    assert(TextIndex.version(spark, idx3) == vF,
+      "redelivered FOUNDING upsert must be a version-preserving no-op")
+    assert(TextIndex.tombstoneCount(spark, idx3) == 0L,
+      "redelivered founding upsert tombstoned the founded generation")
     assert(bm25(idx3, Seq("seven")).map(_._2) == Seq(7L))
   }
 
