@@ -724,18 +724,31 @@ object Dedup {
   def indexPairs(
       spark: org.apache.spark.sql.SparkSession,
       indexDir: String): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val dirs = new graft.store.CommitLog(s"$indexDir/_manifests")
-      .latest(spark)._2.filter(_.startsWith("c-"))
-      .map(d => s"$indexDir/data/$d/pairs")
-      .filter { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(conf).exists(hp)
-      }
-    require(dirs.nonEmpty,
+    require(indexHasPairReports(spark, indexDir),
       s"no persisted pair reports under $indexDir — ingest with " +
         "persistPairs = true")
     readIndexLeg(spark, indexDir, "pairs", "a_id", "b_id").get
+  }
+
+  /** True iff any live commit persisted a pair report — the cheap
+   *  driver-side existence probe composite verbs make BEFORE
+   *  [[indexPairs]] (which refuses loudly when nothing was persisted).
+   *  A caller that instead swallowed indexPairs' failure as "no
+   *  reports" would also swallow transient I/O errors — a takedown's
+   *  near-dup expansion would silently come up empty and the copies
+   *  escape erasure permanently (round-13 ADVICE).
+   */
+  def indexHasPairReports(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Boolean = {
+    val conf = spark.sessionState.newHadoopConf()
+    new graft.store.CommitLog(s"$indexDir/_manifests")
+      .latest(spark)._2.filter(_.startsWith("c-"))
+      .map(d => s"$indexDir/data/$d/pairs")
+      .exists { p =>
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
   }
 
   def indexCheckAndIngest(

@@ -41,9 +41,57 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * pipeline may be MID-REPLAY on — the replayed batch's fresh/
  * re-fetch split could flip (the pipelines' own scaladoc carries the
  * same rule). A lost retirement publish race is swallowed (deferred
- * to the next batch), never a stream failure.
+ * to the next batch), never a stream failure — but it is COUNTED
+ * ([[deferredRetirements]]) and repeated consecutive losses log
+ * loudly, so starvation under a permanently busy writer is
+ * observable instead of silent.
  */
 object StreamForget {
+
+  /** Consecutive lost retirement publishes, per index dir — retirement
+   *  deferral is BY DESIGN silent per-batch (a lost race must never
+   *  fail the takedown stream), but under a permanently busy writer
+   *  "defer to the next batch" can repeat forever while tombstone
+   *  count and read fan-in grow. This counter makes the starvation
+   *  observable: it resets on every retirement that publishes (or
+   *  finds nothing to do) and, past [[DeferredRetireWarnAfter]]
+   *  consecutive losses, each further loss logs loudly so an operator
+   *  sees hygiene falling behind and schedules a quiet-window
+   *  retirement. Process-local observability only — never consulted
+   *  for correctness.
+   */
+  private val deferredRetires =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private val DeferredRetireWarnAfter = 3L
+
+  /** Current consecutive-loss count for `dir` (0 = last opportunistic
+   *  retirement won or none was attempted). Spec/ops probe.
+   */
+  def deferredRetirements(dir: String): Long =
+    Option(deferredRetires.get(dir)).fold(0L)(_.longValue)
+
+  /** Run one opportunistic retirement: a lost publish race defers to
+   *  the next batch (compact's silent-abort posture, preserved — the
+   *  stream must not fail), but the loss is counted and surfaces
+   *  loudly once consecutive losses pass the warn threshold.
+   */
+  private[graft] def retireOpportunistic(dir: String)(retire: => Unit): Unit =
+    try {
+      retire
+      deferredRetires.remove(dir): Unit
+    } catch {
+      case e: IllegalStateException =>
+        val n = deferredRetires.merge(dir, java.lang.Long.valueOf(1L),
+          (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+          .longValue
+        if (n >= DeferredRetireWarnAfter)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"retirement on $dir lost its publish race to concurrent " +
+              s"writers $n batches in a row — tombstone count and read " +
+              "fan-in are growing; schedule a quiet-window " +
+              s"retireTombstones/compact (${e.getMessage})")
+    }
 
   /** ONE-SHOT CROSS-INDEX PREDICATE TAKEDOWN — "erase everything
    *  matching P across the serving stack" as a single replay-safe
@@ -120,19 +168,26 @@ object StreamForget {
         else {
           import spark.implicits._
           val base = broadcast(ids.toDF("doc_id"))
-          val partners = scala.util.Try(
-            graft.dedup.Dedup.indexPairs(spark, dedupIdx.get)) match {
-            case scala.util.Failure(_) => Seq.empty[Long]
-            // (no persisted pair reports — nothing recorded to expand)
-            case scala.util.Success(pairs) => bounded(
-              pairs.join(base.select(col("doc_id").as("a_id")),
-                  Seq("a_id"), "left_semi").select(col("b_id").as("doc_id"))
-                .unionByName(pairs
-                  .join(base.select(col("doc_id").as("b_id")),
-                    Seq("b_id"), "left_semi")
-                  .select(col("a_id").as("doc_id"))),
-              "near-dup expansion")
-          }
+          // explicit existence probe, never a blanket Try: "no
+          // persisted pair reports" legitimately expands to nothing,
+          // but a transient I/O failure must PROPAGATE so the takedown
+          // retries before its keys ledger — swallowing it would skip
+          // partner expansion silently and the near-duplicate copies
+          // would escape erasure permanently (redelivery returns 0)
+          val partners =
+            if (!graft.dedup.Dedup.indexHasPairReports(spark, dedupIdx.get))
+              Seq.empty[Long]
+            else {
+              val pairs = graft.dedup.Dedup.indexPairs(spark, dedupIdx.get)
+              bounded(
+                pairs.join(base.select(col("doc_id").as("a_id")),
+                    Seq("a_id"), "left_semi").select(col("b_id").as("doc_id"))
+                  .unionByName(pairs
+                    .join(base.select(col("doc_id").as("b_id")),
+                      Seq("b_id"), "left_semi")
+                    .select(col("a_id").as("doc_id"))),
+                "near-dup expansion")
+            }
           val union = (ids ++ partners).distinct
           require(union.length <= 65536,
             s"forgetWhereAll's expanded set (${union.length} ids) " +
@@ -141,9 +196,13 @@ object StreamForget {
         }
     }
     if (allIds.isEmpty) {
-      // nothing live matches — ledger the completion marker only
-      graft.text.TextIndex.forgetWhere(spark, textIdx, predicate,
-        key = Some(s"$key.text")): Unit
+      // nothing live matches — ledger the completion marker DIRECTLY.
+      // Re-running forgetWhere here would RE-evaluate the predicate
+      // against the live store: a doc ingested between the resolution
+      // above and that call would be tombstoned in the text leg only
+      // (the dedup/ANN legs were already skipped as empty), a
+      // permanent cross-index divergence no redelivery could repair.
+      graft.text.TextIndex.ledgerDelivery(spark, textIdx, s"$key.text")
       return 0L
     }
     dedupIdx.foreach { dir =>
@@ -219,16 +278,22 @@ object StreamForget {
                   case e: IllegalStateException =>
                     done = graft.text.TextIndex.hasDelivery(s, dir, key)
                     if (!done && attempts >= 5) throw e
+                    if (!done)
+                      // randomized backoff: without it all 5 attempts
+                      // can burn inside ONE racing ingest's publish
+                      // window, turning ordinary co-located crawl
+                      // contention into a stream failure
+                      Thread.sleep(
+                        25L * attempts + scala.util.Random.nextInt(75))
                 }
               }
               retireAboveTombstones.foreach { cut =>
                 if (graft.text.TextIndex.tombstoneCount(s, dir) > cut)
-                  // opportunistic hygiene: losing the publish race to
-                  // a concurrent writer just defers retirement to the
-                  // next batch — it must not fail the takedown stream
-                  // (compact's silent-abort behavior, preserved)
-                  try graft.text.TextIndex.retireTombstones(s, dir): Unit
-                  catch { case _: IllegalStateException => () }
+                  // opportunistic hygiene: a lost publish race defers
+                  // to the next batch, never fails the stream — but is
+                  // counted, and repeated losses surface loudly
+                  retireOpportunistic(dir)(
+                    graft.text.TextIndex.retireTombstones(s, dir): Unit)
               }
             }
           }
@@ -247,10 +312,8 @@ object StreamForget {
                 key = Some(key))
               retireAboveTombstones.foreach { cut =>
                 if (graft.dedup.Dedup.indexTombstoneCount(s, dir) > cut)
-                  // opportunistic — a lost publish race defers to the
-                  // next batch, never fails the stream
-                  try graft.dedup.Dedup.indexRetireTombstones(s, dir): Unit
-                  catch { case _: IllegalStateException => () }
+                  retireOpportunistic(dir)(
+                    graft.dedup.Dedup.indexRetireTombstones(s, dir): Unit)
               }
             }
           }
@@ -264,11 +327,8 @@ object StreamForget {
                 key = Some(key))
               retireAboveTombstones.foreach { cut =>
                 if (graft.sim.Similarity.ivfTombstoneCount(s, dir) > cut)
-                  // opportunistic — a lost publish race defers to the
-                  // next batch, never fails the stream
-                  try graft.sim.Similarity
-                    .ivfIndexRetireTombstones(s, dir): Unit
-                  catch { case _: IllegalStateException => () }
+                  retireOpportunistic(dir)(graft.sim.Similarity
+                    .ivfIndexRetireTombstones(s, dir): Unit)
               }
             }
           }

@@ -312,6 +312,22 @@ object TextIndex {
   def hasDelivery(spark: SparkSession, dir: String, key: String): Boolean =
     clog(dir).latest(spark)._2.contains("#txn:" + key)
 
+  /** Ledger a delivery key with NO data commit — the empty-hit
+   *  discipline [[forgetDocs]] applies when nothing live matches,
+   *  exposed for COMPOSITE verbs (the cross-index takedown's
+   *  empty-resolution path) that must mark completion WITHOUT
+   *  re-evaluating their predicate: a store that moved since the
+   *  verb's one resolution would resolve differently, and acting on
+   *  the re-resolution in only one leg leaves a permanent cross-index
+   *  divergence. Idempotent — an already-ledgered key is a no-op.
+   */
+  def ledgerDelivery(spark: SparkSession, dir: String, key: String): Unit = {
+    require(key.nonEmpty && !key.contains('\n'), s"bad delivery key: $key")
+    val t = "#txn:" + key
+    clog(dir).commit(spark)(now =>
+      if (now.contains(t)) None else Some(now :+ t)): Unit
+  }
+
   /** Number of live shard commits (compaction-trigger input: the read
    *  path unions one parquet root per live commit, so this is also the
    *  query-planning fan-in). Driver-side metadata only.
@@ -1887,6 +1903,23 @@ object TextIndex {
    *  key-probing. Returns old-name -> new-name ("" = every doc gone,
    *  drop the commit); the caller owns the atomic publish and the
    *  abort cleanup.
+   *
+   *  ZERO-TOKEN DOCS (text that tokenizes to nothing) live ONLY in
+   *  the forward docs leg — ingest writes docs rows for every doc but
+   *  postings only for tokens — so both the containment probe and the
+   *  drop-commit decision run over docs ∪ post, never post alone: a
+   *  post-only probe would skip the commit holding an erased
+   *  zero-token doc's text (the text resurrects in docsFor/docsWhere
+   *  the moment its tombstone retires — an erasure-contract breach
+   *  full folds don't have, since they anti-join the docs leg), and a
+   *  post-only drop decision would destroy still-live zero-token
+   *  docs' forward rows when a commit's postings all die. A commit
+   *  whose postings empty but whose docs survive rewrites with
+   *  zero-row token-grain legs written UNPARTITIONED (an empty
+   *  partitionBy write creates no files and is unreadable; a plain
+   *  empty write keeps one schema-bearing file) — every read path
+   *  unions per-commit and filters tb/db as a column, so layout can
+   *  differ per commit.
    */
   private def rewriteCommitsWithout(
       spark: SparkSession, dir: String, gone: DataFrame,
@@ -1898,8 +1931,15 @@ object TextIndex {
     }
     val touched: Set[String] =
       if (covered.isEmpty) Set.empty
-      else covered.map(c => spark.read.parquet(s"$dir/data/$c/post")
-          .select(col("doc_id")).withColumn("cmt", lit(c)))
+      else covered.map { c =>
+          val p = spark.read.parquet(s"$dir/data/$c/post")
+            .select(col("doc_id"))
+          // docs ∪ post: zero-token docs appear in the docs leg only
+          (if (has(c, "docs"))
+            p.unionByName(spark.read.parquet(s"$dir/data/$c/docs")
+              .select(col("doc_id")))
+          else p).withColumn("cmt", lit(c))
+        }
         .reduce(_.unionByName(_))
         .join(gone, Seq("doc_id"), "left_semi")
         .select("cmt").distinct()
@@ -1915,56 +1955,69 @@ object TextIndex {
           s"-${java.util.UUID.randomUUID().toString.take(12)}"
         val dst = s"$dir/data/$name"
         val post2 = post.join(gone, Seq("doc_id"), "left_anti").persist()
+        val docs2 = Option.when(has(c, "docs"))(
+          spark.read.parquet(s"$dir/data/$c/docs")
+            .join(gone, Seq("doc_id"), "left_anti").persist())
         try {
-          if (post2.isEmpty)
-            // every doc of this commit is taken down — drop the commit
-            // from the live list instead of publishing an empty one
+          val postEmpty = post2.isEmpty
+          if (postEmpty && docs2.forall(_.isEmpty))
+            // every doc of this commit is taken down across BOTH
+            // doc-grain legs — drop the commit from the live list
+            // instead of publishing an empty one
             Some(c -> "")
           else {
-            // concurrent leg writes off the one materialized post2
-            // cache — the foldLegs discipline (the isEmpty probe above
-            // already populated the cache)
+            // concurrent leg writes off the materialized post2/docs2
+            // caches — the foldLegs discipline (the isEmpty probes
+            // above already populated them). When the postings all
+            // died but forward docs survive (zero-token docs), the
+            // token-grain legs are zero rows: write them plain — an
+            // empty partitionBy write has no files and is unreadable
             val vocab2 = post2.groupBy("token")
               .agg(count(lit(1)).as("df"))
+            def bucketed(df: DataFrame, bcol: String, leg: String): Unit =
+              if (postEmpty)
+                df.coalesce(1).write.parquet(s"$dst/$leg")
+              else
+                df.repartition(TokenBuckets, col(bcol))
+                  .write.partitionBy(bcol).parquet(s"$dst/$leg")
             import scala.concurrent.{Await, ExecutionContext, Future}
             import scala.concurrent.duration.Duration
             implicit val ec: ExecutionContext = ExecutionContext.global
             val jobs = Seq(
-              Some(() => post2
+              Some(() => bucketed(post2
                 .select(col("token"), col("doc_id"), col("tf"), col("dl"),
-                  col("tb"))
-                .repartition(TokenBuckets, col("tb"))
-                .write.partitionBy("tb").parquet(s"$dst/post")),
+                  col("tb")), "tb", "post")),
               Some(() =>
                 vocab2.coalesce(4).write.parquet(s"$dst/vocab")),
               Some(() => post2.groupBy("doc_id").agg(sum("tf").as("dl"))
-                .agg(count(lit(1)).as("nd"), sum(col("dl")).as("tl"))
+                .agg(count(lit(1)).as("nd"),
+                  coalesce(sum(col("dl")), lit(0L)).as("tl"))
                 .coalesce(1).write.parquet(s"$dst/stats")),
               Option.when(has(c, "pos"))(() =>
-                spark.read.parquet(s"$dir/data/$c/pos")
+                bucketed(spark.read.parquet(s"$dir/data/$c/pos")
                   .join(gone, Seq("doc_id"), "left_anti")
                   .select(col("token"), col("doc_id"), col("positions"),
-                    col("tb"))
-                  .repartition(TokenBuckets, col("tb"))
-                  .write.partitionBy("tb").parquet(s"$dst/pos")),
-              Option.when(has(c, "docs"))(() =>
-                spark.read.parquet(s"$dir/data/$c/docs")
-                  .join(gone, Seq("doc_id"), "left_anti")
-                  .select(col("doc_id"), col("text"), col("fb"))
+                    col("tb")), "tb", "pos")),
+              docs2.map(d => () =>
+                // docs2 ⊇ post2's docs, so it is non-empty here —
+                // always the partitioned layout
+                d.select(col("doc_id"), col("text"), col("fb"))
                   .repartition(TokenBuckets, col("fb"))
                   .write.partitionBy("fb").parquet(s"$dst/docs")),
               Option.when(has(c, "del"))(() =>
-                spark.read.parquet(s"$dir/data/$c/del")
+                bucketed(spark.read.parquet(s"$dir/data/$c/del")
                   .join(vocab2.select("token"), Seq("token"), "left_semi")
-                  .select(col("variant"), col("token"), col("db"))
-                  .repartition(TokenBuckets, col("db"))
-                  .write.partitionBy("db").parquet(s"$dst/del"))
+                  .select(col("variant"), col("token"), col("db")),
+                  "db", "del"))
             ).flatten
             Await.result(
               Future.sequence(jobs.map(j => Future(j()))), Duration.Inf): Unit
             Some(c -> name)
           }
-        } finally post2.unpersist(): Unit
+        } finally {
+          post2.unpersist(): Unit
+          docs2.foreach(_.unpersist(): Unit)
+        }
       }
     }.toMap
   }

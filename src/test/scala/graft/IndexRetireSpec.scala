@@ -264,4 +264,83 @@ class IndexRetireSpec extends AnyFunSuite {
       "emptied postings must not be written")
     assert(Similarity.ivfIndexStats(spark, idx).head().getLong(1) == 4L)
   }
+
+  test("text index: zero-token docs (text tokenizes to nothing) obey " +
+      "the erasure contract through retirement — an erased zero-token " +
+      "doc's forward row is physically rewritten out, and a commit " +
+      "whose postings all die keeps its still-live zero-token docs") {
+    val idx = TestSpark.tmpDir("ret_zerotok")
+    // shard A: an erased-later zero-token doc + a live normal doc
+    TextIndex.ingestShard(spark, idx,
+      Seq((100L, "   "), (2L, "merge window table"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", key = Some("za"))
+    // shard B: a LIVE zero-token doc + a normal doc erased later —
+    // B's postings all die but B must survive for doc 200's text
+    TextIndex.ingestShard(spark, idx,
+      Seq((200L, "\t \t"), (201L, "zebra zebra merge"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", key = Some("zb"))
+    TextIndex.forgetDocs(spark, idx, Seq(100L, 201L), key = Some("zt"))
+    // tombstoned-but-unretired: both unreachable, zero-token doc too
+    assert(TextIndex.docsFor(spark, idx, Seq(100L, 201L)).count() == 0L)
+    val before = liveCommits(idx)
+
+    assert(TextIndex.retireTombstones(spark, idx) == 1)
+    assert(TextIndex.tombstoneCount(spark, idx) == 0L)
+    val after = liveCommits(idx)
+    assert(after.size == 2 && after.forall(!before.contains(_)),
+      s"both commits hold erased docs and must be rewritten: " +
+        s"$before -> $after")
+    // the erased zero-token doc's text is PHYSICALLY gone from every
+    // live commit dir (the erasure contract, not just filtered)
+    val conf = spark.sessionState.newHadoopConf()
+    for (c <- after; leg <- Seq("post", "docs")) {
+      val p = new org.apache.hadoop.fs.Path(s"$idx/data/$c/$leg")
+      if (p.getFileSystem(conf).exists(p))
+        assert(spark.read.parquet(p.toString)
+          .where(col("doc_id").isin(100L, 201L)).count() == 0L,
+          s"erased doc survived in $c/$leg")
+    }
+    // the live zero-token doc's forward row survived B's rewrite
+    assert(TextIndex.docsFor(spark, idx, Seq(200L))
+      .head().getString(1) == "\t \t",
+      "still-live zero-token doc lost its forward row")
+    // B's token-grain legs are empty but READABLE, and leg uniformity
+    // holds so positional/forward routing is unchanged
+    assert(TextIndex.hasPositionalLeg(spark, idx) &&
+      TextIndex.hasDocsLeg(spark, idx))
+    assert(bm25(idx, Seq("zebra")).isEmpty,
+      "zebra lived only in the erased doc")
+    // stats equal a never-ingested reference, and a subsequent FULL
+    // fold over the empty-posting commit works
+    TextIndex.compact(spark, idx)
+    val ref = TestSpark.tmpDir("ret_zerotok_ref")
+    TextIndex.ingestShard(spark, ref,
+      Seq((2L, "merge window table"), (200L, "\t \t"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(TextIndex.stats(spark, idx)
+        .select("nd", "tl", "vocab_size", "n_postings").head() ==
+      TextIndex.stats(spark, ref)
+        .select("nd", "tl", "vocab_size", "n_postings").head(),
+      "post-fold stats diverge from never-ingested")
+    assert(bm25(idx, Seq("merge")) == bm25(ref, Seq("merge")))
+    assert(TextIndex.docsFor(spark, idx, Seq(200L)).count() == 1L)
+  }
+
+  test("text index: forgetDocsRebuild erases a zero-token doc's " +
+      "forward row (the probe sees docs-leg-only membership)") {
+    val idx = TestSpark.tmpDir("ret_zerotok_rb")
+    TextIndex.ingestShard(spark, idx,
+      Seq((100L, "   "), (2L, "merge window table"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", key = Some("ra"))
+    TextIndex.forgetDocsRebuild(spark, idx, Seq(100L), key = Some("rk"))
+    val c = liveCommits(idx)
+    assert(c.size == 1)
+    assert(spark.read.parquet(s"$idx/data/${c.head}/docs")
+      .where(col("doc_id") === 100L).count() == 0L,
+      "zero-token doc's forward row survived the rebuild")
+    assert(TextIndex.docsFor(spark, idx, Seq(2L)).count() == 1L)
+  }
 }

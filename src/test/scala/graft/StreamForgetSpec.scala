@@ -292,4 +292,121 @@ class StreamForgetSpec extends AnyFunSuite {
       assert(TextIndex.hasDelivery(spark, textIdx, k),
         s"key $k lost in the mid-stream fold")
   }
+
+  test("forgetWhereAll's empty-resolution path ledgers the completion " +
+      "marker with NO predicate re-evaluation: no tombstone lands " +
+      "anywhere, no other index moves, redelivery stays a no-op even " +
+      "after matching content is ingested") {
+    val textIdx = TestSpark.tmpDir("fwa_empty_text")
+    val dedupIdx = TestSpark.tmpDir("fwa_empty_dedup")
+    TextIndex.ingestShard(spark, textIdx,
+      corpus.where(col("doc_id") === 3L), "doc_id", "text")
+    Dedup.indexCheckAndIngest(spark, dedupIdx,
+      corpus.where(col("doc_id") === 3L), "doc_id", "text", 0.6,
+      persistPairs = true): Unit
+    val (vT, vD) = (TextIndex.version(spark, textIdx),
+      Dedup.indexVersion(spark, dedupIdx))
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "e1", textIdx,
+      dedupIdx = Some(dedupIdx), includeNearDups = true) == 0L)
+    // exactly ONE text commit (the marker), zero tombstones, dedup
+    // untouched — the old path re-ran the predicate through
+    // forgetWhere, which against a store that moved since the
+    // resolution could tombstone the text leg alone
+    assert(TextIndex.version(spark, textIdx) == vT + 1)
+    assert(TextIndex.hasDelivery(spark, textIdx, "e1.text"))
+    assert(TextIndex.tombstoneCount(spark, textIdx) == 0L,
+      "empty-resolution takedown must not create a tombstone")
+    assert(Dedup.indexVersion(spark, dedupIdx) == vD)
+    // content matching the predicate ingested AFTER the verb completed
+    // is a NEW generation: the ledgered key must keep redeliveries
+    // no-ops and the doc must keep serving
+    TextIndex.ingestShard(spark, textIdx,
+      corpus.where(col("doc_id") === 0L), "doc_id", "text")
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "e1", textIdx,
+      dedupIdx = Some(dedupIdx), includeNearDups = true) == 0L)
+    assert(TextIndex.searchBm25(spark, textIdx, Seq("fox"), 10)
+      .count() == 1L,
+      "a redelivered empty takedown erased later-ingested content")
+  }
+
+  test("forgetWhereAll includeNearDups against a dedup index with NO " +
+      "persisted pair reports proceeds with an empty expansion (the " +
+      "explicit existence probe, not a blanket failure swallow)") {
+    val textIdx = TestSpark.tmpDir("fwa_nopairs_text")
+    val dedupIdx = TestSpark.tmpDir("fwa_nopairs_dedup")
+    TextIndex.ingestShard(spark, textIdx,
+      corpus.where(col("doc_id").isin(0L, 1L)), "doc_id", "text")
+    Dedup.indexCheckAndIngest(spark, dedupIdx,
+      corpus.where(col("doc_id").isin(0L, 1L)),
+      "doc_id", "text", 0.6): Unit // persistPairs = false
+    assert(!Dedup.indexHasPairReports(spark, dedupIdx))
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "np", textIdx,
+      dedupIdx = Some(dedupIdx), includeNearDups = true) == 1L)
+    assert(Dedup.indexGoneForDelivery(spark, dedupIdx, "np.dedup")
+      .collect().map(_.getLong(0)).toSeq == Seq(0L))
+    assert(TextIndex.searchBm25(spark, textIdx, Seq("fox"), 10)
+      .count() == 0L)
+  }
+
+  test("deferred-retirement observability: consecutive lost publishes " +
+      "are counted per index and reset on a win") {
+    val dir = "/observability/probe/only"
+    assert(StreamForget.deferredRetirements(dir) == 0L)
+    for (i <- 1 to 4) {
+      StreamForget.retireOpportunistic(dir)(
+        throw new IllegalStateException(s"raced $i"))
+      assert(StreamForget.deferredRetirements(dir) == i.toLong)
+    }
+    // a non-race failure must PROPAGATE (only the publish race defers)
+    assertThrows[IllegalArgumentException](
+      StreamForget.retireOpportunistic(dir)(
+        throw new IllegalArgumentException("genuine bug")))
+    // a retirement that publishes (or finds nothing) resets the count
+    StreamForget.retireOpportunistic(dir)(())
+    assert(StreamForget.deferredRetirements(dir) == 0L)
+  }
+
+  test("retirement under hot concurrent ingest eventually wins " +
+      "(bounded unfairness): lost attempts defer, never corrupt, and " +
+      "the win leaves every concurrent ingest's docs serving") {
+    val idx = TestSpark.tmpDir("ret_contend")
+    TextIndex.ingestShard(spark, idx, corpus, "doc_id", "text",
+      key = Some("base"))
+    TextIndex.forgetDocs(spark, idx, Seq(0L), key = Some("t0"))
+    // hot writer: 10 back-to-back shard ingests racing the retirement
+    val nWriter = 10
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val writer = new Thread(() => {
+      try {
+        for (i <- 0 until nWriter)
+          TextIndex.ingestShard(spark, idx,
+            Seq((1000L + i, s"noise document number $i about windows"))
+              .toDF("doc_id", "text"),
+            "doc_id", "text", key = Some(s"n$i"))
+      } catch { case t: Throwable => writerErr.set(t) }
+    })
+    val t0 = System.nanoTime()
+    writer.start()
+    var lost = 0
+    var retired = 0
+    while (retired == 0) {
+      try retired = TextIndex.retireTombstones(spark, idx)
+      catch { case _: IllegalStateException => lost += 1 }
+    }
+    val winMs = (System.nanoTime() - t0) / 1e6
+    writer.join()
+    assert(writerErr.get() == null,
+      s"concurrent ingest failed: ${writerErr.get()}")
+    assert(retired == 1 && TextIndex.tombstoneCount(spark, idx) == 0L)
+    // the win is consistent: the erased doc is out, every survivor
+    // and every concurrently-ingested doc serves
+    assert(TextIndex.docsFor(spark, idx, Seq(0L)).count() == 0L)
+    assert(TextIndex.docsFor(spark, idx,
+      (1000L until (1000L + nWriter)) :+ 4L).count() == nWriter + 1L)
+    info(f"retirement won after $lost lost attempts in $winMs%.0f ms " +
+      s"against $nWriter concurrent shard ingests")
+  }
 }
