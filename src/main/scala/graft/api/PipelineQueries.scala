@@ -2386,6 +2386,231 @@ object PipelineQueries {
         .searchBm25(s, textIdx, Seq("merge", "window", "table"), 20)
         .orderBy("rank")
     }),
+    // END-TO-END TAKEDOWN AUDIT — the proof the mutation tier builds
+    // toward: after a cross-index predicate takedown (docs whose text
+    // contains the phrase 'window scan'), tombstone-scoped retirement
+    // on every index, and vacuum, ONE oracle-checked result certifies
+    // the erased docs are unreachable through EVERY serving path —
+    // BM25, positional phrase, NEAR, fuzzy + prefix suggest
+    // (survivor-exact df), snippets, hybrid RRF, ANN top-k, and
+    // indexed percolation (the erased docs' saved rules) — AND
+    // physically absent: zero rows for the gone ids in any live leg
+    // (post/pos/docs, sig/sh/pairs, IVF postings) and no superseded
+    // dir left on disk (the two in-query file-level requires). Every
+    // row is (path, gone_hits, live_hits); the oracle recomputes each
+    // path over the never-ingested survivor corpus in DuckDB, so a
+    // silent resurrection anywhere hash-mismatches — gone_hits 0 is
+    // asserted by BOTH engines, live_hits proves each path still
+    // serves. A GDPR workflow needs this proof, not just the verbs;
+    // the reference's append-only raw files (src/index.py:517) cannot
+    // offer it — no delete exists anywhere in the reference
+    "index_forget_audit" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+      val textIdx = java.nio.file.Files
+        .createTempDirectory("graft_audit_text").toString
+      val dedupIdx = java.nio.file.Files
+        .createTempDirectory("graft_audit_dedup").toString
+      val annIdx = java.nio.file.Files
+        .createTempDirectory("graft_audit_ann").toString
+      val rulesIdx = java.nio.file.Files
+        .createTempDirectory("graft_audit_rules").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(20)) === 9)
+        .persist()
+      // the whole audit is JOB-COUNT-bound (tiny fixture, ~15 machinery
+      // verbs + ~12 probes): independent verbs on independent commit
+      // logs run CONCURRENTLY — ingests, retirements, and the probe
+      // battery each collapse to their slowest member
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      def par[T](fs: Seq[() => T]): Seq[T] =
+        Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+      def embed(c: Column) =
+        toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
+      val emb = d.select(col("doc_id").as("vec_id"),
+        embed(col("text")).as("v"))
+      // stride coprime to the lattice (the fwa lesson: gcd(stride,20)
+      // must divide 9 or the modulo centroid sample can be empty)
+      val step = Iterator.iterate(Similarity.boundedStep(d.count()))(_ + 1)
+        .find(st => BigInt(st).gcd(BigInt(20)) == 1).get
+      // percolation rules: rule_id = doc_id, rule text = the doc's
+      // leading bigram — the erased docs' saved alerts must die too
+      val rules = d.where(pmod(col("doc_id"), lit(60)) === 9)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("rule"))
+      par(Seq(
+        // Serving profile: pos/del/docs all audited post-retirement
+        () => graft.text.TextIndex.ingestShard(s, textIdx, d,
+          "doc_id", "text", key = Some("w0")),
+        () => Dedup.indexCheckAndIngest(s, dedupIdx, d, "doc_id", "text",
+          JaccardThreshold, deliveryKey = Some("w0"),
+          persistPairs = true): Unit,
+        () => Similarity.ivfIndexBuild(s, annIdx, emb, step,
+          key = Some("w0")),
+        () => graft.text.TextIndex.ingestShard(s, rulesIdx, rules,
+          "doc_id", "rule", key = Some("r0"))))
+      // all cells probed -> ann/hybrid candidate sets are the whole
+      // live vector population, so top-k counts are scale-constant
+      val nCents = emb.where(col("vec_id") % step === 0).count().toInt
+      // the audit's expected gone set, resolved INDEPENDENTLY of the
+      // verb (the corpus predicate, not the index's resolution)
+      val gone = d.where(col("text").contains("window scan"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      d.unpersist(): Unit
+      require(gone.nonEmpty && gone.length <= 65536,
+        s"audit fixture: bad gone set (${gone.length})")
+      val goneRules = gone.filter(_ % 60 == 9)
+      par(Seq(
+        () => {
+          val n = graft.streaming.StreamForget.forgetWhereAll(s,
+            col("text").contains("window scan"), "aud", textIdx,
+            dedupIdx = Some(dedupIdx), annIdx = Some(annIdx))
+          require(n == gone.length,
+            s"takedown resolved $n docs, audit expected ${gone.length}")
+        },
+        () => if (goneRules.nonEmpty)
+          graft.text.TextIndex.forgetDocs(s, rulesIdx, goneRules,
+            key = Some("aud.rules"))))
+      // physical erasure: tombstone-scoped retirement, then vacuum —
+      // four independent indexes, four concurrent retirements
+      val retired = par(Seq[() => Int](
+        () => graft.text.TextIndex.retireTombstones(s, textIdx),
+        () => Dedup.indexRetireTombstones(s, dedupIdx),
+        () => Similarity.ivfIndexRetireTombstones(s, annIdx),
+        () => if (goneRules.isEmpty) 1
+          else graft.text.TextIndex.retireTombstones(s, rulesIdx)))
+      require(retired == Seq(1, 1, 1, 1),
+        s"audit: retirement did not retire exactly the takedown " +
+          s"tombstones: $retired")
+      graft.text.TextIndex.vacuum(s, textIdx)
+      Dedup.indexVacuum(s, dedupIdx)
+      Similarity.ivfIndexVacuum(s, annIdx)
+      graft.text.TextIndex.vacuum(s, rulesIdx)
+      // bytes-gone at file grain: only live commit dirs remain, and no
+      // tombstone survives retirement
+      val conf = s.sessionState.newHadoopConf()
+      def liveOf(idx: String): Seq[String] =
+        new graft.store.CommitLog(s"$idx/_manifests").latest(s)._2
+      for (idx <- Seq(textIdx, dedupIdx, annIdx, rulesIdx)) {
+        val live = liveOf(idx).toSet
+        require(!live.exists(_.startsWith("t-")),
+          s"audit: tombstones still live in $idx after retirement")
+        val dd = new org.apache.hadoop.fs.Path(s"$idx/data")
+        val onDisk = dd.getFileSystem(conf).listStatus(dd)
+          .map(_.getPath.getName).toSet
+        require(onDisk.subsetOf(live),
+          s"audit: vacuum left superseded dirs in $idx: " +
+            onDisk.diff(live).mkString(","))
+      }
+      val goneSet = gone.toSet
+      def audit(path: String, ids: Seq[Long]): (String, Long, Long) =
+        (path, ids.count(goneSet).toLong, ids.count(!goneSet(_)).toLong)
+      // -- serving paths (one probe each; shared where ranks allow;
+      // all read-only against published indexes, so run concurrently) --
+      def ids(df: DataFrame): Seq[Long] =
+        df.select("doc_id").collect().map(_.getLong(0)).toSeq
+      def sumDf(df: DataFrame): Long =
+        df.select("df").collect().map(_.getLong(0)).sum
+      val qv = Seq((-1L, "merge window scan")).toDF("vec_id", "t")
+        .select(col("vec_id"), embed(col("t")).as("v"))
+      val probes = par(Seq[() => Any](
+        () => graft.text.TextIndex
+          .searchBm25(s, textIdx, Seq("merge", "window", "table"), 100000)
+          .select("rank", "doc_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq,
+        () => ids(graft.text.TextIndex
+          .searchPhrasePositional(s, textIdx, "window scan", 100000)),
+        () => ids(graft.text.TextIndex
+          .searchPhrasePositional(s, textIdx, "batch batch", 100000)),
+        () => ids(graft.text.TextIndex
+          .searchNear(s, textIdx, Seq("merge", "window", "scan"),
+            6, 100000)),
+        () => sumDf(
+          graft.text.TextIndex.suggestFuzzy(s, textIdx, "merg", 1, 100)),
+        () => sumDf(
+          graft.text.TextIndex.suggestPrefix(s, textIdx, "wi", 100)),
+        // ONE IVF probe serves both rows: rankTopK order is total
+        // (cos desc, n_id), so the ann top-10 is the k=20 prefix
+        () => Similarity.ivfIndexQuery(s, annIdx, qv, 20, nCents)
+          .select("rank", "n_id").collect()
+          .map(r => (r.getLong(1), r.getLong(0))).toSeq.sortBy(_._2),
+        () => graft.text.TextIndex
+          .percolateIndexed(s, rulesIdx, d, "doc_id", "text")
+          .select("query_id").collect().map(_.getLong(0)).toSeq))
+      val bm25 = probes(0).asInstanceOf[Seq[(Long, Long)]]
+      val phraseGone = probes(1).asInstanceOf[Seq[Long]]
+      val phraseLive = probes(2).asInstanceOf[Seq[Long]]
+      val nearIds = probes(3).asInstanceOf[Seq[Long]]
+      val fuzzyDf = probes(4).asInstanceOf[Long]
+      val prefixDf = probes(5).asInstanceOf[Long]
+      val vec20 = probes(6).asInstanceOf[Seq[(Long, Long)]]
+      val fired = probes(7).asInstanceOf[Seq[Long]]
+      val annIds = vec20.take(10).map(_._1)
+      val snipCands = bm25.take(10)
+      val snipIds = TextOps.searchSnippets(
+          graft.text.TextIndex.docsFor(s, textIdx, snipCands.map(_._2)),
+          "doc_id", "text", snipCands, Seq("merge", "window", "table"))
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      val fused = {
+        val rText = bm25.take(20).map { case (r, id) => id -> r }.toMap
+        val rVec = vec20.map { case (id, r) => id -> r }.toMap
+        (rText.keySet ++ rVec.keySet).toSeq.map { id =>
+          val sc = rText.get(id).fold(0L)(r => 1000000L / (60L + r)) +
+            rVec.get(id).fold(0L)(r => 1000000L / (60L + r))
+          (id, sc)
+        }.sortBy { case (id, sc) => (-sc, id) }.take(10).map(_._1)
+      }
+      // -- physical: raw leg rows across live commit dirs (one
+      // gone-count union job + one live-count job per index, the
+      // three indexes concurrent) --
+      def legDf(idx: String, c: String, leg: String,
+          idCol: String): Option[DataFrame] = {
+        val p = new org.apache.hadoop.fs.Path(s"$idx/data/$c/$leg")
+        if (p.getFileSystem(conf).exists(p))
+          Some(s.read.parquet(p.toString).select(col(idCol).as("id")))
+        else None
+      }
+      def physGone(idx: String, legs: Seq[(String, String)]): Long =
+        liveOf(idx).filter(_.startsWith("c-"))
+          .flatMap(c => legs.flatMap { case (l, ic) => legDf(idx, c, l, ic) })
+          .reduce(_.unionByName(_))
+          .where(col("id").isin(gone.map(java.lang.Long.valueOf): _*))
+          .count()
+      def physRows(idx: String, leg: String, idCol: String): Long =
+        liveOf(idx).filter(_.startsWith("c-"))
+          .flatMap(c => legDf(idx, c, leg, idCol))
+          .map(_.count()).sum
+      val phys = par(Seq[() => (Long, Long)](
+        () => (physGone(annIdx, Seq(("post", "vec_id"))),
+          physRows(annIdx, "post", "vec_id")),
+        () => (physGone(dedupIdx, Seq(("sig", "doc_id"),
+          ("sh", "doc_id"), ("pairs", "a_id"), ("pairs", "b_id"))),
+          physRows(dedupIdx, "sig", "doc_id")),
+        () => (physGone(textIdx, Seq(("post", "doc_id"),
+          ("pos", "doc_id"), ("docs", "doc_id"))),
+          physRows(textIdx, "docs", "doc_id"))))
+      val rows = Seq(
+        audit("ann", annIds),
+        audit("bm25", bm25.map(_._2)),
+        ("fuzzy_suggest", 0L, fuzzyDf),
+        audit("hybrid", fused),
+        audit("near", nearIds),
+        audit("percolate", fired),
+        ("phrase", (phraseGone ++ phraseLive.filter(goneSet)).length.toLong,
+          phraseLive.count(!goneSet(_)).toLong),
+        ("physical_ann", phys(0)._1, phys(0)._2),
+        ("physical_dedup", phys(1)._1, phys(1)._2),
+        ("physical_text", phys(2)._1, phys(2)._2),
+        ("prefix_suggest", 0L, prefixDf),
+        audit("snippets", snipIds))
+      rows.foreach { case (p, g, _) =>
+        require(g == 0L,
+          s"TAKEDOWN LEAK via '$p': $g hits reference erased docs")
+      }
+      rows.toDF("path", "gone_hits", "live_hits").orderBy("path")
+    }),
     // STREAMING TAKEDOWN QUEUE (right-to-be-forgotten as a stream):
     // deletion requests drain as two mtime-ordered micro-batches into
     // exactly-once tombstones on a 1/10-subset text index (#txn:b<id>
@@ -4753,6 +4978,81 @@ object PipelineQueries {
         |    doc_id) AS rank FROM ag)
         |SELECT rank, doc_id, score_ppm, n_terms FROM r
         |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // takedown audit ≡ each serving path recomputed over the
+    // never-ingested survivor corpus (subset minus docs containing
+    // 'window scan'); gone_hits 0 on every row by construction, so a
+    // resurrection anywhere in the engine hash-mismatches. ann/hybrid
+    // counts are the probe's k (all cells probed, survivors >= k);
+    // physical rows are the survivor count (one docs/sig/vector row
+    // per doc)
+    "index_forget_audit" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 20 = 9),
+        |g AS (SELECT doc_id FROM d WHERE contains(text, 'window scan')),
+        |s AS (SELECT doc_id, text FROM d
+        |      WHERE NOT contains(text, 'window scan')),
+        |stk AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM s),
+        |bm AS (SELECT CAST(count(*) AS BIGINT) c FROM stk
+        |  WHERE len(list_filter(tokens,
+        |    t -> t IN ('merge', 'window', 'table'))) > 0),
+        |ph AS (SELECT CAST(count(*) AS BIGINT) c FROM stk
+        |  WHERE len(tokens) >= 2 AND len(list_filter(
+        |    generate_series(1, len(tokens) - 1),
+        |    i -> tokens[i] = 'batch' AND tokens[i+1] = 'batch')) > 0),
+        |pos0 AS (SELECT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tokens)),
+        |    i -> {'p': i, 't': tokens[i]})) AS u
+        |  FROM stk),
+        |pos AS (SELECT doc_id, CAST(u.p AS BIGINT) AS pos, u.t AS token
+        |        FROM pos0
+        |        WHERE u.t IN ('merge', 'window', 'scan')),
+        |ls AS (SELECT doc_id, pos,
+        |    max(CASE WHEN token = 'merge' THEN pos END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l1,
+        |    max(CASE WHEN token = 'window' THEN pos END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l2,
+        |    max(CASE WHEN token = 'scan' THEN pos END) OVER
+        |      (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS l3
+        |  FROM pos),
+        |mw AS (SELECT doc_id, min(pos - least(l1, l2, l3) + 1) AS min_window
+        |       FROM ls WHERE l1 IS NOT NULL AND l2 IS NOT NULL
+        |         AND l3 IS NOT NULL GROUP BY 1),
+        |nr AS (SELECT CAST(count(*) AS BIGINT) c FROM mw
+        |       WHERE min_window <= 6),
+        |dt AS (SELECT DISTINCT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(tokens) AS t FROM stk)
+        |  WHERE length(t) > 0),
+        |dfr AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM dt GROUP BY 1),
+        |fz AS (SELECT CAST(coalesce(sum(df), 0) AS BIGINT) c FROM dfr
+        |  WHERE levenshtein(token, 'merg') <= 1 AND token <> 'merg'),
+        |px AS (SELECT CAST(coalesce(sum(df), 0) AS BIGINT) c FROM dfr
+        |  WHERE token LIKE 'wi%'),
+        |rr AS (SELECT doc_id AS query_id, tk[1] AS t1, tk[2] AS t2
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM s
+        |        WHERE doc_id % 60 = 9)
+        |  WHERE len(tk) >= 2),
+        |dall AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM d),
+        |pc AS (SELECT CAST(count(*) AS BIGINT) c FROM rr, dall
+        |  WHERE len(tokens) >= 2 AND len(list_filter(
+        |    generate_series(1, len(tokens) - 1),
+        |    i -> tokens[i] = rr.t1 AND tokens[i+1] = rr.t2)) > 0),
+        |sc AS (SELECT CAST(count(*) AS BIGINT) c FROM s)
+        |SELECT path, gone_hits, live_hits FROM (
+        |  SELECT 'ann' AS path, CAST(0 AS BIGINT) AS gone_hits,
+        |    CAST(10 AS BIGINT) AS live_hits
+        |  UNION ALL SELECT 'bm25', 0, (SELECT c FROM bm)
+        |  UNION ALL SELECT 'fuzzy_suggest', 0, (SELECT c FROM fz)
+        |  UNION ALL SELECT 'hybrid', 0, 10
+        |  UNION ALL SELECT 'near', 0, (SELECT c FROM nr)
+        |  UNION ALL SELECT 'percolate', 0, (SELECT c FROM pc)
+        |  UNION ALL SELECT 'phrase', 0, (SELECT c FROM ph)
+        |  UNION ALL SELECT 'physical_ann', 0, (SELECT c FROM sc)
+        |  UNION ALL SELECT 'physical_dedup', 0, (SELECT c FROM sc)
+        |  UNION ALL SELECT 'physical_text', 0, (SELECT c FROM sc)
+        |  UNION ALL SELECT 'prefix_suggest', 0, (SELECT c FROM px)
+        |  UNION ALL SELECT 'snippets', 0, least(10, (SELECT c FROM bm))
+        |) ORDER BY path""".stripMargin,
     // streamed takedowns ≡ declarative BM25 over the subset minus the
     // two batches' ids (doc_id % 40 in (6, 26))
     "stream_forget" ->
