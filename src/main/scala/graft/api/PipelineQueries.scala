@@ -1256,6 +1256,77 @@ object PipelineQueries {
         .orderBy("q_id", "rank")
     }),
 
+    // IVF RECALL DRIFT under sustained upserts, and the re-train
+    // answer: two re-embed waves (an encoder-version shift, modeled as
+    // deterministic 16/32-dim rotations of the wave's vectors) upsert
+    // under the FROZEN founding centroids — the shifted vectors assign
+    // under centroids trained on the old distribution, the silent
+    // recall killer of a long-lived IVF index. The query measures
+    // recall@10 vs exact brute force per probe BEFORE the re-train
+    // (phase 'drifted') and AFTER ivfIndexRebuild re-centers on the
+    // grown corpus (phase 'retrained'); the oracle recomputes BOTH
+    // phases — frozen-centroid assignment AND the 2-iteration Lloyd —
+    // declaratively over the identically-constructed corpus. In-query
+    // requires pin the machinery: the re-train publishes, and a
+    // redelivered upsert wave stays a version-preserving no-op after
+    // it (delivery keys survive the rebuild)
+    "ann_index_drift" -> ((s, dir) => {
+      import s.implicits._
+      val idx = java.nio.file.Files
+        .createTempDirectory("graft_ivf_drift").toString
+      val base = embBase(s, dir)
+      val n = base.count()
+      Similarity.ivfIndexBuild(s, idx, base, Similarity.boundedStep(n),
+        key = Some("f0"))
+      def rot(k: Int): Column = transform(sequence(lit(1), lit(64)),
+        i => element_at(col("v"), ((i - lit(1) + lit(k)) % 64) + 1))
+      for ((w, k) <- Seq((1, 16), (2, 32)))
+        Similarity.ivfIndexUpsert(s, idx,
+          base.where(pmod(col("vec_id"), lit(8)) === w)
+            .select(col("vec_id"), rot(k).as("v")),
+          key = Some(s"u$w"))
+      // the post-upsert truth corpus — identical construction to the
+      // oracle's e CTE
+      val cur = base.select(col("vec_id"),
+        when(pmod(col("vec_id"), lit(8)) === 1, rot(16))
+          .when(pmod(col("vec_id"), lit(8)) === 2, rot(32))
+          .otherwise(col("v")).as("v")).persist()
+      val qs = cur.where(col("vec_id") < 5)
+      val gold = Similarity.bruteTopK(cur, qs, 10)
+        .select(col("q_id"), col("n_id")).persist()
+      def recall(phase: String): Seq[(String, Long, Long, Long, Long)] = {
+        val approx = Similarity.ivfIndexQuery(s, idx, qs, 10, 3)
+          .select(col("q_id"), col("n_id"))
+        val hits = gold.join(approx, Seq("q_id", "n_id"))
+          .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+        gold.groupBy("q_id").agg(count(lit(1)).as("n_gold"))
+          .join(hits, Seq("q_id"), "left_outer")
+          .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+          .select(col("q_id"), col("n_hits"), col("n_gold"))
+          .collect().map(r => (phase, r.getLong(0), r.getLong(1),
+            r.getLong(2), 1000000L * r.getLong(1) / r.getLong(2))).toSeq
+      }
+      try {
+        val drifted = recall("drifted")
+        require(Similarity.ivfIndexRebuild(s, idx,
+            Similarity.boundedStep(n), iters = 2),
+          "single-writer re-train must publish")
+        val v = Similarity.ivfVersion(s, idx)
+        Similarity.ivfIndexUpsert(s, idx,
+          base.where(pmod(col("vec_id"), lit(8)) === 1)
+            .select(col("vec_id"), rot(16).as("v")),
+          key = Some("u1"))
+        require(Similarity.ivfVersion(s, idx) == v,
+          "redelivered upsert wave must stay a no-op after the re-train")
+        val retrained = recall("retrained")
+        (drifted ++ retrained)
+          .toDF("phase", "q_id", "n_hits", "n_gold", "recall_ppm")
+          .orderBy("phase", "q_id")
+      } finally {
+        cur.unpersist(): Unit
+        gold.unpersist(): Unit
+      }
+    }),
     // hard-negative mining over the dup-planted corpus: per query, the
     // 10 most-similar candidates in the (0.2, 0.9) cosine band — the
     // ~0.99 planted near-copies fall ABOVE the band (a positive, not a
@@ -4362,7 +4433,17 @@ object PipelineQueries {
    *  the seed stride derives from the SLICE's count, mirroring
    *  boundedStep over the stored postings).
    */
-  private def kmeansArPrefixOver(eWhere: String): String = {
+  private def kmeansArPrefixOver(eWhere: String): String =
+    kmeansArPrefixFrom(
+      s"""SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings $eWhere""".stripMargin)
+
+  /** [[kmeansArPrefix]] over an ARBITRARY corpus CTE body (`eBody`
+   *  becomes `e AS (eBody)`) — the drift oracle re-trains over a
+   *  corpus the upsert waves already mutated, which no `WHERE` over
+   *  the raw embeddings table can express.
+   */
+  private def kmeansArPrefixFrom(eBody: String): String = {
     def iter(n: Int, prev: String): String =
       s"""s$n AS (
          |  SELECT e.vec_id, e.v, c.c_idx,
@@ -4384,8 +4465,7 @@ object PipelineQueries {
          |  FROM $prev p LEFT JOIN (
          |    SELECT c_idx, list(cd ORDER BY dim) AS cv FROM m$n GROUP BY 1) m
          |  USING (c_idx))""".stripMargin
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |           FROM embeddings $eWhere),
+    s"""WITH e AS ($eBody),
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, v AS cv
        |  FROM e
@@ -4405,6 +4485,91 @@ object PipelineQueries {
   }
 
   private val annIvfKmeansTail: String = kmeansProbeTail(5)
+
+  /** ann_index_drift: the post-upsert corpus (two rotation waves) as
+   *  the Lloyd input, then BOTH probe phases — frozen founding
+   *  centroids ('drifted') and the re-trained c2 generation
+   *  ('retrained') — each scored recall@10 against the same exact
+   *  brute-force gold.
+   */
+  private val annIndexDriftOracle: String = {
+    def cosE(a: String, b: String): String =
+      s"""list_sum(list_transform(generate_series(1, 64), i -> $a[i] * $b[i])) /
+         |      (sqrt(list_sum(list_transform($a, x -> x * x))) *
+         |       sqrt(list_sum(list_transform($b, x -> x * x))))""".stripMargin
+    val eBody =
+      """SELECT vec_id, CASE
+        |    WHEN vec_id % 8 = 1 THEN list_transform(
+        |      generate_series(1, 64), i -> v0[((i - 1 + 16) % 64) + 1])
+        |    WHEN vec_id % 8 = 2 THEN list_transform(
+        |      generate_series(1, 64), i -> v0[((i - 1 + 32) % 64) + 1])
+        |    ELSE v0 END AS v
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+        |        FROM embeddings)""".stripMargin
+    kmeansArPrefixFrom(eBody) +
+      s""",
+        |base0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
+        |          FROM embeddings),
+        |qv AS (SELECT vec_id AS q_id, v AS qx FROM e WHERE vec_id < 5),
+        |bp AS (
+        |  SELECT q.q_id, e2.vec_id AS n_id,
+        |    ${cosE("q.qx", "e2.v")} AS cos
+        |  FROM qv q, e e2 WHERE q.q_id <> e2.vec_id),
+        |gold AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM bp)
+        |  WHERE rank <= 10),
+        |gn AS (SELECT q_id, count(*) AS n_gold FROM gold GROUP BY 1),
+        |cf AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx,
+        |         v0 AS cv
+        |       FROM base0
+        |       WHERE vec_id % (SELECT greatest(7,
+        |           CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |         FROM base0) = 0),
+        |acf AS (SELECT e2.vec_id, e2.v, c.c_idx,
+        |    ${cosE("e2.v", "c.cv")} AS ccos
+        |  FROM e e2, cf c),
+        |arf AS (SELECT vec_id, v, c_idx,
+        |    row_number() OVER (
+        |      PARTITION BY vec_id ORDER BY ccos DESC, c_idx) AS rn
+        |  FROM acf),
+        |asf AS (SELECT vec_id AS n_id, v, c_idx AS cell FROM arf
+        |        WHERE rn = 1),
+        |prf AS (SELECT vec_id AS q_id, v AS qx, c_idx AS cell
+        |        FROM arf WHERE vec_id < 5 AND rn <= 3),
+        |ipf AS (SELECT q_id, n_id, ${cosE("qx", "v")} AS cos
+        |  FROM asf JOIN prf USING (cell) WHERE q_id <> n_id),
+        |ivff AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM ipf)
+        |  WHERE rank <= 10),
+        |hf AS (SELECT g.q_id, count(*) AS n_hits
+        |       FROM gold g JOIN ivff USING (q_id, n_id) GROUP BY 1),
+        |asr AS (SELECT vec_id AS n_id, v, c_idx AS cell FROM ar
+        |        WHERE rn = 1),
+        |prr AS (SELECT vec_id AS q_id, v AS qx, c_idx AS cell
+        |        FROM ar WHERE vec_id < 5 AND rn <= 3),
+        |ipr AS (SELECT q_id, n_id, ${cosE("qx", "v")} AS cos
+        |  FROM asr JOIN prr USING (cell) WHERE q_id <> n_id),
+        |ivfr AS (SELECT q_id, n_id FROM (
+        |    SELECT q_id, n_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM ipr)
+        |  WHERE rank <= 10),
+        |hr AS (SELECT g.q_id, count(*) AS n_hits
+        |       FROM gold g JOIN ivfr USING (q_id, n_id) GROUP BY 1)
+        |SELECT phase, q_id, n_hits, n_gold, recall_ppm FROM (
+        |  SELECT 'drifted' AS phase, gn.q_id,
+        |    CAST(coalesce(hf.n_hits, 0) AS BIGINT) AS n_hits, gn.n_gold,
+        |    CAST((1000000 * coalesce(hf.n_hits, 0)) // gn.n_gold
+        |      AS BIGINT) AS recall_ppm
+        |  FROM gn LEFT JOIN hf USING (q_id)
+        |  UNION ALL
+        |  SELECT 'retrained', gn.q_id,
+        |    CAST(coalesce(hr.n_hits, 0) AS BIGINT), gn.n_gold,
+        |    CAST((1000000 * coalesce(hr.n_hits, 0)) // gn.n_gold AS BIGINT)
+        |  FROM gn LEFT JOIN hr USING (q_id)
+        |) ORDER BY phase, q_id""".stripMargin
+  }
 
   /** The probe/rank tail of the shared Lloyd SQL, parameterized by the
    *  query-vector cutoff (probes = corpus vectors below it).
@@ -6829,6 +6994,7 @@ object PipelineQueries {
     // the centroids are bit-identical across engines; assignments use
     // the same fold shapes and tie rules as TopCentroids
     "ann_ivf_kmeans" -> (kmeansArPrefix + annIvfKmeansTail),
+    "ann_index_drift" -> annIndexDriftOracle,
     // the rebuild re-trains over exactly the stored %16==1 slice with
     // the seed stride from the slice's own count; probes are the
     // slice's vec_id < 20 vectors — the same Lloyd SQL, re-sliced

@@ -442,12 +442,32 @@ object Similarity {
    *  index must be founded ([[ivfIndexBuild]]) — like append, upsert
    *  needs the frozen centroid generation. Cost: O(ids) tombstone +
    *  batch-linear narrow assignment — never ∝ the index.
+   *
+   *  RECALL-DRIFT GUARD: sustained upsert waves that SHIFT the vector
+   *  distribution degrade recall invisibly — the new vectors assign
+   *  under centroids trained on the old distribution, so queries in
+   *  the shifted region probe cells whose membership no longer
+   *  reflects proximity. `rebalanceAbovePpm` opts into the same
+   *  closed-loop policy as [[graft.streaming.StreamAnnIndex]]: after
+   *  the add leg commits, measure [[ivfIndexStats]] (one cell-grain
+   *  agg ∝ index) and re-train ([[ivfIndexRebuild]], strict-race
+   *  atomic) when imbalance crosses the threshold — the Lloyd sample
+   *  stride auto-derives from the grown vector count so the re-train
+   *  stays bounded, and the centroid-seed stride preserves the
+   *  current cell count. A lost rebuild race is fine (the next upsert
+   *  re-measures). Default None: an upsert is O(batch), and whether a
+   *  whole-index re-train belongs in-line is a deployment decision.
    */
   def ivfIndexUpsert(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      batch: DataFrame, key: Option[String] = None): Unit = {
+      batch: DataFrame, key: Option[String] = None,
+      rebalanceAbovePpm: Option[Long] = None,
+      rebalanceSampleStep: Option[Long] = None): Unit = {
     require(ivfLog(dir).latest(spark)._2.exists(_.startsWith("c-")),
       s"ivfIndexUpsert needs a founded index at $dir — ivfIndexBuild first")
+    require(rebalanceAbovePpm.forall(_ >= 1000000L),
+      "rebalanceAbovePpm below 1e6 (perfect balance) would re-train " +
+        "on every upsert")
     // ONE materialization feeds both legs: a nondeterministic source
     // evaluated twice could tombstone ids it never re-appends
     val snap = batch.select(col("vec_id").cast("long").as("vec_id"),
@@ -464,6 +484,19 @@ object Similarity {
       if (!addKey.exists(ivfHasDelivery(spark, dir, _)))
         ivfIndexAppend(spark, dir, snap, key = addKey)
     } finally snap.unpersist(): Unit
+    rebalanceAbovePpm.foreach { cut =>
+      val st = ivfIndexStats(spark, dir).head()
+      if (st.getLong(3) > cut) {
+        val sampleStep = rebalanceSampleStep.getOrElse(math.max(1L,
+          math.ceil(st.getLong(1).toDouble / 32768.0).toLong))
+        // seed stride preserving the current cell count under the
+        // grown vector population (n_vectors / n_cells)
+        val centStep = math.max(1L,
+          st.getLong(1) / math.max(1L, st.getLong(0)))
+        ivfIndexRebuild(spark, dir, centStep, iters = 2,
+          sampleStep = sampleStep): Unit
+      }
+    }
   }
 
   /** Live tombstoned-vector count — fold-scheduler observability. */

@@ -156,4 +156,98 @@ class AnnRecallSpec extends AnyFunSuite {
     // beat the 2% random-overlap floor by a wide margin
     assert(mean > 0.1, f"PQ recall collapsed: $mean%.2f")
   }
+
+  import spark.implicits._
+
+  /** 64-dim basis-direction vector with optional extra component. */
+  private def vec(d: Int, noise: Option[(Int, Double)] = None): Seq[Double] = {
+    val a = Array.fill(64)(0.0)
+    a(d) = 1.0
+    noise.foreach { case (nd, s) => a(nd) = s }
+    a.toSeq
+  }
+
+  test("IVF recall drift under sustained upserts: a distribution-shift " +
+      "wave under FROZEN centroids degrades recall@10 to an analytic " +
+      "3/10, and ivfIndexRebuild recovers it to 10/10") {
+    val idx = TestSpark.tmpDir("ivf_drift")
+    // founding: 16 vectors over 4 directions e0..e3; stride-5 seeds
+    // pick ids 0,5,10,15 = exactly one centroid per direction
+    val founding = (0L until 16L)
+      .map(i => (i, vec((i % 4).toInt))).toDF("vec_id", "v")
+    Similarity.ivfIndexBuild(spark, idx, founding, centroidStep = 5L,
+      key = Some("f"))
+    // the shift: 16 NEW vectors clustered at e4 — orthogonal to every
+    // frozen centroid — with a small noise component that SCATTERS
+    // them across the old cells by id (the silent recall killer: cell
+    // membership no longer reflects proximity)
+    val wave = (16L until 32L)
+      .map(i => (i, vec(4, Some(((i % 4).toInt, 0.2))))).toDF("vec_id", "v")
+    Similarity.ivfIndexUpsert(spark, idx, wave, key = Some("w"))
+    val q = Seq((-1L, vec(4))).toDF("vec_id", "v")
+    def hits(): Set[Long] = Similarity.ivfIndexQuery(spark, idx, q, 10, 1)
+      .collect().map(_.getLong(1)).toSet
+    // gold top-10 for e4: all 16 wave vectors tie at cos 1/|w|, the
+    // n_id tie-break keeps the 10 lowest ids
+    val gold = (16L until 26L).toSet
+    val drifted = hits()
+    assert(drifted.intersect(gold) == Set(16L, 20L, 24L),
+      s"analytic drifted recall must be exactly 3/10 (the noise-dim-0 " +
+        s"quarter of the wave): $drifted")
+    // re-center on the grown corpus: stride-16 seeds = one A seed
+    // (id 0) + one B seed (id 16), so Lloyd consolidates the wave
+    // into its own cell
+    assert(Similarity.ivfIndexRebuild(spark, idx, centroidStep = 16L,
+      iters = 2), "single-writer re-train must publish")
+    val retrained = hits()
+    assert(retrained == gold,
+      s"post-retrain recall must be 10/10: $retrained")
+  }
+
+  test("ivfIndexUpsert rebalanceAbovePpm: a hot-cell wave crosses the " +
+      "imbalance threshold and triggers the in-line re-train; a " +
+      "balanced wave below threshold fires nothing") {
+    val idx = TestSpark.tmpDir("ivf_drift_trig")
+    val founding = (0L until 16L)
+      .map(i => (i, vec((i % 4).toInt))).toDF("vec_id", "v")
+    Similarity.ivfIndexBuild(spark, idx, founding, centroidStep = 5L,
+      key = Some("f"))
+    // balanced scatter wave: imbalance stays 1.0e6 — no trigger, so
+    // exactly the upsert's own two commits (tombstone + append) land
+    val scatter = (16L until 32L)
+      .map(i => (i, vec(4, Some(((i % 4).toInt, 0.2))))).toDF("vec_id", "v")
+    val v0 = Similarity.ivfVersion(spark, idx)
+    Similarity.ivfIndexUpsert(spark, idx, scatter, key = Some("w1"),
+      rebalanceAbovePpm = Some(1500000L))
+    assert(Similarity.ivfVersion(spark, idx) == v0 + 2,
+      "a balanced wave below the threshold must not re-train")
+    // hot-cell wave: 20 identical e5 vectors are orthogonal to every
+    // frozen centroid — ties collapse them ALL into the first cell,
+    // imbalance 28*4/52 ≈ 2.15e6 crosses the 2e6 threshold
+    val hot = (32L until 52L).map(i => (i, vec(5))).toDF("vec_id", "v")
+    val v1 = Similarity.ivfVersion(spark, idx)
+    Similarity.ivfIndexUpsert(spark, idx, hot, key = Some("w2"),
+      rebalanceAbovePpm = Some(2000000L))
+    assert(Similarity.ivfVersion(spark, idx) == v1 + 3,
+      "the threshold crossing must append exactly one re-train commit " +
+        "after the upsert's two")
+    // frozen-centroid imbalance was 28·4/52 ≈ 2.15e6 (that's what
+    // crossed the threshold); the re-train must land back below it
+    val post = Similarity.ivfIndexStats(spark, idx).head()
+    assert(post.getLong(3) < 2000000L,
+      s"re-train must bring imbalance back under the threshold: " +
+        s"${post.getLong(3)}")
+    // the re-trained index consolidated the hot direction: an e5 query
+    // finds the wave with one probe
+    val got = Similarity.ivfIndexQuery(spark, idx,
+        Seq((-1L, vec(5))).toDF("vec_id", "v"), 10, 1)
+      .collect().map(_.getLong(1)).toSet
+    assert(got == (32L until 42L).toSet,
+      s"post-trigger recall must be 10/10 on the hot direction: $got")
+    // delivery keys survive the triggered re-train
+    val v2 = Similarity.ivfVersion(spark, idx)
+    Similarity.ivfIndexUpsert(spark, idx, hot, key = Some("w2"))
+    assert(Similarity.ivfVersion(spark, idx) == v2,
+      "redelivered wave must stay a no-op after the triggered re-train")
+  }
 }
