@@ -466,7 +466,9 @@ object Dedup {
    *  while the batch's keyed commits are live AND no full fold or
    *  tombstone retirement has physically dropped the tombstoned rows
    *  this probe re-reads — the same "batch-grain reads precede
-   *  compaction" contract as [[indexPairsForDelivery]]. Cost: one
+   *  compaction" contract as [[indexPairsForDelivery]], ENFORCEABLE
+   *  with [[indexPin]]: a live pin makes folds and retirement refuse
+   *  loudly instead of trusting this paragraph. Cost: one
    *  pruned scan of the sig
    *  legs semi-joined to the broadcast probe ids — the result is
    *  probe-bounded.
@@ -868,9 +870,43 @@ object Dedup {
    *  (exactly-once survives any number of folds) and a concurrent
    *  writer moving any input aborts the publish (never double-fold).
    */
+  /** REPLAY PIN (mid-replay lease) on the dedup index — the
+   *  mechanism behind the crawl/RAG pipelines' contract: while any
+   *  pin is live, folds and tombstone retirement REFUSE loudly, so
+   *  [[indexKnownIds]]'s log-position membership cut and
+   *  [[indexPairsForDelivery]]'s readback stay replay-stable. Ingest,
+   *  forget, upsert, and reads stay allowed. Ledger entry — survives
+   *  restart; idempotent both ways.
+   */
+  def indexPin(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      name: String): Unit =
+    new graft.store.CommitLog(s"$indexDir/_manifests").pin(spark, name)
+  def indexUnpin(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      name: String): Unit =
+    new graft.store.CommitLog(s"$indexDir/_manifests").unpin(spark, name)
+  def indexPins(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Seq[String] =
+    new graft.store.CommitLog(s"$indexDir/_manifests").pins(spark)
+
+  private def requireUnpinned(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      what: String): Unit = {
+    val ps = indexPins(spark, indexDir)
+    if (ps.nonEmpty) throw new IllegalStateException(
+      s"$what on $indexDir refused: index is pinned by " +
+        s"[${ps.mkString(", ")}] — a pipeline holds a mid-replay lease " +
+        "(indexKnownIds/indexPairsForDelivery replay stability depends " +
+        "on folds and retirement not consuming its commits); unpin " +
+        "after the pipeline drains, then re-run")
+  }
+
   def indexCompactTiered(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       fanIn: Int = 8): Unit = {
+    requireUnpinned(spark, indexDir, "indexCompactTiered")
     val clog = new graft.store.CommitLog(s"$indexDir/_manifests")
     val (_, live) = clog.latest(spark)
     val all = live.filter(_.startsWith("c-"))
@@ -953,7 +989,9 @@ object Dedup {
     // text index's discipline). None when an input moved under us —
     // abort, never double-fold.
     val published = clog.commit(spark) { now =>
-      graft.store.CommitLog.spliceReplace(now, replaced, name)
+      if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
+        None // a replay pin raced in — abort, staging dropped
+      else graft.store.CommitLog.spliceReplace(now, replaced, name)
     }
     if (!published) {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$name")
@@ -985,6 +1023,7 @@ object Dedup {
    */
   def indexRetireOldestTombstone(
       spark: org.apache.spark.sql.SparkSession, indexDir: String): Boolean = {
+    requireUnpinned(spark, indexDir, "indexRetireOldestTombstone")
     val cl = new graft.store.CommitLog(s"$indexDir/_manifests")
     val (_, live) = cl.latest(spark)
     val snap = live.filter(e => e.startsWith("c-") || e.startsWith("t-"))
@@ -1063,6 +1102,8 @@ object Dedup {
     val published = cl.commit(spark) { now =>
       if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
           != snap) None
+      else if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
+        None // a replay pin raced in — abort, the re-run sees it loudly
       else Some(now.flatMap { e =>
         if (e == t) Seq.empty
         else rewrites.get(e) match {

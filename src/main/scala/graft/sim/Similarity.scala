@@ -650,6 +650,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String,
       live: Seq[String], centroidStep: Long, iters: Int,
       sampleStep: Long): Boolean = {
+    requireUnpinned(spark, dir, "ivfIndexRebuild")
     val conf = spark.sessionState.newHadoopConf()
     val dirs = live.filter(_.startsWith("c-")).map(d => s"$dir/data/$d/post")
     // a missing live dir PROVES the observed snapshot is stale (vacuum
@@ -704,7 +705,9 @@ object Similarity {
       // folded batch, so a post-rebuild replay must still be rejected
       // (re-appending it would double-insert its vectors).
       if (now.toSet == live.toSet)
-        Some(name +: now.filter(_.startsWith("#txn:")))
+        // #txn: keys AND #pin: leases carry through (a pin raced in
+        // after the guard above would fail the strict equality anyway)
+        Some(name +: now.filter(_.startsWith("#")))
       else None // index moved under us — abort, caller retries
     }
     if (!published) {
@@ -727,9 +730,36 @@ object Similarity {
    *  untouched; a concurrent writer moving any input aborts the
    *  publish.
    */
+  /** REPLAY PIN (mid-replay lease) on the IVF index: while any pin
+   *  is live, folds, tombstone retirement, and the rebuild/re-train
+   *  REFUSE loudly — the pipelines' replay stability depends on the
+   *  commit layout they re-read. Appends, forgets, upserts, and reads
+   *  stay allowed. Ledger entry — survives restart; idempotent.
+   */
+  def ivfIndexPin(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Unit = ivfLog(dir).pin(spark, name)
+  def ivfIndexUnpin(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      name: String): Unit = ivfLog(dir).unpin(spark, name)
+  def ivfIndexPins(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
+    ivfLog(dir).pins(spark)
+
+  private def requireUnpinned(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      what: String): Unit = {
+    val ps = ivfLog(dir).pins(spark)
+    if (ps.nonEmpty) throw new IllegalStateException(
+      s"$what on $dir refused: index is pinned by " +
+        s"[${ps.mkString(", ")}] — a pipeline holds a mid-replay lease; " +
+        "unpin after the pipeline drains, then re-run")
+  }
+
   def ivfIndexCompactTiered(
       spark: org.apache.spark.sql.SparkSession, dir: String,
       fanIn: Int = 8): Unit = {
+    requireUnpinned(spark, dir, "ivfIndexCompactTiered")
     val cl = ivfLog(dir)
     val (_, live) = cl.latest(spark)
     val all = live.filter(_.startsWith("c-"))
@@ -806,7 +836,9 @@ object Similarity {
     // text index's discipline). None when an input moved under us —
     // abort, never double-fold.
     val published = cl.commit(spark) { now =>
-      graft.store.CommitLog.spliceReplace(now, replaced, name)
+      if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
+        None // a replay pin raced in — abort, staging dropped
+      else graft.store.CommitLog.spliceReplace(now, replaced, name)
     }
     if (!published) {
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
@@ -829,6 +861,7 @@ object Similarity {
    */
   def ivfIndexRetireOldestTombstone(
       spark: org.apache.spark.sql.SparkSession, dir: String): Boolean = {
+    requireUnpinned(spark, dir, "ivfIndexRetireOldestTombstone")
     val cl = ivfLog(dir)
     val (_, live) = cl.latest(spark)
     val snap = live.filter(e => e.startsWith("c-") || e.startsWith("t-"))
@@ -880,6 +913,8 @@ object Similarity {
     val published = cl.commit(spark) { now =>
       if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
           != snap) None
+      else if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
+        None // a replay pin raced in — abort, the re-run sees it loudly
       else Some(now.flatMap { e =>
         if (e == t) Seq.empty
         else rewrites.get(e) match {

@@ -22,6 +22,24 @@ import org.apache.spark.sql.SparkSession
  * a gapped version file by hand is out of contract.
  */
 object CommitLog {
+  /** Ledger prefix of a REPLAY PIN — the lease that turns the
+   *  mid-replay contract ("no folds or tombstone retirements on an
+   *  index a pipeline may be mid-replay on") from documentation into
+   *  mechanism. A pipeline registers a pin before work whose replay
+   *  stability depends on the log's commit layout (the crawl/RAG
+   *  pipelines' `indexKnownIds` membership cut, `indexPairsForDelivery`
+   *  readback); while ANY pin is live, the destructive consumers —
+   *  compaction folds, tombstone retirement, direct rebuild/re-train —
+   *  REFUSE loudly instead of silently flipping a replayed batch's
+   *  fresh/re-fetch split. The pin is itself a ledger entry, so it
+   *  survives restart, rides through folds' splices untouched, and is
+   *  released with one [[CommitLog.unpin]] commit. Ingest, appends,
+   *  forgets, upserts, and every read path remain allowed — a pin
+   *  blocks only the operations that consume or reposition existing
+   *  keyed commits/tombstones.
+   */
+  val PinPrefix = "#pin:"
+
   /** SOURCE-IDENTITY marker for federated merges: a `#txn:` entry
    *  derived from the source's published snapshot (version + live
    *  entries), recorded in the DESTINATION's log by every mergeFrom
@@ -326,7 +344,9 @@ final class CommitLog(manifestDir: String) {
       s"cannot branch into $dstDataDir — the destination already has " +
         "published versions (branch into a fresh root)")
     val live = liveAt(spark, version)
-    val dirs = live.filterNot(_.startsWith("#txn:"))
+    // every #-prefixed entry is ledger metadata (#txn: keys, #pin:
+    // leases), not a data dir
+    val dirs = live.filterNot(_.startsWith("#"))
     require(dirs.nonEmpty, s"version $version has no data commits")
     val conf = spark.sessionState.newHadoopConf()
     dirs.foreach { d =>
@@ -354,7 +374,10 @@ final class CommitLog(manifestDir: String) {
           fs, new Path(s"$dstDataDir/$d"), false, conf): Unit
     }
     val published = dstLog.commit(spark) { now =>
-      if (now.nonEmpty) None else Some(live) // raced writer — abort
+      // a branch starts a fresh lineage: the source's replay pins
+      // protect pipelines replaying against the SOURCE, not the clone
+      if (now.nonEmpty) None // raced writer — abort
+      else Some(live.filterNot(_.startsWith(CommitLog.PinPrefix)))
     }
     if (!published) {
       for (d <- dirs) {
@@ -366,6 +389,30 @@ final class CommitLog(manifestDir: String) {
           "published there first (branch into a fresh root)")
     }
   }
+
+  /** Register a replay pin (idempotent — re-pinning the same name is
+   *  a no-op). See [[CommitLog.PinPrefix]] for semantics.
+   */
+  def pin(spark: SparkSession, name: String): Unit = {
+    require(name.nonEmpty && !name.contains('\n'), s"bad pin name: $name")
+    val e = CommitLog.PinPrefix + name
+    commit(spark)(now =>
+      if (now.contains(e)) None else Some(now :+ e)): Unit
+  }
+
+  /** Release a replay pin (idempotent — unpinning an absent name is a
+   *  no-op).
+   */
+  def unpin(spark: SparkSession, name: String): Unit = {
+    val e = CommitLog.PinPrefix + name
+    commit(spark)(now =>
+      if (!now.contains(e)) None else Some(now.filterNot(_ == e))): Unit
+  }
+
+  /** Live replay-pin names (empty = no lease held). */
+  def pins(spark: SparkSession): Seq[String] =
+    latest(spark)._2.filter(_.startsWith(CommitLog.PinPrefix))
+      .map(_.stripPrefix(CommitLog.PinPrefix))
 
   /** Optimistic-concurrency publish: compute the next live set from the
    *  current one; `next` returning None ABORTS. Returns true iff a

@@ -44,7 +44,9 @@ import graft.text.TextIndex
  *    split it started from (contract: don't run full compactions OR
  *    tombstone retirements on the dedup index while a crawl batch
  *    may be mid-replay — both physically drop the tombstoned rows
- *    the probe re-reads);
+ *    the probe re-reads; [[graft.dedup.Dedup.indexPin]] turns the
+ *    contract into a checkable lease — pinned folds/retirement
+ *    refuse loudly);
  *  - every mutation is guarded by its own delivery key.
  *
  * A full fresh-checkpoint redelivery is a version-preserving no-op on

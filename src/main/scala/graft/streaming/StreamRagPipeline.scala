@@ -40,7 +40,9 @@ import graft.text.TextIndex
  * [[Dedup.indexKnownIds]] (log-position cutoff + tombstone-blind, so
  * the split is replay-stable — contract: no full compactions or
  * tombstone retirements on the dedup index while a batch may be
- * mid-replay). Re-fetched docs UPSERT all three
+ * mid-replay; ENFORCEABLE via [[Dedup.indexPin]] — a live pin makes
+ * those verbs refuse loudly instead of trusting prose).
+ * Re-fetched docs UPSERT all three
  * tiers: the dedup index replaces their signatures in place (gated
  * against the REST of the corpus, never their own prior version),
  * the text index retires the old postings for EVERY re-fetched id

@@ -312,6 +312,37 @@ object TextIndex {
   def hasDelivery(spark: SparkSession, dir: String, key: String): Boolean =
     clog(dir).latest(spark)._2.contains("#txn:" + key)
 
+  /** REPLAY PIN (mid-replay lease): while any pin is live, compaction
+   *  folds, tombstone retirement, and the direct rebuild REFUSE loudly
+   *  — they consume or reposition the commits whose layout a
+   *  mid-replay pipeline's membership cut depends on. Ingest, forget,
+   *  upsert, and every read path stay allowed. The pin is a ledger
+   *  entry (`#pin:<name>`), so it survives restart and folds; release
+   *  with [[unpin]]. Idempotent both ways.
+   */
+  def pin(spark: SparkSession, dir: String, name: String): Unit =
+    clog(dir).pin(spark, name)
+  def unpin(spark: SparkSession, dir: String, name: String): Unit =
+    clog(dir).unpin(spark, name)
+  def pins(spark: SparkSession, dir: String): Seq[String] =
+    clog(dir).pins(spark)
+
+  /** The loud half of the pin contract — throws IllegalStateException
+   *  (the "re-run later" class: StreamForget's opportunistic
+   *  retirement defers and counts it, a takedown stream never fails)
+   *  when a lease is live.
+   */
+  private def requireUnpinned(
+      spark: SparkSession, dir: String, what: String): Unit = {
+    val ps = clog(dir).pins(spark)
+    if (ps.nonEmpty) throw new IllegalStateException(
+      s"$what on $dir refused: index is pinned by " +
+        s"[${ps.mkString(", ")}] — a pipeline holds a mid-replay lease " +
+        "(replay stability of its membership cut depends on folds and " +
+        "retirement not consuming its commits); unpin after the " +
+        "pipeline drains, then re-run")
+  }
+
   /** Ledger a delivery key with NO data commit — the empty-hit
    *  discipline [[forgetDocs]] applies when nothing live matches,
    *  exposed for COMPOSITE verbs (the cross-index takedown's
@@ -1786,6 +1817,7 @@ object TextIndex {
    *  an already-folded input would double-count df/nd/tl.
    */
   def compactTiered(spark: SparkSession, dir: String, fanIn: Int = 8): Unit = {
+    requireUnpinned(spark, dir, "compactTiered")
     val cl = clog(dir)
     val (_, live) = cl.latest(spark)
     val all = live.filter(_.startsWith("c-"))
@@ -1828,7 +1860,9 @@ object TextIndex {
       // fold globally. Aborts (None) if an input moved — never
       // double-fold.
       val published = cl.commit(spark) { now =>
-        graft.store.CommitLog.spliceReplace(now, replaced, name)
+        if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
+          None // a replay pin raced in — abort, staging dropped
+        else graft.store.CommitLog.spliceReplace(now, replaced, name)
       }
       if (!published) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
@@ -1857,7 +1891,9 @@ object TextIndex {
       // inside its run, keeping the same tombstone coverage; None
       // when an input moved under us (abort, never double-fold)
       val published = cl.commit(spark) { now =>
-        graft.store.CommitLog.spliceReplace(now, dirs, name)
+        if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
+          None // a replay pin raced in — abort, staging dropped
+        else graft.store.CommitLog.spliceReplace(now, dirs, name)
       }
       if (!published) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
@@ -2034,6 +2070,8 @@ object TextIndex {
     val published = clog(dir).commit(spark) { now =>
       if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
           != snap) None // live set moved under us — abort, re-run
+      else if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
+        None // a replay pin raced in — abort, the re-run sees it loudly
       else Some(now.flatMap { e =>
         if (alsoDrop.contains(e)) Seq.empty
         else rewrites.get(e) match {
@@ -2056,6 +2094,7 @@ object TextIndex {
   }
 
   def retireOldestTombstone(spark: SparkSession, dir: String): Boolean = {
+    requireUnpinned(spark, dir, "retireOldestTombstone")
     val cl = clog(dir)
     val (_, live) = cl.latest(spark)
     val snap = live.filter(e => e.startsWith("c-") || e.startsWith("t-"))
@@ -2094,6 +2133,7 @@ object TextIndex {
       key: Option[String] = None): Unit = {
     require(ids.nonEmpty && ids.length <= 65536,
       s"forgetDocsRebuild takes 1..65536 ids per call (got ${ids.length})")
+    requireUnpinned(spark, dir, "forgetDocsRebuild")
     val cl = clog(dir)
     val txn = key.map { k =>
       require(k.nonEmpty && !k.contains('\n'), s"bad delivery key: $k")
