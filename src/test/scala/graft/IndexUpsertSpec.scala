@@ -76,9 +76,17 @@ class IndexUpsertSpec extends AnyFunSuite {
     assert(re.select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 0L)),
       "redelivery must return the original persisted report")
-    // full fold: exactly one doc-0 signature survives (the new one)
+    // full fold: exactly one doc-0 signature survives (the new one),
+    // the upsert's tombstone retires, and the cumulative pair READBACK
+    // is untouched (the invariant the timed dedup_index_upsert probe
+    // leans on instead of folding in-query)
+    val pairsPre = Dedup.indexPairs(spark, idx)
+      .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
     Dedup.indexCompact(spark, idx)
     assert(Dedup.indexTombstoneCount(spark, idx) == 0L)
+    assert(Dedup.indexPairs(spark, idx)
+        .select("a_id", "b_id").collect().map(_.toString).sorted.toSeq
+      == pairsPre, "compaction changed post-upsert pair readback")
     val c = new graft.store.CommitLog(s"$idx/_manifests")
       .latest(spark)._2.filter(_.startsWith("c-"))
     assert(spark.read.parquet(s"$idx/data/${c.head}/sig")
