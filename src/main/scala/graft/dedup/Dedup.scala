@@ -641,8 +641,7 @@ object Dedup {
    *  loser's cleanup can never touch committed data.
    */
   private def keyDigest(key: String): String =
-    java.security.MessageDigest.getInstance("SHA-1")
-      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+    graft.store.CommitLog.keyDigest(key)
 
   /** The empty (a_id, b_id, jaccard) pair report. */
   private def emptyPairs(
@@ -725,33 +724,30 @@ object Dedup {
    */
   def indexPairs(
       spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): DataFrame = {
-    require(indexHasPairReports(spark, indexDir),
-      s"no persisted pair reports under $indexDir — ingest with " +
-        "persistPairs = true")
-    readIndexLeg(spark, indexDir, "pairs", "a_id", "b_id").get
-  }
+      indexDir: String): DataFrame =
+    indexPairsIfAny(spark, indexDir).getOrElse(throw
+      new IllegalArgumentException(
+        s"requirement failed: no persisted pair reports under " +
+          s"$indexDir — ingest with persistPairs = true"))
 
-  /** True iff any live commit persisted a pair report — the cheap
-   *  driver-side existence probe composite verbs make BEFORE
-   *  [[indexPairs]] (which refuses loudly when nothing was persisted).
-   *  A caller that instead swallowed indexPairs' failure as "no
-   *  reports" would also swallow transient I/O errors — a takedown's
-   *  near-dup expansion would silently come up empty and the copies
-   *  escape erasure permanently (round-13 ADVICE).
+  /** The pair readback when any report was persisted, None otherwise —
+   *  ONE metadata pass (log read + per-commit existence probe).
+   *  Composite verbs branch on this EXPLICITLY instead of swallowing
+   *  [[indexPairs]]' failure: a blanket catch would also swallow
+   *  transient I/O errors, and a takedown's near-dup expansion that
+   *  silently came up empty would let the copies escape erasure
+   *  permanently (round-13 ADVICE).
    */
+  def indexPairsIfAny(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[DataFrame] =
+    readIndexLeg(spark, indexDir, "pairs", "a_id", "b_id")
+
+  /** True iff any live commit persisted a pair report. */
   def indexHasPairReports(
       spark: org.apache.spark.sql.SparkSession,
-      indexDir: String): Boolean = {
-    val conf = spark.sessionState.newHadoopConf()
-    new graft.store.CommitLog(s"$indexDir/_manifests")
-      .latest(spark)._2.filter(_.startsWith("c-"))
-      .map(d => s"$indexDir/data/$d/pairs")
-      .exists { p =>
-        val hp = new org.apache.hadoop.fs.Path(p)
-        hp.getFileSystem(conf).exists(hp)
-      }
-  }
+      indexDir: String): Boolean =
+    indexPairsIfAny(spark, indexDir).isDefined
 
   def indexCheckAndIngest(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
@@ -893,15 +889,9 @@ object Dedup {
 
   private def requireUnpinned(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
-      what: String): Unit = {
-    val ps = indexPins(spark, indexDir)
-    if (ps.nonEmpty) throw new IllegalStateException(
-      s"$what on $indexDir refused: index is pinned by " +
-        s"[${ps.mkString(", ")}] — a pipeline holds a mid-replay lease " +
-        "(indexKnownIds/indexPairsForDelivery replay stability depends " +
-        "on folds and retirement not consuming its commits); unpin " +
-        "after the pipeline drains, then re-run")
-  }
+      what: String): Unit =
+    new graft.store.CommitLog(s"$indexDir/_manifests")
+      .requireUnpinned(spark, s"$what on $indexDir")
 
   def indexCompactTiered(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
@@ -989,9 +979,8 @@ object Dedup {
     // text index's discipline). None when an input moved under us —
     // abort, never double-fold.
     val published = clog.commit(spark) { now =>
-      if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
-        None // a replay pin raced in — abort, staging dropped
-      else graft.store.CommitLog.spliceReplace(now, replaced, name)
+      graft.store.CommitLog.unlessPinned(now)(
+        graft.store.CommitLog.spliceReplace(now, replaced, name))
     }
     if (!published) {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$name")
@@ -1102,16 +1091,14 @@ object Dedup {
     val published = cl.commit(spark) { now =>
       if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
           != snap) None
-      else if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
-        None // a replay pin raced in — abort, the re-run sees it loudly
-      else Some(now.flatMap { e =>
+      else graft.store.CommitLog.unlessPinned(now)(Some(now.flatMap { e =>
         if (e == t) Seq.empty
         else rewrites.get(e) match {
           case Some("") => Seq.empty // fully-taken-down commit dropped
           case Some(n) => Seq(n)
           case None => Seq(e)
         }
-      })
+      }))
     }
     if (!published) {
       for (n <- rewrites.values if n.nonEmpty) {

@@ -415,10 +415,45 @@ object Similarity {
       s"ivfIndexForget takes 1..1000000 ids per call (got ${ids.length})")
     val txn = ivfTxn(spark, dir, key)
     import spark.implicits._
-    val name = s"t-${java.util.UUID.randomUUID().toString.take(12)}"
+    // keyed takedowns embed the key digest in the tombstone dir name
+    // (the dedup index's discipline) so the applied gone set stays
+    // addressable by key — [[ivfGoneForDelivery]] lets a multi-index
+    // takedown WITHOUT a dedup leg re-read the exact id set its first
+    // attempt applied instead of re-deriving a drifted one
+    val name = key match {
+      case Some(dk) =>
+        s"t-k${graft.store.CommitLog.keyDigest(dk)}-" +
+          java.util.UUID.randomUUID().toString.take(8)
+      case None => s"t-${java.util.UUID.randomUUID().toString.take(12)}"
+    }
     ids.distinct.toDF("vec_id")
       .coalesce(1).write.parquet(s"$dir/data/$name/gone")
     ivfPublish(spark, dir, name, txn, key)
+  }
+
+  /** ONE keyed takedown's applied gone set — the replay-stable record
+   *  the cross-index takedown re-reads when the IVF leg is its FIRST
+   *  (no dedup index targeted); mirrors
+   *  [[graft.dedup.Dedup.indexGoneForDelivery]]. Loud if the key
+   *  never delivered or its tombstone already retired/folded
+   *  (key-grain gone reads precede compaction — the standing
+   *  contract, enforceable with [[ivfIndexPin]]).
+   */
+  def ivfGoneForDelivery(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      key: String): DataFrame = {
+    val live = ivfLog(dir).latest(spark)._2
+    require(live.contains("#txn:" + key),
+      s"no takedown with delivery key $key in $dir")
+    val matches = live.filter(
+      _.startsWith(s"t-k${graft.store.CommitLog.keyDigest(key)}-"))
+    require(matches.nonEmpty,
+      s"the tombstone of delivery key $key in $dir is not addressable " +
+        "by key digest — a retirement or full fold already consumed it " +
+        "(key-grain gone reads must happen before the tombstone " +
+        "retires), or it predates keyed tombstone naming")
+    spark.read.parquet(s"$dir/data/${matches.head}/gone")
+      .select("vec_id")
   }
 
   /** VECTOR UPSERT for the persisted IVF index (the re-embed / crawl
@@ -493,8 +528,18 @@ object Similarity {
         // grown vector population (n_vectors / n_cells)
         val centStep = math.max(1L,
           st.getLong(1) / math.max(1L, st.getLong(0)))
-        ivfIndexRebuild(spark, dir, centStep, iters = 2,
+        // OPPORTUNISTIC maintenance: a refusal (a replay pin on the
+        // index) DEFERS the re-train — it must never fail the upsert
+        // itself, whose legs already committed and which the pin
+        // contract explicitly allows; the next threshold crossing
+        // re-measures
+        try ivfIndexRebuild(spark, dir, centStep, iters = 2,
           sampleStep = sampleStep): Unit
+        catch {
+          case e: IllegalStateException =>
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"opt-in re-train on $dir deferred: ${e.getMessage}")
+        }
       }
     }
   }
@@ -748,13 +793,8 @@ object Similarity {
 
   private def requireUnpinned(
       spark: org.apache.spark.sql.SparkSession, dir: String,
-      what: String): Unit = {
-    val ps = ivfLog(dir).pins(spark)
-    if (ps.nonEmpty) throw new IllegalStateException(
-      s"$what on $dir refused: index is pinned by " +
-        s"[${ps.mkString(", ")}] — a pipeline holds a mid-replay lease; " +
-        "unpin after the pipeline drains, then re-run")
-  }
+      what: String): Unit =
+    ivfLog(dir).requireUnpinned(spark, s"$what on $dir")
 
   def ivfIndexCompactTiered(
       spark: org.apache.spark.sql.SparkSession, dir: String,
@@ -836,9 +876,8 @@ object Similarity {
     // text index's discipline). None when an input moved under us —
     // abort, never double-fold.
     val published = cl.commit(spark) { now =>
-      if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
-        None // a replay pin raced in — abort, staging dropped
-      else graft.store.CommitLog.spliceReplace(now, replaced, name)
+      graft.store.CommitLog.unlessPinned(now)(
+        graft.store.CommitLog.spliceReplace(now, replaced, name))
     }
     if (!published) {
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
@@ -913,16 +952,14 @@ object Similarity {
     val published = cl.commit(spark) { now =>
       if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
           != snap) None
-      else if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
-        None // a replay pin raced in — abort, the re-run sees it loudly
-      else Some(now.flatMap { e =>
+      else graft.store.CommitLog.unlessPinned(now)(Some(now.flatMap { e =>
         if (e == t) Seq.empty
         else rewrites.get(e) match {
           case Some("") => Seq.empty // fully-taken-down commit dropped
           case Some(n) => Seq(n)
           case None => Seq(e)
         }
-      })
+      }))
     }
     if (!published) {
       for (n <- rewrites.values if n.nonEmpty) {
@@ -1086,14 +1123,15 @@ object Similarity {
    *  longer bounds it must fail loudly, not OOM.
    */
   private def collectBounded(
-      rows: DataFrame, hint: String): Array[(Long, Array[Double])] = {
+      rows: DataFrame, hint: String,
+      allowEmpty: Boolean = false): Array[(Long, Array[Double])] = {
     val out = rows
       .select(col("vec_id"), col("v"))
       .limit(65537) // guard materialization before the size check below
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    require(out.nonEmpty && out.length <= 65536,
+    require((allowEmpty || out.nonEmpty) && out.length <= 65536,
       s"IVF index sample must be 1..65536 rows (got ${out.length}); $hint")
     out
   }
@@ -1141,10 +1179,32 @@ object Similarity {
   def kmeansCentroids(
       corpus: DataFrame, centroidStep: Long, iters: Int,
       sampleStep: Long = 1L): Array[(Long, Array[Double])] = {
-    val sample = collectBounded(
+    // LATTICE-IMMUNE sampling: `vec_id % step == 0` can select ZERO
+    // rows when the id space is a lattice sharing a factor with the
+    // stride (vec_id == doc_id pipelines make this common — all ids
+    // ≡ 9 mod 20, even ids only, ...; the sf1 oracle sweep caught the
+    // stream fixture on exactly this). The auto-derived strides of
+    // the rebalance triggers cannot know the lattice, so the modulo
+    // sample FALLS BACK deterministically instead of refusing: the
+    // Lloyd sample to the lowest-vec_id 32768 rows, the seed set to a
+    // positional stride over the (vec_id-sorted) sample with the same
+    // expected seed count. Explicit well-chosen strides never hit
+    // either fallback, so oracle-mirrored callers are unchanged.
+    val strided = collectBounded(
       corpus.where(col("vec_id") % sampleStep === 0),
-      "raise sampleStep for this corpus")
-    val seeds = sample.filter(_._1 % centroidStep == 0)
+      "raise sampleStep for this corpus", allowEmpty = true)
+    val sample =
+      if (strided.nonEmpty) strided
+      else collectBounded(corpus.orderBy("vec_id").limit(32768),
+        "empty corpus cannot seed k-means")
+    val seeds0 = sample.filter(_._1 % centroidStep == 0)
+    val seeds =
+      if (seeds0.nonEmpty) seeds0
+      else {
+        val k = math.max(1,
+          math.ceil(centroidStep.toDouble / sampleStep).toInt)
+        sample.zipWithIndex.collect { case (v, i) if i % k == 0 => v }
+      }
     require(seeds.nonEmpty, "no seed centroids: centroidStep too large")
     var cents: Array[Array[Double]] = seeds.map(_._2)
     val dim = cents(0).length

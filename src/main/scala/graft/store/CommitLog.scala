@@ -40,6 +40,24 @@ object CommitLog {
    */
   val PinPrefix = "#pin:"
 
+  /** In-commit pin guard shared by every destructive publish closure:
+   *  abort (None) when a replay pin raced in between the caller's
+   *  entry check and its publish — the one place the guard lives, so
+   *  a new destructive verb cannot forget it.
+   */
+  def unlessPinned(now: Seq[String])(
+      body: => Option[Seq[String]]): Option[Seq[String]] =
+    if (now.exists(_.startsWith(PinPrefix))) None else body
+
+  /** The 16-hex key digest keyed commit/tombstone dir names embed
+   *  (`c-k<digest>-`/`t-k<digest>-`) so batch-grain artifacts stay
+   *  addressable by delivery key — shared by the dedup and IVF
+   *  indexes.
+   */
+  def keyDigest(key: String): String =
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(key.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(16)
+
   /** SOURCE-IDENTITY marker for federated merges: a `#txn:` entry
    *  derived from the source's published snapshot (version + live
    *  entries), recorded in the DESTINATION's log by every mergeFrom
@@ -413,6 +431,21 @@ final class CommitLog(manifestDir: String) {
   def pins(spark: SparkSession): Seq[String] =
     latest(spark)._2.filter(_.startsWith(CommitLog.PinPrefix))
       .map(_.stripPrefix(CommitLog.PinPrefix))
+
+  /** The loud half of the pin contract, shared by every destructive
+   *  consumer entry point: throws IllegalStateException (the "re-run
+   *  later" class — opportunistic maintainers defer and count it, a
+   *  stream never fails) when a lease is live.
+   */
+  def requireUnpinned(spark: SparkSession, what: String): Unit = {
+    val ps = pins(spark)
+    if (ps.nonEmpty) throw new IllegalStateException(
+      s"$what refused: index at $manifestDir is pinned by " +
+        s"[${ps.mkString(", ")}] — a pipeline holds a mid-replay lease " +
+        "(replay stability of its membership/pair reads depends on " +
+        "folds and retirement not consuming its commits); unpin after " +
+        "the pipeline drains, then re-run")
+  }
 
   /** Optimistic-concurrency publish: compute the next live set from the
    *  current one; `next` returning None ABORTS. Returns true iff a

@@ -119,8 +119,17 @@ object StreamAnnIndex {
               val step = rebalanceSampleStep.getOrElse(math.max(1L,
                 math.ceil(st.getLong(1).toDouble / TargetLloydSample)
                   .toLong))
-              Similarity.ivfIndexRebuild(s, indexDir, centroidStep,
+              // a refusal (replay pin) DEFERS the re-train — the
+              // append itself is allowed under a pin and the stream
+              // must not fail; the next batch re-measures
+              try Similarity.ivfIndexRebuild(s, indexDir, centroidStep,
                 iters = 2, sampleStep = step): Unit
+              catch {
+                case e: IllegalStateException =>
+                  org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                    s"in-stream re-train on $indexDir deferred: " +
+                      e.getMessage)
+              }
             }
           }
         }

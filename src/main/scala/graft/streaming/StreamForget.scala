@@ -117,12 +117,15 @@ object StreamForget {
    *  (shards ingested with `persistPairs = false` recorded nothing
    *  and contribute nothing).
    *
-   *  Replay soundness rests on LEG ORDER. The DEDUP leg runs FIRST
-   *  and its KEYED tombstone ([[graft.dedup.Dedup
-   *  .indexGoneForDelivery]]) becomes the authoritative record of the
-   *  resolved id set — later legs and replays re-read it instead of
-   *  re-deriving (a committed tombstone changes what the pair ledger
-   *  serves, so re-derivation would drift). The TEXT leg runs LAST as
+   *  Replay soundness rests on LEG ORDER. The FIRST tombstoning leg's
+   *  KEYED tombstone becomes the authoritative record of the resolved
+   *  id set — the dedup leg when targeted
+   *  ([[graft.dedup.Dedup.indexGoneForDelivery]]), else the ANN leg
+   *  ([[graft.sim.Similarity.ivfGoneForDelivery]]) — and later legs
+   *  and replays re-read it instead of re-deriving (a committed
+   *  tombstone changes what the ledgers serve, and content ingested
+   *  between crash and replay would make a re-resolution drift). The
+   *  TEXT leg runs LAST as
    *  the completion marker: a replay that finds `<key>.text` ledgered
    *  knows the whole verb ran; one that doesn't re-resolves from the
    *  untouched text store (no dedup index) or re-reads the dedup
@@ -160,6 +163,16 @@ object StreamForget {
         // authoritative resolved set — never re-derive on a replay
         bounded(graft.dedup.Dedup
           .indexGoneForDelivery(spark, dir, s"$key.dedup"), "replay")
+      case None if annIdx.exists(a =>
+          graft.sim.Similarity.ivfHasDelivery(spark, a, s"$key.ann")) =>
+        // no dedup leg targeted: the ANN leg ran FIRST, so its keyed
+        // tombstone is the authoritative record — re-resolving the
+        // predicate on replay would drift if matching content landed
+        // since the crash (the text leg would erase docs the
+        // already-committed ANN leg never saw: a permanent ann/text
+        // divergence no redelivery could repair)
+        bounded(graft.sim.Similarity
+          .ivfGoneForDelivery(spark, annIdx.get, s"$key.ann"), "replay")
       case _ =>
         val ids = bounded(graft.text.TextIndex
           .docsWhere(spark, textIdx, predicate)
@@ -168,26 +181,24 @@ object StreamForget {
         else {
           import spark.implicits._
           val base = broadcast(ids.toDF("doc_id"))
-          // explicit existence probe, never a blanket Try: "no
+          // explicit Option branch, never a blanket Try: "no
           // persisted pair reports" legitimately expands to nothing,
           // but a transient I/O failure must PROPAGATE so the takedown
           // retries before its keys ledger — swallowing it would skip
           // partner expansion silently and the near-duplicate copies
           // would escape erasure permanently (redelivery returns 0)
-          val partners =
-            if (!graft.dedup.Dedup.indexHasPairReports(spark, dedupIdx.get))
-              Seq.empty[Long]
-            else {
-              val pairs = graft.dedup.Dedup.indexPairs(spark, dedupIdx.get)
-              bounded(
-                pairs.join(base.select(col("doc_id").as("a_id")),
-                    Seq("a_id"), "left_semi").select(col("b_id").as("doc_id"))
-                  .unionByName(pairs
-                    .join(base.select(col("doc_id").as("b_id")),
-                      Seq("b_id"), "left_semi")
-                    .select(col("a_id").as("doc_id"))),
-                "near-dup expansion")
-            }
+          val partners = graft.dedup.Dedup
+            .indexPairsIfAny(spark, dedupIdx.get) match {
+            case None => Seq.empty[Long]
+            case Some(pairs) => bounded(
+              pairs.join(base.select(col("doc_id").as("a_id")),
+                  Seq("a_id"), "left_semi").select(col("b_id").as("doc_id"))
+                .unionByName(pairs
+                  .join(base.select(col("doc_id").as("b_id")),
+                    Seq("b_id"), "left_semi")
+                  .select(col("a_id").as("doc_id"))),
+              "near-dup expansion")
+          }
           val union = (ids ++ partners).distinct
           require(union.length <= 65536,
             s"forgetWhereAll's expanded set (${union.length} ids) " +

@@ -333,15 +333,8 @@ object TextIndex {
    *  when a lease is live.
    */
   private def requireUnpinned(
-      spark: SparkSession, dir: String, what: String): Unit = {
-    val ps = clog(dir).pins(spark)
-    if (ps.nonEmpty) throw new IllegalStateException(
-      s"$what on $dir refused: index is pinned by " +
-        s"[${ps.mkString(", ")}] — a pipeline holds a mid-replay lease " +
-        "(replay stability of its membership cut depends on folds and " +
-        "retirement not consuming its commits); unpin after the " +
-        "pipeline drains, then re-run")
-  }
+      spark: SparkSession, dir: String, what: String): Unit =
+    clog(dir).requireUnpinned(spark, s"$what on $dir")
 
   /** Ledger a delivery key with NO data commit — the empty-hit
    *  discipline [[forgetDocs]] applies when nothing live matches,
@@ -608,10 +601,7 @@ object TextIndex {
       if (hit.isEmpty) {
         // nothing live to delete — still ledger the delivery key so a
         // redelivered (already-applied) takedown probes as done
-        txn.foreach { t =>
-          cl.commit(spark)(now =>
-            if (now.contains(t)) None else Some(now :+ t)): Unit
-        }
+        key.foreach(ledgerDelivery(spark, dir, _))
         return
       }
       val tp = hit
@@ -1860,9 +1850,8 @@ object TextIndex {
       // fold globally. Aborts (None) if an input moved — never
       // double-fold.
       val published = cl.commit(spark) { now =>
-        if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
-          None // a replay pin raced in — abort, staging dropped
-        else graft.store.CommitLog.spliceReplace(now, replaced, name)
+        graft.store.CommitLog.unlessPinned(now)(
+          graft.store.CommitLog.spliceReplace(now, replaced, name))
       }
       if (!published) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
@@ -1891,9 +1880,8 @@ object TextIndex {
       // inside its run, keeping the same tombstone coverage; None
       // when an input moved under us (abort, never double-fold)
       val published = cl.commit(spark) { now =>
-        if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
-          None // a replay pin raced in — abort, staging dropped
-        else graft.store.CommitLog.spliceReplace(now, dirs, name)
+        graft.store.CommitLog.unlessPinned(now)(
+          graft.store.CommitLog.spliceReplace(now, dirs, name))
       }
       if (!published) {
         val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
@@ -2070,16 +2058,14 @@ object TextIndex {
     val published = clog(dir).commit(spark) { now =>
       if (now.filter(e => e.startsWith("c-") || e.startsWith("t-"))
           != snap) None // live set moved under us — abort, re-run
-      else if (now.exists(_.startsWith(graft.store.CommitLog.PinPrefix)))
-        None // a replay pin raced in — abort, the re-run sees it loudly
-      else Some(now.flatMap { e =>
+      else graft.store.CommitLog.unlessPinned(now)(Some(now.flatMap { e =>
         if (alsoDrop.contains(e)) Seq.empty
         else rewrites.get(e) match {
           case Some("") => Seq.empty // fully-taken-down commit dropped
           case Some(n) => Seq(n) // rewritten in place — coverage intact
           case None => Seq(e)
         }
-      } :++ append)
+      } :++ append))
     }
     if (!published) {
       val conf = spark.sessionState.newHadoopConf()

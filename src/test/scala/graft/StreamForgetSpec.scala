@@ -351,6 +351,55 @@ class StreamForgetSpec extends AnyFunSuite {
       .count() == 0L)
   }
 
+  test("forgetWhereAll with annIdx but NO dedupIdx: the ANN leg's " +
+      "keyed tombstone is the authoritative resolved set — a crash " +
+      "between the ann and text legs plus a concurrent matching " +
+      "ingest must NOT erase the newcomer's text while its vector " +
+      "stays live (the ann/text divergence)") {
+    val textIdx = TestSpark.tmpDir("fwa_annonly_text")
+    val annIdx = TestSpark.tmpDir("fwa_annonly_ann")
+    TextIndex.ingestShard(spark, textIdx,
+      corpus.where(col("doc_id").isin(0L, 1L)), "doc_id", "text",
+      key = Some("w0"))
+    val vecs = Similarity.asDouble(
+      Seq(0L, 1L, 4L).zipWithIndex.map { case (id, i) =>
+        val a = Array.fill(8)(0f); a(i) = 1f; (id, a)
+      }.toDF("vec_id", "embedding"), "vec_id", "embedding")
+    Similarity.ivfIndexBuild(spark, annIdx,
+      vecs.where(col("vec_id") < 4), centroidStep = 1L, key = Some("w0"))
+    // the crash: the ANN leg committed {0} (doc 0 matches 'fox'),
+    // the text leg did not
+    Similarity.ivfIndexForget(spark, annIdx, Seq(0L),
+      key = Some("g.ann"))
+    // a crawl lands doc 4 — ALSO matching 'fox' — in the gap
+    TextIndex.ingestShard(spark, textIdx,
+      corpus.where(col("doc_id") === 4L), "doc_id", "text",
+      key = Some("w1"))
+    Similarity.ivfIndexAppend(spark, annIdx,
+      vecs.where(col("vec_id") === 4L), key = Some("w1"))
+    // replay: must re-read the ANN record {0}, never re-resolve
+    // {0, 4} — doc 4 is a new takedown's business
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "g", textIdx,
+      annIdx = Some(annIdx)) == 1L)
+    assert(TextIndex.docsFor(spark, textIdx, Seq(0L)).count() == 0L,
+      "the recorded id must complete the text leg")
+    assert(TextIndex.docsFor(spark, textIdx, Seq(4L)).count() == 1L,
+      "the replay erased a doc the committed ANN leg never saw")
+    assert(Similarity.ivfIndexQuery(spark, annIdx,
+        vecs.where(col("vec_id") === 1L), k = 3, nProbe = 2)
+      .collect().map(_.getLong(1)).toSet == Set(4L),
+      "vector state must match: 0 gone, 4 live")
+    // doc 4 is reachable by a FRESH takedown (cross-index, both legs)
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "g2", textIdx,
+      annIdx = Some(annIdx)) == 1L)
+    assert(TextIndex.docsFor(spark, textIdx, Seq(4L)).count() == 0L)
+    assert(Similarity.ivfIndexQuery(spark, annIdx,
+        vecs.where(col("vec_id") === 1L), k = 3, nProbe = 2)
+      .collect().forall(_.getLong(1) != 4L))
+  }
+
   test("deferred-retirement observability: consecutive lost publishes " +
       "are counted per index and reset on a win") {
     val dir = "/observability/probe/only"
