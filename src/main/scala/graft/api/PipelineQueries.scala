@@ -1284,8 +1284,11 @@ object PipelineQueries {
         .createTempDirectory("graft_ivf_drift").toString
       val base = embBase(s, dir)
       val n = base.count()
-      Similarity.ivfIndexBuild(s, idx, base, Similarity.boundedStep(n),
-        key = Some("f0"))
+      // ~16 cells at any sf: the probe is a drift CHARACTERIZATION,
+      // and a 256-cell index pays ~250 dynamic-partition files per
+      // build/append/rebuild write — file-count overhead, not signal
+      val step = math.max(7L, math.ceil(n / 16.0).toLong)
+      Similarity.ivfIndexBuild(s, idx, base, step, key = Some("f0"))
       def rot(k: Int): Column = transform(sequence(lit(1), lit(64)),
         i => element_at(col("v"), ((i - lit(1) + lit(k)) % 64) + 1))
       for ((w, k) <- Seq((1, 16), (2, 32)))
@@ -1316,8 +1319,7 @@ object PipelineQueries {
       }
       try {
         val drifted = recall("drifted")
-        require(Similarity.ivfIndexRebuild(s, idx,
-            Similarity.boundedStep(n), iters = 2),
+        require(Similarity.ivfIndexRebuild(s, idx, step, iters = 2),
           "single-writer re-train must publish")
         val v = Similarity.ivfVersion(s, idx)
         Similarity.ivfIndexUpsert(s, idx,
@@ -4455,7 +4457,8 @@ object PipelineQueries {
    *  corpus the upsert waves already mutated, which no `WHERE` over
    *  the raw embeddings table can express.
    */
-  private def kmeansArPrefixFrom(eBody: String): String = {
+  private def kmeansArPrefixFrom(
+      eBody: String, targetCells: Int = 256): String = {
     def iter(n: Int, prev: String): String =
       s"""s$n AS (
          |  SELECT e.vec_id, e.v, c.c_idx,
@@ -4481,7 +4484,7 @@ object PipelineQueries {
        |c0 AS (
        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c_idx, v AS cv
        |  FROM e
-       |  WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / 256.0) AS BIGINT))
+       |  WHERE vec_id % (SELECT greatest(7, CAST(ceil(count(*) / $targetCells.0) AS BIGINT))
        |                  FROM e) = 0),
        |${iter(1, "c0")},
        |${iter(2, "c1")},
@@ -4518,7 +4521,7 @@ object PipelineQueries {
         |    ELSE v0 END AS v
         |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
         |        FROM embeddings)""".stripMargin
-    kmeansArPrefixFrom(eBody) +
+    kmeansArPrefixFrom(eBody, targetCells = 16) +
       s""",
         |base0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v0
         |          FROM embeddings),
@@ -4536,7 +4539,7 @@ object PipelineQueries {
         |         v0 AS cv
         |       FROM base0
         |       WHERE vec_id % (SELECT greatest(7,
-        |           CAST(ceil(count(*) / 256.0) AS BIGINT))
+        |           CAST(ceil(count(*) / 16.0) AS BIGINT))
         |         FROM base0) = 0),
         |acf AS (SELECT e2.vec_id, e2.v, c.c_idx,
         |    ${cosE("e2.v", "c.cv")} AS ccos
