@@ -2467,6 +2467,82 @@ object PipelineQueries {
         .searchBm25(s, textIdx, Seq("merge", "window", "table"), 20)
         .orderBy("rank")
     }),
+    // DEEP INTEGRITY + CROSS-INDEX CONSISTENCY fsck — the DETECTION
+    // half of every lockstep contract the mutation tier is built on.
+    // Three indexes (text/dedup/IVF, vec_id == doc_id via the embed
+    // histogram) are fed the same slice, then mutated through one
+    // full lifecycle wave — forget (%100==3) and upsert (%100==23,
+    // text + ' v2') on ALL tiers — and IndexFsck.report recomputes
+    // every derived leg from its doc-grain source of truth: folded
+    // vocab df vs posting recount, folded (nd, tl) vs recount,
+    // pos/post parity with positions-length == tf, forward-store
+    // coverage + uniqueness, sig/sh parity with stored-set-size
+    // recount, pair-report membership, IVF cell re-assignment under
+    // the live centroids, and the cross-index membership diffs. The
+    // oracle recomputes each check's audited universe declaratively
+    // over the post-mutation corpus with violations pinned at 0 — so
+    // a scoping bug, torn fold, or membership drift anywhere in the
+    // order-scoped-tombstone machinery hash-mismatches. FsckSpec
+    // proves the detectors actually fire (injected stray posting
+    // rows, forged sig rows, a wrong-cell vector). Cost ∝ index,
+    // never corpus text — runnable at 100 TB the way fsck is meant
+    // to be run: after incidents, before irreversible maintenance
+    "index_fsck" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+      val textIdx = java.nio.file.Files
+        .createTempDirectory("graft_fsck_text").toString
+      val dedupIdx = java.nio.file.Files
+        .createTempDirectory("graft_fsck_dedup").toString
+      val annIdx = java.nio.file.Files
+        .createTempDirectory("graft_fsck_ann").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(20)) === 3)
+        .persist()
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      def par[T](fs: Seq[() => T]): Seq[T] =
+        Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+      def embed(c: Column) =
+        toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
+      // stride coprime to the %20==3 lattice or the centroid sample
+      // is empty (the established coprime-stride walk)
+      val step = Iterator.iterate(Similarity.boundedStep(d.count()))(_ + 1)
+        .find(st => BigInt(st).gcd(BigInt(20)) == 1).get
+      par(Seq(
+        () => graft.text.TextIndex.ingestShard(s, textIdx, d,
+          "doc_id", "text", key = Some("w0")),
+        () => Dedup.indexCheckAndIngest(s, dedupIdx, d, "doc_id", "text",
+          JaccardThreshold, deliveryKey = Some("w0"),
+          persistPairs = true): Unit,
+        () => Similarity.ivfIndexBuild(s, annIdx,
+          d.select(col("doc_id").as("vec_id"), embed(col("text")).as("v")),
+          step, key = Some("w0"))))
+      val gone = d.where(pmod(col("doc_id"), lit(100)) === 3)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      require(gone.nonEmpty && gone.length <= 65536,
+        s"fsck fixture: bad gone set (${gone.length})")
+      par(Seq(
+        () => graft.text.TextIndex.forgetDocs(s, textIdx, gone,
+          key = Some("f0")),
+        () => Dedup.indexForgetDocs(s, dedupIdx, gone, key = Some("f0")),
+        () => Similarity.ivfIndexForget(s, annIdx, gone, key = Some("f0"))))
+      val up = d.where(pmod(col("doc_id"), lit(100)) === 23)
+        .select(col("doc_id"), concat(col("text"), lit(" v2")).as("text"))
+        .persist()
+      par(Seq(
+        () => graft.text.TextIndex.upsertDocs(s, textIdx, up,
+          "doc_id", "text", key = Some("u0")),
+        () => Dedup.indexUpsertDocs(s, dedupIdx, up, "doc_id", "text",
+          JaccardThreshold, key = Some("u0"), persistPairs = true): Unit,
+        () => Similarity.ivfIndexUpsert(s, annIdx,
+          up.select(col("doc_id").as("vec_id"), embed(col("text")).as("v")),
+          key = Some("u0"))))
+      d.unpersist(): Unit
+      up.unpersist(): Unit
+      graft.store.IndexFsck.report(s, textIdx, dedupIdx, Some(annIdx))
+        .orderBy("tier", "check")
+    }),
     // END-TO-END TAKEDOWN AUDIT — the proof the mutation tier builds
     // toward: after a cross-index predicate takedown (docs whose text
     // contains the phrase 'window scan'), tombstone-scoped retirement
@@ -5165,6 +5241,43 @@ object PipelineQueries {
     // counts are the probe's k (all cells probed, survivors >= k);
     // physical rows are the survivor count (one docs/sig/vector row
     // per doc)
+    // fsck ≡ every check's audited universe recomputed declaratively
+    // over the post-mutation corpus (slice minus %100==3 forgets, with
+    // the %100==23 upserts' ' v2' texts live), violations pinned at 0
+    // — the healthy-index contract asserted by BOTH engines
+    "index_fsck" ->
+      """WITH d AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 20 = 3),
+        |live AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 100 = 23 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM d WHERE doc_id % 100 <> 3),
+        |tok AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM live)
+        |  WHERE length(t) > 0),
+        |dt AS (SELECT DISTINCT doc_id, t FROM tok),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) c FROM live),
+        |nt AS (SELECT CAST(count(DISTINCT t) AS BIGINT) c FROM dt),
+        |np AS (SELECT CAST(count(*) AS BIGINT) c FROM dt),
+        |ns AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) c FROM dt)
+        |SELECT tier, "check", CAST(0 AS BIGINT) AS violations, audited
+        |FROM (
+        |  SELECT 'ann' AS tier, 'cell_assignment' AS "check",
+        |    (SELECT c FROM nd) AS audited
+        |  UNION ALL SELECT 'ann', 'dim_uniform', (SELECT c FROM nd)
+        |  UNION ALL SELECT 'ann', 'vec_unique', (SELECT c FROM nd)
+        |  UNION ALL SELECT 'cross', 'text_vs_ann', (SELECT c FROM nd)
+        |  UNION ALL SELECT 'cross', 'text_vs_dedup', (SELECT c FROM nd)
+        |  UNION ALL SELECT 'dedup', 'pairs_membership', (SELECT c FROM nd)
+        |  UNION ALL SELECT 'dedup', 'sig_n_recount', (SELECT c FROM nd)
+        |  UNION ALL SELECT 'dedup', 'sig_sh_parity', (SELECT c FROM nd)
+        |  UNION ALL SELECT 'dedup', 'sig_unique', (SELECT c FROM nd)
+        |  UNION ALL SELECT 'text', 'docs_coverage', (SELECT c FROM ns)
+        |  UNION ALL SELECT 'text', 'docs_unique', (SELECT c FROM nd)
+        |  UNION ALL SELECT 'text', 'pos_post_parity', (SELECT c FROM np)
+        |  UNION ALL SELECT 'text', 'stats_fold', (SELECT c FROM ns)
+        |  UNION ALL SELECT 'text', 'vocab_df', (SELECT c FROM nt)
+        |) ORDER BY tier, "check"""".stripMargin,
     "index_forget_audit" ->
       """WITH d AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id % 20 = 9),

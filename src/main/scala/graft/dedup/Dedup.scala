@@ -633,6 +633,94 @@ object Dedup {
       .crossJoin(nDocs).crossJoin(nPost).crossJoin(nPairs)
   }
 
+  /** LIVE DOC MEMBERSHIP as one (doc_id) frame — the signature leg's
+   *  tombstone-scoped readback (one row per live doc). The cross-index
+   *  consistency check ([[graft.store.IndexFsck]]) compares this
+   *  against the text and ANN memberships.
+   */
+  def indexDocIds(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame =
+    readIndexLeg(spark, indexDir, "sig", "doc_id")
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: no live commits in dedup index $indexDir"))
+      .select("doc_id")
+
+  /** DEEP INTEGRITY CHECK (fsck) — recompute the dedup index's
+   *  derived invariants from its own tombstone-scoped readbacks and
+   *  report (check, violations, audited):
+   *
+   *  | check           | violation = …                                 |
+   *  |-----------------|-----------------------------------------------|
+   *  | sig_unique      | doc with > 1 live signature rows (the upsert
+   *  |                 | discipline guarantees exactly one)            |
+   *  | sig_sh_parity   | doc live in sig xor in shingle postings       |
+   *  | sig_n_recount   | stored set size n ≠ live shingle recount      |
+   *  | pairs_membership| persisted pair naming a non-live doc on
+   *  |                 | either side                                   |
+   *
+   *  audited = live doc count for every check (the membership
+   *  universe). All-zeros is the healthy state — ingest constructs
+   *  sig FROM the shingle postings, so every check holds by
+   *  construction at write time; a nonzero row means a stray writer,
+   *  a torn fold, or a tombstone-scoping bug — the DETECTION half of
+   *  the order-scoped-tombstone design. Cost ∝ index (doc- and
+   *  shingle-grain joins), never corpus text.
+   */
+  def indexFsck(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): DataFrame = {
+    import spark.implicits._
+    val sig = readIndexLeg(spark, indexDir, "sig", "doc_id")
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: no live commits in dedup index $indexDir"))
+      .select(col("doc_id"), col("n")).persist()
+    try {
+      val nDocs = sig.select("doc_id").distinct().count()
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val isViol = (c: org.apache.spark.sql.Column) =>
+        sum(when(c, 1L).otherwise(0L))
+      val shCounts = readIndexLeg(spark, indexDir, "sh", "doc_id")
+        .map(_.groupBy("doc_id").agg(count(lit(1)).as("n2")))
+      val checks: Seq[Future[Seq[(String, Long, Long)]]] = Seq(
+        Future {
+          val r = sig.groupBy("doc_id").agg(count(lit(1)).as("m"))
+            .agg(isViol(col("m") > 1).as("viol")).head()
+          Seq(("sig_unique", r.getLong(0), nDocs))
+        },
+        Future {
+          // one full-outer pass serves BOTH membership parity and the
+          // stored-set-size recount (a doc live on one side only is a
+          // parity violation; a doc on both with n ≠ recount, a
+          // recount violation)
+          val r = sig.join(shCounts.getOrElse(
+              spark.emptyDataset[(Long, Long)].toDF("doc_id", "n2")),
+              Seq("doc_id"), "full_outer")
+            .agg(isViol(col("n").isNull || col("n2").isNull).as("parity"),
+              isViol(col("n").isNotNull && col("n2").isNotNull &&
+                col("n") =!= col("n2")).as("recount")).head()
+          Seq(("sig_sh_parity", r.getLong(0), nDocs),
+            ("sig_n_recount", r.getLong(1), nDocs))
+        },
+        Future {
+          val viol = indexPairsIfAny(spark, indexDir) match {
+            case None => 0L
+            case Some(pairs) =>
+              val ids = pairs.select(col("a_id").as("doc_id"))
+                .unionByName(pairs.select(col("b_id").as("doc_id")))
+                .distinct()
+              ids.join(sig.select("doc_id"), Seq("doc_id"), "left_anti")
+                .count()
+          }
+          Seq(("pairs_membership", viol, nDocs))
+        })
+      Await.result(Future.sequence(checks), Duration.Inf).flatten
+        .toDF("check", "violations", "audited")
+    } finally sig.unpersist(): Unit
+  }
+
   /** Stable digest of a delivery key, embedded in a keyed shard's
    *  commit-dir name (`c-k<digest>-<rand>`) so the shard's own pair
    *  report stays ADDRESSABLE BY KEY ([[indexPairsForDelivery]]). The

@@ -1095,6 +1095,77 @@ object Similarity {
           .as("imbalance_ppm"))
   }
 
+  /** LIVE VECTOR MEMBERSHIP as one (vec_id) frame — the posting leg's
+   *  tombstone-scoped readback. The cross-index consistency check
+   *  ([[graft.store.IndexFsck]]) compares this against the text and
+   *  dedup memberships.
+   */
+  def ivfVecIds(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    readIvfPosts(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"requirement failed: no live posting commits in IVF index $dir"))
+      .select("vec_id")
+
+  /** DEEP INTEGRITY CHECK (fsck) — recompute the IVF index's stored
+   *  invariants from the tombstone-scoped posting readback and the
+   *  live centroid generation, reporting (check, violations, audited):
+   *
+   *  | check           | violation = …                                 |
+   *  |-----------------|-----------------------------------------------|
+   *  | vec_unique      | vec_id with > 1 live posting rows (the upsert
+   *  |                 | discipline guarantees exactly one)            |
+   *  | cell_assignment | stored cell ≠ the vector's nearest LIVE
+   *  |                 | centroid (appends/upserts assign under the
+   *  |                 | frozen generation; a rebuild reassigns — so
+   *  |                 | live rows must always agree with live cents)  |
+   *  | dim_uniform     | vector length ≠ the centroid dimension        |
+   *
+   *  audited = live vector count. All-zeros is the healthy state; a
+   *  nonzero cell_assignment means torn centroid/posting state (a
+   *  stray writer or a broken rebuild swap) that silently degrades
+   *  recall — exactly the corruption class an ANN index can't surface
+   *  through query results alone. One pass over the postings +
+   *  argmax against the driver-resident centroids (the same
+   *  bounded-broadcast shape as every probe) — cost ∝ index.
+   */
+  def ivfIndexFsck(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = collectBounded(
+      spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
+      "the stored centroid set must stay index-small")
+    val (ids, vecs) = (cents.map(_._1), cents.flatMap(_._2))
+    val dim = cents.head._2.length
+    val posts = readIvfPosts(spark, dir)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no live posting commits in IVF index $dir"))
+    val isViol = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    // ONE doc-grain pass computes all three: per-vec multiplicity via
+    // the groupBy, assignment and dim checked per row and max'd up
+    val r = posts
+      .select(col("vec_id"),
+        // CaseWhen evaluates lazily per row: a wrong-dim vector counts
+        // as ITS violation instead of crashing the argmax probe
+        when(size(col("v")) =!= lit(dim), lit(true))
+          .otherwise(col("cell") =!= element_at(
+            toCol(graft.functions.TopCentroids(
+              toExpr(col("v")), ids, vecs, 1)), 1)).as("bad_cell"),
+        (size(col("v")) =!= lit(dim)).as("bad_dim"))
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("m"),
+        max(col("bad_cell")).as("bad_cell"),
+        max(col("bad_dim")).as("bad_dim"))
+      .agg(isViol(col("m") > 1).as("dup"),
+        isViol(col("bad_cell")).as("cell"),
+        isViol(col("bad_dim")).as("dim"),
+        count(lit(1)).as("aud")).head()
+    Seq(("cell_assignment", r.getLong(1), r.getLong(3)),
+      ("dim_uniform", r.getLong(2), r.getLong(3)),
+      ("vec_unique", r.getLong(0), r.getLong(3)))
+      .toDF("check", "violations", "audited")
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
    *  top-k MOST similar candidates inside the band (loCos, hiCos) —
    *  similar enough to be informative negatives, strictly below the

@@ -942,6 +942,110 @@ object TextIndex {
     st.crossJoin(vocab).crossJoin(posts)
   }
 
+  /** LIVE DOC MEMBERSHIP as one (doc_id) frame — the forward docs leg
+   *  when every commit carries it (the only leg that includes
+   *  zero-token docs), else the distinct posted ids. Tombstone-scoped
+   *  like every read. The cross-index consistency check
+   *  ([[graft.store.IndexFsck]]) compares this against the dedup and
+   *  ANN memberships — pipelines that maintain the three in lockstep
+   *  get drift DETECTION, not just drift avoidance.
+   */
+  def liveDocIds(spark: SparkSession, dir: String): DataFrame =
+    if (hasDocsLeg(spark, dir))
+      readDocGrain(spark, dir, "docs").select("doc_id")
+    else readDocGrain(spark, dir, "post").select("doc_id").distinct()
+
+  /** DEEP INTEGRITY CHECK (fsck) — recompute every derived leg from
+   *  the doc-grain source of truth (the tombstone-scoped posting
+   *  readback) and compare against what the index actually serves:
+   *
+   *  | check            | violation = …                                |
+   *  |------------------|----------------------------------------------|
+   *  | vocab_df         | token whose FOLDED df (vocab + dvocab deltas)
+   *  |                  | ≠ live posting recount (or live on one side) |
+   *  | stats_fold       | folded (nd, tl) ≠ recount from postings      |
+   *  | pos_post_parity  | (token, doc) in pos xor post, or
+   *  |                  | size(positions) ≠ tf                         |
+   *  | docs_coverage    | posted doc without a forward-store row       |
+   *  | docs_unique      | forward-store doc with > 1 live rows         |
+   *
+   *  Returns (check, violations, audited) — audited is the check's
+   *  universe size (live tokens / docs / postings), so a healthy
+   *  index reads as all-zeros with honest denominators. This is what
+   *  turns the mutation tier's invariants (order-scoped tombstones,
+   *  delta-exact folds, retirement rewrites) from design prose into a
+   *  RUNNABLE audit: any divergence a bug or a stray writer introduces
+   *  surfaces as a nonzero row, at cost ∝ index (one pass per leg +
+   *  token/doc-grain joins), never ∝ corpus text. Checks whose leg is
+   *  absent (a Minimal-profile index) are omitted from the report.
+   */
+  def fsck(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    require(liveSub(spark, dir, "post").nonEmpty,
+      s"no live shards in text index $dir")
+    val post = readDocGrain(spark, dir, "post")
+      .select(col("token"), col("doc_id"), col("tf")).persist()
+    try {
+      post.count(): Unit // populate before the concurrent check jobs
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val isViol = (c: Column) => sum(when(c, 1L).otherwise(0L))
+      val checks: Seq[Future[(String, Long, Long)]] = Seq(
+        Some(Future {
+          val folded = vocabRows(spark, dir).groupBy("token")
+            .agg(sum("df").as("df")).where(col("df") > 0)
+          val recount = post.groupBy("token")
+            .agg(count(lit(1)).as("df2"))
+          val r = folded.join(recount, Seq("token"), "full_outer")
+            .agg(isViol(coalesce(col("df"), lit(0L)) =!=
+                coalesce(col("df2"), lit(0L))).as("viol"),
+              count(lit(1)).as("aud")).head()
+          ("vocab_df", r.getLong(0), r.getLong(1))
+        }),
+        Some(Future {
+          val e = post.groupBy("doc_id").agg(sum("tf").as("dl"))
+            .agg(count(lit(1)).as("nd"),
+              coalesce(sum("dl"), lit(0L)).as("tl")).head()
+          val g = statsRows(spark, dir)
+            .agg(coalesce(sum("nd"), lit(0L)).as("nd"),
+              coalesce(sum("tl"), lit(0L)).as("tl")).head()
+          ("stats_fold",
+            if (e.getLong(0) == g.getLong(0) && e.getLong(1) == g.getLong(1))
+              0L else 1L,
+            e.getLong(0))
+        }),
+        Option.when(hasPositionalLeg(spark, dir))(Future {
+          val pos = readDocGrain(spark, dir, "pos")
+            .select(col("token"), col("doc_id"),
+              size(col("positions")).cast("long").as("np"))
+          val r = post.join(pos, Seq("token", "doc_id"), "full_outer")
+            .agg(isViol(col("tf").isNull || col("np").isNull ||
+                col("tf") =!= col("np")).as("viol"),
+              count(lit(1)).as("aud")).head()
+          ("pos_post_parity", r.getLong(0), r.getLong(1))
+        }),
+        Option.when(hasDocsLeg(spark, dir))(Future {
+          val fwd = readDocGrain(spark, dir, "docs")
+            .select("doc_id").distinct()
+          val r = post.select("doc_id").distinct()
+            .join(fwd.withColumn("has", lit(1)), Seq("doc_id"), "left_outer")
+            .agg(isViol(col("has").isNull).as("viol"),
+              count(lit(1)).as("aud")).head()
+          ("docs_coverage", r.getLong(0), r.getLong(1))
+        }),
+        Option.when(hasDocsLeg(spark, dir))(Future {
+          val r = readDocGrain(spark, dir, "docs")
+            .groupBy("doc_id").agg(count(lit(1)).as("m"))
+            .agg(isViol(col("m") > 1).as("viol"),
+              count(lit(1)).as("aud")).head()
+          ("docs_unique", r.getLong(0), r.getLong(1))
+        })).flatten
+      Await.result(Future.sequence(checks), Duration.Inf)
+        .toDF("check", "violations", "audited")
+    } finally post.unpersist(): Unit
+  }
+
   /** PREFIX SUGGESTION (autocomplete): top-`k` indexed tokens starting
    *  with `prefix`, ranked by folded document frequency (ties by
    *  token) — the query-suggestion surface a search box needs, served

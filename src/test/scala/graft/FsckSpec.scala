@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.dedup.Dedup
+import graft.sim.Similarity
+import graft.store.IndexFsck
+import graft.text.TextIndex
+
+/**
+ * fsck = the DETECTION half of the index-consistency design. The
+ * clean-lifecycle test pins the healthy contract (all violations 0
+ * with honest audited universes, through forget + upsert waves); the
+ * injection tests prove each detector actually FIRES — a stray
+ * posting row, a forged signature, a wrong-cell vector, and a
+ * one-tier membership hole are each planted bypassing the commit
+ * protocol (exactly what a stray writer would do) and must surface
+ * as nonzero violations, not as silently wrong search results.
+ */
+class FsckSpec extends AnyFunSuite {
+  private val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val corpus = Seq(
+    (0L, "spark merge sort merge shuffle"),
+    (1L, "window scan window window table"),
+    (2L, "merge window table scan plan"),
+    (3L, "totally unrelated words live here"),
+    (4L, "scan scan scan merge table"),
+    (5L, "zebra zebra merge plan plan"))
+    .toDF("doc_id", "text")
+
+  private def vecs = corpus.select(col("doc_id").as("vec_id"),
+    array((0 to 3).map(i =>
+      (col("doc_id") * 2 + i).cast("double") % 7.0): _*).as("v"))
+
+  private def firstCommit(d: String): String =
+    new graft.store.CommitLog(s"$d/_manifests")
+      .latest(spark)._2.filter(_.startsWith("c-")).head
+
+  private def reportOf(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("clean lifecycle (ingest + forget + upsert on all tiers) " +
+      "fscks all-zeros with honest audited universes") {
+    val (t, dd, a) = (TestSpark.tmpDir("fsck_t"),
+      TestSpark.tmpDir("fsck_d"), TestSpark.tmpDir("fsck_a"))
+    TextIndex.ingestShard(spark, t, corpus, "doc_id", "text",
+      key = Some("w0"))
+    Dedup.indexCheckAndIngest(spark, dd, corpus, "doc_id", "text",
+      0.6, deliveryKey = Some("w0"), persistPairs = true): Unit
+    Similarity.ivfIndexBuild(spark, a, vecs, 2L, key = Some("w0"))
+    // forget doc 3 everywhere; upsert doc 5 everywhere
+    TextIndex.forgetDocs(spark, t, Seq(3L), key = Some("f0"))
+    Dedup.indexForgetDocs(spark, dd, Seq(3L), key = Some("f0"))
+    Similarity.ivfIndexForget(spark, a, Seq(3L), key = Some("f0"))
+    val up = Seq((5L, "zebra crossing merge plan update")).toDF("doc_id", "text")
+    TextIndex.upsertDocs(spark, t, up, "doc_id", "text", key = Some("u0"))
+    Dedup.indexUpsertDocs(spark, dd, up, "doc_id", "text", 0.6,
+      key = Some("u0")): Unit
+    Similarity.ivfIndexUpsert(spark, a,
+      up.select(col("doc_id").as("vec_id"),
+        array(lit(1.0), lit(2.0), lit(3.0), lit(4.0)).as("v")),
+      key = Some("u0"))
+    val rep = reportOf(IndexFsck.report(spark, t, dd, Some(a)))
+    assert(rep.values.forall(_._1 == 0L), s"violations in $rep")
+    // audited universes: 5 live docs everywhere
+    assert(rep(("text", "docs_unique"))._2 == 5L)
+    assert(rep(("dedup", "sig_unique"))._2 == 5L)
+    assert(rep(("ann", "vec_unique"))._2 == 5L)
+    assert(rep(("cross", "text_vs_dedup"))._2 == 5L)
+    assert(rep(("cross", "text_vs_ann"))._2 == 5L)
+    // the (doc, token) pair universe is at least one doc per live token
+    assert(rep(("text", "pos_post_parity"))._2 >=
+      rep(("text", "vocab_df"))._2)
+  }
+
+  test("text detectors fire on a stray posting row planted past the " +
+      "commit protocol") {
+    val t = TestSpark.tmpDir("fsck_t_bad")
+    TextIndex.ingestShard(spark, t, corpus, "doc_id", "text",
+      key = Some("w0"))
+    val clean = reportOf(TextIndex.fsck(spark, t)
+      .select(lit("text").as("tier"), col("check"), col("violations"),
+        col("audited")))
+    assert(clean.values.forall(_._1 == 0L))
+    // a stray writer appends a forged posting: doc 999 was never
+    // ingested — no vocab delta, no stats delta, no pos row, no
+    // forward-store row
+    Seq(("merge", 999L, 2L, 2L, 0L)).toDF("token", "doc_id", "tf", "dl", "tb")
+      .write.mode("append").partitionBy("tb")
+      .parquet(s"$t/data/${firstCommit(t)}/post")
+    val rep = reportOf(TextIndex.fsck(spark, t)
+      .select(lit("text").as("tier"), col("check"), col("violations"),
+        col("audited")))
+    assert(rep(("text", "vocab_df"))._1 >= 1L) // 'merge' df recount off
+    assert(rep(("text", "stats_fold"))._1 == 1L) // nd/tl recount off
+    assert(rep(("text", "pos_post_parity"))._1 >= 1L) // post without pos
+    assert(rep(("text", "docs_coverage"))._1 == 1L) // no forward row
+  }
+
+  test("dedup detectors fire on forged signature and pair rows") {
+    val dd = TestSpark.tmpDir("fsck_d_bad")
+    Dedup.indexCheckAndIngest(spark, dd, corpus, "doc_id", "text",
+      0.6, deliveryKey = Some("w0"), persistPairs = true): Unit
+    val c = firstCommit(dd)
+    val sig = spark.read.parquet(s"$dd/data/$c/sig")
+    // doc 999: a signature with NO shingle postings behind it
+    sig.limit(1).withColumn("doc_id", lit(999L))
+      .write.mode("append").parquet(s"$dd/data/$c/sig")
+    // doc 0 duplicated with a wrong stored set size
+    sig.where(col("doc_id") === 0L)
+      .withColumn("n", col("n") + 5L)
+      .write.mode("append").parquet(s"$dd/data/$c/sig")
+    // a pair report naming a doc the index never held
+    Seq((998L, 0L, 0.95)).toDF("a_id", "b_id", "jaccard")
+      .write.mode("append").parquet(s"$dd/data/$c/pairs")
+    val rep = reportOf(Dedup.indexFsck(spark, dd)
+      .select(lit("dedup").as("tier"), col("check"), col("violations"),
+        col("audited")))
+    assert(rep(("dedup", "sig_unique"))._1 == 1L) // doc 0 twice
+    assert(rep(("dedup", "sig_sh_parity"))._1 == 1L) // doc 999 sig-only
+    assert(rep(("dedup", "sig_n_recount"))._1 >= 1L) // doc 0's wrong n
+    assert(rep(("dedup", "pairs_membership"))._1 == 1L) // doc 998
+  }
+
+  test("ann detectors fire on wrong-cell, duplicate, and wrong-dim " +
+      "vectors") {
+    val a = TestSpark.tmpDir("fsck_a_bad")
+    Similarity.ivfIndexBuild(spark, a, vecs, 2L, key = Some("w0"))
+    val c = firstCommit(a)
+    val post = spark.read.parquet(s"$a/data/$c/post")
+    // partition-dir columns read back with inferred (int) type
+    val cells = post.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cells.length >= 2, "fixture needs >= 2 cells")
+    // vec 100: correct vector copied into the WRONG cell
+    val donor = post.where(col("cell") === cells(0)).limit(1)
+    donor.withColumn("vec_id", lit(100L))
+      .withColumn("cell", lit(cells(1)))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$a/data/$c/post")
+    // vec 0 duplicated (its own cell, so only uniqueness fires for it)
+    post.where(col("vec_id") === 0L)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$a/data/$c/post")
+    // vec 101: wrong dimensionality
+    donor.withColumn("vec_id", lit(101L))
+      .withColumn("v", array(lit(1.0), lit(2.0)))
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$a/data/$c/post")
+    val rep = reportOf(Similarity.ivfIndexFsck(spark, a)
+      .select(lit("ann").as("tier"), col("check"), col("violations"),
+        col("audited")))
+    assert(rep(("ann", "vec_unique"))._1 == 1L)
+    assert(rep(("ann", "cell_assignment"))._1 >= 2L) // vec 100 + 101
+    assert(rep(("ann", "dim_uniform"))._1 == 1L)
+    assert(rep(("ann", "vec_unique"))._2 == 8L) // 6 + vecs 100, 101
+  }
+
+  test("cross membership fires on a one-tier hole and names its size") {
+    val (t, dd) = (TestSpark.tmpDir("fsck_x_t"), TestSpark.tmpDir("fsck_x_d"))
+    TextIndex.ingestShard(spark, t, corpus, "doc_id", "text",
+      key = Some("w0"))
+    // the dedup tier silently missed doc 5 (a partial crash predating
+    // the keyed-delivery discipline, or an ad-hoc backfill)
+    Dedup.indexCheckAndIngest(spark, dd,
+      corpus.where(col("doc_id") =!= 5L), "doc_id", "text",
+      0.6, deliveryKey = Some("w0")): Unit
+    val rep = reportOf(IndexFsck.crossMembership(spark, t, dd)
+      .select(lit("cross").as("tier"), col("check"), col("violations"),
+        col("audited")))
+    assert(rep(("cross", "text_vs_dedup")) == ((1L, 6L)))
+  }
+}
