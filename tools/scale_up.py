@@ -27,10 +27,17 @@ def main():
         n = duckdb.sql(f"SELECT count(*) FROM '{dst}/{name}.parquet'").fetchone()[0]
         print(f"{name}: {n} rows")
 
+    # value-perturbation step: the per-bucket MEAN shifts by
+    # mean(i)*step = (k-1)/2*step, and window means are value-oracled
+    # with round(.,6) on both engines — a step of 1e-6 put the k=100
+    # mean offset at exactly 49.5e-6, parking true means on the
+    # round-half boundary where one-ULP summation-order differences
+    # between engines round opposite ways (a 100x-only red herring).
+    # 2e-6 keeps every k's mean offset to >= 6 exact decimals.
     copy(f"""
         SELECT event_id + i * 100000000 AS event_id, ts,
                user_id + i * 10000000 AS user_id, event_type,
-               value + i * 0.000001 AS value, props
+               value + i * 0.000002 AS value, props
         FROM '{src}/events.parquet' CROSS JOIN range({k}) t(i)
         """, "events")
     copy(f"""
