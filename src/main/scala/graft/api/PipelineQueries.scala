@@ -2543,6 +2543,74 @@ object PipelineQueries {
       graft.store.IndexFsck.report(s, textIdx, dedupIdx, Some(annIdx))
         .orderBy("tier", "check")
     }),
+    // fsck REPAIR — the remediation half: three tiers each missing a
+    // DIFFERENT lattice of the slice (text ∖ %100==67, dedup ∖ 47,
+    // ann ∖ 87 — the one-tier holes a partial crash predating the
+    // keyed-delivery discipline leaves), then IndexFsck.repairFromText
+    // re-converges dedup and ANN onto the authoritative text
+    // membership: missing docs re-ingest from the text FORWARD STORE
+    // (the ANN leg re-embedding through the pipeline's embedder),
+    // docs text no longer holds are forgotten. The result is the
+    // repair's applied counts + the post-repair membership diff (0),
+    // all oracle-recomputed from the lattice construction; in-query
+    // requires pin replay-safety (a redelivered repair under the same
+    // key recomputes empty diffs and applies nothing)
+    "index_fsck_repair" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+      val textIdx = java.nio.file.Files
+        .createTempDirectory("graft_rep_text").toString
+      val dedupIdx = java.nio.file.Files
+        .createTempDirectory("graft_rep_dedup").toString
+      val annIdx = java.nio.file.Files
+        .createTempDirectory("graft_rep_ann").toString
+      val d = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(20)) === 7)
+        .persist()
+      def embed(c: Column) =
+        toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      def par[T](fs: Seq[() => T]): Seq[T] =
+        Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+      val annSlice = d.where(pmod(col("doc_id"), lit(100)) =!= 87)
+      val step = Iterator.iterate(
+          Similarity.boundedStep(annSlice.count()))(_ + 1)
+        .find(st => BigInt(st).gcd(BigInt(20)) == 1).get
+      par(Seq(
+        () => graft.text.TextIndex.ingestShard(s, textIdx,
+          d.where(pmod(col("doc_id"), lit(100)) =!= 67),
+          "doc_id", "text", key = Some("w0")),
+        () => Dedup.indexCheckAndIngest(s, dedupIdx,
+          d.where(pmod(col("doc_id"), lit(100)) =!= 47),
+          "doc_id", "text", JaccardThreshold,
+          deliveryKey = Some("w0")): Unit,
+        () => Similarity.ivfIndexBuild(s, annIdx,
+          annSlice.select(col("doc_id").as("vec_id"),
+            embed(col("text")).as("v")),
+          step, key = Some("w0"))))
+      d.unpersist(): Unit
+      val applied = graft.store.IndexFsck.repairFromText(s, textIdx,
+        dedupIdx, Some(annIdx), embed = Some(embed(_)),
+        threshold = JaccardThreshold, key = Some("r0"))
+        .persist()
+      applied.count(): Unit
+      // a redelivered repair recomputes empty diffs and applies nothing
+      val again = graft.store.IndexFsck.repairFromText(s, textIdx,
+        dedupIdx, Some(annIdx), embed = Some(embed(_)),
+        threshold = JaccardThreshold, key = Some("r0"))
+      require(again.agg(sum("violations")).head().getLong(0) == 0L,
+        "redelivered repair must be a no-op")
+      val out = applied.unionByName(
+          graft.store.IndexFsck.crossMembership(s, textIdx, dedupIdx,
+              Some(annIdx))
+            .select(lit("cross").as("tier"), col("check"),
+              col("violations"), col("audited")))
+        .orderBy("tier", "check")
+        .localCheckpoint(true)
+      applied.unpersist(): Unit
+      out
+    }),
     // END-TO-END TAKEDOWN AUDIT — the proof the mutation tier builds
     // toward: after a cross-index predicate takedown (docs whose text
     // contains the phrase 'window scan'), tombstone-scoped retirement
@@ -5277,6 +5345,35 @@ object PipelineQueries {
         |  UNION ALL SELECT 'text', 'pos_post_parity', (SELECT c FROM np)
         |  UNION ALL SELECT 'text', 'stats_fold', (SELECT c FROM ns)
         |  UNION ALL SELECT 'text', 'vocab_df', (SELECT c FROM nt)
+        |) ORDER BY tier, "check"""".stripMargin,
+    // repair ≡ the lattice arithmetic of the three holes: dedup gains
+    // the 47-lattice back and drops the 67-lattice (text is
+    // authoritative and lacks it); ann gains the 87-lattice, drops
+    // the 67s; post-repair membership diffs are 0 over the |text|
+    // universe
+    "index_fsck_repair" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 20 = 7),
+        |t AS (SELECT CAST(count(*) AS BIGINT) c FROM d
+        |      WHERE doc_id % 100 <> 67),
+        |a47 AS (SELECT CAST(count(*) AS BIGINT) c FROM d
+        |        WHERE doc_id % 100 = 47),
+        |a87 AS (SELECT CAST(count(*) AS BIGINT) c FROM d
+        |        WHERE doc_id % 100 = 87),
+        |r67 AS (SELECT CAST(count(*) AS BIGINT) c FROM d
+        |        WHERE doc_id % 100 = 67)
+        |SELECT tier, "check", violations, audited FROM (
+        |  SELECT 'ann' AS tier, 'repaired_added' AS "check",
+        |    (SELECT c FROM a87) AS violations, (SELECT c FROM t) AS audited
+        |  UNION ALL SELECT 'ann', 'repaired_removed',
+        |    (SELECT c FROM r67), (SELECT c FROM t)
+        |  UNION ALL SELECT 'cross', 'text_vs_ann',
+        |    CAST(0 AS BIGINT), (SELECT c FROM t)
+        |  UNION ALL SELECT 'cross', 'text_vs_dedup',
+        |    CAST(0 AS BIGINT), (SELECT c FROM t)
+        |  UNION ALL SELECT 'dedup', 'repaired_added',
+        |    (SELECT c FROM a47), (SELECT c FROM t)
+        |  UNION ALL SELECT 'dedup', 'repaired_removed',
+        |    (SELECT c FROM r67), (SELECT c FROM t)
         |) ORDER BY tier, "check"""".stripMargin,
     "index_forget_audit" ->
       """WITH d AS (SELECT doc_id, text FROM documents

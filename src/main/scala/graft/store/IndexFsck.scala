@@ -65,6 +65,96 @@ object IndexFsck {
     } finally text.unpersist(): Unit
   }
 
+  /** REPAIR — the remediation half of [[crossMembership]]: re-converge
+   *  the dedup and ANN tiers onto the TEXT index's membership (the
+   *  authoritative tier — the only one holding a forward store to
+   *  rebuild from). Docs live in text but missing from a tier are
+   *  re-ingested from [[graft.text.TextIndex.docsFor]] (the ANN leg
+   *  re-embeds through the caller's `embed`, which must be the
+   *  pipeline's own embedder or the repaired vectors diverge
+   *  semantically); docs live in a tier but gone from text are
+   *  forgotten there. Returns one (tier, check, violations, audited)
+   *  row per applied direction — `repaired_added` / `repaired_removed`
+   *  with the applied count in `violations` — so the report composes
+   *  with the fsck tables.
+   *
+   *  Replay-safe under `key`: each direction ledgers its own delivery
+   *  key (`<key>.dedup.add` …) and a redelivered direction is skipped;
+   *  diffs are recomputed from live state, so a post-completion
+   *  redelivery computes empty diffs and applies nothing. Bounds: each
+   *  direction repairs ≤ 65536 docs per call (the takedown bound) —
+   *  loud, never truncated. A text doc that yields zero shingles under
+   *  the dedup ingest's df cap can never converge into the dedup tier;
+   *  it stays visible in the next [[crossMembership]] run instead of
+   *  being silently dropped.
+   */
+  def repairFromText(
+      spark: SparkSession, textDir: String, dedupDir: String,
+      annDir: Option[String] = None,
+      embed: Option[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] = None,
+      threshold: Double = 0.6,
+      key: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    require(annDir.isEmpty || embed.nonEmpty,
+      "repairing an ANN tier needs the pipeline's embedder (embed)")
+    val text = graft.text.TextIndex.liveDocIds(spark, textDir)
+      .distinct().persist()
+    try {
+      val audited = text.count()
+      def diffIds(a: DataFrame, b: DataFrame, what: String): Seq[Long] = {
+        val out = a.join(b, Seq("doc_id"), "left_anti")
+          .limit(65537).collect().map(_.getLong(0)).toSeq.sorted
+        require(out.length <= 65536,
+          s"$what diff exceeds the 65536-per-call repair bound — run " +
+            "repair again after this call converges the first 65536")
+        out
+      }
+      def delivered(probe: String => Boolean, k: String): Boolean =
+        key.exists(base => probe(s"$base.$k"))
+      val dedupIds = graft.dedup.Dedup.indexDocIds(spark, dedupDir)
+        .distinct()
+      val addD = diffIds(text, dedupIds, "text∖dedup")
+      val delD = diffIds(dedupIds, text, "dedup∖text")
+      if (addD.nonEmpty && !delivered(
+          graft.dedup.Dedup.indexHasDelivery(spark, dedupDir, _),
+          "dedup.add"))
+        graft.dedup.Dedup.indexCheckAndIngest(spark, dedupDir,
+          graft.text.TextIndex.docsFor(spark, textDir, addD),
+          "doc_id", "text", threshold,
+          deliveryKey = key.map(_ + ".dedup.add")): Unit
+      if (delD.nonEmpty && !delivered(
+          graft.dedup.Dedup.indexHasDelivery(spark, dedupDir, _),
+          "dedup.del"))
+        graft.dedup.Dedup.indexForgetDocs(spark, dedupDir, delD,
+          key = key.map(_ + ".dedup.del"))
+      val annRows = annDir.toSeq.flatMap { a =>
+        val vecIds = graft.sim.Similarity.ivfVecIds(spark, a)
+          .select(col("vec_id").as("doc_id")).distinct()
+        val addA = diffIds(text, vecIds, "text∖ann")
+        val delA = diffIds(vecIds, text, "ann∖text")
+        if (addA.nonEmpty && !delivered(
+            graft.sim.Similarity.ivfHasDelivery(spark, a, _), "ann.add"))
+          graft.sim.Similarity.ivfIndexAppend(spark, a,
+            graft.text.TextIndex.docsFor(spark, textDir, addA)
+              .select(col("doc_id").as("vec_id"),
+                embed.get(col("text")).as("v")),
+            key = key.map(_ + ".ann.add"))
+        if (delA.nonEmpty && !delivered(
+            graft.sim.Similarity.ivfHasDelivery(spark, a, _), "ann.del"))
+          graft.sim.Similarity.ivfIndexForget(spark, a, delA,
+            key = key.map(_ + ".ann.del"))
+        Seq(("ann", "repaired_added", addA.length.toLong, audited),
+          ("ann", "repaired_removed", delA.length.toLong, audited))
+      }
+      (Seq(
+        ("dedup", "repaired_added", addD.length.toLong, audited),
+        ("dedup", "repaired_removed", delD.length.toLong, audited)) ++
+        annRows)
+        .toDF("tier", "check", "violations", "audited")
+    } finally text.unpersist(): Unit
+  }
+
   /** The full fsck battery over a lockstep index triple: each index's
    *  deep per-leg check plus the cross-index membership diff, as one
    *  (tier, check, violations, audited) report — the single table an

@@ -161,6 +161,51 @@ class FsckSpec extends AnyFunSuite {
     assert(rep(("ann", "vec_unique"))._2 == 8L) // 6 + vecs 100, 101
   }
 
+  test("repairFromText re-converges dedup and ann onto the text " +
+      "membership; a redelivered repair is a no-op") {
+    val (t, dd, a) = (TestSpark.tmpDir("rep_t"),
+      TestSpark.tmpDir("rep_d"), TestSpark.tmpDir("rep_a"))
+    val embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => array(length(c).cast("double"), lit(1.0), lit(2.0), lit(3.0))
+    TextIndex.ingestShard(spark, t, corpus, "doc_id", "text",
+      key = Some("w0"))
+    // dedup: missing doc 4, carrying an extra doc 9 text no longer has
+    Dedup.indexCheckAndIngest(spark, dd,
+      corpus.where(col("doc_id") =!= 4L).unionByName(
+        Seq((9L, "stale doc the text tier already dropped"))
+          .toDF("doc_id", "text")),
+      "doc_id", "text", 0.6, deliveryKey = Some("w0")): Unit
+    // ann: missing doc 2
+    Similarity.ivfIndexBuild(spark, a,
+      corpus.where(col("doc_id") =!= 2L)
+        .select(col("doc_id").as("vec_id"), embed(col("text")).as("v")),
+      2L, key = Some("w0"))
+    val applied = IndexFsck.repairFromText(spark, t, dd, Some(a),
+      embed = Some(embed), key = Some("r0"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(applied(("dedup", "repaired_added")) == ((1L, 6L))) // doc 4
+    assert(applied(("dedup", "repaired_removed")) == ((1L, 6L))) // doc 9
+    assert(applied(("ann", "repaired_added")) == ((1L, 6L))) // doc 2
+    assert(applied(("ann", "repaired_removed")) == ((0L, 6L)))
+    val rep = reportOf(IndexFsck.crossMembership(spark, t, dd, Some(a))
+      .select(lit("cross").as("tier"), col("check"), col("violations"),
+        col("audited")))
+    assert(rep(("cross", "text_vs_dedup")) == ((0L, 6L)))
+    assert(rep(("cross", "text_vs_ann")) == ((0L, 6L)))
+    // redelivery: diffs recompute empty, delivery keys guard the verbs
+    val again = IndexFsck.repairFromText(spark, t, dd, Some(a),
+      embed = Some(embed), key = Some("r0"))
+      .agg(sum("violations")).head().getLong(0)
+    assert(again == 0L)
+    // the repaired rows are really live (not just counted): vec 2 is
+    // back in the posting readback, doc 9's signature is gone
+    assert(Similarity.ivfVecIds(spark, a).where(col("vec_id") === 2L)
+      .count() == 1L)
+    assert(Dedup.indexDocIds(spark, dd).where(col("doc_id") === 9L)
+      .count() == 0L)
+  }
+
   test("cross membership fires on a one-tier hole and names its size") {
     val (t, dd) = (TestSpark.tmpDir("fsck_x_t"), TestSpark.tmpDir("fsck_x_d"))
     TextIndex.ingestShard(spark, t, corpus, "doc_id", "text",
