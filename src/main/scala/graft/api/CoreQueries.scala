@@ -1905,6 +1905,21 @@ object CoreQueries {
         .orderBy("dataset_id", "bucket_s")
     }),
 
+    // ---- store fsck: the DETECTION sibling of rollup_repair — verify
+    // the whole rollup pyramid against itself (five A2 cascade folds,
+    // agg-priced) and against raw (the deep 1s recount), plus the
+    // physical-layout invariants a pruned read silently depends on
+    // (ds_b hash placement, part_s/win_s window grids, bucket
+    // alignment, key uniqueness). The oracle recomputes every check's
+    // audited universe from the events melt with violations pinned at
+    // 0 — a torn merge, stray writer, or hand-moved partition anywhere
+    // in the store hash-mismatches. FsckSpec proves the detectors fire
+    // on planted corruption ---------------------------------------
+    "store_fsck" -> ((s, dir) => {
+      val root = clonedBaseStore(s, dir)
+      Tables.fsck(s, root, deep = true).orderBy("check")
+    }),
+
     // ---- store compaction: 3 per-batch appends leave interleaved
     // sliver files; compactRaw rewrites each partition bin-packed and
     // (dataset_id, ts)-sorted. The oracle proves the rewrite is
@@ -2443,6 +2458,44 @@ object CoreQueries {
     "rollup_cascade_10s" -> rollupSql(10),
     "ingest_incremental_1s" -> rollupSql(1),
     "rollup_repair" -> rollupSql(10),
+    // fsck ≡ each check's audited universe from the events melt:
+    // layout_raw audits every raw row, layout_rollup/rollup_unique the
+    // whole pyramid (sum of per-level bucket universes), each cascade
+    // and the deep raw recount their compared coarse-bucket universe;
+    // violations are 0 by the healthy-store contract on BOTH engines
+    "store_fsck" ->
+      """WITH e AS (SELECT event_type AS d, epoch_us(ts) AS ts_us
+        |           FROM events
+        |           WHERE value IS NOT NULL AND NOT isnan(value)),
+        |b1 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 1000000 FROM e)),
+        |b10 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 10000000 FROM e)),
+        |b100 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 100000000 FROM e)),
+        |b1000 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 1000000000 FROM e)),
+        |b10000 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 10000000000 FROM e)),
+        |b100000 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 100000000000 FROM e)),
+        |nraw AS (SELECT CAST(count(*) AS BIGINT) c FROM e),
+        |tot AS (SELECT (SELECT c FROM b1) + (SELECT c FROM b10) +
+        |  (SELECT c FROM b100) + (SELECT c FROM b1000) +
+        |  (SELECT c FROM b10000) + (SELECT c FROM b100000) AS c)
+        |SELECT "check", CAST(0 AS BIGINT) AS violations, audited FROM (
+        |  SELECT 'cascade_1000_10000' AS "check",
+        |    (SELECT c FROM b10000) AS audited
+        |  UNION ALL SELECT 'cascade_100_1000', (SELECT c FROM b1000)
+        |  UNION ALL SELECT 'cascade_10000_100000',
+        |    (SELECT c FROM b100000)
+        |  UNION ALL SELECT 'cascade_10_100', (SELECT c FROM b100)
+        |  UNION ALL SELECT 'cascade_1_10', (SELECT c FROM b10)
+        |  UNION ALL SELECT 'layout_raw', (SELECT c FROM nraw)
+        |  UNION ALL SELECT 'layout_rollup', (SELECT c FROM tot)
+        |  UNION ALL SELECT 'raw_1', (SELECT c FROM b1)
+        |  UNION ALL SELECT 'rollup_unique', (SELECT c FROM tot)
+        |) ORDER BY "check"""".stripMargin,
     "ingest_manifest_1s" -> rollupSql(1),
     // batches are md5-split; as-of version 2 sees batches 0 and 1 only
     "manifest_time_travel" ->

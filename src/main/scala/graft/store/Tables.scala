@@ -619,6 +619,152 @@ object Tables {
     }
   }
 
+  /** STORE FSCK — the detection sibling of [[repairRollups]] (which
+   *  remediates but never reports): recompute the rollup pyramid's
+   *  invariants and return (check, violations, audited) rows, the same
+   *  report shape as the index fscks ([[IndexFsck]]):
+   *
+   *  | check                  | violation = …                          |
+   *  |------------------------|----------------------------------------|
+   *  | layout_rollup          | rollup row whose partition coords lie —
+   *  |                        | ds_b ≠ hash bucket, part_s off its
+   *  |                        | level's window grid, bucket_s off the
+   *  |                        | level grid, or an unknown fidelity (a
+   *  |                        | misplaced row is INVISIBLE to pruned
+   *  |                        | reads — silently missing, not wrong)   |
+   *  | layout_raw             | raw row with ds_b/win_s off-grid       |
+   *  | cascade_<f>_<c>        | (series, coarse bucket) where folding
+   *  |                        | the finer level with the A2 monoid
+   *  |                        | disagrees with the stored coarser level
+   *  |                        | (min/max/cnt exact; sum within 1e-9
+   *  |                        | relative — merge order differs)        |
+   *  | raw_1s (deep=true)     | 1 s bucket where a full recount from
+   *  |                        | raw disagrees with the stored level    |
+   *
+   *  The five cascade checks cost ∝ the AGG tables (never raw) — the
+   *  always-affordable tier; `deep` adds the one raw-priced recount.
+   *  audited = the compared bucket/row universe per check. All-zeros
+   *  is the healthy state; nonzero means a torn merge, a stray writer,
+   *  or a partition moved by hand — run [[repairRollups]] over the
+   *  offending slice to remediate.
+   */
+  def fsck(
+      spark: SparkSession, root: String, deep: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val isViol = (c: org.apache.spark.sql.Column) =>
+      sum(when(c, 1L).otherwise(0L))
+    def sumOff(a: org.apache.spark.sql.Column,
+        b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      abs(a - b) > lit(1e-9) * greatest(abs(a), abs(b), lit(1.0))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val layout: Seq[Future[(String, Long, Long)]] = Seq(
+      Future {
+        val rp = rollupPath(root)
+        if (!StoreFs.exists(spark, rp)) ("layout_rollup", 0L, 0L)
+        else {
+          val known = Fidelity.aggLevels.map(fidelityPart)
+          val secs = Fidelity.aggLevels
+            .foldLeft(lit(-1L))((acc, f) =>
+              when(col("fidelity") === fidelityPart(f), lit(f.seconds))
+                .otherwise(acc))
+          val win = Fidelity.aggLevels
+            .foldLeft(lit(-1L))((acc, f) =>
+              when(col("fidelity") === fidelityPart(f),
+                lit(partitionWindowS(f))).otherwise(acc))
+          val r = spark.read.parquet(rp)
+            .select(col("fidelity").cast("string").as("fidelity"),
+              col("ds_b").cast("long").as("ds_b"),
+              col("part_s").cast("long").as("part_s"),
+              col("dataset_id"), col("bucket_s"))
+            .agg(isViol(!col("fidelity").isin(known: _*) ||
+                col("bucket_s") % secs =!= 0 ||
+                col("part_s") =!= (col("bucket_s") - pmod(col("bucket_s"),
+                  win)) ||
+                col("ds_b") =!= dsBucket(col("dataset_id")).cast("long"))
+                .as("viol"),
+              count(lit(1)).as("aud")).head()
+          ("layout_rollup", r.getLong(0), r.getLong(1))
+        }
+      },
+      Future {
+        // a duplicated (level, series, bucket) row with FORGED-equal
+        // values would pass the cascade value compare (the join matches
+        // either copy) — uniqueness is its own invariant
+        val rp = rollupPath(root)
+        if (!StoreFs.exists(spark, rp)) ("rollup_unique", 0L, 0L)
+        else {
+          val r = spark.read.parquet(rp)
+            .groupBy(col("fidelity"), col("dataset_id"), col("bucket_s"))
+            .agg(count(lit(1)).as("m"))
+            .agg(isViol(col("m") > 1).as("viol"),
+              count(lit(1)).as("aud")).head()
+          ("rollup_unique", r.getLong(0), r.getLong(1))
+        }
+      },
+      Future {
+        val rp = rawPath(root)
+        if (!StoreFs.exists(spark, rp)) ("layout_raw", 0L, 0L)
+        else {
+          val r = spark.read.parquet(rp)
+            .select(col("ds_b").cast("long").as("ds_b"),
+              col("win_s").cast("long").as("win_s"),
+              col("dataset_id"), col("ts_us"))
+            .agg(isViol(
+                col("win_s") =!= expr(
+                  s"(ts_us div ${RawWindowS * 1000000L}) * $RawWindowS") ||
+                col("ds_b") =!= dsBucket(col("dataset_id")).cast("long"))
+                .as("viol"),
+              count(lit(1)).as("aud")).head()
+          ("layout_raw", r.getLong(0), r.getLong(1))
+        }
+      })
+    def compareToStored(
+        recomputed: DataFrame, stored: DataFrame): (Long, Long) = {
+      val r = recomputed.as("e").join(stored.as("g"),
+          Seq("dataset_id", "bucket_s"), "full_outer")
+        .agg(isViol(col("e.cnt").isNull || col("g.cnt").isNull ||
+            col("e.cnt") =!= col("g.cnt") ||
+            col("e.min_v") =!= col("g.min_v") ||
+            col("e.max_v") =!= col("g.max_v") ||
+            sumOff(col("e.sum_v"), col("g.sum_v"))).as("viol"),
+          count(lit(1)).as("aud")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val cascades: Seq[Future[(String, Long, Long)]] =
+      Fidelity.aggLevels.sliding(2).toSeq.map { pair =>
+        val (fine, coarse) = (pair(0), pair(1))
+        Future {
+          val folded = readRollup(spark, root, fine)
+            .groupBy(col("dataset_id"),
+              (col("bucket_s") - pmod(col("bucket_s"),
+                lit(coarse.seconds))).as("bucket_s"))
+            .agg(min("min_v").as("min_v"), max("max_v").as("max_v"),
+              sum("sum_v").as("sum_v"), sum("cnt").as("cnt"))
+          val (viol, aud) =
+            compareToStored(folded, readRollup(spark, root, coarse))
+          (s"cascade_${fine.name}_${coarse.name}", viol, aud)
+        }
+      }
+    val deepCheck: Seq[Future[(String, Long, Long)]] =
+      if (!deep) Seq.empty
+      else Seq(Future {
+        val s1 = Fidelity.aggLevels.head
+        val recount = allLevelPartials(
+            readRaw(spark, root).select("dataset_id", "ts_us", "value"))
+          .where(col("fidelity") === fidelityPart(s1))
+          .select("dataset_id", "bucket_s", "min_v", "max_v", "sum_v",
+            "cnt")
+        val (viol, aud) =
+          compareToStored(recount, readRollup(spark, root, s1))
+        (s"raw_${s1.name}", viol, aud)
+      })
+    Await.result(
+        Future.sequence(layout ++ cascades ++ deepCheck), Duration.Inf)
+      .toDF("check", "violations", "audited")
+  }
+
   /**
    * §3.2 `Index.put` — one ingest batch: sanitize → append raw →
    * cascade all 6 rollup levels → merge each into its table

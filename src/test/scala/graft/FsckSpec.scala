@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.dedup.Dedup
 import graft.sim.Similarity
-import graft.store.IndexFsck
+import graft.store.{IndexFsck, Tables}
 import graft.text.TextIndex
 
 /**
@@ -204,6 +204,49 @@ class FsckSpec extends AnyFunSuite {
       .count() == 1L)
     assert(Dedup.indexDocIds(spark, dd).where(col("doc_id") === 9L)
       .count() == 0L)
+  }
+
+  test("store fsck: clean pyramid all-zeros; detectors fire on a " +
+      "duplicated rollup row, an orphan fine bucket, and a misplaced " +
+      "raw row") {
+    val root = TestSpark.tmpDir("fsck_store")
+    Tables.ingestBatch(spark, root, Seq(
+      ("a", 1000000L, 1.0), ("a", 2500000L, 2.0), ("a", 12000000L, 3.0),
+      ("b", 1000000L, 4.0), ("b", 99000000L, 5.0))
+      .toDF("dataset_id", "ts_us", "value"))
+    def rep() = Tables.fsck(spark, root, deep = true)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val clean = rep()
+    assert(clean.values.forall(_._1 == 0L), s"violations in $clean")
+    assert(clean("layout_raw")._2 == 5L)
+    assert(clean("raw_1")._2 == 5L) // 5 distinct (series, 1s) buckets
+    val rollup = spark.read.parquet(Tables.rollupPath(root))
+    // 1) duplicate a stored d10 row byte-for-byte: passes every value
+    //    compare, must fail uniqueness
+    rollup.where(col("fidelity") === "d10").limit(1)
+      .write.mode("append").partitionBy("fidelity", "ds_b", "part_s")
+      .parquet(Tables.rollupPath(root))
+    // 2) an orphan LAYOUT-VALID d1 bucket no coarser level knows:
+    //    fires the 1s->10s cascade, not the layout check
+    rollup.where(col("fidelity") === "d1" &&
+        col("dataset_id") === "a").limit(1)
+      .withColumn("bucket_s", lit(777L))
+      .withColumn("part_s", lit(0L))
+      .write.mode("append").partitionBy("fidelity", "ds_b", "part_s")
+      .parquet(Tables.rollupPath(root))
+    // 3) a raw row in the WRONG window partition — invisible to pruned
+    //    range reads, and the deep recount disagrees with stored 1s
+    spark.read.parquet(Tables.rawPath(root)).limit(1)
+      .withColumn("ts_us", lit(86400L * 14L * 1000000L))
+      .write.mode("append").partitionBy("ds_b", "win_s")
+      .parquet(Tables.rawPath(root))
+    val bad = rep()
+    assert(bad("rollup_unique")._1 == 1L)
+    assert(bad("cascade_1_10")._1 >= 1L)
+    assert(bad("layout_raw")._1 == 1L)
+    assert(bad("raw_1")._1 >= 1L)
+    assert(bad("layout_rollup")._1 == 0L) // the orphan was layout-valid
   }
 
   test("cross membership fires on a one-tier hole and names its size") {
