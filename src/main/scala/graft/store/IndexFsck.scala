@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
  * search results (a doc served by BM25 but invisible to the dedup
  * gate, a vector whose document was erased).
  *
- * Cost: one doc-grain readback per index + broadcast-out full-outer
- * joins on the id — ∝ index membership, never corpus text. Run it
- * the way a filesystem runs fsck: after incidents, before
- * irreversible maintenance, on a schedule.
+ * Cost: one doc-grain readback per index + one id-keyed shuffle per
+ * full-outer membership compare (8-byte keys — a full outer cannot
+ * broadcast) — ∝ index membership, never corpus text. Run it the way
+ * a filesystem runs fsck: after incidents, before irreversible
+ * maintenance, on a schedule.
  *
  * Preconditions the caller owns (else a diff is expected, not a
  * corruption): the three indexes were fed the same doc set with

@@ -165,6 +165,74 @@ class CrashMatrixSpec extends AnyFunSuite {
       version = Similarity.ivfVersion(spark, _))
   }
 
+  test("repairFromText: every direction-boundary kill point " +
+      "(dedup.add / dedup.del / ann.add committed) converges to the " +
+      "single-clean-repair state; redelivery applies nothing and " +
+      "moves no index") {
+    val embed: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      c => array(length(c).cast("double"), lit(1.0), lit(2.0), lit(3.0))
+    // deterministic diffs: dedup misses doc 2 and carries stale doc 9
+    // (add={2}, del={9}); ann misses doc 1 (add={1}, del={})
+    def fixture(root: String): Unit = {
+      TextIndex.ingestShard(spark, s"$root/text",
+        oldDocs.toDF("doc_id", "text"), "doc_id", "text", key = Some("w0"))
+      Dedup.indexCheckAndIngest(spark, s"$root/dedup",
+        oldDocs.filter(_._1 != 2L).toDF("doc_id", "text").unionByName(
+          Seq((9L, "stale doc the text tier already dropped"))
+            .toDF("doc_id", "text")),
+        "doc_id", "text", 0.6, deliveryKey = Some("w0")): Unit
+      Similarity.ivfIndexBuild(spark, s"$root/ann",
+        oldDocs.filter(_._1 != 1L).toDF("doc_id", "text")
+          .select(col("doc_id").as("vec_id"), embed(col("text")).as("v")),
+        centroidStep = 2L, key = Some("w0"))
+    }
+    def repair(root: String) = graft.store.IndexFsck.repairFromText(
+      spark, s"$root/text", s"$root/dedup", Some(s"$root/ann"),
+      embed = Some(embed), key = Some("r"))
+    def digest(root: String): Seq[Seq[Any]] = Seq(
+      Dedup.indexDocIds(spark, s"$root/dedup")
+        .collect().map(_.getLong(0)).sorted.toSeq,
+      Similarity.ivfVecIds(spark, s"$root/ann")
+        .collect().map(_.getLong(0)).sorted.toSeq,
+      Dedup.indexStats(spark, s"$root/dedup")
+        .collect().map(_.toSeq).toSeq,
+      graft.store.IndexFsck.crossMembership(spark, s"$root/text",
+          s"$root/dedup", Some(s"$root/ann"))
+        .orderBy("check").collect().map(_.toSeq).toSeq)
+    val ref = TestSpark.tmpDir("cm_rep_ref")
+    fixture(ref)
+    repair(ref).count(): Unit
+    val want = digest(ref)
+    for (k <- 0 to 3) {
+      val root = TestSpark.tmpDir(s"cm_rep_k$k")
+      fixture(root)
+      // the crash: directions commit in the verb's order
+      // dedup.add -> dedup.del -> ann.add (ann.del is empty here)
+      if (k >= 1) Dedup.indexCheckAndIngest(spark, s"$root/dedup",
+        oldDocs.filter(_._1 == 2L).toDF("doc_id", "text"),
+        "doc_id", "text", 0.6, deliveryKey = Some("r.dedup.add")): Unit
+      if (k >= 2) Dedup.indexForgetDocs(spark, s"$root/dedup", Seq(9L),
+        key = Some("r.dedup.del"))
+      if (k >= 3) Similarity.ivfIndexAppend(spark, s"$root/ann",
+        oldDocs.filter(_._1 == 1L).toDF("doc_id", "text")
+          .select(col("doc_id").as("vec_id"), embed(col("text")).as("v")),
+        key = Some("r.ann.add"))
+      repair(root).count(): Unit // the replay
+      assert(digest(root) == want,
+        s"repair kill-point k=$k did not converge")
+      val vs = (TextIndex.version(spark, s"$root/text"),
+        Dedup.indexVersion(spark, s"$root/dedup"),
+        Similarity.ivfVersion(spark, s"$root/ann"))
+      val again = repair(root)
+      assert(again.agg(sum("violations")).head().getLong(0) == 0L,
+        s"repair kill-point k=$k: redelivery applied something")
+      assert(vs == (TextIndex.version(spark, s"$root/text"),
+        Dedup.indexVersion(spark, s"$root/dedup"),
+        Similarity.ivfVersion(spark, s"$root/ann")),
+        s"repair kill-point k=$k: redelivery moved an index")
+    }
+  }
+
   test("forgetWhereAll: every leg-boundary kill point (dedup / ann / " +
       "text committed) converges across all three indexes, and " +
       "redelivery returns 0 everywhere") {
