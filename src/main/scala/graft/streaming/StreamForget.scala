@@ -143,10 +143,38 @@ object StreamForget {
     require(key.nonEmpty && !key.contains('\n'), s"bad delivery key: $key")
     require(!includeNearDups || dedupIdx.nonEmpty,
       "includeNearDups expands from the dedup pair ledgers — pass dedupIdx")
+    // SELF-MANAGED MID-REPLAY LEASE: between the first tombstoning leg
+    // and the completion marker, the AUTHORITATIVE keyed tombstone
+    // (dedup's when targeted, else ANN's) must stay addressable — a
+    // crash in that window replays by re-reading it, and an external
+    // retirement or fold consuming it first would turn the crash into
+    // an unrecoverable takedown (the loud require in
+    // indexGoneForDelivery/ivfGoneForDelivery, previously documented
+    // as an operator contract). The verb now holds the pin itself:
+    // (re)pinned at entry on EVERY attempt — idempotent, one ledger
+    // commit — and released on every return path, so the lease spans
+    // exactly first-attempt-entry .. completion-marker, surviving any
+    // number of crashes in between. Opportunistic maintenance that
+    // races the window defers (IllegalStateException, the counted
+    // class) instead of corrupting replay.
+    def pinAuthority(): Unit = dedupIdx match {
+      case Some(d) => graft.dedup.Dedup.indexPin(spark, d, s"fwa:$key")
+      case None => annIdx.foreach(a =>
+        graft.sim.Similarity.ivfIndexPin(spark, a, s"fwa:$key"))
+    }
+    def unpinAuthority(): Unit = dedupIdx match {
+      case Some(d) => graft.dedup.Dedup.indexUnpin(spark, d, s"fwa:$key")
+      case None => annIdx.foreach(a =>
+        graft.sim.Similarity.ivfIndexUnpin(spark, a, s"fwa:$key"))
+    }
     // completion marker: the text leg is last, so its key being
-    // ledgered means every leg already applied
-    if (graft.text.TextIndex.hasDelivery(spark, textIdx, s"$key.text"))
+    // ledgered means every leg already applied — release any pin a
+    // crashed attempt left and probe as done
+    if (graft.text.TextIndex.hasDelivery(spark, textIdx, s"$key.text")) {
+      unpinAuthority()
       return 0L
+    }
+    pinAuthority()
     def bounded(df: org.apache.spark.sql.DataFrame, what: String): Seq[Long] = {
       val out = df.distinct().limit(65537)
         .collect().map(_.getLong(0)).toSeq
@@ -214,6 +242,7 @@ object StreamForget {
       // (the dedup/ANN legs were already skipped as empty), a
       // permanent cross-index divergence no redelivery could repair.
       graft.text.TextIndex.ledgerDelivery(spark, textIdx, s"$key.text")
+      unpinAuthority()
       return 0L
     }
     dedupIdx.foreach { dir =>
@@ -228,6 +257,7 @@ object StreamForget {
     }
     graft.text.TextIndex.forgetDocs(spark, textIdx, allIds,
       key = Some(s"$key.text"))
+    unpinAuthority()
     allIds.length.toLong
   }
 

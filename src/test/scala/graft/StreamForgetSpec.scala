@@ -186,11 +186,16 @@ class StreamForgetSpec extends AnyFunSuite {
     // only the missing legs
     Dedup.indexForgetDocs(spark, dedupIdx, Seq(1L, 2L),
       key = Some("gdpr3.dedup"))
-    val vD = Dedup.indexVersion(spark, dedupIdx)
+    // data entries, not raw versions: the verb's own mid-replay lease
+    // (pin at entry, release at the marker) adds version-bumping
+    // ledger commits, but must add NO data commit to the dedup leg
+    def dedupData() = new graft.store.CommitLog(s"$dedupIdx/_manifests")
+      .latest(spark)._2.filterNot(_.startsWith("#pin:")).toSet
+    val eD = dedupData()
     assert(StreamForget.forgetWhereAll(spark,
       col("text").contains("window"), "gdpr3", textIdx,
       dedupIdx = Some(dedupIdx), annIdx = Some(annIdx)) == 2L)
-    assert(Dedup.indexVersion(spark, dedupIdx) == vD,
+    assert(dedupData() == eD,
       "replay must skip the committed dedup leg")
     assert(TextIndex.docsFor(spark, textIdx, Seq(1L, 2L)).count() == 0L,
       "replay must complete the missing text leg")
@@ -304,20 +309,24 @@ class StreamForgetSpec extends AnyFunSuite {
     Dedup.indexCheckAndIngest(spark, dedupIdx,
       corpus.where(col("doc_id") === 3L), "doc_id", "text", 0.6,
       persistPairs = true): Unit
-    val (vT, vD) = (TextIndex.version(spark, textIdx),
-      Dedup.indexVersion(spark, dedupIdx))
+    def dedupData() = new graft.store.CommitLog(s"$dedupIdx/_manifests")
+      .latest(spark)._2.filterNot(_.startsWith("#pin:")).toSet
+    val (vT, eD) = (TextIndex.version(spark, textIdx), dedupData())
     assert(StreamForget.forgetWhereAll(spark,
       col("text").contains("fox"), "e1", textIdx,
       dedupIdx = Some(dedupIdx), includeNearDups = true) == 0L)
     // exactly ONE text commit (the marker), zero tombstones, dedup
-    // untouched — the old path re-ran the predicate through
-    // forgetWhere, which against a store that moved since the
+    // data untouched (its version moves only by the verb's own
+    // pin/unpin lease commits) — the old path re-ran the predicate
+    // through forgetWhere, which against a store that moved since the
     // resolution could tombstone the text leg alone
     assert(TextIndex.version(spark, textIdx) == vT + 1)
     assert(TextIndex.hasDelivery(spark, textIdx, "e1.text"))
     assert(TextIndex.tombstoneCount(spark, textIdx) == 0L,
       "empty-resolution takedown must not create a tombstone")
-    assert(Dedup.indexVersion(spark, dedupIdx) == vD)
+    assert(dedupData() == eD)
+    assert(Dedup.indexPins(spark, dedupIdx).isEmpty,
+      "the empty-resolution path must release its lease")
     // content matching the predicate ingested AFTER the verb completed
     // is a NEW generation: the ledgered key must keep redeliveries
     // no-ops and the doc must keep serving
@@ -398,6 +407,48 @@ class StreamForgetSpec extends AnyFunSuite {
     assert(Similarity.ivfIndexQuery(spark, annIdx,
         vecs.where(col("vec_id") === 1L), k = 3, nProbe = 2)
       .collect().forall(_.getLong(1) != 4L))
+  }
+
+  test("forgetWhereAll holds the mid-replay lease itself: in the crash " +
+      "window the authoritative tombstone cannot be retired or folded " +
+      "out from under the replay; the replay completes, releases the " +
+      "lease, and deferred maintenance then proceeds") {
+    val textIdx = TestSpark.tmpDir("fwa_pin_text")
+    val dedupIdx = TestSpark.tmpDir("fwa_pin_dedup")
+    TextIndex.ingestShard(spark, textIdx, corpus, "doc_id", "text",
+      key = Some("w0"))
+    Dedup.indexCheckAndIngest(spark, dedupIdx, corpus, "doc_id", "text",
+      0.6, deliveryKey = Some("w0")): Unit
+    // the crashed attempt's EXACT on-disk state: the verb pinned at
+    // entry, committed the dedup leg, then died before the text leg
+    Dedup.indexPin(spark, dedupIdx, "fwa:g")
+    Dedup.indexForgetDocs(spark, dedupIdx, Seq(1L, 2L),
+      key = Some("g.dedup"))
+    // maintenance racing the window DEFERS loudly instead of consuming
+    // the tombstone the replay must re-read
+    val e = intercept[IllegalStateException](
+      Dedup.indexRetireTombstones(spark, dedupIdx))
+    assert(e.getMessage.contains("pinned"))
+    intercept[IllegalStateException](Dedup.indexCompact(spark, dedupIdx))
+    // the replay re-reads the recorded set, completes the text leg,
+    // and releases the lease
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("window"), "g", textIdx,
+      dedupIdx = Some(dedupIdx)) == 2L)
+    assert(Dedup.indexPins(spark, dedupIdx).isEmpty,
+      "completion must release the lease")
+    assert(Dedup.indexRetireTombstones(spark, dedupIdx) == 1,
+      "the window is closed — retirement proceeds")
+    // a clean run pins and unpins transparently around itself
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "g2", textIdx,
+      dedupIdx = Some(dedupIdx)) == 2L)
+    assert(Dedup.indexPins(spark, dedupIdx).isEmpty)
+    // and a redelivery probe (marker present) stays pin-free
+    assert(StreamForget.forgetWhereAll(spark,
+      col("text").contains("fox"), "g2", textIdx,
+      dedupIdx = Some(dedupIdx)) == 0L)
+    assert(Dedup.indexPins(spark, dedupIdx).isEmpty)
   }
 
   test("deferred-retirement observability: consecutive lost publishes " +
