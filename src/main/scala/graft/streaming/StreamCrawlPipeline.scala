@@ -70,11 +70,38 @@ object StreamCrawlPipeline {
    *  harness; a production deployment would swap the trigger, nothing
    *  else. Returns the running query; callers `awaitTermination`.
    */
+  /** The replay lease [[maintain]] registers on the dedup index —
+   *  one fixed name per pipeline kind, so any number of (re)starts
+   *  and fresh-checkpoint redeliveries re-pin idempotently
+   *  (version-preserving).
+   */
+  val LeaseName = "crawl-pipeline"
+
+  /** Release the replay lease — call AFTER the stream terminated
+   *  gracefully (awaitTermination returned: the final batch's effects
+   *  and checkpoint both committed, so no batch can replay), or after
+   *  decommissioning a crashed stream's checkpoint. Folds and
+   *  tombstone retirement on the dedup index unblock. A crashed
+   *  stream's lease is deliberately NOT auto-released: its last batch
+   *  is still replayable, which is exactly what the lease protects.
+   */
+  def release(
+      spark: org.apache.spark.sql.SparkSession, dedupDir: String): Unit =
+    Dedup.indexUnpin(spark, dedupDir, LeaseName)
+
   def maintain(
       docsStream: DataFrame, dedupDir: String, textDir: String,
       checkpoint: String, threshold: Double, idCol: String = "doc_id",
       textCol: String = "text"): StreamingQuery = {
     require(threshold > 0 && threshold <= 1, s"bad threshold: $threshold")
+    // SELF-REGISTERED MID-REPLAY LEASE: the pipeline's fresh/re-fetch
+    // split re-reads the dedup index's commit layout on replay
+    // (indexKnownIds' log-position cut, indexPairsForDelivery's keyed
+    // report), so folds and retirement must refuse while any batch
+    // may replay. Pinned before the stream starts — idempotent across
+    // restarts, held across crashes BY DESIGN — released explicitly
+    // via [[release]] once the checkpoint is decommissioned.
+    Dedup.indexPin(docsStream.sparkSession, dedupDir, LeaseName)
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

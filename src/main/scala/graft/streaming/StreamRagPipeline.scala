@@ -70,6 +70,23 @@ object StreamRagPipeline {
    *  (bounded-replay harness; production swaps the trigger, nothing
    *  else). Returns the running query; callers `awaitTermination`.
    */
+  /** The replay lease [[maintain]] registers on the dedup index (the
+   *  tier whose commit layout the fresh/re-fetch split re-reads on
+   *  replay; the text/ANN legs are key-guarded and their `#txn:` keys
+   *  survive folds, so they need no lease). Fixed name — restarts and
+   *  fresh-checkpoint redeliveries re-pin idempotently.
+   */
+  val LeaseName = "rag-pipeline"
+
+  /** Release the replay lease — after graceful termination or after
+   *  decommissioning a crashed checkpoint (see
+   *  [[StreamCrawlPipeline.release]] for the reasoning; a crashed
+   *  stream's lease deliberately survives).
+   */
+  def release(
+      spark: org.apache.spark.sql.SparkSession, dedupDir: String): Unit =
+    Dedup.indexUnpin(spark, dedupDir, LeaseName)
+
   def maintain(
       docsStream: DataFrame, dedupDir: String, textDir: String,
       annDir: String, checkpoint: String, threshold: Double,
@@ -77,6 +94,10 @@ object StreamRagPipeline {
       idCol: String = "doc_id", textCol: String = "text"): StreamingQuery = {
     require(threshold > 0 && threshold <= 1, s"bad threshold: $threshold")
     require(centroidStep >= 1, s"bad centroidStep: $centroidStep")
+    // SELF-REGISTERED MID-REPLAY LEASE (the crawl pipeline's
+    // discipline): pinned before the stream starts, held across
+    // crashes, released via [[release]] once the checkpoint is done
+    Dedup.indexPin(docsStream.sparkSession, dedupDir, LeaseName)
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)

@@ -105,8 +105,10 @@ class StreamCrawlPipelineSpec extends AnyFunSuite {
     val live2 = new graft.store.CommitLog(s"$dedup2/_manifests").latest(spark)._2
     assert(live2.count(_.startsWith("c-")) == 3,
       s"replayed b0 must not re-append to the dedup index: $live2")
-    assert(Dedup.indexVersion(spark, dedup2) == vD2 + 2,
-      "only batches 1 and 2 may publish dedup commits after the crash")
+    // +3 = the pipeline's replay-lease pin + batches 1 and 2 (batch
+    // 0's data commits were pre-applied by the "crash")
+    assert(Dedup.indexVersion(spark, dedup2) == vD2 + 3,
+      "only the lease pin and batches 1/2 may publish after the crash")
     assert(search(text2) == search(oneShot),
       "post-crash recovery must converge to the uncrashed text index")
   }
@@ -152,6 +154,11 @@ class StreamCrawlPipelineSpec extends AnyFunSuite {
     // a key that never delivered is loud
     intercept[IllegalArgumentException](
       Dedup.indexPairsForDelivery(spark, dedupIdx, "never-delivered"))
+    // the pipeline holds its replay lease: a fold REFUSES until the
+    // operator decommissions the checkpoint and releases it — exactly
+    // the protection the batch-grain reads above depend on
+    intercept[IllegalStateException](Dedup.indexCompact(spark, dedupIdx))
+    StreamCrawlPipeline.release(spark, dedupIdx)
     // once compaction folds the keyed commit away, the batch-grain
     // read refuses loudly (the per-batch report is no longer
     // separable) — and the cumulative union still holds every pair

@@ -133,7 +133,9 @@ class StreamRagPipelineSpec extends AnyFunSuite {
     val (vD2, vT2) = (Dedup.indexVersion(spark, dedup2),
       TextIndex.version(spark, text2))
     drain(dedup2, text2, ann2, s"$srcDir/ckpt3")
-    assert(Dedup.indexVersion(spark, dedup2) == vD2 + 2 &&
+    // dedup +3 = the pipeline's replay-lease pin + batches 1/2; text
+    // is not leased, so exactly the two batch commits
+    assert(Dedup.indexVersion(spark, dedup2) == vD2 + 3 &&
       TextIndex.version(spark, text2) == vT2 + 2,
       "replayed b0 must not re-commit the dedup or text legs")
     assert(probe(ann2) == probe(ref),
