@@ -2429,8 +2429,7 @@ object PipelineQueries {
       // must be COPRIME to 20 or the modulo sample can be EMPTY
       // (gcd(stride,20) ∤ 14 has no solutions; boundedStep alone hit
       // exactly that at the 10x scale-honesty run: stride 25, gcd 5)
-      val step = Iterator.iterate(Similarity.boundedStep(d.count()))(_ + 1)
-        .find(st => BigInt(st).gcd(BigInt(20)) == 1).get
+      val step = Similarity.coprimeStep(d.count(), 20)
       Similarity.ivfIndexBuild(s, annIdx, emb, step, key = Some("w0"))
       val expected = d.where(col("text").contains("scan")).count()
       val victim = d.where(col("text").contains("scan"))
@@ -2498,17 +2497,12 @@ object PipelineQueries {
       val d = docs(s, dir).select("doc_id", "text")
         .where(pmod(col("doc_id"), lit(20)) === 3)
         .persist()
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      def par[T](fs: Seq[() => T]): Seq[T] =
-        Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+      import graft.util.Par.par
       def embed(c: Column) =
         toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
       // stride coprime to the %20==3 lattice or the centroid sample
-      // is empty (the established coprime-stride walk)
-      val step = Iterator.iterate(Similarity.boundedStep(d.count()))(_ + 1)
-        .find(st => BigInt(st).gcd(BigInt(20)) == 1).get
+      // is empty (Similarity.coprimeStep encodes the sf1 lesson)
+      val step = Similarity.coprimeStep(d.count(), 20)
       par(Seq(
         () => graft.text.TextIndex.ingestShard(s, textIdx, d,
           "doc_id", "text", key = Some("w0")),
@@ -2568,15 +2562,9 @@ object PipelineQueries {
         .persist()
       def embed(c: Column) =
         toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      def par[T](fs: Seq[() => T]): Seq[T] =
-        Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+      import graft.util.Par.par
       val annSlice = d.where(pmod(col("doc_id"), lit(100)) =!= 87)
-      val step = Iterator.iterate(
-          Similarity.boundedStep(annSlice.count()))(_ + 1)
-        .find(st => BigInt(st).gcd(BigInt(20)) == 1).get
+      val step = Similarity.coprimeStep(annSlice.count(), 20)
       par(Seq(
         () => graft.text.TextIndex.ingestShard(s, textIdx,
           d.where(pmod(col("doc_id"), lit(100)) =!= 67),
@@ -2647,19 +2635,14 @@ object PipelineQueries {
       // verbs + ~12 probes): independent verbs on independent commit
       // logs run CONCURRENTLY — ingests, retirements, and the probe
       // battery each collapse to their slowest member
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      def par[T](fs: Seq[() => T]): Seq[T] =
-        Await.result(Future.sequence(fs.map(f => Future(f()))), Duration.Inf)
+      import graft.util.Par.par
       def embed(c: Column) =
         toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
       val emb = d.select(col("doc_id").as("vec_id"),
         embed(col("text")).as("v"))
       // stride coprime to the lattice (the fwa lesson: gcd(stride,20)
       // must divide 9 or the modulo centroid sample can be empty)
-      val step = Iterator.iterate(Similarity.boundedStep(d.count()))(_ + 1)
-        .find(st => BigInt(st).gcd(BigInt(20)) == 1).get
+      val step = Similarity.coprimeStep(d.count(), 20)
       // percolation rules: rule_id = doc_id, rule text = the doc's
       // leading bigram — the erased docs' saved alerts must die too
       val rules = d.where(pmod(col("doc_id"), lit(60)) === 9)
@@ -3182,9 +3165,8 @@ object PipelineQueries {
       // stride coprime to the founding lattice (vec_id % 6 == 1): a
       // shared factor empties the modulo centroid sample — the sf1
       // oracle sweep caught exactly this (derived step 14, gcd 2)
-      val step = Iterator.iterate(Similarity.boundedStep(
-          e.where(pmod(col("vec_id"), lit(6)) === 1).count()))(_ + 1)
-        .find(st => BigInt(st).gcd(BigInt(6)) == 1).get
+      val step = Similarity.coprimeStep(
+        e.where(pmod(col("vec_id"), lit(6)) === 1).count(), 6)
       val base = System.currentTimeMillis()
       for (i <- 0 until 3) {
         val scratch = srcDir.resolve(s"scratch$i")

@@ -677,20 +677,19 @@ object Dedup {
       .select(col("doc_id"), col("n")).persist()
     try {
       val nDocs = sig.select("doc_id").distinct().count()
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
+      // coalesce: sum over zero rows is null — a degenerate universe
+      // must report (0, 0), not NPE
       val isViol = (c: org.apache.spark.sql.Column) =>
-        sum(when(c, 1L).otherwise(0L))
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
       val shCounts = readIndexLeg(spark, indexDir, "sh", "doc_id")
         .map(_.groupBy("doc_id").agg(count(lit(1)).as("n2")))
-      val checks: Seq[Future[Seq[(String, Long, Long)]]] = Seq(
-        Future {
+      val checks: Seq[() => Seq[(String, Long, Long)]] = Seq(
+        () => {
           val r = sig.groupBy("doc_id").agg(count(lit(1)).as("m"))
             .agg(isViol(col("m") > 1).as("viol")).head()
           Seq(("sig_unique", r.getLong(0), nDocs))
         },
-        Future {
+        () => {
           // one full-outer pass serves BOTH membership parity and the
           // stored-set-size recount (a doc live on one side only is a
           // parity violation; a doc on both with n ≠ recount, a
@@ -704,7 +703,7 @@ object Dedup {
           Seq(("sig_sh_parity", r.getLong(0), nDocs),
             ("sig_n_recount", r.getLong(1), nDocs))
         },
-        Future {
+        () => {
           val viol = indexPairsIfAny(spark, indexDir) match {
             case None => 0L
             case Some(pairs) =>
@@ -716,7 +715,7 @@ object Dedup {
           }
           Seq(("pairs_membership", viol, nDocs))
         })
-      Await.result(Future.sequence(checks), Duration.Inf).flatten
+      graft.util.Par.par(checks).flatten
         .toDF("check", "violations", "audited")
     } finally sig.unpersist(): Unit
   }

@@ -1140,7 +1140,10 @@ object Similarity {
     val posts = readIvfPosts(spark, dir)
       .getOrElse(throw new IllegalArgumentException(
         s"no live posting commits in IVF index $dir"))
-    val isViol = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    // coalesce: sum over zero rows is null — a fully-tombstoned (but
+    // live-commit-bearing) index must report (0, 0), not NPE
+    val isViol = (c: Column) =>
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     // ONE doc-grain pass computes all three: per-vec multiplicity via
     // the groupBy, assignment and dim checked per row and max'd up
     val r = posts
@@ -1247,6 +1250,20 @@ object Similarity {
    *
    * Returns (centroidIndex 0..k-1, vector) pairs.
    */
+  /** [[boundedStep]] walked UP to the nearest stride COPRIME to the
+   *  fixture's id-lattice modulus: `vec_id % step == 0` sampling over
+   *  ids confined to a residue class selects ZERO rows whenever the
+   *  stride shares a factor with the modulus that doesn't divide the
+   *  residue (the sf1 oracle sweep caught exactly this — derived step
+   *  14 over a `% 6 == 1` lattice). Every strided fixture derives its
+   *  step through this instead of hand-copying the walk.
+   */
+  def coprimeStep(
+      corpusRows: Long, latticeModulus: Long,
+      targetCells: Int = 256): Long =
+    Iterator.iterate(boundedStep(corpusRows, targetCells))(_ + 1)
+      .find(st => BigInt(st).gcd(BigInt(latticeModulus)) == 1).get
+
   def kmeansCentroids(
       corpus: DataFrame, centroidStep: Long, iters: Int,
       sampleStep: Long = 1L): Array[(Long, Array[Double])] = {
@@ -1264,16 +1281,48 @@ object Similarity {
     val strided = collectBounded(
       corpus.where(col("vec_id") % sampleStep === 0),
       "raise sampleStep for this corpus", allowEmpty = true)
+    val log = org.slf4j.LoggerFactory.getLogger(getClass)
     val sample =
       if (strided.nonEmpty) strided
-      else collectBounded(corpus.orderBy("vec_id").limit(32768),
-        "empty corpus cannot seed k-means")
-    val seeds0 = sample.filter(_._1 % centroidStep == 0)
-    val seeds =
-      if (seeds0.nonEmpty) seeds0
       else {
+        // loud even though tolerated: an EXPLICITLY mis-chosen stride
+        // lands here too, and silently training on the lowest-id rows
+        // (often the OLDEST distribution — the very thing a re-train
+        // escapes) must at least be visible
+        log.warn(s"k-means sample stride $sampleStep selected zero " +
+          "rows (id lattice shares a factor) — falling back to the " +
+          "lowest-vec_id 32768 rows; pass a lattice-coprime sampleStep " +
+          "for a distribution-faithful sample")
+        collectBounded(corpus.orderBy("vec_id").limit(32768),
+          "empty corpus cannot seed k-means")
+      }
+    // SEED SELECTION must count cells right under ANY (sampleStep,
+    // centroidStep) pair: filtering the strided sample by
+    // `id % centroidStep == 0` keeps only ids divisible by
+    // lcm(sampleStep, centroidStep) — when sampleStep divides
+    // centroidStep that IS every centroidStep-th corpus id (the
+    // oracle-mirrored rule; sampleStep = 1 callers are unchanged),
+    // but for coprime-ish auto-derived stride pairs it collapses the
+    // seed count by centroidStep/gcd — e.g. step 4096 over a
+    // 33-strided sample seeds ~7 cells instead of 256, silently
+    // degrading every later probe. Off the divisibility grid, seed
+    // POSITIONALLY over the (vec_id-sorted) sample at the equivalent
+    // rate instead.
+    val seeds =
+      if (strided.nonEmpty && centroidStep % sampleStep == 0) {
+        val s0 = sample.filter(_._1 % centroidStep == 0)
+        if (s0.nonEmpty) s0
+        else {
+          log.warn(s"centroid stride $centroidStep selected zero seeds " +
+            "from the sample (id lattice) — seeding positionally at " +
+            "the equivalent rate")
+          val k = math.max(1,
+            math.ceil(centroidStep.toDouble / sampleStep).toInt)
+          sample.zipWithIndex.collect { case (v, i) if i % k == 0 => v }
+        }
+      } else {
         val k = math.max(1,
-          math.ceil(centroidStep.toDouble / sampleStep).toInt)
+          math.round(centroidStep.toDouble / sampleStep).toInt)
         sample.zipWithIndex.collect { case (v, i) if i % k == 0 => v }
       }
     require(seeds.nonEmpty, "no seed centroids: centroidStep too large")

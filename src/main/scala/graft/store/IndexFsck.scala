@@ -83,11 +83,20 @@ object IndexFsck {
    *  key (`<key>.dedup.add` …) and a redelivered direction is skipped;
    *  diffs are recomputed from live state, so a post-completion
    *  redelivery computes empty diffs and applies nothing. Bounds: each
-   *  direction repairs ≤ 65536 docs per call (the takedown bound) —
-   *  loud, never truncated. A text doc that yields zero shingles under
-   *  the dedup ingest's df cap can never converge into the dedup tier;
-   *  it stays visible in the next [[crossMembership]] run instead of
-   *  being silently dropped.
+   *  direction repairs the LOWEST-ID 65536 docs per call (the takedown
+   *  bound) — a wider diff is truncated DETERMINISTICALLY with a loud
+   *  log line, and repeated calls converge; under `key`, use a FRESH
+   *  key per wave (a redelivered key skips its direction, so the
+   *  remainder would never apply under the old one).
+   *
+   *  Two doc classes can never converge and stay VISIBLE in the next
+   *  [[crossMembership]] run instead of being silently dropped: a
+   *  text doc yielding zero shingles under the dedup ingest's df cap,
+   *  and a doc whose text embeds to the ZERO vector — the ANN add leg
+   *  filters those out (a zero vector has no cosine direction; the
+   *  RAG pipeline's own embed stage drops them on ingest for the same
+   *  reason, so on pipeline-fed triples they also show as expected
+   *  text_vs_ann diffs, not corruption).
    */
   def repairFromText(
       spark: SparkSession, textDir: String, dedupDir: String,
@@ -95,7 +104,8 @@ object IndexFsck {
       embed: Option[org.apache.spark.sql.Column =>
         org.apache.spark.sql.Column] = None,
       threshold: Double = 0.6,
-      key: Option[String] = None): DataFrame = {
+      key: Option[String] = None,
+      persistPairs: Boolean = false): DataFrame = {
     import spark.implicits._
     require(annDir.isEmpty || embed.nonEmpty,
       "repairing an ANN tier needs the pipeline's embedder (embed)")
@@ -104,12 +114,17 @@ object IndexFsck {
     try {
       val audited = text.count()
       def diffIds(a: DataFrame, b: DataFrame, what: String): Seq[Long] = {
+        // lowest-id-first: the truncation cut must be DETERMINISTIC or
+        // replays and successive waves would repair different subsets
         val out = a.join(b, Seq("doc_id"), "left_anti")
-          .limit(65537).collect().map(_.getLong(0)).toSeq.sorted
-        require(out.length <= 65536,
-          s"$what diff exceeds the 65536-per-call repair bound — run " +
-            "repair again after this call converges the first 65536")
-        out
+          .orderBy("doc_id").limit(65537)
+          .collect().map(_.getLong(0)).toSeq
+        if (out.length > 65536)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"$what diff exceeds the 65536-per-call repair bound — " +
+              "repairing the lowest-id 65536 this call; re-run (with a " +
+              "fresh key) until the reported counts reach zero")
+        out.take(65536)
       }
       def delivered(probe: String => Boolean, k: String): Boolean =
         key.exists(base => probe(s"$base.$k"))
@@ -120,10 +135,14 @@ object IndexFsck {
       if (addD.nonEmpty && !delivered(
           graft.dedup.Dedup.indexHasDelivery(spark, dedupDir, _),
           "dedup.add"))
+        // persistPairs passes through: in a persistPairs deployment a
+        // repaired doc with NO pair report would let its near-dup
+        // copies escape a later includeNearDups takedown
         graft.dedup.Dedup.indexCheckAndIngest(spark, dedupDir,
           graft.text.TextIndex.docsFor(spark, textDir, addD),
           "doc_id", "text", threshold,
-          deliveryKey = key.map(_ + ".dedup.add")): Unit
+          deliveryKey = key.map(_ + ".dedup.add"),
+          persistPairs = persistPairs): Unit
       if (delD.nonEmpty && !delivered(
           graft.dedup.Dedup.indexHasDelivery(spark, dedupDir, _),
           "dedup.del"))
@@ -135,12 +154,19 @@ object IndexFsck {
         val addA = diffIds(text, vecIds, "text∖ann")
         val delA = diffIds(vecIds, text, "ann∖text")
         if (addA.nonEmpty && !delivered(
-            graft.sim.Similarity.ivfHasDelivery(spark, a, _), "ann.add"))
-          graft.sim.Similarity.ivfIndexAppend(spark, a,
-            graft.text.TextIndex.docsFor(spark, textDir, addA)
-              .select(col("doc_id").as("vec_id"),
-                embed.get(col("text")).as("v")),
-            key = key.map(_ + ".ann.add"))
+            graft.sim.Similarity.ivfHasDelivery(spark, a, _), "ann.add")) {
+          // a zero-norm embedding has no cosine direction: appending
+          // it would poison cell assignment with 0/0 — filter it out
+          // (the doc stays visible as a text_vs_ann diff, the honest
+          // report for content the ANN tier cannot hold)
+          val add = graft.text.TextIndex.docsFor(spark, textDir, addA)
+            .select(col("doc_id").as("vec_id"),
+              embed.get(col("text")).as("v"))
+            .where(graft.sim.Similarity.norm2(col("v")) > 0)
+          if (!add.isEmpty)
+            graft.sim.Similarity.ivfIndexAppend(spark, a, add,
+              key = key.map(_ + ".ann.add"))
+        }
         if (delA.nonEmpty && !delivered(
             graft.sim.Similarity.ivfHasDelivery(spark, a, _), "ann.del"))
           graft.sim.Similarity.ivfIndexForget(spark, a, delA,
@@ -165,22 +191,19 @@ object IndexFsck {
   def report(
       spark: SparkSession, textDir: String, dedupDir: String,
       annDir: Option[String] = None): DataFrame = {
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
     def tag(tier: String)(df: DataFrame): DataFrame =
       df.select(lit(tier).as("tier"), col("check"), col("violations"),
         col("audited"))
-    val parts: Seq[Future[DataFrame]] = Seq(
-      Some(Future(tag("text")(
-        graft.text.TextIndex.fsck(spark, textDir)))),
-      Some(Future(tag("dedup")(
-        graft.dedup.Dedup.indexFsck(spark, dedupDir)))),
-      annDir.map(a => Future(tag("ann")(
-        graft.sim.Similarity.ivfIndexFsck(spark, a)))),
-      Some(Future(tag("cross")(
-        crossMembership(spark, textDir, dedupDir, annDir))))).flatten
-    Await.result(Future.sequence(parts), Duration.Inf)
+    val parts: Seq[() => DataFrame] = Seq(
+      Some(() => tag("text")(
+        graft.text.TextIndex.fsck(spark, textDir))),
+      Some(() => tag("dedup")(
+        graft.dedup.Dedup.indexFsck(spark, dedupDir))),
+      annDir.map(a => () => tag("ann")(
+        graft.sim.Similarity.ivfIndexFsck(spark, a))),
+      Some(() => tag("cross")(
+        crossMembership(spark, textDir, dedupDir, annDir)))).flatten
+    graft.util.Par.par(parts)
       .reduce(_.unionByName(_))
   }
 }

@@ -651,16 +651,16 @@ object Tables {
   def fsck(
       spark: SparkSession, root: String, deep: Boolean = false): DataFrame = {
     import spark.implicits._
+    // coalesce: sum over zero rows is null — an empty or
+    // raw-only/rollup-only store must report (0, 0) universes, not NPE
+    // (fsck exists precisely for post-incident degenerate states)
     val isViol = (c: org.apache.spark.sql.Column) =>
-      sum(when(c, 1L).otherwise(0L))
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
     def sumOff(a: org.apache.spark.sql.Column,
         b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       abs(a - b) > lit(1e-9) * greatest(abs(a), abs(b), lit(1.0))
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val layout: Seq[Future[(String, Long, Long)]] = Seq(
-      Future {
+    val layout: Seq[() => (String, Long, Long)] = Seq(
+      () => {
         val rp = rollupPath(root)
         if (!StoreFs.exists(spark, rp)) ("layout_rollup", 0L, 0L)
         else {
@@ -688,7 +688,7 @@ object Tables {
           ("layout_rollup", r.getLong(0), r.getLong(1))
         }
       },
-      Future {
+      () => {
         // a duplicated (level, series, bucket) row with FORGED-equal
         // values would pass the cascade value compare (the join matches
         // either copy) — uniqueness is its own invariant
@@ -703,7 +703,7 @@ object Tables {
           ("rollup_unique", r.getLong(0), r.getLong(1))
         }
       },
-      Future {
+      () => {
         val rp = rawPath(root)
         if (!StoreFs.exists(spark, rp)) ("layout_raw", 0L, 0L)
         else {
@@ -732,10 +732,10 @@ object Tables {
           count(lit(1)).as("aud")).head()
       (r.getLong(0), r.getLong(1))
     }
-    val cascades: Seq[Future[(String, Long, Long)]] =
+    val cascades: Seq[() => (String, Long, Long)] =
       Fidelity.aggLevels.sliding(2).toSeq.map { pair =>
         val (fine, coarse) = (pair(0), pair(1))
-        Future {
+        () => {
           val folded = readRollup(spark, root, fine)
             .groupBy(col("dataset_id"),
               (col("bucket_s") - pmod(col("bucket_s"),
@@ -747,9 +747,9 @@ object Tables {
           (s"cascade_${fine.name}_${coarse.name}", viol, aud)
         }
       }
-    val deepCheck: Seq[Future[(String, Long, Long)]] =
+    val deepCheck: Seq[() => (String, Long, Long)] =
       if (!deep) Seq.empty
-      else Seq(Future {
+      else Seq(() => {
         val s1 = Fidelity.aggLevels.head
         val recount = allLevelPartials(
             readRaw(spark, root).select("dataset_id", "ts_us", "value"))
@@ -760,8 +760,7 @@ object Tables {
           compareToStored(recount, readRollup(spark, root, s1))
         (s"raw_${s1.name}", viol, aud)
       })
-    Await.result(
-        Future.sequence(layout ++ cascades ++ deepCheck), Duration.Inf)
+    graft.util.Par.par(layout ++ cascades ++ deepCheck)
       .toDF("check", "violations", "audited")
   }
 

@@ -184,7 +184,16 @@ object StreamForget {
           "driver-side set)")
       out
     }
-    val allIds: Seq[Long] = dedupIdx match {
+    // a PERMANENT resolution failure (the 65536 bound, a malformed
+    // predicate — IllegalArgumentException by convention) must not
+    // leak the lease: no tombstoning leg has committed yet when
+    // resolution throws (the delivered branches read already-bounded
+    // committed records), so releasing is safe, and the operator's
+    // batched retry under new keys would otherwise find folds and
+    // retirement blocked forever by an internal pin name. Transient
+    // I/O failures are NOT IllegalArgumentException and keep the
+    // lease — their retry path genuinely is mid-replay.
+    val allIds: Seq[Long] = try dedupIdx match {
       case Some(dir)
           if graft.dedup.Dedup.indexHasDelivery(spark, dir, s"$key.dedup") =>
         // the dedup leg already committed: ITS keyed tombstone is the
@@ -233,6 +242,8 @@ object StreamForget {
               "exceeds the 65536 tombstone bound — batch the takedown")
           union
         }
+    } catch {
+      case e: IllegalArgumentException => unpinAuthority(); throw e
     }
     if (allIds.isEmpty) {
       // nothing live matches — ledger the completion marker DIRECTLY.

@@ -987,12 +987,13 @@ object TextIndex {
       .select(col("token"), col("doc_id"), col("tf")).persist()
     try {
       post.count(): Unit // populate before the concurrent check jobs
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val isViol = (c: Column) => sum(when(c, 1L).otherwise(0L))
-      val checks: Seq[Future[(String, Long, Long)]] = Seq(
-        Some(Future {
+      // coalesce: sum over ZERO rows is null, and a degenerate-but-
+      // legal universe (all docs tombstoned) must report (0, 0), not
+      // NPE — fsck exists precisely for post-incident states
+      val isViol = (c: Column) =>
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+      val checks: Seq[() => (String, Long, Long)] = Seq(
+        Some(() => {
           val folded = vocabRows(spark, dir).groupBy("token")
             .agg(sum("df").as("df")).where(col("df") > 0)
           val recount = post.groupBy("token")
@@ -1003,7 +1004,7 @@ object TextIndex {
               count(lit(1)).as("aud")).head()
           ("vocab_df", r.getLong(0), r.getLong(1))
         }),
-        Some(Future {
+        Some(() => {
           val e = post.groupBy("doc_id").agg(sum("tf").as("dl"))
             .agg(count(lit(1)).as("nd"),
               coalesce(sum("dl"), lit(0L)).as("tl")).head()
@@ -1015,7 +1016,7 @@ object TextIndex {
               0L else 1L,
             e.getLong(0))
         }),
-        Option.when(hasPositionalLeg(spark, dir))(Future {
+        Option.when(hasPositionalLeg(spark, dir))(() => {
           val pos = readDocGrain(spark, dir, "pos")
             .select(col("token"), col("doc_id"),
               size(col("positions")).cast("long").as("np"))
@@ -1025,7 +1026,7 @@ object TextIndex {
               count(lit(1)).as("aud")).head()
           ("pos_post_parity", r.getLong(0), r.getLong(1))
         }),
-        Option.when(hasDocsLeg(spark, dir))(Future {
+        Option.when(hasDocsLeg(spark, dir))(() => {
           val fwd = readDocGrain(spark, dir, "docs")
             .select("doc_id").distinct()
           val r = post.select("doc_id").distinct()
@@ -1034,14 +1035,14 @@ object TextIndex {
               count(lit(1)).as("aud")).head()
           ("docs_coverage", r.getLong(0), r.getLong(1))
         }),
-        Option.when(hasDocsLeg(spark, dir))(Future {
+        Option.when(hasDocsLeg(spark, dir))(() => {
           val r = readDocGrain(spark, dir, "docs")
             .groupBy("doc_id").agg(count(lit(1)).as("m"))
             .agg(isViol(col("m") > 1).as("viol"),
               count(lit(1)).as("aud")).head()
           ("docs_unique", r.getLong(0), r.getLong(1))
         })).flatten
-      Await.result(Future.sequence(checks), Duration.Inf)
+      graft.util.Par.par(checks)
         .toDF("check", "violations", "audited")
     } finally post.unpersist(): Unit
   }

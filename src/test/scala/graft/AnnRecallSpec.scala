@@ -250,4 +250,27 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(Similarity.ivfVersion(spark, idx) == v2,
       "redelivered wave must stay a no-op after the triggered re-train")
   }
+
+  test("kmeansCentroids preserves the target cell count under " +
+      "NON-DIVISIBLE auto-derived stride pairs (the lcm seed collapse)") {
+    import spark.implicits._
+    val corpus = (0L until 10000L).map(i =>
+      (i, Seq((i % 7).toDouble + 1.0, (i % 5).toDouble + 1.0,
+        (i % 3).toDouble + 1.0, 1.0)))
+      .toDF("vec_id", "v")
+    // target cells = 10000/80 = 125; the sample is the 33-strided 304
+    // ids. Filtering that sample by id % 80 == 0 keeps only multiples
+    // of lcm(33, 80) = 2640 — FOUR seeds, a 31x cell collapse that
+    // silently degrades every later probe (scanned fraction jumps from
+    // nProbe/125 to nProbe/4). Positional seeding restores the rate.
+    val cents = Similarity.kmeansCentroids(corpus,
+      centroidStep = 80L, iters = 1, sampleStep = 33L)
+    assert(cents.length >= 100 && cents.length <= 160,
+      s"expected ~125 cells, got ${cents.length}")
+    // divisible pairs keep the exact oracle-mirrored modulo rule
+    val exact = Similarity.kmeansCentroids(corpus,
+      centroidStep = 80L, iters = 1, sampleStep = 8L)
+    assert(exact.length == (0L until 10000L).count(_ % 80 == 0),
+      s"divisible stride pair must seed every 80th id: ${exact.length}")
+  }
 }
