@@ -2599,6 +2599,84 @@ object PipelineQueries {
       applied.unpersist(): Unit
       out
     }),
+    // INCREMENTAL fsck — the SCHEDULED posture: wave-1 triple is
+    // certified (full battery + `#fsck:` watermark publish), then a
+    // second wave ingests and a takedown tombstones a slice; the
+    // scoped battery verifies ONLY the post-watermark entries
+    // (commit-local invariants per tier + the scoped cross-index
+    // lockstep compare on the fresh added/tombstoned id sets) at
+    // cost ∝ the fresh wave, never ∝ index — the 100 TB answer to
+    // "a scheduled fsck cannot full-recount". Every audited value is
+    // oracle-recomputed from the wave-2 lattice (token/shingle/doc
+    // universes), so a scoped check that silently read the wrong
+    // window hash-mismatches. In-query requires prove the watermark
+    // LIFECYCLE: certification is clean, the scoped run does not
+    // fall back, and a second scoped run right after sees ZERO fresh
+    // entries (the watermark advanced) — re-verification of already-
+    // certified legs would show up as nonzero audited rows there.
+    "index_fsck_incremental" -> ((s, dir) => {
+      import org.apache.spark.sql.graftbridge.GraftColumnBridge.{column => toCol, expression => toExpr}
+      val textIdx = java.nio.file.Files
+        .createTempDirectory("graft_inc_text").toString
+      val dedupIdx = java.nio.file.Files
+        .createTempDirectory("graft_inc_dedup").toString
+      val annIdx = java.nio.file.Files
+        .createTempDirectory("graft_inc_ann").toString
+      def embed(c: Column) =
+        toCol(graft.functions.CharHistogram(toExpr(c), RagAlphabet))
+      import graft.util.Par.par
+      val w1 = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(40)) === 13)
+        .persist()
+      val step = Similarity.coprimeStep(w1.count(), 40)
+      par(Seq(
+        () => graft.text.TextIndex.ingestShard(s, textIdx, w1,
+          "doc_id", "text", key = Some("w0")),
+        () => Dedup.indexCheckAndIngest(s, dedupIdx, w1, "doc_id", "text",
+          JaccardThreshold, deliveryKey = Some("w0")): Unit,
+        () => Similarity.ivfIndexBuild(s, annIdx,
+          w1.select(col("doc_id").as("vec_id"), embed(col("text")).as("v")),
+          step, key = Some("w0"))))
+      w1.unpersist(): Unit
+      val cert = graft.store.IndexFsck.certify(s, textIdx, dedupIdx,
+        Some(annIdx))
+      require(cert.agg(sum("violations")).head().getLong(0) == 0L,
+        "wave-1 certification must be clean before arming incremental")
+      val w2 = docs(s, dir).select("doc_id", "text")
+        .where(pmod(col("doc_id"), lit(40)) === 33)
+        .persist()
+      par(Seq(
+        () => graft.text.TextIndex.ingestShard(s, textIdx, w2,
+          "doc_id", "text", key = Some("w1")),
+        () => Dedup.indexCheckAndIngest(s, dedupIdx, w2, "doc_id", "text",
+          JaccardThreshold, deliveryKey = Some("w1")): Unit,
+        () => Similarity.ivfIndexAppend(s, annIdx,
+          w2.select(col("doc_id").as("vec_id"), embed(col("text")).as("v")),
+          key = Some("w1"))))
+      val gone = w2.where(pmod(col("doc_id"), lit(120)) === 33)
+        .select("doc_id").collect().map(_.getLong(0)).toSeq.sorted
+      w2.unpersist(): Unit
+      require(gone.nonEmpty && gone.length <= 65536,
+        s"incremental fixture: bad gone set (${gone.length})")
+      par(Seq(
+        () => graft.text.TextIndex.forgetDocs(s, textIdx, gone,
+          key = Some("f0")),
+        () => Dedup.indexForgetDocs(s, dedupIdx, gone, key = Some("f0")),
+        () => Similarity.ivfIndexForget(s, annIdx, gone, key = Some("f0"))))
+      val inc = graft.store.IndexFsck.incremental(s, textIdx, dedupIdx,
+        Some(annIdx)).localCheckpoint(true)
+      require(inc.where(col("check") === "incremental_fallback").isEmpty,
+        "the scoped battery must not fall back on an armed triple")
+      // the clean run advanced every watermark: an immediate second
+      // scoped run must see ZERO fresh entries — nothing re-verified
+      val again = graft.store.IndexFsck.incremental(s, textIdx, dedupIdx,
+        Some(annIdx))
+      require(again.agg(coalesce(sum("violations"), lit(0L)),
+          coalesce(sum("audited"), lit(0L))).head() match {
+          case r => r.getLong(0) == 0L && r.getLong(1) == 0L
+        }, "post-advance scoped re-run must verify nothing")
+      inc.orderBy("tier", "check")
+    }),
     // END-TO-END TAKEDOWN AUDIT — the proof the mutation tier builds
     // toward: after a cross-index predicate takedown (docs whose text
     // contains the phrase 'window scan'), tombstone-scoped retirement
@@ -5356,6 +5434,55 @@ object PipelineQueries {
         |    (SELECT c FROM a47), (SELECT c FROM t)
         |  UNION ALL SELECT 'dedup', 'repaired_removed',
         |    (SELECT c FROM r67), (SELECT c FROM t)
+        |) ORDER BY tier, "check"""".stripMargin,
+    "index_fsck_incremental" ->
+      """WITH w2 AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 40 = 33),
+        |g AS (SELECT doc_id FROM w2 WHERE doc_id % 120 = 33),
+        |tok AS (SELECT doc_id, string_split(text, ' ') AS tokens FROM w2),
+        |tnz AS (SELECT doc_id, t FROM (
+        |    SELECT doc_id, unnest(tokens) AS t FROM tok)
+        |  WHERE length(t) > 0),
+        |tadd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) c FROM tnz),
+        |vdf AS (SELECT CAST(count(*) AS BIGINT) c FROM (
+        |    SELECT DISTINCT t FROM tnz)),
+        |pp AS (SELECT CAST(count(*) AS BIGINT) c FROM (
+        |    SELECT DISTINCT doc_id, t FROM tnz)),
+        |nw2 AS (SELECT CAST(count(*) AS BIGINT) c FROM w2),
+        |ng AS (SELECT CAST(count(*) AS BIGINT) c FROM g),
+        |sh0 AS (SELECT DISTINCT doc_id, unnest(list_transform(
+        |    generate_series(1, len(tokens) - 2),
+        |    i -> tokens[i] || ' ' || tokens[i+1] || ' ' || tokens[i+2]))
+        |    AS sh
+        |  FROM tok),
+        |shf AS (SELECT s.* FROM sh0 s JOIN (
+        |    SELECT sh FROM sh0 GROUP BY sh HAVING count(*) <= 200) c
+        |    USING (sh)),
+        |dadd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) c FROM shf)
+        |SELECT tier, "check", violations, audited FROM (
+        |  SELECT 'ann' AS tier, 'cell_assignment' AS "check",
+        |    CAST(0 AS BIGINT) AS violations, (SELECT c FROM nw2) AS audited
+        |  UNION ALL SELECT 'ann', 'dim_uniform', 0, (SELECT c FROM nw2)
+        |  UNION ALL SELECT 'ann', 'tomb_wellformed', 0, (SELECT c FROM ng)
+        |  UNION ALL SELECT 'ann', 'vec_unique', 0, (SELECT c FROM nw2)
+        |  UNION ALL SELECT 'cross', 'gone_parity_ann', 0, (SELECT c FROM ng)
+        |  UNION ALL SELECT 'cross', 'gone_parity_dedup', 0,
+        |    (SELECT c FROM ng)
+        |  UNION ALL SELECT 'cross', 'new_membership_ann',
+        |    (SELECT c FROM nw2) - (SELECT c FROM tadd), (SELECT c FROM tadd)
+        |  UNION ALL SELECT 'cross', 'new_membership_dedup',
+        |    (SELECT c FROM tadd) - (SELECT c FROM dadd), (SELECT c FROM tadd)
+        |  UNION ALL SELECT 'dedup', 'pairs_b_membership', 0, 0
+        |  UNION ALL SELECT 'dedup', 'sig_n_recount', 0, (SELECT c FROM dadd)
+        |  UNION ALL SELECT 'dedup', 'sig_sh_parity', 0, (SELECT c FROM dadd)
+        |  UNION ALL SELECT 'dedup', 'sig_unique', 0, (SELECT c FROM dadd)
+        |  UNION ALL SELECT 'dedup', 'tomb_wellformed', 0, (SELECT c FROM ng)
+        |  UNION ALL SELECT 'text', 'docs_coverage', 0, (SELECT c FROM tadd)
+        |  UNION ALL SELECT 'text', 'docs_unique', 0, (SELECT c FROM nw2)
+        |  UNION ALL SELECT 'text', 'pos_post_parity', 0, (SELECT c FROM pp)
+        |  UNION ALL SELECT 'text', 'stats_local', 0, (SELECT c FROM tadd)
+        |  UNION ALL SELECT 'text', 'tomb_wellformed', 0, (SELECT c FROM ng)
+        |  UNION ALL SELECT 'text', 'vocab_df', 0, (SELECT c FROM vdf)
         |) ORDER BY tier, "check"""".stripMargin,
     "index_forget_audit" ->
       """WITH d AS (SELECT doc_id, text FROM documents

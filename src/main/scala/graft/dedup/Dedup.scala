@@ -720,6 +720,100 @@ object Dedup {
     } finally sig.unpersist(): Unit
   }
 
+  /** Publish/advance the dedup index's fsck verified watermark (see
+   *  [[graft.store.CommitLog.FsckPrefix]]); pair with
+   *  [[indexVersion]] read BEFORE the battery.
+   */
+  def indexPublishFsckWatermark(
+      spark: org.apache.spark.sql.SparkSession, indexDir: String,
+      v: Long): Unit =
+    new graft.store.CommitLog(s"$indexDir/_manifests")
+      .publishFsckWatermark(spark, v)
+
+  /** INCREMENTAL fsck — commit-local halves of [[indexFsck]]'s
+   *  invariants over only the entries that appeared after the
+   *  verified watermark (cost ∝ fresh commits, never ∝ index):
+   *  `sig_unique` / `sig_sh_parity` / `sig_n_recount` within each
+   *  fresh commit, `pairs_b_membership` (a fresh commit's pair report
+   *  names only its own batch's docs on the b_id side — the a_id side
+   *  references earlier commits and stays the FULL battery's job),
+   *  and `tomb_wellformed` (duplicate gone ids). All five rows always
+   *  present ((0, 0) when absent this window). None when the
+   *  incremental premise fails — run [[indexFsck]] and republish.
+   */
+  def indexFsckIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String): Option[graft.store.FsckScope] = {
+    import spark.implicits._
+    new graft.store.CommitLog(s"$indexDir/_manifests")
+      .fsckFreshEntries(spark).map { case (vNow, fresh) =>
+        val conf = spark.sessionState.newHadoopConf()
+        def exists(p: String): Boolean = {
+          val hp = new org.apache.hadoop.fs.Path(p)
+          hp.getFileSystem(conf).exists(hp)
+        }
+        def legUnion(es: Seq[String], sub: String): Option[DataFrame] = {
+          val dfs = es.map(e => (e, s"$indexDir/data/$e/$sub"))
+            .filter(p => exists(p._2))
+            .map { case (e, p) =>
+              spark.read.parquet(p).withColumn("cmt", lit(e)) }
+          Option.when(dfs.nonEmpty)(dfs.reduce(_.unionByName(_)))
+        }
+        val commits = fresh.filter(_.startsWith("c-"))
+        val tombs = fresh.filter(_.startsWith("t-"))
+        val isViol = (c: org.apache.spark.sql.Column) =>
+          coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+        val sig = legUnion(commits, "sig")
+          .map(_.select(col("cmt"), col("doc_id"), col("n")).persist())
+        try {
+          val (uniqRow, parityRow, recountRow) = sig match {
+            case None => (("sig_unique", 0L, 0L), ("sig_sh_parity", 0L, 0L),
+              ("sig_n_recount", 0L, 0L))
+            case Some(sg) =>
+              val u = sg.groupBy("cmt", "doc_id").agg(count(lit(1)).as("m"))
+                .agg(isViol(col("m") > 1).as("viol"),
+                  count(lit(1)).as("aud")).head()
+              val shCnt = legUnion(commits, "sh").get
+                .groupBy("cmt", "doc_id").agg(count(lit(1)).as("n2"))
+              val r = sg.join(shCnt, Seq("cmt", "doc_id"), "full_outer")
+                .agg(isViol(col("n").isNull || col("n2").isNull)
+                    .as("parity"),
+                  isViol(col("n").isNotNull && col("n2").isNotNull &&
+                    col("n") =!= col("n2")).as("recount"),
+                  count(lit(1)).as("aud")).head()
+              (("sig_unique", u.getLong(0), u.getLong(1)),
+                ("sig_sh_parity", r.getLong(0), r.getLong(2)),
+                ("sig_n_recount", r.getLong(1), r.getLong(2)))
+          }
+          val pairsRow = legUnion(commits, "pairs") match {
+            case None => ("pairs_b_membership", 0L, 0L)
+            case Some(pr) =>
+              val b = pr.select(col("cmt"), col("b_id").as("doc_id"))
+              val viol = b.join(sig.get.select("cmt", "doc_id"),
+                  Seq("cmt", "doc_id"), "left_anti").count()
+              ("pairs_b_membership", viol, pr.count())
+          }
+          val goneDf = legUnion(tombs, "gone")
+          val tombRow = goneDf match {
+            case None => ("tomb_wellformed", 0L, 0L)
+            case Some(g) =>
+              val r = g.groupBy("cmt", "doc_id").agg(count(lit(1)).as("m"))
+                .agg(isViol(col("m") > 1).as("viol"),
+                  count(lit(1)).as("aud")).head()
+              ("tomb_wellformed", r.getLong(0), r.getLong(1))
+          }
+          val emptyIds = spark.emptyDataset[Long].toDF("doc_id")
+          graft.store.FsckScope(
+            vNow,
+            Seq(uniqRow, parityRow, recountRow, pairsRow, tombRow),
+            sig.map(_.select("doc_id").distinct().localCheckpoint(true))
+              .getOrElse(emptyIds),
+            goneDf.map(_.select("doc_id").distinct().localCheckpoint(true))
+              .getOrElse(emptyIds))
+        } finally sig.foreach(_.unpersist(): Unit)
+      }
+  }
+
   /** Stable digest of a delivery key, embedded in a keyed shard's
    *  commit-dir name (`c-k<digest>-<rand>`) so the shard's own pair
    *  report stays ADDRESSABLE BY KEY ([[indexPairsForDelivery]]). The

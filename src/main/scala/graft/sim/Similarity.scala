@@ -1169,6 +1169,100 @@ object Similarity {
       .toDF("check", "violations", "audited")
   }
 
+  /** Publish/advance the IVF index's fsck verified watermark (see
+   *  [[graft.store.CommitLog.FsckPrefix]]); pair with [[ivfVersion]]
+   *  read BEFORE the battery.
+   */
+  def ivfPublishFsckWatermark(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      v: Long): Unit =
+    ivfLog(dir).publishFsckWatermark(spark, v)
+
+  /** INCREMENTAL fsck — [[ivfIndexFsck]]'s invariants over only the
+   *  posting commits that appeared after the verified watermark
+   *  (`vec_unique` per fresh commit, `cell_assignment` /
+   *  `dim_uniform` per fresh row against the LIVE centroid
+   *  generation — the one pre-watermark read, and it is bounded
+   *  index-small metadata, not a leg recount) plus `tomb_wellformed`
+   *  (duplicate gone ids). Fresh appends/upserts assign under the
+   *  live frozen generation and a rebuild splices old commits away
+   *  (which voids the watermark → full battery), so checking fresh
+   *  rows against live centroids is exact. All four rows always
+   *  present ((0, 0) when absent this window). None when the
+   *  incremental premise fails — run [[ivfIndexFsck]] and republish.
+   */
+  def ivfFsckIncremental(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[graft.store.FsckScope] = {
+    import spark.implicits._
+    ivfLog(dir).fsckFreshEntries(spark).map { case (vNow, fresh) =>
+      val conf = spark.sessionState.newHadoopConf()
+      def exists(p: String): Boolean = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+      def legUnion(es: Seq[String], sub: String): Option[DataFrame] = {
+        val dfs = es.map(e => (e, s"$dir/data/$e/$sub"))
+          .filter(p => exists(p._2))
+          .map { case (e, p) =>
+            spark.read.parquet(p).withColumn("cmt", lit(e)) }
+        Option.when(dfs.nonEmpty)(dfs.reduce(_.unionByName(_)))
+      }
+      val commits = fresh.filter(_.startsWith("c-"))
+      val tombs = fresh.filter(_.startsWith("t-"))
+      val isViol = (c: Column) =>
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+      val posts = legUnion(commits, "post")
+      val emptyIds = spark.emptyDataset[Long].toDF("doc_id")
+      val (dupRow, cellRow, dimRow, added) = posts match {
+        case None => (("vec_unique", 0L, 0L), ("cell_assignment", 0L, 0L),
+          ("dim_uniform", 0L, 0L), emptyIds)
+        case Some(p) =>
+          val cents = collectBounded(
+            spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
+            "the stored centroid set must stay index-small")
+          val (ids, vecs) = (cents.map(_._1), cents.flatMap(_._2))
+          val dim = cents.head._2.length
+          val r = p
+            .select(col("cmt"), col("vec_id"),
+              when(size(col("v")) =!= lit(dim), lit(true))
+                .otherwise(col("cell") =!= element_at(
+                  toCol(graft.functions.TopCentroids(
+                    toExpr(col("v")), ids, vecs, 1)), 1)).as("bad_cell"),
+              (size(col("v")) =!= lit(dim)).as("bad_dim"))
+            .groupBy("cmt", "vec_id")
+            .agg(count(lit(1)).as("m"),
+              max(col("bad_cell")).as("bad_cell"),
+              max(col("bad_dim")).as("bad_dim"))
+            .agg(isViol(col("m") > 1).as("dup"),
+              isViol(col("bad_cell")).as("cell"),
+              isViol(col("bad_dim")).as("dim"),
+              count(lit(1)).as("aud")).head()
+          (("vec_unique", r.getLong(0), r.getLong(3)),
+            ("cell_assignment", r.getLong(1), r.getLong(3)),
+            ("dim_uniform", r.getLong(2), r.getLong(3)),
+            p.select(col("vec_id").as("doc_id")).distinct()
+              .localCheckpoint(true))
+      }
+      val goneDf = legUnion(tombs, "gone")
+      val tombRow = goneDf match {
+        case None => ("tomb_wellformed", 0L, 0L)
+        case Some(g) =>
+          val r = g.groupBy("cmt", "vec_id").agg(count(lit(1)).as("m"))
+            .agg(isViol(col("m") > 1).as("viol"),
+              count(lit(1)).as("aud")).head()
+          ("tomb_wellformed", r.getLong(0), r.getLong(1))
+      }
+      graft.store.FsckScope(
+        vNow,
+        Seq(cellRow, dimRow, tombRow, dupRow),
+        added,
+        goneDf.map(_.select(col("vec_id").as("doc_id")).distinct()
+            .localCheckpoint(true))
+          .getOrElse(emptyIds))
+    }
+  }
+
   /** Hard-negative mining for contrastive training: per query, the
    *  top-k MOST similar candidates inside the band (loCos, hiCos) —
    *  similar enough to be informative negatives, strictly below the
@@ -1321,8 +1415,20 @@ object Similarity {
           sample.zipWithIndex.collect { case (v, i) if i % k == 0 => v }
         }
       } else {
+        // the equivalent-rate divisor must come from the sample's
+        // OBSERVED id spacing, not the requested sampleStep: the
+        // lattice-fallback sample (lowest-vec_id 32768 rows) has the
+        // id lattice's own spacing, so dividing by sampleStep would
+        // mis-scale the seed count by sampleStep/spacing. A strided
+        // sample over a dense lattice observes median gap ==
+        // sampleStep, so well-chosen strides are unchanged.
+        val gaps = sample.map(_._1).sorted.toSeq.sliding(2)
+          .collect { case Seq(a, b) => b - a }.toArray.sorted
+        val spacing: Double =
+          if (gaps.isEmpty) sampleStep.toDouble
+          else math.max(1L, gaps(gaps.length / 2)).toDouble
         val k = math.max(1,
-          math.round(centroidStep.toDouble / sampleStep).toInt)
+          math.round(centroidStep.toDouble / spacing).toInt)
         sample.zipWithIndex.collect { case (v, i) if i % k == 0 => v }
       }
     require(seeds.nonEmpty, "no seed centroids: centroidStep too large")

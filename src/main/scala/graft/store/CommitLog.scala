@@ -40,6 +40,20 @@ object CommitLog {
    */
   val PinPrefix = "#pin:"
 
+  /** Ledger prefix of the fsck VERIFIED WATERMARK — `#fsck:<version>`
+   *  records that a full (or incremental) integrity battery read the
+   *  log at `<version>` and found zero violations. A later SCOPED
+   *  fsck verifies only the entries that appeared after that version
+   *  instead of recounting the whole index — the affordable scheduled
+   *  posture at 100 TB, where a full recount per check is not. Rides
+   *  the same `#`-metadata convention as `#txn:`/`#pin:` entries: it
+   *  is ledger metadata, never a data dir, survives restarts, and
+   *  passes through compaction splices untouched (a splice that
+   *  REMOVES verified entries invalidates the incremental premise —
+   *  the scoped check detects exactly that and demands a full run).
+   */
+  val FsckPrefix = "#fsck:"
+
   /** In-commit pin guard shared by every destructive publish closure:
    *  abort (None) when a replay pin raced in between the caller's
    *  entry check and its publish — the one place the guard lives, so
@@ -425,6 +439,60 @@ final class CommitLog(manifestDir: String) {
     val e = CommitLog.PinPrefix + name
     commit(spark)(now =>
       if (!now.contains(e)) None else Some(now.filterNot(_ == e))): Unit
+  }
+
+  /** The last published fsck verified watermark (the version a clean
+   *  battery read the log at), if any. See [[CommitLog.FsckPrefix]].
+   */
+  def fsckWatermark(spark: SparkSession): Option[Long] =
+    latest(spark)._2.filter(_.startsWith(CommitLog.FsckPrefix))
+      .flatMap(e => scala.util.Try(
+        e.stripPrefix(CommitLog.FsckPrefix).toLong).toOption)
+      .maxOption
+
+  /** Publish (or advance) the fsck verified watermark to `v`. The
+   *  marker is MONOTONIC — a stale concurrent checker cannot lower
+   *  it — and self-replacing: at most one `#fsck:` entry is live.
+   *  Callers must pass the version they READ BEFORE running their
+   *  battery (entries racing in during the check stay unverified —
+   *  the safe direction: they are re-checked next time, never
+   *  skipped). Not a destructive verb: it touches no commit or
+   *  tombstone entry, so it publishes under live replay pins.
+   */
+  def publishFsckWatermark(spark: SparkSession, v: Long): Unit = {
+    require(v >= 1L, s"fsck watermark must be a published version (got $v)")
+    commit(spark) { now =>
+      val cur = now.filter(_.startsWith(CommitLog.FsckPrefix))
+        .flatMap(e => scala.util.Try(
+          e.stripPrefix(CommitLog.FsckPrefix).toLong).toOption)
+        .maxOption
+      if (cur.exists(_ >= v)) None
+      else Some(now.filterNot(_.startsWith(CommitLog.FsckPrefix)) :+
+        (CommitLog.FsckPrefix + v))
+    }: Unit
+  }
+
+  /** The SCOPE of an incremental fsck: `(vNow, fresh data entries)` —
+   *  the version the log reads at NOW plus the data entries (c-/t-)
+   *  that appeared after the verified watermark. None when the
+   *  incremental premise does not hold and the caller must run the
+   *  FULL battery instead: no watermark published yet, the
+   *  watermark's version file was reclaimed by [[vacuumVersions]], or
+   *  a verified entry is no longer live (a compaction fold or
+   *  tombstone retirement consumed it — the folded output is new
+   *  unverified state whose inputs are gone, so "check only what's
+   *  new" can no longer compose with the old certificate).
+   */
+  def fsckFreshEntries(spark: SparkSession): Option[(Long, Seq[String])] = {
+    val (vNow, liveNow) = latest(spark)
+    fsckWatermark(spark).flatMap { w =>
+      scala.util.Try(liveAt(spark, w)).toOption.flatMap { baseLive =>
+        val base = baseLive.filterNot(_.startsWith("#")).toSet
+        val nowData = liveNow.filterNot(_.startsWith("#"))
+        if (!base.subsetOf(nowData.toSet)) None
+        else Some((vNow, nowData.filterNot(base)))
+      }
+    }
   }
 
   /** Live replay-pin names (empty = no lease held). */

@@ -680,8 +680,12 @@ object Tables {
               col("dataset_id"), col("bucket_s"))
             .agg(isViol(!col("fidelity").isin(known: _*) ||
                 col("bucket_s") % secs =!= 0 ||
-                col("part_s") =!= (col("bucket_s") - pmod(col("bucket_s"),
-                  win)) ||
+                // `%` (truncating remainder), NOT pmod: the expected
+                // part_s must reproduce allLevelPartials' truncating
+                // `(bucket div win) * win`, or a healthy store with
+                // pre-1970 buckets is flagged corrupt
+                col("part_s") =!= (col("bucket_s") - col("bucket_s") %
+                  win) ||
                 col("ds_b") =!= dsBucket(col("dataset_id")).cast("long"))
                 .as("viol"),
               count(lit(1)).as("aud")).head()
@@ -738,8 +742,10 @@ object Tables {
         () => {
           val folded = readRollup(spark, root, fine)
             .groupBy(col("dataset_id"),
-              (col("bucket_s") - pmod(col("bucket_s"),
-                lit(coarse.seconds))).as("bucket_s"))
+              // truncating fold, matching allLevelPartials' bucket
+              // derivation for negative (pre-1970) timestamps
+              (col("bucket_s") - col("bucket_s") %
+                lit(coarse.seconds)).as("bucket_s"))
             .agg(min("min_v").as("min_v"), max("max_v").as("max_v"),
               sum("sum_v").as("sum_v"), sum("cnt").as("cnt"))
           val (viol, aud) =

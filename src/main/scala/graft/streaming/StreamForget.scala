@@ -184,15 +184,18 @@ object StreamForget {
           "driver-side set)")
       out
     }
-    // a PERMANENT resolution failure (the 65536 bound, a malformed
-    // predicate — IllegalArgumentException by convention) must not
-    // leak the lease: no tombstoning leg has committed yet when
-    // resolution throws (the delivered branches read already-bounded
-    // committed records), so releasing is safe, and the operator's
-    // batched retry under new keys would otherwise find folds and
-    // retirement blocked forever by an internal pin name. Transient
-    // I/O failures are NOT IllegalArgumentException and keep the
-    // lease — their retry path genuinely is mid-replay.
+    // ANY resolution failure (the 65536 bound or a malformed
+    // predicate as IllegalArgumentException, a typo'd docsWhere
+    // column as AnalysisException at collect time, a transient read
+    // fault) must not leak the lease: no tombstoning leg has
+    // committed yet when resolution throws (the delivered branches
+    // read already-bounded committed records), so releasing is
+    // always safe here, and the operator's retry — batched under new
+    // keys or a plain redelivery of THIS key, which re-pins before
+    // re-resolving — would otherwise find folds and retirement
+    // blocked forever by an internal pin name. The lease only needs
+    // to survive crashes AFTER the first leg commits, and those are
+    // past this block.
     val allIds: Seq[Long] = try dedupIdx match {
       case Some(dir)
           if graft.dedup.Dedup.indexHasDelivery(spark, dir, s"$key.dedup") =>
@@ -243,7 +246,7 @@ object StreamForget {
           union
         }
     } catch {
-      case e: IllegalArgumentException => unpinAuthority(); throw e
+      case scala.util.control.NonFatal(e) => unpinAuthority(); throw e
     }
     if (allIds.isEmpty) {
       // nothing live matches — ledger the completion marker DIRECTLY.

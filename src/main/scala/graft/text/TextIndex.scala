@@ -1047,6 +1047,169 @@ object TextIndex {
     } finally post.unpersist(): Unit
   }
 
+  /** Manifest version the index's log currently reads at — read this
+   *  BEFORE a full battery so the published watermark never covers
+   *  entries the battery didn't see (racing commits stay unverified,
+   *  the safe direction).
+   */
+  def logVersion(spark: SparkSession, dir: String): Long =
+    clog(dir).latest(spark)._1
+
+  /** Publish/advance the index's fsck verified watermark. */
+  def publishFsckWatermark(spark: SparkSession, dir: String, v: Long): Unit =
+    clog(dir).publishFsckWatermark(spark, v)
+
+  /** INCREMENTAL fsck — the scheduled posture: verify only the
+   *  entries that appeared AFTER the last verified watermark
+   *  (`#fsck:<version>`), at cost ∝ fresh commits, never ∝ index.
+   *  The checks are the COMMIT-LOCAL halves of [[fsck]]'s invariants
+   *  (each holds over one commit's own immutable files at write
+   *  time, so pre-watermark legs are never re-read):
+   *
+   *  | check           | violation = … (scoped to fresh entries)      |
+   *  |-----------------|----------------------------------------------|
+   *  | vocab_df        | per-commit vocab df ≠ that commit's posting
+   *  |                 | recount                                      |
+   *  | stats_local     | per-commit (nd, tl) ≠ recount from its posts |
+   *  | pos_post_parity | (token, doc) in pos xor post within a commit,
+   *  |                 | or size(positions) ≠ tf                      |
+   *  | docs_coverage   | posted doc without a forward row (per commit)|
+   *  | docs_unique     | forward doc with > 1 rows within a commit    |
+   *  | tomb_wellformed | duplicate gone id, positive dvocab df or
+   *  |                 | dstats delta, or |nd delta| > gone count     |
+   *
+   *  CROSS-commit drift (a stray writer rewriting an old file, a
+   *  tombstone-scoping bug) is the FULL battery's job — incremental
+   *  fsck certifies that nothing that LANDED since the watermark is
+   *  internally torn, which is the affordable invariant a scheduled
+   *  check can hold at 100 TB. All six rows are always present
+   *  ((0, 0) when a leg/kind is absent this window) so reports have
+   *  one stable shape. None when no watermark is live, its version
+   *  was vacuumed, or a fold/retire consumed a verified entry — run
+   *  [[fsck]] and republish instead.
+   */
+  def fsckIncremental(
+      spark: SparkSession, dir: String): Option[graft.store.FsckScope] = {
+    import spark.implicits._
+    clog(dir).fsckFreshEntries(spark).map { case (vNow, fresh) =>
+      val conf = spark.sessionState.newHadoopConf()
+      def exists(p: String): Boolean = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(conf).exists(hp)
+      }
+      def legUnion(es: Seq[String], sub: String): Option[DataFrame] = {
+        val dfs = es.map(e => (e, s"$dir/data/$e/$sub"))
+          .filter(p => exists(p._2))
+          .map { case (e, p) =>
+            spark.read.parquet(p).withColumn("cmt", lit(e)) }
+        Option.when(dfs.nonEmpty)(dfs.reduce(_.unionByName(_)))
+      }
+      val commits = fresh.filter(_.startsWith("c-"))
+      val tombs = fresh.filter(_.startsWith("t-"))
+      val isViol = (c: Column) =>
+        coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L))
+      val post = legUnion(commits, "post")
+        .map(_.select(col("cmt"), col("token"), col("doc_id"), col("tf"))
+          .persist())
+      try {
+        val vocabRow = post match {
+          case None => ("vocab_df", 0L, 0L)
+          case Some(p) =>
+            val folded = legUnion(commits, "vocab").get
+              .groupBy("cmt", "token").agg(sum("df").as("df"))
+            val recount = p.groupBy("cmt", "token")
+              .agg(count(lit(1)).as("df2"))
+            val r = folded.join(recount, Seq("cmt", "token"), "full_outer")
+              .agg(isViol(coalesce(col("df"), lit(0L)) =!=
+                  coalesce(col("df2"), lit(0L))).as("viol"),
+                count(lit(1)).as("aud")).head()
+            ("vocab_df", r.getLong(0), r.getLong(1))
+        }
+        val statsRow = post match {
+          case None => ("stats_local", 0L, 0L)
+          case Some(p) =>
+            val e = p.groupBy("cmt", "doc_id").agg(sum("tf").as("dl"))
+              .groupBy("cmt").agg(count(lit(1)).as("nd2"),
+                sum("dl").as("tl2"))
+            val g = legUnion(commits, "stats").get
+              .groupBy("cmt").agg(coalesce(sum("nd"), lit(0L)).as("nd"),
+                coalesce(sum("tl"), lit(0L)).as("tl"))
+            val r = e.join(g, Seq("cmt"), "full_outer")
+              .agg(isViol(col("nd").isNull || col("nd2").isNull ||
+                  col("nd") =!= col("nd2") ||
+                  col("tl") =!= col("tl2")).as("viol"),
+                coalesce(sum("nd2"), lit(0L)).as("aud")).head()
+            ("stats_local", r.getLong(0), r.getLong(1))
+        }
+        val posCs = commits.filter(c => exists(s"$dir/data/$c/pos"))
+        val posRow =
+          if (posCs.isEmpty || post.isEmpty) ("pos_post_parity", 0L, 0L)
+          else {
+            val pp = post.get.where(col("cmt").isin(posCs: _*))
+            val pos = legUnion(posCs, "pos").get
+              .select(col("cmt"), col("token"), col("doc_id"),
+                size(col("positions")).cast("long").as("np"))
+            val r = pp.join(pos, Seq("cmt", "token", "doc_id"), "full_outer")
+              .agg(isViol(col("tf").isNull || col("np").isNull ||
+                  col("tf") =!= col("np")).as("viol"),
+                count(lit(1)).as("aud")).head()
+            ("pos_post_parity", r.getLong(0), r.getLong(1))
+          }
+        val docCs = commits.filter(c => exists(s"$dir/data/$c/docs"))
+        val (covRow, uniqRow) =
+          if (docCs.isEmpty || post.isEmpty)
+            (("docs_coverage", 0L, 0L), ("docs_unique", 0L, 0L))
+          else {
+            val fwd = legUnion(docCs, "docs").get
+              .select("cmt", "doc_id")
+            val cov = post.get.where(col("cmt").isin(docCs: _*))
+              .select("cmt", "doc_id").distinct()
+              .join(fwd.distinct().withColumn("has", lit(1)),
+                Seq("cmt", "doc_id"), "left_outer")
+              .agg(isViol(col("has").isNull).as("viol"),
+                count(lit(1)).as("aud")).head()
+            val u = fwd.groupBy("cmt", "doc_id")
+              .agg(count(lit(1)).as("m"))
+              .agg(isViol(col("m") > 1).as("viol"),
+                count(lit(1)).as("aud")).head()
+            (("docs_coverage", cov.getLong(0), cov.getLong(1)),
+              ("docs_unique", u.getLong(0), u.getLong(1)))
+          }
+        val goneDf = legUnion(tombs, "gone")
+        val tombRow = goneDf match {
+          case None => ("tomb_wellformed", 0L, 0L)
+          case Some(g) =>
+            val dup = g.groupBy("cmt", "doc_id").agg(count(lit(1)).as("m"))
+              .agg(isViol(col("m") > 1).as("viol"),
+                count(lit(1)).as("aud")).head()
+            val dvViol = legUnion(tombs, "dvocab")
+              .map(_.agg(isViol(col("df") > 0)).head().getLong(0))
+              .getOrElse(0L)
+            val gcnt = g.groupBy("cmt").agg(count(lit(1)).as("gn"))
+            val dsViol = legUnion(tombs, "dstats")
+              .map(_.groupBy("cmt")
+                .agg(coalesce(sum("nd"), lit(0L)).as("nd"),
+                  coalesce(sum("tl"), lit(0L)).as("tl"))
+                .join(gcnt, Seq("cmt"), "left_outer")
+                .agg(isViol(col("nd") > 0 || col("tl") > 0 ||
+                  -col("nd") > coalesce(col("gn"), lit(0L)))).head()
+                .getLong(0))
+              .getOrElse(0L)
+            ("tomb_wellformed", dup.getLong(0) + dvViol + dsViol,
+              dup.getLong(1))
+        }
+        val emptyIds = spark.emptyDataset[Long].toDF("doc_id")
+        graft.store.FsckScope(
+          vNow,
+          Seq(vocabRow, statsRow, posRow, covRow, uniqRow, tombRow),
+          post.map(_.select("doc_id").distinct().localCheckpoint(true))
+            .getOrElse(emptyIds),
+          goneDf.map(_.select("doc_id").distinct().localCheckpoint(true))
+            .getOrElse(emptyIds))
+      } finally post.foreach(_.unpersist(): Unit)
+    }
+  }
+
   /** PREFIX SUGGESTION (autocomplete): top-`k` indexed tokens starting
    *  with `prefix`, ranked by folded document frequency (ties by
    *  token) — the query-suggestion surface a search box needs, served
