@@ -1920,6 +1920,49 @@ object CoreQueries {
       Tables.fsck(s, root, deep = true).orderBy("check")
     }),
 
+    // ---- store DETECT → REMEDIATE composition: a stray writer plants
+    // two corruptions past the ingest path (a byte-for-byte duplicated
+    // 10 s rollup row, and a layout-valid orphan 1 s bucket in a
+    // far-future window raw knows nothing about), the BEFORE fsck
+    // reads red with exactly the injected violation counts, then
+    // fsckRepair derives the violated 100000 s windows from the
+    // violation-grain checks and recomputes exactly those slices from
+    // raw — the AFTER fsck must read all-zeros with the healthy
+    // audited universes. Both phases are value-oracled, so the repair
+    // can neither under-fix (after ≠ 0) nor over-touch (healthy audits
+    // drift). In-query requires pin the window count (2 — one per
+    // corruption site) and the clean end state -------------------------
+    "store_fsck_repair" -> ((s, dir) => {
+      val root = clonedBaseStore(s, dir)
+      val rp = Tables.rollupPath(root)
+      val rollup = s.read.parquet(rp)
+      rollup.where(col("fidelity") === "d10")
+        .orderBy("dataset_id", "bucket_s").limit(1)
+        .write.mode("append").partitionBy("fidelity", "ds_b", "part_s")
+        .parquet(rp)
+      rollup.where(col("fidelity") === "d1")
+        .orderBy("dataset_id", "bucket_s").limit(1)
+        .withColumn("bucket_s", lit(2000000000L))
+        // layout-valid part_s for the S1 level's 28-day window
+        .withColumn("part_s",
+          lit(2000000000L - 2000000000L % Tables.partitionWindowS(
+            graft.model.Fidelity.S1)))
+        .write.mode("append").partitionBy("fidelity", "ds_b", "part_s")
+        .parquet(rp)
+      val before = Tables.fsck(s, root, deep = true)
+        .withColumn("phase", lit("before")).localCheckpoint(true)
+      val repaired = Tables.fsckRepair(s, root, deep = true)
+      require(repaired.length == 2,
+        s"expected 2 violated repair windows, got $repaired")
+      val after = Tables.fsck(s, root, deep = true)
+        .withColumn("phase", lit("after")).localCheckpoint(true)
+      require(after.agg(sum("violations")).head().getLong(0) == 0L,
+        "fsckRepair must leave the pyramid clean")
+      before.unionByName(after)
+        .select("phase", "check", "violations", "audited")
+        .orderBy("phase", "check")
+    }),
+
     // ---- store compaction: 3 per-batch appends leave interleaved
     // sliver files; compactRaw rewrites each partition bin-packed and
     // (dataset_id, ts)-sorted. The oracle proves the rewrite is
@@ -2496,6 +2539,58 @@ object CoreQueries {
         |  UNION ALL SELECT 'raw_1', (SELECT c FROM b1)
         |  UNION ALL SELECT 'rollup_unique', (SELECT c FROM tot)
         |) ORDER BY "check"""".stripMargin,
+    "store_fsck_repair" ->
+      """WITH e AS (SELECT event_type AS d, epoch_us(ts) AS ts_us
+        |           FROM events
+        |           WHERE value IS NOT NULL AND NOT isnan(value)),
+        |b1 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 1000000 FROM e)),
+        |b10 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 10000000 FROM e)),
+        |b100 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 100000000 FROM e)),
+        |b1000 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 1000000000 FROM e)),
+        |b10000 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 10000000000 FROM e)),
+        |b100000 AS (SELECT CAST(count(*) AS BIGINT) c FROM
+        |  (SELECT DISTINCT d, ts_us // 100000000000 FROM e)),
+        |nraw AS (SELECT CAST(count(*) AS BIGINT) c FROM e),
+        |tot AS (SELECT (SELECT c FROM b1) + (SELECT c FROM b10) +
+        |  (SELECT c FROM b100) + (SELECT c FROM b1000) +
+        |  (SELECT c FROM b10000) + (SELECT c FROM b100000) AS c)
+        |SELECT phase, "check", violations, audited FROM (
+        |  SELECT 'after' AS phase, 'cascade_1000_10000' AS "check",
+        |    CAST(0 AS BIGINT) AS violations,
+        |    (SELECT c FROM b10000) AS audited
+        |  UNION ALL SELECT 'after', 'cascade_100_1000', 0,
+        |    (SELECT c FROM b1000)
+        |  UNION ALL SELECT 'after', 'cascade_10000_100000', 0,
+        |    (SELECT c FROM b100000)
+        |  UNION ALL SELECT 'after', 'cascade_10_100', 0,
+        |    (SELECT c FROM b100)
+        |  UNION ALL SELECT 'after', 'cascade_1_10', 0, (SELECT c FROM b10)
+        |  UNION ALL SELECT 'after', 'layout_raw', 0, (SELECT c FROM nraw)
+        |  UNION ALL SELECT 'after', 'layout_rollup', 0, (SELECT c FROM tot)
+        |  UNION ALL SELECT 'after', 'raw_1', 0, (SELECT c FROM b1)
+        |  UNION ALL SELECT 'after', 'rollup_unique', 0, (SELECT c FROM tot)
+        |  UNION ALL SELECT 'before', 'cascade_1000_10000', 0,
+        |    (SELECT c FROM b10000)
+        |  UNION ALL SELECT 'before', 'cascade_100_1000', 0,
+        |    (SELECT c FROM b1000)
+        |  UNION ALL SELECT 'before', 'cascade_10000_100000', 0,
+        |    (SELECT c FROM b100000)
+        |  UNION ALL SELECT 'before', 'cascade_10_100', 1,
+        |    (SELECT c FROM b100)
+        |  UNION ALL SELECT 'before', 'cascade_1_10', 1,
+        |    (SELECT c FROM b10) + 2
+        |  UNION ALL SELECT 'before', 'layout_raw', 0, (SELECT c FROM nraw)
+        |  UNION ALL SELECT 'before', 'layout_rollup', 0,
+        |    (SELECT c FROM tot) + 2
+        |  UNION ALL SELECT 'before', 'raw_1', 1, (SELECT c FROM b1) + 1
+        |  UNION ALL SELECT 'before', 'rollup_unique', 1,
+        |    (SELECT c FROM tot) + 1
+        |) ORDER BY phase, "check"""".stripMargin,
     "ingest_manifest_1s" -> rollupSql(1),
     // batches are md5-split; as-of version 2 sees batches 0 and 1 only
     "manifest_time_travel" ->

@@ -771,6 +771,119 @@ object Tables {
   }
 
   /**
+   * DETECT → REMEDIATE composition for the rollup pyramid: re-derive
+   * [[fsck]]'s rollup-side checks at VIOLATION grain (the violating
+   * bucket, not just a count), fold the violations to the coarsest
+   * level's 100000 s repair grid, and recompute exactly those windows
+   * from raw via [[repairRollups]] — so an operator goes from "fsck is
+   * red" to "fsck is green" in one verb instead of hand-translating
+   * violation counts into slice bounds. Returns the repaired window
+   * starts (seconds), sorted; empty = nothing to repair.
+   *
+   * Scope: layout_rollup, rollup_unique, every cascade level pair,
+   * and (under `deep`) the raw→1 s recount — everything RAW can
+   * reconstruct. Raw-side violations (layout_raw) are detection-only:
+   * raw IS the source of truth, there is nothing to recompute it
+   * from — fix the stray writer and re-ingest instead.
+   *
+   * Cost ∝ the agg tables for detection (the fsck discipline) plus
+   * ∝ repaired slices for remediation; `maxSlices` bounds the
+   * driver-side window set loudly (a corruption wide enough to blow
+   * it needs operator triage, not a blind full rewrite).
+   */
+  def fsckRepair(
+      spark: SparkSession, root: String, deep: Boolean = false,
+      maxSlices: Int = 64): Seq[Long] = {
+    val rp = rollupPath(root)
+    if (!StoreFs.exists(spark, rp)) return Seq.empty
+    val coarseS = 100000L
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col("bucket_s").cast("long").as("bucket_s"))
+    val rollup = spark.read.parquet(rp)
+      .select(col("fidelity").cast("string").as("fidelity"),
+        col("ds_b").cast("long").as("ds_b"),
+        col("part_s").cast("long").as("part_s"),
+        col("dataset_id"), col("bucket_s").cast("long").as("bucket_s"),
+        col("min_v"), col("max_v"), col("sum_v"), col("cnt"))
+      .persist()
+    try {
+      val known = Fidelity.aggLevels.map(fidelityPart)
+      val secs = Fidelity.aggLevels
+        .foldLeft(lit(-1L))((acc, f) =>
+          when(col("fidelity") === fidelityPart(f), lit(f.seconds))
+            .otherwise(acc))
+      val win = Fidelity.aggLevels
+        .foldLeft(lit(-1L))((acc, f) =>
+          when(col("fidelity") === fidelityPart(f),
+            lit(partitionWindowS(f))).otherwise(acc))
+      val layoutBad = buckets(rollup.where(
+        !col("fidelity").isin(known: _*) ||
+          col("bucket_s") % secs =!= 0 ||
+          col("part_s") =!= (col("bucket_s") - col("bucket_s") % win) ||
+          col("ds_b") =!= dsBucket(col("dataset_id")).cast("long")))
+      val dupBad = buckets(rollup
+        .groupBy("fidelity", "dataset_id", "bucket_s")
+        .agg(count(lit(1)).as("m")).where(col("m") > 1))
+      def sumOff(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        abs(a - b) > lit(1e-9) * greatest(abs(a), abs(b), lit(1.0))
+      def mismatch(e: DataFrame, g: DataFrame): DataFrame = {
+        val ea = e.select(col("dataset_id"), col("bucket_s"),
+          col("min_v").as("e_min"), col("max_v").as("e_max"),
+          col("sum_v").as("e_sum"), col("cnt").as("e_cnt"))
+        val ga = g.select(col("dataset_id"),
+          col("bucket_s").cast("long").as("bucket_s"),
+          col("min_v").as("g_min"), col("max_v").as("g_max"),
+          col("sum_v").as("g_sum"), col("cnt").as("g_cnt"))
+        buckets(ea.join(ga, Seq("dataset_id", "bucket_s"), "full_outer")
+          .where(col("e_cnt").isNull || col("g_cnt").isNull ||
+            col("e_cnt") =!= col("g_cnt") ||
+            col("e_min") =!= col("g_min") ||
+            col("e_max") =!= col("g_max") ||
+            sumOff(col("e_sum"), col("g_sum"))))
+      }
+      val cascadeBad = Fidelity.aggLevels.sliding(2).toSeq.map { pair =>
+        val (fine, coarse) = (pair(0), pair(1))
+        val folded = readRollup(spark, root, fine)
+          .groupBy(col("dataset_id"),
+            (col("bucket_s") - col("bucket_s") %
+              lit(coarse.seconds)).as("bucket_s"))
+          .agg(min("min_v").as("min_v"), max("max_v").as("max_v"),
+            sum("sum_v").as("sum_v"), sum("cnt").as("cnt"))
+        mismatch(folded, readRollup(spark, root, coarse))
+      }
+      val deepBad =
+        if (!deep) Seq.empty
+        else {
+          val s1 = Fidelity.aggLevels.head
+          val recount = allLevelPartials(
+              readRaw(spark, root).select("dataset_id", "ts_us", "value"))
+            .where(col("fidelity") === fidelityPart(s1))
+            .select("dataset_id", "bucket_s", "min_v", "max_v", "sum_v",
+              "cnt")
+          Seq(mismatch(recount, readRollup(spark, root, s1)))
+        }
+      val windows = (Seq(layoutBad, dupBad) ++ cascadeBad ++ deepBad)
+        .reduce(_.unionByName(_))
+        .select((col("bucket_s") - pmod(col("bucket_s"), lit(coarseS)))
+          .as("w"))
+        .distinct()
+        .limit(maxSlices + 1)
+        .collect().map(_.getLong(0)).sorted.toSeq
+      require(windows.length <= maxSlices,
+        s"fsckRepair found > $maxSlices violated $coarseS s windows — " +
+          "corruption this wide needs operator triage (raise maxSlices " +
+          "deliberately, or rebuild the pyramid from raw)")
+      require(windows.forall(_ >= 0L),
+        "fsckRepair windows must be non-negative (pre-1970 buckets — " +
+          "repair those slices by hand with repairRollups)")
+      windows.foreach(w => repairRollups(spark, root,
+        w * 1000000L, (w + coarseS) * 1000000L))
+      windows
+    } finally rollup.unpersist(): Unit
+  }
+
+  /**
    * §3.2 `Index.put` — one ingest batch: sanitize → append raw →
    * cascade all 6 rollup levels → merge each into its table
    * (reference: src/index.py:124-177). Used by both the batch bootstrap

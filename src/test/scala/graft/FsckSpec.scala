@@ -249,6 +249,37 @@ class FsckSpec extends AnyFunSuite {
     assert(bad("layout_rollup")._1 == 0L) // the orphan was layout-valid
   }
 
+  test("store fsckRepair: derives the violated windows from red checks, " +
+      "recomputes exactly those slices, and ends in a clean re-check") {
+    val root = TestSpark.tmpDir("fsck_store_rep")
+    Tables.ingestBatch(spark, root, Seq(
+      ("a", 1000000L, 1.0), ("a", 2500000L, 2.0), ("a", 12000000L, 3.0),
+      ("b", 1000000L, 4.0), ("b", 99000000L, 5.0))
+      .toDF("dataset_id", "ts_us", "value"))
+    val rollup = spark.read.parquet(Tables.rollupPath(root))
+    // duplicate a d10 row (window 0) + a layout-valid orphan d1 bucket
+    // in a far-future window raw knows nothing about (window 2e9)
+    rollup.where(col("fidelity") === "d10")
+      .orderBy("dataset_id", "bucket_s").limit(1)
+      .write.mode("append").partitionBy("fidelity", "ds_b", "part_s")
+      .parquet(Tables.rollupPath(root))
+    rollup.where(col("fidelity") === "d1")
+      .orderBy("dataset_id", "bucket_s").limit(1)
+      .withColumn("bucket_s", lit(2000000000L))
+      .withColumn("part_s", lit(2000000000L - 2000000000L %
+        Tables.partitionWindowS(graft.model.Fidelity.S1)))
+      .write.mode("append").partitionBy("fidelity", "ds_b", "part_s")
+      .parquet(Tables.rollupPath(root))
+    def viols() = Tables.fsck(spark, root, deep = true)
+      .agg(sum("violations")).head().getLong(0)
+    assert(viols() >= 3L) // unique + cascade + deep recount all red
+    val windows = Tables.fsckRepair(spark, root, deep = true)
+    assert(windows == Seq(0L, 2000000000L), s"windows: $windows")
+    assert(viols() == 0L)
+    // idempotent: a second repair finds nothing and touches nothing
+    assert(Tables.fsckRepair(spark, root, deep = true).isEmpty)
+  }
+
   test("cross membership fires on a one-tier hole and names its size") {
     val (t, dd) = (TestSpark.tmpDir("fsck_x_t"), TestSpark.tmpDir("fsck_x_d"))
     TextIndex.ingestShard(spark, t, corpus, "doc_id", "text",
@@ -262,5 +293,94 @@ class FsckSpec extends AnyFunSuite {
       .select(lit("cross").as("tier"), col("check"), col("violations"),
         col("audited")))
     assert(rep(("cross", "text_vs_dedup")) == ((1L, 6L)))
+  }
+
+  test("incremental fsck: catches post-watermark corruption, never " +
+      "re-reads pre-watermark legs, scopes audits to the fresh wave") {
+    val (t, dd, a) = (TestSpark.tmpDir("fsck_i_t"),
+      TestSpark.tmpDir("fsck_i_d"), TestSpark.tmpDir("fsck_i_a"))
+    TextIndex.ingestShard(spark, t, corpus, "doc_id", "text",
+      key = Some("w0"))
+    Dedup.indexCheckAndIngest(spark, dd, corpus, "doc_id", "text",
+      0.6, deliveryKey = Some("w0")): Unit
+    Similarity.ivfIndexBuild(spark, a, vecs, 2L, key = Some("w0"))
+    // no watermark yet → the scoped battery must fall back to the
+    // full one (and, it being clean, ARM the watermark)
+    val fb = reportOf(IndexFsck.incremental(spark, t, dd, Some(a)))
+    assert(fb(("cross", "incremental_fallback"))._1 == 1L)
+    assert(fb.filterNot(_._1 == ("cross", "incremental_fallback"))
+      .values.forall(_._1 == 0L))
+    val w1Commit = firstCommit(t)
+    // wave 2 lands on all tiers (clean, lockstep)
+    val w2 = Seq((10L, "alpha beta gamma delta alpha"),
+      (11L, "beta beta epsilon zeta eta"),
+      (12L, "gamma theta iota kappa kappa")).toDF("doc_id", "text")
+    TextIndex.ingestShard(spark, t, w2, "doc_id", "text", key = Some("w1"))
+    Dedup.indexCheckAndIngest(spark, dd, w2, "doc_id", "text",
+      0.6, deliveryKey = Some("w1")): Unit
+    Similarity.ivfIndexAppend(spark, a,
+      w2.select(col("doc_id").as("vec_id"),
+        array((0 to 3).map(i =>
+          (col("doc_id") * 2 + i).cast("double") % 7.0): _*).as("v")),
+      key = Some("w1"))
+    // PRE-watermark leg made physically UNREADABLE: if any scoped
+    // check touched wave-1's pos leg, the parquet read would throw —
+    // surviving this garbage is the proof pre-watermark legs are
+    // never re-read (stronger than "no violation reported")
+    val posDir = java.nio.file.Paths.get(s"$t/data/$w1Commit/pos")
+    java.nio.file.Files.walk(posDir).filter(p =>
+        p.toString.endsWith(".parquet"))
+      .forEach(p => java.nio.file.Files.write(p,
+        "not a parquet file".getBytes("UTF-8")): Unit)
+    // POST-watermark corruption: a forged posting row planted into
+    // the WAVE-2 commit past the commit protocol
+    val w2Commit = new graft.store.CommitLog(s"$t/_manifests")
+      .latest(spark)._2.filter(_.startsWith("c-"))
+      .filterNot(_ == w1Commit).head
+    Seq(("alpha", 999L, 2L, 2L, 0L))
+      .toDF("token", "doc_id", "tf", "dl", "tb")
+      .write.mode("append").partitionBy("tb")
+      .parquet(s"$t/data/$w2Commit/post")
+    val inc = reportOf(IndexFsck.incremental(spark, t, dd, Some(a)))
+    assert(!inc.contains(("cross", "incremental_fallback")))
+    // the wave-2 plant fires the commit-local detectors…
+    assert(inc(("text", "vocab_df"))._1 >= 1L) // alpha df recount off
+    assert(inc(("text", "stats_local"))._1 == 1L) // wave-2 nd/tl off
+    assert(inc(("text", "pos_post_parity"))._1 >= 1L) // post w/o pos
+    assert(inc(("text", "docs_coverage"))._1 == 1L) // no forward row
+    // …and the scoped cross compare flags the forged doc as a
+    // lockstep break against BOTH sibling tiers
+    assert(inc(("cross", "new_membership_dedup"))._1 == 1L)
+    assert(inc(("cross", "new_membership_ann"))._1 == 1L)
+    // audits scoped to the fresh wave: 3 wave-2 docs + the forged one
+    assert(inc(("text", "docs_unique"))._2 == 3L)
+    assert(inc(("dedup", "sig_unique"))._2 == 3L)
+    // a dirty scoped run must NOT advance the watermark: the next
+    // scoped run re-verifies the same fresh window (audits > 0)
+    val again = reportOf(IndexFsck.incremental(spark, t, dd, Some(a)))
+    assert(again(("text", "docs_unique"))._2 == 3L)
+  }
+
+  test("incremental fsck: a compaction fold voids the watermark and " +
+      "forces the full battery") {
+    val (t, dd, a) = (TestSpark.tmpDir("fsck_f_t"),
+      TestSpark.tmpDir("fsck_f_d"), TestSpark.tmpDir("fsck_f_a"))
+    TextIndex.ingestShard(spark, t,
+      corpus.where(col("doc_id") < 3), "doc_id", "text", key = Some("w0"))
+    TextIndex.ingestShard(spark, t,
+      corpus.where(col("doc_id") >= 3), "doc_id", "text", key = Some("w1"))
+    Dedup.indexCheckAndIngest(spark, dd, corpus, "doc_id", "text",
+      0.6, deliveryKey = Some("w0")): Unit
+    Similarity.ivfIndexBuild(spark, a, vecs, 2L, key = Some("w0"))
+    val armed = reportOf(IndexFsck.incremental(spark, t, dd, Some(a)))
+    assert(armed(("cross", "incremental_fallback"))._1 == 1L)
+    // the fold consumes both verified text commits: entries the
+    // watermark certified are gone, so "check only what's new" can no
+    // longer compose with the old certificate
+    TextIndex.compact(spark, t)
+    val rep = reportOf(IndexFsck.incremental(spark, t, dd, Some(a)))
+    assert(rep(("cross", "incremental_fallback"))._1 == 1L)
+    assert(rep.filterNot(_._1 == ("cross", "incremental_fallback"))
+      .values.forall(_._1 == 0L)) // the fold itself was clean
   }
 }
