@@ -375,6 +375,79 @@ object PipelineQueries {
       minhashPairs(s, dir)
         .select(col("a_id"), col("b_id"), r6(col("jaccard")).as("jaccard"))
         .orderBy("a_id", "b_id")),
+    // BANDED-LSH RECALL REGRESSION GUARD — the r14 sf1 finding (pairs
+    // missed at J ∈ [0.615, 0.76] exactly on the analytic
+    // miss = (1−J⁴)¹⁶ curve) promoted from a one-time prose
+    // measurement to a per-round gate. A borderline-pair lattice is
+    // constructed at 16 EXACT Jaccard points spanning 0.44–0.95 (64
+    // pairs each; per pair, doc B shares exactly m of doc A's 41
+    // unique 3-token shingles → J = m/(82−m), tokens unique per pair
+    // so bands never cross-talk), then measured through the
+    // PRODUCTION candidate path (shingle → minhash k=64 → 16-band
+    // LSH → estimate-prune at threshold/2). The oracle recomputes the
+    // band populations, the exact per-band Jaccard, and the analytic
+    // recall curve; the measured recall is pinned by in-query
+    // requires — J ≥ 0.9 bands must recall EVERYTHING and every band
+    // must sit within ±0.25 of its analytic point, so any future
+    // change to k/bands/r or the signature kernel that shifts the
+    // envelope fails loudly instead of silently trading recall.
+    "dedup_recall_report" -> ((s, dir) => {
+      import s.implicits._
+      val R = 64
+      val rows = for {
+        m <- 25 to 40
+        rep <- 0 until R
+        pairId = (m - 25) * R + rep
+        base = (0 until 43).map(j => s"p${pairId}_$j")
+      } yield Seq(
+        (pairId * 2L, m, base.mkString(" ")),
+        (pairId * 2L + 1, m,
+          (base.take(m + 2) ++
+            (0 until (41 - m)).map(j => s"q${pairId}_$j")).mkString(" ")))
+      val lattice = rows.flatten.toDF("doc_id", "m", "text")
+      val truth = lattice.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"),
+          col("m"))
+      val sh = Dedup.shingleSet(lattice, "doc_id", "text")
+      val sig = Dedup.minhashSignature(sh, 64)
+      val rep = Dedup.withScopedPersist(sh, sig) {
+        val cands = Dedup.estimatePrune(
+          Dedup.lshCandidates(sig, 64, 16), sig, 64,
+          minEst = JaccardThreshold / 2)
+        Dedup.exactJaccardPairs(sh, 0.2)
+          .join(truth, Seq("a_id", "b_id"))
+          .join(cands.withColumn("found", lit(1L)),
+            Seq("a_id", "b_id"), "left_outer")
+          .groupBy("m")
+          .agg(round(avg(col("jaccard")) * 1e6).cast("long")
+              .as("jaccard_ppm"),
+            count(lit(1)).as("pairs_total"),
+            sum(coalesce(col("found"), lit(0L))).as("pairs_found"))
+          .localCheckpoint(true)
+      }
+      val bands = rep.collect()
+      require(bands.length == 16, s"lattice lost bands: ${bands.length}")
+      bands.foreach { r =>
+        val m = r.getInt(0)
+        val (total, found) = (r.getLong(2), r.getLong(3))
+        val j = m / (82.0 - m)
+        val analytic = 1.0 - math.pow(1.0 - math.pow(j, 4), 16)
+        require(total == R.toLong, s"band m=$m population $total != $R")
+        require(j < 0.9 || found == total,
+          s"recall hole in the compared band: J=$j found $found/$total")
+        require(math.abs(found.toDouble / total - analytic) <= 0.25,
+          s"recall envelope shifted at J=$j: measured " +
+            s"${found.toDouble / total} vs analytic $analytic — " +
+            "k/bands/r or the signature kernel changed; re-derive the " +
+            "envelope deliberately")
+      }
+      rep.select(col("jaccard_ppm"), col("pairs_total"),
+          round(lit(1e6) *
+            (lit(1.0) - pow(lit(1.0) - pow(col("m") / (lit(82.0) - col("m")),
+              lit(4.0)), lit(16.0)))).cast("long")
+            .as("analytic_recall_ppm"))
+        .orderBy("jaccard_ppm")
+    }),
     // threshold-sensitivity histogram: pair counts per 5%-Jaccard band
     // over co-shingle pairs — the curve you read before choosing the
     // dedup threshold (where does the near-dup mode separate from the
@@ -6982,6 +7055,19 @@ object PipelineQueries {
     // candidates ⊇ all pairs ≥ threshold (miss prob ≤ 1e-8 at J ≥ 0.9),
     // and verification is exact
     "dedup_minhash" -> jaccardOracle,
+    // the lattice construction is arithmetic (J = m/(82-m), 64 pairs
+    // per band); the oracle recomputes the exact band populations and
+    // the analytic (1-J^4)^16 recall curve — the MEASURED recall is
+    // pinned by the query's in-query requires (it is minhash-seed
+    // state, not SQL-recomputable)
+    "dedup_recall_report" ->
+      """WITH m AS (SELECT unnest(generate_series(25, 40)) AS m)
+        |SELECT CAST(round(1e6 * (m / (82.0 - m))) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  CAST(64 AS BIGINT) AS pairs_total,
+        |  CAST(round(1e6 * (1 - power(1 - power(m / (82.0 - m), 4), 16)))
+        |    AS BIGINT) AS analytic_recall_ppm
+        |FROM m ORDER BY jaccard_ppm""".stripMargin,
     "dedup_sensitivity" ->
       s"""WITH corpus AS (
          |  SELECT doc_id, text FROM documents
