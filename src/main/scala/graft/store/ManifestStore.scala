@@ -49,6 +49,27 @@ import graft.model.Fidelity
  * POSIX local FS — not perfectly atomic there, but it FAILS LOUDLY on
  * a lost race where a rename would silently replace the other
  * writer's manifest.
+ *
+ * PIN/LEASE CONTRACT (audited round 15): unlike the three persisted
+ * indexes, this store's destructive maintenance (compact /
+ * compactTiered / compactRawTiered, vacuumManifest, vacuum,
+ * expireBefore, forgetDataset) deliberately carries NO replay-pin
+ * lease. Consumers are protected by the loud-refusal + resync
+ * contract instead: every incremental or historical consumer
+ * (cdcBetween / cdcRawBetween, the as-of reads, cloneAsOf) validates
+ * its window or snapshot against the manifest and REFUSES with the
+ * real cause (compaction boundary, raw rewrite, retention floor)
+ * rather than returning partial or guessed data; the documented
+ * recovery is a full re-read at the current head and a rebased
+ * cursor. This is the right trade HERE because the rollup delta is a
+ * commutative monoid fold of the live level — a resync is always
+ * exact and can never lose acknowledged state — whereas the indexes'
+ * replay splits (membership cuts, per-batch pair reports) are NOT
+ * re-derivable after their commits move, which is exactly why those
+ * carry the `#pin:` lease and this store does not. The full
+ * refusal → resync → resume journey is pinned end-to-end in
+ * ManifestStoreSpec ("CDC consumer survives a concurrent
+ * compact + vacuum").
  */
 object ManifestStore {
 

@@ -230,6 +230,57 @@ class ManifestStoreSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("compaction"))
   }
 
+  test("CDC consumer survives a concurrent compact + vacuum: loud " +
+      "refusal, full resync at the head, then incremental windows resume") {
+    val root = TestSpark.tmpDir("mstore_resync")
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00", 4.0), ("b", "2024-01-01T00:00:01", 7.0)))
+    ManifestStore.ingestBatch(spark, root,
+      batch(("a", "2024-01-01T00:00:00.5", 1.0), ("c", "2024-01-01T00:00:02", 9.0)))
+    // the consumer: a replica of the S1 level maintained from CDC
+    // windows, with a version cursor — the deployment shape the
+    // refusal + resync contract exists for
+    var cursor = 0L
+    var replica = Map.empty[(String, Long), (Double, Double, Double, Long)]
+    def applyWindow(toV: Long): Unit = {
+      ManifestStore.cdcBetween(spark, root, Fidelity.S1, cursor, toV)
+        .collect().foreach { r =>
+          replica += (r.getString(0), r.getLong(1)) ->
+            ((r.getDouble(7), r.getDouble(8), r.getDouble(9), r.getLong(10)))
+        }
+      cursor = toV
+    }
+    applyWindow(ManifestStore.latest(spark, root)._1)
+    assert(replica == level1(root), "consumer in sync pre-maintenance")
+    // maintenance races in behind the consumer's back: one more batch,
+    // then compact + manifest-history vacuum + data vacuum — the
+    // destructive verbs that carry NO lease here by contract
+    ManifestStore.ingestBatch(spark, root,
+      batch(("b", "2024-01-01T00:00:01.5", 2.0)))
+    ManifestStore.compact(spark, root)
+    ManifestStore.vacuumManifest(spark, root, keep = 1)
+    ManifestStore.vacuum(spark, root)
+    val head = ManifestStore.latest(spark, root)._1
+    // the incremental pull must REFUSE with the real cause (the old
+    // cursor version is gone below the retention floor, or the window
+    // crosses the fold) — never partial or guessed deltas
+    val ex = intercept[IllegalArgumentException](applyWindow(head))
+    assert(ex.getMessage.contains("retention floor") ||
+      ex.getMessage.contains("compaction"), ex.getMessage)
+    // resync: full re-read at the head, rebased cursor — exact by the
+    // monoid contract (the level IS the fold; no acknowledged state
+    // can be lost)
+    replica = level1(root)
+    cursor = head
+    assert(replica.values.map(_._4).sum == 5L)
+    // life resumes: the next append flows through a plain incremental
+    // window and the replica reconverges
+    ManifestStore.ingestBatch(spark, root,
+      batch(("c", "2024-01-01T00:00:02.5", 3.0)))
+    applyWindow(ManifestStore.latest(spark, root)._1)
+    assert(replica == level1(root), "incremental windows resumed cleanly")
+  }
+
   test("cloneAsOf: zero-copy branch at a version diverges independently; " +
       "pre-branch keys reject, post-branch keys ingest; source vacuum safe") {
     val src = TestSpark.tmpDir("mstore_bsrc")
