@@ -307,7 +307,7 @@ object CoreQueries {
       ev(s, dir).orderBy("dataset_id", "ts_us", "value")),
     "melt_lineitem" -> ((s, dir) =>
       Melt.wide(
-        s.read.parquet(s"$dir/lineitem.parquet"), "l_shipdate",
+        graft.util.SchemaMemo.read(s, s"$dir/lineitem.parquet"), "l_shipdate",
         Seq("l_quantity", "l_extendedprice", "l_discount"), "li.")
         .orderBy("dataset_id", "ts_us", "value")),
 

@@ -33,7 +33,7 @@ object PipelineQueries {
     "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 ."
 
   private def docs(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/documents.parquet")
+    graft.util.SchemaMemo.read(s, s"$dir/documents.parquet")
 
   /** Unrolled k-round BPE trainer CTE chain shared by the bpe_train /
    *  bpe_encode oracles: word-frequency grain (wds/r0), then per
@@ -110,7 +110,9 @@ object PipelineQueries {
   }
 
   private def embBase(s: SparkSession, dir: String): DataFrame =
-    Similarity.asDouble(s.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding")
+    Similarity.asDouble(
+      graft.util.SchemaMemo.read(s, s"$dir/embeddings.parquet"),
+      "vec_id", "embedding")
 
   /** documents ∪ exact copies of every 10th doc (ids offset by 100000). */
   private def exactCorpus(s: SparkSession, dir: String): DataFrame = {
@@ -1431,7 +1433,7 @@ object PipelineQueries {
     // false), never the whole catalog × nProbe to every task
     "knn_label_audit" -> ((s, dir) => {
       val base = embBase(s, dir)
-      val labels = s.read.parquet(s"$dir/embeddings.parquet")
+      val labels = graft.util.SchemaMemo.read(s, s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("label"))
       val nbrs = Similarity.ivfTopK(base, base, 10,
         centroidStep = Similarity.boundedStep(base.count()), nProbe = 3,
@@ -3471,7 +3473,7 @@ object PipelineQueries {
     // count rides along so the sketch error is visible)
     "distinct_sketch" -> ((s, dir) =>
       Sketches.hllReport(
-        s.read.parquet(s"$dir/orders.parquet"), col("o_custkey"))),
+        graft.util.SchemaMemo.read(s, s"$dir/orders.parquet"), col("o_custkey"))),
     // planner-style join-size estimation from two fixed-KB Count-Min
     // grids (inner product, one-sided error) — "how big will
     // lineitem ⨝ orders be" WITHOUT joining data; the exact join runs
@@ -3479,11 +3481,11 @@ object PipelineQueries {
     // oracle-checked, and one_sided_ok is computed, never assumed.
     "join_size_estimate" -> ((s, dir) => {
       val est = Sketches.cmsJoinSize(
-        s.read.parquet(s"$dir/lineitem.parquet"), col("l_orderkey"),
-        s.read.parquet(s"$dir/orders.parquet"), col("o_orderkey"),
+        graft.util.SchemaMemo.read(s, s"$dir/lineitem.parquet"), col("l_orderkey"),
+        graft.util.SchemaMemo.read(s, s"$dir/orders.parquet"), col("o_orderkey"),
         wBits = 14)
-      val exact = s.read.parquet(s"$dir/lineitem.parquet")
-        .join(s.read.parquet(s"$dir/orders.parquet"),
+      val exact = graft.util.SchemaMemo.read(s, s"$dir/lineitem.parquet")
+        .join(graft.util.SchemaMemo.read(s, s"$dir/orders.parquet"),
           col("l_orderkey") === col("o_orderkey"))
         .agg(count(lit(1)).as("n_exact"))
       est.crossJoin(exact)
@@ -3498,7 +3500,7 @@ object PipelineQueries {
     // modular shards and must reproduce the whole-table estimate
     // bit-for-bit; merge_exact is computed, not assumed.
     "sketch_merge" -> ((s, dir) => {
-      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val ord = graft.util.SchemaMemo.read(s, s"$dir/orders.parquet")
       def half(i: Int) = ord.where(pmod(col("o_orderkey"), lit(2)) === i)
       val merged = Sketches.hllMergeRegisters(
         Sketches.hllRegisters(half(0), col("o_custkey")),
@@ -3515,7 +3517,7 @@ object PipelineQueries {
     // two constant-size aggregations, grid error ≤ (max−min)/1024
     "quantile_sketch" -> ((s, dir) =>
       Sketches.quantileSketch(
-        s.read.parquet(s"$dir/lineitem.parquet"),
+        graft.util.SchemaMemo.read(s, s"$dir/lineitem.parquet"),
         col("l_extendedprice"), Seq(0.5, 0.9, 0.99))
         .orderBy("p")),
     // quantile-grid MERGEABILITY: bucket counts from two shards under
@@ -3524,7 +3526,7 @@ object PipelineQueries {
     // — the incremental-build contract (range fixed upfront) proven
     // in-query, like sketch_merge for HLL.
     "quantile_merge" -> ((s, dir) => {
-      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val li = graft.util.SchemaMemo.read(s, s"$dir/lineitem.parquet")
       val v = li.select(col("l_extendedprice").cast("double").as("v"),
         col("l_orderkey")).where(col("v").isNotNull)
       Dedup.withScopedPersist(v) {
@@ -3892,7 +3894,7 @@ object PipelineQueries {
     // Element-wise fixed-point ppm sums per (label, dim) — exact in any
     // order; state and output bounded by labels × dim, never corpus rows
     "embedding_centroids" -> ((s, dir) =>
-      s.read.parquet(s"$dir/embeddings.parquet")
+      graft.util.SchemaMemo.read(s, s"$dir/embeddings.parquet")
         .select(col("label").cast("long").as("label"),
           posexplode(col("embedding")).as(Seq("dim", "x")))
         .withColumn("ppm", round(col("x").cast("double") * lit(1e6)).cast("long"))
@@ -4043,7 +4045,7 @@ object PipelineQueries {
     // the scoring join broadcasts them (labels × dim, tiny at any
     // corpus scale), so the corpus is read once with no self-join
     "centroid_classify" -> ((s, dir) => {
-      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val emb = graft.util.SchemaMemo.read(s, s"$dir/embeddings.parquet")
         .select(col("vec_id"), col("label").cast("long").as("label"),
           col("embedding").cast("array<double>").as("v"))
       val cents = emb

@@ -26,7 +26,7 @@ object TpchQueries {
 
   private def r6(c: Column): Column = round(c, 6)
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    graft.util.SchemaMemo.read(s, s"$dir/$name.parquet")
 
   private val ShipCutoffUs = 915148800000000L // 1999-01-01T00:00:00Z
   private val SessionGapUs = 1800000000L // 30 min

@@ -332,8 +332,8 @@ object Dedup {
       indexDir: String): Option[DataFrame] = {
     val ts = indexTombDirs(spark, indexDir)
     Option.when(ts.nonEmpty)(
-      ts.map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
-        .reduce(_.unionByName(_)).select("doc_id"))
+      readLeg(spark, "gone", ts.map(t => s"$indexDir/data/$t/gone"))
+        .select("doc_id"))
   }
 
   /** Union one doc-grain index leg across live shard commits with
@@ -348,6 +348,31 @@ object Dedup {
    *  the column(s) carrying doc ids (pair reports carry two). Returns
    *  None when no live commit holds the leg.
    */
+  /** Pinned ON-DISK schema per index leg (this module writes all of
+   *  them) — passed to every leg read so Spark skips the per-read
+   *  footer-inference job (the TextIndex.legSchemas rationale).
+   */
+  private val legSchemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "sig" -> StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("mh", ArrayType(LongType)),
+        StructField("n", LongType))),
+      "sh" -> StructType(Seq(
+        StructField("doc_id", LongType), StructField("sh", LongType),
+        StructField("h2", LongType))),
+      "pairs" -> StructType(Seq(
+        StructField("a_id", LongType), StructField("b_id", LongType),
+        StructField("jaccard", DoubleType))),
+      "gone" -> StructType(Seq(StructField("doc_id", LongType))))
+  }
+
+  private def readLeg(
+      spark: org.apache.spark.sql.SparkSession, leg: String,
+      paths: Seq[String]): DataFrame =
+    spark.read.schema(legSchemas(leg)).parquet(paths: _*)
+
   private def readIndexLeg(
       spark: org.apache.spark.sql.SparkSession, indexDir: String,
       sub: String, idCols: String*): Option[DataFrame] = {
@@ -368,12 +393,11 @@ object Dedup {
       .filter(p => exists(p._1))
     if (withScope.isEmpty) None
     else Some(withScope.groupBy(_._2).map { case (tombs, roots) =>
-      val base = roots.map(r => spark.read.parquet(r._1))
-        .reduce(_.unionByName(_))
+      val base = readLeg(spark, sub, roots.map(_._1))
       if (tombs.isEmpty) base
       else {
         val gone = tombs
-          .map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
+          .map(t => readLeg(spark, "gone", Seq(s"$indexDir/data/$t/gone")))
           .reduce(_.unionByName(_)).select("doc_id")
         idCols.foldLeft(base)((d, c) =>
           d.join(broadcast(gone.select(col("doc_id").as(c))), Seq(c),
@@ -495,7 +519,7 @@ object Dedup {
     if (dirs.isEmpty)
       ids.select(col(idCol)).limit(0)
     else
-      spark.read.parquet(dirs: _*).select(col("doc_id").as(idCol))
+      readLeg(spark, "sig", dirs).select(col("doc_id").as(idCol))
         .join(broadcast(ids.select(col(idCol)).distinct()),
           Seq(idCol), "left_semi")
         .distinct()
@@ -590,7 +614,7 @@ object Dedup {
         "already consumed it (key-grain gone reads must happen " +
         "before the tombstone retires), or it predates keyed " +
         "tombstone naming")
-    spark.read.parquet(s"$indexDir/data/${matches.head}/gone")
+    readLeg(spark, "gone", Seq(s"$indexDir/data/${matches.head}/gone"))
       .select("doc_id")
   }
 
@@ -756,7 +780,7 @@ object Dedup {
           val dfs = es.map(e => (e, s"$indexDir/data/$e/$sub"))
             .filter(p => exists(p._2))
             .map { case (e, p) =>
-              spark.read.parquet(p).withColumn("cmt", lit(e)) }
+              readLeg(spark, sub, Seq(p)).withColumn("cmt", lit(e)) }
           Option.when(dfs.nonEmpty)(dfs.reduce(_.unionByName(_)))
         }
         val commits = fresh.filter(_.startsWith("c-"))
@@ -879,13 +903,13 @@ object Dedup {
       else {
         val after = ordered.drop(ordered.indexOf(d) + 1)
           .filter(_.startsWith("t-"))
-        val base = spark.read.parquet(p)
+        val base = readLeg(spark, "pairs", Seq(p))
         Some(
           if (after.isEmpty) base
           else {
-            val gone = after
-              .map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
-              .reduce(_.unionByName(_)).select("doc_id")
+            val gone = readLeg(spark, "gone",
+                after.map(t => s"$indexDir/data/$t/gone"))
+              .select("doc_id")
             Seq("a_id", "b_id").foldLeft(base)((df, c) =>
               df.join(broadcast(gone.select(col("doc_id").as(c))),
                 Seq(c), "left_anti"))
@@ -1132,13 +1156,13 @@ object Dedup {
       if (srcs.isEmpty) false
       else {
         srcs.map { case (d, p) =>
-          val base = spark.read.parquet(p)
+          val base = readLeg(spark, sub, Seq(p))
           val ts = scopeOf.getOrElse(d, Seq.empty)
           if (ts.isEmpty) base
           else {
-            val gone = ts
-              .map(t => spark.read.parquet(s"$indexDir/data/$t/gone"))
-              .reduce(_.unionByName(_)).select("doc_id")
+            val gone = readLeg(spark, "gone",
+                ts.map(t => s"$indexDir/data/$t/gone"))
+              .select("doc_id")
             idCols.foldLeft(base)((df, c) =>
               df.join(broadcast(gone.select(col("doc_id").as(c))),
                 Seq(c), "left_anti"))
@@ -1203,11 +1227,11 @@ object Dedup {
     val covered = snap.take(tIdx).filter(_.startsWith("c-"))
     val conf = spark.sessionState.newHadoopConf()
     val gone = broadcast(
-      spark.read.parquet(s"$indexDir/data/$t/gone").select("doc_id"))
+      readLeg(spark, "gone", Seq(s"$indexDir/data/$t/gone")).select("doc_id"))
     def sub(c: String, s0: String): Option[DataFrame] = {
       val p = new org.apache.hadoop.fs.Path(s"$indexDir/data/$c/$s0")
       Option.when(p.getFileSystem(conf).exists(p))(
-        spark.read.parquet(p.toString))
+        readLeg(spark, s0, Seq(p.toString)))
     }
     // containment probe — ONE job over every covered commit's three
     // legs (pairs can name a doc stored in another commit, so both
@@ -1417,8 +1441,8 @@ object Dedup {
       entries.filter(_.startsWith("c-")).map(d => s"$root/data/$d/$sub")
     val dstSigDirs = live(dstDir, dstNow, "sig")
     val dstShDirs = live(dstDir, dstNow, "sh")
-    val srcSig = spark.read.parquet(live(srcDir, srcLive, "sig"): _*)
-    val srcSh = spark.read.parquet(live(srcDir, srcLive, "sh"): _*)
+    val srcSig = readLeg(spark, "sig", live(srcDir, srcLive, "sig"))
+    val srcSh = readLeg(spark, "sh", live(srcDir, srcLive, "sh"))
     val verdict =
       if (dstSigDirs.isEmpty)
         emptyPairs(spark)
@@ -1471,7 +1495,7 @@ object Dedup {
         hp.getFileSystem(conf).exists(hp)
       }
     val stagedPairs =
-      (srcPairDirs.map(spark.read.parquet(_)) ++
+      (srcPairDirs.map(d => readLeg(spark, "pairs", Seq(d))) ++
         (if (persistPairs) Seq(verdict) else Nil))
         .reduceOption(_.unionByName(_))
     stagedPairs.foreach(_.repartition(1)

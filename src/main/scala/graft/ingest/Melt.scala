@@ -63,7 +63,7 @@ object Melt {
    */
   def readTsParquet(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(path)
+    graft.util.SchemaMemo.read(spark, path)
   }
 
   /** Inverse of [[tsUs]]: render an epoch-µs instant as a literal in the

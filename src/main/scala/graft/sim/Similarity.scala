@@ -337,6 +337,28 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] =
     ivfLog(dir).latest(spark)._2.filter(_.startsWith("t-"))
 
+  /** Pinned ON-DISK schema per IVF leg (this module writes all of
+   *  them) — passed to every leg read so Spark skips the per-read
+   *  footer-inference job (the TextIndex.legSchemas rationale).
+   */
+  private val legSchemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "post" -> StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)),
+        StructField("cell", LongType))),
+      "centroids" -> StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("v", ArrayType(DoubleType)))),
+      "gone" -> StructType(Seq(StructField("vec_id", LongType))))
+  }
+
+  private def readLeg(
+      spark: org.apache.spark.sql.SparkSession, leg: String,
+      paths: Seq[String]): DataFrame =
+    spark.read.schema(legSchemas(leg)).parquet(paths: _*)
+
   /** The live tombstoned vec ids as one (vec_id) frame — None when no
    *  tombstones are live (zero plan overhead without deletions). */
   private def ivfGone(
@@ -344,8 +366,8 @@ object Similarity {
       dir: String): Option[DataFrame] = {
     val ts = ivfTombDirs(spark, dir)
     Option.when(ts.nonEmpty)(
-      ts.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
-        .reduce(_.unionByName(_)).select("vec_id"))
+      readLeg(spark, "gone", ts.map(t => s"$dir/data/$t/gone"))
+        .select("vec_id"))
   }
 
   /** Union the live posting commits with ORDER-SCOPED tombstones
@@ -378,12 +400,12 @@ object Similarity {
       .filter(p => exists(p._1))
     if (withScope.isEmpty) None
     else Some(withScope.groupBy(_._2).map { case (tombs, roots) =>
-      val base = roots.map(r => perCommit(spark.read.parquet(r._1)))
+      val base = roots.map(r => perCommit(readLeg(spark, "post", Seq(r._1))))
         .reduce(_.unionByName(_))
       if (tombs.isEmpty) base
       else base.join(
-        broadcast(tombs.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
-          .reduce(_.unionByName(_)).select("vec_id")),
+        broadcast(readLeg(spark, "gone", tombs.map(t => s"$dir/data/$t/gone"))
+          .select("vec_id")),
         Seq("vec_id"), "left_anti")
     }.reduce(_.unionByName(_)))
   }
@@ -452,7 +474,7 @@ object Similarity {
         "by key digest — a retirement or full fold already consumed it " +
         "(key-grain gone reads must happen before the tombstone " +
         "retires), or it predates keyed tombstone naming")
-    spark.read.parquet(s"$dir/data/${matches.head}/gone")
+    readLeg(spark, "gone", Seq(s"$dir/data/${matches.head}/gone"))
       .select("vec_id")
   }
 
@@ -578,7 +600,7 @@ object Similarity {
       batch: DataFrame, key: Option[String] = None): Unit = {
     val txn = ivfTxn(spark, dir, key)
     val cents = collectBounded(
-      spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
+      readLeg(spark, "centroids", ivfLiveSub(spark, dir, "centroids")),
       "the stored centroid set must stay index-small")
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
     writePostings(s"$dir/data/$name/post", batch,
@@ -637,11 +659,11 @@ object Similarity {
       s"a source commit vanished mid-merge (concurrent vacuum?) — " +
         "re-read the source and retry")
     val cents = collectBounded(
-      spark.read.parquet(ivfLiveSub(spark, dstDir, "centroids"): _*),
+      readLeg(spark, "centroids", ivfLiveSub(spark, dstDir, "centroids")),
       "the stored centroid set must stay index-small")
     val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
     writePostings(s"$dstDir/data/$name/post",
-      srcPosts.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+      readLeg(spark, "post", srcPosts)
         .select(col("vec_id"), col("v")),
       cents.map(_._1), cents.flatMap(_._2))
     val published = ivfLog(dstDir).commit(spark) { now =>
@@ -720,13 +742,13 @@ object Similarity {
     val corpus = ordered.zipWithIndex
       .filter(_._1.startsWith("c-"))
       .map { case (c, i) =>
-        val base = spark.read.parquet(s"$dir/data/$c/post")
+        val base = readLeg(spark, "post", Seq(s"$dir/data/$c/post"))
           .select(col("vec_id"), col("v"))
         val ts = ordered.drop(i + 1).filter(_.startsWith("t-"))
         if (ts.isEmpty) base
         else base.join(
-          broadcast(ts.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
-            .reduce(_.unionByName(_)).select("vec_id")),
+          broadcast(readLeg(spark, "gone", ts.map(t => s"$dir/data/$t/gone"))
+            .select("vec_id")),
           Seq("vec_id"), "left_anti")
       }
       .reduce(_.unionByName(_))
@@ -845,13 +867,13 @@ object Similarity {
     }
     if (posts.nonEmpty)
       posts.map { case (d, p) =>
-        val base = spark.read.parquet(p)
+        val base = readLeg(spark, "post", Seq(p))
           .select(col("vec_id"), col("v"), col("cell"))
         val ts = scopeOf.getOrElse(d, Seq.empty)
         if (ts.isEmpty) base
         else base.join(
-          broadcast(ts.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
-            .reduce(_.unionByName(_)).select("vec_id")),
+          broadcast(readLeg(spark, "gone", ts.map(t => s"$dir/data/$t/gone"))
+            .select("vec_id")),
           Seq("vec_id"), "left_anti")
       }.reduce(_.unionByName(_))
         .repartition(col("cell"))
@@ -861,7 +883,7 @@ object Similarity {
       hp.getFileSystem(conf).exists(hp)
     }
     cents match {
-      case Seq(c) => spark.read.parquet(c)
+      case Seq(c) => readLeg(spark, "centroids", Seq(c))
         .coalesce(1).write.parquet(s"$dir/data/$name/centroids")
       case Seq() => ()
       case many => throw new IllegalStateException(
@@ -910,7 +932,7 @@ object Similarity {
     val covered = snap.take(tIdx).filter(_.startsWith("c-"))
     val conf = spark.sessionState.newHadoopConf()
     val gone = broadcast(
-      spark.read.parquet(s"$dir/data/$t/gone").select("vec_id"))
+      readLeg(spark, "gone", Seq(s"$dir/data/$t/gone")).select("vec_id"))
     def exists(c: String, s0: String): Boolean = {
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/$c/$s0")
       p.getFileSystem(conf).exists(p)
@@ -919,7 +941,7 @@ object Similarity {
     // commit loop would pay one job's fixed overhead per commit)
     val touched: Set[String] = {
       val probes = covered.flatMap(c => Option.when(exists(c, "post"))(
-        spark.read.parquet(s"$dir/data/$c/post")
+        readLeg(spark, "post", Seq(s"$dir/data/$c/post"))
           .select(col("vec_id")).withColumn("cmt", lit(c))))
       if (probes.isEmpty) Set.empty
       else probes.reduce(_.unionByName(_))
@@ -931,7 +953,7 @@ object Similarity {
       if (!touched.contains(c)) None
       else {
         val post = Option.when(exists(c, "post"))(
-          spark.read.parquet(s"$dir/data/$c/post")
+          readLeg(spark, "post", Seq(s"$dir/data/$c/post"))
             .select(col("vec_id"), col("v"), col("cell")))
         val name = s"c-${java.util.UUID.randomUUID().toString.take(12)}"
         val dst = s"$dir/data/$name"
@@ -944,7 +966,7 @@ object Similarity {
         live2.unpersist(): Unit
         val hasCents = exists(c, "centroids")
         if (hasCents)
-          spark.read.parquet(s"$dir/data/$c/centroids")
+          readLeg(spark, "centroids", Seq(s"$dir/data/$c/centroids"))
             .coalesce(1).write.parquet(s"$dst/centroids")
         Some(c -> (if (anyPost || hasCents) name else ""))
       }
@@ -1031,7 +1053,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String, queries: DataFrame,
       k: Int, nProbe: Int): DataFrame = {
     val cents = collectBounded(
-      spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
+      readLeg(spark, "centroids", ivfLiveSub(spark, dir, "centroids")),
       "the stored centroid set must stay index-small")
     val (ids, vecs) = (cents.map(_._1), cents.flatMap(_._2))
     val probes = queries.select(
@@ -1133,7 +1155,7 @@ object Similarity {
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val cents = collectBounded(
-      spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
+      readLeg(spark, "centroids", ivfLiveSub(spark, dir, "centroids")),
       "the stored centroid set must stay index-small")
     val (ids, vecs) = (cents.map(_._1), cents.flatMap(_._2))
     val dim = cents.head._2.length
@@ -1205,7 +1227,7 @@ object Similarity {
         val dfs = es.map(e => (e, s"$dir/data/$e/$sub"))
           .filter(p => exists(p._2))
           .map { case (e, p) =>
-            spark.read.parquet(p).withColumn("cmt", lit(e)) }
+            readLeg(spark, sub, Seq(p)).withColumn("cmt", lit(e)) }
         Option.when(dfs.nonEmpty)(dfs.reduce(_.unionByName(_)))
       }
       val commits = fresh.filter(_.startsWith("c-"))
@@ -1219,7 +1241,7 @@ object Similarity {
           ("dim_uniform", 0L, 0L), emptyIds)
         case Some(p) =>
           val cents = collectBounded(
-            spark.read.parquet(ivfLiveSub(spark, dir, "centroids"): _*),
+            readLeg(spark, "centroids", ivfLiveSub(spark, dir, "centroids")),
             "the stored centroid set must stay index-small")
           val (ids, vecs) = (cents.map(_._1), cents.flatMap(_._2))
           val dim = cents.head._2.length

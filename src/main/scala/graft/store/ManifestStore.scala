@@ -107,6 +107,15 @@ object ManifestStore {
   private val requiredFields: Set[String] =
     Set("dataset_id", "part_s", "bucket_s", "min_v", "max_v", "sum_v", "cnt", "ds_b")
 
+  /** On-disk schema of an `r-` raw commit dir ([[writeRawCommitDir]]:
+   *  raw fields + ds_b as a DATA column, unpartitioned). Passed to
+   *  every raw-commit read so Spark skips the footer-inference job the
+   *  schemaless `read.parquet` pays per call (Tables.rawDiskSchema's
+   *  rationale).
+   */
+  private val rawCommitSchema: StructType = StructType(
+    Tables.rawSchema.fields :+ StructField("ds_b", IntegerType))
+
   private def fsFor(spark: SparkSession, p: Path): FileSystem =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
@@ -789,7 +798,7 @@ object ManifestStore {
         val df =
           if (isPartials)
             spark.read.schema(fullC).option("basePath", path).parquet(path)
-          else spark.read.parquet(path)
+          else spark.read.schema(rawCommitSchema).parquet(path)
         if (!df.where(hit).isEmpty) {
           val survivors = df.where(!hit)
           replaced(d) =
@@ -1044,7 +1053,7 @@ object ManifestStore {
       val rawName = names.find(_.startsWith("r-")).get
       val rollName = names.find(_.startsWith("c-")).get
       val countsF = Future {
-        spark.read.parquet(s"${dataDir(root)}/$rawName")
+        spark.read.schema(rawCommitSchema).parquet(s"${dataDir(root)}/$rawName")
           .select(Tables.rawSchema.fieldNames.map(col).toIndexedSeq: _*)
           .agg(
             count(lit(1)).as("__n"),
@@ -1129,7 +1138,7 @@ object ManifestStore {
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.rawSchema)
-    else spark.read.parquet(dirs: _*)
+    else spark.read.schema(rawCommitSchema).parquet(dirs: _*)
       .where(col("ds_b") === Tables.dsBucket(lit(datasetId)) &&
         col("dataset_id") === datasetId)
       .select(Tables.rawSchema.fieldNames.map(col).toIndexedSeq: _*)
@@ -1162,7 +1171,7 @@ object ManifestStore {
     if (dirs.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Tables.rawSchema)
-    else spark.read.parquet(dirs: _*)
+    else spark.read.schema(rawCommitSchema).parquet(dirs: _*)
       .select(Tables.rawSchema.fieldNames.map(col).toIndexedSeq: _*)
   }
 

@@ -49,8 +49,32 @@ object Tables {
     StructField("sum_v", DoubleType),
     StructField("cnt", LongType)))
 
+  /** Full ON-DISK schemas (data + partition-dir columns), passed to
+   *  every internal read so Spark SKIPS schema inference — without a
+   *  user schema each `spark.read.parquet` runs a footer-reading job
+   *  before the real one (measured ~100 ms × 33 reads inside one fsck
+   *  probe at sf0.1; at 100 TB the footers are remote reads). The
+   *  writers in this module own both layouts, so the schema is static
+   *  truth, not a guess. Partition column types are pinned (ds_b int,
+   *  win_s/part_s long, fidelity string) — inference from dir names
+   *  would make them int-or-string depending on value range.
+   */
+  val rawDiskSchema: StructType = StructType(rawSchema.fields ++ Seq(
+    StructField("ds_b", IntegerType),
+    StructField("win_s", LongType)))
+
+  val rollupDiskSchema: StructType = StructType(rollupSchema.fields ++ Seq(
+    StructField("fidelity", StringType),
+    StructField("ds_b", IntegerType),
+    StructField("part_s", LongType)))
+
   def rawPath(root: String): String = s"$root/raw"
   def rollupPath(root: String): String = s"$root/rollup"
+
+  /** Schema-pinned parquet read of one of this module's two tables. */
+  private def readDisk(
+      spark: SparkSession, path: String, disk: StructType): DataFrame =
+    spark.read.schema(disk).parquet(path)
 
   /** Partition-directory value for a level ("d10"): prefixed so parquet
    *  partition inference keeps the column a STRING (bare "10" would
@@ -216,7 +240,7 @@ object Tables {
   def compactRaw(spark: SparkSession, root: String): Unit = {
     val path = rawPath(root)
     if (!StoreFs.exists(spark, path)) return
-    val snap = spark.read.parquet(path).localCheckpoint(true)
+    val snap = readDisk(spark, path, rawDiskSchema).localCheckpoint(true)
     snap
       .repartition(col("ds_b"), col("win_s"))
       .sortWithinPartitions(col("ds_b"), col("win_s"), col("dataset_id"), col("ts_us"))
@@ -294,16 +318,17 @@ object Tables {
    *  reference treats missing files as empty results, src/index.py:556-558).
    */
   private def readOrEmpty(
-      spark: SparkSession, path: String, schema: StructType): DataFrame =
+      spark: SparkSession, path: String, schema: StructType,
+      disk: StructType): DataFrame =
     if (StoreFs.exists(spark, path))
-      spark.read.parquet(path)
+      readDisk(spark, path, disk)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
         .select(schema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
     else
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   def readRaw(spark: SparkSession, root: String): DataFrame =
-    readOrEmpty(spark, rawPath(root), rawSchema)
+    readOrEmpty(spark, rawPath(root), rawSchema, rawDiskSchema)
 
   /** Raw read pruned to ONE series: static partition pruning to its
    *  hash bucket, then the dataset_id equality skips row groups via the
@@ -316,7 +341,7 @@ object Tables {
     if (!StoreFs.exists(spark, path))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawSchema)
     else
-      spark.read.parquet(path)
+      readDisk(spark, path, rawDiskSchema)
         .where(col("ds_b") === dsBucket(lit(datasetId)) &&
           col("dataset_id") === datasetId)
         .select(rawSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
@@ -331,7 +356,7 @@ object Tables {
     if (!StoreFs.exists(spark, path))
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], rawSchema)
     else
-      spark.read.parquet(path)
+      readDisk(spark, path, rawDiskSchema)
         .where(col("win_s").between(winLo, winHi))
         .select(rawSchema.fields.map(f => col(f.name).cast(f.dataType)).toIndexedSeq: _*)
   }
@@ -342,7 +367,7 @@ object Tables {
   def readRollup(spark: SparkSession, root: String, f: Fidelity): DataFrame = {
     val path = rollupPath(root)
     if (StoreFs.exists(spark, path))
-      spark.read.parquet(path)
+      readDisk(spark, path, rollupDiskSchema)
         .where(col("fidelity") === fidelityPart(f))
         .select(rollupSchema.fields.map(fl => col(fl.name).cast(fl.dataType)).toIndexedSeq: _*)
     else
@@ -356,7 +381,7 @@ object Tables {
       spark: SparkSession, root: String, f: Fidelity, datasetId: String): DataFrame = {
     val path = rollupPath(root)
     if (StoreFs.exists(spark, path))
-      spark.read.parquet(path)
+      readDisk(spark, path, rollupDiskSchema)
         .where(col("fidelity") === fidelityPart(f) &&
           col("ds_b") === dsBucket(lit(datasetId)) &&
           col("dataset_id") === datasetId)
@@ -489,7 +514,7 @@ object Tables {
       val existing =
         if (!StoreFs.exists(spark, path)) None
         else Some(
-          spark.read.parquet(path)
+          readDisk(spark, path, rollupDiskSchema)
             .where(col("part_s").between(bounds.getLong(0), bounds.getLong(1)))
             .join(broadcast(affected), Seq("fidelity", "ds_b", "part_s"), "left_semi")
             .select(newPart.columns.map(col).toIndexedSeq: _*))
@@ -568,7 +593,7 @@ object Tables {
       .select("fidelity", "ds_b", "part_s").distinct()
     val affected = (if (!exists) fromNew
       else fromNew.unionByName(
-        spark.read.parquet(path)
+        readDisk(spark, path, rollupDiskSchema)
           .where(col("bucket_s") >= t0s && col("bucket_s") < t1s)
           .select("fidelity", "ds_b", "part_s").distinct()))
       .distinct().persist()
@@ -576,7 +601,7 @@ object Tables {
       if (affected.isEmpty) return
       val carried =
         if (!exists) None
-        else Some(spark.read.parquet(path)
+        else Some(readDisk(spark, path, rollupDiskSchema)
           .join(broadcast(affected),
             Seq("fidelity", "ds_b", "part_s"), "left_semi")
           .where(col("bucket_s") < t0s || col("bucket_s") >= t1s)
@@ -673,7 +698,7 @@ object Tables {
             .foldLeft(lit(-1L))((acc, f) =>
               when(col("fidelity") === fidelityPart(f),
                 lit(partitionWindowS(f))).otherwise(acc))
-          val r = spark.read.parquet(rp)
+          val r = readDisk(spark, rp, rollupDiskSchema)
             .select(col("fidelity").cast("string").as("fidelity"),
               col("ds_b").cast("long").as("ds_b"),
               col("part_s").cast("long").as("part_s"),
@@ -699,7 +724,7 @@ object Tables {
         val rp = rollupPath(root)
         if (!StoreFs.exists(spark, rp)) ("rollup_unique", 0L, 0L)
         else {
-          val r = spark.read.parquet(rp)
+          val r = readDisk(spark, rp, rollupDiskSchema)
             .groupBy(col("fidelity"), col("dataset_id"), col("bucket_s"))
             .agg(count(lit(1)).as("m"))
             .agg(isViol(col("m") > 1).as("viol"),
@@ -711,7 +736,7 @@ object Tables {
         val rp = rawPath(root)
         if (!StoreFs.exists(spark, rp)) ("layout_raw", 0L, 0L)
         else {
-          val r = spark.read.parquet(rp)
+          val r = readDisk(spark, rp, rawDiskSchema)
             .select(col("ds_b").cast("long").as("ds_b"),
               col("win_s").cast("long").as("win_s"),
               col("dataset_id"), col("ts_us"))
@@ -799,7 +824,7 @@ object Tables {
     val coarseS = 100000L
     def buckets(df: DataFrame): DataFrame =
       df.select(col("bucket_s").cast("long").as("bucket_s"))
-    val rollup = spark.read.parquet(rp)
+    val rollup = readDisk(spark, rp, rollupDiskSchema)
       .select(col("fidelity").cast("string").as("fidelity"),
         col("ds_b").cast("long").as("ds_b"),
         col("part_s").cast("long").as("part_s"),

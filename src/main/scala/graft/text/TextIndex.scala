@@ -84,6 +84,49 @@ object TextIndex {
   private def clog(dir: String) =
     new graft.store.CommitLog(s"$dir/_manifests")
 
+  /** Pinned ON-DISK schema per index leg — this module writes every
+   *  leg, so the shape is static truth. Passed to every leg read via
+   *  [[readLeg]] so Spark skips the per-read footer-inference job
+   *  (measured ~40-100 ms each; a probe battery pays it dozens of
+   *  times). Bucket columns (tb/db/fb) are LONG (pmod(xxhash64)), and
+   *  the schema resolves them whether they sit in partition dirs
+   *  (bucketed layout) or as data columns (the compact-to-plain empty
+   *  edge case) — Spark matches user-schema fields by name on both
+   *  sides.
+   */
+  private val legSchemas: Map[String, org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "post" -> StructType(Seq(
+        StructField("token", StringType), StructField("doc_id", LongType),
+        StructField("tf", LongType), StructField("dl", LongType),
+        StructField("tb", LongType))),
+      "pos" -> StructType(Seq(
+        StructField("token", StringType), StructField("doc_id", LongType),
+        StructField("positions", ArrayType(IntegerType)),
+        StructField("tb", LongType))),
+      "vocab" -> StructType(Seq(
+        StructField("token", StringType), StructField("df", LongType))),
+      "stats" -> StructType(Seq(
+        StructField("nd", LongType), StructField("tl", LongType))),
+      "docs" -> StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("fb", LongType))),
+      "del" -> StructType(Seq(
+        StructField("variant", StringType), StructField("token", StringType),
+        StructField("db", LongType))),
+      "gone" -> StructType(Seq(StructField("doc_id", LongType))),
+      "dvocab" -> StructType(Seq(
+        StructField("token", StringType), StructField("df", LongType))),
+      "dstats" -> StructType(Seq(
+        StructField("nd", LongType), StructField("tl", LongType))))
+  }
+
+  /** Leg read with the pinned schema (leg name = last path segment). */
+  private def readLeg(
+      spark: SparkSession, leg: String, paths: Seq[String]): DataFrame =
+    spark.read.schema(legSchemas(leg)).parquet(paths: _*)
+
   /** Empty result frame with the given (name, type) columns — the
    *  shared zero-rows constructor behind every probe whose candidate
    *  stage can legitimately come up empty (fuzzy suggest with an empty
@@ -128,8 +171,8 @@ object TextIndex {
       spark: SparkSession, dir: String): Option[DataFrame] = {
     val ts = tombDirs(spark, dir)
     Option.when(ts.nonEmpty)(
-      ts.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
-        .reduce(_.unionByName(_)).select("doc_id"))
+      readLeg(spark, "gone", ts.map(t => s"$dir/data/$t/gone"))
+        .select("doc_id"))
   }
 
   /** Union a DOC-GRAIN leg (post/pos/docs) across live shard commits
@@ -170,12 +213,11 @@ object TextIndex {
       }
       .filter(p => exists(p._1))
     withScope.groupBy(_._2).map { case (tombs, roots) =>
-      val base = roots.map(r => spark.read.parquet(r._1))
-        .reduce(_.unionByName(_))
+      val base = readLeg(spark, sub, roots.map(_._1))
       if (tombs.isEmpty) base
       else {
-        val gone = tombs.map(t => spark.read.parquet(s"$dir/data/$t/gone"))
-          .reduce(_.unionByName(_)).select("doc_id")
+        val gone = readLeg(spark, "gone", tombs.map(t => s"$dir/data/$t/gone"))
+          .select("doc_id")
         base.join(broadcast(gone), Seq("doc_id"), "left_anti")
       }
     }.reduce(_.unionByName(_))
@@ -188,12 +230,11 @@ object TextIndex {
    *  (`where df > 0`) so fully-deleted tokens stop suggesting.
    */
   private def vocabRows(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.parquet(liveSub(spark, dir, "vocab"): _*)
+    val base = readLeg(spark, "vocab", liveSub(spark, dir, "vocab"))
     val ts = tombDirs(spark, dir)
     if (ts.isEmpty) base
     else base.unionByName(
-      ts.map(t => spark.read.parquet(s"$dir/data/$t/dvocab"))
-        .reduce(_.unionByName(_)))
+      readLeg(spark, "dvocab", ts.map(t => s"$dir/data/$t/dvocab")))
   }
 
   /** Stats rows including tombstone deltas (negative nd/tl) — callers
@@ -202,12 +243,11 @@ object TextIndex {
    *  delete, not stale-until-compaction.
    */
   private def statsRows(spark: SparkSession, dir: String): DataFrame = {
-    val base = spark.read.parquet(liveSub(spark, dir, "stats"): _*)
+    val base = readLeg(spark, "stats", liveSub(spark, dir, "stats"))
     val ts = tombDirs(spark, dir)
     if (ts.isEmpty) base
     else base.unionByName(
-      ts.map(t => spark.read.parquet(s"$dir/data/$t/dstats"))
-        .reduce(_.unionByName(_)))
+      readLeg(spark, "dstats", ts.map(t => s"$dir/data/$t/dstats")))
   }
 
   /** True iff EVERY live shard commit carries the optional leg `sub` —
@@ -1101,7 +1141,7 @@ object TextIndex {
         val dfs = es.map(e => (e, s"$dir/data/$e/$sub"))
           .filter(p => exists(p._2))
           .map { case (e, p) =>
-            spark.read.parquet(p).withColumn("cmt", lit(e)) }
+            readLeg(spark, sub, Seq(p)).withColumn("cmt", lit(e)) }
         Option.when(dfs.nonEmpty)(dfs.reduce(_.unionByName(_)))
       }
       val commits = fresh.filter(_.startsWith("c-"))
@@ -1332,9 +1372,7 @@ object TextIndex {
         // candidate tokens = the vocab inside the term's edit ball —
         // verified by the same Levenshtein before touching vocab df,
         // so the df probe's literal filter is survivor-small
-        val cands = liveSub(spark, dir, "del")
-          .map(spark.read.parquet(_))
-          .reduce(_.unionByName(_))
+        val cands = readLeg(spark, "del", liveSub(spark, dir, "del"))
           .where(col("db").isin(vBuckets: _*) &&
             col("variant").isin(variants: _*))
           .select("token").distinct()
@@ -1972,8 +2010,8 @@ object TextIndex {
           "re-ingest the pre-leg shards (or fold them separately) first")
       if (h.isEmpty) None else Some(h)
     }
-    def read(paths: Seq[String]): DataFrame =
-      paths.map(spark.read.parquet(_)).reduce(_.unionByName(_))
+    def read(sub: String, paths: Seq[String]): DataFrame =
+      readLeg(spark, sub, paths)
     // tombstone application (FULL folds only — compactTiered guards):
     // each root's doc-grain rows drop ITS OWN scope's gone docs (a
     // tombstone covers only the commits that precede it, so a doc
@@ -1984,19 +2022,19 @@ object TextIndex {
     // stop key-probing
     def readScoped(sub: String, paths: Seq[String]): DataFrame =
       paths.map { p =>
-        val df = spark.read.parquet(p)
+        val df = readLeg(spark, sub, Seq(p))
         val ts = scopeByRoot.getOrElse(p.stripSuffix(s"/$sub"), Seq.empty)
         if (ts.isEmpty) df
         else df.join(
-          broadcast(ts.map(t => spark.read.parquet(s"$t/gone"))
-            .reduce(_.unionByName(_)).select("doc_id")),
+          broadcast(readLeg(spark, "gone", ts.map(t => s"$t/gone"))
+            .select("doc_id")),
           Seq("doc_id"), "left_anti")
       }.reduce(_.unionByName(_))
     def foldedVocab: DataFrame = {
-      val base = read(having("vocab"))
+      val base = read("vocab", having("vocab"))
       val all =
         if (tombRoots.isEmpty) base
-        else base.unionByName(read(tombRoots.map(t => s"$t/dvocab")))
+        else base.unionByName(read("dvocab", tombRoots.map(t => s"$t/dvocab")))
       all.groupBy("token").agg(sum(col("df")).as("df"))
         .where(col("df") > 0)
     }
@@ -2019,7 +2057,7 @@ object TextIndex {
           .coalesce(4)
           .write.parquet(s"$dst/vocab")),
       uniform("del").map(ds => () => {
-        val base = read(ds)
+        val base = read("del", ds)
           .select(col("variant"), col("token"), col("db"))
           .dropDuplicates("variant", "token")
         val live =
@@ -2031,10 +2069,10 @@ object TextIndex {
           .write.partitionBy("db").parquet(s"$dst/del")
       }),
       Some(() => {
-        val base = read(having("stats"))
+        val base = read("stats", having("stats"))
         val all =
           if (tombRoots.isEmpty) base
-          else base.unionByName(read(tombRoots.map(t => s"$t/dstats")))
+          else base.unionByName(read("dstats", tombRoots.map(t => s"$t/dstats")))
         all.agg(sum(col("nd")).as("nd"), sum(col("tl")).as("tl"))
           .coalesce(1).write.parquet(s"$dst/stats")
       }),
@@ -2224,11 +2262,11 @@ object TextIndex {
     val touched: Set[String] =
       if (covered.isEmpty) Set.empty
       else covered.map { c =>
-          val p = spark.read.parquet(s"$dir/data/$c/post")
+          val p = readLeg(spark, "post", Seq(s"$dir/data/$c/post"))
             .select(col("doc_id"))
           // docs ∪ post: zero-token docs appear in the docs leg only
           (if (has(c, "docs"))
-            p.unionByName(spark.read.parquet(s"$dir/data/$c/docs")
+            p.unionByName(readLeg(spark, "docs", Seq(s"$dir/data/$c/docs"))
               .select(col("doc_id")))
           else p).withColumn("cmt", lit(c))
         }
@@ -2239,7 +2277,7 @@ object TextIndex {
     covered.flatMap { c =>
       if (!touched.contains(c)) None
       else {
-        val post = spark.read.parquet(s"$dir/data/$c/post")
+        val post = readLeg(spark, "post", Seq(s"$dir/data/$c/post"))
         // keep a keyed commit's key-digest prefix so batch-grain pair/
         // report addressing survives the rewrite
         val name = (if (c.matches("c-k[0-9a-f]{16}-.*"))
@@ -2248,7 +2286,7 @@ object TextIndex {
         val dst = s"$dir/data/$name"
         val post2 = post.join(gone, Seq("doc_id"), "left_anti").persist()
         val docs2 = Option.when(has(c, "docs"))(
-          spark.read.parquet(s"$dir/data/$c/docs")
+          readLeg(spark, "docs", Seq(s"$dir/data/$c/docs"))
             .join(gone, Seq("doc_id"), "left_anti").persist())
         try {
           val postEmpty = post2.isEmpty
@@ -2286,7 +2324,7 @@ object TextIndex {
                   coalesce(sum(col("dl")), lit(0L)).as("tl"))
                 .coalesce(1).write.parquet(s"$dst/stats")),
               Option.when(has(c, "pos"))(() =>
-                bucketed(spark.read.parquet(s"$dir/data/$c/pos")
+                bucketed(readLeg(spark, "pos", Seq(s"$dir/data/$c/pos"))
                   .join(gone, Seq("doc_id"), "left_anti")
                   .select(col("token"), col("doc_id"), col("positions"),
                     col("tb")), "tb", "pos")),
@@ -2297,7 +2335,7 @@ object TextIndex {
                   .repartition(TokenBuckets, col("fb"))
                   .write.partitionBy("fb").parquet(s"$dst/docs")),
               Option.when(has(c, "del"))(() =>
-                bucketed(spark.read.parquet(s"$dir/data/$c/del")
+                bucketed(readLeg(spark, "del", Seq(s"$dir/data/$c/del"))
                   .join(vocab2.select("token"), Seq("token"), "left_semi")
                   .select(col("variant"), col("token"), col("db")),
                   "db", "del"))
@@ -2357,7 +2395,7 @@ object TextIndex {
     val t = snap(tIdx)
     val covered = snap.take(tIdx).filter(_.startsWith("c-"))
     val gone = broadcast(
-      spark.read.parquet(s"$dir/data/$t/gone").select("doc_id"))
+      readLeg(spark, "gone", Seq(s"$dir/data/$t/gone")).select("doc_id"))
     val rewrites = rewriteCommitsWithout(spark, dir, gone, covered)
     // t retired: its rows are physically out, its deltas are consumed
     // by the recomputed vocab/stats
