@@ -354,10 +354,18 @@ object Similarity {
       "gone" -> StructType(Seq(StructField("vec_id", LongType))))
   }
 
+  /** PER-ROOT reads unioned by name, never one multi-root read: the
+   *  post leg is cell=-partitioned, and multi-root partition-structure
+   *  inference throws CONFLICTING_DIRECTORY_STRUCTURES whenever ≥2
+   *  partitioned roots (or mixed layouts) land in one call — e.g.
+   *  ivfIndexMerge over a source index with ≥2 live posting commits.
+   */
   private def readLeg(
       spark: org.apache.spark.sql.SparkSession, leg: String,
-      paths: Seq[String]): DataFrame =
-    spark.read.schema(legSchemas(leg)).parquet(paths: _*)
+      paths: Seq[String]): DataFrame = {
+    val s = legSchemas(leg)
+    paths.map(p => spark.read.schema(s).parquet(p)).reduce(_.unionByName(_))
+  }
 
   /** The live tombstoned vec ids as one (vec_id) frame — None when no
    *  tombstones are live (zero plan overhead without deletions). */

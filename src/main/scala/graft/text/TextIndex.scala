@@ -122,10 +122,20 @@ object TextIndex {
         StructField("nd", LongType), StructField("tl", LongType))))
   }
 
-  /** Leg read with the pinned schema (leg name = last path segment). */
+  /** Leg read with the pinned schema (leg name = last path segment).
+   *  PER-ROOT reads unioned by name, never one multi-root read: legs
+   *  are hive-partitioned (tb/db/fb) except the empty-compaction
+   *  plain rewrite, and Spark's partition-structure inference across
+   *  roots with mixed layouts throws CONFLICTING_DIRECTORY_STRUCTURES
+   *  before the pinned schema is even consulted. A per-root read
+   *  keeps the footer-inference skip AND scopes directory discovery
+   *  to one commit's uniform layout.
+   */
   private def readLeg(
-      spark: SparkSession, leg: String, paths: Seq[String]): DataFrame =
-    spark.read.schema(legSchemas(leg)).parquet(paths: _*)
+      spark: SparkSession, leg: String, paths: Seq[String]): DataFrame = {
+    val s = legSchemas(leg)
+    paths.map(p => spark.read.schema(s).parquet(p)).reduce(_.unionByName(_))
+  }
 
   /** Empty result frame with the given (name, type) columns — the
    *  shared zero-rows constructor behind every probe whose candidate
