@@ -18,11 +18,19 @@ import org.apache.spark.sql.SparkSession
  *    opens dominate at this scale. At 100 TB the advisory size, not
  *    the local core count, already governs (partitions are byte-bound
  *    well above parallelism), so the default loses nothing there.
- *  - `preferSortMergeJoin=false` + an AQE shuffled-hash threshold:
- *    lets the planner (and AQE at runtime) take a shuffled hash join
- *    when each post-shuffle partition's build side fits comfortably —
- *    no sort, same shuffle (guide §3.1). Sort-merge remains the
- *    fallback for anything larger.
+ *  - join strategy: Spark defaults (`preferSortMergeJoin=true`, AQE
+ *    SHJ rewrite off). Round 15 shipped `preferSortMergeJoin=false`
+ *    + a 64m AQE shuffled-hash threshold; the round-16 A/B on the
+ *    join-heavy tier (14 queries: dedup/graph/shingle/cluster) at
+ *    sf0.1 measured SMJ ~11-26% faster in AGGREGATE at local[32]
+ *    (72.2 s vs 81.1/98.0 s over two SHJ runs; per-query deltas in
+ *    plans/r16/join_policy_ab.md) and no query where SHJ won by >10%.
+ *    With 32 concurrent tasks the per-partition SHJ build maps add
+ *    allocation/GC pressure that the sort path avoids (guide §3.1's
+ *    "fits comfortably" caveat + §5); at 8 cores the two policies
+ *    tie. Sort-merge also spills gracefully at 100 TB partition
+ *    sizes, so the scale-safe default and the measured-fast local
+ *    default agree. Both knobs stay env-overridable.
  *  - a parallel-listing threshold of 128 paths: file-source listing
  *    below that runs inline on the driver (a local/POSIX listing is a
  *    few syscalls; spawning a Spark job to list 33 directories costs
@@ -42,9 +50,9 @@ object SessionTuning {
     .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
       env("SPARK_GRAFT_ADVISORY_PART", "64m"))
     .config("spark.sql.join.preferSortMergeJoin",
-      env("SPARK_GRAFT_PREFER_SMJ", "false"))
+      env("SPARK_GRAFT_PREFER_SMJ", "true"))
     .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-      env("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"))
+      env("SPARK_GRAFT_SHJ_LOCAL_MAP", "0b"))
     .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
       env("SPARK_GRAFT_LISTING_THRESHOLD", "128"))
 }

@@ -16,11 +16,14 @@ object Explain {
       if (args.length > 1) args.drop(1).toSeq
       else Seq("range_full", "rollup_1s", "q3_join", "dedup_minhash",
         "ann_cosine_topk", "user_sessions", "histogram")
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
+    // same session config as Bench/Verify so the dumped plan is the
+    // shipped plan (join policy, AQE advisory size, listing threshold)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = graft.SessionTuning(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     for (n <- names) {
